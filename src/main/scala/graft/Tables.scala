@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared table readers and determinism helpers.
+  *
+  * Determinism policy (the DuckDB oracle hash-compares values):
+  *  - every raw `double` money/quantity column in the testdata carries at
+  *    most 2 decimal digits (verified against the parquet files), so casting
+  *    to DECIMAL(18,2) *before* any arithmetic is exact; all downstream
+  *    decimal arithmetic is then bit-identical between Spark and DuckDB;
+  *  - every query ends in a total ORDER BY with explicit null placement;
+  *  - genuinely floating results (stddev, percentile) are rounded to a fixed
+  *    scale on both sides.
+  */
+object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to read
+      // as a timestamp. Read it as raw nanos and truncate to µs — exactly
+      // what DuckDB does on read, so the oracle agrees by construction.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts", expr("timestamp_micros(CAST(ts div 1000 AS BIGINT))"))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  val D2: DecimalType = DecimalType(18, 2)
+  val D4: DecimalType = DecimalType(18, 4)
+  val D6: DecimalType = DecimalType(18, 6)
+
+  /** Exact decimalization of a <=2-decimal-digit double column. */
+  def dec2(c: Column): Column = c.cast(D2)
+
+  /** Deterministic CDC change log derived from `orders` — the harness ships
+    * no binlog, so the change stream is synthesized reproducibly:
+    *   - every order emits an Insert at seq=1 (ts = o_orderdate);
+    *   - orders with o_orderkey % 3 == 0 emit an Update at seq=2
+    *     (price += 10.00, status -> 'P', ts += 1 day);
+    *   - orders with o_orderkey % 7 == 0 emit a Delete at seq=3
+    *     (ts += 2 days).
+    * Envelope mirrors the Debezium-style (op, seq, ts, key, after-image)
+    * shape described in SURVEY.md §1.2. `seq` is strictly monotone per key,
+    * so latest-wins collapse is total and deterministic.
+    */
+  def cdcLog(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders").select(
+      col("o_orderkey"), dec2(col("o_totalprice")).as("price"),
+      col("o_orderstatus").as("status"), col("o_orderdate"))
+    val ins = o.select(
+      lit("I").as("op"), lit(1L).as("seq"), col("o_orderdate").as("ts"),
+      col("o_orderkey").as("okey"), col("price"), col("status"))
+    val upd = o.filter(col("o_orderkey") % 3 === 0).select(
+      lit("U").as("op"), lit(2L).as("seq"),
+      (col("o_orderdate") + expr("INTERVAL 1 DAY")).as("ts"),
+      col("o_orderkey").as("okey"),
+      (col("price") + lit(10).cast(D2)).cast(D2).as("price"),
+      lit("P").as("status"))
+    val del = o.filter(col("o_orderkey") % 7 === 0).select(
+      lit("D").as("op"), lit(3L).as("seq"),
+      (col("o_orderdate") + expr("INTERVAL 2 DAY")).as("ts"),
+      col("o_orderkey").as("okey"),
+      lit(null).cast(D2).as("price"), lit(null).cast(StringType).as("status"))
+    ins.unionByName(upd).unionByName(del)
+  }
+
+  /** DuckDB-SQL equivalent of [[cdcLog]] (a CTE body named `cdc_log`). */
+  val cdcLogSql: String =
+    """SELECT 'I' AS op, CAST(1 AS BIGINT) AS seq, o_orderdate AS ts,
+         o_orderkey AS okey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         o_orderstatus AS status FROM orders
+       UNION ALL
+       SELECT 'U', CAST(2 AS BIGINT), o_orderdate + INTERVAL 1 DAY, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) + CAST(10 AS DECIMAL(18,2))
+              AS DECIMAL(18,2)), 'P'
+       FROM orders WHERE o_orderkey % 3 = 0
+       UNION ALL
+       SELECT 'D', CAST(3 AS BIGINT), o_orderdate + INTERVAL 2 DAY, o_orderkey,
+         CAST(NULL AS DECIMAL(18,2)), CAST(NULL AS VARCHAR)
+       FROM orders WHERE o_orderkey % 7 = 0"""
+}

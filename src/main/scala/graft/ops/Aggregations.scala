@@ -1,0 +1,213 @@
+package graft.ops
+
+import graft.Tables
+import graft.Tables.{dec2, D2, D4}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.4 — aggregations.
+  *
+  * All money/quantity sums run in DECIMAL (exact, engine-portable); partial
+  * (map-side) aggregation is automatic for every groupBy here. A8 is the
+  * reference's core semantic: ReplacingMergeTree latest-row-wins collapse.
+  */
+object Aggregations {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // A1: TPC-H Q1-shaped hash aggregate.
+    "agg_hash_groupby" -> ((s, dir) =>
+      Tables.t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec2(col("l_quantity"))).cast(D2).as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast(D2).as("sum_price"),
+          sum((dec2(col("l_extendedprice")) * (lit(1).cast(D2) - dec2(col("l_discount"))))
+            .cast(D4)).cast(D4).as("sum_disc_price"),
+          min(dec2(col("l_quantity"))).as("min_qty"),
+          max(dec2(col("l_quantity"))).as("max_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // A2: exact distinct counts (PK-uniqueness checks in the reference).
+    "agg_count_distinct" -> ((s, dir) =>
+      Tables.t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_suppkey")).as("nd_supp"),
+          countDistinct(col("l_orderkey")).as("nd_order"))
+        .orderBy(col("l_returnflag"))),
+
+    // A3: HLL approximate distinct — non-oracle (approximate); the spec
+    // asserts relative error vs exact instead.
+    "agg_approx_distinct" -> ((s, dir) =>
+      Tables.t(s, dir, "lineitem")
+        .agg(
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))),
+
+    // A4: grouping sets (SQL form; sentinel-coalesced for a total order).
+    "agg_grouping_sets" -> ((s, dir) => {
+      Tables.t(s, dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+      s.sql(
+        """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                  coalesce(l_linestatus, 'ALL') AS ls,
+                  count(*) AS n,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+           FROM gs_lineitem
+           GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+           ORDER BY rf, ls""")
+    }),
+
+    // A5: rollup region -> nation over the dim hierarchy.
+    "agg_rollup" -> ((s, dir) => {
+      val c = Tables.t(s, dir, "customer")
+      val n = Tables.t(s, dir, "nation")
+      val r = Tables.t(s, dir, "region")
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), sum(dec2(col("c_acctbal"))).cast(D2).as("bal"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("n_cust"), col("bal"))
+        .orderBy(col("region"), col("nation"))
+    }),
+
+    // A6: cube over two lineitem dimensions.
+    "agg_cube" -> ((s, dir) =>
+      Tables.t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("n"))
+        .orderBy(col("rf"), col("ls"))),
+
+    // A7: deterministic collect_list / collect_set (sorted).
+    "agg_collect_sorted" -> ((s, dir) =>
+      Tables.t(s, dir, "orders")
+        .filter(col("o_custkey") < 100)
+        .groupBy(col("o_custkey"))
+        .agg(
+          sort_array(collect_list(col("o_orderkey"))).as("order_keys"),
+          sort_array(collect_set(col("o_orderstatus"))).as("statuses"))
+        .orderBy(col("o_custkey"))),
+
+    // A8: THE core CDC collapse — latest row per key by strictly-monotone
+    // seq, deletes dropped (ReplacingMergeTree emulation).
+    "agg_latest_by_version" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir)
+      log.groupBy(col("okey"))
+        .agg(max_by(struct(col("op"), col("price"), col("status"), col("ts")),
+          col("seq")).as("last"))
+        .select(col("okey"), col("last.op").as("op"), col("last.price").as("price"),
+          col("last.status").as("status"), col("last.ts").as("ts"))
+        .filter(col("op") =!= "D")
+        .orderBy(col("okey"))
+    }),
+
+    // A9: conditional/filtered aggregation.
+    "agg_filtered_conditional" -> ((s, dir) =>
+      Tables.t(s, dir, "events")
+        .groupBy((col("user_id") % 10).as("user_bucket"))
+        .agg(
+          count_if(col("value") > 10).as("n_high"),
+          sum(when(col("event_type") === "purchase", dec2(col("value")))
+            .otherwise(lit(0).cast(D2))).cast(D2).as("purchase_value"),
+          count(when(col("event_type") === "error", lit(1))).as("n_error"))
+        .orderBy(col("user_bucket"))),
+
+    // A10: statistical aggregates — genuinely floating, so rounded to a
+    // fixed scale on both sides (see Tables determinism policy).
+    "agg_stats" -> ((s, dir) =>
+      Tables.t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"))
+        .orderBy(col("l_returnflag")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "agg_hash_groupby" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+           min(CAST(l_quantity AS DECIMAL(18,2))) AS min_qty,
+           max(CAST(l_quantity AS DECIMAL(18,2))) AS max_qty,
+           count(*) AS n
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "agg_count_distinct" ->
+      """SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS nd_part,
+           count(DISTINCT l_suppkey) AS nd_supp,
+           count(DISTINCT l_orderkey) AS nd_order
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "agg_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                coalesce(l_linestatus, 'ALL') AS ls,
+                count(*) AS n,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         ORDER BY rf, ls""",
+
+    "agg_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region,
+                coalesce(n_name, 'ALL') AS nation,
+                count(*) AS n_cust,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS bal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)
+         ORDER BY region, nation""",
+
+    "agg_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                coalesce(l_linestatus, 'ALL') AS ls,
+                count(*) AS n
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY rf, ls""",
+
+    "agg_collect_sorted" ->
+      """SELECT o_custkey,
+           list_sort(list(o_orderkey)) AS order_keys,
+           list_sort(list(DISTINCT o_orderstatus)) AS statuses
+         FROM orders WHERE o_custkey < 100
+         GROUP BY o_custkey ORDER BY o_custkey""",
+
+    "agg_latest_by_version" ->
+      s"""WITH cdc_log AS (${Tables.cdcLogSql}),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM cdc_log)
+         SELECT okey, op, price, status, ts FROM ranked
+         WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
+
+    "agg_filtered_conditional" ->
+      """SELECT user_id % 10 AS user_bucket,
+           count(*) FILTER (WHERE value > 10) AS n_high,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                         THEN CAST(value AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2))
+             AS purchase_value,
+           count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
+         FROM events GROUP BY 1 ORDER BY user_bucket""",
+
+    "agg_stats" ->
+      """SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+           round(avg(l_quantity), 4) AS avg_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+  )
+}

@@ -1,0 +1,212 @@
+package graft.ops
+
+import graft.Tables
+import graft.Tables.{dec2, D2}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.3 — joins.
+  *
+  * Scale notes (100 TB design):
+  *  - J1/J3/J4 shuffle on the join key; at scale these become sort-merge
+  *    joins and AQE handles skew — nothing here fights Catalyst.
+  *  - J2 pins an explicit broadcast for the small dimension (dims stay
+  *    small even at 100 TB fact scale).
+  *  - J7/J10 (non-equi) carry an equality conjunct (nation / user bucket)
+  *    so Catalyst plans a shuffle join on the equi part instead of a
+  *    broadcast-nested-loop over the whole input.
+  *  - J9 (as-of) composes range-join + per-key argmax; see also the
+  *    window form in Windows (W1).
+  */
+object Joins {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // J1: PK-FK equi join, aggregated to revenue per nation (TPC-H Q5-ish).
+    "join_inner_equi" -> ((s, dir) => {
+      val o = Tables.t(s, dir, "orders")
+      val c = Tables.t(s, dir, "customer")
+      val n = Tables.t(s, dir, "nation")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).cast(D2).as("total"))
+        .orderBy(col("n_name"))
+    }),
+
+    // J2: explicit broadcast of the small dim (plan asserted in JoinSpec).
+    "join_broadcast" -> ((s, dir) => {
+      val li = Tables.t(s, dir, "lineitem")
+      val p = Tables.t(s, dir, "part")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .filter(col("p_brand") === "Brand#11")
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(count(lit(1)).as("n"), sum(dec2(col("l_quantity"))).cast(D2).as("qty"))
+        .orderBy(col("p_brand"), col("p_size"))
+    }),
+
+    // J3: left outer — customers kept even with zero orders.
+    "join_left_outer" -> ((s, dir) => {
+      val c = Tables.t(s, dir, "customer")
+      val o = Tables.t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J4: full outer with genuinely unmatched rows on both sides.
+    "join_full_outer" -> ((s, dir) => {
+      val big = Tables.t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val c = Tables.t(s, dir, "customer").filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_name"))
+      big.join(c, big("o_custkey") === c("c_custkey"), "full")
+        .select(col("o_orderkey"), col("o_custkey"), col("c_custkey"), col("c_name"))
+        .orderBy(asc_nulls_first("o_orderkey"), asc_nulls_first("c_custkey"))
+    }),
+
+    // J5: semi — customers having at least one urgent order.
+    "join_left_semi" -> ((s, dir) => {
+      val c = Tables.t(s, dir, "customer")
+      val urgent = Tables.t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J6: anti — customers with no orders at all (delete reconciliation).
+    "join_left_anti" -> ((s, dir) => {
+      val c = Tables.t(s, dir, "customer")
+      val o = Tables.t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J7: theta/range join bounded by an equi conjunct on nation.
+    "join_theta_range" -> ((s, dir) => {
+      val s1 = Tables.t(s, dir, "supplier").select(
+        col("s_suppkey").as("a_key"), col("s_nationkey").as("a_nat"),
+        col("s_acctbal").as("a_bal"))
+      val s2 = Tables.t(s, dir, "supplier").select(
+        col("s_suppkey").as("b_key"), col("s_nationkey").as("b_nat"),
+        col("s_acctbal").as("b_bal"))
+      s1.join(s2, col("a_nat") === col("b_nat") && col("a_bal") < col("b_bal"))
+        .groupBy(col("a_nat").as("nationkey"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("nationkey"))
+    }),
+
+    // J8: cartesian product — only ever on tiny dims.
+    "join_cross" -> ((s, dir) => {
+      val r = Tables.t(s, dir, "region").select(col("r_name"))
+      val n = Tables.t(s, dir, "nation").select(col("n_name"))
+      r.crossJoin(n).orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // J9: as-of join — for each purchase event, the user's latest click at
+    // or before it. Range join + per-purchase argmax (row_number desc = 1).
+    "join_asof_event_order" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase").select(
+        col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click").select(
+        col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      val w = Window.partitionBy(col("p_id"))
+        .orderBy(desc("c_ts"), desc("c_id"))
+      purchases.join(clicks,
+          col("p_user") === col("c_user") && col("c_ts") <= col("p_ts"), "left")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("p_id"), col("p_user"), col("p_ts"), col("c_id"), col("c_ts"))
+        .orderBy(col("p_id"))
+    }),
+
+    // J10: interval self-join — event pairs of one user within 30 minutes
+    // (sessionization precursor). Equi conjunct on user bounds the blowup.
+    "join_self_interval" -> ((s, dir) => {
+      val ev = Tables.t(s, dir, "events")
+      val e1 = ev.select(col("event_id").as("a_id"), col("user_id").as("a_user"),
+        col("ts").as("a_ts"))
+      val e2 = ev.select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+        col("ts").as("b_ts"))
+      e1.join(e2, col("a_user") === col("b_user") &&
+          col("b_ts") > col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 30 MINUTES"))
+        .groupBy(col("a_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("user_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "join_inner_equi" ->
+      """SELECT n_name, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+
+    "join_broadcast" ->
+      """SELECT p_brand, p_size, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand = 'Brand#11'
+         GROUP BY p_brand, p_size ORDER BY p_brand, p_size""",
+
+    "join_left_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+
+    "join_full_outer" ->
+      """SELECT o_orderkey, o_custkey, c_custkey, c_name
+         FROM (SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 400000) o
+         FULL JOIN (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0) c
+           ON o.o_custkey = c.c_custkey
+         ORDER BY o_orderkey NULLS FIRST, c_custkey NULLS FIRST""",
+
+    "join_left_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+
+    "join_left_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+
+    "join_theta_range" ->
+      """SELECT a.s_nationkey AS nationkey, count(*) AS n_pairs
+         FROM supplier a JOIN supplier b
+           ON a.s_nationkey = b.s_nationkey AND a.s_acctbal < b.s_acctbal
+         GROUP BY 1 ORDER BY nationkey""",
+
+    "join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+         ORDER BY r_name, n_name""",
+
+    "join_asof_event_order" ->
+      """WITH p AS (SELECT event_id p_id, user_id p_user, ts p_ts FROM events
+                    WHERE event_type = 'purchase'),
+            c AS (SELECT event_id c_id, user_id c_user, ts c_ts FROM events
+                    WHERE event_type = 'click')
+         SELECT p_id, p_user, p_ts, c_id, c_ts
+         FROM (SELECT p.*, c.c_id, c.c_ts,
+                 row_number() OVER (PARTITION BY p_id
+                                    ORDER BY c_ts DESC NULLS LAST, c_id DESC NULLS LAST) rn
+               FROM p LEFT JOIN c ON p_user = c_user AND c_ts <= p_ts)
+         WHERE rn = 1 ORDER BY p_id""",
+
+    "join_self_interval" ->
+      """SELECT a.user_id AS user_id, count(*) AS n_pairs
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id AND b.ts > a.ts
+          AND b.ts <= a.ts + INTERVAL 30 MINUTE
+         GROUP BY 1 ORDER BY user_id"""
+  )
+}

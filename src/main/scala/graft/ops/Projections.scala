@@ -1,0 +1,121 @@
+package graft.ops
+
+import graft.Tables
+import graft.Tables.{dec2, D2, D4}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.2 — projection / filter / predicates / casts / CASE. */
+object Projections {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // P1: arithmetic derived columns, all in exact decimal.
+    "project_compute" -> ((s, dir) =>
+      Tables.t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (dec2(col("l_extendedprice")) * (lit(1).cast(D2) - dec2(col("l_discount"))))
+            .cast(D4).as("revenue"),
+          (dec2(col("l_extendedprice")) * (lit(1).cast(D2) + dec2(col("l_tax"))))
+            .cast(D4).as("charged"),
+          (dec2(col("l_quantity")) * dec2(col("l_extendedprice")))
+            .cast(D4).as("qty_price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // P2: conjunctive/disjunctive predicates, IN, BETWEEN, LIKE.
+    "filter_pred" -> ((s, dir) =>
+      Tables.t(s, dir, "orders")
+        .filter(
+          col("o_orderstatus").isin("F", "O") &&
+          col("o_totalprice").between(50000, 150000) &&
+          (col("o_orderpriority").like("1-%") || col("o_orderpriority").like("2-%")))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          dec2(col("o_totalprice")).as("total"), col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))),
+
+    // P3: three-valued logic — the testdata has no NULLs, so they are
+    // manufactured with nullif and round-tripped through coalesce / <=>.
+    "filter_null_semantics" -> ((s, dir) =>
+      Tables.t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          nullif(col("l_returnflag"), lit("N")).as("flag_or_null"),
+          coalesce(nullif(col("l_returnflag"), lit("N")), lit("XX")).as("flag_filled"),
+          (nullif(col("l_returnflag"), lit("N")) <=> nullif(col("l_linestatus"), lit("O")))
+            .as("ns_eq"))
+        .filter(nullif(col("l_returnflag"), lit("N")).isNull ||
+                col("l_returnflag") === "R")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // P4: cross-type casts (double->int truncation, double->decimal,
+    // timestamp->date, bigint->string).
+    "project_cast" -> ((s, dir) =>
+      Tables.t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast(IntegerType).as("qty_int"),
+          col("l_extendedprice").cast(DecimalType(12, 2)).as("price_dec"),
+          col("l_shipdate").cast(DateType).as("ship_date"),
+          col("l_orderkey").cast(StringType).as("okey_str"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // P5: CASE WHEN bucketing + aggregation over the buckets.
+    "case_when" -> ((s, dir) =>
+      Tables.t(s, dir, "lineitem")
+        .select(
+          when(col("l_quantity") < 10, "low")
+            .when(col("l_quantity") < 25, "mid")
+            .otherwise("high").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "project_compute" ->
+      """SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                AS DECIMAL(18,4)) AS revenue,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))
+                AS DECIMAL(18,4)) AS charged,
+           CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+                CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(18,4)) AS qty_price
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "filter_pred" ->
+      """SELECT o_orderkey, o_orderstatus,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS total, o_orderpriority
+         FROM orders
+         WHERE o_orderstatus IN ('F','O')
+           AND o_totalprice BETWEEN 50000 AND 150000
+           AND (o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%')
+         ORDER BY o_orderkey""",
+
+    "filter_null_semantics" ->
+      """SELECT l_orderkey, l_linenumber,
+           nullif(l_returnflag, 'N') AS flag_or_null,
+           coalesce(nullif(l_returnflag, 'N'), 'XX') AS flag_filled,
+           nullif(l_returnflag, 'N') IS NOT DISTINCT FROM nullif(l_linestatus, 'O')
+             AS ns_eq
+         FROM lineitem
+         WHERE nullif(l_returnflag, 'N') IS NULL OR l_returnflag = 'R'
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "project_cast" ->
+      """SELECT l_orderkey, l_linenumber,
+           CAST(trunc(l_quantity) AS INTEGER) AS qty_int,
+           CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec,
+           CAST(l_shipdate AS DATE) AS ship_date,
+           CAST(l_orderkey AS VARCHAR) AS okey_str
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "case_when" ->
+      """SELECT CASE WHEN l_quantity < 10 THEN 'low'
+                     WHEN l_quantity < 25 THEN 'mid'
+                     ELSE 'high' END AS bucket, count(*) AS n
+         FROM lineitem GROUP BY 1 ORDER BY bucket"""
+  )
+}

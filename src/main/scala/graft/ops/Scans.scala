@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.Tables
+import graft.Tables.{dec2, D2}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.1 — scans / sources. S4 (parquet sink) is exercised by
+  * Verify itself; S3 (JDBC) lives in [[graft.sources.JdbcSource]] and is
+  * non-oracle; S5 (idempotent foreachBatch sink) lives in
+  * [[graft.streaming.CdcPipeline]].
+  */
+object Scans {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // S1: full-table scan; Catalyst prunes nothing — the point is the scan.
+    "scan_parquet" -> ((s, dir) =>
+      Tables.t(s, dir, "nation")
+        .orderBy(col("n_nationkey"))),
+
+    // S2: projection narrowed to 3 columns — the parquet reader must show
+    // ReadSchema with only these (verified via explain in ScanSpec).
+    "scan_projection_pushdown" -> ((s, dir) =>
+      Tables.t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .filter(col("l_quantity") > 45)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // S6: the synthesized ordered change-event log (binlog analogue).
+    "scan_cdc_event_log" -> ((s, dir) =>
+      Tables.cdcLog(s, dir)
+        .orderBy(col("okey"), col("seq")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "scan_parquet" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+
+    "scan_projection_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""",
+
+    "scan_cdc_event_log" ->
+      s"WITH cdc_log AS (${Tables.cdcLogSql}) SELECT * FROM cdc_log ORDER BY okey, seq"
+  )
+}

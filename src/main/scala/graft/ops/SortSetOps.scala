@@ -1,0 +1,124 @@
+package graft.ops
+
+import graft.Tables
+import graft.Tables.{dec2, D2}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.6 — sort / limit / top-k / set operations. */
+object SortSetOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // O1: multi-key sort with explicit null placement (nulls manufactured).
+    "sort_multi_key" -> ((s, dir) =>
+      Tables.t(s, dir, "events")
+        .select(col("event_id"),
+          nullif(col("event_type"), lit("view")).as("etype"),
+          dec2(col("value")).as("val"))
+        .orderBy(asc_nulls_first("etype"), desc_nulls_last("val"), asc("event_id"))),
+
+    // O2: global top-k -> TakeOrderedAndProject (no full sort at scale).
+    "topk_limit" -> ((s, dir) =>
+      Tables.t(s, dir, "orders")
+        .select(col("o_orderkey"), dec2(col("o_totalprice")).as("total"))
+        .orderBy(desc("total"), asc("o_orderkey"))
+        .limit(100)),
+
+    // O3: top-3 orders per market segment via ranked window.
+    "topk_per_group" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.t(s, dir, "orders")
+      val c = Tables.t(s, dir, "customer")
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("c_mktsegment"), col("rk"), col("o_orderkey"),
+          dec2(col("o_totalprice")).as("total"))
+        .orderBy(col("c_mktsegment"), col("rk"))
+    }),
+
+    // O4a: bag union — snapshot ∪ delta is the CDC merge shape.
+    "set_union_all" -> ((s, dir) => {
+      val o = Tables.t(s, dir, "orders")
+      val a = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val b = o.filter(col("o_totalprice") > 300000)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      a.unionByName(b)
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // O4b: set union (distinct).
+    "set_union_distinct" -> ((s, dir) => {
+      val o = Tables.t(s, dir, "orders")
+      val a = o.filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+      val b = o.filter(col("o_totalprice") > 300000).select(col("o_orderkey"))
+      a.union(b).distinct().orderBy(col("o_orderkey"))
+    }),
+
+    // O5: intersection — consistency diff between two key sets.
+    "set_intersect" -> ((s, dir) => {
+      val withOrders = Tables.t(s, dir, "orders").select(col("o_custkey").as("k"))
+      val rich = Tables.t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("k"))
+      withOrders.intersect(rich).orderBy(col("k"))
+    }),
+
+    // O6: difference — missing-row detection (dest keys not in source).
+    "set_except" -> ((s, dir) => {
+      val all = Tables.t(s, dir, "customer").select(col("c_custkey").as("k"))
+      val withOrders = Tables.t(s, dir, "orders").select(col("o_custkey").as("k"))
+      all.except(withOrders).orderBy(col("k"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sort_multi_key" ->
+      """SELECT event_id, nullif(event_type, 'view') AS etype,
+           CAST(value AS DECIMAL(18,2)) AS val
+         FROM events
+         ORDER BY etype ASC NULLS FIRST, val DESC NULLS LAST, event_id ASC""",
+
+    "topk_limit" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total
+         FROM orders ORDER BY total DESC, o_orderkey ASC LIMIT 100""",
+
+    "topk_per_group" ->
+      """SELECT c_mktsegment, rk, o_orderkey, total FROM (
+           SELECT c_mktsegment, o_orderkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS total,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+           FROM orders JOIN customer ON o_custkey = c_custkey)
+         WHERE rk <= 3 ORDER BY c_mktsegment, rk""",
+
+    "set_union_all" ->
+      """SELECT o_orderstatus, count(*) AS n FROM (
+           SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 300000)
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "set_union_distinct" ->
+      """SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+         UNION
+         SELECT o_orderkey FROM orders WHERE o_totalprice > 300000
+         ORDER BY o_orderkey""",
+
+    "set_intersect" ->
+      """SELECT o_custkey AS k FROM orders
+         INTERSECT
+         SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+         ORDER BY k""",
+
+    "set_except" ->
+      """SELECT c_custkey AS k FROM customer
+         EXCEPT
+         SELECT o_custkey AS k FROM orders
+         ORDER BY k"""
+  )
+}
