@@ -1,0 +1,177 @@
+package graft.ops
+
+import graft.Tables
+import graft.Tables.{dec2, D2}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.7 — scalar function families, one query per family.
+  * Values are chosen to dodge the known Spark/DuckDB dialect traps
+  * (round half-even, dayofweek origin, split naming, float math).
+  */
+object Functions {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // F1: string normalization surface (charset/text cleanup in the
+    // reference's type mapping).
+    "fn_string" -> ((s, dir) =>
+      Tables.t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          substring(col("text"), 1, 20).as("prefix20"),
+          upper(col("lang")).as("lang_up"),
+          lower(col("source")).as("source_lo"),
+          length(col("text")).cast(LongType).as("text_len"),
+          concat_ws("-", col("lang"), col("source")).as("lang_source"),
+          lpad(col("doc_id").cast(StringType), 6, "0").as("id_pad"),
+          regexp_replace(col("source"), "src", "S").as("source_s"),
+          trim(concat(lit("  "), col("lang"), lit("  "))).as("lang_trim"),
+          regexp_extract(col("text"), "([a-z]+)", 1).as("first_word"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+        .orderBy(col("doc_id"))),
+
+    // F2: datetime family — session TZ pinned UTC on both engines.
+    "fn_date" -> ((s, dir) =>
+      Tables.t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          weekday(col("o_orderdate")).as("wd"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          col("o_orderdate").cast(DateType).as("od"),
+          date_add(col("o_orderdate").cast(DateType), 30).as("due"),
+          datediff(lit("2002-01-01").cast(DateType),
+            col("o_orderdate").cast(DateType)).as("days_to_2002"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"))
+        .orderBy(col("o_orderkey"))),
+
+    // F3: math family — only operations that are bit-identical across
+    // engines (exact-rounded sqrt, integral pow, floor/ceil/abs/sign/mod).
+    "fn_math" -> ((s, dir) =>
+      Tables.t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          floor(col("l_quantity")).cast(LongType).as("qty_floor"),
+          ceil(col("l_quantity")).cast(LongType).as("qty_ceil"),
+          abs(dec2(col("l_quantity")) - lit(25).cast(D2)).cast(D2).as("qty_dev"),
+          signum(col("l_quantity") - 25).cast(IntegerType).as("qty_sign"),
+          pmod(col("l_orderkey"), lit(7)).cast(LongType).as("key_mod"),
+          pow(col("l_linenumber"), 2).as("ln_sq"),
+          sqrt(col("l_orderkey")).as("key_sqrt"),
+          round(col("l_extendedprice")).as("price_round"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // F4: array / higher-order functions over tokenized documents.
+    "fn_array" -> ((s, dir) =>
+      Tables.t(s, dir, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("words")).cast(LongType).as("n_words"),
+          size(array_distinct(col("words"))).cast(LongType).as("n_distinct"),
+          array_contains(col("words"), "key").as("has_key"),
+          slice(sort_array(col("words")), 1, 3).as("first3_sorted"),
+          aggregate(transform(col("words"), w => length(w)),
+            lit(0L), (acc, x) => acc + x).as("total_chars"),
+          size(filter(col("words"), w => length(w) > 4)).cast(LongType).as("n_long"))
+        .orderBy(col("doc_id"))),
+
+    // F5: map construction + access, projected back to sorted arrays for
+    // an engine-portable shape (DuckDB map syntax differs).
+    "fn_map" -> ((s, dir) =>
+      Tables.t(s, dir, "documents")
+        .withColumn("m", map_from_arrays(
+          array(lit("lang"), lit("source")),
+          array(col("lang"), col("source"))))
+        .select(
+          col("doc_id"),
+          element_at(col("m"), "lang").as("lang_val"),
+          size(col("m")).cast(LongType).as("m_size"),
+          sort_array(map_keys(col("m"))).as("keys_sorted"),
+          sort_array(map_values(col("m"))).as("vals_sorted"))
+        .orderBy(col("doc_id"))),
+
+    // F6: JSON passthrough — events.props is a JSON string column.
+    "fn_json" -> ((s, dir) =>
+      Tables.t(s, dir, "events")
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+            .getField("k").as("k_int"))
+        .orderBy(col("event_id")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT doc_id,
+           substring(text, 1, 20) AS prefix20,
+           upper(lang) AS lang_up,
+           lower(source) AS source_lo,
+           CAST(length(text) AS BIGINT) AS text_len,
+           concat_ws('-', lang, source) AS lang_source,
+           lpad(CAST(doc_id AS VARCHAR), 6, '0') AS id_pad,
+           regexp_replace(source, 'src', 'S') AS source_s,
+           trim('  ' || lang || '  ') AS lang_trim,
+           regexp_extract(text, '([a-z]+)', 1) AS first_word,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         FROM documents ORDER BY doc_id""",
+
+    "fn_date" ->
+      """SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS y,
+           CAST(month(o_orderdate) AS INTEGER) AS m,
+           CAST(day(o_orderdate) AS INTEGER) AS d,
+           CAST(isodow(o_orderdate) - 1 AS INTEGER) AS wd,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(o_orderdate AS DATE) AS od,
+           CAST(o_orderdate AS DATE) + 30 AS due,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+                AS INTEGER) AS days_to_2002,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s
+         FROM orders ORDER BY o_orderkey""",
+
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+           CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(abs(CAST(l_quantity AS DECIMAL(18,2)) - CAST(25 AS DECIMAL(18,2)))
+                AS DECIMAL(18,2)) AS qty_dev,
+           CAST(sign(l_quantity - 25) AS INTEGER) AS qty_sign,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
+           pow(l_linenumber, 2) AS ln_sq,
+           sqrt(l_orderkey) AS key_sqrt,
+           round(l_extendedprice) AS price_round
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "fn_array" ->
+      """SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+           list_contains(string_split(text, ' '), 'key') AS has_key,
+           list_sort(string_split(text, ' '))[1:3] AS first3_sorted,
+           CAST(list_sum(list_transform(string_split(text, ' '),
+                w -> length(w))) AS BIGINT) AS total_chars,
+           CAST(len(list_filter(string_split(text, ' '),
+                w -> length(w) > 4)) AS BIGINT) AS n_long
+         FROM documents ORDER BY doc_id""",
+
+    "fn_map" ->
+      """SELECT doc_id,
+           lang AS lang_val,
+           CAST(2 AS BIGINT) AS m_size,
+           ['lang', 'source'] AS keys_sorted,
+           list_sort([lang, source]) AS vals_sorted
+         FROM documents ORDER BY doc_id""",
+
+    "fn_json" ->
+      """SELECT event_id,
+           props->>'k' AS k_str,
+           CAST(props->>'k' AS INTEGER) AS k_int
+         FROM events ORDER BY event_id"""
+  )
+}

@@ -1,0 +1,144 @@
+package graft.ops
+
+import graft.Tables
+import graft.Tables.{dec2, D2}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.5 — window functions.
+  *
+  * Every window here partitions by a key (user / status / CDC key) so state
+  * shards across executors at scale; none uses a global (unpartitioned)
+  * window, which would serialize on one task.
+  */
+object Windows {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // W1: latest-wins dedup in window form (same semantics as A8).
+    "win_row_number_dedup" -> ((s, dir) => {
+      val w = Window.partitionBy(col("okey")).orderBy(desc("seq"))
+      Tables.cdcLog(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") =!= "D")
+        .select(col("okey"), col("op"), col("price"), col("status"), col("ts"))
+        .orderBy(col("okey"))
+    }),
+
+    // W2: ranking family over orders per status.
+    "win_rank_dense" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(desc("total"), asc("o_orderkey"))
+      Tables.t(s, dir, "orders")
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          dec2(col("o_totalprice")).as("total"))
+        .withColumn("rk", rank().over(w))
+        .withColumn("drk", dense_rank().over(w))
+        .withColumn("nt", ntile(4).over(w))
+        .orderBy(col("o_orderstatus"), col("rk"), col("o_orderkey"))
+    }),
+
+    // W3: lag/lead change detection per user.
+    "win_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(asc("ts"), asc("event_id"))
+      Tables.t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+          dec2(col("value")).as("val"))
+        .withColumn("prev_val", lag(col("val"), 1).over(w))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .withColumn("delta", (col("val") - coalesce(col("prev_val"), lit(0).cast(D2))).cast(D2))
+        .orderBy(col("event_id"))
+    }),
+
+    // W4: running (cumulative) sum per user — ROWS frame.
+    "win_running_frame_rows" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(asc("ts"), asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), dec2(col("value")).as("val"))
+        .withColumn("running", sum(col("val")).over(w).cast(D2))
+        .withColumn("n_so_far", count(lit(1)).over(w))
+        .orderBy(col("event_id"))
+    }),
+
+    // W5: value-range frame — orders within 1000.00 below current price.
+    "win_range_frame" -> ((s, dir) => {
+      Tables.t(s, dir, "orders").createOrReplaceTempView("rf_orders")
+      s.sql(
+        """SELECT o_orderkey, o_orderstatus,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS total,
+                  count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                                 RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_near
+           FROM rf_orders
+           ORDER BY o_orderkey""")
+    }),
+
+    // W6: first/last value with explicit full-partition frame.
+    "win_first_last_value" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(asc("ts"), asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        .withColumn("first_type", first(col("event_type")).over(w))
+        .withColumn("last_type", last(col("event_type")).over(w))
+        .orderBy(col("event_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "win_row_number_dedup" ->
+      s"""WITH cdc_log AS (${Tables.cdcLogSql})
+         SELECT okey, op, price, status, ts FROM (
+           SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) rn
+           FROM cdc_log)
+         WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
+
+    "win_rank_dense" ->
+      """SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS total,
+           rank() OVER w AS rk, dense_rank() OVER w AS drk, ntile(4) OVER w AS nt
+         FROM orders WHERE o_orderkey % 100 = 0
+         WINDOW w AS (PARTITION BY o_orderstatus
+                      ORDER BY o_totalprice DESC, o_orderkey ASC)
+         ORDER BY o_orderstatus, rk, o_orderkey""",
+
+    "win_lag_lead" ->
+      """SELECT event_id, user_id, ts, event_type,
+           CAST(value AS DECIMAL(18,2)) AS val,
+           lag(CAST(value AS DECIMAL(18,2)), 1) OVER w AS prev_val,
+           lead(event_type, 1) OVER w AS next_type,
+           CAST(CAST(value AS DECIMAL(18,2)) -
+                coalesce(lag(CAST(value AS DECIMAL(18,2)), 1) OVER w,
+                         CAST(0 AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS delta
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+         ORDER BY event_id""",
+
+    "win_running_frame_rows" ->
+      """SELECT event_id, user_id, ts, CAST(value AS DECIMAL(18,2)) AS val,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(18,2)) AS running,
+           count(*) OVER w AS n_so_far
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+
+    "win_range_frame" ->
+      """SELECT o_orderkey, o_orderstatus,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS total,
+           count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                          RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_near
+         FROM orders
+         ORDER BY o_orderkey""",
+
+    "win_first_last_value" ->
+      """SELECT event_id, user_id, ts, event_type,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type) OVER w AS last_type
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY event_id"""
+  )
+}
