@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Cosine similarity of two array<double> columns as a native Catalyst
+  * expression with whole-stage codegen — one fused pass computing dot
+  * product and both norms (vs. three HOF folds + two intermediate arrays).
+  *
+  * Determinism contract: accumulation is strictly left-to-right, so the
+  * result is bit-identical to a sequential fold (`list_reduce` in the
+  * DuckDB oracle) — required for hash-matched verification.
+  *
+  * At 100 TB scale this sits in the inner loop of similarity search /
+  * near-dup (SURVEY.md §2.9 L2/L3); codegen keeps it inside the
+  * WholeStageCodegen span instead of falling back to interpreted HOFs.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cosine_sim expects (array<double>, array<double>), got " +
+            s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (arr1, arr2) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($arr1.numElements(), $arr2.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $arr1.getDouble($i);
+         |  double $y = $arr2.getDouble($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-level vector helpers shared by the LLM operators. */
+object VectorOps {
+
+  /** Idempotently register SQL-callable functions on the session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
+
+  /** float[] -> double[] (exact; keeps downstream math engine-portable). */
+  def toDouble(c: Column): Column = transform(c, _.cast(DoubleType))
+
+  /** Sequential left-fold sum — bit-equal to DuckDB list_reduce. */
+  def foldSum(c: Column): Column =
+    aggregate(c, lit(0.0), (acc, x) => acc + x)
+
+  /** HOF-composed cosine (readable baseline; same bits as CosineSim). */
+  def cosineHof(a: Column, b: Column): Column = {
+    val dot = foldSum(zip_with(a, b, (x, y) => x * y))
+    val na = foldSum(zip_with(a, a, (x, y) => x * y))
+    val nb = foldSum(zip_with(b, b, (x, y) => x * y))
+    dot / (sqrt(na) * sqrt(nb))
+  }
+}

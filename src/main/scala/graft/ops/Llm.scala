@@ -1,0 +1,449 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.VectorOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.9 + north-star LLM-data-pipeline operators: deduplication
+  * (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine),
+  * similarity search (brute-force + LSH-bucketed), text analysis
+  * (lang-ID, quality, token counting, fingerprinting) and multimodal
+  * column plumbing.
+  *
+  * Scale design: no operator here materializes an unblocked cross product.
+  * Candidate generation is always an equi-join on a bucket key (LSH band,
+  * sign-bucket, label block); the pairwise metric runs only inside buckets.
+  * That is the shape that survives 100 TB — the bucket join shuffles once
+  * on the bucket key and each bucket's pair loop is local to a task.
+  */
+object Llm {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- shared Spark-side pieces -------------------------------------
+
+  /** documents + planted exact duplicates (doc_id % 5 == 0, id += 100000). */
+  private def docsWithExactDups(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(s, dir, "documents")
+    d.select(col("doc_id"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  /** documents + planted near-duplicates (first word dropped). */
+  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(s, dir, "documents")
+    d.select(col("doc_id"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          expr("substring(text, instr(text, ' ') + 1, length(text))").as("text")))
+  }
+
+  /** distinct 3-word shingles of `text` (empty when < 3 words). */
+  private val shingleExpr =
+    """CASE WHEN size(split(text, ' ')) >= 3 THEN
+         array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
+           i -> concat_ws(' ', split(text, ' ')[i-1], split(text, ' ')[i], split(text, ' ')[i+1])))
+       ELSE array() END"""
+
+  /** embeddings as (vec_id, label, v: array<double>). */
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "embeddings").select(
+      col("vec_id"), col("label"), VectorOps.toDouble(col("embedding")).as("v"))
+
+  /** sign-bucket of the first 8 dims — the LSH bucket key. */
+  private val signBucket: Column =
+    (0 until 8).map(j => when(element_at(col("v"), j + 1) > 0, 1 << j).otherwise(0))
+      .reduce(_ + _).as("bucket")
+
+  // ---- shared DuckDB-side pieces ------------------------------------
+
+  private val wordsSql = "string_split(text, ' ')"
+
+  private val shingleSql =
+    s"""list_distinct(list_transform(generate_series(1, greatest(len($wordsSql) - 2, 0)),
+          i -> $wordsSql[i] || ' ' || $wordsSql[i+1] || ' ' || $wordsSql[i+2]))"""
+
+  /** strict left-fold dot product — bit-equal to CosineSim's accumulation. */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(list_zip($a, $b), s -> s[1] * s[2])), (p, q) -> p + q)"""
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  private val vecsCte =
+    """vecs AS (SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"""
+
+  private val bucketSql =
+    """(CASE WHEN v[1] > 0 THEN 1 ELSE 0 END + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END +
+        CASE WHEN v[3] > 0 THEN 4 ELSE 0 END + CASE WHEN v[4] > 0 THEN 8 ELSE 0 END +
+        CASE WHEN v[5] > 0 THEN 16 ELSE 0 END + CASE WHEN v[6] > 0 THEN 32 ELSE 0 END +
+        CASE WHEN v[7] > 0 THEN 64 ELSE 0 END + CASE WHEN v[8] > 0 THEN 128 ELSE 0 END)"""
+
+  // ---- queries -------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    // L1: exact dedup by normalized content hash; keep lowest doc_id.
+    "llm_dedup_exact" -> ((s, dir) =>
+      docsWithExactDups(s, dir)
+        .groupBy(sha2(lower(trim(col("text"))), 256).as("text_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("keep_id"))),
+
+    // L2a: MinHash(16) + LSH(4 bands × 4 rows) near-dup candidates, then
+    // exact Jaccard confirm >= 0.6. Non-oracle (xxhash64 is Spark-internal);
+    // property-tested in LlmSpec (planted near-dups must surface).
+    "llm_dedup_minhash" -> ((s, dir) => {
+      val docs = docsWithNearDups(s, dir).withColumn("shingles", expr(shingleExpr))
+      val sig = docs.withColumn("sig", array((0 until 16).map(k =>
+        array_min(transform(col("shingles"), sh => xxhash64(lit(k), sh)))): _*))
+      val bands = sig.select(col("doc_id"), col("shingles"),
+        posexplode(array((0 until 4).map(b =>
+          xxhash64(lit(b),
+            element_at(col("sig"), b * 4 + 1), element_at(col("sig"), b * 4 + 2),
+            element_at(col("sig"), b * 4 + 3), element_at(col("sig"), b * 4 + 4))): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+      val a = bands.select(col("doc_id").as("a_id"), col("shingles").as("a_sh"),
+        col("band"), col("bv"))
+      val b = bands.select(col("doc_id").as("b_id"), col("shingles").as("b_sh"),
+        col("band"), col("bv"))
+      a.join(b, Seq("band", "bv")).filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh")).distinct()
+        .withColumn("jaccard",
+          size(array_intersect(col("a_sh"), col("b_sh"))).cast(DoubleType) /
+            size(array_union(col("a_sh"), col("b_sh"))).cast(DoubleType))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // L2b: 16-bit SimHash per document + hamming distance of each planted
+    // near-dup pair to its original. Non-oracle; LlmSpec asserts planted
+    // pairs land at small hamming distance.
+    "llm_dedup_simhash" -> ((s, dir) => {
+      val docs = docsWithNearDups(s, dir)
+      val wordHash = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .withColumn("h", xxhash64(col("w")))
+      val bitCols = (0 until 16).map(bit => sum(when(shiftright(col("h"), bit)
+        .bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$bit"))
+      val bitSums = wordHash.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+      val sim = bitSums.withColumn("simhash",
+        (0 until 16).map(bit => when(col(s"s$bit") > 0, 1 << bit).otherwise(0))
+          .reduce(_ + _)).select(col("doc_id"), col("simhash"))
+      val orig = sim.filter(col("doc_id") < 100000)
+        .select(col("doc_id").as("a_id"), col("simhash").as("a_sim"))
+      val mut = sim.filter(col("doc_id") >= 100000)
+        .select((col("doc_id") - 100000).as("a_id"), col("doc_id").as("b_id"),
+          col("simhash").as("b_sim"))
+      orig.join(mut, "a_id")
+        .withColumn("hamming", bit_count(expr("a_sim ^ b_sim")))
+        .select(col("a_id"), col("b_id"), col("a_sim"), col("b_sim"), col("hamming"))
+        .orderBy(col("a_id"))
+    }),
+
+    // L2c: n-gram (3-shingle) Jaccard over a bounded pair set — fully
+    // oracle-able (no internal hash; pure set arithmetic).
+    "llm_dedup_ngram_jaccard" -> ((s, dir) => {
+      val sh = docsWithNearDups(s, dir).filter(col("doc_id") % 100000 < 15)
+        .withColumn("sh", expr(shingleExpr)).select(col("doc_id"), col("sh"))
+      val a = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+      val b = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+      a.join(b, col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          size(array_intersect(col("a_sh"), col("b_sh"))).cast(LongType).as("n_common"),
+          size(array_union(col("a_sh"), col("b_sh"))).cast(LongType).as("n_union"))
+        .withColumn("jaccard",
+          col("n_common").cast(DoubleType) / col("n_union").cast(DoubleType))
+        .filter(col("jaccard") > 0.5)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // L2d: embedding-cosine near-dup with planted perturbed copies,
+    // blocked by LSH sign-bucket (no unblocked cross product).
+    "llm_dedup_embed_cosine" -> ((s, dir) => {
+      VectorOps.register(s)
+      val base = vecs(s, dir)
+      val planted = base.filter(col("vec_id") % 5 === 0).select(
+        (col("vec_id") + 10000).as("vec_id"), col("label"),
+        concat(array(element_at(col("v"), 1) + 0.05), slice(col("v"), 2, 63)).as("v"))
+      val all = base.select(col("vec_id"), col("v")).unionByName(
+        planted.select(col("vec_id"), col("v"))).withColumn("bucket", signBucket)
+      val a = all.select(col("vec_id").as("a_id"), col("v").as("a_v"), col("bucket"))
+      val b = all.select(col("vec_id").as("b_id"), col("v").as("b_v"), col("bucket"))
+      a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
+        .withColumn("cos", expr("cosine_sim(a_v, b_v)"))
+        .filter(col("cos") > 0.9)
+        .select(col("a_id"), col("b_id"), col("cos"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // L3a: brute-force cosine top-k — query set broadcast against the
+    // full vector table (the exact baseline an ANN variant is judged by).
+    "llm_sim_topk" -> ((s, dir) => {
+      VectorOps.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val all = vecs(s, dir)
+      val q = all.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+      val w = Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("n_id"))
+      all.select(col("vec_id").as("n_id"), col("v").as("n_v"))
+        .join(broadcast(q), col("q_id") =!= col("n_id"))
+        .withColumn("cos", expr("cosine_sim(q_v, n_v)"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk"), col("n_id"), col("cos"))
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
+    // L3b: LSH-bucketed ANN variant — candidates limited to the query's
+    // sign-bucket; the 100 TB scale path (bucket equi-join, no cross join).
+    "llm_sim_lsh_topk" -> ((s, dir) => {
+      VectorOps.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val all = vecs(s, dir).withColumn("bucket", signBucket)
+      val q = all.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("bucket"))
+      val n = all.select(col("vec_id").as("n_id"), col("v").as("n_v"), col("bucket"))
+      val w = Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("n_id"))
+      n.join(broadcast(q), Seq("bucket")).filter(col("q_id") =!= col("n_id"))
+        .withColumn("cos", expr("cosine_sim(q_v, n_v)"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("q_id"), col("rk"), col("n_id"), col("cos"))
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
+    // L4a: token counting (whitespace + BPE-ish regex) per language.
+    "llm_text_stats" -> ((s, dir) =>
+      Tables.t(s, dir, "documents")
+        .select(col("lang"), col("n_chars"),
+          size(split(col("text"), " ")).cast(LongType).as("tok_ws"),
+          expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+            .cast(LongType).as("tok_re"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok_ws")).as("total_tok_ws"),
+          sum(col("tok_re")).as("total_tok_re"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("lang"))),
+
+    // L4b: n-gram-profile language ID — per-lang top-10 word profiles
+    // learned from the corpus, docs classified by profile overlap.
+    "llm_lang_id" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val words = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      val wp = Window.partitionBy(col("plang")).orderBy(desc("c"), asc("w"))
+      val profile = words.groupBy(col("lang").as("plang"), col("w"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(wp)).filter(col("rn") <= 10)
+        .select(col("plang"), col("w"))
+      val docWords = words.select(col("doc_id"), col("lang"), col("w")).distinct()
+      val wd = Window.partitionBy(col("doc_id")).orderBy(desc("cnt"), asc("plang"))
+      docWords.join(profile, "w")
+        .groupBy(col("doc_id"), col("lang"), col("plang"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(wd)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("plang").as("predicted"), col("cnt"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // L4c: quality scoring — length / word-shape / stopword ratios.
+    "llm_quality_score" -> ((s, dir) =>
+      Tables.t(s, dir, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .select(col("doc_id"),
+          length(col("text")).cast(LongType).as("text_len"),
+          size(col("words")).cast(LongType).as("n_words"),
+          size(expr("filter(words, w -> w = 'key' OR w = 'row' OR w = 'value' OR w = 'table')"))
+            .cast(LongType).as("n_stop"),
+          size(expr("filter(words, w -> length(w) > 4)")).cast(LongType).as("n_long"))
+        .withColumn("avg_word_len",
+          (col("text_len") - (col("n_words") - 1)).cast(DoubleType) /
+            col("n_words").cast(DoubleType))
+        .withColumn("stop_ratio",
+          col("n_stop").cast(DoubleType) / col("n_words").cast(DoubleType))
+        .withColumn("quality_pass",
+          col("n_words") >= 50 && col("stop_ratio") < 0.5)
+        .orderBy(col("doc_id"))),
+
+    // L4d: document fingerprint — polynomial rolling hash over tokens
+    // (portable arithmetic: no engine-internal hash function).
+    "llm_fingerprint" -> ((s, dir) =>
+      Tables.t(s, dir, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .select(col("doc_id"),
+          expr("""aggregate(
+                    transform(words, w -> CAST(length(w) * 131 + ascii(substring(w, 1, 1)) AS BIGINT)),
+                    CAST(0 AS BIGINT), (h, x) -> (h * 31 + x) % 1000000007)""").as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // L5a: multimodal row assembly — text + embedding + typed metadata.
+    "llm_multimodal_cols" -> ((s, dir) => {
+      val d = Tables.t(s, dir, "documents")
+      val e = Tables.t(s, dir, "embeddings")
+      d.join(e, d("doc_id") === e("vec_id"))
+        .select(col("doc_id"), col("lang"), col("source"), col("label"),
+          size(col("embedding")).cast(LongType).as("dim"),
+          length(col("text")).cast(LongType).as("text_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // L5b: multimodal binary plumbing — text rendered to an opaque binary
+    // column, then per-partition batch feature extraction via a typed
+    // Dataset.mapPartitions (the Scala analogue of mapInPandas). The
+    // "decode" is a deterministic stub (this container has no media libs);
+    // the schema / partitioning / batch shape are the real thing.
+    "llm_multimodal_features" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val bin = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+      bin.mapPartitions(_.map { case (id, bytes) =>
+        // stub feature extraction: replace with a real decoder at the same
+        // signature (Iterator[batch] -> Iterator[features]) in production
+        val nBytes = bytes.length.toLong
+        val first = if (bytes.nonEmpty) bytes(0).toInt & 0xff else -1
+        val last = if (bytes.nonEmpty) bytes(bytes.length - 1).toInt & 0xff else -1
+        val stub = (nBytes * 31 + first) % 997
+        (id, nBytes, first, last, stub)
+      }).toDF("doc_id", "n_bytes", "first_byte", "last_byte", "stub_feature")
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  // ---- oracles -------------------------------------------------------
+
+  private val nearDupDocsSql =
+    """SELECT doc_id, text FROM documents
+       UNION ALL
+       SELECT doc_id + 100000, substring(text, instr(text, ' ') + 1)
+       FROM documents WHERE doc_id % 5 = 0"""
+
+  val oracle: Map[String, String] = Map(
+    "llm_dedup_exact" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0)
+         SELECT sha256(lower(trim(text))) AS text_hash,
+                min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM all_docs GROUP BY 1 ORDER BY keep_id""",
+
+    "llm_dedup_ngram_jaccard" ->
+      s"""WITH nd AS ($nearDupDocsSql),
+            sh AS (SELECT doc_id, $shingleSql AS sh FROM nd WHERE doc_id % 100000 < 15)
+         SELECT a_id, b_id, n_common, n_union,
+                CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
+         FROM (SELECT a.doc_id a_id, b.doc_id b_id,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) n_common,
+                 CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) n_union
+               FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         WHERE CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) > 0.5
+         ORDER BY a_id, b_id""",
+
+    "llm_dedup_embed_cosine" ->
+      s"""WITH $vecsCte,
+            planted AS (SELECT vec_id + 10000 AS vec_id,
+                          list_concat([v[1] + 0.05], v[2:64]) AS v
+                        FROM vecs WHERE vec_id % 5 = 0),
+            allv AS (SELECT vec_id, v FROM vecs UNION ALL SELECT vec_id, v FROM planted),
+            bk AS (SELECT vec_id, v, $bucketSql AS bucket FROM allv)
+         SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${cosSql("a.v", "b.v")} AS cos
+         FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         WHERE ${cosSql("a.v", "b.v")} > 0.9
+         ORDER BY a_id, b_id""",
+
+    "llm_sim_topk" ->
+      s"""WITH $vecsCte,
+            q AS (SELECT vec_id AS q_id, v AS q_v FROM vecs WHERE vec_id < 20),
+            scored AS (SELECT q.q_id, n.vec_id AS n_id, ${cosSql("q.q_v", "n.v")} AS cos
+                       FROM q JOIN vecs n ON q.q_id <> n.vec_id)
+         SELECT q_id, rk, n_id, cos FROM (
+           SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) rk
+           FROM scored)
+         WHERE rk <= 5 ORDER BY q_id, rk""",
+
+    "llm_sim_lsh_topk" ->
+      s"""WITH $vecsCte,
+            bk AS (SELECT vec_id, v, $bucketSql AS bucket FROM vecs),
+            q AS (SELECT vec_id AS q_id, v AS q_v, bucket FROM bk WHERE vec_id < 50),
+            scored AS (SELECT q.q_id, n.vec_id AS n_id, ${cosSql("q.q_v", "n.v")} AS cos
+                       FROM q JOIN bk n ON q.bucket = n.bucket AND q.q_id <> n.vec_id)
+         SELECT q_id, rk, n_id, cos FROM (
+           SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) rk
+           FROM scored)
+         WHERE rk <= 3 ORDER BY q_id, rk""",
+
+    "llm_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tok_ws,
+           CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
+             AS total_tok_re,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
+
+    "llm_lang_id" ->
+      """WITH words AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+                        FROM documents),
+            profile AS (SELECT * FROM (
+              SELECT lang AS plang, w, count(*) AS c FROM words GROUP BY 1, 2) t
+              QUALIFY row_number() OVER (PARTITION BY plang ORDER BY c DESC, w ASC) <= 10),
+            docwords AS (SELECT DISTINCT doc_id, lang, w FROM words),
+            scores AS (SELECT d.doc_id, d.lang, p.plang, count(*) AS cnt
+                       FROM docwords d JOIN profile p ON d.w = p.w
+                       GROUP BY 1, 2, 3)
+         SELECT doc_id, lang, plang AS predicted, cnt FROM scores
+         QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, plang ASC) = 1
+         ORDER BY doc_id""",
+
+    "llm_quality_score" ->
+      """SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS text_len,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(len(list_filter(string_split(text, ' '),
+                w -> w IN ('key', 'row', 'value', 'table'))) AS BIGINT) AS n_stop,
+           CAST(len(list_filter(string_split(text, ' '),
+                w -> length(w) > 4)) AS BIGINT) AS n_long,
+           CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) /
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_word_len,
+           CAST(len(list_filter(string_split(text, ' '),
+                w -> w IN ('key', 'row', 'value', 'table'))) AS DOUBLE) /
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+           (len(string_split(text, ' ')) >= 50 AND
+            CAST(len(list_filter(string_split(text, ' '),
+                 w -> w IN ('key', 'row', 'value', 'table'))) AS DOUBLE) /
+              CAST(len(string_split(text, ' ')) AS DOUBLE) < 0.5) AS quality_pass
+         FROM documents ORDER BY doc_id""",
+
+    "llm_fingerprint" ->
+      """SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                 w -> CAST(length(w) * 131 + ascii(substring(w, 1, 1)) AS BIGINT))),
+             (h, x) -> (h * 31 + x) % 1000000007) AS fp
+         FROM documents ORDER BY doc_id""",
+
+    "llm_multimodal_cols" ->
+      """SELECT doc_id, lang, source, label,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           CAST(length(text) AS BIGINT) AS text_len
+         FROM documents JOIN embeddings ON doc_id = vec_id
+         ORDER BY doc_id""",
+
+    "llm_multimodal_features" ->
+      """SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           ascii(substring(text, 1, 1)) AS first_byte,
+           ascii(substring(text, length(text), 1)) AS last_byte,
+           (CAST(octet_length(encode(text)) AS BIGINT) * 31 +
+            ascii(substring(text, 1, 1))) % 997 AS stub_feature
+         FROM documents ORDER BY doc_id"""
+  )
+}
