@@ -22,7 +22,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Scans.queries ++ Projections.queries ++ Joins.queries ++
       Aggregations.queries ++ SortSetOps.queries ++ Windows.queries ++
-      Functions.queries ++ Llm.queries
+      Functions.queries ++ Llm.queries ++ graft.streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops (driver
@@ -30,5 +30,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Scans.oracle ++ Projections.oracle ++ Joins.oracle ++
       Aggregations.oracle ++ SortSetOps.oracle ++ Windows.oracle ++
-      Functions.oracle ++ Llm.oracle
+      Functions.oracle ++ Llm.oracle ++ graft.streaming.StreamingOps.oracle
 }

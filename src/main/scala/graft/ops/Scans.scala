@@ -30,7 +30,14 @@ object Scans {
     // S6: the synthesized ordered change-event log (binlog analogue).
     "scan_cdc_event_log" -> ((s, dir) =>
       Tables.cdcLog(s, dir)
-        .orderBy(col("okey"), col("seq")))
+        .orderBy(col("okey"), col("seq"))),
+
+    // S3: snapshot through the pluggable TableSource abstraction — the
+    // JDBC backend (graft.sources.JdbcSource) is the production path; the
+    // harness exercises the same trait over parquet.
+    "scan_jdbc" -> ((s, dir) =>
+      new graft.sources.ParquetSource(dir).snapshot(s, "customer")
+        .orderBy(col("c_custkey")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -42,6 +49,9 @@ object Scans {
          WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""",
 
     "scan_cdc_event_log" ->
-      s"WITH cdc_log AS (${Tables.cdcLogSql}) SELECT * FROM cdc_log ORDER BY okey, seq"
+      s"WITH cdc_log AS (${Tables.cdcLogSql}) SELECT * FROM cdc_log ORDER BY okey, seq",
+
+    "scan_jdbc" ->
+      "SELECT * FROM customer ORDER BY c_custkey"
   )
 }

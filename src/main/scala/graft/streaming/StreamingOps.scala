@@ -1,0 +1,292 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.util.UUID
+
+import graft.Tables
+import graft.Tables.{dec2, D2}
+import graft.sources.EpochParquetSink
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** SURVEY.md §2.8 — Structured Streaming. This is the reference's identity:
+  * consume an ordered change-event stream, maintain latest-state, emit to an
+  * idempotent sink, survive restarts from a checkpoint.
+  *
+  * Harness shape: the binlog is played as parquet "waves" into a temp dir
+  * read by a file source with maxFilesPerTrigger=1, so each wave becomes a
+  * micro-batch. In production the same topology reads Kafka+Debezium.
+  *
+  * Scale notes: state (CDC latest-state, dedup keys, session windows) is
+  * always keyed — per okey / event_id / user — so the state store shards
+  * across executors; watermarks bound it in time. The foreachBatch sink is
+  * epoch-keyed (overwrite per epochId) => replay-idempotent, the analogue
+  * of the reference persisting the binlog position only after a flush.
+  */
+object StreamingOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+  /** latest-wins collapse keyed by okey (tombstones kept for merging). */
+  private def collapse(df: DataFrame): DataFrame =
+    df.groupBy(col("okey"))
+      .agg(max_by(struct(col("op"), col("price"), col("status"), col("ts"),
+        col("seq")), col("seq")).as("l"))
+      .select(col("okey"), col("l.op").as("op"), col("l.price").as("price"),
+        col("l.status").as("status"), col("l.ts").as("ts"), col("l.seq").as("seq"))
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft_stream").toString
+
+  private def memName(): String =
+    "m" + UUID.randomUUID.toString.replace("-", "")
+
+  /** Play the CDC log as 3 seq-ordered waves; apply with foreachBatch +
+    * epoch-keyed state; return the final latest-state table (minus
+    * tombstones). `replayLast` appends the final wave twice to prove the
+    * sink is idempotent under at-least-once delivery.
+    */
+  private def cdcApply(s: SparkSession, dir: String, replayLast: Boolean): DataFrame = {
+    val log = Tables.cdcLog(s, dir)
+    val tmp = tmpDir()
+    val in = s"$tmp/in"
+    val waves = Seq(1L, 2L, 3L) ++ (if (replayLast) Seq(3L) else Nil)
+    waves.foreach(q =>
+      log.filter(col("seq") === q).coalesce(1).write.mode("append").parquet(in))
+    var latest: Option[String] = None
+    val query = s.readStream.schema(log.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
+        val prev = latest.map(p => s.read.parquet(p))
+          .getOrElse(batch.sparkSession.createDataFrame(
+            new java.util.ArrayList[Row](), batch.schema))
+        val merged = collapse(prev.select(
+          col("op"), col("seq"), col("ts"), col("okey"), col("price"), col("status"))
+          .unionByName(batch.select(
+            col("op"), col("seq"), col("ts"), col("okey"), col("price"), col("status"))))
+        val path = s"$tmp/state/epoch=$epochId"
+        merged.write.mode("overwrite").parquet(path) // idempotent on replay
+        latest = Some(path)
+        ()
+      }
+      .start()
+    query.processAllAvailable()
+    query.stop()
+    s.read.parquet(latest.get)
+      .filter(col("op") =!= "D")
+      .select(col("okey"), col("op"), col("price"), col("status"), col("ts"))
+      .orderBy(col("okey"))
+  }
+
+  /** events written as 3 waves (by event_id mod) for micro-batching. */
+  private def eventWaves(s: SparkSession, dir: String): (String, DataFrame) = {
+    val ev = Tables.t(s, dir, "events")
+    val tmp = tmpDir()
+    val in = s"$tmp/in"
+    (0 until 3).foreach(i =>
+      ev.filter(col("event_id") % 3 === i).coalesce(1).write.mode("append").parquet(in))
+    (tmp, ev)
+  }
+
+  private def runToMemory(df: DataFrame, mode: String): DataFrame = {
+    val name = memName()
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // ST1: the whole reference job — ordered change events -> latest state.
+    "stream_cdc_apply" -> ((s, dir) => cdcApply(s, dir, replayLast = false)),
+
+    // S5: same pipeline with the last wave delivered twice — the epoch-keyed
+    // sink + latest-wins merge make the duplicate delivery a no-op.
+    "sink_foreachbatch_idempotent" -> ((s, dir) => cdcApply(s, dir, replayLast = true)),
+
+    // ST2: tumbling 1-day windows per event_type.
+    "stream_window_tumbling" -> ((s, dir) => {
+      val (tmp, ev) = eventWaves(s, dir)
+      val st = s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/in")
+      val agg = st.groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).cast(D2).as("total"))
+      runToMemory(agg, "complete")
+        .select(col("w.start").as("ws"), col("w.end").as("we"),
+          col("event_type"), col("n"), col("total"))
+        .orderBy(col("ws"), col("event_type"))
+    }),
+
+    // ST3: sliding 1-day windows every 12h (each event in 2 windows).
+    "stream_window_sliding" -> ((s, dir) => {
+      val (tmp, ev) = eventWaves(s, dir)
+      val st = s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/in")
+      val agg = st.groupBy(window(col("ts"), "1 day", "12 hours").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      runToMemory(agg, "complete")
+        .select(col("w.start").as("ws"), col("w.end").as("we"),
+          col("event_type"), col("n"))
+        .orderBy(col("ws"), col("event_type"))
+    }),
+
+    // ST4: session windows (1h gap) per user. Append mode: only sessions
+    // sealed by the final watermark emit — verified by batch-equivalence in
+    // StreamingSpec, not by SQL oracle.
+    "stream_window_session" -> ((s, dir) => {
+      val (tmp, ev) = eventWaves(s, dir)
+      val st = s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/in")
+      val agg = st.withWatermark("ts", "0 seconds")
+        .groupBy(session_window(col("ts"), "1 hour").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      runToMemory(agg, "append")
+        .select(col("w.start").as("ws"), col("w.end").as("we"),
+          col("user_id"), col("n"))
+        .orderBy(col("ws"), col("user_id"))
+    }),
+
+    // ST5: at-least-once replay dedup — second wave redelivers every
+    // event_id % 100 == 0 row; watermarked dedup state drops them all.
+    "stream_dedup_watermark" -> ((s, dir) => {
+      val ev = Tables.t(s, dir, "events")
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      ev.coalesce(1).write.mode("append").parquet(in)
+      ev.filter(col("event_id") % 100 === 0).coalesce(1).write.mode("append").parquet(in)
+      val st = s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
+        .parquet(in)
+      val deduped = st.withWatermark("ts", "60 days")
+        .dropDuplicatesWithinWatermark("event_id")
+      runToMemory(deduped, "append").orderBy(col("event_id"))
+    }),
+
+    // ST6: late data beyond the watermark is dropped — holds back a slice
+    // of days 1-2, replays it after the watermark passed day 8. Non-oracle
+    // (arrival-order semantics); StreamingSpec asserts the drop.
+    "stream_late_data" -> ((s, dir) => {
+      val ev = Tables.t(s, dir, "events")
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      val held = col("event_id") % 10 === 0 && dayofmonth(col("ts")) <= 2
+      val onTime = ev.filter(dayofmonth(col("ts")) <= 10 && !held)
+      onTime.coalesce(1).write.mode("append").parquet(in)
+      ev.filter(dayofmonth(col("ts")) <= 10 && held)
+        .coalesce(1).write.mode("append").parquet(in)
+      val st = s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
+        .parquet(in)
+      val agg = st.withWatermark("ts", "2 days")
+        .groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(count(lit(1)).as("n"))
+      runToMemory(agg, "append")
+        .select(col("w.start").as("ws"), col("n"))
+        .orderBy(col("ws"))
+    }),
+
+    // ST7: arbitrary keyed state — per-user running counters via
+    // flatMapGroupsWithState (position/GTID tracking analogue). Decimal
+    // accumulation keeps the result independent of per-batch row order.
+    "stream_stateful_running" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val (tmp, ev) = eventWaves(s, dir)
+      val st = s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/in").as[Ev]
+      val updates = st.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+          (uid: Long, it: Iterator[Ev], state: GroupState[(Long, java.math.BigDecimal)]) => {
+            var (n, tot) = state.getOption.getOrElse((0L, java.math.BigDecimal.ZERO))
+            it.foreach { e =>
+              n += 1
+              tot = tot.add(java.math.BigDecimal.valueOf(e.value))
+            }
+            state.update((n, tot))
+            Iterator((uid, n, tot))
+          })
+        .toDF("user_id", "n", "total")
+      runToMemory(updates, "update")
+        .groupBy(col("user_id"))
+        .agg(max(col("n")).as("n"),
+          max_by(col("total"), col("n")).cast(D2).as("total"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ST8: exactly-once restart — run, stop, deliver more data, resume from
+    // the same checkpoint; the epoch-keyed sink holds each row exactly once.
+    "stream_checkpoint_resume" -> ((s, dir) => {
+      val ev = Tables.t(s, dir, "events")
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      val ckpt = s"$tmp/ckpt"
+      val sink = new EpochParquetSink(s"$tmp/out")
+      def runOnce(): Unit = {
+        val q = s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
+          .parquet(in)
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch((b: Dataset[Row], id: Long) => sink.write(b, id))
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      ev.filter(col("event_id") % 2 === 0).coalesce(1).write.mode("append").parquet(in)
+      runOnce() // phase 1, then "crash"
+      ev.filter(col("event_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(in)
+      runOnce() // resume: checkpoint skips phase-1 files
+      s.read.parquet(s"$tmp/out")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).cast(D2).as("total"))
+        .orderBy(col("event_type"))
+    })
+  )
+
+  private val latestStateSql: String =
+    s"""WITH cdc_log AS (${Tables.cdcLogSql}),
+          ranked AS (SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) rn
+                     FROM cdc_log)
+       SELECT okey, op, price, status, ts FROM ranked
+       WHERE rn = 1 AND op <> 'D' ORDER BY okey"""
+
+  val oracle: Map[String, String] = Map(
+    // stream ≡ batch: the applied state must equal the A8 collapse.
+    "stream_cdc_apply" -> latestStateSql,
+    "sink_foreachbatch_idempotent" -> latestStateSql,
+
+    "stream_window_tumbling" ->
+      """SELECT date_trunc('day', ts) AS ws,
+                date_trunc('day', ts) + INTERVAL 1 DAY AS we,
+                event_type, count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+         FROM events GROUP BY 1, 2, 3 ORDER BY ws, event_type""",
+
+    "stream_window_sliding" ->
+      """SELECT make_timestamp(st * 1000000) AS ws,
+                make_timestamp((st + 86400) * 1000000) AS we,
+                event_type, count(*) AS n
+         FROM (SELECT event_type,
+                 unnest([CAST(floor(epoch(ts) / 43200) AS BIGINT) * 43200,
+                         CAST(floor(epoch(ts) / 43200) AS BIGINT) * 43200 - 43200]) AS st
+               FROM events)
+         GROUP BY 1, 2, 3 ORDER BY ws, event_type""",
+
+    "stream_dedup_watermark" ->
+      "SELECT * FROM events ORDER BY event_id",
+
+    "stream_stateful_running" ->
+      """SELECT user_id, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+         FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "stream_checkpoint_resume" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+         FROM events GROUP BY event_type ORDER BY event_type"""
+    // stream_window_session, stream_late_data: non-oracle (watermark
+    // arrival-order semantics) — covered by StreamingSpec batch-equivalence.
+  )
+}
