@@ -138,9 +138,14 @@ object StreamingOps {
 
     // ST4: session windows (1h gap) per user. Append mode: only sessions
     // sealed by the final watermark emit — verified by batch-equivalence in
-    // StreamingSpec, not by SQL oracle.
+    // StreamingSpec, not by SQL oracle. Waves are TIME-ordered (binlog-like
+    // arrival): a zero-delay watermark tolerates no cross-batch disorder.
     "stream_window_session" -> ((s, dir) => {
-      val (tmp, ev) = eventWaves(s, dir)
+      val ev = Tables.t(s, dir, "events")
+      val tmp = tmpDir()
+      Seq(1 to 10, 11 to 20, 21 to 31).foreach(days =>
+        ev.filter(dayofmonth(col("ts")).between(days.head, days.last))
+          .coalesce(1).write.mode("append").parquet(s"$tmp/in"))
       val st = s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
         .parquet(s"$tmp/in")
       val agg = st.withWatermark("ts", "0 seconds")
@@ -167,16 +172,22 @@ object StreamingOps {
       runToMemory(deduped, "append").orderBy(col("event_id"))
     }),
 
-    // ST6: late data beyond the watermark is dropped — holds back a slice
-    // of days 1-2, replays it after the watermark passed day 8. Non-oracle
-    // (arrival-order semantics); StreamingSpec asserts the drop.
+    // ST6: late data beyond the watermark is dropped. Wave 1 = days 1-10
+    // minus a held-back slice of days 1-2; wave 2 = days 11-12 (advances the
+    // watermark AND seals/evicts the day-1..2 window state); wave 3 = the
+    // held-back slice, now genuinely late => dropped. Note Spark only drops
+    // late rows whose window state was already finalized — late data into a
+    // still-live window merges (observed on 4.1; the intermediate wave is
+    // what makes the drop real). Non-oracle; StreamingSpec asserts the drop.
     "stream_late_data" -> ((s, dir) => {
       val ev = Tables.t(s, dir, "events")
       val tmp = tmpDir()
       val in = s"$tmp/in"
       val held = col("event_id") % 10 === 0 && dayofmonth(col("ts")) <= 2
-      val onTime = ev.filter(dayofmonth(col("ts")) <= 10 && !held)
-      onTime.coalesce(1).write.mode("append").parquet(in)
+      ev.filter(dayofmonth(col("ts")) <= 10 && !held)
+        .coalesce(1).write.mode("append").parquet(in)
+      ev.filter(dayofmonth(col("ts")).between(11, 12))
+        .coalesce(1).write.mode("append").parquet(in)
       ev.filter(dayofmonth(col("ts")) <= 10 && held)
         .coalesce(1).write.mode("append").parquet(in)
       val st = s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based CDC semantics (SURVEY.md §5.2.3): for random I/U/D
+  * sequences, the distributed latest-wins collapse must equal a
+  * sequential replay; collapse must be idempotent and replay-safe.
+  * (Raw scalacheck Gens with fixed seeds — the scalatest/scalacheck
+  * bridge artifact is not in the offline dependency set.)
+  */
+class CdcPropertySpec extends SparkTestBase {
+
+  case class Op(op: String, seq: Long, key: Long, v: Long)
+
+  private val genOps: Gen[List[Op]] = for {
+    nKeys <- Gen.choose(1, 8)
+    n <- Gen.choose(1, 60)
+    ops <- Gen.listOfN(n, for {
+      k <- Gen.choose(0L, nKeys.toLong)
+      o <- Gen.oneOf("I", "U", "D")
+      v <- Gen.choose(0L, 1000L)
+    } yield (k, o, v))
+  } yield ops.zipWithIndex.map { case ((k, o, v), i) => Op(o, i.toLong, k, v) }
+
+  private def samples(n: Int): Seq[List[Op]] =
+    (0 until n).flatMap(i =>
+      genOps.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  /** reference semantics: sequential replay into a key->row map. */
+  private def replay(ops: List[Op]): Map[Long, (String, Long)] =
+    ops.sortBy(_.seq).foldLeft(Map.empty[Long, (String, Long)]) {
+      case (m, Op(op, _, k, v)) => m.updated(k, (op, v))
+    }.filter(_._2._1 != "D")
+
+  /** the engine's collapse (same shape as A8/ST1). */
+  private def collapse(ops: List[Op]): Map[Long, (String, Long)] = {
+    import spark.implicits._
+    val df = spark.createDataFrame(ops)
+    df.groupBy($"key")
+      .agg(max_by(struct($"op", $"v"), $"seq").as("l"))
+      .select($"key", $"l.op", $"l.v")
+      .filter($"l.op" =!= "D")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+  }
+
+  test("distributed collapse == sequential replay (15 random logs)") {
+    samples(15).foreach { ops =>
+      assert(collapse(ops) == replay(ops), s"log: $ops")
+    }
+  }
+
+  test("collapse is replay-idempotent (at-least-once delivery)") {
+    samples(10).foreach { ops =>
+      val tail = ops.takeRight(math.max(1, ops.length / 3))
+      assert(collapse(ops ++ tail) == collapse(ops), s"log: $ops")
+    }
+  }
+
+  test("snapshot ∪ delta == full-log collapse") {
+    samples(10).filter(_.length > 2).foreach { ops =>
+      val sorted = ops.sortBy(_.seq)
+      val (snapshotOps, delta) = sorted.splitAt(ops.length / 2)
+      val snapshot = replay(snapshotOps).map { case (k, (_, v)) =>
+        Op("I", snapshotOps.filter(_.key == k).map(_.seq).max, k, v)
+      }.toList
+      assert(collapse(snapshot ++ delta) == replay(ops), s"log: $ops")
+    }
+  }
+}

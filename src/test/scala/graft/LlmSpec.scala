@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** LLM-operator semantics that the SQL oracle cannot cover
+  * (MinHash/SimHash use Spark-internal xxhash64): planted near-dups
+  * must surface, random pairs must not.
+  */
+class LlmSpec extends SparkTestBase {
+
+  test("MinHash-LSH surfaces every planted near-dup pair") {
+    val out = q("llm_dedup_minhash").collect()
+    val planted = out.filter(r => r.getLong(1) == r.getLong(0) + 100000)
+    val docs = Tables.t(spark, sf, "documents")
+    val nPlanted = docs.filter(col("doc_id") % 5 === 0).count()
+    // dropping the first word keeps Jaccard ~0.97 — all planted pairs must
+    // survive 4x4 banding with overwhelming probability
+    assert(planted.length >= (nPlanted * 0.9).toInt,
+      s"found ${planted.length} of $nPlanted planted pairs")
+    planted.foreach(r => assert(r.getDouble(2) > 0.6))
+  }
+
+  test("MinHash-LSH finds no high-Jaccard pair among unrelated docs") {
+    val out = q("llm_dedup_minhash").collect()
+    val unrelated = out.filter(r => r.getLong(1) != r.getLong(0) + 100000)
+    // random bag-of-words docs share few 3-shingles
+    assert(unrelated.length <= out.length / 5,
+      s"${unrelated.length} unrelated candidate pairs of ${out.length}")
+  }
+
+  test("SimHash: planted near-dups at small hamming distance") {
+    val out = q("llm_dedup_simhash")
+    val avgPlanted = out.agg(avg(col("hamming"))).collect()(0).getDouble(0)
+    assert(avgPlanted < 4.0, s"avg hamming of planted pairs = $avgPlanted")
+  }
+
+  test("exact dedup collapses exactly the planted duplicates") {
+    val docs = Tables.t(spark, sf, "documents")
+    val nDocs = docs.count()
+    val nPlanted = docs.filter(col("doc_id") % 5 === 0).count()
+    val out = q("llm_dedup_exact")
+    assert(out.count() == nDocs) // one group per distinct text
+    assert(out.filter(col("n_copies") === 2).count() == nPlanted)
+    // kept id is always the original, never the planted copy
+    assert(out.filter(col("keep_id") >= 100000).count() == 0)
+  }
+
+  test("brute-force topk: self excluded, k rows per query, cos in [-1,1]") {
+    val out = q("llm_sim_topk")
+    assert(out.filter(col("q_id") === col("n_id")).count() == 0)
+    assert(out.filter(col("cos") > 1.0 || col("cos") < -1.0).count() == 0)
+    val perQ = out.groupBy("q_id").count().collect()
+    perQ.foreach(r => assert(r.getLong(1) == 5))
+  }
+
+  test("LSH topk is a subset-ranking of brute force per query") {
+    val bf = q("llm_sim_topk").select(col("q_id"), col("n_id"), col("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = q("llm_sim_lsh_topk").filter(col("q_id") < 20).collect()
+    // every LSH hit's cosine must equal the brute-force cosine when present
+    lsh.foreach { r =>
+      val k = (r.getLong(0), r.getLong(2))
+      bf.get(k).foreach(c => assert(c == r.getDouble(3), s"cos mismatch at $k"))
+    }
+  }
+
+  test("fingerprint: identical text => identical fp, mutated => different") {
+    val out = q("llm_fingerprint").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.values.toSet.size > out.size / 2) // fingerprints discriminate
+  }
+}
