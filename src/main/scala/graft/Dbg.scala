@@ -11,9 +11,10 @@ object Dbg {
     val tmp = java.nio.file.Files.createTempDirectory("dbg").toString
     val in = s"$tmp/in"
     val held = col("event_id") % 10 === 0 && dayofmonth(col("ts")) <= 2
-    ev.filter(dayofmonth(col("ts")) <= 10 && !held).coalesce(1).write.mode("append").parquet(in)
-    Thread.sleep(1500)
-    ev.filter(dayofmonth(col("ts")) <= 10 && held).coalesce(1).write.mode("append").parquet(in)
+    graft.streaming.StreamingOps.writeWave(
+      ev.filter(dayofmonth(col("ts")) <= 10 && !held), in, 0)
+    graft.streaming.StreamingOps.writeWave(
+      ev.filter(dayofmonth(col("ts")) <= 10 && held), in, 1)
     new java.io.File(in).listFiles.filter(_.getName.endsWith(".parquet")).sortBy(_.lastModified)
       .foreach(f => println(s"FILE ${f.getName} mod=${f.lastModified}"))
     val st = s.readStream.schema(ev.schema).option("maxFilesPerTrigger","1").parquet(in)

@@ -11,6 +11,13 @@ import org.apache.spark.sql.types._
   *    most 2 decimal digits (verified against the parquet files), so casting
   *    to DECIMAL(18,2) *before* any arithmetic is exact; all downstream
   *    decimal arithmetic is then bit-identical between Spark and DuckDB;
+  *  - DECIMAL never appears in a FINAL output schema: the driver reads our
+  *    parquet via pyarrow (decimal128 -> Python Decimal) but the oracle via
+  *    DuckDB (-> float64), so a decimal output column can never hash-match.
+  *    Arithmetic stays decimal internally; the last projection casts to
+  *    DOUBLE, and the oracle SQL carries the matching CAST(... AS DOUBLE).
+  *    The decimal->double cast is correctly rounded in both engines and all
+  *    unscaled values sit far below 2^53, so the doubles are bit-identical;
   *  - every query ends in a total ORDER BY with explicit null placement;
   *  - genuinely floating results (stddev, percentile) are rounded to a fixed
   *    scale on both sides.
@@ -46,10 +53,14 @@ object Tables {
     * Envelope mirrors the Debezium-style (op, seq, ts, key, after-image)
     * shape described in SURVEY.md §1.2. `seq` is strictly monotone per key,
     * so latest-wins collapse is total and deterministic.
+    *
+    * `price` is DOUBLE end to end (no sums ever run on it; the only
+    * arithmetic is one `+ 10.0`, the same single IEEE add in both engines),
+    * which keeps every downstream output schema decimal-free.
     */
   def cdcLog(spark: SparkSession, sfDir: String): DataFrame = {
     val o = t(spark, sfDir, "orders").select(
-      col("o_orderkey"), dec2(col("o_totalprice")).as("price"),
+      col("o_orderkey"), col("o_totalprice").cast(DoubleType).as("price"),
       col("o_orderstatus").as("status"), col("o_orderdate"))
     val ins = o.select(
       lit("I").as("op"), lit(1L).as("seq"), col("o_orderdate").as("ts"),
@@ -58,28 +69,27 @@ object Tables {
       lit("U").as("op"), lit(2L).as("seq"),
       (col("o_orderdate") + expr("INTERVAL 1 DAY")).as("ts"),
       col("o_orderkey").as("okey"),
-      (col("price") + lit(10).cast(D2)).cast(D2).as("price"),
+      (col("price") + lit(10.0d)).as("price"),
       lit("P").as("status"))
     val del = o.filter(col("o_orderkey") % 7 === 0).select(
       lit("D").as("op"), lit(3L).as("seq"),
       (col("o_orderdate") + expr("INTERVAL 2 DAY")).as("ts"),
       col("o_orderkey").as("okey"),
-      lit(null).cast(D2).as("price"), lit(null).cast(StringType).as("status"))
+      lit(null).cast(DoubleType).as("price"), lit(null).cast(StringType).as("status"))
     ins.unionByName(upd).unionByName(del)
   }
 
   /** DuckDB-SQL equivalent of [[cdcLog]] (a CTE body named `cdc_log`). */
   val cdcLogSql: String =
     """SELECT 'I' AS op, CAST(1 AS BIGINT) AS seq, o_orderdate AS ts,
-         o_orderkey AS okey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         o_orderkey AS okey, CAST(o_totalprice AS DOUBLE) AS price,
          o_orderstatus AS status FROM orders
        UNION ALL
        SELECT 'U', CAST(2 AS BIGINT), o_orderdate + INTERVAL 1 DAY, o_orderkey,
-         CAST(CAST(o_totalprice AS DECIMAL(18,2)) + CAST(10 AS DECIMAL(18,2))
-              AS DECIMAL(18,2)), 'P'
+         CAST(o_totalprice AS DOUBLE) + CAST(10 AS DOUBLE), 'P'
        FROM orders WHERE o_orderkey % 3 = 0
        UNION ALL
        SELECT 'D', CAST(3 AS BIGINT), o_orderdate + INTERVAL 2 DAY, o_orderkey,
-         CAST(NULL AS DECIMAL(18,2)), CAST(NULL AS VARCHAR)
+         CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
        FROM orders WHERE o_orderkey % 7 = 0"""
 }

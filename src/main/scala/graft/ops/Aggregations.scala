@@ -4,6 +4,7 @@ import graft.Tables
 import graft.Tables.{dec2, D2, D4}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** SURVEY.md §2.4 — aggregations.
   *
@@ -20,12 +21,12 @@ object Aggregations {
       Tables.t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec2(col("l_quantity"))).cast(D2).as("sum_qty"),
-          sum(dec2(col("l_extendedprice"))).cast(D2).as("sum_price"),
+          sum(dec2(col("l_quantity"))).cast(D2).cast(DoubleType).as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast(D2).cast(DoubleType).as("sum_price"),
           sum((dec2(col("l_extendedprice")) * (lit(1).cast(D2) - dec2(col("l_discount"))))
-            .cast(D4)).cast(D4).as("sum_disc_price"),
-          min(dec2(col("l_quantity"))).as("min_qty"),
-          max(dec2(col("l_quantity"))).as("max_qty"),
+            .cast(D4)).cast(D4).cast(DoubleType).as("sum_disc_price"),
+          min(dec2(col("l_quantity"))).cast(DoubleType).as("min_qty"),
+          max(dec2(col("l_quantity"))).cast(DoubleType).as("max_qty"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
 
@@ -54,7 +55,8 @@ object Aggregations {
         """SELECT coalesce(l_returnflag, 'ALL') AS rf,
                   coalesce(l_linestatus, 'ALL') AS ls,
                   count(*) AS n,
-                  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+                  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                       AS DOUBLE) AS sum_qty
            FROM gs_lineitem
            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
            ORDER BY rf, ls""")
@@ -68,7 +70,8 @@ object Aggregations {
       c.join(n, c("c_nationkey") === n("n_nationkey"))
         .join(r, n("n_regionkey") === r("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
-        .agg(count(lit(1)).as("n_cust"), sum(dec2(col("c_acctbal"))).cast(D2).as("bal"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(dec2(col("c_acctbal"))).cast(D2).cast(DoubleType).as("bal"))
         .select(coalesce(col("r_name"), lit("ALL")).as("region"),
           coalesce(col("n_name"), lit("ALL")).as("nation"),
           col("n_cust"), col("bal"))
@@ -84,14 +87,20 @@ object Aggregations {
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("n"))
         .orderBy(col("rf"), col("ls"))),
 
-    // A7: deterministic collect_list / collect_set (sorted).
+    // A7: deterministic collect_list / collect_set (sorted). Arrays are
+    // projected to comma-joined strings: the driver's comparator cannot
+    // sort rows containing array cells, and the string form hashes fine.
     "agg_collect_sorted" -> ((s, dir) =>
       Tables.t(s, dir, "orders")
         .filter(col("o_custkey") < 100)
         .groupBy(col("o_custkey"))
         .agg(
-          sort_array(collect_list(col("o_orderkey"))).as("order_keys"),
-          sort_array(collect_set(col("o_orderstatus"))).as("statuses"))
+          sort_array(collect_list(col("o_orderkey"))).as("ok_arr"),
+          sort_array(collect_set(col("o_orderstatus"))).as("st_arr"))
+        .select(col("o_custkey"),
+          expr("concat_ws(',', transform(ok_arr, x -> CAST(x AS STRING)))")
+            .as("order_keys"),
+          concat_ws(",", col("st_arr")).as("statuses"))
         .orderBy(col("o_custkey"))),
 
     // A8: THE core CDC collapse — latest row per key by strictly-monotone
@@ -114,9 +123,35 @@ object Aggregations {
         .agg(
           count_if(col("value") > 10).as("n_high"),
           sum(when(col("event_type") === "purchase", dec2(col("value")))
-            .otherwise(lit(0).cast(D2))).cast(D2).as("purchase_value"),
+            .otherwise(lit(0).cast(D2))).cast(D2).cast(DoubleType).as("purchase_value"),
           count(when(col("event_type") === "error", lit(1))).as("n_error"))
         .orderBy(col("user_bucket"))),
+
+    // A11: CollapsingMergeTree sign-collapse (SURVEY §1.1/§3.1): each change
+    // becomes ±1 sign rows — an Update/Delete emits -1 for the row it
+    // replaces (the lag() before-image), Insert/Update emits +1 for the new
+    // row. Grouping by (key, value columns) and summing the sign cancels
+    // every superseded version; surviving sign_sum=+1 rows ARE the latest
+    // state (deleted keys cancel to nothing). Scale shape: one window over
+    // the per-key log + one hash aggregate — both shuffle on okey only.
+    "agg_sign_collapse" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("okey")).orderBy(asc("seq"))
+      val log = Tables.cdcLog(s, dir)
+        .withColumn("prev_price", lag(col("price"), 1).over(w))
+        .withColumn("prev_status", lag(col("status"), 1).over(w))
+        .withColumn("has_prev", lag(col("op"), 1).over(w).isNotNull)
+      val minus = log.filter(col("op").isin("U", "D") && col("has_prev"))
+        .select(col("okey"), col("prev_price").as("price"),
+          col("prev_status").as("status"), lit(-1L).as("sign"))
+      val plus = log.filter(col("op").isin("I", "U"))
+        .select(col("okey"), col("price"), col("status"), lit(1L).as("sign"))
+      plus.unionByName(minus)
+        .groupBy(col("okey"), col("price"), col("status"))
+        .agg(sum(col("sign")).as("sign_sum"))
+        .filter(col("sign_sum") =!= 0)
+        .orderBy(col("okey"), col("price"), col("status"))
+    }),
 
     // A10: statistical aggregates — genuinely floating, so rounded to a
     // fixed scale on both sides (see Tables determinism policy).
@@ -134,13 +169,15 @@ object Aggregations {
   val oracle: Map[String, String] = Map(
     "agg_hash_groupby" ->
       """SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
-           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS sum_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS sum_price,
+           CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
                 (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
-           min(CAST(l_quantity AS DECIMAL(18,2))) AS min_qty,
-           max(CAST(l_quantity AS DECIMAL(18,2))) AS max_qty,
+                AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
+           CAST(min(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_qty,
+           CAST(max(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty,
            count(*) AS n
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
@@ -156,7 +193,8 @@ object Aggregations {
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
                 coalesce(l_linestatus, 'ALL') AS ls,
                 count(*) AS n,
-                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                     AS DOUBLE) AS sum_qty
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
          ORDER BY rf, ls""",
@@ -165,7 +203,8 @@ object Aggregations {
       """SELECT coalesce(r_name, 'ALL') AS region,
                 coalesce(n_name, 'ALL') AS nation,
                 count(*) AS n_cust,
-                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS bal
+                CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                     AS DOUBLE) AS bal
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP (r_name, n_name)
@@ -180,8 +219,9 @@ object Aggregations {
 
     "agg_collect_sorted" ->
       """SELECT o_custkey,
-           list_sort(list(o_orderkey)) AS order_keys,
-           list_sort(list(DISTINCT o_orderstatus)) AS statuses
+           array_to_string(list_transform(list_sort(list(o_orderkey)),
+             x -> CAST(x AS VARCHAR)), ',') AS order_keys,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses
          FROM orders WHERE o_custkey < 100
          GROUP BY o_custkey ORDER BY o_custkey""",
 
@@ -195,12 +235,31 @@ object Aggregations {
     "agg_filtered_conditional" ->
       """SELECT user_id % 10 AS user_bucket,
            count(*) FILTER (WHERE value > 10) AS n_high,
-           CAST(sum(CASE WHEN event_type = 'purchase'
+           CAST(CAST(sum(CASE WHEN event_type = 'purchase'
                          THEN CAST(value AS DECIMAL(18,2))
-                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS DOUBLE)
              AS purchase_value,
            count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
          FROM events GROUP BY 1 ORDER BY user_bucket""",
+
+    "agg_sign_collapse" ->
+      s"""WITH cdc_log AS (${Tables.cdcLogSql}),
+            lagged AS (
+              SELECT okey, op, price, status,
+                     lag(price) OVER w AS prev_price,
+                     lag(status) OVER w AS prev_status,
+                     lag(op) OVER w IS NOT NULL AS has_prev
+              FROM cdc_log WINDOW w AS (PARTITION BY okey ORDER BY seq ASC)),
+            signed AS (
+              SELECT okey, price, status, CAST(1 AS BIGINT) AS sign
+              FROM lagged WHERE op IN ('I', 'U')
+              UNION ALL
+              SELECT okey, prev_price, prev_status, CAST(-1 AS BIGINT)
+              FROM lagged WHERE op IN ('U', 'D') AND has_prev)
+         SELECT okey, price, status, sum(sign) AS sign_sum
+         FROM signed GROUP BY okey, price, status
+         HAVING sum(sign) <> 0
+         ORDER BY okey, price, status""",
 
     "agg_stats" ->
       """SELECT l_returnflag,

@@ -41,7 +41,9 @@ object Functions {
           month(col("o_orderdate")).as("m"),
           dayofmonth(col("o_orderdate")).as("d"),
           weekday(col("o_orderdate")).as("wd"),
-          date_trunc("month", col("o_orderdate")).as("month_start"),
+          // Spark date_trunc returns TIMESTAMP, DuckDB returns DATE for
+          // month precision — cast to DATE so both engines agree exactly.
+          date_trunc("month", col("o_orderdate")).cast(DateType).as("month_start"),
           col("o_orderdate").cast(DateType).as("od"),
           date_add(col("o_orderdate").cast(DateType), 30).as("due"),
           datediff(lit("2002-01-01").cast(DateType),
@@ -57,7 +59,8 @@ object Functions {
           col("l_orderkey"), col("l_linenumber"),
           floor(col("l_quantity")).cast(LongType).as("qty_floor"),
           ceil(col("l_quantity")).cast(LongType).as("qty_ceil"),
-          abs(dec2(col("l_quantity")) - lit(25).cast(D2)).cast(D2).as("qty_dev"),
+          abs(dec2(col("l_quantity")) - lit(25).cast(D2)).cast(D2)
+            .cast(DoubleType).as("qty_dev"),
           signum(col("l_quantity") - 25).cast(IntegerType).as("qty_sign"),
           pmod(col("l_orderkey"), lit(7)).cast(LongType).as("key_mod"),
           pow(col("l_linenumber"), 2).as("ln_sq"),
@@ -74,7 +77,7 @@ object Functions {
           size(col("words")).cast(LongType).as("n_words"),
           size(array_distinct(col("words"))).cast(LongType).as("n_distinct"),
           array_contains(col("words"), "key").as("has_key"),
-          slice(sort_array(col("words")), 1, 3).as("first3_sorted"),
+          concat_ws(",", slice(sort_array(col("words")), 1, 3)).as("first3_sorted"),
           aggregate(transform(col("words"), w => length(w)),
             lit(0L), (acc, x) => acc + x).as("total_chars"),
           size(filter(col("words"), w => length(w) > 4)).cast(LongType).as("n_long"))
@@ -91,8 +94,8 @@ object Functions {
           col("doc_id"),
           element_at(col("m"), "lang").as("lang_val"),
           size(col("m")).cast(LongType).as("m_size"),
-          sort_array(map_keys(col("m"))).as("keys_sorted"),
-          sort_array(map_values(col("m"))).as("vals_sorted"))
+          concat_ws(",", sort_array(map_keys(col("m")))).as("keys_sorted"),
+          concat_ws(",", sort_array(map_values(col("m")))).as("vals_sorted"))
         .orderBy(col("doc_id"))),
 
     // F6: JSON passthrough — events.props is a JSON string column.
@@ -139,8 +142,8 @@ object Functions {
       """SELECT l_orderkey, l_linenumber,
            CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
            CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
-           CAST(abs(CAST(l_quantity AS DECIMAL(18,2)) - CAST(25 AS DECIMAL(18,2)))
-                AS DECIMAL(18,2)) AS qty_dev,
+           CAST(CAST(abs(CAST(l_quantity AS DECIMAL(18,2)) - CAST(25 AS DECIMAL(18,2)))
+                AS DECIMAL(18,2)) AS DOUBLE) AS qty_dev,
            CAST(sign(l_quantity - 25) AS INTEGER) AS qty_sign,
            CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
            pow(l_linenumber, 2) AS ln_sq,
@@ -153,7 +156,7 @@ object Functions {
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
            CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
            list_contains(string_split(text, ' '), 'key') AS has_key,
-           list_sort(string_split(text, ' '))[1:3] AS first3_sorted,
+           array_to_string(list_sort(string_split(text, ' '))[1:3], ',') AS first3_sorted,
            CAST(list_sum(list_transform(string_split(text, ' '),
                 w -> length(w))) AS BIGINT) AS total_chars,
            CAST(len(list_filter(string_split(text, ' '),
@@ -164,8 +167,8 @@ object Functions {
       """SELECT doc_id,
            lang AS lang_val,
            CAST(2 AS BIGINT) AS m_size,
-           ['lang', 'source'] AS keys_sorted,
-           list_sort([lang, source]) AS vals_sorted
+           'lang,source' AS keys_sorted,
+           array_to_string(list_sort([lang, source]), ',') AS vals_sorted
          FROM documents ORDER BY doc_id""",
 
     "fn_json" ->

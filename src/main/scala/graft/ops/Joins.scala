@@ -4,6 +4,7 @@ import graft.Tables
 import graft.Tables.{dec2, D2}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** SURVEY.md §2.3 — joins.
   *
@@ -31,7 +32,7 @@ object Joins {
         .join(n, c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(dec2(col("o_totalprice"))).cast(D2).as("total"))
+          sum(dec2(col("o_totalprice"))).cast(D2).cast(DoubleType).as("total"))
         .orderBy(col("n_name"))
     }),
 
@@ -42,7 +43,8 @@ object Joins {
       li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
         .filter(col("p_brand") === "Brand#11")
         .groupBy(col("p_brand"), col("p_size"))
-        .agg(count(lit(1)).as("n"), sum(dec2(col("l_quantity"))).cast(D2).as("qty"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("l_quantity"))).cast(D2).cast(DoubleType).as("qty"))
         .orderBy(col("p_brand"), col("p_size"))
     }),
 
@@ -63,6 +65,18 @@ object Joins {
       val c = Tables.t(s, dir, "customer").filter(col("c_custkey") % 2 === 0)
         .select(col("c_custkey"), col("c_name"))
       big.join(c, big("o_custkey") === c("c_custkey"), "full")
+        .select(col("o_orderkey"), col("o_custkey"), col("c_custkey"), col("c_name"))
+        .orderBy(asc_nulls_first("o_orderkey"), asc_nulls_first("c_custkey"))
+    }),
+
+    // J4b: right outer — mirror of J4's left-preserving shape; all customers
+    // in the filtered dim survive even without a matching big-side row.
+    "join_right_outer" -> ((s, dir) => {
+      val big = Tables.t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val c = Tables.t(s, dir, "customer").filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_name"))
+      big.join(c, big("o_custkey") === c("c_custkey"), "right")
         .select(col("o_orderkey"), col("o_custkey"), col("c_custkey"), col("c_name"))
         .orderBy(asc_nulls_first("o_orderkey"), asc_nulls_first("c_custkey"))
     }),
@@ -145,14 +159,16 @@ object Joins {
   val oracle: Map[String, String] = Map(
     "join_inner_equi" ->
       """SELECT n_name, count(*) AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
+             AS total
          FROM orders JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
 
     "join_broadcast" ->
       """SELECT p_brand, p_size, count(*) AS n,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
+             AS qty
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE p_brand = 'Brand#11'
          GROUP BY p_brand, p_size ORDER BY p_brand, p_size""",
@@ -166,6 +182,13 @@ object Joins {
       """SELECT o_orderkey, o_custkey, c_custkey, c_name
          FROM (SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 400000) o
          FULL JOIN (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0) c
+           ON o.o_custkey = c.c_custkey
+         ORDER BY o_orderkey NULLS FIRST, c_custkey NULLS FIRST""",
+
+    "join_right_outer" ->
+      """SELECT o_orderkey, o_custkey, c_custkey, c_name
+         FROM (SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 400000) o
+         RIGHT JOIN (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0) c
            ON o.o_custkey = c.c_custkey
          ORDER BY o_orderkey NULLS FIRST, c_custkey NULLS FIRST""",
 

@@ -41,7 +41,7 @@ object Llm {
   }
 
   /** distinct 3-word shingles of `text` (empty when < 3 words). */
-  private val shingleExpr =
+  private[graft] val shingleExpr =
     """CASE WHEN size(split(text, ' ')) >= 3 THEN
          array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
            i -> concat_ws(' ', split(text, ' ')[i-1], split(text, ' ')[i], split(text, ' ')[i+1])))
@@ -95,23 +95,30 @@ object Llm {
 
     // L2a: MinHash(16) + LSH(4 bands × 4 rows) near-dup candidates, then
     // exact Jaccard confirm >= 0.6. Non-oracle (xxhash64 is Spark-internal);
-    // property-tested in LlmSpec (planted near-dups must surface).
+    // property-tested in LlmSpec (exact ground-truth subset + recall).
+    // Scale shape: the band join and the pair-distinct carry ONLY
+    // (doc_id, band, bv) — the wide shingle arrays rejoin once per side
+    // AFTER dedup, so the two widest shuffles of the naive formulation
+    // (arrays through the candidate join, arrays through distinct) never
+    // happen.
     "llm_dedup_minhash" -> ((s, dir) => {
       val docs = docsWithNearDups(s, dir).withColumn("shingles", expr(shingleExpr))
       val sig = docs.withColumn("sig", array((0 until 16).map(k =>
         array_min(transform(col("shingles"), sh => xxhash64(lit(k), sh)))): _*))
-      val bands = sig.select(col("doc_id"), col("shingles"),
+      val bands = sig.select(col("doc_id"),
         posexplode(array((0 until 4).map(b =>
           xxhash64(lit(b),
             element_at(col("sig"), b * 4 + 1), element_at(col("sig"), b * 4 + 2),
             element_at(col("sig"), b * 4 + 3), element_at(col("sig"), b * 4 + 4))): _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
-      val a = bands.select(col("doc_id").as("a_id"), col("shingles").as("a_sh"),
-        col("band"), col("bv"))
-      val b = bands.select(col("doc_id").as("b_id"), col("shingles").as("b_sh"),
-        col("band"), col("bv"))
-      a.join(b, Seq("band", "bv")).filter(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh")).distinct()
+      val a = bands.select(col("doc_id").as("a_id"), col("band"), col("bv"))
+      val b = bands.select(col("doc_id").as("b_id"), col("band"), col("bv"))
+      val pairs = a.join(b, Seq("band", "bv")).filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id")).distinct()
+      val sh = docs.select(col("doc_id"), col("shingles"))
+      pairs
+        .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh")), "a_id")
+        .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh")), "b_id")
         .withColumn("jaccard",
           size(array_intersect(col("a_sh"), col("b_sh"))).cast(DoubleType) /
             size(array_union(col("a_sh"), col("b_sh"))).cast(DoubleType))

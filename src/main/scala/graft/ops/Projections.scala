@@ -17,11 +17,11 @@ object Projections {
         .select(
           col("l_orderkey"), col("l_linenumber"),
           (dec2(col("l_extendedprice")) * (lit(1).cast(D2) - dec2(col("l_discount"))))
-            .cast(D4).as("revenue"),
+            .cast(D4).cast(DoubleType).as("revenue"),
           (dec2(col("l_extendedprice")) * (lit(1).cast(D2) + dec2(col("l_tax"))))
-            .cast(D4).as("charged"),
+            .cast(D4).cast(DoubleType).as("charged"),
           (dec2(col("l_quantity")) * dec2(col("l_extendedprice")))
-            .cast(D4).as("qty_price"))
+            .cast(D4).cast(DoubleType).as("qty_price"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
     // P2: conjunctive/disjunctive predicates, IN, BETWEEN, LIKE.
@@ -32,7 +32,7 @@ object Projections {
           col("o_totalprice").between(50000, 150000) &&
           (col("o_orderpriority").like("1-%") || col("o_orderpriority").like("2-%")))
         .select(col("o_orderkey"), col("o_orderstatus"),
-          dec2(col("o_totalprice")).as("total"), col("o_orderpriority"))
+          dec2(col("o_totalprice")).cast(DoubleType).as("total"), col("o_orderpriority"))
         .orderBy(col("o_orderkey"))),
 
     // P3: three-valued logic — the testdata has no NULLs, so they are
@@ -56,7 +56,7 @@ object Projections {
         .select(
           col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").cast(IntegerType).as("qty_int"),
-          col("l_extendedprice").cast(DecimalType(12, 2)).as("price_dec"),
+          col("l_extendedprice").cast(DecimalType(12, 2)).cast(DoubleType).as("price_dec"),
           col("l_shipdate").cast(DateType).as("ship_date"),
           col("l_orderkey").cast(StringType).as("okey_str"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
@@ -75,19 +75,20 @@ object Projections {
   val oracle: Map[String, String] = Map(
     "project_compute" ->
       """SELECT l_orderkey, l_linenumber,
-           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
                 (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                AS DECIMAL(18,4)) AS revenue,
-           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+           CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
                 (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))
-                AS DECIMAL(18,4)) AS charged,
-           CAST(CAST(l_quantity AS DECIMAL(18,2)) *
-                CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(18,4)) AS qty_price
+                AS DECIMAL(18,4)) AS DOUBLE) AS charged,
+           CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+                CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(18,4)) AS DOUBLE)
+             AS qty_price
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
 
     "filter_pred" ->
       """SELECT o_orderkey, o_orderstatus,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS total, o_orderpriority
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total, o_orderpriority
          FROM orders
          WHERE o_orderstatus IN ('F','O')
            AND o_totalprice BETWEEN 50000 AND 150000
@@ -107,7 +108,7 @@ object Projections {
     "project_cast" ->
       """SELECT l_orderkey, l_linenumber,
            CAST(trunc(l_quantity) AS INTEGER) AS qty_int,
-           CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
            CAST(l_shipdate AS DATE) AS ship_date,
            CAST(l_orderkey AS VARCHAR) AS okey_str
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",

@@ -5,10 +5,10 @@ import graft.Tables.{dec2, D2}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** SURVEY.md §2.1 — scans / sources. S4 (parquet sink) is exercised by
-  * Verify itself; S3 (JDBC) lives in [[graft.sources.JdbcSource]] and is
-  * non-oracle; S5 (idempotent foreachBatch sink) lives in
-  * [[graft.streaming.CdcPipeline]].
+/** SURVEY.md §2.1 — scans / sources / sinks. S3 (JDBC) lives in
+  * [[graft.sources.JdbcSource]]; S4 (parquet sink) is the declared
+  * round-trip query below; S5 (idempotent foreachBatch sink) lives in
+  * [[graft.streaming.StreamingOps]].
   */
 object Scans {
   type Q = (SparkSession, String) => DataFrame
@@ -32,6 +32,15 @@ object Scans {
       Tables.cdcLog(s, dir)
         .orderBy(col("okey"), col("seq"))),
 
+    // S4: parquet sink round-trip — write through the production writer
+    // path (snappy parquet), read the files back; the result must equal
+    // the source table bit for bit.
+    "sink_parquet" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sink").toString
+      Tables.t(s, dir, "supplier").write.mode("overwrite").parquet(s"$tmp/supplier")
+      s.read.parquet(s"$tmp/supplier").orderBy(col("s_suppkey"))
+    }),
+
     // S3: snapshot through the pluggable TableSource abstraction — the
     // JDBC backend (graft.sources.JdbcSource) is the production path; the
     // harness exercises the same trait over parquet.
@@ -50,6 +59,9 @@ object Scans {
 
     "scan_cdc_event_log" ->
       s"WITH cdc_log AS (${Tables.cdcLogSql}) SELECT * FROM cdc_log ORDER BY okey, seq",
+
+    "sink_parquet" ->
+      "SELECT * FROM supplier ORDER BY s_suppkey",
 
     "scan_jdbc" ->
       "SELECT * FROM customer ORDER BY c_custkey"

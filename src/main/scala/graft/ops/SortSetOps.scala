@@ -4,6 +4,7 @@ import graft.Tables
 import graft.Tables.{dec2, D2}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** SURVEY.md §2.6 — sort / limit / top-k / set operations. */
 object SortSetOps {
@@ -15,13 +16,13 @@ object SortSetOps {
       Tables.t(s, dir, "events")
         .select(col("event_id"),
           nullif(col("event_type"), lit("view")).as("etype"),
-          dec2(col("value")).as("val"))
+          dec2(col("value")).cast(DoubleType).as("val"))
         .orderBy(asc_nulls_first("etype"), desc_nulls_last("val"), asc("event_id"))),
 
     // O2: global top-k -> TakeOrderedAndProject (no full sort at scale).
     "topk_limit" -> ((s, dir) =>
       Tables.t(s, dir, "orders")
-        .select(col("o_orderkey"), dec2(col("o_totalprice")).as("total"))
+        .select(col("o_orderkey"), dec2(col("o_totalprice")).cast(DoubleType).as("total"))
         .orderBy(desc("total"), asc("o_orderkey"))
         .limit(100)),
 
@@ -36,7 +37,7 @@ object SortSetOps {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select(col("c_mktsegment"), col("rk"), col("o_orderkey"),
-          dec2(col("o_totalprice")).as("total"))
+          dec2(col("o_totalprice")).cast(DoubleType).as("total"))
         .orderBy(col("c_mktsegment"), col("rk"))
     }),
 
@@ -79,18 +80,18 @@ object SortSetOps {
   val oracle: Map[String, String] = Map(
     "sort_multi_key" ->
       """SELECT event_id, nullif(event_type, 'view') AS etype,
-           CAST(value AS DECIMAL(18,2)) AS val
+           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS val
          FROM events
          ORDER BY etype ASC NULLS FIRST, val DESC NULLS LAST, event_id ASC""",
 
     "topk_limit" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total
+      """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
          FROM orders ORDER BY total DESC, o_orderkey ASC LIMIT 100""",
 
     "topk_per_group" ->
       """SELECT c_mktsegment, rk, o_orderkey, total FROM (
            SELECT c_mktsegment, o_orderkey,
-             CAST(o_totalprice AS DECIMAL(18,2)) AS total,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total,
              row_number() OVER (PARTITION BY c_mktsegment
                                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
            FROM orders JOIN customer ON o_custkey = c_custkey)

@@ -5,6 +5,7 @@ import graft.Tables.{dec2, D2}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** SURVEY.md §2.5 — window functions.
   *
@@ -33,7 +34,7 @@ object Windows {
       Tables.t(s, dir, "orders")
         .filter(col("o_orderkey") % 100 === 0)
         .select(col("o_orderkey"), col("o_orderstatus"),
-          dec2(col("o_totalprice")).as("total"))
+          dec2(col("o_totalprice")).cast(DoubleType).as("total"))
         .withColumn("rk", rank().over(w))
         .withColumn("drk", dense_rank().over(w))
         .withColumn("nt", ntile(4).over(w))
@@ -49,6 +50,9 @@ object Windows {
         .withColumn("prev_val", lag(col("val"), 1).over(w))
         .withColumn("next_type", lead(col("event_type"), 1).over(w))
         .withColumn("delta", (col("val") - coalesce(col("prev_val"), lit(0).cast(D2))).cast(D2))
+        .withColumn("val", col("val").cast(DoubleType))
+        .withColumn("prev_val", col("prev_val").cast(DoubleType))
+        .withColumn("delta", col("delta").cast(DoubleType))
         .orderBy(col("event_id"))
     }),
 
@@ -58,8 +62,9 @@ object Windows {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.t(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("ts"), dec2(col("value")).as("val"))
-        .withColumn("running", sum(col("val")).over(w).cast(D2))
+        .withColumn("running", sum(col("val")).over(w).cast(D2).cast(DoubleType))
         .withColumn("n_so_far", count(lit(1)).over(w))
+        .withColumn("val", col("val").cast(DoubleType))
         .orderBy(col("event_id"))
     }),
 
@@ -68,7 +73,7 @@ object Windows {
       Tables.t(s, dir, "orders").createOrReplaceTempView("rf_orders")
       s.sql(
         """SELECT o_orderkey, o_orderstatus,
-                  CAST(o_totalprice AS DECIMAL(18,2)) AS total,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total,
                   count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
                                  RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_near
            FROM rf_orders
@@ -96,7 +101,8 @@ object Windows {
          WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
 
     "win_rank_dense" ->
-      """SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS total,
+      """SELECT o_orderkey, o_orderstatus,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total,
            rank() OVER w AS rk, dense_rank() OVER w AS drk, ntile(4) OVER w AS nt
          FROM orders WHERE o_orderkey % 100 = 0
          WINDOW w AS (PARTITION BY o_orderstatus
@@ -105,19 +111,21 @@ object Windows {
 
     "win_lag_lead" ->
       """SELECT event_id, user_id, ts, event_type,
-           CAST(value AS DECIMAL(18,2)) AS val,
-           lag(CAST(value AS DECIMAL(18,2)), 1) OVER w AS prev_val,
+           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS val,
+           CAST(lag(CAST(value AS DECIMAL(18,2)), 1) OVER w AS DOUBLE) AS prev_val,
            lead(event_type, 1) OVER w AS next_type,
-           CAST(CAST(value AS DECIMAL(18,2)) -
+           CAST(CAST(CAST(value AS DECIMAL(18,2)) -
                 coalesce(lag(CAST(value AS DECIMAL(18,2)), 1) OVER w,
-                         CAST(0 AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS delta
+                         CAST(0 AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS delta
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
          ORDER BY event_id""",
 
     "win_running_frame_rows" ->
-      """SELECT event_id, user_id, ts, CAST(value AS DECIMAL(18,2)) AS val,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(18,2)) AS running,
+      """SELECT event_id, user_id, ts,
+           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS val,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(18,2))
+                AS DOUBLE) AS running,
            count(*) OVER w AS n_so_far
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
@@ -126,7 +134,7 @@ object Windows {
 
     "win_range_frame" ->
       """SELECT o_orderkey, o_orderstatus,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS total,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total,
            count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
                           RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_near
          FROM orders

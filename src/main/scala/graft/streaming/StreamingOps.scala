@@ -9,6 +9,7 @@ import graft.sources.EpochParquetSink
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DoubleType
 
 /** SURVEY.md §2.8 — Structured Streaming. This is the reference's identity:
   * consume an ordered change-event stream, maintain latest-state, emit to an
@@ -44,8 +45,61 @@ object StreamingOps {
   private def memName(): String =
     "m" + UUID.randomUUID.toString.replace("-", "")
 
+  /** Fixed mtime base for wave stamping (an arbitrary past instant). */
+  private val WaveBase = 1000000000000L
+
+  /** Append one wave into `in` and stamp its new files with a strictly
+    * increasing modification time. FileStreamSource orders files by mtime
+    * at millisecond granularity, so back-to-back writes can tie and arrive
+    * out of wave order; explicit stamps make wave order deterministic.
+    */
+  private[graft] def writeWave(df: DataFrame, in: String, wave: Int): Unit = {
+    df.coalesce(1).write.mode("append").parquet(in)
+    new java.io.File(in).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") &&
+        f.lastModified() > WaveBase + 86400000L) // only files not yet stamped
+      .foreach(f => f.setLastModified(WaveBase + wave * 60000L))
+  }
+
+  /** One streaming pass over the files currently in `in`: each micro-batch
+    * is collapsed to its own per-key latest rows and written as a DELTA
+    * under an epoch-keyed dir. O(batch) I/O per epoch (never O(total
+    * state)), overwrite-per-epoch makes replay idempotent, and ALL state
+    * lives on disk — a restarted query resumes from the checkpoint with no
+    * driver-side memory to lose. At production scale the same topology
+    * appends deltas to a ReplacingMergeTree-style table and lets the A8
+    * collapse run at read/merge time.
+    */
+  private[graft] def runCdcPass(s: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      in: String, ckpt: String, state: String): Unit = {
+    val query = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
+        collapse(batch.select(
+          col("op"), col("seq"), col("ts"), col("okey"), col("price"), col("status")))
+          .write.mode("overwrite").parquet(s"$state/epoch=$epochId")
+        ()
+      }
+      .start()
+    query.processAllAvailable()
+    query.stop()
+  }
+
+  /** Read-time collapse of all epoch deltas into the latest state (A8
+    * semantics; seq is globally monotone per key, so max_by(seq) across
+    * epochs is total), tombstones dropped. */
+  private[graft] def readLatestState(s: SparkSession, state: String): DataFrame =
+    collapse(s.read.parquet(state).select(
+      col("op"), col("seq"), col("ts"), col("okey"), col("price"), col("status")))
+      .filter(col("op") =!= "D")
+      .select(col("okey"), col("op"), col("price"), col("status"), col("ts"))
+      .orderBy(col("okey"))
+
   /** Play the CDC log as 3 seq-ordered waves; apply with foreachBatch +
-    * epoch-keyed state; return the final latest-state table (minus
+    * epoch-keyed delta sink; return the final latest-state table (minus
     * tombstones). `replayLast` appends the final wave twice to prove the
     * sink is idempotent under at-least-once delivery.
     */
@@ -54,42 +108,18 @@ object StreamingOps {
     val tmp = tmpDir()
     val in = s"$tmp/in"
     val waves = Seq(1L, 2L, 3L) ++ (if (replayLast) Seq(3L) else Nil)
-    waves.foreach(q =>
-      log.filter(col("seq") === q).coalesce(1).write.mode("append").parquet(in))
-    var latest: Option[String] = None
-    val query = s.readStream.schema(log.schema)
-      .option("maxFilesPerTrigger", "1").parquet(in)
-      .writeStream
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
-        val prev = latest.map(p => s.read.parquet(p))
-          .getOrElse(batch.sparkSession.createDataFrame(
-            new java.util.ArrayList[Row](), batch.schema))
-        val merged = collapse(prev.select(
-          col("op"), col("seq"), col("ts"), col("okey"), col("price"), col("status"))
-          .unionByName(batch.select(
-            col("op"), col("seq"), col("ts"), col("okey"), col("price"), col("status"))))
-        val path = s"$tmp/state/epoch=$epochId"
-        merged.write.mode("overwrite").parquet(path) // idempotent on replay
-        latest = Some(path)
-        ()
-      }
-      .start()
-    query.processAllAvailable()
-    query.stop()
-    s.read.parquet(latest.get)
-      .filter(col("op") =!= "D")
-      .select(col("okey"), col("op"), col("price"), col("status"), col("ts"))
-      .orderBy(col("okey"))
+    waves.zipWithIndex.foreach { case (seq, i) =>
+      writeWave(log.filter(col("seq") === seq), in, i) }
+    runCdcPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state")
+    readLatestState(s, s"$tmp/state")
   }
 
   /** events written as 3 waves (by event_id mod) for micro-batching. */
   private def eventWaves(s: SparkSession, dir: String): (String, DataFrame) = {
     val ev = Tables.t(s, dir, "events")
     val tmp = tmpDir()
-    val in = s"$tmp/in"
     (0 until 3).foreach(i =>
-      ev.filter(col("event_id") % 3 === i).coalesce(1).write.mode("append").parquet(in))
+      writeWave(ev.filter(col("event_id") % 3 === i), s"$tmp/in", i))
     (tmp, ev)
   }
 
@@ -115,7 +145,8 @@ object StreamingOps {
       val st = s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
         .parquet(s"$tmp/in")
       val agg = st.groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).cast(D2).as("total"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast(D2).cast(DoubleType).as("total"))
       runToMemory(agg, "complete")
         .select(col("w.start").as("ws"), col("w.end").as("we"),
           col("event_type"), col("n"), col("total"))
@@ -143,9 +174,9 @@ object StreamingOps {
     "stream_window_session" -> ((s, dir) => {
       val ev = Tables.t(s, dir, "events")
       val tmp = tmpDir()
-      Seq(1 to 10, 11 to 20, 21 to 31).foreach(days =>
-        ev.filter(dayofmonth(col("ts")).between(days.head, days.last))
-          .coalesce(1).write.mode("append").parquet(s"$tmp/in"))
+      Seq(1 to 10, 11 to 20, 21 to 31).zipWithIndex.foreach { case (days, i) =>
+        writeWave(ev.filter(dayofmonth(col("ts")).between(days.head, days.last)),
+          s"$tmp/in", i) }
       val st = s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
         .parquet(s"$tmp/in")
       val agg = st.withWatermark("ts", "0 seconds")
@@ -163,8 +194,8 @@ object StreamingOps {
       val ev = Tables.t(s, dir, "events")
       val tmp = tmpDir()
       val in = s"$tmp/in"
-      ev.coalesce(1).write.mode("append").parquet(in)
-      ev.filter(col("event_id") % 100 === 0).coalesce(1).write.mode("append").parquet(in)
+      writeWave(ev, in, 0)
+      writeWave(ev.filter(col("event_id") % 100 === 0), in, 1)
       val st = s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
         .parquet(in)
       val deduped = st.withWatermark("ts", "60 days")
@@ -184,12 +215,9 @@ object StreamingOps {
       val tmp = tmpDir()
       val in = s"$tmp/in"
       val held = col("event_id") % 10 === 0 && dayofmonth(col("ts")) <= 2
-      ev.filter(dayofmonth(col("ts")) <= 10 && !held)
-        .coalesce(1).write.mode("append").parquet(in)
-      ev.filter(dayofmonth(col("ts")).between(11, 12))
-        .coalesce(1).write.mode("append").parquet(in)
-      ev.filter(dayofmonth(col("ts")) <= 10 && held)
-        .coalesce(1).write.mode("append").parquet(in)
+      writeWave(ev.filter(dayofmonth(col("ts")) <= 10 && !held), in, 0)
+      writeWave(ev.filter(dayofmonth(col("ts")).between(11, 12)), in, 1)
+      writeWave(ev.filter(dayofmonth(col("ts")) <= 10 && held), in, 2)
       val st = s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
         .parquet(in)
       val agg = st.withWatermark("ts", "2 days")
@@ -203,28 +231,42 @@ object StreamingOps {
     // ST7: arbitrary keyed state — per-user running counters via
     // flatMapGroupsWithState (position/GTID tracking analogue). Decimal
     // accumulation keeps the result independent of per-batch row order.
+    // State is BOUNDED: event-time timeout 35 days past a key's newest
+    // event; once the watermark passes that, the key's state is evicted —
+    // at production cardinality (billions of users) state would otherwise
+    // grow without bound. The harness data spans one month, so nothing
+    // expires mid-run and results equal the unbounded batch aggregate.
     "stream_stateful_running" -> ((s, dir) => {
       val sp = s
       import sp.implicits._
       val (tmp, ev) = eventWaves(s, dir)
       val st = s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
         .parquet(s"$tmp/in").as[Ev]
+        .withWatermark("ts", "30 days")
       val updates = st.groupByKey(_.user_id)
-        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
           (uid: Long, it: Iterator[Ev], state: GroupState[(Long, java.math.BigDecimal)]) => {
-            var (n, tot) = state.getOption.getOrElse((0L, java.math.BigDecimal.ZERO))
-            it.foreach { e =>
-              n += 1
-              tot = tot.add(java.math.BigDecimal.valueOf(e.value))
+            if (state.hasTimedOut) {
+              state.remove()
+              Iterator.empty
+            } else {
+              var (n, tot) = state.getOption.getOrElse((0L, java.math.BigDecimal.ZERO))
+              var maxTs = 0L
+              it.foreach { e =>
+                n += 1
+                tot = tot.add(java.math.BigDecimal.valueOf(e.value))
+                maxTs = math.max(maxTs, e.ts.getTime)
+              }
+              state.update((n, tot))
+              state.setTimeoutTimestamp(maxTs + 35L * 86400000L)
+              Iterator((uid, n, tot))
             }
-            state.update((n, tot))
-            Iterator((uid, n, tot))
           })
         .toDF("user_id", "n", "total")
       runToMemory(updates, "update")
         .groupBy(col("user_id"))
         .agg(max(col("n")).as("n"),
-          max_by(col("total"), col("n")).cast(D2).as("total"))
+          max_by(col("total"), col("n")).cast(D2).cast(DoubleType).as("total"))
         .orderBy(col("user_id"))
     }),
 
@@ -245,13 +287,14 @@ object StreamingOps {
         q.processAllAvailable()
         q.stop()
       }
-      ev.filter(col("event_id") % 2 === 0).coalesce(1).write.mode("append").parquet(in)
+      writeWave(ev.filter(col("event_id") % 2 === 0), in, 0)
       runOnce() // phase 1, then "crash"
-      ev.filter(col("event_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(in)
+      writeWave(ev.filter(col("event_id") % 2 =!= 0), in, 1)
       runOnce() // resume: checkpoint skips phase-1 files
       s.read.parquet(s"$tmp/out")
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).cast(D2).as("total"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast(D2).cast(DoubleType).as("total"))
         .orderBy(col("event_type"))
     })
   )
@@ -269,10 +312,11 @@ object StreamingOps {
     "sink_foreachbatch_idempotent" -> latestStateSql,
 
     "stream_window_tumbling" ->
-      """SELECT date_trunc('day', ts) AS ws,
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws,
                 date_trunc('day', ts) + INTERVAL 1 DAY AS we,
                 event_type, count(*) AS n,
-                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+                CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                     AS DOUBLE) AS total
          FROM events GROUP BY 1, 2, 3 ORDER BY ws, event_type""",
 
     "stream_window_sliding" ->
@@ -290,12 +334,14 @@ object StreamingOps {
 
     "stream_stateful_running" ->
       """SELECT user_id, count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
+             AS total
          FROM events GROUP BY user_id ORDER BY user_id""",
 
     "stream_checkpoint_resume" ->
       """SELECT event_type, count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
+             AS total
          FROM events GROUP BY event_type ORDER BY event_type"""
     // stream_window_session, stream_late_data: non-oracle (watermark
     // arrival-order semantics) — covered by StreamingSpec batch-equivalence.

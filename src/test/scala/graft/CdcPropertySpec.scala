@@ -67,7 +67,12 @@ class CdcPropertySpec extends SparkTestBase {
       val snapshot = replay(snapshotOps).map { case (k, (_, v)) =>
         Op("I", snapshotOps.filter(_.key == k).map(_.seq).max, k, v)
       }.toList
-      assert(collapse(snapshot ++ delta) == replay(ops), s"log: $ops")
+      // a snapshot materializes state as Inserts, erasing the op label of
+      // the last source op — the invariant is over key->value state, not
+      // over op labels
+      val got = collapse(snapshot ++ delta).map { case (k, (_, v)) => k -> v }
+      val want = replay(ops).map { case (k, (_, v)) => k -> v }
+      assert(got == want, s"log: $ops")
     }
   }
 }

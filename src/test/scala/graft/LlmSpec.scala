@@ -20,12 +20,34 @@ class LlmSpec extends SparkTestBase {
     planted.foreach(r => assert(r.getDouble(2) > 0.6))
   }
 
-  test("MinHash-LSH finds no high-Jaccard pair among unrelated docs") {
+  test("MinHash-LSH output ⊆ exact ground truth, recall >= 90%") {
+    // At sf0.001 the corpus genuinely contains non-planted pairs with
+    // Jaccard >= 0.6 (tiny bag-of-words docs share shingles), so a
+    // "planted-only" false-positive bound is the wrong property. The right
+    // one: against brute-force all-pairs exact Jaccard (feasible only at
+    // test scale), the LSH path must emit no pair outside the ground truth
+    // and must recover >= 90% of it.
     val out = q("llm_dedup_minhash").collect()
-    val unrelated = out.filter(r => r.getLong(1) != r.getLong(0) + 100000)
-    // random bag-of-words docs share few 3-shingles
-    assert(unrelated.length <= out.length / 5,
-      s"${unrelated.length} unrelated candidate pairs of ${out.length}")
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d = Tables.t(spark, sf, "documents")
+    val nd = d.select(col("doc_id"), col("text")).unionByName(
+      d.filter(col("doc_id") % 5 === 0).select(
+        (col("doc_id") + 100000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1, length(text))").as("text")))
+    val sh = nd.select(col("doc_id"), expr(graft.ops.Llm.shingleExpr).as("sh"))
+    val a = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    val truth = a.join(b, col("a_id") < col("b_id"))
+      .withColumn("j",
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh"))).cast("double"))
+      .filter(col("j") >= 0.6)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((out -- truth).isEmpty, s"false positives: ${out -- truth}")
+    val recall = if (truth.isEmpty) 1.0
+      else out.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${truth.size} true pairs")
   }
 
   test("SimHash: planted near-dups at small hamming distance") {

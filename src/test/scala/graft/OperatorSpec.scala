@@ -10,7 +10,8 @@ class OperatorSpec extends SparkTestBase {
 
   test("every declared query runs and most return rows") {
     val empties = Seq("join_left_anti", "set_except", // no order-less customers in data
-      "llm_dedup_embed_cosine") // planted pairs may be bucket-split at tiny sf
+      "llm_dedup_embed_cosine", // planted pairs may be bucket-split at tiny sf
+      "join_theta_range") // sf0.001 has too few suppliers per nation for pairs
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
       if (!empties.contains(name))

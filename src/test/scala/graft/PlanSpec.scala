@@ -44,7 +44,11 @@ class PlanSpec extends SparkTestBase {
       .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
     val df = e.select(expr("cosine_sim(v, v)").as("c")).filter(col("c") > 0.99)
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("WholeStageCodegen"), s"no codegen span:\n$plan")
+    // Spark 4.1 renders codegen'd stages as "*(n)" operator prefixes in
+    // executedPlan.toString (the literal "WholeStageCodegen" only appears
+    // in the formatted explain), so assert on the prefix.
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+      s"no codegen span:\n$plan")
     assert(df.count() > 0) // self-cosine == 1.0
   }
 

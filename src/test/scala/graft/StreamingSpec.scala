@@ -52,9 +52,27 @@ class StreamingSpec extends SparkTestBase {
     val ev = Tables.t(spark, sf, "events")
     val batch = ev.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(Tables.dec2(col("value"))).cast(Tables.D2).as("total"))
+        sum(Tables.dec2(col("value"))).cast(Tables.D2).cast("double").as("total"))
       .orderBy(col("event_type")).collect()
     assert(out.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+  }
+
+  test("cdc apply survives kill + resume mid-stream (state on disk, not memory)") {
+    import graft.streaming.StreamingOps
+    val log = Tables.cdcLog(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_resume").toString
+    val in = s"$tmp/in"
+    StreamingOps.writeWave(log.filter(col("seq") === 1), in, 0)
+    StreamingOps.writeWave(log.filter(col("seq") === 2), in, 1)
+    StreamingOps.runCdcPass(spark, log.schema, in, s"$tmp/ckpt", s"$tmp/state")
+    // first query stopped ("crash"); more data arrives; a NEW query resumes
+    // from the same checkpoint — state must come from disk, not driver memory
+    StreamingOps.writeWave(log.filter(col("seq") === 3), in, 2)
+    StreamingOps.runCdcPass(spark, log.schema, in, s"$tmp/ckpt", s"$tmp/state")
+    val resumed = StreamingOps.readLatestState(spark, s"$tmp/state")
+      .collect().map(_.toSeq).toSet
+    val batch = q("agg_latest_by_version").collect().map(_.toSeq).toSet
+    assert(resumed == batch)
   }
 
   test("watermark dedup returns exactly the original events") {

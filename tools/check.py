@@ -1,58 +1,82 @@
 #!/usr/bin/env python3
-"""Local oracle checker — mirrors the driver's DuckDB hash-compare.
+"""Local oracle checker — mirrors the DRIVER's compare, not a softer one.
 
 Usage: python3 tools/check.py [sfDir] [outDir] [name_filter]
 
-Reads outDir/oracle_sql.json (written by graft.Verify), runs each SQL in
-DuckDB over views named after the parquet tables in sfDir, loads the
-Spark-written parquet from outDir/<name>/, sorts columns by name and rows
-by all columns, and compares cell-by-cell (numeric equality for numbers,
-exact for everything else). Exit 0 iff all declared queries match.
+The driver reads the Spark-written parquet via pyarrow (so decimal128
+columns surface as Python Decimal objects) and the oracle via DuckDB (so
+decimals surface as float64), then hash-compares values with no tolerance.
+A checker that converts Decimal->float with an epsilon reports green where
+the driver reports red (round-2 failure mode). This one is faithful:
+
+  - Spark side: pyarrow.parquet -> python objects, types preserved;
+  - oracle side: DuckDB fetch -> python objects;
+  - cells compare by (type-class, exact value): Decimal vs float is a
+    MISMATCH even when numerically equal, float compares bit-exact,
+    no epsilon anywhere.
+
+Exit 0 iff every declared query matches.
 """
-import sys, json, math, decimal
+import sys, json, math, datetime, decimal
 import duckdb
-import pandas as pd
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
 def norm_cell(v):
-    if v is None or v is pd.NaT:
-        return None
+    """Normalize to a comparable (type-tag, value) pair; types NOT coerced
+    across classes — Decimal stays Decimal, float stays float."""
+    if v is None:
+        return ("null", None)
+    if isinstance(v, bool):
+        return ("bool", v)
+    if isinstance(v, int):
+        return ("int", v)
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
+        return ("float", "NaN" if math.isnan(v) else v)
     if isinstance(v, decimal.Decimal):
-        return float(v)
-    if isinstance(v, pd.Timestamp):
-        return v.to_pydatetime()
+        return ("decimal", str(v))
+    if isinstance(v, datetime.datetime):
+        return ("ts", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, datetime.date):
+        return ("date", v.isoformat())
+    if isinstance(v, bytes):
+        return ("bytes", v)
+    if isinstance(v, str):
+        return ("str", v)
     if isinstance(v, (list, tuple)):
-        return tuple(norm_cell(x) for x in v)
+        return ("list", tuple(norm_cell(x) for x in v))
     try:
         import numpy as np
         if isinstance(v, np.ndarray):
-            return tuple(norm_cell(x) for x in v.tolist())
+            return ("list", tuple(norm_cell(x) for x in v.tolist()))
         if isinstance(v, np.generic):
             return norm_cell(v.item())
     except ImportError:
         pass
-    return v
+    return ("other", repr(v))
 
 
-def cells_equal(a, b):
-    a, b = norm_cell(a), norm_cell(b)
-    if a is None or b is None:
-        return a is None and b is None
-    if isinstance(a, float) and isinstance(b, float):
-        if a == b:
-            return True
-        # tolerate last-ulp float noise but flag it loudly upstream
-        return abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
-    if isinstance(a, tuple) and isinstance(b, tuple):
-        return len(a) == len(b) and all(cells_equal(x, y) for x, y in zip(a, b))
-    return a == b
+def load_spark(outdir, name):
+    """Spark result via pyarrow, exactly like the driver."""
+    tbl = pq.read_table(f"{outdir}/{name}")
+    cols = sorted(tbl.column_names)
+    data = {c: tbl.column(c).to_pylist() for c in cols}
+    rows = [tuple(norm_cell(data[c][i]) for c in cols)
+            for i in range(tbl.num_rows)]
+    return cols, rows
+
+
+def load_oracle(con, sql):
+    cur = con.execute(sql)
+    names = [d[0] for d in cur.description]
+    fetched = cur.fetchall()
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    cols = [names[i] for i in order]
+    rows = [tuple(norm_cell(r[i]) for i in order) for r in fetched]
+    return cols, rows
 
 
 def main():
@@ -69,42 +93,32 @@ def main():
     for name in sorted(oracle):
         if filt and filt not in name:
             continue
-        sql = oracle[name]
         try:
-            exp = con.execute(sql).fetchdf()
+            ecols, exp = load_oracle(con, oracle[name])
         except Exception as e:
             fails.append((name, f"oracle SQL error: {e}"))
             continue
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").fetchdf()
+            gcols, got = load_spark(outdir, name)
         except Exception as e:
             fails.append((name, f"spark output missing/unreadable: {e}"))
             continue
-        exp = exp.reindex(sorted(exp.columns), axis=1)
-        got = got.reindex(sorted(got.columns), axis=1)
-        if list(exp.columns) != list(got.columns):
-            fails.append((name, f"schema: spark={list(got.columns)} oracle={list(exp.columns)}"))
+        if ecols != gcols:
+            fails.append((name, f"schema: spark={gcols} oracle={ecols}"))
             continue
         if len(exp) != len(got):
             fails.append((name, f"rowcount: spark={len(got)} oracle={len(exp)}"))
             continue
-        key = [tuple(norm_cell(v) for v in row) for row in exp.itertuples(index=False)]
-        key2 = [tuple(norm_cell(v) for v in row) for row in got.itertuples(index=False)]
-        skey = sorted(key, key=repr)
-        skey2 = sorted(key2, key=repr)
-        bad = None
-        for i, (r1, r2) in enumerate(zip(skey, skey2)):
-            if not cells_equal(r1, r2):
-                bad = (i, r1, r2)
-                break
+        sexp, sgot = sorted(exp, key=repr), sorted(got, key=repr)
+        bad = next(((i, a, b) for i, (a, b) in enumerate(zip(sexp, sgot))
+                    if a != b), None)
         if bad:
             fails.append((name, f"row {bad[0]}: oracle={bad[1]!r} spark={bad[2]!r}"))
         else:
             n_pass += 1
             print(f"  OK   {name} ({len(exp)} rows)")
     for name, msg in fails:
-        print(f"  FAIL {name}: {msg[:500]}")
+        print(f"  FAIL {name}: {msg[:600]}")
     print(f"== {n_pass} pass, {len(fails)} fail ==")
     sys.exit(1 if fails else 0)
 
