@@ -153,6 +153,34 @@ object Aggregations {
         .orderBy(col("okey"), col("price"), col("status"))
     }),
 
+    // A12: DDL/schema evolution — SURVEY §1.1 calls QueryEvent DDL "the
+    // classic weak spot of this tool class". Mid-stream, the source table
+    // gains a column (ALTER TABLE ADD channel): pre-DDL events carry the
+    // v1 envelope, post-DDL events the v2 envelope. The union aligns by
+    // NAME with nulls for the missing column (unionByName
+    // allowMissingColumns — Spark's mergeSchema semantic), then the usual
+    // A8 latest-wins collapse runs over the evolved envelope. Keys whose
+    // last change predates the DDL surface channel=NULL; keys touched
+    // after it carry the new value. Scale shape: same single-shuffle
+    // collapse as A8 — schema evolution adds no extra exchange.
+    "cdc_schema_evolution" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir)
+      val v1 = log.filter(col("seq") === 1)
+      val v2 = log.filter(col("seq") >= 2)
+        .withColumn("channel",
+          when(col("op") === "D", lit(null).cast("string"))
+            .otherwise(concat(lit("ch"), (col("okey") % 4).cast("string"))))
+      v1.unionByName(v2, allowMissingColumns = true)
+        .groupBy(col("okey"))
+        .agg(max_by(struct(col("op"), col("price"), col("status"), col("ts"),
+          col("channel")), col("seq")).as("l"))
+        .select(col("okey"), col("l.op").as("op"), col("l.price").as("price"),
+          col("l.status").as("status"), col("l.ts").as("ts"),
+          col("l.channel").as("channel"))
+        .filter(col("op") =!= "D")
+        .orderBy(col("okey"))
+    }),
+
     // A10: statistical aggregates — genuinely floating, so rounded to a
     // fixed scale on both sides (see Tables determinism policy).
     "agg_stats" -> ((s, dir) =>
@@ -256,10 +284,25 @@ object Aggregations {
               UNION ALL
               SELECT okey, prev_price, prev_status, CAST(-1 AS BIGINT)
               FROM lagged WHERE op IN ('U', 'D') AND has_prev)
-         SELECT okey, price, status, sum(sign) AS sign_sum
+         SELECT okey, price, status, CAST(sum(sign) AS BIGINT) AS sign_sum
          FROM signed GROUP BY okey, price, status
          HAVING sum(sign) <> 0
          ORDER BY okey, price, status""",
+
+    "cdc_schema_evolution" ->
+      s"""WITH cdc_log AS (${Tables.cdcLogSql}),
+            evolved AS (
+              SELECT op, seq, ts, okey, price, status
+              FROM cdc_log WHERE seq = 1
+              UNION ALL BY NAME
+              SELECT op, seq, ts, okey, price, status,
+                     CASE WHEN op = 'D' THEN NULL
+                          ELSE 'ch' || CAST(okey % 4 AS VARCHAR) END AS channel
+              FROM cdc_log WHERE seq >= 2),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM evolved)
+         SELECT okey, op, price, status, ts, channel FROM ranked
+         WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
 
     "agg_stats" ->
       """SELECT l_returnflag,

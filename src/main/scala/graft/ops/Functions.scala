@@ -48,6 +48,13 @@ object Functions {
           date_add(col("o_orderdate").cast(DateType), 30).as("due"),
           datediff(lit("2002-01-01").cast(DateType),
             col("o_orderdate").cast(DateType)).as("days_to_2002"),
+          // months_between on two month-start dates is an exact integer
+          // double — no Spark fractional-month semantics in play, so the
+          // oracle's month-boundary date_diff agrees bit-for-bit.
+          months_between(lit("2002-01-01").cast(DateType),
+            date_trunc("month", col("o_orderdate")).cast(DateType)).as("mon_to_2002"),
+          to_date(date_format(col("o_orderdate"), "yyyy-MM-dd"), "yyyy-MM-dd")
+            .as("od_rt"),
           unix_timestamp(col("o_orderdate")).as("epoch_s"))
         .orderBy(col("o_orderkey"))),
 
@@ -135,6 +142,9 @@ object Functions {
            CAST(o_orderdate AS DATE) + 30 AS due,
            CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
                 AS INTEGER) AS days_to_2002,
+           CAST(date_diff('month', date_trunc('month', o_orderdate),
+                DATE '2002-01-01') AS DOUBLE) AS mon_to_2002,
+           CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS od_rt,
            CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s
          FROM orders ORDER BY o_orderkey""",
 

@@ -40,7 +40,18 @@ object Llm {
           expr("substring(text, instr(text, ' ') + 1, length(text))").as("text")))
   }
 
-  /** distinct 3-word shingles of `text` (empty when < 3 words). */
+  /** distinct 3-word shingles from a pre-split `words` array column —
+    * split(text) evaluates ONCE per row, not once per generated element. */
+  private[graft] val shinglesFromWords =
+    """CASE WHEN size(words) >= 3 THEN
+         array_distinct(transform(sequence(1, size(words) - 2),
+           i -> concat_ws(' ', words[i-1], words[i], words[i+1])))
+       ELSE array() END"""
+
+  /** distinct 3-word shingles of `text` (empty when < 3 words). Re-splits
+    * per element — fine for the input-bounded Jaccard probe and specs; the
+    * MinHash scale path uses [[shinglesFromWords]] over a materialized
+    * `words` column instead. */
   private[graft] val shingleExpr =
     """CASE WHEN size(split(text, ' ')) >= 3 THEN
          array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
@@ -102,7 +113,17 @@ object Llm {
     // (arrays through the candidate join, arrays through distinct) never
     // happen.
     "llm_dedup_minhash" -> ((s, dir) => {
-      val docs = docsWithNearDups(s, dir).withColumn("shingles", expr(shingleExpr))
+      // split(text) runs once per row (not once per generated shingle) and
+      // the (doc_id, shingles) table is pinned with localCheckpoint, so the
+      // band fan-out and the Jaccard confirm share ONE shingle computation
+      // instead of re-deriving the whole pipeline twice. At cluster scale
+      // the same role is played by persist(MEMORY_AND_DISK) or a staged
+      // parquet materialization of the signature table.
+      val docs = docsWithNearDups(s, dir)
+        .withColumn("words", split(col("text"), " "))
+        .withColumn("shingles", expr(shinglesFromWords))
+        .select(col("doc_id"), col("shingles"))
+        .localCheckpoint()
       val sig = docs.withColumn("sig", array((0 until 16).map(k =>
         array_min(transform(col("shingles"), sh => xxhash64(lit(k), sh)))): _*))
       val bands = sig.select(col("doc_id"),
@@ -237,6 +258,31 @@ object Llm {
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"))
         .orderBy(col("lang"))),
+
+    // L4e: TF-IDF term weighting (SURVEY §2.9 L4). df counts distinct
+    // docs per term, N arrives as a broadcast 1-row aggregate (never a
+    // driver-side collect), and the probe set is bounded to doc_id < 30
+    // with the filter pushed below the joins. ln() of a rational >= 1 and
+    // one multiply, rounded to 6 — deterministic across engines.
+    "llm_tfidf" -> ((s, dir) => {
+      val words = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val docLen = words.groupBy(col("doc_id")).agg(count(lit(1)).as("n_words"))
+      val dfreq = words.select(col("doc_id"), col("w")).distinct()
+        .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val n = Tables.t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      words.filter(col("doc_id") < 30)
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf_n"))
+        .join(docLen, "doc_id")
+        .join(dfreq, "w")
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf", round(
+          (col("tf_n").cast(DoubleType) / col("n_words").cast(DoubleType)) *
+            log(col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)), 6))
+        .select(col("doc_id"), col("w"), col("tf_n"), col("n_words"),
+          col("df"), col("tfidf"))
+        .orderBy(col("doc_id"), col("w"))
+    }),
 
     // L4b: n-gram-profile language ID — per-lang top-10 word profiles
     // learned from the corpus, docs classified by profile overlap.
@@ -394,6 +440,21 @@ object Llm {
              AS total_tok_re,
            min(n_chars) AS min_chars, max(n_chars) AS max_chars
          FROM documents GROUP BY lang ORDER BY lang""",
+
+    "llm_tfidf" ->
+      """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                        FROM documents),
+            doclen AS (SELECT doc_id, count(*) AS n_words FROM words GROUP BY doc_id),
+            tf AS (SELECT doc_id, w, count(*) AS tf_n FROM words
+                   WHERE doc_id < 30 GROUP BY doc_id, w),
+            dfreq AS (SELECT w, count(*) AS df FROM
+                        (SELECT DISTINCT doc_id, w FROM words) GROUP BY w),
+            n AS (SELECT count(*) AS n_docs FROM documents)
+         SELECT tf.doc_id, tf.w, tf_n, n_words, df,
+           round((CAST(tf_n AS DOUBLE) / CAST(n_words AS DOUBLE)) *
+                 ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+         FROM tf JOIN doclen USING (doc_id) JOIN dfreq USING (w) CROSS JOIN n
+         ORDER BY doc_id, w""",
 
     "llm_lang_id" ->
       """WITH words AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w

@@ -38,6 +38,9 @@ object Windows {
         .withColumn("rk", rank().over(w))
         .withColumn("drk", dense_rank().over(w))
         .withColumn("nt", ntile(4).over(w))
+        // (rank-1)/(n-1): one IEEE division of small ints — bit-identical
+        // across engines, no rounding needed.
+        .withColumn("prk", percent_rank().over(w))
         .orderBy(col("o_orderstatus"), col("rk"), col("o_orderkey"))
     }),
 
@@ -103,7 +106,8 @@ object Windows {
     "win_rank_dense" ->
       """SELECT o_orderkey, o_orderstatus,
            CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total,
-           rank() OVER w AS rk, dense_rank() OVER w AS drk, ntile(4) OVER w AS nt
+           rank() OVER w AS rk, dense_rank() OVER w AS drk, ntile(4) OVER w AS nt,
+           percent_rank() OVER w AS prk
          FROM orders WHERE o_orderkey % 100 = 0
          WINDOW w AS (PARTITION BY o_orderstatus
                       ORDER BY o_totalprice DESC, o_orderkey ASC)

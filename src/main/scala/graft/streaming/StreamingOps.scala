@@ -6,9 +6,10 @@ import java.util.UUID
 import graft.Tables
 import graft.Tables.{dec2, D2}
 import graft.sources.EpochParquetSink
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types.DoubleType
 
 /** SURVEY.md §2.8 — Structured Streaming. This is the reference's identity:
@@ -30,6 +31,54 @@ object StreamingOps {
 
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
     event_type: String, value: Double, props: String)
+
+  /** Per-user running-counter state for ST7: row count, decimal total
+    * (order-independent accumulation), and the currently registered
+    * eviction timer (0 = none). */
+  case class RunState(n: Long, tot: java.math.BigDecimal, timerTs: Long)
+
+  /** ST7's StatefulProcessor (Spark 4.x transformWithState API, SURVEY
+    * §2.8). State is BOUNDED by an event-time timer: each batch re-arms a
+    * timer 35 days past the key's newest event; when the watermark passes
+    * it, handleExpiredTimer drops the key's state — at production
+    * cardinality (billions of users) state would otherwise grow without
+    * bound. The harness data spans one month, so nothing expires mid-run
+    * and results equal the unbounded batch aggregate.
+    */
+  class RunningCounterProcessor
+      extends StatefulProcessor[Long, Ev, (Long, Long, java.math.BigDecimal)] {
+    @transient private var state: ValueState[RunState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[RunState]("running",
+        Encoders.product[RunState], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[(Long, Long, java.math.BigDecimal)] = {
+      val prev = if (state.exists()) state.get()
+                 else RunState(0L, java.math.BigDecimal.ZERO, 0L)
+      var n = prev.n
+      var tot = prev.tot
+      var maxTs = 0L
+      rows.foreach { e =>
+        n += 1
+        tot = tot.add(java.math.BigDecimal.valueOf(e.value))
+        maxTs = math.max(maxTs, e.ts.getTime)
+      }
+      if (prev.timerTs > 0) getHandle.deleteTimer(prev.timerTs)
+      val timerTs = maxTs + 35L * 86400000L
+      getHandle.registerTimer(timerTs)
+      state.update(RunState(n, tot, timerTs))
+      Iterator((uid, n, tot))
+    }
+
+    override def handleExpiredTimer(uid: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[(Long, Long, java.math.BigDecimal)] = {
+      state.clear() // watermark passed 35 days beyond the key's newest event
+      Iterator.empty
+    }
+  }
 
   /** latest-wins collapse keyed by okey (tombstones kept for merging). */
   private def collapse(df: DataFrame): DataFrame =
@@ -58,7 +107,8 @@ object StreamingOps {
     new java.io.File(in).listFiles()
       .filter(f => f.getName.endsWith(".parquet") &&
         f.lastModified() > WaveBase + 86400000L) // only files not yet stamped
-      .foreach(f => f.setLastModified(WaveBase + wave * 60000L))
+      .foreach(f => require(f.setLastModified(WaveBase + wave * 60000L),
+        s"cannot stamp mtime on $f — wave ordering would be nondeterministic"))
   }
 
   /** One streaming pass over the files currently in `in`: each micro-batch
@@ -86,6 +136,38 @@ object StreamingOps {
       .start()
     query.processAllAvailable()
     query.stop()
+  }
+
+  /** Compact all existing `epoch=` delta dirs into ONE baseline epoch
+    * holding their latest-wins collapse (tombstones KEPT — they must keep
+    * cancelling older epochs that were folded into the baseline; the final
+    * read drops them). Bounds the delta count for long-running streams:
+    * without it readLatestState folds an ever-growing epoch list. Writes
+    * to a side dir first, then swaps — at every instant either the original
+    * epochs or the complete baseline exist on disk. Same role as a
+    * ReplacingMergeTree background merge. readLatestState is unchanged:
+    * collapse(compact(x)) == collapse(x).
+    */
+  private[graft] def compactState(s: SparkSession, state: String): Unit = {
+    val dir = new java.io.File(state)
+    val epochs = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+    if (epochs.length <= 1) return
+    val maxEpoch = epochs.map(_.getName.stripPrefix("epoch=").toLong).max
+    val side = new java.io.File(state + ".compacting")
+    collapse(s.read.parquet(state).select(
+      col("op"), col("seq"), col("ts"), col("okey"), col("price"), col("status")))
+      .write.mode("overwrite").parquet(s"$side/epoch=$maxEpoch")
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr)
+      f.delete(); ()
+    }
+    epochs.foreach(rmr)
+    side.listFiles().foreach { e =>
+      require(e.renameTo(new java.io.File(dir, e.getName)),
+        s"compaction swap failed for $e")
+    }
+    rmr(side)
   }
 
   /** Read-time collapse of all epoch deltas into the latest state (A8
@@ -228,46 +310,42 @@ object StreamingOps {
         .orderBy(col("ws"))
     }),
 
-    // ST7: arbitrary keyed state — per-user running counters via
-    // flatMapGroupsWithState (position/GTID tracking analogue). Decimal
-    // accumulation keeps the result independent of per-batch row order.
-    // State is BOUNDED: event-time timeout 35 days past a key's newest
-    // event; once the watermark passes that, the key's state is evicted —
-    // at production cardinality (billions of users) state would otherwise
-    // grow without bound. The harness data spans one month, so nothing
-    // expires mid-run and results equal the unbounded batch aggregate.
+    // ST7: arbitrary keyed state — per-user running counters via the
+    // Spark 4.x transformWithState API (position/GTID tracking analogue);
+    // state + eviction semantics live in RunningCounterProcessor above.
+    // Decimal accumulation keeps the result independent of per-batch row
+    // order. transformWithState requires the RocksDB state store; the
+    // conf is scoped to this query (providers bind at query start) and
+    // restored after.
     "stream_stateful_running" -> ((s, dir) => {
       val sp = s
       import sp.implicits._
       val (tmp, ev) = eventWaves(s, dir)
-      val st = s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
-        .parquet(s"$tmp/in").as[Ev]
-        .withWatermark("ts", "30 days")
-      val updates = st.groupByKey(_.user_id)
-        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
-          (uid: Long, it: Iterator[Ev], state: GroupState[(Long, java.math.BigDecimal)]) => {
-            if (state.hasTimedOut) {
-              state.remove()
-              Iterator.empty
-            } else {
-              var (n, tot) = state.getOption.getOrElse((0L, java.math.BigDecimal.ZERO))
-              var maxTs = 0L
-              it.foreach { e =>
-                n += 1
-                tot = tot.add(java.math.BigDecimal.valueOf(e.value))
-                maxTs = math.max(maxTs, e.ts.getTime)
-              }
-              state.update((n, tot))
-              state.setTimeoutTimestamp(maxTs + 35L * 86400000L)
-              Iterator((uid, n, tot))
-            }
-          })
-        .toDF("user_id", "n", "total")
-      runToMemory(updates, "update")
-        .groupBy(col("user_id"))
-        .agg(max(col("n")).as("n"),
-          max_by(col("total"), col("n")).cast(D2).cast(DoubleType).as("total"))
-        .orderBy(col("user_id"))
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProvider = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val st = s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
+          .parquet(s"$tmp/in").as[Ev]
+          // 60-day delay >> the 31-day fixture span: no row can ever fall
+          // behind the watermark mid-run (a 30-day delay left ~1 day slack).
+          .withWatermark("ts", "60 days")
+        val updates = st.groupByKey(_.user_id)
+          .transformWithState(new RunningCounterProcessor,
+            TimeMode.EventTime(), OutputMode.Update())
+          .toDF("user_id", "n", "total")
+        runToMemory(updates, "update")
+          .groupBy(col("user_id"))
+          .agg(max(col("n")).as("n"),
+            max_by(col("total"), col("n")).cast(D2).cast(DoubleType).as("total"))
+          .orderBy(col("user_id"))
+      } finally {
+        prevProvider match {
+          case Some(p) => s.conf.set(providerKey, p)
+          case None => s.conf.unset(providerKey)
+        }
+      }
     }),
 
     // ST8: exactly-once restart — run, stop, deliver more data, resume from

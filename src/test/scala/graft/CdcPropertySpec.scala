@@ -60,6 +60,22 @@ class CdcPropertySpec extends SparkTestBase {
     }
   }
 
+  test("schema evolution: evolved union keeps pre-DDL rows null, post-DDL typed") {
+    val out = SparkEntry.queries("cdc_schema_evolution")(spark, sf).collect()
+    val base = SparkEntry.queries("agg_latest_by_version")(spark, sf).collect()
+    // the evolved collapse covers exactly the same surviving keys…
+    assert(out.map(_.getLong(0)).toSet == base.map(_.getLong(0)).toSet)
+    // …and the added column is null iff the key was last touched pre-DDL
+    out.foreach { r =>
+      val okey = r.getLong(0)
+      val op = r.getString(1)
+      val ch = if (r.isNullAt(5)) null else r.getString(5)
+      if (op == "U") assert(ch == s"ch${okey % 4}",
+        s"post-DDL key $okey lost its evolved column: $ch")
+      else assert(ch == null, s"pre-DDL key $okey has a phantom value: $ch")
+    }
+  }
+
   test("snapshot ∪ delta == full-log collapse") {
     samples(10).filter(_.length > 2).foreach { ops =>
       val sorted = ops.sortBy(_.seq)

@@ -79,4 +79,76 @@ class StreamingSpec extends SparkTestBase {
     assert(q("stream_dedup_watermark").count() ==
       Tables.t(spark, sf, "events").count())
   }
+
+  test("epoch compaction: one epoch remains, collapse unchanged, later deltas merge") {
+    import graft.streaming.StreamingOps
+    val log = Tables.cdcLog(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val in = s"$tmp/in"
+    StreamingOps.writeWave(log.filter(col("seq") === 1), in, 0)
+    StreamingOps.writeWave(log.filter(col("seq") === 2), in, 1)
+    StreamingOps.runCdcPass(spark, log.schema, in, s"$tmp/ckpt", s"$tmp/state")
+    val before = StreamingOps.readLatestState(spark, s"$tmp/state")
+      .collect().map(_.toSeq).toSet
+    StreamingOps.compactState(spark, s"$tmp/state")
+    val epochDirs = new java.io.File(s"$tmp/state").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+    assert(epochDirs.length == 1, s"expected 1 epoch dir, got ${epochDirs.length}")
+    val after = StreamingOps.readLatestState(spark, s"$tmp/state")
+      .collect().map(_.toSeq).toSet
+    assert(after == before, "compaction changed the collapsed state")
+    // deltas arriving AFTER compaction must still merge on top of the baseline
+    StreamingOps.writeWave(log.filter(col("seq") === 3), in, 2)
+    StreamingOps.runCdcPass(spark, log.schema, in, s"$tmp/ckpt", s"$tmp/state")
+    val resumed = StreamingOps.readLatestState(spark, s"$tmp/state")
+      .collect().map(_.toSeq).toSet
+    val batch = q("agg_latest_by_version").collect().map(_.toSeq).toSet
+    assert(resumed == batch)
+  }
+
+  test("transformWithState evicts idle keys once the watermark passes their timer") {
+    import graft.streaming.StreamingOps
+    val sp = spark
+    import sp.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_evict").toString
+    val in = s"$tmp/in"
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def mk(id: Long, uid: Long, day: Int) = StreamingOps.Ev(
+      id, new java.sql.Timestamp(t0 + day * 86400000L), uid, "e", 1.0, "{}")
+    // user 1 at day 0; watermark (0s delay) advances past day 35 via users
+    // 2/3, firing user 1's eviction timer; user 1 returns at day 42 and
+    // must restart from EMPTY state (n=1, not n=2).
+    StreamingOps.writeWave(Seq(mk(1, 1, 0)).toDS().toDF(), in, 0)
+    StreamingOps.writeWave(Seq(mk(2, 2, 40)).toDS().toDF(), in, 1)
+    StreamingOps.writeWave(Seq(mk(3, 3, 41)).toDS().toDF(), in, 2)
+    StreamingOps.writeWave(Seq(mk(4, 1, 42)).toDS().toDF(), in, 3)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val st = spark.readStream.schema(Seq(mk(0, 0, 0)).toDS().toDF().schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+        .as[StreamingOps.Ev].withWatermark("ts", "0 seconds")
+      val out = st.groupByKey(_.user_id)
+        .transformWithState(new StreamingOps.RunningCounterProcessor,
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF("user_id", "n", "total")
+      val name = "evict" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val query = out.writeStream.outputMode("update").format("memory")
+        .queryName(name).start()
+      query.processAllAvailable()
+      query.stop()
+      val u1n = spark.table(name).filter($"user_id" === 1L)
+        .agg(max($"n")).collect()(0).getLong(0)
+      assert(u1n == 1L,
+        s"user 1 state survived past its eviction timer (max n = $u1n)")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }

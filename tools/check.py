@@ -70,12 +70,26 @@ def load_spark(outdir, name):
 
 
 def load_oracle(con, sql):
+    # The driver fetches the oracle through pandas, where DuckDB HUGEINT
+    # (e.g. sum(BIGINT)) and DECIMAL columns surface as float64 — while
+    # fetchall() returns them as Python int/Decimal. Mirror the driver by
+    # type-tagging those columns as float (round-3 failure mode:
+    # agg_sign_collapse passed here, failed the driver on exactly this).
+    desc = con.execute(f"DESCRIBE ({sql})").fetchall()
+    coerce = {name for name, typ, *_ in desc
+              if typ.upper().startswith(("HUGEINT", "UHUGEINT", "DECIMAL"))}
     cur = con.execute(sql)
     names = [d[0] for d in cur.description]
     fetched = cur.fetchall()
     order = sorted(range(len(names)), key=lambda i: names[i])
     cols = [names[i] for i in order]
-    rows = [tuple(norm_cell(r[i]) for i in order) for r in fetched]
+
+    def cell(i, v):
+        if names[i] in coerce and v is not None:
+            v = float(v)
+        return norm_cell(v)
+
+    rows = [tuple(cell(i, r[i]) for i in order) for r in fetched]
     return cols, rows
 
 
