@@ -10,7 +10,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Warm up the JVM (codegen, parquet reader, shuffle machinery) before
+    // timing: otherwise whichever query happens to run first absorbs ~5s
+    // of one-time session initialization and benches as a false hot spot.
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // optional substring filter (local iteration); the driver passes no args
+    val filt = args.headOption.getOrElse("")
+    val results = SparkEntry.queries
+      .filter { case (name, _) => filt.isEmpty || name.contains(filt) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>

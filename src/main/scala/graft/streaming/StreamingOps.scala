@@ -205,6 +205,23 @@ object StreamingOps {
     (tmp, ev)
   }
 
+  /** Run `body` with shuffle partitions scoped down for micro-batching.
+    * Every stateful streaming operator commits one state-store file per
+    * shuffle partition per trigger (and transformWithState opens one
+    * RocksDB instance per partition per trigger) — at the bench session's
+    * 32 partitions that is pure fixed overhead for streams holding a few
+    * thousand rows. 8 shards keep identical semantics at a quarter of the
+    * per-trigger commit cost. At production volume this number is sized
+    * UP to match state size (it is frozen by the first run's checkpoint),
+    * not down; the point is that it is sized, not inherited.
+    */
+  private def withMicroBatchShuffle[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "8")
+    try body finally s.conf.set(key, prev)
+  }
+
   private def runToMemory(df: DataFrame, mode: String): DataFrame = {
     val name = memName()
     val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
@@ -213,7 +230,7 @@ object StreamingOps {
     df.sparkSession.table(name)
   }
 
-  val queries: Map[String, Q] = Map(
+  private val rawQueries: Map[String, Q] = Map(
     // ST1: the whole reference job — ordered change events -> latest state.
     "stream_cdc_apply" -> ((s, dir) => cdcApply(s, dir, replayLast = false)),
 
@@ -322,9 +339,16 @@ object StreamingOps {
       import sp.implicits._
       val (tmp, ev) = eventWaves(s, dir)
       val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      // Without changelog checkpointing RocksDB uploads a FULL snapshot of
+      // every store on every commit; with it, commits ship only the delta
+      // (the production default on managed Spark).
+      val changelogKey =
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
       val prevProvider = s.conf.getOption(providerKey)
+      val prevChangelog = s.conf.getOption(changelogKey)
       s.conf.set(providerKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      s.conf.set(changelogKey, "true")
       try {
         val st = s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
           .parquet(s"$tmp/in").as[Ev]
@@ -344,6 +368,10 @@ object StreamingOps {
         prevProvider match {
           case Some(p) => s.conf.set(providerKey, p)
           case None => s.conf.unset(providerKey)
+        }
+        prevChangelog match {
+          case Some(p) => s.conf.set(changelogKey, p)
+          case None => s.conf.unset(changelogKey)
         }
       }
     }),
@@ -376,6 +404,13 @@ object StreamingOps {
         .orderBy(col("event_type"))
     })
   )
+
+  /** Every streaming query executes its micro-batches under the scoped
+    * shuffle-partition policy (see [[withMicroBatchShuffle]]). */
+  val queries: Map[String, Q] = rawQueries.map { case (name, f) =>
+    name -> ((s: SparkSession, dir: String) =>
+      withMicroBatchShuffle(s)(f(s, dir)): DataFrame)
+  }
 
   private val latestStateSql: String =
     s"""WITH cdc_log AS (${Tables.cdcLogSql}),
