@@ -113,6 +113,34 @@ object Joins {
         .orderBy(col("nationkey"))
     }),
 
+    // J11: explicit salting for a skewed join key (SURVEY §4.2 scale
+    // note). 80% of fact rows share skey=0 — unsalted, one shuffle
+    // partition would receive the hot key's entire mass. The fact side
+    // appends salt = linenumber mod 8; the dim side explodes into 8
+    // salted replicas; joining on (skey, salt) spreads the hot key over
+    // 8 partitions. The shuffle_hash hint keeps the join a shuffle (a
+    // 25-row dim would otherwise broadcast and hide the point). AQE
+    // skew-split is the adaptive defense; explicit salting is the
+    // deterministic pre-plan for keys KNOWN to be hot. The oracle runs
+    // the unsalted join — salting must not change results.
+    "join_skew_salted" -> ((s, dir) => {
+      val S = 8
+      val fact = Tables.t(s, dir, "lineitem")
+        .select(
+          when(col("l_orderkey") % 10 < 8, lit(0L))
+            .otherwise(col("l_orderkey") % 25).as("skey"),
+          col("l_quantity"), col("l_linenumber"))
+        .withColumn("salt", pmod(col("l_linenumber"), lit(S)))
+      val dim = Tables.t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("skey"), col("n_name"))
+        .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+      fact.join(dim.hint("shuffle_hash"), Seq("skey", "salt"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("l_quantity"))).cast(D2).cast(DoubleType).as("qty"))
+        .orderBy(col("n_name"))
+    }),
+
     // J8: cartesian product — only ever on tiny dims.
     "join_cross" -> ((s, dir) => {
       val r = Tables.t(s, dir, "region").select(col("r_name"))
@@ -208,6 +236,16 @@ object Joins {
          FROM supplier a JOIN supplier b
            ON a.s_nationkey = b.s_nationkey AND a.s_acctbal < b.s_acctbal
          GROUP BY 1 ORDER BY nationkey""",
+
+    "join_skew_salted" ->
+      """SELECT n_name, count(*) AS n,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS qty
+         FROM (SELECT CASE WHEN l_orderkey % 10 < 8 THEN 0
+                           ELSE l_orderkey % 25 END AS skey, l_quantity
+               FROM lineitem) f
+         JOIN nation ON f.skey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
 
     "join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation

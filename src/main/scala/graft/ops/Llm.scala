@@ -244,6 +244,41 @@ object Llm {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // L3c: IVF-style ANN — the other classic scale path besides LSH.
+    // Deterministic "training": the first 16 vectors act as centroids
+    // (a k-means iteration would refine them; assignment mechanics are
+    // identical). Every vector is assigned to its nearest centroid cell;
+    // a query probes its nprobe=4 nearest cells and scores only those
+    // candidates via a bucket equi-join. Centroids are a 16-row broadcast
+    // — the only non-equi join in the pipeline is against that constant-
+    // size dim, so no unbounded cross product exists at any scale.
+    "llm_sim_ivf_topk" -> ((s, dir) => {
+      VectorOps.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val all = vecs(s, dir)
+      val cents = all.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("v").as("c_v"))
+      val wAssign = Window.partitionBy(col("vec_id")).orderBy(desc("ccos"), asc("c_id"))
+      val assigned = all.crossJoin(broadcast(cents))
+        .withColumn("ccos", expr("cosine_sim(v, c_v)"))
+        .withColumn("arn", row_number().over(wAssign)).filter(col("arn") === 1)
+        .select(col("vec_id").as("n_id"), col("v").as("n_v"), col("c_id").as("cell"))
+      val wProbe = Window.partitionBy(col("q_id")).orderBy(desc("qcos"), asc("c_id"))
+      val probes = all.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+        .crossJoin(broadcast(cents))
+        .withColumn("qcos", expr("cosine_sim(q_v, c_v)"))
+        .withColumn("prn", row_number().over(wProbe)).filter(col("prn") <= 4)
+        .select(col("q_id"), col("q_v"), col("c_id").as("cell"))
+      val wTop = Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("n_id"))
+      assigned.join(broadcast(probes), Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("cos", expr("cosine_sim(q_v, n_v)"))
+        .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= 3)
+        .select(col("q_id"), col("rk"), col("n_id"), col("cos"))
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
     // L4a: token counting (whitespace + BPE-ish regex) per language.
     "llm_text_stats" -> ((s, dir) =>
       Tables.t(s, dir, "documents")
@@ -430,6 +465,29 @@ object Llm {
                        FROM q JOIN bk n ON q.bucket = n.bucket AND q.q_id <> n.vec_id)
          SELECT q_id, rk, n_id, cos FROM (
            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) rk
+           FROM scored)
+         WHERE rk <= 3 ORDER BY q_id, rk""",
+
+    "llm_sim_ivf_topk" ->
+      s"""WITH $vecsCte,
+            cents AS (SELECT vec_id AS c_id, v AS c_v FROM vecs WHERE vec_id < 16),
+            assigned AS (
+              SELECT vec_id AS n_id, v AS n_v, c_id AS cell FROM (
+                SELECT a.vec_id, a.v, c.c_id,
+                  row_number() OVER (PARTITION BY a.vec_id
+                    ORDER BY ${cosSql("a.v", "c.c_v")} DESC, c.c_id ASC) AS arn
+                FROM vecs a CROSS JOIN cents c) WHERE arn = 1),
+            probes AS (
+              SELECT q_id, q_v, cell FROM (
+                SELECT q.vec_id AS q_id, q.v AS q_v, c.c_id AS cell,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY ${cosSql("q.v", "c.c_v")} DESC, c.c_id ASC) AS prn
+                FROM vecs q CROSS JOIN cents c WHERE q.vec_id < 20) WHERE prn <= 4),
+            scored AS (
+              SELECT p.q_id, a.n_id, ${cosSql("p.q_v", "a.n_v")} AS cos
+              FROM probes p JOIN assigned a ON p.cell = a.cell AND p.q_id <> a.n_id)
+         SELECT q_id, rk, n_id, cos FROM (
+           SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
            FROM scored)
          WHERE rk <= 3 ORDER BY q_id, rk""",
 

@@ -4,6 +4,7 @@ import graft.Tables
 import graft.Tables.{dec2, D2}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, DoubleType}
 
 /** SURVEY.md §2.1 — scans / sources / sinks. S3 (JDBC) lives in
   * [[graft.sources.JdbcSource]]; S4 (parquet sink) is the declared
@@ -46,7 +47,46 @@ object Scans {
     // harness exercises the same trait over parquet.
     "scan_jdbc" -> ((s, dir) =>
       new graft.sources.ParquetSource(dir).snapshot(s, "customer")
-        .orderBy(col("c_custkey")))
+        .orderBy(col("c_custkey"))),
+
+    // S7: partitioned sink + partition-pruned scan. Events are written
+    // hive-partitioned by event_type; the filtered read-back must list
+    // and read ONLY the matching partition directory (PartitionFilters
+    // in the plan, asserted in PlanSpec). At 100 TB, partitioning the
+    // sink by type/date is the difference between scanning one slice and
+    // scanning the lake.
+    "sink_partitioned_pruning" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+      Tables.t(s, dir, "events")
+        .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast(D2).cast(DoubleType).as("total"))
+        .orderBy(col("event_type"))
+    }),
+
+    // S8: CSV sink/source round-trip — the reference class ships batches
+    // as CSV INSERTs. Doubles survive the text round-trip exactly (Spark
+    // writes shortest-round-trip representations); the schema is explicit
+    // on read (CSV carries none).
+    "sink_csv_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      Tables.t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate").cast(DateType).as("o_orderdate"))
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read
+        .schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate DATE")
+        .option("header", "true").csv(tmp)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast(D2).cast(DoubleType).as("total"),
+          min(col("o_orderdate")).as("first_date"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderstatus"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -64,6 +104,21 @@ object Scans {
       "SELECT * FROM supplier ORDER BY s_suppkey",
 
     "scan_jdbc" ->
-      "SELECT * FROM customer ORDER BY c_custkey"
+      "SELECT * FROM customer ORDER BY c_custkey",
+
+    "sink_partitioned_pruning" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
+             AS total
+         FROM events WHERE event_type = 'purchase'
+         GROUP BY event_type ORDER BY event_type""",
+
+    "sink_csv_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS total,
+           min(CAST(o_orderdate AS DATE)) AS first_date,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
   )
 }

@@ -58,6 +58,27 @@ class PlanSpec extends SparkTestBase {
       plan.contains("BroadcastHashJoin"), s"range join lost its equi conjunct:\n$plan")
   }
 
+  test("partitioned sink read-back prunes to the filtered partition") {
+    val plan = physical("sink_partitioned_pruning")
+    // attribute refs render with expr ids (event_type#1234 = purchase)
+    assert(plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*= purchase\\)".r.findFirstIn(plan).isDefined,
+      s"scan did not prune partitions:\n$plan")
+  }
+
+  test("salted skew join stays a shuffle join on (key, salt)") {
+    val plan = physical("join_skew_salted")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"salted join collapsed to broadcast — demo would be vacuous:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
+  test("IVF probe path joins on cell; only the 16-centroid dim is non-equi") {
+    val plan = physical("llm_sim_ivf_topk")
+    assert(!plan.contains("CartesianProduct"),
+      s"unbounded cartesian in IVF path:\n$plan")
+  }
+
   test("aggregation is partial (map-side) before the shuffle") {
     val plan = physical("agg_hash_groupby")
     assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
