@@ -113,6 +113,32 @@ object Joins {
         .orderBy(col("nationkey"))
     }),
 
+    // J12: bucketed co-located join (SURVEY §4.2). Both sides are written
+    // bucketed by the join key into the same bucket count, so the join
+    // reads co-located buckets and plans a SortMergeJoin with ZERO
+    // shuffle exchanges on either input (asserted in PlanSpec) — at
+    // 100 TB, pre-bucketing the fact table by its primary join key
+    // removes the dominant repeated shuffle from every downstream join.
+    // The merge hint keeps the 150-row harness input honest (it would
+    // otherwise broadcast and hide the co-location).
+    "join_bucketed_colocated" -> ((s, dir) => {
+      val id = java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+      Tables.t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$tmp/c").mode("overwrite").saveAsTable(s"bkt_c_$id")
+      Tables.t(s, dir, "orders").filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"))
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$tmp/o").mode("overwrite").saveAsTable(s"bkt_o_$id")
+      val bc = s.table(s"bkt_c_$id")
+      val bo = s.table(s"bkt_o_$id")
+      bc.hint("merge").join(bo, bc("c_custkey") === bo("o_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderstatus"))
+        .orderBy(col("c_custkey"), col("o_orderkey"))
+    }),
+
     // J11: explicit salting for a skewed join key (SURVEY §4.2 scale
     // note). 80% of fact rows share skey=0 — unsalted, one shuffle
     // partition would receive the hot key's entire mass. The fact side
@@ -236,6 +262,12 @@ object Joins {
          FROM supplier a JOIN supplier b
            ON a.s_nationkey = b.s_nationkey AND a.s_acctbal < b.s_acctbal
          GROUP BY 1 ORDER BY nationkey""",
+
+    "join_bucketed_colocated" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderstatus
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         WHERE o_orderkey % 100 = 0
+         ORDER BY c_custkey, o_orderkey""",
 
     "join_skew_salted" ->
       """SELECT n_name, count(*) AS n,

@@ -73,6 +73,13 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
   }
 
+  test("bucketed co-located join has zero shuffle exchanges on its inputs") {
+    val plan = physical("join_bucketed_colocated")
+    assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles an input:\n$plan")
+  }
+
   test("IVF probe path joins on cell; only the 16-centroid dim is non-equi") {
     val plan = physical("llm_sim_ivf_topk")
     assert(!plan.contains("CartesianProduct"),
