@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** End-to-end lifecycle of the [[Replication]] facade — the reference's
+  * `--full` / `--increment` / consistency-check surface (SURVEY.md §3.1).
+  */
+class ReplicationSpec extends SparkTestBase {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_repl").toString
+
+  test("full sync snapshots admitted tables; include/exclude filters apply") {
+    val dest = tmp()
+    val src = new graft.sources.ParquetSource(sf)
+    val counts = Replication.fullSync(spark, src,
+      Seq("nation", "region", "customer"), dest,
+      Replication.TableFilter(exclude = Set("customer")))
+    assert(counts.keySet == Set("nation", "region"))
+    assert(counts("nation") == Tables.t(spark, sf, "nation").count())
+    assert(!new java.io.File(s"$dest/customer").exists())
+  }
+
+  test("incremental sync applies waves; applied state == batch collapse") {
+    val base = tmp()
+    val log = Tables.cdcLog(spark, sf)
+    (1 to 3).foreach(w => graft.streaming.StreamingOps.writeWave(
+      log.filter(col("seq") === w), s"$base/in", w - 1))
+    Replication.incrementalSync(spark, log.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state")
+    val applied = Replication.appliedState(spark, s"$base/state")
+      .collect().map(_.toSeq).toSet
+    val batch = q("agg_latest_by_version").collect().map(_.toSeq).toSet
+    assert(applied == batch)
+  }
+
+  test("incremental sync compacts once epochs exceed the threshold") {
+    val base = tmp()
+    val log = Tables.cdcLog(spark, sf)
+    (1 to 3).foreach(w => graft.streaming.StreamingOps.writeWave(
+      log.filter(col("seq") === w), s"$base/in", w - 1))
+    Replication.incrementalSync(spark, log.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", compactEvery = 1)
+    val epochs = new java.io.File(s"$base/state").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("epoch="))
+    assert(epochs == 1, s"expected compaction to one epoch, got $epochs")
+    val applied = Replication.appliedState(spark, s"$base/state")
+      .collect().map(_.toSeq).toSet
+    val batch = q("agg_latest_by_version").collect().map(_.toSeq).toSet
+    assert(applied == batch)
+  }
+
+  test("consistency check: clean copy passes; mutation and loss are caught") {
+    val src = Tables.t(spark, sf, "nation")
+    assert(Replication.consistencyCheck(src, src, "n_nationkey").consistent)
+
+    val mutated = src.withColumn("n_name",
+      when(col("n_nationkey") === 0, lit("XX")).otherwise(col("n_name")))
+    val m = Replication.consistencyCheck(src, mutated, "n_nationkey")
+    assert(!m.checksumsMatch && m.nSrc == m.nDst)
+
+    val lossy = src.filter(col("n_nationkey") =!= 3)
+    val l = Replication.consistencyCheck(src, lossy, "n_nationkey")
+    assert(l.missingInDst == 1 && l.extraInDst == 0 && !l.consistent)
+  }
+}
