@@ -15,6 +15,23 @@ object Bench {
     // of one-time session initialization and benches as a false hot spot.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // …and the streaming machinery (state store, IncrementalExecution),
+    // which otherwise bills ~3s of one-time init to whichever streaming
+    // query happens to run first.
+    locally {
+      val wtmp = java.nio.file.Files.createTempDirectory("bench_warm").toString
+      spark.range(100).selectExpr("timestamp_micros(id) AS ts", "id")
+        .write.parquet(s"$wtmp/in")
+      val q = spark.readStream.schema("ts TIMESTAMP, id BIGINT")
+        .parquet(s"$wtmp/in")
+        .groupBy(org.apache.spark.sql.functions.window(
+          org.apache.spark.sql.functions.col("ts"), "1 minute"))
+        .count()
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("bench_warmup").start()
+      q.processAllAvailable()
+      q.stop()
+    }
     // optional substring filter (local iteration); the driver passes no args
     val filt = args.headOption.getOrElse("")
     val results = SparkEntry.queries
