@@ -381,6 +381,45 @@ object Llm {
         .orderBy(col("doc_id"))
     }),
 
+    // L5c: frame sampling over an opaque payload — the video analogue:
+    // fixed-size frames (64 units), every 4th sampled, a per-frame
+    // signature aggregated. The "decode" is character-frame arithmetic
+    // (this container has no media libs); the sampling topology — frame
+    // index sequence, stride filter, per-frame feature, rollup — is the
+    // real thing and runs entirely inside whole-stage codegen.
+    "llm_multimodal_frames" -> ((s, dir) =>
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("n_frames",
+          ceil(length(col("text")).cast(DoubleType) / 64).cast(LongType))
+        .withColumn("sampled", expr(
+          """transform(filter(sequence(0, CAST(n_frames AS INT) - 1),
+               i -> i % 4 = 0), i -> substring(text, i*64 + 1, 64))"""))
+        .select(col("doc_id"), col("n_frames"),
+          size(col("sampled")).cast(LongType).as("n_sampled"),
+          expr("""aggregate(transform(sampled,
+                    f -> CAST(length(f)*31 + ascii(substring(f,1,1)) AS BIGINT)),
+                  CAST(0 AS BIGINT), (a, x) -> a + x)""").as("frame_sig"))
+        .orderBy(col("doc_id"))),
+
+    // L5d: resize/downsample a dense tensor — 64-d embedding pooled to
+    // 16-d by 4-block average (the image-resize analogue over the typed
+    // array column). Pooled dims emit as rounded DOUBLE columns (the
+    // agg_stats determinism pattern) rather than a float array the
+    // driver's comparator cannot sort.
+    "llm_multimodal_resize" -> ((s, dir) => {
+      val pooled = (0 until 16).map { i =>
+        val r = round((element_at(col("v"), i * 4 + 1) + element_at(col("v"), i * 4 + 2) +
+          element_at(col("v"), i * 4 + 3) + element_at(col("v"), i * 4 + 4)) / 4, 4)
+        // fold IEEE -0.0 to +0.0: the engines agree on the value but not
+        // the sign bit's textual form, which would desync row ordering
+        when(r === 0.0, lit(0.0d)).otherwise(r).as(s"p$i")
+      }
+      vecs(s, dir)
+        .select(col("vec_id") +: col("label") +: pooled: _*)
+        .orderBy(col("vec_id"))
+    }),
+
     // L5b: multimodal binary plumbing — text rendered to an opaque binary
     // column, then per-partition batch feature extraction via a typed
     // Dataset.mapPartitions (the Scala analogue of mapInPandas). The
@@ -562,6 +601,34 @@ object Llm {
            CAST(length(text) AS BIGINT) AS text_len
          FROM documents JOIN embeddings ON doc_id = vec_id
          ORDER BY doc_id""",
+
+    "llm_multimodal_frames" ->
+      """SELECT doc_id, n_frames,
+           CAST(len(sampled) AS BIGINT) AS n_sampled,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(sampled,
+               f -> CAST(length(f)*31 + ascii(substring(f, 1, 1)) AS BIGINT))),
+             (a, x) -> a + x) AS frame_sig
+         FROM (
+           SELECT doc_id,
+             CAST(ceil(length(text) / 64.0) AS BIGINT) AS n_frames,
+             list_transform(
+               list_filter(generate_series(0, CAST(ceil(length(text) / 64.0) AS BIGINT) - 1),
+                 i -> i % 4 = 0),
+               i -> substring(text, CAST(i*64 + 1 AS INT), 64)) AS sampled
+           FROM documents)
+         ORDER BY doc_id""",
+
+    "llm_multimodal_resize" -> {
+      val pooled = (0 until 16).map { i =>
+        val r = s"round((v[${i * 4 + 1}] + v[${i * 4 + 2}] + v[${i * 4 + 3}] + v[${i * 4 + 4}]) / 4, 4)"
+        s"CASE WHEN $r = 0 THEN CAST(0 AS DOUBLE) ELSE $r END AS p$i"
+      }.mkString(",\n           ")
+      s"""WITH $vecsCte
+         SELECT vec_id, label,
+           $pooled
+         FROM vecs ORDER BY vec_id"""
+    },
 
     "llm_multimodal_features" ->
       """SELECT doc_id,
