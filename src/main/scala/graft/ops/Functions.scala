@@ -55,6 +55,8 @@ object Functions {
             date_trunc("month", col("o_orderdate")).cast(DateType)).as("mon_to_2002"),
           to_date(date_format(col("o_orderdate"), "yyyy-MM-dd"), "yyyy-MM-dd")
             .as("od_rt"),
+          quarter(col("o_orderdate")).as("q"),
+          last_day(col("o_orderdate").cast(DateType)).as("month_end"),
           unix_timestamp(col("o_orderdate")).as("epoch_s"))
         .orderBy(col("o_orderkey"))),
 
@@ -145,6 +147,8 @@ object Functions {
            CAST(date_diff('month', date_trunc('month', o_orderdate),
                 DATE '2002-01-01') AS DOUBLE) AS mon_to_2002,
            CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS od_rt,
+           CAST(quarter(o_orderdate) AS INTEGER) AS q,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
            CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s
          FROM orders ORDER BY o_orderkey""",
 

@@ -41,6 +41,7 @@ object Windows {
         // (rank-1)/(n-1): one IEEE division of small ints — bit-identical
         // across engines, no rounding needed.
         .withColumn("prk", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
         .orderBy(col("o_orderstatus"), col("rk"), col("o_orderkey"))
     }),
 
@@ -107,7 +108,7 @@ object Windows {
       """SELECT o_orderkey, o_orderstatus,
            CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total,
            rank() OVER w AS rk, dense_rank() OVER w AS drk, ntile(4) OVER w AS nt,
-           percent_rank() OVER w AS prk
+           percent_rank() OVER w AS prk, cume_dist() OVER w AS cd
          FROM orders WHERE o_orderkey % 100 = 0
          WINDOW w AS (PARTITION BY o_orderstatus
                       ORDER BY o_totalprice DESC, o_orderkey ASC)
