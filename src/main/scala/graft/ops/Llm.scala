@@ -294,20 +294,24 @@ object Llm {
           max(col("n_chars")).as("max_chars"))
         .orderBy(col("lang"))),
 
-    // L4e: TF-IDF term weighting (SURVEY §2.9 L4). df counts distinct
-    // docs per term, N arrives as a broadcast 1-row aggregate (never a
-    // driver-side collect), and the probe set is bounded to doc_id < 30
-    // with the filter pushed below the joins. ln() of a rational >= 1 and
-    // one multiply, rounded to 6 — deterministic across engines.
+    // L4e: TF-IDF term weighting (SURVEY §2.9 L4). The corpus is
+    // tokenized and aggregated to the (doc, term) frequency table ONCE
+    // (pinned with localCheckpoint); doc lengths, document frequencies,
+    // and the probe's term frequencies all derive from it — one corpus
+    // scan instead of three. df = rows per term in tf (each row is one
+    // distinct doc containing the term). N arrives as a broadcast 1-row
+    // aggregate (never a driver-side collect); the probe set is bounded
+    // to doc_id < 30. ln() of a rational >= 1 and one multiply, rounded
+    // to 6 — deterministic across engines.
     "llm_tfidf" -> ((s, dir) => {
-      val words = Tables.t(s, dir, "documents")
+      val tfAll = Tables.t(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      val docLen = words.groupBy(col("doc_id")).agg(count(lit(1)).as("n_words"))
-      val dfreq = words.select(col("doc_id"), col("w")).distinct()
-        .groupBy(col("w")).agg(count(lit(1)).as("df"))
-      val n = Tables.t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
-      words.filter(col("doc_id") < 30)
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf_n"))
+        .localCheckpoint()
+      val docLen = tfAll.groupBy(col("doc_id")).agg(sum(col("tf_n")).as("n_words"))
+      val dfreq = tfAll.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val n = Tables.t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      tfAll.filter(col("doc_id") < 30)
         .join(docLen, "doc_id")
         .join(dfreq, "w")
         .crossJoin(broadcast(n))
@@ -323,8 +327,12 @@ object Llm {
     // learned from the corpus, docs classified by profile overlap.
     "llm_lang_id" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // tokenize once; the profile branch and the doc-classification
+      // branch both read the pinned token table instead of re-exploding
+      // the corpus
       val words = Tables.t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+        .localCheckpoint()
       val wp = Window.partitionBy(col("plang")).orderBy(desc("c"), asc("w"))
       val profile = words.groupBy(col("lang").as("plang"), col("w"))
         .agg(count(lit(1)).as("c"))
