@@ -153,11 +153,16 @@ object StreamingOps {
     val epochs = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
     if (epochs.length <= 1) return
-    val maxEpoch = epochs.map(_.getName.stripPrefix("epoch=").toLong).max
+    // The baseline lives at epoch=-1: micro-batch ids are non-negative, so
+    // an at-least-once REPLAY of the last uncommitted epoch (crash between
+    // sink write and offset commit) can never overwrite the baseline with
+    // a single batch's delta — it lands on its own epoch dir and the
+    // read-time collapse stays total. Naming the baseline after a real
+    // epoch id would lose all folded history on exactly that replay.
     val side = new java.io.File(state + ".compacting")
     collapse(s.read.parquet(state).select(
       col("op"), col("seq"), col("ts"), col("okey"), col("price"), col("status")))
-      .write.mode("overwrite").parquet(s"$side/epoch=$maxEpoch")
+      .write.mode("overwrite").parquet(s"$side/epoch=-1")
     def rmr(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr)
       f.delete(); ()

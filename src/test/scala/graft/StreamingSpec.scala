@@ -97,6 +97,14 @@ class StreamingSpec extends SparkTestBase {
     val after = StreamingOps.readLatestState(spark, s"$tmp/state")
       .collect().map(_.toSeq).toSet
     assert(after == before, "compaction changed the collapsed state")
+    // an at-least-once REPLAY of the last pre-compaction epoch (crash
+    // between sink write and offset commit) must not clobber the baseline:
+    // it lands on its own epoch dir and the collapse stays correct
+    log.filter(col("seq") === 2)
+      .write.mode("overwrite").parquet(s"$tmp/state/epoch=1")
+    val replayed = StreamingOps.readLatestState(spark, s"$tmp/state")
+      .collect().map(_.toSeq).toSet
+    assert(replayed == before, "epoch replay after compaction lost history")
     // deltas arriving AFTER compaction must still merge on top of the baseline
     StreamingOps.writeWave(log.filter(col("seq") === 3), in, 2)
     StreamingOps.runCdcPass(spark, log.schema, in, s"$tmp/ckpt", s"$tmp/state")
