@@ -43,10 +43,13 @@ object Replication {
   def incrementalSync(spark: SparkSession, schema: StructType, inDir: String,
       ckptDir: String, stateDir: String, compactEvery: Int = 16): Unit = {
     streaming.StreamingOps.runCdcPass(spark, schema, inDir, ckptDir, stateDir)
-    val epochs = Option(new java.io.File(stateDir).listFiles())
+    // deltas only: negative epoch ids are compaction baselines, counting
+    // them would re-trigger a full rewrite one delta early forever after
+    val deltas = Option(new java.io.File(stateDir).listFiles())
       .getOrElse(Array.empty)
-      .count(f => f.isDirectory && f.getName.startsWith("epoch="))
-    if (epochs > compactEvery) streaming.StreamingOps.compactState(spark, stateDir)
+      .count(f => f.isDirectory && f.getName.startsWith("epoch=") &&
+        !f.getName.startsWith("epoch=-"))
+    if (deltas > compactEvery) streaming.StreamingOps.compactState(spark, stateDir)
   }
 
   /** The currently applied destination state (latest row per key,
@@ -56,13 +59,18 @@ object Replication {
 
   /** Outcome of a source↔destination consistency check (§3.1 #3). */
   final case class ConsistencyReport(nSrc: Long, nDst: Long,
-      missingInDst: Long, extraInDst: Long, checksumsMatch: Boolean) {
+      missingInDst: Long, extraInDst: Long, schemaMatches: Boolean,
+      checksumsMatch: Boolean) {
     def consistent: Boolean =
-      nSrc == nDst && missingInDst == 0 && extraInDst == 0 && checksumsMatch
+      nSrc == nDst && missingInDst == 0 && extraInDst == 0 &&
+        schemaMatches && checksumsMatch
   }
 
-  /** Consistency check: row counts, key-set diff in both directions, and
-    * an order-independent value checksum over the shared columns. Every
+  /** Consistency check: column-set compare, row counts, key-set diff in
+    * both directions, and an order-independent value checksum over the
+    * shared columns. A destination that lost or gained whole columns is
+    * inconsistent even when every shared value matches — silently
+    * narrowing to the intersection would green-light schema drift. Every
     * probe is a distributed aggregate/anti-join — nothing row-wise ever
     * reaches the driver, so the check runs at full table scale. */
   def consistencyCheck(src: DataFrame, dst: DataFrame,
@@ -78,7 +86,9 @@ object Replication {
       nDst = dst.count(),
       missingInDst = src.select(col(key)).except(dst.select(col(key))).count(),
       extraInDst = dst.select(col(key)).except(src.select(col(key))).count(),
-      checksumsMatch = checksum(src.select(common.map(col): _*)) ==
-        checksum(dst.select(common.map(col): _*)))
+      schemaMatches = src.columns.sorted.sameElements(dst.columns.sorted),
+      checksumsMatch = common.nonEmpty &&
+        checksum(src.select(common.map(col): _*)) ==
+          checksum(dst.select(common.map(col): _*)))
   }
 }

@@ -22,6 +22,10 @@ import org.apache.spark.sql.types.DoubleType
 object Joins {
   type Q = (SparkSession, String) => DataFrame
 
+  /** One bucket-table location per JVM (J12 overwrites it in place). */
+  private lazy val bucketDir: String =
+    java.nio.file.Files.createTempDirectory("graft_bucket").toString
+
   val queries: Map[String, Q] = Map(
     // J1: PK-FK equi join, aggregated to revenue per nation (TPC-H Q5-ish).
     "join_inner_equi" -> ((s, dir) => {
@@ -122,17 +126,18 @@ object Joins {
     // The merge hint keeps the 150-row harness input honest (it would
     // otherwise broadcast and hide the co-location).
     "join_bucketed_colocated" -> ((s, dir) => {
-      val id = java.util.UUID.randomUUID.toString.replace("-", "").take(8)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+      // fixed table names + per-JVM path: repeated invocations (Verify,
+      // Bench, specs) overwrite in place instead of accreting catalog
+      // entries and temp dirs for the session lifetime
       Tables.t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
         .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .option("path", s"$tmp/c").mode("overwrite").saveAsTable(s"bkt_c_$id")
+        .option("path", s"$bucketDir/c").mode("overwrite").saveAsTable("graft_bkt_c")
       Tables.t(s, dir, "orders").filter(col("o_orderkey") % 100 === 0)
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"))
         .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .option("path", s"$tmp/o").mode("overwrite").saveAsTable(s"bkt_o_$id")
-      val bc = s.table(s"bkt_c_$id")
-      val bo = s.table(s"bkt_o_$id")
+        .option("path", s"$bucketDir/o").mode("overwrite").saveAsTable("graft_bkt_o")
+      val bc = s.table("graft_bkt_c")
+      val bo = s.table("graft_bkt_o")
       bc.hint("merge").join(bo, bc("c_custkey") === bo("o_custkey"))
         .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
           col("o_orderstatus"))

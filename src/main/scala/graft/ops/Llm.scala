@@ -400,9 +400,13 @@ object Llm {
         .select(col("doc_id"), col("text"))
         .withColumn("n_frames",
           ceil(length(col("text")).cast(DoubleType) / 64).cast(LongType))
+        // empty-text guard: Spark sequence(0, -1) yields a DESCENDING
+        // [0, -1] (DuckDB generate_series yields []) — mirror the
+        // shinglesFromWords empty-case so both engines agree on []
         .withColumn("sampled", expr(
-          """transform(filter(sequence(0, CAST(n_frames AS INT) - 1),
-               i -> i % 4 = 0), i -> substring(text, i*64 + 1, 64))"""))
+          """CASE WHEN n_frames < 1 THEN array() ELSE
+               transform(filter(sequence(0, CAST(n_frames AS INT) - 1),
+                 i -> i % 4 = 0), i -> substring(text, i*64 + 1, 64)) END"""))
         .select(col("doc_id"), col("n_frames"),
           size(col("sampled")).cast(LongType).as("n_sampled"),
           expr("""aggregate(transform(sampled,

@@ -33,9 +33,11 @@ object StreamingOps {
     event_type: String, value: Double, props: String)
 
   /** Per-user running-counter state for ST7: row count, decimal total
-    * (order-independent accumulation), and the currently registered
-    * eviction timer (0 = none). */
-  case class RunState(n: Long, tot: java.math.BigDecimal, timerTs: Long)
+    * (order-independent accumulation), the key's ALL-TIME newest event
+    * time (a late batch must never regress the eviction horizon), and the
+    * currently registered eviction timer (0 = none). */
+  case class RunState(n: Long, tot: java.math.BigDecimal, maxTs: Long,
+    timerTs: Long)
 
   /** ST7's StatefulProcessor (Spark 4.x transformWithState API, SURVEY
     * §2.8). State is BOUNDED by an event-time timer: each batch re-arms a
@@ -56,10 +58,12 @@ object StreamingOps {
     override def handleInputRows(uid: Long, rows: Iterator[Ev],
         timerValues: TimerValues): Iterator[(Long, Long, java.math.BigDecimal)] = {
       val prev = if (state.exists()) state.get()
-                 else RunState(0L, java.math.BigDecimal.ZERO, 0L)
+                 else RunState(0L, java.math.BigDecimal.ZERO, 0L, 0L)
       var n = prev.n
       var tot = prev.tot
-      var maxTs = 0L
+      // horizon from the ALL-TIME newest event: a late batch whose rows
+      // predate earlier ones must not pull the eviction timer earlier
+      var maxTs = prev.maxTs
       rows.foreach { e =>
         n += 1
         tot = tot.add(java.math.BigDecimal.valueOf(e.value))
@@ -68,7 +72,7 @@ object StreamingOps {
       if (prev.timerTs > 0) getHandle.deleteTimer(prev.timerTs)
       val timerTs = maxTs + 35L * 86400000L
       getHandle.registerTimer(timerTs)
-      state.update(RunState(n, tot, timerTs))
+      state.update(RunState(n, tot, maxTs, timerTs))
       Iterator((uid, n, tot))
     }
 
@@ -142,36 +146,42 @@ object StreamingOps {
     * holding their latest-wins collapse (tombstones KEPT — they must keep
     * cancelling older epochs that were folded into the baseline; the final
     * read drops them). Bounds the delta count for long-running streams:
-    * without it readLatestState folds an ever-growing epoch list. Writes
-    * to a side dir first, then swaps — at every instant either the original
-    * epochs or the complete baseline exist on disk. Same role as a
-    * ReplacingMergeTree background merge. readLatestState is unchanged:
-    * collapse(compact(x)) == collapse(x).
+    * without it readLatestState folds an ever-growing epoch list. Same
+    * role as a ReplacingMergeTree background merge. readLatestState is
+    * unchanged: collapse(compact(x)) == collapse(x).
+    *
+    * Crash safety, in order:
+    *  - the baseline is built in an underscore-prefixed dir INSIDE the
+    *    state root (parquet readers skip `_`-hidden paths), then renamed
+    *    visible BEFORE any old epoch is deleted — at every instant the
+    *    visible dirs collapse to the full state (duplication is harmless:
+    *    latest-wins is idempotent);
+    *  - the baseline's epoch id is a unique NEGATIVE number. Micro-batch
+    *    ids are non-negative, so an at-least-once replay of the last
+    *    uncommitted epoch can never overwrite a baseline; uniqueness means
+    *    a baseline left by a crashed compaction is just another epoch dir
+    *    folded by the next run, never a rename collision.
     */
   private[graft] def compactState(s: SparkSession, state: String): Unit = {
     val dir = new java.io.File(state)
-    val epochs = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
-    if (epochs.length <= 1) return
-    // The baseline lives at epoch=-1: micro-batch ids are non-negative, so
-    // an at-least-once REPLAY of the last uncommitted epoch (crash between
-    // sink write and offset commit) can never overwrite the baseline with
-    // a single batch's delta — it lands on its own epoch dir and the
-    // read-time collapse stays total. Naming the baseline after a real
-    // epoch id would lose all folded history on exactly that replay.
-    val side = new java.io.File(state + ".compacting")
+    def epochDirs(): Array[java.io.File] =
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+    val old = epochDirs()
+    if (old.length <= 1) return
+    val baseEpoch = -System.currentTimeMillis()
+    val side = new java.io.File(dir, "_compacting")
     collapse(s.read.parquet(state).select(
       col("op"), col("seq"), col("ts"), col("okey"), col("price"), col("status")))
-      .write.mode("overwrite").parquet(s"$side/epoch=-1")
+      .write.mode("overwrite").parquet(s"$side/epoch=$baseEpoch")
+    require(new java.io.File(side, s"epoch=$baseEpoch")
+      .renameTo(new java.io.File(dir, s"epoch=$baseEpoch")),
+      s"compaction could not publish baseline epoch=$baseEpoch under $state")
     def rmr(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr)
       f.delete(); ()
     }
-    epochs.foreach(rmr)
-    side.listFiles().foreach { e =>
-      require(e.renameTo(new java.io.File(dir, e.getName)),
-        s"compaction swap failed for $e")
-    }
+    old.foreach(rmr) // every old dir is folded into the published baseline
     rmr(side)
   }
 

@@ -62,5 +62,11 @@ class ReplicationSpec extends SparkTestBase {
     val lossy = src.filter(col("n_nationkey") =!= 3)
     val l = Replication.consistencyCheck(src, lossy, "n_nationkey")
     assert(l.missingInDst == 1 && l.extraInDst == 0 && !l.consistent)
+
+    // schema drift: a destination missing a whole column must NOT pass
+    // just because every shared value matches
+    val drifted = src.drop("n_name")
+    val d = Replication.consistencyCheck(src, drifted, "n_nationkey")
+    assert(!d.schemaMatches && !d.consistent)
   }
 }
