@@ -391,6 +391,32 @@ object StreamingOps {
       }
     }),
 
+    // ST9: stream-stream inner join — enrich each purchase with the same
+    // user's clicks in the preceding hour. Both sides are watermarked and
+    // the join carries an event-time range condition, so buffered rows
+    // are EVICTABLE once the watermark passes (bounded join state — the
+    // only formulation that survives unbounded streams). Inner-join
+    // append mode emits every matched pair exactly once; the oracle is
+    // the equivalent batch interval join.
+    "stream_stream_join" -> ((s, dir) => {
+      val (tmp, ev) = eventWaves(s, dir)
+      def src() = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+      val purchases = src().filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "60 days")
+      val clicks = src().filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "60 days")
+      val joined = purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+        .select(col("p_id"), col("c_id"), col("user_id"))
+      runToMemory(joined, "append").orderBy(col("p_id"), col("c_id"))
+    }),
+
     // ST8: exactly-once restart — run, stop, deliver more data, resume from
     // the same checkpoint; the epoch-keyed sink holds each row exactly once.
     "stream_checkpoint_resume" -> ((s, dir) => {
@@ -465,6 +491,14 @@ object StreamingOps {
            CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
              AS total
          FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "stream_stream_join" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id
+         FROM events p JOIN events c
+           ON p.user_id = c.user_id
+          AND p.event_type = 'purchase' AND c.event_type = 'click'
+          AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+         ORDER BY p_id, c_id""",
 
     "stream_checkpoint_resume" ->
       """SELECT event_type, count(*) AS n,
