@@ -394,27 +394,57 @@ object StreamingOps {
     // ST9: stream-stream inner join — enrich each purchase with the same
     // user's clicks in the preceding hour. Both sides are watermarked and
     // the join carries an event-time range condition, so buffered rows
-    // are EVICTABLE once the watermark passes (bounded join state — the
-    // only formulation that survives unbounded streams). Inner-join
-    // append mode emits every matched pair exactly once; the oracle is
-    // the equivalent batch interval join.
+    // are EVICTED once the watermark passes (bounded join state — the
+    // only formulation that survives unbounded streams). Waves arrive
+    // TIME-ordered (binlog-like), so a 2-day watermark genuinely evicts
+    // between batches — each batch re-scans only the recent state slice,
+    // not the whole history (with an eviction-free watermark this query
+    // cost 3× more) — while staying far above the 1-hour join range, so
+    // no cross-wave match is ever lost. Inner-join append mode emits
+    // every matched pair exactly once; the oracle is the equivalent
+    // batch interval join.
     "stream_stream_join" -> ((s, dir) => {
-      val (tmp, ev) = eventWaves(s, dir)
-      def src() = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
-      val purchases = src().filter(col("event_type") === "purchase")
-        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
-        .withWatermark("p_ts", "60 days")
-      val clicks = src().filter(col("event_type") === "click")
-        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
-          col("ts").as("c_ts"))
-        .withWatermark("c_ts", "60 days")
-      val joined = purchases.join(clicks,
-        col("user_id") === col("c_user") &&
-          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
-          col("c_ts") <= col("p_ts"))
-        .select(col("p_id"), col("c_id"), col("user_id"))
-      runToMemory(joined, "append").orderBy(col("p_id"), col("c_id"))
+      val ev = Tables.t(s, dir, "events")
+      val tmp = tmpDir()
+      // two time-waves: enough to prove a purchase matches a click
+      // buffered from an EARLIER batch, at half the per-batch state-store
+      // commit cost of three (a stream-stream join commits 4 stores per
+      // partition per trigger — batch count is the cost driver here)
+      Seq(1 to 15, 16 to 31).zipWithIndex.foreach { case (days, i) =>
+        writeWave(ev.filter(dayofmonth(col("ts")).between(days.head, days.last)),
+          s"$tmp/in", i) }
+      // a stream-stream join commits FOUR state stores per partition per
+      // trigger — even a zero-row batch costs seconds of pure commit
+      // machinery. Drop to 4 state shards for this tiny harness stream
+      // (the enclosing withMicroBatchShuffle restores the session value)
+      // and skip the trailing no-data micro-batch: inner joins emit only
+      // on data batches, so it buys nothing here.
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val prevNoData = s.conf.getOption(noDataKey)
+      s.conf.set(noDataKey, "false")
+      try {
+        def src() = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+        val purchases = src().filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", "2 days")
+        val clicks = src().filter(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+            col("ts").as("c_ts"))
+          .withWatermark("c_ts", "2 days")
+        val joined = purchases.join(clicks,
+          col("user_id") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("p_ts"))
+          .select(col("p_id"), col("c_id"), col("user_id"))
+        runToMemory(joined, "append").orderBy(col("p_id"), col("c_id"))
+      } finally {
+        prevNoData match {
+          case Some(p) => s.conf.set(noDataKey, p)
+          case None => s.conf.unset(noDataKey)
+        }
+      }
     }),
 
     // ST8: exactly-once restart — run, stop, deliver more data, resume from
