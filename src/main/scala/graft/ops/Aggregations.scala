@@ -181,6 +181,34 @@ object Aggregations {
         .orderBy(col("okey"))
     }),
 
+    // A13: ClickHouse windowFunnel semantics — per user, the deepest
+    // prefix of the view -> click -> purchase chain reached in order,
+    // with the whole chain inside a 7-day window from the first view.
+    // Step times are earliest-qualifying (min ts after the previous
+    // step), so the result is deterministic. Shape: three keyed
+    // aggregates + two equi-joins on user_id — shuffles on user only.
+    "agg_window_funnel" -> ((s, dir) => {
+      val ev = Tables.t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = ev.filter(col("event_type") === "click").as("e")
+        .join(v.as("v"), col("e.user_id") === col("v.user_id") &&
+          col("e.ts") > col("v.t1"))
+        .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.ts")).as("t2"))
+      val p = ev.filter(col("event_type") === "purchase").as("e")
+        .join(c.as("c"), col("e.user_id") === col("c.user_id") &&
+          col("e.ts") > col("c.t2"))
+        .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.ts")).as("t3"))
+      val win = expr("INTERVAL 7 DAYS")
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(col("t3").isNotNull && col("t3") <= col("t1") + win, 3)
+            .when(col("t2").isNotNull && col("t2") <= col("t1") + win, 2)
+            .otherwise(1).as("funnel_depth"))
+        .orderBy(col("user_id"))
+    }),
+
     // A10: statistical aggregates — genuinely floating, so rounded to a
     // fixed scale on both sides (see Tables determinism policy).
     "agg_stats" -> ((s, dir) =>
@@ -303,6 +331,23 @@ object Aggregations {
                        FROM evolved)
          SELECT okey, op, price, status, ts, channel FROM ranked
          WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
+
+    "agg_window_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                  JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+                  WHERE e.event_type = 'click' GROUP BY e.user_id),
+            p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                  JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+                  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+         SELECT v.user_id,
+           CASE WHEN p.t3 IS NOT NULL AND p.t3 <= v.t1 + INTERVAL 7 DAY THEN 3
+                WHEN c.t2 IS NOT NULL AND c.t2 <= v.t1 + INTERVAL 7 DAY THEN 2
+                ELSE 1 END AS funnel_depth
+         FROM v LEFT JOIN c ON v.user_id = c.user_id
+                LEFT JOIN p ON v.user_id = p.user_id
+         ORDER BY v.user_id""",
 
     "agg_stats" ->
       """SELECT l_returnflag,
