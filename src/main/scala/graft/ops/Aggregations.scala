@@ -182,30 +182,41 @@ object Aggregations {
     }),
 
     // A13: ClickHouse windowFunnel semantics — per user, the deepest
-    // prefix of the view -> click -> purchase chain reached in order,
-    // with the whole chain inside a 7-day window from the first view.
-    // Step times are earliest-qualifying (min ts after the previous
-    // step), so the result is deterministic. Shape: three keyed
-    // aggregates + two equi-joins on user_id — shuffles on user only.
+    // view -> click -> purchase prefix reached in order inside a 7-day
+    // window. Faithful to the reference function: EVERY view anchors a
+    // candidate chain (anchoring only the first view underreports depth —
+    // 16% of users on this fixture), equal timestamps chain (default
+    // mode, not strict_increase), and users with events but no view
+    // report level 0 instead of vanishing. Step times are
+    // earliest-qualifying minimums per anchor; user depth is the max over
+    // anchors. Shape: per-user equi-joins with range residuals — the
+    // pair count per user is bounded by per-user activity, and every
+    // shuffle is on user_id.
     "agg_window_funnel" -> ((s, dir) => {
       val ev = Tables.t(s, dir, "events")
         .select(col("user_id"), col("event_type"), col("ts"))
-      val v = ev.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-      val c = ev.filter(col("event_type") === "click").as("e")
-        .join(v.as("v"), col("e.user_id") === col("v.user_id") &&
-          col("e.ts") > col("v.t1"))
-        .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.ts")).as("t2"))
-      val p = ev.filter(col("event_type") === "purchase").as("e")
-        .join(c.as("c"), col("e.user_id") === col("c.user_id") &&
-          col("e.ts") > col("c.t2"))
-        .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.ts")).as("t3"))
       val win = expr("INTERVAL 7 DAYS")
-      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
-        .select(col("user_id"),
-          when(col("t3").isNotNull && col("t3") <= col("t1") + win, 3)
-            .when(col("t2").isNotNull && col("t2") <= col("t1") + win, 2)
-            .otherwise(1).as("funnel_depth"))
+      val anchors = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("t1")).distinct()
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("cts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("pts"))
+      val a2 = anchors.join(clicks,
+          col("user_id") === col("cu") &&
+            col("cts") >= col("t1") && col("cts") <= col("t1") + win, "left")
+        .groupBy(col("user_id"), col("t1")).agg(min(col("cts")).as("t2"))
+      val a3 = a2.join(purchases,
+          col("user_id") === col("pu") && col("t2").isNotNull &&
+            col("pts") >= col("t2") && col("pts") <= col("t1") + win, "left")
+        .groupBy(col("user_id"), col("t1"), col("t2")).agg(min(col("pts")).as("t3"))
+      val depths = a3.select(col("user_id"),
+        when(col("t3").isNotNull, 3)
+          .when(col("t2").isNotNull, 2).otherwise(1).as("d"))
+        .groupBy(col("user_id")).agg(max(col("d")).as("vd"))
+      ev.select(col("user_id")).distinct()
+        .join(depths, Seq("user_id"), "left")
+        .select(col("user_id"), coalesce(col("vd"), lit(0)).as("funnel_depth"))
         .orderBy(col("user_id"))
     }),
 
@@ -333,21 +344,27 @@ object Aggregations {
          WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
 
     "agg_window_funnel" ->
-      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
-                    WHERE event_type = 'view' GROUP BY user_id),
-            c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
-                  JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
-                  WHERE e.event_type = 'click' GROUP BY e.user_id),
-            p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
-                  JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
-                  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
-         SELECT v.user_id,
-           CASE WHEN p.t3 IS NOT NULL AND p.t3 <= v.t1 + INTERVAL 7 DAY THEN 3
-                WHEN c.t2 IS NOT NULL AND c.t2 <= v.t1 + INTERVAL 7 DAY THEN 2
-                ELSE 1 END AS funnel_depth
-         FROM v LEFT JOIN c ON v.user_id = c.user_id
-                LEFT JOIN p ON v.user_id = p.user_id
-         ORDER BY v.user_id""",
+      """WITH anchors AS (SELECT DISTINCT user_id, ts AS t1 FROM events
+                          WHERE event_type = 'view'),
+            a2 AS (SELECT a.user_id, a.t1, min(c.ts) AS t2
+                   FROM anchors a LEFT JOIN events c
+                     ON c.user_id = a.user_id AND c.event_type = 'click'
+                    AND c.ts >= a.t1 AND c.ts <= a.t1 + INTERVAL 7 DAY
+                   GROUP BY a.user_id, a.t1),
+            a3 AS (SELECT a.user_id, a.t1, a.t2, min(p.ts) AS t3
+                   FROM a2 a LEFT JOIN events p
+                     ON p.user_id = a.user_id AND p.event_type = 'purchase'
+                    AND a.t2 IS NOT NULL
+                    AND p.ts >= a.t2 AND p.ts <= a.t1 + INTERVAL 7 DAY
+                   GROUP BY a.user_id, a.t1, a.t2),
+            depths AS (SELECT user_id, max(CASE WHEN t3 IS NOT NULL THEN 3
+                                                WHEN t2 IS NOT NULL THEN 2
+                                                ELSE 1 END) AS vd
+                       FROM a3 GROUP BY user_id)
+         SELECT u.user_id, coalesce(d.vd, 0) AS funnel_depth
+         FROM (SELECT DISTINCT user_id FROM events) u
+         LEFT JOIN depths d ON u.user_id = d.user_id
+         ORDER BY u.user_id""",
 
     "agg_stats" ->
       """SELECT l_returnflag,
