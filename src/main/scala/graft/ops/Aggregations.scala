@@ -220,6 +220,24 @@ object Aggregations {
         .orderBy(col("user_id"))
     }),
 
+    // A14: ClickHouse `retention` semantics — per user, did the first-week
+    // condition hold, and did the user return in each later week; summed
+    // into the cohort retention curve. Two hash aggregates, both keyed —
+    // the per-user flag table shuffles on user_id, the curve is a single
+    // partial-aggregated rollup.
+    "agg_retention" -> ((s, dir) => {
+      def wk(lo: Int, hi: Int) =
+        max(when(dayofmonth(col("ts")).between(lo, hi), 1).otherwise(0))
+      Tables.t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(wk(1, 7).as("w1"), wk(8, 14).as("w2"),
+          wk(15, 21).as("w3"), wk(22, 28).as("w4"))
+        .agg(sum(col("w1")).as("r1"),
+          sum(col("w1") * col("w2")).as("r2"),
+          sum(col("w1") * col("w3")).as("r3"),
+          sum(col("w1") * col("w4")).as("r4"))
+    }),
+
     // A10: statistical aggregates — genuinely floating, so rounded to a
     // fixed scale on both sides (see Tables determinism policy).
     "agg_stats" -> ((s, dir) =>
@@ -365,6 +383,19 @@ object Aggregations {
          FROM (SELECT DISTINCT user_id FROM events) u
          LEFT JOIN depths d ON u.user_id = d.user_id
          ORDER BY u.user_id""",
+
+    "agg_retention" ->
+      """WITH f AS (SELECT user_id,
+             max(CASE WHEN day(ts) BETWEEN 1 AND 7 THEN 1 ELSE 0 END) AS w1,
+             max(CASE WHEN day(ts) BETWEEN 8 AND 14 THEN 1 ELSE 0 END) AS w2,
+             max(CASE WHEN day(ts) BETWEEN 15 AND 21 THEN 1 ELSE 0 END) AS w3,
+             max(CASE WHEN day(ts) BETWEEN 22 AND 28 THEN 1 ELSE 0 END) AS w4
+           FROM events GROUP BY user_id)
+         SELECT CAST(sum(w1) AS BIGINT) AS r1,
+                CAST(sum(w1 * w2) AS BIGINT) AS r2,
+                CAST(sum(w1 * w3) AS BIGINT) AS r3,
+                CAST(sum(w1 * w4) AS BIGINT) AS r4
+         FROM f""",
 
     "agg_stats" ->
       """SELECT l_returnflag,
