@@ -86,6 +86,13 @@ class PlanSpec extends SparkTestBase {
       s"unbounded cartesian in IVF path:\n$plan")
   }
 
+  test("windowFunnel anchors join on user with range residuals, no cartesian") {
+    val plan = physical("agg_window_funnel")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"funnel chain lost its user_id equi conjunct:\n$plan")
+  }
+
   test("aggregation is partial (map-side) before the shuffle") {
     val plan = physical("agg_hash_groupby")
     assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
