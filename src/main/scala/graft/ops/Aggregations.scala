@@ -246,7 +246,9 @@ object Aggregations {
         .agg(
           round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
           round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("p25_qty"),
           round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+          round(expr("percentile(l_quantity, 0.75)"), 4).as("p75_qty"),
           round(avg(col("l_quantity")), 4).as("avg_qty"))
         .orderBy(col("l_returnflag")))
   )
@@ -401,7 +403,9 @@ object Aggregations {
       """SELECT l_returnflag,
            round(stddev_samp(l_quantity), 4) AS sd_qty,
            round(var_samp(l_quantity), 4) AS var_qty,
+           round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty,
            round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+           round(quantile_cont(l_quantity, 0.75), 4) AS p75_qty,
            round(avg(l_quantity), 4) AS avg_qty
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
   )

@@ -29,6 +29,9 @@ object Functions {
           regexp_replace(col("source"), "src", "S").as("source_s"),
           trim(concat(lit("  "), col("lang"), lit("  "))).as("lang_trim"),
           regexp_extract(col("text"), "([a-z]+)", 1).as("first_word"),
+          reverse(col("lang")).as("lang_rev"),
+          expr("repeat(lang, 2)").as("lang_x2"),
+          expr("left(text, 5)").as("head5"),
           size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
         .orderBy(col("doc_id"))),
 
@@ -130,6 +133,9 @@ object Functions {
            regexp_replace(source, 'src', 'S') AS source_s,
            trim('  ' || lang || '  ') AS lang_trim,
            regexp_extract(text, '([a-z]+)', 1) AS first_word,
+           reverse(lang) AS lang_rev,
+           repeat(lang, 2) AS lang_x2,
+           left(text, 5) AS head5,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
          FROM documents ORDER BY doc_id""",
 

@@ -49,6 +49,32 @@ object Scans {
       new graft.sources.ParquetSource(dir).snapshot(s, "customer")
         .orderBy(col("c_custkey"))),
 
+    // S9: JSON change-event envelope — the production wire format (a
+    // Kafka+Debezium value column is a JSON string). The log is rendered
+    // to JSON lines, parsed back with an explicit schema via from_json
+    // (never schema inference on a stream), and collapsed latest-wins.
+    // Round-trip is exact: doubles serialize shortest-round-trip, UTC
+    // timestamps as ISO instants, null fields (delete images) omitted
+    // and read back as null.
+    "scan_cdc_json_envelope" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val log = Tables.cdcLog(s, dir)
+      val wire = log.select(to_json(struct(col("op"), col("seq"), col("ts"),
+        col("okey"), col("price"), col("status"))).as("value"))
+      val envelope = StructType(Seq(
+        StructField("op", StringType), StructField("seq", LongType),
+        StructField("ts", TimestampType), StructField("okey", LongType),
+        StructField("price", DoubleType), StructField("status", StringType)))
+      wire.select(from_json(col("value"), envelope).as("e")).select(col("e.*"))
+        .groupBy(col("okey"))
+        .agg(max_by(struct(col("op"), col("price"), col("status"), col("ts")),
+          col("seq")).as("l"))
+        .select(col("okey"), col("l.op").as("op"), col("l.price").as("price"),
+          col("l.status").as("status"), col("l.ts").as("ts"))
+        .filter(col("op") =!= "D")
+        .orderBy(col("okey"))
+    }),
+
     // S7: partitioned sink + partition-pruned scan. Events are written
     // hive-partitioned by event_type; the filtered read-back must list
     // and read ONLY the matching partition directory (PartitionFilters
@@ -105,6 +131,13 @@ object Scans {
 
     "scan_jdbc" ->
       "SELECT * FROM customer ORDER BY c_custkey",
+
+    "scan_cdc_json_envelope" ->
+      s"""WITH cdc_log AS (${Tables.cdcLogSql}),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM cdc_log)
+         SELECT okey, op, price, status, ts FROM ranked
+         WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
 
     "sink_partitioned_pruning" ->
       """SELECT event_type, count(*) AS n,
