@@ -92,11 +92,39 @@ object StreamingOps {
       .select(col("okey"), col("l.op").as("op"), col("l.price").as("price"),
         col("l.status").as("status"), col("l.ts").as("ts"), col("l.seq").as("seq"))
 
-  private def tmpDir(): String =
-    Files.createTempDirectory("graft_stream").toString
+  /** Temp dirs created by streaming queries (waves, checkpoints, epoch
+    * state). Deleted on JVM exit — repeated Bench/Verify rounds otherwise
+    * accumulate gigabytes of orphaned full-table copies under /tmp. */
+  private val tmpDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  sys.addShutdownHook {
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr)
+      f.delete(); ()
+    }
+    tmpDirs.forEach(d => rmr(new java.io.File(d)))
+  }
+
+  private def tmpDir(): String = {
+    val d = Files.createTempDirectory("graft_stream").toString
+    tmpDirs.add(d)
+    d
+  }
 
   private def memName(): String =
     "m" + UUID.randomUUID.toString.replace("-", "")
+
+  /** Run `body` with session confs temporarily overridden, restoring each
+    * key's previous value (or unsetting it) afterwards — the one place the
+    * save/set/restore dance lives, so a scoped conf can't forget its
+    * restore. */
+  private def withConfs[T](s: SparkSession, kvs: (String, String)*)(body: => T): T = {
+    val prev = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
+    kvs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
 
   /** Fixed mtime base for wave stamping (an arbitrary past instant). */
   private val WaveBase = 1000000000000L
@@ -107,6 +135,10 @@ object StreamingOps {
     * out of wave order; explicit stamps make wave order deterministic.
     */
   private[graft] def writeWave(df: DataFrame, in: String, wave: Int): Unit = {
+    // stamps live below WaveBase + 1 day; a wave index at or past 1440
+    // would cross the not-yet-stamped threshold and get re-stamped by the
+    // next call, silently re-interleaving arrival order
+    require(wave >= 0 && wave < 1440, s"wave index $wave out of stamp range")
     df.coalesce(1).write.mode("append").parquet(in)
     new java.io.File(in).listFiles()
       .filter(f => f.getName.endsWith(".parquet") &&
@@ -114,6 +146,14 @@ object StreamingOps {
       .foreach(f => require(f.setLastModified(WaveBase + wave * 60000L),
         s"cannot stamp mtime on $f — wave ordering would be nondeterministic"))
   }
+
+  /** Write `ev` as day-ranged, TIME-ordered waves (binlog-like arrival).
+    * Assumes the single-month fixture: dayofmonth splits order correctly
+    * only when all events share one month. */
+  private def timeWaves(ev: DataFrame, in: String, ranges: Seq[Range]): Unit =
+    ranges.zipWithIndex.foreach { case (days, i) =>
+      writeWave(ev.filter(dayofmonth(col("ts")).between(days.head, days.last)),
+        in, i) }
 
   /** One streaming pass over the files currently in `in`: each micro-batch
     * is collapsed to its own per-key latest rows and written as a DELTA
@@ -220,29 +260,36 @@ object StreamingOps {
     (tmp, ev)
   }
 
-  /** Run `body` with shuffle partitions scoped down for micro-batching.
-    * Every stateful streaming operator commits one state-store file per
-    * shuffle partition per trigger (and transformWithState opens one
-    * RocksDB instance per partition per trigger) — at the bench session's
-    * 32 partitions that is pure fixed overhead for streams holding a few
-    * thousand rows. 8 shards keep identical semantics at a quarter of the
-    * per-trigger commit cost. At production volume this number is sized
-    * UP to match state size (it is frozen by the first run's checkpoint),
-    * not down; the point is that it is sized, not inherited.
+  /** Run `body` with shuffle partitions CAPPED (never raised) for
+    * micro-batching. Every stateful streaming operator commits one
+    * state-store file per shuffle partition per trigger (and
+    * transformWithState opens one RocksDB instance per partition per
+    * trigger) — at the bench session's 32 partitions that is pure fixed
+    * overhead for streams holding a few thousand rows; at the driver's
+    * default 4 the session value is already right and must not be raised.
+    * At production volume this number is sized UP to match state size (it
+    * is frozen by the first run's checkpoint); the point is that it is
+    * sized, not inherited.
     */
   private def withMicroBatchShuffle[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, "8")
-    try body finally s.conf.set(key, prev)
+    val capped = math.min(s.conf.get(key).toInt, 8)
+    withConfs(s, key -> capped.toString)(body)
   }
 
+  /** Drain `df` to a memory sink and return the MATERIALIZED result,
+    * releasing the sink table — memory-sink tables otherwise pin every
+    * streamed result on the driver for the session lifetime. */
   private def runToMemory(df: DataFrame, mode: String): DataFrame = {
     val name = memName()
     val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
     q.processAllAvailable()
     q.stop()
-    df.sparkSession.table(name)
+    val sp = df.sparkSession
+    val out = sp.table(name).cache()
+    out.count() // populate the cache before the sink table goes away
+    sp.catalog.dropTempView(name)
+    out
   }
 
   private val rawQueries: Map[String, Q] = Map(
@@ -288,9 +335,7 @@ object StreamingOps {
     "stream_window_session" -> ((s, dir) => {
       val ev = Tables.t(s, dir, "events")
       val tmp = tmpDir()
-      Seq(1 to 10, 11 to 20, 21 to 31).zipWithIndex.foreach { case (days, i) =>
-        writeWave(ev.filter(dayofmonth(col("ts")).between(days.head, days.last)),
-          s"$tmp/in", i) }
+      timeWaves(ev, s"$tmp/in", Seq(1 to 10, 11 to 20, 21 to 31))
       val st = s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
         .parquet(s"$tmp/in")
       val agg = st.withWatermark("ts", "0 seconds")
@@ -353,18 +398,14 @@ object StreamingOps {
       val sp = s
       import sp.implicits._
       val (tmp, ev) = eventWaves(s, dir)
-      val providerKey = "spark.sql.streaming.stateStore.providerClass"
       // Without changelog checkpointing RocksDB uploads a FULL snapshot of
       // every store on every commit; with it, commits ship only the delta
       // (the production default on managed Spark).
-      val changelogKey =
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
-      val prevProvider = s.conf.getOption(providerKey)
-      val prevChangelog = s.conf.getOption(changelogKey)
-      s.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      s.conf.set(changelogKey, "true")
-      try {
+      withConfs(s,
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+          "true") {
         val st = s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
           .parquet(s"$tmp/in").as[Ev]
           // 60-day delay >> the 31-day fixture span: no row can ever fall
@@ -379,15 +420,6 @@ object StreamingOps {
           .agg(max(col("n")).as("n"),
             max_by(col("total"), col("n")).cast(D2).cast(DoubleType).as("total"))
           .orderBy(col("user_id"))
-      } finally {
-        prevProvider match {
-          case Some(p) => s.conf.set(providerKey, p)
-          case None => s.conf.unset(providerKey)
-        }
-        prevChangelog match {
-          case Some(p) => s.conf.set(changelogKey, p)
-          case None => s.conf.unset(changelogKey)
-        }
       }
     }),
 
@@ -410,20 +442,15 @@ object StreamingOps {
       // buffered from an EARLIER batch, at half the per-batch state-store
       // commit cost of three (a stream-stream join commits 4 stores per
       // partition per trigger — batch count is the cost driver here)
-      Seq(1 to 15, 16 to 31).zipWithIndex.foreach { case (days, i) =>
-        writeWave(ev.filter(dayofmonth(col("ts")).between(days.head, days.last)),
-          s"$tmp/in", i) }
+      timeWaves(ev, s"$tmp/in", Seq(1 to 15, 16 to 31))
       // a stream-stream join commits FOUR state stores per partition per
       // trigger — even a zero-row batch costs seconds of pure commit
       // machinery. Drop to 4 state shards for this tiny harness stream
-      // (the enclosing withMicroBatchShuffle restores the session value)
       // and skip the trailing no-data micro-batch: inner joins emit only
       // on data batches, so it buys nothing here.
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
-      val prevNoData = s.conf.getOption(noDataKey)
-      s.conf.set(noDataKey, "false")
-      try {
+      withConfs(s,
+        "spark.sql.shuffle.partitions" -> "4",
+        "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
         def src() = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
         val purchases = src().filter(col("event_type") === "purchase")
@@ -439,11 +466,6 @@ object StreamingOps {
             col("c_ts") <= col("p_ts"))
           .select(col("p_id"), col("c_id"), col("user_id"))
         runToMemory(joined, "append").orderBy(col("p_id"), col("c_id"))
-      } finally {
-        prevNoData match {
-          case Some(p) => s.conf.set(noDataKey, p)
-          case None => s.conf.unset(noDataKey)
-        }
       }
     }),
 
