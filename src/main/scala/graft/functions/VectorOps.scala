@@ -18,6 +18,13 @@ import org.apache.spark.sql.types._
   * At 100 TB scale this sits in the inner loop of similarity search /
   * near-dup (SURVEY.md §2.9 L2/L3); codegen keeps it inside the
   * WholeStageCodegen span instead of falling back to interpreted HOFs.
+  *
+  * Input contract (embeddings are fixed-width, non-null float vectors):
+  * array ELEMENTS must be non-null (a null element would read as garbage
+  * here but propagate NULL through the oracle's list arithmetic), and
+  * unequal lengths truncate to the shorter input (DuckDB's list_zip pads
+  * with NULL instead). Neither case is reachable from the 64-d embeddings
+  * table; revisit both if this expression is reused on looser schemas.
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
