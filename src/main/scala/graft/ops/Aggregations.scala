@@ -238,6 +238,22 @@ object Aggregations {
           sum(col("w1") * col("w4")).as("r4"))
     }),
 
+    // A15: ClickHouse sequenceMatch('(?1).*(?2)') semantics — per user,
+    // does any view precede (or share a timestamp with, matching the
+    // funnel's default chaining) any purchase. One keyed hash aggregate:
+    // earliest view vs latest purchase decides the pattern for the whole
+    // history without materializing event sequences.
+    "agg_sequence_match" -> ((s, dir) =>
+      Tables.t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+          max(when(col("event_type") === "purchase", col("ts"))).as("last_purchase"))
+        .select(col("user_id"),
+          (col("first_view").isNotNull && col("last_purchase").isNotNull &&
+            col("first_view") <= col("last_purchase")).as("matched"))
+        .orderBy(col("user_id"))),
+
     // A10: statistical aggregates — genuinely floating, so rounded to a
     // fixed scale on both sides (see Tables determinism policy).
     "agg_stats" -> ((s, dir) =>
@@ -398,6 +414,16 @@ object Aggregations {
                 CAST(sum(w1 * w3) AS BIGINT) AS r3,
                 CAST(sum(w1 * w4) AS BIGINT) AS r4
          FROM f""",
+
+    "agg_sequence_match" ->
+      """SELECT user_id,
+           (first_view IS NOT NULL AND last_purchase IS NOT NULL
+            AND first_view <= last_purchase) AS matched
+         FROM (SELECT user_id,
+                 min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+                 max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+               FROM events GROUP BY user_id)
+         ORDER BY user_id""",
 
     "agg_stats" ->
       """SELECT l_returnflag,
