@@ -193,7 +193,12 @@ object Aggregations {
     // pair count per user is bounded by per-user activity, and every
     // shuffle is on user_id.
     "agg_window_funnel" -> ((s, dir) => {
+      // per-user truncated history: every user is this active on the full
+      // fixture, so an unsliced funnel saturates at depth 3 for everyone
+      // and the window/guard logic would be dead in the differential
+      // check — the slice produces depths 0-3
       val ev = Tables.t(s, dir, "events")
+        .filter(dayofmonth(col("ts")) <= (col("user_id") % 28) + 1)
         .select(col("user_id"), col("event_type"), col("ts"))
       val win = expr("INTERVAL 7 DAYS")
       val anchors = ev.filter(col("event_type") === "view")
@@ -228,7 +233,10 @@ object Aggregations {
     "agg_retention" -> ((s, dir) => {
       def wk(lo: Int, hi: Int) =
         max(when(dayofmonth(col("ts")).between(lo, hi), 1).otherwise(0))
+      // per-user truncated history (see agg_window_funnel): unsliced,
+      // every user is active every week and the curve degenerates to N,N,N,N
       Tables.t(s, dir, "events")
+        .filter(dayofmonth(col("ts")) <= (col("user_id") % 28) + 1)
         .groupBy(col("user_id"))
         .agg(wk(1, 7).as("w1"), wk(8, 14).as("w2"),
           wk(15, 21).as("w3"), wk(22, 28).as("w4"))
@@ -244,7 +252,10 @@ object Aggregations {
     // earliest view vs latest purchase decides the pattern for the whole
     // history without materializing event sequences.
     "agg_sequence_match" -> ((s, dir) =>
+      // per-user truncated history (see agg_window_funnel): unsliced,
+      // matched is uniformly true and the pattern logic is dead
       Tables.t(s, dir, "events")
+        .filter(dayofmonth(col("ts")) <= (col("user_id") % 28) + 1)
         .groupBy(col("user_id"))
         .agg(
           min(when(col("event_type") === "view", col("ts"))).as("first_view"),
@@ -380,15 +391,17 @@ object Aggregations {
          WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
 
     "agg_window_funnel" ->
-      """WITH anchors AS (SELECT DISTINCT user_id, ts AS t1 FROM events
-                          WHERE event_type = 'view'),
+      """WITH sliced AS (SELECT * FROM events
+                         WHERE day(ts) <= (user_id % 28) + 1),
+            anchors AS (SELECT DISTINCT user_id, ts AS t1 FROM sliced
+                        WHERE event_type = 'view'),
             a2 AS (SELECT a.user_id, a.t1, min(c.ts) AS t2
-                   FROM anchors a LEFT JOIN events c
+                   FROM anchors a LEFT JOIN sliced c
                      ON c.user_id = a.user_id AND c.event_type = 'click'
                     AND c.ts >= a.t1 AND c.ts <= a.t1 + INTERVAL 7 DAY
                    GROUP BY a.user_id, a.t1),
             a3 AS (SELECT a.user_id, a.t1, a.t2, min(p.ts) AS t3
-                   FROM a2 a LEFT JOIN events p
+                   FROM a2 a LEFT JOIN sliced p
                      ON p.user_id = a.user_id AND p.event_type = 'purchase'
                     AND a.t2 IS NOT NULL
                     AND p.ts >= a.t2 AND p.ts <= a.t1 + INTERVAL 7 DAY
@@ -398,7 +411,7 @@ object Aggregations {
                                                 ELSE 1 END) AS vd
                        FROM a3 GROUP BY user_id)
          SELECT u.user_id, coalesce(d.vd, 0) AS funnel_depth
-         FROM (SELECT DISTINCT user_id FROM events) u
+         FROM (SELECT DISTINCT user_id FROM sliced) u
          LEFT JOIN depths d ON u.user_id = d.user_id
          ORDER BY u.user_id""",
 
@@ -408,7 +421,7 @@ object Aggregations {
              max(CASE WHEN day(ts) BETWEEN 8 AND 14 THEN 1 ELSE 0 END) AS w2,
              max(CASE WHEN day(ts) BETWEEN 15 AND 21 THEN 1 ELSE 0 END) AS w3,
              max(CASE WHEN day(ts) BETWEEN 22 AND 28 THEN 1 ELSE 0 END) AS w4
-           FROM events GROUP BY user_id)
+           FROM events WHERE day(ts) <= (user_id % 28) + 1 GROUP BY user_id)
          SELECT CAST(sum(w1) AS BIGINT) AS r1,
                 CAST(sum(w1 * w2) AS BIGINT) AS r2,
                 CAST(sum(w1 * w3) AS BIGINT) AS r3,
@@ -422,7 +435,8 @@ object Aggregations {
          FROM (SELECT user_id,
                  min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
                  max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
-               FROM events GROUP BY user_id)
+               FROM events WHERE day(ts) <= (user_id % 28) + 1
+               GROUP BY user_id)
          ORDER BY user_id""",
 
     "agg_stats" ->

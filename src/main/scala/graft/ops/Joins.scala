@@ -94,10 +94,14 @@ object Joins {
         .orderBy(col("c_custkey"))
     }),
 
-    // J6: anti — customers with no orders at all (delete reconciliation).
+    // J6: anti — customers with no high-value order (delete
+    // reconciliation shape). The subtrahend is FILTERED so the anti set
+    // is non-empty at every fixture SF: every customer has some order,
+    // and an all-orders anti would compare empty-to-empty — a vacuous
+    // differential check that could never catch an engine divergence.
     "join_left_anti" -> ((s, dir) => {
       val c = Tables.t(s, dir, "customer")
-      val o = Tables.t(s, dir, "orders")
+      val o = Tables.t(s, dir, "orders").filter(col("o_totalprice") > 400000)
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))
@@ -259,7 +263,8 @@ object Joins {
 
     "join_left_anti" ->
       """SELECT c_custkey, c_name FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 400000)
          ORDER BY c_custkey""",
 
     "join_theta_range" ->

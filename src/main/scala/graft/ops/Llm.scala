@@ -445,10 +445,15 @@ object Llm {
         .as[(Long, Array[Byte])]
       bin.mapPartitions(_.map { case (id, bytes) =>
         // stub feature extraction: replace with a real decoder at the same
-        // signature (Iterator[batch] -> Iterator[features]) in production
+        // signature (Iterator[batch] -> Iterator[features]) in production.
+        // n_bytes is true payload byte length; first/last are decoded
+        // CODEPOINTS (BMP; empty -> 0) so the oracle's ascii() agrees on
+        // non-ASCII text too — raw first-byte would diverge the moment a
+        // multi-byte char leads the document.
         val nBytes = bytes.length.toLong
-        val first = if (bytes.nonEmpty) bytes(0).toInt & 0xff else -1
-        val last = if (bytes.nonEmpty) bytes(bytes.length - 1).toInt & 0xff else -1
+        val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        val first = if (text.isEmpty) 0 else text.charAt(0).toInt
+        val last = if (text.isEmpty) 0 else text.charAt(text.length - 1).toInt
         val stub = (nBytes * 31 + first) % 997
         (id, nBytes, first, last, stub)
       }).toDF("doc_id", "n_bytes", "first_byte", "last_byte", "stub_feature")

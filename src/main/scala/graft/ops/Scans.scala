@@ -14,6 +14,16 @@ import org.apache.spark.sql.types.{DateType, DoubleType}
 object Scans {
   type Q = (SparkSession, String) => DataFrame
 
+  // one sink location per JVM, overwritten in place — repeated Verify /
+  // Bench / spec invocations otherwise accrete a fresh full-table copy
+  // under /tmp per call (same pattern as Joins.bucketDir)
+  private lazy val sinkDir: String =
+    java.nio.file.Files.createTempDirectory("graft_sink").toString
+  private lazy val partDir: String =
+    java.nio.file.Files.createTempDirectory("graft_part").toString
+  private lazy val csvDir: String =
+    java.nio.file.Files.createTempDirectory("graft_csv").toString
+
   val queries: Map[String, Q] = Map(
     // S1: full-table scan; Catalyst prunes nothing — the point is the scan.
     "scan_parquet" -> ((s, dir) =>
@@ -37,9 +47,9 @@ object Scans {
     // path (snappy parquet), read the files back; the result must equal
     // the source table bit for bit.
     "sink_parquet" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_sink").toString
-      Tables.t(s, dir, "supplier").write.mode("overwrite").parquet(s"$tmp/supplier")
-      s.read.parquet(s"$tmp/supplier").orderBy(col("s_suppkey"))
+      Tables.t(s, dir, "supplier").write.mode("overwrite")
+        .parquet(s"$sinkDir/supplier")
+      s.read.parquet(s"$sinkDir/supplier").orderBy(col("s_suppkey"))
     }),
 
     // S3: snapshot through the pluggable TableSource abstraction — the
@@ -82,10 +92,9 @@ object Scans {
     // sink by type/date is the difference between scanning one slice and
     // scanning the lake.
     "sink_partitioned_pruning" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
       Tables.t(s, dir, "events")
-        .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
-      s.read.parquet(tmp)
+        .write.mode("overwrite").partitionBy("event_type").parquet(partDir)
+      s.read.parquet(partDir)
         .filter(col("event_type") === "purchase")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -98,14 +107,13 @@ object Scans {
     // writes shortest-round-trip representations); the schema is explicit
     // on read (CSV carries none).
     "sink_csv_roundtrip" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
       Tables.t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
           col("o_orderdate").cast(DateType).as("o_orderdate"))
-        .write.mode("overwrite").option("header", "true").csv(tmp)
+        .write.mode("overwrite").option("header", "true").csv(csvDir)
       s.read
         .schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate DATE")
-        .option("header", "true").csv(tmp)
+        .option("header", "true").csv(csvDir)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
           sum(dec2(col("o_totalprice"))).cast(D2).cast(DoubleType).as("total"),

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import graft.Tables.{dec2, D2}
+import graft.Tables.dec2
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
@@ -70,10 +70,15 @@ object SortSetOps {
     }),
 
     // O6: difference — missing-row detection (dest keys not in source).
+    // The subtrahend is restricted to urgent orders so the difference is
+    // non-empty at every fixture SF (all-orders would diff empty-to-empty
+    // — a vacuous check that can't catch an EXCEPT engine divergence).
     "set_except" -> ((s, dir) => {
       val all = Tables.t(s, dir, "customer").select(col("c_custkey").as("k"))
-      val withOrders = Tables.t(s, dir, "orders").select(col("o_custkey").as("k"))
-      all.except(withOrders).orderBy(col("k"))
+      val withUrgent = Tables.t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("k"))
+      all.except(withUrgent).orderBy(col("k"))
     })
   )
 
@@ -119,7 +124,7 @@ object SortSetOps {
     "set_except" ->
       """SELECT c_custkey AS k FROM customer
          EXCEPT
-         SELECT o_custkey AS k FROM orders
+         SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
          ORDER BY k"""
   )
 }
