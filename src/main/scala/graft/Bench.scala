@@ -13,13 +13,15 @@ object Bench {
     // Warm up the JVM (codegen, parquet reader, shuffle machinery) before
     // timing: otherwise whichever query happens to run first absorbs ~5s
     // of one-time session initialization and benches as a false hot spot.
-    spark.range(1000000L).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
-    // …and the streaming machinery (state store, IncrementalExecution),
-    // which otherwise bills ~3s of one-time init to whichever streaming
-    // query happens to run first.
-    locally {
-      val wtmp = java.nio.file.Files.createTempDirectory("bench_warm").toString
+    // A warmup failure must not abort the bench — per-query timings are
+    // still meaningful (just with init billed to the first queries).
+    try {
+      spark.range(1000000L).selectExpr("sum(id)").collect()
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+      // …and the streaming machinery (state store, IncrementalExecution),
+      // which otherwise bills ~3s of one-time init to whichever streaming
+      // query happens to run first.
+      val wtmp = TmpDirs.create("bench_warm")
       spark.range(100).selectExpr("timestamp_micros(id) AS ts", "id")
         .write.parquet(s"$wtmp/in")
       val q = spark.readStream.schema("ts TIMESTAMP, id BIGINT")
@@ -31,6 +33,11 @@ object Bench {
         .queryName("bench_warmup").start()
       q.processAllAvailable()
       q.stop()
+      spark.catalog.dropTempView("bench_warmup")
+    } catch {
+      case e: Throwable =>
+        System.err.println(
+          s"BENCH WARMUP FAIL: ${e.getClass.getName}: ${e.getMessage}")
     }
     // optional substring filter (local iteration); the driver passes no args
     val filt = args.headOption.getOrElse("")

@@ -76,10 +76,19 @@ object Replication {
   def consistencyCheck(src: DataFrame, dst: DataFrame,
       key: String): ConsistencyReport = {
     val common = src.columns.intersect(dst.columns).sorted.toSeq
-    def checksum(df: DataFrame): Long = {
-      val r = df.select(hash(common.map(col): _*).cast("long").as("h"))
-        .agg(sum(col("h"))).collect()(0)
-      if (r.isNullAt(0)) 0L else r.getLong(0)
+    // Order-independent value checksum: two combined folds of a 64-bit
+    // row hash. A wrapping sum alone is weak — value swaps between rows
+    // that preserve the sum pass undetected — so the XOR fold is compared
+    // too; a silent corruption must now preserve BOTH the sum and the
+    // xor of 64-bit row hashes simultaneously. The sum is carried in
+    // DECIMAL(38,0) because Spark 4's ANSI mode raises on BIGINT
+    // overflow, which a sum of xxhash64 values reaches almost surely.
+    def checksum(df: DataFrame): (BigDecimal, Long) = {
+      val r = df.select(xxhash64(common.map(col): _*).as("h"))
+        .agg(sum(col("h").cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+          expr("bit_xor(h)")).collect()(0)
+      (if (r.isNullAt(0)) BigDecimal(0) else BigDecimal(r.getDecimal(0)),
+        if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     ConsistencyReport(
       nSrc = src.count(),

@@ -22,9 +22,9 @@ import org.apache.spark.sql.types.DoubleType
 object Joins {
   type Q = (SparkSession, String) => DataFrame
 
-  /** One bucket-table location per JVM (J12 overwrites it in place). */
-  private lazy val bucketDir: String =
-    java.nio.file.Files.createTempDirectory("graft_bucket").toString
+  /** One bucket-table location per JVM (J12 overwrites it in place),
+    * deleted on exit via the shared TmpDirs registry. */
+  private lazy val bucketDir: String = graft.TmpDirs.create("graft_bucket")
 
   val queries: Map[String, Q] = Map(
     // J1: PK-FK equi join, aggregated to revenue per nation (TPC-H Q5-ish).

@@ -16,13 +16,11 @@ object Scans {
 
   // one sink location per JVM, overwritten in place — repeated Verify /
   // Bench / spec invocations otherwise accrete a fresh full-table copy
-  // under /tmp per call (same pattern as Joins.bucketDir)
-  private lazy val sinkDir: String =
-    java.nio.file.Files.createTempDirectory("graft_sink").toString
-  private lazy val partDir: String =
-    java.nio.file.Files.createTempDirectory("graft_part").toString
-  private lazy val csvDir: String =
-    java.nio.file.Files.createTempDirectory("graft_csv").toString
+  // under /tmp per call (same pattern as Joins.bucketDir); registered for
+  // deletion on exit via the shared TmpDirs registry
+  private lazy val sinkDir: String = graft.TmpDirs.create("graft_sink")
+  private lazy val partDir: String = graft.TmpDirs.create("graft_part")
+  private lazy val csvDir: String = graft.TmpDirs.create("graft_csv")
 
   val queries: Map[String, Q] = Map(
     // S1: full-table scan; Catalyst prunes nothing — the point is the scan.

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.nio.file.Files
 import java.util.UUID
 
 import graft.Tables
@@ -92,23 +91,7 @@ object StreamingOps {
       .select(col("okey"), col("l.op").as("op"), col("l.price").as("price"),
         col("l.status").as("status"), col("l.ts").as("ts"), col("l.seq").as("seq"))
 
-  /** Temp dirs created by streaming queries (waves, checkpoints, epoch
-    * state). Deleted on JVM exit — repeated Bench/Verify rounds otherwise
-    * accumulate gigabytes of orphaned full-table copies under /tmp. */
-  private val tmpDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-  sys.addShutdownHook {
-    def rmr(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr)
-      f.delete(); ()
-    }
-    tmpDirs.forEach(d => rmr(new java.io.File(d)))
-  }
-
-  private def tmpDir(): String = {
-    val d = Files.createTempDirectory("graft_stream").toString
-    tmpDirs.add(d)
-    d
-  }
+  private def tmpDir(): String = graft.TmpDirs.create("graft_stream")
 
   private def memName(): String =
     "m" + UUID.randomUUID.toString.replace("-", "")
@@ -209,20 +192,23 @@ object StreamingOps {
         .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
     val old = epochDirs()
     if (old.length <= 1) return
-    val baseEpoch = -System.currentTimeMillis()
+    // unique NEGATIVE id, strictly below every existing epoch (including
+    // prior baselines): monotonic by construction, so two back-to-back
+    // compactions can never collide — a wall-clock id could (same-ms runs,
+    // clock step-back onto an existing baseline)
+    val baseEpoch = math.min(-1L,
+      old.map(_.getName.stripPrefix("epoch=").toLong).min - 1L)
     val side = new java.io.File(dir, "_compacting")
-    collapse(s.read.parquet(state).select(
-      col("op"), col("seq"), col("ts"), col("okey"), col("price"), col("status")))
-      .write.mode("overwrite").parquet(s"$side/epoch=$baseEpoch")
-    require(new java.io.File(side, s"epoch=$baseEpoch")
-      .renameTo(new java.io.File(dir, s"epoch=$baseEpoch")),
-      s"compaction could not publish baseline epoch=$baseEpoch under $state")
-    def rmr(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr)
-      f.delete(); ()
-    }
-    old.foreach(rmr) // every old dir is folded into the published baseline
-    rmr(side)
+    import graft.TmpDirs.rmr
+    try {
+      collapse(s.read.parquet(state).select(
+        col("op"), col("seq"), col("ts"), col("okey"), col("price"), col("status")))
+        .write.mode("overwrite").parquet(s"$side/epoch=$baseEpoch")
+      require(new java.io.File(side, s"epoch=$baseEpoch")
+        .renameTo(new java.io.File(dir, s"epoch=$baseEpoch")),
+        s"compaction could not publish baseline epoch=$baseEpoch under $state")
+      old.foreach(rmr) // every old dir is folded into the published baseline
+    } finally rmr(side) // never leave a stale _compacting dir behind
   }
 
   /** Read-time collapse of all epoch deltas into the latest state (A8
@@ -279,16 +265,21 @@ object StreamingOps {
 
   /** Drain `df` to a memory sink and return the MATERIALIZED result,
     * releasing the sink table — memory-sink tables otherwise pin every
-    * streamed result on the driver for the session lifetime. */
+    * streamed result on the driver for the session lifetime. The rows are
+    * lifted into a local DataFrame (no cache, no lingering plan over the
+    * sink): a memory sink already holds the full result on the driver, so
+    * this moves no new data driver-side, and nothing stays pinned once
+    * the caller's query finishes. */
   private def runToMemory(df: DataFrame, mode: String): DataFrame = {
     val name = memName()
     val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
     q.processAllAvailable()
     q.stop()
     val sp = df.sparkSession
-    val out = sp.table(name).cache()
-    out.count() // populate the cache before the sink table goes away
-    sp.catalog.dropTempView(name)
+    val t = sp.table(name)
+    val rows = java.util.Arrays.asList(t.collect(): _*)
+    val out = sp.createDataFrame(rows, t.schema)
+    sp.catalog.dropTempView(name) // sink rows now unreferenced -> GC-able
     out
   }
 
