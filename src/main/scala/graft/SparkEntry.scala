@@ -21,14 +21,16 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Scans.queries ++ Projections.queries ++ Joins.queries ++
-      Aggregations.queries ++ SortSetOps.queries ++ Windows.queries ++
-      Functions.queries ++ Llm.queries ++ graft.streaming.StreamingOps.queries
+      Aggregations.queries ++ Mutations.queries ++ SortSetOps.queries ++
+      Windows.queries ++ Functions.queries ++ Llm.queries ++
+      graft.streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops (driver
     * records a weaker rows-only check for those). */
   def oracleSql: Map[String, String] =
     Scans.oracle ++ Projections.oracle ++ Joins.oracle ++
-      Aggregations.oracle ++ SortSetOps.oracle ++ Windows.oracle ++
-      Functions.oracle ++ Llm.oracle ++ graft.streaming.StreamingOps.oracle
+      Aggregations.oracle ++ Mutations.oracle ++ SortSetOps.oracle ++
+      Windows.oracle ++ Functions.oracle ++ Llm.oracle ++
+      graft.streaming.StreamingOps.oracle
 }

@@ -94,4 +94,48 @@ class OperatorSpec extends SparkTestBase {
     val sizes = out.groupBy("c_mktsegment").count().collect()
     sizes.foreach(r => assert(r.getLong(1) <= 3))
   }
+
+  test("mutation_delete removes exactly the predicate rows from latest state") {
+    val latest = q("agg_latest_by_version")
+    val deleted = latest.filter(col("status") === "F").count()
+    val out = q("mutation_delete")
+    assert(deleted > 0, "predicate matched nothing — the mutation is vacuous")
+    assert(out.filter(col("status") === "F").count() == 0)
+    assert(out.count() == latest.count() - deleted)
+  }
+
+  test("mutation_update rewrites only the matching rows") {
+    val latest = q("agg_latest_by_version")
+      .select(col("okey"), col("price").as("old_price"), col("status"))
+    val joined = q("mutation_update").select(col("okey"), col("price"))
+      .join(latest, "okey")
+    // non-matching rows byte-identical; matching rows exactly old * 1.05
+    assert(joined.filter(col("status") =!= "O" &&
+      col("price") =!= col("old_price")).count() == 0)
+    assert(joined.filter(col("status") === "O" &&
+      col("price") =!= col("old_price") * lit(1.05d)).count() == 0)
+    assert(joined.filter(col("status") === "O").count() > 0,
+      "assignment matched nothing — the mutation is vacuous")
+  }
+
+  test("summing merge of disjoint parts equals the direct aggregate") {
+    val li = Tables.t(spark, sf, "lineitem")
+    val direct = li.groupBy(col("l_suppkey"))
+      .agg(sum(Tables.dec2(col("l_quantity"))).cast(Tables.D2)
+          .cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+    val merged = q("agg_summing_merge")
+      .select(col("l_suppkey"), col("sum_qty"), col("n_rows"))
+    assert(merged.except(direct).count() == 0 &&
+      direct.except(merged).count() == 0)
+  }
+
+  test("ttl and sample filters have real signal (neither empty nor total)") {
+    val all = Tables.t(spark, sf, "events").count()
+    val ttlKept = q("ttl_expiry").agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(ttlKept > 0 && ttlKept < all, s"ttl kept $ttlKept of $all")
+    val sampleKept = q("sample_hash_bucket").agg(sum(col("n")))
+      .collect()(0).getLong(0)
+    assert(sampleKept > 0 && sampleKept < all, s"sample kept $sampleKept of $all")
+  }
 }
