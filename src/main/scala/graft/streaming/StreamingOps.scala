@@ -211,6 +211,45 @@ object StreamingOps {
     } finally rmr(side) // never leave a stale _compacting dir behind
   }
 
+  /** One streaming pass maintaining an incremental MATERIALIZED VIEW of
+    * partial aggregate states (the AggregatingMergeTree analogue): each
+    * micro-batch writes its own per-group partials — count, decimal sum,
+    * min, max, all MERGEABLE — under an epoch-keyed dir. O(batch) work
+    * per trigger regardless of total history, overwrite-per-epoch makes
+    * replay idempotent, and no state store is involved at all: the "state"
+    * is the mergeable partials themselves, exactly how ClickHouse's
+    * materialized views fold inserts into AggregateFunction columns. */
+  private[graft] def runIncrementalAggPass(s: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      in: String, ckpt: String, mv: String): Unit = {
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
+        batch.groupBy(col("event_type"), (col("user_id") % 10).as("user_bucket"))
+          .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).as("tot"),
+            min(col("value")).as("mn"), max(col("value")).as("mx"))
+          .write.mode("overwrite").parquet(s"$mv/epoch=$epochId")
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** Read-time merge of the materialized-view partials: states combine by
+    * sum/sum/min/max (each mergeable — the property the whole pattern
+    * rests on), so the merged view equals the batch aggregate over the
+    * full history no matter how inserts were batched. */
+  private[graft] def mergeIncrementalAgg(s: SparkSession, mv: String): DataFrame =
+    s.read.parquet(mv)
+      .groupBy(col("event_type"), col("user_bucket"))
+      .agg(sum(col("n")).as("n"),
+        sum(col("tot")).cast(D2).cast(DoubleType).as("total"),
+        min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+      .orderBy(col("event_type"), col("user_bucket"))
+
   /** Read-time collapse of all epoch deltas into the latest state (A8
     * semantics; seq is globally monotone per key, so max_by(seq) across
     * epochs is total), tombstones dropped. */
@@ -460,6 +499,17 @@ object StreamingOps {
       }
     }),
 
+    // MV: incremental materialized view (AggregatingMergeTree analogue) —
+    // each micro-batch folds into mergeable per-group partial states; the
+    // served view is the read-time merge. The oracle is the plain batch
+    // GROUP BY over the full history: merging per-batch partials must be
+    // indistinguishable from having aggregated everything at once.
+    "stream_incremental_agg" -> ((s, dir) => {
+      val (tmp, ev) = eventWaves(s, dir)
+      runIncrementalAggPass(s, ev.schema, s"$tmp/in", s"$tmp/ckpt", s"$tmp/mv")
+      mergeIncrementalAgg(s, s"$tmp/mv")
+    }),
+
     // ST8: exactly-once restart — run, stop, deliver more data, resume from
     // the same checkpoint; the epoch-keyed sink holds each row exactly once.
     "stream_checkpoint_resume" -> ((s, dir) => {
@@ -547,7 +597,14 @@ object StreamingOps {
       """SELECT event_type, count(*) AS n,
            CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
              AS total
-         FROM events GROUP BY event_type ORDER BY event_type"""
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "stream_incremental_agg" ->
+      """SELECT event_type, user_id % 10 AS user_bucket, count(*) AS n,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
+             AS total,
+           min(value) AS mn, max(value) AS mx
+         FROM events GROUP BY 1, 2 ORDER BY event_type, user_bucket"""
     // stream_window_session, stream_late_data: non-oracle (watermark
     // arrival-order semantics) — covered by StreamingSpec batch-equivalence.
   )

@@ -57,6 +57,30 @@ class StreamingSpec extends SparkTestBase {
     assert(out.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
   }
 
+  test("incremental agg MV: multi-epoch partials merge to the batch aggregate") {
+    val ev = Tables.t(spark, sf, "events")
+    val tmp = TmpDirs.create("spec_mv")
+    (0 until 3).foreach { i =>
+      val wave = ev.filter(col("event_id") % 3 === i)
+      wave.coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    }
+    graft.streaming.StreamingOps.runIncrementalAggPass(
+      spark, ev.schema, s"$tmp/in", s"$tmp/ckpt", s"$tmp/mv")
+    // real incrementality: more than one epoch contributed partials —
+    // a single-epoch run would make the merge-equals-batch check vacuous
+    val epochs = Option(new java.io.File(s"$tmp/mv").listFiles())
+      .getOrElse(Array.empty).count(_.getName.startsWith("epoch="))
+    assert(epochs > 1, s"expected multiple epoch partials, got $epochs")
+    val merged = graft.streaming.StreamingOps
+      .mergeIncrementalAgg(spark, s"$tmp/mv").collect().map(_.toSeq).toSeq
+    val batch = ev.groupBy(col("event_type"), (col("user_id") % 10).as("user_bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(Tables.dec2(col("value"))).cast(Tables.D2).cast("double").as("total"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"))
+      .orderBy(col("event_type"), col("user_bucket")).collect().map(_.toSeq).toSeq
+    assert(merged == batch)
+  }
+
   test("cdc apply survives kill + resume mid-stream (state on disk, not memory)") {
     import graft.streaming.StreamingOps
     val log = Tables.cdcLog(spark, sf)
