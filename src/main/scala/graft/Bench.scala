@@ -20,20 +20,28 @@ object Bench {
       spark.read.parquet(s"$sfDir/region.parquet").count()
       // …and the streaming machinery (state store, IncrementalExecution),
       // which otherwise bills ~3s of one-time init to whichever streaming
-      // query happens to run first.
+      // query happens to run first. Run once per state-store provider:
+      // the RocksDB native-lib load is its own multi-second one-timer
+      // that would otherwise bill to the first transformWithState query.
       val wtmp = TmpDirs.create("bench_warm")
       spark.range(100).selectExpr("timestamp_micros(id) AS ts", "id")
         .write.parquet(s"$wtmp/in")
-      val q = spark.readStream.schema("ts TIMESTAMP, id BIGINT")
-        .parquet(s"$wtmp/in")
-        .groupBy(org.apache.spark.sql.functions.window(
-          org.apache.spark.sql.functions.col("ts"), "1 minute"))
-        .count()
-        .writeStream.outputMode("complete").format("memory")
-        .queryName("bench_warmup").start()
-      q.processAllAvailable()
-      q.stop()
-      spark.catalog.dropTempView("bench_warmup")
+      for ((provider, tag) <- Seq(
+          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider" -> "hdfs",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider" -> "rocks")) {
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+        val q = spark.readStream.schema("ts TIMESTAMP, id BIGINT")
+          .parquet(s"$wtmp/in")
+          .groupBy(org.apache.spark.sql.functions.window(
+            org.apache.spark.sql.functions.col("ts"), "1 minute"))
+          .count()
+          .writeStream.outputMode("complete").format("memory")
+          .queryName(s"bench_warmup_$tag").start()
+        q.processAllAvailable()
+        q.stop()
+        spark.catalog.dropTempView(s"bench_warmup_$tag")
+      }
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     } catch {
       case e: Throwable =>
         System.err.println(

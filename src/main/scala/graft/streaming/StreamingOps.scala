@@ -276,12 +276,14 @@ object StreamingOps {
     readLatestState(s, s"$tmp/state")
   }
 
-  /** events written as 3 waves (by event_id mod) for micro-batching. */
+  /** events written as 2 waves (by event_id mod) for micro-batching —
+    * enough to prove cross-batch state merging (every group spans both
+    * waves), at the minimum per-trigger state-store commit cost. */
   private def eventWaves(s: SparkSession, dir: String): (String, DataFrame) = {
     val ev = Tables.t(s, dir, "events")
     val tmp = tmpDir()
-    (0 until 3).foreach(i =>
-      writeWave(ev.filter(col("event_id") % 3 === i), s"$tmp/in", i))
+    (0 until 2).foreach(i =>
+      writeWave(ev.filter(col("event_id") % 2 === i), s"$tmp/in", i))
     (tmp, ev)
   }
 
@@ -298,7 +300,7 @@ object StreamingOps {
     */
   private def withMicroBatchShuffle[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
-    val capped = math.min(s.conf.get(key).toInt, 8)
+    val capped = math.min(s.conf.get(key).toInt, 4)
     withConfs(s, key -> capped.toString)(body)
   }
 
@@ -365,7 +367,10 @@ object StreamingOps {
     "stream_window_session" -> ((s, dir) => {
       val ev = Tables.t(s, dir, "events")
       val tmp = tmpDir()
-      timeWaves(ev, s"$tmp/in", Seq(1 to 10, 11 to 20, 21 to 31))
+      // two time-ranged waves: wave 2's arrival advances the watermark and
+      // seals wave-1 sessions (the cross-batch behavior under test); more
+      // waves only add per-trigger state-store commit cost
+      timeWaves(ev, s"$tmp/in", Seq(1 to 15, 16 to 31))
       val st = s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
         .parquet(s"$tmp/in")
       val agg = st.withWatermark("ts", "0 seconds")
@@ -431,11 +436,21 @@ object StreamingOps {
       // Without changelog checkpointing RocksDB uploads a FULL snapshot of
       // every store on every commit; with it, commits ship only the delta
       // (the production default on managed Spark).
+      // noDataMicroBatches off: update mode emits only on data batches,
+      // and no timer can fire mid-run (timers sit 35 days past each key's
+      // newest event; the watermark trails max event time by 60 days) —
+      // the trailing no-data trigger would be one more full RocksDB
+      // commit round buying nothing.
       withConfs(s,
         "spark.sql.streaming.stateStore.providerClass" ->
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
-          "true") {
+          "true",
+        "spark.sql.streaming.noDataMicroBatches.enabled" -> "false",
+        // each shuffle partition opens+commits its own RocksDB instance
+        // per trigger; 150 keys need 2 shards, not 4 (sized, not
+        // inherited — at production cardinality this number scales UP)
+        "spark.sql.shuffle.partitions" -> "2") {
         val st = s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
           .parquet(s"$tmp/in").as[Ev]
           // 60-day delay >> the 31-day fixture span: no row can ever fall
