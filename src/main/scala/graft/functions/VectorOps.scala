@@ -26,8 +26,13 @@ import org.apache.spark.sql.types._
   * with NULL instead). Neither case is reachable from the 64-d embeddings
   * table; revisit both if this expression is reused on looser schemas.
   */
-case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression {
+/** @param approx marks the APPROXIMATE variant (`cosine_sim_approx`):
+  *   numerically identical, but when used as a join predicate it
+  *   licenses [[graft.plans.ApproxSimJoinRewrite]] to prune candidate
+  *   pairs via LSH bucketing — pairs no bucket co-locates may be
+  *   dropped. The exact function never authorizes that rewrite. */
+case class CosineSim(left: Expression, right: Expression,
+    approx: Boolean = false) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
@@ -86,9 +91,13 @@ case class CosineSim(left: Expression, right: Expression)
 object VectorOps {
 
   /** Idempotently register SQL-callable functions on the session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim_approx",
+      exprs => CosineSim(exprs(0), exprs(1), approx = true), "scala_udf")
+  }
 
   /** float[] -> double[] (exact; keeps downstream math engine-portable). */
   def toDouble(c: Column): Column = transform(c, _.cast(DoubleType))

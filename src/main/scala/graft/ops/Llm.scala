@@ -208,6 +208,32 @@ object Llm {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // L2e: the NAIVE similarity-join form — cross join filtered on the
+    // explicitly-approximate cosine_sim_approx marker — handed to the
+    // custom Catalyst rule (graft.plans.ApproxSimJoinRewrite), which
+    // rewrites it into the sign-bucket LSH equi-join shape at OPTIMIZER
+    // level. The declared result therefore exercises the rewritten plan
+    // end-to-end through the driver gate; the oracle computes the same
+    // bucket arithmetic explicitly. Planted perturbed copies (distinct
+    // parameters from L2d) give the threshold real signal. PlanSpec
+    // asserts the cartesian product is gone from the physical plan.
+    "llm_sim_join_rewrite" -> ((s, dir) => {
+      graft.plans.ApproxSimJoinRewrite.install(s)
+      val base = vecs(s, dir)
+      val planted = base.filter(col("vec_id") % 7 === 0).select(
+        (col("vec_id") + 20000).as("vec_id"),
+        concat(slice(col("v"), 1, 1), array(element_at(col("v"), 2) + 0.03),
+          slice(col("v"), 3, 62)).as("v"))
+      val all = base.select(col("vec_id"), col("v")).unionByName(planted)
+      val a = all.select(col("vec_id").as("a_id"), col("v").as("a_v"))
+      val b = all.select(col("vec_id").as("b_id"), col("v").as("b_v"))
+      a.crossJoin(b)
+        .filter(expr("cosine_sim_approx(a_v, b_v) >= 0.9") &&
+          col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), expr("cosine_sim(a_v, b_v)").as("cos"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // L3a: brute-force cosine top-k — query set broadcast against the
     // full vector table (the exact baseline an ANN variant is judged by).
     "llm_sim_topk" -> ((s, dir) => {
@@ -501,6 +527,20 @@ object Llm {
          SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${cosSql("a.v", "b.v")} AS cos
          FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          WHERE ${cosSql("a.v", "b.v")} > 0.9
+         ORDER BY a_id, b_id""",
+
+    // mirrors what ApproxSimJoinRewrite turns the naive cross join into:
+    // bucket both sides, equi-join, exact-cosine confirm
+    "llm_sim_join_rewrite" ->
+      s"""WITH $vecsCte,
+            planted AS (SELECT vec_id + 20000 AS vec_id,
+                          list_concat(list_concat(v[1:1], [v[2] + 0.03]), v[3:64]) AS v
+                        FROM vecs WHERE vec_id % 7 = 0),
+            allv AS (SELECT vec_id, v FROM vecs UNION ALL SELECT vec_id, v FROM planted),
+            bk AS (SELECT vec_id, v, $bucketSql AS bucket FROM allv)
+         SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${cosSql("a.v", "b.v")} AS cos
+         FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         WHERE ${cosSql("a.v", "b.v")} >= 0.9
          ORDER BY a_id, b_id""",
 
     "llm_sim_topk" ->

@@ -37,6 +37,51 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), s"cartesian in LSH path:\n$plan")
   }
 
+  test("approx sim-join rule rewrites the naive cross join to a bucket equi-join") {
+    import graft.plans.ApproxSimJoinRewrite
+    import graft.functions.VectorOps
+    VectorOps.register(spark)
+    def naive() = {
+      val all = Tables.t(spark, sf, "embeddings")
+        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+      val a = all.select(col("vec_id").as("a_id"), col("v").as("a_v"))
+      val b = all.select(col("vec_id").as("b_id"), col("v").as("b_v"))
+      a.crossJoin(b)
+        .filter(expr("cosine_sim_approx(a_v, b_v) >= 0.9") && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"))
+    }
+    // without the rule: the naive form really is a nested-loop cartesian
+    // (this is what the rule saves users from — if this ever stops
+    // holding, the rewrite assertion below proves nothing)
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      saved.filterNot(_ == ApproxSimJoinRewrite)
+    try {
+      val before = naive().queryExecution.executedPlan.toString
+      assert(before.contains("CartesianProduct") ||
+        before.contains("BroadcastNestedLoopJoin"), s"expected cartesian:\n$before")
+    } finally spark.experimental.extraOptimizations = saved
+    ApproxSimJoinRewrite.install(spark)
+    val df = naive()
+    val after = df.queryExecution.executedPlan.toString
+    assert(!after.contains("CartesianProduct") &&
+      !after.contains("BroadcastNestedLoopJoin"), s"rewrite did not fire:\n$after")
+    // and the rewritten plan computes exactly the manual bucketed form
+    val manual = {
+      val all = Tables.t(spark, sf, "embeddings")
+        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+        .withColumn("bucket",
+          (0 until 8).map(j => when(element_at(col("v"), j + 1) > 0, 1 << j)
+            .otherwise(0)).reduce(_ + _))
+      val a = all.select(col("vec_id").as("a_id"), col("v").as("a_v"), col("bucket"))
+      val b = all.select(col("vec_id").as("b_id"), col("v").as("b_v"), col("bucket"))
+      a.join(b, "bucket")
+        .filter(expr("cosine_sim(a_v, b_v) >= 0.9") && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"))
+    }
+    assert(df.collect().map(_.toSeq).toSet == manual.collect().map(_.toSeq).toSet)
+  }
+
   test("cosine_sim participates in whole-stage codegen") {
     import graft.functions.VectorOps
     VectorOps.register(spark)
