@@ -490,11 +490,11 @@ object StreamingOps {
       timeWaves(ev, s"$tmp/in", Seq(1 to 15, 16 to 31))
       // a stream-stream join commits FOUR state stores per partition per
       // trigger — even a zero-row batch costs seconds of pure commit
-      // machinery. Drop to 4 state shards for this tiny harness stream
+      // machinery. Drop to 2 state shards for this tiny harness stream
       // and skip the trailing no-data micro-batch: inner joins emit only
       // on data batches, so it buys nothing here.
       withConfs(s,
-        "spark.sql.shuffle.partitions" -> "4",
+        "spark.sql.shuffle.partitions" -> "2",
         "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
         def src() = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
