@@ -183,6 +183,27 @@ object Joins {
       r.crossJoin(n).orderBy(col("r_name"), col("n_name"))
     }),
 
+    // J13: dictionary lookup (ClickHouse dictGet analogue) — replication
+    // users enrich the fact table through an in-memory dictionary with a
+    // DEFAULT for missing keys. Spark form: broadcast left join +
+    // coalesce. The dictionary is deliberately incomplete (nations < 15)
+    // so the default path carries real rows. Scale shape: the dict
+    // broadcasts (one tiny dim), the fact side never shuffles.
+    "dict_get_lookup" -> ((s, dir) => {
+      val dict = Tables.t(s, dir, "nation")
+        .filter(col("n_nationkey") < 15)
+        .select(col("n_nationkey"), col("n_name"))
+      Tables.t(s, dir, "customer")
+        .join(broadcast(dict), col("c_nationkey") === col("n_nationkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("n_name"), lit("UNKNOWN")).as("nation_name"),
+          col("c_acctbal"))
+        .groupBy(col("nation_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("c_acctbal"))).cast(D2).cast(DoubleType).as("bal"))
+        .orderBy(col("nation_name"))
+    }),
+
     // J9: as-of join — for each purchase event, the user's latest click at
     // or before it. Range join + per-purchase argmax (row_number desc = 1).
     "join_asof_event_order" -> ((s, dir) => {
@@ -292,6 +313,15 @@ object Joins {
     "join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
          ORDER BY r_name, n_name""",
+
+    "dict_get_lookup" ->
+      """SELECT coalesce(n.n_name, 'UNKNOWN') AS nation_name, count(*) AS n,
+           CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS bal
+         FROM customer c LEFT JOIN (SELECT n_nationkey, n_name FROM nation
+                                    WHERE n_nationkey < 15) n
+           ON c.c_nationkey = n.n_nationkey
+         GROUP BY 1 ORDER BY nation_name""",
 
     "join_asof_event_order" ->
       """WITH p AS (SELECT event_id p_id, user_id p_user, ts p_ts FROM events

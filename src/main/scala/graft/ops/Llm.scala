@@ -445,6 +445,23 @@ object Llm {
     // array column). Pooled dims emit as rounded DOUBLE columns (the
     // agg_stats determinism pattern) rather than a float array the
     // driver's comparator cannot sort.
+    // L5e: int8 symmetric quantization of embeddings — the storage lever
+    // of a 100 TB embedding pipeline (4x smaller than float32). Scale =
+    // 127 / max|v_i| per vector; q_i = floor(v_i * scale). floor, not
+    // round: round-half semantics differ between engines, floor is
+    // bit-portable. Reports the per-vector scale and the reconstruction
+    // error actually achieved — the number a pipeline owner watches when
+    // deciding whether int8 is safe for their recall target. One narrow
+    // projection, no shuffle, fully codegen'd HOF arithmetic.
+    "llm_embed_quantize" -> ((s, dir) =>
+      vecs(s, dir)
+        .withColumn("scale", lit(127.0) / array_max(transform(col("v"), x => abs(x))))
+        .withColumn("max_err",
+          array_max(transform(col("v"),
+            x => abs(x - floor(x * col("scale")) / col("scale")))))
+        .select(col("vec_id"), col("scale"), col("max_err"))
+        .orderBy(col("vec_id"))),
+
     "llm_multimodal_resize" -> ((s, dir) => {
       val pooled = (0 until 16).map { i =>
         val r = round((element_at(col("v"), i * 4 + 1) + element_at(col("v"), i * 4 + 2) +
@@ -675,6 +692,16 @@ object Llm {
                i -> substring(text, CAST(i*64 + 1 AS INT), 64)) AS sampled
            FROM documents)
          ORDER BY doc_id""",
+
+    "llm_embed_quantize" ->
+      s"""WITH $vecsCte,
+            sc AS (SELECT vec_id, v,
+                     127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+                   FROM vecs)
+         SELECT vec_id, scale,
+                list_max(list_transform(v,
+                  x -> abs(x - floor(x * scale) / scale))) AS max_err
+         FROM sc ORDER BY vec_id""",
 
     "llm_multimodal_resize" -> {
       val pooled = (0 until 16).map { i =>

@@ -21,6 +21,7 @@ object Scans {
   private lazy val sinkDir: String = graft.TmpDirs.create("graft_sink")
   private lazy val partDir: String = graft.TmpDirs.create("graft_part")
   private lazy val csvDir: String = graft.TmpDirs.create("graft_csv")
+  private lazy val dropDir: String = graft.TmpDirs.create("graft_pdrop")
 
   val queries: Map[String, Q] = Map(
     // S1: full-table scan; Catalyst prunes nothing — the point is the scan.
@@ -100,6 +101,25 @@ object Scans {
         .orderBy(col("event_type"))
     }),
 
+    // S10: DROP PARTITION retention — the ClickHouse way to expire data
+    // in bulk: dropping a whole partition is a METADATA delete (remove
+    // the directory), not a row-level rewrite — which is why destination
+    // tables partition by date/type in the first place. At 100 TB this
+    // is the difference between an O(1) directory unlink and scanning
+    // the lake. The read-back must behave as if the partition never
+    // existed (no dangling footers, no schema drift).
+    "partition_drop" -> ((s, dir) => {
+      val p = s"$dropDir/events"
+      Tables.t(s, dir, "events")
+        .write.mode("overwrite").partitionBy("event_type").parquet(p)
+      graft.TmpDirs.rmr(new java.io.File(s"$p/event_type=error"))
+      s.read.parquet(p)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast(D2).cast(DoubleType).as("total"))
+        .orderBy(col("event_type"))
+    }),
+
     // S8: CSV sink/source round-trip — the reference class ships batches
     // as CSV INSERTs. Doubles survive the text round-trip exactly (Spark
     // writes shortest-round-trip representations); the schema is explicit
@@ -150,6 +170,13 @@ object Scans {
            CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
              AS total
          FROM events WHERE event_type = 'purchase'
+         GROUP BY event_type ORDER BY event_type""",
+
+    "partition_drop" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
+             AS total
+         FROM events WHERE event_type <> 'error'
          GROUP BY event_type ORDER BY event_type""",
 
     "sink_csv_roundtrip" ->
