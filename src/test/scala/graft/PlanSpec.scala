@@ -37,6 +37,18 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), s"cartesian in LSH path:\n$plan")
   }
 
+  test("dictionary lookup broadcasts the dict, fact side never shuffles it") {
+    val plan = physical("dict_get_lookup")
+    assert(plan.contains("BroadcastHashJoin"), s"dict should broadcast:\n$plan")
+  }
+
+  test("ttl cutoff is a broadcast scalar, not a shuffled join") {
+    val plan = physical("ttl_expiry")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"1-row cutoff should broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in ttl path:\n$plan")
+  }
+
   test("approx sim-join rule rewrites the naive cross join to a bucket equi-join") {
     import graft.plans.ApproxSimJoinRewrite
     import graft.functions.VectorOps
