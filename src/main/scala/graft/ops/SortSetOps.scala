@@ -61,6 +61,30 @@ object SortSetOps {
       a.union(b).distinct().orderBy(col("o_orderkey"))
     }),
 
+    // O7: ORDER BY ... WITH FILL (ClickHouse gap filling) — a sparse
+    // daily series joined onto an explicit 45-day calendar spine (the
+    // WITH FILL FROM/TO form): missing days surface as zero rows instead
+    // of silently vanishing from the time series. The spine derives from
+    // a 1-row aggregate (min date) exploded to 45 rows — broadcast-tiny
+    // no matter the fact scale; the series side is already per-day
+    // aggregates. Days beyond the one-month fixture guarantee filled
+    // rows at every SF; in-month gaps appear at small SFs.
+    "sort_with_fill" -> ((s, dir) => {
+      val ev = Tables.t(s, dir, "events")
+      val series = ev
+        .filter(col("event_type") === "error" && col("value") > 90)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast(Tables.D2).cast(DoubleType).as("total"))
+      val spine = ev.agg(min(to_date(col("ts"))).as("d0"))
+        .select(explode(expr(
+          "sequence(d0, date_add(d0, 44), interval 1 day)")).as("d"))
+      spine.join(series, Seq("d"), "left")
+        .select(col("d"), coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("total"), lit(0.0d)).as("total"))
+        .orderBy(col("d"))
+    }),
+
     // O5: intersection — consistency diff between two key sets.
     "set_intersect" -> ((s, dir) => {
       val withOrders = Tables.t(s, dir, "orders").select(col("o_custkey").as("k"))
@@ -114,6 +138,20 @@ object SortSetOps {
          UNION
          SELECT o_orderkey FROM orders WHERE o_totalprice > 300000
          ORDER BY o_orderkey""",
+
+    "sort_with_fill" ->
+      """WITH series AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n,
+              CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                   AS DOUBLE) AS total
+            FROM events WHERE event_type = 'error' AND value > 90 GROUP BY 1),
+          bounds AS (SELECT CAST(min(ts) AS DATE) AS d0 FROM events),
+          spine AS (SELECT CAST(unnest(generate_series(d0,
+                      d0 + INTERVAL 44 DAY, INTERVAL 1 DAY)) AS DATE) AS d
+                    FROM bounds)
+         SELECT s.d, CAST(coalesce(r.n, 0) AS BIGINT) AS n,
+                coalesce(r.total, 0.0) AS total
+         FROM spine s LEFT JOIN series r ON s.d = r.d
+         ORDER BY s.d""",
 
     "set_intersect" ->
       """SELECT o_custkey AS k FROM orders

@@ -130,6 +130,12 @@ class OperatorSpec extends SparkTestBase {
       direct.except(merged).count() == 0)
   }
 
+  test("with-fill spine contains both real and zero-filled days") {
+    val out = q("sort_with_fill")
+    assert(out.filter(col("n") === 0).count() > 0, "no gaps were filled")
+    assert(out.filter(col("n") > 0).count() > 0, "series carried no data")
+  }
+
   test("ttl and sample filters have real signal (neither empty nor total)") {
     val all = Tables.t(spark, sf, "events").count()
     val ttlKept = q("ttl_expiry").agg(sum(col("n"))).collect()(0).getLong(0)
