@@ -4,6 +4,7 @@ object Dbg {
   def main(args: Array[String]): Unit = {
     val s = org.apache.spark.sql.SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions","4").config("spark.sql.session.timeZone","UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong","true")
       .config("spark.ui.enabled","false").getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.001"

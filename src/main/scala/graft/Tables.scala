@@ -26,12 +26,19 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to read
+    * as a timestamp unless `spark.sql.legacy.parquet.nanosAsLong=true` is
+    * set AT SESSION BUILD (Verify / Bench / Dbg / SparkTestBase all set
+    * it). The raw nanos are truncated to µs — exactly what DuckDB does on
+    * read, so the oracle agrees by construction. The conf is deliberately
+    * NOT set here: a reader mutating shared session state is surprising
+    * to every other user of that session. */
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to read
-      // as a timestamp. Read it as raw nanos and truncate to µs — exactly
-      // what DuckDB does on read, so the oracle agrees by construction.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+        .contains("true"),
+        "events.parquet is TIMESTAMP(NANOS): build the session with " +
+          "spark.sql.legacy.parquet.nanosAsLong=true")
       spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", expr("timestamp_micros(CAST(ts div 1000 AS BIGINT))"))
     } else spark.read.parquet(s"$sfDir/$name.parquet")

@@ -10,6 +10,7 @@ trait SparkTestBase extends AnyFunSuite {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts, see Tables.t
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
