@@ -58,6 +58,42 @@ object Llm {
            i -> concat_ws(' ', split(text, ' ')[i-1], split(text, ' ')[i], split(text, ' ')[i+1])))
        ELSE array() END"""
 
+  /** MinHash hashing scheme, ENGINE-PORTABLE by construction and chosen
+    * for cost at scale:
+    *  - each WORD is hashed once: first 15 hex chars of md5(word) as a
+    *    60-bit integer mod P (the sample_hash_bucket trick — Spark's
+    *    conv(substring(md5..)) and DuckDB's CAST('0x'||substr(md5..))
+    *    compute it identically);
+    *  - a 3-shingle's hash is a linear combination of its three word
+    *    hashes mod P — the shingle STRING never materializes (at corpus
+    *    scale the concat of every 3-gram is the single biggest allocation
+    *    in the naive pipeline, and md5 over short words is cheaper than
+    *    md5 over 3-word strings);
+    *  - the 16 signature hashes are the classic universal family
+    *    h_k = (A_k·x + B_k) mod P over the shingle hashes.
+    * All products stay < 2^61, so the arithmetic is exact 64-bit in both
+    * engines — which is what lets the flagship dedup operator carry a
+    * DuckDB oracle instead of leaning on Spark-internal xxhash64. The
+    * Jaccard confirm also runs over the hashed-shingle sets: with ~10^3
+    * distinct shingles per doc and a 10^9 hash space, a collision
+    * perturbing any pair's Jaccard is vanishingly rare — and because the
+    * oracle computes the identical hashes, the comparison is still exact,
+    * not approximate. */
+  private[graft] val MinhashP = 1000000007L
+  private[graft] def minhashA(k: Int): Long = (k.toLong * 654435747L + 1L) % MinhashP
+  private[graft] def minhashB(k: Int): Long = (k.toLong * 40503L + 17L) % MinhashP
+  private val ShingleC = Seq(1000003L, 999983L, 999979L)
+
+  /** hashed 3-shingles from a word-hash array `wh` (Spark side; 0-based
+    * element access, i runs 1..n-2 like [[shinglesFromWords]]). */
+  private val hashedShinglesFromWh: String = {
+    val Seq(c1, c2, c3) = ShingleC
+    s"""CASE WHEN size(wh) >= 3 THEN
+          array_distinct(transform(sequence(1, size(wh) - 2),
+            i -> (wh[i-1] * ${c1}L + wh[i] * ${c2}L + wh[i+1] * ${c3}L) % ${MinhashP}L))
+        ELSE array() END"""
+  }
+
   /** embeddings as (vec_id, label, v: array<double>). */
   private def vecs(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "embeddings").select(
@@ -105,46 +141,62 @@ object Llm {
         .orderBy(col("keep_id"))),
 
     // L2a: MinHash(16) + LSH(4 bands × 4 rows) near-dup candidates, then
-    // exact Jaccard confirm >= 0.6. Non-oracle (xxhash64 is Spark-internal);
-    // property-tested in LlmSpec (exact ground-truth subset + recall).
+    // exact Jaccard confirm >= 0.6. Oracle-matched: the signature hashes
+    // are the md5-derived universal family above (engine-portable), the
+    // band key is the plain '|'-joined signature slice (a string both
+    // engines build identically), and the emitted jaccard is the raw
+    // IEEE ratio of two exact ints — no engine-internal hash anywhere.
     // Scale shape: the band join and the pair-distinct carry ONLY
     // (doc_id, band, bv) — the wide shingle arrays rejoin once per side
     // AFTER dedup, so the two widest shuffles of the naive formulation
     // (arrays through the candidate join, arrays through distinct) never
     // happen.
     "llm_dedup_minhash" -> ((s, dir) => {
-      // split(text) runs once per row (not once per generated shingle) and
-      // the (doc_id, shingles) table is pinned with localCheckpoint, so the
-      // band fan-out and the Jaccard confirm share ONE shingle computation
-      // instead of re-deriving the whole pipeline twice. At cluster scale
-      // the same role is played by persist(MEMORY_AND_DISK) or a staged
-      // parquet materialization of the signature table.
+      // split(text) runs once per row; each WORD is md5-hashed once and
+      // every downstream value (shingle hashes, signatures, band keys,
+      // Jaccard sets) is 64-bit arithmetic over long arrays — no shingle
+      // string is ever built. The (doc_id, sh) table is pinned with
+      // localCheckpoint, so the band fan-out and the Jaccard confirm
+      // share ONE tokenize+hash pass. At cluster scale the same role is
+      // played by persist(MEMORY_AND_DISK) or a staged parquet
+      // materialization of the signature table.
+      // NOTE no size(sh)-based filter here: a Filter on the derived array
+      // gets predicate-pushed below the projection, inlining the whole
+      // hash pipeline into the condition (three copies of the word-hash
+      // transform re-evaluated per shingle — an O(words·shingles) blowup
+      // measured at 8x the query cost). Empty-shingle docs instead
+      // self-exclude through NULL band keys: array_min of an empty array
+      // is NULL, null-propagating concat makes bv NULL, and a NULL
+      // equi-join key never matches — identical to the oracle's `||`.
       val docs = docsWithNearDups(s, dir)
         .withColumn("words", split(col("text"), " "))
-        .withColumn("shingles", expr(shinglesFromWords))
-        .select(col("doc_id"), col("shingles"))
+        .withColumn("wh", transform(col("words"), w =>
+          conv(substring(md5(w), 1, 15), 16, 10).cast(LongType) % MinhashP))
+        .withColumn("sh", expr(hashedShinglesFromWh))
+        .select(col("doc_id"), col("sh"))
         .localCheckpoint()
       val sig = docs.withColumn("sig", array((0 until 16).map(k =>
-        array_min(transform(col("shingles"), sh => xxhash64(lit(k), sh)))): _*))
+        array_min(transform(col("sh"),
+          x => (x * minhashA(k) + minhashB(k)) % MinhashP))): _*))
       val bands = sig.select(col("doc_id"),
         posexplode(array((0 until 4).map(b =>
-          xxhash64(lit(b),
-            element_at(col("sig"), b * 4 + 1), element_at(col("sig"), b * 4 + 2),
-            element_at(col("sig"), b * 4 + 3), element_at(col("sig"), b * 4 + 4))): _*)))
+          concat((0 until 4).flatMap(i => Seq(
+            element_at(col("sig"), b * 4 + i + 1).cast(StringType), lit("|")))
+            .dropRight(1): _*)): _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
       val a = bands.select(col("doc_id").as("a_id"), col("band"), col("bv"))
       val b = bands.select(col("doc_id").as("b_id"), col("band"), col("bv"))
       val pairs = a.join(b, Seq("band", "bv")).filter(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id")).distinct()
-      val sh = docs.select(col("doc_id"), col("shingles"))
+      val sh = docs
       pairs
-        .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh")), "a_id")
-        .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh")), "b_id")
+        .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+        .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
         .withColumn("jaccard",
           size(array_intersect(col("a_sh"), col("b_sh"))).cast(DoubleType) /
             size(array_union(col("a_sh"), col("b_sh"))).cast(DoubleType))
         .filter(col("jaccard") >= 0.6)
-        .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+        .select(col("a_id"), col("b_id"), col("jaccard"))
         .orderBy(col("a_id"), col("b_id"))
     }),
 
@@ -521,6 +573,47 @@ object Llm {
          SELECT sha256(lower(trim(text))) AS text_hash,
                 min(doc_id) AS keep_id, count(*) AS n_copies
          FROM all_docs GROUP BY 1 ORDER BY keep_id""",
+
+    // mirrors the Spark pipeline hash-for-hash: md5-derived word hashes
+    // mod P, linear-combination shingle hashes, 16 universal-family mins,
+    // '|'-joined band keys, equi-join candidates, exact-Jaccard confirm
+    // over the hashed-shingle sets
+    "llm_dedup_minhash" -> {
+      val Seq(c1, c2, c3) = ShingleC
+      val sigEntries = (0 until 16).map(k =>
+        s"list_min(list_transform(sh, x -> (${minhashA(k)} * x + ${minhashB(k)}) % $MinhashP))")
+        .mkString(",\n                 ")
+      val bandSelects = (0 until 4).map { b =>
+        val bv = (0 until 4).map(i => s"CAST(sig[${b * 4 + i + 1}] AS VARCHAR)")
+          .mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, $bv AS bv FROM sig"
+      }.mkString("\n              UNION ALL\n              ")
+      s"""WITH nd AS ($nearDupDocsSql),
+            whs AS (SELECT doc_id,
+                      list_transform(string_split(text, ' '), w ->
+                        CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % $MinhashP) AS wh
+                    FROM nd),
+            shf AS (SELECT doc_id,
+                      list_distinct(list_transform(
+                        generate_series(1, greatest(len(wh) - 2, 0)),
+                        i -> (wh[i] * $c1 + wh[i+1] * $c2 + wh[i+2] * $c3) % $MinhashP)) AS sh
+                    FROM whs),
+            sig AS (SELECT doc_id, [$sigEntries] AS sig FROM shf),
+            bands AS (
+              $bandSelects),
+            pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                      FROM bands a JOIN bands b
+                        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+            scored AS (SELECT p.a_id, p.b_id,
+                         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                         CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+                           AS jaccard
+                       FROM pairs p
+                       JOIN shf sa ON p.a_id = sa.doc_id
+                       JOIN shf sb ON p.b_id = sb.doc_id)
+         SELECT a_id, b_id, jaccard FROM scored
+         WHERE jaccard >= 0.6 ORDER BY a_id, b_id"""
+    },
 
     "llm_dedup_ngram_jaccard" ->
       s"""WITH nd AS ($nearDupDocsSql),
