@@ -34,22 +34,61 @@ object Replication {
       t -> spark.read.parquet(s"$destDir/$t").count()
     }.toMap
 
+  /** Per-pass sync progress — the operational surface a replication user
+    * watches (the reference logs rows/s and the applied position; here:
+    * rows applied, epoch deltas written, and the newest applied sequence
+    * number — the binlog-position analogue). */
+  final case class SyncProgress(rowsApplied: Long, epochs: Long,
+      lastSeq: Option[Long])
+
+  // deltas only: negative epoch ids are compaction baselines, counting
+  // them would re-trigger a full rewrite one delta early forever after
+  private def deltaCount(stateDir: String): Int =
+    Option(new java.io.File(stateDir).listFiles())
+      .getOrElse(Array.empty)
+      .count(f => f.isDirectory && f.getName.startsWith("epoch=") &&
+        !f.getName.startsWith("epoch=-"))
+
   /** Incremental sync (`--increment`): tail the ordered change-event log
     * under `inDir` as a stream and apply per-epoch latest-wins deltas to
     * `stateDir` — resume-safe via `ckptDir` (the binlog-position analogue).
     * Once the accumulated epoch-delta count passes `compactEvery`, the
     * deltas are folded into one baseline epoch so the read-time collapse
-    * never scans an unbounded epoch list. */
+    * never scans an unbounded epoch list. Returns the pass's
+    * [[SyncProgress]]; rows/epochs come free from StreamingQueryProgress,
+    * lastSeq is one aggregate over the (small) state deltas. */
   def incrementalSync(spark: SparkSession, schema: StructType, inDir: String,
-      ckptDir: String, stateDir: String, compactEvery: Int = 16): Unit = {
-    streaming.StreamingOps.runCdcPass(spark, schema, inDir, ckptDir, stateDir)
-    // deltas only: negative epoch ids are compaction baselines, counting
-    // them would re-trigger a full rewrite one delta early forever after
-    val deltas = Option(new java.io.File(stateDir).listFiles())
-      .getOrElse(Array.empty)
-      .count(f => f.isDirectory && f.getName.startsWith("epoch=") &&
-        !f.getName.startsWith("epoch=-"))
-    if (deltas > compactEvery) streaming.StreamingOps.compactState(spark, stateDir)
+      ckptDir: String, stateDir: String, compactEvery: Int = 16): SyncProgress = {
+    val (rows, epochs) =
+      streaming.StreamingOps.runCdcPass(spark, schema, inDir, ckptDir, stateDir)
+    if (deltaCount(stateDir) > compactEvery)
+      streaming.StreamingOps.compactState(spark, stateDir)
+    val lastSeq = if (rows > 0)
+      Some(spark.read.parquet(stateDir).agg(max(col("seq"))).collect()(0).getLong(0))
+    else None
+    SyncProgress(rows, epochs, lastSeq)
+  }
+
+  /** Multi-table incremental sync (SURVEY §3.1 #2): ONE change stream
+    * whose envelope carries a `table` column fans out to per-table
+    * destination state dirs in a single pass — the reference tool tails
+    * one binlog and applies to N destination tables the same way.
+    * `stateDirs` maps each replicated table to its own state dir (tables
+    * absent from the map are skipped — the TableFilter analogue);
+    * compaction runs independently per table. Returns per-table
+    * [[SyncProgress]] (tables that saw no rows report zeros). */
+  def incrementalSyncMulti(spark: SparkSession, schema: StructType,
+      inDir: String, ckptDir: String, stateDirs: Map[String, String],
+      compactEvery: Int = 16): Map[String, SyncProgress] = {
+    val stats = streaming.StreamingOps.runCdcPassMulti(
+      spark, schema, inDir, ckptDir, stateDirs)
+    stateDirs.map { case (t, dir) =>
+      if (deltaCount(dir) > compactEvery)
+        streaming.StreamingOps.compactState(spark, dir)
+      t -> stats.get(t)
+        .map { case (rows, epochs, mx) => SyncProgress(rows, epochs, Some(mx)) }
+        .getOrElse(SyncProgress(0L, 0L, None))
+    }
   }
 
   /** The currently applied destination state (latest row per key,

@@ -149,7 +149,7 @@ object StreamingOps {
     */
   private[graft] def runCdcPass(s: SparkSession,
       schema: org.apache.spark.sql.types.StructType,
-      in: String, ckpt: String, state: String): Unit = {
+      in: String, ckpt: String, state: String): (Long, Long) = {
     val query = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
       .writeStream
@@ -162,7 +162,64 @@ object StreamingOps {
       }
       .start()
     query.processAllAvailable()
+    // progress is free: StreamingQueryProgress already carries per-batch
+    // input row counts — no extra job runs on the timed path. (The buffer
+    // is bounded — spark.sql.streaming.numRecentProgressUpdates, default
+    // 100 — plenty for the harness's ≤4-wave passes; a long-lived
+    // production stream would consume a StreamingQueryListener instead.)
+    val rows = query.recentProgress.map(_.numInputRows).sum
+    val epochs = query.recentProgress.count(_.numInputRows > 0).toLong
     query.stop()
+    (rows, epochs)
+  }
+
+  /** Multi-table variant of [[runCdcPass]] (SURVEY §3.1 #2): ONE ordered
+    * change stream whose envelope carries a `table` column fans out to
+    * per-table destination state dirs — the reference tool tails one
+    * binlog and applies to N ClickHouse tables the same way. Each
+    * micro-batch runs one tiny table-discovery aggregate (count + max seq
+    * per table — a handful of rows to the driver, metadata not data),
+    * then per PRESENT table writes its own collapsed epoch delta under
+    * that table's state dir; tables not in `stateDirs` are skipped (the
+    * TableFilter analogue). Each per-table state dir has exactly the
+    * single-table layout, so compaction and read-time collapse reuse
+    * [[compactState]]/[[readLatestState]] unchanged. At production volume
+    * the per-table filtered writes become a single
+    * `partitionBy("table")` write into a shared root; the loop keeps
+    * per-table destinations fully independent, like the reference's
+    * per-table destination tables.
+    *
+    * Returns per-table (rowsApplied, epochsWritten, maxSeq). */
+  private[graft] def runCdcPassMulti(s: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      in: String, ckpt: String,
+      stateDirs: Map[String, String]): Map[String, (Long, Long, Long)] = {
+    val acc = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
+    val query = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
+        val present = batch.groupBy(col("table"))
+          .agg(count(lit(1)).as("n"), max(col("seq")).as("mx")).collect()
+        present.foreach { r =>
+          val t = r.getString(0)
+          stateDirs.get(t).foreach { dir =>
+            collapse(batch.filter(col("table") === t).select(
+              col("op"), col("seq"), col("ts"), col("okey"), col("price"),
+              col("status")))
+              .write.mode("overwrite").parquet(s"$dir/epoch=$epochId")
+            val (rows, epochs, mx) = acc.getOrElse(t, (0L, 0L, Long.MinValue))
+            acc(t) = (rows + r.getLong(1), epochs + 1L,
+              math.max(mx, r.getLong(2)))
+          }
+        }
+        ()
+      }
+      .start()
+    query.processAllAvailable()
+    query.stop()
+    acc.toMap
   }
 
   /** Compact all existing `epoch=` delta dirs into ONE baseline epoch

@@ -26,12 +26,48 @@ class ReplicationSpec extends SparkTestBase {
     val log = Tables.cdcLog(spark, sf)
     (1 to 3).foreach(w => graft.streaming.StreamingOps.writeWave(
       log.filter(col("seq") === w), s"$base/in", w - 1))
-    Replication.incrementalSync(spark, log.schema, s"$base/in",
+    val prog = Replication.incrementalSync(spark, log.schema, s"$base/in",
       s"$base/ckpt", s"$base/state")
     val applied = Replication.appliedState(spark, s"$base/state")
       .collect().map(_.toSeq).toSet
     val batch = q("agg_latest_by_version").collect().map(_.toSeq).toSet
     assert(applied == batch)
+    // progress metrics match the applied pass: every log row flowed
+    // through, one epoch per wave, position = the log's newest seq
+    assert(prog.rowsApplied == log.count())
+    assert(prog.epochs == 3)
+    assert(prog.lastSeq.contains(3L))
+  }
+
+  test("multi-table sync: one stream fans out to per-table state dirs") {
+    val base = tmp()
+    // one binlog carrying two tables' events, interleaved in every wave
+    val log = Tables.cdcLog(spark, sf).withColumn("table",
+      when(col("okey") % 2 === 0, "orders_eu").otherwise("orders_us"))
+    (1 to 3).foreach(w => graft.streaming.StreamingOps.writeWave(
+      log.filter(col("seq") === w), s"$base/in", w - 1))
+    val dirs = Map("orders_eu" -> s"$base/state_eu",
+      "orders_us" -> s"$base/state_us")
+    val prog = Replication.incrementalSyncMulti(spark, log.schema,
+      s"$base/in", s"$base/ckpt", dirs)
+    // per-table applied state == the batch collapse restricted to that
+    // table's keys, via the same consistencyCheck a user would run
+    val batch = q("agg_latest_by_version")
+    for ((t, dir) <- dirs) {
+      val expect = batch.filter(
+        if (t == "orders_eu") col("okey") % 2 === 0 else col("okey") % 2 =!= 0)
+      val rep = Replication.consistencyCheck(
+        expect, Replication.appliedState(spark, dir), "okey")
+      assert(rep.consistent, s"$t: $rep")
+    }
+    // both tables were present in all 3 waves; counts partition the log
+    assert(prog.values.map(_.rowsApplied).sum == log.count())
+    prog.values.foreach { p =>
+      assert(p.epochs == 3)
+      assert(p.lastSeq.contains(3L))
+    }
+    // a table not in the map is skipped, not synced
+    assert(!new java.io.File(s"$base/state_other").exists())
   }
 
   test("incremental sync compacts once epochs exceed the threshold") {
