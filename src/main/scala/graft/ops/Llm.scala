@@ -323,28 +323,45 @@ object Llm {
     }),
 
     // L3c: IVF-style ANN — the other classic scale path besides LSH.
-    // Deterministic "training": the first 16 vectors act as centroids
-    // (a k-means iteration would refine them; assignment mechanics are
-    // identical). Every vector is assigned to its nearest centroid cell;
-    // a query probes its nprobe=4 nearest cells and scores only those
-    // candidates via a bucket equi-join. Centroids are a 16-row broadcast
-    // — the only non-equi join in the pipeline is against that constant-
-    // size dim, so no unbounded cross product exists at any scale.
+    // Training is a REAL (single-iteration) k-means: the first 16 vectors
+    // seed the cells, every vector is assigned to its nearest seed, then
+    // each centroid is recomputed as its cell's component-wise mean —
+    // summed in DECIMAL(38,18) so the mean is order-independent and
+    // bit-identical across engines (the Tables determinism policy; a
+    // float32-derived double is never a rounding midpoint at scale 18, so
+    // the decimal cast agrees too). Assignment/probing then run against
+    // the refined centroids: a query probes its nprobe=4 nearest cells
+    // and scores only those candidates via a bucket equi-join. Centroids
+    // are a ≤16-row broadcast — the only non-equi join in the pipeline is
+    // against that constant-size dim, so no unbounded cross product
+    // exists at any scale (further k-means iterations repeat the same
+    // two-broadcast-join + one-agg round).
     "llm_sim_ivf_topk" -> ((s, dir) => {
       VectorOps.register(s)
       import org.apache.spark.sql.expressions.Window
       val all = vecs(s, dir)
-      val cents = all.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("c_id"), col("v").as("c_v"))
       val wAssign = Window.partitionBy(col("vec_id")).orderBy(desc("ccos"), asc("c_id"))
-      val assigned = all.crossJoin(broadcast(cents))
+      def assign(cents: DataFrame): DataFrame = all.crossJoin(broadcast(cents))
         .withColumn("ccos", expr("cosine_sim(v, c_v)"))
         .withColumn("arn", row_number().over(wAssign)).filter(col("arn") === 1)
         .select(col("vec_id").as("n_id"), col("v").as("n_v"), col("c_id").as("cell"))
+      val cents0 = all.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("v").as("c_v"))
+      val refined = assign(cents0)
+        .select(col("cell"), posexplode(col("n_v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("col").cast(DecimalType(38, 18))).as("sx"),
+          count(lit(1)).as("n"))
+        .withColumn("m", col("sx").cast(DoubleType) / col("n").cast(DoubleType))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("c_v"))
+        .select(col("cell").as("c_id"), col("c_v"))
+      val assigned = assign(refined)
       val wProbe = Window.partitionBy(col("q_id")).orderBy(desc("qcos"), asc("c_id"))
       val probes = all.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("v").as("q_v"))
-        .crossJoin(broadcast(cents))
+        .crossJoin(broadcast(refined))
         .withColumn("qcos", expr("cosine_sim(q_v, c_v)"))
         .withColumn("prn", row_number().over(wProbe)).filter(col("prn") <= 4)
         .select(col("q_id"), col("q_v"), col("c_id").as("cell"))
@@ -674,9 +691,26 @@ object Llm {
            FROM scored)
          WHERE rk <= 3 ORDER BY q_id, rk""",
 
+    // mirrors the Spark pipeline: seed cells from the first 16 vectors,
+    // one k-means refinement (DECIMAL(38,18) component sums -> means),
+    // then assignment/probing against the refined centroids
     "llm_sim_ivf_topk" ->
       s"""WITH $vecsCte,
-            cents AS (SELECT vec_id AS c_id, v AS c_v FROM vecs WHERE vec_id < 16),
+            cents0 AS (SELECT vec_id AS c_id, v AS c_v FROM vecs WHERE vec_id < 16),
+            a0 AS (
+              SELECT vec_id AS n_id, v AS n_v, c_id AS cell FROM (
+                SELECT a.vec_id, a.v, c.c_id,
+                  row_number() OVER (PARTITION BY a.vec_id
+                    ORDER BY ${cosSql("a.v", "c.c_v")} DESC, c.c_id ASC) AS arn
+                FROM vecs a CROSS JOIN cents0 c) WHERE arn = 1),
+            comp AS (
+              SELECT cell, j,
+                CAST(sum(CAST(n_v[j] AS DECIMAL(38,18))) AS DOUBLE) /
+                  CAST(count(*) AS DOUBLE) AS m
+              FROM a0 CROSS JOIN generate_series(1, 64) t(j)
+              GROUP BY cell, j),
+            cents AS (SELECT cell AS c_id, list(m ORDER BY j) AS c_v
+                      FROM comp GROUP BY cell),
             assigned AS (
               SELECT vec_id AS n_id, v AS n_v, c_id AS cell FROM (
                 SELECT a.vec_id, a.v, c.c_id,

@@ -50,15 +50,35 @@ object Projections {
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
     // P4: cross-type casts (double->int truncation, double->decimal,
-    // timestamp->date, bigint->string).
+    // timestamp->date, bigint->string) plus the classic MySQL type-map
+    // edge cases (SURVEY §1.1): BIGINT UNSIGNED beyond the signed-64
+    // boundary (carried in DECIMAL(20,0), emitted as string — the
+    // determinism policy keeps decimal out of final schemas), blob
+    // encode/hex/decode round-trip, enum-index->label mapping, zero-date
+    // '0000-00-00' -> NULL, and the YEAR type as a small int.
     "project_cast" -> ((s, dir) =>
       Tables.t(s, dir, "lineitem")
+        .withColumn("d0",
+          when(col("l_orderkey") % 97 === 0, to_date(lit("0001-01-01")))
+            .otherwise(col("l_shipdate").cast(DateType)))
         .select(
           col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").cast(IntegerType).as("qty_int"),
           col("l_extendedprice").cast(DecimalType(12, 2)).cast(DoubleType).as("price_dec"),
           col("l_shipdate").cast(DateType).as("ship_date"),
-          col("l_orderkey").cast(StringType).as("okey_str"))
+          col("l_orderkey").cast(StringType).as("okey_str"),
+          (lit("18446744073709551615").cast(DecimalType(20, 0)) - col("l_orderkey"))
+            .cast(StringType).as("u64_str"),
+          hex(encode(concat(col("l_returnflag"), col("l_linestatus")), "UTF-8"))
+            .as("bin_hex"),
+          (decode(encode(col("l_returnflag"), "UTF-8"), "UTF-8") === col("l_returnflag"))
+            .as("bin_rt"),
+          elt(when(col("l_returnflag") === "A", 1)
+              .when(col("l_returnflag") === "N", 2).otherwise(3),
+            lit("accepted"), lit("none"), lit("returned")).as("enum_label"),
+          when(col("d0") <= to_date(lit("0001-01-01")), lit(null).cast(DateType))
+            .otherwise(col("d0")).as("zero_date"),
+          year(col("l_shipdate")).cast(ShortType).as("yr"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
     // P5: CASE WHEN bucketing + aggregation over the buckets.
@@ -110,8 +130,21 @@ object Projections {
            CAST(trunc(l_quantity) AS INTEGER) AS qty_int,
            CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
            CAST(l_shipdate AS DATE) AS ship_date,
-           CAST(l_orderkey AS VARCHAR) AS okey_str
-         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+           CAST(l_orderkey AS VARCHAR) AS okey_str,
+           CAST(CAST('18446744073709551615' AS DECIMAL(20,0)) - l_orderkey
+                AS VARCHAR) AS u64_str,
+           hex(encode(l_returnflag || l_linestatus)) AS bin_hex,
+           decode(encode(l_returnflag)) = l_returnflag AS bin_rt,
+           (['accepted','none','returned'])[
+             CASE WHEN l_returnflag = 'A' THEN 1
+                  WHEN l_returnflag = 'N' THEN 2 ELSE 3 END] AS enum_label,
+           CASE WHEN d0 <= DATE '0001-01-01' THEN NULL ELSE d0 END AS zero_date,
+           CAST(year(l_shipdate) AS SMALLINT) AS yr
+         FROM (SELECT *,
+                 CASE WHEN l_orderkey % 97 = 0 THEN DATE '0001-01-01'
+                      ELSE CAST(l_shipdate AS DATE) END AS d0
+               FROM lineitem)
+         ORDER BY l_orderkey, l_linenumber""",
 
     "case_when" ->
       """SELECT CASE WHEN l_quantity < 10 THEN 'low'
