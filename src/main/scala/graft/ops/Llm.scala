@@ -94,6 +94,23 @@ object Llm {
         ELSE array() END"""
   }
 
+  /** 131^j mod P for the 8-gram rolling hash (decontamination). */
+  private val Gram8C: Seq[Long] =
+    Iterator.iterate(1L)(g => g * 131L % MinhashP).take(8).toSeq
+
+  /** hashed DISTINCT 8-grams from a word-hash array `wh` (Spark side;
+    * 0-based element access). Each term is a product of two values < P ≈
+    * 2^30, so the 8-term sum stays < 8.1e18 < 2^63 — exact 64-bit in both
+    * engines. */
+  private val hashedGramsFromWh: String = {
+    val terms = Gram8C.zipWithIndex
+      .map { case (c, j) => s"wh[i-1+$j] * ${c}L" }.mkString(" + ")
+    s"""CASE WHEN size(wh) >= 8 THEN
+          array_distinct(transform(sequence(1, size(wh) - 7),
+            i -> ($terms) % ${MinhashP}L))
+        ELSE array() END"""
+  }
+
   /** embeddings as (vec_id, label, v: array<double>). */
   private def vecs(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "embeddings").select(
@@ -130,6 +147,97 @@ object Llm {
         CASE WHEN v[5] > 0 THEN 16 ELSE 0 END + CASE WHEN v[6] > 0 THEN 32 ELSE 0 END +
         CASE WHEN v[7] > 0 THEN 64 ELSE 0 END + CASE WHEN v[8] > 0 THEN 128 ELSE 0 END)"""
 
+  /** DuckDB CTE chain ending in `confirmed(a_id, b_id, jaccard)` — the
+    * SQL mirror of [[minhashConfirmedPairs]], shared by the
+    * llm_dedup_minhash and llm_dedup_clusters oracles. */
+  private lazy val minhashPairCtes: String = {
+    val Seq(c1, c2, c3) = ShingleC
+    val sigEntries = (0 until 16).map(k =>
+      s"list_min(list_transform(sh, x -> (${minhashA(k)} * x + ${minhashB(k)}) % $MinhashP))")
+      .mkString(",\n                 ")
+    val bandSelects = (0 until 4).map { b =>
+      val bv = (0 until 4).map(i => s"CAST(sig[${b * 4 + i + 1}] AS VARCHAR)")
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, $bv AS bv FROM sig"
+    }.mkString("\n              UNION ALL\n              ")
+    s"""nd AS ($nearDupDocsSql),
+            whs AS (SELECT doc_id,
+                      list_transform(string_split(text, ' '), w ->
+                        CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % $MinhashP) AS wh
+                    FROM nd),
+            shf AS (SELECT doc_id,
+                      list_distinct(list_transform(
+                        generate_series(1, greatest(len(wh) - 2, 0)),
+                        i -> (wh[i] * $c1 + wh[i+1] * $c2 + wh[i+2] * $c3) % $MinhashP)) AS sh
+                    FROM whs),
+            sig AS (SELECT doc_id, [$sigEntries] AS sig FROM shf),
+            bands AS (
+              $bandSelects),
+            pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                      FROM bands a JOIN bands b
+                        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+            scored AS (SELECT p.a_id, p.b_id,
+                         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                         CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+                           AS jaccard
+                       FROM pairs p
+                       JOIN shf sa ON p.a_id = sa.doc_id
+                       JOIN shf sb ON p.b_id = sb.doc_id),
+            confirmed AS (SELECT a_id, b_id, jaccard FROM scored
+                          WHERE jaccard >= 0.6)"""
+  }
+
+  /** The L2a confirmed-near-dup-pair pipeline (a_id, b_id, jaccard ≥ 0.6),
+    * shared by llm_dedup_minhash (which just orders it) and
+    * llm_dedup_clusters (which runs connected components over it).
+    *
+    * split(text) runs once per row; each WORD is md5-hashed once and
+    * every downstream value (shingle hashes, signatures, band keys,
+    * Jaccard sets) is 64-bit arithmetic over long arrays — no shingle
+    * string is ever built. The (doc_id, sh) table is pinned with
+    * localCheckpoint, so the band fan-out and the Jaccard confirm share
+    * ONE tokenize+hash pass. At cluster scale the same role is played by
+    * persist(MEMORY_AND_DISK) or a staged parquet materialization.
+    *
+    * NOTE no size(sh)-based filter here: a Filter on the derived array
+    * gets predicate-pushed below the projection, inlining the whole hash
+    * pipeline into the condition (three copies of the word-hash transform
+    * re-evaluated per shingle — an O(words·shingles) blowup measured at
+    * 8x the query cost). Empty-shingle docs instead self-exclude through
+    * NULL band keys: array_min of an empty array is NULL,
+    * null-propagating concat makes bv NULL, and a NULL equi-join key
+    * never matches — identical to the oracle's `||`. */
+  private def minhashConfirmedPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithNearDups(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("wh", transform(col("words"), w =>
+        conv(substring(md5(w), 1, 15), 16, 10).cast(LongType) % MinhashP))
+      .withColumn("sh", expr(hashedShinglesFromWh))
+      .select(col("doc_id"), col("sh"))
+      .localCheckpoint()
+    val sig = docs.withColumn("sig", array((0 until 16).map(k =>
+      array_min(transform(col("sh"),
+        x => (x * minhashA(k) + minhashB(k)) % MinhashP))): _*))
+    val bands = sig.select(col("doc_id"),
+      posexplode(array((0 until 4).map(b =>
+        concat((0 until 4).flatMap(i => Seq(
+          element_at(col("sig"), b * 4 + i + 1).cast(StringType), lit("|")))
+          .dropRight(1): _*)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+    val a = bands.select(col("doc_id").as("a_id"), col("band"), col("bv"))
+    val b = bands.select(col("doc_id").as("b_id"), col("band"), col("bv"))
+    val pairs = a.join(b, Seq("band", "bv")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    pairs
+      .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast(DoubleType) /
+          size(array_union(col("a_sh"), col("b_sh"))).cast(DoubleType))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
   // ---- queries -------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -151,54 +259,87 @@ object Llm {
     // AFTER dedup, so the two widest shuffles of the naive formulation
     // (arrays through the candidate join, arrays through distinct) never
     // happen.
-    "llm_dedup_minhash" -> ((s, dir) => {
-      // split(text) runs once per row; each WORD is md5-hashed once and
-      // every downstream value (shingle hashes, signatures, band keys,
-      // Jaccard sets) is 64-bit arithmetic over long arrays — no shingle
-      // string is ever built. The (doc_id, sh) table is pinned with
-      // localCheckpoint, so the band fan-out and the Jaccard confirm
-      // share ONE tokenize+hash pass. At cluster scale the same role is
-      // played by persist(MEMORY_AND_DISK) or a staged parquet
-      // materialization of the signature table.
-      // NOTE no size(sh)-based filter here: a Filter on the derived array
-      // gets predicate-pushed below the projection, inlining the whole
-      // hash pipeline into the condition (three copies of the word-hash
-      // transform re-evaluated per shingle — an O(words·shingles) blowup
-      // measured at 8x the query cost). Empty-shingle docs instead
-      // self-exclude through NULL band keys: array_min of an empty array
-      // is NULL, null-propagating concat makes bv NULL, and a NULL
-      // equi-join key never matches — identical to the oracle's `||`.
-      val docs = docsWithNearDups(s, dir)
+    "llm_dedup_minhash" -> ((s, dir) =>
+      minhashConfirmedPairs(s, dir).orderBy(col("a_id"), col("b_id"))),
+
+    // L2f: near-dup CLUSTERS — the decision layer a real dedup pipeline
+    // runs on top of pairwise candidates: connected components over the
+    // confirmed near-dup graph, each doc labeled with its component's
+    // minimum id (the canonical keeper). Min-label propagation iterated
+    // to FIXPOINT: each round is one distributed join + aggregate (the
+    // GraphX/Pregel shape); the driver-side loop only reads a 1-row
+    // convergence count per round and is bounded by the dup-graph
+    // diameter — at 100 TB this is exactly how large-scale CC runs.
+    // Oracle: DuckDB computes the same fixpoint with a recursive CTE —
+    // both converge to min-reachable-id, independent of iteration order,
+    // so results match bit-for-bit.
+    "llm_dedup_clusters" -> ((s, dir) => {
+      val conf = minhashConfirmedPairs(s, dir)
+      val edges = conf.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .unionByName(conf.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .localCheckpoint() // pinned: re-joined every round
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("lbl", col("doc_id")).localCheckpoint()
+      var changed = 1L
+      while (changed > 0) {
+        val prop = edges
+          .join(labels.select(col("doc_id").as("dst"), col("lbl").as("nlbl")), "dst")
+          .groupBy(col("src")).agg(min(col("nlbl")).as("min_n"))
+          .select(col("src").as("doc_id"), col("min_n"))
+        val next = labels.join(prop, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("lbl"), coalesce(col("min_n"), col("lbl"))).as("lbl"))
+          .localCheckpoint() // cut lineage: iterative plans otherwise grow
+        changed = next
+          .join(labels.select(col("doc_id"), col("lbl").as("old")), "doc_id")
+          .filter(col("lbl") =!= col("old")).count()
+        labels = next
+      }
+      labels
+        .select(col("doc_id"), col("lbl").as("cluster_id"),
+          (col("doc_id") === col("lbl")).as("is_keeper"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // L6a: decontamination — flag training docs sharing any hashed 8-gram
+    // with the benchmark set (here: doc_id % 37 == 0 plays the held-out
+    // benchmark). The benchmark's gram set is small and DISTINCT —
+    // broadcast to the exploded train side, so the only shuffle is the
+    // final per-doc count; at 100 TB the train grams never shuffle.
+    "llm_decontaminate" -> ((s, dir) => {
+      val d = Tables.t(s, dir, "documents")
+      def grams = d
         .withColumn("words", split(col("text"), " "))
         .withColumn("wh", transform(col("words"), w =>
           conv(substring(md5(w), 1, 15), 16, 10).cast(LongType) % MinhashP))
-        .withColumn("sh", expr(hashedShinglesFromWh))
-        .select(col("doc_id"), col("sh"))
-        .localCheckpoint()
-      val sig = docs.withColumn("sig", array((0 until 16).map(k =>
-        array_min(transform(col("sh"),
-          x => (x * minhashA(k) + minhashB(k)) % MinhashP))): _*))
-      val bands = sig.select(col("doc_id"),
-        posexplode(array((0 until 4).map(b =>
-          concat((0 until 4).flatMap(i => Seq(
-            element_at(col("sig"), b * 4 + i + 1).cast(StringType), lit("|")))
-            .dropRight(1): _*)): _*)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
-      val a = bands.select(col("doc_id").as("a_id"), col("band"), col("bv"))
-      val b = bands.select(col("doc_id").as("b_id"), col("band"), col("bv"))
-      val pairs = a.join(b, Seq("band", "bv")).filter(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id")).distinct()
-      val sh = docs
-      pairs
-        .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
-        .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
-        .withColumn("jaccard",
-          size(array_intersect(col("a_sh"), col("b_sh"))).cast(DoubleType) /
-            size(array_union(col("a_sh"), col("b_sh"))).cast(DoubleType))
-        .filter(col("jaccard") >= 0.6)
-        .select(col("a_id"), col("b_id"), col("jaccard"))
-        .orderBy(col("a_id"), col("b_id"))
+        .select(col("doc_id"), explode(expr(hashedGramsFromWh)).as("g"))
+      val bench = grams.filter(col("doc_id") % 37 === 0).select(col("g")).distinct()
+      val hits = grams.filter(col("doc_id") % 37 =!= 0)
+        .join(broadcast(bench), Seq("g"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      d.filter(col("doc_id") % 37 =!= 0).select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+        .orderBy(col("doc_id"))
     }),
+
+    // L6b: training-mixture construction — per-source stratified sampling
+    // at source-specific rates (rate derived from the source id), keyed by
+    // the same deterministic md5 bucket as sample_hash_bucket so both
+    // engines select identical docs. Scan-local: the sample decision is a
+    // codegen'd filter, the only shuffle is the tiny per-source rollup.
+    "llm_sample_mix" -> ((s, dir) =>
+      Tables.t(s, dir, "documents")
+        .withColumn("rate_pct",
+          (substring(col("source"), 4, 10).cast(IntegerType) % 10) * 10 + 5)
+        .withColumn("bucket", pmod(
+          conv(substring(md5(col("doc_id").cast(StringType)), 1, 8), 16, 10)
+            .cast(LongType), lit(100L)))
+        .groupBy(col("source"), col("rate_pct"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("bucket") < col("rate_pct"), 1)).as("n_sampled"))
+        .orderBy(col("source"))),
 
     // L2b: 16-bit SimHash per document + hamming distance of each planted
     // near-dup pair to its original. Non-oracle; LlmSpec asserts planted
@@ -595,42 +736,58 @@ object Llm {
     // mod P, linear-combination shingle hashes, 16 universal-family mins,
     // '|'-joined band keys, equi-join candidates, exact-Jaccard confirm
     // over the hashed-shingle sets
-    "llm_dedup_minhash" -> {
-      val Seq(c1, c2, c3) = ShingleC
-      val sigEntries = (0 until 16).map(k =>
-        s"list_min(list_transform(sh, x -> (${minhashA(k)} * x + ${minhashB(k)}) % $MinhashP))")
-        .mkString(",\n                 ")
-      val bandSelects = (0 until 4).map { b =>
-        val bv = (0 until 4).map(i => s"CAST(sig[${b * 4 + i + 1}] AS VARCHAR)")
-          .mkString(" || '|' || ")
-        s"SELECT doc_id, $b AS band, $bv AS bv FROM sig"
-      }.mkString("\n              UNION ALL\n              ")
-      s"""WITH nd AS ($nearDupDocsSql),
-            whs AS (SELECT doc_id,
-                      list_transform(string_split(text, ' '), w ->
-                        CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % $MinhashP) AS wh
-                    FROM nd),
-            shf AS (SELECT doc_id,
-                      list_distinct(list_transform(
-                        generate_series(1, greatest(len(wh) - 2, 0)),
-                        i -> (wh[i] * $c1 + wh[i+1] * $c2 + wh[i+2] * $c3) % $MinhashP)) AS sh
-                    FROM whs),
-            sig AS (SELECT doc_id, [$sigEntries] AS sig FROM shf),
-            bands AS (
-              $bandSelects),
-            pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-                      FROM bands a JOIN bands b
-                        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
-            scored AS (SELECT p.a_id, p.b_id,
-                         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-                         CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
-                           AS jaccard
-                       FROM pairs p
-                       JOIN shf sa ON p.a_id = sa.doc_id
-                       JOIN shf sb ON p.b_id = sb.doc_id)
-         SELECT a_id, b_id, jaccard FROM scored
-         WHERE jaccard >= 0.6 ORDER BY a_id, b_id"""
+    "llm_dedup_minhash" ->
+      s"""WITH $minhashPairCtes
+         SELECT a_id, b_id, jaccard FROM confirmed ORDER BY a_id, b_id""",
+
+    // same confirmed-pair CTEs, then connected components to the SAME
+    // fixpoint the Spark loop reaches: min-reachable-id via recursive CTE
+    "llm_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+            edges AS (SELECT a_id AS src, b_id AS dst FROM confirmed
+                      UNION ALL
+                      SELECT b_id, a_id FROM confirmed),
+            r AS (SELECT DISTINCT src AS doc_id, src AS lbl FROM edges
+                  UNION
+                  SELECT e.src, r.lbl FROM edges e JOIN r ON r.doc_id = e.dst)
+         SELECT doc_id, min(lbl) AS cluster_id,
+                min(lbl) = doc_id AS is_keeper
+         FROM r GROUP BY doc_id ORDER BY doc_id""",
+
+    "llm_decontaminate" -> {
+      val terms = Gram8C.zipWithIndex
+        .map { case (c, j) => s"wh[i+$j] * $c" }.mkString(" + ")
+      s"""WITH whs AS (SELECT doc_id,
+                         list_transform(string_split(text, ' '), w ->
+                           CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % $MinhashP) AS wh
+                       FROM documents),
+            grams AS (SELECT doc_id,
+                        unnest(CASE WHEN len(wh) >= 8 THEN
+                          list_distinct(list_transform(
+                            generate_series(1, len(wh) - 7),
+                            i -> ($terms) % $MinhashP))
+                        ELSE [] END) AS g
+                      FROM whs),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 37 = 0),
+            hits AS (SELECT doc_id, count(*) AS n_hits
+                     FROM grams JOIN bench USING (g)
+                     WHERE doc_id % 37 <> 0 GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+                coalesce(h.n_hits, 0) > 0 AS contaminated
+         FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+         WHERE d.doc_id % 37 <> 0
+         ORDER BY d.doc_id"""
     },
+
+    "llm_sample_mix" ->
+      """SELECT source,
+           (CAST(substr(source, 4) AS INTEGER) % 10) * 10 + 5 AS rate_pct,
+           count(*) AS n_total,
+           count(CASE WHEN
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 100 < (CAST(substr(source, 4) AS INTEGER) % 10) * 10 + 5
+             THEN 1 END) AS n_sampled
+         FROM documents GROUP BY 1, 2 ORDER BY source""",
 
     "llm_dedup_ngram_jaccard" ->
       s"""WITH nd AS ($nearDupDocsSql),

@@ -50,6 +50,30 @@ class LlmSpec extends SparkTestBase {
     assert(recall >= 0.9, s"LSH recall $recall over ${truth.size} true pairs")
   }
 
+  test("dedup clusters: labels are the true component minima of the pair graph") {
+    val pairs = q("llm_dedup_minhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val out = q("llm_dedup_clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference union-find over the same pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    assert(out.keySet == nodes.toSet)
+    // component label = min id over the component, per the union-find truth
+    val want = nodes.map(n => n -> nodes.filter(m => find(m) == find(n)).min).toMap
+    assert(out == want)
+    // planted near-dups always cluster with their original
+    pairs.collect { case (a, b) if b == a + 100000 => assert(out(b) == out(a)) }
+  }
+
   test("SimHash: planted near-dups at small hamming distance") {
     val out = q("llm_dedup_simhash")
     val avgPlanted = out.agg(avg(col("hamming"))).collect()(0).getDouble(0)
