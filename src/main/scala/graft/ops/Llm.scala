@@ -515,6 +515,26 @@ object Llm {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // L6c: training-shard packing — assign docs to fixed-token-budget
+    // shards by running token count (the artifact a training job reads).
+    // The harness form uses one global running sum (single-partition
+    // window, fine at fixture scale and deterministic by doc_id); the
+    // 100 TB path is the standard two-pass variant: range-partition by
+    // doc_id, per-partition local cumsums, then add broadcast partition
+    // offsets — same arithmetic, no global sort bottleneck.
+    "llm_pack_shards" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+        .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .select(col("doc_id"), col("n_tok"),
+          expr("cum_before DIV 4096").as("shard_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // L4a: token counting (whitespace + BPE-ish regex) per language.
     "llm_text_stats" -> ((s, dir) =>
       Tables.t(s, dir, "documents")
@@ -887,6 +907,18 @@ object Llm {
            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
            FROM scored)
          WHERE rk <= 3 ORDER BY q_id, rk""",
+
+    "llm_pack_shards" ->
+      """WITH t AS (SELECT doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                    FROM documents),
+            c AS (SELECT doc_id, n_tok,
+                    coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS cum_before
+                  FROM t)
+         SELECT doc_id, n_tok, CAST(cum_before // 4096 AS BIGINT) AS shard_id
+         FROM c ORDER BY doc_id""",
 
     "llm_text_stats" ->
       """SELECT lang, count(*) AS n_docs,

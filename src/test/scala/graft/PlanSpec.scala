@@ -37,6 +37,13 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), s"cartesian in LSH path:\n$plan")
   }
 
+  test("decontamination broadcasts the benchmark gram set; train grams never shuffle") {
+    val plan = physical("llm_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark gram set should broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in decontaminate:\n$plan")
+  }
+
   test("dictionary lookup broadcasts the dict, fact side never shuffles it") {
     val plan = physical("dict_get_lookup")
     assert(plan.contains("BroadcastHashJoin"), s"dict should broadcast:\n$plan")
