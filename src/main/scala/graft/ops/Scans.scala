@@ -22,6 +22,7 @@ object Scans {
   private lazy val partDir: String = graft.TmpDirs.create("graft_part")
   private lazy val csvDir: String = graft.TmpDirs.create("graft_csv")
   private lazy val dropDir: String = graft.TmpDirs.create("graft_pdrop")
+  private lazy val orcDir: String = graft.TmpDirs.create("graft_orc")
 
   val queries: Map[String, Q] = Map(
     // S1: full-table scan; Catalyst prunes nothing — the point is the scan.
@@ -120,6 +121,14 @@ object Scans {
         .orderBy(col("event_type"))
     }),
 
+    // S11: ORC sink/source round-trip — the other columnar wire format a
+    // destination-side lake speaks; binary format, so every type round-
+    // trips exactly and the read-back must equal the source bit for bit.
+    "sink_orc_roundtrip" -> ((s, dir) => {
+      Tables.t(s, dir, "part").write.mode("overwrite").orc(s"$orcDir/part")
+      s.read.orc(s"$orcDir/part").orderBy(col("p_partkey"))
+    }),
+
     // S8: CSV sink/source round-trip — the reference class ships batches
     // as CSV INSERTs. Doubles survive the text round-trip exactly (Spark
     // writes shortest-round-trip representations); the schema is explicit
@@ -178,6 +187,9 @@ object Scans {
              AS total
          FROM events WHERE event_type <> 'error'
          GROUP BY event_type ORDER BY event_type""",
+
+    "sink_orc_roundtrip" ->
+      "SELECT * FROM part ORDER BY p_partkey",
 
     "sink_csv_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n,
