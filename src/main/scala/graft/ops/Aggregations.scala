@@ -265,6 +265,23 @@ object Aggregations {
             col("first_view") <= col("last_purchase")).as("matched"))
         .orderBy(col("user_id"))),
 
+    // A16: argMin/argMax — the ClickHouse carrier-value aggregates. Bare
+    // arg_max ties are engine-arbitrary, so the deterministic form is the
+    // lexicographic max/min of struct(value, carrier): the carrier itself
+    // breaks value ties identically in both engines. Same single hash
+    // aggregate, no extra pass.
+    "agg_arg_minmax" -> ((s, dir) =>
+      Tables.t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          max(struct(col("value"), col("user_id"))).getField("user_id")
+            .as("top_user"),
+          min(struct(col("value"), col("user_id"))).getField("user_id")
+            .as("bottom_user"),
+          max(col("value")).as("max_value"),
+          min(col("value")).as("min_value"))
+        .orderBy(col("event_type"))),
+
     // A10: statistical aggregates — genuinely floating, so rounded to a
     // fixed scale on both sides (see Tables determinism policy).
     "agg_stats" -> ((s, dir) =>
@@ -281,6 +298,15 @@ object Aggregations {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_arg_minmax" ->
+      """SELECT event_type,
+           (max(struct_pack(value := value, user_id := user_id))).user_id
+             AS top_user,
+           (min(struct_pack(value := value, user_id := user_id))).user_id
+             AS bottom_user,
+           max(value) AS max_value, min(value) AS min_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
     "agg_hash_groupby" ->
       """SELECT l_returnflag, l_linestatus,
            CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
