@@ -342,12 +342,15 @@ object Llm {
         .orderBy(col("source"))),
 
     // L2b: 16-bit SimHash per document + hamming distance of each planted
-    // near-dup pair to its original. Non-oracle; LlmSpec asserts planted
-    // pairs land at small hamming distance.
+    // near-dup pair to its original. Oracle-matched since round 6: the
+    // word hash is the portable md5-derived 60-bit value (no mod — bit
+    // sampling wants the raw bits), so the per-bit vote sums, the packed
+    // simhash, and the hamming distances are identical in both engines.
+    // LlmSpec additionally asserts planted pairs land at small hamming.
     "llm_dedup_simhash" -> ((s, dir) => {
       val docs = docsWithNearDups(s, dir)
       val wordHash = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .withColumn("h", xxhash64(col("w")))
+        .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast(LongType))
       val bitCols = (0 until 16).map(bit => sum(when(shiftright(col("h"), bit)
         .bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$bit"))
       val bitSums = wordHash.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
@@ -808,6 +811,35 @@ object Llm {
                % 100 < (CAST(substr(source, 4) AS INTEGER) % 10) * 10 + 5
              THEN 1 END) AS n_sampled
          FROM documents GROUP BY 1, 2 ORDER BY source""",
+
+    // mirrors the Spark pipeline: portable word hash, per-bit ±1 vote
+    // sums, packed 16-bit simhash, planted-pair hamming
+    "llm_dedup_simhash" -> {
+      val sums = (0 until 16)
+        .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+        .mkString(",\n                  ")
+      val pack = (0 until 16)
+        .map(b => s"CASE WHEN s$b > 0 THEN ${1 << b} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH nd AS ($nearDupDocsSql),
+            words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM nd),
+            wh AS (SELECT doc_id,
+                     CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+                   FROM words),
+            bits AS (SELECT doc_id,
+                  $sums
+                FROM wh GROUP BY doc_id),
+            sim AS (SELECT doc_id, CAST($pack AS INTEGER) AS simhash FROM bits),
+            orig AS (SELECT doc_id AS a_id, simhash AS a_sim FROM sim
+                     WHERE doc_id < 100000),
+            mut AS (SELECT doc_id - 100000 AS a_id, doc_id AS b_id,
+                      simhash AS b_sim FROM sim WHERE doc_id >= 100000)
+         SELECT o.a_id, m.b_id, o.a_sim, m.b_sim,
+                CAST(bit_count(xor(CAST(o.a_sim AS BIGINT), CAST(m.b_sim AS BIGINT)))
+                     AS INTEGER) AS hamming
+         FROM orig o JOIN mut m ON o.a_id = m.a_id
+         ORDER BY o.a_id"""
+    },
 
     "llm_dedup_ngram_jaccard" ->
       s"""WITH nd AS ($nearDupDocsSql),
