@@ -36,8 +36,10 @@ object Replication {
 
   /** Per-pass sync progress — the operational surface a replication user
     * watches (the reference logs rows/s and the applied position; here:
-    * rows applied, epoch deltas written, and the newest applied sequence
-    * number — the binlog-position analogue). */
+    * rows applied, epoch deltas written, and the newest sequence number
+    * applied BY THIS PASS — the binlog-position analogue; None when the
+    * pass applied no rows). Single- and multi-table syncs report the same
+    * semantics. */
   final case class SyncProgress(rowsApplied: Long, epochs: Long,
       lastSeq: Option[Long])
 
@@ -56,16 +58,14 @@ object Replication {
     * deltas are folded into one baseline epoch so the read-time collapse
     * never scans an unbounded epoch list. Returns the pass's
     * [[SyncProgress]]; rows/epochs come free from StreamingQueryProgress,
-    * lastSeq is one aggregate over the (small) state deltas. */
+    * lastSeq from a 1-row per-batch aggregate inside the pass — never a
+    * scan of the accumulated state. */
   def incrementalSync(spark: SparkSession, schema: StructType, inDir: String,
       ckptDir: String, stateDir: String, compactEvery: Int = 16): SyncProgress = {
-    val (rows, epochs) =
-      streaming.StreamingOps.runCdcPass(spark, schema, inDir, ckptDir, stateDir)
+    val (rows, epochs, lastSeq) = streaming.StreamingOps.runCdcPass(
+      spark, schema, inDir, ckptDir, stateDir, trackSeq = true)
     if (deltaCount(stateDir) > compactEvery)
       streaming.StreamingOps.compactState(spark, stateDir)
-    val lastSeq = if (rows > 0)
-      Some(spark.read.parquet(stateDir).agg(max(col("seq"))).collect()(0).getLong(0))
-    else None
     SyncProgress(rows, epochs, lastSeq)
   }
 

@@ -84,6 +84,14 @@ object Llm {
   private[graft] def minhashB(k: Int): Long = (k.toLong * 40503L + 17L) % MinhashP
   private val ShingleC = Seq(1000003L, 999983L, 999979L)
 
+  /** The portable 60-bit word hash — the ONE home for the Spark half of
+    * the engine contract (the DuckDB mirror is
+    * `CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT)`). Minhash,
+    * decontamination, and simhash all hash words through here; a change
+    * (e.g. widening the hex slice) must land in both halves at once. */
+  private def wordHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
   /** hashed 3-shingles from a word-hash array `wh` (Spark side; 0-based
     * element access, i runs 1..n-2 like [[shinglesFromWords]]). */
   private val hashedShinglesFromWh: String = {
@@ -210,8 +218,7 @@ object Llm {
   private def minhashConfirmedPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = docsWithNearDups(s, dir)
       .withColumn("words", split(col("text"), " "))
-      .withColumn("wh", transform(col("words"), w =>
-        conv(substring(md5(w), 1, 15), 16, 10).cast(LongType) % MinhashP))
+      .withColumn("wh", transform(col("words"), w => wordHash60(w) % MinhashP))
       .withColumn("sh", expr(hashedShinglesFromWh))
       .select(col("doc_id"), col("sh"))
       .localCheckpoint()
@@ -310,8 +317,7 @@ object Llm {
       val d = Tables.t(s, dir, "documents")
       def grams = d
         .withColumn("words", split(col("text"), " "))
-        .withColumn("wh", transform(col("words"), w =>
-          conv(substring(md5(w), 1, 15), 16, 10).cast(LongType) % MinhashP))
+        .withColumn("wh", transform(col("words"), w => wordHash60(w) % MinhashP))
         .select(col("doc_id"), explode(expr(hashedGramsFromWh)).as("g"))
       val bench = grams.filter(col("doc_id") % 37 === 0).select(col("g")).distinct()
       val hits = grams.filter(col("doc_id") % 37 =!= 0)
@@ -350,7 +356,7 @@ object Llm {
     "llm_dedup_simhash" -> ((s, dir) => {
       val docs = docsWithNearDups(s, dir)
       val wordHash = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast(LongType))
+        .withColumn("h", wordHash60(col("w")))
       val bitCols = (0 until 16).map(bit => sum(when(shiftright(col("h"), bit)
         .bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$bit"))
       val bitSums = wordHash.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)

@@ -83,6 +83,13 @@ object StreamingOps {
     }
   }
 
+  /** The CDC envelope column set — ONE home for the list (the collapse,
+    * both pass runners, compaction, and the read-time collapse all select
+    * through here; a column added to the envelope lands everywhere). */
+  private val envelopeCols = Seq("op", "seq", "ts", "okey", "price", "status")
+  private def envelope(df: DataFrame): DataFrame =
+    df.select(envelopeCols.map(col): _*)
+
   /** latest-wins collapse keyed by okey (tombstones kept for merging). */
   private def collapse(df: DataFrame): DataFrame =
     df.groupBy(col("okey"))
@@ -147,30 +154,56 @@ object StreamingOps {
     * appends deltas to a ReplacingMergeTree-style table and lets the A8
     * collapse run at read/merge time.
     */
-  private[graft] def runCdcPass(s: SparkSession,
-      schema: org.apache.spark.sql.types.StructType,
-      in: String, ckpt: String, state: String): (Long, Long) = {
+  /** Shared file-stream scaffold: play the files under `in` as
+    * micro-batches into `apply`, then return (rowsApplied, dataBatches).
+    * Progress is free: StreamingQueryProgress already carries per-batch
+    * input row counts — no extra job runs on the timed path. (The buffer
+    * is bounded — spark.sql.streaming.numRecentProgressUpdates, default
+    * 100 — plenty for the harness's ≤4-wave passes; a long-lived
+    * production stream would consume a StreamingQueryListener instead.) */
+  private def runFilePass(s: SparkSession,
+      schema: org.apache.spark.sql.types.StructType, in: String, ckpt: String)(
+      apply: (Dataset[Row], Long) => Unit): (Long, Long) = {
     val query = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
       .writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
-        collapse(batch.select(
-          col("op"), col("seq"), col("ts"), col("okey"), col("price"), col("status")))
-          .write.mode("overwrite").parquet(s"$state/epoch=$epochId")
-        ()
+        apply(batch, epochId)
       }
       .start()
     query.processAllAvailable()
-    // progress is free: StreamingQueryProgress already carries per-batch
-    // input row counts — no extra job runs on the timed path. (The buffer
-    // is bounded — spark.sql.streaming.numRecentProgressUpdates, default
-    // 100 — plenty for the harness's ≤4-wave passes; a long-lived
-    // production stream would consume a StreamingQueryListener instead.)
     val rows = query.recentProgress.map(_.numInputRows).sum
     val epochs = query.recentProgress.count(_.numInputRows > 0).toLong
     query.stop()
     (rows, epochs)
+  }
+
+  /** `trackSeq` additionally reports the newest `seq` applied BY THIS
+    * PASS (one tiny 1-row aggregate per batch — only the Replication
+    * facade turns it on; the benchmarked queries never pay it). A batch
+    * consumed by more than one action inside foreachBatch MUST be
+    * persisted first: each extra action otherwise re-reads the file
+    * source, which both doubles the work and inflates the source's
+    * numInputRows metric (observed: rowsApplied exactly 2x). */
+  private[graft] def runCdcPass(s: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      in: String, ckpt: String, state: String,
+      trackSeq: Boolean = false): (Long, Long, Option[Long]) = {
+    var maxSeq = Option.empty[Long]
+    val (rows, epochs) = runFilePass(s, schema, in, ckpt) { (batch, epochId) =>
+      if (trackSeq) batch.persist()
+      try {
+        if (trackSeq) {
+          val r = batch.agg(max(col("seq"))).collect()(0)
+          if (!r.isNullAt(0))
+            maxSeq = Some(maxSeq.fold(r.getLong(0))(math.max(_, r.getLong(0))))
+        }
+        collapse(envelope(batch))
+          .write.mode("overwrite").parquet(s"$state/epoch=$epochId")
+      } finally if (trackSeq) { batch.unpersist(); () }
+    }
+    (rows, epochs, maxSeq)
   }
 
   /** Multi-table variant of [[runCdcPass]] (SURVEY §3.1 #2): ONE ordered
@@ -195,30 +228,26 @@ object StreamingOps {
       in: String, ckpt: String,
       stateDirs: Map[String, String]): Map[String, (Long, Long, Long)] = {
     val acc = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
-    val query = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(in)
-      .writeStream
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
+    runFilePass(s, schema, in, ckpt) { (batch, epochId) =>
+      // the batch is consumed once per present table plus the discovery
+      // aggregate — persist so the file source is read once per trigger
+      // (see runCdcPass's note on multi-action foreachBatch)
+      batch.persist()
+      try {
         val present = batch.groupBy(col("table"))
           .agg(count(lit(1)).as("n"), max(col("seq")).as("mx")).collect()
         present.foreach { r =>
           val t = r.getString(0)
           stateDirs.get(t).foreach { dir =>
-            collapse(batch.filter(col("table") === t).select(
-              col("op"), col("seq"), col("ts"), col("okey"), col("price"),
-              col("status")))
+            collapse(envelope(batch.filter(col("table") === t)))
               .write.mode("overwrite").parquet(s"$dir/epoch=$epochId")
             val (rows, epochs, mx) = acc.getOrElse(t, (0L, 0L, Long.MinValue))
             acc(t) = (rows + r.getLong(1), epochs + 1L,
               math.max(mx, r.getLong(2)))
           }
         }
-        ()
-      }
-      .start()
-    query.processAllAvailable()
-    query.stop()
+      } finally { batch.unpersist(); () }
+    }
     acc.toMap
   }
 
@@ -258,8 +287,7 @@ object StreamingOps {
     val side = new java.io.File(dir, "_compacting")
     import graft.TmpDirs.rmr
     try {
-      collapse(s.read.parquet(state).select(
-        col("op"), col("seq"), col("ts"), col("okey"), col("price"), col("status")))
+      collapse(envelope(s.read.parquet(state)))
         .write.mode("overwrite").parquet(s"$side/epoch=$baseEpoch")
       require(new java.io.File(side, s"epoch=$baseEpoch")
         .renameTo(new java.io.File(dir, s"epoch=$baseEpoch")),
@@ -311,8 +339,7 @@ object StreamingOps {
     * semantics; seq is globally monotone per key, so max_by(seq) across
     * epochs is total), tombstones dropped. */
   private[graft] def readLatestState(s: SparkSession, state: String): DataFrame =
-    collapse(s.read.parquet(state).select(
-      col("op"), col("seq"), col("ts"), col("okey"), col("price"), col("status")))
+    collapse(envelope(s.read.parquet(state)))
       .filter(col("op") =!= "D")
       .select(col("okey"), col("op"), col("price"), col("status"), col("ts"))
       .orderBy(col("okey"))
