@@ -92,15 +92,21 @@ object Llm {
   private def wordHash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
-  /** hashed 3-shingles from a word-hash array `wh` (Spark side; 0-based
-    * element access, i runs 1..n-2 like [[shinglesFromWords]]). */
-  private val hashedShinglesFromWh: String = {
+  /** hashed 3-shingles from a word-hash array `wh`, WITH multiplicity
+    * (Spark side; 0-based element access, i runs 1..n-2 like
+    * [[shinglesFromWords]]) — llm_repetition's duplicate-gram signal
+    * needs the raw sequence. */
+  private val rawHashedShinglesFromWh: String = {
     val Seq(c1, c2, c3) = ShingleC
     s"""CASE WHEN size(wh) >= 3 THEN
-          array_distinct(transform(sequence(1, size(wh) - 2),
-            i -> (wh[i-1] * ${c1}L + wh[i] * ${c2}L + wh[i+1] * ${c3}L) % ${MinhashP}L))
-        ELSE array() END"""
+          transform(sequence(1, size(wh) - 2),
+            i -> (wh[i-1] * ${c1}L + wh[i] * ${c2}L + wh[i+1] * ${c3}L) % ${MinhashP}L)
+        ELSE CAST(array() AS ARRAY<BIGINT>) END"""
   }
+
+  /** distinct hashed 3-shingles — the minhash set form. */
+  private val hashedShinglesFromWh: String =
+    s"array_distinct($rawHashedShinglesFromWh)"
 
   /** 131^j mod P for the 8-gram rolling hash (decontamination). */
   private val Gram8C: Seq[Long] =
@@ -544,6 +550,25 @@ object Llm {
         .orderBy(col("doc_id"))
     }),
 
+    // L6d: repetition detection — the Gopher/C4-style quality signal:
+    // fraction of duplicate 3-grams per doc (1 - distinct/total over the
+    // hashed shingle sequence WITH multiplicity). Scan-local codegen'd
+    // array arithmetic, no shuffle but the final sort.
+    "llm_repetition" -> ((s, dir) =>
+      Tables.t(s, dir, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .withColumn("wh", transform(col("words"), w => wordHash60(w) % MinhashP))
+        .withColumn("sh_all", expr(rawHashedShinglesFromWh))
+        .select(col("doc_id"),
+          size(col("words")).cast(LongType).as("n_words"),
+          size(col("sh_all")).cast(LongType).as("n_grams"),
+          size(array_distinct(col("sh_all"))).cast(LongType).as("n_distinct"))
+        .withColumn("rep_ratio", when(col("n_grams") > 0,
+          lit(1.0) - col("n_distinct").cast(DoubleType) /
+            col("n_grams").cast(DoubleType)).otherwise(lit(0.0)))
+        .withColumn("rep_flag", col("rep_ratio") > 0.2)
+        .orderBy(col("doc_id"))),
+
     // L4a: token counting (whitespace + BPE-ish regex) per language.
     "llm_text_stats" -> ((s, dir) =>
       Tables.t(s, dir, "documents")
@@ -945,6 +970,31 @@ object Llm {
            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
            FROM scored)
          WHERE rk <= 3 ORDER BY q_id, rk""",
+
+    "llm_repetition" -> {
+      val Seq(c1, c2, c3) = ShingleC
+      s"""WITH whs AS (SELECT doc_id,
+                         list_transform(string_split(text, ' '), w ->
+                           CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % $MinhashP) AS wh
+                       FROM documents),
+            g AS (SELECT doc_id, CAST(len(wh) AS BIGINT) AS n_words,
+                    list_transform(generate_series(1, greatest(len(wh) - 2, 0)),
+                      i -> (wh[i] * $c1 + wh[i+1] * $c2 + wh[i+2] * $c3) % $MinhashP)
+                      AS sh_all
+                  FROM whs),
+            m AS (SELECT doc_id, n_words,
+                    CAST(len(sh_all) AS BIGINT) AS n_grams,
+                    CAST(len(list_distinct(sh_all)) AS BIGINT) AS n_distinct
+                  FROM g)
+         SELECT doc_id, n_words, n_grams, n_distinct,
+           CASE WHEN n_grams > 0 THEN
+             1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE)
+           ELSE 0.0 END AS rep_ratio,
+           (CASE WHEN n_grams > 0 THEN
+             1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE)
+           ELSE 0.0 END) > 0.2 AS rep_flag
+         FROM m ORDER BY doc_id"""
+    },
 
     "llm_pack_shards" ->
       """WITH t AS (SELECT doc_id,
