@@ -416,6 +416,29 @@ object StreamingOps {
     // sink + latest-wins merge make the duplicate delivery a no-op.
     "sink_foreachbatch_idempotent" -> ((s, dir) => cdcApply(s, dir, replayLast = true)),
 
+    // ST11: the reference's one-binlog→N-tables topology, end-to-end
+    // under the oracle gate: one ordered stream whose envelope carries a
+    // `table` column fans out per-table epoch deltas to per-table state
+    // dirs (runCdcPassMulti); the served result is the union of the
+    // per-table read-time collapses. The oracle is the batch latest-wins
+    // collapse partitioned by the same table mapping.
+    "stream_cdc_multi_table" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir).withColumn("table",
+        when(col("okey") % 2 === 0, "t_even").otherwise("t_odd"))
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      Seq(1L, 2L, 3L).zipWithIndex.foreach { case (seq, i) =>
+        writeWave(log.filter(col("seq") === seq), in, i) }
+      val dirs = Map("t_even" -> s"$tmp/state_even", "t_odd" -> s"$tmp/state_odd")
+      runCdcPassMulti(s, log.schema, in, s"$tmp/ckpt", dirs)
+      dirs.toSeq.sortBy(_._1).map { case (t, d) =>
+        readLatestState(s, d).withColumn("tbl", lit(t))
+      }.reduce(_.unionByName(_))
+        .select(col("tbl"), col("okey"), col("op"), col("price"),
+          col("status"), col("ts"))
+        .orderBy(col("tbl"), col("okey"))
+    }),
+
     // ST2: tumbling 1-day windows per event_type.
     "stream_window_tumbling" -> ((s, dir) => {
       val (tmp, ev) = eventWaves(s, dir)
@@ -656,6 +679,15 @@ object StreamingOps {
     // stream ≡ batch: the applied state must equal the A8 collapse.
     "stream_cdc_apply" -> latestStateSql,
     "sink_foreachbatch_idempotent" -> latestStateSql,
+
+    "stream_cdc_multi_table" ->
+      s"""WITH cdc_log AS (${Tables.cdcLogSql}),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM cdc_log)
+         SELECT CASE WHEN okey % 2 = 0 THEN 't_even' ELSE 't_odd' END AS tbl,
+                okey, op, price, status, ts
+         FROM ranked WHERE rn = 1 AND op <> 'D'
+         ORDER BY tbl, okey""",
 
     "stream_window_tumbling" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws,
