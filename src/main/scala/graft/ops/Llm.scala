@@ -299,14 +299,15 @@ object Llm {
           .join(labels.select(col("doc_id").as("dst"), col("lbl").as("nlbl")), "dst")
           .groupBy(col("src")).agg(min(col("nlbl")).as("min_n"))
           .select(col("src").as("doc_id"), col("min_n"))
+        // carry the old label through the checkpoint so the convergence
+        // test is a filter+count on the materialized (tiny) table — no
+        // extra join per round
         val next = labels.join(prop, Seq("doc_id"), "left")
-          .select(col("doc_id"),
+          .select(col("doc_id"), col("lbl").as("old"),
             least(col("lbl"), coalesce(col("min_n"), col("lbl"))).as("lbl"))
           .localCheckpoint() // cut lineage: iterative plans otherwise grow
-        changed = next
-          .join(labels.select(col("doc_id"), col("lbl").as("old")), "doc_id")
-          .filter(col("lbl") =!= col("old")).count()
-        labels = next
+        changed = next.filter(col("lbl") =!= col("old")).count()
+        labels = next.select(col("doc_id"), col("lbl"))
       }
       labels
         .select(col("doc_id"), col("lbl").as("cluster_id"),
