@@ -570,6 +570,34 @@ object Llm {
         .withColumn("rep_flag", col("rep_ratio") > 0.2)
         .orderBy(col("doc_id"))),
 
+    // L6e: quality-gate composition — the C4/Gopher pipeline shape: every
+    // rule (length band, repetition ceiling, word-shape band) evaluated
+    // independently over one scan, reporting per-rule drop counts and the
+    // surviving-doc count. The numbers a pipeline owner actually tunes:
+    // which gate is eating the corpus. One pass, one 1-row aggregate.
+    "llm_filter_pipeline" -> ((s, dir) =>
+      Tables.t(s, dir, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .withColumn("n_words", size(col("words")).cast(LongType))
+        .withColumn("wh", transform(col("words"), w => wordHash60(w) % MinhashP))
+        .withColumn("sh_all", expr(rawHashedShinglesFromWh))
+        .withColumn("rep_ratio", when(size(col("sh_all")) > 0,
+          lit(1.0) - size(array_distinct(col("sh_all"))).cast(DoubleType) /
+            size(col("sh_all")).cast(DoubleType)).otherwise(lit(0.0)))
+        .withColumn("avg_wlen",
+          (length(col("text")) - (col("n_words") - 1)).cast(DoubleType) /
+            col("n_words").cast(DoubleType))
+        .withColumn("pass_len", col("n_words").between(50, 100000))
+        .withColumn("pass_rep", col("rep_ratio") <= 0.2)
+        .withColumn("pass_wlen", col("avg_wlen").between(3.0, 12.0))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(when(!col("pass_len"), 1)).as("drop_len"),
+          count(when(!col("pass_rep"), 1)).as("drop_rep"),
+          count(when(!col("pass_wlen"), 1)).as("drop_wlen"),
+          count(when(col("pass_len") && col("pass_rep") && col("pass_wlen"), 1))
+            .as("n_kept"))),
+
     // L4a: token counting (whitespace + BPE-ish regex) per language.
     "llm_text_stats" -> ((s, dir) =>
       Tables.t(s, dir, "documents")
@@ -995,6 +1023,35 @@ object Llm {
              1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE)
            ELSE 0.0 END) > 0.2 AS rep_flag
          FROM m ORDER BY doc_id"""
+    },
+
+    "llm_filter_pipeline" -> {
+      val Seq(c1, c2, c3) = ShingleC
+      s"""WITH whs AS (SELECT doc_id, text,
+                         list_transform(string_split(text, ' '), w ->
+                           CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % $MinhashP) AS wh
+                       FROM documents),
+            g AS (SELECT doc_id, text, CAST(len(wh) AS BIGINT) AS n_words,
+                    list_transform(generate_series(1, greatest(len(wh) - 2, 0)),
+                      i -> (wh[i] * $c1 + wh[i+1] * $c2 + wh[i+2] * $c3) % $MinhashP)
+                      AS sh_all
+                  FROM whs),
+            f AS (SELECT doc_id,
+                    n_words BETWEEN 50 AND 100000 AS pass_len,
+                    (CASE WHEN len(sh_all) > 0 THEN
+                       1.0 - CAST(len(list_distinct(sh_all)) AS DOUBLE) /
+                         CAST(len(sh_all) AS DOUBLE)
+                     ELSE 0.0 END) <= 0.2 AS pass_rep,
+                    (CAST(length(text) - (n_words - 1) AS DOUBLE) /
+                       CAST(n_words AS DOUBLE)) BETWEEN 3.0 AND 12.0 AS pass_wlen
+                  FROM g)
+         SELECT count(*) AS n_docs,
+                count(CASE WHEN NOT pass_len THEN 1 END) AS drop_len,
+                count(CASE WHEN NOT pass_rep THEN 1 END) AS drop_rep,
+                count(CASE WHEN NOT pass_wlen THEN 1 END) AS drop_wlen,
+                count(CASE WHEN pass_len AND pass_rep AND pass_wlen THEN 1 END)
+                  AS n_kept
+         FROM f"""
     },
 
     "llm_pack_shards" ->

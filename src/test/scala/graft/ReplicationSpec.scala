@@ -70,6 +70,46 @@ class ReplicationSpec extends SparkTestBase {
     assert(!new java.io.File(s"$base/state_other").exists())
   }
 
+  test("idle incremental pass applies nothing and reports zero progress") {
+    val base = tmp()
+    val log = Tables.cdcLog(spark, sf)
+    (1 to 3).foreach(w => graft.streaming.StreamingOps.writeWave(
+      log.filter(col("seq") === w), s"$base/in", w - 1))
+    Replication.incrementalSync(spark, log.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state")
+    val before = Replication.appliedState(spark, s"$base/state").count()
+    // the cron-idle case: no new binlog since the last pass
+    val p2 = Replication.incrementalSync(spark, log.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state")
+    assert(p2.rowsApplied == 0 && p2.epochs == 0 && p2.lastSeq.isEmpty)
+    assert(Replication.appliedState(spark, s"$base/state").count() == before)
+  }
+
+  test("multi-table sync handles a table absent from some waves") {
+    val base = tmp()
+    val log = Tables.cdcLog(spark, sf).withColumn("table",
+      when(col("okey") % 2 === 0, "t_a").otherwise("t_b"))
+    // t_b's inserts arrive a wave late: wave 0 is t_a-only
+    graft.streaming.StreamingOps.writeWave(
+      log.filter(col("seq") === 1 && col("table") === "t_a"), s"$base/in", 0)
+    graft.streaming.StreamingOps.writeWave(
+      log.filter(col("seq") === 1 && col("table") === "t_b" ||
+        col("seq") === 2), s"$base/in", 1)
+    graft.streaming.StreamingOps.writeWave(
+      log.filter(col("seq") === 3), s"$base/in", 2)
+    val dirs = Map("t_a" -> s"$base/sa", "t_b" -> s"$base/sb")
+    val prog = Replication.incrementalSyncMulti(spark, log.schema,
+      s"$base/in", s"$base/ckpt", dirs)
+    assert(prog("t_a").epochs == 3 && prog("t_b").epochs == 2)
+    val batch = q("agg_latest_by_version")
+    for ((t, dir) <- dirs) {
+      val expect = batch.filter(
+        if (t == "t_a") col("okey") % 2 === 0 else col("okey") % 2 =!= 0)
+      assert(Replication.consistencyCheck(
+        expect, Replication.appliedState(spark, dir), "okey").consistent)
+    }
+  }
+
   test("incremental sync compacts once epochs exceed the threshold") {
     val base = tmp()
     val log = Tables.cdcLog(spark, sf)
