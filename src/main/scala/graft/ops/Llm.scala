@@ -533,21 +533,44 @@ object Llm {
 
     // L6c: training-shard packing — assign docs to fixed-token-budget
     // shards by running token count (the artifact a training job reads).
-    // The harness form uses one global running sum (single-partition
-    // window, fine at fixture scale and deterministic by doc_id); the
-    // 100 TB path is the standard two-pass variant: range-partition by
-    // doc_id, per-partition local cumsums, then add broadcast partition
-    // offsets — same arithmetic, no global sort bottleneck.
+    // Implemented as the REAL 100 TB shape, not a single-partition global
+    // window: range-partition by doc_id, per-partition token totals (a
+    // partition-count-sized collect — metadata, not data), broadcast
+    // cumulative offsets, then a per-partition local running sum. The
+    // output is identical for ANY range boundaries (the global cumsum
+    // doesn't depend on where partitions split), so the sampled
+    // repartitionByRange stays oracle-deterministic — but the partitioned
+    // input must be pinned (localCheckpoint) so the totals pass and the
+    // assignment pass see the SAME sampled boundaries.
     "llm_pack_shards" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.t(s, dir, "documents")
+      val sp = s
+      import sp.implicits._
+      val pinned = Tables.t(s, dir, "documents")
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast(LongType).as("n_tok"))
-        .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
-        .select(col("doc_id"), col("n_tok"),
-          expr("cum_before DIV 4096").as("shard_id"))
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .as[(Long, Long)]
+        .localCheckpoint()
+      val totals = pinned.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var t = 0L
+        it.foreach(t += _._2)
+        Iterator((pid, t))
+      }.collect() // one row per partition — bounded metadata
+      val sorted = totals.sortBy(_._1)
+      val offsets = sorted.map(_._1)
+        .zip(sorted.map(_._2).scanLeft(0L)(_ + _)).toMap
+      val bc = s.sparkContext.broadcast(offsets)
+      pinned.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var cum = bc.value.getOrElse(pid, 0L)
+        it.map { case (id, n) =>
+          val before = cum
+          cum += n
+          (id, n, before / 4096L)
+        }
+      }.toDF("doc_id", "n_tok", "shard_id")
         .orderBy(col("doc_id"))
     }),
 
