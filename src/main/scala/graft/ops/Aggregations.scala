@@ -4,7 +4,7 @@ import graft.Tables
 import graft.Tables.{dec2, D2, D4}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** SURVEY.md §2.4 — aggregations.
   *
@@ -265,6 +265,18 @@ object Aggregations {
             col("first_view") <= col("last_purchase")).as("matched"))
         .orderBy(col("user_id"))),
 
+    // A17: fixed-width histogram — the ClickHouse histogram() workload in
+    // its deterministic form (fixed bucket width, not adaptive bins):
+    // floor(price / width) buckets, one hash aggregate, scan-local.
+    "agg_histogram" -> ((s, dir) =>
+      Tables.t(s, dir, "lineitem")
+        .withColumn("bucket",
+          floor(col("l_extendedprice") / 10000).cast(LongType))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("l_extendedprice"))).cast(D2).cast(DoubleType).as("total"))
+        .orderBy(col("bucket"))),
+
     // A16: argMin/argMax — the ClickHouse carrier-value aggregates. Bare
     // arg_max ties are engine-arbitrary, so the deterministic form is the
     // lexicographic max/min of struct(value, carrier): the carrier itself
@@ -298,6 +310,13 @@ object Aggregations {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bucket,
+           count(*) AS n,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                AS DECIMAL(18,2)) AS DOUBLE) AS total
+         FROM lineitem GROUP BY 1 ORDER BY bucket""",
+
     "agg_arg_minmax" ->
       """SELECT event_type,
            (max(struct_pack(value := value, user_id := user_id))).user_id

@@ -17,6 +17,30 @@ object Windows {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // W7: batch sessionization — the gaps-and-islands form of ST4's
+    // session windows, fully oracle-able (no watermark arrival-order
+    // dependence): a new session starts where the per-user gap exceeds
+    // 1h; session id is the running count of session starts. Gap
+    // arithmetic in exact epoch MICROS (DuckDB's epoch() is a fractional
+    // double — epoch_us is the integer both engines agree on). Keyed
+    // windows only — shards by user at scale.
+    "win_sessionize" -> ((s, dir) => {
+      val wUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.t(s, dir, "events")
+        .withColumn("prev_us",
+          lag(unix_micros(col("ts")), 1).over(wUser))
+        .withColumn("new_sess", when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 3600L * 1000000L, 1L)
+          .otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(
+          wUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"), col("sess_id"))
+    }),
+
     // W1: latest-wins dedup in window form (same semantics as A8).
     "win_row_number_dedup" -> ((s, dir) => {
       val w = Window.partitionBy(col("okey")).orderBy(desc("seq"))
@@ -97,6 +121,24 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "win_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+                      lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS prev_us
+                    FROM events),
+            s AS (SELECT *, CASE WHEN prev_us IS NULL
+                    OR epoch_us(ts) - prev_us > CAST(3600 AS BIGINT) * 1000000 THEN 1
+                    ELSE 0 END AS new_sess
+                  FROM e),
+            x AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+                  FROM s)
+         SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+                min(ts) AS sess_start, max(ts) AS sess_end,
+                count(*) AS n_events
+         FROM x GROUP BY user_id, sess_id ORDER BY user_id, sess_id""",
+
     "win_row_number_dedup" ->
       s"""WITH cdc_log AS (${Tables.cdcLogSql})
          SELECT okey, op, price, status, ts FROM (
