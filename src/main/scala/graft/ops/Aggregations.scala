@@ -265,6 +265,33 @@ object Aggregations {
             col("first_view") <= col("last_purchase")).as("matched"))
         .orderBy(col("user_id"))),
 
+    // A18: exact quantiles — ClickHouse quantileExact semantics (the
+    // value AT rank ceil(q·n), no interpolation), deterministic by a
+    // TOTAL order (quantity, orderkey, linenumber): rank every row per
+    // group once, then pick the three target ranks with conditional
+    // aggregates — one window pass + one hash aggregate.
+    "agg_quantiles_exact" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      val n = Window.partitionBy(col("l_returnflag"))
+      Tables.t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(n))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          max(when(col("rn") === ceil(col("cnt") * 0.25), col("l_quantity")))
+            .as("q25"),
+          max(when(col("rn") === ceil(col("cnt") * 0.5), col("l_quantity")))
+            .as("median"),
+          max(when(col("rn") === ceil(col("cnt") * 0.75), col("l_quantity")))
+            .as("q75"),
+          max(col("cnt")).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // A17: fixed-width histogram — the ClickHouse histogram() workload in
     // its deterministic form (fixed bucket width, not adaptive bins):
     // floor(price / width) buckets, one hash aggregate, scan-local.
@@ -310,6 +337,19 @@ object Aggregations {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_quantiles_exact" ->
+      """WITH r AS (SELECT l_returnflag, l_quantity,
+                      row_number() OVER (PARTITION BY l_returnflag
+                        ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+                      count(*) OVER (PARTITION BY l_returnflag) AS cnt
+                    FROM lineitem)
+         SELECT l_returnflag,
+           max(CASE WHEN rn = ceil(cnt * 0.25) THEN l_quantity END) AS q25,
+           max(CASE WHEN rn = ceil(cnt * 0.5) THEN l_quantity END) AS median,
+           max(CASE WHEN rn = ceil(cnt * 0.75) THEN l_quantity END) AS q75,
+           CAST(max(cnt) AS BIGINT) AS n_rows
+         FROM r GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "agg_histogram" ->
       """SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bucket,
            count(*) AS n,

@@ -621,6 +621,26 @@ object Llm {
           count(when(col("pass_len") && col("pass_rep") && col("pass_wlen"), 1))
             .as("n_kept"))),
 
+    // L6f: unigram entropy quality signal (Gopher-style): per-doc Shannon
+    // entropy of the word distribution. Float summation order matters, so
+    // the fold runs over the WORD-SORTED term list left-to-right in both
+    // engines (collect→array_sort→aggregate here, list(… ORDER BY)→
+    // list_reduce there); round(…,6) absorbs last-ulp log differences
+    // (the llm_tfidf ln precedent).
+    "llm_entropy" -> ((s, dir) =>
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tok"),
+          collect_list(struct(col("w"), col("c"))).as("wc"))
+        .withColumn("entropy", round(expr(
+          """aggregate(array_sort(wc), CAST(0.0 AS DOUBLE),
+               (acc, x) -> acc - (x.c / CAST(n_tok AS DOUBLE)) *
+                 log2(x.c / CAST(n_tok AS DOUBLE)))"""), 6))
+        .select(col("doc_id"), col("n_tok"), col("entropy"))
+        .orderBy(col("doc_id"))),
+
     // L4a: token counting (whitespace + BPE-ish regex) per language.
     "llm_text_stats" -> ((s, dir) =>
       Tables.t(s, dir, "documents")
@@ -1047,6 +1067,21 @@ object Llm {
            ELSE 0.0 END) > 0.2 AS rep_flag
          FROM m ORDER BY doc_id"""
     },
+
+    "llm_entropy" ->
+      """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                        FROM documents),
+            wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2),
+            wn AS (SELECT doc_id, w, c,
+                     sum(c) OVER (PARTITION BY doc_id) AS n_tok FROM wc),
+            d AS (SELECT doc_id, CAST(max(n_tok) AS BIGINT) AS n_tok,
+                    list((c / CAST(n_tok AS DOUBLE)) *
+                         log2(c / CAST(n_tok AS DOUBLE)) ORDER BY w) AS terms
+                  FROM wn GROUP BY doc_id)
+         SELECT doc_id, n_tok,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), terms),
+             (acc, t) -> acc - t), 6) AS entropy
+         FROM d ORDER BY doc_id""",
 
     "llm_filter_pipeline" -> {
       val Seq(c1, c2, c3) = ShingleC
