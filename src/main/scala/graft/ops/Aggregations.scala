@@ -4,7 +4,7 @@ import graft.Tables
 import graft.Tables.{dec2, D2, D4}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
 
 /** SURVEY.md §2.4 — aggregations.
   *
@@ -321,6 +321,75 @@ object Aggregations {
           min(col("value")).as("min_value"))
         .orderBy(col("event_type"))),
 
+    // A19: topK — ClickHouse's most-frequent-values aggregate, in its
+    // exact deterministic form: count per (group, value), rank by
+    // frequency (value breaks ties), keep 3, assemble the rank-ordered
+    // array per group. Two hash aggregates + one tiny window over the
+    // distinct-value table — the distinct table is |groups|·|values|,
+    // never |rows|, so the shape is scan-dominated at any scale.
+    "agg_topk_frequent" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.t(s, dir, "lineitem")
+        .withColumn("qty", col("l_quantity").cast(LongType))
+        .groupBy(col("l_returnflag"), col("qty"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("cnt").desc, col("qty"))
+      counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          concat_ws(",", transform(
+            array_sort(collect_list(struct(col("rk"), col("qty")))),
+            x => x.getField("qty").cast(StringType))).as("top_qtys"),
+          concat_ws(",", transform(
+            array_sort(collect_list(struct(col("rk"), col("cnt")))),
+            x => x.getField("cnt").cast(StringType))).as("top_counts"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // A20: simpleLinearRegression — ClickHouse's least-squares aggregate
+    // (slope, intercept, r²) of price on quantity per group. The five
+    // moment sums run EXACT (quantity is integral, price is 2dp decimal
+    // scaled to an integer y100 = 100·price; Σy² needs >63 bits so it
+    // sums in DECIMAL(38,0)); slope/intercept/r² are then a handful of
+    // identical double ops on identically-rounded casts of those exact
+    // integers, rounded to 6dp as a belt-and-braces against a last-ulp
+    // cast divergence. One hash aggregate — the canonical map-side
+    // partial-aggregation shape at any scale.
+    "agg_linreg" -> ((s, dir) => {
+      val D38 = DecimalType(38, 0)
+      Tables.t(s, dir, "lineitem")
+        .withColumn("x", col("l_quantity").cast(LongType))
+        .withColumn("y100", (dec2(col("l_extendedprice")) * lit(100))
+          .cast(LongType))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"),
+          sum(col("y100")).as("sy"),
+          sum(col("x") * col("y100")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y100").cast(D38) * col("y100")).as("syy"))
+        .withColumn("num",
+          col("n").cast(D38) * col("sxy") - col("sx").cast(D38) * col("sy"))
+        .withColumn("den_x", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("den_y",
+          col("n").cast(D38) * col("syy") - col("sy").cast(D38) * col("sy"))
+        .withColumn("slope",
+          col("num").cast(DoubleType) / col("den_x").cast(DoubleType) / lit(100.0))
+        .select(
+          col("l_returnflag"), col("n"),
+          round(col("slope"), 6).as("slope"),
+          round((col("sy").cast(DoubleType) / lit(100.0) -
+            col("slope") * col("sx").cast(DoubleType)) / col("n").cast(DoubleType), 6)
+            .as("intercept"),
+          round(col("num").cast(DoubleType) * col("num").cast(DoubleType) /
+            (col("den_x").cast(DoubleType) * col("den_y").cast(DoubleType)), 6)
+            .as("r2"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // A10: statistical aggregates — genuinely floating, so rounded to a
     // fixed scale on both sides (see Tables determinism policy).
     "agg_stats" -> ((s, dir) =>
@@ -365,6 +434,47 @@ object Aggregations {
              AS bottom_user,
            max(value) AS max_value, min(value) AS min_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "agg_topk_frequent" ->
+      """WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+                      count(*) AS cnt
+                    FROM lineitem GROUP BY 1, 2),
+              r AS (SELECT l_returnflag, qty, cnt,
+                      row_number() OVER (PARTITION BY l_returnflag
+                        ORDER BY cnt DESC, qty) AS rk
+                    FROM c QUALIFY rk <= 3)
+         SELECT l_returnflag,
+           array_to_string(list(CAST(qty AS VARCHAR) ORDER BY rk), ',')
+             AS top_qtys,
+           array_to_string(list(CAST(cnt AS VARCHAR) ORDER BY rk), ',')
+             AS top_counts
+         FROM r GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "agg_linreg" ->
+      """WITH b AS (SELECT l_returnflag,
+                      CAST(l_quantity AS BIGINT) AS x,
+                      CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT) AS y100
+                    FROM lineitem),
+              m AS (SELECT l_returnflag, count(*) AS n,
+                      sum(x) AS sx, sum(y100) AS sy,
+                      sum(x * y100) AS sxy, sum(x * x) AS sxx,
+                      sum(CAST(y100 AS HUGEINT) * y100) AS syy
+                    FROM b GROUP BY l_returnflag),
+              d AS (SELECT l_returnflag, n, sx, sy,
+                      CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+                      n * sxx - sx * sx AS den_x,
+                      CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS den_y
+                    FROM m),
+              sl AS (SELECT *, CAST(num AS DOUBLE) / CAST(den_x AS DOUBLE)
+                       / 100.0 AS slope FROM d)
+         SELECT l_returnflag, n,
+           round(slope, 6) AS slope,
+           round((CAST(sy AS DOUBLE) / 100.0 - slope * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE), 6) AS intercept,
+           round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+                 / (CAST(den_x AS DOUBLE) * CAST(den_y AS DOUBLE)), 6) AS r2
+         FROM sl ORDER BY l_returnflag""",
 
     "agg_hash_groupby" ->
       """SELECT l_returnflag, l_linestatus,

@@ -118,7 +118,49 @@ object Functions {
           get_json_object(col("props"), "$.k").as("k_str"),
           from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
             .getField("k").as("k_int"))
-        .orderBy(col("event_id")))
+        .orderBy(col("event_id"))),
+
+    // F7: bitwise family — MySQL's &, |, ^, <<, >>, ~, BIT_COUNT surface
+    // (bit-flag columns are a classic MySQL schema idiom the type map has
+    // to carry). All 64-bit two's-complement in both engines, so every
+    // output is exact.
+    "fn_bitwise" -> ((s, dir) =>
+      Tables.t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_orderkey").bitwiseAND(col("l_partkey")).as("k_and_p"),
+          col("l_orderkey").bitwiseOR(col("l_partkey")).as("k_or_p"),
+          col("l_orderkey").bitwiseXOR(col("l_partkey")).as("k_xor_p"),
+          shiftleft(col("l_linenumber").cast(LongType), 3).as("ln_shl3"),
+          shiftright(col("l_orderkey"), 2).as("k_shr2"),
+          expr("~l_orderkey").as("k_not"),
+          bit_count(col("l_orderkey")).as("k_bits"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // F8: URL family — ClickHouse ships a whole URL-function surface
+    // (domain, path, queryString, extractURLParameter, topLevelDomain)
+    // that destination-side analytics lean on. The URL is constructed
+    // deterministically from table columns (the harness ships no URL
+    // column), then parsed back with Spark's parse_url; the oracle
+    // re-parses the same strings with independent regexes, so this is a
+    // genuine differential test of the parser, not an echo.
+    "fn_url" -> ((s, dir) =>
+      Tables.t(s, dir, "documents")
+        .withColumn("url", concat(
+          lit("https://"), col("source"), lit(".example.com/"), col("lang"),
+          lit("/doc/"), col("doc_id").cast(StringType),
+          lit("?q="), col("n_chars").cast(StringType),
+          lit("&page="), (col("doc_id") % 10).cast(StringType)))
+        .select(
+          col("doc_id"), col("url"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY')").as("qs"),
+          expr("parse_url(url, 'QUERY', 'q')").as("q_param"),
+          expr("parse_url(url, 'QUERY', 'page')").as("page_param"),
+          expr("parse_url(url, 'PROTOCOL')").as("proto"),
+          element_at(split(expr("parse_url(url, 'HOST')"), "\\."), -1).as("tld"))
+        .orderBy(col("doc_id")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -195,6 +237,33 @@ object Functions {
       """SELECT event_id,
            props->>'k' AS k_str,
            CAST(props->>'k' AS INTEGER) AS k_int
-         FROM events ORDER BY event_id"""
+         FROM events ORDER BY event_id""",
+
+    "fn_bitwise" ->
+      """SELECT l_orderkey, l_linenumber,
+           l_orderkey & l_partkey AS k_and_p,
+           l_orderkey | l_partkey AS k_or_p,
+           xor(l_orderkey, l_partkey) AS k_xor_p,
+           CAST(l_linenumber AS BIGINT) << 3 AS ln_shl3,
+           l_orderkey >> 2 AS k_shr2,
+           ~l_orderkey AS k_not,
+           CAST(bit_count(l_orderkey) AS INTEGER) AS k_bits
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "fn_url" ->
+      """WITH u AS (SELECT doc_id,
+             'https://' || source || '.example.com/' || lang || '/doc/' ||
+             CAST(doc_id AS VARCHAR) || '?q=' || CAST(n_chars AS VARCHAR) ||
+             '&page=' || CAST(doc_id % 10 AS VARCHAR) AS url
+           FROM documents)
+         SELECT doc_id, url,
+           regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+           regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\?(.*)$', 1) AS qs,
+           regexp_extract(url, '[?&]q=([^&]*)', 1) AS q_param,
+           regexp_extract(url, '[?&]page=([^&]*)', 1) AS page_param,
+           regexp_extract(url, '^([a-z]+):', 1) AS proto,
+           regexp_extract(url, '^https://[^/]*\.([a-z]+)/', 1) AS tld
+         FROM u ORDER BY doc_id"""
   )
 }

@@ -641,6 +641,26 @@ object Llm {
         .select(col("doc_id"), col("n_tok"), col("entropy"))
         .orderBy(col("doc_id"))),
 
+    // L7: RAG-style document chunking — fixed 64-token windows with a
+    // 48-token stride (16-token overlap), the artifact an embedding /
+    // retrieval pipeline actually indexes. Entirely scan-local: one
+    // tokenize per row, one explode over the stride starts, per-chunk
+    // identity as md5 of the chunk text (the chunk string itself never
+    // leaves the task). chunk_idx derives arithmetically from the start
+    // offset, so no ordinality plumbing is needed in either engine.
+    "llm_chunk" -> ((s, dir) =>
+      Tables.t(s, dir, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .withColumn("start",
+          explode(expr("sequence(1, greatest(size(words), 1), 48)")))
+        .select(
+          col("doc_id"),
+          expr("(start - 1) div 48").cast(LongType).as("chunk_idx"),
+          col("start").cast(LongType).as("start_tok"),
+          expr("size(slice(words, start, 64))").cast(LongType).as("n_tok"),
+          md5(expr("concat_ws(' ', slice(words, start, 64))")).as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // L4a: token counting (whitespace + BPE-ish regex) per language.
     "llm_text_stats" -> ((s, dir) =>
       Tables.t(s, dir, "documents")
@@ -1123,6 +1143,21 @@ object Llm {
                   FROM t)
          SELECT doc_id, n_tok, CAST(cum_before // 4096 AS BIGINT) AS shard_id
          FROM c ORDER BY doc_id""",
+
+    "llm_chunk" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+                    FROM documents),
+              st AS (SELECT doc_id, words,
+                       unnest(generate_series(1, greatest(len(words), 1), 48))
+                         AS start
+                     FROM w)
+         SELECT doc_id,
+           CAST((start - 1) // 48 AS BIGINT) AS chunk_idx,
+           CAST(start AS BIGINT) AS start_tok,
+           CAST(len(list_slice(words, start, start + 63)) AS BIGINT) AS n_tok,
+           md5(array_to_string(list_slice(words, start, start + 63), ' '))
+             AS chunk_hash
+         FROM st ORDER BY doc_id, chunk_idx""",
 
     "llm_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
