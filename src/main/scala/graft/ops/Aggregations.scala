@@ -304,6 +304,31 @@ object Aggregations {
           sum(dec2(col("l_extendedprice"))).cast(D2).cast(DoubleType).as("total"))
         .orderBy(col("bucket"))),
 
+    // A21: sumMap — the ClickHouse map-valued aggregate: within each
+    // group, sum values per map key and emit the aligned (sorted-keys,
+    // sums) arrays. Key space here is the per-event user segment; sums
+    // run exact in DECIMAL(18,2) and ship as integer cents (the CSV-
+    // string array rendering from A7, engine-portable with no float
+    // formatting in play). Two hash aggregates; the second runs on the
+    // |groups|·|keys| distinct table, never on |rows| — scan-dominated
+    // at any scale.
+    "agg_sum_map" -> ((s, dir) => {
+      val per = Tables.t(s, dir, "events")
+        .select(col("event_type"), pmod(col("user_id"), lit(5)).as("seg"),
+          dec2(col("value")).as("v"))
+        .groupBy(col("event_type"), col("seg"))
+        .agg((sum(col("v")).cast(D2) * 100).cast(LongType).as("cents"))
+      per.groupBy(col("event_type"))
+        .agg(
+          concat_ws(",", transform(
+            array_sort(collect_list(struct(col("seg"), col("cents")))),
+            x => x.getField("seg").cast(StringType))).as("seg_keys"),
+          concat_ws(",", transform(
+            array_sort(collect_list(struct(col("seg"), col("cents")))),
+            x => x.getField("cents").cast(StringType))).as("seg_sum_cents"))
+        .orderBy(col("event_type"))
+    }),
+
     // A16: argMin/argMax — the ClickHouse carrier-value aggregates. Bare
     // arg_max ties are engine-arbitrary, so the deterministic form is the
     // lexicographic max/min of struct(value, carrier): the carrier itself
@@ -406,6 +431,18 @@ object Aggregations {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_sum_map" ->
+      """WITH g AS (SELECT event_type, user_id % 5 AS seg,
+               CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                    * 100 AS BIGINT) AS cents
+             FROM events GROUP BY event_type, user_id % 5)
+         SELECT event_type,
+           array_to_string(list(CAST(seg AS VARCHAR) ORDER BY seg), ',')
+             AS seg_keys,
+           array_to_string(list(CAST(cents AS VARCHAR) ORDER BY seg), ',')
+             AS seg_sum_cents
+         FROM g GROUP BY event_type ORDER BY event_type""",
+
     "agg_quantiles_exact" ->
       """WITH r AS (SELECT l_returnflag, l_quantity,
                       row_number() OVER (PARTITION BY l_returnflag

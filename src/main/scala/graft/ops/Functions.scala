@@ -137,6 +137,24 @@ object Functions {
           bit_count(col("l_orderkey")).as("k_bits"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
+    // F9: hash / encoding family — md5, sha256, base64, hex, plus a
+    // base64 decode round-trip flag. This is the reference's consistency
+    // surface in function form (its checksum compare is row hashing);
+    // only engine-portable digests appear (sha1/crc32/xxhash are not in
+    // both engines). All scan-local codegen'd expressions.
+    "fn_hash" -> ((s, dir) =>
+      Tables.t(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          md5(col("c_name").cast(BinaryType)).as("h_md5"),
+          sha2(col("c_name").cast(BinaryType), 256).as("h_sha256"),
+          base64(col("c_name").cast(BinaryType)).as("b64"),
+          hex(col("c_name").cast(BinaryType)).as("hx"),
+          (unbase64(base64(col("c_name").cast(BinaryType)))
+            .cast(StringType) === col("c_name")).as("b64_roundtrip"),
+          length(col("c_name")).as("name_len"))
+        .orderBy(col("c_custkey"))),
+
     // F8: URL family — ClickHouse ships a whole URL-function surface
     // (domain, path, queryString, extractURLParameter, topLevelDomain)
     // that destination-side analytics lean on. The URL is constructed
@@ -238,6 +256,17 @@ object Functions {
            props->>'k' AS k_str,
            CAST(props->>'k' AS INTEGER) AS k_int
          FROM events ORDER BY event_id""",
+
+    "fn_hash" ->
+      """SELECT c_custkey,
+           md5(c_name) AS h_md5,
+           sha256(c_name) AS h_sha256,
+           base64(encode(c_name)) AS b64,
+           hex(c_name) AS hx,
+           decode(from_base64(base64(encode(c_name)))) = c_name
+             AS b64_roundtrip,
+           CAST(length(c_name) AS INTEGER) AS name_len
+         FROM customer ORDER BY c_custkey""",
 
     "fn_bitwise" ->
       """SELECT l_orderkey, l_linenumber,

@@ -68,7 +68,13 @@ object Scans {
     // and read back as null.
     "scan_cdc_json_envelope" -> ((s, dir) => {
       import org.apache.spark.sql.types._
+      // The envelope codec (to_json + from_json) is pure map-side work; a
+      // small single-file input would otherwise pin the whole codec chain
+      // to one task, so spread it across the session's parallelism first
+      // (at lake scale the input arrives in many files and this exchange
+      // is a no-op in spirit — the codec is already distributed).
       val log = Tables.cdcLog(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
       val wire = log.select(to_json(struct(col("op"), col("seq"), col("ts"),
         col("okey"), col("price"), col("status"))).as("value"))
       val envelope = StructType(Seq(
@@ -82,6 +88,54 @@ object Scans {
         .select(col("okey"), col("l.op").as("op"), col("l.price").as("price"),
           col("l.status").as("status"), col("l.ts").as("ts"))
         .filter(col("op") =!= "D")
+        .orderBy(col("okey"))
+    }),
+
+    // S12: binlog continuity check — the operational probe a replication
+    // user runs when they suspect dropped events. `seq` is strictly
+    // monotone per key starting at 1, so a key's event list is complete
+    // iff max(seq) == count(*); the probe reports every key with a hole
+    // and how many events it is missing. One hash aggregate over the log
+    // (partial-agg before shuffle), output bounded by |damaged keys| —
+    // the synthesized log has real holes by construction (keys emitting
+    // a seq=3 delete without a seq=2 update).
+    "cdc_gap_detect" -> ((s, dir) =>
+      Tables.cdcLog(s, dir)
+        .groupBy(col("okey"))
+        .agg(count(lit(1)).as("n_events"), max(col("seq")).as("max_seq"))
+        .filter(col("max_seq") =!= col("n_events"))
+        .select(col("okey"), col("n_events"), col("max_seq"),
+          (col("max_seq") - col("n_events")).as("n_missing"))
+        .orderBy(col("okey"))),
+
+    // S13: the `--full` → `--increment` handoff, the reference tool's
+    // actual two-phase workflow: a snapshot materializes the source's
+    // live rows as of a cutoff position (latest-wins collapse of the log
+    // up to the cutoff, deletes dropped), then the retained binlog tail
+    // (events after the cutoff) applies on top; later sequence numbers
+    // win, tail deletes remove snapshot rows. The composition must equal
+    // the collapse of the full log — the invariant that makes snapshot +
+    // increment a correct sync strategy at all (asserted in OperatorSpec
+    // too). Both phases are the same keyed hash aggregate; nothing here
+    // is more expensive than the plain collapse at any scale.
+    "cdc_snapshot_handoff" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir)
+      val cutoff = to_date(lit("1995-06-17"))
+      val img = struct(col("op"), col("price"), col("status"))
+      val snap = log.filter(col("ts") <= cutoff)
+        .groupBy(col("okey"))
+        .agg(max_by(img, col("seq")).as("l"), max(col("seq")).as("seq"))
+        .select(col("okey"), col("l.op").as("op"), col("l.price").as("price"),
+          col("l.status").as("status"), col("seq"))
+        .filter(col("op") =!= "D")
+      val tail = log.filter(col("ts") > cutoff)
+        .select(col("okey"), col("op"), col("price"), col("status"), col("seq"))
+      snap.unionByName(tail)
+        .groupBy(col("okey"))
+        .agg(max_by(img, col("seq")).as("l"), max(col("seq")).as("applied_seq"))
+        .select(col("okey"), col("l.op").as("op"), col("l.price").as("price"),
+          col("l.status").as("status"), col("applied_seq"))
+        .filter(col("op") =!= "D").drop("op")
         .orderBy(col("okey"))
     }),
 
@@ -173,6 +227,30 @@ object Scans {
                        FROM cdc_log)
          SELECT okey, op, price, status, ts FROM ranked
          WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
+
+    "cdc_gap_detect" ->
+      s"""WITH cdc_log AS (${Tables.cdcLogSql}),
+             g AS (SELECT okey, count(*) AS n_events, max(seq) AS max_seq
+                   FROM cdc_log GROUP BY okey)
+         SELECT okey, n_events, max_seq, max_seq - n_events AS n_missing
+         FROM g WHERE max_seq <> n_events ORDER BY okey""",
+
+    "cdc_snapshot_handoff" ->
+      s"""WITH cdc_log AS (${Tables.cdcLogSql}),
+             sr AS (SELECT *, row_number() OVER (PARTITION BY okey
+                      ORDER BY seq DESC) AS rn
+                    FROM cdc_log WHERE ts <= DATE '1995-06-17'),
+             snap AS (SELECT okey, op, price, status, seq
+                      FROM sr WHERE rn = 1 AND op <> 'D'),
+             uni AS (SELECT * FROM snap
+                     UNION ALL
+                     SELECT okey, op, price, status, seq FROM cdc_log
+                     WHERE ts > DATE '1995-06-17'),
+             fr AS (SELECT *, row_number() OVER (PARTITION BY okey
+                      ORDER BY seq DESC) AS rn
+                    FROM uni)
+         SELECT okey, price, status, seq AS applied_seq
+         FROM fr WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
 
     "sink_partitioned_pruning" ->
       """SELECT event_type, count(*) AS n,

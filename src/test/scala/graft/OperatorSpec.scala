@@ -130,6 +130,36 @@ class OperatorSpec extends SparkTestBase {
       direct.except(merged).count() == 0)
   }
 
+  test("snapshot + binlog tail handoff equals the full-log collapse") {
+    // the invariant that makes --full followed by --increment a correct
+    // sync strategy: composing the cutoff snapshot with the retained
+    // tail must reproduce collapsing the entire log
+    val handoff = q("cdc_snapshot_handoff")
+      .select(col("okey"), col("price"), col("status"))
+    val full = q("agg_latest_by_version")
+      .select(col("okey"), col("price"), col("status"))
+    assert(handoff.except(full).count() == 0 &&
+      full.except(handoff).count() == 0)
+    // both phases contribute: some keys have all their events before the
+    // cutoff (served purely by the snapshot), some have tail events
+    val cutoff = to_date(lit("1995-06-17"))
+    val perKey = Tables.cdcLog(spark, sf)
+      .groupBy(col("okey")).agg(max(col("ts") > cutoff).as("hasTail"))
+    assert(perKey.filter(!col("hasTail")).count() > 0,
+      "no key was served by the snapshot alone")
+    assert(perKey.filter(col("hasTail")).count() > 0,
+      "no key saw a tail event")
+  }
+
+  test("gap detection flags exactly the keys with seq holes") {
+    val gaps = q("cdc_gap_detect")
+    // synthesized log: keys %7==0 && %3!=0 emit (1,3) — a hole at 2
+    assert(gaps.filter(col("n_missing") <= 0).count() == 0)
+    val bad = gaps.filter(pmod(col("okey"), lit(7)) =!= 0 ||
+      pmod(col("okey"), lit(3)) === 0).count()
+    assert(bad == 0, s"$bad keys flagged that cannot have holes")
+  }
+
   test("with-fill spine contains both real and zero-filled days") {
     val out = q("sort_with_fill")
     assert(out.filter(col("n") === 0).count() > 0, "no gaps were filled")
