@@ -139,6 +139,37 @@ object Scans {
         .orderBy(col("okey"))
     }),
 
+    // S14: dead-letter routing for the JSON ingest path — production CDC
+    // consumers must never drop OR crash on a malformed envelope; they
+    // route it to a DLQ and keep applying the rest. A deterministic
+    // subset of the wire records is corrupted (okey % 11 — prefixed so
+    // the JSON is invalid), then each engine decides validity with its
+    // OWN parser (from_json null vs DuckDB json_valid — a genuine
+    // differential, not an echo of the corruption rule) and reports
+    // per-route counts plus aggregates over the successfully parsed
+    // fields. Scan-local except the 2-group rollup.
+    "scan_cdc_dlq" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val log = Tables.cdcLog(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+      val wire = log.select(concat(
+        when(col("okey") % 11 === 0, lit("X")).otherwise(lit("")),
+        to_json(struct(col("op"), col("seq"), col("okey"), col("price"),
+          col("status")))).as("value"))
+      val envelope = StructType(Seq(
+        StructField("op", StringType), StructField("seq", LongType),
+        StructField("okey", LongType), StructField("price", DoubleType),
+        StructField("status", StringType)))
+      wire.select(from_json(col("value"), envelope).as("e"))
+        .select(when(col("e.okey").isNull, "dlq").otherwise("applied")
+          .as("route"), col("e.okey").as("okey"), col("e.seq").as("seq"))
+        .groupBy(col("route"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("okey")).as("n_keys"),
+          max(col("seq")).as("max_seq"))
+        .orderBy(col("route"))
+    }),
+
     // S7: partitioned sink + partition-pruned scan. Events are written
     // hive-partitioned by event_type; the filtered read-back must list
     // and read ONLY the matching partition directory (PartitionFilters
@@ -251,6 +282,24 @@ object Scans {
                     FROM uni)
          SELECT okey, price, status, seq AS applied_seq
          FROM fr WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
+
+    "scan_cdc_dlq" ->
+      s"""WITH cdc_log AS (${Tables.cdcLogSql}),
+             wire AS (SELECT (CASE WHEN okey % 11 = 0 THEN 'X' ELSE '' END) ||
+                        '{"seq":' || CAST(seq AS VARCHAR) ||
+                        ',"okey":' || CAST(okey AS VARCHAR) || '}' AS value
+                      FROM cdc_log),
+             r AS (SELECT
+                     CASE WHEN json_valid(value) THEN 'applied'
+                          ELSE 'dlq' END AS route,
+                     CASE WHEN json_valid(value)
+                          THEN CAST(value->>'okey' AS BIGINT) END AS okey,
+                     CASE WHEN json_valid(value)
+                          THEN CAST(value->>'seq' AS BIGINT) END AS seq
+                   FROM wire)
+         SELECT route, count(*) AS n_events,
+                count(DISTINCT okey) AS n_keys, max(seq) AS max_seq
+         FROM r GROUP BY route ORDER BY route""",
 
     "sink_partitioned_pruning" ->
       """SELECT event_type, count(*) AS n,

@@ -439,6 +439,30 @@ object StreamingOps {
         .orderBy(col("tbl"), col("okey"))
     }),
 
+    // ST12: stream-static join — the CDC-enrichment topology: a change
+    // stream joined per-micro-batch against a STATIC dimension table
+    // (broadcast, stateless — no join state accumulates, unlike ST9's
+    // stream-stream join). This is how a replicated fact stream picks up
+    // dimension attributes on the way to the destination; the static
+    // side re-reads per batch, so a dim refresh is picked up without
+    // restarting the stream. Oracle = the equivalent batch join.
+    "stream_static_join" -> ((s, dir) => {
+      val o = Tables.t(s, dir, "orders")
+      val tmp = tmpDir()
+      (0 until 2).foreach(i =>
+        writeWave(o.filter(col("o_orderkey") % 2 === i), s"$tmp/in", i))
+      val st = s.readStream.schema(o.schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/in")
+      val cust = broadcast(Tables.t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")))
+      val agg = st.join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast(D2).cast(DoubleType).as("total"))
+      runToMemory(agg, "complete")
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // ST2: tumbling 1-day windows per event_type.
     "stream_window_tumbling" -> ((s, dir) => {
       val (tmp, ev) = eventWaves(s, dir)
@@ -688,6 +712,13 @@ object StreamingOps {
                 okey, op, price, status, ts
          FROM ranked WHERE rn = 1 AND op <> 'D'
          ORDER BY tbl, okey""",
+
+    "stream_static_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "stream_window_tumbling" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws,
