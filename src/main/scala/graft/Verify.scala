@@ -8,7 +8,9 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     // optional substring filter for local iteration; the driver passes
     // exactly two args, so the full dump still runs in the harness
-    val filt = if (args.length > 2) args(2) else ""
+    // comma-separated substrings, any-match
+    val filt = (if (args.length > 2) args(2) else "")
+      .split(',').filter(_.nonEmpty).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -20,7 +22,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => filt.isEmpty || name.contains(filt) }
+      .filter { case (name, _) => filt.isEmpty || filt.exists(name.contains) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

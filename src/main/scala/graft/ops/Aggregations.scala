@@ -3,8 +3,9 @@ package graft.ops
 import graft.Tables
 import graft.Tables.{dec2, D2, D4}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{DateType, DecimalType, DoubleType, LongType, StringType}
 
 /** SURVEY.md §2.4 — aggregations.
   *
@@ -427,7 +428,58 @@ object Aggregations {
           round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
           round(expr("percentile(l_quantity, 0.75)"), 4).as("p75_qty"),
           round(avg(col("l_quantity")), 4).as("avg_qty"))
-        .orderBy(col("l_returnflag")))
+        .orderBy(col("l_returnflag"))),
+
+    // A16: audience-overlap set aggregates — ClickHouse's groupBitmapAnd/
+    // groupBitmapOr/Jaccard segment-intersection idiom. Deliberately NOT
+    // collect_set-based: at 100 TB a per-group user set does not fit in
+    // one array, so intersections are computed as a distributed self-join
+    // on the deduplicated (event_type, user_id) table — the dedup is one
+    // hash aggregate, the pair join shuffles on user_id, and the output is
+    // bounded by n_event_types² rows. Same results as bitmaps, no big
+    // state anywhere.
+    "agg_bitmap_overlap" -> ((s, dir) => {
+      val d = Tables.t(s, dir, "events")
+        .select(col("event_type"), col("user_id")).distinct()
+      val sizes = d.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      d.as("a").join(d.as("b"), "user_id")
+        .filter(col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("et_a"), col("b.event_type").as("et_b"))
+        .agg(count(lit(1)).as("n_both"))
+        .join(sizes.select(col("event_type").as("et_a"), col("n").as("n_a")), "et_a")
+        .join(sizes.select(col("event_type").as("et_b"), col("n").as("n_b")), "et_b")
+        .select(
+          col("et_a"), col("et_b"), col("n_a"), col("n_b"), col("n_both"),
+          (col("n_a") + col("n_b") - col("n_both")).as("n_either"),
+          round(col("n_both").cast(DoubleType) /
+            (col("n_a") + col("n_b") - col("n_both")).cast(DoubleType), 6)
+            .as("jaccard"))
+        .orderBy(col("et_a"), col("et_b"))
+    }),
+
+    // A17: trailing moving aggregates — ClickHouse's groupArrayMovingSum/
+    // groupArrayMovingAvg in relational form: per-priority daily order
+    // revenue with a 7-row trailing sum and average-order-value. One
+    // shuffle to the daily grain, then a single window pass; the window
+    // state at scale is one 7-row frame per partition, never the series.
+    "agg_moving_sum" -> ((s, dir) => {
+      val daily = Tables.t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("prio"),
+          col("o_orderdate").cast(DateType).as("day"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).as("rev"))
+      val w = Window.partitionBy(col("prio")).orderBy(col("day"))
+        .rowsBetween(-6, Window.currentRow)
+      daily.select(
+        col("prio"), col("day"), col("n_orders"),
+        sum(col("n_orders")).over(w).as("mov_n7"),
+        // exact decimal window sum, surfaced as double (the engine-portable
+        // decimal policy — see fn_math / Tables determinism note)
+        sum(col("rev")).over(w).cast(D2).cast(DoubleType).as("mov_rev7"),
+        (sum(col("rev")).over(w).cast(DoubleType) /
+          sum(col("n_orders")).over(w).cast(DoubleType)).as("mov_avg_order"))
+        .orderBy(col("prio"), col("day"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -679,6 +731,39 @@ object Aggregations {
            round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
            round(quantile_cont(l_quantity, 0.75), 4) AS p75_qty,
            round(avg(l_quantity), 4) AS avg_qty
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "agg_bitmap_overlap" ->
+      """WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+         sz AS (SELECT event_type, count(*) AS n FROM d GROUP BY event_type),
+         b AS (SELECT a.event_type AS et_a, bb.event_type AS et_b,
+                 count(*) AS n_both
+               FROM d a JOIN d bb USING (user_id)
+               WHERE a.event_type < bb.event_type
+               GROUP BY 1, 2)
+         SELECT et_a, et_b, sa.n AS n_a, sb.n AS n_b, n_both,
+           sa.n + sb.n - n_both AS n_either,
+           round(CAST(n_both AS DOUBLE) /
+                 CAST(sa.n + sb.n - n_both AS DOUBLE), 6) AS jaccard
+         FROM b
+         JOIN sz sa ON b.et_a = sa.event_type
+         JOIN sz sb ON b.et_b = sb.event_type
+         ORDER BY et_a, et_b""",
+
+    "agg_moving_sum" ->
+      """WITH daily AS (
+           SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+             count(*) AS n_orders,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders GROUP BY 1, 2)
+         SELECT prio, day, n_orders,
+           CAST(sum(n_orders) OVER w AS BIGINT) AS mov_n7,
+           CAST(CAST(sum(rev) OVER w AS DECIMAL(18,2)) AS DOUBLE) AS mov_rev7,
+           CAST(sum(rev) OVER w AS DOUBLE) /
+             CAST(sum(n_orders) OVER w AS DOUBLE) AS mov_avg_order
+         FROM daily
+         WINDOW w AS (PARTITION BY prio ORDER BY day
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY prio, day"""
   )
 }

@@ -178,6 +178,50 @@ object Functions {
           expr("parse_url(url, 'QUERY', 'page')").as("page_param"),
           expr("parse_url(url, 'PROTOCOL')").as("proto"),
           element_at(split(expr("parse_url(url, 'HOST')"), "\\."), -1).as("tld"))
+        .orderBy(col("doc_id"))),
+
+    // F10: IPv4 family — ClickHouse ships IPv4NumToString/IPv4StringToNum/
+    // isIPAddressInRange for destination-side network analytics. The
+    // harness ships no IP column, so a deterministic unsigned-32 address
+    // is derived from c_custkey by Knuth multiplicative hashing; the
+    // format / re-parse / CIDR-membership surface is then pure integer and
+    // bit arithmetic — exact in both engines and fully codegen'd (no UDF,
+    // scan-local, zero shuffles before the final sort).
+    "fn_ip" -> ((s, dir) => {
+      def octet(ip: org.apache.spark.sql.Column, shift: Int) =
+        shiftright(ip, shift).bitwiseAND(lit(255L)).cast(StringType)
+      Tables.t(s, dir, "customer")
+        .withColumn("ip", pmod(col("c_custkey") * lit(2654435761L), lit(4294967296L)))
+        .withColumn("ip_str", concat_ws(".",
+          octet(col("ip"), 24), octet(col("ip"), 16),
+          octet(col("ip"), 8), octet(col("ip"), 0)))
+        .select(
+          col("c_custkey"), col("ip"), col("ip_str"),
+          (shiftright(col("ip"), 24) === lit(10L)).as("in_10_8"),
+          (shiftright(col("ip"), 16) === lit(192L * 256 + 168)).as("in_192_168_16"),
+          shiftleft(shiftright(col("ip"), 8), 8).as("subnet24"),
+          // IPv4StringToNum direction: re-parse the dotted quad from the
+          // STRING (a genuine string→num round-trip, not an echo of `ip`)
+          aggregate(transform(split(col("ip_str"), "\\."),
+            x => x.cast(LongType)), lit(0L),
+            (acc, x) => acc * 256 + x).as("ip_rt"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // F11: lateral explode (ClickHouse arrayJoin / SQL LATERAL VIEW): the
+    // row-multiplying direction the array family (F4) can't show. Explode
+    // runs scan-local via the Generate operator (no shuffle until the
+    // per-doc re-aggregate); docs with no qualifying token drop out.
+    "fn_explode" -> ((s, dir) =>
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .filter(length(col("word")) > 4)
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_long"),
+          min(col("pos")).cast(LongType).as("first_pos"),
+          max(length(col("word"))).cast(LongType).as("max_len"))
         .orderBy(col("doc_id")))
   )
 
@@ -293,6 +337,40 @@ object Functions {
            regexp_extract(url, '[?&]page=([^&]*)', 1) AS page_param,
            regexp_extract(url, '^([a-z]+):', 1) AS proto,
            regexp_extract(url, '^https://[^/]*\.([a-z]+)/', 1) AS tld
-         FROM u ORDER BY doc_id"""
+         FROM u ORDER BY doc_id""",
+
+    "fn_ip" ->
+      """WITH t AS (SELECT c_custkey,
+             (c_custkey * 2654435761) % 4294967296 AS ip FROM customer),
+         u AS (SELECT c_custkey, ip,
+             CAST(ip >> 24 AS VARCHAR) || '.' ||
+             CAST((ip >> 16) & 255 AS VARCHAR) || '.' ||
+             CAST((ip >> 8) & 255 AS VARCHAR) || '.' ||
+             CAST(ip & 255 AS VARCHAR) AS ip_str
+           FROM t)
+         SELECT c_custkey, ip, ip_str,
+           (ip >> 24) = 10 AS in_10_8,
+           (ip >> 16) = 49320 AS in_192_168_16,
+           (ip >> 8) << 8 AS subnet24,
+           CAST(string_split(ip_str, '.')[1] AS BIGINT) * 16777216 +
+           CAST(string_split(ip_str, '.')[2] AS BIGINT) * 65536 +
+           CAST(string_split(ip_str, '.')[3] AS BIGINT) * 256 +
+           CAST(string_split(ip_str, '.')[4] AS BIGINT) AS ip_rt
+         FROM u ORDER BY c_custkey""",
+
+    "fn_explode" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+             FROM documents),
+         f AS (SELECT doc_id,
+             list_filter(words, x -> length(x) > 4) AS lw,
+             list_position(list_transform(words, x -> length(x) > 4), true)
+               AS first1
+           FROM w)
+         SELECT doc_id,
+           CAST(len(lw) AS BIGINT) AS n_long,
+           CAST(first1 - 1 AS BIGINT) AS first_pos,
+           CAST(list_max(list_transform(lw, x -> length(x))) AS BIGINT)
+             AS max_len
+         FROM f WHERE len(lw) > 0 ORDER BY doc_id"""
   )
 }

@@ -857,6 +857,39 @@ object Llm {
         (id, nBytes, first, last, stub)
       }).toDF("doc_id", "n_bytes", "first_byte", "last_byte", "stub_feature")
         .orderBy(col("doc_id"))
+    }),
+
+    // L6: PII scrubbing — the redaction pass every training corpus runs
+    // before shipping. The harness corpus carries no real PII, so a
+    // deterministic synthetic layer (one email + one phone built from
+    // table columns) is appended; redaction then happens BY PATTERN, not
+    // by echo — Spark's Java-regex engine against patterns the oracle
+    // re-implements independently in DuckDB's RE2 (a genuine differential
+    // test of both regex engines on the shared dialect subset). Output:
+    // per-doc match counts, the md5 of the scrubbed text, and redacted
+    // span length. Scan-local and codegen'd; the only shuffle is the
+    // final sort.
+    "llm_pii_scrub" -> ((s, dir) => {
+      val email = "[A-Za-z0-9._]+@[A-Za-z0-9.]+\\.[A-Za-z][A-Za-z]+"
+      val phone = "555-[0-9][0-9][0-9][0-9]"
+      Tables.t(s, dir, "documents")
+        .withColumn("dirty", concat(
+          col("text"),
+          lit(" contact "), lower(col("source")),
+          col("doc_id").cast(StringType), lit("@mail.example.org"),
+          lit(" or call 555-"),
+          lpad((col("doc_id") % 10000).cast(StringType), 4, "0")))
+        .select(
+          col("doc_id"),
+          regexp_count(col("dirty"), lit(email)).cast(LongType).as("n_email"),
+          regexp_count(col("dirty"), lit(phone)).cast(LongType).as("n_phone"),
+          md5(regexp_replace(
+            regexp_replace(col("dirty"), lit(email), lit("[EMAIL]")),
+            lit(phone), lit("[PHONE]")).cast(BinaryType)).as("clean_md5"),
+          (length(col("dirty")) -
+            length(regexp_replace(col("dirty"), lit(email), lit(""))))
+            .cast(LongType).as("email_span_len"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1276,6 +1309,29 @@ object Llm {
            ascii(substring(text, length(text), 1)) AS last_byte,
            (CAST(octet_length(encode(text)) AS BIGINT) * 31 +
             ascii(substring(text, 1, 1))) % 997 AS stub_feature
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+
+    "llm_pii_scrub" ->
+      """WITH d AS (SELECT doc_id,
+             text || ' contact ' || lower(source) ||
+             CAST(doc_id AS VARCHAR) || '@mail.example.org' ||
+             ' or call 555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS dirty
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(dirty,
+             '[A-Za-z0-9._]+@[A-Za-z0-9.]+\.[A-Za-z][A-Za-z]+'))
+             AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(dirty, '555-[0-9][0-9][0-9][0-9]'))
+             AS BIGINT) AS n_phone,
+           md5(regexp_replace(
+             regexp_replace(dirty,
+               '[A-Za-z0-9._]+@[A-Za-z0-9.]+\.[A-Za-z][A-Za-z]+',
+               '[EMAIL]', 'g'),
+             '555-[0-9][0-9][0-9][0-9]', '[PHONE]', 'g')) AS clean_md5,
+           CAST(length(dirty) - length(regexp_replace(dirty,
+             '[A-Za-z0-9._]+@[A-Za-z0-9.]+\.[A-Za-z][A-Za-z]+', '', 'g'))
+             AS BIGINT) AS email_span_len
+         FROM d ORDER BY doc_id"""
   )
 }

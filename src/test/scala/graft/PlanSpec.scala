@@ -162,4 +162,22 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
       s"no partial aggregation:\n$plan")
   }
+
+  test("audience overlap is a pair equi-join, never a per-group set collect") {
+    val plan = physical("agg_bitmap_overlap")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in overlap:\n$plan")
+    assert(!plan.contains("collect_set"),
+      s"per-group set materialized (unbounded state at scale):\n$plan")
+  }
+
+  test("lateral explode runs scan-local via Generate before any shuffle") {
+    val plan = physical("fn_explode")
+    assert(plan.contains("Generate"), s"no Generate (explode) operator:\n$plan")
+  }
+
+  test("pii scrub stays scan-local codegen until the final sort") {
+    val plan = physical("llm_pii_scrub")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"unexpected shuffle in a pure map pipeline:\n$plan")
+  }
 }
