@@ -48,10 +48,12 @@ object Bench {
         System.err.println(
           s"BENCH WARMUP FAIL: ${e.getClass.getName}: ${e.getMessage}")
     }
-    // optional substring filter (local iteration); the driver passes no args
+    // optional comma-separated substring filter (local iteration, any
+    // match); the driver passes no args
     val filt = args.headOption.getOrElse("")
+      .split(',').filter(_.nonEmpty).toSeq
     val results = SparkEntry.queries
-      .filter { case (name, _) => filt.isEmpty || name.contains(filt) }
+      .filter { case (name, _) => filt.isEmpty || filt.exists(name.contains) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {

@@ -91,6 +91,32 @@ object Replication {
     }
   }
 
+  /** The reference tool's full replication config surface: which source
+    * tables replicate ([[TableFilter]]) and what each is called at the
+    * destination (rename mapping; unmapped tables keep their name) — the
+    * `only_tables` / `skip_tables` / table-mapping block of a replicator
+    * config file. */
+  final case class SyncConfig(filter: TableFilter = TableFilter(),
+      remap: Map[String, String] = Map.empty) {
+    def dest(table: String): String = remap.getOrElse(table, table)
+  }
+
+  /** Config-driven multi-table incremental sync: the [[SyncConfig]] layer
+    * over [[incrementalSyncMulti]]. `tables` lists the source tables the
+    * binlog may carry; admitted ones land under
+    * `destRoot/<dest-name>` (rename mapping applied), excluded ones are
+    * skipped inside the single shared pass. Progress is keyed by DEST
+    * table name — the name an operator watches on the destination side. */
+  def incrementalSyncConfigured(spark: SparkSession, schema: StructType,
+      inDir: String, ckptDir: String, destRoot: String, tables: Seq[String],
+      config: SyncConfig = SyncConfig(),
+      compactEvery: Int = 16): Map[String, SyncProgress] = {
+    val dirs = tables.filter(config.filter.admits)
+      .map(t => t -> s"$destRoot/${config.dest(t)}").toMap
+    incrementalSyncMulti(spark, schema, inDir, ckptDir, dirs, compactEvery)
+      .map { case (t, p) => config.dest(t) -> p }
+  }
+
   /** The currently applied destination state (latest row per key,
     * tombstones dropped) — what the ClickHouse-side table would serve. */
   def appliedState(spark: SparkSession, stateDir: String): DataFrame =

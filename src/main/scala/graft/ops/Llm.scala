@@ -486,40 +486,68 @@ object Llm {
     // summed in DECIMAL(38,18) so the mean is order-independent and
     // bit-identical across engines (the Tables determinism policy; a
     // float32-derived double is never a rounding midpoint at scale 18, so
-    // the decimal cast agrees too). Assignment/probing then run against
-    // the refined centroids: a query probes its nprobe=4 nearest cells
-    // and scores only those candidates via a bucket equi-join. Centroids
-    // are a ≤16-row broadcast — the only non-equi join in the pipeline is
-    // against that constant-size dim, so no unbounded cross product
-    // exists at any scale (further k-means iterations repeat the same
-    // two-broadcast-join + one-agg round).
+    // the decimal cast agrees too).
+    //
+    // The k=16 centroids are MODEL METADATA: carried as a ONE-ROW
+    // broadcast holding the sorted array<struct<c_id,c_v>> (collect_list
+    // of a 16-row aggregate — bounded, never the corpus), so both
+    // assignment passes are scan-local argmax folds over that broadcast
+    // column — zero data shuffles, no 16×|vecs| window pass, nothing
+    // that grows with the corpus. The only shuffles left are the
+    // centroid-mean aggregate (map-side partial bounds it at 16×dim rows
+    // per partition) and the probe-set window (bounded by |queries|×16);
+    // the only joins are 1-row broadcasts and the final cell equi-join
+    // against the broadcast probe list — no unbounded cross product at
+    // any scale (further k-means iterations repeat the same
+    // scan-local-assign + one-agg round).
     "llm_sim_ivf_topk" -> ((s, dir) => {
       VectorOps.register(s)
       import org.apache.spark.sql.expressions.Window
       val all = vecs(s, dir)
-      val wAssign = Window.partitionBy(col("vec_id")).orderBy(desc("ccos"), asc("c_id"))
-      def assign(cents: DataFrame): DataFrame = all.crossJoin(broadcast(cents))
-        .withColumn("ccos", expr("cosine_sim(v, c_v)"))
-        .withColumn("arn", row_number().over(wAssign)).filter(col("arn") === 1)
-        .select(col("vec_id").as("n_id"), col("v").as("n_v"), col("c_id").as("cell"))
+      // argmax as array_max + first-position lookup: position is 1-based
+      // FIRST match, and the array is in ascending c_id order (the
+      // struct's leading field drives array_sort), so cosine ties resolve
+      // to the lowest c_id — the oracle's (desc cos, asc c_id) ranking.
+      // Equality is exact (array_max returns an element).
+      def nearest(cents: Column): Column = {
+        val cosArr = transform(cents, c =>
+          call_function("cosine_sim", col("v"), c.getField("c_v")))
+        element_at(cents,
+          array_position(cosArr, array_max(cosArr)).cast(IntegerType))
+          .getField("c_id")
+      }
+      // adds `cell` via a 1-row broadcast of the centroid array
+      def assign(df: DataFrame, centsDf: DataFrame): DataFrame =
+        df.crossJoin(broadcast(centsDf))
+          .withColumn("cell", nearest(col("cents")))
+          .drop("cents")
       val cents0 = all.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("c_id"), col("v").as("c_v"))
-      val refined = assign(cents0)
-        .select(col("cell"), posexplode(col("n_v")))
+        .agg(array_sort(collect_list(struct(
+          col("vec_id").as("c_id"), col("v").as("c_v")))).as("cents"))
+      // one k-means round: per-(cell, component) DECIMAL(38,18) sums
+      // (order-independent, engine-portable), re-assembled into the
+      // refined 16-centroid array — same decimal-sum→double÷count
+      // arithmetic the oracle replays
+      val refined = assign(all, cents0)
+        .select(col("cell"), posexplode(col("v")))
         .groupBy(col("cell"), col("pos"))
         .agg(sum(col("col").cast(DecimalType(38, 18))).as("sx"),
           count(lit(1)).as("n"))
         .withColumn("m", col("sx").cast(DoubleType) / col("n").cast(DoubleType))
         .groupBy(col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          x => x.getField("m")).as("c_v"))
-        .select(col("cell").as("c_id"), col("c_v"))
-      val assigned = assign(refined)
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell").as("c_id"),
+          transform(col("pm"), x => x.getField("m")).as("c_v"))
+        .agg(array_sort(collect_list(struct(col("c_id"), col("c_v")))).as("cents"))
+      val assigned = assign(all, refined)
+        .select(col("vec_id").as("n_id"), col("v").as("n_v"), col("cell"))
       val wProbe = Window.partitionBy(col("q_id")).orderBy(desc("qcos"), asc("c_id"))
       val probes = all.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("v").as("q_v"))
         .crossJoin(broadcast(refined))
-        .withColumn("qcos", expr("cosine_sim(q_v, c_v)"))
+        .select(col("q_id"), col("q_v"), explode(col("cents")).as("c"))
+        .select(col("q_id"), col("q_v"), col("c.c_id").as("c_id"),
+          call_function("cosine_sim", col("q_v"), col("c.c_v")).as("qcos"))
         .withColumn("prn", row_number().over(wProbe)).filter(col("prn") <= 4)
         .select(col("q_id"), col("q_v"), col("c_id").as("cell"))
       val wTop = Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("n_id"))

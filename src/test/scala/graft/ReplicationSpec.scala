@@ -70,6 +70,32 @@ class ReplicationSpec extends SparkTestBase {
     assert(!new java.io.File(s"$base/state_other").exists())
   }
 
+  test("configured sync applies include/exclude and rename mapping in one pass") {
+    val base = tmp()
+    val log = Tables.cdcLog(spark, sf).withColumn("table",
+      when(col("okey") % 2 === 0, "orders_eu").otherwise("orders_us"))
+    (1 to 3).foreach(w => graft.streaming.StreamingOps.writeWave(
+      log.filter(col("seq") === w), s"$base/in", w - 1))
+    // the reference's config block: skip orders_us, publish orders_eu
+    // under its destination-side name
+    val cfg = Replication.SyncConfig(
+      filter = Replication.TableFilter(exclude = Set("orders_us")),
+      remap = Map("orders_eu" -> "orders_eu_replica"))
+    val prog = Replication.incrementalSyncConfigured(spark, log.schema,
+      s"$base/in", s"$base/ckpt", s"$base/dest",
+      Seq("orders_eu", "orders_us"), cfg)
+    // progress is keyed by destination name; the excluded table never syncs
+    assert(prog.keySet == Set("orders_eu_replica"))
+    assert(new java.io.File(s"$base/dest/orders_eu_replica").exists())
+    assert(!new java.io.File(s"$base/dest/orders_us").exists())
+    assert(!new java.io.File(s"$base/dest/orders_eu").exists())
+    val expect = q("agg_latest_by_version").filter(col("okey") % 2 === 0)
+    assert(Replication.consistencyCheck(expect,
+      Replication.appliedState(spark, s"$base/dest/orders_eu_replica"),
+      "okey").consistent)
+    assert(prog("orders_eu_replica").lastSeq.contains(3L))
+  }
+
   test("idle incremental pass applies nothing and reports zero progress") {
     val base = tmp()
     val log = Tables.cdcLog(spark, sf)
