@@ -5,7 +5,7 @@ import java.util.UUID
 import graft.Tables
 import graft.Tables.{dec2, D2}
 import graft.sources.EpochParquetSink
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   TimeMode, TimerValues, ValueState}
@@ -137,6 +137,41 @@ object StreamingOps {
         s"cannot stamp mtime on $f — wave ordering would be nondeterministic"))
   }
 
+  /** Write ALL waves in ONE partitioned Spark job: wave `w` holds the
+    * rows where `waveCol` == w (w in [0, nWaves)). Equivalent to nWaves
+    * [[writeWave]] calls — same per-wave files, same mtime ordering — but
+    * the input is scanned once and the waves write in parallel instead of
+    * nWaves serial coalesce(1) passes; repartitioning on the wave key
+    * keeps one task (→ one file) per wave. The staged `wavep=` dirs are
+    * emptied by the moves and cleaned with the TmpDirs registry. */
+  private[graft] def writeWaves(df: DataFrame, in: String, waveCol: Column,
+      nWaves: Int, order: Seq[Column]): Unit = {
+    require(nWaves > 0 && nWaves < 1440, s"wave count $nWaves out of range")
+    val stage = graft.TmpDirs.create("graft_waves")
+    // rows outside [0, nWaves) are dropped, like writeWave's filters;
+    // sortWithinPartitions pins each wave file's row order to `order`
+    // (shuffle arrival order is not deterministic run-to-run, and a
+    // downstream consumer may be order-sensitive within a batch)
+    df.withColumn("wavep", waveCol.cast(org.apache.spark.sql.types.IntegerType))
+      .filter(col("wavep").between(0, nWaves - 1))
+      .repartition(nWaves, col("wavep"))
+      .sortWithinPartitions(col("wavep") +: order: _*)
+      .write.mode("overwrite").partitionBy("wavep").parquet(stage)
+    new java.io.File(in).mkdirs()
+    (0 until nWaves).foreach { w =>
+      Option(new java.io.File(s"$stage/wavep=$w").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          // wave prefix: a task holding two waves writes the SAME part-N
+          // file name into both partition dirs — unprefixed moves would
+          // silently rename(2) the second wave over the first
+          val dest = new java.io.File(in, s"wave$w-${f.getName}")
+          require(f.renameTo(dest), s"cannot move wave file $f -> $dest")
+          require(dest.setLastModified(WaveBase + w * 60000L),
+            s"cannot stamp mtime on $dest — wave ordering would be nondeterministic")
+        }
+    }
+  }
+
   /** Write `ev` as day-ranged, TIME-ordered waves (binlog-like arrival).
     * Assumes the single-month fixture: dayofmonth splits order correctly
     * only when all events share one month. */
@@ -212,15 +247,20 @@ object StreamingOps {
     * binlog and applies to N ClickHouse tables the same way. Each
     * micro-batch runs one tiny table-discovery aggregate (count + max seq
     * per table — a handful of rows to the driver, metadata not data),
-    * then per PRESENT table writes its own collapsed epoch delta under
-    * that table's state dir; tables not in `stateDirs` are skipped (the
-    * TableFilter analogue). Each per-table state dir has exactly the
-    * single-table layout, so compaction and read-time collapse reuse
-    * [[compactState]]/[[readLatestState]] unchanged. At production volume
-    * the per-table filtered writes become a single
-    * `partitionBy("table")` write into a shared root; the loop keeps
-    * per-table destinations fully independent, like the reference's
-    * per-table destination tables.
+    * then ONE `partitionBy("table")` write of the per-(table, key)
+    * collapse into a staging dir — a single Spark job per batch however
+    * many tables are present, never a per-table pass over the batch —
+    * and each staged `table=` subdir is renamed (a metadata move, no
+    * copy) into that table's own state dir; tables not in `stateDirs`
+    * are filtered out before the write (the TableFilter analogue).
+    * Replay safety: an at-least-once re-delivery of an epoch re-stages
+    * and re-renames over the previous attempt (delete-then-rename), so a
+    * partially-applied crash heals on the replay, exactly like the
+    * single-table overwrite. Each per-table state dir keeps the
+    * single-table layout (the partition column is carried by the dir
+    * name, and the staged files hold the standard envelope columns), so
+    * compaction and read-time collapse reuse
+    * [[compactState]]/[[readLatestState]] unchanged.
     *
     * Returns per-table (rowsApplied, epochsWritten, maxSeq). */
   private[graft] def runCdcPassMulti(s: SparkSession,
@@ -228,19 +268,35 @@ object StreamingOps {
       in: String, ckpt: String,
       stateDirs: Map[String, String]): Map[String, (Long, Long, Long)] = {
     val acc = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
+    val stage = graft.TmpDirs.create("graft_multistage")
     runFilePass(s, schema, in, ckpt) { (batch, epochId) =>
-      // the batch is consumed once per present table plus the discovery
-      // aggregate — persist so the file source is read once per trigger
-      // (see runCdcPass's note on multi-action foreachBatch)
+      // the batch is consumed by the discovery aggregate plus the staged
+      // write — persist so the file source is read once per trigger (see
+      // runCdcPass's note on multi-action foreachBatch)
       batch.persist()
       try {
         val present = batch.groupBy(col("table"))
           .agg(count(lit(1)).as("n"), max(col("seq")).as("mx")).collect()
-        present.foreach { r =>
-          val t = r.getString(0)
-          stateDirs.get(t).foreach { dir =>
-            collapse(envelope(batch.filter(col("table") === t)))
-              .write.mode("overwrite").parquet(s"$dir/epoch=$epochId")
+          .filter(r => stateDirs.contains(r.getString(0)))
+        if (present.nonEmpty) {
+          val admitted = present.map(_.getString(0)).toSeq
+          val epochStage = s"$stage/epoch=$epochId"
+          batch.select((envelopeCols :+ "table").map(col): _*)
+            .filter(col("table").isin(admitted: _*))
+            .groupBy(col("table"), col("okey"))
+            .agg(max_by(struct(col("op"), col("price"), col("status"),
+              col("ts"), col("seq")), col("seq")).as("l"))
+            .select(col("table"), col("okey"), col("l.op").as("op"),
+              col("l.price").as("price"), col("l.status").as("status"),
+              col("l.ts").as("ts"), col("l.seq").as("seq"))
+            .write.mode("overwrite").partitionBy("table").parquet(epochStage)
+          present.foreach { r =>
+            val t = r.getString(0)
+            val dest = new java.io.File(s"${stateDirs(t)}/epoch=$epochId")
+            graft.TmpDirs.rmr(dest) // idempotent replay: clear prior attempt
+            dest.getParentFile.mkdirs()
+            val src = new java.io.File(s"$epochStage/table=$t")
+            require(src.renameTo(dest), s"cannot move staged epoch $src -> $dest")
             val (rows, epochs, mx) = acc.getOrElse(t, (0L, 0L, Long.MinValue))
             acc(t) = (rows + r.getLong(1), epochs + 1L,
               math.max(mx, r.getLong(2)))
@@ -353,9 +409,9 @@ object StreamingOps {
     val log = Tables.cdcLog(s, dir)
     val tmp = tmpDir()
     val in = s"$tmp/in"
-    val waves = Seq(1L, 2L, 3L) ++ (if (replayLast) Seq(3L) else Nil)
-    waves.zipWithIndex.foreach { case (seq, i) =>
-      writeWave(log.filter(col("seq") === seq), in, i) }
+    writeWaves(log, in, col("seq") - 1, 3, Seq(col("okey")))
+    if (replayLast) // the duplicate delivery of the final wave
+      writeWave(log.filter(col("seq") === 3L), in, 3)
     runCdcPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state")
     readLatestState(s, s"$tmp/state")
   }
@@ -366,8 +422,7 @@ object StreamingOps {
   private def eventWaves(s: SparkSession, dir: String): (String, DataFrame) = {
     val ev = Tables.t(s, dir, "events")
     val tmp = tmpDir()
-    (0 until 2).foreach(i =>
-      writeWave(ev.filter(col("event_id") % 2 === i), s"$tmp/in", i))
+    writeWaves(ev, s"$tmp/in", col("event_id") % 2, 2, Seq(col("event_id")))
     (tmp, ev)
   }
 
@@ -427,8 +482,7 @@ object StreamingOps {
         when(col("okey") % 2 === 0, "t_even").otherwise("t_odd"))
       val tmp = tmpDir()
       val in = s"$tmp/in"
-      Seq(1L, 2L, 3L).zipWithIndex.foreach { case (seq, i) =>
-        writeWave(log.filter(col("seq") === seq), in, i) }
+      writeWaves(log, in, col("seq") - 1, 3, Seq(col("okey")))
       val dirs = Map("t_even" -> s"$tmp/state_even", "t_odd" -> s"$tmp/state_odd")
       runCdcPassMulti(s, log.schema, in, s"$tmp/ckpt", dirs)
       dirs.toSeq.sortBy(_._1).map { case (t, d) =>
@@ -449,8 +503,7 @@ object StreamingOps {
     "stream_static_join" -> ((s, dir) => {
       val o = Tables.t(s, dir, "orders")
       val tmp = tmpDir()
-      (0 until 2).foreach(i =>
-        writeWave(o.filter(col("o_orderkey") % 2 === i), s"$tmp/in", i))
+      writeWaves(o, s"$tmp/in", col("o_orderkey") % 2, 2, Seq(col("o_orderkey")))
       val st = s.readStream.schema(o.schema).option("maxFilesPerTrigger", "1")
         .parquet(s"$tmp/in")
       val cust = broadcast(Tables.t(s, dir, "customer")
