@@ -479,6 +479,31 @@ object Aggregations {
         (sum(col("rev")).over(w).cast(DoubleType) /
           sum(col("n_orders")).over(w).cast(DoubleType)).as("mov_avg_order"))
         .orderBy(col("prio"), col("day"))
+    }),
+
+    // A24: mergeable distinct-count states — ClickHouse uniqState /
+    // uniqMerge: the per-group HLL sketch IS the stored partial state
+    // (an AggregateFunction column), and rollups are served by MERGING
+    // states — never by rescanning rows. Here: per-event-type sketches,
+    // plus the <all> row folded from those very sketches with
+    // hll_union_agg. Non-oracle by design (sketch binaries aren't SQL);
+    // OperatorSpec asserts merge-of-parts == direct global sketch
+    // (associativity, bit-exact estimate) and estimates within rsd of
+    // exact. At scale each sketch is a few KB however many rows fold in.
+    "agg_uniq_sketch_merge" -> ((s, dir) => {
+      val perType = Tables.t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("state"),
+          count(lit(1)).as("n_rows"))
+      val global = perType
+        .agg(hll_sketch_estimate(hll_union_agg(col("state"))).as("uniq_users"),
+          sum(col("n_rows")).as("n_rows"))
+        .select(lit("<all>").as("event_type"), col("uniq_users"), col("n_rows"))
+      perType
+        .select(col("event_type"),
+          hll_sketch_estimate(col("state")).as("uniq_users"), col("n_rows"))
+        .unionByName(global)
+        .orderBy(col("event_type"))
     })
   )
 

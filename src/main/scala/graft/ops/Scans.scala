@@ -23,6 +23,7 @@ object Scans {
   private lazy val csvDir: String = graft.TmpDirs.create("graft_csv")
   private lazy val dropDir: String = graft.TmpDirs.create("graft_pdrop")
   private lazy val orcDir: String = graft.TmpDirs.create("graft_orc")
+  private lazy val jsonDir: String = graft.TmpDirs.create("graft_jsonl")
 
   val queries: Map[String, Q] = Map(
     // S1: full-table scan; Catalyst prunes nothing — the point is the scan.
@@ -232,6 +233,30 @@ object Scans {
           min(col("o_orderdate")).as("first_date"),
           max(col("o_orderkey")).as("max_key"))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    // S15: JSON-lines sink/source round-trip — the third interchange
+    // format after parquet/ORC (S11) and CSV (S8): the line-delimited
+    // JSON shape Kafka consumers and data dumps speak. Written from
+    // customer, read back with an EXPLICIT schema (schema inference on
+    // JSON is a scan of its own and nondeterministic on empty partitions
+    // — never used), then aggregated; numbers round-trip exactly because
+    // the column set is int/string/double-with-2-decimals only.
+    "sink_jsonl_roundtrip" -> ((s, dir) => {
+      Tables.t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"))
+        .write.mode("overwrite").json(jsonDir)
+      s.read
+        .schema("c_custkey BIGINT, c_name STRING, c_nationkey INT, " +
+          "c_acctbal DOUBLE, c_mktsegment STRING")
+        .json(jsonDir)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("c_acctbal"))).cast(D2).cast(DoubleType).as("bal_total"),
+          min(col("c_name")).as("first_name"),
+          max(col("c_custkey")).as("max_key"))
+        .orderBy(col("c_mktsegment"))
     })
   )
 
@@ -324,6 +349,14 @@ object Scans {
                 AS DOUBLE) AS total,
            min(CAST(o_orderdate AS DATE)) AS first_date,
            CAST(max(o_orderkey) AS BIGINT) AS max_key
-         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "sink_jsonl_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n,
+           CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS bal_total,
+           min(c_name) AS first_name,
+           CAST(max(c_custkey) AS BIGINT) AS max_key
+         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
   )
 }

@@ -166,6 +166,24 @@ class OperatorSpec extends SparkTestBase {
     assert(out.filter(col("n") > 0).count() > 0, "series carried no data")
   }
 
+  test("uniq sketch states merge associatively and estimate within rsd") {
+    val out = q("agg_uniq_sketch_merge").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ev = Tables.t(spark, sf, "events")
+    // merged-states estimate == the estimate of one direct global sketch
+    // (uniqMerge semantics: folding partial states loses nothing)
+    val direct = ev.agg(
+      org.apache.spark.sql.functions.hll_sketch_estimate(
+        org.apache.spark.sql.functions.hll_sketch_agg(col("user_id"))))
+      .collect()(0).getLong(0)
+    assert(out("<all>") == direct,
+      s"merged=${out("<all>")} direct=$direct — state merge is lossy")
+    // HLL default lgConfigK=12 → rsd ~1.6%; allow 5%
+    val exact = ev.select(col("user_id")).distinct().count()
+    assert(math.abs(out("<all>").toDouble - exact) / exact < 0.05,
+      s"estimate ${out("<all>")} vs exact $exact")
+  }
+
   test("ttl and sample filters have real signal (neither empty nor total)") {
     val all = Tables.t(spark, sf, "events").count()
     val ttlKept = q("ttl_expiry").agg(sum(col("n"))).collect()(0).getLong(0)
