@@ -887,6 +887,45 @@ object Llm {
         .orderBy(col("doc_id"))
     }),
 
+    // L8: URL canonicalization + dedup — the other standard web-corpus
+    // dedup axis besides content (L1/L2): the same page arrives under
+    // host-case variants, utm_* tracking params, and fragments. A noisy
+    // URL is built deterministically per doc (variants keyed off doc_id,
+    // the canonical target keyed off doc_id % 250 so collisions are
+    // guaranteed), then canonicalized BY PATTERN — lowercase host, strip
+    // fragment, drop utm params — and deduped by canonical form with
+    // keep-lowest-doc_id. Spark's Java regex vs the oracle's RE2, like
+    // L6g. Scan-local until the final small aggregate.
+    "llm_url_canonicalize" -> ((s, dir) => {
+      val base = col("doc_id") % 250
+      val host = element_at(
+        array(lit("alpha"), lit("beta"), lit("gamma"), lit("delta")),
+        (base % 4 + 1).cast(IntegerType))
+      val t = Tables.t(s, dir, "documents")
+        .withColumn("url", concat(
+          lit("https://"),
+          when(col("doc_id") % 3 === 0,
+            concat(upper(host), lit(".Example.COM")))
+            .otherwise(concat(host, lit(".example.com"))),
+          lit("/p/"), base.cast(StringType),
+          lit("?id="), base.cast(StringType),
+          when(col("doc_id") % 2 === 0, lit("&utm_source=feed"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            concat(lit("#sec"), (col("doc_id") % 5).cast(StringType)))
+            .otherwise(lit(""))))
+      val noFrag = regexp_replace(col("url"), "#[A-Za-z0-9]*$", "")
+      val noUtm = regexp_replace(noFrag, "&utm_[a-z]+=[a-z]*", "")
+      t.withColumn("canon", concat(
+          lit("https://"),
+          lower(regexp_extract(noUtm, "^https://([^/]+)", 1)),
+          regexp_extract(noUtm, "^https://[^/]+(.*)$", 1)))
+        .groupBy(col("canon"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_variants"))
+        .orderBy(col("canon"))
+    }),
+
     // L6: PII scrubbing — the redaction pass every training corpus runs
     // before shipping. The harness corpus carries no real PII, so a
     // deterministic synthetic layer (one email + one phone built from
@@ -1338,6 +1377,37 @@ object Llm {
            (CAST(octet_length(encode(text)) AS BIGINT) * 31 +
             ascii(substring(text, 1, 1))) % 997 AS stub_feature
          FROM documents ORDER BY doc_id""",
+
+    "llm_url_canonicalize" ->
+      """WITH t AS (SELECT doc_id,
+             doc_id % 250 AS base,
+             (['alpha', 'beta', 'gamma', 'delta'])[(doc_id % 250) % 4 + 1]
+               AS h
+           FROM documents),
+         u AS (SELECT doc_id,
+             'https://' ||
+             CASE WHEN doc_id % 3 = 0 THEN upper(h) || '.Example.COM'
+                  ELSE h || '.example.com' END ||
+             '/p/' || CAST(base AS VARCHAR) ||
+             '?id=' || CAST(base AS VARCHAR) ||
+             CASE WHEN doc_id % 2 = 0 THEN '&utm_source=feed' ELSE '' END ||
+             CASE WHEN doc_id % 4 = 0
+                  THEN '#sec' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END
+               AS url
+           FROM t),
+         c AS (SELECT doc_id,
+             'https://' ||
+             lower(regexp_extract(
+               regexp_replace(regexp_replace(url, '#[A-Za-z0-9]*$', ''),
+                 '&utm_[a-z]+=[a-z]*', '', 'g'),
+               '^https://([^/]+)', 1)) ||
+             regexp_extract(
+               regexp_replace(regexp_replace(url, '#[A-Za-z0-9]*$', ''),
+                 '&utm_[a-z]+=[a-z]*', '', 'g'),
+               '^https://[^/]+(.*)$', 1) AS canon
+           FROM u)
+         SELECT canon, min(doc_id) AS keep_id, count(*) AS n_variants
+         FROM c GROUP BY canon ORDER BY canon""",
 
     "llm_pii_scrub" ->
       """WITH d AS (SELECT doc_id,
