@@ -51,6 +51,24 @@ object Windows {
         .orderBy(col("okey"))
     }),
 
+    // W8: W1's window spelling submitted through the
+    // LatestByVersionRewrite optimizer rule (§4.3): the `latest_rn`
+    // marker opts in, and the sort-the-partition Window plan is rewritten
+    // to a partially-aggregable max_by hash aggregate — at scale,
+    // map-side collapse BEFORE the shuffle instead of shuffling every
+    // version of every key into a sort. PlanSpec asserts the Window (and
+    // its sort) is gone from the physical plan; the oracle is the SAME
+    // window SQL as W1 — proving result equivalence, not just shape.
+    "win_dedup_rewrite" -> ((s, dir) => {
+      graft.plans.LatestByVersionRewrite.install(s)
+      val w = Window.partitionBy(col("okey")).orderBy(desc("seq"))
+      Tables.cdcLog(s, dir)
+        .withColumn("latest_rn", row_number().over(w))
+        .filter(col("latest_rn") === 1 && col("op") =!= "D")
+        .select(col("okey"), col("op"), col("price"), col("status"), col("ts"))
+        .orderBy(col("okey"))
+    }),
+
     // W2: ranking family over orders per status.
     "win_rank_dense" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_orderstatus"))
@@ -140,6 +158,13 @@ object Windows {
          FROM x GROUP BY user_id, sess_id ORDER BY user_id, sess_id""",
 
     "win_row_number_dedup" ->
+      s"""WITH cdc_log AS (${Tables.cdcLogSql})
+         SELECT okey, op, price, status, ts FROM (
+           SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) rn
+           FROM cdc_log)
+         WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
+
+    "win_dedup_rewrite" ->
       s"""WITH cdc_log AS (${Tables.cdcLogSql})
          SELECT okey, op, price, status, ts FROM (
            SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) rn

@@ -106,6 +106,8 @@ object ApproxSimJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 /** `spark.sql.extensions=graft.plans.GraftExtensions` — the production
   * registration path for the rewrite rule. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => ApproxSimJoinRewrite)
+    e.injectOptimizerRule(_ => LatestByVersionRewrite)
+  }
 }

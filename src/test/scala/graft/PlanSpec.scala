@@ -175,6 +175,17 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("Generate"), s"no Generate (explode) operator:\n$plan")
   }
 
+  test("latest_rn marker rewrites the rank-1 window into a max_by aggregate") {
+    val plan = physical("win_dedup_rewrite")
+    assert(!plan.contains("Window"), s"window survived the rewrite:\n$plan")
+    assert(plan.contains("max_by") || plan.contains("maxby") ||
+      plan.contains("MaxBy"), s"no max_by aggregate in:\n$plan")
+    // and the unmarked W1 spelling keeps its Window plan (the rule is
+    // marker-gated, not a blanket rank-filter rewrite)
+    assert(physical("win_row_number_dedup").contains("Window"),
+      "unmarked rank-1 window was rewritten")
+  }
+
   test("pii scrub stays scan-local codegen until the final sort") {
     val plan = physical("llm_pii_scrub")
     assert(!plan.contains("Exchange hashpartitioning"),
