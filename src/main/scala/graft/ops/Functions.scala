@@ -208,6 +208,49 @@ object Functions {
         .orderBy(col("c_custkey"))
     }),
 
+    // F12: timezone family — MySQL CONVERT_TZ / ClickHouse toTimeZone:
+    // the wall-clock mapping every cross-region replication pipeline has
+    // to get right. Session timestamps are UTC instants; conversions run
+    // through each engine's OWN tz database (JVM tzdata vs DuckDB ICU — a
+    // genuine differential), with a round-trip back to UTC. The fixture's
+    // single-month range keeps the zones DST-stable.
+    "fn_tz" -> ((s, dir) =>
+      Tables.t(s, dir, "events")
+        .select(
+          col("event_id"), col("ts"),
+          from_utc_timestamp(col("ts"), "America/New_York").as("ts_ny"),
+          from_utc_timestamp(col("ts"), "Asia/Kolkata").as("ts_kolkata"),
+          from_utc_timestamp(col("ts"), "Asia/Tokyo").as("ts_tokyo"),
+          to_utc_timestamp(from_utc_timestamp(col("ts"), "America/New_York"),
+            "America/New_York").as("ts_rt"),
+          hour(from_utc_timestamp(col("ts"), "America/New_York")).as("hour_ny"),
+          unix_micros(col("ts")).as("epoch_us"))
+        .orderBy(col("event_id"))),
+
+    // F13: MySQL string idioms — substring_index / instr / locate / left
+    // / right / printf-format / translate: the string surface MySQL
+    // schemas lean on, over a host string built from columns. The oracle
+    // re-implements substring_index with list slicing (DuckDB has no
+    // native one) — a differential, not an echo.
+    "fn_mysql_string" -> ((s, dir) =>
+      Tables.t(s, dir, "customer")
+        .withColumn("host", concat(
+          lower(col("c_mktsegment")), lit("."),
+          regexp_replace(lower(col("c_name")), "[^a-z0-9]", "-"),
+          lit(".example.com")))
+        .select(
+          col("c_custkey"), col("host"),
+          substring_index(col("host"), ".", 1).as("sub1"),
+          substring_index(col("host"), ".", -2).as("dom2"),
+          expr("instr(host, '.')").cast(LongType).as("first_dot"),
+          expr("locate('example', host)").cast(LongType).as("loc_example"),
+          expr("right(host, 3)").as("tail3"),
+          expr("left(host, 4)").as("head4"),
+          format_string("%s#%04d", col("c_mktsegment"), col("c_custkey"))
+            .as("fmt"),
+          translate(col("c_mktsegment"), "AEIOU", "aeiou").as("transl"))
+        .orderBy(col("c_custkey"))),
+
     // F11: lateral explode (ClickHouse arrayJoin / SQL LATERAL VIEW): the
     // row-multiplying direction the array family (F4) can't show. Explode
     // runs scan-local via the Generate operator (no shuffle until the
@@ -357,6 +400,36 @@ object Functions {
            CAST(string_split(ip_str, '.')[3] AS BIGINT) * 256 +
            CAST(string_split(ip_str, '.')[4] AS BIGINT) AS ip_rt
          FROM u ORDER BY c_custkey""",
+
+    "fn_tz" ->
+      """SELECT event_id, ts,
+           timezone('America/New_York', ts AT TIME ZONE 'UTC') AS ts_ny,
+           timezone('Asia/Kolkata', ts AT TIME ZONE 'UTC') AS ts_kolkata,
+           timezone('Asia/Tokyo', ts AT TIME ZONE 'UTC') AS ts_tokyo,
+           timezone('UTC',
+             timezone('America/New_York', ts AT TIME ZONE 'UTC')
+               AT TIME ZONE 'America/New_York') AS ts_rt,
+           CAST(hour(timezone('America/New_York', ts AT TIME ZONE 'UTC'))
+             AS INTEGER) AS hour_ny,
+           epoch_us(ts) AS epoch_us
+         FROM events ORDER BY event_id""",
+
+    "fn_mysql_string" ->
+      """WITH h AS (SELECT c_custkey, c_mktsegment,
+             lower(c_mktsegment) || '.' ||
+             regexp_replace(lower(c_name), '[^a-z0-9]', '-', 'g') ||
+             '.example.com' AS host
+           FROM customer)
+         SELECT c_custkey, host,
+           string_split(host, '.')[1] AS sub1,
+           array_to_string(string_split(host, '.')[-2:], '.') AS dom2,
+           CAST(strpos(host, '.') AS BIGINT) AS first_dot,
+           CAST(strpos(host, 'example') AS BIGINT) AS loc_example,
+           right(host, 3) AS tail3,
+           left(host, 4) AS head4,
+           printf('%s#%04d', c_mktsegment, c_custkey) AS fmt,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS transl
+         FROM h ORDER BY c_custkey""",
 
     "fn_explode" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words

@@ -183,6 +183,24 @@ object Joins {
       r.crossJoin(n).orderBy(col("r_name"), col("n_name"))
     }),
 
+    // J14: null-safe equi join (MySQL `<=>`, SQL IS NOT DISTINCT FROM) —
+    // NULL join keys MATCH each other instead of dropping out, the
+    // MySQL-ism a faithful type map must preserve. Both sides aggregate
+    // to their bucket grain first (nullif plants a genuine NULL bucket),
+    // so the join is |buckets|×|buckets| — and Spark plans EqualNullSafe
+    // as a real equi-join key (hash/SMJ), not a cartesian (PlanSpec).
+    "join_null_safe_equi" -> ((s, dir) => {
+      val l = Tables.t(s, dir, "orders")
+        .groupBy(nullif(pmod(col("o_custkey"), lit(50)), lit(0)).as("bucket"))
+        .agg(count(lit(1)).as("n_orders"))
+      val r = Tables.t(s, dir, "customer")
+        .groupBy(nullif(pmod(col("c_custkey"), lit(50)), lit(0)).as("cbucket"))
+        .agg(count(lit(1)).as("n_customers"))
+      l.join(r, col("bucket") <=> col("cbucket"))
+        .select(col("bucket"), col("n_orders"), col("n_customers"))
+        .orderBy(col("bucket"))
+    }),
+
     // J13: dictionary lookup (ClickHouse dictGet analogue) — replication
     // users enrich the fact table through an in-memory dictionary with a
     // DEFAULT for missing keys. Spark form: broadcast left join +
@@ -313,6 +331,15 @@ object Joins {
     "join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
          ORDER BY r_name, n_name""",
+
+    "join_null_safe_equi" ->
+      """WITH l AS (SELECT nullif(o_custkey % 50, 0) AS bucket,
+             count(*) AS n_orders FROM orders GROUP BY 1),
+         r AS (SELECT nullif(c_custkey % 50, 0) AS cbucket,
+             count(*) AS n_customers FROM customer GROUP BY 1)
+         SELECT bucket, n_orders, n_customers
+         FROM l JOIN r ON bucket IS NOT DISTINCT FROM cbucket
+         ORDER BY bucket""",
 
     "dict_get_lookup" ->
       """SELECT coalesce(n.n_name, 'UNKNOWN') AS nation_name, count(*) AS n,

@@ -186,6 +186,13 @@ class PlanSpec extends SparkTestBase {
       "unmarked rank-1 window was rewritten")
   }
 
+  test("null-safe equi join plans as a real equi join, not a cartesian") {
+    val plan = physical("join_null_safe_equi")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"EqualNullSafe lost its equi-join key:\n$plan")
+  }
+
   test("pii scrub stays scan-local codegen until the final sort") {
     val plan = physical("llm_pii_scrub")
     assert(!plan.contains("Exchange hashpartitioning"),
