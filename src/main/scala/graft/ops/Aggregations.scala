@@ -481,6 +481,19 @@ object Aggregations {
         .orderBy(col("prio"), col("day"))
     }),
 
+    // A25: MySQL GROUP_CONCAT / ClickHouse arrayStringConcat(groupArray):
+    // per-group ordered string concatenation with separator. Sorted
+    // before joining so both engines agree; same bounded-group caveat as
+    // A7 (the group's values materialize in one row — dimension-grain
+    // groups only at scale, never per-user event lists).
+    "agg_group_concat" -> ((s, dir) =>
+      Tables.t(s, dir, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(
+          array_join(array_sort(collect_list(col("n_name"))), ",").as("names"),
+          count(lit(1)).as("n"))
+        .orderBy(col("n_regionkey"))),
+
     // A24: mergeable distinct-count states — ClickHouse uniqState /
     // uniqMerge: the per-group HLL sketch IS the stored partial state
     // (an AggregateFunction column), and rollups are served by MERGING
@@ -757,6 +770,12 @@ object Aggregations {
            round(quantile_cont(l_quantity, 0.75), 4) AS p75_qty,
            round(avg(l_quantity), 4) AS avg_qty
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "agg_group_concat" ->
+      """SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS names,
+           count(*) AS n
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
 
     "agg_bitmap_overlap" ->
       """WITH d AS (SELECT DISTINCT event_type, user_id FROM events),

@@ -186,6 +186,19 @@ class PlanSpec extends SparkTestBase {
       "unmarked rank-1 window was rewritten")
   }
 
+  test("latest_rn rewrite refuses a NULLABLE ordering key") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    graft.plans.LatestByVersionRewrite.install(spark)
+    // price is nullable: an all-null group returns a row under
+    // row_number but null under max_by — the rule must not fire
+    val w = W.partitionBy(col("okey")).orderBy(desc("price"))
+    val plan = Tables.cdcLog(spark, sf)
+      .withColumn("latest_rn", row_number().over(w))
+      .filter(col("latest_rn") === 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"rewrite fired on a nullable key:\n$plan")
+  }
+
   test("null-safe equi join plans as a real equi join, not a cartesian") {
     val plan = physical("join_null_safe_equi")
     assert(!plan.contains("CartesianProduct") &&

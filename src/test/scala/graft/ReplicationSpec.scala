@@ -96,6 +96,30 @@ class ReplicationSpec extends SparkTestBase {
     assert(prog("orders_eu_replica").lastSeq.contains(3L))
   }
 
+  test("multi-table sync: duplicate wave delivery is a no-op per table") {
+    val base = tmp()
+    val log = Tables.cdcLog(spark, sf).withColumn("table",
+      when(col("okey") % 2 === 0, "d_a").otherwise("d_b"))
+    (1 to 3).foreach(w => graft.streaming.StreamingOps.writeWave(
+      log.filter(col("seq") === w), s"$base/in", w - 1))
+    val dirs = Map("d_a" -> s"$base/sa", "d_b" -> s"$base/sb")
+    Replication.incrementalSyncMulti(spark, log.schema, s"$base/in",
+      s"$base/ckpt", dirs)
+    val before = dirs.map { case (t, d) =>
+      t -> Replication.appliedState(spark, d).collect().map(_.toSeq).toSet }
+    // the last wave arrives AGAIN (at-least-once delivery): the staged
+    // partitioned write + delete-then-rename must absorb the replay
+    graft.streaming.StreamingOps.writeWave(
+      log.filter(col("seq") === 3), s"$base/in", 3)
+    val p2 = Replication.incrementalSyncMulti(spark, log.schema, s"$base/in",
+      s"$base/ckpt", dirs)
+    for ((t, d) <- dirs) {
+      assert(Replication.appliedState(spark, d).collect().map(_.toSeq).toSet
+        == before(t), s"$t state changed under duplicate delivery")
+      assert(p2(t).lastSeq.contains(3L))
+    }
+  }
+
   test("idle incremental pass applies nothing and reports zero progress") {
     val base = tmp()
     val log = Tables.cdcLog(spark, sf)
