@@ -24,6 +24,7 @@ object Scans {
   private lazy val dropDir: String = graft.TmpDirs.create("graft_pdrop")
   private lazy val orcDir: String = graft.TmpDirs.create("graft_orc")
   private lazy val jsonDir: String = graft.TmpDirs.create("graft_jsonl")
+  private lazy val mergeDir: String = graft.TmpDirs.create("graft_merge")
 
   val queries: Map[String, Q] = Map(
     // S1: full-table scan; Catalyst prunes nothing — the point is the scan.
@@ -235,6 +236,28 @@ object Scans {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // S16: parquet schema-merge read — the LAKE side of S-series schema
+    // evolution (A12 handles the log side): parts written BEFORE a column
+    // existed coexist with parts written after, and one mergeSchema read
+    // serves the union schema with NULLs where the old parts have no
+    // column. This is what a destination table on parquet looks like
+    // mid-ALTER at 100 TB — you never rewrite old parts.
+    "scan_parquet_schema_merge" -> ((s, dir) => {
+      val o = Tables.t(s, dir, "orders")
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$mergeDir/v=1")
+      o.filter(col("o_orderkey") % 2 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$mergeDir/v=2")
+      s.read.option("mergeSchema", "true").parquet(mergeDir)
+        .groupBy(coalesce(col("o_orderpriority"), lit("<pre-evolution>"))
+          .as("prio"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast(D2).cast(DoubleType).as("total"))
+        .orderBy(col("prio"))
+    }),
+
     // S15: JSON-lines sink/source round-trip — the third interchange
     // format after parquet/ORC (S11) and CSV (S8): the line-delimited
     // JSON shape Kafka consumers and data dumps speak. Written from
@@ -350,6 +373,15 @@ object Scans {
            min(CAST(o_orderdate AS DATE)) AS first_date,
            CAST(max(o_orderkey) AS BIGINT) AS max_key
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "scan_parquet_schema_merge" ->
+      """SELECT coalesce(CASE WHEN o_orderkey % 2 = 0 THEN NULL
+                              ELSE o_orderpriority END,
+                         '<pre-evolution>') AS prio,
+           count(*) AS n,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS total
+         FROM orders GROUP BY 1 ORDER BY prio""",
 
     "sink_jsonl_roundtrip" ->
       """SELECT c_mktsegment, count(*) AS n,

@@ -85,6 +85,32 @@ object SortSetOps {
         .orderBy(col("d"))
     }),
 
+    // O8: ORDER BY … WITH FILL INTERPOLATE — O7's calendar spine, but
+    // gap days CARRY the last observed value forward (LOCF) instead of
+    // zero-filling: ClickHouse's INTERPOLATE clause / the standard
+    // time-series repair. The carried value via last_value(…, ignoreNulls)
+    // over a running frame — one window pass on the spine-joined series
+    // (spine length per key, bounded). Day counts stay zero-filled so the
+    // filled rows stay distinguishable.
+    "sort_fill_interpolate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.t(s, dir, "events")
+      val series = ev
+        .filter(col("event_type") === "error" && col("value") > 90)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast(Tables.D2).cast(DoubleType).as("total"))
+      val spine = ev.agg(min(to_date(col("ts"))).as("d0"))
+        .select(explode(expr(
+          "sequence(d0, date_add(d0, 44), interval 1 day)")).as("d"))
+      val w = Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(series, Seq("d"), "left")
+        .select(col("d"), coalesce(col("n"), lit(0L)).as("n"),
+          last(col("total"), ignoreNulls = true).over(w).as("carried"))
+        .orderBy(col("d"))
+    }),
+
     // O5: intersection — consistency diff between two key sets.
     "set_intersect" -> ((s, dir) => {
       val withOrders = Tables.t(s, dir, "orders").select(col("o_custkey").as("k"))
@@ -152,6 +178,22 @@ object SortSetOps {
                 coalesce(r.total, 0.0) AS total
          FROM spine s LEFT JOIN series r ON s.d = r.d
          ORDER BY s.d""",
+
+    "sort_fill_interpolate" ->
+      """WITH series AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n,
+              CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                   AS DOUBLE) AS total
+            FROM events WHERE event_type = 'error' AND value > 90 GROUP BY 1),
+          bounds AS (SELECT CAST(min(ts) AS DATE) AS d0 FROM events),
+          spine AS (SELECT CAST(unnest(generate_series(d0,
+                      d0 + INTERVAL 44 DAY, INTERVAL 1 DAY)) AS DATE) AS d
+                    FROM bounds)
+         SELECT d, n, last_value(total IGNORE NULLS) OVER
+             (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS carried
+         FROM (SELECT s.d, CAST(coalesce(r.n, 0) AS BIGINT) AS n, r.total
+               FROM spine s LEFT JOIN series r ON s.d = r.d)
+         ORDER BY d""",
 
     "set_intersect" ->
       """SELECT o_custkey AS k FROM orders
