@@ -60,10 +60,16 @@ object Replication {
     * [[SyncProgress]]; rows/epochs come free from StreamingQueryProgress,
     * lastSeq from a 1-row per-batch aggregate inside the pass — never a
     * scan of the accumulated state. */
+  /** `fromSeq` is the reference's `--position`: start applying strictly
+    * AFTER the given sequence number — consumed-but-skipped events count
+    * toward rowsApplied (they flowed through the pass) but never reach
+    * state, and lastSeq reports the newest seq actually applied. */
   def incrementalSync(spark: SparkSession, schema: StructType, inDir: String,
-      ckptDir: String, stateDir: String, compactEvery: Int = 16): SyncProgress = {
+      ckptDir: String, stateDir: String, compactEvery: Int = 16,
+      fromSeq: Option[Long] = None): SyncProgress = {
     val (rows, epochs, lastSeq) = streaming.StreamingOps.runCdcPass(
-      spark, schema, inDir, ckptDir, stateDir, trackSeq = true)
+      spark, schema, inDir, ckptDir, stateDir, trackSeq = true,
+      startAfterSeq = fromSeq)
     if (deltaCount(stateDir) > compactEvery)
       streaming.StreamingOps.compactState(spark, stateDir)
     SyncProgress(rows, epochs, lastSeq)

@@ -208,6 +208,28 @@ object Functions {
         .orderBy(col("c_custkey"))
     }),
 
+    // F14: conditional/comparison family — greatest/least/ifnull/nullif/
+    // if: the MySQL conditional surface P5's CASE WHEN doesn't cover.
+    // NULL propagation is the point: greatest/least return NULL if ANY
+    // argument is NULL in MySQL but SKIP nulls in Spark and DuckDB — the
+    // planted-null column exercises the (shared) skip semantics.
+    "fn_conditional" -> ((s, dir) =>
+      Tables.t(s, dir, "lineitem")
+        .withColumn("maybe_null",
+          when(col("l_linenumber") === 1, lit(null).cast(DoubleType))
+            .otherwise(col("l_discount")))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          greatest(col("l_quantity"), col("l_extendedprice") / 1000.0d,
+            lit(10.0d)).as("g3"),
+          least(col("l_quantity"), col("l_extendedprice") / 1000.0d,
+            lit(10.0d)).as("l3"),
+          greatest(col("l_quantity"), col("maybe_null")).as("g_null_skip"),
+          coalesce(col("maybe_null"), lit(-1.0d)).as("ifnull_v"),
+          nullif(col("l_linenumber"), lit(1)).as("nullif_first"),
+          expr("if(l_quantity > 25, 'H', 'L')").as("band"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
     // F12: timezone family — MySQL CONVERT_TZ / ClickHouse toTimeZone:
     // the wall-clock mapping every cross-region replication pipeline has
     // to get right. Session timestamps are UTC instants; conversions run
@@ -400,6 +422,19 @@ object Functions {
            CAST(string_split(ip_str, '.')[3] AS BIGINT) * 256 +
            CAST(string_split(ip_str, '.')[4] AS BIGINT) AS ip_rt
          FROM u ORDER BY c_custkey""",
+
+    "fn_conditional" ->
+      """SELECT l_orderkey, l_linenumber,
+           greatest(l_quantity, l_extendedprice / 1000.0, 10.0) AS g3,
+           least(l_quantity, l_extendedprice / 1000.0, 10.0) AS l3,
+           greatest(l_quantity,
+             CASE WHEN l_linenumber = 1 THEN NULL ELSE l_discount END)
+             AS g_null_skip,
+           coalesce(CASE WHEN l_linenumber = 1 THEN NULL
+                         ELSE l_discount END, -1.0) AS ifnull_v,
+           nullif(l_linenumber, 1) AS nullif_first,
+           CASE WHEN l_quantity > 25 THEN 'H' ELSE 'L' END AS band
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
 
     "fn_tz" ->
       """SELECT event_id, ts,

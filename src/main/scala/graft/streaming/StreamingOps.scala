@@ -221,22 +221,34 @@ object StreamingOps {
     * persisted first: each extra action otherwise re-reads the file
     * source, which both doubles the work and inflates the source's
     * numInputRows metric (observed: rowsApplied exactly 2x). */
+  /** `startAfterSeq` is the reference's explicit-position start
+    * (`--position`/GTID): events at or below the position are consumed
+    * from the stream (rowsApplied still reports consumption) but never
+    * applied to state, and epochs left fully below the position write no
+    * delta at all. */
   private[graft] def runCdcPass(s: SparkSession,
       schema: org.apache.spark.sql.types.StructType,
       in: String, ckpt: String, state: String,
-      trackSeq: Boolean = false): (Long, Long, Option[Long]) = {
+      trackSeq: Boolean = false,
+      startAfterSeq: Option[Long] = None): (Long, Long, Option[Long]) = {
     var maxSeq = Option.empty[Long]
+    // a batch consumed by >1 action must be pinned (see the note above);
+    // the position filter adds an isEmpty probe, so it pins too
+    val multiAction = trackSeq || startAfterSeq.isDefined
     val (rows, epochs) = runFilePass(s, schema, in, ckpt) { (batch, epochId) =>
-      if (trackSeq) batch.persist()
+      if (multiAction) batch.persist()
       try {
+        val applied = startAfterSeq
+          .map(p => batch.filter(col("seq") > p)).getOrElse(batch)
         if (trackSeq) {
-          val r = batch.agg(max(col("seq"))).collect()(0)
+          val r = applied.agg(max(col("seq"))).collect()(0)
           if (!r.isNullAt(0))
             maxSeq = Some(maxSeq.fold(r.getLong(0))(math.max(_, r.getLong(0))))
         }
-        collapse(envelope(batch))
-          .write.mode("overwrite").parquet(s"$state/epoch=$epochId")
-      } finally if (trackSeq) { batch.unpersist(); () }
+        if (startAfterSeq.isEmpty || !applied.isEmpty)
+          collapse(envelope(applied))
+            .write.mode("overwrite").parquet(s"$state/epoch=$epochId")
+      } finally if (multiAction) { batch.unpersist(); () }
     }
     (rows, epochs, maxSeq)
   }

@@ -96,6 +96,33 @@ class ReplicationSpec extends SparkTestBase {
     assert(prog("orders_eu_replica").lastSeq.contains(3L))
   }
 
+  test("incremental sync from an explicit position skips already-applied events") {
+    val base = tmp()
+    val log = Tables.cdcLog(spark, sf)
+    (1 to 3).foreach(w => graft.streaming.StreamingOps.writeWave(
+      log.filter(col("seq") === w), s"$base/in", w - 1))
+    // the reference's --position: the seq-1 snapshot inserts are already
+    // in the destination elsewhere; apply only the tail (seq > 1)
+    val prog = Replication.incrementalSync(spark, log.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", fromSeq = Some(1L))
+    val applied = Replication.appliedState(spark, s"$base/state")
+      .collect().map(_.toSeq).toSet
+    // expected: latest-wins over ONLY the tail events, tombstones dropped
+    val expect = log.filter(col("seq") > 1)
+      .groupBy(col("okey"))
+      .agg(max_by(struct(col("op"), col("price"), col("status"), col("ts"),
+        col("seq")), col("seq")).as("l"))
+      .filter(col("l.op") =!= "D")
+      .select(col("okey"), col("l.op"), col("l.price"), col("l.status"),
+        col("l.ts"))
+      .collect().map(_.toSeq).toSet
+    assert(applied == expect)
+    assert(applied.nonEmpty, "tail-only state should not be empty")
+    // consumption metrics still cover the whole log; position only gates state
+    assert(prog.rowsApplied == log.count())
+    assert(prog.lastSeq.contains(3L))
+  }
+
   test("multi-table sync: duplicate wave delivery is a no-op per table") {
     val base = tmp()
     val log = Tables.cdcLog(spark, sf).withColumn("table",
