@@ -542,6 +542,28 @@ object StreamingOps {
         .orderBy(col("ws"), col("event_type"))
     }),
 
+    // ST13: multi-source union ingest — the sharded-source topology (N
+    // MySQL shards feeding ONE destination table): two independent file
+    // streams union into a single aggregate pass. Stateless union (no
+    // extra state beyond the aggregation); each shard advances its own
+    // source offsets in the shared checkpoint. Oracle = the same
+    // aggregate over the batch union.
+    "stream_union_shards" -> ((s, dir) => {
+      val ev = Tables.t(s, dir, "events")
+      val tmp = tmpDir()
+      writeWaves(ev.filter(col("user_id") % 2 === 0), s"$tmp/shard0",
+        lit(0), 1, Seq(col("event_id")))
+      writeWaves(ev.filter(col("user_id") % 2 =!= 0), s"$tmp/shard1",
+        lit(0), 1, Seq(col("event_id")))
+      def shard(p: String) = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(p)
+      val agg = shard(s"$tmp/shard0").union(shard(s"$tmp/shard1"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast(D2).cast(DoubleType).as("total"))
+      runToMemory(agg, "complete").orderBy(col("event_type"))
+    }),
+
     // ST3: sliding 1-day windows every 12h (each event in 2 windows).
     "stream_window_sliding" -> ((s, dir) => {
       val (tmp, ev) = eventWaves(s, dir)
@@ -784,6 +806,12 @@ object StreamingOps {
                 AS DOUBLE) AS total
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "stream_union_shards" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS total
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     "stream_window_tumbling" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws,
