@@ -211,4 +211,23 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"unexpected shuffle in a pure map pipeline:\n$plan")
   }
+
+  test("no declared batch query plans an unbounded cartesian product") {
+    // global scale guard: planning-only sweep over every PURE query (ones
+    // whose builder neither runs a stream nor writes a sink — those
+    // execute eagerly and are covered by their own specs). join_cross is
+    // the one declared cartesian (region×nation, both tiny by schema).
+    val eager = Set("stream_", "sink_", "mutation_", "partition_drop",
+      "llm_pack_shards", "join_bucketed", "scan_parquet_schema_merge",
+      "llm_sim_ivf_topk", "cdc_snapshot_handoff")
+    val allowed = Set("join_cross")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(n => eager.exists(n.startsWith) || allowed(n))
+      .flatMap { n =>
+        val plan = q(n).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(n) else None
+      }
+    assert(offenders.isEmpty,
+      s"cartesian product planned in: ${offenders.mkString(", ")}")
+  }
 }
