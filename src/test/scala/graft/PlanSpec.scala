@@ -212,6 +212,38 @@ class PlanSpec extends SparkTestBase {
       s"unexpected shuffle in a pure map pipeline:\n$plan")
   }
 
+  test("AQE splits a skewed shuffle join at runtime (the unsalted defense)") {
+    // J11 is the MANUAL skew defense; this pins the AUTOMATIC one the
+    // 100 TB design leans on (SURVEY §4.2): with AQE skew-join enabled, a
+    // hot-key shuffle join is split at RUNTIME — no salting in the query.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.range(0, 300000).select(
+        when(col("id") % 10 < 9, lit(0L)).otherwise(col("id") % 100).as("k"),
+        col("id").as("payload"))
+      val dim = spark.range(0, 100).select(col("id").as("k"),
+        (col("id") * 2).as("v"))
+      val joined = fact.join(dim, "k")
+      // drive THIS queryExecution's adaptive plan (count()/write would
+      // each build their own and the final adaptive plan stays invisible)
+      val qe = joined.queryExecution
+      assert(qe.executedPlan.execute().count() == 300000L)
+      val plan = qe.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the hot partition as skewed:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("no declared batch query plans an unbounded cartesian product") {
     // global scale guard: planning-only sweep over every PURE query (ones
     // whose builder neither runs a stream nor writes a sink — those
