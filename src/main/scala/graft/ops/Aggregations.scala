@@ -481,6 +481,21 @@ object Aggregations {
         .orderBy(col("prio"), col("day"))
     }),
 
+    // A26: approximate quantiles — ClickHouse quantileTDigest: the
+    // sketch-based percentile for when A18's exact rank pass is too
+    // expensive (exact needs a per-group total order; the sketch is one
+    // mergeable pass). Non-oracle by design like A3 (sketch internals
+    // aren't SQL); OperatorSpec bounds the estimates against A10's exact
+    // percentiles within the declared accuracy.
+    "agg_quantiles_approx" -> ((s, dir) =>
+      Tables.t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("p50"),
+          percentile_approx(col("l_quantity"), lit(0.95), lit(1000)).as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+
     // A25: MySQL GROUP_CONCAT / ClickHouse arrayStringConcat(groupArray):
     // per-group ordered string concatenation with separator. Sorted
     // before joining so both engines agree; same bounded-group caveat as

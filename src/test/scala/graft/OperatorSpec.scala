@@ -166,6 +166,24 @@ class OperatorSpec extends SparkTestBase {
     assert(out.filter(col("n") > 0).count() > 0, "series carried no data")
   }
 
+  test("approx quantiles land within tolerance of the exact percentiles") {
+    val approx = q("agg_quantiles_approx").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Tables.t(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.95)").as("p95"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    for ((flag, (a50, a95)) <- approx) {
+      val (e50, e95) = exact(flag)
+      // l_quantity spans 1..50; accuracy 1000 → rank error ≤ n/1000,
+      // value tolerance of ±2 is generous and catches gross breakage
+      assert(math.abs(a50 - e50) <= 2.0, s"$flag p50: $a50 vs $e50")
+      assert(math.abs(a95 - e95) <= 2.0, s"$flag p95: $a95 vs $e95")
+    }
+  }
+
   test("uniq sketch states merge associatively and estimate within rsd") {
     val out = q("agg_uniq_sketch_merge").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
