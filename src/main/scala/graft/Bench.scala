@@ -52,7 +52,10 @@ object Bench {
     // match); the driver passes no args
     val filt = args.headOption.getOrElse("")
       .split(',').filter(_.nonEmpty).toSeq
-    val results = SparkEntry.queries
+    // name-sorted: Map iteration order shifts as queries are added, which
+    // would re-deal the warmup/cache attribution every round and make
+    // per-query timings incomparable across rounds
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => filt.isEmpty || filt.exists(name.contains) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -72,7 +75,7 @@ object Bench {
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     // The driver captures a bounded TAIL of stdout; with ~100 queries the
     // full line's head (the total) can be cut off. A trailing short line

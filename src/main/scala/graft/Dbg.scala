@@ -9,22 +9,18 @@ object Dbg {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
+    s.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
-    val log = Tables.cdcLog(s, dir)
-    val staged = log
-      .withColumn("wavep", (col("seq") - 1).cast(org.apache.spark.sql.types.IntegerType))
-      .filter(col("wavep").between(0, 2))
-    staged.groupBy(col("wavep")).count().orderBy(col("wavep")).show()
-    val tmp = java.nio.file.Files.createTempDirectory("dbg_stage").toString
-    staged.repartition(3, col("wavep"))
-      .sortWithinPartitions(col("wavep"), col("okey"))
-      .write.mode("overwrite").partitionBy("wavep").parquet(tmp)
-    def walk(f: java.io.File, ind: String = ""): Unit = {
-      println(s"$ind${f.getName}")
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(walk(_, ind + "  "))
+    for (name <- Seq("agg_bitmap_overlap", "agg_moving_sum", "fn_tz",
+        "agg_group_concat", "sort_fill_interpolate", "join_null_safe_equi",
+        "scan_parquet_schema_merge")) {
+      println(s"===== $name =====")
+      val p = SparkEntry.queries(name)(s, dir).queryExecution.executedPlan.toString
+      println(p.linesIterator.filter(l =>
+        l.contains("Exchange") || l.contains("Join") || l.contains("Aggregate") ||
+        l.contains("Window") || l.contains("Scan") || l.contains("Generate"))
+        .map(_.take(150)).mkString("\n"))
     }
-    walk(new java.io.File(tmp))
     s.stop()
   }
 }

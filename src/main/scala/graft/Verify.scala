@@ -21,7 +21,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    SparkEntry.queries.toSeq.sortBy(_._1) // deterministic dump order
       .filter { case (name, _) => filt.isEmpty || filt.exists(name.contains) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
