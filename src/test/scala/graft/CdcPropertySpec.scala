@@ -76,6 +76,31 @@ class CdcPropertySpec extends SparkTestBase {
     }
   }
 
+  /** engine collapse WITH tombstones kept — the per-epoch delta shape
+    * (deletes must keep cancelling older epochs until the final read). */
+  private def collapseKeepTombstones(ops: List[Op]): List[Op] = {
+    import spark.implicits._
+    spark.createDataFrame(ops)
+      .groupBy($"key")
+      .agg(max_by(struct($"op", $"seq", $"v"), $"seq").as("l"))
+      .select($"key", $"l.op", $"l.seq", $"l.v")
+      .collect()
+      .map(r => Op(r.getString(1), r.getLong(2), r.getLong(0), r.getLong(3)))
+      .toList
+  }
+
+  test("epoch-split deltas compose: collapse(∪ collapse(epoch_i)) == collapse(all)") {
+    // the algebra readLatestState + compactState stand on: any contiguous
+    // epoch split of the log, collapsed per epoch with tombstones KEPT,
+    // must fold back to the full-log collapse
+    samples(8).filter(_.length > 3).foreach { ops =>
+      val sorted = ops.sortBy(_.seq)
+      val chunks = sorted.grouped(math.max(1, sorted.length / 3)).toList
+      val folded = collapse(chunks.flatMap(collapseKeepTombstones))
+      assert(folded == collapse(ops), s"log: $ops")
+    }
+  }
+
   test("snapshot ∪ delta == full-log collapse") {
     samples(10).filter(_.length > 2).foreach { ops =>
       val sorted = ops.sortBy(_.seq)
