@@ -59,11 +59,15 @@ object Replication {
     * never scans an unbounded epoch list. Returns the pass's
     * [[SyncProgress]]; rows/epochs come free from StreamingQueryProgress,
     * lastSeq from a 1-row per-batch aggregate inside the pass — never a
-    * scan of the accumulated state. */
-  /** `fromSeq` is the reference's `--position`: start applying strictly
+    * scan of the accumulated state.
+    *
+    * `fromSeq` is the reference's `--position`: start applying strictly
     * AFTER the given sequence number — consumed-but-skipped events count
     * toward rowsApplied (they flowed through the pass) but never reach
-    * state, and lastSeq reports the newest seq actually applied. */
+    * state; epochs counts only deltas actually written; lastSeq reports
+    * the newest seq actually applied. A pass whose events all sit at or
+    * below the position writes nothing — [[appliedState]] needs at least
+    * one applied delta before it can serve. */
   def incrementalSync(spark: SparkSession, schema: StructType, inDir: String,
       ckptDir: String, stateDir: String, compactEvery: Int = 16,
       fromSeq: Option[Long] = None): SyncProgress = {
@@ -117,8 +121,16 @@ object Replication {
       inDir: String, ckptDir: String, destRoot: String, tables: Seq[String],
       config: SyncConfig = SyncConfig(),
       compactEvery: Int = 16): Map[String, SyncProgress] = {
-    val dirs = tables.filter(config.filter.admits)
-      .map(t => t -> s"$destRoot/${config.dest(t)}").toMap
+    val admitted = tables.filter(config.filter.admits)
+    // N:1 shard-merge is NOT this API: two sources renamed onto one dest
+    // dir would overwrite each other's epoch deltas (latest rename wins)
+    // and collapse their progress rows — reject instead of losing data
+    val dests = admitted.map(config.dest)
+    require(dests.distinct.size == dests.size,
+      s"rename mapping collides on destination name(s): " +
+        dests.groupBy(identity).collect { case (d, v) if v.size > 1 => d }
+          .mkString(", "))
+    val dirs = admitted.map(t => t -> s"$destRoot/${config.dest(t)}").toMap
     incrementalSyncMulti(spark, schema, inDir, ckptDir, dirs, compactEvery)
       .map { case (t, p) => config.dest(t) -> p }
   }

@@ -220,22 +220,25 @@ object StreamingOps {
     * consumed by more than one action inside foreachBatch MUST be
     * persisted first: each extra action otherwise re-reads the file
     * source, which both doubles the work and inflates the source's
-    * numInputRows metric (observed: rowsApplied exactly 2x). */
-  /** `startAfterSeq` is the reference's explicit-position start
+    * numInputRows metric (observed: rowsApplied exactly 2x).
+    *
+    * `startAfterSeq` is the reference's explicit-position start
     * (`--position`/GTID): events at or below the position are consumed
     * from the stream (rowsApplied still reports consumption) but never
-    * applied to state, and epochs left fully below the position write no
-    * delta at all. */
+    * applied to state, epochs left fully below the position write no
+    * delta at all, and the returned epoch count is the number of deltas
+    * actually WRITTEN (not batches consumed). */
   private[graft] def runCdcPass(s: SparkSession,
       schema: org.apache.spark.sql.types.StructType,
       in: String, ckpt: String, state: String,
       trackSeq: Boolean = false,
       startAfterSeq: Option[Long] = None): (Long, Long, Option[Long]) = {
     var maxSeq = Option.empty[Long]
+    var written = 0L
     // a batch consumed by >1 action must be pinned (see the note above);
     // the position filter adds an isEmpty probe, so it pins too
     val multiAction = trackSeq || startAfterSeq.isDefined
-    val (rows, epochs) = runFilePass(s, schema, in, ckpt) { (batch, epochId) =>
+    val (rows, _) = runFilePass(s, schema, in, ckpt) { (batch, epochId) =>
       if (multiAction) batch.persist()
       try {
         val applied = startAfterSeq
@@ -245,12 +248,14 @@ object StreamingOps {
           if (!r.isNullAt(0))
             maxSeq = Some(maxSeq.fold(r.getLong(0))(math.max(_, r.getLong(0))))
         }
-        if (startAfterSeq.isEmpty || !applied.isEmpty)
+        if (startAfterSeq.isEmpty || !applied.isEmpty) {
           collapse(envelope(applied))
             .write.mode("overwrite").parquet(s"$state/epoch=$epochId")
+          written += 1
+        }
       } finally if (multiAction) { batch.unpersist(); () }
     }
-    (rows, epochs, maxSeq)
+    (rows, written, maxSeq)
   }
 
   /** Multi-table variant of [[runCdcPass]] (SURVEY §3.1 #2): ONE ordered
@@ -307,8 +312,12 @@ object StreamingOps {
             val dest = new java.io.File(s"${stateDirs(t)}/epoch=$epochId")
             graft.TmpDirs.rmr(dest) // idempotent replay: clear prior attempt
             dest.getParentFile.mkdirs()
-            val src = new java.io.File(s"$epochStage/table=$t")
-            require(src.renameTo(dest), s"cannot move staged epoch $src -> $dest")
+            // the writer percent-escapes special chars in partition dir
+            // names — look the staged dir up under the ESCAPED name
+            val src = new java.io.File(s"$epochStage/table=" +
+              org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                .escapePathName(t))
+            moveDir(src, dest)
             val (rows, epochs, mx) = acc.getOrElse(t, (0L, 0L, Long.MinValue))
             acc(t) = (rows + r.getLong(1), epochs + 1L,
               math.max(mx, r.getLong(2)))
@@ -317,6 +326,31 @@ object StreamingOps {
       } finally { batch.unpersist(); () }
     }
     acc.toMap
+  }
+
+  /** Move a directory into place: renameTo first (atomic, same-device),
+    * recursive copy + delete-source fallback when the staging tmpdir and
+    * the destination state dir sit on different filesystems (renameTo
+    * returns false across devices — tmpfs /tmp vs a disk mount is the
+    * common case). */
+  private def moveDir(src: java.io.File, dest: java.io.File): Unit = {
+    require(src.isDirectory, s"staged dir missing: $src")
+    if (!src.renameTo(dest)) {
+      import java.nio.file.{Files, StandardCopyOption}
+      val sp = src.toPath
+      val walk = Files.walk(sp)
+      try {
+        walk.sorted().forEach { p =>
+          val t = dest.toPath.resolve(sp.relativize(p).toString)
+          if (Files.isDirectory(p)) { Files.createDirectories(t); () }
+          else {
+            Files.createDirectories(t.getParent)
+            Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING); ()
+          }
+        }
+      } finally walk.close()
+      graft.TmpDirs.rmr(src)
+    }
   }
 
   /** Compact all existing `epoch=` delta dirs into ONE baseline epoch

@@ -121,6 +121,20 @@ class ReplicationSpec extends SparkTestBase {
     // consumption metrics still cover the whole log; position only gates state
     assert(prog.rowsApplied == log.count())
     assert(prog.lastSeq.contains(3L))
+    // the wave at or below the position wrote NO delta: epochs counts
+    // deltas written, not batches consumed
+    assert(prog.epochs == 2, s"epochs=${prog.epochs}")
+  }
+
+  test("configured sync rejects rename mappings that collide on a destination") {
+    val log = Tables.cdcLog(spark, sf).withColumn("table", lit("a"))
+    val cfg = Replication.SyncConfig(
+      remap = Map("shard_a" -> "t", "shard_b" -> "t"))
+    val e = intercept[IllegalArgumentException] {
+      Replication.incrementalSyncConfigured(spark, log.schema, tmp(), tmp(),
+        tmp(), Seq("shard_a", "shard_b"), cfg)
+    }
+    assert(e.getMessage.contains("collides"))
   }
 
   test("multi-table sync: duplicate wave delivery is a no-op per table") {
