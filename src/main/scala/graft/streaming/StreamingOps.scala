@@ -175,10 +175,15 @@ object StreamingOps {
   /** Write `ev` as day-ranged, TIME-ordered waves (binlog-like arrival).
     * Assumes the single-month fixture: dayofmonth splits order correctly
     * only when all events share one month. */
-  private def timeWaves(ev: DataFrame, in: String, ranges: Seq[Range]): Unit =
-    ranges.zipWithIndex.foreach { case (days, i) =>
-      writeWave(ev.filter(dayofmonth(col("ts")).between(days.head, days.last)),
-        in, i) }
+  private def timeWaves(ev: DataFrame, in: String, ranges: Seq[Range]): Unit = {
+    val waveCol = ranges.zipWithIndex.foldLeft(
+      lit(null).cast(org.apache.spark.sql.types.IntegerType)) {
+      case (acc, (days, i)) =>
+        when(dayofmonth(col("ts")).between(days.head, days.last), lit(i))
+          .otherwise(acc)
+    }
+    writeWaves(ev, in, waveCol, ranges.size, Seq(col("event_id")))
+  }
 
   /** One streaming pass over the files currently in `in`: each micro-batch
     * is collapsed to its own per-key latest rows and written as a DELTA
