@@ -186,6 +186,21 @@ class PlanSpec extends SparkTestBase {
       "unmarked rank-1 window was rewritten")
   }
 
+  test("latest_rn rewrite accepts the rank-filter's alternate spellings") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    graft.plans.LatestByVersionRewrite.install(spark)
+    val w = W.partitionBy(col("okey")).orderBy(desc("seq"))
+    for (pred <- Seq(col("latest_rn") <= 1, lit(1) === col("latest_rn"))) {
+      val plan = Tables.cdcLog(spark, sf)
+        .withColumn("latest_rn", row_number().over(w))
+        .filter(pred)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window") &&
+        (plan.contains("max_by") || plan.contains("MaxBy")),
+        s"rewrite missed spelling $pred:\n$plan")
+    }
+  }
+
   test("latest_rn rewrite refuses a NULLABLE ordering key") {
     import org.apache.spark.sql.expressions.{Window => W}
     graft.plans.LatestByVersionRewrite.install(spark)
