@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Without this, sbt routes the forked JVM's stdout through its logger and
+// Bench's JSON total reaches the driver as "[info] {...}" (unparseable).
+// Project-level (unscoped) so run, runMain and Test forks all inherit it.
+outputStrategy := Some(StdoutOutput)
+// …and drop sbt's "[success] Total time" banner so Bench's JSON total is
+// the actual last stdout line (the driver tail-captures stdout).
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
