@@ -267,27 +267,32 @@ object Aggregations {
         .orderBy(col("user_id"))),
 
     // A18: exact quantiles — ClickHouse quantileExact semantics (the
-    // value AT rank ceil(q·n), no interpolation), deterministic by a
-    // TOTAL order (quantity, orderkey, linenumber): rank every row per
-    // group once, then pick the three target ranks with conditional
-    // aggregates — one window pass + one hash aggregate.
+    // value AT rank ceil(q·n), no interpolation). Two-pass bucketed-count
+    // plan: pass 1 is a full-table hash aggregate (map-side partial) down
+    // to (group, value, count); pass 2 runs the cumulative-count window
+    // over that distinct-value table only — the value at rank r is the
+    // smallest value whose running count reaches r, so per-row ranking is
+    // never needed. The naive alternative (rank window partitioned by the
+    // 3-value l_returnflag) sorts the whole table in 3 tasks — fine at
+    // sf0.1, a straggler factory at 100 TB; here the window input is
+    // |groups|·|distinct values| rows regardless of table size.
     "agg_quantiles_exact" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
-      val n = Window.partitionBy(col("l_returnflag"))
+      val wCum = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"))
+      val wAll = Window.partitionBy(col("l_returnflag"))
       Tables.t(s, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_quantity"),
-          col("l_orderkey"), col("l_linenumber"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("cnt", count(lit(1)).over(n))
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("cnt", sum(col("c")).over(wAll))
         .groupBy(col("l_returnflag"))
         .agg(
-          max(when(col("rn") === ceil(col("cnt") * 0.25), col("l_quantity")))
+          min(when(col("cum") >= ceil(col("cnt") * 0.25), col("l_quantity")))
             .as("q25"),
-          max(when(col("rn") === ceil(col("cnt") * 0.5), col("l_quantity")))
+          min(when(col("cum") >= ceil(col("cnt") * 0.5), col("l_quantity")))
             .as("median"),
-          max(when(col("rn") === ceil(col("cnt") * 0.75), col("l_quantity")))
+          min(when(col("cum") >= ceil(col("cnt") * 0.75), col("l_quantity")))
             .as("q75"),
           max(col("cnt")).as("n_rows"))
         .orderBy(col("l_returnflag"))

@@ -20,6 +20,25 @@ class PlanSpec extends SparkTestBase {
       s"scan reads more columns than projected:\n$plan")
   }
 
+  test("exact quantiles window runs over the bucketed-count table, not raw rows") {
+    // The scale contract for A18: the only window is the cumulative-count
+    // pass over the (flag, value) bucket aggregate — never a rank window
+    // over the raw table, which would sort the full table in |groups|
+    // (here 3) tasks. In the printed tree parents precede children, so the
+    // bucket HashAggregate must appear BELOW the Window.
+    val plan = physical("agg_quantiles_exact")
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0, s"expected a cumulative-count window:\n$plan")
+    val bucketAgg =
+      """HashAggregate\(keys=\[l_returnflag#\d+, l_quantity#\d+\]""".r
+    val m = bucketAgg.findAllMatchIn(plan).map(_.start).toSeq
+    assert(m.nonEmpty, s"no (flag, value) bucket aggregate in plan:\n$plan")
+    assert(m.exists(_ > winIdx),
+      s"window does not sit above the bucket aggregate:\n$plan")
+    assert(!plan.contains("row_number"),
+      s"raw-table rank window survived the rewrite:\n$plan")
+  }
+
   test("small-dim join broadcasts") {
     val plan = physical("join_broadcast")
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
