@@ -208,10 +208,12 @@ object Llm {
     * split(text) runs once per row; each WORD is md5-hashed once and
     * every downstream value (shingle hashes, signatures, band keys,
     * Jaccard sets) is 64-bit arithmetic over long arrays — no shingle
-    * string is ever built. The (doc_id, sh) table is pinned with
-    * localCheckpoint, so the band fan-out and the Jaccard confirm share
-    * ONE tokenize+hash pass. At cluster scale the same role is played by
-    * persist(MEMORY_AND_DISK) or a staged parquet materialization.
+    * string is ever built. The (doc_id, sh) table is pinned with a LAZY
+    * persist(MEMORY_AND_DISK), so the band fan-out and the Jaccard
+    * confirm share ONE tokenize+hash pass without the separate eager
+    * materialization job a localCheckpoint would run (measured ~1.5 s of
+    * the query's cost at sf0.1); at cluster scale the disk tier of the
+    * same StorageLevel (or a staged parquet write) plays this role.
     *
     * NOTE no size(sh)-based filter here: a Filter on the derived array
     * gets predicate-pushed below the projection, inlining the whole hash
@@ -227,7 +229,7 @@ object Llm {
       .withColumn("wh", transform(col("words"), w => wordHash60(w) % MinhashP))
       .withColumn("sh", expr(hashedShinglesFromWh))
       .select(col("doc_id"), col("sh"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = docs.withColumn("sig", array((0 until 16).map(k =>
       array_min(transform(col("sh"),
         x => (x * minhashA(k) + minhashB(k)) % MinhashP))): _*))
@@ -503,7 +505,7 @@ object Llm {
     "llm_sim_ivf_topk" -> ((s, dir) => {
       VectorOps.register(s)
       import org.apache.spark.sql.expressions.Window
-      val all = vecs(s, dir)
+      val all = vecs(s, dir).select(col("vec_id"), col("v"))
       // argmax as array_max + first-position lookup: position is 1-based
       // FIRST match, and the array is in ascending c_id order (the
       // struct's leading field drives array_sort), so cosine ties resolve
@@ -524,11 +526,18 @@ object Llm {
       val cents0 = all.filter(col("vec_id") < 16)
         .agg(array_sort(collect_list(struct(
           col("vec_id").as("c_id"), col("v").as("c_v")))).as("cents"))
+      // The initial assignment is the only pass that must scan+parse the
+      // full corpus — cache it so the mean step, the refined
+      // re-assignment, and the probe rows all reuse the materialized
+      // (vec_id, v, cell) rows instead of re-reading the parquet and
+      // re-casting the float vectors once per consumer.
+      val a0 = assign(all, cents0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // one k-means round: per-(cell, component) DECIMAL(38,18) sums
       // (order-independent, engine-portable), re-assembled into the
       // refined 16-centroid array — same decimal-sum→double÷count
       // arithmetic the oracle replays
-      val refined = assign(all, cents0)
+      val refined = a0
         .select(col("cell"), posexplode(col("v")))
         .groupBy(col("cell"), col("pos"))
         .agg(sum(col("col").cast(DecimalType(38, 18))).as("sx"),
@@ -539,10 +548,14 @@ object Llm {
         .select(col("cell").as("c_id"),
           transform(col("pm"), x => x.getField("m")).as("c_v"))
         .agg(array_sort(collect_list(struct(col("c_id"), col("c_v")))).as("cents"))
-      val assigned = assign(all, refined)
+        // 1-row centroid array, broadcast twice (re-assignment + probe
+        // ranking) — pin it so the mean aggregation runs once, not once
+        // per broadcast
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val assigned = assign(a0.drop("cell"), refined)
         .select(col("vec_id").as("n_id"), col("v").as("n_v"), col("cell"))
       val wProbe = Window.partitionBy(col("q_id")).orderBy(desc("qcos"), asc("c_id"))
-      val probes = all.filter(col("vec_id") < 20)
+      val probes = a0.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("v").as("q_v"))
         .crossJoin(broadcast(refined))
         .select(col("q_id"), col("q_v"), explode(col("cents")).as("c"))
