@@ -18,6 +18,9 @@ outputStrategy := Some(StdoutOutput)
 // …and drop sbt's "[success] Total time" banner so Bench's JSON total is
 // the actual last stdout line (the driver tail-captures stdout).
 ThisBuild / showSuccess := false
+// showSuccess is consumed by the command layer, which sbt's unused-key
+// lint cannot see
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

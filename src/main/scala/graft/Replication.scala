@@ -67,15 +67,25 @@ object Replication {
     * state; epochs counts only deltas actually written; lastSeq reports
     * the newest seq actually applied. A pass whose events all sit at or
     * below the position writes nothing — [[appliedState]] needs at least
-    * one applied delta before it can serve. */
+    * one applied delta before it can serve.
+    *
+    * `txnCol` names the transaction-id column for transaction-boundary
+    * apply (the GTID analogue): only complete transactions — events
+    * whose `op = "C"` commit marker has arrived — reach state; the
+    * uncommitted tail carries across batches and passes. `tombstoneGc`
+    * sets the compaction tombstone horizon in epochs: deletes whose
+    * winning epoch is at least that far behind the newest delta are
+    * purged from the baseline (see StreamingOps.compactState for the
+    * resurrection-safety mechanics). */
   def incrementalSync(spark: SparkSession, schema: StructType, inDir: String,
       ckptDir: String, stateDir: String, compactEvery: Int = 16,
-      fromSeq: Option[Long] = None): SyncProgress = {
+      fromSeq: Option[Long] = None, txnCol: Option[String] = None,
+      tombstoneGc: Option[Int] = None): SyncProgress = {
     val (rows, epochs, lastSeq) = streaming.StreamingOps.runCdcPass(
       spark, schema, inDir, ckptDir, stateDir, trackSeq = true,
-      startAfterSeq = fromSeq)
+      startAfterSeq = fromSeq, txnCol = txnCol)
     if (deltaCount(stateDir) > compactEvery)
-      streaming.StreamingOps.compactState(spark, stateDir)
+      streaming.StreamingOps.compactState(spark, stateDir, tombstoneGc)
     SyncProgress(rows, epochs, lastSeq)
   }
 
@@ -89,12 +99,13 @@ object Replication {
     * [[SyncProgress]] (tables that saw no rows report zeros). */
   def incrementalSyncMulti(spark: SparkSession, schema: StructType,
       inDir: String, ckptDir: String, stateDirs: Map[String, String],
-      compactEvery: Int = 16): Map[String, SyncProgress] = {
+      compactEvery: Int = 16,
+      tombstoneGc: Option[Int] = None): Map[String, SyncProgress] = {
     val stats = streaming.StreamingOps.runCdcPassMulti(
       spark, schema, inDir, ckptDir, stateDirs)
     stateDirs.map { case (t, dir) =>
       if (deltaCount(dir) > compactEvery)
-        streaming.StreamingOps.compactState(spark, dir)
+        streaming.StreamingOps.compactState(spark, dir, tombstoneGc)
       t -> stats.get(t)
         .map { case (rows, epochs, mx) => SyncProgress(rows, epochs, Some(mx)) }
         .getOrElse(SyncProgress(0L, 0L, None))

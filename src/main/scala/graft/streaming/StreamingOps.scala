@@ -87,16 +87,33 @@ object StreamingOps {
     * both pass runners, compaction, and the read-time collapse all select
     * through here; a column added to the envelope lands everywhere). */
   private val envelopeCols = Seq("op", "seq", "ts", "okey", "price", "status")
-  private def envelope(df: DataFrame): DataFrame =
-    df.select(envelopeCols.map(col): _*)
 
-  /** latest-wins collapse keyed by okey (tombstones kept for merging). */
-  private def collapse(df: DataFrame): DataFrame =
+  /** Columns that are never envelope payload: multi-table routing, the
+    * epoch partition column parquet discovery adds when reading a state
+    * dir, wave bookkeeping, and the transaction-id column of a
+    * txn-gated pass. */
+  private val nonEnvelopeCols = Set("table", "epoch", "wavep")
+
+  /** Mid-stream DDL support: any column beyond the core envelope (and
+    * the bookkeeping set above) is an EVOLVED envelope column — it rides
+    * through the delta write, the compaction, and the read-time collapse
+    * with no code change, exactly like A12's batch unionByName semantics
+    * (pre-DDL rows surface NULL for it via parquet mergeSchema). */
+  private def extraCols(df: DataFrame): Seq[String] =
+    df.columns.toSeq.filterNot(envelopeCols.contains).filterNot(nonEnvelopeCols)
+
+  private def envelope(df: DataFrame): DataFrame =
+    df.select((envelopeCols ++ extraCols(df)).map(col): _*)
+
+  /** latest-wins collapse keyed by okey (tombstones kept for merging);
+    * evolved envelope columns ride inside the max_by struct, so the
+    * winning row's value (NULL for pre-DDL rows) is what survives. */
+  private def collapse(df: DataFrame): DataFrame = {
+    val fields = Seq("op", "price", "status", "ts", "seq") ++ extraCols(df)
     df.groupBy(col("okey"))
-      .agg(max_by(struct(col("op"), col("price"), col("status"), col("ts"),
-        col("seq")), col("seq")).as("l"))
-      .select(col("okey"), col("l.op").as("op"), col("l.price").as("price"),
-        col("l.status").as("status"), col("l.ts").as("ts"), col("l.seq").as("seq"))
+      .agg(max_by(struct(fields.map(col): _*), col("seq")).as("l"))
+      .select(col("okey") +: fields.map(f => col("l." + f).as(f)): _*)
+  }
 
   private def tmpDir(): String = graft.TmpDirs.create("graft_stream")
 
@@ -232,36 +249,102 @@ object StreamingOps {
     * from the stream (rowsApplied still reports consumption) but never
     * applied to state, epochs left fully below the position write no
     * delta at all, and the returned epoch count is the number of deltas
-    * actually WRITTEN (not batches consumed). */
+    * actually WRITTEN (not batches consumed).
+    *
+    * `txnCol` turns on TRANSACTION-BOUNDARY apply (the GTID/XID
+    * analogue): events carry a transaction id in the named column and a
+    * transaction's end is marked by an `op = "C"` commit row (the binlog
+    * XID event; markers always FOLLOW their transaction's events in seq
+    * order). Each batch applies only events whose commit marker has been
+    * seen; the uncommitted tail is carried in an epoch-keyed pending
+    * snapshot under `state/_pending` (underscore-hidden from state
+    * reads), so a reader of the state dir can never observe a
+    * half-applied transaction — and an at-least-once replay of epoch k
+    * re-reads the SAME pending snapshot (the one written by the last
+    * epoch BELOW k), making the recomputed delta identical to the
+    * crashed attempt's. Commit markers are consumed the batch they
+    * arrive (their events are guaranteed present — in-batch or pending)
+    * and are never applied as rows; the committed-id set per batch is a
+    * handful of ids, so both the ready- and carry-joins broadcast. */
   private[graft] def runCdcPass(s: SparkSession,
       schema: org.apache.spark.sql.types.StructType,
       in: String, ckpt: String, state: String,
       trackSeq: Boolean = false,
-      startAfterSeq: Option[Long] = None): (Long, Long, Option[Long]) = {
+      startAfterSeq: Option[Long] = None,
+      txnCol: Option[String] = None): (Long, Long, Option[Long]) = {
     var maxSeq = Option.empty[Long]
     var written = 0L
     // a batch consumed by >1 action must be pinned (see the note above);
     // the position filter adds an isEmpty probe, so it pins too
-    val multiAction = trackSeq || startAfterSeq.isDefined
+    val multiAction = trackSeq || startAfterSeq.isDefined || txnCol.isDefined
     val (rows, _) = runFilePass(s, schema, in, ckpt) { (batch, epochId) =>
       if (multiAction) batch.persist()
+      var txnFull = Option.empty[DataFrame] // txn path's extra pin
       try {
-        val applied = startAfterSeq
+        val positioned = startAfterSeq
           .map(p => batch.filter(col("seq") > p)).getOrElse(batch)
+        val applied = txnCol match {
+          case None => positioned
+          case Some(tc) =>
+            // replay-deterministic input: this batch plus the pending
+            // snapshot of the newest epoch BELOW this one (never this
+            // epoch's own — a crashed attempt must re-read what its
+            // first attempt read)
+            val full = latestPendingBelow(state, epochId)
+              .map(p => positioned.unionByName(
+                s.read.parquet(p), allowMissingColumns = true))
+              .getOrElse(positioned)
+              .persist()
+            txnFull = Some(full)
+            val committed = full.filter(col("op") === "C")
+              .select(col(tc).as("__ctxn")).distinct()
+            val events = full.filter(col("op") =!= "C")
+            val carry = events.join(broadcast(committed),
+              col(tc) === col("__ctxn"), "left_anti")
+            carry.write.mode("overwrite")
+              .parquet(s"$state/_pending/epoch=$epochId")
+            prunePendingBelow(state, epochId - 1)
+            events.join(broadcast(committed), col(tc) === col("__ctxn"),
+              "left_semi").drop(tc)
+        }
         if (trackSeq) {
           val r = applied.agg(max(col("seq"))).collect()(0)
           if (!r.isNullAt(0))
             maxSeq = Some(maxSeq.fold(r.getLong(0))(math.max(_, r.getLong(0))))
         }
-        if (startAfterSeq.isEmpty || !applied.isEmpty) {
+        if ((startAfterSeq.isEmpty && txnCol.isEmpty) || !applied.isEmpty) {
           collapse(envelope(applied))
             .write.mode("overwrite").parquet(s"$state/epoch=$epochId")
           written += 1
         }
-      } finally if (multiAction) { batch.unpersist(); () }
+      } finally {
+        txnFull.foreach(_.unpersist())
+        if (multiAction) { batch.unpersist(); () }
+      }
     }
     (rows, written, maxSeq)
   }
+
+  /** Newest pending-tail snapshot strictly below `epochId` (txn-gated
+    * passes only; see [[runCdcPass]]). */
+  private def latestPendingBelow(state: String, epochId: Long): Option[String] = {
+    val d = new java.io.File(state, "_pending")
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+      .map(_.getName.stripPrefix("epoch=").toLong)
+      .filter(_ < epochId).sorted.lastOption
+      .map(e => s"$state/_pending/epoch=$e")
+  }
+
+  /** Drop pending snapshots below `keepFrom` — a replay can only be of
+    * the newest uncommitted epoch, which reads the snapshot one below
+    * it; everything older is dead. */
+  private def prunePendingBelow(state: String, keepFrom: Long): Unit =
+    Option(new java.io.File(state, "_pending").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch=") &&
+        f.getName.stripPrefix("epoch=").toLong < keepFrom)
+      .foreach(graft.TmpDirs.rmr)
 
   /** Multi-table variant of [[runCdcPass]] (SURVEY §3.1 #2): ONE ordered
     * change stream whose envelope carries a `table` column fans out to
@@ -303,14 +386,16 @@ object StreamingOps {
         if (present.nonEmpty) {
           val admitted = present.map(_.getString(0)).toSeq
           val epochStage = s"$stage/epoch=$epochId"
-          batch.select((envelopeCols :+ "table").map(col): _*)
+          // evolved envelope columns (mid-stream DDL) ride through the
+          // fan-out exactly as in the single-table pass
+          val fields = Seq("op", "price", "status", "ts", "seq") ++
+            extraCols(batch)
+          batch.select((envelopeCols ++ extraCols(batch) :+ "table").map(col): _*)
             .filter(col("table").isin(admitted: _*))
             .groupBy(col("table"), col("okey"))
-            .agg(max_by(struct(col("op"), col("price"), col("status"),
-              col("ts"), col("seq")), col("seq")).as("l"))
-            .select(col("table"), col("okey"), col("l.op").as("op"),
-              col("l.price").as("price"), col("l.status").as("status"),
-              col("l.ts").as("ts"), col("l.seq").as("seq"))
+            .agg(max_by(struct(fields.map(col): _*), col("seq")).as("l"))
+            .select(Seq(col("table"), col("okey")) ++
+              fields.map(f => col("l." + f).as(f)): _*)
             .write.mode("overwrite").partitionBy("table").parquet(epochStage)
           present.foreach { r =>
             val t = r.getString(0)
@@ -377,30 +462,97 @@ object StreamingOps {
     *    uncommitted epoch can never overwrite a baseline; uniqueness means
     *    a baseline left by a crashed compaction is just another epoch dir
     *    folded by the next run, never a rename collision.
-    */
-  private[graft] def compactState(s: SparkSession, state: String): Unit = {
+    *
+    * `tombstoneHorizon = Some(n)` additionally GARBAGE-COLLECTS delete
+    * tombstones (the OPTIMIZE FINAL analogue): a per-key winning row
+    * that is a delete AND comes from an epoch at least n behind the
+    * newest delta epoch is dropped from the baseline instead of being
+    * carried forever (rows folded from prior baselines count as oldest).
+    * Purging alone would let an at-least-once re-delivery of an OLD
+    * epoch resurrect the deleted key — the tombstone that used to cancel
+    * it is gone — so a purging compaction also publishes a PURGE FLOOR
+    * (`_purge_floor`, the newest seq folded into the baseline):
+    * [[readLatestState]] and later compactions ignore non-baseline rows
+    * at or below the floor, which is exactly the set a replayed
+    * already-folded epoch can contain (`seq` is globally monotone).
+    * Genuinely new events always carry seq above the floor and are
+    * untouched. Crash order is safe at every step: the floor is written
+    * after the baseline publishes and before old epochs are deleted —
+    * between those instants the original tombstone rows still win their
+    * keys by seq, so nothing resurrects even without the floor. */
+  private[graft] def compactState(s: SparkSession, state: String,
+      tombstoneHorizon: Option[Int] = None): Unit = {
     val dir = new java.io.File(state)
     def epochDirs(): Array[java.io.File] =
       Option(dir.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
     val old = epochDirs()
     if (old.length <= 1) return
+    val epochIds = old.map(_.getName.stripPrefix("epoch=").toLong)
     // unique NEGATIVE id, strictly below every existing epoch (including
     // prior baselines): monotonic by construction, so two back-to-back
     // compactions can never collide — a wall-clock id could (same-ms runs,
     // clock step-back onto an existing baseline)
-    val baseEpoch = math.min(-1L,
-      old.map(_.getName.stripPrefix("epoch=").toLong).min - 1L)
+    val baseEpoch = math.min(-1L, epochIds.min - 1L)
     val side = new java.io.File(dir, "_compacting")
     import graft.TmpDirs.rmr
     try {
-      collapse(envelope(s.read.parquet(state)))
+      // mergeSchema: epochs written before and after a mid-stream DDL
+      // carry different envelope widths; pre-DDL rows surface NULL
+      val raw = s.read.option("mergeSchema", "true").parquet(state)
+      val gated = readPurgeFloor(state) match {
+        case Some(f) => raw.filter(col("epoch") < 0 || col("seq") > f)
+        case None => raw
+      }
+      val fields = Seq("op", "price", "status", "ts", "seq") ++ extraCols(gated)
+      // the winning row's source epoch rides along so the horizon can
+      // age tombstones; it is dropped before the baseline is written
+      val coll = gated.groupBy(col("okey"))
+        .agg(max_by(struct((fields :+ "epoch").map(col): _*), col("seq")).as("l"))
+        .select(col("okey") +: (fields :+ "epoch").map(f => col("l." + f).as(f)): _*)
+      val kept = tombstoneHorizon match {
+        case Some(n) =>
+          val horizonEpoch = epochIds.filter(_ >= 0).maxOption
+            .map(_ - n).getOrElse(Long.MinValue)
+          coll.filter(!(col("op") === "D" && col("epoch") <= horizonEpoch))
+        case None => coll
+      }
+      kept.drop("epoch")
         .write.mode("overwrite").parquet(s"$side/epoch=$baseEpoch")
       require(new java.io.File(side, s"epoch=$baseEpoch")
         .renameTo(new java.io.File(dir, s"epoch=$baseEpoch")),
         s"compaction could not publish baseline epoch=$baseEpoch under $state")
+      if (tombstoneHorizon.isDefined) {
+        val m = gated.agg(max(col("seq"))).collect()(0)
+        if (!m.isNullAt(0)) writePurgeFloor(state, m.getLong(0))
+      }
       old.foreach(rmr) // every old dir is folded into the published baseline
     } finally rmr(side) // never leave a stale _compacting dir behind
+  }
+
+  /** The purge floor published by a tombstone-GC'ing compaction (see
+    * [[compactState]]); absent until one has run. Underscore-prefixed,
+    * so parquet reads of the state dir never see it. */
+  private[graft] def readPurgeFloor(state: String): Option[Long] = {
+    val f = new java.io.File(state, "_purge_floor")
+    if (f.exists())
+      Some(new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+    else None
+  }
+
+  private def writePurgeFloor(state: String, v: Long): Unit = {
+    val tmp = new java.io.File(state, "_purge_floor.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    require(tmp.renameTo(new java.io.File(state, "_purge_floor")) || {
+      // POSIX rename-over-existing can legally fail on some filesystems;
+      // fall back to an explicit replace
+      java.nio.file.Files.move(tmp.toPath,
+        new java.io.File(state, "_purge_floor").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      true
+    }, s"cannot publish purge floor under $state")
   }
 
   /** One streaming pass maintaining an incremental MATERIALIZED VIEW of
@@ -444,12 +596,24 @@ object StreamingOps {
 
   /** Read-time collapse of all epoch deltas into the latest state (A8
     * semantics; seq is globally monotone per key, so max_by(seq) across
-    * epochs is total), tombstones dropped. */
-  private[graft] def readLatestState(s: SparkSession, state: String): DataFrame =
-    collapse(envelope(s.read.parquet(state)))
+    * epochs is total), tombstones dropped. mergeSchema lets pre- and
+    * post-DDL epochs coexist (pre-DDL rows surface NULL for evolved
+    * columns, which then ride through to the served state); when a
+    * tombstone-GC'ing compaction has published a purge floor, re-delivered
+    * already-folded epochs (non-baseline, seq at or below the floor) are
+    * ignored so purged deletes cannot resurrect. */
+  private[graft] def readLatestState(s: SparkSession, state: String): DataFrame = {
+    val raw = s.read.option("mergeSchema", "true").parquet(state)
+    val gated = readPurgeFloor(state) match {
+      case Some(f) => raw.filter(col("epoch") < 0 || col("seq") > f)
+      case None => raw
+    }
+    collapse(envelope(gated))
       .filter(col("op") =!= "D")
-      .select(col("okey"), col("op"), col("price"), col("status"), col("ts"))
+      .select((Seq("okey", "op", "price", "status", "ts") ++
+        extraCols(gated)).map(col): _*)
       .orderBy(col("okey"))
+  }
 
   /** Play the CDC log as 3 seq-ordered waves; apply with foreachBatch +
     * epoch-keyed delta sink; return the final latest-state table (minus

@@ -10,6 +10,38 @@ class ReplicationSpec extends SparkTestBase {
   private def tmp(): String =
     java.nio.file.Files.createTempDirectory("graft_repl").toString
 
+  /** Envelope row for the txn-boundary tests (`ts` derived from seq). */
+  case class TxnEv(op: String, seq: Long, okey: Long, price: Double,
+    status: String, txn: Long)
+
+  private def txnDf(evs: Seq[TxnEv]): org.apache.spark.sql.DataFrame =
+    spark.createDataFrame(evs)
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("seq")))
+      .select(col("op"), col("seq"), col("ts"), col("okey"), col("price"),
+        col("status"), col("txn"))
+
+  /** Reference semantics: latest-wins replay over ONLY the events of
+    * transactions whose commit marker has been delivered. */
+  private def committedReplay(delivered: Seq[TxnEv]): Map[Long, (String, Double)] = {
+    val committed = delivered.filter(_.op == "C").map(_.txn).toSet
+    delivered.filter(e => e.op != "C" && committed(e.txn))
+      .sortBy(_.seq)
+      .foldLeft(Map.empty[Long, (String, Double)]) { (m, e) =>
+        m.updated(e.okey, (e.op, e.price))
+      }
+      .filter(_._2._1 != "D")
+  }
+
+  private def servedTxnState(stateDir: String): Map[Long, (String, Double)] = {
+    val hasDelta = Option(new java.io.File(stateDir).listFiles())
+      .getOrElse(Array.empty)
+      .exists(f => f.isDirectory && f.getName.startsWith("epoch="))
+    if (!hasDelta) Map.empty
+    else Replication.appliedState(spark, stateDir)
+      .select(col("okey"), col("op"), col("price")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+  }
+
   test("full sync snapshots admitted tables; include/exclude filters apply") {
     val dest = tmp()
     val src = new graft.sources.ParquetSource(sf)
@@ -215,6 +247,109 @@ class ReplicationSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSet
     val batch = q("agg_latest_by_version").collect().map(_.toSeq).toSet
     assert(applied == batch)
+  }
+
+  test("mid-stream DDL: envelope gains a column between waves; resumed pass applies it") {
+    val base = tmp()
+    val log = Tables.cdcLog(spark, sf)
+    // pre-DDL pass: the v1 envelope only (wave 0 = the seq-1 inserts)
+    graft.streaming.StreamingOps.writeWave(
+      log.filter(col("seq") === 1), s"$base/in", 0)
+    val p1 = Replication.incrementalSync(spark, log.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state")
+    assert(p1.epochs == 1 && p1.lastSeq.contains(1L))
+    // DDL: the envelope gains `channel` (same shape as A12's batch
+    // fixture); the stream stops and RESUMES from the same checkpoint
+    // with the evolved schema — the weak spot of the reference tool
+    // class, exercised live
+    val v2 = log.filter(col("seq") >= 2).withColumn("channel",
+      when(col("op") === "D", lit(null).cast("string"))
+        .otherwise(concat(lit("ch"), (col("okey") % 4).cast("string"))))
+    graft.streaming.StreamingOps.writeWave(
+      v2.filter(col("seq") === 2), s"$base/in", 1)
+    graft.streaming.StreamingOps.writeWave(
+      v2.filter(col("seq") === 3), s"$base/in", 2)
+    val p2 = Replication.incrementalSync(spark, v2.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state")
+    // exactly-once across the DDL: every log event consumed exactly once
+    assert(p1.rowsApplied + p2.rowsApplied == log.count())
+    assert(p2.epochs == 2 && p2.lastSeq.contains(3L))
+    // post-DDL served state == A12's batch answer over the same evolved
+    // log: keys last touched pre-DDL carry NULL, post-DDL keys the value
+    val applied = Replication.appliedState(spark, s"$base/state")
+      .collect().map(_.toSeq).toSet
+    val batch = q("cdc_schema_evolution").collect().map(_.toSeq).toSet
+    assert(applied == batch)
+  }
+
+  test("txn-boundary apply: no epoch ever exposes a half-applied transaction") {
+    val base = tmp()
+    // txn 10 commits in wave 0; txn 20 STRADDLES waves 0/1 (its update to
+    // okey=1 is in wave 0, commit in wave 1); txn 30's delete is in wave 1,
+    // commit in wave 2 — the classic multi-row transaction across batch
+    // boundaries
+    val waves = Seq(
+      Seq(TxnEv("I", 1, 1, 10.0, "O", 10), TxnEv("I", 2, 2, 20.0, "O", 10),
+        TxnEv("C", 3, -1, 0.0, null, 10), TxnEv("U", 4, 1, 11.0, "P", 20)),
+      Seq(TxnEv("I", 5, 3, 30.0, "O", 20), TxnEv("C", 6, -1, 0.0, null, 20),
+        TxnEv("D", 7, 2, 0.0, null, 30)),
+      Seq(TxnEv("C", 8, -1, 0.0, null, 30)))
+    val progress = waves.zipWithIndex.map { case (wave, w) =>
+      graft.streaming.StreamingOps.writeWave(txnDf(wave), s"$base/in", w)
+      val p = Replication.incrementalSync(spark, txnDf(waves.head).schema,
+        s"$base/in", s"$base/ckpt", s"$base/state", txnCol = Some("txn"))
+      // the INVARIANT: after every single epoch, served state equals the
+      // committed-transactions-only replay — never a partial transaction
+      val delivered = waves.take(w + 1).flatten
+      assert(servedTxnState(s"$base/state") == committedReplay(delivered),
+        s"partial transaction exposed after wave $w")
+      p
+    }
+    // lastSeq reports the newest APPLIED event (txn 20's tail applies in
+    // wave 1 once its commit arrives; wave 2 flushes txn 30's delete)
+    assert(progress.map(_.lastSeq) == Seq(Some(2L), Some(5L), Some(7L)))
+    assert(progress.map(_.epochs) == Seq(1L, 1L, 1L))
+  }
+
+  test("txn apply under random wave splits never serves a partial transaction") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen: Gen[Seq[TxnEv]] = for {
+      nTxn <- Gen.choose(2, 5)
+      sizes <- Gen.listOfN(nTxn, Gen.choose(1, 3))
+      keys <- Gen.listOfN(sizes.sum, Gen.choose(0L, 5L))
+      ops <- Gen.listOfN(sizes.sum, Gen.oneOf("I", "U", "D"))
+    } yield {
+      var seq = 0L
+      var i = 0
+      sizes.zipWithIndex.flatMap { case (sz, t) =>
+        val evs = (0 until sz).map { _ =>
+          seq += 1; i += 1
+          TxnEv(ops(i - 1), seq, keys(i - 1), seq * 1.0, "S", t.toLong)
+        }
+        seq += 1
+        evs :+ TxnEv("C", seq, -1, 0.0, null, t.toLong)
+      }
+    }
+    (0 until 3).foreach { s =>
+      val events = gen(Gen.Parameters.default, Seed(4242L + s))
+        .getOrElse(sys.error("gen failed"))
+      // three contiguous waves with the cuts landing wherever they land —
+      // commits straddle wave boundaries by construction
+      val (c1, c2) = (events.length / 3, 2 * events.length / 3)
+      val waves = Seq(events.take(c1), events.slice(c1, c2), events.drop(c2))
+      val base = tmp()
+      waves.zipWithIndex.foldLeft(Seq.empty[TxnEv]) { case (prev, (wave, w)) =>
+        graft.streaming.StreamingOps.writeWave(txnDf(wave), s"$base/in", w)
+        Replication.incrementalSync(spark, txnDf(events).schema, s"$base/in",
+          s"$base/ckpt", s"$base/state", txnCol = Some("txn"))
+        val delivered = prev ++ wave
+        assert(servedTxnState(s"$base/state") == committedReplay(delivered),
+          s"seed ${4242L + s}: partial txn after wave $w of $events")
+        delivered
+      }
+      ()
+    }
   }
 
   test("consistency check: clean copy passes; mutation and loss are caught") {

@@ -138,6 +138,61 @@ class StreamingSpec extends SparkTestBase {
     assert(resumed == batch)
   }
 
+  test("tombstone GC: purge keeps live state; purged deletes cannot resurrect") {
+    import graft.streaming.StreamingOps
+    def copyDir(src: String, dst: String): Unit = {
+      val sp = java.nio.file.Paths.get(src)
+      val walk = java.nio.file.Files.walk(sp)
+      try walk.sorted().forEach { p =>
+        val t = java.nio.file.Paths.get(dst).resolve(sp.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p)) { java.nio.file.Files.createDirectories(t); () }
+        else {
+          java.nio.file.Files.createDirectories(t.getParent)
+          java.nio.file.Files.copy(p, t); ()
+        }
+      } finally walk.close()
+    }
+    val log = Tables.cdcLog(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_gc").toString
+    val in = s"$tmp/in"
+    (1 to 3).foreach(w => StreamingOps.writeWave(
+      log.filter(col("seq") === w), in, w - 1))
+    StreamingOps.runCdcPass(spark, log.schema, in, s"$tmp/ckpt", s"$tmp/state")
+    val before = StreamingOps.readLatestState(spark, s"$tmp/state")
+      .collect().map(_.toSeq).toSet
+    // keep copies: the whole state (for the horizon-retention check) and
+    // epoch 0's delta (for the re-delivery check)
+    copyDir(s"$tmp/state", s"$tmp/state_keep")
+    copyDir(s"$tmp/state/epoch=0", s"$tmp/epoch0_copy")
+    // a WIDE horizon retains recent tombstones: nothing is old enough
+    StreamingOps.compactState(spark, s"$tmp/state_keep", Some(10))
+    assert(spark.read.parquet(s"$tmp/state_keep").filter(col("op") === "D")
+      .count() > 0, "wide horizon should retain the recent tombstones")
+    // horizon 0 purges every tombstone at or behind the newest epoch
+    StreamingOps.compactState(spark, s"$tmp/state", Some(0))
+    assert(spark.read.parquet(s"$tmp/state").filter(col("op") === "D")
+      .count() == 0, "tombstones survived a zero-horizon purge")
+    val after = StreamingOps.readLatestState(spark, s"$tmp/state")
+      .collect().map(_.toSeq).toSet
+    assert(after == before, "tombstone purge changed the live collapse")
+    // at-least-once re-delivery of the pre-compaction INSERT epoch: the
+    // keys it inserts were later deleted and their tombstones are now
+    // purged — the purge floor must keep them from resurrecting
+    copyDir(s"$tmp/epoch0_copy", s"$tmp/state/epoch=0")
+    val replayed = StreamingOps.readLatestState(spark, s"$tmp/state")
+      .collect().map(_.toSeq).toSet
+    assert(replayed == before, "purged deletes resurrected on epoch re-delivery")
+    // a FRESH delete (seq above the floor) still deletes through the gate
+    val del4 = log.filter(col("seq") === 1 && col("okey") % 11 === 0)
+      .withColumn("op", lit("D")).withColumn("seq", lit(4L))
+    StreamingOps.writeWave(del4, in, 3)
+    StreamingOps.runCdcPass(spark, log.schema, in, s"$tmp/ckpt", s"$tmp/state")
+    val latest = StreamingOps.readLatestState(spark, s"$tmp/state")
+    assert(latest.filter(col("okey") % 11 === 0).count() == 0,
+      "fresh post-GC delete did not apply")
+    assert(latest.count() < before.size)
+  }
+
   test("transformWithState evicts idle keys once the watermark passes their timer") {
     import graft.streaming.StreamingOps
     val sp = spark
