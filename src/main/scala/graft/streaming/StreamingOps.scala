@@ -9,7 +9,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row, SparkSes
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   TimeMode, TimerValues, ValueState}
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, StringType}
 
 /** SURVEY.md §2.8 — Structured Streaming. This is the reference's identity:
   * consume an ordered change-event stream, maintain latest-state, emit to an
@@ -708,6 +708,76 @@ object StreamingOps {
         .orderBy(col("tbl"), col("okey"))
     }),
 
+    // ST-DDL: MID-STREAM DDL under the oracle gate — the tool class's
+    // classic weak spot, live: the first pass applies the v1 envelope,
+    // the stream STOPS, and a second pass resumes from the same
+    // checkpoint with an envelope that gained a column (the binlog
+    // QueryEvent analogue). The served state must equal A12's batch
+    // unionByName collapse: keys last touched pre-DDL carry NULL for the
+    // evolved column, post-DDL keys the typed value.
+    "stream_cdc_ddl" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir)
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      writeWave(log.filter(col("seq") === 1), in, 0)
+      runCdcPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state")
+      val v2 = log.filter(col("seq") >= 2).withColumn("channel",
+        when(col("op") === "D", lit(null).cast(StringType))
+          .otherwise(concat(lit("ch"), (col("okey") % 4).cast(StringType))))
+      writeWave(v2.filter(col("seq") === 2), in, 1)
+      writeWave(v2.filter(col("seq") === 3), in, 2)
+      runCdcPass(s, v2.schema, in, s"$tmp/ckpt", s"$tmp/state")
+      readLatestState(s, s"$tmp/state")
+    }),
+
+    // ST-TXN: TRANSACTION-BOUNDARY apply under the oracle gate (the
+    // GTID/XID analogue): each seq wave is one multi-row transaction;
+    // txn 2 STRADDLES the two micro-batches (half its rows arrive a
+    // batch before its commit marker), and txn 3's commit marker never
+    // arrives — so the served state must equal the latest-wins collapse
+    // over transactions 1-2 ONLY, with the uncommitted delete wave held
+    // back entirely. A reader can never observe half of txn 2.
+    "stream_txn_apply" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir)
+      val events = log.withColumn("txn", col("seq"))
+      // commit markers for txns 1 and 2 (ts borrowed from the log so the
+      // column type matches; markers are consumed, never applied)
+      val markers = log.filter(col("seq") <= 2)
+        .groupBy(col("seq")).agg(min(col("ts")).as("ts"))
+        .select(lit("C").as("op"), col("seq"), col("ts"),
+          lit(-1L).as("okey"), lit(null).cast(DoubleType).as("price"),
+          lit(null).cast(StringType).as("status"), col("seq").as("txn"))
+      val evLog = events.unionByName(markers)
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      // wave 0: txn 1 + its commit + HALF of txn 2's rows; wave 1: the
+      // rest of txn 2, its commit, and txn 3's rows (no commit)
+      val waveCol = when(col("seq") === 1, 0)
+        .when(col("seq") === 2 && col("op") =!= "C" && col("okey") % 2 === 0, 0)
+        .otherwise(1)
+      writeWaves(evLog, in, waveCol, 2, Seq(col("okey"), col("op")))
+      runCdcPass(s, evLog.schema, in, s"$tmp/ckpt", s"$tmp/state",
+        txnCol = Some("txn"))
+      readLatestState(s, s"$tmp/state")
+    }),
+
+    // S-GC: tombstone GC under the oracle gate: after the 3-wave pass, a
+    // zero-horizon compaction purges every delete tombstone from the
+    // baseline, then the pre-compaction INSERT wave is re-delivered
+    // (at-least-once) — the purge floor must keep the replayed epoch
+    // inert, so the served state still equals the batch collapse.
+    "stream_cdc_compact_gc" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir)
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      writeWaves(log, in, col("seq") - 1, 3, Seq(col("okey")))
+      runCdcPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state")
+      compactState(s, s"$tmp/state", tombstoneHorizon = Some(0))
+      log.filter(col("seq") === 1).write.mode("overwrite")
+        .parquet(s"$tmp/state/epoch=0")
+      readLatestState(s, s"$tmp/state")
+    }),
+
     // ST12: stream-static join — the CDC-enrichment topology: a change
     // stream joined per-micro-batch against a STATIC dimension table
     // (broadcast, stateless — no join state accumulates, unlike ST9's
@@ -993,6 +1063,35 @@ object StreamingOps {
     // stream ≡ batch: the applied state must equal the A8 collapse.
     "stream_cdc_apply" -> latestStateSql,
     "sink_foreachbatch_idempotent" -> latestStateSql,
+
+    // GC + purge floor must leave the served collapse untouched, even
+    // after a pre-compaction epoch is re-delivered.
+    "stream_cdc_compact_gc" -> latestStateSql,
+
+    // live DDL ≡ A12's batch unionByName collapse (same oracle).
+    "stream_cdc_ddl" ->
+      s"""WITH cdc_log AS (${Tables.cdcLogSql}),
+            evolved AS (
+              SELECT op, seq, ts, okey, price, status
+              FROM cdc_log WHERE seq = 1
+              UNION ALL BY NAME
+              SELECT op, seq, ts, okey, price, status,
+                     CASE WHEN op = 'D' THEN NULL
+                          ELSE 'ch' || CAST(okey % 4 AS VARCHAR) END AS channel
+              FROM cdc_log WHERE seq >= 2),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM evolved)
+         SELECT okey, op, price, status, ts, channel FROM ranked
+         WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
+
+    // txn-boundary apply: only committed transactions (1 and 2) are
+    // served; txn 3 (the delete wave) never commits and never applies.
+    "stream_txn_apply" ->
+      s"""WITH cdc_log AS (${Tables.cdcLogSql}),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM cdc_log WHERE seq <= 2)
+         SELECT okey, op, price, status, ts FROM ranked
+         WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
 
     "stream_cdc_multi_table" ->
       s"""WITH cdc_log AS (${Tables.cdcLogSql}),
