@@ -383,14 +383,27 @@ object Llm {
         .orderBy(col("a_id"))
     }),
 
-    // L2c: n-gram (3-shingle) Jaccard over a bounded pair set — fully
-    // oracle-able (no internal hash; pure set arithmetic).
+    // L2c: n-gram (3-shingle) Jaccard — fully oracle-able (no internal
+    // hash; pure set arithmetic). Scale shape: any pair above the 0.5
+    // threshold shares at least one shingle, so candidates come from an
+    // INVERTED-INDEX equi-join on the exploded shingle (never an
+    // all-pairs theta join), then the exact intersect/union runs on
+    // candidates only — the classic exact-Jaccard candidate topology.
+    // At corpus scale the skew concern is a hot shingle fanning out; the
+    // production guard is a document-frequency cap on the index (drop
+    // grams appearing in > k docs — they cannot certify 0.5 similarity
+    // alone), with minhash-LSH (L2a) as the sub-linear sibling.
     "llm_dedup_ngram_jaccard" -> ((s, dir) => {
       val sh = docsWithNearDups(s, dir).filter(col("doc_id") % 100000 < 15)
         .withColumn("sh", expr(shingleExpr)).select(col("doc_id"), col("sh"))
-      val a = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
-      val b = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
-      a.join(b, col("a_id") < col("b_id"))
+      val inv = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      val cand = inv.select(col("doc_id").as("a_id"), col("g"))
+        .join(inv.select(col("doc_id").as("b_id"), col("g")), Seq("g"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id")).distinct()
+      cand
+        .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+        .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
         .select(col("a_id"), col("b_id"),
           size(array_intersect(col("a_sh"), col("b_sh"))).cast(LongType).as("n_common"),
           size(array_union(col("a_sh"), col("b_sh"))).cast(LongType).as("n_union"))
