@@ -253,6 +253,39 @@ object Llm {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Connected components over the confirmed near-dup graph: min-label
+    * propagation iterated to FIXPOINT (each round one distributed join +
+    * aggregate — the GraphX/Pregel shape; the driver reads only a 1-row
+    * convergence count per round, bounded by the dup-graph diameter).
+    * Returns (doc_id, lbl) for every CLUSTERED doc; lbl = the component's
+    * minimum doc_id (the canonical keeper). Shared by llm_dedup_clusters
+    * (which reports it) and llm_dedup_apply (which applies it). */
+  private def dedupClusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val conf = minhashConfirmedPairs(s, dir)
+    val edges = conf.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(conf.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint() // pinned: re-joined every round
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges
+        .join(labels.select(col("doc_id").as("dst"), col("lbl").as("nlbl")), "dst")
+        .groupBy(col("src")).agg(min(col("nlbl")).as("min_n"))
+        .select(col("src").as("doc_id"), col("min_n"))
+      // carry the old label through the checkpoint so the convergence
+      // test is a filter+count on the materialized (tiny) table — no
+      // extra join per round
+      val next = labels.join(prop, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lbl").as("old"),
+          least(col("lbl"), coalesce(col("min_n"), col("lbl"))).as("lbl"))
+        .localCheckpoint() // cut lineage: iterative plans otherwise grow
+      changed = next.filter(col("lbl") =!= col("old")).count()
+      labels = next.select(col("doc_id"), col("lbl"))
+    }
+    labels
+  }
+
   // ---- queries -------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -288,32 +321,24 @@ object Llm {
     // Oracle: DuckDB computes the same fixpoint with a recursive CTE —
     // both converge to min-reachable-id, independent of iteration order,
     // so results match bit-for-bit.
-    "llm_dedup_clusters" -> ((s, dir) => {
-      val conf = minhashConfirmedPairs(s, dir)
-      val edges = conf.select(col("a_id").as("src"), col("b_id").as("dst"))
-        .unionByName(conf.select(col("b_id").as("src"), col("a_id").as("dst")))
-        .localCheckpoint() // pinned: re-joined every round
-      var labels = edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("lbl", col("doc_id")).localCheckpoint()
-      var changed = 1L
-      while (changed > 0) {
-        val prop = edges
-          .join(labels.select(col("doc_id").as("dst"), col("lbl").as("nlbl")), "dst")
-          .groupBy(col("src")).agg(min(col("nlbl")).as("min_n"))
-          .select(col("src").as("doc_id"), col("min_n"))
-        // carry the old label through the checkpoint so the convergence
-        // test is a filter+count on the materialized (tiny) table — no
-        // extra join per round
-        val next = labels.join(prop, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("lbl").as("old"),
-            least(col("lbl"), coalesce(col("min_n"), col("lbl"))).as("lbl"))
-          .localCheckpoint() // cut lineage: iterative plans otherwise grow
-        changed = next.filter(col("lbl") =!= col("old")).count()
-        labels = next.select(col("doc_id"), col("lbl"))
-      }
-      labels
+    "llm_dedup_clusters" -> ((s, dir) =>
+      dedupClusterLabels(s, dir)
         .select(col("doc_id"), col("lbl").as("cluster_id"),
           (col("doc_id") === col("lbl")).as("is_keeper"))
+        .orderBy(col("doc_id"))),
+
+    // L2g: APPLY the dedup — the end product a training pipeline ships:
+    // the corpus with every non-canonical near-dup member dropped
+    // (cluster minima kept, untouched docs kept). The drop list is the
+    // clustered-members-minus-keepers set — tiny relative to the corpus
+    // — so AQE turns the anti-join into a broadcast and the corpus-side
+    // scan never shuffles at 100 TB.
+    "llm_dedup_apply" -> ((s, dir) => {
+      val dropped = dedupClusterLabels(s, dir)
+        .filter(col("doc_id") =!= col("lbl")).select(col("doc_id"))
+      docsWithNearDups(s, dir)
+        .join(dropped, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), length(col("text")).cast(LongType).as("n_chars"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1025,6 +1050,22 @@ object Llm {
          SELECT doc_id, min(lbl) AS cluster_id,
                 min(lbl) = doc_id AS is_keeper
          FROM r GROUP BY doc_id ORDER BY doc_id""",
+
+    "llm_dedup_apply" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+            edges AS (SELECT a_id AS src, b_id AS dst FROM confirmed
+                      UNION ALL
+                      SELECT b_id, a_id FROM confirmed),
+            r AS (SELECT DISTINCT src AS doc_id, src AS lbl FROM edges
+                  UNION
+                  SELECT e.src, r.lbl FROM edges e JOIN r ON r.doc_id = e.dst),
+            dropped AS (SELECT doc_id
+                        FROM (SELECT doc_id, min(lbl) AS lbl FROM r GROUP BY doc_id)
+                        WHERE lbl <> doc_id)
+         SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+         FROM nd
+         WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+         ORDER BY doc_id""",
 
     "llm_decontaminate" -> {
       val terms = Gram8C.zipWithIndex
