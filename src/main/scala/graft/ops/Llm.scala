@@ -342,6 +342,38 @@ object Llm {
         .orderBy(col("doc_id"))
     }),
 
+    // L2h: EXACT-SUBSTRING near-dup — the verbatim-overlap dedup of
+    // large-scale training pipelines (the suffix-array substring-dedup
+    // workload, re-expressed relationally): two docs are flagged when
+    // they share a selected verbatim 40-char run. Every 40-char window
+    // is fingerprinted with the portable md5-60bit hash (same contract
+    // as wordHash60), then CONTENT-DEFINED selection keeps the 1-in-7
+    // whose hash ≡ 0 (mod 7) — both docs of a shared run select the
+    // SAME windows, so any shared run of length L ≥ 40 is detected with
+    // probability 1-(6/7)^(L-39) and the whole computation stays
+    // deterministic for the oracle, which replays the identical hash +
+    // selection. Shuffle volume is ~8 bytes per selected window (~1.1×
+    // corpus bytes) instead of the 40×-corpus a raw dense window join
+    // ships — the difference between feasible and not at 100 TB. Skew
+    // guard at corpus scale: a document-frequency cap on fingerprints
+    // (boilerplate appearing in > k docs goes to frequency analysis,
+    // not pairwise joins).
+    "llm_dedup_substring" -> ((s, dir) => {
+      val win = docsWithNearDups(s, dir)
+        .select(col("doc_id"), expr(
+          """explode(filter(array_distinct(transform(
+               sequence(1, greatest(length(text) - 39, 0)),
+               i -> cast(conv(substring(md5(substring(text, i, 40)), 1, 15),
+                              16, 10) AS BIGINT))),
+             h -> h % 7 = 0)) AS h"""))
+      win.select(col("doc_id").as("a_id"), col("h"))
+        .join(win.select(col("doc_id").as("b_id"), col("h")), Seq("h"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // L6a: decontamination — flag training docs sharing any hashed 8-gram
     // with the benchmark set (here: doc_id % 37 == 0 plays the held-out
     // benchmark). The benchmark's gram set is small and DISTINCT —
@@ -1050,6 +1082,19 @@ object Llm {
          SELECT doc_id, min(lbl) AS cluster_id,
                 min(lbl) = doc_id AS is_keeper
          FROM r GROUP BY doc_id ORDER BY doc_id""",
+
+    "llm_dedup_substring" ->
+      s"""WITH nd AS ($nearDupDocsSql),
+            win AS (SELECT doc_id,
+                      unnest(list_filter(list_distinct(list_transform(
+                        generate_series(1, greatest(length(text) - 39, 0)),
+                        i -> CAST(('0x' || substr(md5(substr(text, i, 40)), 1, 15))
+                                  AS BIGINT))),
+                        h -> h % 7 = 0)) AS h
+                    FROM nd)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+         FROM win a JOIN win b ON a.h = b.h AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 ORDER BY a_id, b_id""",
 
     "llm_dedup_apply" ->
       s"""WITH RECURSIVE $minhashPairCtes,
