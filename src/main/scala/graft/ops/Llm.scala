@@ -345,27 +345,27 @@ object Llm {
     // L2h: EXACT-SUBSTRING near-dup — the verbatim-overlap dedup of
     // large-scale training pipelines (the suffix-array substring-dedup
     // workload, re-expressed relationally): two docs are flagged when
-    // they share a selected verbatim 40-char run. Every 40-char window
-    // is fingerprinted with the portable md5-60bit hash (same contract
-    // as wordHash60), then CONTENT-DEFINED selection keeps the 1-in-7
-    // whose hash ≡ 0 (mod 7) — both docs of a shared run select the
-    // SAME windows, so any shared run of length L ≥ 40 is detected with
-    // probability 1-(6/7)^(L-39) and the whole computation stays
-    // deterministic for the oracle, which replays the identical hash +
-    // selection. Shuffle volume is ~8 bytes per selected window (~1.1×
-    // corpus bytes) instead of the 40×-corpus a raw dense window join
-    // ships — the difference between feasible and not at 100 TB. Skew
-    // guard at corpus scale: a document-frequency cap on fingerprints
+    // they share a verbatim 40-char run anchored at a word boundary.
+    // CONTENT-DEFINED anchoring first (window starts where a space
+    // precedes — a cheap char test, no hash), then only anchored
+    // windows pay the portable md5-60bit fingerprint (same contract as
+    // wordHash60). Both docs of a shared run anchor at the SAME
+    // boundaries, so any shared word-aligned run of length ≥ 40+max-word
+    // chars is detected, and the whole computation is deterministic for
+    // the oracle, which replays the identical anchoring + hash. Scale
+    // shape: fingerprints are 8 bytes per ~6 corpus chars through the
+    // shuffle (a raw dense window join ships 40× corpus bytes); skew
+    // guard at corpus scale is a document-frequency cap on fingerprints
     // (boilerplate appearing in > k docs goes to frequency analysis,
     // not pairwise joins).
     "llm_dedup_substring" -> ((s, dir) => {
       val win = docsWithNearDups(s, dir)
         .select(col("doc_id"), expr(
-          """explode(filter(array_distinct(transform(
-               sequence(1, greatest(length(text) - 39, 0)),
+          """explode(array_distinct(transform(
+               filter(sequence(1, greatest(length(text) - 39, 0)),
+                      i -> i = 1 or substring(text, i - 1, 1) = ' '),
                i -> cast(conv(substring(md5(substring(text, i, 40)), 1, 15),
-                              16, 10) AS BIGINT))),
-             h -> h % 7 = 0)) AS h"""))
+                              16, 10) AS BIGINT)))) AS h"""))
       win.select(col("doc_id").as("a_id"), col("h"))
         .join(win.select(col("doc_id").as("b_id"), col("h")), Seq("h"))
         .filter(col("a_id") < col("b_id"))
@@ -1086,11 +1086,12 @@ object Llm {
     "llm_dedup_substring" ->
       s"""WITH nd AS ($nearDupDocsSql),
             win AS (SELECT doc_id,
-                      unnest(list_filter(list_distinct(list_transform(
-                        generate_series(1, greatest(length(text) - 39, 0)),
+                      unnest(list_distinct(list_transform(
+                        list_filter(
+                          generate_series(1, greatest(length(text) - 39, 0)),
+                          i -> i = 1 OR substr(text, i - 1, 1) = ' '),
                         i -> CAST(('0x' || substr(md5(substr(text, i, 40)), 1, 15))
-                                  AS BIGINT))),
-                        h -> h % 7 = 0)) AS h
+                                  AS BIGINT)))) AS h
                     FROM nd)
          SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
          FROM win a JOIN win b ON a.h = b.h AND a.doc_id < b.doc_id

@@ -352,6 +352,26 @@ class ReplicationSpec extends SparkTestBase {
     }
   }
 
+  test("incremental sync with tombstone GC: baseline sheds deletes, state unchanged") {
+    val base = tmp()
+    val log = Tables.cdcLog(spark, sf)
+    (1 to 3).foreach(w => graft.streaming.StreamingOps.writeWave(
+      log.filter(col("seq") === w), s"$base/in", w - 1))
+    Replication.incrementalSync(spark, log.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", compactEvery = 1, tombstoneGc = Some(0))
+    // compaction ran (threshold 1 < 3 deltas) and the GC horizon purged
+    // every tombstone from the surviving baseline
+    val dirs = new java.io.File(s"$base/state").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+    assert(dirs.length == 1 && dirs.head.getName.startsWith("epoch=-"))
+    assert(spark.read.parquet(s"$base/state").filter(col("op") === "D")
+      .count() == 0)
+    val applied = Replication.appliedState(spark, s"$base/state")
+      .collect().map(_.toSeq).toSet
+    val batch = q("agg_latest_by_version").collect().map(_.toSeq).toSet
+    assert(applied == batch)
+  }
+
   test("consistency check: clean copy passes; mutation and loss are caught") {
     val src = Tables.t(spark, sf, "nation")
     assert(Replication.consistencyCheck(src, src, "n_nationkey").consistent)
