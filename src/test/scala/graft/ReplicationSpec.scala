@@ -352,6 +352,40 @@ class ReplicationSpec extends SparkTestBase {
     }
   }
 
+  test("mid-stream DDL composes with txn gating: evolved column rides, atomicity holds") {
+    val base = tmp()
+    // pass 1, v1 envelope: txn 10 commits
+    val w0 = txnDf(Seq(TxnEv("I", 1, 1, 10.0, "O", 10),
+      TxnEv("I", 2, 2, 20.0, "O", 10), TxnEv("C", 3, -1, 0.0, null, 10)))
+    graft.streaming.StreamingOps.writeWave(w0, s"$base/in", 0)
+    Replication.incrementalSync(spark, w0.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", txnCol = Some("txn"))
+    val served1 = Replication.appliedState(spark, s"$base/state")
+    assert(!served1.columns.contains("channel"))
+    assert(served1.count() == 2)
+    // DDL: envelope gains `channel`; the resumed pass carries txn 20
+    // (committed, post-DDL) and txn 30 (its delete never commits)
+    def v2(evs: Seq[(TxnEv, String)]) = {
+      val rows = evs.map(_._1)
+      val chans = evs.map(_._2)
+      txnDf(rows).withColumn("channel",
+        element_at(typedLit(chans), col("seq").cast("int") - 3))
+    }
+    val w1 = v2(Seq((TxnEv("U", 4, 1, 11.0, "P", 20), "a"),
+      (TxnEv("C", 5, -1, 0.0, null, 20), null),
+      (TxnEv("D", 6, 2, 0.0, null, 30), null)))
+    graft.streaming.StreamingOps.writeWave(w1, s"$base/in", 1)
+    Replication.incrementalSync(spark, w1.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", txnCol = Some("txn"))
+    val served2 = Replication.appliedState(spark, s"$base/state")
+      .select(col("okey"), col("op"), col("price"), col("channel")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getString(3))).toSet
+    // txn 20's evolved value serves; txn 30's delete is withheld, so the
+    // pre-DDL okey=2 row still serves with a NULL evolved column
+    assert(served2 == Set((1L, "U", 11.0, "a"), (2L, "I", 20.0, null)))
+  }
+
   test("incremental sync with tombstone GC: baseline sheds deletes, state unchanged") {
     val base = tmp()
     val log = Tables.cdcLog(spark, sf)
