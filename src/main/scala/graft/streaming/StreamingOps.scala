@@ -724,8 +724,9 @@ object StreamingOps {
       val v2 = log.filter(col("seq") >= 2).withColumn("channel",
         when(col("op") === "D", lit(null).cast(StringType))
           .otherwise(concat(lit("ch"), (col("okey") % 4).cast(StringType))))
-      writeWave(v2.filter(col("seq") === 2), in, 1)
-      writeWave(v2.filter(col("seq") === 3), in, 2)
+      // one post-DDL wave: the batch boundary that matters is the schema
+      // change itself (per-wave semantics are spec-covered elsewhere)
+      writeWave(v2, in, 1)
       runCdcPass(s, v2.schema, in, s"$tmp/ckpt", s"$tmp/state")
       readLatestState(s, s"$tmp/state")
     }),
@@ -770,7 +771,11 @@ object StreamingOps {
       val log = Tables.cdcLog(s, dir)
       val tmp = tmpDir()
       val in = s"$tmp/in"
-      writeWaves(log, in, col("seq") - 1, 3, Seq(col("okey")))
+      // two waves: inserts+updates, then the delete wave — tombstones
+      // land in a LATER epoch than the rows they cancel, which is the
+      // configuration the purge + re-delivery gate must survive
+      writeWaves(log, in, when(col("seq") <= 2, 0).otherwise(1), 2,
+        Seq(col("okey"), col("seq")))
       runCdcPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state")
       compactState(s, s"$tmp/state", tombstoneHorizon = Some(0))
       log.filter(col("seq") === 1).write.mode("overwrite")
