@@ -87,6 +87,100 @@ case class CosineSim(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Element-wise DECIMAL(38,18) sum of an array<double> column as a native
+  * TypedImperativeAggregate: each partition folds its rows into ONE
+  * 64-decimal partial state and only those states shuffle — versus the
+  * posexplode formulation, which ships |rows|·dim exploded rows through
+  * the exchange (a 64× row blow-up for the embeddings table). Per element
+  * the arithmetic is exactly Spark's `cast(x AS DECIMAL(38,18))` (shortest
+  * double string → BigDecimal → HALF_UP at scale 18) followed by exact
+  * decimal addition, so results are bit-identical to
+  * `sum(cast(col AS DECIMAL(38,18)))` over the exploded form — which is
+  * what the DuckDB oracles replay. Order-independent by construction
+  * (decimal addition commutes), so partial/merge scheduling cannot perturb
+  * the answer. Input contract mirrors [[CosineSim]]: fixed-width non-null
+  * double vectors; rows with a NULL array are skipped; a width mismatch
+  * truncates to the shorter (unreachable from the embeddings table).
+  */
+case class DecimalVecSum(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[Array[java.math.BigDecimal]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  // resolved statically at call sites — a Charset FIELD would make this
+  // case class unserializable (Charset does not implement Serializable)
+  private def utf8 = java.nio.charset.StandardCharsets.UTF_8
+
+  override def createAggregationBuffer(): Array[java.math.BigDecimal] =
+    Array.empty
+
+  private def toDec(d: Double): java.math.BigDecimal =
+    new java.math.BigDecimal(java.lang.Double.toString(d))
+      .setScale(18, java.math.RoundingMode.HALF_UP)
+
+  override def update(buf: Array[java.math.BigDecimal],
+      input: org.apache.spark.sql.catalyst.InternalRow): Array[java.math.BigDecimal] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val b = if (buf.isEmpty) Array.fill(n)(java.math.BigDecimal.ZERO) else buf
+    var i = 0
+    val m = math.min(n, b.length)
+    while (i < m) {
+      b(i) = b(i).add(toDec(arr.getDouble(i)))
+      i += 1
+    }
+    b
+  }
+
+  override def merge(b1: Array[java.math.BigDecimal],
+      b2: Array[java.math.BigDecimal]): Array[java.math.BigDecimal] =
+    if (b1.isEmpty) b2
+    else if (b2.isEmpty) b1
+    else {
+      var i = 0
+      val m = math.min(b1.length, b2.length)
+      while (i < m) { b1(i) = b1(i).add(b2(i)); i += 1 }
+      b1
+    }
+
+  override def eval(buf: Array[java.math.BigDecimal]): Any =
+    if (buf.isEmpty) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      buf.map(bd => org.apache.spark.sql.types.Decimal(bd)))
+
+  override def serialize(buf: Array[java.math.BigDecimal]): Array[Byte] =
+    buf.map(_.toPlainString).mkString(",").getBytes(utf8)
+
+  override def deserialize(bytes: Array[Byte]): Array[java.math.BigDecimal] = {
+    val s = new String(bytes, utf8)
+    if (s.isEmpty) Array.empty else s.split(',').map(new java.math.BigDecimal(_))
+  }
+
+  override def dataType: DataType = ArrayType(DecimalType(38, 18), containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_dec_sum expects array<double>, got ${other.simpleString}")
+    }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): DecimalVecSum =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): DecimalVecSum =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): DecimalVecSum =
+    copy(child = newChild)
+}
+
 /** Column-level vector helpers shared by the LLM operators. */
 object VectorOps {
 
@@ -97,6 +191,8 @@ object VectorOps {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim_approx",
       exprs => CosineSim(exprs(0), exprs(1), approx = true), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dec_sum", exprs => DecimalVecSum(exprs(0)), "scala_udf")
   }
 
   /** float[] -> double[] (exact; keeps downstream math engine-portable). */

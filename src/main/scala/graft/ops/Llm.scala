@@ -603,20 +603,19 @@ object Llm {
       // re-casting the float vectors once per consumer.
       val a0 = assign(all, cents0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // one k-means round: per-(cell, component) DECIMAL(38,18) sums
-      // (order-independent, engine-portable), re-assembled into the
-      // refined 16-centroid array — same decimal-sum→double÷count
-      // arithmetic the oracle replays
+      // one k-means round: per-cell DECIMAL(38,18) element-wise vector
+      // sums via the native DecimalVecSum aggregate (order-independent,
+      // engine-portable, bit-equal to sum(cast(.. AS DECIMAL(38,18)))
+      // over the exploded form the oracle replays) — each partition
+      // ships ONE 64-decimal partial state per cell instead of the 64×
+      // row explosion a posexplode plan pushes through the shuffle
       val refined = a0
-        .select(col("cell"), posexplode(col("v")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("col").cast(DecimalType(38, 18))).as("sx"),
-          count(lit(1)).as("n"))
-        .withColumn("m", col("sx").cast(DoubleType) / col("n").cast(DoubleType))
         .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .agg(call_function("vec_dec_sum", col("v")).as("sx"),
+          count(lit(1)).as("n"))
         .select(col("cell").as("c_id"),
-          transform(col("pm"), x => x.getField("m")).as("c_v"))
+          transform(col("sx"),
+            x => x.cast(DoubleType) / col("n").cast(DoubleType)).as("c_v"))
         .agg(array_sort(collect_list(struct(col("c_id"), col("c_v")))).as("cents"))
         // 1-row centroid array, broadcast twice (re-assignment + probe
         // ranking) — pin it so the mean aggregation runs once, not once

@@ -52,6 +52,25 @@ class OperatorSpec extends SparkTestBase {
       Tables.t(spark, sf, "orders").count())
   }
 
+  test("vec_dec_sum == exploded decimal sums, across partition merges") {
+    import graft.functions.VectorOps
+    import org.apache.spark.sql.types.DecimalType
+    VectorOps.register(spark)
+    val e = Tables.t(spark, sf, "embeddings")
+      .select((col("vec_id") % 4).as("g"),
+        VectorOps.toDouble(col("embedding")).as("v"))
+      .repartition(8) // several partial states per group -> merge path runs
+    val got = e.groupBy(col("g"))
+      .agg(expr("vec_dec_sum(v)").as("sx"))
+      .select(col("g"), posexplode(col("sx")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDecimal(2))).toSet
+    val want = e.select(col("g"), posexplode(col("v")))
+      .groupBy(col("g"), col("pos"))
+      .agg(sum(col("col").cast(DecimalType(38, 18))).as("sx"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDecimal(2))).toSet
+    assert(got == want)
+  }
+
   test("null semantics: eqNullSafe vs eq") {
     import spark.implicits._
     val df = Seq((Some("a"), Some("a")), (None, None), (Some("a"), None))
