@@ -101,6 +101,51 @@ class CdcPropertySpec extends SparkTestBase {
     }
   }
 
+  test("tombstone GC property: purge + any epoch re-delivery never changes the collapse") {
+    import graft.streaming.StreamingOps
+    // random logs, epoch-split into 3 delta dirs built directly (batch
+    // only — the streaming pass is covered elsewhere); after a purging
+    // compaction, re-delivering ANY subset of the folded epochs
+    // (including all of them — the crashed-deletion window) must leave
+    // the served collapse unchanged, and a strictly-newer delta must
+    // still apply on top
+    samples(6).filter(_.length > 3).zipWithIndex.foreach { case (ops, si) =>
+      val sorted = ops.sortBy(_.seq)
+      val chunks = sorted.grouped(math.max(1, sorted.length / 3)).toList
+      val state = java.nio.file.Files
+        .createTempDirectory(s"graft_gcprop$si").toString
+      def toDf(chunk: List[Op]) = {
+        import spark.implicits._
+        spark.createDataFrame(chunk)
+          .select(col("op"), col("seq"),
+            timestamp_seconds(lit(1700000000L) + col("seq")).as("ts"),
+            col("key").as("okey"), col("v").cast("double").as("price"),
+            lit("S").as("status"))
+      }
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        toDf(c).write.parquet(s"$state/epoch=$i") }
+      val before = StreamingOps.readLatestState(spark, state)
+        .collect().map(_.toSeq).toSet
+      StreamingOps.compactState(spark, state, tombstoneHorizon = Some(0))
+      assert(spark.read.parquet(state).filter(col("op") === "D").count() == 0,
+        s"tombstones survived zero-horizon purge: $ops")
+      // re-deliver every folded epoch (superset of any prefix/subset)
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        toDf(c).write.mode("overwrite").parquet(s"$state/epoch=$i") }
+      val replayed = StreamingOps.readLatestState(spark, state)
+        .collect().map(_.toSeq).toSet
+      assert(replayed == before, s"replay changed the collapse: $ops")
+      // a strictly newer delta still applies through the floor gate
+      val maxSeq = sorted.last.seq
+      val newKey = 999L
+      toDf(List(Op("I", maxSeq + 1, newKey, 7L)))
+        .write.parquet(s"$state/epoch=${chunks.size}")
+      val latest = StreamingOps.readLatestState(spark, state)
+        .collect().map(_.toSeq).toSet
+      assert(latest.size == before.size + 1, s"post-GC delta lost: $ops")
+    }
+  }
+
   test("snapshot ∪ delta == full-log collapse") {
     samples(10).filter(_.length > 2).foreach { ops =>
       val sorted = ops.sortBy(_.seq)
