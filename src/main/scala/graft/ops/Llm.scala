@@ -354,10 +354,14 @@ object Llm {
     // chars is detected, and the whole computation is deterministic for
     // the oracle, which replays the identical anchoring + hash. Scale
     // shape: fingerprints are 8 bytes per ~6 corpus chars through the
-    // shuffle (a raw dense window join ships 40× corpus bytes); skew
-    // guard at corpus scale is a document-frequency cap on fingerprints
-    // (boilerplate appearing in > k docs goes to frequency analysis,
-    // not pairwise joins).
+    // shuffle (a raw dense window join ships 40× corpus bytes), and the
+    // SKEW GUARD is real, not advisory: a fingerprint appearing in more
+    // than 100 docs (boilerplate — license headers, templates) is
+    // excluded from pair generation BEFORE the self-join, bounding any
+    // key's fan-out at 100² instead of letting one hot gram emit a
+    // quadratic pair blowup; ubiquitous text belongs to frequency
+    // analysis, not pairwise dedup. The df pass is a partial-aggregating
+    // groupBy co-partitioned with the join key.
     "llm_dedup_substring" -> ((s, dir) => {
       val win = docsWithNearDups(s, dir)
         .select(col("doc_id"), expr(
@@ -366,8 +370,11 @@ object Llm {
                       i -> i = 1 or substring(text, i - 1, 1) = ' '),
                i -> cast(conv(substring(md5(substring(text, i, 40)), 1, 15),
                               16, 10) AS BIGINT)))) AS h"""))
-      win.select(col("doc_id").as("a_id"), col("h"))
-        .join(win.select(col("doc_id").as("b_id"), col("h")), Seq("h"))
+      val rare = win.groupBy(col("h")).agg(count(lit(1)).as("dfc"))
+        .filter(col("dfc") <= 100).select(col("h"))
+      val keyed = win.join(rare, Seq("h"))
+      keyed.select(col("doc_id").as("a_id"), col("h"))
+        .join(keyed.select(col("doc_id").as("b_id"), col("h")), Seq("h"))
         .filter(col("a_id") < col("b_id"))
         .groupBy(col("a_id"), col("b_id"))
         .agg(count(lit(1)).as("n_shared"))
@@ -1091,9 +1098,12 @@ object Llm {
                           i -> i = 1 OR substr(text, i - 1, 1) = ' '),
                         i -> CAST(('0x' || substr(md5(substr(text, i, 40)), 1, 15))
                                   AS BIGINT)))) AS h
-                    FROM nd)
+                    FROM nd),
+            keyed AS (SELECT doc_id, h FROM (
+                        SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS dfc
+                        FROM win) WHERE dfc <= 100)
          SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
-         FROM win a JOIN win b ON a.h = b.h AND a.doc_id < b.doc_id
+         FROM keyed a JOIN keyed b ON a.h = b.h AND a.doc_id < b.doc_id
          GROUP BY 1, 2 ORDER BY a_id, b_id""",
 
     "llm_dedup_apply" ->
