@@ -131,7 +131,10 @@ case class DecimalVecSum(
     var i = 0
     val m = math.min(n, b.length)
     while (i < m) {
-      b(i) = b(i).add(toDec(arr.getDouble(i)))
+      // skip null elements exactly like sum(cast(..)) over the exploded
+      // form would (parquet-inferred arrays are containsNull=true even
+      // when no null ever occurs, so this path must be total)
+      if (!arr.isNullAt(i)) b(i) = b(i).add(toDec(arr.getDouble(i)))
       i += 1
     }
     b

@@ -363,13 +363,22 @@ object Llm {
     // analysis, not pairwise dedup. The df pass is a partial-aggregating
     // groupBy co-partitioned with the join key.
     "llm_dedup_substring" -> ((s, dir) => {
+      // CASE guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0]
+      // (not the empty list DuckDB's generate_series returns), so a
+      // doc under 40 chars must short-circuit to array() explicitly or
+      // it would fingerprint its whole sub-40 text
       val win = docsWithNearDups(s, dir)
         .select(col("doc_id"), expr(
-          """explode(array_distinct(transform(
-               filter(sequence(1, greatest(length(text) - 39, 0)),
-                      i -> i = 1 or substring(text, i - 1, 1) = ' '),
-               i -> cast(conv(substring(md5(substring(text, i, 40)), 1, 15),
-                              16, 10) AS BIGINT)))) AS h"""))
+          """explode(CASE WHEN length(text) >= 40 THEN
+               array_distinct(transform(
+                 filter(sequence(1, length(text) - 39),
+                        i -> i = 1 or substring(text, i - 1, 1) = ' '),
+                 i -> cast(conv(substring(md5(substring(text, i, 40)), 1, 15),
+                                16, 10) AS BIGINT)))
+             ELSE array() END) AS h"""))
+        // one scan pays the window md5s; the df-cap aggregate and both
+        // self-join sides reuse it (the minhash pipeline's pattern)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val rare = win.groupBy(col("h")).agg(count(lit(1)).as("dfc"))
         .filter(col("dfc") <= 100).select(col("h"))
       val keyed = win.join(rare, Seq("h"))

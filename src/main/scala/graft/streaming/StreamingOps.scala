@@ -90,9 +90,11 @@ object StreamingOps {
 
   /** Columns that are never envelope payload: multi-table routing, the
     * epoch partition column parquet discovery adds when reading a state
-    * dir, wave bookkeeping, and the transaction-id column of a
-    * txn-gated pass. */
-  private val nonEnvelopeCols = Set("table", "epoch", "wavep")
+    * dir, wave bookkeeping, and the conventional transaction-id column
+    * name ("txn" — a txn-gated pass drops its configured column itself;
+    * this entry additionally keeps a txn-carrying log from leaking
+    * bookkeeping into served state when gating is off). */
+  private val nonEnvelopeCols = Set("table", "epoch", "wavep", "txn")
 
   /** Mid-stream DDL support: any column beyond the core envelope (and
     * the bookkeeping set above) is an EVOLVED envelope column — it rides
@@ -510,22 +512,42 @@ object StreamingOps {
       val coll = gated.groupBy(col("okey"))
         .agg(max_by(struct((fields :+ "epoch").map(col): _*), col("seq")).as("l"))
         .select(col("okey") +: (fields :+ "epoch").map(f => col("l." + f).as(f)): _*)
-      val kept = tombstoneHorizon match {
-        case Some(n) =>
+      // The floor must sit BELOW anything that can still legitimately
+      // apply later: a txn-gated pass may hold events in _pending whose
+      // seq is at or below the newest folded seq — when their commit
+      // arrives they land in a post-compaction delta and must pass the
+      // read gate. floor = min(newest folded seq, oldest pending seq - 1),
+      // never decreasing across compactions (new pending events always
+      // carry seq above every previously applied seq, so monotonicity is
+      // free); tombstones are purged ONLY at or below that floor, which
+      // is exactly the range the gate permanently silences.
+      val newFloor: Option[Long] = if (tombstoneHorizon.isEmpty) None else {
+        val m = gated.agg(max(col("seq"))).collect()(0)
+        if (m.isNullAt(0)) None else {
+          val pendingMin = latestPendingBelow(state, Long.MaxValue)
+            .flatMap { p =>
+              val r = s.read.parquet(p).agg(min(col("seq"))).collect()(0)
+              if (r.isNullAt(0)) None else Some(r.getLong(0))
+            }
+          val candidate = pendingMin.fold(m.getLong(0))(pm =>
+            math.min(m.getLong(0), pm - 1L))
+          Some(readPurgeFloor(state).fold(candidate)(math.max(_, candidate)))
+        }
+      }
+      val kept = (tombstoneHorizon, newFloor) match {
+        case (Some(n), Some(f)) =>
           val horizonEpoch = epochIds.filter(_ >= 0).maxOption
             .map(_ - n).getOrElse(Long.MinValue)
-          coll.filter(!(col("op") === "D" && col("epoch") <= horizonEpoch))
-        case None => coll
+          coll.filter(!(col("op") === "D" && col("epoch") <= horizonEpoch &&
+            col("seq") <= f))
+        case _ => coll
       }
       kept.drop("epoch")
         .write.mode("overwrite").parquet(s"$side/epoch=$baseEpoch")
       require(new java.io.File(side, s"epoch=$baseEpoch")
         .renameTo(new java.io.File(dir, s"epoch=$baseEpoch")),
         s"compaction could not publish baseline epoch=$baseEpoch under $state")
-      if (tombstoneHorizon.isDefined) {
-        val m = gated.agg(max(col("seq"))).collect()(0)
-        if (!m.isNullAt(0)) writePurgeFloor(state, m.getLong(0))
-      }
+      newFloor.foreach(writePurgeFloor(state, _))
       old.foreach(rmr) // every old dir is folded into the published baseline
     } finally rmr(side) // never leave a stale _compacting dir behind
   }

@@ -386,6 +386,39 @@ class ReplicationSpec extends SparkTestBase {
     assert(served2 == Set((1L, "U", 11.0, "a"), (2L, "I", 20.0, null)))
   }
 
+  test("txn gating composes with tombstone GC: a late commit still applies after a purge") {
+    val base = tmp()
+    // txn 20 commits immediately; txn 30 delivers k2's delete a wave
+    // later (two deltas -> the GC compaction fires); txn 10's event has
+    // a LOW seq but its commit arrives only after the purge — the floor
+    // must stop below it or the late apply would be gated out forever
+    graft.streaming.StreamingOps.writeWave(txnDf(Seq(
+      TxnEv("I", 1, 2, 20.0, "O", 20), TxnEv("C", 2, -1, 0.0, null, 20),
+      TxnEv("I", 3, 1, 10.0, "O", 10))), s"$base/in", 0)
+    graft.streaming.StreamingOps.writeWave(txnDf(Seq(
+      TxnEv("D", 4, 2, 0.0, null, 30), TxnEv("C", 5, -1, 0.0, null, 30))),
+      s"$base/in", 1)
+    val schema = txnDf(Seq(TxnEv("I", 1, 1, 1.0, "O", 1))).schema
+    Replication.incrementalSync(spark, schema, s"$base/in", s"$base/ckpt",
+      s"$base/state", compactEvery = 1, txnCol = Some("txn"),
+      tombstoneGc = Some(0))
+    // the floor stopped below the pending event's seq, so k2's tombstone
+    // (above the floor) is conservatively RETAINED — purging it would be
+    // unsafe while the gate cannot silence replays in its range
+    assert(spark.read.parquet(s"$base/state").filter(col("op") === "D")
+      .count() == 1)
+    assert(servedTxnState(s"$base/state") == Map.empty)
+    // the straddling commit arrives a pass later: its event's seq is
+    // below the folded maximum, and must still serve
+    graft.streaming.StreamingOps.writeWave(txnDf(Seq(
+      TxnEv("C", 6, -1, 0.0, null, 10))), s"$base/in", 2)
+    Replication.incrementalSync(spark, schema, s"$base/in", s"$base/ckpt",
+      s"$base/state", compactEvery = 1, txnCol = Some("txn"),
+      tombstoneGc = Some(0))
+    assert(servedTxnState(s"$base/state") == Map(1L -> ("I", 10.0)),
+      "late-committing transaction was gated out by the purge floor")
+  }
+
   test("incremental sync with tombstone GC: baseline sheds deletes, state unchanged") {
     val base = tmp()
     val log = Tables.cdcLog(spark, sf)
