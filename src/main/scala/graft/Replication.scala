@@ -72,7 +72,11 @@ object Replication {
     * `txnCol` names the transaction-id column for transaction-boundary
     * apply (the GTID analogue): only complete transactions — events
     * whose `op = "C"` commit marker has arrived — reach state; the
-    * uncommitted tail carries across batches and passes. `tombstoneGc`
+    * uncommitted tail carries across batches and passes. The named
+    * column is CONSUMED as bookkeeping (never served); in a non-gated
+    * sync no column is reserved — every column beyond the core envelope
+    * is treated as evolved payload, so a log carrying a transaction-id
+    * column must either gate on it or strip it upstream. `tombstoneGc`
     * sets the compaction tombstone horizon in epochs: deletes whose
     * winning epoch is at least that far behind the newest delta are
     * purged from the baseline (see StreamingOps.compactState for the

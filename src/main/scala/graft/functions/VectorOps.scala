@@ -99,8 +99,13 @@ case class CosineSim(left: Expression, right: Expression,
   * what the DuckDB oracles replay. Order-independent by construction
   * (decimal addition commutes), so partial/merge scheduling cannot perturb
   * the answer. Input contract mirrors [[CosineSim]]: fixed-width non-null
-  * double vectors; rows with a NULL array are skipped; a width mismatch
-  * truncates to the shorter (unreachable from the embeddings table).
+  * double vectors; rows with a NULL array are skipped. The function is
+  * registered session-wide, so the two contract edges a caller outside
+  * the embeddings tables can hit are handled like Spark's own sum: a
+  * ragged width FAILS FAST (silent truncation would quietly drop the
+  * tail dimensions of every wider row), and a per-element sum exceeding
+  * DECIMAL(38,18) yields a NULL element (non-ANSI `sum(cast(x AS
+  * DECIMAL(38,18)))` over the exploded form returns NULL on overflow).
   */
 case class DecimalVecSum(
     child: Expression,
@@ -128,9 +133,11 @@ case class DecimalVecSum(
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val b = if (buf.isEmpty) Array.fill(n)(java.math.BigDecimal.ZERO) else buf
+    require(n == b.length,
+      s"vec_dec_sum: ragged vector widths ($n vs ${b.length}) — " +
+        "inputs must be fixed-width")
     var i = 0
-    val m = math.min(n, b.length)
-    while (i < m) {
+    while (i < n) {
       // skip null elements exactly like sum(cast(..)) over the exploded
       // form would (parquet-inferred arrays are containsNull=true even
       // when no null ever occurs, so this path must be total)
@@ -145,16 +152,23 @@ case class DecimalVecSum(
     if (b1.isEmpty) b2
     else if (b2.isEmpty) b1
     else {
+      require(b1.length == b2.length,
+        s"vec_dec_sum: ragged vector widths (${b1.length} vs ${b2.length}) — " +
+          "inputs must be fixed-width")
       var i = 0
-      val m = math.min(b1.length, b2.length)
-      while (i < m) { b1(i) = b1(i).add(b2(i)); i += 1 }
+      while (i < b1.length) { b1(i) = b1(i).add(b2(i)); i += 1 }
       b1
     }
 
   override def eval(buf: Array[java.math.BigDecimal]): Any =
     if (buf.isEmpty) null
     else new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      buf.map(bd => org.apache.spark.sql.types.Decimal(bd)))
+      buf.map { bd =>
+        // match non-ANSI sum(cast(.. AS DECIMAL(38,18))): an overflowing
+        // element surfaces NULL, not a Decimal wider than the declared type
+        val d = org.apache.spark.sql.types.Decimal(bd)
+        if (d.changePrecision(38, 18)) d else null
+      })
 
   override def serialize(buf: Array[java.math.BigDecimal]): Array[Byte] =
     buf.map(_.toPlainString).mkString(",").getBytes(utf8)
@@ -164,7 +178,7 @@ case class DecimalVecSum(
     if (s.isEmpty) Array.empty else s.split(',').map(new java.math.BigDecimal(_))
   }
 
-  override def dataType: DataType = ArrayType(DecimalType(38, 18), containsNull = false)
+  override def dataType: DataType = ArrayType(DecimalType(38, 18), containsNull = true)
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =

@@ -224,12 +224,12 @@ object Llm {
     * null-propagating concat makes bv NULL, and a NULL equi-join key
     * never matches — identical to the oracle's `||`. */
   private def minhashConfirmedPairs(s: SparkSession, dir: String): DataFrame = {
-    val docs = docsWithNearDups(s, dir)
+    val docs = graft.CacheRegistry.track(docsWithNearDups(s, dir)
       .withColumn("words", split(col("text"), " "))
       .withColumn("wh", transform(col("words"), w => wordHash60(w) % MinhashP))
       .withColumn("sh", expr(hashedShinglesFromWh))
       .select(col("doc_id"), col("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sig = docs.withColumn("sig", array((0 until 16).map(k =>
       array_min(transform(col("sh"),
         x => (x * minhashA(k) + minhashB(k)) % MinhashP))): _*))
@@ -367,7 +367,7 @@ object Llm {
       // (not the empty list DuckDB's generate_series returns), so a
       // doc under 40 chars must short-circuit to array() explicitly or
       // it would fingerprint its whole sub-40 text
-      val win = docsWithNearDups(s, dir)
+      val win = graft.CacheRegistry.track(docsWithNearDups(s, dir)
         .select(col("doc_id"), expr(
           """explode(CASE WHEN length(text) >= 40 THEN
                array_distinct(transform(
@@ -378,7 +378,7 @@ object Llm {
              ELSE array() END) AS h"""))
         // one scan pays the window md5s; the df-cap aggregate and both
         // self-join sides reuse it (the minhash pipeline's pattern)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val rare = win.groupBy(col("h")).agg(count(lit(1)).as("dfc"))
         .filter(col("dfc") <= 100).select(col("h"))
       val keyed = win.join(rare, Seq("h"))
@@ -456,22 +456,33 @@ object Llm {
         .orderBy(col("a_id"))
     }),
 
-    // L2c: n-gram (3-shingle) Jaccard — fully oracle-able (no internal
-    // hash; pure set arithmetic). Scale shape: any pair above the 0.5
-    // threshold shares at least one shingle, so candidates come from an
-    // INVERTED-INDEX equi-join on the exploded shingle (never an
-    // all-pairs theta join), then the exact intersect/union runs on
-    // candidates only — the classic exact-Jaccard candidate topology.
-    // At corpus scale the skew concern is a hot shingle fanning out; the
-    // production guard is a document-frequency cap on the index (drop
-    // grams appearing in > k docs — they cannot certify 0.5 similarity
-    // alone), with minhash-LSH (L2a) as the sub-linear sibling.
+    // L2c: n-gram (3-shingle) Jaccard over the FULL near-dup corpus —
+    // fully oracle-able (no internal hash; pure set arithmetic). Scale
+    // shape: any pair above the 0.5 threshold shares at least one
+    // shingle, so candidates come from an INVERTED-INDEX equi-join on
+    // the exploded shingle (never an all-pairs theta join), then the
+    // exact intersect/union runs on candidates only — the classic
+    // exact-Jaccard candidate topology. The skew guard is ENFORCED, not
+    // advisory: a shingle appearing in more than 100 docs (boilerplate)
+    // is semi-joined OUT of the index before pair generation, bounding
+    // any key's fan-out at 100² instead of letting one hot gram emit a
+    // quadratic pair blowup (L2h's pattern); the ORACLE replays the
+    // identical cap, so a pair whose every shared gram is hot is absent
+    // from both engines. MinHash-LSH (L2a) is the sub-linear sibling.
     "llm_dedup_ngram_jaccard" -> ((s, dir) => {
-      val sh = docsWithNearDups(s, dir).filter(col("doc_id") % 100000 < 15)
-        .withColumn("sh", expr(shingleExpr)).select(col("doc_id"), col("sh"))
+      // one scan pays split(text); the index, the df cap, and both
+      // confirm sides reuse the materialized shingle arrays
+      val sh = graft.CacheRegistry.track(docsWithNearDups(s, dir)
+        .withColumn("words", split(col("text"), " "))
+        .withColumn("sh", expr(shinglesFromWords))
+        .select(col("doc_id"), col("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val inv = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-      val cand = inv.select(col("doc_id").as("a_id"), col("g"))
-        .join(inv.select(col("doc_id").as("b_id"), col("g")), Seq("g"))
+      val rare = inv.groupBy(col("g")).agg(count(lit(1)).as("dfc"))
+        .filter(col("dfc") <= 100).select(col("g"))
+      val keyed = inv.join(rare, Seq("g"), "left_semi")
+      val cand = keyed.select(col("doc_id").as("a_id"), col("g"))
+        .join(keyed.select(col("doc_id").as("b_id"), col("g")), Seq("g"))
         .filter(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id")).distinct()
       cand
@@ -617,18 +628,21 @@ object Llm {
       // re-assignment, and the probe rows all reuse the materialized
       // (vec_id, v, cell) rows instead of re-reading the parquet and
       // re-casting the float vectors once per consumer.
-      val a0 = assign(all, cents0)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val a0 = graft.CacheRegistry.track(assign(all, cents0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // one k-means round: per-cell DECIMAL(38,18) element-wise vector
       // sums via the native DecimalVecSum aggregate (order-independent,
       // engine-portable, bit-equal to sum(cast(.. AS DECIMAL(38,18)))
       // over the exploded form the oracle replays) — each partition
       // ships ONE 64-decimal partial state per cell instead of the 64×
       // row explosion a posexplode plan pushes through the shuffle
-      val refined = a0
+      // count(v), not count(*): vec_dec_sum skips NULL arrays, so the
+      // mean's divisor must count exactly the rows the sum folded (a
+      // corpus with null embeddings would otherwise deflate centroids)
+      val refined = graft.CacheRegistry.track(a0
         .groupBy(col("cell"))
         .agg(call_function("vec_dec_sum", col("v")).as("sx"),
-          count(lit(1)).as("n"))
+          count(col("v")).as("n"))
         .select(col("cell").as("c_id"),
           transform(col("sx"),
             x => x.cast(DoubleType) / col("n").cast(DoubleType)).as("c_v"))
@@ -636,7 +650,7 @@ object Llm {
         // 1-row centroid array, broadcast twice (re-assignment + probe
         // ranking) — pin it so the mean aggregation runs once, not once
         // per broadcast
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val assigned = assign(a0.drop("cell"), refined)
         .select(col("vec_id").as("n_id"), col("v").as("n_v"), col("cell"))
       val wProbe = Window.partitionBy(col("q_id")).orderBy(desc("qcos"), asc("c_id"))
@@ -1195,15 +1209,26 @@ object Llm {
          ORDER BY o.a_id"""
     },
 
+    // the inverted-index candidate generation AND the df-100 skew cap are
+    // replayed exactly — a pair whose every shared gram is hot is absent
+    // from both engines by construction
     "llm_dedup_ngram_jaccard" ->
       s"""WITH nd AS ($nearDupDocsSql),
-            sh AS (SELECT doc_id, $shingleSql AS sh FROM nd WHERE doc_id % 100000 < 15)
+            sh AS (SELECT doc_id, $shingleSql AS sh FROM nd),
+            idx AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+            rare AS (SELECT g FROM idx GROUP BY g HAVING count(*) <= 100),
+            keyed AS (SELECT doc_id, g FROM idx WHERE g IN (SELECT g FROM rare)),
+            cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                     FROM keyed a JOIN keyed b
+                       ON a.g = b.g AND a.doc_id < b.doc_id)
          SELECT a_id, b_id, n_common, n_union,
                 CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
-         FROM (SELECT a.doc_id a_id, b.doc_id b_id,
-                 CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) n_common,
-                 CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) n_union
-               FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         FROM (SELECT c.a_id, c.b_id,
+                 CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) n_common,
+                 CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT) n_union
+               FROM cand c
+               JOIN sh sa ON c.a_id = sa.doc_id
+               JOIN sh sb ON c.b_id = sb.doc_id)
          WHERE CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) > 0.5
          ORDER BY a_id, b_id""",
 

@@ -90,11 +90,13 @@ object StreamingOps {
 
   /** Columns that are never envelope payload: multi-table routing, the
     * epoch partition column parquet discovery adds when reading a state
-    * dir, wave bookkeeping, and the conventional transaction-id column
-    * name ("txn" — a txn-gated pass drops its configured column itself;
-    * this entry additionally keeps a txn-carrying log from leaking
-    * bookkeeping into served state when gating is off). */
-  private val nonEnvelopeCols = Set("table", "epoch", "wavep", "txn")
+    * dir, and wave bookkeeping. The transaction-id column is NOT in this
+    * set: a txn-gated pass drops its CONFIGURED column itself (whatever
+    * its name), so state dirs never carry it — while a non-gated pass
+    * has no way to know a column is transaction bookkeeping and treats
+    * every extra column as evolved payload (a genuinely evolved column
+    * that happens to be named "txn" therefore serves correctly). */
+  private val nonEnvelopeCols = Set("table", "epoch", "wavep")
 
   /** Mid-stream DDL support: any column beyond the core envelope (and
     * the bookkeeping set above) is an EVOLVED envelope column — it rides
@@ -564,15 +566,24 @@ object StreamingOps {
   }
 
   private def writePurgeFloor(state: String, v: Long): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
     val tmp = new java.io.File(state, "_purge_floor.tmp")
-    java.nio.file.Files.write(tmp.toPath,
+    Files.write(tmp.toPath,
       v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     require(tmp.renameTo(new java.io.File(state, "_purge_floor")) || {
       // POSIX rename-over-existing can legally fail on some filesystems;
-      // fall back to an explicit replace
-      java.nio.file.Files.move(tmp.toPath,
-        new java.io.File(state, "_purge_floor").toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // the replace must stay ATOMIC — a plain move may degrade to
+      // copy+delete, and a concurrent reader in that window would see a
+      // missing/partial floor (the resurrection gate silently off). Only
+      // if the filesystem genuinely cannot move atomically do we accept
+      // the non-atomic replace, explicitly.
+      val dst = new java.io.File(state, "_purge_floor").toPath
+      try Files.move(tmp.toPath, dst, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          Files.move(tmp.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+      }
       true
     }, s"cannot publish purge floor under $state")
   }

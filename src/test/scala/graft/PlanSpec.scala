@@ -176,6 +176,31 @@ class PlanSpec extends SparkTestBase {
       s"funnel chain lost its user_id equi conjunct:\n$plan")
   }
 
+  test("ngram-jaccard index is df-capped before pair generation") {
+    // The skew guard for L2c: the inverted index is semi-joined against
+    // the rare-gram set (count per gram <= 100) BEFORE the self-join, so
+    // no hot shingle can fan a key out quadratically. The cap filter and
+    // the semi-join must both be in the physical plan, and candidate
+    // generation must stay an equi-join (never a cartesian).
+    val plan = physical("llm_dedup_ngram_jaccard")
+    assert("""dfc#\d+L? <= 100""".r.findFirstIn(plan).isDefined,
+      s"df cap filter missing from the index path:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"index not gated through the rare-gram semi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in ngram-jaccard:\n$plan")
+  }
+
+  test("substring-dedup fingerprints are df-capped before the self-join") {
+    // L2h's guard, same contract: boilerplate fingerprints (df > 100)
+    // never reach pair generation.
+    val plan = physical("llm_dedup_substring")
+    assert("""dfc#\d+L? <= 100""".r.findFirstIn(plan).isDefined,
+      s"df cap filter missing from the fingerprint path:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in substring dedup:\n$plan")
+  }
+
   test("aggregation is partial (map-side) before the shuffle") {
     val plan = physical("agg_hash_groupby")
     assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
