@@ -100,16 +100,29 @@ object Replication {
     * `stateDirs` maps each replicated table to its own state dir (tables
     * absent from the map are skipped — the TableFilter analogue);
     * compaction runs independently per table. Returns per-table
-    * [[SyncProgress]] (tables that saw no rows report zeros). */
+    * [[SyncProgress]] (tables that saw no rows report zeros).
+    *
+    * `txnCol` enables transaction-boundary apply across the WHOLE
+    * topology (the GTID case: one binlog transaction touching N tables):
+    * no table applies any slice of a transaction until its single
+    * `op = "C"` commit marker arrives — then every touched table applies
+    * its slice in the same epoch, so no per-table read ever observes a
+    * half-applied transaction. The named column is consumed as
+    * bookkeeping; the uncommitted tail lives with the checkpoint
+    * (`ckptDir/_pending`) because both share one lifecycle. */
   def incrementalSyncMulti(spark: SparkSession, schema: StructType,
       inDir: String, ckptDir: String, stateDirs: Map[String, String],
       compactEvery: Int = 16,
+      txnCol: Option[String] = None,
       tombstoneGc: Option[Int] = None): Map[String, SyncProgress] = {
     val stats = streaming.StreamingOps.runCdcPassMulti(
-      spark, schema, inDir, ckptDir, stateDirs)
+      spark, schema, inDir, ckptDir, stateDirs, txnCol)
     stateDirs.map { case (t, dir) =>
       if (deltaCount(dir) > compactEvery)
-        streaming.StreamingOps.compactState(spark, dir, tombstoneGc)
+        streaming.StreamingOps.compactState(spark, dir, tombstoneGc,
+          // the topology-level pending tail, not the (absent) per-table
+          // one, must hold down each table's purge floor
+          pendingRoot = if (txnCol.isDefined) Some(ckptDir) else None)
       t -> stats.get(t)
         .map { case (rows, epochs, mx) => SyncProgress(rows, epochs, Some(mx)) }
         .getOrElse(SyncProgress(0L, 0L, None))

@@ -371,11 +371,32 @@ object StreamingOps {
     * compaction and read-time collapse reuse
     * [[compactState]]/[[readLatestState]] unchanged.
     *
-    * Returns per-table (rowsApplied, epochsWritten, maxSeq). */
+    * `txnCol` turns on TRANSACTION-BOUNDARY apply across the whole
+    * topology — the one-binlog→N-tables GTID case: a transaction's
+    * events may span several tables, its `op = "C"` commit marker is a
+    * single topology-level row, and NO table applies ANY of the txn's
+    * events until the marker arrives — then every touched table applies
+    * its slice in the SAME epoch. A per-table reader can never observe a
+    * transaction's partial effect on that table (the epoch rename is
+    * atomic), and a cross-table reader sees a committed transaction
+    * land in one batch — never one table a batch ahead of another. The
+    * uncommitted tail is ONE topology-level pending snapshot under
+    * `ckpt/_pending`: pending epochs are keyed by the checkpoint's batch
+    * ids, so co-locating them with the checkpoint keeps the two
+    * lifecycles inseparable (delete the checkpoint → epoch ids restart →
+    * the pending tail must reset with it). Replay mechanics are
+    * [[runCdcPass]]'s: a re-delivered epoch re-reads the same snapshot
+    * its crashed attempt read and recomputes the identical ready set.
+    *
+    * Returns per-table (rowsApplied, epochsWritten, maxSeq); under
+    * txn gating rowsApplied counts rows APPLIED to that table (an event
+    * consumed in epoch k but committed in epoch k+2 counts once, at
+    * apply time). */
   private[graft] def runCdcPassMulti(s: SparkSession,
       schema: org.apache.spark.sql.types.StructType,
       in: String, ckpt: String,
-      stateDirs: Map[String, String]): Map[String, (Long, Long, Long)] = {
+      stateDirs: Map[String, String],
+      txnCol: Option[String] = None): Map[String, (Long, Long, Long)] = {
     val acc = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
     val stage = graft.TmpDirs.create("graft_multistage")
     runFilePass(s, schema, in, ckpt) { (batch, epochId) =>
@@ -383,8 +404,31 @@ object StreamingOps {
       // write — persist so the file source is read once per trigger (see
       // runCdcPass's note on multi-action foreachBatch)
       batch.persist()
+      var txnFull = Option.empty[DataFrame] // txn path's extra pin
       try {
-        val present = batch.groupBy(col("table"))
+        val applied = txnCol match {
+          case None => batch
+          case Some(tc) =>
+            // one shared commit gate for the whole topology (the same
+            // ready/carry split as runCdcPass, pending rooted at ckpt)
+            val full = latestPendingBelow(ckpt, epochId)
+              .map(p => batch.unionByName(
+                s.read.parquet(p), allowMissingColumns = true))
+              .getOrElse(batch.toDF())
+              .persist()
+            txnFull = Some(full)
+            val committed = full.filter(col("op") === "C")
+              .select(col(tc).as("__ctxn")).distinct()
+            val events = full.filter(col("op") =!= "C")
+            val carry = events.join(broadcast(committed),
+              col(tc) === col("__ctxn"), "left_anti")
+            carry.write.mode("overwrite")
+              .parquet(s"$ckpt/_pending/epoch=$epochId")
+            prunePendingBelow(ckpt, epochId - 1)
+            events.join(broadcast(committed), col(tc) === col("__ctxn"),
+              "left_semi").drop(tc)
+        }
+        val present = applied.groupBy(col("table"))
           .agg(count(lit(1)).as("n"), max(col("seq")).as("mx")).collect()
           .filter(r => stateDirs.contains(r.getString(0)))
         if (present.nonEmpty) {
@@ -393,8 +437,8 @@ object StreamingOps {
           // evolved envelope columns (mid-stream DDL) ride through the
           // fan-out exactly as in the single-table pass
           val fields = Seq("op", "price", "status", "ts", "seq") ++
-            extraCols(batch)
-          batch.select((envelopeCols ++ extraCols(batch) :+ "table").map(col): _*)
+            extraCols(applied)
+          applied.select((envelopeCols ++ extraCols(applied) :+ "table").map(col): _*)
             .filter(col("table").isin(admitted: _*))
             .groupBy(col("table"), col("okey"))
             .agg(max_by(struct(fields.map(col): _*), col("seq")).as("l"))
@@ -417,7 +461,10 @@ object StreamingOps {
               math.max(mx, r.getLong(2)))
           }
         }
-      } finally { batch.unpersist(); () }
+      } finally {
+        txnFull.foreach(_.unpersist())
+        batch.unpersist(); ()
+      }
     }
     acc.toMap
   }
@@ -484,8 +531,15 @@ object StreamingOps {
     * after the baseline publishes and before old epochs are deleted —
     * between those instants the original tombstone rows still win their
     * keys by seq, so nothing resurrects even without the floor. */
+  /** `pendingRoot` points the purge-floor computation at the dir whose
+    * `_pending` subdir holds this state's uncommitted txn tail — the
+    * state dir itself for single-table passes (the default), the shared
+    * CHECKPOINT dir for multi-table topologies (one topology-level tail
+    * serves N state dirs; a per-table floor computed without it could
+    * rise above a still-pending event's seq and permanently gate it). */
   private[graft] def compactState(s: SparkSession, state: String,
-      tombstoneHorizon: Option[Int] = None): Unit = {
+      tombstoneHorizon: Option[Int] = None,
+      pendingRoot: Option[String] = None): Unit = {
     val dir = new java.io.File(state)
     def epochDirs(): Array[java.io.File] =
       Option(dir.listFiles()).getOrElse(Array.empty)
@@ -526,7 +580,8 @@ object StreamingOps {
       val newFloor: Option[Long] = if (tombstoneHorizon.isEmpty) None else {
         val m = gated.agg(max(col("seq"))).collect()(0)
         if (m.isNullAt(0)) None else {
-          val pendingMin = latestPendingBelow(state, Long.MaxValue)
+          val pendingMin = latestPendingBelow(pendingRoot.getOrElse(state),
+              Long.MaxValue)
             .flatMap { p =>
               val r = s.read.parquet(p).agg(min(col("seq"))).collect()(0)
               if (r.isNullAt(0)) None else Some(r.getLong(0))
@@ -793,6 +848,49 @@ object StreamingOps {
       runCdcPass(s, evLog.schema, in, s"$tmp/ckpt", s"$tmp/state",
         txnCol = Some("txn"))
       readLatestState(s, s"$tmp/state")
+    }),
+
+    // ST-TXN-MULTI: CROSS-TABLE transaction atomicity under the oracle
+    // gate — the real GTID topology: ONE binlog transaction touches BOTH
+    // destination tables (okey parity routes rows), its single commit
+    // marker is topology-level, and txn 2 STRADDLES the two micro-batches
+    // with its t_even slice arriving a full batch before its commit —
+    // so for one whole epoch the engine holds rows it has already seen
+    // for t_even while t_odd hasn't even received its slice. The served
+    // union must equal the latest-wins collapse over committed txns 1-2
+    // only, fanned out by the same parity mapping; the uncommitted
+    // delete wave (txn 3) is held back from BOTH tables.
+    "stream_txn_multi" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir).withColumn("table",
+        when(col("okey") % 2 === 0, "t_even").otherwise("t_odd"))
+      val events = log.withColumn("txn", col("seq"))
+      // one topology-level commit marker per txn (1 and 2); the marker's
+      // table value is a control-plane placeholder — markers are
+      // consumed by the gate, never fanned out
+      val markers = log.filter(col("seq") <= 2)
+        .groupBy(col("seq")).agg(min(col("ts")).as("ts"))
+        .select(lit("C").as("op"), col("seq"), col("ts"),
+          lit(-1L).as("okey"), lit(null).cast(DoubleType).as("price"),
+          lit(null).cast(StringType).as("status"), lit("_ctl").as("table"),
+          col("seq").as("txn"))
+      val evLog = events.unionByName(markers)
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      // wave 0: txn 1 + its commit + txn 2's t_even slice (no commit);
+      // wave 1: txn 2's t_odd slice + its commit + txn 3 (never commits)
+      val waveCol = when(col("seq") === 1, 0)
+        .when(col("seq") === 2 && col("op") =!= "C" && col("okey") % 2 === 0, 0)
+        .otherwise(1)
+      writeWaves(evLog, in, waveCol, 2, Seq(col("okey"), col("op")))
+      val dirs = Map("t_even" -> s"$tmp/state_even", "t_odd" -> s"$tmp/state_odd")
+      runCdcPassMulti(s, evLog.schema, in, s"$tmp/ckpt", dirs,
+        txnCol = Some("txn"))
+      dirs.toSeq.sortBy(_._1).map { case (t, d) =>
+        readLatestState(s, d).withColumn("tbl", lit(t))
+      }.reduce(_.unionByName(_))
+        .select(col("tbl"), col("okey"), col("op"), col("price"),
+          col("status"), col("ts"))
+        .orderBy(col("tbl"), col("okey"))
     }),
 
     // S-GC: tombstone GC under the oracle gate: after the 3-wave pass, a
@@ -1130,6 +1228,17 @@ object StreamingOps {
                        FROM cdc_log WHERE seq <= 2)
          SELECT okey, op, price, status, ts FROM ranked
          WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
+
+    // cross-table txn gate: committed txns (1-2) fan out by parity; the
+    // uncommitted wave never reaches either table
+    "stream_txn_multi" ->
+      s"""WITH cdc_log AS (${Tables.cdcLogSql}),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM cdc_log WHERE seq <= 2)
+         SELECT CASE WHEN okey % 2 = 0 THEN 't_even' ELSE 't_odd' END AS tbl,
+                okey, op, price, status, ts
+         FROM ranked WHERE rn = 1 AND op <> 'D'
+         ORDER BY tbl, okey""",
 
     "stream_cdc_multi_table" ->
       s"""WITH cdc_log AS (${Tables.cdcLogSql}),

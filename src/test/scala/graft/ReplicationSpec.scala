@@ -311,6 +311,81 @@ class ReplicationSpec extends SparkTestBase {
     assert(progress.map(_.epochs) == Seq(1L, 1L, 1L))
   }
 
+  test("cross-table txn: no table ever serves a slice of an uncommitted transaction") {
+    val base = tmp()
+    // okey parity routes rows to two destination tables; one binlog
+    // transaction (txn 20) SPANS both tables and STRADDLES the waves:
+    // its t_even slice arrives a full wave before its commit, its t_odd
+    // slice arrives with the commit. Txn 30 (a delete on t_even) never
+    // commits until wave 2.
+    def mt(evs: Seq[TxnEv]) = txnDf(evs).withColumn("table",
+      when(col("okey") % 2 === 0, "t_even").otherwise("t_odd"))
+    val waves = Seq(
+      Seq(TxnEv("I", 1, 2, 20.0, "O", 10), TxnEv("I", 2, 3, 30.0, "O", 10),
+        TxnEv("C", 3, -1, 0.0, null, 10), TxnEv("U", 4, 2, 21.0, "P", 20)),
+      Seq(TxnEv("U", 5, 3, 31.0, "P", 20), TxnEv("C", 6, -1, 0.0, null, 20),
+        TxnEv("D", 7, 2, 0.0, null, 30)),
+      Seq(TxnEv("C", 8, -1, 0.0, null, 30)))
+    val dirs = Map("t_even" -> s"$base/even", "t_odd" -> s"$base/odd")
+    val schema = mt(waves.head).schema
+    def served() = dirs.transform((_, d) => servedTxnState(d))
+    // the INVARIANT, per wave: each table's served state equals the
+    // committed-only replay restricted to that table's keys — an
+    // uncommitted txn's slice is invisible on EVERY table, even the one
+    // that already physically received it
+    def expect(w: Int) = {
+      val replay = committedReplay(waves.take(w + 1).flatten)
+      dirs.transform((t, _) => replay.filter { case (k, _) =>
+        (if (t == "t_even") k % 2 == 0 else k % 2 != 0) })
+    }
+    val progress = waves.zipWithIndex.map { case (wave, w) =>
+      graft.streaming.StreamingOps.writeWave(mt(wave), s"$base/in", w)
+      val p = Replication.incrementalSyncMulti(spark, schema, s"$base/in",
+        s"$base/ckpt", dirs, txnCol = Some("txn"))
+      assert(served() == expect(w), s"cross-table partial txn after wave $w")
+      p
+    }
+    // wave 0: only txn 10 applies (one row per table; txn 20's t_even
+    // slice is held). wave 1: txn 20 lands on BOTH tables in the same
+    // epoch. wave 2: txn 30's late commit flushes the delete to t_even.
+    assert(progress(0).map { case (t, p) => t -> (p.rowsApplied, p.lastSeq) } ==
+      Map("t_even" -> (1L, Some(1L)), "t_odd" -> (1L, Some(2L))))
+    assert(progress(1).map { case (t, p) => t -> (p.rowsApplied, p.lastSeq) } ==
+      Map("t_even" -> (1L, Some(4L)), "t_odd" -> (1L, Some(5L))))
+    assert(progress(2).map { case (t, p) => t -> (p.rowsApplied, p.lastSeq) } ==
+      Map("t_even" -> (1L, Some(7L)), "t_odd" -> (0L, None)))
+  }
+
+  test("multi-table txn + tombstone GC: topology pending holds each table's purge floor") {
+    val base = tmp()
+    // txn 10's event (seq 3, t_even) sits PENDING while t_even compacts
+    // with GC: the per-table floor must consult the TOPOLOGY-level
+    // pending tail (ckpt/_pending) and stop below seq 3 — a floor read
+    // from the (empty) per-table pending would rise to the folded max
+    // and permanently gate the late-committing event out
+    def mt(evs: Seq[TxnEv]) = txnDf(evs).withColumn("table",
+      when(col("okey") % 2 === 0, "t_even").otherwise("t_odd"))
+    val dirs = Map("t_even" -> s"$base/even", "t_odd" -> s"$base/odd")
+    val schema = mt(Seq(TxnEv("I", 1, 2, 1.0, "O", 1))).schema
+    def pass(): Unit = { Replication.incrementalSyncMulti(spark, schema,
+      s"$base/in", s"$base/ckpt", dirs, compactEvery = 1,
+      txnCol = Some("txn"), tombstoneGc = Some(0)); () }
+    graft.streaming.StreamingOps.writeWave(mt(Seq(
+      TxnEv("I", 1, 2, 20.0, "O", 20), TxnEv("C", 2, -1, 0.0, null, 20),
+      TxnEv("I", 3, 4, 40.0, "O", 10))), s"$base/in", 0)
+    graft.streaming.StreamingOps.writeWave(mt(Seq(
+      TxnEv("D", 4, 2, 0.0, null, 30), TxnEv("C", 5, -1, 0.0, null, 30))),
+      s"$base/in", 1)
+    pass() // two t_even deltas -> GC compaction fires, floor published
+    assert(servedTxnState(s"$base/even") == Map.empty)
+    graft.streaming.StreamingOps.writeWave(mt(Seq(
+      TxnEv("C", 6, -1, 0.0, null, 10))), s"$base/in", 2)
+    pass() // txn 10's late commit flushes the pending seq-3 insert
+    assert(servedTxnState(s"$base/even") == Map(4L -> ("I", 40.0)),
+      "late-committing event below the folded max was gated out by a floor " +
+        "computed without the topology pending tail")
+  }
+
   test("txn apply under random wave splits never serves a partial transaction") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
