@@ -39,17 +39,21 @@ object Replication {
     * rows applied, epoch deltas written, and the newest sequence number
     * applied BY THIS PASS — the binlog-position analogue; None when the
     * pass applied no rows). Single- and multi-table syncs report the same
-    * semantics. */
+    * semantics. `pendingRows` is the txn-gated uncommitted tail left
+    * after the pass (0 when gating is off): a value that grows pass
+    * over pass is the signature of an ABANDONED transaction — a client
+    * that died mid-txn and will never commit — pinning pending state;
+    * the operator's remediation is upstream (roll the source txn back),
+    * so the engine surfaces the number instead of guessing a timeout.
+    * In a multi-table sync the tail is topology-level (one binlog, one
+    * gate) and every table's row reports the same value. */
   final case class SyncProgress(rowsApplied: Long, epochs: Long,
-      lastSeq: Option[Long])
+      lastSeq: Option[Long], pendingRows: Long = 0L)
 
   // deltas only: negative epoch ids are compaction baselines, counting
   // them would re-trigger a full rewrite one delta early forever after
   private def deltaCount(stateDir: String): Int =
-    Option(new java.io.File(stateDir).listFiles())
-      .getOrElse(Array.empty)
-      .count(f => f.isDirectory && f.getName.startsWith("epoch=") &&
-        !f.getName.startsWith("epoch=-"))
+    streaming.StateFs.epochIds(stateDir).count(_ >= 0)
 
   /** Incremental sync (`--increment`): tail the ordered change-event log
     * under `inDir` as a stream and apply per-epoch latest-wins deltas to
@@ -85,12 +89,12 @@ object Replication {
       ckptDir: String, stateDir: String, compactEvery: Int = 16,
       fromSeq: Option[Long] = None, txnCol: Option[String] = None,
       tombstoneGc: Option[Int] = None): SyncProgress = {
-    val (rows, epochs, lastSeq) = streaming.StreamingOps.runCdcPass(
+    val (rows, epochs, lastSeq, pending) = streaming.StreamingOps.runCdcPass(
       spark, schema, inDir, ckptDir, stateDir, trackSeq = true,
       startAfterSeq = fromSeq, txnCol = txnCol)
     if (deltaCount(stateDir) > compactEvery)
       streaming.StreamingOps.compactState(spark, stateDir, tombstoneGc)
-    SyncProgress(rows, epochs, lastSeq)
+    SyncProgress(rows, epochs, lastSeq, pending)
   }
 
   /** Multi-table incremental sync (SURVEY §3.1 #2): ONE change stream
@@ -115,7 +119,7 @@ object Replication {
       compactEvery: Int = 16,
       txnCol: Option[String] = None,
       tombstoneGc: Option[Int] = None): Map[String, SyncProgress] = {
-    val stats = streaming.StreamingOps.runCdcPassMulti(
+    val (stats, pending) = streaming.StreamingOps.runCdcPassMulti(
       spark, schema, inDir, ckptDir, stateDirs, txnCol)
     stateDirs.map { case (t, dir) =>
       if (deltaCount(dir) > compactEvery)
@@ -124,8 +128,9 @@ object Replication {
           // one, must hold down each table's purge floor
           pendingRoot = if (txnCol.isDefined) Some(ckptDir) else None)
       t -> stats.get(t)
-        .map { case (rows, epochs, mx) => SyncProgress(rows, epochs, Some(mx)) }
-        .getOrElse(SyncProgress(0L, 0L, None))
+        .map { case (rows, epochs, mx) =>
+          SyncProgress(rows, epochs, Some(mx), pending) }
+        .getOrElse(SyncProgress(0L, 0L, None, pending))
     }
   }
 

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, FileUtil, Options, Path}
+
+/** The streaming state layer's ONLY filesystem surface. Every piece of
+  * state bookkeeping — `_pending` txn-tail discovery, `_purge_floor`
+  * publication, compaction baseline renames, multi-table staging moves —
+  * goes through the Hadoop `FileSystem`/`FileContext` API, so a state
+  * dir can live on HDFS/S3A/GCS exactly as it does on the local
+  * filesystem the harness tests against (a 100 TB state dir is never
+  * local). `java.io.File` is banned from state paths; it survives only
+  * in the HARNESS wave-writer (mtime stamping to order a local
+  * FileStreamSource's input — test scaffolding, inherently local).
+  *
+  * Rename semantics: [[moveDir]] is a metadata move when source and
+  * destination share a filesystem and degrades to copy+delete across
+  * filesystems (the staging dir is co-located with the checkpoint
+  * precisely so the production path never degrades). [[writeAtomic]]
+  * publishes small control files via `FileContext.rename(OVERWRITE)` —
+  * atomic on HDFS and local POSIX, so a concurrent reader sees either
+  * the old or the new content, never a missing or partial file.
+  */
+private[graft] object StateFs {
+
+  private def conf: Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  private def fs(p: Path): FileSystem = p.getFileSystem(conf)
+
+  /** Ids of `epoch=<id>` child directories under `root` (empty when the
+    * dir does not exist — state dirs appear lazily with the first
+    * delta). */
+  def epochIds(root: String): Seq[Long] = {
+    val p = new Path(root)
+    val f = fs(p)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
+      .map(_.getPath.getName.stripPrefix("epoch=").toLong)
+  }
+
+  def exists(path: String): Boolean = {
+    val p = new Path(path)
+    fs(p).exists(p)
+  }
+
+  /** Recursive delete; absent paths are a no-op (idempotent cleanup). */
+  def deleteRecursive(path: String): Unit = {
+    val p = new Path(path)
+    fs(p).delete(p, true); ()
+  }
+
+  def mkdirs(path: String): Unit = {
+    val p = new Path(path)
+    fs(p).mkdirs(p); ()
+  }
+
+  /** Move a directory into place: a metadata rename on one filesystem,
+    * copy + delete-source across filesystems. The destination must not
+    * exist (callers delete a prior replay attempt first). */
+  def moveDir(src: String, dst: String): Unit = {
+    val sp = new Path(src)
+    val dp = new Path(dst)
+    val sfs = fs(sp)
+    val dfs = fs(dp)
+    require(sfs.exists(sp), s"staged dir missing: $src")
+    Option(dp.getParent).foreach(dfs.mkdirs(_))
+    val renamed = (sfs.getUri == dfs.getUri) && sfs.rename(sp, dp)
+    if (!renamed)
+      require(FileUtil.copy(sfs, sp, dfs, dp, true, conf),
+        s"cannot move $src -> $dst")
+  }
+
+  /** Contents of a small control file, None when absent. */
+  def readSmall(path: String): Option[String] = {
+    val p = new Path(path)
+    val f = fs(p)
+    if (!f.exists(p)) None
+    else {
+      val len = f.getFileStatus(p).getLen.toInt
+      val bytes = new Array[Byte](len)
+      val in = f.open(p)
+      try in.readFully(0, bytes) finally in.close()
+      Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
+  /** Atomically publish a small control file: write `<path>.tmp`, then
+    * `FileContext.rename(OVERWRITE)` it over the destination. */
+  def writeAtomic(path: String, content: String): Unit = {
+    val dst = new Path(path)
+    val tmp = new Path(path + ".tmp")
+    val f = fs(dst)
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // resolve the FileContext through the FileSystem's URI (a schemeless
+    // local path has no URI authority of its own)
+    FileContext.getFileContext(f.getUri, conf)
+      .rename(tmp, dst, Options.Rename.OVERWRITE)
+  }
+}

@@ -119,6 +119,81 @@ object StreamingOps {
       .select(col("okey") +: fields.map(f => col("l." + f).as(f)): _*)
   }
 
+  /** Raised at PASS START when a resumed stream's envelope declares a
+    * column under a type different from the state dir's published schema
+    * — the one DDL class the open-envelope design cannot absorb
+    * (ADD COLUMN unions in, DROP COLUMN serves NULL going forward, but a
+    * type change would corrupt every already-written epoch). Failing
+    * here, by name, beats the alternative: a mid-pass analysis exception
+    * from a half-applied batch. */
+  final class EnvelopeTypeChangeException(val column: String,
+      published: org.apache.spark.sql.types.DataType,
+      incoming: org.apache.spark.sql.types.DataType)
+    extends IllegalStateException(
+      s"envelope column '$column' changed type: state holds " +
+        s"${published.simpleString}, the stream now declares " +
+        s"${incoming.simpleString}; a type-changing DDL needs a full " +
+        "re-snapshot of this table (drop the state dir and re-sync)")
+
+  /** The state dir's PUBLISHED envelope schema (`_schema`, JSON):
+    * written when a pass first writes a delta, widened by the pass that
+    * first carries a DDL-evolved column, read by [[readLatestState]] and
+    * [[compactState]] in place of a mergeSchema footer sweep — at
+    * thousands of epochs, re-deriving the envelope from every file's
+    * footer on every read is O(files) metadata work for an answer the
+    * DDL pass already knew. Absent on pre-publication state dirs, where
+    * readers fall back to mergeSchema. */
+  private[graft] def readStateSchema(state: String)
+      : Option[org.apache.spark.sql.types.StructType] =
+    StateFs.readSmall(s"$state/_schema").map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** The state-side schema a pass with input envelope `input` writes:
+    * the collapse's column order, bookkeeping ([[nonEnvelopeCols]] and
+    * the configured txn column) excluded, everything nullable (an
+    * evolved column is NULL for every pre-DDL row). */
+  private def stateSchemaFor(input: org.apache.spark.sql.types.StructType,
+      drop: Set[String]): org.apache.spark.sql.types.StructType = {
+    val extras = input.fieldNames.toSeq
+      .filterNot(envelopeCols.contains).filterNot(nonEnvelopeCols)
+      .filterNot(drop)
+    org.apache.spark.sql.types.StructType(
+      (Seq("okey", "op", "price", "status", "ts", "seq") ++ extras)
+        .map(n => input(n).copy(nullable = true)))
+  }
+
+  /** Validate `incoming` against the published schema (type-change fails
+    * loudly, see [[EnvelopeTypeChangeException]]) and publish the union:
+    * new columns widen the published schema, columns the stream no
+    * longer carries STAY published (DROP COLUMN serves the old values
+    * for untouched keys and NULL for keys rewritten after the drop). */
+  private def ensureStateSchema(state: String,
+      incoming: org.apache.spark.sql.types.StructType): Unit =
+    readStateSchema(state) match {
+      case None => StateFs.writeAtomic(s"$state/_schema", incoming.json)
+      case Some(p) =>
+        incoming.fields.foreach { f =>
+          p.fields.find(_.name == f.name).foreach { pf =>
+            if (pf.dataType != f.dataType)
+              throw new EnvelopeTypeChangeException(f.name, pf.dataType, f.dataType)
+          }
+        }
+        val fresh = incoming.fields.filterNot(f => p.fieldNames.contains(f.name))
+        if (fresh.nonEmpty)
+          StateFs.writeAtomic(s"$state/_schema",
+            org.apache.spark.sql.types.StructType(p.fields ++ fresh).json)
+    }
+
+  /** Read a state dir through its published schema when one exists
+    * (pre-DDL epochs surface NULL for later columns exactly as
+    * mergeSchema gave them), footer-merge only as the legacy fallback. */
+  private def readStateDir(s: SparkSession, state: String): DataFrame =
+    readStateSchema(state) match {
+      case Some(p) => s.read.schema(p).parquet(state)
+      case None => s.read.option("mergeSchema", "true").parquet(state)
+    }
+
   private def tmpDir(): String = graft.TmpDirs.create("graft_stream")
 
   private def memName(): String =
@@ -269,13 +344,23 @@ object StreamingOps {
     * crashed attempt's. Commit markers are consumed the batch they
     * arrive (their events are guaranteed present — in-batch or pending)
     * and are never applied as rows; the committed-id set per batch is a
-    * handful of ids, so both the ready- and carry-joins broadcast. */
+    * handful of ids, so both the ready- and carry-joins broadcast.
+    *
+    * Returns (rowsConsumed, epochsWritten, maxAppliedSeq, pendingRows) —
+    * the last is the txn-gated pass's uncommitted tail size after the
+    * pass (0 when gating is off): the operational signal for an
+    * ABANDONED transaction pinning pending state forever. */
   private[graft] def runCdcPass(s: SparkSession,
       schema: org.apache.spark.sql.types.StructType,
       in: String, ckpt: String, state: String,
       trackSeq: Boolean = false,
       startAfterSeq: Option[Long] = None,
-      txnCol: Option[String] = None): (Long, Long, Option[Long]) = {
+      txnCol: Option[String] = None): (Long, Long, Option[Long], Long) = {
+    // the type-change guardrail fires BEFORE the stream starts: the r8
+    // open-envelope design absorbs ADD (union) and DROP (NULL forward),
+    // but a changed type must fail by name, not as a mid-pass analysis
+    // error after some batches already applied
+    ensureStateSchema(state, stateSchemaFor(schema, txnCol.toSet))
     var maxSeq = Option.empty[Long]
     var written = 0L
     // a batch consumed by >1 action must be pinned (see the note above);
@@ -326,29 +411,32 @@ object StreamingOps {
         if (multiAction) { batch.unpersist(); () }
       }
     }
-    (rows, written, maxSeq)
+    (rows, written, maxSeq, pendingCount(s, state, txnCol))
   }
+
+  /** Size of the uncommitted pending tail after a txn-gated pass (one
+    * count over the newest — tiny — snapshot; never the state itself).
+    * 0 when gating is off or nothing is pending. */
+  private def pendingCount(s: SparkSession, root: String,
+      txnCol: Option[String]): Long =
+    if (txnCol.isEmpty) 0L
+    else latestPendingBelow(root, Long.MaxValue)
+      .map(p => s.read.parquet(p).count()).getOrElse(0L)
 
   /** Newest pending-tail snapshot strictly below `epochId` (txn-gated
     * passes only; see [[runCdcPass]]). */
-  private def latestPendingBelow(state: String, epochId: Long): Option[String] = {
-    val d = new java.io.File(state, "_pending")
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
-      .map(_.getName.stripPrefix("epoch=").toLong)
+  private def latestPendingBelow(state: String, epochId: Long): Option[String] =
+    StateFs.epochIds(s"$state/_pending")
       .filter(_ < epochId).sorted.lastOption
       .map(e => s"$state/_pending/epoch=$e")
-  }
 
   /** Drop pending snapshots below `keepFrom` — a replay can only be of
     * the newest uncommitted epoch, which reads the snapshot one below
     * it; everything older is dead. */
   private def prunePendingBelow(state: String, keepFrom: Long): Unit =
-    Option(new java.io.File(state, "_pending").listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("epoch=") &&
-        f.getName.stripPrefix("epoch=").toLong < keepFrom)
-      .foreach(graft.TmpDirs.rmr)
+    StateFs.epochIds(s"$state/_pending")
+      .filter(_ < keepFrom)
+      .foreach(e => StateFs.deleteRecursive(s"$state/_pending/epoch=$e"))
 
   /** Multi-table variant of [[runCdcPass]] (SURVEY §3.1 #2): ONE ordered
     * change stream whose envelope carries a `table` column fans out to
@@ -388,17 +476,28 @@ object StreamingOps {
     * [[runCdcPass]]'s: a re-delivered epoch re-reads the same snapshot
     * its crashed attempt read and recomputes the identical ready set.
     *
-    * Returns per-table (rowsApplied, epochsWritten, maxSeq); under
-    * txn gating rowsApplied counts rows APPLIED to that table (an event
-    * consumed in epoch k but committed in epoch k+2 counts once, at
-    * apply time). */
+    * Returns (per-table (rowsApplied, epochsWritten, maxSeq),
+    * pendingRows): under txn gating rowsApplied counts rows APPLIED to
+    * that table (an event consumed in epoch k but committed in epoch k+2
+    * counts once, at apply time), and pendingRows is the TOPOLOGY-level
+    * uncommitted tail after the pass. */
   private[graft] def runCdcPassMulti(s: SparkSession,
       schema: org.apache.spark.sql.types.StructType,
       in: String, ckpt: String,
       stateDirs: Map[String, String],
-      txnCol: Option[String] = None): Map[String, (Long, Long, Long)] = {
+      txnCol: Option[String] = None)
+      : (Map[String, (Long, Long, Long)], Long) = {
+    // every table's state dir shares one envelope schema (one binlog,
+    // one fan-out) — validate/publish each before the stream starts
+    val stateSchema = stateSchemaFor(schema, txnCol.toSet)
+    stateDirs.values.foreach(ensureStateSchema(_, stateSchema))
     val acc = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
-    val stage = graft.TmpDirs.create("graft_multistage")
+    // staging lives WITH the checkpoint, not in a local tmp dir: the
+    // ckpt and the state dirs share a durable filesystem in production,
+    // so every staged `table=` subdir renames into its state dir as a
+    // metadata move — staging on local disk would force a copy per
+    // table per epoch
+    val stage = s"$ckpt/_staging"
     runFilePass(s, schema, in, ckpt) { (batch, epochId) =>
       // the batch is consumed by the discovery aggregate plus the staged
       // write — persist so the file source is read once per trigger (see
@@ -447,51 +546,28 @@ object StreamingOps {
             .write.mode("overwrite").partitionBy("table").parquet(epochStage)
           present.foreach { r =>
             val t = r.getString(0)
-            val dest = new java.io.File(s"${stateDirs(t)}/epoch=$epochId")
-            graft.TmpDirs.rmr(dest) // idempotent replay: clear prior attempt
-            dest.getParentFile.mkdirs()
+            val dest = s"${stateDirs(t)}/epoch=$epochId"
+            StateFs.deleteRecursive(dest) // idempotent replay: clear prior attempt
             // the writer percent-escapes special chars in partition dir
             // names — look the staged dir up under the ESCAPED name
-            val src = new java.io.File(s"$epochStage/table=" +
+            val src = s"$epochStage/table=" +
               org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-                .escapePathName(t))
-            moveDir(src, dest)
+                .escapePathName(t)
+            StateFs.moveDir(src, dest)
             val (rows, epochs, mx) = acc.getOrElse(t, (0L, 0L, Long.MinValue))
             acc(t) = (rows + r.getLong(1), epochs + 1L,
               math.max(mx, r.getLong(2)))
           }
+          // the moves emptied the epoch's stage of everything but
+          // write-job metadata (_SUCCESS); drop it
+          StateFs.deleteRecursive(epochStage)
         }
       } finally {
         txnFull.foreach(_.unpersist())
         batch.unpersist(); ()
       }
     }
-    acc.toMap
-  }
-
-  /** Move a directory into place: renameTo first (atomic, same-device),
-    * recursive copy + delete-source fallback when the staging tmpdir and
-    * the destination state dir sit on different filesystems (renameTo
-    * returns false across devices — tmpfs /tmp vs a disk mount is the
-    * common case). */
-  private def moveDir(src: java.io.File, dest: java.io.File): Unit = {
-    require(src.isDirectory, s"staged dir missing: $src")
-    if (!src.renameTo(dest)) {
-      import java.nio.file.{Files, StandardCopyOption}
-      val sp = src.toPath
-      val walk = Files.walk(sp)
-      try {
-        walk.sorted().forEach { p =>
-          val t = dest.toPath.resolve(sp.relativize(p).toString)
-          if (Files.isDirectory(p)) { Files.createDirectories(t); () }
-          else {
-            Files.createDirectories(t.getParent)
-            Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING); ()
-          }
-        }
-      } finally walk.close()
-      graft.TmpDirs.rmr(src)
-    }
+    (acc.toMap, pendingCount(s, ckpt, txnCol))
   }
 
   /** Compact all existing `epoch=` delta dirs into ONE baseline epoch
@@ -540,24 +616,20 @@ object StreamingOps {
   private[graft] def compactState(s: SparkSession, state: String,
       tombstoneHorizon: Option[Int] = None,
       pendingRoot: Option[String] = None): Unit = {
-    val dir = new java.io.File(state)
-    def epochDirs(): Array[java.io.File] =
-      Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
-    val old = epochDirs()
-    if (old.length <= 1) return
-    val epochIds = old.map(_.getName.stripPrefix("epoch=").toLong)
+    val epochIds = StateFs.epochIds(state)
+    if (epochIds.length <= 1) return
     // unique NEGATIVE id, strictly below every existing epoch (including
     // prior baselines): monotonic by construction, so two back-to-back
     // compactions can never collide — a wall-clock id could (same-ms runs,
     // clock step-back onto an existing baseline)
     val baseEpoch = math.min(-1L, epochIds.min - 1L)
-    val side = new java.io.File(dir, "_compacting")
-    import graft.TmpDirs.rmr
+    val side = s"$state/_compacting"
     try {
-      // mergeSchema: epochs written before and after a mid-stream DDL
-      // carry different envelope widths; pre-DDL rows surface NULL
-      val raw = s.read.option("mergeSchema", "true").parquet(state)
+      // published-schema read (one control file), mergeSchema only as
+      // the pre-publication fallback: epochs written before and after a
+      // mid-stream DDL carry different envelope widths; pre-DDL rows
+      // surface NULL either way
+      val raw = readStateDir(s, state)
       val gated = readPurgeFloor(state) match {
         case Some(f) => raw.filter(col("epoch") < 0 || col("seq") > f)
         case None => raw
@@ -599,49 +671,32 @@ object StreamingOps {
             col("seq") <= f))
         case _ => coll
       }
-      kept.drop("epoch")
-        .write.mode("overwrite").parquet(s"$side/epoch=$baseEpoch")
-      require(new java.io.File(side, s"epoch=$baseEpoch")
-        .renameTo(new java.io.File(dir, s"epoch=$baseEpoch")),
-        s"compaction could not publish baseline epoch=$baseEpoch under $state")
+      val baseline = kept.drop("epoch")
+      baseline.write.mode("overwrite").parquet(s"$side/epoch=$baseEpoch")
+      StateFs.moveDir(s"$side/epoch=$baseEpoch", s"$state/epoch=$baseEpoch")
+      // a pre-publication state dir (no pass has written _schema yet)
+      // gets one from the compaction — the footer sweep this run already
+      // paid is the last one any reader needs
+      if (readStateSchema(state).isEmpty)
+        StateFs.writeAtomic(s"$state/_schema", baseline.schema.json)
       newFloor.foreach(writePurgeFloor(state, _))
-      old.foreach(rmr) // every old dir is folded into the published baseline
-    } finally rmr(side) // never leave a stale _compacting dir behind
+      // every old dir is folded into the published baseline
+      epochIds.foreach(e => StateFs.deleteRecursive(s"$state/epoch=$e"))
+    } finally StateFs.deleteRecursive(side) // never leave a stale _compacting dir
   }
 
   /** The purge floor published by a tombstone-GC'ing compaction (see
     * [[compactState]]); absent until one has run. Underscore-prefixed,
     * so parquet reads of the state dir never see it. */
-  private[graft] def readPurgeFloor(state: String): Option[Long] = {
-    val f = new java.io.File(state, "_purge_floor")
-    if (f.exists())
-      Some(new String(java.nio.file.Files.readAllBytes(f.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-    else None
-  }
+  private[graft] def readPurgeFloor(state: String): Option[Long] =
+    StateFs.readSmall(s"$state/_purge_floor").map(_.trim.toLong)
 
-  private def writePurgeFloor(state: String, v: Long): Unit = {
-    import java.nio.file.{Files, StandardCopyOption}
-    val tmp = new java.io.File(state, "_purge_floor.tmp")
-    Files.write(tmp.toPath,
-      v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    require(tmp.renameTo(new java.io.File(state, "_purge_floor")) || {
-      // POSIX rename-over-existing can legally fail on some filesystems;
-      // the replace must stay ATOMIC — a plain move may degrade to
-      // copy+delete, and a concurrent reader in that window would see a
-      // missing/partial floor (the resurrection gate silently off). Only
-      // if the filesystem genuinely cannot move atomically do we accept
-      // the non-atomic replace, explicitly.
-      val dst = new java.io.File(state, "_purge_floor").toPath
-      try Files.move(tmp.toPath, dst, StandardCopyOption.REPLACE_EXISTING,
-        StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.AtomicMoveNotSupportedException =>
-          Files.move(tmp.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
-      }
-      true
-    }, s"cannot publish purge floor under $state")
-  }
+  /** Atomic overwrite-publish (write-tmp + FileContext OVERWRITE rename,
+    * see [[StateFs.writeAtomic]]): a concurrent reader sees the old or
+    * the new floor, never a missing/partial one — a vanished floor would
+    * silently disable the resurrection gate. */
+  private def writePurgeFloor(state: String, v: Long): Unit =
+    StateFs.writeAtomic(s"$state/_purge_floor", v.toString)
 
   /** One streaming pass maintaining an incremental MATERIALIZED VIEW of
     * partial aggregate states (the AggregatingMergeTree analogue): each
@@ -684,14 +739,15 @@ object StreamingOps {
 
   /** Read-time collapse of all epoch deltas into the latest state (A8
     * semantics; seq is globally monotone per key, so max_by(seq) across
-    * epochs is total), tombstones dropped. mergeSchema lets pre- and
-    * post-DDL epochs coexist (pre-DDL rows surface NULL for evolved
-    * columns, which then ride through to the served state); when a
-    * tombstone-GC'ing compaction has published a purge floor, re-delivered
-    * already-folded epochs (non-baseline, seq at or below the floor) are
-    * ignored so purged deletes cannot resurrect. */
+    * epochs is total), tombstones dropped. The published `_schema` (or
+    * the mergeSchema fallback) lets pre- and post-DDL epochs coexist
+    * (pre-DDL rows surface NULL for evolved columns, which then ride
+    * through to the served state); when a tombstone-GC'ing compaction
+    * has published a purge floor, re-delivered already-folded epochs
+    * (non-baseline, seq at or below the floor) are ignored so purged
+    * deletes cannot resurrect. */
   private[graft] def readLatestState(s: SparkSession, state: String): DataFrame = {
-    val raw = s.read.option("mergeSchema", "true").parquet(state)
+    val raw = readStateDir(s, state)
     val gated = readPurgeFloor(state) match {
       case Some(f) => raw.filter(col("epoch") < 0 || col("seq") > f)
       case None => raw

@@ -311,6 +311,79 @@ class ReplicationSpec extends SparkTestBase {
     assert(progress.map(_.epochs) == Seq(1L, 1L, 1L))
   }
 
+  test("DDL guardrail: an envelope type change is rejected by name at pass start") {
+    val base = tmp()
+    // pass 1 publishes the state schema with channel: STRING
+    val v1 = txnDf(Seq(TxnEv("I", 1, 1, 10.0, "O", 0))).drop("txn")
+      .withColumn("channel", lit("a"))
+    graft.streaming.StreamingOps.writeWave(v1, s"$base/in", 0)
+    Replication.incrementalSync(spark, v1.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state")
+    // the resumed stream declares channel: INT — the one DDL class the
+    // open envelope cannot absorb; it must fail before any batch applies
+    val v2 = txnDf(Seq(TxnEv("U", 2, 1, 11.0, "P", 0))).drop("txn")
+      .withColumn("channel", lit(7))
+    graft.streaming.StreamingOps.writeWave(v2, s"$base/in", 1)
+    val e = intercept[graft.streaming.StreamingOps.EnvelopeTypeChangeException] {
+      Replication.incrementalSync(spark, v2.schema, s"$base/in",
+        s"$base/ckpt", s"$base/state")
+    }
+    assert(e.column == "channel" && e.getMessage.contains("channel"))
+    // nothing applied: the guardrail fired before the stream started
+    assert(servedTxnState(s"$base/state") == Map(1L -> ("I", 10.0)))
+  }
+
+  test("DDL DROP COLUMN: dropped column serves NULL forward, old values for untouched keys") {
+    val base = tmp()
+    val v1 = txnDf(Seq(TxnEv("I", 1, 1, 10.0, "O", 0),
+      TxnEv("I", 2, 2, 20.0, "O", 0))).drop("txn")
+      .withColumn("channel", concat(lit("ch"), col("okey")))
+    graft.streaming.StreamingOps.writeWave(v1, s"$base/in", 0)
+    Replication.incrementalSync(spark, v1.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state")
+    // DDL drops channel; the resumed pass rewrites okey=2 only
+    val v2 = txnDf(Seq(TxnEv("U", 3, 2, 21.0, "P", 0))).drop("txn")
+    graft.streaming.StreamingOps.writeWave(v2, s"$base/in", 1)
+    Replication.incrementalSync(spark, v2.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state")
+    // the published schema RETAINS the dropped column (it still has
+    // history to serve), so reads need no footer sweep
+    val published = graft.streaming.StreamingOps.readStateSchema(s"$base/state")
+    assert(published.exists(_.fieldNames.contains("channel")))
+    val served = Replication.appliedState(spark, s"$base/state")
+      .select(col("okey"), col("price"), col("channel")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSet
+    assert(served == Set((1L, 10.0, "ch1"), (2L, 21.0, null)),
+      "post-drop rewrite must serve NULL; untouched keys keep their value")
+  }
+
+  test("abandoned transaction: the pending tail is visible in SyncProgress") {
+    val base = tmp()
+    // txn 10 commits; txn 99's client died mid-transaction — its two
+    // events can never commit and sit in the pending tail forever
+    graft.streaming.StreamingOps.writeWave(txnDf(Seq(
+      TxnEv("I", 1, 1, 10.0, "O", 10), TxnEv("C", 2, -1, 0.0, null, 10),
+      TxnEv("U", 3, 1, 11.0, "P", 99), TxnEv("I", 4, 2, 20.0, "O", 99))),
+      s"$base/in", 0)
+    val p1 = Replication.incrementalSync(spark, txnDf(Seq(
+      TxnEv("I", 1, 1, 1.0, "O", 1))).schema, s"$base/in", s"$base/ckpt",
+      s"$base/state", txnCol = Some("txn"))
+    assert(p1.pendingRows == 2L, "held txn rows must surface in progress")
+    // a later healthy pass: txn 11 commits, the abandoned tail persists —
+    // a pendingRows that never drains is the operator's abandoned-txn
+    // signal
+    graft.streaming.StreamingOps.writeWave(txnDf(Seq(
+      TxnEv("I", 5, 3, 30.0, "O", 11), TxnEv("C", 6, -1, 0.0, null, 11))),
+      s"$base/in", 1)
+    val p2 = Replication.incrementalSync(spark, txnDf(Seq(
+      TxnEv("I", 1, 1, 1.0, "O", 1))).schema, s"$base/in", s"$base/ckpt",
+      s"$base/state", txnCol = Some("txn"))
+    assert(p2.pendingRows == 2L)
+    assert(servedTxnState(s"$base/state") ==
+      Map(1L -> ("I", 10.0), 3L -> ("I", 30.0)))
+  }
+
   test("cross-table txn: no table ever serves a slice of an uncommitted transaction") {
     val base = tmp()
     // okey parity routes rows to two destination tables; one binlog
@@ -354,6 +427,9 @@ class ReplicationSpec extends SparkTestBase {
       Map("t_even" -> (1L, Some(4L)), "t_odd" -> (1L, Some(5L))))
     assert(progress(2).map { case (t, p) => t -> (p.rowsApplied, p.lastSeq) } ==
       Map("t_even" -> (1L, Some(7L)), "t_odd" -> (0L, None)))
+    // the topology-level pending tail drains as commits arrive: txn 20's
+    // held slice after wave 0, txn 30's delete after wave 1, empty at end
+    assert(progress.map(_("t_even").pendingRows) == Seq(1L, 1L, 0L))
   }
 
   test("multi-table txn + tombstone GC: topology pending holds each table's purge floor") {
