@@ -186,9 +186,14 @@ object Replication {
     * both directions, and an order-independent value checksum over the
     * shared columns. A destination that lost or gained whole columns is
     * inconsistent even when every shared value matches — silently
-    * narrowing to the intersection would green-light schema drift. Every
-    * probe is a distributed aggregate/anti-join — nothing row-wise ever
-    * reaches the driver, so the check runs at full table scale. */
+    * narrowing to the intersection would green-light schema drift.
+    *
+    * Scan economy at 100 TB: each side is scanned exactly TWICE — one
+    * fused aggregate (count + both checksum folds in a single pass; the
+    * naive form pays a scan per probe) and one shared key scan into a
+    * single full-outer key join that yields BOTH diff directions at
+    * once (two `except`s would be two full joins). Nothing row-wise
+    * ever reaches the driver. */
   def consistencyCheck(src: DataFrame, dst: DataFrame,
       key: String): ConsistencyReport = {
     val common = src.columns.intersect(dst.columns).sorted.toSeq
@@ -199,21 +204,40 @@ object Replication {
     // xor of 64-bit row hashes simultaneously. The sum is carried in
     // DECIMAL(38,0) because Spark 4's ANSI mode raises on BIGINT
     // overflow, which a sum of xxhash64 values reaches almost surely.
-    def checksum(df: DataFrame): (BigDecimal, Long) = {
+    def stats(df: DataFrame): (Long, BigDecimal, Long) = {
       val r = df.select(xxhash64(common.map(col): _*).as("h"))
-        .agg(sum(col("h").cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+        .agg(count(lit(1)),
+          sum(col("h").cast(org.apache.spark.sql.types.DecimalType(38, 0))),
           expr("bit_xor(h)")).collect()(0)
-      (if (r.isNullAt(0)) BigDecimal(0) else BigDecimal(r.getDecimal(0)),
-        if (r.isNullAt(1)) 0L else r.getLong(1))
+      (r.getLong(0),
+        if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
     }
+    // disjoint schemas: no shared column to hash — counts still compare
+    val (nSrc, srcSum, srcXor) =
+      if (common.isEmpty) (src.count(), BigDecimal(0), 0L)
+      else stats(src.select(common.map(col): _*))
+    val (nDst, dstSum, dstXor) =
+      if (common.isEmpty) (dst.count(), BigDecimal(0), 0L)
+      else stats(dst.select(common.map(col): _*))
+    // both diff directions from ONE distinct-key full-outer join. The
+    // presence MARKERS (not key nullness) decide absence, and the join
+    // is null-safe — `except` set-semantics treats a NULL key present
+    // on both sides as matched, and so must this
+    val diff = src.select(col(key).as("sk")).distinct()
+      .withColumn("sm", lit(true))
+      .join(dst.select(col(key).as("dk")).distinct()
+        .withColumn("dm", lit(true)),
+        col("sk") <=> col("dk"), "full_outer")
+      .agg(count(when(col("dm").isNull, 1)).as("missing"),
+        count(when(col("sm").isNull, 1)).as("extra")).collect()(0)
     ConsistencyReport(
-      nSrc = src.count(),
-      nDst = dst.count(),
-      missingInDst = src.select(col(key)).except(dst.select(col(key))).count(),
-      extraInDst = dst.select(col(key)).except(src.select(col(key))).count(),
+      nSrc = nSrc,
+      nDst = nDst,
+      missingInDst = diff.getLong(0),
+      extraInDst = diff.getLong(1),
       schemaMatches = src.columns.sorted.sameElements(dst.columns.sorted),
       checksumsMatch = common.nonEmpty &&
-        checksum(src.select(common.map(col): _*)) ==
-          checksum(dst.select(common.map(col): _*)))
+        (srcSum, srcXor) == (dstSum, dstXor))
   }
 }

@@ -460,37 +460,51 @@ object Llm {
     // fully oracle-able (no internal hash; pure set arithmetic). Scale
     // shape: any pair above the 0.5 threshold shares at least one
     // shingle, so candidates come from an INVERTED-INDEX equi-join on
-    // the exploded shingle (never an all-pairs theta join), then the
-    // exact intersect/union runs on candidates only — the classic
-    // exact-Jaccard candidate topology. The skew guard is ENFORCED, not
-    // advisory: a shingle appearing in more than 100 docs (boilerplate)
-    // is semi-joined OUT of the index before pair generation, bounding
-    // any key's fan-out at 100² instead of letting one hot gram emit a
-    // quadratic pair blowup (L2h's pattern); the ORACLE replays the
-    // identical cap, so a pair whose every shared gram is hot is absent
-    // from both engines. MinHash-LSH (L2a) is the sub-linear sibling.
+    // the exploded shingle (never an all-pairs theta join). The skew
+    // guard is ENFORCED, not advisory: a shingle appearing in more than
+    // 100 docs (boilerplate) is semi-joined OUT of the index before
+    // pair generation, bounding any key's fan-out at 100² instead of
+    // letting one hot gram emit a quadratic pair blowup (L2h's
+    // pattern). Jaccard is scored over the SAME df-capped gram sets —
+    // boilerplate is excluded from the metric exactly as from candidate
+    // generation (at the test SFs max df is 31, so capped == full), and
+    // the whole confirm collapses to arithmetic no array ever rides
+    // through: |A∩B| is a partial-aggregating count over the index
+    // join's pair stream (map-side combine — never a 10^6-pair distinct
+    // or an array shuffle), |A∪B| = |A| + |B| − |A∩B| from tiny per-doc
+    // size tables. The ORACLE replays the identical cap + identity, so
+    // both engines agree by construction. MinHash-LSH (L2a) is the
+    // sub-linear sibling.
     "llm_dedup_ngram_jaccard" -> ((s, dir) => {
-      // one scan pays split(text); the index, the df cap, and both
-      // confirm sides reuse the materialized shingle arrays
-      val sh = graft.CacheRegistry.track(docsWithNearDups(s, dir)
+      // the index carries HASHED shingles (the minhash pipeline's
+      // md5-derived portable family — no 3-word string ever
+      // materializes, and every shuffle key is 8 bytes instead of a
+      // ~25-char string); set arithmetic over the hashed sets equals
+      // set arithmetic over the strings (collisions vanishingly rare at
+      // 10^9 hash space — and the oracle computes the IDENTICAL hashes,
+      // so the comparison stays exact either way)
+      val docs = graft.CacheRegistry.track(docsWithNearDups(s, dir)
         .withColumn("words", split(col("text"), " "))
-        .withColumn("sh", expr(shinglesFromWords))
+        .withColumn("wh", transform(col("words"), w => wordHash60(w) % MinhashP))
+        .withColumn("sh", expr(hashedShinglesFromWh))
         .select(col("doc_id"), col("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val inv = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      val inv = docs.select(col("doc_id"), explode(col("sh")).as("g"))
       val rare = inv.groupBy(col("g")).agg(count(lit(1)).as("dfc"))
         .filter(col("dfc") <= 100).select(col("g"))
-      val keyed = inv.join(rare, Seq("g"), "left_semi")
-      val cand = keyed.select(col("doc_id").as("a_id"), col("g"))
+      val keyed = graft.CacheRegistry.track(
+        inv.join(rare, Seq("g"), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val sizes = keyed.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      keyed.select(col("doc_id").as("a_id"), col("g"))
         .join(keyed.select(col("doc_id").as("b_id"), col("g")), Seq("g"))
         .filter(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id")).distinct()
-      cand
-        .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
-        .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
-        .select(col("a_id"), col("b_id"),
-          size(array_intersect(col("a_sh"), col("b_sh"))).cast(LongType).as("n_common"),
-          size(array_union(col("a_sh"), col("b_sh"))).cast(LongType).as("n_union"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+        .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+        .select(col("a_id"), col("b_id"), col("n_common"),
+          (col("na") + col("nb") - col("n_common")).as("n_union"))
         .withColumn("jaccard",
           col("n_common").cast(DoubleType) / col("n_union").cast(DoubleType))
         .filter(col("jaccard") > 0.5)
@@ -1209,28 +1223,41 @@ object Llm {
          ORDER BY o.a_id"""
     },
 
-    // the inverted-index candidate generation AND the df-100 skew cap are
-    // replayed exactly — a pair whose every shared gram is hot is absent
-    // from both engines by construction
-    "llm_dedup_ngram_jaccard" ->
+    // the portable md5 shingle hashes, the inverted-index candidate
+    // generation, the df-100 skew cap, AND the capped-set overlap
+    // arithmetic (|A∪B| = |A|+|B|−|A∩B|) are replayed exactly — both
+    // engines agree by construction
+    "llm_dedup_ngram_jaccard" -> {
+      val Seq(c1, c2, c3) = ShingleC
       s"""WITH nd AS ($nearDupDocsSql),
-            sh AS (SELECT doc_id, $shingleSql AS sh FROM nd),
-            idx AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+            whs AS (SELECT doc_id,
+                      list_transform(string_split(text, ' '), w ->
+                        CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % $MinhashP) AS wh
+                    FROM nd),
+            shf AS (SELECT doc_id,
+                      list_distinct(list_transform(
+                        generate_series(1, greatest(len(wh) - 2, 0)),
+                        i -> (wh[i] * $c1 + wh[i+1] * $c2 + wh[i+2] * $c3) % $MinhashP)) AS sh
+                    FROM whs),
+            idx AS (SELECT doc_id, unnest(sh) AS g FROM shf),
             rare AS (SELECT g FROM idx GROUP BY g HAVING count(*) <= 100),
             keyed AS (SELECT doc_id, g FROM idx WHERE g IN (SELECT g FROM rare)),
-            cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-                     FROM keyed a JOIN keyed b
-                       ON a.g = b.g AND a.doc_id < b.doc_id)
-         SELECT a_id, b_id, n_common, n_union,
-                CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
-         FROM (SELECT c.a_id, c.b_id,
-                 CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) n_common,
-                 CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT) n_union
-               FROM cand c
-               JOIN sh sa ON c.a_id = sa.doc_id
-               JOIN sh sb ON c.b_id = sb.doc_id)
-         WHERE CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) > 0.5
-         ORDER BY a_id, b_id""",
+            sizes AS (SELECT doc_id, count(*) AS n FROM keyed GROUP BY doc_id),
+            pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                        CAST(count(*) AS BIGINT) AS n_common
+                      FROM keyed a JOIN keyed b
+                        ON a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+         SELECT a_id, b_id, n_common,
+                CAST(sa.n + sb.n - n_common AS BIGINT) AS n_union,
+                CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE)
+                  AS jaccard
+         FROM pairs
+         JOIN sizes sa ON pairs.a_id = sa.doc_id
+         JOIN sizes sb ON pairs.b_id = sb.doc_id
+         WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) > 0.5
+         ORDER BY a_id, b_id"""
+    },
 
     "llm_dedup_embed_cosine" ->
       s"""WITH $vecsCte,

@@ -503,6 +503,56 @@ class ReplicationSpec extends SparkTestBase {
     }
   }
 
+  test("multi-table txn under random wave splits: per-table states never expose a partial txn") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // same generator family as the single-table property test, but the
+    // key ROUTES the row (parity) — transactions span tables whenever
+    // their keys mix parities, and wave cuts land wherever they land
+    val gen: Gen[Seq[TxnEv]] = for {
+      nTxn <- Gen.choose(2, 5)
+      sizes <- Gen.listOfN(nTxn, Gen.choose(1, 3))
+      keys <- Gen.listOfN(sizes.sum, Gen.choose(0L, 5L))
+      ops <- Gen.listOfN(sizes.sum, Gen.oneOf("I", "U", "D"))
+    } yield {
+      var seq = 0L
+      var i = 0
+      sizes.zipWithIndex.flatMap { case (sz, t) =>
+        val evs = (0 until sz).map { _ =>
+          seq += 1; i += 1
+          TxnEv(ops(i - 1), seq, keys(i - 1), seq * 1.0, "S", t.toLong)
+        }
+        seq += 1
+        evs :+ TxnEv("C", seq, -1, 0.0, null, t.toLong)
+      }
+    }
+    def mt(evs: Seq[TxnEv]) = txnDf(evs).withColumn("table",
+      when(col("okey") % 2 === 0, "t_even").otherwise("t_odd"))
+    (0 until 3).foreach { s =>
+      val events = gen(Gen.Parameters.default, Seed(7171L + s))
+        .getOrElse(sys.error("gen failed"))
+      val (c1, c2) = (events.length / 3, 2 * events.length / 3)
+      val waves = Seq(events.take(c1), events.slice(c1, c2), events.drop(c2))
+      val base = tmp()
+      val dirs = Map("t_even" -> s"$base/even", "t_odd" -> s"$base/odd")
+      waves.zipWithIndex.foldLeft(Seq.empty[TxnEv]) { case (prev, (wave, w)) =>
+        graft.streaming.StreamingOps.writeWave(mt(wave), s"$base/in", w)
+        Replication.incrementalSyncMulti(spark, mt(events).schema, s"$base/in",
+          s"$base/ckpt", dirs, txnCol = Some("txn"))
+        val delivered = prev ++ wave
+        val replay = committedReplay(delivered)
+        dirs.foreach { case (t, d) =>
+          val want = replay.filter { case (k, _) =>
+            (if (t == "t_even") k % 2 == 0 else k % 2 != 0) }
+          assert(servedTxnState(d) == want,
+            s"seed ${7171L + s}: $t partial txn after wave $w of $events")
+        }
+        delivered
+      }
+      ()
+    }
+  }
+
   test("mid-stream DDL composes with txn gating: evolved column rides, atomicity holds") {
     val base = tmp()
     // pass 1, v1 envelope: txn 10 commits
