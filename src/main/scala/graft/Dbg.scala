@@ -17,49 +17,33 @@ object Dbg {
       println(f"$tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
-    // stage-by-stage timing of the ngram-jaccard pipeline
     val d = Tables.t(s, dir, "documents")
     val nd = d.select(col("doc_id"), col("text"))
       .unionByName(d.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 100000).as("doc_id"),
           expr("substring(text, instr(text, ' ') + 1, length(text))").as("text")))
-    val shingles =
-      """CASE WHEN size(words) >= 3 THEN
-           array_distinct(transform(sequence(1, size(words) - 2),
-             i -> concat_ws(' ', words[i-1], words[i], words[i+1])))
-         ELSE array() END"""
-    val base = nd.select(col("doc_id"), split(col("text"), " ").as("words"))
+    val P = 1000000007L
+    def wordHash60(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 15), 16, 10).cast(org.apache.spark.sql.types.LongType)
+    val hashedSh =
+      s"""array_distinct(CASE WHEN size(wh) >= 3 THEN
+            transform(sequence(1, size(wh) - 2),
+              i -> (wh[i-1] * 1000003L + wh[i] * 999983L + wh[i+1] * 999979L) % ${P}L)
+          ELSE CAST(array() AS ARRAY<BIGINT>) END)"""
+    // current minhash formulation: words -> wh -> sh in one projection chain
+    val v1 = nd.withColumn("words", split(col("text"), " "))
+      .withColumn("wh", transform(col("words"), w => wordHash60(w) % P))
+      .withColumn("sh", expr(hashedSh))
+      .select(col("doc_id"), col("sh"))
+    time("chained sh build")(println(v1.agg(sum(size(col("sh")))).collect()(0)))
+    time("chained sh build 2")(println(v1.agg(sum(size(col("sh")))).collect()(0)))
+    // barrier variant: pin wh first
+    val wh = nd.withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), transform(col("words"), w => wordHash60(w) % P).as("wh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val inv = base
-      .withColumn("sh", expr(shingles))
-      .select(col("doc_id"), explode(col("sh")).as("g"))
-    time("inv count")(println(inv.count()))
-    time("inv count again")(println(inv.count()))
-    val rare = inv.groupBy(col("g")).agg(count(lit(1)).as("dfc"))
-      .filter(col("dfc") <= 100).select(col("g"))
-    time("rare count")(println(rare.count()))
-    val keyed = inv.join(rare, Seq("g"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    time("keyed count")(println(keyed.count()))
-    val pairs = keyed.select(col("doc_id").as("a_id"), col("g"))
-      .join(keyed.select(col("doc_id").as("b_id"), col("g")), Seq("g"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("n_common"))
-    time("pairs count")(println(pairs.count()))
-    val sizes = keyed.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val fin = pairs
-      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
-      .select(col("a_id"), col("b_id"), col("n_common"),
-        (col("na") + col("nb") - col("n_common")).as("n_union"))
-      .withColumn("jaccard",
-        col("n_common").cast(org.apache.spark.sql.types.DoubleType) /
-          col("n_union").cast(org.apache.spark.sql.types.DoubleType))
-      .filter(col("jaccard") > 0.5)
-      .orderBy(col("a_id"), col("b_id"))
-    time("final count")(println(fin.count()))
-    time("final count again")(println(fin.count()))
+    val v2 = wh.withColumn("sh", expr(hashedSh)).select(col("doc_id"), col("sh"))
+    time("pinned-wh sh build")(println(v2.agg(sum(size(col("sh")))).collect()(0)))
+    time("pinned-wh sh build 2")(println(v2.agg(sum(size(col("sh")))).collect()(0)))
     s.stop()
   }
 }

@@ -173,6 +173,27 @@ object Replication {
   def appliedState(spark: SparkSession, stateDir: String): DataFrame =
     streaming.StreamingOps.readLatestState(spark, stateDir)
 
+  /** Outcome of a row-level repair (§3.1 #3's fix flow). */
+  final case class RepairReport(inserted: Long, updated: Long, deleted: Long) {
+    def repaired: Long = inserted + updated + deleted
+  }
+
+  /** Row-level REPAIR of a diverged destination — the consistency-fix
+    * flow a replication operator runs after [[consistencyCheck]] comes
+    * back inconsistent, instead of a full re-snapshot: one distributed
+    * diff of the source-of-truth table against the served state, one
+    * correction epoch carrying inserts for lost keys, updates for
+    * drifted values, tombstones for keys the source dropped. The
+    * correction wins every touched key's latest-wins collapse and
+    * survives compaction/purge like any other epoch; untouched keys
+    * are untouched (O(divergence) write, never O(table)). `src` must
+    * carry the key and every served value column. */
+  def repairSync(spark: SparkSession, src: DataFrame, stateDir: String,
+      key: String = "okey"): RepairReport = {
+    val (i, u, d) = streaming.StreamingOps.repairState(spark, src, stateDir, key)
+    RepairReport(i, u, d)
+  }
+
   /** Outcome of a source↔destination consistency check (§3.1 #3). */
   final case class ConsistencyReport(nSrc: Long, nDst: Long,
       missingInDst: Long, extraInDst: Long, schemaMatches: Boolean,

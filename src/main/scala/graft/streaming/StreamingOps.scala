@@ -698,6 +698,68 @@ object StreamingOps {
   private def writePurgeFloor(state: String, v: Long): Unit =
     StateFs.writeAtomic(s"$state/_purge_floor", v.toString)
 
+  /** Row-level REPAIR of a diverged state dir (the reference's
+    * consistency-fix flow, §3.1 #3's completion — the alternative is a
+    * full re-snapshot): diff the source-of-truth table against the
+    * served state with ONE null-safe full-outer join, and write every
+    * divergence as ONE correction epoch — op="I" for keys the state
+    * lost, op="U" for keys whose served values drifted, op="D"
+    * tombstones for keys the source no longer has. The correction rows
+    * all carry seq = (newest applied seq) + 1 — strictly above every
+    * per-key maximum, so each wins its key's collapse; equal seqs
+    * across DIFFERENT keys are fine (collapse is per key), which is
+    * what makes the repair fully distributed with no global row
+    * numbering. The epoch id is a fresh unique NEGATIVE (the
+    * compaction-baseline scheme): it can never collide with a resumed
+    * stream's non-negative batch ids, and the purge-floor gate exempts
+    * it (a repair must apply even below a published floor — its seq is
+    * above the floor anyway). `src` must carry the key and every
+    * served value column; its rows are authoritative.
+    *
+    * Returns (inserted, updated, deleted). */
+  private[graft] def repairState(s: SparkSession, src: DataFrame,
+      state: String, key: String = "okey"): (Long, Long, Long) = {
+    val dst = readLatestState(s, state)
+    val valueCols = dst.columns.toSeq.filterNot(Seq(key, "op").contains)
+    val missingCols = valueCols.filterNot(src.columns.contains)
+    require(missingCols.isEmpty,
+      s"repair source lacks served column(s): ${missingCols.mkString(", ")} — " +
+        "a repair cannot invent values; re-snapshot instead")
+    val raw = readStateDir(s, state)
+    val m = raw.agg(max(col("seq"))).collect()(0)
+    val repairSeq = (if (m.isNullAt(0)) 0L else m.getLong(0)) + 1L
+    val epoch = math.min(-1L, StateFs.epochIds(state).minOption.getOrElse(0L) - 1L)
+    val sv = src.select((key +: valueCols).map(col): _*)
+    val dv = dst.select((key +: valueCols).map(col): _*)
+    val joined = sv.withColumn("__s", lit(true)).as("s")
+      .join(dv.withColumn("__d", lit(true)).as("d"),
+        col(s"s.$key") === col(s"d.$key"), "full_outer")
+    val sStruct = struct(valueCols.map(c => col(s"s.$c")): _*)
+    val dStruct = struct(valueCols.map(c => col(s"d.$c")): _*)
+    val diff = joined.withColumn("op",
+        when(col("d.__d").isNull, "I")
+          .when(col("s.__s").isNull, "D")
+          .when(!(sStruct <=> dStruct), "U"))
+      .filter(col("op").isNotNull)
+      .select(Seq(col("op"),
+        coalesce(col(s"s.$key"), col(s"d.$key")).as(key),
+        lit(repairSeq).as("seq")) ++
+        valueCols.map(c => when(col("op") =!= "D", col(s"s.$c")).as(c)): _*)
+      // pinned BEFORE the epoch write — the diff may derive from this
+      // very state dir (src built off appliedState is legal); the counts
+      // action materializes it, so the write never re-reads a state the
+      // repair itself is mutating
+      .persist()
+    try {
+      val counts = diff.groupBy(col("op")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (counts.nonEmpty)
+        envelope(diff).write.mode("overwrite").parquet(s"$state/epoch=$epoch")
+      (counts.getOrElse("I", 0L), counts.getOrElse("U", 0L),
+        counts.getOrElse("D", 0L))
+    } finally { diff.unpersist(); () }
+  }
+
   /** One streaming pass maintaining an incremental MATERIALIZED VIEW of
     * partial aggregate states (the AggregatingMergeTree analogue): each
     * micro-batch writes its own per-group partials — count, decimal sum,

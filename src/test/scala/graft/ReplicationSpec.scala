@@ -432,6 +432,38 @@ class ReplicationSpec extends SparkTestBase {
     assert(progress.map(_("t_even").pendingRows) == Seq(1L, 1L, 0L))
   }
 
+  test("multi-table sync + mid-stream DDL: evolved column fans out; both schemas widen") {
+    val base = tmp()
+    def mt(evs: Seq[TxnEv]) = txnDf(evs).drop("txn").withColumn("table",
+      when(col("okey") % 2 === 0, "t_even").otherwise("t_odd"))
+    val dirs = Map("t_even" -> s"$base/even", "t_odd" -> s"$base/odd")
+    // pass 1: v1 envelope, one key per table
+    val w0 = mt(Seq(TxnEv("I", 1, 2, 20.0, "O", 0), TxnEv("I", 2, 3, 30.0, "O", 0)))
+    graft.streaming.StreamingOps.writeWave(w0, s"$base/in", 0)
+    Replication.incrementalSyncMulti(spark, w0.schema, s"$base/in",
+      s"$base/ckpt", dirs)
+    // DDL: envelope gains `channel`; the resumed pass touches t_odd only
+    val w1 = mt(Seq(TxnEv("U", 3, 3, 31.0, "P", 0)))
+      .withColumn("channel", lit("c3"))
+    graft.streaming.StreamingOps.writeWave(w1, s"$base/in", 1)
+    Replication.incrementalSyncMulti(spark, w1.schema, s"$base/in",
+      s"$base/ckpt", dirs)
+    // BOTH state dirs published the widened schema (one binlog, one
+    // envelope — even the table the evolved wave never touched)
+    dirs.values.foreach { d =>
+      assert(graft.streaming.StreamingOps.readStateSchema(d)
+        .exists(_.fieldNames.contains("channel")), s"schema not widened: $d")
+    }
+    val even = Replication.appliedState(spark, dirs("t_even"))
+      .select(col("okey"), col("channel")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSet
+    val odd = Replication.appliedState(spark, dirs("t_odd"))
+      .select(col("okey"), col("channel")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSet
+    assert(even == Set((2L, null)), "pre-DDL key must serve NULL evolved column")
+    assert(odd == Set((3L, "c3")), "post-DDL update must serve the typed value")
+  }
+
   test("multi-table txn + tombstone GC: topology pending holds each table's purge floor") {
     val base = tmp()
     // txn 10's event (seq 3, t_even) sits PENDING while t_even compacts
@@ -638,6 +670,44 @@ class ReplicationSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSet
     val batch = q("agg_latest_by_version").collect().map(_.toSeq).toSet
     assert(applied == batch)
+  }
+
+  test("repair sync: one correction epoch heals loss, drift, and extra keys") {
+    val base = tmp()
+    val log = Tables.cdcLog(spark, sf)
+    (1 to 3).foreach(w => graft.streaming.StreamingOps.writeWave(
+      log.filter(col("seq") === w), s"$base/in", w - 1))
+    Replication.incrementalSync(spark, log.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state")
+    val served = Replication.appliedState(spark, s"$base/state")
+    // source of truth DIVERGES from the destination three ways: one key
+    // the destination must drop (absent from src), one whose price
+    // drifted, one brand-new key the destination never saw
+    val keys = served.orderBy(col("okey")).limit(2).collect().map(_.getLong(0))
+    val (dropKey, driftKey) = (keys(0), keys(1))
+    val newKey = -777L
+    // pinned: src derives from the state dir the repair mutates — left
+    // lazy it would re-read the post-repair state and chase its own tail
+    val src = served.drop("op")
+      .filter(col("okey") =!= dropKey)
+      .withColumn("price",
+        when(col("okey") === driftKey, col("price") + 1000.0).otherwise(col("price")))
+      .unionByName(served.drop("op").limit(1).select(lit(newKey).as("okey"),
+        lit(9.99).as("price"), lit("R").as("status"), col("ts")))
+      .localCheckpoint()
+    val report = Replication.repairSync(spark, src, s"$base/state")
+    assert(report == Replication.RepairReport(1, 1, 1), s"got $report")
+    // healed: the served state now equals the source of truth exactly
+    val check = Replication.consistencyCheck(
+      src, Replication.appliedState(spark, s"$base/state").drop("op"), "okey")
+    assert(check.consistent, s"still inconsistent after repair: $check")
+    // idempotent: a second repair finds nothing to fix
+    assert(Replication.repairSync(spark, src, s"$base/state").repaired == 0L)
+    // and the correction survives compaction
+    graft.streaming.StreamingOps.compactState(spark, s"$base/state")
+    assert(Replication.consistencyCheck(
+      src, Replication.appliedState(spark, s"$base/state").drop("op"), "okey")
+      .consistent)
   }
 
   test("consistency check: clean copy passes; mutation and loss are caught") {
