@@ -914,6 +914,42 @@ object StreamingOps {
         .orderBy(col("tbl"), col("okey"))
     }),
 
+    // S-REPAIR: row-level repair under the oracle gate — the
+    // consistency-fix flow live: after the 3-wave apply, a CORRUPTING
+    // delta diverges the destination three ways at once (drifted
+    // prices for okey%7==0, a hijacked status for okey%11==0, and a
+    // phantom key the source never had); repairState diffs the batch
+    // source-of-truth against the served state and writes ONE
+    // correction epoch that must put the destination back to exactly
+    // the oracle's collapse — inserts, updates, and tombstones in a
+    // single O(divergence) pass.
+    "cdc_repair_resync" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir)
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      writeWaves(log, in, col("seq") - 1, 3, Seq(col("okey")))
+      runCdcPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state")
+      // the divergence: a corrupting delta the source never produced
+      // (an operator's manual UPDATE on the destination, a partial
+      // restore, a bug — the class of drift consistencyCheck exists
+      // to catch). seq 1000 outranks every real event, so it WINS the
+      // collapse until repaired.
+      val truth = readLatestState(s, s"$tmp/state").localCheckpoint()
+      truth.filter(col("okey") % 7 === 0)
+        .select(lit("U").as("op"), lit(1000L).as("seq"), col("ts"),
+          col("okey"), (col("price") + 999.0).as("price"),
+          when(col("okey") % 11 === 0, "HIJACKED").otherwise(col("status"))
+            .as("status"))
+        .unionByName(truth.limit(1).select(lit("I").as("op"),
+          lit(1000L).as("seq"), col("ts"), lit(-424242L).as("okey"),
+          lit(1.23).as("price"), lit("PHANTOM").as("status")))
+        .write.mode("overwrite").parquet(s"$tmp/state/epoch=99")
+      // repair against the batch truth (the source side of a
+      // consistency check) and serve — must equal the plain collapse
+      repairState(s, truth.drop("op"), s"$tmp/state")
+      readLatestState(s, s"$tmp/state")
+    }),
+
     // ST-DDL: MID-STREAM DDL under the oracle gate — the tool class's
     // classic weak spot, live: the first pass applies the v1 envelope,
     // the stream STOPS, and a second pass resumes from the same
@@ -1321,6 +1357,10 @@ object StreamingOps {
     // GC + purge floor must leave the served collapse untouched, even
     // after a pre-compaction epoch is re-delivered.
     "stream_cdc_compact_gc" -> latestStateSql,
+
+    // repair must put a three-way-diverged destination back to exactly
+    // the batch collapse (drift reverted, phantom key tombstoned).
+    "cdc_repair_resync" -> latestStateSql,
 
     // live DDL ≡ A12's batch unionByName collapse (same oracle).
     "stream_cdc_ddl" ->
