@@ -65,18 +65,23 @@ object Bench {
             s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
           -1L
       }
-      // release builder-pinned caches so query N+1 never benches against
-      // query N's leftover executor memory (see CacheRegistry)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // AFTER the timing capture: release builder-pinned caches so query
+      // N+1 never benches against query N's leftover executor memory
+      // (see CacheRegistry) — cleanup cost is the harness's, not the
+      // benched query's
       CacheRegistry.releaseAll()
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> elapsed
     }
     // TWO passes, min per query: single-pass totals swing ±20% under
     // ambient load on a shared host (r8's driver run read 116 s where a
     // controlled re-run of identical code read 99 s) — the min of two
     // passes is robust to a noise spike landing on either one. The extra
     // pass costs ~100 s once per round and makes the gate trustworthy.
-    // (Env knob for local iteration; the driver runs the default 2.)
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    // (Env knob for local iteration; the driver runs the default 2.
+    // Clamped to >= 1: the reduce below needs at least one pass.)
+    val passes =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt)
     val results = (1 to passes).map(_ => onePass())
       .reduce((a, b) => a.zip(b).map { case ((n, x), (_, y)) =>
         n -> math.min(x, y) })

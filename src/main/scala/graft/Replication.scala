@@ -187,10 +187,15 @@ object Replication {
     * correction wins every touched key's latest-wins collapse and
     * survives compaction/purge like any other epoch; untouched keys
     * are untouched (O(divergence) write, never O(table)). `src` must
-    * carry the key and every served value column. */
+    * carry the key and exactly the served value columns (schema drift
+    * in either direction fails loudly — a row repair cannot retrofit
+    * DDL). For a table synced through [[incrementalSyncMulti]] with
+    * `txnCol`, pass the sync's `ckptDir` as `pendingRoot` so the
+    * correction seq clears the topology's uncommitted tail. */
   def repairSync(spark: SparkSession, src: DataFrame, stateDir: String,
-      key: String = "okey"): RepairReport = {
-    val (i, u, d) = streaming.StreamingOps.repairState(spark, src, stateDir, key)
+      key: String = "okey", pendingRoot: Option[String] = None): RepairReport = {
+    val (i, u, d) = streaming.StreamingOps.repairState(spark, src, stateDir,
+      key, pendingRoot)
     RepairReport(i, u, d)
   }
 

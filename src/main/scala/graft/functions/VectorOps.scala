@@ -100,10 +100,12 @@ case class CosineSim(left: Expression, right: Expression,
   * (decimal addition commutes), so partial/merge scheduling cannot perturb
   * the answer. Input contract mirrors [[CosineSim]]: fixed-width non-null
   * double vectors; rows with a NULL array are skipped. The function is
-  * registered session-wide, so the two contract edges a caller outside
+  * registered session-wide, so the contract edges a caller outside
   * the embeddings tables can hit are handled like Spark's own sum: a
   * ragged width FAILS FAST (silent truncation would quietly drop the
-  * tail dimensions of every wider row), and a per-element sum exceeding
+  * tail dimensions of every wider row), a ZERO-width array is vacuous
+  * exactly like the exploded form (contributes no rows, constrains no
+  * width, in any order), and a per-element sum exceeding
   * DECIMAL(38,18) yields a NULL element (non-ANSI `sum(cast(x AS
   * DECIMAL(38,18)))` over the exploded form returns NULL on overflow).
   */
@@ -132,6 +134,10 @@ case class DecimalVecSum(
     if (v == null) return buf
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    // a zero-width array is VACUOUS (the exploded form contributes no
+    // rows), not a width conflict — and must be order-independent, so
+    // it neither initializes nor checks the buffer
+    if (n == 0) return buf
     val b = if (buf.isEmpty) Array.fill(n)(java.math.BigDecimal.ZERO) else buf
     require(n == b.length,
       s"vec_dec_sum: ragged vector widths ($n vs ${b.length}) — " +

@@ -23,10 +23,24 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, FileUtil, Options, Path}
   */
 private[graft] object StateFs {
 
-  private def conf: Configuration =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new Configuration())
+  // built once per JVM, not per filesystem call: newHadoopConf() clones
+  // the full SparkConf every time, and a txn-gated micro-batch makes
+  // several StateFs calls — thousands of batches would pay thousands of
+  // redundant conf constructions. The settings StateFs needs (fs impls,
+  // credentials) are static for the process lifetime.
+  @volatile private var cachedConf: Configuration = _
+
+  private def conf: Configuration = {
+    val c = cachedConf
+    if (c != null) c
+    else {
+      val built = org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sessionState.newHadoopConf())
+        .getOrElse(new Configuration())
+      cachedConf = built
+      built
+    }
+  }
 
   private def fs(p: Path): FileSystem = p.getFileSystem(conf)
 

@@ -379,22 +379,9 @@ object StreamingOps {
             // snapshot of the newest epoch BELOW this one (never this
             // epoch's own — a crashed attempt must re-read what its
             // first attempt read)
-            val full = latestPendingBelow(state, epochId)
-              .map(p => positioned.unionByName(
-                s.read.parquet(p), allowMissingColumns = true))
-              .getOrElse(positioned)
-              .persist()
+            val (ready, full) = txnGate(s, positioned.toDF(), tc, state, epochId)
             txnFull = Some(full)
-            val committed = full.filter(col("op") === "C")
-              .select(col(tc).as("__ctxn")).distinct()
-            val events = full.filter(col("op") =!= "C")
-            val carry = events.join(broadcast(committed),
-              col(tc) === col("__ctxn"), "left_anti")
-            carry.write.mode("overwrite")
-              .parquet(s"$state/_pending/epoch=$epochId")
-            prunePendingBelow(state, epochId - 1)
-            events.join(broadcast(committed), col(tc) === col("__ctxn"),
-              "left_semi").drop(tc)
+            ready
         }
         if (trackSeq) {
           val r = applied.agg(max(col("seq"))).collect()(0)
@@ -422,6 +409,32 @@ object StreamingOps {
     if (txnCol.isEmpty) 0L
     else latestPendingBelow(root, Long.MaxValue)
       .map(p => s.read.parquet(p).count()).getOrElse(0L)
+
+  /** The ONE transaction commit gate (shared by the single-table and
+    * multi-table passes — the correctness-critical ready/carry split
+    * must never fork): union the batch with the newest pending snapshot
+    * below this epoch, split on arrived commit markers, write the new
+    * uncommitted tail for this epoch, prune dead snapshots, and return
+    * the READY events with the txn column consumed. */
+  private def txnGate(s: SparkSession, batch: DataFrame, tc: String,
+      pendRoot: String, epochId: Long): (DataFrame, DataFrame) = {
+    val full = latestPendingBelow(pendRoot, epochId)
+      .map(p => batch.unionByName(
+        s.read.parquet(p), allowMissingColumns = true))
+      .getOrElse(batch)
+      .persist()
+    val committed = full.filter(col("op") === "C")
+      .select(col(tc).as("__ctxn")).distinct()
+    val events = full.filter(col("op") =!= "C")
+    val carry = events.join(broadcast(committed),
+      col(tc) === col("__ctxn"), "left_anti")
+    carry.write.mode("overwrite")
+      .parquet(s"$pendRoot/_pending/epoch=$epochId")
+    prunePendingBelow(pendRoot, epochId - 1)
+    val ready = events.join(broadcast(committed), col(tc) === col("__ctxn"),
+      "left_semi").drop(tc)
+    (ready, full) // full is pinned; the caller unpersists after its actions
+  }
 
   /** Newest pending-tail snapshot strictly below `epochId` (txn-gated
     * passes only; see [[runCdcPass]]). */
@@ -510,22 +523,9 @@ object StreamingOps {
           case Some(tc) =>
             // one shared commit gate for the whole topology (the same
             // ready/carry split as runCdcPass, pending rooted at ckpt)
-            val full = latestPendingBelow(ckpt, epochId)
-              .map(p => batch.unionByName(
-                s.read.parquet(p), allowMissingColumns = true))
-              .getOrElse(batch.toDF())
-              .persist()
+            val (ready, full) = txnGate(s, batch.toDF(), tc, ckpt, epochId)
             txnFull = Some(full)
-            val committed = full.filter(col("op") === "C")
-              .select(col(tc).as("__ctxn")).distinct()
-            val events = full.filter(col("op") =!= "C")
-            val carry = events.join(broadcast(committed),
-              col(tc) === col("__ctxn"), "left_anti")
-            carry.write.mode("overwrite")
-              .parquet(s"$ckpt/_pending/epoch=$epochId")
-            prunePendingBelow(ckpt, epochId - 1)
-            events.join(broadcast(committed), col(tc) === col("__ctxn"),
-              "left_semi").drop(tc)
+            ready
         }
         val present = applied.groupBy(col("table"))
           .agg(count(lit(1)).as("n"), max(col("seq")).as("mx")).collect()
@@ -709,25 +709,45 @@ object StreamingOps {
     * per-key maximum, so each wins its key's collapse; equal seqs
     * across DIFFERENT keys are fine (collapse is per key), which is
     * what makes the repair fully distributed with no global row
-    * numbering. The epoch id is a fresh unique NEGATIVE (the
+    * numbering. "Newest applied seq" also counts the txn-gated PENDING
+    * tail (`pendingRoot`, defaulting to the state dir): a correction at
+    * applied-max + 1 could otherwise TIE with a still-pending event
+    * when its commit later arrives, and max_by would pick the winner
+    * arbitrarily. The epoch id is a fresh unique NEGATIVE (the
     * compaction-baseline scheme): it can never collide with a resumed
     * stream's non-negative batch ids, and the purge-floor gate exempts
     * it (a repair must apply even below a published floor — its seq is
-    * above the floor anyway). `src` must carry the key and every
-    * served value column; its rows are authoritative.
+    * above the floor anyway). `src` must carry the key and EXACTLY the
+    * served value columns; a column the source gained that the state
+    * never saw fails as loudly as a column the source lost — silently
+    * ignoring it would leave the documented check→repair loop
+    * inconsistent forever with a zero-row report.
     *
     * Returns (inserted, updated, deleted). */
   private[graft] def repairState(s: SparkSession, src: DataFrame,
-      state: String, key: String = "okey"): (Long, Long, Long) = {
+      state: String, key: String = "okey",
+      pendingRoot: Option[String] = None): (Long, Long, Long) = {
     val dst = readLatestState(s, state)
     val valueCols = dst.columns.toSeq.filterNot(Seq(key, "op").contains)
     val missingCols = valueCols.filterNot(src.columns.contains)
     require(missingCols.isEmpty,
       s"repair source lacks served column(s): ${missingCols.mkString(", ")} — " +
         "a repair cannot invent values; re-snapshot instead")
+    val gainedCols = src.columns.toSeq.filterNot((key +: valueCols).contains)
+    require(gainedCols.isEmpty,
+      s"repair source carries column(s) the destination never saw: " +
+        s"${gainedCols.mkString(", ")} — a row-level repair cannot retrofit " +
+        "schema; replicate the DDL (or re-snapshot) first")
     val raw = readStateDir(s, state)
     val m = raw.agg(max(col("seq"))).collect()(0)
-    val repairSeq = (if (m.isNullAt(0)) 0L else m.getLong(0)) + 1L
+    val appliedMax = if (m.isNullAt(0)) 0L else m.getLong(0)
+    val pendingMax = latestPendingBelow(pendingRoot.getOrElse(state),
+        Long.MaxValue)
+      .flatMap { p =>
+        val r = s.read.parquet(p).agg(max(col("seq"))).collect()(0)
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      }.getOrElse(0L)
+    val repairSeq = math.max(appliedMax, pendingMax) + 1L
     val epoch = math.min(-1L, StateFs.epochIds(state).minOption.getOrElse(0L) - 1L)
     val sv = src.select((key +: valueCols).map(col): _*)
     val dv = dst.select((key +: valueCols).map(col): _*)

@@ -52,6 +52,30 @@ class OperatorSpec extends SparkTestBase {
       Tables.t(spark, sf, "orders").count())
   }
 
+  test("vec_dec_sum: empty arrays are vacuous in any order; ragged widths fail") {
+    import graft.functions.VectorOps
+    VectorOps.register(spark)
+    import spark.implicits._
+    def sumOf(rows: Seq[Seq[Double]]): Seq[java.math.BigDecimal] = {
+      val got = rows.toDF("v")
+        .select(expr("vec_dec_sum(transform(v, x -> cast(x AS DOUBLE)))"))
+        .collect()(0)
+      if (got.isNullAt(0)) null
+      else got.getSeq[java.math.BigDecimal](0)
+    }
+    // empty arrays contribute nothing (the exploded form has no rows for
+    // them) regardless of whether they precede or follow the wide rows
+    val want = Seq(new java.math.BigDecimal("4.000000000000000000"),
+      new java.math.BigDecimal("6.000000000000000000"))
+    assert(sumOf(Seq(Seq.empty, Seq(1.0, 2.0), Seq(3.0, 4.0))) == want)
+    assert(sumOf(Seq(Seq(1.0, 2.0), Seq.empty, Seq(3.0, 4.0))) == want)
+    // all-empty column: nothing was ever folded -> NULL (like sum of no rows)
+    assert(sumOf(Seq(Seq.empty, Seq.empty)) == null)
+    // genuinely ragged non-empty widths fail fast, never truncate
+    val e = intercept[Exception] { sumOf(Seq(Seq(1.0), Seq(1.0, 2.0))) }
+    assert(e.getMessage != null)
+  }
+
   test("vec_dec_sum == exploded decimal sums, across partition merges") {
     import graft.functions.VectorOps
     import org.apache.spark.sql.types.DecimalType

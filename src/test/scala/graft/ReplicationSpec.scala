@@ -710,6 +710,50 @@ class ReplicationSpec extends SparkTestBase {
       .consistent)
   }
 
+  test("repair under an open transaction: the correction outranks the pending tail") {
+    val base = tmp()
+    // txn 20 commits k=1 at 10.0; txn 10's update to 77.0 is PENDING
+    // (no commit yet) — its seq (2) is above the applied max (1)
+    graft.streaming.StreamingOps.writeWave(txnDf(Seq(
+      TxnEv("I", 1, 1, 10.0, "O", 20), TxnEv("C", 2, -1, 0.0, null, 20),
+      TxnEv("U", 3, 1, 77.0, "P", 10))), s"$base/in", 0)
+    val schema = txnDf(Seq(TxnEv("I", 1, 1, 1.0, "O", 1))).schema
+    Replication.incrementalSync(spark, schema, s"$base/in", s"$base/ckpt",
+      s"$base/state", txnCol = Some("txn"))
+    // operator repairs the served value to 50.0 while the txn is open;
+    // the correction seq must clear the PENDING seq 3, not just the
+    // applied max 1 — at applied-max+1 it would tie or lose when the
+    // held update later commits
+    val src = Replication.appliedState(spark, s"$base/state").drop("op")
+      .withColumn("price", lit(50.0)).localCheckpoint()
+    val rep = Replication.repairSync(spark, src, s"$base/state")
+    assert(rep == Replication.RepairReport(0, 1, 0))
+    // the abandoned-turned-committed txn finally lands — and must LOSE
+    // to the correction written after the engine had already seen it
+    graft.streaming.StreamingOps.writeWave(txnDf(Seq(
+      TxnEv("C", 4, -1, 0.0, null, 10))), s"$base/in", 1)
+    Replication.incrementalSync(spark, schema, s"$base/in", s"$base/ckpt",
+      s"$base/state", txnCol = Some("txn"))
+    assert(servedTxnState(s"$base/state") == Map(1L -> ("U", 50.0)),
+      "a pending event outranked the repair correction")
+  }
+
+  test("repair rejects a source that gained a column the state never saw") {
+    val base = tmp()
+    val log = Tables.cdcLog(spark, sf)
+    graft.streaming.StreamingOps.writeWave(log.filter(col("seq") === 1),
+      s"$base/in", 0)
+    Replication.incrementalSync(spark, log.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state")
+    val src = Replication.appliedState(spark, s"$base/state").drop("op")
+      .withColumn("channel", lit("c"))
+    val e = intercept[IllegalArgumentException] {
+      Replication.repairSync(spark, src, s"$base/state")
+    }
+    assert(e.getMessage.contains("channel"),
+      "schema drift must fail loudly, not no-op into an endless check/repair loop")
+  }
+
   test("consistency check: clean copy passes; mutation and loss are caught") {
     val src = Tables.t(spark, sf, "nation")
     assert(Replication.consistencyCheck(src, src, "n_nationkey").consistent)
