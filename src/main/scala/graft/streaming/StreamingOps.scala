@@ -949,12 +949,17 @@ object StreamingOps {
       val in = s"$tmp/in"
       writeWaves(log, in, col("seq") - 1, 3, Seq(col("okey")))
       runCdcPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state")
+      // the SOURCE side of the consistency check: what the source
+      // database actually holds — the log's batch latest-wins collapse,
+      // computed from the log parquet (never from the state dir being
+      // repaired, so no pinning is needed)
+      val truth = collapse(envelope(log)).filter(col("op") =!= "D")
+        .select(col("okey"), col("price"), col("status"), col("ts"))
       // the divergence: a corrupting delta the source never produced
       // (an operator's manual UPDATE on the destination, a partial
       // restore, a bug — the class of drift consistencyCheck exists
       // to catch). seq 1000 outranks every real event, so it WINS the
       // collapse until repaired.
-      val truth = readLatestState(s, s"$tmp/state").localCheckpoint()
       truth.filter(col("okey") % 7 === 0)
         .select(lit("U").as("op"), lit(1000L).as("seq"), col("ts"),
           col("okey"), (col("price") + 999.0).as("price"),
@@ -964,9 +969,7 @@ object StreamingOps {
           lit(1000L).as("seq"), col("ts"), lit(-424242L).as("okey"),
           lit(1.23).as("price"), lit("PHANTOM").as("status")))
         .write.mode("overwrite").parquet(s"$tmp/state/epoch=99")
-      // repair against the batch truth (the source side of a
-      // consistency check) and serve — must equal the plain collapse
-      repairState(s, truth.drop("op"), s"$tmp/state")
+      repairState(s, truth, s"$tmp/state")
       readLatestState(s, s"$tmp/state")
     }),
 
