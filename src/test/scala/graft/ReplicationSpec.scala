@@ -710,6 +710,45 @@ class ReplicationSpec extends SparkTestBase {
       .consistent)
   }
 
+  test("repair converges arbitrary random divergence to the source of truth") {
+    val base = tmp()
+    val log = Tables.cdcLog(spark, sf)
+    (1 to 3).foreach(w => graft.streaming.StreamingOps.writeWave(
+      log.filter(col("seq") === w), s"$base/in", w - 1))
+    Replication.incrementalSync(spark, log.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state")
+    // three successive random divergences against the SAME state dir —
+    // each repair must converge the (already once-repaired) destination
+    // to the new truth exactly, with the report matching the planted
+    // divergence class counts
+    (0 until 3).foreach { seed =>
+      val rng = new scala.util.Random(31337 + seed)
+      val served = Replication.appliedState(spark, s"$base/state")
+      val keys = served.select(col("okey")).collect().map(_.getLong(0))
+      val drop = keys.filter(_ => rng.nextDouble() < 0.05).toSet
+      val drift = keys.filter(_ => rng.nextDouble() < 0.10).toSet
+      val nPhantom = 1 + rng.nextInt(3)
+      // phantom keys: unique per seed and disjoint from every real and
+      // prior-phantom key (1M-spaced negative ranges)
+      val src = served.drop("op")
+        .filter(!col("okey").isInCollection(drop.toSeq :+ Long.MinValue))
+        .withColumn("price", when(col("okey").isInCollection(drift.toSeq :+ Long.MinValue),
+          col("price") + 7.0).otherwise(col("price")))
+        .unionByName(served.drop("op").filter(col("okey") > 0).limit(nPhantom)
+          .select((lit(-(seed + 1) * 1000000L) - col("okey")).as("okey"),
+            col("price"), lit("PH").as("status"), col("ts")))
+        .localCheckpoint()
+      val rep = Replication.repairSync(spark, src, s"$base/state")
+      assert(rep.inserted == nPhantom && rep.deleted == drop.size &&
+        rep.updated == (drift -- drop).size,
+        s"seed $seed: $rep vs drop=${drop.size} drift=${(drift -- drop).size} " +
+          s"phantom=$nPhantom")
+      assert(Replication.consistencyCheck(src,
+        Replication.appliedState(spark, s"$base/state").drop("op"), "okey")
+        .consistent, s"seed $seed: repair did not converge")
+    }
+  }
+
   test("repair under an open transaction: the correction outranks the pending tail") {
     val base = tmp()
     // txn 20 commits k=1 at 10.0; txn 10's update to 77.0 is PENDING
