@@ -59,13 +59,16 @@ object Bench {
       .filter { case (name, _) => filt.isEmpty || filt.exists(name.contains) }
     def onePass(): Seq[(String, Double)] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
           System.err.println(
             s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
-          -1L
+          false
       }
-      val elapsed = (System.nanoTime() - t0) / 1e9
+      // a failed run records NaN, not its time-to-failure: min() across
+      // passes propagates NaN (math.min(NaN, x) = NaN), so a fast crash
+      // can never launder itself into a fast timing
+      val elapsed = if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
       // AFTER the timing capture: release builder-pinned caches so query
       // N+1 never benches against query N's leftover executor memory
       // (see CacheRegistry) — cleanup cost is the harness's, not the
@@ -80,8 +83,9 @@ object Bench {
     // pass costs ~100 s once per round and makes the gate trustworthy.
     // (Env knob for local iteration; the driver runs the default 2.
     // Clamped to >= 1: the reduce below needs at least one pass.)
-    val passes =
-      math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt)
+    val passes = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_PASSES").flatMap(_.toIntOption)
+        .getOrElse(2))
     val results = (1 to passes).map(_ => onePass())
       .reduce((a, b) => a.zip(b).map { case ((n, x), (_, y)) =>
         n -> math.min(x, y) })
@@ -91,14 +95,19 @@ object Bench {
     // exactly that truncation) — 3 decimals halve the line length and
     // lose nothing a benchmark reader cares about
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+    // NaN (a query that failed every pass) is not valid JSON — such
+    // queries leave the timings map and surface in a "failed" array, and
+    // the total only sums real timings
+    val (failed, timed) = results.partition(_._2.isNaN)
+    val qs = timed.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fq = failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val total = timed.map(_._2).sum
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$fq,"sf":"$sfDir"}""")
     // The driver captures a bounded TAIL of stdout; with ~100 queries the
     // full line's head (the total) can be cut off. A trailing short line
     // always survives a tail capture, so the total stays machine-parseable.
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${timed.size},"nFailed":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -84,14 +84,24 @@ object Replication {
     * sets the compaction tombstone horizon in epochs: deletes whose
     * winning epoch is at least that far behind the newest delta are
     * purged from the baseline (see StreamingOps.compactState for the
-    * resurrection-safety mechanics). */
+    * resurrection-safety mechanics).
+    *
+    * `renameCols` (old name → new name) declares `ALTER TABLE … RENAME
+    * COLUMN` DDLs this pass's envelope carries: the published column is
+    * renamed IN PLACE — keys last touched before the rename keep serving
+    * their old values under the new name (see
+    * StreamingOps.applyRenameDdl) — instead of forking into a stale old
+    * column plus NULLs under the new one. Renaming onto a different type
+    * is still the type-change class and fails loudly, unless the change
+    * is an allowlisted safe widening. */
   def incrementalSync(spark: SparkSession, schema: StructType, inDir: String,
       ckptDir: String, stateDir: String, compactEvery: Int = 16,
       fromSeq: Option[Long] = None, txnCol: Option[String] = None,
-      tombstoneGc: Option[Int] = None): SyncProgress = {
+      tombstoneGc: Option[Int] = None,
+      renameCols: Map[String, String] = Map.empty): SyncProgress = {
     val (rows, epochs, lastSeq, pending) = streaming.StreamingOps.runCdcPass(
       spark, schema, inDir, ckptDir, stateDir, trackSeq = true,
-      startAfterSeq = fromSeq, txnCol = txnCol)
+      startAfterSeq = fromSeq, txnCol = txnCol, renameCols = renameCols)
     if (deltaCount(stateDir) > compactEvery)
       streaming.StreamingOps.compactState(spark, stateDir, tombstoneGc)
     SyncProgress(rows, epochs, lastSeq, pending)
@@ -198,6 +208,23 @@ object Replication {
       key, pendingRoot)
     RepairReport(i, u, d)
   }
+
+  /** Topology-level repair for a multi-table sync
+    * ([[incrementalSyncMulti]]'s fix flow): ONE diff pass heals every
+    * diverged per-table state dir — per-table truths union in, a single
+    * full-outer diff over (table, key) emits every divergence, and one
+    * partitioned write fans per-table correction epochs back out; the
+    * txn pending tail is consulted once for the whole topology. For a
+    * txn-gated sync pass the sync's `ckptDir` as `pendingRoot` (that is
+    * where the topology roots `_pending`). Without this, an operator
+    * loops [[repairSync]] by hand and each call re-reads the pending
+    * tail. Returns per-table [[RepairReport]]s. */
+  def repairSyncMulti(spark: SparkSession, srcByTable: Map[String, DataFrame],
+      stateDirs: Map[String, String], key: String = "okey",
+      pendingRoot: Option[String] = None): Map[String, RepairReport] =
+    streaming.StreamingOps.repairStateMulti(spark, srcByTable, stateDirs,
+      key, pendingRoot)
+      .map { case (t, (i, u, d)) => t -> RepairReport(i, u, d) }
 
   /** Outcome of a source↔destination consistency check (§3.1 #3). */
   final case class ConsistencyReport(nSrc: Long, nDst: Long,

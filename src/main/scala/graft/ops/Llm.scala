@@ -223,34 +223,108 @@ object Llm {
     * NULL band keys: array_min of an empty array is NULL,
     * null-propagating concat makes bv NULL, and a NULL equi-join key
     * never matches — identical to the oracle's `||`. */
-  private def minhashConfirmedPairs(s: SparkSession, dir: String): DataFrame = {
-    val docs = graft.CacheRegistry.track(docsWithNearDups(s, dir)
-      .withColumn("words", split(col("text"), " "))
+  /** (doc_id, sh): hashed distinct 3-shingle sets of a (doc_id, text)
+    * frame — the minhash set form every dedup stage computes on. */
+  private[graft] def shingleTableOf(docs: DataFrame): DataFrame =
+    docs.withColumn("words", split(col("text"), " "))
       .withColumn("wh", transform(col("words"), w => wordHash60(w) % MinhashP))
       .withColumn("sh", expr(hashedShinglesFromWh))
       .select(col("doc_id"), col("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val sig = docs.withColumn("sig", array((0 until 16).map(k =>
-      array_min(transform(col("sh"),
-        x => (x * minhashA(k) + minhashB(k)) % MinhashP))): _*))
-    val bands = sig.select(col("doc_id"),
-      posexplode(array((0 until 4).map(b =>
-        concat((0 until 4).flatMap(i => Seq(
-          element_at(col("sig"), b * 4 + i + 1).cast(StringType), lit("|")))
-          .dropRight(1): _*)): _*)))
+
+  /** (doc_id, band, bv): the LSH band table — 16 universal-family
+    * signature mins sliced into 4 bands of 4, each band key a '|'-joined
+    * string both engines build identically. This is the PERSISTED INDEX
+    * artifact of the incremental path ([[dedupIncremental]]). */
+  private[graft] def bandTableOf(sh: DataFrame): DataFrame =
+    sh.withColumn("sig", array((0 until 16).map(k =>
+        array_min(transform(col("sh"),
+          x => (x * minhashA(k) + minhashB(k)) % MinhashP))): _*))
+      .select(col("doc_id"),
+        posexplode(array((0 until 4).map(b =>
+          concat((0 until 4).flatMap(i => Seq(
+            element_at(col("sig"), b * 4 + i + 1).cast(StringType), lit("|")))
+            .dropRight(1): _*)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
-    val a = bands.select(col("doc_id").as("a_id"), col("band"), col("bv"))
-    val b = bands.select(col("doc_id").as("b_id"), col("band"), col("bv"))
-    val pairs = a.join(b, Seq("band", "bv")).filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
+
+  /** Exact-Jaccard confirm over candidate (a_id, b_id) pairs: each side
+    * rejoins its shingle set from `sh` AFTER candidate dedup, so the
+    * wide arrays never ride the band join or the distinct. */
+  private def jaccardConfirm(pairs: DataFrame, sh: DataFrame): DataFrame =
     pairs
-      .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
-      .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
       .withColumn("jaccard",
         size(array_intersect(col("a_sh"), col("b_sh"))).cast(DoubleType) /
           size(array_union(col("a_sh"), col("b_sh"))).cast(DoubleType))
       .filter(col("jaccard") >= 0.6)
       .select(col("a_id"), col("b_id"), col("jaccard"))
+
+  private def minhashConfirmedPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.CacheRegistry.track(
+      shingleTableOf(docsWithNearDups(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bands = bandTableOf(docs)
+    val a = bands.select(col("doc_id").as("a_id"), col("band"), col("bv"))
+    val b = bands.select(col("doc_id").as("b_id"), col("band"), col("bv"))
+    val pairs = a.join(b, Seq("band", "bv")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    jaccardConfirm(pairs, docs)
+  }
+
+  /** Seed the incremental dedup's PERSISTED INDEX from a corpus
+    * snapshot: the (doc_id, sh) shingle table and its (doc_id, band, bv)
+    * band table, written as parquet under `indexDir`. Runs once per
+    * corpus; every later ingest is [[dedupIncremental]]. */
+  private[graft] def dedupIndexSeed(s: SparkSession, snapshot: DataFrame,
+      indexDir: String): Unit = {
+    val sh = graft.CacheRegistry.track(shingleTableOf(snapshot)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    sh.write.mode("overwrite").parquet(s"$indexDir/shingles")
+    bandTableOf(sh).write.mode("overwrite").parquet(s"$indexDir/bands")
+  }
+
+  /** Incremental dedup-on-ingest (L2i) — the O(batch) pipeline shape a
+    * 100 TB corpus demands: dedup an ARRIVING batch of (doc_id, text)
+    * against the PERSISTED index (read from parquet, never recomputed),
+    * then advance the index with only the batch's own artifacts.
+    *
+    * Work per ingest: tokenize/hash the BATCH only; candidate pairs come
+    * from the batch's bands equi-joined against index ∪ batch bands —
+    * batch×index and batch×batch, never index×index (those pairs were
+    * emitted when their younger doc arrived). The Jaccard confirm reads
+    * index shingles only for candidate ids (the candidate frame is
+    * batch-bounded, so AQE broadcasts it and the index scan never
+    * shuffles); the corpus text is NEVER re-read. Result pinned via
+    * localCheckpoint BEFORE the index append — it derives from the very
+    * files the append extends (the repairState pattern) — then the
+    * batch's shingles/bands append so the NEXT ingest sees them.
+    *
+    * Returns confirmed (a_id, b_id, jaccard ≥ 0.6) pairs involving at
+    * least one batch doc. Over any split of a corpus into snapshot +
+    * successive batches, the union of per-ingest results plus the
+    * snapshot's own pairs equals the full recompute — LlmSpec proves the
+    * equivalence property. */
+  private[graft] def dedupIncremental(s: SparkSession, batch: DataFrame,
+      indexDir: String): DataFrame = {
+    val newSh = graft.CacheRegistry.track(shingleTableOf(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val newBands = graft.CacheRegistry.track(bandTableOf(newSh)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val oldBands = s.read.parquet(s"$indexDir/bands")
+    val oldSh = s.read.parquet(s"$indexDir/shingles")
+    val pairs = newBands.select(col("doc_id").as("n_id"), col("band"), col("bv"))
+      .join(oldBands.unionByName(newBands)
+        .select(col("doc_id").as("o_id"), col("band"), col("bv")),
+        Seq("band", "bv"))
+      .filter(col("n_id") =!= col("o_id"))
+      .select(least(col("n_id"), col("o_id")).as("a_id"),
+        greatest(col("n_id"), col("o_id")).as("b_id"))
+      .distinct()
+    val confirmed = jaccardConfirm(pairs, oldSh.unionByName(newSh))
+      .localCheckpoint()
+    newSh.write.mode("append").parquet(s"$indexDir/shingles")
+    newBands.write.mode("append").parquet(s"$indexDir/bands")
+    confirmed
   }
 
   /** Connected components over the confirmed near-dup graph: min-label
@@ -309,6 +383,22 @@ object Llm {
     // happen.
     "llm_dedup_minhash" -> ((s, dir) =>
       minhashConfirmedPairs(s, dir).orderBy(col("a_id"), col("b_id"))),
+
+    // L2i: INCREMENTAL dedup-on-ingest — the production pipeline shape:
+    // the original corpus (doc_id < 100000) seeds a persisted band+
+    // shingle index; the near-dup docs then ARRIVE as a batch and dedup
+    // against the index in O(batch) work — the index is read from
+    // parquet, the corpus text never re-tokenized, and the batch's own
+    // artifacts append so the next ingest sees them. The emitted pairs
+    // are exactly the full recompute's pairs that involve a batch doc
+    // (the oracle proves it; LlmSpec proves the multi-batch composition).
+    "llm_dedup_incremental" -> ((s, dir) => {
+      val all = docsWithNearDups(s, dir)
+      val idx = s"${graft.TmpDirs.create("graft_dedup_idx")}/idx"
+      dedupIndexSeed(s, all.filter(col("doc_id") < 100000), idx)
+      dedupIncremental(s, all.filter(col("doc_id") >= 100000), idx)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
 
     // L2f: near-dup CLUSTERS — the decision layer a real dedup pipeline
     // runs on top of pairwise candidates: connected components over the
@@ -1111,6 +1201,13 @@ object Llm {
     "llm_dedup_minhash" ->
       s"""WITH $minhashPairCtes
          SELECT a_id, b_id, jaccard FROM confirmed ORDER BY a_id, b_id""",
+
+    // incremental ingest == the full recompute's pairs touching a batch
+    // doc (b_id is the pair max, so b_id >= 100000 iff either side is new)
+    "llm_dedup_incremental" ->
+      s"""WITH $minhashPairCtes
+         SELECT a_id, b_id, jaccard FROM confirmed
+         WHERE b_id >= 100000 ORDER BY a_id, b_id""",
 
     // same confirmed-pair CTEs, then connected components to the SAME
     // fixpoint the Spark loop reaches: min-reachable-id via recursive CTE

@@ -19,30 +19,49 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, FileUtil, Options, Path}
   * precisely so the production path never degrades). [[writeAtomic]]
   * publishes small control files via `FileContext.rename(OVERWRITE)` —
   * atomic on HDFS and local POSIX, so a concurrent reader sees either
-  * the old or the new content, never a missing or partial file.
+  * the old or the new content, never a missing or partial file. On
+  * object stores (S3A/GCS) rename is NOT atomic — a concurrent reader
+  * can observe the control file mid-replace — so deployments there must
+  * serialize control-file readers against the single writer (the
+  * harness and the HDFS production shape never hit this; the txn docs'
+  * "epoch rename is atomic" invariant is scoped to HDFS/POSIX).
   */
 private[graft] object StateFs {
 
-  // built once per JVM, not per filesystem call: newHadoopConf() clones
-  // the full SparkConf every time, and a txn-gated micro-batch makes
-  // several StateFs calls — thousands of batches would pay thousands of
-  // redundant conf constructions. The settings StateFs needs (fs impls,
-  // credentials) are static for the process lifetime.
-  @volatile private var cachedConf: Configuration = _
+  // built once per FILESYSTEM (scheme+authority), not per call:
+  // newHadoopConf() clones the full SparkConf every time, and a
+  // txn-gated micro-batch makes several StateFs calls — thousands of
+  // batches would pay thousands of redundant conf constructions. Keying
+  // by URI (not one JVM-wide conf) keeps two differently-credentialed
+  // sessions in one JVM from cross-contaminating: each filesystem's conf
+  // is pinned by whichever session touches it FIRST, never leaked onto
+  // other filesystems. The bare-Configuration fallback (no session on
+  // this thread at all) is deliberately NOT cached, so a later session
+  // can still supply the real fs impls/credentials.
+  private val confByFs =
+    new java.util.concurrent.ConcurrentHashMap[String, Configuration]()
 
-  private def conf: Configuration = {
-    val c = cachedConf
-    if (c != null) c
+  private def conf(p: Path): Configuration = {
+    val key = {
+      val u = p.toUri
+      s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}"
+    }
+    val cached = confByFs.get(key)
+    if (cached != null) cached
     else {
-      val built = org.apache.spark.sql.SparkSession.getActiveSession
-        .map(_.sessionState.newHadoopConf())
-        .getOrElse(new Configuration())
-      cachedConf = built
-      built
+      val session = org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      session match {
+        case Some(s) =>
+          val built = s.sessionState.newHadoopConf()
+          val prior = confByFs.putIfAbsent(key, built)
+          if (prior != null) prior else built
+        case None => new Configuration()
+      }
     }
   }
 
-  private def fs(p: Path): FileSystem = p.getFileSystem(conf)
+  private def fs(p: Path): FileSystem = p.getFileSystem(conf(p))
 
   /** Ids of `epoch=<id>` child directories under `root` (empty when the
     * dir does not exist — state dirs appear lazily with the first
@@ -84,7 +103,7 @@ private[graft] object StateFs {
     Option(dp.getParent).foreach(dfs.mkdirs(_))
     val renamed = (sfs.getUri == dfs.getUri) && sfs.rename(sp, dp)
     if (!renamed)
-      require(FileUtil.copy(sfs, sp, dfs, dp, true, conf),
+      require(FileUtil.copy(sfs, sp, dfs, dp, true, conf(dp)),
         s"cannot move $src -> $dst")
   }
 
@@ -113,7 +132,7 @@ private[graft] object StateFs {
     finally out.close()
     // resolve the FileContext through the FileSystem's URI (a schemeless
     // local path has no URI authority of its own)
-    FileContext.getFileContext(f.getUri, conf)
+    FileContext.getFileContext(f.getUri, conf(dst))
       .rename(tmp, dst, Options.Rename.OVERWRITE)
   }
 }

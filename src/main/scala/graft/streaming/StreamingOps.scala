@@ -4,7 +4,7 @@ import java.util.UUID
 
 import graft.Tables
 import graft.Tables.{dec2, D2}
-import graft.sources.EpochParquetSink
+import graft.sources.{CdcSource, EpochParquetSink, FileCdcSource}
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
@@ -163,11 +163,31 @@ object StreamingOps {
         .map(n => input(n).copy(nullable = true)))
   }
 
+  /** MySQL's routine SAFE type promotions — the DDL class replication
+    * must survive without a re-snapshot (`ALTER TABLE … MODIFY col
+    * BIGINT` on an INT column). Read-side cost is zero: the parquet
+    * reader serves a narrow physical column under the wide requested
+    * type natively (verified on Spark 4.1: INT32→LONG, FLOAT→DOUBLE),
+    * so pre-widening epochs need no rewrite. Everything else — any
+    * narrowing, any cross-family change — still fails loudly. */
+  private def widens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = (from, to) match {
+    case (org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.LongType) => true
+    case (org.apache.spark.sql.types.FloatType,
+          org.apache.spark.sql.types.DoubleType) => true
+    case _ => false
+  }
+
   /** Validate `incoming` against the published schema (type-change fails
-    * loudly, see [[EnvelopeTypeChangeException]]) and publish the union:
-    * new columns widen the published schema, columns the stream no
-    * longer carries STAY published (DROP COLUMN serves the old values
-    * for untouched keys and NULL for keys rewritten after the drop). */
+    * loudly, see [[EnvelopeTypeChangeException]]; allowlisted widenings
+    * — see [[widens]] — publish the WIDER type instead) and publish the
+    * union: new columns widen the published schema, columns the stream
+    * no longer carries STAY published (DROP COLUMN serves the old
+    * values for untouched keys and NULL for keys rewritten after the
+    * drop). A stream declaring the NARROW type after a widening already
+    * published is also fine — its epochs serve under the published wide
+    * type through the same widening read. */
   private def ensureStateSchema(state: String,
       incoming: org.apache.spark.sql.types.StructType): Unit =
     readStateSchema(state) match {
@@ -175,22 +195,133 @@ object StreamingOps {
       case Some(p) =>
         incoming.fields.foreach { f =>
           p.fields.find(_.name == f.name).foreach { pf =>
-            if (pf.dataType != f.dataType)
+            if (pf.dataType != f.dataType &&
+                !widens(pf.dataType, f.dataType) &&
+                !widens(f.dataType, pf.dataType))
               throw new EnvelopeTypeChangeException(f.name, pf.dataType, f.dataType)
           }
         }
+        val widened = p.fields.map { pf =>
+          incoming.fields.find(_.name == pf.name) match {
+            case Some(f) if widens(pf.dataType, f.dataType) =>
+              pf.copy(dataType = f.dataType)
+            case _ => pf
+          }
+        }
         val fresh = incoming.fields.filterNot(f => p.fieldNames.contains(f.name))
-        if (fresh.nonEmpty)
+        if (fresh.nonEmpty || !widened.sameElements(p.fields))
           StateFs.writeAtomic(s"$state/_schema",
-            org.apache.spark.sql.types.StructType(p.fields ++ fresh).json)
+            org.apache.spark.sql.types.StructType(widened ++ fresh).json)
+    }
+
+  /** The state dir's RENAME LOG (`_renames`, tab-separated `old→new`
+    * lines, appended per rename DDL): the record that lets pre-rename
+    * epochs — whose parquet files still carry the OLD column name —
+    * serve their values under the NEW name (see [[readStateDir]]).
+    * Without it a rename looks like DROP+ADD and the column's history
+    * forks: stale old values for untouched keys, NULL under the new
+    * name. */
+  private[graft] def readRenames(state: String): Seq[(String, String)] =
+    StateFs.readSmall(s"$state/_renames").toSeq
+      .flatMap(_.split("\n")).filter(_.nonEmpty)
+      .map { l =>
+        val i = l.indexOf('\t')
+        (l.substring(0, i), l.substring(i + 1))
+      }
+
+  /** Each published column's HISTORICAL names, rename chains resolved in
+    * log order (a→b then b→c yields c → [b, a]). */
+  private def renameHistory(renames: Seq[(String, String)])
+      : Map[String, Seq[String]] = {
+    val hist = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
+    renames.foreach { case (o, n) =>
+      val carried = hist.remove(o).getOrElse(Seq.empty)
+      hist(n) = ((o +: carried) ++ hist.getOrElse(n, Seq.empty)).distinct
+    }
+    hist.toMap
+  }
+
+  /** Apply a RENAME COLUMN DDL (the `ALTER TABLE … RENAME COLUMN`
+    * QueryEvent) to the state dir's published metadata, BEFORE the pass
+    * validates/streams: the published field is renamed in place (its
+    * history carries — type included), and the rename is appended to the
+    * `_renames` log so pre-rename epochs keep serving. Validation is
+    * up-front and loud: the old name must be published, the new name
+    * must not collide with another published column, the incoming
+    * envelope must actually carry the new name, and renaming onto a
+    * DIFFERENT type is the type-change class ([[EnvelopeTypeChangeException]]
+    * — a rename carries history, and history has a type), unless the
+    * change is an allowlisted widening ([[widens]]). Crash order: the
+    * `_renames` log publishes before the renamed `_schema` — a crash
+    * between the two re-applies the rename idempotently on the next
+    * pass (the log append dedupes), while the reverse order would leave
+    * a renamed schema with no record of where the old epochs' values
+    * live. */
+  private def applyRenameDdl(state: String, renames: Map[String, String],
+      incoming: org.apache.spark.sql.types.StructType): Unit =
+    if (renames.nonEmpty) readStateSchema(state).foreach { p =>
+      var fields = p.fields
+      renames.foreach { case (o, n) =>
+        val old = fields.find(_.name == o).getOrElse(throw new IllegalArgumentException(
+          s"rename source column '$o' is not in the published state schema"))
+        require(!fields.exists(_.name == n),
+          s"rename target column '$n' is already published — a rename cannot " +
+            "merge two columns")
+        val inc = incoming.fields.find(_.name == n).getOrElse(
+          throw new IllegalArgumentException(
+            s"rename target column '$n' is absent from the incoming envelope"))
+        if (old.dataType != inc.dataType && !widens(old.dataType, inc.dataType))
+          throw new EnvelopeTypeChangeException(n, old.dataType, inc.dataType)
+        fields = fields.map(f => if (f.name == o) f.copy(name = n) else f)
+      }
+      val prior = readRenames(state)
+      val appended = prior ++ renames.toSeq.filterNot(prior.contains)
+      StateFs.writeAtomic(s"$state/_renames",
+        appended.map { case (o, n) => s"$o\t$n" }.mkString("\n"))
+      StateFs.writeAtomic(s"$state/_schema",
+        org.apache.spark.sql.types.StructType(fields).json)
     }
 
   /** Read a state dir through its published schema when one exists
     * (pre-DDL epochs surface NULL for later columns exactly as
-    * mergeSchema gave them), footer-merge only as the legacy fallback. */
+    * mergeSchema gave them), footer-merge only as the legacy fallback.
+    *
+    * Renamed columns ([[readRenames]]): the read schema is AUGMENTED
+    * with each published column's historical names (same type —
+    * widening reads cover a rename-plus-widen), and every row serves
+    * `coalesce(current, old…)` under the current name. Correct per ROW,
+    * not just per key: a row carries exactly one era's name — pre-rename
+    * rows hold the old column (new reads NULL), post-rename rows hold
+    * the new (old is physically absent) — so the coalesce never mixes
+    * eras, and a post-rename row that legitimately holds NULL still
+    * serves NULL (both columns NULL). Epochs written after a compaction
+    * hold only current names; the historical columns read as all-NULL
+    * no-ops. */
   private def readStateDir(s: SparkSession, state: String): DataFrame =
     readStateSchema(state) match {
-      case Some(p) => s.read.schema(p).parquet(state)
+      case Some(p) =>
+        // a historical name RE-ADDED later as a fresh column stops being
+        // history — the physical column now means the new column, and
+        // coalescing it under the renamed one would mix the two
+        val hist = renameHistory(readRenames(state))
+          .filter { case (n, _) => p.fieldNames.contains(n) }
+          .map { case (n, olds) =>
+            n -> olds.filterNot(p.fieldNames.contains) }
+          .filter(_._2.nonEmpty)
+        if (hist.isEmpty) s.read.schema(p).parquet(state)
+        else {
+          val aug = org.apache.spark.sql.types.StructType(
+            p.fields.flatMap(f => f +: hist.getOrElse(f.name, Seq.empty)
+              .map(h => f.copy(name = h))))
+          s.read.schema(aug).parquet(state)
+            .select(p.fields.map { f =>
+              hist.get(f.name) match {
+                case Some(olds) =>
+                  coalesce((f.name +: olds).map(col): _*).as(f.name)
+                case None => col(f.name)
+              }
+            }.toSeq :+ col("epoch"): _*)
+        }
       case None => s.read.option("mergeSchema", "true").parquet(state)
     }
 
@@ -290,18 +421,19 @@ object StreamingOps {
     * appends deltas to a ReplacingMergeTree-style table and lets the A8
     * collapse run at read/merge time.
     */
-  /** Shared file-stream scaffold: play the files under `in` as
-    * micro-batches into `apply`, then return (rowsApplied, dataBatches).
-    * Progress is free: StreamingQueryProgress already carries per-batch
-    * input row counts — no extra job runs on the timed path. (The buffer
-    * is bounded — spark.sql.streaming.numRecentProgressUpdates, default
+  /** Shared ingest scaffold: play the change stream opened by `source`
+    * as micro-batches into `apply`, then return (rowsApplied,
+    * dataBatches). The transport is a [[CdcSource]] plug — the file
+    * impl in the harness, MemoryStream in StreamingSpec, Kafka+Debezium
+    * in production — the apply machinery never changes. Progress is
+    * free: StreamingQueryProgress already carries per-batch input row
+    * counts — no extra job runs on the timed path. (The buffer is
+    * bounded — spark.sql.streaming.numRecentProgressUpdates, default
     * 100 — plenty for the harness's ≤4-wave passes; a long-lived
     * production stream would consume a StreamingQueryListener instead.) */
-  private def runFilePass(s: SparkSession,
-      schema: org.apache.spark.sql.types.StructType, in: String, ckpt: String)(
+  private def runSourcePass(s: SparkSession, source: CdcSource, ckpt: String)(
       apply: (Dataset[Row], Long) => Unit): (Long, Long) = {
-    val query = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(in)
+    val query = source.open(s)
       .writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
@@ -355,18 +487,38 @@ object StreamingOps {
       in: String, ckpt: String, state: String,
       trackSeq: Boolean = false,
       startAfterSeq: Option[Long] = None,
-      txnCol: Option[String] = None): (Long, Long, Option[Long], Long) = {
-    // the type-change guardrail fires BEFORE the stream starts: the r8
-    // open-envelope design absorbs ADD (union) and DROP (NULL forward),
-    // but a changed type must fail by name, not as a mid-pass analysis
-    // error after some batches already applied
-    ensureStateSchema(state, stateSchemaFor(schema, txnCol.toSet))
+      txnCol: Option[String] = None,
+      renameCols: Map[String, String] = Map.empty)
+      : (Long, Long, Option[Long], Long) =
+    runCdcPassSource(s, FileCdcSource(schema, in), ckpt, state, trackSeq,
+      startAfterSeq, txnCol, renameCols)
+
+  /** [[runCdcPass]] over an arbitrary [[CdcSource]] transport.
+    * `renameCols` (old → new) declares RENAME COLUMN DDLs this pass's
+    * envelope carries (see [[applyRenameDdl]]): the published column is
+    * renamed in place and its epoch history keeps serving under the new
+    * name. */
+  private[graft] def runCdcPassSource(s: SparkSession, source: CdcSource,
+      ckpt: String, state: String,
+      trackSeq: Boolean = false,
+      startAfterSeq: Option[Long] = None,
+      txnCol: Option[String] = None,
+      renameCols: Map[String, String] = Map.empty)
+      : (Long, Long, Option[Long], Long) = {
+    // DDL metadata settles BEFORE the stream starts: renames carry
+    // published history to the new name, then the type-change guardrail
+    // fires — the r8 open-envelope design absorbs ADD (union) and DROP
+    // (NULL forward), but a changed type must fail by name, not as a
+    // mid-pass analysis error after some batches already applied
+    val stateSchema = stateSchemaFor(source.schema, txnCol.toSet)
+    applyRenameDdl(state, renameCols, stateSchema)
+    ensureStateSchema(state, stateSchema)
     var maxSeq = Option.empty[Long]
     var written = 0L
     // a batch consumed by >1 action must be pinned (see the note above);
     // the position filter adds an isEmpty probe, so it pins too
     val multiAction = trackSeq || startAfterSeq.isDefined || txnCol.isDefined
-    val (rows, _) = runFilePass(s, schema, in, ckpt) { (batch, epochId) =>
+    val (rows, _) = runSourcePass(s, source, ckpt) { (batch, epochId) =>
       if (multiAction) batch.persist()
       var txnFull = Option.empty[DataFrame] // txn path's extra pin
       try {
@@ -499,10 +651,17 @@ object StreamingOps {
       in: String, ckpt: String,
       stateDirs: Map[String, String],
       txnCol: Option[String] = None)
+      : (Map[String, (Long, Long, Long)], Long) =
+    runCdcPassMultiSource(s, FileCdcSource(schema, in), ckpt, stateDirs, txnCol)
+
+  /** [[runCdcPassMulti]] over an arbitrary [[CdcSource]] transport. */
+  private[graft] def runCdcPassMultiSource(s: SparkSession, source: CdcSource,
+      ckpt: String, stateDirs: Map[String, String],
+      txnCol: Option[String] = None)
       : (Map[String, (Long, Long, Long)], Long) = {
     // every table's state dir shares one envelope schema (one binlog,
     // one fan-out) — validate/publish each before the stream starts
-    val stateSchema = stateSchemaFor(schema, txnCol.toSet)
+    val stateSchema = stateSchemaFor(source.schema, txnCol.toSet)
     stateDirs.values.foreach(ensureStateSchema(_, stateSchema))
     val acc = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
     // staging lives WITH the checkpoint, not in a local tmp dir: the
@@ -511,7 +670,7 @@ object StreamingOps {
     // metadata move — staging on local disk would force a copy per
     // table per epoch
     val stage = s"$ckpt/_staging"
-    runFilePass(s, schema, in, ckpt) { (batch, epochId) =>
+    runSourcePass(s, source, ckpt) { (batch, epochId) =>
       // the batch is consumed by the discovery aggregate plus the staged
       // write — persist so the file source is read once per trigger (see
       // runCdcPass's note on multi-action foreachBatch)
@@ -738,6 +897,14 @@ object StreamingOps {
       s"repair source carries column(s) the destination never saw: " +
         s"${gainedCols.mkString(", ")} — a row-level repair cannot retrofit " +
         "schema; replicate the DDL (or re-snapshot) first")
+    // the diff's full-outer join REQUIRES unique source keys: a duplicate
+    // would fan out its key's row, write several same-seq corrections, and
+    // let max_by pick an arbitrary winner — assert loudly (one tiny
+    // 2-column aggregate) instead of corrupting silently
+    val uniq = src.agg(count(lit(1)), count_distinct(col(key))).collect()(0)
+    require(uniq.getLong(0) == uniq.getLong(1),
+      s"repair source holds ${uniq.getLong(0)} rows over ${uniq.getLong(1)} " +
+        s"distinct '$key' values — the source of truth must be one row per key")
     val raw = readStateDir(s, state)
     val m = raw.agg(max(col("seq"))).collect()(0)
     val appliedMax = if (m.isNullAt(0)) 0L else m.getLong(0)
@@ -777,6 +944,125 @@ object StreamingOps {
         envelope(diff).write.mode("overwrite").parquet(s"$state/epoch=$epoch")
       (counts.getOrElse("I", 0L), counts.getOrElse("U", 0L),
         counts.getOrElse("D", 0L))
+    } finally { diff.unpersist(); () }
+  }
+
+  /** Topology-level REPAIR — the multi-table completion of
+    * [[repairState]] at [[runCdcPassMulti]]'s scale: ONE null-safe
+    * full-outer diff over the (table, key) space heals N diverged
+    * per-table state dirs in a single call. Per-table truth frames
+    * union in with a routing column, the served states union the same
+    * way, the single diff job emits every divergence, and ONE
+    * partitioned write fans the corrections back out — each table
+    * receives its own correction epoch (unique negative id) via a
+    * metadata rename, exactly the multi-pass staging mechanic. The
+    * txn-gated pending tail is consulted ONCE for the whole topology
+    * (`pendingRoot` = the sync's ckpt dir — where runCdcPassMulti
+    * roots `_pending`), never once per table, and the correction seq
+    * is a single topology-wide number (the binlog has one sequence):
+    * max(applied seq over ALL tables, pending seq) + 1. All state dirs
+    * must share one served envelope — the runCdcPassMulti invariant
+    * (one binlog, one fan-out) — and each table's source must be one
+    * row per key, both asserted loudly.
+    *
+    * Returns per-table (inserted, updated, deleted); zero-divergence
+    * tables report (0, 0, 0) and receive no epoch. */
+  private[graft] def repairStateMulti(s: SparkSession,
+      srcByTable: Map[String, DataFrame], stateDirs: Map[String, String],
+      key: String = "okey", pendingRoot: Option[String] = None)
+      : Map[String, (Long, Long, Long)] = {
+    require(srcByTable.keySet == stateDirs.keySet,
+      s"repair sources ${srcByTable.keySet.toSeq.sorted.mkString(",")} != " +
+        s"topology tables ${stateDirs.keySet.toSeq.sorted.mkString(",")} — " +
+        "a topology repair heals every table or none")
+    require(stateDirs.nonEmpty, "empty topology")
+    val tables = stateDirs.keys.toSeq.sorted
+    val dsts = tables.map(t => t -> readLatestState(s, stateDirs(t))).toMap
+    val valueCols = dsts(tables.head).columns.toSeq
+      .filterNot(Seq(key, "op").contains)
+    tables.foreach { t =>
+      val cols = dsts(t).columns.toSeq.filterNot(Seq(key, "op").contains)
+      require(cols == valueCols,
+        s"state dir for '$t' serves (${cols.mkString(", ")}) but the " +
+          s"topology envelope is (${valueCols.mkString(", ")}) — repair the " +
+          "schema drift first")
+      val src = srcByTable(t)
+      val missing = valueCols.filterNot(src.columns.contains)
+      require(missing.isEmpty,
+        s"repair source for '$t' lacks served column(s): " +
+          s"${missing.mkString(", ")} — a repair cannot invent values")
+      val gained = src.columns.toSeq.filterNot((key +: valueCols).contains)
+      require(gained.isEmpty,
+        s"repair source for '$t' carries column(s) the destination never " +
+          s"saw: ${gained.mkString(", ")} — replicate the DDL first")
+    }
+    val srcAll = tables.map(t => srcByTable(t)
+      .select((key +: valueCols).map(col): _*).withColumn("__tbl", lit(t)))
+      .reduce(_.unionByName(_))
+    // per-table key uniqueness in ONE aggregate over the unioned source
+    srcAll.groupBy(col("__tbl"))
+      .agg(count(lit(1)).as("n"), count_distinct(col(key)).as("nd"))
+      .collect().foreach(r => require(r.getLong(1) == r.getLong(2),
+        s"repair source for '${r.getString(0)}' holds ${r.getLong(1)} rows " +
+          s"over ${r.getLong(2)} distinct '$key' values — one row per key"))
+    val dstAll = tables.map(t => dsts(t)
+      .select((key +: valueCols).map(col): _*).withColumn("__tbl", lit(t)))
+      .reduce(_.unionByName(_))
+    // topology seq ceiling: the union of every table's raw seq column in
+    // one 1-row aggregate, plus the SINGLE topology pending tail
+    val am = tables.map(t => readStateDir(s, stateDirs(t)).select(col("seq")))
+      .reduce(_.union(_)).agg(max(col("seq"))).collect()(0)
+    val appliedMax = if (am.isNullAt(0)) 0L else am.getLong(0)
+    val pendingMax = pendingRoot
+      .flatMap(latestPendingBelow(_, Long.MaxValue))
+      .flatMap { p =>
+        val r = s.read.parquet(p).agg(max(col("seq"))).collect()(0)
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      }.getOrElse(0L)
+    val repairSeq = math.max(appliedMax, pendingMax) + 1L
+    val joined = srcAll.withColumn("__s", lit(true)).as("s")
+      .join(dstAll.withColumn("__d", lit(true)).as("d"),
+        col("s.__tbl") === col("d.__tbl") && col(s"s.$key") === col(s"d.$key"),
+        "full_outer")
+    val sStruct = struct(valueCols.map(c => col(s"s.$c")): _*)
+    val dStruct = struct(valueCols.map(c => col(s"d.$c")): _*)
+    val diff = joined.withColumn("op",
+        when(col("d.__d").isNull, "I")
+          .when(col("s.__s").isNull, "D")
+          .when(!(sStruct <=> dStruct), "U"))
+      .filter(col("op").isNotNull)
+      .select(Seq(col("op"),
+        coalesce(col("s.__tbl"), col("d.__tbl")).as("__tbl"),
+        coalesce(col(s"s.$key"), col(s"d.$key")).as(key),
+        lit(repairSeq).as("seq")) ++
+        valueCols.map(c => when(col("op") =!= "D", col(s"s.$c")).as(c)): _*)
+      // pinned for the same reason as repairState: the diff derives from
+      // the very state dirs the corrections will mutate
+      .persist()
+    try {
+      val counts = diff.groupBy(col("__tbl"), col("op")).count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val touched = counts.keySet.map(_._1)
+      if (touched.nonEmpty) {
+        // one staged partitioned write, then a metadata rename per table
+        // — underscore-hidden inside a state root so no reader ever sees
+        // it (state dirs and their staging share a filesystem in
+        // production, so the rename never degrades to a copy)
+        val stage = s"${stateDirs(tables.head)}/_repairing"
+        try {
+          diff.write.mode("overwrite").partitionBy("__tbl").parquet(stage)
+          touched.foreach { t =>
+            val epoch = math.min(-1L,
+              StateFs.epochIds(stateDirs(t)).minOption.getOrElse(0L) - 1L)
+            val src = s"$stage/__tbl=" +
+              org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                .escapePathName(t)
+            StateFs.moveDir(src, s"${stateDirs(t)}/epoch=$epoch")
+          }
+        } finally StateFs.deleteRecursive(stage)
+      }
+      tables.map(t => t -> ((counts.getOrElse((t, "I"), 0L),
+        counts.getOrElse((t, "U"), 0L), counts.getOrElse((t, "D"), 0L)))).toMap
     } finally { diff.unpersist(); () }
   }
 
@@ -970,6 +1256,86 @@ object StreamingOps {
           lit(1.23).as("price"), lit("PHANTOM").as("status")))
         .write.mode("overwrite").parquet(s"$tmp/state/epoch=99")
       repairState(s, truth, s"$tmp/state")
+      readLatestState(s, s"$tmp/state")
+    }),
+
+    // S-REPAIR-MULTI: TOPOLOGY-level repair under the oracle gate — the
+    // multi-table consistency-fix flow live: the one-binlog→2-tables
+    // fan-out applies, then BOTH destinations diverge differently
+    // (t_even drifts prices, t_odd loses keys to a corrupting delete
+    // wave AND gains a phantom row); ONE repairStateMulti call — one
+    // diff job, one staged fan-out write, the pending tail consulted
+    // once — must put the whole topology back to exactly the per-table
+    // batch collapses.
+    "cdc_repair_multi" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir).withColumn("table",
+        when(col("okey") % 2 === 0, "t_even").otherwise("t_odd"))
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      writeWaves(log, in, col("seq") - 1, 3, Seq(col("okey")))
+      val dirs = Map("t_even" -> s"$tmp/state_even", "t_odd" -> s"$tmp/state_odd")
+      runCdcPassMulti(s, log.schema, in, s"$tmp/ckpt", dirs)
+      // source of truth per table: the binlog's batch collapse fanned
+      // out by the same parity mapping (computed from the log parquet,
+      // never from the state dirs being repaired)
+      val truth = collapse(envelope(log.drop("table")))
+        .filter(col("op") =!= "D")
+        .select(col("okey"), col("price"), col("status"), col("ts"))
+      val truthBy = Map(
+        "t_even" -> truth.filter(col("okey") % 2 === 0),
+        "t_odd" -> truth.filter(col("okey") % 2 =!= 0))
+      // divergence 1: t_even drifts — an operator's manual UPDATE class
+      truthBy("t_even").filter(col("okey") % 6 === 0)
+        .select(lit("U").as("op"), lit(1000L).as("seq"), col("ts"),
+          col("okey"), (col("price") + 555.0).as("price"), col("status"))
+        .write.mode("overwrite").parquet(s"$tmp/state_even/epoch=99")
+      // divergence 2: t_odd loses keys (corrupting deletes) and gains a
+      // phantom row the source never had. Lost keys are healed as op="I"
+      // corrections, so the corrupted set is keys whose log winner IS
+      // the insert (not %3-updated, not %7-deleted) — the served op
+      // column must match the oracle's winner op, and for a lost key
+      // the honest repair op is an insert
+      truthBy("t_odd").filter(col("okey") % 5 === 0 && col("okey") % 3 =!= 0)
+        .select(lit("D").as("op"), lit(1000L).as("seq"), col("ts"),
+          col("okey"), lit(null).cast(DoubleType).as("price"),
+          lit(null).cast(StringType).as("status"))
+        .unionByName(truthBy("t_odd").limit(1).select(lit("I").as("op"),
+          lit(1000L).as("seq"), col("ts"), lit(-777L).as("okey"),
+          lit(9.99).as("price"), lit("PHANTOM").as("status")))
+        .write.mode("overwrite").parquet(s"$tmp/state_odd/epoch=99")
+      repairStateMulti(s, truthBy, dirs)
+      dirs.toSeq.sortBy(_._1).map { case (t, d) =>
+        readLatestState(s, d).withColumn("tbl", lit(t))
+      }.reduce(_.unionByName(_))
+        .select(col("tbl"), col("okey"), col("op"), col("price"),
+          col("status"), col("ts"))
+        .orderBy(col("tbl"), col("okey"))
+    }),
+
+    // ST-RENAME: RENAME COLUMN DDL under the oracle gate — the last
+    // common DDL verb: pass 1 applies a v1 envelope carrying `channel`,
+    // the stream stops, pass 2 resumes with the column RENAMED to
+    // `chan` (the ALTER TABLE … RENAME COLUMN QueryEvent). Keys last
+    // touched BEFORE the rename must serve their old `channel` values
+    // under the NEW name — without rename semantics the history forks
+    // into a stale old column plus NULLs under the new one.
+    "stream_cdc_rename" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir)
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      val v1 = log.filter(col("seq") === 1).withColumn("channel",
+        when(col("op") === "D", lit(null).cast(StringType))
+          .otherwise(concat(lit("old"), (col("okey") % 4).cast(StringType))))
+      writeWave(v1, in, 0)
+      runCdcPass(s, v1.schema, in, s"$tmp/ckpt", s"$tmp/state")
+      // post-rename values differ on purpose ("new" prefix): a fork
+      // that recomputed instead of carried would hash-mismatch
+      val v2 = log.filter(col("seq") >= 2).withColumn("chan",
+        when(col("op") === "D", lit(null).cast(StringType))
+          .otherwise(concat(lit("new"), (col("okey") % 4).cast(StringType))))
+      writeWave(v2, in, 1)
+      runCdcPass(s, v2.schema, in, s"$tmp/ckpt", s"$tmp/state",
+        renameCols = Map("channel" -> "chan"))
       readLatestState(s, s"$tmp/state")
     }),
 
@@ -1384,6 +1750,36 @@ object StreamingOps {
     // repair must put a three-way-diverged destination back to exactly
     // the batch collapse (drift reverted, phantom key tombstoned).
     "cdc_repair_resync" -> latestStateSql,
+
+    // topology repair: BOTH diverged tables healed by one call — the
+    // served union equals the untouched multi-table fan-out collapse.
+    "cdc_repair_multi" ->
+      s"""WITH cdc_log AS (${Tables.cdcLogSql}),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM cdc_log)
+         SELECT CASE WHEN okey % 2 = 0 THEN 't_even' ELSE 't_odd' END AS tbl,
+                okey, op, price, status, ts
+         FROM ranked WHERE rn = 1 AND op <> 'D'
+         ORDER BY tbl, okey""",
+
+    // rename carries history: pre-rename winners serve their OLD values
+    // under the NEW name; post-rename winners serve the new values.
+    "stream_cdc_rename" ->
+      s"""WITH cdc_log AS (${Tables.cdcLogSql}),
+            evolved AS (
+              SELECT op, seq, ts, okey, price, status,
+                     CASE WHEN op = 'D' THEN NULL
+                          ELSE 'old' || CAST(okey % 4 AS VARCHAR) END AS chan
+              FROM cdc_log WHERE seq = 1
+              UNION ALL
+              SELECT op, seq, ts, okey, price, status,
+                     CASE WHEN op = 'D' THEN NULL
+                          ELSE 'new' || CAST(okey % 4 AS VARCHAR) END AS chan
+              FROM cdc_log WHERE seq >= 2),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM evolved)
+         SELECT okey, op, price, status, ts, chan FROM ranked
+         WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
 
     // live DDL ≡ A12's batch unionByName collapse (same oracle).
     "stream_cdc_ddl" ->

@@ -115,4 +115,34 @@ class LlmSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out.values.toSet.size > out.size / 2) // fingerprints discriminate
   }
+
+  test("incremental dedup over successive batches composes to the full recompute") {
+    // split the near-dup corpus into snapshot + two arriving batches;
+    // each ingest sees only the index (snapshot artifacts + every PRIOR
+    // batch's appended artifacts), never the corpus text. The union of
+    // per-ingest pairs plus the snapshot's own pairs must equal the full
+    // recompute — no pair lost at a batch boundary, none double-emitted.
+    val full = q("llm_dedup_minhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val snapPairs = full.filter(p => p._1 < 100000 && p._2 < 100000)
+    val d = Tables.t(spark, sf, "documents")
+    val snapshot = d.select(col("doc_id"), col("text"))
+    val arriving = d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1, length(text))").as("text"))
+    val idx = s"${TmpDirs.create("graft_incr_idx")}/idx"
+    ops.Llm.dedupIndexSeed(spark, snapshot, idx)
+    val b1 = ops.Llm.dedupIncremental(spark,
+      arriving.filter(col("doc_id") % 2 === 0), idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b2 = ops.Llm.dedupIncremental(spark,
+      arriving.filter(col("doc_id") % 2 =!= 0), idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert((b1 & b2).isEmpty, "a pair emitted by two different ingests")
+    assert((b1 & snapPairs).isEmpty && (b2 & snapPairs).isEmpty,
+      "an ingest re-emitted a snapshot-only pair")
+    assert((snapPairs | b1 | b2) == full,
+      s"composition diverged: missing ${(full -- snapPairs -- b1 -- b2).take(5)}, " +
+        s"extra ${((snapPairs | b1 | b2) -- full).take(5)}")
+  }
 }

@@ -793,6 +793,161 @@ class ReplicationSpec extends SparkTestBase {
       "schema drift must fail loudly, not no-op into an endless check/repair loop")
   }
 
+  test("DDL RENAME COLUMN: history carries under the new name; renaming onto a different type fails") {
+    val base = tmp()
+    // pass 1: v1 envelope carries `channel`; okey 1 and 2 both written
+    val v1 = txnDf(Seq(TxnEv("I", 1, 1, 10.0, "O", 0),
+      TxnEv("I", 2, 2, 20.0, "O", 0))).drop("txn")
+      .withColumn("channel", concat(lit("ch"), col("okey")))
+    graft.streaming.StreamingOps.writeWave(v1, s"$base/in", 0)
+    Replication.incrementalSync(spark, v1.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state")
+    // DDL: channel RENAMED to chan; the resumed pass rewrites okey=2 only
+    val v2 = txnDf(Seq(TxnEv("U", 3, 2, 21.0, "P", 0))).drop("txn")
+      .withColumn("chan", lit("new2"))
+    graft.streaming.StreamingOps.writeWave(v2, s"$base/in", 1)
+    Replication.incrementalSync(spark, v2.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state",
+      renameCols = Map("channel" -> "chan"))
+    def served() = Replication.appliedState(spark, s"$base/state")
+      .select(col("okey"), col("price"), col("chan")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    // the fork the rename semantics prevent: okey=1 (last touched BEFORE
+    // the rename) serves its old value under the NEW name, not NULL
+    assert(served() == Set((1L, 10.0, "ch1"), (2L, 21.0, "new2")))
+    // the published schema carries only the new name
+    val published = graft.streaming.StreamingOps.readStateSchema(s"$base/state").get
+    assert(published.fieldNames.contains("chan") &&
+      !published.fieldNames.contains("channel"))
+    // compaction rewrites through the rename-aware read, then the
+    // coalesce over the old physical column becomes a no-op
+    graft.streaming.StreamingOps.compactState(spark, s"$base/state")
+    assert(served() == Set((1L, 10.0, "ch1"), (2L, 21.0, "new2")),
+      "rename history lost across compaction")
+    // composes with the type-change guardrail: a rename whose target
+    // column arrives as a DIFFERENT type is still the type-change class
+    val v3 = txnDf(Seq(TxnEv("U", 4, 1, 12.0, "P", 0))).drop("txn")
+      .withColumn("kanal", lit(7))
+    graft.streaming.StreamingOps.writeWave(v3, s"$base/in", 2)
+    val e = intercept[graft.streaming.StreamingOps.EnvelopeTypeChangeException] {
+      Replication.incrementalSync(spark, v3.schema, s"$base/in",
+        s"$base/ckpt", s"$base/state", renameCols = Map("chan" -> "kanal"))
+    }
+    assert(e.column == "kanal")
+    // the failed rename left no metadata behind: chan still serves
+    assert(served() == Set((1L, 10.0, "ch1"), (2L, 21.0, "new2")))
+    // renaming a column that was never published fails loudly too
+    val e2 = intercept[IllegalArgumentException] {
+      Replication.incrementalSync(spark, v2.schema, s"$base/in",
+        s"$base/ckpt", s"$base/state", renameCols = Map("ghost" -> "chan2"))
+    }
+    assert(e2.getMessage.contains("ghost"))
+  }
+
+  test("DDL safe widening: INT→BIGINT and FLOAT→DOUBLE promote; a real type change still fails") {
+    val base = tmp()
+    // v1 envelope: qty INT, ratio FLOAT
+    val v1 = txnDf(Seq(TxnEv("I", 1, 1, 10.0, "O", 0),
+      TxnEv("I", 2, 2, 20.0, "O", 0))).drop("txn")
+      .withColumn("qty", (col("okey") * 2).cast("int"))
+      .withColumn("ratio", (col("okey") / 2.0).cast("float"))
+    graft.streaming.StreamingOps.writeWave(v1, s"$base/in", 0)
+    Replication.incrementalSync(spark, v1.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state")
+    // DDL: ALTER TABLE … MODIFY qty BIGINT, ratio DOUBLE — the routine
+    // safe promotions; only okey=2 is rewritten after the widening
+    val v2 = txnDf(Seq(TxnEv("U", 3, 2, 21.0, "P", 0))).drop("txn")
+      .withColumn("qty", col("okey") * 200L)
+      .withColumn("ratio", col("okey") * 0.25)
+    graft.streaming.StreamingOps.writeWave(v2, s"$base/in", 1)
+    Replication.incrementalSync(spark, v2.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state")
+    // published schema promoted to the WIDE types
+    val published = graft.streaming.StreamingOps.readStateSchema(s"$base/state").get
+    assert(published("qty").dataType == org.apache.spark.sql.types.LongType)
+    assert(published("ratio").dataType == org.apache.spark.sql.types.DoubleType)
+    // both eras serve correctly under the wide type: the pre-widening
+    // epoch's INT32/FLOAT pages read natively as LONG/DOUBLE
+    val served = Replication.appliedState(spark, s"$base/state")
+      .select(col("okey"), col("qty"), col("ratio")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(served == Set((1L, 2L, 0.5), (2L, 400L, 0.5)))
+    // a narrow envelope arriving AFTER the widening published is fine —
+    // its epochs serve under the published wide type
+    val v3 = txnDf(Seq(TxnEv("U", 4, 1, 11.0, "P", 0))).drop("txn")
+      .withColumn("qty", lit(7).cast("int"))
+      .withColumn("ratio", lit(0.5f))
+    graft.streaming.StreamingOps.writeWave(v3, s"$base/in", 2)
+    Replication.incrementalSync(spark, v3.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state")
+    assert(Replication.appliedState(spark, s"$base/state")
+      .filter(col("okey") === 1).select(col("qty")).collect()(0).getLong(0) == 7L)
+    // a genuine type CHANGE (qty: BIGINT → STRING) is still rejected
+    val v4 = txnDf(Seq(TxnEv("U", 5, 1, 12.0, "P", 0))).drop("txn")
+      .withColumn("qty", lit("many"))
+      .withColumn("ratio", lit(0.5))
+    graft.streaming.StreamingOps.writeWave(v4, s"$base/in", 3)
+    val e = intercept[graft.streaming.StreamingOps.EnvelopeTypeChangeException] {
+      Replication.incrementalSync(spark, v4.schema, s"$base/in",
+        s"$base/ckpt", s"$base/state")
+    }
+    assert(e.column == "qty")
+  }
+
+  test("topology repair: one repairSyncMulti call heals two diverged tables") {
+    val base = tmp()
+    val log = Tables.cdcLog(spark, sf).withColumn("table",
+      when(col("okey") % 2 === 0, "t_even").otherwise("t_odd"))
+    (1 to 3).foreach(w => graft.streaming.StreamingOps.writeWave(
+      log.filter(col("seq") === w), s"$base/in", w - 1))
+    val dirs = Map("t_even" -> s"$base/state_even", "t_odd" -> s"$base/state_odd")
+    Replication.incrementalSyncMulti(spark, log.schema, s"$base/in",
+      s"$base/ckpt", dirs)
+    // per-table truth = the batch collapse fanned out by the same parity
+    // mapping, pinned so the repair can't chase its own mutation
+    val batch = q("agg_latest_by_version").drop("op").localCheckpoint()
+    val truthBy = Map(
+      "t_even" -> batch.filter(col("okey") % 2 === 0),
+      "t_odd" -> batch.filter(col("okey") % 2 =!= 0))
+    // diverge each table DIFFERENTLY: t_even drifts one price, t_odd
+    // loses one key and gains a phantom
+    val evenKey = truthBy("t_even").orderBy(col("okey")).limit(1)
+      .collect()(0).getLong(0)
+    val oddKey = truthBy("t_odd").orderBy(col("okey")).limit(1)
+      .collect()(0).getLong(0)
+    truthBy("t_even").filter(col("okey") === evenKey)
+      .select(lit("U").as("op"), lit(500L).as("seq"), col("ts"),
+        col("okey"), (col("price") + 555.0).as("price"), col("status"))
+      .write.parquet(s"$base/state_even/epoch=99")
+    truthBy("t_odd").filter(col("okey") === oddKey)
+      .select(lit("D").as("op"), lit(500L).as("seq"), col("ts"), col("okey"),
+        lit(null).cast("double").as("price"), lit(null).cast("string").as("status"))
+      .unionByName(truthBy("t_odd").limit(1)
+        .select(lit("I").as("op"), lit(500L).as("seq"), col("ts"),
+          lit(-777L).as("okey"), lit(9.99).as("price"), lit("PH").as("status")))
+      .write.parquet(s"$base/state_odd/epoch=99")
+    val reports = Replication.repairSyncMulti(spark, truthBy, dirs)
+    assert(reports("t_even") == Replication.RepairReport(0, 1, 0),
+      s"t_even: ${reports("t_even")}")
+    assert(reports("t_odd") == Replication.RepairReport(1, 0, 1),
+      s"t_odd: ${reports("t_odd")}")
+    // both tables converged: the user-facing consistency check passes
+    for ((t, dir) <- dirs) {
+      val check = Replication.consistencyCheck(truthBy(t),
+        Replication.appliedState(spark, dir).drop("op"), "okey")
+      assert(check.consistent, s"$t still inconsistent after repair: $check")
+    }
+    // idempotent: a second topology repair finds nothing anywhere
+    assert(Replication.repairSyncMulti(spark, truthBy, dirs)
+      .values.forall(_.repaired == 0L))
+    // a topology repair heals every table or none: a partial source map
+    // fails loudly instead of silently skipping a diverged table
+    val e = intercept[IllegalArgumentException] {
+      Replication.repairSyncMulti(spark, truthBy - "t_odd", dirs)
+    }
+    assert(e.getMessage.contains("t_odd"))
+  }
+
   test("consistency check: clean copy passes; mutation and loss are caught") {
     val src = Tables.t(spark, sf, "nation")
     assert(Replication.consistencyCheck(src, src, "n_nationkey").consistent)

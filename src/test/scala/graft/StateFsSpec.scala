@@ -2,6 +2,14 @@ package graft
 
 import graft.streaming.StateFs
 
+/** The local filesystem under a second scheme name — registered ONLY in
+  * the test session's hadoop conf, so resolving it proves StateFs
+  * consults the session (and never a cached bare `new Configuration()`,
+  * which has no idea the scheme exists). */
+class MockFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("mockfs:///")
+}
+
 /** Contract tests for the state layer's filesystem surface (StateFs) —
   * the semantics every state-dir invariant rests on: epoch discovery,
   * atomic control-file publication, metadata directory moves.
@@ -45,6 +53,25 @@ class StateFsSpec extends SparkTestBase {
       StateFs.moveDir(s"$base/absent", s"$base/dst2")
     }
     assert(e.getMessage.contains("staged dir missing"))
+  }
+
+  test("per-URI conf: a scheme registered only in the session's hadoop conf resolves") {
+    // two schemes over one directory: the default (schemeless → local)
+    // and mockfs, which exists ONLY in the session conf — each gets its
+    // own cached Configuration, so neither can contaminate the other
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mockfs.impl", classOf[MockFs].getName)
+    val base = tmp()
+    StateFs.mkdirs(s"mockfs:$base/epoch=5")
+    assert(StateFs.exists(s"mockfs:$base/epoch=5"))
+    assert(StateFs.epochIds(s"mockfs:$base") == Seq(5L))
+    // it IS the local filesystem underneath — the schemeless view of the
+    // same directory agrees, through its separately-cached conf
+    assert(StateFs.epochIds(base) == Seq(5L))
+    StateFs.writeAtomic(s"$base/epoch=5/_marker", "42")
+    assert(StateFs.readSmall(s"mockfs:$base/epoch=5/_marker").contains("42"))
+    StateFs.deleteRecursive(s"mockfs:$base/epoch=5")
+    assert(!StateFs.exists(s"$base/epoch=5"))
   }
 
   test("deleteRecursive is idempotent and total") {

@@ -238,4 +238,40 @@ class StreamingSpec extends SparkTestBase {
       }
     }
   }
+
+  test("CdcSource pluggability: a CDC pass over a MemoryStream serves the batch collapse") {
+    // the apply machinery must not care about the transport: the same
+    // runCdcPass that the harness drives through files runs here over an
+    // in-memory stream (the Kafka+Debezium stand-in) — same state dir
+    // layout, same served collapse
+    import graft.streaming.StreamingOps
+    val sp = spark
+    import sp.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val log = Tables.cdcLog(spark, sf)
+      .select($"op", $"seq", $"ts", $"okey", $"price", $"status")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime](2), r.getLong(3),
+        if (r.isNullAt(4)) Option.empty[Double] else Some(r.getDouble(4)),
+        Option(r.getString(5))))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long, java.time.LocalDateTime, Long,
+        Option[Double], Option[String])]
+    // one addData per seq wave: each becomes (at least) one micro-batch,
+    // mirroring the file harness's one-file-per-trigger waves
+    (1 to 3).foreach(w => mem.addData(log.filter(_._2 == w).toSeq))
+    val base = java.nio.file.Files.createTempDirectory("graft_memsrc").toString
+    val src = new graft.sources.WrappedCdcSource(
+      mem.toDF().toDF("op", "seq", "ts", "okey", "price", "status"))
+    val (rows, _, lastSeq, _) = StreamingOps.runCdcPassSource(spark, src,
+      s"$base/ckpt", s"$base/state", trackSeq = true)
+    assert(rows == log.length.toLong)
+    assert(lastSeq.contains(3L))
+    val served = Replication.appliedState(spark, s"$base/state")
+      .collect().map(_.toSeq).toSet
+    val batch = q("agg_latest_by_version").collect().map(_.toSeq).toSet
+    assert(served == batch,
+      "a memory-transport pass must serve exactly the batch collapse")
+  }
 }
