@@ -123,14 +123,19 @@ object Replication {
     * its slice in the same epoch, so no per-table read ever observes a
     * half-applied transaction. The named column is consumed as
     * bookkeeping; the uncommitted tail lives with the checkpoint
-    * (`ckptDir/_pending`) because both share one lifecycle. */
+    * (`ckptDir/_pending`) because both share one lifecycle.
+    *
+    * `renameCols` declares RENAME COLUMN DDLs as in [[incrementalSync]];
+    * the shared envelope means one rename carries EVERY table's history
+    * (one binlog, one DDL, one fan-out). */
   def incrementalSyncMulti(spark: SparkSession, schema: StructType,
       inDir: String, ckptDir: String, stateDirs: Map[String, String],
       compactEvery: Int = 16,
       txnCol: Option[String] = None,
-      tombstoneGc: Option[Int] = None): Map[String, SyncProgress] = {
+      tombstoneGc: Option[Int] = None,
+      renameCols: Map[String, String] = Map.empty): Map[String, SyncProgress] = {
     val (stats, pending) = streaming.StreamingOps.runCdcPassMulti(
-      spark, schema, inDir, ckptDir, stateDirs, txnCol)
+      spark, schema, inDir, ckptDir, stateDirs, txnCol, renameCols)
     stateDirs.map { case (t, dir) =>
       if (deltaCount(dir) > compactEvery)
         streaming.StreamingOps.compactState(spark, dir, tombstoneGc,

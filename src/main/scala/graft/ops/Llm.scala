@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.Tables
 import graft.functions.VectorOps
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -306,6 +306,18 @@ object Llm {
     * equivalence property. */
   private[graft] def dedupIncremental(s: SparkSession, batch: DataFrame,
       indexDir: String): DataFrame = {
+    val (confirmed0, newSh, newBands) = dedupIncrementalFrame(s, batch, indexDir)
+    val confirmed = confirmed0.localCheckpoint()
+    newSh.write.mode("append").parquet(s"$indexDir/shingles")
+    newBands.write.mode("append").parquet(s"$indexDir/bands")
+    confirmed
+  }
+
+  /** [[dedupIncremental]]'s un-pinned query (confirmed pairs, batch
+    * shingles, batch bands) — split out so PlanSpec can assert the plan
+    * shape BEFORE the localCheckpoint collapses it. */
+  private[graft] def dedupIncrementalFrame(s: SparkSession, batch: DataFrame,
+      indexDir: String): (DataFrame, DataFrame, DataFrame) = {
     val newSh = graft.CacheRegistry.track(shingleTableOf(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val newBands = graft.CacheRegistry.track(bandTableOf(newSh)
@@ -320,11 +332,7 @@ object Llm {
       .select(least(col("n_id"), col("o_id")).as("a_id"),
         greatest(col("n_id"), col("o_id")).as("b_id"))
       .distinct()
-    val confirmed = jaccardConfirm(pairs, oldSh.unionByName(newSh))
-      .localCheckpoint()
-    newSh.write.mode("append").parquet(s"$indexDir/shingles")
-    newBands.write.mode("append").parquet(s"$indexDir/bands")
-    confirmed
+    (jaccardConfirm(pairs, oldSh.unionByName(newSh)), newSh, newBands)
   }
 
   /** Connected components over the confirmed near-dup graph: min-label
@@ -398,6 +406,36 @@ object Llm {
       dedupIndexSeed(s, all.filter(col("doc_id") < 100000), idx)
       dedupIncremental(s, all.filter(col("doc_id") >= 100000), idx)
         .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // L2j: L2i AS A LIVE STREAM — dedup-on-ingest end-to-end: documents
+    // ARRIVE through a file stream in two waves; each micro-batch dedups
+    // against the persisted index and advances it before the next batch.
+    // The emitted union across batches equals the one-shot incremental
+    // result for ANY wave split (the LlmSpec composition law), so the
+    // same oracle gates it. This is the north-star dedup operator as a
+    // production pipeline, not a query.
+    "llm_dedup_stream" -> ((s, dir) => {
+      val all = docsWithNearDups(s, dir)
+      val tmp = graft.TmpDirs.create("graft_dedup_stream")
+      val idx = s"$tmp/idx"
+      dedupIndexSeed(s, all.filter(col("doc_id") < 100000), idx)
+      val arriving = all.filter(col("doc_id") >= 100000)
+      graft.streaming.StreamingOps.writeWave(
+        arriving.filter(col("doc_id") % 2 === 0), s"$tmp/in", 0)
+      graft.streaming.StreamingOps.writeWave(
+        arriving.filter(col("doc_id") % 2 =!= 0), s"$tmp/in", 1)
+      val query = s.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+        .writeStream.option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          dedupIncremental(s, batch.toDF(), idx)
+            .write.mode("append").parquet(s"$tmp/out"); ()
+        }
+        .start()
+      query.processAllAvailable()
+      query.stop()
+      s.read.parquet(s"$tmp/out").orderBy(col("a_id"), col("b_id"))
     }),
 
     // L2f: near-dup CLUSTERS — the decision layer a real dedup pipeline
@@ -1205,6 +1243,12 @@ object Llm {
     // incremental ingest == the full recompute's pairs touching a batch
     // doc (b_id is the pair max, so b_id >= 100000 iff either side is new)
     "llm_dedup_incremental" ->
+      s"""WITH $minhashPairCtes
+         SELECT a_id, b_id, jaccard FROM confirmed
+         WHERE b_id >= 100000 ORDER BY a_id, b_id""",
+
+    // the streamed ingest unions to the same pair set for any wave split
+    "llm_dedup_stream" ->
       s"""WITH $minhashPairCtes
          SELECT a_id, b_id, jaccard FROM confirmed
          WHERE b_id >= 100000 ORDER BY a_id, b_id""",

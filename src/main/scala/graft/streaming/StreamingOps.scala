@@ -650,18 +650,25 @@ object StreamingOps {
       schema: org.apache.spark.sql.types.StructType,
       in: String, ckpt: String,
       stateDirs: Map[String, String],
-      txnCol: Option[String] = None)
+      txnCol: Option[String] = None,
+      renameCols: Map[String, String] = Map.empty)
       : (Map[String, (Long, Long, Long)], Long) =
-    runCdcPassMultiSource(s, FileCdcSource(schema, in), ckpt, stateDirs, txnCol)
+    runCdcPassMultiSource(s, FileCdcSource(schema, in), ckpt, stateDirs,
+      txnCol, renameCols)
 
-  /** [[runCdcPassMulti]] over an arbitrary [[CdcSource]] transport. */
+  /** [[runCdcPassMulti]] over an arbitrary [[CdcSource]] transport.
+    * `renameCols` declares RENAME COLUMN DDLs exactly as in
+    * [[runCdcPassSource]] — the shared envelope means one rename applies
+    * to EVERY table's state dir (one binlog, one DDL, one fan-out). */
   private[graft] def runCdcPassMultiSource(s: SparkSession, source: CdcSource,
       ckpt: String, stateDirs: Map[String, String],
-      txnCol: Option[String] = None)
+      txnCol: Option[String] = None,
+      renameCols: Map[String, String] = Map.empty)
       : (Map[String, (Long, Long, Long)], Long) = {
     // every table's state dir shares one envelope schema (one binlog,
     // one fan-out) — validate/publish each before the stream starts
     val stateSchema = stateSchemaFor(source.schema, txnCol.toSet)
+    stateDirs.values.foreach(applyRenameDdl(_, renameCols, stateSchema))
     stateDirs.values.foreach(ensureStateSchema(_, stateSchema))
     val acc = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
     // staging lives WITH the checkpoint, not in a local tmp dir: the

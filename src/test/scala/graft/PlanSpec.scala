@@ -191,6 +191,30 @@ class PlanSpec extends SparkTestBase {
       s"cartesian in ngram-jaccard:\n$plan")
   }
 
+  test("incremental dedup reads the persisted index; only the batch is tokenized") {
+    // L2i's O(batch) contract: the candidate join and the confirm must
+    // be equi-joins (never a cartesian), and the index side must enter
+    // the plan as parquet scans of the persisted band/shingle tables —
+    // never as a recompute of the corpus (the plan may tokenize only the
+    // arriving batch, and the persist means even that happens once).
+    val d = Tables.t(spark, sf, "documents")
+    val idx = s"${TmpDirs.create("graft_plan_idx")}/idx"
+    ops.Llm.dedupIndexSeed(spark, d.select(col("doc_id"), col("text")), idx)
+    val batch = d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1, length(text))").as("text"))
+    val (frame, _, _) = ops.Llm.dedupIncrementalFrame(spark, batch, idx)
+    val plan = frame.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"incremental dedup lost its equi-join shape:\n$plan")
+    assert("graft_plan_idx".r.findAllIn(plan).nonEmpty,
+      s"persisted index scans missing from the plan:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"batch shingles not served from the pinned table — the tokenize " +
+        s"pass would otherwise re-run per consumer:\n$plan")
+  }
+
   test("substring-dedup fingerprints are df-capped before the self-join") {
     // L2h's guard, same contract: boilerplate fingerprints (df > 100)
     // never reach pair generation.

@@ -844,6 +844,57 @@ class ReplicationSpec extends SparkTestBase {
     assert(e2.getMessage.contains("ghost"))
   }
 
+  test("multi-table rename: one rename DDL carries every table's history through the fan-out") {
+    val base = tmp()
+    // one binlog, two tables, both with `channel` in the v1 envelope
+    def mt(evs: Seq[TxnEv]) = txnDf(evs).drop("txn")
+      .withColumn("table",
+        when(col("okey") % 2 === 0, "t_even").otherwise("t_odd"))
+    val v1 = mt(Seq(TxnEv("I", 1, 1, 10.0, "O", 0), TxnEv("I", 2, 2, 20.0, "O", 0)))
+      .withColumn("channel", concat(lit("ch"), col("okey")))
+    graft.streaming.StreamingOps.writeWave(v1, s"$base/in", 0)
+    val dirs = Map("t_even" -> s"$base/se", "t_odd" -> s"$base/so")
+    Replication.incrementalSyncMulti(spark, v1.schema, s"$base/in",
+      s"$base/ckpt", dirs)
+    // the rename DDL arrives once for the whole topology; only t_even's
+    // key is rewritten after it — t_odd's history must still carry
+    val v2 = mt(Seq(TxnEv("U", 3, 2, 21.0, "P", 0)))
+      .withColumn("chan", lit("new2"))
+    graft.streaming.StreamingOps.writeWave(v2, s"$base/in", 1)
+    Replication.incrementalSyncMulti(spark, v2.schema, s"$base/in",
+      s"$base/ckpt", dirs, renameCols = Map("channel" -> "chan"))
+    def servedChan(dir: String) = Replication.appliedState(spark, dir)
+      .select(col("okey"), col("chan")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(servedChan(s"$base/se") == Map(2L -> "new2"))
+    assert(servedChan(s"$base/so") == Map(1L -> "ch1"),
+      "the untouched table's pre-rename history must serve under the new name")
+  }
+
+  test("rename composes with widening: a renamed INT column arriving as BIGINT promotes") {
+    val base = tmp()
+    val v1 = txnDf(Seq(TxnEv("I", 1, 1, 10.0, "O", 0),
+      TxnEv("I", 2, 2, 20.0, "O", 0))).drop("txn")
+      .withColumn("qty", (col("okey") * 3).cast("int"))
+    graft.streaming.StreamingOps.writeWave(v1, s"$base/in", 0)
+    Replication.incrementalSync(spark, v1.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state")
+    // one DDL both renames qty→amount AND widens it to BIGINT — the
+    // allowlisted promotion rides the rename instead of failing
+    val v2 = txnDf(Seq(TxnEv("U", 3, 2, 21.0, "P", 0))).drop("txn")
+      .withColumn("amount", lit(5000000000L))
+    graft.streaming.StreamingOps.writeWave(v2, s"$base/in", 1)
+    Replication.incrementalSync(spark, v2.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", renameCols = Map("qty" -> "amount"))
+    val published = graft.streaming.StreamingOps.readStateSchema(s"$base/state").get
+    assert(published("amount").dataType == org.apache.spark.sql.types.LongType)
+    val served = Replication.appliedState(spark, s"$base/state")
+      .select(col("okey"), col("amount")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(served == Map(1L -> 3L, 2L -> 5000000000L),
+      "pre-rename INT history must serve as BIGINT under the new name")
+  }
+
   test("DDL safe widening: INT→BIGINT and FLOAT→DOUBLE promote; a real type change still fails") {
     val base = tmp()
     // v1 envelope: qty INT, ratio FLOAT
