@@ -93,15 +93,24 @@ object Replication {
     * StreamingOps.applyRenameDdl) — instead of forking into a stale old
     * column plus NULLs under the new one. Renaming onto a different type
     * is still the type-change class and fails loudly, unless the change
-    * is an allowlisted safe widening. */
+    * is an allowlisted safe widening.
+    *
+    * `truncateAtSeq` declares a `TRUNCATE TABLE` QueryEvent at the given
+    * binlog position: every event at or below it is dead — keys whose
+    * history fully predates the truncate vanish from [[appliedState]],
+    * keys rewritten after it serve their post-truncate image — and the
+    * next compaction physically reclaims the dead rows. O(1) metadata at
+    * declare time; nothing is eagerly rewritten. */
   def incrementalSync(spark: SparkSession, schema: StructType, inDir: String,
       ckptDir: String, stateDir: String, compactEvery: Int = 16,
       fromSeq: Option[Long] = None, txnCol: Option[String] = None,
       tombstoneGc: Option[Int] = None,
-      renameCols: Map[String, String] = Map.empty): SyncProgress = {
+      renameCols: Map[String, String] = Map.empty,
+      truncateAtSeq: Option[Long] = None): SyncProgress = {
     val (rows, epochs, lastSeq, pending) = streaming.StreamingOps.runCdcPass(
       spark, schema, inDir, ckptDir, stateDir, trackSeq = true,
-      startAfterSeq = fromSeq, txnCol = txnCol, renameCols = renameCols)
+      startAfterSeq = fromSeq, txnCol = txnCol, renameCols = renameCols,
+      truncateAtSeq = truncateAtSeq)
     if (deltaCount(stateDir) > compactEvery)
       streaming.StreamingOps.compactState(spark, stateDir, tombstoneGc)
     SyncProgress(rows, epochs, lastSeq, pending)
@@ -127,15 +136,18 @@ object Replication {
     *
     * `renameCols` declares RENAME COLUMN DDLs as in [[incrementalSync]];
     * the shared envelope means one rename carries EVERY table's history
-    * (one binlog, one DDL, one fan-out). */
+    * (one binlog, one DDL, one fan-out). `truncateAt` (table → binlog
+    * position) declares per-table TRUNCATE TABLE QueryEvents — a
+    * truncate, unlike a rename, targets one table. */
   def incrementalSyncMulti(spark: SparkSession, schema: StructType,
       inDir: String, ckptDir: String, stateDirs: Map[String, String],
       compactEvery: Int = 16,
       txnCol: Option[String] = None,
       tombstoneGc: Option[Int] = None,
-      renameCols: Map[String, String] = Map.empty): Map[String, SyncProgress] = {
+      renameCols: Map[String, String] = Map.empty,
+      truncateAt: Map[String, Long] = Map.empty): Map[String, SyncProgress] = {
     val (stats, pending) = streaming.StreamingOps.runCdcPassMulti(
-      spark, schema, inDir, ckptDir, stateDirs, txnCol, renameCols)
+      spark, schema, inDir, ckptDir, stateDirs, txnCol, renameCols, truncateAt)
     stateDirs.map { case (t, dir) =>
       if (deltaCount(dir) > compactEvery)
         streaming.StreamingOps.compactState(spark, dir, tombstoneGc,

@@ -488,22 +488,26 @@ object StreamingOps {
       trackSeq: Boolean = false,
       startAfterSeq: Option[Long] = None,
       txnCol: Option[String] = None,
-      renameCols: Map[String, String] = Map.empty)
+      renameCols: Map[String, String] = Map.empty,
+      truncateAtSeq: Option[Long] = None)
       : (Long, Long, Option[Long], Long) =
     runCdcPassSource(s, FileCdcSource(schema, in), ckpt, state, trackSeq,
-      startAfterSeq, txnCol, renameCols)
+      startAfterSeq, txnCol, renameCols, truncateAtSeq)
 
   /** [[runCdcPass]] over an arbitrary [[CdcSource]] transport.
     * `renameCols` (old → new) declares RENAME COLUMN DDLs this pass's
     * envelope carries (see [[applyRenameDdl]]): the published column is
     * renamed in place and its epoch history keeps serving under the new
-    * name. */
+    * name. `truncateAtSeq` declares a `TRUNCATE TABLE` QueryEvent at the
+    * given binlog position (see [[applyTruncateDdl]]): every event at or
+    * below it is dead at read time, events after it rebuild the table. */
   private[graft] def runCdcPassSource(s: SparkSession, source: CdcSource,
       ckpt: String, state: String,
       trackSeq: Boolean = false,
       startAfterSeq: Option[Long] = None,
       txnCol: Option[String] = None,
-      renameCols: Map[String, String] = Map.empty)
+      renameCols: Map[String, String] = Map.empty,
+      truncateAtSeq: Option[Long] = None)
       : (Long, Long, Option[Long], Long) = {
     // DDL metadata settles BEFORE the stream starts: renames carry
     // published history to the new name, then the type-change guardrail
@@ -513,6 +517,7 @@ object StreamingOps {
     val stateSchema = stateSchemaFor(source.schema, txnCol.toSet)
     applyRenameDdl(state, renameCols, stateSchema)
     ensureStateSchema(state, stateSchema)
+    applyTruncateDdl(state, truncateAtSeq)
     var maxSeq = Option.empty[Long]
     var written = 0L
     // a batch consumed by >1 action must be pinned (see the note above);
@@ -651,25 +656,35 @@ object StreamingOps {
       in: String, ckpt: String,
       stateDirs: Map[String, String],
       txnCol: Option[String] = None,
-      renameCols: Map[String, String] = Map.empty)
+      renameCols: Map[String, String] = Map.empty,
+      truncateAt: Map[String, Long] = Map.empty)
       : (Map[String, (Long, Long, Long)], Long) =
     runCdcPassMultiSource(s, FileCdcSource(schema, in), ckpt, stateDirs,
-      txnCol, renameCols)
+      txnCol, renameCols, truncateAt)
 
   /** [[runCdcPassMulti]] over an arbitrary [[CdcSource]] transport.
     * `renameCols` declares RENAME COLUMN DDLs exactly as in
     * [[runCdcPassSource]] — the shared envelope means one rename applies
-    * to EVERY table's state dir (one binlog, one DDL, one fan-out). */
+    * to EVERY table's state dir (one binlog, one DDL, one fan-out).
+    * `truncateAt` (table → binlog position) declares per-table `TRUNCATE
+    * TABLE` QueryEvents — unlike a rename, a truncate targets ONE table,
+    * so only the named tables' floors advance. */
   private[graft] def runCdcPassMultiSource(s: SparkSession, source: CdcSource,
       ckpt: String, stateDirs: Map[String, String],
       txnCol: Option[String] = None,
-      renameCols: Map[String, String] = Map.empty)
+      renameCols: Map[String, String] = Map.empty,
+      truncateAt: Map[String, Long] = Map.empty)
       : (Map[String, (Long, Long, Long)], Long) = {
+    require(truncateAt.keySet.subsetOf(stateDirs.keySet),
+      s"truncate declared for unreplicated table(s): " +
+        s"${(truncateAt.keySet -- stateDirs.keySet).toSeq.sorted.mkString(", ")}")
     // every table's state dir shares one envelope schema (one binlog,
     // one fan-out) — validate/publish each before the stream starts
     val stateSchema = stateSchemaFor(source.schema, txnCol.toSet)
     stateDirs.values.foreach(applyRenameDdl(_, renameCols, stateSchema))
     stateDirs.values.foreach(ensureStateSchema(_, stateSchema))
+    truncateAt.foreach { case (t, sq) =>
+      applyTruncateDdl(stateDirs(t), Some(sq)) }
     val acc = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
     // staging lives WITH the checkpoint, not in a local tmp dir: the
     // ckpt and the state dirs share a durable filesystem in production,
@@ -796,9 +811,17 @@ object StreamingOps {
       // mid-stream DDL carry different envelope widths; pre-DDL rows
       // surface NULL either way
       val raw = readStateDir(s, state)
-      val gated = readPurgeFloor(state) match {
+      val purgeGated = readPurgeFloor(state) match {
         case Some(f) => raw.filter(col("epoch") < 0 || col("seq") > f)
         case None => raw
+      }
+      // the truncate floor's space reclaim: rows at or below the floor
+      // never enter the baseline, so the compaction physically frees
+      // what the TRUNCATE logically deleted (the floor file stays — a
+      // replayed pre-truncate epoch is still gated at read)
+      val gated = readTruncFloor(state) match {
+        case Some(t) => purgeGated.filter(col("seq") > t)
+        case None => purgeGated
       }
       val fields = Seq("op", "price", "status", "ts", "seq") ++ extraCols(gated)
       // the winning row's source epoch rides along so the horizon can
@@ -856,6 +879,34 @@ object StreamingOps {
     * so parquet reads of the state dir never see it. */
   private[graft] def readPurgeFloor(state: String): Option[Long] =
     StateFs.readSmall(s"$state/_purge_floor").map(_.trim.toLong)
+
+  /** The TRUNCATE floor (`_trunc_floor`): the newest binlog position at
+    * which a `TRUNCATE TABLE` QueryEvent arrived for this table. Every
+    * event at or below it is DEAD — [[readLatestState]] collapses only
+    * rows above the floor (a key whose events all predate the truncate
+    * serves nothing; a key rewritten after it serves its post-truncate
+    * image, which is exactly MySQL's: the post-truncate binlog only
+    * carries rows that exist), and the next [[compactState]] drops dead
+    * rows from the baseline — the space reclaim a real TRUNCATE implies.
+    * O(1) metadata, no data job at truncate time: the declared position
+    * gates reads; nothing is rewritten eagerly. Absent until a truncate
+    * has been declared. */
+  private[graft] def readTruncFloor(state: String): Option[Long] =
+    StateFs.readSmall(s"$state/_trunc_floor").map(_.trim.toLong)
+
+  /** Apply a `TRUNCATE TABLE` QueryEvent to the state dir's metadata
+    * ([[readTruncFloor]]): publish max(existing floor, declared
+    * position) — monotone, so an at-least-once replay of the declaring
+    * pass is a no-op, and a later truncate only ever advances it.
+    * Published atomically before the pass streams (the [[applyRenameDdl]]
+    * ordering): the floor is a fact about the SOURCE's history, valid
+    * the moment the DDL is known, independent of which events this pass
+    * will apply. */
+  private def applyTruncateDdl(state: String, at: Option[Long]): Unit =
+    at.foreach { sq =>
+      val floor = readTruncFloor(state).fold(sq)(math.max(_, sq))
+      StateFs.writeAtomic(s"$state/_trunc_floor", floor.toString)
+    }
 
   /** Atomic overwrite-publish (write-tmp + FileContext OVERWRITE rename,
     * see [[StateFs.writeAtomic]]): a concurrent reader sees the old or
@@ -1123,9 +1174,16 @@ object StreamingOps {
     * deletes cannot resurrect. */
   private[graft] def readLatestState(s: SparkSession, state: String): DataFrame = {
     val raw = readStateDir(s, state)
-    val gated = readPurgeFloor(state) match {
+    val purgeGated = readPurgeFloor(state) match {
       case Some(f) => raw.filter(col("epoch") < 0 || col("seq") > f)
       case None => raw
+    }
+    // truncate floor ([[readTruncFloor]]): dead rows never reach the
+    // collapse shuffle — and unlike the purge gate, baselines are NOT
+    // exempt (a truncate kills folded history too)
+    val gated = readTruncFloor(state) match {
+      case Some(t) => purgeGated.filter(col("seq") > t)
+      case None => purgeGated
     }
     collapse(envelope(gated))
       .filter(col("op") =!= "D")
@@ -1366,6 +1424,31 @@ object StreamingOps {
       // change itself (per-wave semantics are spec-covered elsewhere)
       writeWave(v2, in, 1)
       runCdcPass(s, v2.schema, in, s"$tmp/ckpt", s"$tmp/state")
+      readLatestState(s, s"$tmp/state")
+    }),
+
+    // ST-TRUNCATE: TRUNCATE TABLE under the oracle gate — the remaining
+    // common DDL verb after ADD/DROP/RENAME/widen: pass 1 applies the
+    // full insert wave (seq 1), the stream stops, and the TRUNCATE
+    // QueryEvent arrives at position 1 — everything applied so far is
+    // dead. The resumed pass declares the truncate and applies the
+    // post-truncate events (the seq-2 updates and seq-3 deletes), which
+    // rebuild the table: keys whose history fully predates the truncate
+    // must VANISH, keys rewritten after it serve exactly their
+    // post-truncate image (MySQL's semantics: the post-truncate binlog
+    // only carries rows that exist). The truncate itself is O(1)
+    // metadata — a monotone floor file — with the space reclaim
+    // deferred to the next compaction.
+    "stream_cdc_truncate" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir)
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      writeWave(log.filter(col("seq") === 1), in, 0)
+      runCdcPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state")
+      writeWaves(log.filter(col("seq") >= 2), in, col("seq") - 1, 3,
+        Seq(col("okey")))
+      runCdcPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state",
+        truncateAtSeq = Some(1L))
       readLatestState(s, s"$tmp/state")
     }),
 
@@ -1786,6 +1869,15 @@ object StreamingOps {
             ranked AS (SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) rn
                        FROM evolved)
          SELECT okey, op, price, status, ts, chan FROM ranked
+         WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
+
+    // truncate at position 1: only post-truncate events survive the
+    // collapse — keys never rewritten after it are gone entirely.
+    "stream_cdc_truncate" ->
+      s"""WITH cdc_log AS (${Tables.cdcLogSql}),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM cdc_log WHERE seq > 1)
+         SELECT okey, op, price, status, ts FROM ranked
          WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
 
     // live DDL ≡ A12's batch unionByName collapse (same oracle).

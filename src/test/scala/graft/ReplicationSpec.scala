@@ -895,6 +895,77 @@ class ReplicationSpec extends SparkTestBase {
       "pre-rename INT history must serve as BIGINT under the new name")
   }
 
+  test("TRUNCATE: pre-truncate keys vanish; keys rewritten after it rebuild") {
+    val base = tmp()
+    val v1 = txnDf(Seq(TxnEv("I", 1, 1, 10.0, "O", 0),
+      TxnEv("I", 2, 2, 20.0, "O", 0))).drop("txn")
+    graft.streaming.StreamingOps.writeWave(v1, s"$base/in", 0)
+    Replication.incrementalSync(spark, v1.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state")
+    // the TRUNCATE TABLE QueryEvent arrives at position 2; only key 2 is
+    // rewritten afterwards — key 1's history fully predates the truncate
+    val v2 = txnDf(Seq(TxnEv("U", 3, 2, 21.0, "P", 0))).drop("txn")
+    graft.streaming.StreamingOps.writeWave(v2, s"$base/in", 1)
+    Replication.incrementalSync(spark, v2.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", truncateAtSeq = Some(2L))
+    assert(servedTxnState(s"$base/state") == Map(2L -> ("U", 21.0)),
+      "only the post-truncate image may serve; pre-truncate keys must vanish")
+  }
+
+  test("TRUNCATE floor is monotone; compaction physically reclaims dead rows") {
+    val base = tmp()
+    val v1 = txnDf(Seq(TxnEv("I", 1, 1, 10.0, "O", 0),
+      TxnEv("I", 2, 2, 20.0, "O", 0))).drop("txn")
+    graft.streaming.StreamingOps.writeWave(v1, s"$base/in", 0)
+    val v2 = txnDf(Seq(TxnEv("U", 3, 2, 21.0, "P", 0))).drop("txn")
+    graft.streaming.StreamingOps.writeWave(v2, s"$base/in", 1)
+    // two delta epochs + compactEvery=1 → the pass compacts; the baseline
+    // must hold ONLY live rows (seq > floor) — the space reclaim
+    Replication.incrementalSync(spark, v1.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", compactEvery = 1,
+      truncateAtSeq = Some(2L))
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(s"$base/state")
+    assert(raw.filter(col("seq") <= 2).count() == 0,
+      "compaction must drop rows the truncate killed")
+    assert(servedTxnState(s"$base/state") == Map(2L -> ("U", 21.0)))
+    // a later pass declaring an OLDER truncate cannot lower the floor
+    val v3 = txnDf(Seq(TxnEv("U", 4, 2, 22.0, "Q", 0))).drop("txn")
+    graft.streaming.StreamingOps.writeWave(v3, s"$base/in", 2)
+    Replication.incrementalSync(spark, v3.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", truncateAtSeq = Some(1L))
+    assert(graft.streaming.StreamingOps.readTruncFloor(s"$base/state")
+      .contains(2L), "the truncate floor must be monotone")
+    assert(servedTxnState(s"$base/state") == Map(2L -> ("U", 22.0)))
+  }
+
+  test("multi-table TRUNCATE targets one table; the other's history is untouched") {
+    val base = tmp()
+    def mt(evs: Seq[TxnEv]) = txnDf(evs).drop("txn")
+      .withColumn("table",
+        when(col("okey") % 2 === 0, "t_even").otherwise("t_odd"))
+    val v1 = mt(Seq(TxnEv("I", 1, 1, 10.0, "O", 0), TxnEv("I", 2, 2, 20.0, "O", 0)))
+    graft.streaming.StreamingOps.writeWave(v1, s"$base/in", 0)
+    val dirs = Map("t_even" -> s"$base/se", "t_odd" -> s"$base/so")
+    Replication.incrementalSyncMulti(spark, v1.schema, s"$base/in",
+      s"$base/ckpt", dirs)
+    // TRUNCATE t_even at position 2; only key 2 (even) is rewritten after
+    val v2 = mt(Seq(TxnEv("U", 3, 2, 21.0, "P", 0)))
+    graft.streaming.StreamingOps.writeWave(v2, s"$base/in", 1)
+    Replication.incrementalSyncMulti(spark, v2.schema, s"$base/in",
+      s"$base/ckpt", dirs, truncateAt = Map("t_even" -> 2L))
+    assert(servedTxnState(s"$base/se") == Map(2L -> ("U", 21.0)))
+    assert(servedTxnState(s"$base/so") == Map(1L -> ("I", 10.0)),
+      "a truncate on one table must not touch the other's history")
+    // declaring a truncate for a table the topology does not replicate
+    // fails loudly instead of silently dropping the DDL
+    val e = intercept[IllegalArgumentException] {
+      Replication.incrementalSyncMulti(spark, v2.schema, s"$base/in",
+        s"$base/ckpt", dirs, truncateAt = Map("t_ghost" -> 2L))
+    }
+    assert(e.getMessage.contains("t_ghost"))
+  }
+
   test("DDL safe widening: INT→BIGINT and FLOAT→DOUBLE promote; a real type change still fails") {
     val base = tmp()
     // v1 envelope: qty INT, ratio FLOAT
