@@ -100,17 +100,27 @@ object Replication {
     * history fully predates the truncate vanish from [[appliedState]],
     * keys rewritten after it serve their post-truncate image — and the
     * next compaction physically reclaims the dead rows. O(1) metadata at
-    * declare time; nothing is eagerly rewritten. */
+    * declare time; nothing is eagerly rewritten.
+    *
+    * `defaultCols` declares `ADD COLUMN … DEFAULT` clauses
+    * (StreamingOps.ColumnDefault: the DDL's binlog position + the
+    * default as a SQL literal): keys last touched BEFORE the DDL serve
+    * the default instead of NULL — MySQL's backfill — while a row
+    * written after it serves what it wrote, explicit NULL included. The
+    * backfill is lazy (read-time fill, materialized by the next
+    * compaction), the INSTANT ADD COLUMN shape a 100 TB table needs. */
   def incrementalSync(spark: SparkSession, schema: StructType, inDir: String,
       ckptDir: String, stateDir: String, compactEvery: Int = 16,
       fromSeq: Option[Long] = None, txnCol: Option[String] = None,
       tombstoneGc: Option[Int] = None,
       renameCols: Map[String, String] = Map.empty,
-      truncateAtSeq: Option[Long] = None): SyncProgress = {
+      truncateAtSeq: Option[Long] = None,
+      defaultCols: Map[String, streaming.StreamingOps.ColumnDefault] = Map.empty)
+      : SyncProgress = {
     val (rows, epochs, lastSeq, pending) = streaming.StreamingOps.runCdcPass(
       spark, schema, inDir, ckptDir, stateDir, trackSeq = true,
       startAfterSeq = fromSeq, txnCol = txnCol, renameCols = renameCols,
-      truncateAtSeq = truncateAtSeq)
+      truncateAtSeq = truncateAtSeq, defaultCols = defaultCols)
     if (deltaCount(stateDir) > compactEvery)
       streaming.StreamingOps.compactState(spark, stateDir, tombstoneGc)
     SyncProgress(rows, epochs, lastSeq, pending)
@@ -145,9 +155,12 @@ object Replication {
       txnCol: Option[String] = None,
       tombstoneGc: Option[Int] = None,
       renameCols: Map[String, String] = Map.empty,
-      truncateAt: Map[String, Long] = Map.empty): Map[String, SyncProgress] = {
+      truncateAt: Map[String, Long] = Map.empty,
+      defaultCols: Map[String, streaming.StreamingOps.ColumnDefault] = Map.empty)
+      : Map[String, SyncProgress] = {
     val (stats, pending) = streaming.StreamingOps.runCdcPassMulti(
-      spark, schema, inDir, ckptDir, stateDirs, txnCol, renameCols, truncateAt)
+      spark, schema, inDir, ckptDir, stateDirs, txnCol, renameCols, truncateAt,
+      defaultCols)
     stateDirs.map { case (t, dir) =>
       if (deltaCount(dir) > compactEvery)
         streaming.StreamingOps.compactState(spark, dir, tombstoneGc,

@@ -214,6 +214,52 @@ object StreamingOps {
             org.apache.spark.sql.types.StructType(widened ++ fresh).json)
     }
 
+  /** An `ADD COLUMN … DEFAULT` declaration: the binlog position of the
+    * DDL (`atSeq`) and the default as a SQL literal expression — exactly
+    * what the `ALTER TABLE` statement carries. Rows last written at or
+    * below `atSeq` (pre-DDL — their epochs don't even hold the column)
+    * serve the default; rows written after it serve what they wrote,
+    * including an EXPLICIT NULL — MySQL's backfill semantics, not a
+    * blanket NULL-coalesce. */
+  final case class ColumnDefault(atSeq: Long, default: String)
+
+  /** The state dir's DEFAULTS LOG (`_defaults`, tab-separated
+    * `name\tatSeq\tliteral` lines): the record that lets pre-DDL epochs
+    * serve an added column's DEFAULT instead of NULL (see
+    * [[readStateDir]]'s fill). Renames re-key entries to the column's
+    * current published name ([[applyRenameDdl]]). */
+  private[graft] def readDefaults(state: String): Seq[(String, Long, String)] =
+    StateFs.readSmall(s"$state/_defaults").toSeq
+      .flatMap(_.split("\n")).filter(_.nonEmpty)
+      .map { l =>
+        val p = l.split("\t", 3)
+        (p(0), p(1).toLong, p(2))
+      }
+
+  /** Apply an `ADD COLUMN … DEFAULT` QueryEvent's default clause to the
+    * state dir's metadata: append to the `_defaults` log (idempotent —
+    * an at-least-once replay of the declaring pass dedupes). O(1)
+    * metadata, no backfill job: pre-DDL epochs are filled AT READ TIME
+    * and materialized by the next compaction — the lazy backfill a
+    * 100 TB table demands (MySQL 8's INSTANT ADD COLUMN does the same).
+    * The column must ride in the declaring pass's envelope — a default
+    * for a column the stream doesn't carry is a config typo, loudly. */
+  private def applyDefaultDdl(state: String,
+      defaults: Map[String, ColumnDefault],
+      incoming: org.apache.spark.sql.types.StructType): Unit =
+    if (defaults.nonEmpty) {
+      defaults.keys.foreach { c =>
+        require(incoming.fieldNames.contains(c),
+          s"default declared for column '$c' absent from the incoming envelope")
+      }
+      val prior = readDefaults(state)
+      val appended = prior ++ defaults.toSeq
+        .map { case (c, d) => (c, d.atSeq, d.default) }
+        .filterNot(prior.contains)
+      StateFs.writeAtomic(s"$state/_defaults",
+        appended.map { case (c, sq, d) => s"$c\t$sq\t$d" }.mkString("\n"))
+    }
+
   /** The state dir's RENAME LOG (`_renames`, tab-separated `old→new`
     * lines, appended per rename DDL): the record that lets pre-rename
     * epochs — whose parquet files still carry the OLD column name —
@@ -280,6 +326,14 @@ object StreamingOps {
         appended.map { case (o, n) => s"$o\t$n" }.mkString("\n"))
       StateFs.writeAtomic(s"$state/_schema",
         org.apache.spark.sql.types.StructType(fields).json)
+      // a renamed column's DEFAULT declaration follows the name — the
+      // defaults log is keyed by the current published name
+      val priorDefaults = readDefaults(state)
+      val rekeyed = priorDefaults.map { case (c, sq, d) =>
+        (renames.getOrElse(c, c), sq, d) }
+      if (rekeyed != priorDefaults)
+        StateFs.writeAtomic(s"$state/_defaults",
+          rekeyed.map { case (c, sq, d) => s"$c\t$sq\t$d" }.mkString("\n"))
     }
 
   /** Read a state dir through its published schema when one exists
@@ -297,8 +351,8 @@ object StreamingOps {
     * serves NULL (both columns NULL). Epochs written after a compaction
     * hold only current names; the historical columns read as all-NULL
     * no-ops. */
-  private def readStateDir(s: SparkSession, state: String): DataFrame =
-    readStateSchema(state) match {
+  private def readStateDir(s: SparkSession, state: String): DataFrame = {
+    val base = readStateSchema(state) match {
       case Some(p) =>
         // a historical name RE-ADDED later as a fresh column stops being
         // history — the physical column now means the new column, and
@@ -324,6 +378,24 @@ object StreamingOps {
         }
       case None => s.read.option("mergeSchema", "true").parquet(state)
     }
+    // DEFAULT fill ([[readDefaults]]): a pre-DDL row — last written at
+    // or below the declaring position, NULL because its epoch predates
+    // the column — serves the declared default; a post-DDL row serves
+    // what it wrote, explicit NULL included. Scan-local (no shuffle,
+    // codegen'd CASE), and the next compaction materializes it.
+    val defaults = readDefaults(state)
+      .filter { case (c, _, _) => base.columns.contains(c) }
+      .groupBy(_._1).map { case (c, es) => c -> es.last }
+    if (defaults.isEmpty) base
+    else base.select(base.columns.toSeq.map { c =>
+      defaults.get(c) match {
+        case Some((_, sq, d)) =>
+          when(col(c).isNull && col("seq") <= sq,
+            expr(d).cast(base.schema(c).dataType)).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }: _*)
+  }
 
   private def tmpDir(): String = graft.TmpDirs.create("graft_stream")
 
@@ -489,10 +561,11 @@ object StreamingOps {
       startAfterSeq: Option[Long] = None,
       txnCol: Option[String] = None,
       renameCols: Map[String, String] = Map.empty,
-      truncateAtSeq: Option[Long] = None)
+      truncateAtSeq: Option[Long] = None,
+      defaultCols: Map[String, ColumnDefault] = Map.empty)
       : (Long, Long, Option[Long], Long) =
     runCdcPassSource(s, FileCdcSource(schema, in), ckpt, state, trackSeq,
-      startAfterSeq, txnCol, renameCols, truncateAtSeq)
+      startAfterSeq, txnCol, renameCols, truncateAtSeq, defaultCols)
 
   /** [[runCdcPass]] over an arbitrary [[CdcSource]] transport.
     * `renameCols` (old → new) declares RENAME COLUMN DDLs this pass's
@@ -500,14 +573,17 @@ object StreamingOps {
     * renamed in place and its epoch history keeps serving under the new
     * name. `truncateAtSeq` declares a `TRUNCATE TABLE` QueryEvent at the
     * given binlog position (see [[applyTruncateDdl]]): every event at or
-    * below it is dead at read time, events after it rebuild the table. */
+    * below it is dead at read time, events after it rebuild the table.
+    * `defaultCols` declares `ADD COLUMN … DEFAULT` clauses (see
+    * [[ColumnDefault]]): pre-DDL rows serve the default instead of NULL. */
   private[graft] def runCdcPassSource(s: SparkSession, source: CdcSource,
       ckpt: String, state: String,
       trackSeq: Boolean = false,
       startAfterSeq: Option[Long] = None,
       txnCol: Option[String] = None,
       renameCols: Map[String, String] = Map.empty,
-      truncateAtSeq: Option[Long] = None)
+      truncateAtSeq: Option[Long] = None,
+      defaultCols: Map[String, ColumnDefault] = Map.empty)
       : (Long, Long, Option[Long], Long) = {
     // DDL metadata settles BEFORE the stream starts: renames carry
     // published history to the new name, then the type-change guardrail
@@ -518,6 +594,7 @@ object StreamingOps {
     applyRenameDdl(state, renameCols, stateSchema)
     ensureStateSchema(state, stateSchema)
     applyTruncateDdl(state, truncateAtSeq)
+    applyDefaultDdl(state, defaultCols, stateSchema)
     var maxSeq = Option.empty[Long]
     var written = 0L
     // a batch consumed by >1 action must be pinned (see the note above);
@@ -657,10 +734,11 @@ object StreamingOps {
       stateDirs: Map[String, String],
       txnCol: Option[String] = None,
       renameCols: Map[String, String] = Map.empty,
-      truncateAt: Map[String, Long] = Map.empty)
+      truncateAt: Map[String, Long] = Map.empty,
+      defaultCols: Map[String, ColumnDefault] = Map.empty)
       : (Map[String, (Long, Long, Long)], Long) =
     runCdcPassMultiSource(s, FileCdcSource(schema, in), ckpt, stateDirs,
-      txnCol, renameCols, truncateAt)
+      txnCol, renameCols, truncateAt, defaultCols)
 
   /** [[runCdcPassMulti]] over an arbitrary [[CdcSource]] transport.
     * `renameCols` declares RENAME COLUMN DDLs exactly as in
@@ -668,12 +746,14 @@ object StreamingOps {
     * to EVERY table's state dir (one binlog, one DDL, one fan-out).
     * `truncateAt` (table → binlog position) declares per-table `TRUNCATE
     * TABLE` QueryEvents — unlike a rename, a truncate targets ONE table,
-    * so only the named tables' floors advance. */
+    * so only the named tables' floors advance. `defaultCols` declares
+    * `ADD COLUMN … DEFAULT` clauses — envelope-wide, like a rename. */
   private[graft] def runCdcPassMultiSource(s: SparkSession, source: CdcSource,
       ckpt: String, stateDirs: Map[String, String],
       txnCol: Option[String] = None,
       renameCols: Map[String, String] = Map.empty,
-      truncateAt: Map[String, Long] = Map.empty)
+      truncateAt: Map[String, Long] = Map.empty,
+      defaultCols: Map[String, ColumnDefault] = Map.empty)
       : (Map[String, (Long, Long, Long)], Long) = {
     require(truncateAt.keySet.subsetOf(stateDirs.keySet),
       s"truncate declared for unreplicated table(s): " +
@@ -685,6 +765,7 @@ object StreamingOps {
     stateDirs.values.foreach(ensureStateSchema(_, stateSchema))
     truncateAt.foreach { case (t, sq) =>
       applyTruncateDdl(stateDirs(t), Some(sq)) }
+    stateDirs.values.foreach(applyDefaultDdl(_, defaultCols, stateSchema))
     val acc = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
     // staging lives WITH the checkpoint, not in a local tmp dir: the
     // ckpt and the state dirs share a durable filesystem in production,
@@ -1427,6 +1508,31 @@ object StreamingOps {
       readLatestState(s, s"$tmp/state")
     }),
 
+    // ST-DEFAULT: ADD COLUMN … DEFAULT under the oracle gate — MySQL's
+    // backfill semantics, not a blanket NULL-coalesce: pass 2 resumes
+    // with an envelope that gained `channel` DEFAULT 'none' (the DDL's
+    // position = everything pass 1 applied). Keys last touched PRE-DDL
+    // must serve 'none' (their epochs don't even hold the column); keys
+    // rewritten post-DDL serve what they wrote — including the okey%5
+    // rows that EXPLICITLY write NULL, which must stay NULL (the
+    // differentiator a coalesce would get wrong). The backfill is lazy:
+    // a read-time scan-local fill, materialized by the next compaction.
+    "stream_cdc_default" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir)
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      writeWave(log.filter(col("seq") === 1), in, 0)
+      runCdcPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state")
+      val v2 = log.filter(col("seq") >= 2).withColumn("channel",
+        when(col("op") === "D" || col("okey") % 5 === 0,
+          lit(null).cast(StringType))
+          .otherwise(concat(lit("ch"), (col("okey") % 4).cast(StringType))))
+      writeWave(v2, in, 1)
+      runCdcPass(s, v2.schema, in, s"$tmp/ckpt", s"$tmp/state",
+        defaultCols = Map("channel" -> ColumnDefault(1L, "'none'")))
+      readLatestState(s, s"$tmp/state")
+    }),
+
     // ST-TRUNCATE: TRUNCATE TABLE under the oracle gate — the remaining
     // common DDL verb after ADD/DROP/RENAME/widen: pass 1 applies the
     // full insert wave (seq 1), the stream stops, and the TRUNCATE
@@ -1870,6 +1976,26 @@ object StreamingOps {
                        FROM evolved)
          SELECT okey, op, price, status, ts, chan FROM ranked
          WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
+
+    // ADD COLUMN DEFAULT: pre-DDL winners serve the default, post-DDL
+    // winners serve what they wrote — explicit NULL stays NULL.
+    "stream_cdc_default" ->
+      s"""WITH cdc_log AS (${Tables.cdcLogSql}),
+            evolved AS (
+              SELECT op, seq, ts, okey, price, status,
+                     CAST(NULL AS VARCHAR) AS channel
+              FROM cdc_log WHERE seq = 1
+              UNION ALL
+              SELECT op, seq, ts, okey, price, status,
+                     CASE WHEN op = 'D' OR okey % 5 = 0 THEN NULL
+                          ELSE 'ch' || CAST(okey % 4 AS VARCHAR) END
+              FROM cdc_log WHERE seq >= 2),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM evolved)
+         SELECT okey, op, price, status, ts,
+                CASE WHEN seq <= 1 AND channel IS NULL THEN 'none'
+                     ELSE channel END AS channel
+         FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
 
     // truncate at position 1: only post-truncate events survive the
     // collapse — keys never rewritten after it are gone entirely.

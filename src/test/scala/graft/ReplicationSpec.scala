@@ -895,6 +895,72 @@ class ReplicationSpec extends SparkTestBase {
       "pre-rename INT history must serve as BIGINT under the new name")
   }
 
+  test("ADD COLUMN DEFAULT: pre-DDL keys serve the default; explicit NULL stays NULL") {
+    val base = tmp()
+    val v1 = txnDf(Seq(TxnEv("I", 1, 1, 10.0, "O", 0),
+      TxnEv("I", 2, 2, 20.0, "O", 0), TxnEv("I", 3, 3, 30.0, "O", 0)))
+      .drop("txn")
+    graft.streaming.StreamingOps.writeWave(v1, s"$base/in", 0)
+    Replication.incrementalSync(spark, v1.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state")
+    // the ADD COLUMN channel DEFAULT 'none' DDL lands at position 3;
+    // key 2 then writes a value, key 3 writes an EXPLICIT NULL
+    val v2 = txnDf(Seq(TxnEv("U", 4, 2, 21.0, "P", 0),
+      TxnEv("U", 5, 3, 31.0, "P", 0))).drop("txn")
+      .withColumn("channel",
+        when(col("okey") === 2, "live").otherwise(lit(null).cast("string")))
+    graft.streaming.StreamingOps.writeWave(v2, s"$base/in", 1)
+    Replication.incrementalSync(spark, v2.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state",
+      defaultCols = Map("channel" ->
+        graft.streaming.StreamingOps.ColumnDefault(3L, "'none'")))
+    val served = Replication.appliedState(spark, s"$base/state")
+      .select(col("okey"), col("channel")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(served == Map(
+      1L -> Some("none"), // pre-DDL: backfilled default
+      2L -> Some("live"), // post-DDL write
+      3L -> None),        // post-DDL EXPLICIT NULL — a coalesce would say 'none'
+      s"backfill semantics violated: $served")
+  }
+
+  test("DEFAULT composes with rename and materializes at compaction") {
+    val base = tmp()
+    val v1 = txnDf(Seq(TxnEv("I", 1, 1, 10.0, "O", 0),
+      TxnEv("I", 2, 2, 20.0, "O", 0))).drop("txn")
+    graft.streaming.StreamingOps.writeWave(v1, s"$base/in", 0)
+    Replication.incrementalSync(spark, v1.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state")
+    val v2 = txnDf(Seq(TxnEv("U", 3, 2, 21.0, "P", 0))).drop("txn")
+      .withColumn("channel", lit("live"))
+    graft.streaming.StreamingOps.writeWave(v2, s"$base/in", 1)
+    Replication.incrementalSync(spark, v2.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state",
+      defaultCols = Map("channel" ->
+        graft.streaming.StreamingOps.ColumnDefault(2L, "'none'")))
+    // the rename DDL follows: channel → chan; the default must follow
+    // the name, and compaction must materialize the backfill
+    val v3 = txnDf(Seq(TxnEv("U", 4, 2, 22.0, "Q", 0))).drop("txn")
+      .withColumn("chan", lit("live2"))
+    graft.streaming.StreamingOps.writeWave(v3, s"$base/in", 2)
+    Replication.incrementalSync(spark, v3.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", compactEvery = 1,
+      renameCols = Map("channel" -> "chan"))
+    val served = Replication.appliedState(spark, s"$base/state")
+      .select(col("okey"), col("chan")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(served == Map(1L -> Some("none"), 2L -> Some("live2")),
+      "the default must serve under the renamed name")
+    // compaction ran (3 deltas > compactEvery=1): the baseline must hold
+    // the MATERIALIZED backfill — key 1's row carries 'none' physically
+    val baseline = spark.read.option("mergeSchema", "true")
+      .parquet(s"$base/state")
+      .filter(col("epoch") < 0 && col("okey") === 1).select(col("chan"))
+      .collect()
+    assert(baseline.nonEmpty && baseline(0).getString(0) == "none",
+      "compaction must materialize the lazy backfill into the baseline")
+  }
+
   test("TRUNCATE: pre-truncate keys vanish; keys rewritten after it rebuild") {
     val base = tmp()
     val v1 = txnDf(Seq(TxnEv("I", 1, 1, 10.0, "O", 0),
