@@ -148,7 +148,16 @@ object Replication {
     * the shared envelope means one rename carries EVERY table's history
     * (one binlog, one DDL, one fan-out). `truncateAt` (table → binlog
     * position) declares per-table TRUNCATE TABLE QueryEvents — a
-    * truncate, unlike a rename, targets one table. */
+    * truncate, unlike a rename, targets one table.
+    *
+    * `rowFilters` (table → SQL predicate) replicates only matching
+    * events for that table — the sharded/subset replication config of
+    * this tool class. Deletes always replicate (a filtered tombstone
+    * could strand a deleted row at the destination forever); filter on
+    * effectively-immutable columns (key ranges, tenant routing).
+    * `maskCols` (table → payload columns) NULLs the named columns
+    * before anything is staged — the masked values never leave the
+    * source side (the PII column-masking config). */
   def incrementalSyncMulti(spark: SparkSession, schema: StructType,
       inDir: String, ckptDir: String, stateDirs: Map[String, String],
       compactEvery: Int = 16,
@@ -156,11 +165,13 @@ object Replication {
       tombstoneGc: Option[Int] = None,
       renameCols: Map[String, String] = Map.empty,
       truncateAt: Map[String, Long] = Map.empty,
-      defaultCols: Map[String, streaming.StreamingOps.ColumnDefault] = Map.empty)
+      defaultCols: Map[String, streaming.StreamingOps.ColumnDefault] = Map.empty,
+      rowFilters: Map[String, String] = Map.empty,
+      maskCols: Map[String, Seq[String]] = Map.empty)
       : Map[String, SyncProgress] = {
     val (stats, pending) = streaming.StreamingOps.runCdcPassMulti(
       spark, schema, inDir, ckptDir, stateDirs, txnCol, renameCols, truncateAt,
-      defaultCols)
+      defaultCols, rowFilters, maskCols)
     stateDirs.map { case (t, dir) =>
       if (deltaCount(dir) > compactEvery)
         streaming.StreamingOps.compactState(spark, dir, tombstoneGc,

@@ -735,10 +735,12 @@ object StreamingOps {
       txnCol: Option[String] = None,
       renameCols: Map[String, String] = Map.empty,
       truncateAt: Map[String, Long] = Map.empty,
-      defaultCols: Map[String, ColumnDefault] = Map.empty)
+      defaultCols: Map[String, ColumnDefault] = Map.empty,
+      rowFilters: Map[String, String] = Map.empty,
+      maskCols: Map[String, Seq[String]] = Map.empty)
       : (Map[String, (Long, Long, Long)], Long) =
     runCdcPassMultiSource(s, FileCdcSource(schema, in), ckpt, stateDirs,
-      txnCol, renameCols, truncateAt, defaultCols)
+      txnCol, renameCols, truncateAt, defaultCols, rowFilters, maskCols)
 
   /** [[runCdcPassMulti]] over an arbitrary [[CdcSource]] transport.
     * `renameCols` declares RENAME COLUMN DDLs exactly as in
@@ -747,17 +749,52 @@ object StreamingOps {
     * `truncateAt` (table → binlog position) declares per-table `TRUNCATE
     * TABLE` QueryEvents — unlike a rename, a truncate targets ONE table,
     * so only the named tables' floors advance. `defaultCols` declares
-    * `ADD COLUMN … DEFAULT` clauses — envelope-wide, like a rename. */
+    * `ADD COLUMN … DEFAULT` clauses — envelope-wide, like a rename.
+    *
+    * `rowFilters` (table → SQL predicate) replicates only matching
+    * events for that table — the sharding/subset config every tool in
+    * this class carries. DELETES ALWAYS REPLICATE regardless of the
+    * predicate: a tombstone for a never-replicated key is a harmless
+    * no-op in the collapse, while a FILTERED tombstone for a key whose
+    * insert matched would leave the destination serving a deleted row
+    * forever. Filter on effectively-immutable columns (key ranges,
+    * tenant/region routing): a row whose payload drifts across the
+    * predicate boundary simply stops receiving updates — the standard
+    * caveat of event-level row filtering.
+    *
+    * `maskCols` (table → payload columns) NULLs the named columns for
+    * that table before anything is staged — the masked values never
+    * leave the source side of the pass (the column-exclusion/masking
+    * config of this tool class, for PII-shaped payloads). Bookkeeping
+    * (`okey`/`op`/`seq`/`ts` and the txn column) cannot be masked. */
   private[graft] def runCdcPassMultiSource(s: SparkSession, source: CdcSource,
       ckpt: String, stateDirs: Map[String, String],
       txnCol: Option[String] = None,
       renameCols: Map[String, String] = Map.empty,
       truncateAt: Map[String, Long] = Map.empty,
-      defaultCols: Map[String, ColumnDefault] = Map.empty)
+      defaultCols: Map[String, ColumnDefault] = Map.empty,
+      rowFilters: Map[String, String] = Map.empty,
+      maskCols: Map[String, Seq[String]] = Map.empty)
       : (Map[String, (Long, Long, Long)], Long) = {
     require(truncateAt.keySet.subsetOf(stateDirs.keySet),
       s"truncate declared for unreplicated table(s): " +
         s"${(truncateAt.keySet -- stateDirs.keySet).toSeq.sorted.mkString(", ")}")
+    require(rowFilters.keySet.subsetOf(stateDirs.keySet),
+      s"row filter declared for unreplicated table(s): " +
+        s"${(rowFilters.keySet -- stateDirs.keySet).toSeq.sorted.mkString(", ")}")
+    require(maskCols.keySet.subsetOf(stateDirs.keySet),
+      s"column mask declared for unreplicated table(s): " +
+        s"${(maskCols.keySet -- stateDirs.keySet).toSeq.sorted.mkString(", ")}")
+    val unmaskable = Set("okey", "op", "seq", "ts") ++ txnCol.toSet + "table"
+    maskCols.foreach { case (t, cs) =>
+      val bad = cs.filter(unmaskable)
+      require(bad.isEmpty,
+        s"table '$t' masks bookkeeping column(s): ${bad.mkString(", ")}")
+      val absent = cs.filterNot(source.schema.fieldNames.contains)
+      require(absent.isEmpty,
+        s"table '$t' masks column(s) absent from the envelope: " +
+          absent.mkString(", "))
+    }
     // every table's state dir shares one envelope schema (one binlog,
     // one fan-out) — validate/publish each before the stream starts
     val stateSchema = stateSchemaFor(source.schema, txnCol.toSet)
@@ -780,8 +817,8 @@ object StreamingOps {
       batch.persist()
       var txnFull = Option.empty[DataFrame] // txn path's extra pin
       try {
-        val applied = txnCol match {
-          case None => batch
+        val gated = txnCol match {
+          case None => batch.toDF()
           case Some(tc) =>
             // one shared commit gate for the whole topology (the same
             // ready/carry split as runCdcPass, pending rooted at ckpt)
@@ -789,6 +826,26 @@ object StreamingOps {
             txnFull = Some(full)
             ready
         }
+        // per-table row filters + column masks: ONE codegen'd filter and
+        // ONE select over the batch — never a job per table. Deletes
+        // bypass the predicate (see the scaladoc), masks NULL the value
+        // before anything is staged.
+        val filtered =
+          if (rowFilters.isEmpty) gated
+          else gated.filter(rowFilters.foldLeft(lit(true)) {
+            case (acc, (t, pred)) =>
+              acc && (col("table") =!= t || col("op") === "D" || expr(pred))
+          })
+        val applied =
+          if (maskCols.isEmpty) filtered
+          else filtered.select(filtered.columns.toSeq.map { c =>
+            val maskers = maskCols.collect {
+              case (t, cs) if cs.contains(c) => t }.toSeq
+            if (maskers.isEmpty) col(c)
+            else when(col("table").isin(maskers: _*),
+              lit(null).cast(filtered.schema(c).dataType))
+              .otherwise(col(c)).as(c)
+          }: _*)
         val present = applied.groupBy(col("table"))
           .agg(count(lit(1)).as("n"), max(col("seq")).as("mx")).collect()
           .filter(r => stateDirs.contains(r.getString(0)))
@@ -1358,6 +1415,31 @@ object StreamingOps {
       writeWaves(log, in, col("seq") - 1, 3, Seq(col("okey")))
       val dirs = Map("t_even" -> s"$tmp/state_even", "t_odd" -> s"$tmp/state_odd")
       runCdcPassMulti(s, log.schema, in, s"$tmp/ckpt", dirs)
+      dirs.toSeq.sortBy(_._1).map { case (t, d) =>
+        readLatestState(s, d).withColumn("tbl", lit(t))
+      }.reduce(_.unionByName(_))
+        .select(col("tbl"), col("okey"), col("op"), col("price"),
+          col("status"), col("ts"))
+        .orderBy(col("tbl"), col("okey"))
+    }),
+
+    // ST-FILTER: per-table ROW FILTERS + COLUMN MASKS under the oracle
+    // gate — the replicate-subset config of this tool class, live:
+    // t_even replicates only its okey%4==0 shard (deletes bypass the
+    // predicate so tombstones can't strand deleted rows), t_odd masks
+    // its `status` column (the PII exclusion — masked values never
+    // leave the source side of the pass). One codegen'd filter + one
+    // select per batch, never a job per table.
+    "stream_cdc_filtered" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir).withColumn("table",
+        when(col("okey") % 2 === 0, "t_even").otherwise("t_odd"))
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      writeWaves(log, in, col("seq") - 1, 3, Seq(col("okey")))
+      val dirs = Map("t_even" -> s"$tmp/state_even", "t_odd" -> s"$tmp/state_odd")
+      runCdcPassMulti(s, log.schema, in, s"$tmp/ckpt", dirs,
+        rowFilters = Map("t_even" -> "okey % 4 = 0"),
+        maskCols = Map("t_odd" -> Seq("status")))
       dirs.toSeq.sortBy(_._1).map { case (t, d) =>
         readLatestState(s, d).withColumn("tbl", lit(t))
       }.reduce(_.unionByName(_))
@@ -1956,6 +2038,20 @@ object StreamingOps {
          SELECT CASE WHEN okey % 2 = 0 THEN 't_even' ELSE 't_odd' END AS tbl,
                 okey, op, price, status, ts
          FROM ranked WHERE rn = 1 AND op <> 'D'
+         ORDER BY tbl, okey""",
+
+    // row filter: t_even serves only its okey%4==0 shard; mask: t_odd
+    // serves status as NULL. Winners rank over the full log — an
+    // okey-routed filter admits or excludes a key's WHOLE history.
+    "stream_cdc_filtered" ->
+      s"""WITH cdc_log AS (${Tables.cdcLogSql}),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM cdc_log)
+         SELECT CASE WHEN okey % 2 = 0 THEN 't_even' ELSE 't_odd' END AS tbl,
+                okey, op, price,
+                CASE WHEN okey % 2 = 1 THEN NULL ELSE status END AS status, ts
+         FROM ranked WHERE rn = 1 AND op <> 'D'
+           AND (okey % 2 = 1 OR okey % 4 = 0)
          ORDER BY tbl, okey""",
 
     // rename carries history: pre-rename winners serve their OLD values

@@ -895,6 +895,42 @@ class ReplicationSpec extends SparkTestBase {
       "pre-rename INT history must serve as BIGINT under the new name")
   }
 
+  test("row filters: deletes bypass the predicate; masks NULL the value; config typos fail loudly") {
+    val base = tmp()
+    def mt(evs: Seq[TxnEv]) = txnDf(evs).drop("txn")
+      .withColumn("table",
+        when(col("okey") % 2 === 0, "t_even").otherwise("t_odd"))
+    // keys 2 and 4 are t_even; the filter admits only okey >= 4 — but
+    // key 2's DELETE must still replicate (imagine it was admitted once)
+    val v1 = mt(Seq(TxnEv("I", 1, 1, 10.0, "O", 0),
+      TxnEv("I", 2, 2, 20.0, "O", 0), TxnEv("I", 3, 4, 40.0, "O", 0),
+      TxnEv("D", 4, 2, 0.0, "X", 0)))
+    graft.streaming.StreamingOps.writeWave(v1, s"$base/in", 0)
+    val dirs = Map("t_even" -> s"$base/se", "t_odd" -> s"$base/so")
+    Replication.incrementalSyncMulti(spark, v1.schema, s"$base/in",
+      s"$base/ckpt", dirs,
+      rowFilters = Map("t_even" -> "okey >= 4"),
+      maskCols = Map("t_odd" -> Seq("status")))
+    // t_even: key 4 admitted; key 2's insert filtered, its delete
+    // replicated — the tombstone wins the collapse, so key 2 is absent
+    assert(servedTxnState(s"$base/se") == Map(4L -> ("I", 40.0)))
+    val odd = Replication.appliedState(spark, s"$base/so")
+      .select(col("okey"), col("status")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(odd == Map(1L -> None), "masked status must serve NULL")
+    // config typos: unknown table, bookkeeping mask, absent column
+    val e1 = intercept[IllegalArgumentException] {
+      Replication.incrementalSyncMulti(spark, v1.schema, s"$base/in",
+        s"$base/ckpt", dirs, rowFilters = Map("t_ghost" -> "okey > 0"))
+    }
+    assert(e1.getMessage.contains("t_ghost"))
+    val e2 = intercept[IllegalArgumentException] {
+      Replication.incrementalSyncMulti(spark, v1.schema, s"$base/in",
+        s"$base/ckpt", dirs, maskCols = Map("t_even" -> Seq("okey")))
+    }
+    assert(e2.getMessage.contains("okey"))
+  }
+
   test("ADD COLUMN DEFAULT: pre-DDL keys serve the default; explicit NULL stays NULL") {
     val base = tmp()
     val v1 = txnDf(Seq(TxnEv("I", 1, 1, 10.0, "O", 0),
