@@ -130,6 +130,27 @@ object Llm {
     Tables.t(s, dir, "embeddings").select(
       col("vec_id"), col("label"), VectorOps.toDouble(col("embedding")).as("v"))
 
+  /** Nearest centroid by cosine (argmax as array_max + first-position
+    * lookup): position is 1-based FIRST match, and the array is in
+    * ascending c_id order (the struct's leading field drives array_sort),
+    * so cosine ties resolve to the lowest c_id — the oracle's
+    * (desc cos, asc c_id) ranking. Equality is exact (array_max returns
+    * an element). */
+  private def nearestCell(cents: Column): Column = {
+    val cosArr = transform(cents, c =>
+      call_function("cosine_sim", col("v"), c.getField("c_v")))
+    element_at(cents,
+      array_position(cosArr, array_max(cosArr)).cast(IntegerType))
+      .getField("c_id")
+  }
+
+  /** Adds `cell` via a 1-row broadcast of the centroid array — a
+    * scan-local argmax fold, zero data shuffles. */
+  private def assignCells(df: DataFrame, centsDf: DataFrame): DataFrame =
+    df.crossJoin(broadcast(centsDf))
+      .withColumn("cell", nearestCell(col("cents")))
+      .drop("cents")
+
   /** sign-bucket of the first 8 dims — the LSH bucket key. */
   private val signBucket: Column =
     (0 until 8).map(j => when(element_at(col("v"), j + 1) > 0, 1 << j).otherwise(0))
@@ -333,6 +354,97 @@ object Llm {
         greatest(col("n_id"), col("o_id")).as("b_id"))
       .distinct()
     (jaccardConfirm(pairs, oldSh.unionByName(newSh)), newSh, newBands)
+  }
+
+  /** Seed the incremental ANN's PERSISTED IVF INDEX from a corpus
+    * snapshot: one single-iteration k-means round (the llm_sim_ivf_topk
+    * training — seeds are the 16 lowest snapshot ids, refined means are
+    * DECIMAL(38,18) component sums for engine-portable bit-exactness),
+    * then the refined (c_id, c_v) centroid table and the
+    * (n_id, n_v, cell) assignment table written as parquet under
+    * `indexDir`. The final assignment reads the centroids BACK from
+    * parquet so the persisted index is exactly what assignment used
+    * (doubles roundtrip parquet losslessly). Runs once per corpus;
+    * every later ingest is [[annIngest]]. */
+  private[graft] def annIndexSeed(s: SparkSession, snapshot: DataFrame,
+      indexDir: String): Unit = {
+    VectorOps.register(s)
+    val all = snapshot.select(col("vec_id"), col("v"))
+    val cents0 = all.orderBy(col("vec_id")).limit(16)
+      .agg(array_sort(collect_list(struct(
+        col("vec_id").as("c_id"), col("v").as("c_v")))).as("cents"))
+    val a0 = graft.CacheRegistry.track(assignCells(all, cents0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    a0.groupBy(col("cell"))
+      .agg(call_function("vec_dec_sum", col("v")).as("sx"),
+        count(col("v")).as("n"))
+      .select(col("cell").as("c_id"),
+        transform(col("sx"),
+          x => x.cast(DoubleType) / col("n").cast(DoubleType)).as("c_v"))
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    val refined = s.read.parquet(s"$indexDir/centroids")
+      .agg(array_sort(collect_list(struct(col("c_id"), col("c_v")))).as("cents"))
+    assignCells(a0.drop("cell"), refined)
+      .select(col("vec_id").as("n_id"), col("v").as("n_v"), col("cell"))
+      .write.mode("overwrite").parquet(s"$indexDir/assigned")
+  }
+
+  /** Incremental ANN ingest (L3d) — the O(batch) pipeline shape of
+    * [[dedupIncremental]] for similarity search: an ARRIVING batch of
+    * vectors is assigned to the PERSISTED IVF index's centroids (a
+    * 16-row parquet read broadcast as one array — the assignment is a
+    * scan-local argmax over the batch only), each batch vector probes
+    * its top-4 cells, and candidates come from the index's assigned
+    * table RESTRICTED to probed cells (cell equi-join against the
+    * broadcast probe list — never a scan-wide cross join, never a
+    * k-means recompute) plus the batch's own assignments (new vectors
+    * must find each other). The top-k result is pinned BEFORE the
+    * batch's assignments append to the index (the repairState pattern),
+    * so the NEXT ingest sees them. Centroids stay fixed between ingests
+    * — IVF's standard regime; drift is a periodic [[annIndexSeed]]
+    * re-train, not a per-batch job.
+    *
+    * Returns (q_id, rk, n_id, cos): top-3 neighbors over snapshot ∪
+    * batch for every batch vector. */
+  private[graft] def annIngest(s: SparkSession, batch: DataFrame,
+      indexDir: String): DataFrame = {
+    val (topk0, bAssigned) = annIngestFrame(s, batch, indexDir)
+    val topk = topk0.localCheckpoint()
+    bAssigned.write.mode("append").parquet(s"$indexDir/assigned")
+    topk
+  }
+
+  /** [[annIngest]]'s un-pinned query (top-k frame, batch assignments) —
+    * split out so PlanSpec can assert the plan shape BEFORE the
+    * localCheckpoint collapses it. */
+  private[graft] def annIngestFrame(s: SparkSession, batch: DataFrame,
+      indexDir: String): (DataFrame, DataFrame) = {
+    VectorOps.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val cents = s.read.parquet(s"$indexDir/centroids")
+      .agg(array_sort(collect_list(struct(col("c_id"), col("c_v")))).as("cents"))
+    val bAssigned = graft.CacheRegistry.track(
+      assignCells(batch.select(col("vec_id"), col("v")), cents)
+        .select(col("vec_id").as("n_id"), col("v").as("n_v"), col("cell"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val candidates = s.read.parquet(s"$indexDir/assigned")
+      .unionByName(bAssigned)
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(desc("qcos"), asc("c_id"))
+    val probes = bAssigned
+      .select(col("n_id").as("q_id"), col("n_v").as("q_v"))
+      .crossJoin(broadcast(cents))
+      .select(col("q_id"), col("q_v"), explode(col("cents")).as("c"))
+      .select(col("q_id"), col("q_v"), col("c.c_id").as("c_id"),
+        call_function("cosine_sim", col("q_v"), col("c.c_v")).as("qcos"))
+      .withColumn("prn", row_number().over(wProbe)).filter(col("prn") <= 4)
+      .select(col("q_id"), col("q_v"), col("c_id").as("cell"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("n_id"))
+    val topk = candidates.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", expr("cosine_sim(q_v, n_v)"))
+      .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= 3)
+      .select(col("q_id"), col("rk"), col("n_id"), col("cos"))
+    (topk, bAssigned)
   }
 
   /** Connected components over the confirmed near-dup graph: min-label
@@ -745,23 +857,11 @@ object Llm {
       VectorOps.register(s)
       import org.apache.spark.sql.expressions.Window
       val all = vecs(s, dir).select(col("vec_id"), col("v"))
-      // argmax as array_max + first-position lookup: position is 1-based
-      // FIRST match, and the array is in ascending c_id order (the
-      // struct's leading field drives array_sort), so cosine ties resolve
-      // to the lowest c_id — the oracle's (desc cos, asc c_id) ranking.
-      // Equality is exact (array_max returns an element).
-      def nearest(cents: Column): Column = {
-        val cosArr = transform(cents, c =>
-          call_function("cosine_sim", col("v"), c.getField("c_v")))
-        element_at(cents,
-          array_position(cosArr, array_max(cosArr)).cast(IntegerType))
-          .getField("c_id")
-      }
-      // adds `cell` via a 1-row broadcast of the centroid array
+      // argmax + assignment: the shared scan-local helpers
+      // ([[nearestCell]]/[[assignCells]], also the seed path of
+      // llm_sim_incremental)
       def assign(df: DataFrame, centsDf: DataFrame): DataFrame =
-        df.crossJoin(broadcast(centsDf))
-          .withColumn("cell", nearest(col("cents")))
-          .drop("cents")
+        assignCells(df, centsDf)
       val cents0 = all.filter(col("vec_id") < 16)
         .agg(array_sort(collect_list(struct(
           col("vec_id").as("c_id"), col("v").as("c_v")))).as("cents"))
@@ -810,6 +910,22 @@ object Llm {
         .withColumn("cos", expr("cosine_sim(q_v, n_v)"))
         .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= 3)
         .select(col("q_id"), col("rk"), col("n_id"), col("cos"))
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
+    // L3d: INCREMENTAL ANN ingest — llm_sim_ivf_topk as a pipeline, the
+    // L2i shape for similarity search: the index (centroids +
+    // assignments) is PERSISTED by a one-time seed over the snapshot;
+    // the arriving batch (vec_id % 10 == 0) is assigned, probed, and
+    // ranked against index ∪ batch in O(batch) work — no k-means
+    // recompute, no index×index scoring — then its assignments append
+    // so the next ingest sees them.
+    "llm_sim_incremental" -> ((s, dir) => {
+      VectorOps.register(s)
+      val all = vecs(s, dir).select(col("vec_id"), col("v"))
+      val idx = s"${graft.TmpDirs.create("graft_ann_idx")}/idx"
+      annIndexSeed(s, all.filter(col("vec_id") % 10 =!= 0), idx)
+      annIngest(s, all.filter(col("vec_id") % 10 === 0), idx)
         .orderBy(col("q_id"), col("rk"))
     }),
 
@@ -1450,6 +1566,56 @@ object Llm {
     // mirrors the Spark pipeline: seed cells from the first 16 vectors,
     // one k-means refinement (DECIMAL(38,18) component sums -> means),
     // then assignment/probing against the refined centroids
+    // the incremental ingest must equal the one-shot plan: snapshot-only
+    // k-means (seeds = 16 lowest snapshot ids), batch assigned under the
+    // SAME refined centroids, candidates = index ∪ batch in probed cells
+    "llm_sim_incremental" ->
+      s"""WITH $vecsCte,
+            snap AS (SELECT vec_id, v FROM vecs WHERE vec_id % 10 <> 0),
+            seeds AS (SELECT vec_id AS c_id, v AS c_v FROM snap
+                      ORDER BY vec_id LIMIT 16),
+            a0 AS (
+              SELECT vec_id, v, c_id AS cell FROM (
+                SELECT a.vec_id, a.v, c.c_id,
+                  row_number() OVER (PARTITION BY a.vec_id
+                    ORDER BY ${cosSql("a.v", "c.c_v")} DESC, c.c_id ASC) AS arn
+                FROM snap a CROSS JOIN seeds c) WHERE arn = 1),
+            comp AS (
+              SELECT cell, j,
+                CAST(sum(CAST(v[j] AS DECIMAL(38,18))) AS DOUBLE) /
+                  CAST(count(*) AS DOUBLE) AS m
+              FROM a0 CROSS JOIN generate_series(1, 64) t(j)
+              GROUP BY cell, j),
+            cents AS (SELECT cell AS c_id, list(m ORDER BY j) AS c_v
+                      FROM comp GROUP BY cell),
+            idx AS (
+              SELECT vec_id AS n_id, v AS n_v, c_id AS cell FROM (
+                SELECT a.vec_id, a.v, c.c_id,
+                  row_number() OVER (PARTITION BY a.vec_id
+                    ORDER BY ${cosSql("a.v", "c.c_v")} DESC, c.c_id ASC) AS arn
+                FROM snap a CROSS JOIN cents c) WHERE arn = 1),
+            batch AS (SELECT vec_id, v FROM vecs WHERE vec_id % 10 = 0),
+            bidx AS (
+              SELECT vec_id AS n_id, v AS n_v, c_id AS cell FROM (
+                SELECT a.vec_id, a.v, c.c_id,
+                  row_number() OVER (PARTITION BY a.vec_id
+                    ORDER BY ${cosSql("a.v", "c.c_v")} DESC, c.c_id ASC) AS arn
+                FROM batch a CROSS JOIN cents c) WHERE arn = 1),
+            allidx AS (SELECT * FROM idx UNION ALL SELECT * FROM bidx),
+            probes AS (
+              SELECT q_id, q_v, cell FROM (
+                SELECT q.n_id AS q_id, q.n_v AS q_v, c.c_id AS cell,
+                  row_number() OVER (PARTITION BY q.n_id
+                    ORDER BY ${cosSql("q.n_v", "c.c_v")} DESC, c.c_id ASC) AS prn
+                FROM bidx q CROSS JOIN cents c) WHERE prn <= 4),
+            scored AS (
+              SELECT p.q_id, a.n_id, ${cosSql("p.q_v", "a.n_v")} AS cos
+              FROM probes p JOIN allidx a ON p.cell = a.cell AND p.q_id <> a.n_id)
+         SELECT q_id, rk, n_id, cos FROM (
+           SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
+           FROM scored)
+         WHERE rk <= 3 ORDER BY q_id, rk""",
+
     "llm_sim_ivf_topk" ->
       s"""WITH $vecsCte,
             cents0 AS (SELECT vec_id AS c_id, v AS c_v FROM vecs WHERE vec_id < 16),

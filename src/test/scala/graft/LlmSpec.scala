@@ -145,4 +145,30 @@ class LlmSpec extends SparkTestBase {
       s"composition diverged: missing ${(full -- snapPairs -- b1 -- b2).take(5)}, " +
         s"extra ${((snapPairs | b1 | b2) -- full).take(5)}")
   }
+
+  test("ANN ingest: a later batch's queries can find an earlier batch's vectors") {
+    // the index must ADVANCE between ingests: B2 vectors planted next to
+    // B1 vectors (tiny perturbation of the same embedding) must rank them
+    // as neighbors, which is only possible if B1's assignments appended.
+    val all = Tables.t(spark, sf, "embeddings").select(
+      col("vec_id"), functions.VectorOps.toDouble(col("embedding")).as("v"))
+    val idx = s"${TmpDirs.create("graft_ann_spec")}/idx"
+    ops.Llm.annIndexSeed(spark, all.filter(col("vec_id") % 10 =!= 0), idx)
+    // B1: planted copies of snapshot vectors (ids 200000+)
+    val b1 = all.filter(col("vec_id") % 10 === 0 && col("vec_id") < 250)
+      .select((col("vec_id") + 200000).as("vec_id"), col("v"))
+    ops.Llm.annIngest(spark, b1, idx)
+    // B2: exact twins of B1's vectors under fresh ids — cosine 1.0 with
+    // their B1 counterpart and nothing else
+    val b2 = b1.select((col("vec_id") + 100000).as("vec_id"), col("v"))
+    val res = ops.Llm.annIngest(spark, b2, idx).collect()
+    val top1 = res.filter(_.getInt(1) == 1)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // every B2 query's top-1 must be its B1 twin — visible only because
+    // the first ingest appended its assignments
+    val hits = top1.count { case (q, n) => n == q - 100000 }
+    assert(hits == top1.size,
+      s"only $hits/${top1.size} B2 queries found their B1 twin — " +
+        "the index did not advance between ingests")
+  }
 }

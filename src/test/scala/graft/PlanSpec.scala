@@ -215,6 +215,26 @@ class PlanSpec extends SparkTestBase {
         s"pass would otherwise re-run per consumer:\n$plan")
   }
 
+  test("ANN ingest reads the persisted index; no k-means recompute, no cartesian") {
+    // L3d's O(batch) contract: the centroid read is a 16-row parquet
+    // scan (broadcast as one array), candidates reach the batch through
+    // a cell equi-join — and the training aggregate (vec_dec_sum) must
+    // NOT appear: an ingest that re-trains is a rebuild, not an ingest.
+    val all = Tables.t(spark, sf, "embeddings").select(
+      col("vec_id"), functions.VectorOps.toDouble(col("embedding")).as("v"))
+    val idx = s"${TmpDirs.create("graft_plan_annidx")}/idx"
+    ops.Llm.annIndexSeed(spark, all.filter(col("vec_id") % 10 =!= 0), idx)
+    val (topk, _) = ops.Llm.annIngestFrame(spark,
+      all.filter(col("vec_id") % 10 === 0), idx)
+    val plan = topk.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"ANN ingest lost its equi-join shape:\n$plan")
+    assert(!plan.contains("vec_dec_sum"),
+      s"ANN ingest re-ran the k-means training aggregate:\n$plan")
+    assert("graft_plan_annidx".r.findAllIn(plan).nonEmpty,
+      s"persisted index scans missing from the plan:\n$plan")
+  }
+
   test("substring-dedup fingerprints are df-capped before the self-join") {
     // L2h's guard, same contract: boilerplate fingerprints (df > 100)
     // never reach pair generation.
