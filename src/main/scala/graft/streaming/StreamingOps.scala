@@ -1461,7 +1461,11 @@ object StreamingOps {
       val log = Tables.cdcLog(s, dir)
       val tmp = tmpDir()
       val in = s"$tmp/in"
-      writeWaves(log, in, col("seq") - 1, 3, Seq(col("okey")))
+      // two waves (seq 1-2, then 3): the batch boundary that matters
+      // here is divergence-then-repair, not wave count — per-wave apply
+      // semantics are ST1/ST11's job (one less trigger of fixed cost)
+      writeWaves(log, in, when(col("seq") <= 2, 0).otherwise(1), 2,
+        Seq(col("okey")))
       runCdcPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state")
       // the SOURCE side of the consistency check: what the source
       // database actually holds — the log's batch latest-wins collapse,
@@ -1500,7 +1504,10 @@ object StreamingOps {
         when(col("okey") % 2 === 0, "t_even").otherwise("t_odd"))
       val tmp = tmpDir()
       val in = s"$tmp/in"
-      writeWaves(log, in, col("seq") - 1, 3, Seq(col("okey")))
+      // two waves, as in cdc_repair_resync: the scenario is
+      // divergence-then-repair, not per-wave apply
+      writeWaves(log, in, when(col("seq") <= 2, 0).otherwise(1), 2,
+        Seq(col("okey")))
       val dirs = Map("t_even" -> s"$tmp/state_even", "t_odd" -> s"$tmp/state_odd")
       runCdcPassMulti(s, log.schema, in, s"$tmp/ckpt", dirs)
       // source of truth per table: the binlog's batch collapse fanned
