@@ -356,6 +356,47 @@ object Llm {
     (jaccardConfirm(pairs, oldSh.unionByName(newSh)), newSh, newBands)
   }
 
+  /** Compact one append-accumulated index table: each ingest appends a
+    * small file, so after N ingests every index scan pays N-file open
+    * overhead — the classic small-files decay of any append-only
+    * artifact. Rewrites the dir as `targetFiles` coalesced parquet
+    * files; row content is untouched, so every consumer is invariant
+    * (llm_dedup_stream compacts mid-stream under the SAME oracle).
+    * Crash-safe swap with auto-heal: stage the rewrite to a side dir,
+    * move live → trash, move stage → live, drop trash; a caller that
+    * finds trash WITHOUT live (a crash between the two moves) moves it
+    * back, trash WITH live (a crash before the drop) just drops it —
+    * at no instant is the data absent from disk. */
+  private def compactIndexTable(s: SparkSession, live: String,
+      targetFiles: Int): Unit = {
+    import graft.streaming.StateFs
+    val trash = s"${live}_old"
+    if (StateFs.exists(trash)) {
+      if (StateFs.exists(live)) StateFs.deleteRecursive(trash)
+      else StateFs.moveDir(trash, live)
+    }
+    val side = s"${live}_compacting"
+    StateFs.deleteRecursive(side)
+    s.read.parquet(live).repartition(targetFiles)
+      .write.mode("overwrite").parquet(side)
+    StateFs.moveDir(live, trash)
+    StateFs.moveDir(side, live)
+    StateFs.deleteRecursive(trash)
+  }
+
+  /** [[compactIndexTable]] over the incremental-dedup index's two
+    * tables — the maintenance op [[dedupIncremental]]'s appends need. */
+  private[graft] def dedupIndexCompact(s: SparkSession, indexDir: String,
+      targetFiles: Int = 4): Unit =
+    Seq("shingles", "bands").foreach(t =>
+      compactIndexTable(s, s"$indexDir/$t", targetFiles))
+
+  /** [[compactIndexTable]] over the ANN index's assignment table (the
+    * centroid table is 16 rows in one file — nothing to compact). */
+  private[graft] def annIndexCompact(s: SparkSession, indexDir: String,
+      targetFiles: Int = 4): Unit =
+    compactIndexTable(s, s"$indexDir/assigned", targetFiles)
+
   /** Seed the incremental ANN's PERSISTED IVF INDEX from a corpus
     * snapshot: one single-iteration k-means round (the llm_sim_ivf_topk
     * training — seeds are the 16 lowest snapshot ids, refined means are
@@ -540,9 +581,13 @@ object Llm {
       val query = s.readStream.schema(arriving.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
         .writeStream.option("checkpointLocation", s"$tmp/ckpt")
-        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        .foreachBatch { (batch: Dataset[Row], id: Long) =>
           dedupIncremental(s, batch.toDF(), idx)
-            .write.mode("append").parquet(s"$tmp/out"); ()
+            .write.mode("append").parquet(s"$tmp/out")
+          // the maintenance op, live: fold the seed's + wave 0's
+          // appended files mid-stream — wave 1 must see the identical
+          // index (the SAME oracle gates the whole run)
+          if (id == 0) dedupIndexCompact(s, idx)
         }
         .start()
       query.processAllAvailable()

@@ -135,6 +135,12 @@ class LlmSpec extends SparkTestBase {
     val b1 = ops.Llm.dedupIncremental(spark,
       arriving.filter(col("doc_id") % 2 === 0), idx).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // index maintenance between ingests: fold the appended small files;
+    // the second ingest must see the IDENTICAL index
+    ops.Llm.dedupIndexCompact(spark, idx, targetFiles = 2)
+    assert(new java.io.File(s"$idx/bands").listFiles()
+      .count(_.getName.endsWith(".parquet")) <= 2,
+      "compaction must bound the index file count")
     val b2 = ops.Llm.dedupIncremental(spark,
       arriving.filter(col("doc_id") % 2 =!= 0), idx).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -158,6 +164,9 @@ class LlmSpec extends SparkTestBase {
     val b1 = all.filter(col("vec_id") % 10 === 0 && col("vec_id") < 250)
       .select((col("vec_id") + 200000).as("vec_id"), col("v"))
     ops.Llm.annIngest(spark, b1, idx)
+    // assignment-table maintenance between ingests — B2 must still see
+    // B1's vectors through the compacted index
+    ops.Llm.annIndexCompact(spark, idx, targetFiles = 2)
     // B2: exact twins of B1's vectors under fresh ids — cosine 1.0 with
     // their B1 counterpart and nothing else
     val b2 = b1.select((col("vec_id") + 100000).as("vec_id"), col("v"))
@@ -170,5 +179,20 @@ class LlmSpec extends SparkTestBase {
     assert(hits == top1.size,
       s"only $hits/${top1.size} B2 queries found their B1 twin — " +
         "the index did not advance between ingests")
+  }
+
+  test("index compaction auto-heals a crashed swap") {
+    val d = Tables.t(spark, sf, "documents").limit(50)
+      .select(col("doc_id"), col("text"))
+    val idx = s"${TmpDirs.create("graft_heal_idx")}/idx"
+    ops.Llm.dedupIndexSeed(spark, d, idx)
+    val before = spark.read.parquet(s"$idx/bands").count()
+    // simulate a crash BETWEEN the two swap moves: live renamed to
+    // trash, the staged rewrite never moved in
+    graft.streaming.StateFs.moveDir(s"$idx/bands", s"$idx/bands_old")
+    ops.Llm.dedupIndexCompact(spark, idx, targetFiles = 1)
+    assert(spark.read.parquet(s"$idx/bands").count() == before,
+      "the healed index must hold every pre-crash row")
+    assert(!graft.streaming.StateFs.exists(s"$idx/bands_old"))
   }
 }
