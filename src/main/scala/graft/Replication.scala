@@ -186,12 +186,18 @@ object Replication {
   }
 
   /** The reference tool's full replication config surface: which source
-    * tables replicate ([[TableFilter]]) and what each is called at the
-    * destination (rename mapping; unmapped tables keep their name) — the
-    * `only_tables` / `skip_tables` / table-mapping block of a replicator
-    * config file. */
+    * tables replicate ([[TableFilter]]), what each is called at the
+    * destination (rename mapping; unmapped tables keep their name),
+    * which ROWS of each replicate (`rowFilters`, table → SQL predicate;
+    * deletes always replicate — see [[incrementalSyncMulti]]), and which
+    * payload columns are MASKED to NULL before anything ships
+    * (`maskCols` — the PII column-exclusion block). The
+    * `only_tables` / `skip_tables` / table-mapping / filter / mask
+    * blocks of a replicator config file, keyed by SOURCE table name. */
   final case class SyncConfig(filter: TableFilter = TableFilter(),
-      remap: Map[String, String] = Map.empty) {
+      remap: Map[String, String] = Map.empty,
+      rowFilters: Map[String, String] = Map.empty,
+      maskCols: Map[String, Seq[String]] = Map.empty) {
     def dest(table: String): String = remap.getOrElse(table, table)
   }
 
@@ -199,8 +205,11 @@ object Replication {
     * over [[incrementalSyncMulti]]. `tables` lists the source tables the
     * binlog may carry; admitted ones land under
     * `destRoot/<dest-name>` (rename mapping applied), excluded ones are
-    * skipped inside the single shared pass. Progress is keyed by DEST
-    * table name — the name an operator watches on the destination side. */
+    * skipped inside the single shared pass; row filters and column masks
+    * apply to the admitted set (declaring one for an excluded table is
+    * the loud config error the underlying pass raises). Progress is
+    * keyed by DEST table name — the name an operator watches on the
+    * destination side. */
   def incrementalSyncConfigured(spark: SparkSession, schema: StructType,
       inDir: String, ckptDir: String, destRoot: String, tables: Seq[String],
       config: SyncConfig = SyncConfig(),
@@ -215,7 +224,8 @@ object Replication {
         dests.groupBy(identity).collect { case (d, v) if v.size > 1 => d }
           .mkString(", "))
     val dirs = admitted.map(t => t -> s"$destRoot/${config.dest(t)}").toMap
-    incrementalSyncMulti(spark, schema, inDir, ckptDir, dirs, compactEvery)
+    incrementalSyncMulti(spark, schema, inDir, ckptDir, dirs, compactEvery,
+      rowFilters = config.rowFilters, maskCols = config.maskCols)
       .map { case (t, p) => config.dest(t) -> p }
   }
 

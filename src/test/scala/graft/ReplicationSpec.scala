@@ -128,6 +128,31 @@ class ReplicationSpec extends SparkTestBase {
     assert(prog("orders_eu_replica").lastSeq.contains(3L))
   }
 
+  test("configured sync carries row filters and masks; source-name keyed, dest-name served") {
+    val base = tmp()
+    val log = Tables.cdcLog(spark, sf).withColumn("table",
+      when(col("okey") % 2 === 0, "orders_eu").otherwise("orders_us"))
+    (1 to 3).foreach(w => graft.streaming.StreamingOps.writeWave(
+      log.filter(col("seq") === w), s"$base/in", w - 1))
+    // config file: rename orders_eu, replicate only its okey%4==0 shard,
+    // mask orders_us's status column — all keyed by SOURCE name
+    val cfg = Replication.SyncConfig(
+      remap = Map("orders_eu" -> "eu_replica"),
+      rowFilters = Map("orders_eu" -> "okey % 4 = 0"),
+      maskCols = Map("orders_us" -> Seq("status")))
+    Replication.incrementalSyncConfigured(spark, log.schema,
+      s"$base/in", s"$base/ckpt", s"$base/dest",
+      Seq("orders_eu", "orders_us"), cfg)
+    val eu = Replication.appliedState(spark, s"$base/dest/eu_replica")
+    assert(eu.filter(col("okey") % 4 =!= 0).count() == 0,
+      "the row filter must gate what replicates")
+    assert(eu.count() > 0)
+    val us = Replication.appliedState(spark, s"$base/dest/orders_us")
+    assert(us.filter(col("status").isNotNull).count() == 0,
+      "the masked column must serve NULL")
+    assert(us.count() > 0)
+  }
+
   test("incremental sync from an explicit position skips already-applied events") {
     val base = tmp()
     val log = Tables.cdcLog(spark, sf)
