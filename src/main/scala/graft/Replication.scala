@@ -108,19 +108,27 @@ object Replication {
     * the default instead of NULL — MySQL's backfill — while a row
     * written after it serves what it wrote, explicit NULL included. The
     * backfill is lazy (read-time fill, materialized by the next
-    * compaction), the INSTANT ADD COLUMN shape a 100 TB table needs. */
+    * compaction), the INSTANT ADD COLUMN shape a 100 TB table needs.
+    *
+    * `rowFilter`/`maskCols` are the single-table forms of
+    * [[incrementalSyncMulti]]'s per-table filters: only matching events
+    * replicate (deletes always bypass the predicate) and masked payload
+    * columns ship as NULL. */
   def incrementalSync(spark: SparkSession, schema: StructType, inDir: String,
       ckptDir: String, stateDir: String, compactEvery: Int = 16,
       fromSeq: Option[Long] = None, txnCol: Option[String] = None,
       tombstoneGc: Option[Int] = None,
       renameCols: Map[String, String] = Map.empty,
       truncateAtSeq: Option[Long] = None,
-      defaultCols: Map[String, streaming.StreamingOps.ColumnDefault] = Map.empty)
+      defaultCols: Map[String, streaming.StreamingOps.ColumnDefault] = Map.empty,
+      rowFilter: Option[String] = None,
+      maskCols: Seq[String] = Seq.empty)
       : SyncProgress = {
     val (rows, epochs, lastSeq, pending) = streaming.StreamingOps.runCdcPass(
       spark, schema, inDir, ckptDir, stateDir, trackSeq = true,
       startAfterSeq = fromSeq, txnCol = txnCol, renameCols = renameCols,
-      truncateAtSeq = truncateAtSeq, defaultCols = defaultCols)
+      truncateAtSeq = truncateAtSeq, defaultCols = defaultCols,
+      rowFilter = rowFilter, maskCols = maskCols)
     if (deltaCount(stateDir) > compactEvery)
       streaming.StreamingOps.compactState(spark, stateDir, tombstoneGc)
     SyncProgress(rows, epochs, lastSeq, pending)
@@ -269,7 +277,11 @@ object Replication {
     * txn-gated sync pass the sync's `ckptDir` as `pendingRoot` (that is
     * where the topology roots `_pending`). Without this, an operator
     * loops [[repairSync]] by hand and each call re-reads the pending
-    * tail. Returns per-table [[RepairReport]]s. */
+    * tail. For a table synced with row filters or column masks
+    * ([[SyncConfig]]), the source of truth must be the FILTERED/MASKED
+    * view — diffing the raw source against a masked destination would
+    * "repair" every mask back to its live value. Returns per-table
+    * [[RepairReport]]s. */
   def repairSyncMulti(spark: SparkSession, srcByTable: Map[String, DataFrame],
       stateDirs: Map[String, String], key: String = "okey",
       pendingRoot: Option[String] = None): Map[String, RepairReport] =

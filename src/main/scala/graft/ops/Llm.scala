@@ -366,7 +366,10 @@ object Llm {
     * move live → trash, move stage → live, drop trash; a caller that
     * finds trash WITHOUT live (a crash between the two moves) moves it
     * back, trash WITH live (a crash before the drop) just drops it —
-    * at no instant is the data absent from disk. */
+    * at no instant is the data absent from disk. Crash-safe, NOT
+    * concurrent-safe: a reader between the two swap moves finds no live
+    * dir — run it between ingests (a maintenance window), exactly as
+    * llm_dedup_stream does inside its serial foreachBatch. */
   private def compactIndexTable(s: SparkSession, live: String,
       targetFiles: Int): Unit = {
     import graft.streaming.StateFs

@@ -562,10 +562,13 @@ object StreamingOps {
       txnCol: Option[String] = None,
       renameCols: Map[String, String] = Map.empty,
       truncateAtSeq: Option[Long] = None,
-      defaultCols: Map[String, ColumnDefault] = Map.empty)
+      defaultCols: Map[String, ColumnDefault] = Map.empty,
+      rowFilter: Option[String] = None,
+      maskCols: Seq[String] = Seq.empty)
       : (Long, Long, Option[Long], Long) =
     runCdcPassSource(s, FileCdcSource(schema, in), ckpt, state, trackSeq,
-      startAfterSeq, txnCol, renameCols, truncateAtSeq, defaultCols)
+      startAfterSeq, txnCol, renameCols, truncateAtSeq, defaultCols,
+      rowFilter, maskCols)
 
   /** [[runCdcPass]] over an arbitrary [[CdcSource]] transport.
     * `renameCols` (old → new) declares RENAME COLUMN DDLs this pass's
@@ -575,7 +578,11 @@ object StreamingOps {
     * given binlog position (see [[applyTruncateDdl]]): every event at or
     * below it is dead at read time, events after it rebuild the table.
     * `defaultCols` declares `ADD COLUMN … DEFAULT` clauses (see
-    * [[ColumnDefault]]): pre-DDL rows serve the default instead of NULL. */
+    * [[ColumnDefault]]): pre-DDL rows serve the default instead of NULL.
+    * `rowFilter`/`maskCols` are the single-table forms of the multi
+    * pass's per-table filters ([[runCdcPassMultiSource]]): only matching
+    * events replicate — deletes ALWAYS bypass the predicate — and masked
+    * payload columns ship as NULL. */
   private[graft] def runCdcPassSource(s: SparkSession, source: CdcSource,
       ckpt: String, state: String,
       trackSeq: Boolean = false,
@@ -583,8 +590,17 @@ object StreamingOps {
       txnCol: Option[String] = None,
       renameCols: Map[String, String] = Map.empty,
       truncateAtSeq: Option[Long] = None,
-      defaultCols: Map[String, ColumnDefault] = Map.empty)
+      defaultCols: Map[String, ColumnDefault] = Map.empty,
+      rowFilter: Option[String] = None,
+      maskCols: Seq[String] = Seq.empty)
       : (Long, Long, Option[Long], Long) = {
+    val unmaskable = Set("okey", "op", "seq", "ts") ++ txnCol.toSet
+    require(!maskCols.exists(unmaskable),
+      s"mask names bookkeeping column(s): " +
+        maskCols.filter(unmaskable).mkString(", "))
+    require(maskCols.forall(source.schema.fieldNames.contains),
+      s"mask names column(s) absent from the envelope: " +
+        maskCols.filterNot(source.schema.fieldNames.contains).mkString(", "))
     // DDL metadata settles BEFORE the stream starts: renames carry
     // published history to the new name, then the type-change guardrail
     // fires — the r8 open-envelope design absorbs ADD (union) and DROP
@@ -598,16 +614,17 @@ object StreamingOps {
     var maxSeq = Option.empty[Long]
     var written = 0L
     // a batch consumed by >1 action must be pinned (see the note above);
-    // the position filter adds an isEmpty probe, so it pins too
-    val multiAction = trackSeq || startAfterSeq.isDefined || txnCol.isDefined
+    // the position and row filters add an isEmpty probe, so they pin too
+    val multiAction = trackSeq || startAfterSeq.isDefined ||
+      txnCol.isDefined || rowFilter.isDefined
     val (rows, _) = runSourcePass(s, source, ckpt) { (batch, epochId) =>
       if (multiAction) batch.persist()
       var txnFull = Option.empty[DataFrame] // txn path's extra pin
       try {
         val positioned = startAfterSeq
           .map(p => batch.filter(col("seq") > p)).getOrElse(batch)
-        val applied = txnCol match {
-          case None => positioned
+        val gatedTxn = txnCol match {
+          case None => positioned.toDF()
           case Some(tc) =>
             // replay-deterministic input: this batch plus the pending
             // snapshot of the newest epoch BELOW this one (never this
@@ -617,12 +634,24 @@ object StreamingOps {
             txnFull = Some(full)
             ready
         }
+        // single-table row filter + masks (the multi pass's per-table
+        // forms): one codegen'd filter, one select — deletes bypass
+        val filtered = rowFilter.fold(gatedTxn)(p =>
+          gatedTxn.filter(col("op") === "D" || expr(p)))
+        val applied =
+          if (maskCols.isEmpty) filtered
+          else filtered.select(filtered.columns.toSeq.map { c =>
+            if (maskCols.contains(c))
+              lit(null).cast(filtered.schema(c).dataType).as(c)
+            else col(c)
+          }: _*)
         if (trackSeq) {
           val r = applied.agg(max(col("seq"))).collect()(0)
           if (!r.isNullAt(0))
             maxSeq = Some(maxSeq.fold(r.getLong(0))(math.max(_, r.getLong(0))))
         }
-        if ((startAfterSeq.isEmpty && txnCol.isEmpty) || !applied.isEmpty) {
+        if ((startAfterSeq.isEmpty && txnCol.isEmpty && rowFilter.isEmpty) ||
+            !applied.isEmpty) {
           collapse(envelope(applied))
             .write.mode("overwrite").parquet(s"$state/epoch=$epochId")
           written += 1

@@ -956,6 +956,23 @@ class ReplicationSpec extends SparkTestBase {
     assert(e2.getMessage.contains("okey"))
   }
 
+  test("single-table row filter and mask mirror the multi-table semantics") {
+    val base = tmp()
+    val v1 = txnDf(Seq(TxnEv("I", 1, 1, 10.0, "O", 0),
+      TxnEv("I", 2, 4, 40.0, "O", 0), TxnEv("D", 3, 1, 0.0, "X", 0)))
+      .drop("txn")
+    graft.streaming.StreamingOps.writeWave(v1, s"$base/in", 0)
+    // filter admits okey >= 4; key 1's delete still replicates; status masked
+    Replication.incrementalSync(spark, v1.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state",
+      rowFilter = Some("okey >= 4"), maskCols = Seq("status"))
+    val served = Replication.appliedState(spark, s"$base/state")
+      .select(col("okey"), col("price"), col("status")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2))))
+    assert(served.toSeq == Seq((4L, 40.0, None)),
+      s"filter/mask semantics violated: ${served.toSeq}")
+  }
+
   test("ADD COLUMN DEFAULT: pre-DDL keys serve the default; explicit NULL stays NULL") {
     val base = tmp()
     val v1 = txnDf(Seq(TxnEv("I", 1, 1, 10.0, "O", 0),
