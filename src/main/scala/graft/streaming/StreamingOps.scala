@@ -1464,7 +1464,10 @@ object StreamingOps {
         when(col("okey") % 2 === 0, "t_even").otherwise("t_odd"))
       val tmp = tmpDir()
       val in = s"$tmp/in"
-      writeWaves(log, in, col("seq") - 1, 3, Seq(col("okey")))
+      // two waves: the scenario is filter/mask semantics, not per-wave
+      // apply (ST11's job) — one less fixed-cost trigger
+      writeWaves(log, in, when(col("seq") <= 2, 0).otherwise(1), 2,
+        Seq(col("okey")))
       val dirs = Map("t_even" -> s"$tmp/state_even", "t_odd" -> s"$tmp/state_odd")
       runCdcPassMulti(s, log.schema, in, s"$tmp/ckpt", dirs,
         rowFilters = Map("t_even" -> "okey % 4 = 0"),
@@ -1499,9 +1502,12 @@ object StreamingOps {
       // the SOURCE side of the consistency check: what the source
       // database actually holds — the log's batch latest-wins collapse,
       // computed from the log parquet (never from the state dir being
-      // repaired, so no pinning is needed)
+      // repaired). Pinned once: the corruption write and the repair's
+      // several consumers (uniqueness probe, diff) would otherwise each
+      // re-run the collapse.
       val truth = collapse(envelope(log)).filter(col("op") =!= "D")
         .select(col("okey"), col("price"), col("status"), col("ts"))
+        .localCheckpoint()
       // the divergence: a corrupting delta the source never produced
       // (an operator's manual UPDATE on the destination, a partial
       // restore, a bug — the class of drift consistencyCheck exists
@@ -1541,10 +1547,13 @@ object StreamingOps {
       runCdcPassMulti(s, log.schema, in, s"$tmp/ckpt", dirs)
       // source of truth per table: the binlog's batch collapse fanned
       // out by the same parity mapping (computed from the log parquet,
-      // never from the state dirs being repaired)
+      // never from the state dirs being repaired). Pinned once — the two
+      // corruption writes and the topology repair's per-table sources
+      // would otherwise each re-run the collapse.
       val truth = collapse(envelope(log.drop("table")))
         .filter(col("op") =!= "D")
         .select(col("okey"), col("price"), col("status"), col("ts"))
+        .localCheckpoint()
       val truthBy = Map(
         "t_even" -> truth.filter(col("okey") % 2 === 0),
         "t_odd" -> truth.filter(col("okey") % 2 =!= 0))
@@ -1669,8 +1678,9 @@ object StreamingOps {
       val in = s"$tmp/in"
       writeWave(log.filter(col("seq") === 1), in, 0)
       runCdcPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state")
-      writeWaves(log.filter(col("seq") >= 2), in, col("seq") - 1, 3,
-        Seq(col("okey")))
+      // one post-truncate wave: the boundary that matters is the
+      // truncate itself, not per-wave apply — one less trigger
+      writeWave(log.filter(col("seq") >= 2), in, 1)
       runCdcPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state",
         truncateAtSeq = Some(1L))
       readLatestState(s, s"$tmp/state")
