@@ -356,6 +356,24 @@ object Llm {
     (jaccardConfirm(pairs, oldSh.unionByName(newSh)), newSh, newBands)
   }
 
+  /** APPLY the dedup at ingest time — what a production pipeline ships
+    * downstream: the arriving batch minus every doc confirmed as a
+    * near-dup of something OLDER (an index doc or an earlier doc in the
+    * same batch; keep-lowest-id, L2g's policy at the ingest boundary).
+    * One [[dedupIncremental]] pass (which also advances the index — the
+    * DROPPED doc's artifacts stay indexed, so a third copy arriving
+    * later still dedups against it) plus one batch-bounded anti-join
+    * (AQE broadcasts the drop list). Assumes ingest-monotone ids (batch
+    * ids above index ids — the production norm): each confirmed pair's
+    * GREATER member is then always the arriving doc, so only batch docs
+    * are ever dropped. */
+  private[graft] def dedupIngestApply(s: SparkSession, batch: DataFrame,
+      indexDir: String): DataFrame = {
+    val drops = dedupIncremental(s, batch, indexDir)
+      .select(col("b_id").as("doc_id")).distinct()
+    batch.join(drops, Seq("doc_id"), "left_anti")
+  }
+
   /** Compact one append-accumulated index table: each ingest appends a
     * small file, so after N ingests every index scan pays N-file open
     * overhead — the classic small-files decay of any append-only
@@ -562,6 +580,27 @@ object Llm {
       dedupIndexSeed(s, all.filter(col("doc_id") < 100000), idx)
       dedupIncremental(s, all.filter(col("doc_id") >= 100000), idx)
         .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // L2k: APPLY at the ingest boundary — the shipped batch: arriving
+    // docs confirmed as near-dups of anything older (index or earlier
+    // in-batch) are DROPPED (keep-lowest-id, L2g's policy), the rest
+    // ship. The batch MIXES planted near-dups (which must all drop)
+    // with genuinely novel docs (reversed text — which must all ship:
+    // the oracle doubles as a false-positive assertion on novel text).
+    // The dropped docs' artifacts still index, so a later third copy
+    // dedups against them.
+    "llm_dedup_ingest_apply" -> ((s, dir) => {
+      val all = docsWithNearDups(s, dir)
+      val fresh = Tables.t(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          reverse(col("text")).as("text"))
+      val idx = s"${graft.TmpDirs.create("graft_ingest_apply")}/idx"
+      dedupIndexSeed(s, all.filter(col("doc_id") < 100000), idx)
+      dedupIngestApply(s,
+        all.filter(col("doc_id") >= 100000).unionByName(fresh), idx)
+        .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
     // L2j: L2i AS A LIVE STREAM — dedup-on-ingest end-to-end: documents
@@ -1410,6 +1449,18 @@ object Llm {
       s"""WITH $minhashPairCtes
          SELECT a_id, b_id, jaccard FROM confirmed
          WHERE b_id >= 100000 ORDER BY a_id, b_id""",
+
+    // the shipped batch: arriving docs that are the GREATER member of a
+    // confirmed pair are dropped; the novel (reversed-text) docs all ship
+    "llm_dedup_ingest_apply" ->
+      s"""WITH $minhashPairCtes
+         SELECT doc_id FROM (
+           SELECT doc_id FROM nd WHERE doc_id >= 100000
+           UNION ALL
+           SELECT doc_id + 200000 AS doc_id FROM documents
+           WHERE doc_id % 5 = 1)
+         WHERE doc_id NOT IN (SELECT b_id FROM confirmed)
+         ORDER BY doc_id""",
 
     // the streamed ingest unions to the same pair set for any wave split
     "llm_dedup_stream" ->
