@@ -1110,6 +1110,44 @@ class ReplicationSpec extends SparkTestBase {
     assert(e.getMessage.contains("t_ghost"))
   }
 
+  test("DDL verbs compose: default, rename, truncate in one table's lifetime") {
+    val base = tmp()
+    // era 1: plain envelope
+    val v1 = txnDf(Seq(TxnEv("I", 1, 1, 10.0, "O", 0),
+      TxnEv("I", 2, 2, 20.0, "O", 0))).drop("txn")
+    graft.streaming.StreamingOps.writeWave(v1, s"$base/in", 0)
+    Replication.incrementalSync(spark, v1.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state")
+    // era 2: ADD COLUMN channel DEFAULT 'none' at position 2
+    val v2 = txnDf(Seq(TxnEv("U", 3, 2, 21.0, "P", 0))).drop("txn")
+      .withColumn("channel", lit("live"))
+    graft.streaming.StreamingOps.writeWave(v2, s"$base/in", 1)
+    Replication.incrementalSync(spark, v2.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state",
+      defaultCols = Map("channel" ->
+        graft.streaming.StreamingOps.ColumnDefault(2L, "'none'")))
+    // era 3: RENAME channel→chan, then TRUNCATE at position 3 — only
+    // key 1 is rewritten after the truncate
+    val v3 = txnDf(Seq(TxnEv("I", 4, 1, 11.0, "Q", 0))).drop("txn")
+      .withColumn("chan", lit("reborn"))
+    graft.streaming.StreamingOps.writeWave(v3, s"$base/in", 2)
+    Replication.incrementalSync(spark, v3.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state",
+      renameCols = Map("channel" -> "chan"), truncateAtSeq = Some(3L))
+    val served = Replication.appliedState(spark, s"$base/state")
+      .select(col("okey"), col("chan")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // key 2's whole history (incl. its post-default write) predates the
+    // truncate — gone; key 1 rebuilt with the renamed column's value
+    assert(served == Map(1L -> Some("reborn")),
+      s"composed DDL semantics violated: $served")
+    // and the default-under-rename still applies to any LATER row that
+    // predates... no row can now predate the default; the defaults log
+    // must still be keyed under the NEW name
+    assert(graft.streaming.StreamingOps.readDefaults(s"$base/state")
+      .exists(_._1 == "chan"))
+  }
+
   test("DDL safe widening: INT→BIGINT and FLOAT→DOUBLE promote; a real type change still fails") {
     val base = tmp()
     // v1 envelope: qty INT, ratio FLOAT
