@@ -374,6 +374,84 @@ object Llm {
     batch.join(drops, Seq("doc_id"), "left_anti")
   }
 
+  /** Replace one persisted index table with `df` under the crash-safe
+    * stage/swap/drop of [[compactIndexTable]] (same auto-heal). `df`
+    * MUST be pinned (localCheckpoint) when it derives from the table it
+    * replaces — the stage write otherwise re-reads the dir mid-swap. */
+  private def replaceIndexTable(df: DataFrame, live: String): Unit = {
+    import graft.streaming.StateFs
+    val trash = s"${live}_old"
+    if (StateFs.exists(trash)) {
+      if (StateFs.exists(live)) StateFs.deleteRecursive(trash)
+      else StateFs.moveDir(trash, live)
+    }
+    val side = s"${live}_staging"
+    StateFs.deleteRecursive(side)
+    df.write.mode("overwrite").parquet(side)
+    if (StateFs.exists(live)) StateFs.moveDir(live, trash)
+    StateFs.moveDir(side, live)
+    StateFs.deleteRecursive(trash)
+  }
+
+  /** Seed the incremental CLUSTER layer: [[dedupIndexSeed]] plus the
+    * snapshot's own CC labels persisted as `labels` (doc_id, lbl). The
+    * index×index pair pass runs exactly once — here; every later batch
+    * is [[dedupClustersIngest]]'s contracted O(batch) update. */
+  private[graft] def dedupClustersSeed(s: SparkSession, snapshot: DataFrame,
+      indexDir: String): Unit = {
+    dedupIndexSeed(s, snapshot, indexDir)
+    val sh = s.read.parquet(s"$indexDir/shingles")
+    val bands = s.read.parquet(s"$indexDir/bands")
+    val pairs = bands.select(col("doc_id").as("a_id"), col("band"), col("bv"))
+      .join(bands.select(col("doc_id").as("b_id"), col("band"), col("bv")),
+        Seq("band", "bv"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    ccLabels(jaccardConfirm(pairs, sh).select(col("a_id"), col("b_id")))
+      .write.mode("overwrite").parquet(s"$indexDir/labels")
+  }
+
+  /** Incremental CLUSTER maintenance — the decision layer kept current
+    * as batches arrive, via GRAPH CONTRACTION: each new confirmed
+    * pair's endpoints map through the existing labels, so an old
+    * clustered doc is represented by its component's label — which IS
+    * the component's minimum doc id, so the contracted component's min
+    * equals the true global min — and CC runs over the contracted edge
+    * set (bounded by the batch's pairs, NEVER the corpus graph; merging
+    * two 10M-doc components costs one supernode edge). Endpoints with
+    * no label (a new doc, or an old doc clustered for the first time)
+    * enter as themselves. Only touched components relabel; untouched
+    * labels carry. Persists and returns the full updated label table —
+    * provably equal to the full recompute (LlmSpec composition
+    * property; the oracle query hash-matches llm_dedup_clusters' SQL).
+    * Also advances the band/shingle index (via [[dedupIncremental]]). */
+  private[graft] def dedupClustersIngest(s: SparkSession, batch: DataFrame,
+      indexDir: String): DataFrame = {
+    val newPairs = dedupIncremental(s, batch, indexDir) // pinned by contract
+    val old = s.read.parquet(s"$indexDir/labels")
+    val contracted = newPairs
+      .join(old.select(col("doc_id").as("a_id"), col("lbl").as("a_lbl")),
+        Seq("a_id"), "left")
+      .join(old.select(col("doc_id").as("b_id"), col("lbl").as("b_lbl")),
+        Seq("b_id"), "left")
+      .select(coalesce(col("a_lbl"), col("a_id")).as("a_id"),
+        coalesce(col("b_lbl"), col("b_id")).as("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
+    val superRe = ccLabels(contracted)
+      .select(col("doc_id").as("node"), col("lbl").as("nlbl"))
+    // expand: members of touched components take the supernode's new
+    // label; untouched members carry; nodes that were never labels
+    // (new docs, newly-clustered old docs) become members themselves
+    val updatedOld = old.join(superRe, col("lbl") === col("node"), "left")
+      .select(col("doc_id"), coalesce(col("nlbl"), col("lbl")).as("lbl"))
+    val freshMembers = superRe
+      .join(old.select(col("lbl").as("node")).distinct(), Seq("node"), "left_anti")
+      .select(col("node").as("doc_id"), col("nlbl").as("lbl"))
+    val updated = updatedOld.unionByName(freshMembers).localCheckpoint()
+    replaceIndexTable(updated, s"$indexDir/labels")
+    updated
+  }
+
   /** Compact one append-accumulated index table: each ingest appends a
     * small file, so after N ingests every index scan pays N-file open
     * overhead — the classic small-files decay of any append-only
@@ -518,6 +596,14 @@ object Llm {
     * (which reports it) and llm_dedup_apply (which applies it). */
   private def dedupClusterLabels(s: SparkSession, dir: String): DataFrame = {
     val conf = minhashConfirmedPairs(s, dir)
+    ccLabels(conf.select(col("a_id"), col("b_id")))
+  }
+
+  /** The min-label-propagation fixpoint over an (a_id, b_id) edge frame
+    * — [[dedupClusterLabels]]'s engine, reused by the incremental
+    * cluster maintenance ([[dedupClustersIngest]]) over its CONTRACTED
+    * graph. */
+  private def ccLabels(conf: DataFrame): DataFrame = {
     val edges = conf.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(conf.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint() // pinned: re-joined every round
@@ -653,6 +739,23 @@ object Llm {
         .select(col("doc_id"), col("lbl").as("cluster_id"),
           (col("doc_id") === col("lbl")).as("is_keeper"))
         .orderBy(col("doc_id"))),
+
+    // L2l: INCREMENTAL CLUSTERS — the decision layer kept current as
+    // batches arrive: the snapshot seeds the index AND its CC labels;
+    // the arriving batch's pairs update the labels by GRAPH CONTRACTION
+    // (old components enter as one supernode each — their label IS
+    // their min id — so CC runs over a batch-bounded graph, and merging
+    // two huge components costs one supernode edge). The final label
+    // table must hash-match the FULL recompute's oracle exactly.
+    "llm_dedup_clusters_incremental" -> ((s, dir) => {
+      val all = docsWithNearDups(s, dir)
+      val idx = s"${graft.TmpDirs.create("graft_cluster_idx")}/idx"
+      dedupClustersSeed(s, all.filter(col("doc_id") < 100000), idx)
+      dedupClustersIngest(s, all.filter(col("doc_id") >= 100000), idx)
+        .select(col("doc_id"), col("lbl").as("cluster_id"),
+          (col("doc_id") === col("lbl")).as("is_keeper"))
+        .orderBy(col("doc_id"))
+    }),
 
     // L2g: APPLY the dedup — the end product a training pipeline ships:
     // the corpus with every non-canonical near-dup member dropped
@@ -1471,6 +1574,20 @@ object Llm {
     // same confirmed-pair CTEs, then connected components to the SAME
     // fixpoint the Spark loop reaches: min-reachable-id via recursive CTE
     "llm_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+            edges AS (SELECT a_id AS src, b_id AS dst FROM confirmed
+                      UNION ALL
+                      SELECT b_id, a_id FROM confirmed),
+            r AS (SELECT DISTINCT src AS doc_id, src AS lbl FROM edges
+                  UNION
+                  SELECT e.src, r.lbl FROM edges e JOIN r ON r.doc_id = e.dst)
+         SELECT doc_id, min(lbl) AS cluster_id,
+                min(lbl) = doc_id AS is_keeper
+         FROM r GROUP BY doc_id ORDER BY doc_id""",
+
+    // the incremental contraction must land on the SAME fixpoint as the
+    // full recompute — identical SQL, identical hash
+    "llm_dedup_clusters_incremental" ->
       s"""WITH RECURSIVE $minhashPairCtes,
             edges AS (SELECT a_id AS src, b_id AS dst FROM confirmed
                       UNION ALL

@@ -181,6 +181,30 @@ class LlmSpec extends SparkTestBase {
         "the index did not advance between ingests")
   }
 
+  test("incremental clusters over successive batches equal the full recompute") {
+    // labels maintained by contraction across TWO ingests (the second
+    // contracts against labels the first already updated, so batch-2
+    // pairs meet both snapshot-era supernodes and batch-1 members) must
+    // land on exactly the one-shot CC fixpoint.
+    val full = q("llm_dedup_clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d = Tables.t(spark, sf, "documents")
+    val snapshot = d.select(col("doc_id"), col("text"))
+    val arriving = d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1, length(text))").as("text"))
+    val idx = s"${TmpDirs.create("graft_ci_idx")}/idx"
+    ops.Llm.dedupClustersSeed(spark, snapshot, idx)
+    ops.Llm.dedupClustersIngest(spark,
+      arriving.filter(col("doc_id") % 2 === 0), idx)
+    val labels = ops.Llm.dedupClustersIngest(spark,
+      arriving.filter(col("doc_id") % 2 =!= 0), idx).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == full,
+      s"incremental labels diverged: missing ${(full.toSet -- labels.toSet).take(3)}, " +
+        s"extra ${(labels.toSet -- full.toSet).take(3)}")
+  }
+
   test("index compaction auto-heals a crashed swap") {
     val d = Tables.t(spark, sf, "documents").limit(50)
       .select(col("doc_id"), col("text"))
