@@ -374,6 +374,39 @@ object Llm {
     batch.join(drops, Seq("doc_id"), "left_anti")
   }
 
+  /** Seed the incremental EXACT-dedup index: the snapshot's distinct
+    * normalized content hashes, persisted under `indexDir/hashes`. */
+  private[graft] def exactIndexSeed(s: SparkSession, snapshot: DataFrame,
+      indexDir: String): Unit =
+    snapshot.select(sha2(lower(trim(col("text"))), 256).as("text_hash"))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$indexDir/hashes")
+
+  /** Incremental EXACT dedup-on-ingest: ship each arriving doc whose
+    * normalized hash is new — not in the index, and not claimed by a
+    * lower-id doc in the same batch — then append the batch's fresh
+    * hashes for the next ingest. The 100 TB shape: the INDEX IS NEVER
+    * SHUFFLED — it is scanned once into a left-semi join against the
+    * broadcast batch-hash set (the "which of MY hashes exist" probe,
+    * batch-bounded output), and the batch then anti-joins that tiny
+    * probe result by broadcast. Returns (text_hash, doc_id) keepers. */
+  private[graft] def exactIngestApply(s: SparkSession, batch: DataFrame,
+      indexDir: String): DataFrame = {
+    val hashed = graft.CacheRegistry.track(
+      batch.withColumn("text_hash", sha2(lower(trim(col("text"))), 256))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val present = s.read.parquet(s"$indexDir/hashes")
+      .join(broadcast(hashed.select(col("text_hash")).distinct()),
+        Seq("text_hash"), "left_semi")
+    val fresh = hashed.join(broadcast(present), Seq("text_hash"), "left_anti")
+    val kept = fresh.groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .localCheckpoint() // pinned BEFORE the index append it derives from
+    kept.select(col("text_hash"))
+      .write.mode("append").parquet(s"$indexDir/hashes")
+    kept
+  }
+
   /** Replace one persisted index table with `df` under the crash-safe
     * stage/swap/drop of [[compactIndexTable]] (same auto-heal). `df`
     * MUST be pinned (localCheckpoint) when it derives from the table it
@@ -666,6 +699,29 @@ object Llm {
       dedupIndexSeed(s, all.filter(col("doc_id") < 100000), idx)
       dedupIncremental(s, all.filter(col("doc_id") >= 100000), idx)
         .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // L1b: INCREMENTAL EXACT dedup — the hash-index pipeline form of
+    // L1: the snapshot's normalized hashes persist; the arriving batch
+    // (planted exact copies — all must drop; novel reversed-text docs —
+    // all must ship; and in-batch duplicates of the novel docs — the
+    // lowest id wins) probes the index WITHOUT ever shuffling it
+    // (index-side broadcast-semi against the batch hash set), then the
+    // fresh hashes append for the next ingest.
+    "llm_dedup_exact_incremental" -> ((s, dir) => {
+      val d = Tables.t(s, dir, "documents")
+      val all = docsWithExactDups(s, dir)
+      val novel = d.filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          reverse(col("text")).as("text"))
+      val novelDup = novel.select((col("doc_id") + 100000).as("doc_id"),
+        col("text"))
+      val idx = s"${graft.TmpDirs.create("graft_exact_idx")}/idx"
+      exactIndexSeed(s, all.filter(col("doc_id") < 100000), idx)
+      exactIngestApply(s,
+        all.filter(col("doc_id") >= 100000)
+          .unionByName(novel).unionByName(novelDup), idx)
+        .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
     // L2k: APPLY at the ingest boundary — the shipped batch: arriving
@@ -1552,6 +1608,26 @@ object Llm {
       s"""WITH $minhashPairCtes
          SELECT a_id, b_id, jaccard FROM confirmed
          WHERE b_id >= 100000 ORDER BY a_id, b_id""",
+
+    // exact-hash ingest: index hashes drop, novel hashes ship with the
+    // lowest in-batch id winning
+    "llm_dedup_exact_incremental" ->
+      """WITH batch AS (
+           SELECT doc_id + 100000 AS doc_id, text FROM documents
+           WHERE doc_id % 5 = 0
+           UNION ALL
+           SELECT doc_id + 200000, reverse(text) FROM documents
+           WHERE doc_id % 5 = 1
+           UNION ALL
+           SELECT doc_id + 300000, reverse(text) FROM documents
+           WHERE doc_id % 5 = 1),
+         snap_h AS (SELECT DISTINCT sha256(lower(trim(text))) AS h
+                    FROM documents),
+         bh AS (SELECT doc_id, sha256(lower(trim(text))) AS h FROM batch),
+         fresh AS (SELECT doc_id, h FROM bh
+                   WHERE h NOT IN (SELECT h FROM snap_h))
+         SELECT min(doc_id) AS doc_id FROM fresh GROUP BY h
+         ORDER BY doc_id""",
 
     // the shipped batch: arriving docs that are the GREATER member of a
     // confirmed pair are dropped; the novel (reversed-text) docs all ship
