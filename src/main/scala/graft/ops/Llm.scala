@@ -392,6 +392,18 @@ object Llm {
     * probe result by broadcast. Returns (text_hash, doc_id) keepers. */
   private[graft] def exactIngestApply(s: SparkSession, batch: DataFrame,
       indexDir: String): DataFrame = {
+    val kept = exactIngestFrame(s, batch, indexDir)
+      .localCheckpoint() // pinned BEFORE the index append it derives from
+    kept.select(col("text_hash"))
+      .write.mode("append").parquet(s"$indexDir/hashes")
+    kept
+  }
+
+  /** [[exactIngestApply]]'s un-pinned query — split out so PlanSpec can
+    * assert the no-index-shuffle shape BEFORE the localCheckpoint
+    * collapses it. */
+  private[graft] def exactIngestFrame(s: SparkSession, batch: DataFrame,
+      indexDir: String): DataFrame = {
     val hashed = graft.CacheRegistry.track(
       batch.withColumn("text_hash", sha2(lower(trim(col("text"))), 256))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -399,12 +411,7 @@ object Llm {
       .join(broadcast(hashed.select(col("text_hash")).distinct()),
         Seq("text_hash"), "left_semi")
     val fresh = hashed.join(broadcast(present), Seq("text_hash"), "left_anti")
-    val kept = fresh.groupBy(col("text_hash"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .localCheckpoint() // pinned BEFORE the index append it derives from
-    kept.select(col("text_hash"))
-      .write.mode("append").parquet(s"$indexDir/hashes")
-    kept
+    fresh.groupBy(col("text_hash")).agg(min(col("doc_id")).as("doc_id"))
   }
 
   /** Replace one persisted index table with `df` under the crash-safe

@@ -235,6 +235,24 @@ class PlanSpec extends SparkTestBase {
       s"persisted index scans missing from the plan:\n$plan")
   }
 
+  test("exact-dedup ingest never shuffles the hash index") {
+    // L1b's 100 TB contract: the index parquet scan feeds a broadcast
+    // semi-join (probe side = the tiny batch hash set) and the batch
+    // anti-joins the probe result by broadcast — every join must be a
+    // BroadcastHashJoin; a SortMergeJoin/ShuffledHashJoin would mean
+    // the index rode a shuffle.
+    val d = Tables.t(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val idx = s"${TmpDirs.create("graft_plan_exidx")}/idx"
+    ops.Llm.exactIndexSeed(spark, d, idx)
+    val batch = d.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val plan = ops.Llm.exactIngestFrame(spark, batch, idx)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"the hash index rode a shuffle:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast probe joins:\n$plan")
+  }
+
   test("substring-dedup fingerprints are df-capped before the self-join") {
     // L2h's guard, same contract: boilerplate fingerprints (df > 100)
     // never reach pair generation.
