@@ -1182,6 +1182,36 @@ object Llm {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // L3e: L3d AS A LIVE STREAM (the L2j symmetry for ANN): embeddings
+    // arrive through a file stream in two waves; each micro-batch is
+    // assigned/probed/ranked against the index AS IT STANDS and then
+    // appends its assignments — so wave-1 queries see index ∪ wave-1,
+    // wave-2 queries see everything. The oracle replays exactly that
+    // wave-visibility split.
+    "llm_sim_stream" -> ((s, dir) => {
+      VectorOps.register(s)
+      val all = vecs(s, dir).select(col("vec_id"), col("v"))
+      val tmp = graft.TmpDirs.create("graft_ann_stream")
+      val idx = s"$tmp/idx"
+      annIndexSeed(s, all.filter(col("vec_id") % 10 =!= 0), idx)
+      val arriving = all.filter(col("vec_id") % 10 === 0)
+      graft.streaming.StreamingOps.writeWave(
+        arriving.filter(col("vec_id") % 20 === 0), s"$tmp/in", 0)
+      graft.streaming.StreamingOps.writeWave(
+        arriving.filter(col("vec_id") % 20 =!= 0), s"$tmp/in", 1)
+      val query = s.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+        .writeStream.option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          annIngest(s, batch.toDF(), idx)
+            .write.mode("append").parquet(s"$tmp/out"); ()
+        }
+        .start()
+      query.processAllAvailable()
+      query.stop()
+      s.read.parquet(s"$tmp/out").orderBy(col("q_id"), col("rk"))
+    }),
+
     // L6c: training-shard packing — assign docs to fixed-token-budget
     // shards by running token count (the artifact a training job reads).
     // Implemented as the REAL 100 TB shape, not a single-partition global
@@ -1910,6 +1940,74 @@ object Llm {
             scored AS (
               SELECT p.q_id, a.n_id, ${cosSql("p.q_v", "a.n_v")} AS cos
               FROM probes p JOIN allidx a ON p.cell = a.cell AND p.q_id <> a.n_id)
+         SELECT q_id, rk, n_id, cos FROM (
+           SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
+           FROM scored)
+         WHERE rk <= 3 ORDER BY q_id, rk""",
+
+    // the streamed ingest under the wave-visibility split: wave-1
+    // queries score against idx ∪ wave-1, wave-2 against everything
+    // (q_ids are wave-disjoint, so one ranking window serves both)
+    "llm_sim_stream" ->
+      s"""WITH $vecsCte,
+            snap AS (SELECT vec_id, v FROM vecs WHERE vec_id % 10 <> 0),
+            seeds AS (SELECT vec_id AS c_id, v AS c_v FROM snap
+                      ORDER BY vec_id LIMIT 16),
+            a0 AS (
+              SELECT vec_id, v, c_id AS cell FROM (
+                SELECT a.vec_id, a.v, c.c_id,
+                  row_number() OVER (PARTITION BY a.vec_id
+                    ORDER BY ${cosSql("a.v", "c.c_v")} DESC, c.c_id ASC) AS arn
+                FROM snap a CROSS JOIN seeds c) WHERE arn = 1),
+            comp AS (
+              SELECT cell, j,
+                CAST(sum(CAST(v[j] AS DECIMAL(38,18))) AS DOUBLE) /
+                  CAST(count(*) AS DOUBLE) AS m
+              FROM a0 CROSS JOIN generate_series(1, 64) t(j)
+              GROUP BY cell, j),
+            cents AS (SELECT cell AS c_id, list(m ORDER BY j) AS c_v
+                      FROM comp GROUP BY cell),
+            idx AS (
+              SELECT vec_id AS n_id, v AS n_v, c_id AS cell FROM (
+                SELECT a.vec_id, a.v, c.c_id,
+                  row_number() OVER (PARTITION BY a.vec_id
+                    ORDER BY ${cosSql("a.v", "c.c_v")} DESC, c.c_id ASC) AS arn
+                FROM snap a CROSS JOIN cents c) WHERE arn = 1),
+            b1 AS (SELECT vec_id, v FROM vecs WHERE vec_id % 20 = 0),
+            b2 AS (SELECT vec_id, v FROM vecs
+                   WHERE vec_id % 10 = 0 AND vec_id % 20 <> 0),
+            bidx1 AS (
+              SELECT vec_id AS n_id, v AS n_v, c_id AS cell FROM (
+                SELECT a.vec_id, a.v, c.c_id,
+                  row_number() OVER (PARTITION BY a.vec_id
+                    ORDER BY ${cosSql("a.v", "c.c_v")} DESC, c.c_id ASC) AS arn
+                FROM b1 a CROSS JOIN cents c) WHERE arn = 1),
+            bidx2 AS (
+              SELECT vec_id AS n_id, v AS n_v, c_id AS cell FROM (
+                SELECT a.vec_id, a.v, c.c_id,
+                  row_number() OVER (PARTITION BY a.vec_id
+                    ORDER BY ${cosSql("a.v", "c.c_v")} DESC, c.c_id ASC) AS arn
+                FROM b2 a CROSS JOIN cents c) WHERE arn = 1),
+            probes1 AS (
+              SELECT q_id, q_v, cell FROM (
+                SELECT q.n_id AS q_id, q.n_v AS q_v, c.c_id AS cell,
+                  row_number() OVER (PARTITION BY q.n_id
+                    ORDER BY ${cosSql("q.n_v", "c.c_v")} DESC, c.c_id ASC) AS prn
+                FROM bidx1 q CROSS JOIN cents c) WHERE prn <= 4),
+            probes2 AS (
+              SELECT q_id, q_v, cell FROM (
+                SELECT q.n_id AS q_id, q.n_v AS q_v, c.c_id AS cell,
+                  row_number() OVER (PARTITION BY q.n_id
+                    ORDER BY ${cosSql("q.n_v", "c.c_v")} DESC, c.c_id ASC) AS prn
+                FROM bidx2 q CROSS JOIN cents c) WHERE prn <= 4),
+            cand1 AS (SELECT * FROM idx UNION ALL SELECT * FROM bidx1),
+            cand2 AS (SELECT * FROM cand1 UNION ALL SELECT * FROM bidx2),
+            scored AS (
+              SELECT p.q_id, a.n_id, ${cosSql("p.q_v", "a.n_v")} AS cos
+              FROM probes1 p JOIN cand1 a ON p.cell = a.cell AND p.q_id <> a.n_id
+              UNION ALL
+              SELECT p.q_id, a.n_id, ${cosSql("p.q_v", "a.n_v")} AS cos
+              FROM probes2 p JOIN cand2 a ON p.cell = a.cell AND p.q_id <> a.n_id)
          SELECT q_id, rk, n_id, cos FROM (
            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
            FROM scored)
