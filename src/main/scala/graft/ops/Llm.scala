@@ -374,6 +374,38 @@ object Llm {
     batch.join(drops, Seq("doc_id"), "left_anti")
   }
 
+  /** (doc_id, g): hashed 8-gram table of a (doc_id, text) frame — L6a's
+    * contamination unit, shared by the one-shot query and the
+    * incremental ingest. */
+  private def gramTable(df: DataFrame): DataFrame =
+    df.withColumn("words", split(col("text"), " "))
+      .withColumn("wh", transform(col("words"), w => wordHash60(w) % MinhashP))
+      .select(col("doc_id"), explode(expr(hashedGramsFromWh)).as("g"))
+
+  /** Seed the incremental DECONTAMINATION index: the benchmark suite's
+    * distinct hashed 8-grams persisted under `indexDir/grams` — built
+    * once per benchmark release, probed by every ingest. */
+  private[graft] def decontamIndexSeed(s: SparkSession, bench: DataFrame,
+      indexDir: String): Unit =
+    gramTable(bench).select(col("g")).distinct()
+      .write.mode("overwrite").parquet(s"$indexDir/grams")
+
+  /** Incremental decontamination-on-ingest: gram the ARRIVING batch
+    * only and probe the persisted benchmark gram set by broadcast (a
+    * benchmark suite is bounded by nature — the broadcast never grows
+    * with the corpus), counting overlaps per doc. The corpus is never
+    * re-grammed; the index is read, never rebuilt. */
+  private[graft] def decontamIngest(s: SparkSession, batch: DataFrame,
+      indexDir: String): DataFrame = {
+    val idx = s.read.parquet(s"$indexDir/grams")
+    val hits = gramTable(batch).join(broadcast(idx), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    batch.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Seed the incremental EXACT-dedup index: the snapshot's distinct
     * normalized content hashes, persisted under `indexDir/hashes`. */
   private[graft] def exactIndexSeed(s: SparkSession, snapshot: DataFrame,
@@ -890,10 +922,7 @@ object Llm {
     // final per-doc count; at 100 TB the train grams never shuffle.
     "llm_decontaminate" -> ((s, dir) => {
       val d = Tables.t(s, dir, "documents")
-      def grams = d
-        .withColumn("words", split(col("text"), " "))
-        .withColumn("wh", transform(col("words"), w => wordHash60(w) % MinhashP))
-        .select(col("doc_id"), explode(expr(hashedGramsFromWh)).as("g"))
+      def grams = gramTable(d)
       val bench = grams.filter(col("doc_id") % 37 === 0).select(col("g")).distinct()
       val hits = grams.filter(col("doc_id") % 37 =!= 0)
         .join(broadcast(bench), Seq("g"))
@@ -903,6 +932,18 @@ object Llm {
         .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
         .orderBy(col("doc_id"))
+    }),
+
+    // L6a-inc: decontamination AS AN INGEST — the benchmark gram set is
+    // a PERSISTED index (built once per benchmark release); the
+    // arriving batch is grammed and probed against it, the corpus never
+    // re-grammed. Identical output to the one-shot L6a, so the same
+    // oracle gates it.
+    "llm_decontam_incremental" -> ((s, dir) => {
+      val d = Tables.t(s, dir, "documents")
+      val idx = s"${graft.TmpDirs.create("graft_decontam_idx")}/idx"
+      decontamIndexSeed(s, d.filter(col("doc_id") % 37 === 0), idx)
+      decontamIngest(s, d.filter(col("doc_id") % 37 =!= 0), idx)
     }),
 
     // L6b: training-mixture construction — per-source stratified sampling
@@ -1746,6 +1787,32 @@ object Llm {
          ORDER BY doc_id""",
 
     "llm_decontaminate" -> {
+      val terms = Gram8C.zipWithIndex
+        .map { case (c, j) => s"wh[i+$j] * $c" }.mkString(" + ")
+      s"""WITH whs AS (SELECT doc_id,
+                         list_transform(string_split(text, ' '), w ->
+                           CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % $MinhashP) AS wh
+                       FROM documents),
+            grams AS (SELECT doc_id,
+                        unnest(CASE WHEN len(wh) >= 8 THEN
+                          list_distinct(list_transform(
+                            generate_series(1, len(wh) - 7),
+                            i -> ($terms) % $MinhashP))
+                        ELSE [] END) AS g
+                      FROM whs),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 37 = 0),
+            hits AS (SELECT doc_id, count(*) AS n_hits
+                     FROM grams JOIN bench USING (g)
+                     WHERE doc_id % 37 <> 0 GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+                coalesce(h.n_hits, 0) > 0 AS contaminated
+         FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+         WHERE d.doc_id % 37 <> 0
+         ORDER BY d.doc_id"""
+    },
+
+    // the persisted-index ingest must produce the IDENTICAL report
+    "llm_decontam_incremental" -> {
       val terms = Gram8C.zipWithIndex
         .map { case (c, j) => s"wh[i+$j] * $c" }.mkString(" + ")
       s"""WITH whs AS (SELECT doc_id,
