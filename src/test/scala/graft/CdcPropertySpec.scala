@@ -146,6 +146,49 @@ class CdcPropertySpec extends SparkTestBase {
     }
   }
 
+  test("TRUNCATE property: any log, any position — served == collapse of the tail") {
+    import graft.streaming.{StateFs, StreamingOps}
+    // random logs split into epoch dirs; a truncate floor at a random
+    // mid-log position P must serve exactly the collapse of events with
+    // seq > P — before AND after compaction (the floor gates folded
+    // baselines too, and compaction physically reclaims the dead rows)
+    // — and a post-truncate delta still applies.
+    samples(6).filter(_.length > 3).zipWithIndex.foreach { case (ops, si) =>
+      val sorted = ops.sortBy(_.seq)
+      val chunks = sorted.grouped(math.max(1, sorted.length / 3)).toList
+      val state = java.nio.file.Files
+        .createTempDirectory(s"graft_truncprop$si").toString
+      def toDf(chunk: List[Op]) = {
+        spark.createDataFrame(chunk)
+          .select(col("op"), col("seq"),
+            timestamp_seconds(lit(1700000000L) + col("seq")).as("ts"),
+            col("key").as("okey"), col("v").cast("double").as("price"),
+            lit("S").as("status"))
+      }
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        toDf(c).write.parquet(s"$state/epoch=$i") }
+      val p = sorted(sorted.length / 2).seq
+      StateFs.writeAtomic(s"$state/_trunc_floor", p.toString)
+      def served() = StreamingOps.readLatestState(spark, state)
+        .select(col("okey"), col("op"), col("price")).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+      val want = replay(sorted.filter(_.seq > p))
+        .map { case (k, (o, v)) => k -> (o, v.toDouble) }
+      assert(served() == want, s"pre-compaction truncate diverged: $ops, p=$p")
+      StreamingOps.compactState(spark, state)
+      assert(served() == want, s"post-compaction truncate diverged: $ops, p=$p")
+      assert(spark.read.option("mergeSchema", "true").parquet(state)
+        .filter(col("seq") <= p).count() == 0,
+        s"compaction kept truncate-dead rows: $ops, p=$p")
+      // a strictly newer delta still applies above the floor
+      val maxSeq = sorted.last.seq
+      toDf(List(Op("I", maxSeq + 1, 999L, 7L)))
+        .write.parquet(s"$state/epoch=${chunks.size}")
+      assert(served().get(999L).contains(("I", 7.0)),
+        s"post-truncate delta lost: $ops")
+    }
+  }
+
   test("snapshot ∪ delta == full-log collapse") {
     samples(10).filter(_.length > 2).foreach { ops =>
       val sorted = ops.sortBy(_.seq)
