@@ -189,6 +189,46 @@ class CdcPropertySpec extends SparkTestBase {
     }
   }
 
+  test("DEFAULT property: any log, any DDL position — default iff the winner predates it") {
+    import graft.streaming.{StateFs, StreamingOps}
+    // random logs split at a random DDL position (a DDL lands at a batch
+    // boundary): the pre-DDL epoch lacks the column, the post-DDL epoch
+    // writes a value for even seqs and an EXPLICIT NULL for odd seqs.
+    // Served channel must be the declared default exactly when the key's
+    // winner predates the DDL; a post-DDL explicit NULL must stay NULL.
+    samples(6).filter(_.length > 3).zipWithIndex.foreach { case (ops, si) =>
+      val sorted = ops.sortBy(_.seq)
+      val p = sorted(sorted.length / 2).seq
+      val (pre, post) = sorted.partition(_.seq <= p)
+      val state = java.nio.file.Files
+        .createTempDirectory(s"graft_defprop$si").toString
+      def baseDf(chunk: List[Op]) =
+        spark.createDataFrame(chunk)
+          .select(col("op"), col("seq"),
+            timestamp_seconds(lit(1700000000L) + col("seq")).as("ts"),
+            col("key").as("okey"), col("v").cast("double").as("price"),
+            lit("S").as("status"))
+      if (pre.nonEmpty) baseDf(pre).write.parquet(s"$state/epoch=0")
+      if (post.nonEmpty)
+        baseDf(post).withColumn("channel",
+          when(col("seq") % 2 === 0, concat(lit("v"), col("seq")))
+            .otherwise(lit(null).cast("string")))
+          .write.parquet(s"$state/epoch=1")
+      StateFs.writeAtomic(s"$state/_defaults", s"channel\t$p\t'dflt'")
+      val served = StreamingOps.readLatestState(spark, state)
+        .select(col("okey"), col("channel")).collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      val winners = sorted.foldLeft(Map.empty[Long, Op]) {
+        (m, o) => m.updated(o.key, o) }
+        .filter(_._2.op != "D")
+      val want = winners.map { case (k, w) =>
+        k -> (if (w.seq <= p) Some("dflt")
+              else if (w.seq % 2 == 0) Some(s"v${w.seq}") else None)
+      }
+      assert(served == want, s"log: $ops, p=$p")
+    }
+  }
+
   test("snapshot ∪ delta == full-log collapse") {
     samples(10).filter(_.length > 2).foreach { ops =>
       val sorted = ops.sortBy(_.seq)
