@@ -956,6 +956,31 @@ class ReplicationSpec extends SparkTestBase {
     assert(e2.getMessage.contains("okey"))
   }
 
+  test("row filters compose with transaction gating: filter applies only to committed events") {
+    val base = tmp()
+    def mt(evs: Seq[TxnEv]) = txnDf(evs)
+      .withColumn("table",
+        when(col("okey") % 2 === 0, "t_even").otherwise("t_odd"))
+    // txn 1 (committed): keys 2 and 4 on t_even, key 1 on t_odd;
+    // txn 2 (no commit marker): an update to key 4 — held back entirely
+    val events = mt(Seq(TxnEv("I", 1, 2, 20.0, "O", 1),
+      TxnEv("I", 2, 4, 40.0, "O", 1), TxnEv("I", 3, 1, 10.0, "O", 1),
+      TxnEv("U", 5, 4, 99.0, "P", 2)))
+    val marker = txnDf(Seq(TxnEv("C", 4, -1, 0.0, null, 1)))
+      .withColumn("table", lit("_ctl"))
+    graft.streaming.StreamingOps.writeWave(
+      events.unionByName(marker), s"$base/in", 0)
+    val dirs = Map("t_even" -> s"$base/se", "t_odd" -> s"$base/so")
+    Replication.incrementalSyncMulti(spark, events.schema, s"$base/in",
+      s"$base/ckpt", dirs, txnCol = Some("txn"),
+      rowFilters = Map("t_even" -> "okey >= 4"))
+    // committed txn 1: key 2 filtered out, key 4 admitted; txn 2's
+    // update never applies (no commit) — key 4 serves txn 1's insert
+    assert(servedTxnState(s"$base/se") == Map(4L -> ("I", 40.0)),
+      "filter must gate committed events; uncommitted txns stay held")
+    assert(servedTxnState(s"$base/so") == Map(1L -> ("I", 10.0)))
+  }
+
   test("single-table row filter and mask mirror the multi-table semantics") {
     val base = tmp()
     val v1 = txnDf(Seq(TxnEv("I", 1, 1, 10.0, "O", 0),
