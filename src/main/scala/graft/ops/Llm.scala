@@ -511,6 +511,11 @@ object Llm {
       .filter(col("a_id") =!= col("b_id"))
     val superRe = ccLabels(contracted)
       .select(col("doc_id").as("node"), col("lbl").as("nlbl"))
+    // quiet batch (no confirmed pairs — the common production case):
+    // the band index advanced, no component changed, so the label table
+    // is untouched — skip the rewrite entirely (ccLabels' result is
+    // checkpointed, so the probe is a metadata count)
+    if (superRe.isEmpty) return old
     // expand: members of touched components take the supernode's new
     // label; untouched members carry; nodes that were never labels
     // (new docs, newly-clustered old docs) become members themselves

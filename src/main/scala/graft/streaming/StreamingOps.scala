@@ -795,7 +795,13 @@ object StreamingOps {
     * that table before anything is staged — the masked values never
     * leave the source side of the pass (the column-exclusion/masking
     * config of this tool class, for PII-shaped payloads). Bookkeeping
-    * (`okey`/`op`/`seq`/`ts` and the txn column) cannot be masked. */
+    * (`okey`/`op`/`seq`/`ts` and the txn column) cannot be masked.
+    *
+    * Filters run AFTER the txn gate, at apply time: the pending tail
+    * carries a transaction's events UNFILTERED (so the reported
+    * pendingRows counts them), and the predicate/mask applies when the
+    * commit arrives — a filter change between passes therefore applies
+    * to not-yet-committed history, which is the declarative reading. */
   private[graft] def runCdcPassMultiSource(s: SparkSession, source: CdcSource,
       ckpt: String, stateDirs: Map[String, String],
       txnCol: Option[String] = None,

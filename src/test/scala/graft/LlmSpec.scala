@@ -195,6 +195,16 @@ class LlmSpec extends SparkTestBase {
         expr("substring(text, instr(text, ' ') + 1, length(text))").as("text"))
     val idx = s"${TmpDirs.create("graft_ci_idx")}/idx"
     ops.Llm.dedupClustersSeed(spark, snapshot, idx)
+    // a QUIET batch first (novel reversed-text docs, no near-dups): the
+    // labels must come back unchanged via the skip-rewrite path
+    val quiet = ops.Llm.dedupClustersIngest(spark,
+      d.filter(col("doc_id") % 5 === 2)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          reverse(col("text")).as("text")), idx).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val seeded = spark.read.parquet(s"$idx/labels").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(quiet == seeded, "a quiet batch must leave the labels untouched")
     ops.Llm.dedupClustersIngest(spark,
       arriving.filter(col("doc_id") % 2 === 0), idx)
     val labels = ops.Llm.dedupClustersIngest(spark,
