@@ -26,21 +26,33 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to read
-    * as a timestamp unless `spark.sql.legacy.parquet.nanosAsLong=true` is
-    * set AT SESSION BUILD (Verify / Bench / Dbg / SparkTestBase all set
-    * it). The raw nanos are truncated to µs — exactly what DuckDB does on
-    * read, so the oracle agrees by construction. The conf is deliberately
-    * NOT set here: a reader mutating shared session state is surprising
-    * to every other user of that session. */
+  /** events.ts has shipped in two physical encodings across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark 4 only reads with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` set AT SESSION BUILD —
+    * Verify / Bench / SparkTestBase all set it, and the file then surfaces
+    * as BIGINT nanos) and plain TIMESTAMP(MICROS). Dispatch on the surfaced
+    * type: BIGINT nanos are truncated to µs — exactly what DuckDB does on
+    * reading a nanos file, so the oracle agrees by construction — while a
+    * native timestamp passes through untouched (DuckDB reads it
+    * identically). The nanos conf is deliberately NOT set here: a reader
+    * mutating shared session state is surprising to every other user of
+    * that session. */
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-        .contains("true"),
-        "events.parquet is TIMESTAMP(NANOS): build the session with " +
-          "spark.sql.legacy.parquet.nanosAsLong=true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(CAST(ts div 1000 AS BIGINT))"))
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case LongType => // TIMESTAMP(NANOS) surfaced as nanos-since-epoch
+          raw.withColumn("ts",
+            expr("timestamp_micros(CAST(ts div 1000 AS BIGINT))"))
+        case _: TimestampType => raw
+        case TimestampNTZType =>
+          // naive micros; sessions here pin spark.sql.session.timeZone=UTC,
+          // so this cast lands on the same instant the nanos path produced
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case other => throw new IllegalStateException(
+          s"events.ts: unexpected physical type $other (want BIGINT nanos " +
+            "under spark.sql.legacy.parquet.nanosAsLong=true, or TIMESTAMP)")
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   val D2: DecimalType = DecimalType(18, 2)
