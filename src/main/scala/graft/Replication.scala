@@ -122,13 +122,14 @@ object Replication {
       truncateAtSeq: Option[Long] = None,
       defaultCols: Map[String, streaming.StreamingOps.ColumnDefault] = Map.empty,
       rowFilter: Option[String] = None,
-      maskCols: Seq[String] = Seq.empty)
+      maskCols: Seq[String] = Seq.empty,
+      keyCols: Seq[String] = Seq("okey"))
       : SyncProgress = {
     val (rows, epochs, lastSeq, pending) = streaming.StreamingOps.runCdcPass(
       spark, schema, inDir, ckptDir, stateDir, trackSeq = true,
       startAfterSeq = fromSeq, txnCol = txnCol, renameCols = renameCols,
       truncateAtSeq = truncateAtSeq, defaultCols = defaultCols,
-      rowFilter = rowFilter, maskCols = maskCols)
+      rowFilter = rowFilter, maskCols = maskCols, keyCols = keyCols)
     if (deltaCount(stateDir) > compactEvery)
       streaming.StreamingOps.compactState(spark, stateDir, tombstoneGc)
     SyncProgress(rows, epochs, lastSeq, pending)
@@ -175,11 +176,12 @@ object Replication {
       truncateAt: Map[String, Long] = Map.empty,
       defaultCols: Map[String, streaming.StreamingOps.ColumnDefault] = Map.empty,
       rowFilters: Map[String, String] = Map.empty,
-      maskCols: Map[String, Seq[String]] = Map.empty)
+      maskCols: Map[String, Seq[String]] = Map.empty,
+      keyCols: Seq[String] = Seq("okey"))
       : Map[String, SyncProgress] = {
     val (stats, pending) = streaming.StreamingOps.runCdcPassMulti(
       spark, schema, inDir, ckptDir, stateDirs, txnCol, renameCols, truncateAt,
-      defaultCols, rowFilters, maskCols)
+      defaultCols, rowFilters, maskCols, keyCols)
     stateDirs.map { case (t, dir) =>
       if (deltaCount(dir) > compactEvery)
         streaming.StreamingOps.compactState(spark, dir, tombstoneGc,
@@ -262,9 +264,10 @@ object Replication {
     * `txnCol`, pass the sync's `ckptDir` as `pendingRoot` so the
     * correction seq clears the topology's uncommitted tail. */
   def repairSync(spark: SparkSession, src: DataFrame, stateDir: String,
-      key: String = "okey", pendingRoot: Option[String] = None): RepairReport = {
+      keyCols: Seq[String] = Seq("okey"),
+      pendingRoot: Option[String] = None): RepairReport = {
     val (i, u, d) = streaming.StreamingOps.repairState(spark, src, stateDir,
-      key, pendingRoot)
+      keyCols, pendingRoot)
     RepairReport(i, u, d)
   }
 
@@ -283,10 +286,10 @@ object Replication {
     * "repair" every mask back to its live value. Returns per-table
     * [[RepairReport]]s. */
   def repairSyncMulti(spark: SparkSession, srcByTable: Map[String, DataFrame],
-      stateDirs: Map[String, String], key: String = "okey",
+      stateDirs: Map[String, String], keyCols: Seq[String] = Seq("okey"),
       pendingRoot: Option[String] = None): Map[String, RepairReport] =
     streaming.StreamingOps.repairStateMulti(spark, srcByTable, stateDirs,
-      key, pendingRoot)
+      keyCols, pendingRoot)
       .map { case (t, (i, u, d)) => t -> RepairReport(i, u, d) }
 
   /** Outcome of a source↔destination consistency check (§3.1 #3). */
@@ -311,7 +314,15 @@ object Replication {
     * once (two `except`s would be two full joins). Nothing row-wise
     * ever reaches the driver. */
   def consistencyCheck(src: DataFrame, dst: DataFrame,
-      key: String): ConsistencyReport = {
+      key: String): ConsistencyReport = consistencyCheck(src, dst, Seq(key))
+
+  /** Composite-primary-key form of [[consistencyCheck]]: the key-set
+    * diff runs over the FULL key tuple (null-safe per column, matching
+    * the single-column form's `<=>` semantics); counts and checksums
+    * are key-independent and unchanged. */
+  def consistencyCheck(src: DataFrame, dst: DataFrame,
+      keyCols: Seq[String]): ConsistencyReport = {
+    require(keyCols.nonEmpty, "keyCols must name at least one column")
     val common = src.columns.intersect(dst.columns).sorted.toSeq
     // Order-independent value checksum: two combined folds of a 64-bit
     // row hash. A wrapping sum alone is weak — value swaps between rows
@@ -340,11 +351,16 @@ object Replication {
     // presence MARKERS (not key nullness) decide absence, and the join
     // is null-safe — `except` set-semantics treats a NULL key present
     // on both sides as matched, and so must this
-    val diff = src.select(col(key).as("sk")).distinct()
+    val sk = keyCols.map(k => s"__sk_$k")
+    val dk = keyCols.map(k => s"__dk_$k")
+    val diff = src.select(keyCols.zip(sk).map { case (k, a) =>
+        col(k).as(a) }: _*).distinct()
       .withColumn("sm", lit(true))
-      .join(dst.select(col(key).as("dk")).distinct()
-        .withColumn("dm", lit(true)),
-        col("sk") <=> col("dk"), "full_outer")
+      .join(dst.select(keyCols.zip(dk).map { case (k, a) =>
+          col(k).as(a) }: _*).distinct()
+          .withColumn("dm", lit(true)),
+        sk.zip(dk).map { case (a, b) => col(a) <=> col(b) }.reduce(_ && _),
+        "full_outer")
       .agg(count(when(col("dm").isNull, 1)).as("missing"),
         count(when(col("sm").isNull, 1)).as("extra")).collect()(0)
     ConsistencyReport(

@@ -111,4 +111,66 @@ object Tables {
        SELECT 'D', CAST(3 AS BIGINT), o_orderdate + INTERVAL 2 DAY, o_orderkey,
          CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
        FROM orders WHERE o_orderkey % 7 = 0"""
+
+  /** COMPOSITE-primary-key change log derived from `lineitem`, whose real
+    * PK is `(l_orderkey, l_linenumber)` — the table shape MySQL composite
+    * keys are routine for (order lines, ledger entries). Same synthesis
+    * rules as [[cdcLog]] with the mod taken over the key SUM so update
+    * and delete membership depend on both key columns:
+    *   - every line emits an Insert at seq=1 (ts = l_shipdate);
+    *   - lines with (l_orderkey + l_linenumber) % 3 == 0 emit an Update
+    *     at seq=2 (price += 10.00, status -> 'P', ts += 1 day);
+    *   - lines with (l_orderkey + l_linenumber) % 7 == 0 emit a Delete
+    *     at seq=3 (ts += 2 days).
+    * `line_no` rides as an extra envelope column (the envelope core is
+    * fixed); a pass declaring `keyCols = Seq("okey", "line_no")` collapses
+    * per full key tuple. `seq` is strictly monotone per (okey, line_no).
+    *
+    * The synthetic lineitem is NOT unique on its nominal PK (duplicate
+    * (l_orderkey, l_linenumber) rows exist by generator construction), so
+    * the base is first collapsed to one row per key with order-independent
+    * max aggregates — identically in both engines — to keep (key, seq)
+    * unique and the latest-wins collapse total. */
+  def cdcLogComposite(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = t(spark, sfDir, "lineitem")
+      .groupBy(col("l_orderkey").as("okey"),
+        col("l_linenumber").cast(LongType).as("line_no"))
+      .agg(max(col("l_extendedprice")).cast(DoubleType).as("price"),
+        max(col("l_returnflag")).as("status"),
+        max(col("l_shipdate")).as("l_shipdate"))
+    val ins = l.select(
+      lit("I").as("op"), lit(1L).as("seq"), col("l_shipdate").as("ts"),
+      col("okey"), col("price"), col("status"), col("line_no"))
+    val upd = l.filter((col("okey") + col("line_no")) % 3 === 0).select(
+      lit("U").as("op"), lit(2L).as("seq"),
+      (col("l_shipdate") + expr("INTERVAL 1 DAY")).as("ts"),
+      col("okey"), (col("price") + lit(10.0d)).as("price"),
+      lit("P").as("status"), col("line_no"))
+    val del = l.filter((col("okey") + col("line_no")) % 7 === 0).select(
+      lit("D").as("op"), lit(3L).as("seq"),
+      (col("l_shipdate") + expr("INTERVAL 2 DAY")).as("ts"),
+      col("okey"), lit(null).cast(DoubleType).as("price"),
+      lit(null).cast(StringType).as("status"), col("line_no"))
+    ins.unionByName(upd).unionByName(del)
+  }
+
+  /** DuckDB-SQL equivalent of [[cdcLogComposite]] (CTE body
+    * `cdc_log_comp`). */
+  val cdcLogCompositeSql: String =
+    """WITH li AS (SELECT l_orderkey AS okey,
+                     CAST(l_linenumber AS BIGINT) AS line_no,
+                     CAST(max(l_extendedprice) AS DOUBLE) AS price,
+                     max(l_returnflag) AS status,
+                     max(l_shipdate) AS l_shipdate
+                   FROM lineitem GROUP BY 1, 2)
+       SELECT 'I' AS op, CAST(1 AS BIGINT) AS seq, l_shipdate AS ts,
+         okey, price, status, line_no FROM li
+       UNION ALL
+       SELECT 'U', CAST(2 AS BIGINT), l_shipdate + INTERVAL 1 DAY,
+         okey, price + CAST(10 AS DOUBLE), 'P', line_no
+       FROM li WHERE (okey + line_no) % 3 = 0
+       UNION ALL
+       SELECT 'D', CAST(3 AS BIGINT), l_shipdate + INTERVAL 2 DAY,
+         okey, CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR), line_no
+       FROM li WHERE (okey + line_no) % 7 = 0"""
 }

@@ -109,14 +109,50 @@ object StreamingOps {
   private def envelope(df: DataFrame): DataFrame =
     df.select((envelopeCols ++ extraCols(df)).map(col): _*)
 
-  /** latest-wins collapse keyed by okey (tombstones kept for merging);
+  /** latest-wins collapse keyed by the table's PRIMARY KEY — a single
+    * column (the default, `okey`) or a composite (`keyCols`, e.g.
+    * `(okey, line_no)`; MySQL composite PKs are routine and the binlog
+    * keys row images by the full PK). Tombstones kept for merging;
     * evolved envelope columns ride inside the max_by struct, so the
-    * winning row's value (NULL for pre-DDL rows) is what survives. */
-  private def collapse(df: DataFrame): DataFrame = {
-    val fields = Seq("op", "price", "status", "ts", "seq") ++ extraCols(df)
-    df.groupBy(col("okey"))
+    * winning row's value (NULL for pre-DDL rows) is what survives.
+    * `seq` stays globally monotone per FULL key, so max_by(seq) is
+    * total per key tuple exactly as in the single-column case. */
+  private def collapse(df: DataFrame,
+      keyCols: Seq[String] = Seq("okey")): DataFrame = {
+    val fields = (Seq("op", "price", "status", "ts", "seq") ++ extraCols(df))
+      .filterNot(keyCols.contains)
+    df.groupBy(keyCols.map(col): _*)
       .agg(max_by(struct(fields.map(col): _*), col("seq")).as("l"))
-      .select(col("okey") +: fields.map(f => col("l." + f).as(f)): _*)
+      .select(keyCols.map(col) ++ fields.map(f => col("l." + f).as(f)): _*)
+  }
+
+  /** The state dir's PRIMARY KEY columns (`_keycols`, tab-separated):
+    * published at pass start like `_schema`, read by every consumer
+    * that collapses or diffs the dir ([[readLatestState]],
+    * [[compactState]], [[repairState]]) — the key is a property of the
+    * TABLE, declared once at sync time, not re-guessed per call site.
+    * Absent on dirs from the single-key era → the historical default. */
+  private[graft] def readKeyCols(state: String): Seq[String] =
+    StateFs.readSmall(s"$state/_keycols")
+      .map(_.trim.split("\t").toSeq).getOrElse(Seq("okey"))
+
+  /** Publish (or re-validate) the state dir's key columns. A pass
+    * declaring a DIFFERENT key than the dir was built with would
+    * silently merge or split every key's history — fail loudly instead;
+    * same-key redeclaration (every later pass) is a no-op. */
+  private def ensureKeyCols(state: String, keyCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty, "keyCols must name at least one column")
+    val published = StateFs.readSmall(s"$state/_keycols")
+      .map(_.trim.split("\t").toSeq)
+    published match {
+      case Some(p) =>
+        require(p == keyCols,
+          s"state dir is keyed by (${p.mkString(", ")}) but this pass " +
+            s"declares (${keyCols.mkString(", ")}) — a key change needs a " +
+            "re-snapshot (drop the state dir and re-sync)")
+      case None =>
+        StateFs.writeAtomic(s"$state/_keycols", keyCols.mkString("\t"))
+    }
   }
 
   /** Raised at PASS START when a resumed stream's envelope declares a
@@ -564,11 +600,12 @@ object StreamingOps {
       truncateAtSeq: Option[Long] = None,
       defaultCols: Map[String, ColumnDefault] = Map.empty,
       rowFilter: Option[String] = None,
-      maskCols: Seq[String] = Seq.empty)
+      maskCols: Seq[String] = Seq.empty,
+      keyCols: Seq[String] = Seq("okey"))
       : (Long, Long, Option[Long], Long) =
     runCdcPassSource(s, FileCdcSource(schema, in), ckpt, state, trackSeq,
       startAfterSeq, txnCol, renameCols, truncateAtSeq, defaultCols,
-      rowFilter, maskCols)
+      rowFilter, maskCols, keyCols)
 
   /** [[runCdcPass]] over an arbitrary [[CdcSource]] transport.
     * `renameCols` (old → new) declares RENAME COLUMN DDLs this pass's
@@ -592,9 +629,15 @@ object StreamingOps {
       truncateAtSeq: Option[Long] = None,
       defaultCols: Map[String, ColumnDefault] = Map.empty,
       rowFilter: Option[String] = None,
-      maskCols: Seq[String] = Seq.empty)
+      maskCols: Seq[String] = Seq.empty,
+      keyCols: Seq[String] = Seq("okey"))
       : (Long, Long, Option[Long], Long) = {
-    val unmaskable = Set("okey", "op", "seq", "ts") ++ txnCol.toSet
+    require(keyCols.forall(source.schema.fieldNames.contains),
+      s"key column(s) absent from the envelope: " +
+        keyCols.filterNot(source.schema.fieldNames.contains).mkString(", "))
+    // key columns are identity, not payload: masking one would collapse
+    // unrelated keys together; so they join the unmaskable set
+    val unmaskable = Set("op", "seq", "ts") ++ keyCols ++ txnCol.toSet
     require(!maskCols.exists(unmaskable),
       s"mask names bookkeeping column(s): " +
         maskCols.filter(unmaskable).mkString(", "))
@@ -607,6 +650,7 @@ object StreamingOps {
     // (NULL forward), but a changed type must fail by name, not as a
     // mid-pass analysis error after some batches already applied
     val stateSchema = stateSchemaFor(source.schema, txnCol.toSet)
+    ensureKeyCols(state, keyCols)
     applyRenameDdl(state, renameCols, stateSchema)
     ensureStateSchema(state, stateSchema)
     applyTruncateDdl(state, truncateAtSeq)
@@ -652,7 +696,7 @@ object StreamingOps {
         }
         if ((startAfterSeq.isEmpty && txnCol.isEmpty && rowFilter.isEmpty) ||
             !applied.isEmpty) {
-          collapse(envelope(applied))
+          collapse(envelope(applied), keyCols)
             .write.mode("overwrite").parquet(s"$state/epoch=$epochId")
           written += 1
         }
@@ -766,10 +810,12 @@ object StreamingOps {
       truncateAt: Map[String, Long] = Map.empty,
       defaultCols: Map[String, ColumnDefault] = Map.empty,
       rowFilters: Map[String, String] = Map.empty,
-      maskCols: Map[String, Seq[String]] = Map.empty)
+      maskCols: Map[String, Seq[String]] = Map.empty,
+      keyCols: Seq[String] = Seq("okey"))
       : (Map[String, (Long, Long, Long)], Long) =
     runCdcPassMultiSource(s, FileCdcSource(schema, in), ckpt, stateDirs,
-      txnCol, renameCols, truncateAt, defaultCols, rowFilters, maskCols)
+      txnCol, renameCols, truncateAt, defaultCols, rowFilters, maskCols,
+      keyCols)
 
   /** [[runCdcPassMulti]] over an arbitrary [[CdcSource]] transport.
     * `renameCols` declares RENAME COLUMN DDLs exactly as in
@@ -809,8 +855,12 @@ object StreamingOps {
       truncateAt: Map[String, Long] = Map.empty,
       defaultCols: Map[String, ColumnDefault] = Map.empty,
       rowFilters: Map[String, String] = Map.empty,
-      maskCols: Map[String, Seq[String]] = Map.empty)
+      maskCols: Map[String, Seq[String]] = Map.empty,
+      keyCols: Seq[String] = Seq("okey"))
       : (Map[String, (Long, Long, Long)], Long) = {
+    require(keyCols.forall(source.schema.fieldNames.contains),
+      s"key column(s) absent from the envelope: " +
+        keyCols.filterNot(source.schema.fieldNames.contains).mkString(", "))
     require(truncateAt.keySet.subsetOf(stateDirs.keySet),
       s"truncate declared for unreplicated table(s): " +
         s"${(truncateAt.keySet -- stateDirs.keySet).toSeq.sorted.mkString(", ")}")
@@ -820,7 +870,7 @@ object StreamingOps {
     require(maskCols.keySet.subsetOf(stateDirs.keySet),
       s"column mask declared for unreplicated table(s): " +
         s"${(maskCols.keySet -- stateDirs.keySet).toSeq.sorted.mkString(", ")}")
-    val unmaskable = Set("okey", "op", "seq", "ts") ++ txnCol.toSet + "table"
+    val unmaskable = Set("op", "seq", "ts") ++ keyCols ++ txnCol.toSet + "table"
     maskCols.foreach { case (t, cs) =>
       val bad = cs.filter(unmaskable)
       require(bad.isEmpty,
@@ -833,6 +883,7 @@ object StreamingOps {
     // every table's state dir shares one envelope schema (one binlog,
     // one fan-out) — validate/publish each before the stream starts
     val stateSchema = stateSchemaFor(source.schema, txnCol.toSet)
+    stateDirs.values.foreach(ensureKeyCols(_, keyCols))
     stateDirs.values.foreach(applyRenameDdl(_, renameCols, stateSchema))
     stateDirs.values.foreach(ensureStateSchema(_, stateSchema))
     truncateAt.foreach { case (t, sq) =>
@@ -889,13 +940,13 @@ object StreamingOps {
           val epochStage = s"$stage/epoch=$epochId"
           // evolved envelope columns (mid-stream DDL) ride through the
           // fan-out exactly as in the single-table pass
-          val fields = Seq("op", "price", "status", "ts", "seq") ++
-            extraCols(applied)
+          val fields = (Seq("op", "price", "status", "ts", "seq") ++
+            extraCols(applied)).filterNot(keyCols.contains)
           applied.select((envelopeCols ++ extraCols(applied) :+ "table").map(col): _*)
             .filter(col("table").isin(admitted: _*))
-            .groupBy(col("table"), col("okey"))
+            .groupBy((col("table") +: keyCols.map(col)): _*)
             .agg(max_by(struct(fields.map(col): _*), col("seq")).as("l"))
-            .select(Seq(col("table"), col("okey")) ++
+            .select((col("table") +: keyCols.map(col)) ++
               fields.map(f => col("l." + f).as(f)): _*)
             .write.mode("overwrite").partitionBy("table").parquet(epochStage)
           present.foreach { r =>
@@ -996,12 +1047,15 @@ object StreamingOps {
         case Some(t) => purgeGated.filter(col("seq") > t)
         case None => purgeGated
       }
-      val fields = Seq("op", "price", "status", "ts", "seq") ++ extraCols(gated)
+      val keyCols = readKeyCols(state)
+      val fields = (Seq("op", "price", "status", "ts", "seq") ++
+        extraCols(gated)).filterNot(keyCols.contains)
       // the winning row's source epoch rides along so the horizon can
       // age tombstones; it is dropped before the baseline is written
-      val coll = gated.groupBy(col("okey"))
+      val coll = gated.groupBy(keyCols.map(col): _*)
         .agg(max_by(struct((fields :+ "epoch").map(col): _*), col("seq")).as("l"))
-        .select(col("okey") +: (fields :+ "epoch").map(f => col("l." + f).as(f)): _*)
+        .select(keyCols.map(col) ++
+          (fields :+ "epoch").map(f => col("l." + f).as(f)): _*)
       // The floor must sit BELOW anything that can still legitimately
       // apply later: a txn-gated pass may hold events in _pending whose
       // seq is at or below the newest folded seq — when their commit
@@ -1115,15 +1169,21 @@ object StreamingOps {
     *
     * Returns (inserted, updated, deleted). */
   private[graft] def repairState(s: SparkSession, src: DataFrame,
-      state: String, key: String = "okey",
+      state: String, keyCols: Seq[String] = Seq("okey"),
       pendingRoot: Option[String] = None): (Long, Long, Long) = {
+    // the key is the STATE DIR's property ([[readKeyCols]]); a repair
+    // declaring a different one would diff apples against oranges
+    val published = readKeyCols(state)
+    require(keyCols == published,
+      s"state dir is keyed by (${published.mkString(", ")}) but the repair " +
+        s"declares (${keyCols.mkString(", ")})")
     val dst = readLatestState(s, state)
-    val valueCols = dst.columns.toSeq.filterNot(Seq(key, "op").contains)
+    val valueCols = dst.columns.toSeq.filterNot((keyCols :+ "op").contains)
     val missingCols = valueCols.filterNot(src.columns.contains)
     require(missingCols.isEmpty,
       s"repair source lacks served column(s): ${missingCols.mkString(", ")} — " +
         "a repair cannot invent values; re-snapshot instead")
-    val gainedCols = src.columns.toSeq.filterNot((key +: valueCols).contains)
+    val gainedCols = src.columns.toSeq.filterNot((keyCols ++ valueCols).contains)
     require(gainedCols.isEmpty,
       s"repair source carries column(s) the destination never saw: " +
         s"${gainedCols.mkString(", ")} — a row-level repair cannot retrofit " +
@@ -1132,10 +1192,12 @@ object StreamingOps {
     // would fan out its key's row, write several same-seq corrections, and
     // let max_by pick an arbitrary winner — assert loudly (one tiny
     // 2-column aggregate) instead of corrupting silently
-    val uniq = src.agg(count(lit(1)), count_distinct(col(key))).collect()(0)
+    val uniq = src.agg(count(lit(1)),
+      count_distinct(col(keyCols.head), keyCols.tail.map(col): _*)).collect()(0)
     require(uniq.getLong(0) == uniq.getLong(1),
       s"repair source holds ${uniq.getLong(0)} rows over ${uniq.getLong(1)} " +
-        s"distinct '$key' values — the source of truth must be one row per key")
+        s"distinct (${keyCols.mkString(", ")}) values — the source of truth " +
+        "must be one row per key")
     val raw = readStateDir(s, state)
     val m = raw.agg(max(col("seq"))).collect()(0)
     val appliedMax = if (m.isNullAt(0)) 0L else m.getLong(0)
@@ -1147,11 +1209,12 @@ object StreamingOps {
       }.getOrElse(0L)
     val repairSeq = math.max(appliedMax, pendingMax) + 1L
     val epoch = math.min(-1L, StateFs.epochIds(state).minOption.getOrElse(0L) - 1L)
-    val sv = src.select((key +: valueCols).map(col): _*)
-    val dv = dst.select((key +: valueCols).map(col): _*)
+    val sv = src.select((keyCols ++ valueCols).map(col): _*)
+    val dv = dst.select((keyCols ++ valueCols).map(col): _*)
     val joined = sv.withColumn("__s", lit(true)).as("s")
       .join(dv.withColumn("__d", lit(true)).as("d"),
-        col(s"s.$key") === col(s"d.$key"), "full_outer")
+        keyCols.map(k => col(s"s.$k") <=> col(s"d.$k")).reduce(_ && _),
+        "full_outer")
     val sStruct = struct(valueCols.map(c => col(s"s.$c")): _*)
     val dStruct = struct(valueCols.map(c => col(s"d.$c")): _*)
     val diff = joined.withColumn("op",
@@ -1159,8 +1222,8 @@ object StreamingOps {
           .when(col("s.__s").isNull, "D")
           .when(!(sStruct <=> dStruct), "U"))
       .filter(col("op").isNotNull)
-      .select(Seq(col("op"),
-        coalesce(col(s"s.$key"), col(s"d.$key")).as(key),
+      .select((col("op") +:
+        keyCols.map(k => coalesce(col(s"s.$k"), col(s"d.$k")).as(k)) :+
         lit(repairSeq).as("seq")) ++
         valueCols.map(c => when(col("op") =!= "D", col(s"s.$c")).as(c)): _*)
       // pinned BEFORE the epoch write — the diff may derive from this
@@ -1200,7 +1263,7 @@ object StreamingOps {
     * tables report (0, 0, 0) and receive no epoch. */
   private[graft] def repairStateMulti(s: SparkSession,
       srcByTable: Map[String, DataFrame], stateDirs: Map[String, String],
-      key: String = "okey", pendingRoot: Option[String] = None)
+      keyCols: Seq[String] = Seq("okey"), pendingRoot: Option[String] = None)
       : Map[String, (Long, Long, Long)] = {
     require(srcByTable.keySet == stateDirs.keySet,
       s"repair sources ${srcByTable.keySet.toSeq.sorted.mkString(",")} != " +
@@ -1208,11 +1271,17 @@ object StreamingOps {
         "a topology repair heals every table or none")
     require(stateDirs.nonEmpty, "empty topology")
     val tables = stateDirs.keys.toSeq.sorted
+    tables.foreach { t =>
+      val published = readKeyCols(stateDirs(t))
+      require(keyCols == published,
+        s"state dir for '$t' is keyed by (${published.mkString(", ")}) but " +
+          s"the repair declares (${keyCols.mkString(", ")})")
+    }
     val dsts = tables.map(t => t -> readLatestState(s, stateDirs(t))).toMap
     val valueCols = dsts(tables.head).columns.toSeq
-      .filterNot(Seq(key, "op").contains)
+      .filterNot((keyCols :+ "op").contains)
     tables.foreach { t =>
-      val cols = dsts(t).columns.toSeq.filterNot(Seq(key, "op").contains)
+      val cols = dsts(t).columns.toSeq.filterNot((keyCols :+ "op").contains)
       require(cols == valueCols,
         s"state dir for '$t' serves (${cols.mkString(", ")}) but the " +
           s"topology envelope is (${valueCols.mkString(", ")}) — repair the " +
@@ -1222,22 +1291,24 @@ object StreamingOps {
       require(missing.isEmpty,
         s"repair source for '$t' lacks served column(s): " +
           s"${missing.mkString(", ")} — a repair cannot invent values")
-      val gained = src.columns.toSeq.filterNot((key +: valueCols).contains)
+      val gained = src.columns.toSeq.filterNot((keyCols ++ valueCols).contains)
       require(gained.isEmpty,
         s"repair source for '$t' carries column(s) the destination never " +
           s"saw: ${gained.mkString(", ")} — replicate the DDL first")
     }
     val srcAll = tables.map(t => srcByTable(t)
-      .select((key +: valueCols).map(col): _*).withColumn("__tbl", lit(t)))
+      .select((keyCols ++ valueCols).map(col): _*).withColumn("__tbl", lit(t)))
       .reduce(_.unionByName(_))
     // per-table key uniqueness in ONE aggregate over the unioned source
     srcAll.groupBy(col("__tbl"))
-      .agg(count(lit(1)).as("n"), count_distinct(col(key)).as("nd"))
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col(keyCols.head), keyCols.tail.map(col): _*).as("nd"))
       .collect().foreach(r => require(r.getLong(1) == r.getLong(2),
         s"repair source for '${r.getString(0)}' holds ${r.getLong(1)} rows " +
-          s"over ${r.getLong(2)} distinct '$key' values — one row per key"))
+          s"over ${r.getLong(2)} distinct (${keyCols.mkString(", ")}) " +
+          "values — one row per key"))
     val dstAll = tables.map(t => dsts(t)
-      .select((key +: valueCols).map(col): _*).withColumn("__tbl", lit(t)))
+      .select((keyCols ++ valueCols).map(col): _*).withColumn("__tbl", lit(t)))
       .reduce(_.unionByName(_))
     // topology seq ceiling: the union of every table's raw seq column in
     // one 1-row aggregate, plus the SINGLE topology pending tail
@@ -1253,7 +1324,8 @@ object StreamingOps {
     val repairSeq = math.max(appliedMax, pendingMax) + 1L
     val joined = srcAll.withColumn("__s", lit(true)).as("s")
       .join(dstAll.withColumn("__d", lit(true)).as("d"),
-        col("s.__tbl") === col("d.__tbl") && col(s"s.$key") === col(s"d.$key"),
+        keyCols.foldLeft(col("s.__tbl") === col("d.__tbl")) {
+          (acc, k) => acc && (col(s"s.$k") <=> col(s"d.$k")) },
         "full_outer")
     val sStruct = struct(valueCols.map(c => col(s"s.$c")): _*)
     val dStruct = struct(valueCols.map(c => col(s"d.$c")): _*)
@@ -1262,9 +1334,9 @@ object StreamingOps {
           .when(col("s.__s").isNull, "D")
           .when(!(sStruct <=> dStruct), "U"))
       .filter(col("op").isNotNull)
-      .select(Seq(col("op"),
-        coalesce(col("s.__tbl"), col("d.__tbl")).as("__tbl"),
-        coalesce(col(s"s.$key"), col(s"d.$key")).as(key),
+      .select((Seq(col("op"),
+        coalesce(col("s.__tbl"), col("d.__tbl")).as("__tbl")) ++
+        keyCols.map(k => coalesce(col(s"s.$k"), col(s"d.$k")).as(k)) :+
         lit(repairSeq).as("seq")) ++
         valueCols.map(c => when(col("op") =!= "D", col(s"s.$c")).as(c)): _*)
       // pinned for the same reason as repairState: the diff derives from
@@ -1358,11 +1430,13 @@ object StreamingOps {
       case Some(t) => purgeGated.filter(col("seq") > t)
       case None => purgeGated
     }
-    collapse(envelope(gated))
+    val keyCols = readKeyCols(state)
+    collapse(envelope(gated), keyCols)
       .filter(col("op") =!= "D")
-      .select((Seq("okey", "op", "price", "status", "ts") ++
-        extraCols(gated)).map(col): _*)
-      .orderBy(col("okey"))
+      .select((keyCols ++
+        (Seq("op", "price", "status", "ts") ++ extraCols(gated))
+          .filterNot(keyCols.contains)).map(col): _*)
+      .orderBy(keyCols.map(col): _*)
   }
 
   /** Play the CDC log as 3 seq-ordered waves; apply with foreachBatch +
@@ -1435,6 +1509,28 @@ object StreamingOps {
     // S5: same pipeline with the last wave delivered twice — the epoch-keyed
     // sink + latest-wins merge make the duplicate delivery a no-op.
     "sink_foreachbatch_idempotent" -> ((s, dir) => cdcApply(s, dir, replayLast = true)),
+
+    // ST-COMPOSITE: COMPOSITE-primary-key replication end-to-end under
+    // the oracle gate — lineitem's real PK is (l_orderkey, l_linenumber),
+    // the shape MySQL composite keys are routine for. The pass declares
+    // keyCols = (okey, line_no); the latest-wins collapse, the epoch
+    // deltas, and the read-time collapse all run per FULL key tuple
+    // (two lines of one order must never merge), and the key is
+    // published with the state dir (`_keycols`) so every later
+    // consumer — compaction, repair, reads — collapses identically.
+    "cdc_composite_key" -> ((s, dir) => {
+      val log = Tables.cdcLogComposite(s, dir)
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      // two waves (seq 1-2, then 3): the scenario is composite-key
+      // collapse semantics, not per-wave apply — one less fixed-cost
+      // trigger (the cdc_repair_resync precedent)
+      writeWaves(log, in, when(col("seq") <= 2, 0).otherwise(1), 2,
+        Seq(col("okey"), col("line_no")))
+      runCdcPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state",
+        keyCols = Seq("okey", "line_no"))
+      readLatestState(s, s"$tmp/state")
+    }),
 
     // ST11: the reference's one-binlog→N-tables topology, end-to-end
     // under the oracle gate: one ordered stream whose envelope carries a
@@ -2072,6 +2168,17 @@ object StreamingOps {
     // stream ≡ batch: the applied state must equal the A8 collapse.
     "stream_cdc_apply" -> latestStateSql,
     "sink_foreachbatch_idempotent" -> latestStateSql,
+
+    // composite PK: the applied state equals the batch collapse ranked
+    // over the FULL (okey, line_no) tuple — two lines of one order stay
+    // distinct rows.
+    "cdc_composite_key" ->
+      s"""WITH cdc_log_comp AS (${Tables.cdcLogCompositeSql}),
+            ranked AS (SELECT *, row_number() OVER (
+                         PARTITION BY okey, line_no ORDER BY seq DESC) rn
+                       FROM cdc_log_comp)
+         SELECT okey, line_no, op, price, status, ts FROM ranked
+         WHERE rn = 1 AND op <> 'D' ORDER BY okey, line_no""",
 
     // GC + purge floor must leave the served collapse untouched, even
     // after a pre-compaction epoch is re-delivered.

@@ -802,6 +802,88 @@ class ReplicationSpec extends SparkTestBase {
       "a pending event outranked the repair correction")
   }
 
+  test("composite PK: sync, compaction, repair, and consistency run per full key tuple") {
+    val base = tmp()
+    val log = Tables.cdcLogComposite(spark, sf)
+    // two waves (seq 1-2, then 3), synced with the declared composite key
+    graft.streaming.StreamingOps.writeWave(
+      log.filter(col("seq") <= 2), s"$base/in", 0)
+    graft.streaming.StreamingOps.writeWave(
+      log.filter(col("seq") === 3), s"$base/in", 1)
+    val keys = Seq("okey", "line_no")
+    Replication.incrementalSync(spark, log.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", keyCols = keys)
+    // expected: the batch latest-wins collapse over the FULL key tuple
+    def expect() = log
+      .groupBy(col("okey"), col("line_no"))
+      .agg(max_by(struct(col("op"), col("price"), col("status"), col("ts")),
+        col("seq")).as("l"))
+      .select(col("okey"), col("line_no"), col("l.op").as("op"),
+        col("l.price").as("price"), col("l.status").as("status"),
+        col("l.ts").as("ts"))
+      .filter(col("op") =!= "D")
+    def served() = Replication.appliedState(spark, s"$base/state")
+      .select(col("okey"), col("line_no"), col("op"), col("price"),
+        col("status"), col("ts"))
+    assert(served().collect().map(_.toSeq).toSet ==
+      expect().collect().map(_.toSeq).toSet)
+    // the tuple is load-bearing: orders with several surviving lines must
+    // serve one row PER LINE — a single-column collapse would merge them
+    assert(expect().groupBy(col("okey")).count().filter(col("count") > 1)
+      .count() > 0, "test data has no multi-line orders — tuple not exercised")
+    // compaction folds the deltas per full tuple; the served state is
+    // unchanged (the `_keycols` publication is what compaction reads)
+    graft.streaming.StreamingOps.compactState(spark, s"$base/state")
+    assert(served().collect().map(_.toSeq).toSet ==
+      expect().collect().map(_.toSeq).toSet)
+    // diverge two tuples of the SAME order — repair must heal at line
+    // granularity: drop one line, drift its sibling, add a phantom line
+    val multi = expect().groupBy(col("okey")).agg(count(lit(1)).as("n"),
+        min(col("line_no")).as("lo"), max(col("line_no")).as("hi"))
+      .filter(col("n") > 1).orderBy(col("okey")).limit(1).collect()(0)
+    val (k, dropLine, driftLine) =
+      (multi.getLong(0), multi.getLong(2), multi.getLong(3))
+    val truth = served().drop("op")
+      .filter(!(col("okey") === k && col("line_no") === dropLine))
+      .withColumn("price",
+        when(col("okey") === k && col("line_no") === driftLine,
+          col("price") + 1000.0).otherwise(col("price")))
+      .unionByName(served().drop("op").limit(1)
+        .select(lit(k).as("okey"), lit(-42L).as("line_no"),
+          lit(9.99).as("price"), lit("R").as("status"), col("ts")))
+      .localCheckpoint()
+    val rep = Replication.repairSync(spark, truth, s"$base/state", keys)
+    assert(rep == Replication.RepairReport(1, 1, 1), s"got $rep")
+    assert(Replication.consistencyCheck(truth, served().drop("op"), keys)
+      .consistent)
+    // untouched sibling lines of the repaired order still serve
+    assert(served().filter(col("okey") === k).count() == multi.getLong(1))
+    // the key is the STATE DIR's property: a repair (or a later pass)
+    // declaring a different key fails loudly instead of merging tuples
+    val e = intercept[IllegalArgumentException] {
+      Replication.repairSync(spark, truth, s"$base/state")
+    }
+    assert(e.getMessage.contains("keyed by"))
+    val e2 = intercept[IllegalArgumentException] {
+      Replication.incrementalSync(spark, log.schema, s"$base/in",
+        s"$base/ckpt2", s"$base/state")
+    }
+    assert(e2.getMessage.contains("keyed by"))
+  }
+
+  test("composite PK consistency check: a tuple-level mismatch is caught") {
+    // two rows sharing okey, distinct line_no: a single-column key diff
+    // would see both sides as {okey=1}; the tuple diff must not
+    val src = spark.createDataFrame(Seq((1L, 1L, 10.0), (1L, 2L, 20.0)))
+      .toDF("okey", "line_no", "price")
+    val dst = spark.createDataFrame(Seq((1L, 1L, 10.0), (1L, 3L, 20.0)))
+      .toDF("okey", "line_no", "price")
+    val rep = Replication.consistencyCheck(src, dst, Seq("okey", "line_no"))
+    assert(rep.missingInDst == 1 && rep.extraInDst == 1 && !rep.consistent)
+    assert(Replication.consistencyCheck(src, src, Seq("okey", "line_no"))
+      .consistent)
+  }
+
   test("repair rejects a source that gained a column the state never saw") {
     val base = tmp()
     val log = Tables.cdcLog(spark, sf)
