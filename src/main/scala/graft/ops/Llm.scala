@@ -573,6 +573,55 @@ object Llm {
       targetFiles: Int = 4): Unit =
     compactIndexTable(s, s"$indexDir/assigned", targetFiles)
 
+  /** Centroid REFRESH (the periodic re-train [[annIngest]]'s scaladoc
+    * defers drift to) as a first-class maintenance op: after many
+    * ingests the fixed seed-time centroids no longer reflect the
+    * accumulated distribution, so probed cells mis-route queries and
+    * recall decays. The refresh re-runs the seed's single-iteration
+    * k-means over the FULL accumulated index — snapshot plus every
+    * ingested batch, read from the `assigned` table itself, never the
+    * stale seed snapshot — then reassigns EVERY indexed vector to the
+    * refreshed centroids and swaps both tables through
+    * [[replaceIndexTable]]'s stage→swap→drop auto-heal.
+    *
+    * Both replacement tables are fully materialized (localCheckpoint)
+    * BEFORE either swap, so no stage write ever reads a half-swapped
+    * index. A crash between the two swaps leaves refreshed centroids
+    * over pre-refresh assignments — every vector is still present and
+    * candidate generation still works (cell ids only route probes), at
+    * temporarily degraded recall; re-running the reseed heals it. No
+    * vector is ever lost at any crash point.
+    *
+    * O(index) by design — this is the amortized maintenance job (run it
+    * every N ingests or on a recall probe), not the per-batch path;
+    * per-batch stays [[annIngest]]'s O(batch). */
+  private[graft] def annReseed(s: SparkSession, indexDir: String): Unit = {
+    VectorOps.register(s)
+    // pinned: everything below derives from the tables being replaced
+    val all = s.read.parquet(s"$indexDir/assigned")
+      .select(col("n_id").as("vec_id"), col("n_v").as("v"))
+      .localCheckpoint()
+    val cents0 = all.orderBy(col("vec_id")).limit(16)
+      .agg(array_sort(collect_list(struct(
+        col("vec_id").as("c_id"), col("v").as("c_v")))).as("cents"))
+    val a0 = graft.CacheRegistry.track(assignCells(all, cents0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val refreshed = a0.groupBy(col("cell"))
+      .agg(call_function("vec_dec_sum", col("v")).as("sx"),
+        count(col("v")).as("n"))
+      .select(col("cell").as("c_id"),
+        transform(col("sx"),
+          x => x.cast(DoubleType) / col("n").cast(DoubleType)).as("c_v"))
+      .localCheckpoint()
+    val cents1 = refreshed
+      .agg(array_sort(collect_list(struct(col("c_id"), col("c_v")))).as("cents"))
+    val reassigned = assignCells(a0.drop("cell"), cents1)
+      .select(col("vec_id").as("n_id"), col("v").as("n_v"), col("cell"))
+      .localCheckpoint()
+    replaceIndexTable(refreshed, s"$indexDir/centroids")
+    replaceIndexTable(reassigned, s"$indexDir/assigned")
+  }
+
   /** Seed the incremental ANN's PERSISTED IVF INDEX from a corpus
     * snapshot: one single-iteration k-means round (the llm_sim_ivf_topk
     * training — seeds are the 16 lowest snapshot ids, refined means are
@@ -618,8 +667,9 @@ object Llm {
     * must find each other). The top-k result is pinned BEFORE the
     * batch's assignments append to the index (the repairState pattern),
     * so the NEXT ingest sees them. Centroids stay fixed between ingests
-    * — IVF's standard regime; drift is a periodic [[annIndexSeed]]
-    * re-train, not a per-batch job.
+    * — IVF's standard regime; drift is a periodic [[annReseed]]
+    * refresh (k-means over the accumulated index, both tables swapped
+    * crash-safely), not a per-batch job.
     *
     * Returns (q_id, rk, n_id, cos): top-3 neighbors over snapshot ∪
     * batch for every batch vector. */

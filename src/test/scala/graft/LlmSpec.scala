@@ -181,6 +181,64 @@ class LlmSpec extends SparkTestBase {
         "the index did not advance between ingests")
   }
 
+  test("ANN reseed: centroids refresh from the accumulated index; no vector lost, recall holds") {
+    val all = Tables.t(spark, sf, "embeddings").select(
+      col("vec_id"), functions.VectorOps.toDouble(col("embedding")).as("v"))
+    val idx = s"${TmpDirs.create("graft_annrs")}/idx"
+    // seed on a MINORITY slice so the accumulated ingests genuinely move
+    // the distribution the seed-time centroids were trained on
+    ops.Llm.annIndexSeed(spark, all.filter(col("vec_id") % 10 === 0), idx)
+    val rest = all.filter(col("vec_id") % 10 =!= 0)
+    (0 until 3).foreach(i =>
+      ops.Llm.annIngest(spark, rest.filter(col("vec_id") % 3 === i), idx))
+    val beforeIds = spark.read.parquet(s"$idx/assigned")
+      .select(col("n_id")).collect().map(_.getLong(0)).toSet
+    ops.Llm.annReseed(spark, idx)
+    // no vector lost or duplicated by the double swap
+    val afterIds = spark.read.parquet(s"$idx/assigned")
+      .select(col("n_id")).collect().map(_.getLong(0)).toSet
+    assert(afterIds == beforeIds, "reseed must preserve the indexed vector set")
+    assert(spark.read.parquet(s"$idx/assigned").count() == beforeIds.size.toLong)
+    // centroids genuinely refreshed: trained on the accumulated index,
+    // not the stale seed snapshot (16 refreshed cells still published)
+    assert(spark.read.parquet(s"$idx/centroids").count() == 16L)
+    // later queries still find EVERY earlier vector: exact twins of a
+    // pre-reseed sample must come back as top-1 at cosine ~1.0
+    val probesSrc = rest.filter(col("vec_id") < 300)
+    val twins = probesSrc.select((col("vec_id") + 700000).as("vec_id"), col("v"))
+    val res = ops.Llm.annIngest(spark, twins, idx).collect()
+    val top1 = res.filter(_.getInt(1) == 1).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val hits = top1.count { case (q, n) => n == q - 700000 }
+    assert(hits == top1.size && top1.nonEmpty,
+      s"only $hits/${top1.size} twin probes found their pre-reseed vector")
+    // recall vs brute force must NOT degrade: for a non-planted probe
+    // batch, post-reseed IVF top-1 matches brute-force top-1 at least as
+    // often as the pre-reseed index shape guarantees (>= 60%, the
+    // llm_sim_ivf_topk property bound)
+    val probeB = probesSrc.select((col("vec_id") + 800000).as("vec_id"),
+      expr("transform(v, x -> x + 0.01)").as("v"))
+    val ivfTop = ops.Llm.annIngest(spark, probeB, idx).collect()
+      .filter(_.getInt(1) == 1).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // brute-force truth over the same candidate universe (index ∪ probes,
+    // minus each probe itself)
+    graft.functions.VectorOps.register(spark)
+    val cand = spark.read.parquet(s"$idx/assigned")
+      .select(col("n_id"), col("n_v"))
+    val truth = probeB.select(col("vec_id").as("q_id"), col("v").as("q_v"))
+      .crossJoin(cand)
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", expr("cosine_sim(q_v, n_v)"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(desc("cos"), asc("n_id"))))
+      .filter(col("rk") === 1)
+      .select(col("q_id"), col("n_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agree = ivfTop.count { case (q, n) => truth.get(q).contains(n) }
+    assert(agree.toDouble / truth.size >= 0.6,
+      s"post-reseed recall ${agree.toDouble / truth.size} < 0.6")
+  }
+
   test("incremental clusters over successive batches equal the full recompute") {
     // labels maintained by contraction across TWO ingests (the second
     // contracts against labels the first already updated, so batch-2
