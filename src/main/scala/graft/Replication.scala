@@ -36,19 +36,39 @@ object Replication {
 
   /** Per-pass sync progress — the operational surface a replication user
     * watches (the reference logs rows/s and the applied position; here:
-    * rows applied, epoch deltas written, and the newest sequence number
-    * applied BY THIS PASS — the binlog-position analogue; None when the
-    * pass applied no rows). Single- and multi-table syncs report the same
-    * semantics. `pendingRows` is the txn-gated uncommitted tail left
+    * rows applied, epoch deltas written, and the applied POSITION this
+    * pass reached — the newest applied-or-resolved sequence number, the
+    * binlog-position analogue; None when the pass applied no rows).
+    * Single- and multi-table syncs report the same semantics. `pendingRows` is the txn-gated uncommitted tail left
     * after the pass (0 when gating is off): a value that grows pass
     * over pass is the signature of an ABANDONED transaction — a client
     * that died mid-txn and will never commit — pinning pending state;
     * the operator's remediation is upstream (roll the source txn back),
     * so the engine surfaces the number instead of guessing a timeout.
     * In a multi-table sync the tail is topology-level (one binlog, one
-    * gate) and every table's row reports the same value. */
+    * gate) and every table's row reports the same value.
+    *
+    * `sourceMaxSeq` is the newest sequence number the pass SAW — applied
+    * or not — so [[SyncProgress.lag]] (`sourceMaxSeq - lastSeq`) is the
+    * REPLICATION LAG in binlog positions: 0 when the destination is
+    * caught up, positive exactly while a PENDING transaction holds
+    * consumed events back from state (the txn tail is the one thing
+    * that can still apply later). Resolved-but-unapplied events advance
+    * the position instead of lagging: a commit marker is resolved the
+    * batch it arrives, position-skipped events are applied by
+    * definition, and filter-excluded events will never apply by
+    * configuration. A pass that saw no rows reports None and lag 0.
+    * In a multi-table sync the seen horizon is topology-level (one
+    * binlog, one number for every table's row); per-table lag reads
+    * against that table's own applied position, so a table whose slice
+    * of a pending transaction is held back lags while its neighbors
+    * read 0. */
   final case class SyncProgress(rowsApplied: Long, epochs: Long,
-      lastSeq: Option[Long], pendingRows: Long = 0L)
+      lastSeq: Option[Long], pendingRows: Long = 0L,
+      sourceMaxSeq: Option[Long] = None) {
+    def lag: Long = (for (sm <- sourceMaxSeq)
+      yield math.max(0L, sm - lastSeq.getOrElse(0L))).getOrElse(0L)
+  }
 
   // deltas only: negative epoch ids are compaction baselines, counting
   // them would re-trigger a full rewrite one delta early forever after
@@ -69,9 +89,11 @@ object Replication {
     * AFTER the given sequence number — consumed-but-skipped events count
     * toward rowsApplied (they flowed through the pass) but never reach
     * state; epochs counts only deltas actually written; lastSeq reports
-    * the newest seq actually applied. A pass whose events all sit at or
-    * below the position writes nothing — [[appliedState]] needs at least
-    * one applied delta before it can serve.
+    * the applied POSITION (skipped events are applied by definition, so
+    * the position advances through them — see [[SyncProgress]]'s lag
+    * notes). A pass whose events all sit at or below the position writes
+    * nothing — [[appliedState]] needs at least one applied delta before
+    * it can serve.
     *
     * `txnCol` names the transaction-id column for transaction-boundary
     * apply (the GTID analogue): only complete transactions — events
@@ -125,14 +147,15 @@ object Replication {
       maskCols: Seq[String] = Seq.empty,
       keyCols: Seq[String] = Seq("okey"))
       : SyncProgress = {
-    val (rows, epochs, lastSeq, pending) = streaming.StreamingOps.runCdcPass(
-      spark, schema, inDir, ckptDir, stateDir, trackSeq = true,
-      startAfterSeq = fromSeq, txnCol = txnCol, renameCols = renameCols,
-      truncateAtSeq = truncateAtSeq, defaultCols = defaultCols,
-      rowFilter = rowFilter, maskCols = maskCols, keyCols = keyCols)
+    val (rows, epochs, lastSeq, pending, srcMax) =
+      streaming.StreamingOps.runCdcPass(
+        spark, schema, inDir, ckptDir, stateDir, trackSeq = true,
+        startAfterSeq = fromSeq, txnCol = txnCol, renameCols = renameCols,
+        truncateAtSeq = truncateAtSeq, defaultCols = defaultCols,
+        rowFilter = rowFilter, maskCols = maskCols, keyCols = keyCols)
     if (deltaCount(stateDir) > compactEvery)
       streaming.StreamingOps.compactState(spark, stateDir, tombstoneGc)
-    SyncProgress(rows, epochs, lastSeq, pending)
+    SyncProgress(rows, epochs, lastSeq, pending, srcMax)
   }
 
   /** Multi-table incremental sync (SURVEY §3.1 #2): ONE change stream
@@ -179,9 +202,9 @@ object Replication {
       maskCols: Map[String, Seq[String]] = Map.empty,
       keyCols: Seq[String] = Seq("okey"))
       : Map[String, SyncProgress] = {
-    val (stats, pending) = streaming.StreamingOps.runCdcPassMulti(
+    val (stats, pending, srcMax) = streaming.StreamingOps.runCdcPassMulti(
       spark, schema, inDir, ckptDir, stateDirs, txnCol, renameCols, truncateAt,
-      defaultCols, rowFilters, maskCols, keyCols)
+      defaultCols, rowFilters, maskCols, keyCols, trackSourceSeq = true)
     stateDirs.map { case (t, dir) =>
       if (deltaCount(dir) > compactEvery)
         streaming.StreamingOps.compactState(spark, dir, tombstoneGc,
@@ -190,8 +213,8 @@ object Replication {
           pendingRoot = if (txnCol.isDefined) Some(ckptDir) else None)
       t -> stats.get(t)
         .map { case (rows, epochs, mx) =>
-          SyncProgress(rows, epochs, Some(mx), pending) }
-        .getOrElse(SyncProgress(0L, 0L, None, pending))
+          SyncProgress(rows, epochs, Some(mx), pending, srcMax) }
+        .getOrElse(SyncProgress(0L, 0L, None, pending, srcMax))
     }
   }
 

@@ -586,10 +586,17 @@ object StreamingOps {
     * and are never applied as rows; the committed-id set per batch is a
     * handful of ids, so both the ready- and carry-joins broadcast.
     *
-    * Returns (rowsConsumed, epochsWritten, maxAppliedSeq, pendingRows) —
-    * the last is the txn-gated pass's uncommitted tail size after the
-    * pass (0 when gating is off): the operational signal for an
-    * ABANDONED transaction pinning pending state forever. */
+    * Returns (rowsConsumed, epochsWritten, maxAppliedSeq, pendingRows,
+    * sourceMaxSeq) — pendingRows is the txn-gated pass's uncommitted
+    * tail size after the pass (0 when gating is off): the operational
+    * signal for an ABANDONED transaction pinning pending state forever.
+    * sourceMaxSeq (tracked under `trackSeq`, like maxAppliedSeq) is the
+    * newest seq the pass SAW — applied or not — so
+    * `sourceMaxSeq - maxAppliedSeq` reads as REPLICATION LAG: it keeps
+    * advancing while a pending transaction, a start position, or a row
+    * filter holds events back from state, exactly the
+    * binlog-position-vs-applied-position gap a replication operator
+    * watches. */
   private[graft] def runCdcPass(s: SparkSession,
       schema: org.apache.spark.sql.types.StructType,
       in: String, ckpt: String, state: String,
@@ -602,7 +609,7 @@ object StreamingOps {
       rowFilter: Option[String] = None,
       maskCols: Seq[String] = Seq.empty,
       keyCols: Seq[String] = Seq("okey"))
-      : (Long, Long, Option[Long], Long) =
+      : (Long, Long, Option[Long], Long, Option[Long]) =
     runCdcPassSource(s, FileCdcSource(schema, in), ckpt, state, trackSeq,
       startAfterSeq, txnCol, renameCols, truncateAtSeq, defaultCols,
       rowFilter, maskCols, keyCols)
@@ -631,7 +638,7 @@ object StreamingOps {
       rowFilter: Option[String] = None,
       maskCols: Seq[String] = Seq.empty,
       keyCols: Seq[String] = Seq("okey"))
-      : (Long, Long, Option[Long], Long) = {
+      : (Long, Long, Option[Long], Long, Option[Long]) = {
     require(keyCols.forall(source.schema.fieldNames.contains),
       s"key column(s) absent from the envelope: " +
         keyCols.filterNot(source.schema.fieldNames.contains).mkString(", "))
@@ -656,6 +663,7 @@ object StreamingOps {
     applyTruncateDdl(state, truncateAtSeq)
     applyDefaultDdl(state, defaultCols, stateSchema)
     var maxSeq = Option.empty[Long]
+    var srcMaxSeq = Option.empty[Long]
     var written = 0L
     // a batch consumed by >1 action must be pinned (see the note above);
     // the position and row filters add an isEmpty probe, so they pin too
@@ -690,9 +698,31 @@ object StreamingOps {
             else col(c)
           }: _*)
         if (trackSeq) {
-          val r = applied.agg(max(col("seq"))).collect()(0)
-          if (!r.isNullAt(0))
-            maxSeq = Some(maxSeq.fold(r.getLong(0))(math.max(_, r.getLong(0))))
+          def fold(df: DataFrame): Unit = {
+            val r = df.agg(max(col("seq"))).collect()(0)
+            if (!r.isNullAt(0))
+              maxSeq = Some(maxSeq.fold(r.getLong(0))(math.max(_, r.getLong(0))))
+          }
+          fold(applied)
+          // the applied POSITION also advances through RESOLVED events
+          // that never reach state: a commit marker is resolved the
+          // batch it arrives (its txn's events are guaranteed applied by
+          // this batch — in-batch or carried pending), and events the
+          // start position covers are applied by definition. Without
+          // this fold a caught-up destination would read a permanent
+          // phantom lag of one trailing marker.
+          txnCol.foreach(_ => fold(batch.filter(col("op") === "C")))
+          startAfterSeq.foreach(p => fold(batch.filter(col("seq") <= p)))
+          // filter-excluded events are resolved too: the predicate says
+          // they will never apply, which is configuration, not lag
+          rowFilter.foreach(_ => fold(gatedTxn))
+          // the SEEN horizon reads the raw batch — before the position
+          // skip, the txn gate, and the row filter — so the applied-vs-
+          // seen gap (replication lag) is visible while events are held
+          val sr = batch.agg(max(col("seq"))).collect()(0)
+          if (!sr.isNullAt(0))
+            srcMaxSeq = Some(srcMaxSeq.fold(sr.getLong(0))(
+              math.max(_, sr.getLong(0))))
         }
         if ((startAfterSeq.isEmpty && txnCol.isEmpty && rowFilter.isEmpty) ||
             !applied.isEmpty) {
@@ -705,7 +735,7 @@ object StreamingOps {
         if (multiAction) { batch.unpersist(); () }
       }
     }
-    (rows, written, maxSeq, pendingCount(s, state, txnCol))
+    (rows, written, maxSeq, pendingCount(s, state, txnCol), srcMaxSeq)
   }
 
   /** Size of the uncommitted pending tail after a txn-gated pass (one
@@ -797,10 +827,15 @@ object StreamingOps {
     * its crashed attempt read and recomputes the identical ready set.
     *
     * Returns (per-table (rowsApplied, epochsWritten, maxSeq),
-    * pendingRows): under txn gating rowsApplied counts rows APPLIED to
-    * that table (an event consumed in epoch k but committed in epoch k+2
-    * counts once, at apply time), and pendingRows is the TOPOLOGY-level
-    * uncommitted tail after the pass. */
+    * pendingRows, sourceMaxSeq): under txn gating rowsApplied counts
+    * rows APPLIED to that table (an event consumed in epoch k but
+    * committed in epoch k+2 counts once, at apply time), and pendingRows
+    * is the TOPOLOGY-level uncommitted tail after the pass.
+    * sourceMaxSeq (under `trackSourceSeq`, the facade's flag) is the
+    * newest seq SEEN by the pass — ahead of the txn gate, so
+    * `sourceMaxSeq - maxSeq` reads as per-table replication lag while a
+    * transaction is pending; the binlog has one sequence, so the seen
+    * horizon is one topology-level number. */
   private[graft] def runCdcPassMulti(s: SparkSession,
       schema: org.apache.spark.sql.types.StructType,
       in: String, ckpt: String,
@@ -811,11 +846,12 @@ object StreamingOps {
       defaultCols: Map[String, ColumnDefault] = Map.empty,
       rowFilters: Map[String, String] = Map.empty,
       maskCols: Map[String, Seq[String]] = Map.empty,
-      keyCols: Seq[String] = Seq("okey"))
-      : (Map[String, (Long, Long, Long)], Long) =
+      keyCols: Seq[String] = Seq("okey"),
+      trackSourceSeq: Boolean = false)
+      : (Map[String, (Long, Long, Long)], Long, Option[Long]) =
     runCdcPassMultiSource(s, FileCdcSource(schema, in), ckpt, stateDirs,
       txnCol, renameCols, truncateAt, defaultCols, rowFilters, maskCols,
-      keyCols)
+      keyCols, trackSourceSeq)
 
   /** [[runCdcPassMulti]] over an arbitrary [[CdcSource]] transport.
     * `renameCols` declares RENAME COLUMN DDLs exactly as in
@@ -856,8 +892,9 @@ object StreamingOps {
       defaultCols: Map[String, ColumnDefault] = Map.empty,
       rowFilters: Map[String, String] = Map.empty,
       maskCols: Map[String, Seq[String]] = Map.empty,
-      keyCols: Seq[String] = Seq("okey"))
-      : (Map[String, (Long, Long, Long)], Long) = {
+      keyCols: Seq[String] = Seq("okey"),
+      trackSourceSeq: Boolean = false)
+      : (Map[String, (Long, Long, Long)], Long, Option[Long]) = {
     require(keyCols.forall(source.schema.fieldNames.contains),
       s"key column(s) absent from the envelope: " +
         keyCols.filterNot(source.schema.fieldNames.contains).mkString(", "))
@@ -890,6 +927,7 @@ object StreamingOps {
       applyTruncateDdl(stateDirs(t), Some(sq)) }
     stateDirs.values.foreach(applyDefaultDdl(_, defaultCols, stateSchema))
     val acc = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
+    var srcMaxSeq = Option.empty[Long]
     // staging lives WITH the checkpoint, not in a local tmp dir: the
     // ckpt and the state dirs share a durable filesystem in production,
     // so every staged `table=` subdir renames into its state dir as a
@@ -903,6 +941,14 @@ object StreamingOps {
       batch.persist()
       var txnFull = Option.empty[DataFrame] // txn path's extra pin
       try {
+        if (trackSourceSeq) {
+          // SEEN horizon over the raw topology batch — ahead of the txn
+          // gate, so lag stays visible while a transaction is pending
+          val sr = batch.agg(max(col("seq"))).collect()(0)
+          if (!sr.isNullAt(0))
+            srcMaxSeq = Some(srcMaxSeq.fold(sr.getLong(0))(
+              math.max(_, sr.getLong(0))))
+        }
         val gated = txnCol match {
           case None => batch.toDF()
           case Some(tc) =>
@@ -972,7 +1018,7 @@ object StreamingOps {
         batch.unpersist(); ()
       }
     }
-    (acc.toMap, pendingCount(s, ckpt, txnCol))
+    (acc.toMap, pendingCount(s, ckpt, txnCol), srcMaxSeq)
   }
 
   /** Compact all existing `epoch=` delta dirs into ONE baseline epoch

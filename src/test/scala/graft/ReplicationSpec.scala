@@ -330,10 +330,15 @@ class ReplicationSpec extends SparkTestBase {
         s"partial transaction exposed after wave $w")
       p
     }
-    // lastSeq reports the newest APPLIED event (txn 20's tail applies in
-    // wave 1 once its commit arrives; wave 2 flushes txn 30's delete)
-    assert(progress.map(_.lastSeq) == Seq(Some(2L), Some(5L), Some(7L)))
+    // lastSeq reports the applied POSITION: it advances through each
+    // wave's commit markers too (a marker is resolved the batch it
+    // arrives — real replicators move their position past the XID
+    // event), so a caught-up destination reads position == horizon
+    // instead of a phantom one-marker lag
+    assert(progress.map(_.lastSeq) == Seq(Some(3L), Some(6L), Some(8L)))
     assert(progress.map(_.epochs) == Seq(1L, 1L, 1L))
+    assert(progress.map(_.lag) == Seq(1L, 1L, 0L),
+      "lag must read exactly the straddling txn's held tail")
   }
 
   test("DDL guardrail: an envelope type change is rejected by name at pass start") {
@@ -407,6 +412,61 @@ class ReplicationSpec extends SparkTestBase {
     assert(p2.pendingRows == 2L)
     assert(servedTxnState(s"$base/state") ==
       Map(1L -> ("I", 10.0), 3L -> ("I", 30.0)))
+  }
+
+  test("replication lag: sourceMaxSeq tracks the seen horizon; lag drains on commit") {
+    val base = tmp()
+    val schema = txnDf(Seq(TxnEv("I", 1, 1, 1.0, "O", 1))).schema
+    // wave 0: txn 10 commits (applied through seq 2); txn 99's trailing
+    // events (seq 3-4) are consumed but PENDING — the destination's
+    // applied position stalls at 2 while the seen horizon reads 4
+    graft.streaming.StreamingOps.writeWave(txnDf(Seq(
+      TxnEv("I", 1, 1, 10.0, "O", 10), TxnEv("C", 2, -1, 0.0, null, 10),
+      TxnEv("U", 3, 1, 11.0, "P", 99), TxnEv("I", 4, 2, 20.0, "O", 99))),
+      s"$base/in", 0)
+    val p1 = Replication.incrementalSync(spark, schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", txnCol = Some("txn"))
+    assert(p1.sourceMaxSeq.contains(4L), s"seen horizon: $p1")
+    assert(p1.lastSeq.contains(2L) && p1.lag == 2L,
+      s"an uncommitted tail must read as positive lag: $p1")
+    // wave 1: txn 99 finally commits — the held events apply, the
+    // applied position catches the horizon, lag drains to 0
+    graft.streaming.StreamingOps.writeWave(txnDf(Seq(
+      TxnEv("C", 5, -1, 0.0, null, 99))), s"$base/in", 1)
+    val p2 = Replication.incrementalSync(spark, schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", txnCol = Some("txn"))
+    assert(p2.lag == 0L && p2.pendingRows == 0L, s"lag must drain: $p2")
+    // caught-up idle pass: nothing seen, nothing applied, lag 0
+    val p3 = Replication.incrementalSync(spark, schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", txnCol = Some("txn"))
+    assert(p3.sourceMaxSeq.isEmpty && p3.lag == 0L)
+  }
+
+  test("multi-table lag: the topology seen horizon reads against each table's applied position") {
+    val base = tmp()
+    def mt(evs: Seq[TxnEv]) = txnDf(evs).withColumn("table",
+      when(col("okey") % 2 === 0, "t_even").otherwise("t_odd"))
+    val schema = mt(Seq(TxnEv("I", 1, 2, 1.0, "O", 1))).schema
+    val dirs = Map("t_even" -> s"$base/se", "t_odd" -> s"$base/so")
+    // txn 20 (t_odd, seq 1-2) commits; txn 30's t_even event at seq 3
+    // is pending — t_odd is caught up short of the horizon, t_even has
+    // applied nothing
+    graft.streaming.StreamingOps.writeWave(mt(Seq(
+      TxnEv("I", 1, 1, 10.0, "O", 20), TxnEv("C", 2, -1, 0.0, null, 20),
+      TxnEv("I", 3, 2, 30.0, "O", 30))), s"$base/in", 0)
+    val p1 = Replication.incrementalSyncMulti(spark, schema, s"$base/in",
+      s"$base/ckpt", dirs, txnCol = Some("txn"))
+    assert(p1("t_odd").sourceMaxSeq.contains(3L))
+    assert(p1("t_odd").lastSeq.contains(1L) && p1("t_odd").lag == 2L)
+    assert(p1("t_even").lastSeq.isEmpty && p1("t_even").lag == 3L,
+      s"a table that applied nothing lags by the full horizon: ${p1("t_even")}")
+    // txn 30 commits: t_even applies its held slice and the topology
+    // pending tail drains to zero
+    graft.streaming.StreamingOps.writeWave(mt(Seq(
+      TxnEv("C", 4, -2, 0.0, null, 30))), s"$base/in", 1)
+    val p2 = Replication.incrementalSyncMulti(spark, schema, s"$base/in",
+      s"$base/ckpt", dirs, txnCol = Some("txn"))
+    assert(p2("t_even").lastSeq.contains(3L) && p2("t_even").pendingRows == 0L)
   }
 
   test("cross-table txn: no table ever serves a slice of an uncommitted transaction") {

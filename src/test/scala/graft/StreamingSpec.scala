@@ -264,7 +264,7 @@ class StreamingSpec extends SparkTestBase {
     val base = java.nio.file.Files.createTempDirectory("graft_memsrc").toString
     val src = new graft.sources.WrappedCdcSource(
       mem.toDF().toDF("op", "seq", "ts", "okey", "price", "status"))
-    val (rows, _, lastSeq, _) = StreamingOps.runCdcPassSource(spark, src,
+    val (rows, _, lastSeq, _, _) = StreamingOps.runCdcPassSource(spark, src,
       s"$base/ckpt", s"$base/state", trackSeq = true)
     assert(rows == log.length.toLong)
     assert(lastSeq.contains(3L))
