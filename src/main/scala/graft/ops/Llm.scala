@@ -270,15 +270,25 @@ object Llm {
   /** Exact-Jaccard confirm over candidate (a_id, b_id) pairs: each side
     * rejoins its shingle set from `sh` AFTER candidate dedup, so the
     * wide arrays never ride the band join or the distinct. */
-  private def jaccardConfirm(pairs: DataFrame, sh: DataFrame): DataFrame =
-    pairs
-      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+  /** `broadcastPairs = true` PINS the candidate side (and its first-join
+    * result) as the broadcast build side, so the shingle table streams
+    * through both probes without ever riding an exchange — the
+    * incremental-ingest regime, where the contract is candidates ≪
+    * index (candidates are batch-bounded). The one-shot paths keep the
+    * default: their pair set scales with the corpus and must stay free
+    * to shuffle. */
+  private def jaccardConfirm(pairs: DataFrame, sh: DataFrame,
+      broadcastPairs: Boolean = false): DataFrame = {
+    def hint(df: DataFrame) = if (broadcastPairs) broadcast(df) else df
+    hint(hint(pairs)
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id"))
       .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
       .withColumn("jaccard",
         size(array_intersect(col("a_sh"), col("b_sh"))).cast(DoubleType) /
           size(array_union(col("a_sh"), col("b_sh"))).cast(DoubleType))
       .filter(col("jaccard") >= 0.6)
       .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
 
   private def minhashConfirmedPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.CacheRegistry.track(
@@ -312,10 +322,13 @@ object Llm {
     * Work per ingest: tokenize/hash the BATCH only; candidate pairs come
     * from the batch's bands equi-joined against index ∪ batch bands —
     * batch×index and batch×batch, never index×index (those pairs were
-    * emitted when their younger doc arrived). The Jaccard confirm reads
-    * index shingles only for candidate ids (the candidate frame is
-    * batch-bounded, so AQE broadcasts it and the index scan never
-    * shuffles); the corpus text is NEVER re-read. Result pinned via
+    * emitted when their younger doc arrived). The batch side carries an
+    * EXPLICIT broadcast hint (the contract is batch ≪ index, per
+    * ingest; pinned rather than left to AQE's runtime guess), and the
+    * Jaccard confirm broadcasts the batch-bounded candidate frame the
+    * same way — so neither the index bands nor the index shingles ever
+    * ride an exchange (PlanSpec-asserted); the corpus text is NEVER
+    * re-read. Result pinned via
     * localCheckpoint BEFORE the index append — it derives from the very
     * files the append extends (the repairState pattern) — then the
     * batch's shingles/bands append so the NEXT ingest sees them.
@@ -345,7 +358,12 @@ object Llm {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val oldBands = s.read.parquet(s"$indexDir/bands")
     val oldSh = s.read.parquet(s"$indexDir/shingles")
-    val pairs = newBands.select(col("doc_id").as("n_id"), col("band"), col("bv"))
+    // the batch bands are the EXPLICIT broadcast build side (the
+    // exactIngestFrame pattern — the contract is batch ≪ index, pinned
+    // here rather than left to AQE's runtime guess): the index-bands
+    // scan streams through the join probe and never rides an exchange
+    val pairs = broadcast(
+        newBands.select(col("doc_id").as("n_id"), col("band"), col("bv")))
       .join(oldBands.unionByName(newBands)
         .select(col("doc_id").as("o_id"), col("band"), col("bv")),
         Seq("band", "bv"))
@@ -353,7 +371,8 @@ object Llm {
       .select(least(col("n_id"), col("o_id")).as("a_id"),
         greatest(col("n_id"), col("o_id")).as("b_id"))
       .distinct()
-    (jaccardConfirm(pairs, oldSh.unionByName(newSh)), newSh, newBands)
+    (jaccardConfirm(pairs, oldSh.unionByName(newSh), broadcastPairs = true),
+      newSh, newBands)
   }
 
   /** APPLY the dedup at ingest time — what a production pipeline ships

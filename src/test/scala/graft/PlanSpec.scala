@@ -213,6 +213,16 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("InMemoryTableScan"),
       s"batch shingles not served from the pinned table — the tokenize " +
         s"pass would otherwise re-run per consumer:\n$plan")
+    // the broadcast regime is PINNED, not an AQE runtime guess: the
+    // batch side of the candidate join and the candidate side of both
+    // confirm joins are explicit broadcast build sides, so every join
+    // is a BroadcastHashJoin and no index scan (bands or shingles) ever
+    // sits under a shuffle exchange — a SortMergeJoin/ShuffledHashJoin
+    // here would mean the index rode a shuffle
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"the persisted index rode a shuffle:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected pinned broadcast joins:\n$plan")
   }
 
   test("ANN ingest reads the persisted index; no k-means recompute, no cartesian") {
