@@ -103,6 +103,25 @@ object Bench {
       .mkString("{", ",", "}")
     val fq = failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = timed.map(_._2).sum
+    // Full per-query map as a REPO ARTIFACT (bench_full.json): the
+    // driver's stdout capture is a bounded tail, so at 160+ queries the
+    // inline breakdown can truncate — the file always carries every
+    // timing (name-sorted for round-over-round diffing) plus a
+    // slowest-first ranking so a reader starts at the queries that
+    // matter. Written best-effort: a read-only cwd must not fail the
+    // bench itself.
+    val ranked = timed.sortBy(-_._2)
+      .map { case (k, v) => s"\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_full.json"),
+        s"""{"total":${f3(total)},"sf":"$sfDir","passes":$passes,""" +
+          s""""failed":$fq,"queries":$qs,"slowest_first":$ranked}""" + "\n")
+      ()
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"bench_full.json write failed: ${e.getMessage}")
+    }
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$fq,"sf":"$sfDir"}""")
     // The driver captures a bounded TAIL of stdout; with ~100 queries the
     // full line's head (the total) can be cut off. A trailing short line

@@ -1565,6 +1565,10 @@ object StreamingOps {
     // published with the state dir (`_keycols`) so every later
     // consumer — compaction, repair, reads — collapses identically.
     "cdc_composite_key" -> ((s, dir) => {
+      // the log base (a groupBy-dedup of lineitem, see cdcLogComposite)
+      // recomputes per wave write; measured at sf0.1 that is CHEAPER
+      // than materializing the 1M-row log up front (localCheckpoint
+      // benched +20% on this query), so it stays lazy
       val log = Tables.cdcLogComposite(s, dir)
       val tmp = tmpDir()
       val in = s"$tmp/in"

@@ -1038,6 +1038,59 @@ class ReplicationSpec extends SparkTestBase {
       "the untouched table's pre-rename history must serve under the new name")
   }
 
+  test("multi-table DEFAULT + widening: one topology-wide DDL position, per-table backfills") {
+    val base = tmp()
+    // one binlog, two tables by okey parity; v1 envelope carries qty INT
+    def mt(evs: Seq[TxnEv]) = txnDf(evs).drop("txn")
+      .withColumn("table",
+        when(col("okey") % 2 === 0, "t_even").otherwise("t_odd"))
+    val v1 = mt(Seq(TxnEv("I", 1, 1, 10.0, "O", 0), TxnEv("I", 2, 2, 20.0, "O", 0),
+      TxnEv("I", 3, 3, 30.0, "O", 0), TxnEv("I", 4, 4, 40.0, "O", 0)))
+      .withColumn("qty", (col("okey") * 3).cast("int"))
+    graft.streaming.StreamingOps.writeWave(v1, s"$base/in", 0)
+    val dirs = Map("t_even" -> s"$base/se", "t_odd" -> s"$base/so")
+    Replication.incrementalSyncMulti(spark, v1.schema, s"$base/in",
+      s"$base/ckpt", dirs)
+    // ONE DDL at topology position 4: ADD COLUMN channel DEFAULT 'bulk'
+    // AND qty widens INT→BIGINT — the shared envelope means both tables
+    // take both changes in the same resumed pass. Post-DDL rewrites:
+    // okey=2 (t_even) writes a channel and a >2^31 qty; okey=3 (t_odd)
+    // writes an EXPLICIT NULL channel.
+    val v2 = mt(Seq(TxnEv("U", 5, 2, 21.0, "P", 0), TxnEv("U", 6, 3, 31.0, "P", 0)))
+      .withColumn("qty", when(col("okey") === 2, lit(5000000000L))
+        .otherwise(lit(9L)))
+      .withColumn("channel", when(col("okey") === 2, lit("w2"))
+        .otherwise(lit(null).cast("string")))
+    graft.streaming.StreamingOps.writeWave(v2, s"$base/in", 1)
+    Replication.incrementalSyncMulti(spark, v2.schema, s"$base/in",
+      s"$base/ckpt", dirs,
+      defaultCols = Map("channel" ->
+        graft.streaming.StreamingOps.ColumnDefault(4L, "'bulk'")))
+    def served(dir: String) = Replication.appliedState(spark, dir)
+      .select(col("okey"), col("channel"), col("qty")).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1), r.getLong(2))).toSet
+    // t_even: the rewritten key serves what it wrote (wide qty included);
+    // the untouched pre-DDL key serves the DEFAULT and its narrow qty
+    // read natively under the widened type
+    assert(served(s"$base/se") ==
+      Set((2L, "w2", 5000000000L), (4L, "bulk", 12L)))
+    // t_odd: pre-DDL key backfills the default; the post-DDL rewrite's
+    // EXPLICIT NULL stays NULL — per-table states, one DDL position
+    assert(served(s"$base/so") == Set((1L, "bulk", 3L), (3L, null, 9L)))
+    // both published schemas took the widening and the added column
+    for (dir <- dirs.values) {
+      val p = graft.streaming.StreamingOps.readStateSchema(dir).get
+      assert(p("qty").dataType == org.apache.spark.sql.types.LongType,
+        s"$dir: qty not widened")
+      assert(p.fieldNames.contains("channel"), s"$dir: channel not published")
+    }
+    // compaction materializes the lazy backfill without changing service
+    graft.streaming.StreamingOps.compactState(spark, s"$base/so")
+    assert(served(s"$base/so") == Set((1L, "bulk", 3L), (3L, null, 9L)),
+      "default backfill lost across compaction")
+  }
+
   test("rename composes with widening: a renamed INT column arriving as BIGINT promotes") {
     val base = tmp()
     val v1 = txnDf(Seq(TxnEv("I", 1, 1, 10.0, "O", 0),
