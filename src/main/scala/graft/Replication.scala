@@ -158,6 +158,53 @@ object Replication {
     SyncProgress(rows, epochs, lastSeq, pending, srcMax)
   }
 
+  /** An opaque source-native POSITION token decoded to the engine's
+    * monotone `seq` — the reference's `--position` surface. A real
+    * source names positions in its own dialect:
+    *
+    *  - binlog file + offset (`"binlog.000042:1337"`): the file ordinal
+    *    and byte offset order events totally, so the decoder returns
+    *    the seq the source assigned to the last event at or below that
+    *    offset (the source assigned seqs as it serialized the binlog,
+    *    so it owns exactly this mapping);
+    *  - GTID set (`"3e11fa47-…:1-77"`): the decoder returns the seq of
+    *    the newest transaction's commit covered by the set — with
+    *    transaction-boundary apply (`txnCol`) the seq of that txn's
+    *    commit marker, so every covered transaction is skipped whole.
+    *
+    * The engine stays dialect-agnostic on purpose: it orders by one
+    * monotone seq, and whoever produced the change log (the CDC source
+    * connector) is the only party that can translate its native tokens
+    * into that order. Implementations should throw on a token they
+    * cannot decode — a silently-guessed position replays or skips
+    * history. */
+  trait PositionCodec {
+    def toSeq(token: String): Long
+  }
+
+  /** The trivial dialect: the token IS the decimal seq (what a
+    * file-based harness or a connector that exposes its own seq would
+    * hand back). Throws on anything non-numeric. */
+  object SeqPositionCodec extends PositionCodec {
+    override def toSeq(token: String): Long =
+      token.trim.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"not a seq-encoded position token: '$token'"))
+  }
+
+  /** [[incrementalSync]] starting from an OPAQUE position token —
+    * `--position`/GTID resume with the token in the source's dialect.
+    * Exactly `incrementalSync(fromSeq = Some(codec.toSeq(position)))`;
+    * see [[PositionCodec]] for the dialect mappings. */
+  def incrementalSyncFromPosition(spark: SparkSession, schema: StructType,
+      inDir: String, ckptDir: String, stateDir: String,
+      position: String, codec: PositionCodec,
+      compactEvery: Int = 16, txnCol: Option[String] = None,
+      tombstoneGc: Option[Int] = None,
+      keyCols: Seq[String] = Seq("okey")): SyncProgress =
+    incrementalSync(spark, schema, inDir, ckptDir, stateDir, compactEvery,
+      fromSeq = Some(codec.toSeq(position)), txnCol = txnCol,
+      tombstoneGc = tombstoneGc, keyCols = keyCols)
+
   /** Multi-table incremental sync (SURVEY §3.1 #2): ONE change stream
     * whose envelope carries a `table` column fans out to per-table
     * destination state dirs in a single pass — the reference tool tails
