@@ -110,6 +110,21 @@ object Scans {
           (col("max_seq") - col("n_events")).as("n_missing"))
         .orderBy(col("okey"))),
 
+    // S17: S12's continuity probe over a COMPOSITE primary key — seq is
+    // strictly monotone per (okey, line_no) tuple, so completeness is
+    // still max(seq) == count(*) per FULL key; a single-column probe
+    // would alias different lines of one order into one history and
+    // report phantom holes. Same one hash aggregate, output bounded by
+    // |damaged keys|.
+    "cdc_gap_detect_composite" -> ((s, dir) =>
+      Tables.cdcLogComposite(s, dir)
+        .groupBy(col("okey"), col("line_no"))
+        .agg(count(lit(1)).as("n_events"), max(col("seq")).as("max_seq"))
+        .filter(col("max_seq") =!= col("n_events"))
+        .select(col("okey"), col("line_no"), col("n_events"), col("max_seq"),
+          (col("max_seq") - col("n_events")).as("n_missing"))
+        .orderBy(col("okey"), col("line_no"))),
+
     // S13: the `--full` → `--increment` handoff, the reference tool's
     // actual two-phase workflow: a snapshot materializes the source's
     // live rows as of a cutoff position (latest-wins collapse of the log
@@ -313,6 +328,15 @@ object Scans {
                    FROM cdc_log GROUP BY okey)
          SELECT okey, n_events, max_seq, max_seq - n_events AS n_missing
          FROM g WHERE max_seq <> n_events ORDER BY okey""",
+
+    "cdc_gap_detect_composite" ->
+      s"""WITH cdc_log_comp AS (${Tables.cdcLogCompositeSql}),
+             g AS (SELECT okey, line_no, count(*) AS n_events,
+                     max(seq) AS max_seq
+                   FROM cdc_log_comp GROUP BY okey, line_no)
+         SELECT okey, line_no, n_events, max_seq,
+                max_seq - n_events AS n_missing
+         FROM g WHERE max_seq <> n_events ORDER BY okey, line_no""",
 
     "cdc_snapshot_handoff" ->
       s"""WITH cdc_log AS (${Tables.cdcLogSql}),

@@ -964,6 +964,50 @@ class ReplicationSpec extends SparkTestBase {
     assert(e2.getMessage.contains("keyed by"))
   }
 
+  test("multi-table sync and topology repair run over a composite key") {
+    val base = tmp()
+    val keys = Seq("okey", "line_no")
+    // route by LINE parity: lines of the SAME order land in different
+    // tables, so any single-column collapse or diff would cross tables
+    val log = Tables.cdcLogComposite(spark, sf).withColumn("table",
+      when(col("line_no") % 2 === 0, "t_even").otherwise("t_odd"))
+    graft.streaming.StreamingOps.writeWave(
+      log.filter(col("seq") <= 2), s"$base/in", 0)
+    graft.streaming.StreamingOps.writeWave(
+      log.filter(col("seq") === 3), s"$base/in", 1)
+    val dirs = Map("t_even" -> s"$base/se", "t_odd" -> s"$base/so")
+    Replication.incrementalSyncMulti(spark, log.schema, s"$base/in",
+      s"$base/ckpt", dirs, keyCols = keys)
+    def truth(parity: Int) = Tables.cdcLogComposite(spark, sf)
+      .filter(col("line_no") % 2 === parity)
+      .groupBy(col("okey"), col("line_no"))
+      .agg(max_by(struct(col("price"), col("status"), col("ts"), col("op")),
+        col("seq")).as("l"))
+      .filter(col("l.op") =!= "D")
+      .select(col("okey"), col("line_no"), col("l.price").as("price"),
+        col("l.status").as("status"), col("l.ts").as("ts"))
+    def served(dir: String) = Replication.appliedState(spark, dir).drop("op")
+    assert(Replication.consistencyCheck(truth(0), served(s"$base/se"), keys)
+      .consistent)
+    assert(Replication.consistencyCheck(truth(1), served(s"$base/so"), keys)
+      .consistent)
+    // diverge ONE line of t_odd; the topology repair must heal exactly
+    // that tuple and leave t_even untouched
+    val t1 = truth(1).localCheckpoint()
+    val victim = t1.orderBy(col("okey"), col("line_no")).limit(1).collect()(0)
+    val (vk, vl) = (victim.getLong(0), victim.getLong(1))
+    val drifted = t1.withColumn("price",
+      when(col("okey") === vk && col("line_no") === vl, col("price") + 5000.0)
+        .otherwise(col("price"))).localCheckpoint()
+    val reports = Replication.repairSyncMulti(spark,
+      Map("t_even" -> truth(0).localCheckpoint(), "t_odd" -> drifted),
+      dirs, keyCols = keys)
+    assert(reports("t_odd") == Replication.RepairReport(0, 1, 0))
+    assert(reports("t_even") == Replication.RepairReport(0, 0, 0))
+    assert(Replication.consistencyCheck(drifted, served(s"$base/so"), keys)
+      .consistent)
+  }
+
   test("composite PK consistency check: a tuple-level mismatch is caught") {
     // two rows sharing okey, distinct line_no: a single-column key diff
     // would see both sides as {okey=1}; the tuple diff must not
