@@ -236,7 +236,14 @@ object Replication {
     * effectively-immutable columns (key ranges, tenant routing).
     * `maskCols` (table → payload columns) NULLs the named columns
     * before anything is staged — the masked values never leave the
-    * source side (the PII column-masking config). */
+    * source side (the PII column-masking config).
+    *
+    * `keyColsByTable` declares PER-TABLE primary keys (tables absent
+    * from the map use `keyCols`): one binlog routinely fans out to
+    * tables whose PKs differ — a header table keyed by order id next
+    * to a lines table keyed by (order id, line no) — and the single
+    * fan-out job collapses each table under its own key (see
+    * StreamingOps.runCdcPassMultiSource). */
   def incrementalSyncMulti(spark: SparkSession, schema: StructType,
       inDir: String, ckptDir: String, stateDirs: Map[String, String],
       compactEvery: Int = 16,
@@ -247,11 +254,13 @@ object Replication {
       defaultCols: Map[String, streaming.StreamingOps.ColumnDefault] = Map.empty,
       rowFilters: Map[String, String] = Map.empty,
       maskCols: Map[String, Seq[String]] = Map.empty,
-      keyCols: Seq[String] = Seq("okey"))
+      keyCols: Seq[String] = Seq("okey"),
+      keyColsByTable: Map[String, Seq[String]] = Map.empty)
       : Map[String, SyncProgress] = {
     val (stats, pending, srcMax) = streaming.StreamingOps.runCdcPassMulti(
       spark, schema, inDir, ckptDir, stateDirs, txnCol, renameCols, truncateAt,
-      defaultCols, rowFilters, maskCols, keyCols, trackSourceSeq = true)
+      defaultCols, rowFilters, maskCols, keyCols, trackSourceSeq = true,
+      keyColsByTable = keyColsByTable)
     stateDirs.map { case (t, dir) =>
       if (deltaCount(dir) > compactEvery)
         streaming.StreamingOps.compactState(spark, dir, tombstoneGc,
@@ -357,9 +366,11 @@ object Replication {
     * [[RepairReport]]s. */
   def repairSyncMulti(spark: SparkSession, srcByTable: Map[String, DataFrame],
       stateDirs: Map[String, String], keyCols: Seq[String] = Seq("okey"),
-      pendingRoot: Option[String] = None): Map[String, RepairReport] =
+      pendingRoot: Option[String] = None,
+      keyColsByTable: Map[String, Seq[String]] = Map.empty)
+      : Map[String, RepairReport] =
     streaming.StreamingOps.repairStateMulti(spark, srcByTable, stateDirs,
-      keyCols, pendingRoot)
+      keyCols, pendingRoot, keyColsByTable)
       .map { case (t, (i, u, d)) => t -> RepairReport(i, u, d) }
 
   /** Outcome of a source↔destination consistency check (§3.1 #3). */

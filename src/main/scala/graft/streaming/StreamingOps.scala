@@ -847,11 +847,12 @@ object StreamingOps {
       rowFilters: Map[String, String] = Map.empty,
       maskCols: Map[String, Seq[String]] = Map.empty,
       keyCols: Seq[String] = Seq("okey"),
-      trackSourceSeq: Boolean = false)
+      trackSourceSeq: Boolean = false,
+      keyColsByTable: Map[String, Seq[String]] = Map.empty)
       : (Map[String, (Long, Long, Long)], Long, Option[Long]) =
     runCdcPassMultiSource(s, FileCdcSource(schema, in), ckpt, stateDirs,
       txnCol, renameCols, truncateAt, defaultCols, rowFilters, maskCols,
-      keyCols, trackSourceSeq)
+      keyCols, trackSourceSeq, keyColsByTable)
 
   /** [[runCdcPassMulti]] over an arbitrary [[CdcSource]] transport.
     * `renameCols` declares RENAME COLUMN DDLs exactly as in
@@ -883,7 +884,21 @@ object StreamingOps {
     * carries a transaction's events UNFILTERED (so the reported
     * pendingRows counts them), and the predicate/mask applies when the
     * commit arrives — a filter change between passes therefore applies
-    * to not-yet-committed history, which is the declarative reading. */
+    * to not-yet-committed history, which is the declarative reading.
+    *
+    * `keyColsByTable` declares PER-TABLE primary keys (tables absent
+    * from the map use `keyCols`) — the real topology shape: one binlog
+    * fans out to tables whose PKs differ (a header table keyed by
+    * order id next to a lines table keyed by (order id, line no)).
+    * The fan-out still collapses in ONE job: each row's key tuple is
+    * encoded through a per-table CASE into one canonical string column
+    * (`to_json` of that table's key struct — a scan-local, codegen'd
+    * projection), the collapse groups on (table, encoded key), and the
+    * winning row's full envelope rides the max_by struct so the staged
+    * output carries every real column. Homogeneous topologies skip the
+    * encoding entirely. Each state dir publishes ITS OWN `_keycols`,
+    * so read-time collapse, compaction, and repair are per-table-key
+    * aware with no further plumbing. */
   private[graft] def runCdcPassMultiSource(s: SparkSession, source: CdcSource,
       ckpt: String, stateDirs: Map[String, String],
       txnCol: Option[String] = None,
@@ -893,11 +908,18 @@ object StreamingOps {
       rowFilters: Map[String, String] = Map.empty,
       maskCols: Map[String, Seq[String]] = Map.empty,
       keyCols: Seq[String] = Seq("okey"),
-      trackSourceSeq: Boolean = false)
+      trackSourceSeq: Boolean = false,
+      keyColsByTable: Map[String, Seq[String]] = Map.empty)
       : (Map[String, (Long, Long, Long)], Long, Option[Long]) = {
-    require(keyCols.forall(source.schema.fieldNames.contains),
+    require(keyColsByTable.keySet.subsetOf(stateDirs.keySet),
+      s"per-table key declared for unreplicated table(s): " +
+        s"${(keyColsByTable.keySet -- stateDirs.keySet).toSeq.sorted.mkString(", ")}")
+    val keyFor: Map[String, Seq[String]] =
+      stateDirs.keys.map(t => t -> keyColsByTable.getOrElse(t, keyCols)).toMap
+    val allKeyCols = keyFor.values.flatten.toSet
+    require(allKeyCols.forall(source.schema.fieldNames.contains),
       s"key column(s) absent from the envelope: " +
-        keyCols.filterNot(source.schema.fieldNames.contains).mkString(", "))
+        allKeyCols.filterNot(source.schema.fieldNames.contains).mkString(", "))
     require(truncateAt.keySet.subsetOf(stateDirs.keySet),
       s"truncate declared for unreplicated table(s): " +
         s"${(truncateAt.keySet -- stateDirs.keySet).toSeq.sorted.mkString(", ")}")
@@ -907,8 +929,11 @@ object StreamingOps {
     require(maskCols.keySet.subsetOf(stateDirs.keySet),
       s"column mask declared for unreplicated table(s): " +
         s"${(maskCols.keySet -- stateDirs.keySet).toSeq.sorted.mkString(", ")}")
-    val unmaskable = Set("op", "seq", "ts") ++ keyCols ++ txnCol.toSet + "table"
     maskCols.foreach { case (t, cs) =>
+      // identity, not payload: a table's OWN key columns are unmaskable
+      // (another table's key is ordinary payload here)
+      val unmaskable = Set("op", "seq", "ts") ++ keyFor(t) ++
+        txnCol.toSet + "table"
       val bad = cs.filter(unmaskable)
       require(bad.isEmpty,
         s"table '$t' masks bookkeeping column(s): ${bad.mkString(", ")}")
@@ -920,7 +945,7 @@ object StreamingOps {
     // every table's state dir shares one envelope schema (one binlog,
     // one fan-out) — validate/publish each before the stream starts
     val stateSchema = stateSchemaFor(source.schema, txnCol.toSet)
-    stateDirs.values.foreach(ensureKeyCols(_, keyCols))
+    stateDirs.foreach { case (t, d) => ensureKeyCols(d, keyFor(t)) }
     stateDirs.values.foreach(applyRenameDdl(_, renameCols, stateSchema))
     stateDirs.values.foreach(ensureStateSchema(_, stateSchema))
     truncateAt.foreach { case (t, sq) =>
@@ -986,14 +1011,34 @@ object StreamingOps {
           val epochStage = s"$stage/epoch=$epochId"
           // evolved envelope columns (mid-stream DDL) ride through the
           // fan-out exactly as in the single-table pass
-          val fields = (Seq("op", "price", "status", "ts", "seq") ++
-            extraCols(applied)).filterNot(keyCols.contains)
-          applied.select((envelopeCols ++ extraCols(applied) :+ "table").map(col): _*)
+          val routed = applied
+            .select((envelopeCols ++ extraCols(applied) :+ "table").map(col): _*)
             .filter(col("table").isin(admitted: _*))
-            .groupBy((col("table") +: keyCols.map(col)): _*)
-            .agg(max_by(struct(fields.map(col): _*), col("seq")).as("l"))
-            .select((col("table") +: keyCols.map(col)) ++
-              fields.map(f => col("l." + f).as(f)): _*)
+          val collapsed = if (keyColsByTable.isEmpty) {
+            // homogeneous topology: group on the real key columns
+            val fields = (Seq("op", "price", "status", "ts", "seq") ++
+              extraCols(applied)).filterNot(keyCols.contains)
+            routed.groupBy((col("table") +: keyCols.map(col)): _*)
+              .agg(max_by(struct(fields.map(col): _*), col("seq")).as("l"))
+              .select((col("table") +: keyCols.map(col)) ++
+                fields.map(f => col("l." + f).as(f)): _*)
+          } else {
+            // heterogeneous PKs: ONE job still — encode each row's key
+            // tuple under ITS table's definition (scan-local codegen'd
+            // CASE of to_json structs), group on (table, encoded key),
+            // and carry the FULL envelope (key columns included — they
+            // differ per table) through the max_by struct
+            val fields = envelopeCols ++ extraCols(applied)
+            val keyed = routed.withColumn("__key",
+              keyFor.foldLeft(lit(null).cast("string")) { case (acc, (t, ks)) =>
+                when(col("table") === t,
+                  to_json(struct(ks.map(col): _*))).otherwise(acc)
+              })
+            keyed.groupBy(col("table"), col("__key"))
+              .agg(max_by(struct(fields.map(col): _*), col("seq")).as("l"))
+              .select(col("table") +: fields.map(f => col("l." + f).as(f)): _*)
+          }
+          collapsed
             .write.mode("overwrite").partitionBy("table").parquet(epochStage)
           present.foreach { r =>
             val t = r.getString(0)
@@ -1303,13 +1348,18 @@ object StreamingOps {
     * max(applied seq over ALL tables, pending seq) + 1. All state dirs
     * must share one served envelope — the runCdcPassMulti invariant
     * (one binlog, one fan-out) — and each table's source must be one
-    * row per key, both asserted loudly.
+    * row per key, both asserted loudly. Tables may carry DIFFERENT
+    * primary keys (`keyColsByTable`, the runCdcPassMulti declaration):
+    * the diff joins on a per-table-encoded key tuple, so a header table
+    * keyed by order id heals in the same single pass as a lines table
+    * keyed by (order id, line no).
     *
     * Returns per-table (inserted, updated, deleted); zero-divergence
     * tables report (0, 0, 0) and receive no epoch. */
   private[graft] def repairStateMulti(s: SparkSession,
       srcByTable: Map[String, DataFrame], stateDirs: Map[String, String],
-      keyCols: Seq[String] = Seq("okey"), pendingRoot: Option[String] = None)
+      keyCols: Seq[String] = Seq("okey"), pendingRoot: Option[String] = None,
+      keyColsByTable: Map[String, Seq[String]] = Map.empty)
       : Map[String, (Long, Long, Long)] = {
     require(srcByTable.keySet == stateDirs.keySet,
       s"repair sources ${srcByTable.keySet.toSeq.sorted.mkString(",")} != " +
@@ -1317,45 +1367,54 @@ object StreamingOps {
         "a topology repair heals every table or none")
     require(stateDirs.nonEmpty, "empty topology")
     val tables = stateDirs.keys.toSeq.sorted
+    // per-table PRIMARY KEYS (the runCdcPassMulti declaration shape):
+    // each table's declared key must match its state dir's published one
+    val keyFor: Map[String, Seq[String]] =
+      tables.map(t => t -> keyColsByTable.getOrElse(t, keyCols)).toMap
     tables.foreach { t =>
       val published = readKeyCols(stateDirs(t))
-      require(keyCols == published,
+      require(keyFor(t) == published,
         s"state dir for '$t' is keyed by (${published.mkString(", ")}) but " +
-          s"the repair declares (${keyCols.mkString(", ")})")
+          s"the repair declares (${keyFor(t).mkString(", ")})")
     }
     val dsts = tables.map(t => t -> readLatestState(s, stateDirs(t))).toMap
-    val valueCols = dsts(tables.head).columns.toSeq
-      .filterNot((keyCols :+ "op").contains)
+    // ONE topology envelope: every table serves the same column SET
+    // (which of them are key differs per table); fixed order from the
+    // first table for every union/struct below
+    val allCols = dsts(tables.head).columns.toSeq.filterNot(_ == "op")
     tables.foreach { t =>
-      val cols = dsts(t).columns.toSeq.filterNot((keyCols :+ "op").contains)
-      require(cols == valueCols,
-        s"state dir for '$t' serves (${cols.mkString(", ")}) but the " +
-          s"topology envelope is (${valueCols.mkString(", ")}) — repair the " +
-          "schema drift first")
+      val cols = dsts(t).columns.toSet - "op"
+      require(cols == allCols.toSet,
+        s"state dir for '$t' serves (${cols.toSeq.sorted.mkString(", ")}) " +
+          s"but the topology envelope is (${allCols.sorted.mkString(", ")}) " +
+          "— repair the schema drift first")
       val src = srcByTable(t)
-      val missing = valueCols.filterNot(src.columns.contains)
+      val missing = allCols.filterNot(src.columns.contains)
       require(missing.isEmpty,
         s"repair source for '$t' lacks served column(s): " +
           s"${missing.mkString(", ")} — a repair cannot invent values")
-      val gained = src.columns.toSeq.filterNot((keyCols ++ valueCols).contains)
+      val gained = src.columns.toSeq.filterNot(allCols.contains)
       require(gained.isEmpty,
         s"repair source for '$t' carries column(s) the destination never " +
           s"saw: ${gained.mkString(", ")} — replicate the DDL first")
     }
-    val srcAll = tables.map(t => srcByTable(t)
-      .select((keyCols ++ valueCols).map(col): _*).withColumn("__tbl", lit(t)))
+    // each row's key tuple encoded under ITS table's key definition
+    // (scan-local to_json projection — the runCdcPassMulti heterogeneous
+    // collapse's mechanic), so one join key spans per-table key shapes;
+    // null key fields encode distinctly, preserving null-safe matching
+    def keyed(df: DataFrame, t: String): DataFrame =
+      df.select(allCols.map(col): _*)
+        .withColumn("__tbl", lit(t))
+        .withColumn("__key", to_json(struct(keyFor(t).map(col): _*)))
+    val srcAll = tables.map(t => keyed(srcByTable(t), t))
       .reduce(_.unionByName(_))
     // per-table key uniqueness in ONE aggregate over the unioned source
     srcAll.groupBy(col("__tbl"))
-      .agg(count(lit(1)).as("n"),
-        count_distinct(col(keyCols.head), keyCols.tail.map(col): _*).as("nd"))
+      .agg(count(lit(1)).as("n"), count_distinct(col("__key")).as("nd"))
       .collect().foreach(r => require(r.getLong(1) == r.getLong(2),
         s"repair source for '${r.getString(0)}' holds ${r.getLong(1)} rows " +
-          s"over ${r.getLong(2)} distinct (${keyCols.mkString(", ")}) " +
-          "values — one row per key"))
-    val dstAll = tables.map(t => dsts(t)
-      .select((keyCols ++ valueCols).map(col): _*).withColumn("__tbl", lit(t)))
-      .reduce(_.unionByName(_))
+          s"over ${r.getLong(2)} distinct key tuples — one row per key"))
+    val dstAll = tables.map(t => keyed(dsts(t), t)).reduce(_.unionByName(_))
     // topology seq ceiling: the union of every table's raw seq column in
     // one 1-row aggregate, plus the SINGLE topology pending tail
     val am = tables.map(t => readStateDir(s, stateDirs(t)).select(col("seq")))
@@ -1370,21 +1429,31 @@ object StreamingOps {
     val repairSeq = math.max(appliedMax, pendingMax) + 1L
     val joined = srcAll.withColumn("__s", lit(true)).as("s")
       .join(dstAll.withColumn("__d", lit(true)).as("d"),
-        keyCols.foldLeft(col("s.__tbl") === col("d.__tbl")) {
-          (acc, k) => acc && (col(s"s.$k") <=> col(s"d.$k")) },
+        col("s.__tbl") === col("d.__tbl") && col("s.__key") === col("d.__key"),
         "full_outer")
-    val sStruct = struct(valueCols.map(c => col(s"s.$c")): _*)
-    val dStruct = struct(valueCols.map(c => col(s"d.$c")): _*)
+    // key columns are equal on every matched row (the join key encodes
+    // them), so a full-envelope struct compare detects exactly value
+    // drift — no per-table value-column split needed
+    val sStruct = struct(allCols.map(c => col(s"s.$c")): _*)
+    val dStruct = struct(allCols.map(c => col(s"d.$c")): _*)
+    // which tables treat column c as KEY (for the correction select: a
+    // tombstone must carry ITS table's key columns from the d side)
+    val keyTablesOf: Map[String, Seq[String]] =
+      allCols.map(c => c -> tables.filter(t => keyFor(t).contains(c))).toMap
+    val rowTbl = coalesce(col("s.__tbl"), col("d.__tbl"))
     val diff = joined.withColumn("op",
         when(col("d.__d").isNull, "I")
           .when(col("s.__s").isNull, "D")
           .when(!(sStruct <=> dStruct), "U"))
       .filter(col("op").isNotNull)
-      .select((Seq(col("op"),
-        coalesce(col("s.__tbl"), col("d.__tbl")).as("__tbl")) ++
-        keyCols.map(k => coalesce(col(s"s.$k"), col(s"d.$k")).as(k)) :+
-        lit(repairSeq).as("seq")) ++
-        valueCols.map(c => when(col("op") =!= "D", col(s"s.$c")).as(c)): _*)
+      .select((Seq(col("op"), rowTbl.as("__tbl"), lit(repairSeq).as("seq")) ++
+        allCols.map { c =>
+          val kt = keyTablesOf(c)
+          val isKeyHere =
+            if (kt.isEmpty) lit(false) else rowTbl.isin(kt: _*)
+          when(isKeyHere, coalesce(col(s"s.$c"), col(s"d.$c")))
+            .otherwise(when(col("op") =!= "D", col(s"s.$c"))).as(c)
+        }): _*)
       // pinned for the same reason as repairState: the diff derives from
       // the very state dirs the corrections will mutate
       .persist()
@@ -1555,6 +1624,33 @@ object StreamingOps {
     // S5: same pipeline with the last wave delivered twice — the epoch-keyed
     // sink + latest-wins merge make the duplicate delivery a no-op.
     "sink_foreachbatch_idempotent" -> ((s, dir) => cdcApply(s, dir, replayLast = true)),
+
+    // ST-MULTI-PK: PER-TABLE primary keys in one topology — the real
+    // fan-out shape: one binlog carries a header-style table keyed by
+    // okey alone (the line_no=1 slice, where okey is unique) and a
+    // lines-style table keyed by the full (okey, line_no) tuple, and
+    // the single fan-out job collapses each under ITS OWN key (the
+    // per-table CASE key encoding). Each state dir publishes its own
+    // `_keycols`, so the two read-time collapses differ with no extra
+    // plumbing.
+    "stream_cdc_multi_pk" -> ((s, dir) => {
+      val log = Tables.cdcLogComposite(s, dir).withColumn("table",
+        when(col("line_no") === 1, "t_ord").otherwise("t_line"))
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      writeWaves(log, in, when(col("seq") <= 2, 0).otherwise(1), 2,
+        Seq(col("okey"), col("line_no")))
+      val dirs = Map("t_ord" -> s"$tmp/state_ord", "t_line" -> s"$tmp/state_line")
+      runCdcPassMulti(s, log.schema, in, s"$tmp/ckpt", dirs,
+        keyColsByTable = Map("t_ord" -> Seq("okey"),
+          "t_line" -> Seq("okey", "line_no")))
+      dirs.toSeq.sortBy(_._1).map { case (t, d) =>
+        readLatestState(s, d).withColumn("tbl", lit(t))
+      }.reduce(_.unionByName(_))
+        .select(col("tbl"), col("okey"), col("line_no"), col("op"),
+          col("price"), col("status"), col("ts"))
+        .orderBy(col("tbl"), col("okey"), col("line_no"))
+    }),
 
     // ST-COMPOSITE: COMPOSITE-primary-key replication end-to-end under
     // the oracle gate — lineitem's real PK is (l_orderkey, l_linenumber),
@@ -2218,6 +2314,24 @@ object StreamingOps {
     // stream ≡ batch: the applied state must equal the A8 collapse.
     "stream_cdc_apply" -> latestStateSql,
     "sink_foreachbatch_idempotent" -> latestStateSql,
+
+    // per-table PKs: t_ord (the line_no=1 slice) collapses per okey,
+    // t_line per full tuple — each side of the union ranked under its
+    // own table's key.
+    "stream_cdc_multi_pk" ->
+      s"""WITH cdc_log_comp AS (${Tables.cdcLogCompositeSql}),
+            ord AS (SELECT *, row_number() OVER (
+                      PARTITION BY okey ORDER BY seq DESC) rn
+                    FROM cdc_log_comp WHERE line_no = 1),
+            lin AS (SELECT *, row_number() OVER (
+                      PARTITION BY okey, line_no ORDER BY seq DESC) rn
+                    FROM cdc_log_comp WHERE line_no <> 1)
+         SELECT 't_line' AS tbl, okey, line_no, op, price, status, ts
+         FROM lin WHERE rn = 1 AND op <> 'D'
+         UNION ALL
+         SELECT 't_ord', okey, line_no, op, price, status, ts
+         FROM ord WHERE rn = 1 AND op <> 'D'
+         ORDER BY tbl, okey, line_no""",
 
     // composite PK: the applied state equals the batch collapse ranked
     // over the FULL (okey, line_no) tuple — two lines of one order stay

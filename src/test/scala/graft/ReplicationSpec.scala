@@ -1008,6 +1008,77 @@ class ReplicationSpec extends SparkTestBase {
       .consistent)
   }
 
+  test("per-table primary keys: one topology syncs and repairs a header table and a lines table") {
+    val base = tmp()
+    // one binlog: t_ord is the header-style slice (line_no=1, okey
+    // unique there), t_line the lines-style rest keyed by the full tuple
+    val log = Tables.cdcLogComposite(spark, sf).withColumn("table",
+      when(col("line_no") === 1, "t_ord").otherwise("t_line"))
+    graft.streaming.StreamingOps.writeWave(
+      log.filter(col("seq") <= 2), s"$base/in", 0)
+    graft.streaming.StreamingOps.writeWave(
+      log.filter(col("seq") === 3), s"$base/in", 1)
+    val dirs = Map("t_ord" -> s"$base/sord", "t_line" -> s"$base/sline")
+    val byTable = Map("t_ord" -> Seq("okey"),
+      "t_line" -> Seq("okey", "line_no"))
+    Replication.incrementalSyncMulti(spark, log.schema, s"$base/in",
+      s"$base/ckpt", dirs, keyColsByTable = byTable)
+    // each state dir published ITS OWN key
+    assert(graft.streaming.StreamingOps.readKeyCols(s"$base/sord") ==
+      Seq("okey"))
+    assert(graft.streaming.StreamingOps.readKeyCols(s"$base/sline") ==
+      Seq("okey", "line_no"))
+    def truthFor(table: String) = Tables.cdcLogComposite(spark, sf)
+      .filter(if (table == "t_ord") col("line_no") === 1
+              else col("line_no") =!= 1)
+      .groupBy(col("okey"), col("line_no"))
+      .agg(max_by(struct(col("price"), col("status"), col("ts"), col("op")),
+        col("seq")).as("l"))
+      .filter(col("l.op") =!= "D")
+      .select(col("okey"), col("line_no"), col("l.price").as("price"),
+        col("l.status").as("status"), col("l.ts").as("ts"))
+    def served(dir: String) = Replication.appliedState(spark, dir).drop("op")
+    assert(Replication.consistencyCheck(truthFor("t_ord"),
+      served(s"$base/sord"), Seq("okey")).consistent)
+    assert(Replication.consistencyCheck(truthFor("t_line"),
+      served(s"$base/sline"), Seq("okey", "line_no")).consistent)
+    // diverge BOTH tables — a header price and one line of some order —
+    // then ONE heterogeneous repair call heals both at their own key
+    // granularity
+    val tOrd = truthFor("t_ord").localCheckpoint()
+    val tLine = truthFor("t_line").localCheckpoint()
+    val ordVictim = tOrd.orderBy(col("okey")).limit(1).collect()(0).getLong(0)
+    val lineVictim = tLine.orderBy(col("okey"), col("line_no")).limit(1)
+      .collect()(0)
+    val (lk, ll) = (lineVictim.getLong(0), lineVictim.getLong(1))
+    val ordTruth = tOrd.withColumn("price",
+      when(col("okey") === ordVictim, col("price") + 111.0)
+        .otherwise(col("price"))).localCheckpoint()
+    val lineTruth = tLine
+      .filter(!(col("okey") === lk && col("line_no") === ll))
+      .localCheckpoint()
+    val reports = Replication.repairSyncMulti(spark,
+      Map("t_ord" -> ordTruth, "t_line" -> lineTruth), dirs,
+      keyColsByTable = byTable)
+    assert(reports("t_ord") == Replication.RepairReport(0, 1, 0),
+      s"t_ord: ${reports("t_ord")}")
+    assert(reports("t_line") == Replication.RepairReport(0, 0, 1),
+      s"t_line: ${reports("t_line")}")
+    assert(Replication.consistencyCheck(ordTruth, served(s"$base/sord"),
+      Seq("okey")).consistent)
+    assert(Replication.consistencyCheck(lineTruth, served(s"$base/sline"),
+      Seq("okey", "line_no")).consistent)
+    // sibling lines of the tombstoned line's order still serve
+    assert(served(s"$base/sline").filter(col("okey") === lk).count() ==
+      lineTruth.filter(col("okey") === lk).count())
+    // a mismatched per-table key declaration fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Replication.repairSyncMulti(spark,
+        Map("t_ord" -> ordTruth, "t_line" -> lineTruth), dirs)
+    }
+    assert(e.getMessage.contains("keyed by"))
+  }
+
   test("composite PK consistency check: a tuple-level mismatch is caught") {
     // two rows sharing okey, distinct line_no: a single-column key diff
     // would see both sides as {okey=1}; the tuple diff must not
