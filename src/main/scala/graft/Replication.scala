@@ -145,14 +145,17 @@ object Replication {
       defaultCols: Map[String, streaming.StreamingOps.ColumnDefault] = Map.empty,
       rowFilter: Option[String] = None,
       maskCols: Seq[String] = Seq.empty,
-      keyCols: Seq[String] = Seq("okey"))
+      keyCols: Seq[String] = Seq("okey"),
+      dropCols: Map[String, Long] = Map.empty,
+      keepHistory: Boolean = false)
       : SyncProgress = {
     val (rows, epochs, lastSeq, pending, srcMax) =
       streaming.StreamingOps.runCdcPass(
         spark, schema, inDir, ckptDir, stateDir, trackSeq = true,
         startAfterSeq = fromSeq, txnCol = txnCol, renameCols = renameCols,
         truncateAtSeq = truncateAtSeq, defaultCols = defaultCols,
-        rowFilter = rowFilter, maskCols = maskCols, keyCols = keyCols)
+        rowFilter = rowFilter, maskCols = maskCols, keyCols = keyCols,
+        dropCols = dropCols, keepHistory = keepHistory)
     if (deltaCount(stateDir) > compactEvery)
       streaming.StreamingOps.compactState(spark, stateDir, tombstoneGc)
     SyncProgress(rows, epochs, lastSeq, pending, srcMax)
@@ -255,12 +258,15 @@ object Replication {
       rowFilters: Map[String, String] = Map.empty,
       maskCols: Map[String, Seq[String]] = Map.empty,
       keyCols: Seq[String] = Seq("okey"),
-      keyColsByTable: Map[String, Seq[String]] = Map.empty)
+      keyColsByTable: Map[String, Seq[String]] = Map.empty,
+      dropCols: Map[String, Long] = Map.empty,
+      keepHistory: Boolean = false)
       : Map[String, SyncProgress] = {
     val (stats, pending, srcMax) = streaming.StreamingOps.runCdcPassMulti(
       spark, schema, inDir, ckptDir, stateDirs, txnCol, renameCols, truncateAt,
       defaultCols, rowFilters, maskCols, keyCols, trackSourceSeq = true,
-      keyColsByTable = keyColsByTable)
+      keyColsByTable = keyColsByTable, dropCols = dropCols,
+      keepHistory = keepHistory)
     stateDirs.map { case (t, dir) =>
       if (deltaCount(dir) > compactEvery)
         streaming.StreamingOps.compactState(spark, dir, tombstoneGc,
@@ -319,9 +325,13 @@ object Replication {
   }
 
   /** The currently applied destination state (latest row per key,
-    * tombstones dropped) — what the ClickHouse-side table would serve. */
-  def appliedState(spark: SparkSession, stateDir: String): DataFrame =
-    streaming.StreamingOps.readLatestState(spark, stateDir)
+    * tombstones dropped) — what the ClickHouse-side table would serve.
+    * `asOfSeq` serves the state AS OF a binlog position instead (time
+    * travel — see [[streaming.StreamingOps.readLatestState]] for the
+    * DDL-clock and compaction-horizon semantics). */
+  def appliedState(spark: SparkSession, stateDir: String,
+      asOfSeq: Option[Long] = None): DataFrame =
+    streaming.StreamingOps.readLatestState(spark, stateDir, asOfSeq)
 
   /** Outcome of a row-level repair (§3.1 #3's fix flow). */
   final case class RepairReport(inserted: Long, updated: Long, deleted: Long) {

@@ -372,6 +372,84 @@ object StreamingOps {
           rekeyed.map { case (c, sq, d) => s"$c\t$sq\t$d" }.mkString("\n"))
     }
 
+  /** The state dir's DROP LOG (`_drops`, tab-separated `name\tatSeq`
+    * lines): the record that a `DROP COLUMN` DDL killed a column's
+    * values at a binlog position. While the column stays dropped it is
+    * simply absent from the published schema (old epochs' physical
+    * column is never selected, and the next compaction physically
+    * reclaims it). The log matters when the column is later RE-ADDED
+    * under the same name: the re-add starts EMPTY — a key untouched
+    * since before the drop must serve NULL (or the re-add's DEFAULT),
+    * never its stale pre-drop value — so [[readStateDir]] gates the
+    * column to NULL for every row whose `seq` is at or below the newest
+    * drop position. */
+  private[graft] def readDrops(state: String): Seq[(String, Long)] =
+    StateFs.readSmall(s"$state/_drops").toSeq
+      .flatMap(_.split("\n")).filter(_.nonEmpty)
+      .map { l =>
+        val i = l.indexOf('\t')
+        (l.substring(0, i), l.substring(i + 1).toLong)
+      }
+
+  /** Apply a `DROP COLUMN` DDL (the `ALTER TABLE … DROP COLUMN`
+    * QueryEvent at binlog position `atSeq`) to the state dir's
+    * metadata, BEFORE the pass validates/streams. O(1) metadata, no
+    * rewrite job: the published schema shrinks, reads stop selecting
+    * the physical column, and the next compaction's baseline (written
+    * through the published schema) reclaims the space — the lazy path
+    * a 100 TB table demands, mirroring the lazy ADD-COLUMN backfill.
+    *
+    * Validation is up-front and loud: the column must currently be
+    * published (dropping an unknown column is a config typo), must not
+    * be a key column (the key is the table's identity), and must be
+    * gone from the incoming envelope (a drop for a column the stream
+    * still carries would silently resurrect it as a fresh ADD).
+    * Crash order mirrors [[applyRenameDdl]]: the `_drops` log publishes
+    * first (append, deduped — an at-least-once replay is a no-op), then
+    * rename history ending at the dropped name is purged (a later
+    * re-add must NOT coalesce the dead chain's old physical columns
+    * back in), then the shrunk `_schema` publishes; a crash between any
+    * two steps re-applies idempotently on the next pass. A default
+    * declared for the dropped column dies with it. */
+  private def applyDropDdl(state: String, drops: Map[String, Long],
+      incoming: org.apache.spark.sql.types.StructType): Unit =
+    if (drops.nonEmpty) {
+      val published = readStateSchema(state).getOrElse(
+        throw new IllegalStateException(
+          "DROP COLUMN declared against a state dir with no published " +
+            "schema — nothing to drop"))
+      val keyCols = readKeyCols(state)
+      val prior = readDrops(state)
+      drops.foreach { case (c, _) =>
+        require(!keyCols.contains(c),
+          s"cannot drop key column '$c' — a key change needs a re-snapshot")
+        require(!Seq("op", "seq", "ts").contains(c),
+          s"cannot drop bookkeeping column '$c'")
+        require(!incoming.fieldNames.contains(c),
+          s"drop declared for column '$c' still carried by the incoming " +
+            "envelope — the post-DDL stream must not carry it")
+        require(published.fieldNames.contains(c) || prior.exists(_._1 == c),
+          s"drop declared for column '$c' absent from the published schema")
+      }
+      val appended = prior ++ drops.toSeq.filterNot(prior.contains)
+      StateFs.writeAtomic(s"$state/_drops",
+        appended.map { case (c, sq) => s"$c\t$sq" }.mkString("\n"))
+      val renames = readRenames(state)
+      val kept = renames.filterNot { case (_, n) => drops.contains(n) }
+      if (kept != renames)
+        StateFs.writeAtomic(s"$state/_renames",
+          kept.map { case (o, n) => s"$o\t$n" }.mkString("\n"))
+      val defaults = readDefaults(state)
+      val keptD = defaults.filterNot { case (c, _, _) => drops.contains(c) }
+      if (keptD != defaults)
+        StateFs.writeAtomic(s"$state/_defaults",
+          keptD.map { case (c, sq, d) => s"$c\t$sq\t$d" }.mkString("\n"))
+      val shrunk = published.fields.filterNot(f => drops.contains(f.name))
+      if (!shrunk.sameElements(published.fields))
+        StateFs.writeAtomic(s"$state/_schema",
+          org.apache.spark.sql.types.StructType(shrunk).json)
+    }
+
   /** Read a state dir through its published schema when one exists
     * (pre-DDL epochs surface NULL for later columns exactly as
     * mergeSchema gave them), footer-merge only as the legacy fallback.
@@ -387,7 +465,8 @@ object StreamingOps {
     * serves NULL (both columns NULL). Epochs written after a compaction
     * hold only current names; the historical columns read as all-NULL
     * no-ops. */
-  private def readStateDir(s: SparkSession, state: String): DataFrame = {
+  private def readStateDir(s: SparkSession, state: String,
+      asOfSeq: Option[Long] = None): DataFrame = {
     val base = readStateSchema(state) match {
       case Some(p) =>
         // a historical name RE-ADDED later as a fresh column stops being
@@ -414,21 +493,38 @@ object StreamingOps {
         }
       case None => s.read.option("mergeSchema", "true").parquet(state)
     }
+    // DROP gate ([[readDrops]]): a column RE-ADDED after a drop starts
+    // empty — rows last written at or below the newest drop position
+    // serve NULL, never their stale pre-drop value. Gated BEFORE the
+    // default fill so a re-add with DEFAULT backfills the gated rows
+    // (MySQL's re-add semantics). Scan-local, codegen'd CASE.
+    val drops = readDrops(state)
+      .filter { case (c, _) => base.columns.contains(c) }
+      .groupBy(_._1).map { case (c, es) => c -> es.map(_._2).max }
     // DEFAULT fill ([[readDefaults]]): a pre-DDL row — last written at
     // or below the declaring position, NULL because its epoch predates
     // the column — serves the declared default; a post-DDL row serves
     // what it wrote, explicit NULL included. Scan-local (no shuffle,
-    // codegen'd CASE), and the next compaction materializes it.
+    // codegen'd CASE), and the next compaction materializes it. An
+    // as-of read ([[readLatestState]]) rolls the DDL clock back too:
+    // a default declared after the as-of position does not fill.
     val defaults = readDefaults(state)
       .filter { case (c, _, _) => base.columns.contains(c) }
+      .filter { case (_, sq, _) => asOfSeq.forall(sq <= _) }
       .groupBy(_._1).map { case (c, es) => c -> es.last }
-    if (defaults.isEmpty) base
+    if (defaults.isEmpty && drops.isEmpty) base
     else base.select(base.columns.toSeq.map { c =>
+      val gated = drops.get(c) match {
+        case Some(dSeq) =>
+          when(col("seq") <= dSeq, lit(null).cast(base.schema(c).dataType))
+            .otherwise(col(c))
+        case None => col(c)
+      }
       defaults.get(c) match {
         case Some((_, sq, d)) =>
-          when(col(c).isNull && col("seq") <= sq,
-            expr(d).cast(base.schema(c).dataType)).otherwise(col(c)).as(c)
-        case None => col(c)
+          when(gated.isNull && col("seq") <= sq,
+            expr(d).cast(base.schema(c).dataType)).otherwise(gated).as(c)
+        case None => gated.as(c)
       }
     }: _*)
   }
@@ -608,11 +704,13 @@ object StreamingOps {
       defaultCols: Map[String, ColumnDefault] = Map.empty,
       rowFilter: Option[String] = None,
       maskCols: Seq[String] = Seq.empty,
-      keyCols: Seq[String] = Seq("okey"))
+      keyCols: Seq[String] = Seq("okey"),
+      dropCols: Map[String, Long] = Map.empty,
+      keepHistory: Boolean = false)
       : (Long, Long, Option[Long], Long, Option[Long]) =
     runCdcPassSource(s, FileCdcSource(schema, in), ckpt, state, trackSeq,
       startAfterSeq, txnCol, renameCols, truncateAtSeq, defaultCols,
-      rowFilter, maskCols, keyCols)
+      rowFilter, maskCols, keyCols, dropCols, keepHistory)
 
   /** [[runCdcPass]] over an arbitrary [[CdcSource]] transport.
     * `renameCols` (old → new) declares RENAME COLUMN DDLs this pass's
@@ -637,7 +735,9 @@ object StreamingOps {
       defaultCols: Map[String, ColumnDefault] = Map.empty,
       rowFilter: Option[String] = None,
       maskCols: Seq[String] = Seq.empty,
-      keyCols: Seq[String] = Seq("okey"))
+      keyCols: Seq[String] = Seq("okey"),
+      dropCols: Map[String, Long] = Map.empty,
+      keepHistory: Boolean = false)
       : (Long, Long, Option[Long], Long, Option[Long]) = {
     require(keyCols.forall(source.schema.fieldNames.contains),
       s"key column(s) absent from the envelope: " +
@@ -659,7 +759,11 @@ object StreamingOps {
     val stateSchema = stateSchemaFor(source.schema, txnCol.toSet)
     ensureKeyCols(state, keyCols)
     applyRenameDdl(state, renameCols, stateSchema)
+    // drops settle AFTER renames (a rename-then-drop pass drops the NEW
+    // name) and BEFORE the schema union (which would otherwise re-add)
+    applyDropDdl(state, dropCols, stateSchema)
     ensureStateSchema(state, stateSchema)
+    ensureHistoryMode(state, keepHistory)
     applyTruncateDdl(state, truncateAtSeq)
     applyDefaultDdl(state, defaultCols, stateSchema)
     var maxSeq = Option.empty[Long]
@@ -726,7 +830,14 @@ object StreamingOps {
         }
         if ((startAfterSeq.isEmpty && txnCol.isEmpty && rowFilter.isEmpty) ||
             !applied.isEmpty) {
-          collapse(envelope(applied), keyCols)
+          // default: fold the batch to per-key winners before writing —
+          // the delta then costs O(keys touched), not O(events), and
+          // the read-side collapse is unchanged. keepHistory skips the
+          // fold (events land verbatim) so as-of reads keep EVENT
+          // granularity — the retention trade a time-traveling replica
+          // opts into, exactly like retaining binlogs.
+          (if (keepHistory) envelope(applied)
+           else collapse(envelope(applied), keyCols))
             .write.mode("overwrite").parquet(s"$state/epoch=$epochId")
           written += 1
         }
@@ -848,11 +959,13 @@ object StreamingOps {
       maskCols: Map[String, Seq[String]] = Map.empty,
       keyCols: Seq[String] = Seq("okey"),
       trackSourceSeq: Boolean = false,
-      keyColsByTable: Map[String, Seq[String]] = Map.empty)
+      keyColsByTable: Map[String, Seq[String]] = Map.empty,
+      dropCols: Map[String, Long] = Map.empty,
+      keepHistory: Boolean = false)
       : (Map[String, (Long, Long, Long)], Long, Option[Long]) =
     runCdcPassMultiSource(s, FileCdcSource(schema, in), ckpt, stateDirs,
       txnCol, renameCols, truncateAt, defaultCols, rowFilters, maskCols,
-      keyCols, trackSourceSeq, keyColsByTable)
+      keyCols, trackSourceSeq, keyColsByTable, dropCols, keepHistory)
 
   /** [[runCdcPassMulti]] over an arbitrary [[CdcSource]] transport.
     * `renameCols` declares RENAME COLUMN DDLs exactly as in
@@ -909,7 +1022,9 @@ object StreamingOps {
       maskCols: Map[String, Seq[String]] = Map.empty,
       keyCols: Seq[String] = Seq("okey"),
       trackSourceSeq: Boolean = false,
-      keyColsByTable: Map[String, Seq[String]] = Map.empty)
+      keyColsByTable: Map[String, Seq[String]] = Map.empty,
+      dropCols: Map[String, Long] = Map.empty,
+      keepHistory: Boolean = false)
       : (Map[String, (Long, Long, Long)], Long, Option[Long]) = {
     require(keyColsByTable.keySet.subsetOf(stateDirs.keySet),
       s"per-table key declared for unreplicated table(s): " +
@@ -947,7 +1062,11 @@ object StreamingOps {
     val stateSchema = stateSchemaFor(source.schema, txnCol.toSet)
     stateDirs.foreach { case (t, d) => ensureKeyCols(d, keyFor(t)) }
     stateDirs.values.foreach(applyRenameDdl(_, renameCols, stateSchema))
+    // a DROP, like a RENAME, is an envelope-wide DDL: the topology
+    // shares one binlog envelope, so the column dies in every table
+    stateDirs.values.foreach(applyDropDdl(_, dropCols, stateSchema))
     stateDirs.values.foreach(ensureStateSchema(_, stateSchema))
+    stateDirs.values.foreach(ensureHistoryMode(_, keepHistory))
     truncateAt.foreach { case (t, sq) =>
       applyTruncateDdl(stateDirs(t), Some(sq)) }
     stateDirs.values.foreach(applyDefaultDdl(_, defaultCols, stateSchema))
@@ -1014,7 +1133,11 @@ object StreamingOps {
           val routed = applied
             .select((envelopeCols ++ extraCols(applied) :+ "table").map(col): _*)
             .filter(col("table").isin(admitted: _*))
-          val collapsed = if (keyColsByTable.isEmpty) {
+          val collapsed = if (keepHistory) {
+            // retained-history topology: events land verbatim (see the
+            // single-table pass) — the fan-out is the partitionBy alone
+            routed
+          } else if (keyColsByTable.isEmpty) {
             // homogeneous topology: group on the real key columns
             val fields = (Seq("op", "price", "status", "ts", "seq") ++
               extraCols(applied)).filterNot(keyCols.contains)
@@ -1187,6 +1310,21 @@ object StreamingOps {
       if (readStateSchema(state).isEmpty)
         StateFs.writeAtomic(s"$state/_schema", baseline.schema.json)
       newFloor.foreach(writePurgeFloor(state, _))
+      // TIME-TRAVEL HORIZON: the newest seq folded into the baseline —
+      // as-of reads below it are unreconstructable once the old epochs
+      // go. Read from the just-published baseline (a column-pruned scan
+      // of `seq` on the maintenance path, not a recompute of the
+      // collapse), monotone across compactions, and written BEFORE the
+      // old epochs are deleted: in the crash window between baseline
+      // publish and epoch delete the per-event history still exists, so
+      // an as-of read stays correct either way.
+      val folded = s.read.parquet(s"$state/epoch=$baseEpoch")
+        .agg(max(col("seq"))).collect()(0)
+      if (!folded.isNullAt(0)) {
+        val h = readCompactHorizon(state).fold(folded.getLong(0))(
+          math.max(_, folded.getLong(0)))
+        StateFs.writeAtomic(s"$state/_compact_horizon", h.toString)
+      }
       // every old dir is folded into the published baseline
       epochIds.foreach(e => StateFs.deleteRecursive(s"$state/epoch=$e"))
     } finally StateFs.deleteRecursive(side) // never leave a stale _compacting dir
@@ -1197,6 +1335,34 @@ object StreamingOps {
     * so parquet reads of the state dir never see it. */
   private[graft] def readPurgeFloor(state: String): Option[Long] =
     StateFs.readSmall(s"$state/_purge_floor").map(_.trim.toLong)
+
+  /** The time-travel horizon (`_compact_horizon`): the newest seq any
+    * compaction has folded into a baseline — the oldest position an
+    * as-of read ([[readLatestState]]) can still answer. Absent until a
+    * compaction has run (an uncompacted dir holds full history). */
+  private[graft] def readCompactHorizon(state: String): Option[Long] =
+    StateFs.readSmall(s"$state/_compact_horizon").map(_.trim.toLong)
+
+  /** The history-retention marker (`_history`): present iff every pass
+    * that wrote this dir ran with `keepHistory` — epochs hold VERBATIM
+    * events, not per-batch per-key winners, so an as-of read can answer
+    * any position (above the compaction horizon). Declared on the FIRST
+    * pass: turning retention on over already-folded epochs would make
+    * the marker a lie (in-batch losers are gone), and a later folded
+    * pass on a retaining dir silently downgrades it — both fail
+    * loudly. */
+  private def ensureHistoryMode(state: String, keepHistory: Boolean): Unit = {
+    val marked = StateFs.readSmall(s"$state/_history").isDefined
+    if (keepHistory && !marked) {
+      require(StateFs.epochIds(state).isEmpty,
+        "keepHistory declared on a state dir with already-folded epochs " +
+          "— in-batch event granularity is gone; re-sync from a fresh dir")
+      StateFs.writeAtomic(s"$state/_history", "true")
+    }
+    require(keepHistory || !marked,
+      "this state dir retains event history (_history): a pass without " +
+        "keepHistory would fold new batches and silently break as-of reads")
+  }
 
   /** The TRUNCATE floor (`_trunc_floor`): the newest binlog position at
     * which a `TRUNCATE TABLE` QueryEvent arrived for this table. Every
@@ -1532,8 +1698,31 @@ object StreamingOps {
     * has published a purge floor, re-delivered already-folded epochs
     * (non-baseline, seq at or below the floor) are ignored so purged
     * deletes cannot resurrect. */
-  private[graft] def readLatestState(s: SparkSession, state: String): DataFrame = {
-    val raw = readStateDir(s, state)
+  private[graft] def readLatestState(s: SparkSession, state: String,
+      asOfSeq: Option[Long] = None): DataFrame = {
+    // TIME TRAVEL (`asOfSeq`): serve the state as of a binlog position —
+    // the latest-wins collapse over events at or below it. Rewinds the
+    // DML clock and the additive DDL clock (a DEFAULT declared after the
+    // position does not fill — see [[readStateDir]]); destructive DDL
+    // (DROP COLUMN, TRUNCATE) stays applied at its final state, because
+    // its history may be physically reclaimed by any compaction — a
+    // sometimes-answer that silently changes when maintenance runs is
+    // worse than a consistent one. Positions below the compaction
+    // horizon ([[readCompactHorizon]]) fail loudly: the baseline folded
+    // per-key history away, so the as-of answer is unreconstructable.
+    asOfSeq.foreach { sq =>
+      require(StateFs.readSmall(s"$state/_history").isDefined,
+        "as-of read on a state dir without retained history (_history): " +
+          "the per-batch fold keeps only each key's batch winner, so " +
+          "in-batch event granularity is gone — sync with keepHistory")
+      readCompactHorizon(state).foreach { h =>
+        require(sq >= h,
+          s"as-of position $sq predates the compaction horizon $h — " +
+            "per-event history below it is folded into the baseline; " +
+            "retain more history (compact less) to time-travel earlier")
+      }
+    }
+    val raw = readStateDir(s, state, asOfSeq)
     val purgeGated = readPurgeFloor(state) match {
       case Some(f) => raw.filter(col("epoch") < 0 || col("seq") > f)
       case None => raw
@@ -1541,9 +1730,13 @@ object StreamingOps {
     // truncate floor ([[readTruncFloor]]): dead rows never reach the
     // collapse shuffle — and unlike the purge gate, baselines are NOT
     // exempt (a truncate kills folded history too)
-    val gated = readTruncFloor(state) match {
+    val truncGated = readTruncFloor(state) match {
       case Some(t) => purgeGated.filter(col("seq") > t)
       case None => purgeGated
+    }
+    val gated = asOfSeq match {
+      case Some(sq) => truncGated.filter(col("seq") <= sq)
+      case None => truncGated
     }
     val keyCols = readKeyCols(state)
     collapse(envelope(gated), keyCols)
@@ -1932,6 +2125,61 @@ object StreamingOps {
       runCdcPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state",
         truncateAtSeq = Some(1L))
       readLatestState(s, s"$tmp/state")
+    }),
+
+    // ST-DROP: DROP COLUMN + RE-ADD under the oracle gate — the DDL
+    // pair that separates a real drop from "serve NULL going forward":
+    // pass 1 applies an envelope carrying `channel` ('old…' values),
+    // pass 2 declares DROP COLUMN channel at position 1 (the envelope
+    // no longer carries it), and pass 3 RE-ADDS it with DEFAULT 'readd'
+    // at position 3, plus a seq-4 update wave writing fresh 'new…'
+    // values for okey%5 keys (okey%35 keys are deleted at seq 3 and
+    // resurrected by the seq-4 update — latest-wins must revive them).
+    // A key untouched since before the drop must serve 'readd', NEVER
+    // its stale pre-drop 'old…' value — the resurrection a naive
+    // re-add-under-the-same-name would commit, because the old epochs
+    // still physically hold the column. The drop itself is O(1)
+    // metadata; the space reclaim rides the next compaction.
+    "stream_cdc_drop_column" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir)
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      val v1 = log.filter(col("seq") === 1).withColumn("channel",
+        concat(lit("old"), (col("okey") % 4).cast(StringType)))
+      writeWave(v1, in, 0)
+      runCdcPass(s, v1.schema, in, s"$tmp/ckpt", s"$tmp/state")
+      writeWave(log.filter(col("seq") === 2), in, 1)
+      runCdcPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state",
+        dropCols = Map("channel" -> 1L))
+      val upd4 = log.filter(col("seq") === 1 && col("okey") % 5 === 0)
+        .select(lit("U").as("op"), lit(4L).as("seq"), col("ts"),
+          col("okey"), col("price"), col("status"),
+          concat(lit("new"), (col("okey") % 4).cast(StringType)).as("channel"))
+      val v3 = log.filter(col("seq") === 3)
+        .withColumn("channel", lit(null).cast(StringType))
+        .unionByName(upd4)
+      writeWave(v3, in, 2)
+      runCdcPass(s, v3.schema, in, s"$tmp/ckpt", s"$tmp/state",
+        defaultCols = Map("channel" -> ColumnDefault(3L, "'readd'")))
+      readLatestState(s, s"$tmp/state")
+    }),
+
+    // ST-ASOF: TIME TRAVEL under the oracle gate — serve the state as
+    // of a binlog position (the replica-side answer to "what did the
+    // table look like before the delete wave"): the full 3-wave log is
+    // applied, then the read collapses only events at or below
+    // position 2 — the seq-3 deletes are IN the state dir but invisible
+    // to the as-of read. Pure read-side: no second state dir, no
+    // replay; positions below the compaction horizon fail loudly
+    // (spec-covered — the folded baseline can't answer them).
+    "cdc_time_travel" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir)
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      writeWaves(log, in, col("seq") - 1, 3, Seq(col("okey")))
+      runCdcPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state",
+        keepHistory = true)
+      readLatestState(s, s"$tmp/state", asOfSeq = Some(2L))
     }),
 
     // ST-TXN: TRANSACTION-BOUNDARY apply under the oracle gate (the
@@ -2415,6 +2663,34 @@ object StreamingOps {
                 CASE WHEN seq <= 1 AND channel IS NULL THEN 'none'
                      ELSE channel END AS channel
          FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
+
+    // drop at position 1 then re-add with DEFAULT at position 3: a
+    // winning row from seq 4 serves what it wrote; every earlier winner
+    // serves the re-add's default — the pre-drop 'old…' values are dead.
+    "stream_cdc_drop_column" ->
+      s"""WITH cdc_log AS (${Tables.cdcLogSql}),
+            evolved AS (
+              SELECT op, seq, ts, okey, price, status,
+                     CAST(NULL AS VARCHAR) AS channel
+              FROM cdc_log
+              UNION ALL
+              SELECT 'U', CAST(4 AS BIGINT), ts, okey, price, status,
+                     'new' || CAST(okey % 4 AS VARCHAR)
+              FROM cdc_log WHERE seq = 1 AND okey % 5 = 0),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM evolved)
+         SELECT okey, op, price, status, ts,
+                CASE WHEN seq >= 4 THEN channel ELSE 'readd' END AS channel
+         FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
+
+    // as-of position 2: the collapse over events at or below it — the
+    // seq-3 delete wave is applied to state but invisible to the read.
+    "cdc_time_travel" ->
+      s"""WITH cdc_log AS (${Tables.cdcLogSql}),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM cdc_log WHERE seq <= 2)
+         SELECT okey, op, price, status, ts FROM ranked
+         WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
 
     // truncate at position 1: only post-truncate events survive the
     // collapse — keys never rewritten after it are gone entirely.

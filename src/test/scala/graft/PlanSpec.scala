@@ -375,6 +375,39 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("as-of read pushes the position filter into the state scan") {
+    // ST25's scale contract: time travel costs ONE codegen'd seq<=S
+    // predicate pushed to the parquet scan — dead epochs' row groups are
+    // skipped by statistics, and the collapse shuffle sees only live
+    // rows. A post-shuffle filter would read (and shuffle) everything.
+    val plan = q("cdc_time_travel").queryExecution.executedPlan.toString
+    assert(plan.contains("LessThanOrEqual(seq,2)"),
+      s"as-of filter not pushed to the scan:\n$plan")
+  }
+
+  test("a dropped column is never read from the state scan") {
+    // ST24's scale contract: DROP COLUMN is O(1) metadata — the very
+    // next read's scan schema excludes the dead physical column (no
+    // rewrite needed to stop paying its I/O).
+    val base = java.nio.file.Files.createTempDirectory("graft_plandrop").toString
+    val v1 = spark.range(1, 3).select(lit("I").as("op"), col("id").as("seq"),
+      org.apache.spark.sql.functions.timestamp_seconds(lit(1700000000L) + col("id")).as("ts"),
+      col("id").as("okey"), lit(1.0).as("price"), lit("O").as("status"),
+      concat(lit("ch"), col("id")).as("channel"))
+    graft.streaming.StreamingOps.writeWave(v1, s"$base/in", 0)
+    graft.streaming.StreamingOps.runCdcPass(spark, v1.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state")
+    val v2 = v1.drop("channel").withColumn("seq", col("seq") + 10)
+    graft.streaming.StreamingOps.writeWave(v2, s"$base/in", 1)
+    graft.streaming.StreamingOps.runCdcPass(spark, v2.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", dropCols = Map("channel" -> 5L))
+    val plan = graft.streaming.StreamingOps
+      .readLatestState(spark, s"$base/state")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("channel"),
+      s"dropped column still read by the scan:\n$plan")
+  }
+
   test("no declared batch query plans an unbounded cartesian product") {
     // global scale guard: planning-only sweep over every PURE query (ones
     // whose builder neither runs a stream nor writes a sink — those

@@ -1639,4 +1639,238 @@ class ReplicationSpec extends SparkTestBase {
     val d = Replication.consistencyCheck(src, drifted, "n_nationkey")
     assert(!d.schemaMatches && !d.consistent)
   }
+
+  test("DROP COLUMN DDL: the column vanishes; a re-add starts empty and backfills its default") {
+    val base = tmp()
+    val v1 = txnDf(Seq(TxnEv("I", 1, 1, 10.0, "O", 0),
+      TxnEv("I", 2, 2, 20.0, "O", 0))).drop("txn")
+      .withColumn("channel", concat(lit("ch"), col("okey")))
+    graft.streaming.StreamingOps.writeWave(v1, s"$base/in", 0)
+    Replication.incrementalSync(spark, v1.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state")
+    // the DROP COLUMN QueryEvent at position 2: the resumed envelope no
+    // longer carries the column, and the published schema shrinks
+    val v2 = txnDf(Seq(TxnEv("U", 3, 2, 21.0, "P", 0))).drop("txn")
+    graft.streaming.StreamingOps.writeWave(v2, s"$base/in", 1)
+    Replication.incrementalSync(spark, v2.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", dropCols = Map("channel" -> 2L))
+    val published = graft.streaming.StreamingOps
+      .readStateSchema(s"$base/state").get
+    assert(!published.fieldNames.contains("channel"),
+      "an explicit DROP must shrink the published schema")
+    assert(!Replication.appliedState(spark, s"$base/state")
+      .columns.contains("channel"))
+    // RE-ADD under the same name with a DEFAULT at position 4: key 1 —
+    // untouched since BEFORE the drop, its old epoch physically holding
+    // 'ch1' — must serve the default, never the stale pre-drop value
+    val v3 = txnDf(Seq(TxnEv("U", 5, 2, 22.0, "Q", 0))).drop("txn")
+      .withColumn("channel", lit("fresh"))
+    graft.streaming.StreamingOps.writeWave(v3, s"$base/in", 2)
+    Replication.incrementalSync(spark, v3.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state",
+      defaultCols = Map("channel" ->
+        graft.streaming.StreamingOps.ColumnDefault(4L, "'none'")))
+    def served(): Map[Long, Option[String]] =
+      Replication.appliedState(spark, s"$base/state")
+        .select(col("okey"), col("channel")).collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(served() == Map(1L -> Some("none"), 2L -> Some("fresh")),
+      "pre-drop values must not resurrect through a re-add")
+    // compaction materializes the gate + backfill; the served state is
+    // unchanged through materialize-then-re-gate
+    graft.streaming.StreamingOps.compactState(spark, s"$base/state")
+    assert(served() == Map(1L -> Some("none"), 2L -> Some("fresh")))
+  }
+
+  test("DROP COLUMN validation: key, still-carried, and unknown columns fail loudly") {
+    val base = tmp()
+    val v1 = txnDf(Seq(TxnEv("I", 1, 1, 10.0, "O", 0))).drop("txn")
+    graft.streaming.StreamingOps.writeWave(v1, s"$base/in", 0)
+    // dropping against a dir with no published schema yet
+    intercept[IllegalStateException] {
+      Replication.incrementalSync(spark, v1.schema, s"$base/in",
+        s"$base/ckpt0", s"$base/none", dropCols = Map("price" -> 1L))
+    }
+    Replication.incrementalSync(spark, v1.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state")
+    val noPrice = org.apache.spark.sql.types.StructType(
+      v1.schema.fields.filterNot(_.name == "price"))
+    intercept[IllegalArgumentException] { // key column
+      Replication.incrementalSync(spark, v1.schema, s"$base/in",
+        s"$base/ckpt", s"$base/state", dropCols = Map("okey" -> 1L))
+    }
+    intercept[IllegalArgumentException] { // still in the envelope
+      Replication.incrementalSync(spark, v1.schema, s"$base/in",
+        s"$base/ckpt", s"$base/state", dropCols = Map("price" -> 1L))
+    }
+    intercept[IllegalArgumentException] { // never published
+      Replication.incrementalSync(spark, noPrice, s"$base/in",
+        s"$base/ckpt", s"$base/state", dropCols = Map("nope" -> 1L))
+    }
+  }
+
+  test("DROP composes with RENAME: a re-added name never revives the dead chain's history") {
+    val base = tmp()
+    val v1 = txnDf(Seq(TxnEv("I", 1, 1, 10.0, "O", 0),
+      TxnEv("I", 2, 2, 20.0, "O", 0))).drop("txn")
+      .withColumn("channel", concat(lit("ch"), col("okey")))
+    graft.streaming.StreamingOps.writeWave(v1, s"$base/in", 0)
+    Replication.incrementalSync(spark, v1.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state")
+    // rename channel → chan (key 2 rewritten under the new name) …
+    val v2 = txnDf(Seq(TxnEv("U", 3, 2, 21.0, "P", 0))).drop("txn")
+      .withColumn("chan", lit("r2"))
+    graft.streaming.StreamingOps.writeWave(v2, s"$base/in", 1)
+    Replication.incrementalSync(spark, v2.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", renameCols = Map("channel" -> "chan"))
+    // … then DROP chan at position 3 — the whole chain (chan + its
+    // pre-rename history under 'channel') dies with it
+    val v3 = txnDf(Seq(TxnEv("U", 4, 1, 11.0, "P", 0))).drop("txn")
+    graft.streaming.StreamingOps.writeWave(v3, s"$base/in", 2)
+    Replication.incrementalSync(spark, v3.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", dropCols = Map("chan" -> 3L))
+    assert(graft.streaming.StreamingOps.readRenames(s"$base/state").isEmpty,
+      "rename history ending at a dropped column must be purged")
+    // re-add 'chan': key 1's winner (seq 4, post-drop, pre-re-add) and
+    // key 2's (seq 3, pre-drop 'r2') both serve the default — neither
+    // the renamed 'r2' nor the original 'ch1' may resurface
+    val v4 = txnDf(Seq(TxnEv("U", 6, 2, 23.0, "Q", 0))).drop("txn")
+      .withColumn("chan", lit("fresh"))
+    graft.streaming.StreamingOps.writeWave(v4, s"$base/in", 3)
+    Replication.incrementalSync(spark, v4.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state",
+      defaultCols = Map("chan" ->
+        graft.streaming.StreamingOps.ColumnDefault(5L, "'none'")))
+    val served = Replication.appliedState(spark, s"$base/state")
+      .select(col("okey"), col("chan")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(served == Map(1L -> Some("none"), 2L -> Some("fresh")))
+  }
+
+  test("time travel: as-of at each position equals the replay up to that position") {
+    val base = tmp()
+    val log = txnDf(Seq(TxnEv("I", 1, 1, 10.0, "O", 0),
+      TxnEv("I", 2, 2, 20.0, "O", 0), TxnEv("U", 3, 2, 21.0, "P", 0),
+      TxnEv("D", 4, 1, 0.0, "X", 0))).drop("txn")
+    graft.streaming.StreamingOps.writeWave(log, s"$base/in", 0)
+    Replication.incrementalSync(spark, log.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", keepHistory = true)
+    def asOf(sq: Long): Map[Long, Double] =
+      Replication.appliedState(spark, s"$base/state", Some(sq))
+        .select(col("okey"), col("price")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(asOf(1L) == Map(1L -> 10.0))
+    assert(asOf(2L) == Map(1L -> 10.0, 2L -> 20.0))
+    assert(asOf(3L) == Map(1L -> 10.0, 2L -> 21.0))
+    assert(asOf(4L) == Map(2L -> 21.0), "the delete is visible at its position")
+    // as-of at the head equals the plain read
+    val head = Replication.appliedState(spark, s"$base/state")
+      .select(col("okey"), col("price")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(asOf(Long.MaxValue) == head)
+    // a later pass WITHOUT keepHistory would silently fold new batches
+    // and break as-of reads — refused loudly
+    val more = txnDf(Seq(TxnEv("U", 5, 2, 22.0, "Q", 0))).drop("txn")
+    graft.streaming.StreamingOps.writeWave(more, s"$base/in", 1)
+    intercept[IllegalArgumentException] {
+      Replication.incrementalSync(spark, more.schema, s"$base/in",
+        s"$base/ckpt", s"$base/state")
+    }
+    // and a dir synced WITHOUT keepHistory refuses as-of reads: its
+    // epochs hold per-batch winners, not events
+    graft.streaming.StreamingOps.writeWave(log, s"$base/in2", 0)
+    Replication.incrementalSync(spark, log.schema, s"$base/in2",
+      s"$base/ckpt2", s"$base/state2")
+    intercept[IllegalArgumentException] {
+      Replication.appliedState(spark, s"$base/state2", Some(2L))
+    }
+  }
+
+  test("time travel below the compaction horizon fails loudly; at it, serves") {
+    val base = tmp()
+    val v1 = txnDf(Seq(TxnEv("I", 1, 1, 10.0, "O", 0),
+      TxnEv("I", 2, 2, 20.0, "O", 0))).drop("txn")
+    graft.streaming.StreamingOps.writeWave(v1, s"$base/in", 0)
+    Replication.incrementalSync(spark, v1.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", keepHistory = true)
+    val v2 = txnDf(Seq(TxnEv("U", 3, 2, 21.0, "P", 0))).drop("txn")
+    graft.streaming.StreamingOps.writeWave(v2, s"$base/in", 1)
+    Replication.incrementalSync(spark, v2.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", keepHistory = true)
+    graft.streaming.StreamingOps.compactState(spark, s"$base/state")
+    val horizon = graft.streaming.StreamingOps
+      .readCompactHorizon(s"$base/state")
+    assert(horizon.contains(3L), "horizon = newest folded seq")
+    // at the horizon the baseline IS the as-of answer
+    val at = Replication.appliedState(spark, s"$base/state", horizon)
+      .select(col("okey"), col("price")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(at == Map(1L -> 10.0, 2L -> 21.0))
+    // below it the per-event history is folded away — refuse, loudly
+    val e = intercept[IllegalArgumentException] {
+      Replication.appliedState(spark, s"$base/state", Some(2L))
+    }
+    assert(e.getMessage.contains("compaction horizon"))
+  }
+
+  test("time travel rolls back the DEFAULT clock: a later default does not fill") {
+    val base = tmp()
+    val v1 = txnDf(Seq(TxnEv("I", 1, 1, 10.0, "O", 0),
+      TxnEv("I", 2, 2, 20.0, "O", 0))).drop("txn")
+    graft.streaming.StreamingOps.writeWave(v1, s"$base/in", 0)
+    Replication.incrementalSync(spark, v1.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", keepHistory = true)
+    // ADD COLUMN channel DEFAULT 'none' at position 3; key 2 rewritten
+    // after it with a live value
+    val v2 = txnDf(Seq(TxnEv("U", 4, 2, 21.0, "P", 0))).drop("txn")
+      .withColumn("channel", lit("live"))
+    graft.streaming.StreamingOps.writeWave(v2, s"$base/in", 1)
+    Replication.incrementalSync(spark, v2.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", keepHistory = true,
+      defaultCols = Map("channel" ->
+        graft.streaming.StreamingOps.ColumnDefault(3L, "'none'")))
+    def chanAsOf(sq: Long): Map[Long, Option[String]] =
+      Replication.appliedState(spark, s"$base/state", Some(sq))
+        .select(col("okey"), col("channel")).collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // before the DDL position the column did not exist: no fill
+    assert(chanAsOf(2L) == Map(1L -> None, 2L -> None))
+    // at/after it, pre-DDL winners backfill; post-DDL winners serve
+    // what they wrote
+    assert(chanAsOf(3L) == Map(1L -> Some("none"), 2L -> Some("none")))
+    assert(chanAsOf(4L) == Map(1L -> Some("none"), 2L -> Some("live")))
+  }
+
+  test("multi-table DROP + retained history: one DDL shrinks every table; as-of serves per table") {
+    val base = tmp()
+    val route = when(col("okey") % 2 === 0, "t_even").otherwise("t_odd")
+    val v1 = txnDf(Seq(TxnEv("I", 1, 1, 10.0, "O", 0),
+      TxnEv("I", 2, 2, 20.0, "O", 0))).drop("txn")
+      .withColumn("channel", concat(lit("ch"), col("okey")))
+      .withColumn("table", route)
+    graft.streaming.StreamingOps.writeWave(v1, s"$base/in", 0)
+    val dirs = Map("t_even" -> s"$base/se", "t_odd" -> s"$base/so")
+    Replication.incrementalSyncMulti(spark, v1.schema, s"$base/in",
+      s"$base/ckpt", dirs, keepHistory = true)
+    // the envelope-wide DROP at position 2: both tables' schemas shrink
+    val v2 = txnDf(Seq(TxnEv("U", 3, 2, 21.0, "P", 0),
+      TxnEv("U", 4, 1, 11.0, "P", 0))).drop("txn")
+      .withColumn("table", route)
+    graft.streaming.StreamingOps.writeWave(v2, s"$base/in", 1)
+    Replication.incrementalSyncMulti(spark, v2.schema, s"$base/in",
+      s"$base/ckpt", dirs, dropCols = Map("channel" -> 2L),
+      keepHistory = true)
+    dirs.values.foreach { d =>
+      assert(!graft.streaming.StreamingOps.readStateSchema(d).get
+        .fieldNames.contains("channel"), s"$d still publishes the column")
+    }
+    def price(d: String, asOf: Option[Long]): Map[Long, Double] =
+      Replication.appliedState(spark, d, asOf)
+        .select(col("okey"), col("price")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // as-of 3: t_even's update is visible, t_odd's (seq 4) is not
+    assert(price(dirs("t_even"), Some(3L)) == Map(2L -> 21.0))
+    assert(price(dirs("t_odd"), Some(3L)) == Map(1L -> 10.0))
+    assert(price(dirs("t_odd"), None) == Map(1L -> 11.0))
+  }
 }
