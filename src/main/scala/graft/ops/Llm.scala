@@ -1472,6 +1472,24 @@ object Llm {
           max(col("n_chars")).as("max_chars"))
         .orderBy(col("lang"))),
 
+    // L4f: corpus-level n-gram statistics — the vocabulary profile a
+    // training-data curator reads before fixing the tokenizer and the
+    // mixture (and the same shingle stream the MinHash dedup consumes).
+    // One corpus scan: tokenize scan-local, form adjacent pairs with
+    // zip_with over two array slices (codegen'd, NEVER a positional
+    // self-join), explode, partial-agg counts, one total-order top-k.
+    // At 100 TB the gram aggregate is the only shuffle and it combines
+    // map-side; the top-k is a TakeOrdered, not a full sort.
+    "llm_ngram_topk" -> ((s, dir) =>
+      Tables.t(s, dir, "documents")
+        .select(expr("filter(split(text, ' '), x -> x <> '')").as("t"))
+        .select(explode(expr(
+          "zip_with(slice(t, 1, greatest(size(t) - 1, 0)), " +
+            "slice(t, 2, greatest(size(t) - 1, 0)), " +
+            "(a, b) -> concat(a, ' ', b))")).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("g")).limit(20)),
+
     // L4e: TF-IDF term weighting (SURVEY §2.9 L4). The corpus is
     // tokenized and aggregated to the (doc, term) frequency table ONCE
     // (pinned with localCheckpoint); doc lengths, document frequencies,
@@ -2294,6 +2312,14 @@ object Llm {
              AS total_tok_re,
            min(n_chars) AS min_chars, max(n_chars) AS max_chars
          FROM documents GROUP BY lang ORDER BY lang""",
+
+    "llm_ngram_topk" ->
+      """WITH toks AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+                       FROM documents),
+            idx AS (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks),
+            grams AS (SELECT t[i] || ' ' || t[i + 1] AS g FROM idx)
+         SELECT g, count(*) AS n FROM grams
+         GROUP BY g ORDER BY n DESC, g LIMIT 20""",
 
     "llm_tfidf" ->
       """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
