@@ -333,6 +333,17 @@ object Replication {
       asOfSeq: Option[Long] = None): DataFrame =
     streaming.StreamingOps.readLatestState(spark, stateDir, asOfSeq)
 
+  /** CHANGELOG RE-EXPORT: one row per key changed since `sinceSeq`,
+    * carrying the key's current image — deletes included as `op = 'D'`
+    * tombstones. What a downstream consumer chained off this replica
+    * polls (see [[streaming.StreamingOps.readStateChanges]] for the
+    * retention guards: positions past a tombstone GC or a truncate
+    * refuse — the downstream needs a re-snapshot, exactly like polling
+    * past MySQL's binlog retention). */
+  def changesSince(spark: SparkSession, stateDir: String,
+      sinceSeq: Long): DataFrame =
+    streaming.StreamingOps.readStateChanges(spark, stateDir, sinceSeq)
+
   /** Outcome of a row-level repair (§3.1 #3's fix flow). */
   final case class RepairReport(inserted: Long, updated: Long, deleted: Long) {
     def repaired: Long = inserted + updated + deleted

@@ -403,7 +403,11 @@ object StreamingOps {
     * published (dropping an unknown column is a config typo), must not
     * be a key column (the key is the table's identity), and must be
     * gone from the incoming envelope (a drop for a column the stream
-    * still carries would silently resurrect it as a fresh ADD).
+    * still carries would silently resurrect it as a fresh ADD) — UNLESS
+    * the same pass declares a RE-ADD for it (`readds`: a DEFAULT at a
+    * position above the drop's, the compressed-DDL window where DROP
+    * and re-ADD both landed while the stream was down; the envelope
+    * then legitimately carries the re-added column).
     * Crash order mirrors [[applyRenameDdl]]: the `_drops` log publishes
     * first (append, deduped — an at-least-once replay is a no-op), then
     * rename history ending at the dropped name is purged (a later
@@ -412,7 +416,8 @@ object StreamingOps {
     * two steps re-applies idempotently on the next pass. A default
     * declared for the dropped column dies with it. */
   private def applyDropDdl(state: String, drops: Map[String, Long],
-      incoming: org.apache.spark.sql.types.StructType): Unit =
+      incoming: org.apache.spark.sql.types.StructType,
+      readds: Map[String, Long] = Map.empty): Unit =
     if (drops.nonEmpty) {
       val published = readStateSchema(state).getOrElse(
         throw new IllegalStateException(
@@ -425,9 +430,11 @@ object StreamingOps {
           s"cannot drop key column '$c' — a key change needs a re-snapshot")
         require(!Seq("op", "seq", "ts").contains(c),
           s"cannot drop bookkeeping column '$c'")
-        require(!incoming.fieldNames.contains(c),
+        require(!incoming.fieldNames.contains(c) ||
+            readds.get(c).exists(_ > drops(c)),
           s"drop declared for column '$c' still carried by the incoming " +
-            "envelope — the post-DDL stream must not carry it")
+            "envelope — the post-DDL stream must not carry it (unless " +
+            "the same pass re-adds it at a later position)")
         require(published.fieldNames.contains(c) || prior.exists(_._1 == c),
           s"drop declared for column '$c' absent from the published schema")
       }
@@ -760,8 +767,10 @@ object StreamingOps {
     ensureKeyCols(state, keyCols)
     applyRenameDdl(state, renameCols, stateSchema)
     // drops settle AFTER renames (a rename-then-drop pass drops the NEW
-    // name) and BEFORE the schema union (which would otherwise re-add)
-    applyDropDdl(state, dropCols, stateSchema)
+    // name) and BEFORE the schema union — which re-adds exactly the
+    // columns the envelope still carries (the compressed-DDL window)
+    applyDropDdl(state, dropCols, stateSchema,
+      readds = defaultCols.map { case (c, d) => c -> d.atSeq })
     ensureStateSchema(state, stateSchema)
     ensureHistoryMode(state, keepHistory)
     applyTruncateDdl(state, truncateAtSeq)
@@ -1064,7 +1073,8 @@ object StreamingOps {
     stateDirs.values.foreach(applyRenameDdl(_, renameCols, stateSchema))
     // a DROP, like a RENAME, is an envelope-wide DDL: the topology
     // shares one binlog envelope, so the column dies in every table
-    stateDirs.values.foreach(applyDropDdl(_, dropCols, stateSchema))
+    stateDirs.values.foreach(applyDropDdl(_, dropCols, stateSchema,
+      readds = defaultCols.map { case (c, d) => c -> d.atSeq }))
     stateDirs.values.foreach(ensureStateSchema(_, stateSchema))
     stateDirs.values.foreach(ensureHistoryMode(_, keepHistory))
     truncateAt.foreach { case (t, sq) =>
@@ -1747,6 +1757,49 @@ object StreamingOps {
       .orderBy(keyCols.map(col): _*)
   }
 
+  /** CHANGELOG RE-EXPORT: the per-key changes since a binlog position —
+    * what a DOWNSTREAM consumer chained off this replica needs (the
+    * daisy-chain topology: MySQL → this engine → N further marts).
+    * One row per key whose latest event is ABOVE the position, carrying
+    * the key's current image — tombstones INCLUDED as `op = 'D'` rows
+    * (a downstream replica must see deletes; [[readLatestState]]'s
+    * tombstone filter is the serving-side convention, not this one's).
+    *
+    * Exact on FOLDED dirs too: per-batch folding keeps each key's batch
+    * winner, and this export only needs each key's LATEST event vs the
+    * position — the losers a fold discarded are never the latest. The
+    * `seq > since` predicate lands on the scan (row-group pruning), so
+    * a caught-up consumer's incremental poll costs O(changed), not
+    * O(table).
+    *
+    * Retention guards, loud: a position below the tombstone-GC purge
+    * floor would silently miss purged deletes, and one below a truncate
+    * floor cannot be expressed as per-key changes at all (a truncate is
+    * a table-level op — the downstream needs a re-snapshot); both
+    * refuse, exactly like polling past MySQL's binlog retention. */
+  private[graft] def readStateChanges(s: SparkSession, state: String,
+      sinceSeq: Long): DataFrame = {
+    readPurgeFloor(state).foreach { f =>
+      require(sinceSeq >= f,
+        s"changes-since position $sinceSeq predates the tombstone purge " +
+          s"floor $f — deletes below it are physically gone; the " +
+          "downstream needs a re-snapshot (GC bounds the replay window)")
+    }
+    readTruncFloor(state).foreach { t =>
+      require(sinceSeq >= t,
+        s"changes-since position $sinceSeq predates the truncate floor " +
+          s"$t — a truncate is not expressible as per-key changes; the " +
+          "downstream needs a re-snapshot")
+    }
+    val gated = readStateDir(s, state).filter(col("seq") > sinceSeq)
+    val keyCols = readKeyCols(state)
+    collapse(envelope(gated), keyCols)
+      .select((keyCols ++
+        (Seq("op", "price", "status", "ts", "seq") ++ extraCols(gated))
+          .filterNot(keyCols.contains)).map(col): _*)
+      .orderBy(keyCols.map(col): _*)
+  }
+
   /** Play the CDC log as 3 seq-ordered waves; apply with foreachBatch +
     * epoch-keyed delta sink; return the final latest-state table (minus
     * tombstones). `replayLast` appends the final wave twice to prove the
@@ -2129,17 +2182,17 @@ object StreamingOps {
 
     // ST-DROP: DROP COLUMN + RE-ADD under the oracle gate — the DDL
     // pair that separates a real drop from "serve NULL going forward":
-    // pass 1 applies an envelope carrying `channel` ('old…' values),
-    // pass 2 declares DROP COLUMN channel at position 1 (the envelope
-    // no longer carries it), and pass 3 RE-ADDS it with DEFAULT 'readd'
-    // at position 3, plus a seq-4 update wave writing fresh 'new…'
-    // values for okey%5 keys (okey%35 keys are deleted at seq 3 and
-    // resurrected by the seq-4 update — latest-wins must revive them).
-    // A key untouched since before the drop must serve 'readd', NEVER
-    // its stale pre-drop 'old…' value — the resurrection a naive
-    // re-add-under-the-same-name would commit, because the old epochs
-    // still physically hold the column. The drop itself is O(1)
-    // metadata; the space reclaim rides the next compaction.
+    // pass 1 applies an envelope carrying `channel` ('old…' values);
+    // the resumed pass declares the compressed-DDL window (DROP at
+    // position 1, RE-ADD with DEFAULT 'readd' at position 3), plus a
+    // seq-4 update wave writing fresh 'new…' values for okey%5 keys
+    // (okey%35 keys are deleted at seq 3 and resurrected by the seq-4
+    // update — latest-wins must revive them). A key untouched since
+    // before the drop must serve 'readd', NEVER its stale pre-drop
+    // 'old…' value — the resurrection a naive re-add-under-the-same-
+    // name would commit, because the old epochs still physically hold
+    // the column. The drop itself is O(1) metadata; the space reclaim
+    // rides the next compaction.
     "stream_cdc_drop_column" -> ((s, dir) => {
       val log = Tables.cdcLog(s, dir)
       val tmp = tmpDir()
@@ -2148,18 +2201,20 @@ object StreamingOps {
         concat(lit("old"), (col("okey") % 4).cast(StringType)))
       writeWave(v1, in, 0)
       runCdcPass(s, v1.schema, in, s"$tmp/ckpt", s"$tmp/state")
-      writeWave(log.filter(col("seq") === 2), in, 1)
-      runCdcPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state",
-        dropCols = Map("channel" -> 1L))
+      // the compressed-DDL window: DROP at position 1 and RE-ADD with
+      // DEFAULT at position 3 both landed while the stream was down —
+      // ONE resumed pass declares both; events between the two (seq
+      // 2-3) belong to the dropped era and backfill the re-add default
       val upd4 = log.filter(col("seq") === 1 && col("okey") % 5 === 0)
         .select(lit("U").as("op"), lit(4L).as("seq"), col("ts"),
           col("okey"), col("price"), col("status"),
           concat(lit("new"), (col("okey") % 4).cast(StringType)).as("channel"))
-      val v3 = log.filter(col("seq") === 3)
+      val v2 = log.filter(col("seq") >= 2)
         .withColumn("channel", lit(null).cast(StringType))
         .unionByName(upd4)
-      writeWave(v3, in, 2)
-      runCdcPass(s, v3.schema, in, s"$tmp/ckpt", s"$tmp/state",
+      writeWave(v2, in, 1)
+      runCdcPass(s, v2.schema, in, s"$tmp/ckpt", s"$tmp/state",
+        dropCols = Map("channel" -> 1L),
         defaultCols = Map("channel" -> ColumnDefault(3L, "'readd'")))
       readLatestState(s, s"$tmp/state")
     }),
@@ -2180,6 +2235,24 @@ object StreamingOps {
       runCdcPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state",
         keepHistory = true)
       readLatestState(s, s"$tmp/state", asOfSeq = Some(2L))
+    }),
+
+    // ST-CHANGES: CHANGELOG RE-EXPORT under the oracle gate — the
+    // daisy-chain topology (MySQL → this replica → N downstream marts):
+    // after the full 3-wave apply, export every key whose latest event
+    // sits above position 1 — the okey%3 updates with their current
+    // image and the okey%7 deletes as op='D' tombstone rows (a
+    // downstream replica must see deletes; serving reads drop them,
+    // this export must not). Incremental by construction: the position
+    // predicate lands on the state scan, so a caught-up consumer's
+    // poll costs O(changed keys), not O(table).
+    "cdc_changes_since" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir)
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      writeWaves(log, in, col("seq") - 1, 3, Seq(col("okey")))
+      runCdcPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state")
+      readStateChanges(s, s"$tmp/state", 1L)
     }),
 
     // ST-TXN: TRANSACTION-BOUNDARY apply under the oracle gate (the
@@ -2691,6 +2764,15 @@ object StreamingOps {
                        FROM cdc_log WHERE seq <= 2)
          SELECT okey, op, price, status, ts FROM ranked
          WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
+
+    // changes since position 1: each key whose latest event is above it,
+    // current image carried, deletes included as tombstone rows.
+    "cdc_changes_since" ->
+      s"""WITH cdc_log AS (${Tables.cdcLogSql}),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM cdc_log)
+         SELECT okey, op, price, status, ts, seq FROM ranked
+         WHERE rn = 1 AND seq > 1 ORDER BY okey""",
 
     // truncate at position 1: only post-truncate events survive the
     // collapse — keys never rewritten after it are gone entirely.

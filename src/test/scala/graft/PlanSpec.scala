@@ -385,6 +385,15 @@ class PlanSpec extends SparkTestBase {
       s"as-of filter not pushed to the scan:\n$plan")
   }
 
+  test("changes-since pushes the position predicate into the state scan") {
+    // ST26's scale contract: a caught-up downstream's incremental poll
+    // costs O(changed keys) — the position predicate prunes row groups
+    // at the scan, it is not a post-shuffle filter.
+    val plan = q("cdc_changes_since").queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(seq,1)"),
+      s"position filter not pushed to the state scan:\n$plan")
+  }
+
   test("a dropped column is never read from the state scan") {
     // ST24's scale contract: DROP COLUMN is O(1) metadata — the very
     // next read's scan schema excludes the dead physical column (no

@@ -1873,4 +1873,80 @@ class ReplicationSpec extends SparkTestBase {
     assert(price(dirs("t_odd"), Some(3L)) == Map(1L -> 10.0))
     assert(price(dirs("t_odd"), None) == Map(1L -> 11.0))
   }
+
+  test("compressed DDL window: DROP and RE-ADD declared in one resumed pass") {
+    val base = tmp()
+    val v1 = txnDf(Seq(TxnEv("I", 1, 1, 10.0, "O", 0),
+      TxnEv("I", 2, 2, 20.0, "O", 0))).drop("txn")
+      .withColumn("channel", concat(lit("ch"), col("okey")))
+    graft.streaming.StreamingOps.writeWave(v1, s"$base/in", 0)
+    Replication.incrementalSync(spark, v1.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state")
+    // DROP at position 2 and RE-ADD with DEFAULT at position 3 both
+    // landed while the stream was down — one pass declares both, and
+    // the envelope legitimately still carries the column
+    val v2 = txnDf(Seq(TxnEv("U", 4, 2, 21.0, "P", 0))).drop("txn")
+      .withColumn("channel", lit("fresh"))
+    graft.streaming.StreamingOps.writeWave(v2, s"$base/in", 1)
+    Replication.incrementalSync(spark, v2.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", dropCols = Map("channel" -> 2L),
+      defaultCols = Map("channel" ->
+        graft.streaming.StreamingOps.ColumnDefault(3L, "'none'")))
+    val served = Replication.appliedState(spark, s"$base/state")
+      .select(col("okey"), col("channel")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(served == Map(1L -> Some("none"), 2L -> Some("fresh")),
+      "pre-drop values die; the re-add backfills its default")
+    // a "re-add" at or below the drop position is a config typo
+    intercept[IllegalArgumentException] {
+      Replication.incrementalSync(spark, v2.schema, s"$base/in",
+        s"$base/ckpt", s"$base/state", dropCols = Map("channel" -> 5L),
+        defaultCols = Map("channel" ->
+          graft.streaming.StreamingOps.ColumnDefault(5L, "'x'")))
+    }
+  }
+
+  test("changelog re-export: a downstream replica built from changesSince converges") {
+    val base = tmp()
+    val log = txnDf(Seq(TxnEv("I", 1, 1, 10.0, "O", 0),
+      TxnEv("I", 2, 2, 20.0, "O", 0), TxnEv("U", 3, 2, 21.0, "P", 0),
+      TxnEv("D", 4, 1, 0.0, "X", 0))).drop("txn")
+    // two waves/epochs: the tombstone lands in a later epoch than the
+    // row it cancels, and the GC compaction below has deltas to fold
+    graft.streaming.StreamingOps.writeWave(
+      log.filter(col("seq") <= 2), s"$base/in", 0)
+    Replication.incrementalSync(spark, log.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state")
+    graft.streaming.StreamingOps.writeWave(
+      log.filter(col("seq") >= 3), s"$base/in", 1)
+    Replication.incrementalSync(spark, log.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state")
+    def changes(p: Long): Map[Long, (String, Double)] =
+      Replication.changesSince(spark, s"$base/state", p)
+        .select(col("okey"), col("op"), col("price")).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    // deletes ride as tombstone rows; a caught-up consumer reads nothing
+    assert(changes(0L) == Map(1L -> ("D", 0.0), 2L -> ("U", 21.0)))
+    assert(changes(3L) == Map(1L -> ("D", 0.0)))
+    assert(changes(4L) == Map.empty)
+    // DAISY CHAIN: seed a downstream replica from the position-0 export
+    // and apply it as one wave — it must serve the upstream's state
+    val export = Replication.changesSince(spark, s"$base/state", 0L)
+    graft.streaming.StreamingOps.writeWave(export, s"$base/in2", 0)
+    Replication.incrementalSync(spark, export.schema, s"$base/in2",
+      s"$base/ckpt2", s"$base/state2")
+    assert(servedTxnState(s"$base/state2") == servedTxnState(s"$base/state"),
+      "the chained replica must converge to the upstream state")
+    // retention guard: after a tombstone GC, positions below the purge
+    // floor refuse — the purged deletes are not replayable
+    graft.streaming.StreamingOps.compactState(spark, s"$base/state",
+      tombstoneHorizon = Some(0))
+    val floor = graft.streaming.StreamingOps.readPurgeFloor(s"$base/state")
+    assert(floor.contains(4L))
+    val e = intercept[IllegalArgumentException] {
+      Replication.changesSince(spark, s"$base/state", 3L)
+    }
+    assert(e.getMessage.contains("purge floor"))
+    assert(changes(4L) == Map.empty, "at the floor the export still serves")
+  }
 }
