@@ -147,7 +147,8 @@ object Replication {
       maskCols: Seq[String] = Seq.empty,
       keyCols: Seq[String] = Seq("okey"),
       dropCols: Map[String, Long] = Map.empty,
-      keepHistory: Boolean = false)
+      keepHistory: Boolean = false,
+      computedCols: Seq[(String, String)] = Seq.empty)
       : SyncProgress = {
     val (rows, epochs, lastSeq, pending, srcMax) =
       streaming.StreamingOps.runCdcPass(
@@ -155,7 +156,8 @@ object Replication {
         startAfterSeq = fromSeq, txnCol = txnCol, renameCols = renameCols,
         truncateAtSeq = truncateAtSeq, defaultCols = defaultCols,
         rowFilter = rowFilter, maskCols = maskCols, keyCols = keyCols,
-        dropCols = dropCols, keepHistory = keepHistory)
+        dropCols = dropCols, keepHistory = keepHistory,
+        computedCols = computedCols)
     if (deltaCount(stateDir) > compactEvery)
       streaming.StreamingOps.compactState(spark, stateDir, tombstoneGc)
     SyncProgress(rows, epochs, lastSeq, pending, srcMax)
@@ -343,6 +345,17 @@ object Replication {
   def changesSince(spark: SparkSession, stateDir: String,
       sinceSeq: Long): DataFrame =
     streaming.StreamingOps.readStateChanges(spark, stateDir, sinceSeq)
+
+  /** The incident-window audit: per-key net change over `(p1, p2]` —
+    * each key's image as of the window's end, deletes as tombstones.
+    * Needs the dir synced with `keepHistory` (a fold may have displaced
+    * an in-window image with a later one — see
+    * [[streaming.StreamingOps.readStateChanges]]). */
+  def changesBetween(spark: SparkSession, stateDir: String,
+      p1: Long, p2: Long): DataFrame = {
+    require(p1 <= p2, s"empty window: ($p1, $p2]")
+    streaming.StreamingOps.readStateChanges(spark, stateDir, p1, Some(p2))
+  }
 
   /** Outcome of a row-level repair (§3.1 #3's fix flow). */
   final case class RepairReport(inserted: Long, updated: Long, deleted: Long) {

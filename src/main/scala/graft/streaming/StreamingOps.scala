@@ -713,11 +713,12 @@ object StreamingOps {
       maskCols: Seq[String] = Seq.empty,
       keyCols: Seq[String] = Seq("okey"),
       dropCols: Map[String, Long] = Map.empty,
-      keepHistory: Boolean = false)
+      keepHistory: Boolean = false,
+      computedCols: Seq[(String, String)] = Seq.empty)
       : (Long, Long, Option[Long], Long, Option[Long]) =
     runCdcPassSource(s, FileCdcSource(schema, in), ckpt, state, trackSeq,
       startAfterSeq, txnCol, renameCols, truncateAtSeq, defaultCols,
-      rowFilter, maskCols, keyCols, dropCols, keepHistory)
+      rowFilter, maskCols, keyCols, dropCols, keepHistory, computedCols)
 
   /** [[runCdcPass]] over an arbitrary [[CdcSource]] transport.
     * `renameCols` (old → new) declares RENAME COLUMN DDLs this pass's
@@ -744,7 +745,8 @@ object StreamingOps {
       maskCols: Seq[String] = Seq.empty,
       keyCols: Seq[String] = Seq("okey"),
       dropCols: Map[String, Long] = Map.empty,
-      keepHistory: Boolean = false)
+      keepHistory: Boolean = false,
+      computedCols: Seq[(String, String)] = Seq.empty)
       : (Long, Long, Option[Long], Long, Option[Long]) = {
     require(keyCols.forall(source.schema.fieldNames.contains),
       s"key column(s) absent from the envelope: " +
@@ -758,12 +760,32 @@ object StreamingOps {
     require(maskCols.forall(source.schema.fieldNames.contains),
       s"mask names column(s) absent from the envelope: " +
         maskCols.filterNot(source.schema.fieldNames.contains).mkString(", "))
+    // DESTINATION COMPUTED COLUMNS (the ClickHouse MATERIALIZED column
+    // analogue): each (name, sql) computes scan-local per event at
+    // apply time — after masks, so a computed value can never leak a
+    // masked source column — and materializes in the delta like any
+    // envelope column. Types derive from one driver-side analysis of
+    // the expression against an empty envelope frame; name collisions
+    // and later-pass expression changes fail loudly via the published
+    // schema (a silently changed expression would fork the column's
+    // history exactly like a type change).
+    val computedFields = if (computedCols.isEmpty) Seq.empty else {
+      val probe = s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), source.schema)
+      computedCols.map { case (n, e) =>
+        require(!source.schema.fieldNames.contains(n),
+          s"computed column '$n' collides with an envelope column")
+        org.apache.spark.sql.types.StructField(n,
+          probe.selectExpr(e).schema.head.dataType, nullable = true)
+      }
+    }
     // DDL metadata settles BEFORE the stream starts: renames carry
     // published history to the new name, then the type-change guardrail
     // fires — the r8 open-envelope design absorbs ADD (union) and DROP
     // (NULL forward), but a changed type must fail by name, not as a
     // mid-pass analysis error after some batches already applied
-    val stateSchema = stateSchemaFor(source.schema, txnCol.toSet)
+    val stateSchema = org.apache.spark.sql.types.StructType(
+      stateSchemaFor(source.schema, txnCol.toSet).fields ++ computedFields)
     ensureKeyCols(state, keyCols)
     applyRenameDdl(state, renameCols, stateSchema)
     // drops settle AFTER renames (a rename-then-drop pass drops the NEW
@@ -803,13 +825,18 @@ object StreamingOps {
         // forms): one codegen'd filter, one select — deletes bypass
         val filtered = rowFilter.fold(gatedTxn)(p =>
           gatedTxn.filter(col("op") === "D" || expr(p)))
-        val applied =
+        val masked =
           if (maskCols.isEmpty) filtered
           else filtered.select(filtered.columns.toSeq.map { c =>
             if (maskCols.contains(c))
               lit(null).cast(filtered.schema(c).dataType).as(c)
             else col(c)
           }: _*)
+        // computed columns AFTER masks (privacy: a computed value must
+        // not leak a masked source column) — scan-local, codegen'd
+        val applied = computedCols.foldLeft(masked) {
+          case (df, (n, e)) => df.withColumn(n, expr(e))
+        }
         if (trackSeq) {
           def fold(df: DataFrame): Unit = {
             val r = df.agg(max(col("seq"))).collect()(0)
@@ -1778,7 +1805,7 @@ object StreamingOps {
     * a table-level op — the downstream needs a re-snapshot); both
     * refuse, exactly like polling past MySQL's binlog retention. */
   private[graft] def readStateChanges(s: SparkSession, state: String,
-      sinceSeq: Long): DataFrame = {
+      sinceSeq: Long, untilSeq: Option[Long] = None): DataFrame = {
     readPurgeFloor(state).foreach { f =>
       require(sinceSeq >= f,
         s"changes-since position $sinceSeq predates the tombstone purge " +
@@ -1791,7 +1818,25 @@ object StreamingOps {
           s"$t — a truncate is not expressible as per-key changes; the " +
           "downstream needs a re-snapshot")
     }
-    val gated = readStateDir(s, state).filter(col("seq") > sinceSeq)
+    // an UPPER bound (the incident-window audit: "what changed in
+    // (p1, p2]") additionally needs retained history + an in-range
+    // compaction horizon: on a folded dir a key's batch winner above p2
+    // may have displaced its in-window image, and a baseline above the
+    // horizon did the same — both would silently under-report
+    untilSeq.foreach { u =>
+      require(StateFs.readSmall(s"$state/_history").isDefined,
+        "changes-between on a state dir without retained history " +
+          "(_history): per-batch folding may have displaced in-window " +
+          "images — sync with keepHistory")
+      readCompactHorizon(state).foreach { h =>
+        require(u >= h && sinceSeq >= h,
+          s"changes-between window ($sinceSeq, $u] dips below the " +
+            s"compaction horizon $h — folded history cannot answer it")
+      }
+    }
+    val gated = readStateDir(s, state)
+      .filter(col("seq") > sinceSeq &&
+        untilSeq.map(col("seq") <= _).getOrElse(lit(true)))
     val keyCols = readKeyCols(state)
     collapse(envelope(gated), keyCols)
       .select((keyCols ++
@@ -2235,6 +2280,26 @@ object StreamingOps {
       runCdcPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state",
         keepHistory = true)
       readLatestState(s, s"$tmp/state", asOfSeq = Some(2L))
+    }),
+
+    // ST-COMPUTED: DESTINATION COMPUTED COLUMNS under the oracle gate —
+    // the ClickHouse MATERIALIZED column analogue: the destination
+    // declares `price_band` (a CASE over the replicated price) and
+    // `event_day` (the date partition key derived from ts); both
+    // compute scan-local per event at apply time and materialize in the
+    // delta — the winning row serves ITS OWN computed values, which is
+    // exactly computing on the winner. No post-hoc backfill job, no
+    // read-time recompute.
+    "stream_cdc_computed" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir)
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      writeWaves(log, in, col("seq") - 1, 3, Seq(col("okey")))
+      runCdcPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state",
+        computedCols = Seq(
+          "price_band" -> "CASE WHEN price < 150000 THEN 'low' ELSE 'high' END",
+          "event_day" -> "CAST(ts AS DATE)"))
+      readLatestState(s, s"$tmp/state")
     }),
 
     // ST-CHANGES: CHANGELOG RE-EXPORT under the oracle gate — the
@@ -2764,6 +2829,18 @@ object StreamingOps {
                        FROM cdc_log WHERE seq <= 2)
          SELECT okey, op, price, status, ts FROM ranked
          WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
+
+    // computed columns ride the winning event: the collapse then serves
+    // the winner's own computed values — identical to computing on the
+    // winner (deletes are filtered before serving either way).
+    "stream_cdc_computed" ->
+      s"""WITH cdc_log AS (${Tables.cdcLogSql}),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM cdc_log)
+         SELECT okey, op, price, status, ts,
+                CASE WHEN price < 150000 THEN 'low' ELSE 'high' END AS price_band,
+                CAST(ts AS DATE) AS event_day
+         FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
 
     // changes since position 1: each key whose latest event is above it,
     // current image carried, deletes included as tombstone rows.

@@ -1949,4 +1949,65 @@ class ReplicationSpec extends SparkTestBase {
     assert(e.getMessage.contains("purge floor"))
     assert(changes(4L) == Map.empty, "at the floor the export still serves")
   }
+
+  test("computed columns materialize at apply; masks run before the compute") {
+    val base = tmp()
+    val v1 = txnDf(Seq(TxnEv("I", 1, 1, 50.0, "O", 0),
+      TxnEv("I", 2, 2, 500.0, "O", 0))).drop("txn")
+    graft.streaming.StreamingOps.writeWave(v1, s"$base/in", 0)
+    Replication.incrementalSync(spark, v1.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state",
+      computedCols = Seq(
+        "band" -> "CASE WHEN price < 100.0 THEN 'low' ELSE 'high' END"))
+    val served = Replication.appliedState(spark, s"$base/state")
+      .select(col("okey"), col("band")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(served == Map(1L -> "low", 2L -> "high"))
+    // privacy composition: the compute runs AFTER the mask, so a
+    // computed column can never leak a masked source value
+    val base2 = tmp()
+    graft.streaming.StreamingOps.writeWave(v1, s"$base2/in", 0)
+    Replication.incrementalSync(spark, v1.schema, s"$base2/in",
+      s"$base2/ckpt", s"$base2/state", maskCols = Seq("price"),
+      computedCols = Seq("price_seen" -> "price IS NOT NULL"))
+    val leaked = Replication.appliedState(spark, s"$base2/state")
+      .filter(col("price_seen")).count()
+    assert(leaked == 0L, "computed column observed a masked value")
+    // a computed name colliding with an envelope column is a typo
+    intercept[IllegalArgumentException] {
+      Replication.incrementalSync(spark, v1.schema, s"$base/in",
+        s"$base/ckpt", s"$base/state",
+        computedCols = Seq("price" -> "price * 2"))
+    }
+  }
+
+  test("changes-between: the incident-window audit serves the window-end image") {
+    val base = tmp()
+    // key 2 is touched twice INSIDE the window and once after it: the
+    // audit must serve its window-end image (seq 3), not the later one
+    val log = txnDf(Seq(TxnEv("I", 1, 1, 10.0, "O", 0),
+      TxnEv("I", 2, 2, 20.0, "O", 0), TxnEv("U", 3, 2, 21.0, "P", 0),
+      TxnEv("U", 4, 2, 22.0, "Q", 0), TxnEv("D", 5, 1, 0.0, "X", 0)))
+      .drop("txn")
+    graft.streaming.StreamingOps.writeWave(log, s"$base/in", 0)
+    Replication.incrementalSync(spark, log.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", keepHistory = true)
+    def window(p1: Long, p2: Long): Map[Long, (String, Double)] =
+      Replication.changesBetween(spark, s"$base/state", p1, p2)
+        .select(col("okey"), col("op"), col("price")).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(window(1L, 3L) == Map(2L -> ("U", 21.0)))
+    assert(window(3L, 5L) == Map(1L -> ("D", 0.0), 2L -> ("U", 22.0)))
+    assert(window(5L, 9L) == Map.empty)
+    // a folded dir refuses an upper-bounded window: the fold may have
+    // displaced the in-window image (key 2's seq-3 image is exactly
+    // what a fold of this one-batch log would have discarded)
+    graft.streaming.StreamingOps.writeWave(log, s"$base/in2", 0)
+    Replication.incrementalSync(spark, log.schema, s"$base/in2",
+      s"$base/ckpt2", s"$base/state2")
+    val e = intercept[IllegalArgumentException] {
+      Replication.changesBetween(spark, s"$base/state2", 1L, 3L)
+    }
+    assert(e.getMessage.contains("keepHistory"))
+  }
 }
