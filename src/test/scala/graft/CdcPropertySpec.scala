@@ -229,6 +229,79 @@ class CdcPropertySpec extends SparkTestBase {
     }
   }
 
+  test("DROP+RE-ADD property: any log, any drop/re-add positions — stale values never resurface") {
+    import graft.streaming.{StateFs, StreamingOps}
+    // random logs split at a drop position D and a later re-add position
+    // A: era 1 (seq <= D) carries the column, era 2 (D < seq <= A) lacks
+    // it, era 3 (seq > A) writes a value for even seqs and an EXPLICIT
+    // NULL for odd seqs. Served channel: 'rd' (the re-add default) for
+    // every winner at or below A — a pre-drop value surviving would be
+    // the resurrection bug — and era-3 winners serve what they wrote.
+    samples(6).filter(_.length > 5).zipWithIndex.foreach { case (ops, si) =>
+      val sorted = ops.sortBy(_.seq)
+      val d = sorted(sorted.length / 3).seq
+      val a = sorted(2 * sorted.length / 3).seq max (d + 1)
+      val state = java.nio.file.Files
+        .createTempDirectory(s"graft_dropprop$si").toString
+      def baseDf(chunk: List[Op]) =
+        spark.createDataFrame(chunk)
+          .select(col("op"), col("seq"),
+            timestamp_seconds(lit(1700000000L) + col("seq")).as("ts"),
+            col("key").as("okey"), col("v").cast("double").as("price"),
+            lit("S").as("status"))
+      val era1 = sorted.filter(_.seq <= d)
+      val era2 = sorted.filter(o => o.seq > d && o.seq <= a)
+      val era3 = sorted.filter(_.seq > a)
+      if (era1.nonEmpty)
+        baseDf(era1).withColumn("channel", concat(lit("old"), col("seq")))
+          .write.parquet(s"$state/epoch=0")
+      if (era2.nonEmpty) baseDf(era2).write.parquet(s"$state/epoch=1")
+      if (era3.nonEmpty)
+        baseDf(era3).withColumn("channel",
+          when(col("seq") % 2 === 0, concat(lit("new"), col("seq")))
+            .otherwise(lit(null).cast("string")))
+          .write.parquet(s"$state/epoch=2")
+      StateFs.writeAtomic(s"$state/_drops", s"channel\t$d")
+      StateFs.writeAtomic(s"$state/_defaults", s"channel\t$a\t'rd'")
+      val served = StreamingOps.readLatestState(spark, state)
+        .select(col("okey"), col("channel")).collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      val winners = sorted.foldLeft(Map.empty[Long, Op]) {
+        (m, o) => m.updated(o.key, o) }
+        .filter(_._2.op != "D")
+      val want = winners.map { case (k, w) =>
+        k -> (if (w.seq <= a) Some("rd")
+              else if (w.seq % 2 == 0) Some(s"new${w.seq}") else None)
+      }
+      assert(served == want, s"log: $ops, d=$d, a=$a")
+    }
+  }
+
+  test("TIME TRAVEL property: any log, any position — as-of == replay of the prefix") {
+    import graft.streaming.{StateFs, StreamingOps}
+    samples(6).filter(_.length > 3).zipWithIndex.foreach { case (ops, si) =>
+      val sorted = ops.sortBy(_.seq)
+      val state = java.nio.file.Files
+        .createTempDirectory(s"graft_ttprop$si").toString
+      spark.createDataFrame(sorted)
+        .select(col("op"), col("seq"),
+          timestamp_seconds(lit(1700000000L) + col("seq")).as("ts"),
+          col("key").as("okey"), col("v").cast("double").as("price"),
+          lit("S").as("status"))
+        .write.parquet(s"$state/epoch=0")
+      StateFs.writeAtomic(s"$state/_history", "true")
+      Seq(sorted.head.seq, sorted(sorted.length / 2).seq,
+          sorted.last.seq).distinct.foreach { p =>
+        val served = StreamingOps.readLatestState(spark, state, Some(p))
+          .select(col("okey"), col("price")).collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val want = replay(sorted.filter(_.seq <= p))
+          .map { case (k, (_, v)) => k -> v.toDouble }
+        assert(served == want, s"log: $ops, asOf=$p")
+      }
+    }
+  }
+
   test("snapshot ∪ delta == full-log collapse") {
     samples(10).filter(_.length > 2).foreach { ops =>
       val sorted = ops.sortBy(_.seq)
