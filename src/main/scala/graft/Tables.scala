@@ -154,6 +154,56 @@ object Tables {
     ins.unionByName(upd).unionByName(del)
   }
 
+  /** [[cdcLog]] with BEFORE-IMAGE deletes — the shape the MySQL binlog
+    * actually ships: a `DeleteRowsEvent` carries the deleted row's full
+    * values (its before image), not NULLs. The delete's payload is the
+    * key's state as of seq 2: the updated values where the update fired
+    * (okey % 3 == 0), the insert values otherwise. This is the fixture
+    * for SOFT-DELETE replication (ReplacingMergeTree(ver, is_deleted)
+    * semantics): the destination keeps the deleted row's last payload
+    * under a `_deleted` flag instead of dropping it. */
+  def cdcLogBeforeImage(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders").select(
+      col("o_orderkey"), col("o_totalprice").cast(DoubleType).as("price"),
+      col("o_orderstatus").as("status"), col("o_orderdate"))
+    val ins = o.select(
+      lit("I").as("op"), lit(1L).as("seq"), col("o_orderdate").as("ts"),
+      col("o_orderkey").as("okey"), col("price"), col("status"))
+    val upd = o.filter(col("o_orderkey") % 3 === 0).select(
+      lit("U").as("op"), lit(2L).as("seq"),
+      (col("o_orderdate") + expr("INTERVAL 1 DAY")).as("ts"),
+      col("o_orderkey").as("okey"),
+      (col("price") + lit(10.0d)).as("price"),
+      lit("P").as("status"))
+    val del = o.filter(col("o_orderkey") % 7 === 0).select(
+      lit("D").as("op"), lit(3L).as("seq"),
+      (col("o_orderdate") + expr("INTERVAL 2 DAY")).as("ts"),
+      col("o_orderkey").as("okey"),
+      when(col("o_orderkey") % 3 === 0, col("price") + lit(10.0d))
+        .otherwise(col("price")).as("price"),
+      when(col("o_orderkey") % 3 === 0, lit("P"))
+        .otherwise(col("status")).as("status"))
+    ins.unionByName(upd).unionByName(del)
+  }
+
+  /** DuckDB-SQL equivalent of [[cdcLogBeforeImage]] (CTE body
+    * `cdc_log_bi`). */
+  val cdcLogBeforeImageSql: String =
+    """SELECT 'I' AS op, CAST(1 AS BIGINT) AS seq, o_orderdate AS ts,
+         o_orderkey AS okey, CAST(o_totalprice AS DOUBLE) AS price,
+         o_orderstatus AS status FROM orders
+       UNION ALL
+       SELECT 'U', CAST(2 AS BIGINT), o_orderdate + INTERVAL 1 DAY, o_orderkey,
+         CAST(o_totalprice AS DOUBLE) + CAST(10 AS DOUBLE), 'P'
+       FROM orders WHERE o_orderkey % 3 = 0
+       UNION ALL
+       SELECT 'D', CAST(3 AS BIGINT), o_orderdate + INTERVAL 2 DAY, o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0
+              THEN CAST(o_totalprice AS DOUBLE) + CAST(10 AS DOUBLE)
+              ELSE CAST(o_totalprice AS DOUBLE) END,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'P' ELSE o_orderstatus END
+       FROM orders WHERE o_orderkey % 7 = 0"""
+
   /** DuckDB-SQL equivalent of [[cdcLogComposite]] (CTE body
     * `cdc_log_comp`). */
   val cdcLogCompositeSql: String =

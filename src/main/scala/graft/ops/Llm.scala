@@ -1037,6 +1037,32 @@ object Llm {
           count(when(col("bucket") < col("rate_pct"), 1)).as("n_sampled"))
         .orderBy(col("source"))),
 
+    // L6h: EXACT stratified train/val/test split — the dataset-assembly
+    // step after mixing: every source stratum splits 80/10/10 by RANK of
+    // a content-stable hash (not by hash modulo, which only approximates
+    // the fractions): rank ≤ ⌊0.8n⌋ → train, next ⌊0.1n⌋ → val, rest →
+    // test, so per-stratum counts are exact and a re-run (or a re-shard)
+    // reproduces the same assignment bit for bit. One window pass per
+    // stratum (the shuffle is by `source`); at 100 TB the cheap path is
+    // llm_sample_mix's scan-local hash-modulo split — this is the exact
+    // variant for when split-fraction contracts are hard (eval sets).
+    "llm_stratified_split" -> ((s, dir) => {
+      val d = Tables.t(s, dir, "documents")
+        .withColumn("hk", md5(col("doc_id").cast(StringType)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("hk"), col("doc_id"))
+      val n = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      d.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(n))
+        .withColumn("split",
+          when(col("rn") <= floor(col("n") * 0.8), "train")
+            .when(col("rn") <= floor(col("n") * 0.8) + floor(col("n") * 0.1),
+              "val")
+            .otherwise("test"))
+        .select(col("doc_id"), col("source"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // L2b: 16-bit SimHash per document + hamming distance of each planted
     // near-dup pair to its original. Oracle-matched since round 6: the
     // word hash is the portable md5-derived 60-bit value (no mod — bit
@@ -1938,6 +1964,20 @@ object Llm {
                % 100 < (CAST(substr(source, 4) AS INTEGER) % 10) * 10 + 5
              THEN 1 END) AS n_sampled
          FROM documents GROUP BY 1, 2 ORDER BY source""",
+
+    // exact stratified split: same rank-of-md5 arithmetic per stratum
+    "llm_stratified_split" ->
+      """WITH ranked AS (
+           SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+                  count(*) OVER (PARTITION BY source) AS n
+           FROM documents)
+         SELECT doc_id, source,
+                CASE WHEN rn <= floor(n * 0.8) THEN 'train'
+                     WHEN rn <= floor(n * 0.8) + floor(n * 0.1) THEN 'val'
+                     ELSE 'test' END AS split
+         FROM ranked ORDER BY doc_id""",
 
     // mirrors the Spark pipeline: portable word hash, per-bit ±1 vote
     // sums, packed 16-bit simhash, planted-pair hamming

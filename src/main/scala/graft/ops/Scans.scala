@@ -295,12 +295,97 @@ object Scans {
           min(col("c_name")).as("first_name"),
           max(col("c_custkey")).as("max_key"))
         .orderBy(col("c_mktsegment"))
+    }),
+
+    // S17: destination bootstrap DDL — generate each table's ClickHouse
+    // CREATE TABLE from its SOURCE schema (the auto-create step every
+    // tool in this class ships before the first sync). The oracle
+    // re-derives the same DDL from DuckDB's OWN schema introspection
+    // (information_schema over the registered views) through an
+    // independent type table — the two engines must agree on every
+    // column's name, order, nullability, and mapped type. `embeddings`
+    // is excluded: its nested Array column has no MySQL source shape.
+    "cdc_bootstrap_ddl" -> ((s, dir) => {
+      val keysFor: Seq[(String, Seq[String])] = Seq(
+        "customer" -> Seq("c_custkey"),
+        "documents" -> Seq("doc_id"),
+        "events" -> Seq("event_id"),
+        "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+        "nation" -> Seq("n_nationkey"),
+        "orders" -> Seq("o_orderkey"),
+        "part" -> Seq("p_partkey"),
+        "region" -> Seq("r_regionkey"),
+        "supplier" -> Seq("s_suppkey"))
+      val rows = keysFor.map { case (t, ks) =>
+        org.apache.spark.sql.Row(t, graft.sources.DestinationDdl
+          .createTable(t, Tables.t(s, dir, t).schema, ks))
+      }
+      s.createDataFrame(java.util.Arrays.asList(rows: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("tbl",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("ddl",
+            org.apache.spark.sql.types.StringType, nullable = false))))
+        .orderBy(col("tbl"))
     })
   )
 
   val oracle: Map[String, String] = Map(
     "scan_parquet" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
+
+    // bootstrap DDL: DuckDB introspects its OWN view schemas
+    // (information_schema) and maps through an independent DuckDB-type →
+    // ClickHouse-type table; string assembly ordered by ordinal_position.
+    // TIMESTAMP_NS folds onto DateTime64(6) like TIMESTAMP — the Spark
+    // side normalizes nanos to µs at read (see Tables.t), so both
+    // testdata encodings of events.ts produce the same destination DDL.
+    "cdc_bootstrap_ddl" ->
+      """WITH keys(tbl, key_list, key_show) AS (VALUES
+           ('customer', ['c_custkey'], '`c_custkey`'),
+           ('documents', ['doc_id'], '`doc_id`'),
+           ('events', ['event_id'], '`event_id`'),
+           ('lineitem', ['l_orderkey', 'l_linenumber'],
+            '`l_orderkey`, `l_linenumber`'),
+           ('nation', ['n_nationkey'], '`n_nationkey`'),
+           ('orders', ['o_orderkey'], '`o_orderkey`'),
+           ('part', ['p_partkey'], '`p_partkey`'),
+           ('region', ['r_regionkey'], '`r_regionkey`'),
+           ('supplier', ['s_suppkey'], '`s_suppkey`')),
+         cols AS (
+           SELECT c.table_name AS tbl, c.ordinal_position AS pos,
+                  c.column_name AS name, c.is_nullable AS nn,
+                  k.key_list, k.key_show,
+                  CASE c.data_type
+                    WHEN 'BIGINT' THEN 'Int64'
+                    WHEN 'INTEGER' THEN 'Int32'
+                    WHEN 'SMALLINT' THEN 'Int16'
+                    WHEN 'TINYINT' THEN 'Int8'
+                    WHEN 'DOUBLE' THEN 'Float64'
+                    WHEN 'FLOAT' THEN 'Float32'
+                    WHEN 'REAL' THEN 'Float32'
+                    WHEN 'VARCHAR' THEN 'String'
+                    WHEN 'BLOB' THEN 'String'
+                    WHEN 'BOOLEAN' THEN 'UInt8'
+                    WHEN 'DATE' THEN 'Date32'
+                    WHEN 'TIMESTAMP' THEN 'DateTime64(6)'
+                    WHEN 'TIMESTAMP_NS' THEN 'DateTime64(6)'
+                    ELSE 'UNMAPPED(' || c.data_type || ')' END AS base
+           FROM information_schema.columns c
+           JOIN keys k ON c.table_name = k.tbl),
+         decls AS (
+           SELECT tbl, pos, key_show,
+                  '`' || name || '` ' ||
+                  CASE WHEN list_contains(key_list, name) OR nn = 'NO'
+                       THEN base ELSE 'Nullable(' || base || ')' END AS decl
+           FROM cols)
+         SELECT tbl,
+           'CREATE TABLE dest.`' || tbl || '` (' ||
+           string_agg(decl, ', ' ORDER BY pos) ||
+           ', `_version` UInt64, `_is_deleted` UInt8) ' ||
+           'ENGINE = ReplacingMergeTree(_version, _is_deleted) ' ||
+           'ORDER BY (' || key_show || ')' AS ddl
+         FROM decls GROUP BY tbl, key_show ORDER BY tbl""",
 
     "scan_projection_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem

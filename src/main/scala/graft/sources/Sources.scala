@@ -78,3 +78,65 @@ final class JdbcBatchSink(url: String, table: String, user: String,
       .mode("append")
       .save()
 }
+
+/** DESTINATION BOOTSTRAP DDL (SURVEY.md §2.1 S17): generate the ClickHouse
+  * `CREATE TABLE` a replica needs before the first sync — the auto-create
+  * step every tool in this class ships (the reference's analogue of
+  * `--create-table-sql`). Columns map from the SOURCE schema through a
+  * fixed type table; the engine is ReplacingMergeTree over two appended
+  * bookkeeping columns (`_version` = binlog seq, `_is_deleted` = the
+  * soft-delete flag), which is exactly the destination shape the sync
+  * passes maintain (latest-wins by version, tombstones flagged not
+  * dropped). Pure metadata work: schemas are KBs at any data scale, so
+  * this is driver-side by design.
+  */
+object DestinationDdl {
+  import org.apache.spark.sql.types._
+
+  /** Spark → ClickHouse type map. Timestamps (tz'd or naive) land on
+    * DateTime64(6) — MySQL DATETIME is microsecond-precision and naive,
+    * and the sync layer pins UTC. Binary lands on String (CH strings are
+    * byte-safe). Arrays map element-wise; CH forbids Nullable(Array),
+    * so arrays never wrap. */
+  def chType(dt: DataType): String = dt match {
+    case ByteType => "Int8"
+    case ShortType => "Int16"
+    case IntegerType => "Int32"
+    case LongType => "Int64"
+    case FloatType => "Float32"
+    case DoubleType => "Float64"
+    case d: DecimalType => s"Decimal(${d.precision}, ${d.scale})"
+    case StringType => "String"
+    case BinaryType => "String"
+    case BooleanType => "UInt8"
+    case DateType => "Date32"
+    case _: TimestampType => "DateTime64(6)"
+    case TimestampNTZType => "DateTime64(6)"
+    case ArrayType(elem, _) => s"Array(${chType(elem)})"
+    case other => throw new IllegalArgumentException(
+      s"no ClickHouse mapping for ${other.simpleString} — map it explicitly")
+  }
+
+  /** One canonical CREATE TABLE line. Non-key nullable columns wrap in
+    * Nullable(…) (parquet OPTIONAL ⇔ StructField.nullable); key columns
+    * never wrap — ClickHouse ORDER BY keys must be non-Nullable, and a
+    * PRIMARY KEY is NOT NULL at the MySQL source by definition. */
+  def createTable(table: String, schema: StructType,
+      keyCols: Seq[String]): String = {
+    require(keyCols.nonEmpty && keyCols.forall(schema.fieldNames.contains),
+      s"key column(s) absent from $table's schema: " +
+        keyCols.filterNot(schema.fieldNames.contains).mkString(", "))
+    val decls = schema.fields.map { f =>
+      val base = chType(f.dataType)
+      val wrapped =
+        if (f.nullable && !keyCols.contains(f.name) &&
+            !f.dataType.isInstanceOf[ArrayType]) s"Nullable($base)"
+        else base
+      s"`${f.name}` $wrapped"
+    }
+    s"CREATE TABLE dest.`$table` (${decls.mkString(", ")}, " +
+      "`_version` UInt64, `_is_deleted` UInt8) " +
+      "ENGINE = ReplacingMergeTree(_version, _is_deleted) " +
+      s"ORDER BY (${keyCols.map(k => s"`$k`").mkString(", ")})"
+  }
+}

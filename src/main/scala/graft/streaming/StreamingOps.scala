@@ -997,11 +997,12 @@ object StreamingOps {
       trackSourceSeq: Boolean = false,
       keyColsByTable: Map[String, Seq[String]] = Map.empty,
       dropCols: Map[String, Long] = Map.empty,
-      keepHistory: Boolean = false)
+      keepHistory: Boolean = false,
+      routes: Map[String, String] = Map.empty)
       : (Map[String, (Long, Long, Long)], Long, Option[Long]) =
     runCdcPassMultiSource(s, FileCdcSource(schema, in), ckpt, stateDirs,
       txnCol, renameCols, truncateAt, defaultCols, rowFilters, maskCols,
-      keyCols, trackSourceSeq, keyColsByTable, dropCols, keepHistory)
+      keyCols, trackSourceSeq, keyColsByTable, dropCols, keepHistory, routes)
 
   /** [[runCdcPassMulti]] over an arbitrary [[CdcSource]] transport.
     * `renameCols` declares RENAME COLUMN DDLs exactly as in
@@ -1060,8 +1061,27 @@ object StreamingOps {
       trackSourceSeq: Boolean = false,
       keyColsByTable: Map[String, Seq[String]] = Map.empty,
       dropCols: Map[String, Long] = Map.empty,
-      keepHistory: Boolean = false)
+      keepHistory: Boolean = false,
+      routes: Map[String, String] = Map.empty)
       : (Map[String, (Long, Long, Long)], Long, Option[Long]) = {
+    // TABLE ROUTING (the rename/shard-merge config of this tool class):
+    // `routes` maps SOURCE table names in the envelope onto DESTINATION
+    // table names — N sources routing to one destination merge shards
+    // (the sharded-MySQL → one-mart topology; the caller's contract is
+    // that merged shards' key spaces are disjoint, the standard sharded
+    // setup). Routing applies at batch entry, BEFORE the txn gate, so
+    // every later per-table config (stateDirs, filters, masks, per-table
+    // keys, truncates) is keyed by DESTINATION name — one vocabulary
+    // end to end. Typos fail loudly both ways: a route must land on a
+    // replicated table, and a routed-away source name must not itself be
+    // replicated (its events would silently split between two dirs).
+    require(routes.values.forall(stateDirs.contains),
+      s"route target(s) not replicated: " +
+        routes.values.filterNot(stateDirs.contains).toSeq.distinct.sorted
+          .mkString(", "))
+    require(!routes.keys.exists(stateDirs.contains),
+      s"route source(s) also declared as destination table(s): " +
+        routes.keys.filter(stateDirs.contains).toSeq.sorted.mkString(", "))
     require(keyColsByTable.keySet.subsetOf(stateDirs.keySet),
       s"per-table key declared for unreplicated table(s): " +
         s"${(keyColsByTable.keySet -- stateDirs.keySet).toSeq.sorted.mkString(", ")}")
@@ -1130,12 +1150,21 @@ object StreamingOps {
             srcMaxSeq = Some(srcMaxSeq.fold(sr.getLong(0))(
               math.max(_, sr.getLong(0))))
         }
+        // routing first: one scan-local codegen'd CASE renames source
+        // table names to destinations, so the gate's pending tail and
+        // every per-table step below speak destination names only
+        val entry =
+          if (routes.isEmpty) batch.toDF()
+          else batch.toDF().withColumn("table",
+            routes.foldLeft(col("table")) { case (acc, (src, dst)) =>
+              when(col("table") === src, lit(dst)).otherwise(acc)
+            })
         val gated = txnCol match {
-          case None => batch.toDF()
+          case None => entry
           case Some(tc) =>
             // one shared commit gate for the whole topology (the same
             // ready/carry split as runCdcPass, pending rooted at ckpt)
-            val (ready, full) = txnGate(s, batch.toDF(), tc, ckpt, epochId)
+            val (ready, full) = txnGate(s, entry, tc, ckpt, epochId)
             txnFull = Some(full)
             ready
         }
@@ -1736,7 +1765,7 @@ object StreamingOps {
     * (non-baseline, seq at or below the floor) are ignored so purged
     * deletes cannot resurrect. */
   private[graft] def readLatestState(s: SparkSession, state: String,
-      asOfSeq: Option[Long] = None): DataFrame = {
+      asOfSeq: Option[Long] = None, softDelete: Boolean = false): DataFrame = {
     // TIME TRAVEL (`asOfSeq`): serve the state as of a binlog position —
     // the latest-wins collapse over events at or below it. Rewinds the
     // DML clock and the additive DDL clock (a DEFAULT declared after the
@@ -1776,11 +1805,24 @@ object StreamingOps {
       case None => truncGated
     }
     val keyCols = readKeyCols(state)
-    collapse(envelope(gated), keyCols)
-      .filter(col("op") =!= "D")
-      .select((keyCols ++
+    val collapsed = collapse(envelope(gated), keyCols)
+    // SOFT-DELETE serving mode (ReplacingMergeTree(ver, is_deleted)):
+    // tombstone winners stay in the served table under `_deleted = 1`,
+    // carrying the payload the delete event shipped (the binlog's
+    // DeleteRowsEvent before image — see Tables.cdcLogBeforeImage).
+    // Same single collapse either way: hard vs soft delete is pure read
+    // POLICY over identical state, so a destination can flip modes (or
+    // serve both views) without re-syncing.
+    val served =
+      if (softDelete)
+        collapsed.withColumn("_deleted",
+          (col("op") === "D").cast(org.apache.spark.sql.types.IntegerType))
+      else collapsed.filter(col("op") =!= "D")
+    served
+      .select(((keyCols ++
         (Seq("op", "price", "status", "ts") ++ extraCols(gated))
-          .filterNot(keyCols.contains)).map(col): _*)
+          .filterNot(keyCols.contains)) ++
+        (if (softDelete) Seq("_deleted") else Nil)).map(col): _*)
       .orderBy(keyCols.map(col): _*)
   }
 
@@ -1916,6 +1958,22 @@ object StreamingOps {
     // sink + latest-wins merge make the duplicate delivery a no-op.
     "sink_foreachbatch_idempotent" -> ((s, dir) => cdcApply(s, dir, replayLast = true)),
 
+    // ST-SOFT-DELETE: the tool class's "keep deleted rows" mode
+    // (ReplacingMergeTree(ver, is_deleted)): the log ships binlog-true
+    // DELETE events carrying the row's BEFORE IMAGE, and the destination
+    // serves tombstone winners as `_deleted = 1` rows with that last
+    // payload instead of dropping them — audit/history reads see what
+    // was deleted and when. Identical pass and state as hard delete;
+    // the mode is read-time policy (readLatestState(softDelete)).
+    "stream_cdc_soft_delete" -> ((s, dir) => {
+      val log = Tables.cdcLogBeforeImage(s, dir)
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      writeWaves(log, in, col("seq") - 1, 3, Seq(col("okey")))
+      runCdcPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state")
+      readLatestState(s, s"$tmp/state", softDelete = true)
+    }),
+
     // ST-MULTI-PK: PER-TABLE primary keys in one topology — the real
     // fan-out shape: one binlog carries a header-style table keyed by
     // okey alone (the line_no=1 slice, where okey is unique) and a
@@ -1989,6 +2047,27 @@ object StreamingOps {
         .select(col("tbl"), col("okey"), col("op"), col("price"),
           col("status"), col("ts"))
         .orderBy(col("tbl"), col("okey"))
+    }),
+
+    // ST-ROUTE: TABLE ROUTING / SHARD MERGE under the oracle gate — the
+    // rename-and-merge config of this tool class: the binlog carries two
+    // sharded source tables (t_shard_0 / t_shard_1, split by okey
+    // parity — disjoint key spaces, the standard sharded-MySQL shape),
+    // and one `routes` map funnels both into a single destination
+    // t_main. The destination's state, compaction, and reads see one
+    // ordinary table; the merge happened as a scan-local CASE at batch
+    // entry, costing nothing at any scale.
+    "stream_cdc_routed" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir).withColumn("table",
+        when(col("okey") % 2 === 0, "t_shard_0").otherwise("t_shard_1"))
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      writeWaves(log, in, when(col("seq") <= 2, 0).otherwise(1), 2,
+        Seq(col("okey")))
+      runCdcPassMulti(s, log.schema, in, s"$tmp/ckpt",
+        Map("t_main" -> s"$tmp/state_main"),
+        routes = Map("t_shard_0" -> "t_main", "t_shard_1" -> "t_main"))
+      readLatestState(s, s"$tmp/state_main")
     }),
 
     // ST-FILTER: per-table ROW FILTERS + COLUMN MASKS under the oracle
@@ -2701,6 +2780,18 @@ object StreamingOps {
     "stream_cdc_apply" -> latestStateSql,
     "sink_foreachbatch_idempotent" -> latestStateSql,
 
+    // soft delete: every key's latest event survives — tombstone winners
+    // flagged `_deleted = 1` with the delete's before-image payload.
+    "stream_cdc_soft_delete" ->
+      s"""WITH cdc_log_bi AS (${Tables.cdcLogBeforeImageSql}),
+            ranked AS (SELECT *, row_number() OVER (
+                         PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM cdc_log_bi)
+         SELECT okey, op, price, status, ts,
+                CAST(CASE WHEN op = 'D' THEN 1 ELSE 0 END AS INTEGER)
+                  AS _deleted
+         FROM ranked WHERE rn = 1 ORDER BY okey""",
+
     // per-table PKs: t_ord (the line_no=1 slice) collapses per okey,
     // t_line per full tuple — each side of the union ranked under its
     // own table's key.
@@ -2729,6 +2820,10 @@ object StreamingOps {
                        FROM cdc_log_comp)
          SELECT okey, line_no, op, price, status, ts FROM ranked
          WHERE rn = 1 AND op <> 'D' ORDER BY okey, line_no""",
+
+    // routing: two shards funneled into one destination must serve the
+    // plain collapse over the UNSHARDED log — the merge is invisible.
+    "stream_cdc_routed" -> latestStateSql,
 
     // GC + purge floor must leave the served collapse untouched, even
     // after a pre-compaction epoch is re-delivered.

@@ -287,4 +287,29 @@ class LlmSpec extends SparkTestBase {
       "the healed index must hold every pre-crash row")
     assert(!graft.streaming.StateFs.exists(s"$idx/bands_old"))
   }
+
+  test("stratified split: exact per-stratum fractions, total, deterministic") {
+    import org.apache.spark.sql.functions._
+    val split = ops.Llm.queries("llm_stratified_split")(spark, sf)
+    val docs = Tables.t(spark, sf, "documents")
+    // every document assigned exactly once
+    assert(split.count() == docs.count())
+    assert(split.select("doc_id").distinct().count() == docs.count())
+    // EXACT fractions per stratum: train = ⌊0.8n⌋, val = ⌊0.1n⌋, rest test
+    val bySrc = split.groupBy(col("source"))
+      .pivot(col("split"), Seq("train", "val", "test"))
+      .agg(count(lit(1))).collect()
+    bySrc.foreach { r =>
+      def g(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
+      val (tr, va, te) = (g(1), g(2), g(3))
+      val n = tr + va + te
+      assert(tr == math.floor(n * 0.8).toLong,
+        s"${r.getString(0)}: train $tr of $n")
+      assert(va == math.floor(n * 0.1).toLong,
+        s"${r.getString(0)}: val $va of $n")
+    }
+    // content-stable: a re-run reproduces the assignment bit for bit
+    val again = ops.Llm.queries("llm_stratified_split")(spark, sf)
+    assert(split.exceptAll(again).isEmpty && again.exceptAll(split).isEmpty)
+  }
 }

@@ -253,4 +253,34 @@ class OperatorSpec extends SparkTestBase {
       .collect()(0).getLong(0)
     assert(sampleKept > 0 && sampleKept < all, s"sample kept $sampleKept of $all")
   }
+
+  test("bootstrap DDL: type map, nullability, keys, bookkeeping columns") {
+    import org.apache.spark.sql.types._
+    import graft.sources.DestinationDdl
+    assert(DestinationDdl.chType(LongType) == "Int64")
+    assert(DestinationDdl.chType(IntegerType) == "Int32")
+    assert(DestinationDdl.chType(DoubleType) == "Float64")
+    assert(DestinationDdl.chType(DecimalType(18, 2)) == "Decimal(18, 2)")
+    assert(DestinationDdl.chType(TimestampType) == "DateTime64(6)")
+    assert(DestinationDdl.chType(TimestampNTZType) == "DateTime64(6)")
+    assert(DestinationDdl.chType(ArrayType(FloatType)) == "Array(Float32)")
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = true), // PK: never Nullable
+      StructField("v", DoubleType, nullable = true),
+      StructField("tag", StringType, nullable = false), // source NOT NULL
+      StructField("emb", ArrayType(FloatType), nullable = true))) // CH forbids Nullable(Array)
+    val ddl = DestinationDdl.createTable("t1", schema, Seq("id"))
+    assert(ddl == "CREATE TABLE dest.`t1` (`id` Int64, `v` Nullable(Float64), " +
+      "`tag` String, `emb` Array(Float32), " +
+      "`_version` UInt64, `_is_deleted` UInt8) " +
+      "ENGINE = ReplacingMergeTree(_version, _is_deleted) ORDER BY (`id`)")
+    // composite key order preserved in ORDER BY
+    val ddl2 = DestinationDdl.createTable("t2", schema, Seq("id", "tag"))
+    assert(ddl2.endsWith("ORDER BY (`id`, `tag`)"))
+    // a key absent from the schema fails loudly
+    val e = intercept[IllegalArgumentException] {
+      DestinationDdl.createTable("t3", schema, Seq("nope"))
+    }
+    assert(e.getMessage.contains("nope"))
+  }
 }

@@ -2010,4 +2010,70 @@ class ReplicationSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("keepHistory"))
   }
+
+  test("soft delete is read policy: one state dir serves both views") {
+    val base = tmp()
+    // binlog-true deletes: the D event for key 2 carries its before
+    // image (price 9.0, status O) — what MySQL's DeleteRowsEvent ships
+    val log = txnDf(Seq(TxnEv("I", 1, 1, 5.0, "O", 0),
+      TxnEv("I", 2, 2, 9.0, "O", 0), TxnEv("U", 3, 1, 7.0, "P", 0),
+      TxnEv("I", 4, 3, 4.0, "O", 0), TxnEv("D", 5, 2, 9.0, "O", 0)))
+      .drop("txn")
+    graft.streaming.StreamingOps.writeWave(log, s"$base/in", 0)
+    graft.streaming.StreamingOps.runCdcPass(spark, log.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state")
+    // hard view: tombstone winners dropped
+    val hard = graft.streaming.StreamingOps
+      .readLatestState(spark, s"$base/state")
+      .select(col("okey")).collect().map(_.getLong(0)).toSet
+    assert(hard == Set(1L, 3L))
+    // soft view over the SAME state dir: key 2 survives flagged, with
+    // the delete's before-image payload; live keys flag 0
+    val soft = graft.streaming.StreamingOps
+      .readLatestState(spark, s"$base/state", softDelete = true)
+      .select(col("okey"), col("_deleted"), col("price"), col("status"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getString(3))).toMap
+    assert(soft.keySet == Set(1L, 2L, 3L))
+    assert(soft(2L) == ((1, 9.0, "O")))
+    assert(soft(1L) == ((0, 7.0, "P")))
+    assert(soft(3L) == ((0, 4.0, "O")))
+  }
+
+  test("table routing merges shards into one destination; typos fail loudly") {
+    val base = tmp()
+    // two sharded sources with disjoint key spaces (parity) — the
+    // standard sharded-MySQL → one-mart topology
+    val log = txnDf(Seq(TxnEv("I", 1, 2, 5.0, "O", 0),
+      TxnEv("I", 2, 3, 9.0, "O", 0), TxnEv("U", 3, 2, 7.0, "P", 0),
+      TxnEv("D", 4, 3, 0.0, "X", 0), TxnEv("I", 5, 4, 1.0, "O", 0)))
+      .drop("txn")
+      .withColumn("table",
+        when(col("okey") % 2 === 0, "t_shard_0").otherwise("t_shard_1"))
+    graft.streaming.StreamingOps.writeWave(log, s"$base/in", 0)
+    graft.streaming.StreamingOps.runCdcPassMulti(spark, log.schema,
+      s"$base/in", s"$base/ckpt", Map("t_main" -> s"$base/state_main"),
+      routes = Map("t_shard_0" -> "t_main", "t_shard_1" -> "t_main"))
+    val served = graft.streaming.StreamingOps
+      .readLatestState(spark, s"$base/state_main")
+      .select(col("okey"), col("price")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // key 3's delete crossed the shard merge; keys 2 and 4 serve latest
+    assert(served == Map(2L -> 7.0, 4L -> 1.0))
+    // a route must land on a replicated table…
+    val e1 = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingOps.runCdcPassMulti(spark, log.schema,
+        s"$base/in", s"$base/ckpt2", Map("t_main" -> s"$base/s2"),
+        routes = Map("t_shard_0" -> "t_mian"))
+    }
+    assert(e1.getMessage.contains("t_mian"))
+    // …and a routed-away source must not itself be a destination
+    val e2 = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingOps.runCdcPassMulti(spark, log.schema,
+        s"$base/in", s"$base/ckpt3",
+        Map("t_main" -> s"$base/s3", "t_shard_0" -> s"$base/s4"),
+        routes = Map("t_shard_0" -> "t_main"))
+    }
+    assert(e2.getMessage.contains("t_shard_0"))
+  }
 }
