@@ -112,7 +112,10 @@ object Bench {
     // bench itself.
     val ranked = timed.sortBy(-_._2)
       .map { case (k, v) => s"\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
-    try {
+    // Only an UNFILTERED run may overwrite the artifact: a local filtered
+    // iteration (`sbt "runMain graft.Bench some_query"`) would otherwise
+    // clobber the committed full map with a 3-entry one.
+    try if (filt.isEmpty) {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_full.json"),
         s"""{"total":${f3(total)},"sf":"$sfDir","passes":$passes,""" +

@@ -75,6 +75,19 @@ private[graft] object StateFs {
       .map(_.getPath.getName.stripPrefix("epoch=").toLong)
   }
 
+  /** Ids of `epoch=<id>` child FILES under `root` — small epoch-keyed
+    * control artifacts (e.g. the MV snapshot pointer maps), as opposed
+    * to [[epochIds]]'s delta directories. `writeAtomic`'s transient
+    * `.tmp` names fail the strict id parse and are ignored. */
+  def epochFileIds(root: String): Seq[Long] = {
+    val p = new Path(root)
+    val f = fs(p)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("epoch="))
+      .flatMap(_.getPath.getName.stripPrefix("epoch=").toLongOption)
+  }
+
   def exists(path: String): Boolean = {
     val p = new Path(path)
     fs(p).exists(p)

@@ -1755,6 +1755,280 @@ object StreamingOps {
         min(col("mn")).as("mn"), max(col("mx")).as("mx"))
       .orderBy(col("event_type"), col("user_bucket"))
 
+  // ───────────────────────────────────────────────────────────────────
+  // INCREMENTAL MATERIALIZED VIEWS over the CDC stream (ST30/ST31) —
+  // the reference tool class's headline downstream shape: MySQL table →
+  // replicated state → aggregate MV kept in sync (ClickHouse's
+  // AggregatingMergeTree-fed-by-MV topology), except the source is a
+  // FULL CDC stream (updates + deletes), so the MV needs true
+  // incremental view maintenance, not insert-only accumulation (ST10).
+  // Two regimes, the two that exist in the IVM literature:
+  //   - runMvSumPass: RETRACTABLE aggregates (count/sum) maintained by
+  //     per-batch deltas — each touched key contributes f(new image) −
+  //     f(old image); work is O(batch) + one bounded old-image lookup,
+  //     NEVER a recompute;
+  //   - runMvMinMaxPass: NON-RETRACTABLE aggregates (min/max) — deleting
+  //     a group's current min cannot be undone from the aggregate alone,
+  //     so dirty GROUPS (the groups the batch's old or new images touch)
+  //     are recomputed from a group-partitioned snapshot while untouched
+  //     groups carry forward; work is O(batch) + O(Σ dirty-group size).
+  // ───────────────────────────────────────────────────────────────────
+
+  /** Old images of the batch's touched keys: latest-wins collapse over
+    * the state epochs STRICTLY BELOW `epochId` (replay safety: epoch K's
+    * second delivery must not see its first attempt's delta), restricted
+    * to the touched keys before the collapse shuffle. The prior-epoch
+    * scan is bounded by compaction exactly like [[repairState]]'s — at
+    * production scale the state dir is a compacted baseline plus recent
+    * deltas, and the touched-key semi-join broadcasts (keys touched per
+    * micro-batch ≪ table size). */
+  private def mvOldImages(s: SparkSession, state: String, epochId: Long,
+      bw: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val priorEpochs = StateFs.epochIds(state).filter(_ < epochId)
+    if (priorEpochs.isEmpty)
+      bw.filter(lit(false)) // no prior state: every touched key is new
+    else {
+      val prior = s.read.option("mergeSchema", "true").parquet(state)
+        .filter(col("epoch") < epochId).drop("epoch")
+      prior.join(broadcast(bw.select(keyCols.map(col): _*)),
+        keyCols, "left_semi")
+        .transform(d => collapse(envelope(d), keyCols))
+    }
+  }
+
+  /** Newest MV snapshot strictly below `epochId` (same pattern as
+    * [[latestPendingBelow]]): a replayed epoch recomputes from the same
+    * base its crashed attempt read. Reads are SCHEMA-PINNED via the
+    * dir's published `_schema`: an all-groups-extinct epoch writes no
+    * parquet footer at all, and an inference-based read of it would
+    * fail instead of serving the (correct) empty view. */
+  private def readMvEpoch(s: SparkSession, mv: String, epoch: Long): DataFrame =
+    s.read.schema(readStateSchema(mv).getOrElse(throw new IllegalStateException(
+      s"MV dir $mv has no published _schema"))).parquet(s"$mv/epoch=$epoch")
+
+  private def latestMvBelow(s: SparkSession, mv: String,
+      epochId: Long): Option[DataFrame] =
+    StateFs.epochIds(mv).filter(_ < epochId).sorted.lastOption
+      .map(e => readMvEpoch(s, mv, e))
+
+  /** Serve the MV: its newest epoch snapshot. */
+  private[graft] def readMv(s: SparkSession, mv: String): DataFrame =
+    readMvEpoch(s, mv, StateFs.epochIds(mv).max)
+
+  /** RETRACTABLE-aggregate MV maintenance (ST30): per group
+    * (`groupCol`, e.g. `status`), `n_rows = count(*)` and
+    * `total = sum(price)` over the LATEST state of the replicated table,
+    * maintained per micro-batch from deltas only.
+    *
+    * Per batch: fold the batch to per-key winners (`bw`, O(batch)), look
+    * up those keys' old images ([[mvOldImages]]), write the state epoch
+    * delta (the destination table advances exactly as [[runCdcPass]]'s
+    * default path), then update the MV:
+    *
+    *   delta(group) = Σ_alive(new images) − Σ_alive(old images)
+    *   mv_K = merge(mv_{K-1}, delta), groups reaching n_rows = 0 dropped
+    *
+    * The per-key deltas telescope across batches — Σ_batches (f(new) −
+    * f(old)) = f(final) − f(initial) in exact DECIMAL(18,2) arithmetic —
+    * so the served MV equals the group-by over the final latest state
+    * bit-for-bit, which is what the oracle checks. An update that moves
+    * a key between groups retracts from the old group and adds to the
+    * new one in the same batch; a delete retracts only.
+    *
+    * Crash safety: the MV is epoch-keyed like every sink here — epoch K
+    * writes `mv/epoch=K` reading only strictly-older snapshots, so an
+    * at-least-once replay recomputes the identical snapshot; snapshots
+    * two or more epochs old are pruned (a replay can only be of the
+    * newest epoch). The MV itself is O(groups) — metadata-sized next to
+    * the table — while per-batch work is O(batch) + the bounded
+    * old-image lookup; nothing scans the full table, ever. */
+  private[graft] def runMvSumPass(s: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      in: String, ckpt: String, state: String, mv: String,
+      keyCols: Seq[String] = Seq("okey"),
+      groupCol: String = "status"): Unit = {
+    val mvSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(groupCol, StringType),
+      org.apache.spark.sql.types.StructField("n_rows",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("total", D2)))
+    ensureStateSchema(mv, mvSchema)
+    val (_, _) = runSourcePass(s, FileCdcSource(schema, in), ckpt) {
+      (batch, epochId) =>
+        val bw = collapse(envelope(batch.toDF()), keyCols).persist()
+        try {
+          val oldImg = mvOldImages(s, state, epochId, bw, keyCols).persist()
+          try {
+            // the destination table's own delta — same fold as runCdcPass
+            bw.write.mode("overwrite").parquet(s"$state/epoch=$epochId")
+            val newImg = collapse(envelope(oldImg.unionByName(bw)), keyCols)
+            def sideAgg(df: DataFrame, n: String, t: String): DataFrame =
+              df.filter(col("op") =!= "D")
+                .groupBy(col(groupCol)).agg(count(lit(1)).as(n),
+                  sum(dec2(col("price"))).as(t))
+            val delta = sideAgg(newImg, "n_add", "t_add")
+              .join(sideAgg(oldImg, "n_sub", "t_sub"), Seq(groupCol), "full_outer")
+              .select(col(groupCol),
+                (coalesce(col("n_add"), lit(0L)) -
+                  coalesce(col("n_sub"), lit(0L))).as("dn"),
+                (coalesce(col("t_add"), lit(0).cast(D2)) -
+                  coalesce(col("t_sub"), lit(0).cast(D2))).cast(D2).as("dt"))
+            val mvPrior = latestMvBelow(s, mv, epochId)
+              .getOrElse(s.createDataFrame(
+                new java.util.ArrayList[Row](), mvSchema))
+            val mvNew = mvPrior.join(delta, Seq(groupCol), "full_outer")
+              .select(col(groupCol),
+                (coalesce(col("n_rows"), lit(0L)) +
+                  coalesce(col("dn"), lit(0L))).as("n_rows"),
+                (coalesce(col("total"), lit(0).cast(D2)) +
+                  coalesce(col("dt"), lit(0).cast(D2))).cast(D2).as("total"))
+              .filter(col("n_rows") > 0)
+            mvNew.write.mode("overwrite").parquet(s"$mv/epoch=$epochId")
+            StateFs.epochIds(mv).filter(_ < epochId - 1)
+              .foreach(e => StateFs.deleteRecursive(s"$mv/epoch=$e"))
+          } finally { oldImg.unpersist(); () }
+        } finally { bw.unpersist(); () }
+    }
+  }
+
+  /** Pointer map for the group-partitioned snapshot ([[runMvMinMaxPass]]):
+    * `group → epoch whose partition holds the group's current rows`.
+    * Epoch-keyed under `snap/_ptr/epoch=K` (tab-separated lines), read
+    * strictly-below like every replay-safe artifact here. */
+  private[graft] def readSnapPtr(snap: String, epochId: Long): Map[String, Long] =
+    StateFs.epochFileIds(s"$snap/_ptr").filter(_ < epochId).sorted.lastOption
+      .flatMap(e => StateFs.readSmall(s"$snap/_ptr/epoch=$e"))
+      .map(_.split('\n').filter(_.nonEmpty).map { l =>
+        val Array(g, e) = l.split('\t'); g -> e.toLong
+      }.toMap).getOrElse(Map.empty)
+
+  /** NON-RETRACTABLE-aggregate MV maintenance (ST31): per group,
+    * `n_rows`, `mn = min(price)`, `mx = max(price)` over the latest
+    * state. Deleting (or updating away) a group's current minimum cannot
+    * be repaired from the aggregate alone — the classic IVM
+    * non-retractability — so the maintenance unit is the DIRTY GROUP:
+    *
+    *   dirty = groups of the batch's old images ∪ new images (alive)
+    *
+    * The engine keeps a COLLAPSED SNAPSHOT of the table partitioned by
+    * the MV's group column, advanced per batch by rewriting ONLY dirty
+    * groups' partitions: prior rows of the dirty group (resolved through
+    * a tiny group→epoch pointer map, [[readSnapPtr]]) minus the touched
+    * keys, plus the batch's alive new images — one partitionBy write for
+    * all dirty groups. Untouched groups' partitions are never read,
+    * never rewritten: per-batch cost is O(batch) + O(Σ dirty-group
+    * size), the best possible for min/max under deletes without a
+    * per-value index. The MV row for a dirty group is recomputed from
+    * its fresh partition (its size bounds the cost); untouched rows
+    * carry forward unchanged.
+    *
+    * Crash safety is the same epoch-keyed discipline: snapshot
+    * partitions land under `snap/epoch=K/<group>=…`, the pointer map
+    * and MV under their own `epoch=K`, all reading strictly-older state,
+    * so an at-least-once replay reconverges; snapshot epochs no longer
+    * referenced by the newest or previous pointer map are pruned. At
+    * 100 TB the snapshot is the destination table itself in
+    * group-partitioned layout — the partition pruning this buys is
+    * exactly why ClickHouse puts the MV's GROUP BY key first in the
+    * target table's ORDER BY. */
+  private[graft] def runMvMinMaxPass(s: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      in: String, ckpt: String, state: String, snap: String, mv: String,
+      keyCols: Seq[String] = Seq("okey"),
+      groupCol: String = "status"): Unit = {
+    val mvSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(groupCol, StringType),
+      org.apache.spark.sql.types.StructField("n_rows",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("mn", DoubleType),
+      org.apache.spark.sql.types.StructField("mx", DoubleType)))
+    ensureStateSchema(mv, mvSchema)
+    // the snapshot's schema: the collapse's output columns (derived from
+    // a driver-side probe so any keyCols order works) — published so
+    // partition reads stay pinned even for an all-rows-gone epoch
+    val snapSchema = collapse(envelope(s.createDataFrame(
+      new java.util.ArrayList[Row](), schema)), keyCols).schema
+    ensureStateSchema(snap, snapSchema)
+    val (_, _) = runSourcePass(s, FileCdcSource(schema, in), ckpt) {
+      (batch, epochId) =>
+        val bw = collapse(envelope(batch.toDF()), keyCols).persist()
+        try {
+          val oldImg = mvOldImages(s, state, epochId, bw, keyCols).persist()
+          try {
+            bw.write.mode("overwrite").parquet(s"$state/epoch=$epochId")
+            val newImg = collapse(envelope(oldImg.unionByName(bw)), keyCols)
+              .persist()
+            try {
+              val alive = (df: DataFrame) => df.filter(col("op") =!= "D")
+              // dirty groups: a handful per batch (≤ 2×|batch| values,
+              // group-cardinality-bounded) — driver-side METADATA, like
+              // the multi-table pass's table discovery
+              // (group values are non-null for alive rows — the MV group
+              // key is a dimension column; a null would not partition)
+              val dirty = alive(oldImg).select(col(groupCol))
+                .union(alive(newImg).select(col(groupCol)))
+                .filter(col(groupCol).isNotNull)
+                .distinct().collect().map(_.getString(0)).toSet
+              if (dirty.nonEmpty) {
+                val ptr = readSnapPtr(snap, epochId)
+                // prior rows of the dirty groups, resolved per pointer
+                // epoch — one pruned, schema-pinned read per distinct
+                // source epoch
+                val priorParts = dirty.flatMap(g => ptr.get(g).map(g -> _))
+                  .groupBy(_._2).map { case (e, gs) =>
+                    s.read.schema(snapSchema).parquet(s"$snap/epoch=$e")
+                      .filter(col(groupCol).isin(gs.map(_._1).toSeq: _*))
+                  }.toSeq
+                val priorRows = priorParts
+                  .reduceOption(_.unionByName(_))
+                  .map(_.join(broadcast(bw.select(keyCols.map(col): _*)),
+                    keyCols, "left_anti"))
+                val fresh = priorRows
+                  .map(_.unionByName(alive(newImg).select(
+                    snapSchema.fieldNames.map(col).toSeq: _*)))
+                  .getOrElse(alive(newImg).select(
+                    snapSchema.fieldNames.map(col).toSeq: _*))
+                fresh.write.mode("overwrite").partitionBy(groupCol)
+                  .parquet(s"$snap/epoch=$epochId")
+                val newPtr = ptr ++ dirty.map(_ -> epochId)
+                StateFs.writeAtomic(s"$snap/_ptr/epoch=$epochId",
+                  newPtr.map { case (g, e) => s"$g\t$e" }.mkString("\n"))
+                // prune: keep epochs referenced by the newest two pointer
+                // maps (the replay window), drop the rest
+                val keep = (newPtr.values.toSet ++ ptr.values.toSet) + epochId
+                StateFs.epochIds(snap).filterNot(keep.contains)
+                  .foreach(e => StateFs.deleteRecursive(s"$snap/epoch=$e"))
+                StateFs.epochFileIds(s"$snap/_ptr").filter(_ < epochId - 1)
+                  .foreach(e => StateFs.deleteRecursive(s"$snap/_ptr/epoch=$e"))
+                // recompute ONLY the dirty groups, from their fresh
+                // partitions (partition-pruned, schema-pinned read)
+                val recomputed = s.read.schema(snapSchema)
+                  .parquet(s"$snap/epoch=$epochId")
+                  .filter(col(groupCol).isin(dirty.toSeq: _*))
+                  .groupBy(col(groupCol))
+                  .agg(count(lit(1)).as("n_rows"),
+                    min(col("price")).as("mn"), max(col("price")).as("mx"))
+                val carried = latestMvBelow(s, mv, epochId)
+                  .map(_.filter(!col(groupCol).isin(dirty.toSeq: _*)))
+                  .getOrElse(recomputed.filter(lit(false)))
+                carried.unionByName(recomputed)
+                  .write.mode("overwrite").parquet(s"$mv/epoch=$epochId")
+              } else {
+                // quiet batch (e.g. delete-only of already-absent keys):
+                // the MV still advances an epoch for replay bookkeeping
+                latestMvBelow(s, mv, epochId)
+                  .getOrElse(s.createDataFrame(
+                    new java.util.ArrayList[Row](), mvSchema))
+                  .write.mode("overwrite").parquet(s"$mv/epoch=$epochId")
+              }
+              StateFs.epochIds(mv).filter(_ < epochId - 1)
+                .foreach(e => StateFs.deleteRecursive(s"$mv/epoch=$e"))
+            } finally { newImg.unpersist(); () }
+          } finally { oldImg.unpersist(); () }
+        } finally { bw.unpersist(); () }
+    }
+  }
+
   /** Read-time collapse of all epoch deltas into the latest state (A8
     * semantics; seq is globally monotone per key, so max_by(seq) across
     * epochs is total), tombstones dropped. The published `_schema` (or
@@ -2399,6 +2673,36 @@ object StreamingOps {
       readStateChanges(s, s"$tmp/state", 1L)
     }),
 
+    // ST30: aggregate MV (count/sum per status) maintained from the CDC
+    // stream by per-batch RETRACTION deltas — never a recompute; the
+    // served MV equals the group-by over the final latest state.
+    "cdc_mv_sum" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir)
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      writeWaves(log, in, col("seq") - 1, 3, Seq(col("okey")))
+      runMvSumPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state", s"$tmp/mv")
+      readMv(s, s"$tmp/mv")
+        .select(col("status"), col("n_rows"),
+          col("total").cast(DoubleType).as("total"))
+        .orderBy(col("status"))
+    }),
+
+    // ST31: min/max MV — non-retractable, so maintenance recomputes only
+    // the batch's DIRTY GROUPS from a group-partitioned snapshot (the
+    // delete-the-current-min case a retraction delta cannot express).
+    "cdc_mv_minmax" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir)
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      writeWaves(log, in, col("seq") - 1, 3, Seq(col("okey")))
+      runMvMinMaxPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state",
+        s"$tmp/snap", s"$tmp/mv")
+      readMv(s, s"$tmp/mv")
+        .select(col("status"), col("n_rows"), col("mn"), col("mx"))
+        .orderBy(col("status"))
+    }),
+
     // ST-TXN: TRANSACTION-BOUNDARY apply under the oracle gate (the
     // GTID/XID analogue): each seq wave is one multi-row transaction;
     // txn 2 STRADDLES the two micro-batches (half its rows arrive a
@@ -2945,6 +3249,26 @@ object StreamingOps {
                        FROM cdc_log)
          SELECT okey, op, price, status, ts, seq FROM ranked
          WHERE rn = 1 AND seq > 1 ORDER BY okey""",
+
+    // the MV oracles aggregate the FINAL latest state directly — the
+    // incremental deltas telescope, so the maintained MV must match.
+    "cdc_mv_sum" ->
+      s"""WITH cdc_log AS (${Tables.cdcLogSql}),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM cdc_log),
+            latest AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D')
+         SELECT status, count(*) AS n_rows,
+                CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM latest GROUP BY status ORDER BY status""",
+
+    "cdc_mv_minmax" ->
+      s"""WITH cdc_log AS (${Tables.cdcLogSql}),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM cdc_log),
+            latest AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D')
+         SELECT status, count(*) AS n_rows,
+                min(price) AS mn, max(price) AS mx
+         FROM latest GROUP BY status ORDER BY status""",
 
     // truncate at position 1: only post-truncate events survive the
     // collapse — keys never rewritten after it are gone entirely.

@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.streaming.StreamingOps
+
+/** Incremental materialized views over the CDC stream (ST30/ST31):
+  * retraction-delta maintenance for count/sum, dirty-group recompute for
+  * min/max. Every case asserts the INCREMENTALLY maintained MV equals a
+  * from-scratch aggregate over the final latest state — the invariant the
+  * whole pattern rests on — plus the regime-specific properties:
+  * bounded work (untouched partitions never rewritten) and replay safety.
+  */
+class MvSpec extends SparkTestBase {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_mv").toString
+
+  case class MvEv(op: String, seq: Long, okey: Long, price: Double,
+    status: String)
+
+  private def evDf(evs: Seq[MvEv]): org.apache.spark.sql.DataFrame =
+    spark.createDataFrame(evs)
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("seq")))
+      .select(col("op"), col("seq"), col("ts"), col("okey"), col("price"),
+        col("status"))
+
+  /** Reference semantics, folded sequentially: latest event per key,
+    * tombstones dropped. */
+  private def refLatest(evs: Seq[MvEv]): Map[Long, MvEv] =
+    evs.sortBy(_.seq)
+      .foldLeft(Map.empty[Long, MvEv])((m, e) => m.updated(e.okey, e))
+      .filter(_._2.op != "D")
+
+  private def refSum(evs: Seq[MvEv]): Map[String, (Long, BigDecimal)] =
+    refLatest(evs).values.groupBy(_.status).map { case (g, rows) =>
+      g -> (rows.size.toLong,
+        rows.map(r => BigDecimal(r.price).setScale(2)).sum)
+    }
+
+  private def refMinMax(evs: Seq[MvEv]): Map[String, (Long, Double, Double)] =
+    refLatest(evs).values.groupBy(_.status).map { case (g, rows) =>
+      g -> (rows.size.toLong, rows.map(_.price).min, rows.map(_.price).max)
+    }
+
+  private def servedSum(mv: String): Map[String, (Long, BigDecimal)] =
+    StreamingOps.readMv(spark, mv)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), BigDecimal(r.getDecimal(2)))).toMap
+
+  private def servedMinMax(mv: String): Map[String, (Long, Double, Double)] =
+    StreamingOps.readMv(spark, mv)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+
+  /** Write each epoch's events as one wave file. */
+  private def writeEpochs(base: String, epochs: Seq[Seq[MvEv]]): Unit =
+    epochs.zipWithIndex.foreach { case (evs, i) =>
+      StreamingOps.writeWave(evDf(evs), s"$base/in", i)
+    }
+
+  private def runSum(base: String, epochs: Seq[Seq[MvEv]]): Unit = {
+    writeEpochs(base, epochs)
+    StreamingOps.runMvSumPass(spark, evDf(Seq.empty).schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", s"$base/mv")
+  }
+
+  private def runMinMax(base: String, epochs: Seq[Seq[MvEv]]): Unit = {
+    writeEpochs(base, epochs)
+    StreamingOps.runMvMinMaxPass(spark, evDf(Seq.empty).schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", s"$base/snap", s"$base/mv")
+  }
+
+  test("sum MV: inserts, group-moving update, delete — equals recompute") {
+    val e1 = Seq(MvEv("I", 1, 1, 10.00, "A"), MvEv("I", 2, 2, 20.00, "A"),
+      MvEv("I", 3, 3, 5.00, "B"))
+    val e2 = Seq(MvEv("U", 4, 1, 11.00, "B"), // key 1 migrates A -> B
+      MvEv("D", 5, 3, 0.00, null))            // B loses key 3
+    val all = e1 ++ e2
+    val base = tmp()
+    runSum(base, Seq(e1, e2))
+    assert(servedSum(s"$base/mv") == refSum(all))
+    // the A->B migration retracted from A and added to B in one batch
+    assert(refSum(all)("A") == ((1L, BigDecimal("20.00"))))
+    assert(refSum(all)("B") == ((1L, BigDecimal("11.00"))))
+  }
+
+  test("sum MV: a group emptied by deletes leaves the MV") {
+    val e1 = Seq(MvEv("I", 1, 1, 10.00, "A"), MvEv("I", 2, 2, 7.00, "B"))
+    val e2 = Seq(MvEv("D", 3, 2, 0.00, null))
+    val base = tmp()
+    runSum(base, Seq(e1, e2))
+    val served = servedSum(s"$base/mv")
+    assert(!served.contains("B"))
+    assert(served == refSum(e1 ++ e2))
+  }
+
+  test("sum MV: replayed final wave is a no-op (at-least-once delivery)") {
+    val e1 = Seq(MvEv("I", 1, 1, 10.00, "A"), MvEv("I", 2, 2, 20.00, "B"))
+    val e2 = Seq(MvEv("U", 3, 1, 12.00, "A"), MvEv("D", 4, 2, 0.00, null))
+    val base = tmp()
+    writeEpochs(base, Seq(e1, e2))
+    StreamingOps.writeWave(evDf(e2), s"$base/in", 2) // duplicate delivery
+    StreamingOps.runMvSumPass(spark, evDf(Seq.empty).schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", s"$base/mv")
+    assert(servedSum(s"$base/mv") == refSum(e1 ++ e2))
+  }
+
+  test("minmax MV: deleting the group's current min recomputes correctly") {
+    val e1 = Seq(MvEv("I", 1, 1, 1.00, "A"), MvEv("I", 2, 2, 5.00, "A"),
+      MvEv("I", 3, 3, 9.00, "A"))
+    val e2 = Seq(MvEv("D", 4, 1, 0.00, null)) // key 1 held the min
+    val base = tmp()
+    runMinMax(base, Seq(e1, e2))
+    assert(servedMinMax(s"$base/mv") == Map("A" -> ((2L, 5.00, 9.00))))
+  }
+
+  test("minmax MV: updating the max downward recomputes the dirty group") {
+    val e1 = Seq(MvEv("I", 1, 1, 1.00, "A"), MvEv("I", 2, 2, 9.00, "A"))
+    val e2 = Seq(MvEv("U", 3, 2, 0.50, "A")) // old max becomes the new min
+    val base = tmp()
+    runMinMax(base, Seq(e1, e2))
+    assert(servedMinMax(s"$base/mv") == Map("A" -> ((2L, 0.50, 1.00))))
+  }
+
+  test("minmax MV: untouched group's snapshot partition is never rewritten") {
+    val e1 = Seq(MvEv("I", 1, 1, 1.00, "A"), MvEv("I", 2, 2, 2.00, "B"))
+    val e2 = Seq(MvEv("U", 3, 1, 3.00, "A")) // touches only A
+    val base = tmp()
+    runMinMax(base, Seq(e1, e2))
+    val ptr = StreamingOps.readSnapPtr(s"$base/snap", Long.MaxValue)
+    assert(ptr("A") == 1L, "dirty group re-pointed to the new epoch")
+    assert(ptr("B") == 0L, "untouched group must keep its old partition")
+    // and B's rows still serve from the old partition through the MV
+    assert(servedMinMax(s"$base/mv") ==
+      Map("A" -> ((1L, 3.00, 3.00)), "B" -> ((1L, 2.00, 2.00))))
+  }
+
+  test("property: both MVs equal recompute over random logs and splits") {
+    val statuses = Seq("A", "B", "C")
+    val gen = for {
+      n <- Gen.choose(4, 14)
+      keys <- Gen.listOfN(n, Gen.choose(0L, 5L))
+      ops <- Gen.listOfN(n, Gen.frequency(3 -> "I", 3 -> "U", 2 -> "D"))
+      prices <- Gen.listOfN(n, Gen.choose(1, 9999).map(_ / 100.0))
+      grp <- Gen.listOfN(n, Gen.oneOf(statuses))
+      nCuts <- Gen.choose(1, 3)
+      cuts <- Gen.listOfN(nCuts, Gen.choose(1, math.max(1, n - 1)))
+    } yield {
+      val evs = (0 until n).map { i =>
+        if (ops(i) == "D") MvEv("D", i + 1L, keys(i), 0.0, null)
+        else MvEv(ops(i), i + 1L, keys(i), prices(i), grp(i))
+      }
+      val bounds = (cuts.distinct.sorted :+ n).prepended(0)
+      val epochs = bounds.sliding(2).map { case Seq(a, b) =>
+        evs.slice(a, b)
+      }.filter(_.nonEmpty).toSeq
+      (evs, epochs)
+    }
+    (0 until 8).foreach { s =>
+      val (evs, epochs) =
+        gen(Gen.Parameters.default, Seed(9090L + s)).getOrElse(fail("gen"))
+      val b1 = tmp()
+      runSum(b1, epochs)
+      assert(servedSum(s"$b1/mv") == refSum(evs),
+        s"sum MV diverged from recompute (seed $s, ${epochs.size} epochs)")
+      val b2 = tmp()
+      runMinMax(b2, epochs)
+      assert(servedMinMax(s"$b2/mv") == refMinMax(evs),
+        s"minmax MV diverged from recompute (seed $s)")
+    }
+  }
+
+  test("declared MV queries run green and agree with the batch collapse") {
+    val sumRows = q("cdc_mv_sum").collect()
+    assert(sumRows.nonEmpty)
+    // cross-check against the already-oracle-green latest-state query
+    val latest = q("agg_latest_by_version")
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Tables.dec2(col("price"))).cast(Tables.D2)
+          .cast(org.apache.spark.sql.types.DoubleType).as("total"))
+      .orderBy(col("status")).collect()
+    assert(sumRows.map(_.toSeq).toSeq == latest.map(_.toSeq).toSeq)
+    val mm = q("cdc_mv_minmax").collect()
+    assert(mm.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      latest.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+}
