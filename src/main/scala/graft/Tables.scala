@@ -154,6 +154,49 @@ object Tables {
     ins.unionByName(upd).unionByName(del)
   }
 
+  /** [[cdcLog]] carrying the order's FOREIGN KEY (`custkey`) as an extra
+    * envelope column — the fixture for JOIN-MV maintenance (ST32): the
+    * fact table's change stream joined to static dimensions at apply
+    * time. Deletes ship NULL extras like every tombstone here; alive
+    * images always carry the FK. */
+  def cdcLogDim(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders").select(
+      col("o_orderkey"), col("o_totalprice").cast(DoubleType).as("price"),
+      col("o_orderstatus").as("status"), col("o_orderdate"),
+      col("o_custkey"))
+    val ins = o.select(
+      lit("I").as("op"), lit(1L).as("seq"), col("o_orderdate").as("ts"),
+      col("o_orderkey").as("okey"), col("price"), col("status"),
+      col("o_custkey").as("custkey"))
+    val upd = o.filter(col("o_orderkey") % 3 === 0).select(
+      lit("U").as("op"), lit(2L).as("seq"),
+      (col("o_orderdate") + expr("INTERVAL 1 DAY")).as("ts"),
+      col("o_orderkey").as("okey"),
+      (col("price") + lit(10.0d)).as("price"),
+      lit("P").as("status"), col("o_custkey").as("custkey"))
+    val del = o.filter(col("o_orderkey") % 7 === 0).select(
+      lit("D").as("op"), lit(3L).as("seq"),
+      (col("o_orderdate") + expr("INTERVAL 2 DAY")).as("ts"),
+      col("o_orderkey").as("okey"), lit(null).cast(DoubleType).as("price"),
+      lit(null).cast(StringType).as("status"),
+      lit(null).cast(LongType).as("custkey"))
+    ins.unionByName(upd).unionByName(del)
+  }
+
+  /** DuckDB-SQL equivalent of [[cdcLogDim]] (CTE body `cdc_log_dim`). */
+  val cdcLogDimSql: String =
+    """SELECT 'I' AS op, CAST(1 AS BIGINT) AS seq, o_orderdate AS ts,
+         o_orderkey AS okey, CAST(o_totalprice AS DOUBLE) AS price,
+         o_orderstatus AS status, o_custkey AS custkey FROM orders
+       UNION ALL
+       SELECT 'U', CAST(2 AS BIGINT), o_orderdate + INTERVAL 1 DAY, o_orderkey,
+         CAST(o_totalprice AS DOUBLE) + CAST(10 AS DOUBLE), 'P', o_custkey
+       FROM orders WHERE o_orderkey % 3 = 0
+       UNION ALL
+       SELECT 'D', CAST(3 AS BIGINT), o_orderdate + INTERVAL 2 DAY, o_orderkey,
+         CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+       FROM orders WHERE o_orderkey % 7 = 0"""
+
   /** [[cdcLog]] with BEFORE-IMAGE deletes — the shape the MySQL binlog
     * actually ships: a `DeleteRowsEvent` carries the deleted row's full
     * values (its before image), not NULLs. The delete's payload is the

@@ -1846,7 +1846,8 @@ object StreamingOps {
       schema: org.apache.spark.sql.types.StructType,
       in: String, ckpt: String, state: String, mv: String,
       keyCols: Seq[String] = Seq("okey"),
-      groupCol: String = "status"): Unit = {
+      groupCol: String = "status",
+      enrich: DataFrame => DataFrame = identity): Unit = {
     val mvSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField(groupCol, StringType),
       org.apache.spark.sql.types.StructField("n_rows",
@@ -1862,8 +1863,13 @@ object StreamingOps {
             // the destination table's own delta — same fold as runCdcPass
             bw.write.mode("overwrite").parquet(s"$state/epoch=$epochId")
             val newImg = collapse(envelope(oldImg.unionByName(bw)), keyCols)
+            // `enrich` is the JOIN-MV hook (ST32): a pure per-image
+            // lookup against STATIC dimensions (broadcast), applied to
+            // both sides of the delta — Δ(R ⋈ S) = ΔR ⋈ S when S is
+            // fixed, so only the touched images ever join, never the
+            // table. groupCol names a column of the ENRICHED frame.
             def sideAgg(df: DataFrame, n: String, t: String): DataFrame =
-              df.filter(col("op") =!= "D")
+              enrich(df.filter(col("op") =!= "D"))
                 .groupBy(col(groupCol)).agg(count(lit(1)).as(n),
                   sum(dec2(col("price"))).as(t))
             val delta = sideAgg(newImg, "n_add", "t_add")
@@ -2688,6 +2694,30 @@ object StreamingOps {
         .orderBy(col("status"))
     }),
 
+    // ST32: JOIN-MV — the aggregate MV's group key lives in STATIC
+    // dimension tables (customer → nation), joined per image at apply
+    // time: Δ(R ⋈ S) = ΔR ⋈ S for fixed S, so each batch joins only its
+    // touched images against the broadcast dims — the fact table never
+    // re-joins. The ClickHouse analogue: an MV whose SELECT joins the
+    // replicated fact to dictionary/dimension tables.
+    "cdc_mv_join" -> ((s, dir) => {
+      val log = Tables.cdcLogDim(s, dir)
+      val dim = Tables.t(s, dir, "customer")
+        .join(Tables.t(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey").as("custkey"), col("n_name").as("grp"))
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      writeWaves(log, in, col("seq") - 1, 3, Seq(col("okey")))
+      runMvSumPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state", s"$tmp/mv",
+        groupCol = "grp",
+        enrich = img => img.join(broadcast(dim), Seq("custkey")))
+      readMv(s, s"$tmp/mv")
+        .select(col("grp"), col("n_rows"),
+          col("total").cast(DoubleType).as("total"))
+        .orderBy(col("grp"))
+    }),
+
     // ST31: min/max MV — non-retractable, so maintenance recomputes only
     // the batch's DIRTY GROUPS from a group-partitioned snapshot (the
     // delete-the-current-min case a retraction delta cannot express).
@@ -3260,6 +3290,18 @@ object StreamingOps {
          SELECT status, count(*) AS n_rows,
                 CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM latest GROUP BY status ORDER BY status""",
+
+    "cdc_mv_join" ->
+      s"""WITH cdc_log_dim AS (${Tables.cdcLogDimSql}),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM cdc_log_dim),
+            latest AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D')
+         SELECT n.n_name AS grp, count(*) AS n_rows,
+                CAST(sum(CAST(l.price AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM latest l
+         JOIN customer c ON l.custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         GROUP BY 1 ORDER BY 1""",
 
     "cdc_mv_minmax" ->
       s"""WITH cdc_log AS (${Tables.cdcLogSql}),

@@ -137,6 +137,31 @@ class MvSpec extends SparkTestBase {
       Map("A" -> ((1L, 3.00, 3.00)), "B" -> ((1L, 2.00, 2.00))))
   }
 
+  test("join MV: group key lives in a static dim; migration and delete") {
+    import spark.implicits._
+    val dim = Seq((1L, "X"), (2L, "Y")).toDF("custkey", "grp")
+    def ev(rows: Seq[(String, Long, Long, Double, String, java.lang.Long)]) =
+      rows.toDF("op", "seq", "okey", "price", "status", "custkey")
+        .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("seq")))
+        .select(col("op"), col("seq"), col("ts"), col("okey"), col("price"),
+          col("status"), col("custkey"))
+    val e1 = ev(Seq(("I", 1L, 1L, 10.00, "A", 1L), ("I", 2L, 2L, 20.00, "A", 2L)))
+    // key 1 re-parented to customer 2 (dim group X -> Y); key 2 deleted
+    val e2 = ev(Seq(("U", 3L, 1L, 11.00, "A", 2L),
+      ("D", 4L, 2L, 0.0, null, null)))
+    val base = tmp()
+    StreamingOps.writeWave(e1, s"$base/in", 0)
+    StreamingOps.writeWave(e2, s"$base/in", 1)
+    StreamingOps.runMvSumPass(spark, e1.schema, s"$base/in", s"$base/ckpt",
+      s"$base/state", s"$base/mv", groupCol = "grp",
+      enrich = img => img.join(broadcast(dim), Seq("custkey")))
+    val served = StreamingOps.readMv(spark, s"$base/mv").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), BigDecimal(r.getDecimal(2)))))
+      .toMap
+    // X emptied by the migration, Y holds only key 1's updated image
+    assert(served == Map("Y" -> ((1L, BigDecimal("11.00")))))
+  }
+
   test("property: both MVs equal recompute over random logs and splits") {
     val statuses = Seq("A", "B", "C")
     val gen = for {
