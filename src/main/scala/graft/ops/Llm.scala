@@ -1364,6 +1364,30 @@ object Llm {
     // repartitionByRange stays oracle-deterministic — but the partitioned
     // input must be pinned (localCheckpoint) so the totals pass and the
     // assignment pass see the SAME sampled boundaries.
+    // L6i: GLOBAL TRAINING-ORDER SHUFFLE — a deterministic pseudo-random
+    // permutation of the corpus, reproducible from a seed, with NO global
+    // sort: the order IS the keyed hash (md5 of salt:doc_id), the shard
+    // is the hash's top hex digit, and the within-shard position is a
+    // per-shard window over the hash. At 100 TB this is exactly one
+    // hash exchange + per-shard local sort (write partitionBy(shard),
+    // sortWithinPartitions(h)) — shards sort independently across
+    // executors, readers stream shard 0..N-1 for the full permutation,
+    // and a new epoch's re-shuffle is a SALT CHANGE, not a data move.
+    // 16 shards here (one hex digit) keeps the oracle small; production
+    // sizes the prefix to the cluster (2 digits = 256, 3 = 4096 shards).
+    "llm_global_shuffle" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.t(s, dir, "documents").select(col("doc_id"),
+        md5(concat(lit("epoch0:"), col("doc_id").cast(StringType))).as("h"))
+      d.withColumn("shard",
+          expr("CAST(instr('0123456789abcdef', substring(h, 1, 1)) - 1 AS BIGINT)"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id")))
+          .cast(LongType))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    }),
+
     "llm_pack_shards" -> ((s, dir) => {
       val sp = s
       import sp.implicits._
@@ -2317,6 +2341,18 @@ object Llm {
                   AS n_kept
          FROM f"""
     },
+
+    "llm_global_shuffle" ->
+      """WITH t AS (SELECT doc_id,
+              md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS h
+            FROM documents),
+            s AS (SELECT doc_id, h,
+              CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS BIGINT)
+                AS shard FROM t)
+         SELECT doc_id, shard,
+                CAST(row_number() OVER (PARTITION BY shard
+                  ORDER BY h, doc_id) AS BIGINT) AS pos
+         FROM s ORDER BY shard, pos""",
 
     "llm_pack_shards" ->
       """WITH t AS (SELECT doc_id,

@@ -312,4 +312,42 @@ class LlmSpec extends SparkTestBase {
     val again = ops.Llm.queries("llm_stratified_split")(spark, sf)
     assert(split.exceptAll(again).isEmpty && again.exceptAll(split).isEmpty)
   }
+
+  test("global shuffle: a permutation, deterministic, salt-sensitive") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val sh = ops.Llm.queries("llm_global_shuffle")(spark, sf)
+    val docs = Tables.t(spark, sf, "documents")
+    // every document appears exactly once, positions are per-shard
+    // contiguous 1..n (a true permutation, not a sample)
+    assert(sh.count() == docs.count())
+    assert(sh.select("doc_id").distinct().count() == docs.count())
+    val perShard = sh.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), min(col("pos")).as("mn"),
+        max(col("pos")).as("mx"), countDistinct(col("pos")).as("nd"))
+      .collect()
+    perShard.foreach { r =>
+      assert(r.getLong(2) == 1L && r.getLong(3) == r.getLong(1) &&
+        r.getLong(4) == r.getLong(1), s"shard ${r.getLong(0)} not contiguous")
+    }
+    // deterministic: bit-identical on a re-run
+    val again = ops.Llm.queries("llm_global_shuffle")(spark, sf)
+    assert(sh.exceptAll(again).isEmpty)
+    // a different salt is a different permutation of the SAME docs —
+    // the epoch-reshuffle story (order changes, membership doesn't)
+    import org.apache.spark.sql.expressions.Window
+    val salted = Tables.t(spark, sf, "documents").select(col("doc_id"),
+      md5(concat(lit("epoch1:"), col("doc_id").cast(StringType))).as("h"))
+      .withColumn("shard",
+        expr("CAST(instr('0123456789abcdef', substring(h, 1, 1)) - 1 AS BIGINT)"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id")))
+        .cast(LongType))
+      .select(col("doc_id"), col("shard"), col("pos"))
+    assert(salted.count() == docs.count())
+    val moved = sh.join(salted, "doc_id")
+      .filter(sh("shard") =!= salted("shard") || sh("pos") =!= salted("pos"))
+    assert(moved.count() > docs.count() / 2,
+      "a salt change must re-deal most positions")
+  }
 }
