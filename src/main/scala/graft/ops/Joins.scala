@@ -4,7 +4,7 @@ import graft.Tables
 import graft.Tables.{dec2, D2}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** SURVEY.md §2.3 — joins.
   *
@@ -222,6 +222,39 @@ object Joins {
         .orderBy(col("nation_name"))
     }),
 
+    // J13b: HIERARCHICAL dictionary walk (ClickHouse dictGetHierarchy) —
+    // each key's full ancestor chain through a parent dictionary
+    // (customer → nation → region, ids offset into one key space).
+    // Spark-first shape: the parent dict BROADCASTS (dictionaries are
+    // dimension-sized by definition) and the walk is depth-many
+    // broadcast hash joins — scan-local per hop, no shuffle, exactly how
+    // ClickHouse bounds dictGetHierarchy by max hierarchy depth. The
+    // chain lands in ONE array column per key.
+    "dict_get_hierarchy" -> ((s, dir) => {
+      val leaf = Tables.t(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        (lit(1000L) + col("c_nationkey")).as("parent"))
+      val dict = Tables.t(s, dir, "nation").select(
+          (lit(1000L) + col("n_nationkey")).as("id"),
+          (lit(2000L) + col("n_regionkey")).as("parent"))
+        .unionByName(Tables.t(s, dir, "region").select(
+          (lit(2000L) + col("r_regionkey")).as("id"),
+          lit(null).cast(LongType).as("parent")))
+      var cur = leaf.select(col("id").as("key"),
+        array(col("id")).as("path"), col("parent"))
+      for (_ <- 1 to 2) { // hierarchy depth above the leaf
+        cur = cur.join(broadcast(dict.select(col("id").as("_pid"),
+            col("parent").as("_pp"))),
+            cur("parent") === col("_pid"), "left")
+          .select(col("key"),
+            when(col("_pid").isNotNull,
+              concat(col("path"), array(col("_pid"))))
+              .otherwise(col("path")).as("path"),
+            col("_pp").as("parent"))
+      }
+      cur.select(col("key"), col("path")).orderBy(col("key"))
+    }),
+
     // J9: as-of join — for each purchase event, the user's latest click at
     // or before it. Range join + per-purchase argmax (row_number desc = 1).
     "join_asof_event_order" -> ((s, dir) => {
@@ -349,6 +382,24 @@ object Joins {
                                     WHERE n_nationkey < 15) n
            ON c.c_nationkey = n.n_nationkey
          GROUP BY 1 ORDER BY nation_name""",
+
+    "dict_get_hierarchy" ->
+      """WITH RECURSIVE dict AS (
+              SELECT CAST(1000 + n_nationkey AS BIGINT) AS id,
+                     CAST(2000 + n_regionkey AS BIGINT) AS parent
+              FROM nation
+              UNION ALL
+              SELECT CAST(2000 + r_regionkey AS BIGINT),
+                     CAST(NULL AS BIGINT) FROM region),
+            walk AS (
+              SELECT CAST(c_custkey AS BIGINT) AS key,
+                     [CAST(c_custkey AS BIGINT)] AS path,
+                     CAST(1000 + c_nationkey AS BIGINT) AS parent
+              FROM customer
+              UNION ALL
+              SELECT w.key, list_append(w.path, d.id), d.parent
+              FROM walk w JOIN dict d ON w.parent = d.id)
+         SELECT key, path FROM walk WHERE parent IS NULL ORDER BY key""",
 
     "join_asof_event_order" ->
       """WITH p AS (SELECT event_id p_id, user_id p_user, ts p_ts FROM events

@@ -44,6 +44,16 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
 
+  test("hierarchy walk is broadcast hops only — no shuffle on the fact side") {
+    val plan = physical("dict_get_hierarchy")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dictionary hops must broadcast:\n$plan")
+    // the walk's only exchange is the final presentation sort — the
+    // per-hop joins keep the fact side scan-local
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"a dictionary hop shuffled the fact side:\n$plan")
+  }
+
   test("brute-force topk broadcasts the query side, not the corpus") {
     val plan = physical("llm_sim_topk")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
