@@ -163,6 +163,32 @@ object Replication {
     SyncProgress(rows, epochs, lastSeq, pending, srcMax)
   }
 
+  /** Incremental sync that ALSO keeps an aggregate VIEW in step — the
+    * ClickHouse "replicated table + MV" pair as one facade call, against
+    * a full CDC stream (updates and deletes included, which insert-only
+    * MVs cannot absorb — see the IVM passes in [[streaming.StreamingOps]]).
+    * `minMax = false` maintains `groupCol → (n_rows, total = sum(price))`
+    * by retraction deltas; `minMax = true` maintains
+    * `groupCol → (n_rows, mn, mx)` by dirty-group recompute over a
+    * group-partitioned snapshot (kept under `mvDir/_snap`). `enrich`
+    * (sum mode only) joins each delta image against broadcast static
+    * dimensions before grouping — the join-MV shape. Returns the pass's
+    * progress and the SERVED view. */
+  def incrementalSyncWithView(spark: SparkSession, schema: StructType,
+      inDir: String, ckptDir: String, stateDir: String, mvDir: String,
+      groupCol: String = "status", minMax: Boolean = false,
+      keyCols: Seq[String] = Seq("okey"),
+      enrich: DataFrame => DataFrame = identity)
+      : (SyncProgress, DataFrame) = {
+    val (rows, epochs) =
+      if (minMax) streaming.StreamingOps.runMvMinMaxPass(spark, schema,
+        inDir, ckptDir, stateDir, s"$mvDir/_snap", mvDir, keyCols, groupCol)
+      else streaming.StreamingOps.runMvSumPass(spark, schema, inDir,
+        ckptDir, stateDir, mvDir, keyCols, groupCol, enrich)
+    (SyncProgress(rows, epochs, None),
+      streaming.StreamingOps.readMv(spark, mvDir))
+  }
+
   /** An opaque source-native POSITION token decoded to the engine's
     * monotone `seq` — the reference's `--position` surface. A real
     * source names positions in its own dialect:

@@ -1878,7 +1878,7 @@ object StreamingOps {
       in: String, ckpt: String, state: String, mv: String,
       keyCols: Seq[String] = Seq("okey"),
       groupCol: String = "status",
-      enrich: DataFrame => DataFrame = identity): Unit = {
+      enrich: DataFrame => DataFrame = identity): (Long, Long) = {
     val mvSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField(groupCol, StringType),
       org.apache.spark.sql.types.StructField("n_rows",
@@ -1889,9 +1889,13 @@ object StreamingOps {
     // must not pay a mergeSchema footer sweep per trigger
     ensureStateSchema(state, collapse(envelope(s.createDataFrame(
       new java.util.ArrayList[Row](), schema)), keyCols).schema)
-    val (_, _) = runSourcePass(s, FileCdcSource(schema, in), ckpt) {
+    runSourcePass(s, FileCdcSource(schema, in), ckpt) {
       (batch, epochId) =>
-        val images = mvImages(s, state, epochId, batch.toDF(), keyCols)
+        // pin the batch: the old-image semi-join's broadcast subtree is
+        // OUTSIDE the images cache and would re-scan the file source
+        // (inflating numInputRows — the runCdcPass multi-action rule)
+        val bdf = batch.toDF().persist()
+        val images = mvImages(s, state, epochId, bdf, keyCols)
           .persist()
         try {
           // the destination table's own delta — same fold as runCdcPass
@@ -1928,7 +1932,7 @@ object StreamingOps {
           mvNew.write.mode("overwrite").parquet(s"$mv/epoch=$epochId")
           StateFs.epochIds(mv).filter(_ < epochId - 1)
             .foreach(e => StateFs.deleteRecursive(s"$mv/epoch=$e"))
-        } finally { images.unpersist(); () }
+        } finally { images.unpersist(); bdf.unpersist(); () }
     }
   }
 
@@ -1976,7 +1980,7 @@ object StreamingOps {
       schema: org.apache.spark.sql.types.StructType,
       in: String, ckpt: String, state: String, snap: String, mv: String,
       keyCols: Seq[String] = Seq("okey"),
-      groupCol: String = "status"): Unit = {
+      groupCol: String = "status"): (Long, Long) = {
     val mvSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField(groupCol, StringType),
       org.apache.spark.sql.types.StructField("n_rows",
@@ -1991,9 +1995,12 @@ object StreamingOps {
       new java.util.ArrayList[Row](), schema)), keyCols).schema
     ensureStateSchema(snap, snapSchema)
     ensureStateSchema(state, snapSchema) // pinned old-image reads
-    val (_, _) = runSourcePass(s, FileCdcSource(schema, in), ckpt) {
+    runSourcePass(s, FileCdcSource(schema, in), ckpt) {
       (batch, epochId) =>
-        val images = mvImages(s, state, epochId, batch.toDF(), keyCols)
+        // pin the batch (see the sum pass's note on the semi-join's
+        // broadcast subtree re-scanning the source)
+        val bdf = batch.toDF().persist()
+        val images = mvImages(s, state, epochId, bdf, keyCols)
           .persist()
         try {
           mvView(images, "bwin", keyCols)
@@ -2064,7 +2071,7 @@ object StreamingOps {
           }
           StateFs.epochIds(mv).filter(_ < epochId - 1)
             .foreach(e => StateFs.deleteRecursive(s"$mv/epoch=$e"))
-        } finally { images.unpersist(); () }
+        } finally { images.unpersist(); bdf.unpersist(); () }
     }
   }
 

@@ -53,6 +53,43 @@ class ReplicationSpec extends SparkTestBase {
     assert(!new java.io.File(s"$dest/customer").exists())
   }
 
+  test("sync with view: table and MV advance together through the facade") {
+    val base = tmp()
+    val log = Tables.cdcLog(spark, sf)
+    (1 to 3).foreach(w => graft.streaming.StreamingOps.writeWave(
+      log.filter(col("seq") === w), s"$base/in", w - 1))
+    val (prog, view) = Replication.incrementalSyncWithView(spark, log.schema,
+      s"$base/in", s"$base/ckpt", s"$base/state", s"$base/mv")
+    assert(prog.rowsApplied == log.count() && prog.epochs == 3)
+    // the destination table advanced exactly like a plain sync…
+    val applied = Replication.appliedState(spark, s"$base/state")
+      .collect().map(_.toSeq).toSet
+    assert(applied == q("agg_latest_by_version").collect().map(_.toSeq).toSet)
+    // …and the served view equals the group-by over that state
+    val expect = q("agg_latest_by_version").groupBy(col("status"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n_rows"),
+        sum(Tables.dec2(col("price"))).cast(Tables.D2).as("total"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), BigDecimal(r.getDecimal(2))))).toMap
+    val got = view.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), BigDecimal(r.getDecimal(2))))).toMap
+    assert(got == expect)
+    // min/max mode over the same log, fresh dirs
+    val b2 = tmp()
+    (1 to 3).foreach(w => graft.streaming.StreamingOps.writeWave(
+      log.filter(col("seq") === w), s"$b2/in", w - 1))
+    val (_, mm) = Replication.incrementalSyncWithView(spark, log.schema,
+      s"$b2/in", s"$b2/ckpt", s"$b2/state", s"$b2/mv", minMax = true)
+    val mmExpect = q("agg_latest_by_version").groupBy(col("status"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n_rows"),
+        min(col("price")).as("mn"), max(col("price")).as("mx"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val mmGot = mm.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(mmGot == mmExpect)
+  }
+
   test("incremental sync applies waves; applied state == batch collapse") {
     val base = tmp()
     val log = Tables.cdcLog(spark, sf)
