@@ -1493,7 +1493,8 @@ object StreamingOps {
     * Returns (inserted, updated, deleted). */
   private[graft] def repairState(s: SparkSession, src: DataFrame,
       state: String, keyCols: Seq[String] = Seq("okey"),
-      pendingRoot: Option[String] = None): (Long, Long, Long) = {
+      pendingRoot: Option[String] = None,
+      restrict: Option[Column] = None): (Long, Long, Long) = {
     // the key is the STATE DIR's property ([[readKeyCols]]); a repair
     // declaring a different one would diff apples against oranges
     val published = readKeyCols(state)
@@ -1511,16 +1512,6 @@ object StreamingOps {
       s"repair source carries column(s) the destination never saw: " +
         s"${gainedCols.mkString(", ")} — a row-level repair cannot retrofit " +
         "schema; replicate the DDL (or re-snapshot) first")
-    // the diff's full-outer join REQUIRES unique source keys: a duplicate
-    // would fan out its key's row, write several same-seq corrections, and
-    // let max_by pick an arbitrary winner — assert loudly (one tiny
-    // 2-column aggregate) instead of corrupting silently
-    val uniq = src.agg(count(lit(1)),
-      count_distinct(col(keyCols.head), keyCols.tail.map(col): _*)).collect()(0)
-    require(uniq.getLong(0) == uniq.getLong(1),
-      s"repair source holds ${uniq.getLong(0)} rows over ${uniq.getLong(1)} " +
-        s"distinct (${keyCols.mkString(", ")}) values — the source of truth " +
-        "must be one row per key")
     val raw = readStateDir(s, state)
     val m = raw.agg(max(col("seq"))).collect()(0)
     val appliedMax = if (m.isNullAt(0)) 0L else m.getLong(0)
@@ -1532,8 +1523,24 @@ object StreamingOps {
       }.getOrElse(0L)
     val repairSeq = math.max(appliedMax, pendingMax) + 1L
     val epoch = math.min(-1L, StateFs.epochIds(state).minOption.getOrElse(0L) - 1L)
-    val sv = src.select((keyCols ++ valueCols).map(col): _*)
-    val dv = dst.select((keyCols ++ valueCols).map(col): _*)
+    // chunk-restricted repair (the pt-table-checksum fix flow): the
+    // SAME key-derived predicate gates both sides before the diff, so
+    // the expensive full-outer join runs over the dirty chunks only —
+    // keys outside them can never enter, let alone be "repaired"
+    val sv = restrict.foldLeft(
+      src.select((keyCols ++ valueCols).map(col): _*))(_.filter(_))
+    val dv = restrict.foldLeft(
+      dst.select((keyCols ++ valueCols).map(col): _*))(_.filter(_))
+    // the diff's full-outer join REQUIRES unique source keys (a duplicate
+    // would fan out its key's row and let max_by pick an arbitrary
+    // winner) — asserted on the RESTRICTED source, so a chunked repair's
+    // guard scans only the dirty chunks it will diff
+    val uniq = sv.agg(count(lit(1)),
+      count_distinct(col(keyCols.head), keyCols.tail.map(col): _*)).collect()(0)
+    require(uniq.getLong(0) == uniq.getLong(1),
+      s"repair source holds ${uniq.getLong(0)} rows over ${uniq.getLong(1)} " +
+        s"distinct (${keyCols.mkString(", ")}) values — the source of truth " +
+        "must be one row per key")
     val joined = sv.withColumn("__s", lit(true)).as("s")
       .join(dv.withColumn("__d", lit(true)).as("d"),
         keyCols.map(k => col(s"s.$k") <=> col(s"d.$k")).reduce(_ && _),

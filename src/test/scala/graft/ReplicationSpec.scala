@@ -865,6 +865,46 @@ class ReplicationSpec extends SparkTestBase {
       .consistent)
   }
 
+  test("chunked checksum localizes divergence; chunk-bounded repair heals only dirty chunks") {
+    val base = tmp()
+    val log = Tables.cdcLog(spark, sf)
+    (1 to 3).foreach(w => graft.streaming.StreamingOps.writeWave(
+      log.filter(col("seq") === w), s"$base/in", w - 1))
+    Replication.incrementalSync(spark, log.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state")
+    val served = Replication.appliedState(spark, s"$base/state").drop("op")
+    val nChunks = 16
+    // a clean run: every chunk consistent
+    val clean = Replication.consistencyCheckChunked(served, served,
+      Seq("okey"), nChunks)
+    assert(clean.forall(_.consistent))
+    // drift TWO keys in the source of truth; note their chunks
+    val keys = served.orderBy(col("okey")).limit(2).collect().map(_.getLong(0))
+    val expectDirty = served.filter(col("okey").isin(keys.toSeq: _*))
+      .select(pmod(xxhash64(col("okey")), lit(nChunks.toLong)))
+      .collect().map(_.getLong(0)).toSet
+    val src = served.withColumn("price",
+        when(col("okey").isin(keys.toSeq: _*), col("price") + 500.0)
+          .otherwise(col("price")))
+      .localCheckpoint()
+    val reports = Replication.consistencyCheckChunked(src, served,
+      Seq("okey"), nChunks)
+    val dirty = reports.filterNot(_.consistent).map(_.chunk)
+    // exactly the drifted keys' chunks flag — no false positives
+    assert(dirty.toSet == expectDirty, s"dirty=$dirty expect=$expectDirty")
+    // counts still match chunk-by-chunk (pure value drift), checksums don't
+    assert(reports.filterNot(_.consistent).forall(r => r.nSrc == r.nDst))
+    // bounded repair: only the dirty chunks' keys are diffed and healed
+    val rep = Replication.repairSyncChunked(spark, src, s"$base/state",
+      dirty, nChunks)
+    assert(rep == Replication.RepairReport(0, keys.length, 0), s"got $rep")
+    val after = Replication.appliedState(spark, s"$base/state").drop("op")
+    assert(Replication.consistencyCheck(src, after, "okey").consistent)
+    // empty dirty list is a no-op
+    assert(Replication.repairSyncChunked(spark, src, s"$base/state",
+      Seq.empty, nChunks).repaired == 0L)
+  }
+
   test("repair converges arbitrary random divergence to the source of truth") {
     val base = tmp()
     val log = Tables.cdcLog(spark, sf)
