@@ -1994,6 +1994,30 @@ object StreamingOps {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("mn", DoubleType),
       org.apache.spark.sql.types.StructField("mx", DoubleType)))
+    runMvRecomputePass(s, schema, in, ckpt, state, snap, mv, keyCols,
+      groupCol, mvSchema,
+      snapRows => snapRows.groupBy(col(groupCol))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("price")).as("mn"), max(col("price")).as("mx")))
+  }
+
+  /** The GENERAL dirty-group MV pass [[runMvMinMaxPass]] is an instance
+    * of: any per-group view that is NOT delta-maintainable (min/max,
+    * top-K, distinct lists, medians) advances by recomputing ONLY the
+    * batch's dirty groups from the group-partitioned snapshot;
+    * `recompute` maps the dirty groups' fresh snapshot rows (collapsed,
+    * alive, envelope-shaped, already partition-pruned) to their MV rows
+    * — one or MANY rows per group (top-K emits K) — and `mvSchema`
+    * declares the view's shape with `groupCol` first. Untouched groups'
+    * MV rows carry forward untouched; everything else (snapshot
+    * advance, pointer map, replay safety, pruning) is the machinery
+    * documented on [[runMvMinMaxPass]]. */
+  private[graft] def runMvRecomputePass(s: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      in: String, ckpt: String, state: String, snap: String, mv: String,
+      keyCols: Seq[String], groupCol: String,
+      mvSchema: org.apache.spark.sql.types.StructType,
+      recompute: DataFrame => DataFrame): (Long, Long) = {
     ensureStateSchema(mv, mvSchema)
     // the snapshot's schema: the collapse's output columns (derived from
     // a driver-side probe so any keyCols order works) — published so
@@ -2057,12 +2081,9 @@ object StreamingOps {
               .foreach(e => StateFs.deleteRecursive(s"$snap/_ptr/epoch=$e"))
             // recompute ONLY the dirty groups, from their fresh
             // partitions (partition-pruned, schema-pinned read)
-            val recomputed = s.read.schema(snapSchema)
+            val recomputed = recompute(s.read.schema(snapSchema)
               .parquet(s"$snap/epoch=$epochId")
-              .filter(col(groupCol).isin(dirty.toSeq: _*))
-              .groupBy(col(groupCol))
-              .agg(count(lit(1)).as("n_rows"),
-                min(col("price")).as("mn"), max(col("price")).as("mx"))
+              .filter(col(groupCol).isin(dirty.toSeq: _*)))
             val carried = latestMvBelow(s, mv, epochId)
               .map(_.filter(!col(groupCol).isin(dirty.toSeq: _*)))
               .getOrElse(recomputed.filter(lit(false)))
@@ -2771,6 +2792,35 @@ object StreamingOps {
         .orderBy(col("grp"))
     }),
 
+    // ST33: TOP-K MV — the general dirty-group recompute regime: the
+    // per-group top-3 orders by price is not delta-maintainable (a
+    // delete of a top row must promote the 4th, which the view no
+    // longer holds), so dirty groups recompute from their snapshot
+    // partitions while untouched groups' K rows carry forward.
+    "cdc_mv_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val log = Tables.cdcLog(s, dir)
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      writeWaves(log, in, col("seq") - 1, 3, Seq(col("okey")))
+      val mvSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("status", StringType),
+        org.apache.spark.sql.types.StructField("rnk",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("okey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("price", DoubleType)))
+      runMvRecomputePass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state",
+        s"$tmp/snap", s"$tmp/mv", Seq("okey"), "status", mvSchema,
+        rows => rows.withColumn("rnk", row_number().over(
+            Window.partitionBy(col("status"))
+              .orderBy(desc("price"), col("okey"))).cast(
+            org.apache.spark.sql.types.LongType))
+          .filter(col("rnk") <= 3)
+          .select(col("status"), col("rnk"), col("okey"), col("price")))
+      readMv(s, s"$tmp/mv").orderBy(col("status"), col("rnk"))
+    }),
+
     // ST31: min/max MV — non-retractable, so maintenance recomputes only
     // the batch's DIRTY GROUPS from a group-partitioned snapshot (the
     // delete-the-current-min case a retraction delta cannot express).
@@ -3355,6 +3405,18 @@ object StreamingOps {
          JOIN customer c ON l.custkey = c.c_custkey
          JOIN nation n ON c.c_nationkey = n.n_nationkey
          GROUP BY 1 ORDER BY 1""",
+
+    "cdc_mv_topk" ->
+      s"""WITH cdc_log AS (${Tables.cdcLogSql}),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM cdc_log),
+            latest AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D'),
+            t AS (SELECT status, okey, price,
+                    CAST(row_number() OVER (PARTITION BY status
+                      ORDER BY price DESC, okey) AS BIGINT) AS rnk
+                  FROM latest)
+         SELECT status, rnk, okey, price FROM t
+         WHERE rnk <= 3 ORDER BY status, rnk""",
 
     "cdc_mv_minmax" ->
       s"""WITH cdc_log AS (${Tables.cdcLogSql}),

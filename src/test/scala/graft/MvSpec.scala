@@ -137,6 +137,43 @@ class MvSpec extends SparkTestBase {
       Map("A" -> ((1L, 3.00, 3.00)), "B" -> ((1L, 2.00, 2.00))))
   }
 
+  test("topk MV: deleting a top row promotes the runner-up from the snapshot") {
+    import org.apache.spark.sql.expressions.Window
+    val mvSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("status",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("rnk",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("okey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("price",
+        org.apache.spark.sql.types.DoubleType)))
+    def top2(rows: org.apache.spark.sql.DataFrame) =
+      rows.withColumn("rnk", row_number().over(
+          Window.partitionBy(col("status"))
+            .orderBy(desc("price"), col("okey")))
+          .cast(org.apache.spark.sql.types.LongType))
+        .filter(col("rnk") <= 2)
+        .select(col("status"), col("rnk"), col("okey"), col("price"))
+    // 4 keys in A: top2 = {9, 7}; the delete of key 4 (price 9) must
+    // promote key 3 (price 5) into the view — a row the K-row MV no
+    // longer held, recoverable only from the snapshot
+    val e1 = Seq(MvEv("I", 1, 1, 7.00, "A"), MvEv("I", 2, 2, 3.00, "A"),
+      MvEv("I", 3, 3, 5.00, "A"), MvEv("I", 4, 4, 9.00, "A"),
+      MvEv("I", 5, 9, 1.00, "B"))
+    val e2 = Seq(MvEv("D", 6, 4, 0.00, null))
+    val base = tmp()
+    writeEpochs(base, Seq(e1, e2))
+    StreamingOps.runMvRecomputePass(spark, evDf(Seq.empty).schema,
+      s"$base/in", s"$base/ckpt", s"$base/state", s"$base/snap", s"$base/mv",
+      Seq("okey"), "status", mvSchema, top2)
+    val got = StreamingOps.readMv(spark, s"$base/mv").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == Set(("A", 1L, 1L, 7.00), ("A", 2L, 3L, 5.00),
+      ("B", 1L, 9L, 1.00)))
+  }
+
   test("join MV: group key lives in a static dim; migration and delete") {
     import spark.implicits._
     val dim = Seq((1L, "X"), (2L, "Y")).toDF("custkey", "grp")
