@@ -1943,6 +1943,71 @@ object StreamingOps {
     }
   }
 
+  /** Seed a destination state dir + SUM MV from an existing SNAPSHOT
+    * table (the `--full`-then-`--increment` operator flow, MV included):
+    * the snapshot lands as the BASELINE epoch (`epoch=-1`, `op='I'`,
+    * `seq=0` — the compaction convention: negative epochs are folded
+    * baselines, exempt from the purge gate), and the MV's first
+    * snapshot is one group-by over it. A subsequent [[runMvSumPass]]
+    * continues incrementally with NO special case: its old-image lookup
+    * reads `epoch < 0` like any prior delta, and `latestMvBelow(0)`
+    * finds the seeded view. `snapshot` must carry the key plus the
+    * envelope payload columns (`price`, `status`, `ts`, extras) — one
+    * row per key, asserted. */
+  private[graft] def mvSeedSum(s: SparkSession, snapshot: DataFrame,
+      state: String, mv: String, keyCols: Seq[String] = Seq("okey"),
+      groupCol: String = "status",
+      enrich: DataFrame => DataFrame = identity): Unit = {
+    val base = mvSeedState(s, snapshot, state, keyCols)
+    val mvDf = enrich(base)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec2(col("price"))).cast(D2).as("total"))
+    ensureStateSchema(mv, mvDf.schema)
+    mvDf.write.mode("overwrite").parquet(s"$mv/epoch=-1")
+  }
+
+  /** [[mvSeedSum]] for the dirty-group family ([[runMvRecomputePass]]):
+    * seeds the state baseline, the group-partitioned snapshot (every
+    * group's pointer at epoch −1), and the view itself via `recompute`
+    * over the full seeded snapshot — the ONE full-table recompute the
+    * regime ever pays. */
+  private[graft] def mvSeedRecompute(s: SparkSession, snapshot: DataFrame,
+      state: String, snap: String, mv: String,
+      keyCols: Seq[String] = Seq("okey"), groupCol: String = "status",
+      recompute: DataFrame => DataFrame): Unit = {
+    val base = mvSeedState(s, snapshot, state, keyCols)
+    ensureStateSchema(snap, base.schema)
+    base.write.mode("overwrite").partitionBy(groupCol)
+      .parquet(s"$snap/epoch=-1")
+    val groups = s.read.schema(base.schema).parquet(s"$snap/epoch=-1")
+      .select(col(groupCol)).filter(col(groupCol).isNotNull)
+      .distinct().collect().map(_.getString(0))
+    StateFs.writeAtomic(s"$snap/_ptr/epoch=-1",
+      groups.map(g => s"$g\t-1").mkString("\n"))
+    val mvDf = recompute(
+      s.read.schema(base.schema).parquet(s"$snap/epoch=-1"))
+    ensureStateSchema(mv, mvDf.schema)
+    mvDf.write.mode("overwrite").parquet(s"$mv/epoch=-1")
+  }
+
+  /** Shared seeding step: snapshot → baseline state epoch, returned in
+    * envelope/collapse shape for the view aggregate. */
+  private def mvSeedState(s: SparkSession, snapshot: DataFrame,
+      state: String, keyCols: Seq[String]): DataFrame = {
+    val uniq = snapshot.agg(count(lit(1)),
+      count_distinct(col(keyCols.head), keyCols.tail.map(col): _*)).collect()(0)
+    require(uniq.getLong(0) == uniq.getLong(1),
+      s"seed snapshot holds ${uniq.getLong(0)} rows over ${uniq.getLong(1)} " +
+        s"distinct (${keyCols.mkString(", ")}) values — one row per key")
+    val envl = collapse(envelope(
+      snapshot.withColumn("op", lit("I")).withColumn("seq", lit(0L))),
+      keyCols)
+    ensureStateSchema(state, envl.schema)
+    envl.write.mode("overwrite").parquet(s"$state/epoch=-1")
+    s.read.schema(envl.schema).parquet(s"$state/epoch=-1")
+  }
+
   /** Pointer map for the group-partitioned snapshot ([[runMvMinMaxPass]]):
     * `group → epoch whose partition holds the group's current rows`.
     * Epoch-keyed under `snap/_ptr/epoch=K` (tab-separated lines), read

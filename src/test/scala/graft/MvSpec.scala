@@ -199,6 +199,54 @@ class MvSpec extends SparkTestBase {
     assert(served == Map("Y" -> ((1L, BigDecimal("11.00")))))
   }
 
+  test("seeded MVs: snapshot baseline + incremental ingest == full recompute") {
+    import org.apache.spark.sql.expressions.Window
+    // snapshot = the state after e1; the stream then delivers e2, e3
+    val e1 = Seq(MvEv("I", 1, 1, 7.00, "A"), MvEv("I", 2, 2, 3.00, "A"),
+      MvEv("I", 3, 3, 5.00, "B"), MvEv("I", 4, 4, 9.00, "B"))
+    val e2 = Seq(MvEv("U", 5, 2, 8.00, "B"), MvEv("D", 6, 4, 0.00, null))
+    val e3 = Seq(MvEv("I", 7, 5, 2.00, "A"), MvEv("D", 8, 1, 0.00, null))
+    val all = e1 ++ e2 ++ e3
+    val snapshot = evDf(e1).drop("op", "seq") // one alive row per key
+    // SUM regime
+    val b1 = tmp()
+    StreamingOps.mvSeedSum(spark, snapshot, s"$b1/state", s"$b1/mv")
+    writeEpochs(b1, Seq(e2, e3))
+    StreamingOps.runMvSumPass(spark, evDf(Seq.empty).schema, s"$b1/in",
+      s"$b1/ckpt", s"$b1/state", s"$b1/mv")
+    assert(servedSum(s"$b1/mv") == refSum(all))
+    // DIRTY-GROUP regime (top-2)
+    val mvSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("status",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("rnk",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("okey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("price",
+        org.apache.spark.sql.types.DoubleType)))
+    def top2(rows: org.apache.spark.sql.DataFrame) =
+      rows.withColumn("rnk", row_number().over(
+          Window.partitionBy(col("status"))
+            .orderBy(desc("price"), col("okey")))
+          .cast(org.apache.spark.sql.types.LongType))
+        .filter(col("rnk") <= 2)
+        .select(col("status"), col("rnk"), col("okey"), col("price"))
+    val b2 = tmp()
+    StreamingOps.mvSeedRecompute(spark, snapshot, s"$b2/state", s"$b2/snap",
+      s"$b2/mv", Seq("okey"), "status", top2)
+    writeEpochs(b2, Seq(e2, e3))
+    StreamingOps.runMvRecomputePass(spark, evDf(Seq.empty).schema,
+      s"$b2/in", s"$b2/ckpt", s"$b2/state", s"$b2/snap", s"$b2/mv",
+      Seq("okey"), "status", mvSchema, top2)
+    val got = StreamingOps.readMv(spark, s"$b2/mv").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // final alive: 1 gone, 2 -> B 8.00, 3 B 5.00, 4 gone, 5 A 2.00
+    assert(got == Set(("A", 1L, 5L, 2.00),
+      ("B", 1L, 2L, 8.00), ("B", 2L, 3L, 5.00)))
+  }
+
   test("property: both MVs equal recompute over random logs and splits") {
     val statuses = Seq("A", "B", "C")
     val gen = for {
