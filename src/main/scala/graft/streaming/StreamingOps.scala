@@ -2462,6 +2462,34 @@ object StreamingOps {
         .orderBy(col("tbl"), col("okey"))
     }),
 
+    // ST34: SHARDED DESTINATION (the ClickHouse Distributed-engine
+    // topology, reversed from ST29's shard MERGE): ONE table's change
+    // stream fans out to N shard state dirs by key hash — the
+    // destination too big for one node writes as N co-equal shards,
+    // each an ordinary state dir (own compaction, own reads), and a
+    // logical read is the shard union. The shard key is a scan-local
+    // hash of the PRIMARY KEY, so every event of a key lands on one
+    // shard deterministically (latest-wins collapse stays per-shard
+    // local — the whole point: no cross-shard shuffle ever), and the
+    // fan-out reuses the multi-table pass's single partitionBy job.
+    // The union read must equal the unsharded collapse bit for bit.
+    "cdc_sharded_dest" -> ((s, dir) => {
+      val nShards = 4
+      val log = Tables.cdcLog(s, dir).withColumn("table",
+        concat(lit("shard_"),
+          pmod(xxhash64(col("okey")), lit(nShards.toLong))))
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      writeWaves(log, in, col("seq") - 1, 3, Seq(col("okey")))
+      val dirs = (0 until nShards)
+        .map(i => s"shard_$i" -> s"$tmp/state_$i").toMap
+      runCdcPassMulti(s, log.schema, in, s"$tmp/ckpt", dirs)
+      dirs.values.toSeq.sorted
+        .map(d => readLatestState(s, d))
+        .reduce(_.unionByName(_))
+        .orderBy(col("okey"))
+    }),
+
     // ST-ROUTE: TABLE ROUTING / SHARD MERGE under the oracle gate — the
     // rename-and-merge config of this tool class: the binlog carries two
     // sharded source tables (t_shard_0 / t_shard_1, split by okey
@@ -3536,6 +3564,10 @@ object StreamingOps {
                 okey, op, price, status, ts
          FROM ranked WHERE rn = 1 AND op <> 'D'
          ORDER BY tbl, okey""",
+
+    // sharding is storage layout, not semantics: the union read over N
+    // hash shards must equal the plain unsharded collapse
+    "cdc_sharded_dest" -> latestStateSql,
 
     "stream_cdc_multi_table" ->
       s"""WITH cdc_log AS (${Tables.cdcLogSql}),
