@@ -1885,7 +1885,19 @@ object StreamingOps {
       in: String, ckpt: String, state: String, mv: String,
       keyCols: Seq[String] = Seq("okey"),
       groupCol: String = "status",
+      enrich: DataFrame => DataFrame = identity): (Long, Long) =
+    runMvSumPassSource(s, FileCdcSource(schema, in), ckpt, state, mv,
+      keyCols, groupCol, enrich)
+
+  /** [[runMvSumPass]] over an arbitrary [[CdcSource]] transport — the
+    * MV maintains identically from files, a MemoryStream, or a real
+    * Kafka+Debezium feed (spec-proved over the memory transport). */
+  private[graft] def runMvSumPassSource(s: SparkSession, source: CdcSource,
+      ckpt: String, state: String, mv: String,
+      keyCols: Seq[String] = Seq("okey"),
+      groupCol: String = "status",
       enrich: DataFrame => DataFrame = identity): (Long, Long) = {
+    val schema = source.schema
     val mvSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField(groupCol, StringType),
       org.apache.spark.sql.types.StructField("n_rows",
@@ -1896,7 +1908,7 @@ object StreamingOps {
     // must not pay a mergeSchema footer sweep per trigger
     ensureStateSchema(state, collapse(envelope(s.createDataFrame(
       new java.util.ArrayList[Row](), schema)), keyCols).schema)
-    runSourcePass(s, FileCdcSource(schema, in), ckpt) {
+    runSourcePass(s, source, ckpt) {
       (batch, epochId) =>
         // pin the batch: the old-image semi-join's broadcast subtree is
         // OUTSIDE the images cache and would re-scan the file source
@@ -2082,7 +2094,18 @@ object StreamingOps {
       in: String, ckpt: String, state: String, snap: String, mv: String,
       keyCols: Seq[String], groupCol: String,
       mvSchema: org.apache.spark.sql.types.StructType,
+      recompute: DataFrame => DataFrame): (Long, Long) =
+    runMvRecomputePassSource(s, FileCdcSource(schema, in), ckpt, state,
+      snap, mv, keyCols, groupCol, mvSchema, recompute)
+
+  /** [[runMvRecomputePass]] over an arbitrary [[CdcSource]]. */
+  private[graft] def runMvRecomputePassSource(s: SparkSession,
+      source: CdcSource,
+      ckpt: String, state: String, snap: String, mv: String,
+      keyCols: Seq[String], groupCol: String,
+      mvSchema: org.apache.spark.sql.types.StructType,
       recompute: DataFrame => DataFrame): (Long, Long) = {
+    val schema = source.schema
     ensureStateSchema(mv, mvSchema)
     // the snapshot's schema: the collapse's output columns (derived from
     // a driver-side probe so any keyCols order works) — published so
@@ -2091,7 +2114,7 @@ object StreamingOps {
       new java.util.ArrayList[Row](), schema)), keyCols).schema
     ensureStateSchema(snap, snapSchema)
     ensureStateSchema(state, snapSchema) // pinned old-image reads
-    runSourcePass(s, FileCdcSource(schema, in), ckpt) {
+    runSourcePass(s, source, ckpt) {
       (batch, epochId) =>
         // pin the batch (see the sum pass's note on the semi-join's
         // broadcast subtree re-scanning the source)

@@ -282,6 +282,30 @@ class MvSpec extends SparkTestBase {
     }
   }
 
+  test("MV over a MemoryStream transport equals the file-driven result") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val e1 = Seq(MvEv("I", 1, 1, 10.00, "A"), MvEv("I", 2, 2, 20.00, "B"))
+    val e2 = Seq(MvEv("U", 3, 1, 11.00, "B"), MvEv("D", 4, 2, 0.00, null))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long, Long, Double, Option[String])]
+    def tup(evs: Seq[MvEv]) =
+      evs.map(e => (e.op, e.seq, e.okey, e.price, Option(e.status)))
+    mem.addData(tup(e1)) // one addData per wave → one micro-batch each
+    mem.addData(tup(e2))
+    val src = new graft.sources.WrappedCdcSource(
+      mem.toDF().toDF("op", "seq", "okey", "price", "status")
+        .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("seq")))
+        .select(col("op"), col("seq"), col("ts"), col("okey"),
+          col("price"), col("status")))
+    val base = tmp()
+    StreamingOps.runMvSumPassSource(spark, src, s"$base/ckpt",
+      s"$base/state", s"$base/mv")
+    assert(servedSum(s"$base/mv") == refSum(e1 ++ e2),
+      "the MV must maintain identically over a memory transport")
+  }
+
   test("declared MV queries run green and agree with the batch collapse") {
     val sumRows = q("cdc_mv_sum").collect()
     assert(sumRows.nonEmpty)
