@@ -2150,33 +2150,40 @@ object StreamingOps {
               .reduceOption(_.unionByName(_))
               .map(_.join(broadcast(images.select(keyCols.map(col): _*)),
                 keyCols, "left_anti"))
+            // pinned: the snapshot write AND the MV recompute both
+            // consume it — without the cache the recompute would re-run
+            // the prior-partition read + anti-join (or re-read the files
+            // just written, paying a scan per batch for nothing)
             val fresh = priorRows
               .map(_.unionByName(newA.select(
                 snapSchema.fieldNames.map(col).toSeq: _*)))
               .getOrElse(newA.select(
                 snapSchema.fieldNames.map(col).toSeq: _*))
-            fresh.write.mode("overwrite").partitionBy(groupCol)
-              .parquet(s"$snap/epoch=$epochId")
-            val newPtr = ptr ++ dirty.map(_ -> epochId)
-            StateFs.writeAtomic(s"$snap/_ptr/epoch=$epochId",
-              newPtr.map { case (g, e) => s"$g\t$e" }.mkString("\n"))
-            // prune: keep epochs referenced by the newest two pointer
-            // maps (the replay window), drop the rest
-            val keep = (newPtr.values.toSet ++ ptr.values.toSet) + epochId
-            StateFs.epochIds(snap).filterNot(keep.contains)
-              .foreach(e => StateFs.deleteRecursive(s"$snap/epoch=$e"))
-            StateFs.epochFileIds(s"$snap/_ptr").filter(_ < epochId - 1)
-              .foreach(e => StateFs.deleteRecursive(s"$snap/_ptr/epoch=$e"))
-            // recompute ONLY the dirty groups, from their fresh
-            // partitions (partition-pruned, schema-pinned read)
-            val recomputed = recompute(s.read.schema(snapSchema)
-              .parquet(s"$snap/epoch=$epochId")
-              .filter(col(groupCol).isin(dirty.toSeq: _*)))
-            val carried = latestMvBelow(s, mv, epochId)
-              .map(_.filter(!col(groupCol).isin(dirty.toSeq: _*)))
-              .getOrElse(recomputed.filter(lit(false)))
-            carried.unionByName(recomputed)
-              .write.mode("overwrite").parquet(s"$mv/epoch=$epochId")
+              .persist()
+            try {
+              fresh.write.mode("overwrite").partitionBy(groupCol)
+                .parquet(s"$snap/epoch=$epochId")
+              val newPtr = ptr ++ dirty.map(_ -> epochId)
+              StateFs.writeAtomic(s"$snap/_ptr/epoch=$epochId",
+                newPtr.map { case (g, e) => s"$g\t$e" }.mkString("\n"))
+              // prune: keep epochs referenced by the newest two pointer
+              // maps (the replay window), drop the rest
+              val keep = (newPtr.values.toSet ++ ptr.values.toSet) + epochId
+              StateFs.epochIds(snap).filterNot(keep.contains)
+                .foreach(e => StateFs.deleteRecursive(s"$snap/epoch=$e"))
+              StateFs.epochFileIds(s"$snap/_ptr").filter(_ < epochId - 1)
+                .foreach(e => StateFs.deleteRecursive(s"$snap/_ptr/epoch=$e"))
+              // recompute ONLY the dirty groups — `fresh` IS exactly
+              // their new partitions (at scale a reader recomputing
+              // later would take the partition-pruned, schema-pinned
+              // read of snap/epoch=K instead; same rows)
+              val recomputed = recompute(fresh)
+              val carried = latestMvBelow(s, mv, epochId)
+                .map(_.filter(!col(groupCol).isin(dirty.toSeq: _*)))
+                .getOrElse(recomputed.filter(lit(false)))
+              carried.unionByName(recomputed)
+                .write.mode("overwrite").parquet(s"$mv/epoch=$epochId")
+            } finally { fresh.unpersist(); () }
           } else {
             // quiet batch (e.g. delete-only of already-absent keys):
             // the MV still advances an epoch for replay bookkeeping
