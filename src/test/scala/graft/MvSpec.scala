@@ -282,6 +282,57 @@ class MvSpec extends SparkTestBase {
     }
   }
 
+  test("daisy-chained MV: maintained from the upstream replica's changelog re-export") {
+    // MySQL → replica (state dir) → changesSince export → downstream MV:
+    // the MV never touches the binlog, only the replica's re-exported
+    // per-key changes — tombstones included — polled per position window
+    val log = Tables.cdcLog(spark, sf)
+    val up = tmp()
+    val dn = tmp()
+    var lastPos = 0L
+    (1 to 3).foreach { w =>
+      graft.streaming.StreamingOps.writeWave(
+        log.filter(col("seq") === w), s"$up/in", w - 1)
+      val prog = Replication.incrementalSync(spark, log.schema, s"$up/in",
+        s"$up/ckpt", s"$up/state")
+      val export = Replication.changesSince(spark, s"$up/state", lastPos)
+        .select(col("op"), col("seq"), col("ts"), col("okey"),
+          col("price"), col("status"))
+      graft.streaming.StreamingOps.writeWave(export, s"$dn/in", w - 1)
+      lastPos = prog.lastSeq.get
+    }
+    StreamingOps.runMvSumPass(spark, Tables.cdcLog(spark, sf).schema,
+      s"$dn/in", s"$dn/ckpt", s"$dn/state", s"$dn/mv")
+    // the chained MV equals the group-by over the UPSTREAM final state
+    val expect = Replication.appliedState(spark, s"$up/state")
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"),
+        sum(Tables.dec2(col("price"))).cast(Tables.D2).as("t"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), BigDecimal(r.getDecimal(2))))).toMap
+    assert(servedSum(s"$dn/mv") == expect)
+  }
+
+  test("MV over a composite-key table collapses per full key tuple") {
+    val log = Tables.cdcLogComposite(spark, sf)
+    val base = tmp()
+    (1 to 3).foreach(w => graft.streaming.StreamingOps.writeWave(
+      log.filter(col("seq") === w), s"$base/in", w - 1))
+    StreamingOps.runMvSumPass(spark, log.schema, s"$base/in", s"$base/ckpt",
+      s"$base/state", s"$base/mv", keyCols = Seq("okey", "line_no"))
+    import org.apache.spark.sql.expressions.Window
+    val expect = log.withColumn("rn", row_number().over(
+        Window.partitionBy(col("okey"), col("line_no"))
+          .orderBy(desc("seq"))))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"),
+        sum(Tables.dec2(col("price"))).cast(Tables.D2).as("t"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), BigDecimal(r.getDecimal(2))))).toMap
+    assert(servedSum(s"$base/mv") == expect)
+  }
+
   test("MV over a MemoryStream transport equals the file-driven result") {
     val sp = spark
     import sp.implicits._
