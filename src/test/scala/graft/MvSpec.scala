@@ -282,6 +282,29 @@ class MvSpec extends SparkTestBase {
     }
   }
 
+  test("MV ingest continues across a state compaction (the bounded-lookup claim)") {
+    // the old-image lookup's cost contract is "compacted baseline +
+    // recent deltas"; prove the pass keeps maintaining correctly after
+    // compactState folds its state dir mid-stream
+    val e1 = Seq(MvEv("I", 1, 1, 10.00, "A"), MvEv("I", 2, 2, 20.00, "A"),
+      MvEv("I", 3, 3, 5.00, "B"))
+    val e2 = Seq(MvEv("U", 4, 1, 11.00, "B"), MvEv("D", 5, 3, 0.00, null))
+    val e3 = Seq(MvEv("I", 6, 4, 2.00, "B"), MvEv("D", 7, 2, 0.00, null))
+    val base = tmp()
+    writeEpochs(base, Seq(e1, e2))
+    StreamingOps.runMvSumPass(spark, evDf(Seq.empty).schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", s"$base/mv")
+    // fold the state's epochs into a baseline (tombstone GC on)
+    StreamingOps.compactState(spark, s"$base/state",
+      tombstoneHorizon = Some(0))
+    // deliver one more wave through the SAME checkpoint — the pass
+    // resumes, and the old-image lookup now reads baseline + new delta
+    StreamingOps.writeWave(evDf(e3), s"$base/in", 2)
+    StreamingOps.runMvSumPass(spark, evDf(Seq.empty).schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", s"$base/mv")
+    assert(servedSum(s"$base/mv") == refSum(e1 ++ e2 ++ e3))
+  }
+
   test("daisy-chained MV: maintained from the upstream replica's changelog re-export") {
     // MySQL → replica (state dir) → changesSince export → downstream MV:
     // the MV never touches the binlog, only the replica's re-exported
