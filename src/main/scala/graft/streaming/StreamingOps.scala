@@ -2944,6 +2944,26 @@ object StreamingOps {
       readMv(s, s"$tmp/mv").orderBy(col("status"), col("rnk"))
     }),
 
+    // ST35: TIME-BUCKETED MV (the toYYYYMM partition-key MV every
+    // ClickHouse deployment has): the group key is DERIVED from the
+    // image (year-month of the event's ts) via the same enrich hook as
+    // ST32 — scan-local date_format, no dimension table. An update that
+    // moves a row's ts across a month boundary retracts from the old
+    // bucket and adds to the new one like any group migration.
+    "cdc_mv_time" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir)
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      writeWaves(log, in, col("seq") - 1, 3, Seq(col("okey")))
+      runMvSumPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state", s"$tmp/mv",
+        groupCol = "ym",
+        enrich = img => img.withColumn("ym", date_format(col("ts"), "yyyy-MM")))
+      readMv(s, s"$tmp/mv")
+        .select(col("ym"), col("n_rows"),
+          col("total").cast(DoubleType).as("total"))
+        .orderBy(col("ym"))
+    }),
+
     // ST31: min/max MV — non-retractable, so maintenance recomputes only
     // the batch's DIRTY GROUPS from a group-partitioned snapshot (the
     // delete-the-current-min case a retraction delta cannot express).
@@ -3528,6 +3548,15 @@ object StreamingOps {
          JOIN customer c ON l.custkey = c.c_custkey
          JOIN nation n ON c.c_nationkey = n.n_nationkey
          GROUP BY 1 ORDER BY 1""",
+
+    "cdc_mv_time" ->
+      s"""WITH cdc_log AS (${Tables.cdcLogSql}),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM cdc_log),
+            latest AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D')
+         SELECT strftime(ts, '%Y-%m') AS ym, count(*) AS n_rows,
+                CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM latest GROUP BY 1 ORDER BY ym""",
 
     "cdc_mv_topk" ->
       s"""WITH cdc_log AS (${Tables.cdcLogSql}),
