@@ -1896,7 +1896,8 @@ object StreamingOps {
       ckpt: String, state: String, mv: String,
       keyCols: Seq[String] = Seq("okey"),
       groupCol: String = "status",
-      enrich: DataFrame => DataFrame = identity): (Long, Long) = {
+      enrich: DataFrame => DataFrame = identity,
+      txnCol: Option[String] = None): (Long, Long) = {
     val schema = source.schema
     val mvSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField(groupCol, StringType),
@@ -1905,16 +1906,34 @@ object StreamingOps {
       org.apache.spark.sql.types.StructField("total", D2)))
     ensureStateSchema(mv, mvSchema)
     // pin the state dir's schema up front: the per-batch old-image read
-    // must not pay a mergeSchema footer sweep per trigger
+    // must not pay a mergeSchema footer sweep per trigger. The txn id
+    // is bookkeeping, not payload — it never reaches state (the gate
+    // drops it), so it must not enter the published schema either.
+    val envSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(f => txnCol.contains(f.name)))
     ensureStateSchema(state, collapse(envelope(s.createDataFrame(
-      new java.util.ArrayList[Row](), schema)), keyCols).schema)
+      new java.util.ArrayList[Row](), envSchema)), keyCols).schema)
     runSourcePass(s, source, ckpt) {
       (batch, epochId) =>
         // pin the batch: the old-image semi-join's broadcast subtree is
         // OUTSIDE the images cache and would re-scan the file source
         // (inflating numInputRows — the runCdcPass multi-action rule)
         val bdf = batch.toDF().persist()
-        val images = mvImages(s, state, epochId, bdf, keyCols)
+        // TRANSACTION-BOUNDARY gate, when declared: the MV must never
+        // observe half a transaction — the SAME ready/carry split the
+        // CDC passes use ([[txnGate]], pending tail under the state
+        // root) holds uncommitted events back from the images, so a
+        // straddling txn's rows enter the view only in the epoch its
+        // commit marker arrives, atomically with the table itself
+        var txnFull = Option.empty[DataFrame]
+        val ready = txnCol match {
+          case None => bdf
+          case Some(tc) =>
+            val (r, f) = txnGate(s, bdf, tc, state, epochId)
+            txnFull = Some(f)
+            r.drop(tc)
+        }
+        val images = mvImages(s, state, epochId, ready, keyCols)
           .persist()
         try {
           // the destination table's own delta — same fold as runCdcPass
@@ -1951,7 +1970,10 @@ object StreamingOps {
           mvNew.write.mode("overwrite").parquet(s"$mv/epoch=$epochId")
           StateFs.epochIds(mv).filter(_ < epochId - 1)
             .foreach(e => StateFs.deleteRecursive(s"$mv/epoch=$e"))
-        } finally { images.unpersist(); bdf.unpersist(); () }
+        } finally {
+          images.unpersist(); txnFull.foreach(_.unpersist())
+          bdf.unpersist(); ()
+        }
     }
   }
 

@@ -282,6 +282,32 @@ class MvSpec extends SparkTestBase {
     }
   }
 
+  test("txn-gated MV: straddling txn lands atomically, uncommitted txn never shows") {
+    def ev(rows: Seq[(String, Long, Long, Double, String, Long)]) =
+      spark.createDataFrame(rows.map(r =>
+          (r._1, r._2, r._3, Option(r._4).filterNot(_ => r._1 == "D"),
+            Option(r._5), r._6)))
+        .toDF("op", "seq", "okey", "price", "status", "txn")
+        .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("seq")))
+        .select(col("op"), col("seq"), col("ts"), col("okey"), col("price"),
+          col("status"), col("txn"))
+    // wave 0: txn 1 (2 inserts) + its commit + HALF of txn 2 (no marker)
+    val w0 = ev(Seq(("I", 1, 1, 10.00, "A", 1L), ("I", 2, 2, 20.00, "B", 1L),
+      ("C", 3, -1, 0.0, null, 1L), ("U", 4, 1, 11.00, "B", 2L)))
+    // wave 1: rest of txn 2 + its commit, and txn 3 with NO commit ever
+    val w1 = ev(Seq(("D", 5, 2, 0.0, null, 2L), ("C", 6, -1, 0.0, null, 2L),
+      ("I", 7, 3, 5.00, "A", 3L)))
+    val base = tmp()
+    StreamingOps.writeWave(w0, s"$base/in", 0)
+    StreamingOps.writeWave(w1, s"$base/in", 1)
+    StreamingOps.runMvSumPassSource(spark,
+      graft.sources.FileCdcSource(w0.schema, s"$base/in"),
+      s"$base/ckpt", s"$base/state", s"$base/mv", txnCol = Some("txn"))
+    // committed view: txn1 ∪ txn2 = k1 moved A→B at 11.00, k2 deleted;
+    // txn3's k3 must be INVISIBLE (no commit marker ever arrived)
+    assert(servedSum(s"$base/mv") == Map("B" -> ((1L, BigDecimal("11.00")))))
+  }
+
   test("MV ingest continues across a state compaction (the bounded-lookup claim)") {
     // the old-image lookup's cost contract is "compacted baseline +
     // recent deltas"; prove the pass keeps maintaining correctly after
