@@ -2126,8 +2126,10 @@ object StreamingOps {
       ckpt: String, state: String, snap: String, mv: String,
       keyCols: Seq[String], groupCol: String,
       mvSchema: org.apache.spark.sql.types.StructType,
-      recompute: DataFrame => DataFrame): (Long, Long) = {
-    val schema = source.schema
+      recompute: DataFrame => DataFrame,
+      txnCol: Option[String] = None): (Long, Long) = {
+    val schema = org.apache.spark.sql.types.StructType(
+      source.schema.fields.filterNot(f => txnCol.contains(f.name)))
     ensureStateSchema(mv, mvSchema)
     // the snapshot's schema: the collapse's output columns (derived from
     // a driver-side probe so any keyCols order works) — published so
@@ -2141,7 +2143,16 @@ object StreamingOps {
         // pin the batch (see the sum pass's note on the semi-join's
         // broadcast subtree re-scanning the source)
         val bdf = batch.toDF().persist()
-        val images = mvImages(s, state, epochId, bdf, keyCols)
+        // transaction gate, same contract as the sum pass's
+        var txnFull = Option.empty[DataFrame]
+        val ready = txnCol match {
+          case None => bdf
+          case Some(tc) =>
+            val (r, f) = txnGate(s, bdf, tc, state, epochId)
+            txnFull = Some(f)
+            r.drop(tc)
+        }
+        val images = mvImages(s, state, epochId, ready, keyCols)
           .persist()
         try {
           mvView(images, "bwin", keyCols)
@@ -2216,7 +2227,10 @@ object StreamingOps {
           }
           StateFs.epochIds(mv).filter(_ < epochId - 1)
             .foreach(e => StateFs.deleteRecursive(s"$mv/epoch=$e"))
-        } finally { images.unpersist(); bdf.unpersist(); () }
+        } finally {
+          images.unpersist(); txnFull.foreach(_.unpersist())
+          bdf.unpersist(); ()
+        }
     }
   }
 

@@ -306,6 +306,27 @@ class MvSpec extends SparkTestBase {
     // committed view: txn1 ∪ txn2 = k1 moved A→B at 11.00, k2 deleted;
     // txn3's k3 must be INVISIBLE (no commit marker ever arrived)
     assert(servedSum(s"$base/mv") == Map("B" -> ((1L, BigDecimal("11.00")))))
+    // same contract through the dirty-group pass
+    val mvSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("status",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_rows",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("mn",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("mx",
+        org.apache.spark.sql.types.DoubleType)))
+    val b2 = tmp()
+    StreamingOps.writeWave(w0, s"$b2/in", 0)
+    StreamingOps.writeWave(w1, s"$b2/in", 1)
+    StreamingOps.runMvRecomputePassSource(spark,
+      graft.sources.FileCdcSource(w0.schema, s"$b2/in"),
+      s"$b2/ckpt", s"$b2/state", s"$b2/snap", s"$b2/mv",
+      Seq("okey"), "status", mvSchema,
+      rows => rows.groupBy(col("status")).agg(count(lit(1)).as("n_rows"),
+        min(col("price")).as("mn"), max(col("price")).as("mx")),
+      txnCol = Some("txn"))
+    assert(servedMinMax(s"$b2/mv") == Map("B" -> ((1L, 11.00, 11.00))))
   }
 
   test("MV ingest continues across a state compaction (the bounded-lookup claim)") {
