@@ -1879,7 +1879,13 @@ object StreamingOps {
     * two or more epochs old are pruned (a replay can only be of the
     * newest epoch). The MV itself is O(groups) — metadata-sized next to
     * the table — while per-batch work is O(batch) + the bounded
-    * old-image lookup; nothing scans the full table, ever. */
+    * old-image lookup; nothing scans the full table, ever.
+    *
+    * Cardinality regime: each epoch rewrites the MV snapshot — O(groups)
+    * — which is the right trade for DIMENSION-sized group keys (status,
+    * nation, month: the ClickHouse MV norm). A key-cardinality "view"
+    * (one row per customer) is just the table itself — serve it from
+    * the state dir's collapse instead; an MV adds nothing there. */
   private[graft] def runMvSumPass(s: SparkSession,
       schema: org.apache.spark.sql.types.StructType,
       in: String, ckpt: String, state: String, mv: String,
