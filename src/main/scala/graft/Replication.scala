@@ -189,6 +189,52 @@ object Replication {
       streaming.StreamingOps.readMv(spark, mvDir))
   }
 
+  /** Verdict of [[viewConsistencyCheck]]. */
+  final case class ViewCheckReport(groupsChecked: Long, groupsDiverged: Long) {
+    def consistent: Boolean = groupsDiverged == 0
+  }
+
+  /** Does the maintained SUM view still equal the group-by over the
+    * served state? The one divergence a correctly-running pass cannot
+    * prevent: a row-level REPAIR ([[repairSync]]) writes correction
+    * epochs straight into the state dir — the next MV batch's old-image
+    * lookup will read them, but the view's AGGREGATE was never adjusted
+    * by the correction delta, so the view is permanently off by exactly
+    * that delta until rebuilt. The operator flow is repair → check →
+    * [[viewRebuild]] if red. One aggregate scan of the state + one read
+    * of the O(groups) view, compared null-safe per group. */
+  def viewConsistencyCheck(spark: SparkSession, stateDir: String,
+      mvDir: String, groupCol: String = "status"): ViewCheckReport = {
+    val truth = appliedState(spark, stateDir)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Tables.dec2(col("price"))).cast(Tables.D2).as("total"))
+    val served = streaming.StreamingOps.readMv(spark, mvDir)
+    val j = truth.as("t").join(served.as("v"),
+      col(s"t.$groupCol") <=> col(s"v.$groupCol"), "full_outer")
+    val r = j.agg(count(lit(1)),
+      count(when(!(col("t.n_rows") <=> col("v.n_rows")) ||
+        !(col("t.total") <=> col("v.total")), lit(1)))).collect()(0)
+    ViewCheckReport(r.getLong(0), r.getLong(1))
+  }
+
+  /** Rebuild the SUM view from the served state — the repair-recovery
+    * path ([[viewConsistencyCheck]]'s red case): one group-by over the
+    * state lands as the view's next epoch, and maintenance resumes
+    * incrementally on top. O(table scan) — paid only on the repair
+    * path, never in steady state. */
+  def viewRebuild(spark: SparkSession, stateDir: String, mvDir: String,
+      groupCol: String = "status"): Unit = {
+    val next = streaming.StateFs.epochIds(mvDir).maxOption.getOrElse(-1L) + 1L
+    appliedState(spark, stateDir)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Tables.dec2(col("price"))).cast(Tables.D2).as("total"))
+      .write.mode("overwrite").parquet(s"$mvDir/epoch=$next")
+    streaming.StateFs.epochIds(mvDir).filter(_ < next - 1)
+      .foreach(e => streaming.StateFs.deleteRecursive(s"$mvDir/epoch=$e"))
+  }
+
   /** An opaque source-native POSITION token decoded to the engine's
     * monotone `seq` — the reference's `--position` surface. A real
     * source names positions in its own dialect:
