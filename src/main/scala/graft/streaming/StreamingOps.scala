@@ -2919,7 +2919,12 @@ object StreamingOps {
       val log = Tables.cdcLog(s, dir)
       val tmp = tmpDir()
       val in = s"$tmp/in"
-      writeWaves(log, in, col("seq") - 1, 3, Seq(col("okey")))
+      // two waves (inserts, then updates+deletes): the scenario is the
+      // retraction delta against EXISTING state — wave 2 exercises it
+      // fully; one less fixed-cost trigger (the cdc_composite_key
+      // precedent)
+      writeWaves(log, in, when(col("seq") === 1, 0).otherwise(1), 2,
+        Seq(col("okey")))
       runMvSumPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state", s"$tmp/mv")
       readMv(s, s"$tmp/mv")
         .select(col("status"), col("n_rows"),
@@ -2947,7 +2952,9 @@ object StreamingOps {
       dim.count() // materialize ahead of the stream
       val tmp = tmpDir()
       val in = s"$tmp/in"
-      writeWaves(log, in, col("seq") - 1, 3, Seq(col("okey")))
+      // two waves — see cdc_mv_sum's note
+      writeWaves(log, in, when(col("seq") === 1, 0).otherwise(1), 2,
+        Seq(col("okey")))
       runMvSumPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state", s"$tmp/mv",
         groupCol = "grp",
         enrich = img => img.join(broadcast(dim), Seq("custkey")))
@@ -2967,7 +2974,9 @@ object StreamingOps {
       val log = Tables.cdcLog(s, dir)
       val tmp = tmpDir()
       val in = s"$tmp/in"
-      writeWaves(log, in, col("seq") - 1, 3, Seq(col("okey")))
+      // two waves — see cdc_mv_sum's note
+      writeWaves(log, in, when(col("seq") === 1, 0).otherwise(1), 2,
+        Seq(col("okey")))
       val mvSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("status", StringType),
         org.apache.spark.sql.types.StructField("rnk",
@@ -2996,7 +3005,9 @@ object StreamingOps {
       val log = Tables.cdcLog(s, dir)
       val tmp = tmpDir()
       val in = s"$tmp/in"
-      writeWaves(log, in, col("seq") - 1, 3, Seq(col("okey")))
+      // two waves — see cdc_mv_sum's note
+      writeWaves(log, in, when(col("seq") === 1, 0).otherwise(1), 2,
+        Seq(col("okey")))
       runMvSumPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state", s"$tmp/mv",
         groupCol = "ym",
         enrich = img => img.withColumn("ym", date_format(col("ts"), "yyyy-MM")))
@@ -3013,7 +3024,9 @@ object StreamingOps {
       val log = Tables.cdcLog(s, dir)
       val tmp = tmpDir()
       val in = s"$tmp/in"
-      writeWaves(log, in, col("seq") - 1, 3, Seq(col("okey")))
+      // two waves — see cdc_mv_sum's note
+      writeWaves(log, in, when(col("seq") === 1, 0).otherwise(1), 2,
+        Seq(col("okey")))
       runMvMinMaxPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state",
         s"$tmp/snap", s"$tmp/mv")
       readMv(s, s"$tmp/mv")
