@@ -282,6 +282,33 @@ class MvSpec extends SparkTestBase {
     }
   }
 
+  test("sharded destination: shards compact independently, the union read is unchanged") {
+    val nShards = 4
+    val log = Tables.cdcLog(spark, sf).withColumn("table",
+      concat(lit("shard_"), pmod(xxhash64(col("okey")), lit(nShards.toLong))))
+    val base = tmp()
+    (1 to 3).foreach(w => graft.streaming.StreamingOps.writeWave(
+      log.filter(col("seq") === w), s"$base/in", w - 1))
+    val dirs = (0 until nShards).map(i => s"shard_$i" -> s"$base/s_$i").toMap
+    StreamingOps.runCdcPassMulti(spark, log.schema, s"$base/in",
+      s"$base/ckpt", dirs)
+    def union() = dirs.values.toSeq.sorted
+      .map(d => StreamingOps.readLatestState(spark, d))
+      .reduce(_.unionByName(_)).orderBy(col("okey"))
+      .collect().map(_.toSeq).toSeq
+    val before = union()
+    // each shard is an ordinary state dir: compact TWO of them (one
+    // with tombstone GC) and leave the others as raw epoch deltas —
+    // maintenance is per-shard local, the logical table must not move
+    StreamingOps.compactState(spark, s"$base/s_0")
+    StreamingOps.compactState(spark, s"$base/s_2", tombstoneHorizon = Some(0))
+    assert(union() == before,
+      "shard-local compaction must be invisible to the union read")
+    // and it equals the unsharded collapse (the declared oracle's claim)
+    assert(before == q("agg_latest_by_version")
+      .orderBy(col("okey")).collect().map(_.toSeq).toSeq)
+  }
+
   test("repair drifts the view; viewConsistencyCheck flags it; viewRebuild heals") {
     val base = tmp()
     val log = Tables.cdcLog(spark, sf)
