@@ -282,6 +282,64 @@ class MvSpec extends SparkTestBase {
     }
   }
 
+  test("property: txn-gated MV equals committed-replay group-by over random txn logs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    case class TEv(op: String, seq: Long, okey: Long, price: Double,
+      status: String, txn: Long)
+    def df(evs: Seq[TEv]) =
+      spark.createDataFrame(evs.map(e => (e.op, e.seq, e.okey,
+          Option(e.price).filterNot(_ => e.op == "D" || e.op == "C"),
+          Option(e.status), e.txn)))
+        .toDF("op", "seq", "okey", "price", "status", "txn")
+        .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("seq")))
+        .select(col("op"), col("seq"), col("ts"), col("okey"), col("price"),
+          col("status"), col("txn"))
+    val gen: Gen[Seq[TEv]] = for {
+      nTxn <- Gen.choose(2, 5)
+      sizes <- Gen.listOfN(nTxn, Gen.choose(1, 3))
+      keys <- Gen.listOfN(sizes.sum, Gen.choose(0L, 5L))
+      ops <- Gen.listOfN(sizes.sum, Gen.frequency(3 -> "I", 3 -> "U", 2 -> "D"))
+      grps <- Gen.listOfN(sizes.sum, Gen.oneOf("A", "B"))
+      nCommit <- Gen.choose(1, nTxn) // a suffix of txns never commits
+    } yield {
+      var seq = 0L; var i = 0
+      sizes.zipWithIndex.flatMap { case (sz, t) =>
+        val evs = (0 until sz).map { _ =>
+          seq += 1; i += 1
+          TEv(ops(i - 1), seq, keys(i - 1),
+            (seq * 100 % 997) / 100.0, grps(i - 1), t.toLong)
+        }
+        if (t < nCommit) { seq += 1; evs :+ TEv("C", seq, -1, 0.0, null, t.toLong) }
+        else evs
+      }
+    }
+    def committedMv(evs: Seq[TEv]): Map[String, (Long, BigDecimal)] = {
+      val committed = evs.filter(_.op == "C").map(_.txn).toSet
+      evs.filter(e => e.op != "C" && committed(e.txn)).sortBy(_.seq)
+        .foldLeft(Map.empty[Long, TEv])((m, e) => m.updated(e.okey, e))
+        .values.filter(_.op != "D").groupBy(_.status)
+        .map { case (g, rows) => g -> (rows.size.toLong,
+          rows.map(r => BigDecimal(r.price).setScale(2)).sum) }
+    }
+    (0 until 5).foreach { s =>
+      val events = gen(Gen.Parameters.default, Seed(5151L + s))
+        .getOrElse(fail("gen"))
+      val (c1, c2) = (events.length / 3, 2 * events.length / 3)
+      val waves = Seq(events.take(c1), events.slice(c1, c2), events.drop(c2))
+        .filter(_.nonEmpty)
+      val base = tmp()
+      waves.zipWithIndex.foreach { case (w, i) =>
+        StreamingOps.writeWave(df(w), s"$base/in", i)
+      }
+      StreamingOps.runMvSumPassSource(spark,
+        graft.sources.FileCdcSource(df(events).schema, s"$base/in"),
+        s"$base/ckpt", s"$base/state", s"$base/mv", txnCol = Some("txn"))
+      assert(servedSum(s"$base/mv") == committedMv(events),
+        s"seed ${5151L + s}: gated MV diverged from committed replay")
+    }
+  }
+
   test("sharded destination: shards compact independently, the union read is unchanged") {
     val nShards = 4
     val log = Tables.cdcLog(spark, sf).withColumn("table",
