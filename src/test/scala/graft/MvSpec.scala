@@ -282,6 +282,40 @@ class MvSpec extends SparkTestBase {
     }
   }
 
+  test("shard-local MV partials merge at read time into the global view") {
+    // the distributed-MV claim: sum/count states are mergeable, so each
+    // shard maintains its OWN view over its slice and a logical read is
+    // one O(shards × groups) re-aggregation — no cross-shard data motion
+    val nShards = 4
+    val log = Tables.cdcLog(spark, sf).withColumn("table",
+      concat(lit("shard_"), pmod(xxhash64(col("okey")), lit(nShards.toLong))))
+    val base = tmp()
+    (1 to 3).foreach(w => graft.streaming.StreamingOps.writeWave(
+      log.filter(col("seq") === w), s"$base/in", w - 1))
+    val dirs = (0 until nShards).map(i => s"shard_$i" -> s"$base/s_$i").toMap
+    StreamingOps.runCdcPassMulti(spark, log.schema, s"$base/in",
+      s"$base/ckpt", dirs)
+    // per-shard views seeded from each shard's served slice
+    dirs.values.foreach { d =>
+      StreamingOps.mvSeedSum(spark,
+        StreamingOps.readLatestState(spark, d).drop("op"), s"$d-st", s"$d-mv")
+    }
+    val merged = dirs.values.toSeq.sorted
+      .map(d => StreamingOps.readMv(spark, s"$d-mv"))
+      .reduce(_.unionByName(_))
+      .groupBy(col("status"))
+      .agg(sum(col("n_rows")).as("n"), sum(col("total")).cast(Tables.D2).as("t"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), BigDecimal(r.getDecimal(2))))).toMap
+    val global = q("agg_latest_by_version").groupBy(col("status"))
+      .agg(count(lit(1)).as("n"),
+        sum(Tables.dec2(col("price"))).cast(Tables.D2).as("t"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), BigDecimal(r.getDecimal(2))))).toMap
+    assert(merged == global,
+      "merged shard-local view partials must equal the global group-by")
+  }
+
   test("property: txn-gated MV equals committed-replay group-by over random txn logs") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
