@@ -252,7 +252,13 @@ object Joins {
               .otherwise(col("path")).as("path"),
             col("_pp").as("parent"))
       }
-      cur.select(col("key"), col("path")).orderBy(col("key"))
+      // Driver-comparator rule (same as A7, Aggregations.scala:91): the
+      // oracle comparator cannot sort rows containing raw array cells, so
+      // the chain is emitted comma-joined; identity is untouched.
+      cur.select(col("key"),
+          concat_ws(",", transform(col("path"), x => x.cast("string")))
+            .as("path"))
+        .orderBy(col("key"))
     }),
 
     // J9: as-of join — for each purchase event, the user's latest click at
@@ -399,7 +405,8 @@ object Joins {
               UNION ALL
               SELECT w.key, list_append(w.path, d.id), d.parent
               FROM walk w JOIN dict d ON w.parent = d.id)
-         SELECT key, path FROM walk WHERE parent IS NULL ORDER BY key""",
+         SELECT key, array_to_string(path, ',') AS path
+         FROM walk WHERE parent IS NULL ORDER BY key""",
 
     "join_asof_event_order" ->
       """WITH p AS (SELECT event_id p_id, user_id p_user, ts p_ts FROM events
