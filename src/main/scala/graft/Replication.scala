@@ -180,12 +180,15 @@ object Replication {
       keyCols: Seq[String] = Seq("okey"),
       enrich: DataFrame => DataFrame = identity)
       : (SyncProgress, DataFrame) = {
-    val (rows, epochs) =
-      if (minMax) streaming.StreamingOps.runMvMinMaxPass(spark, schema,
-        inDir, ckptDir, stateDir, s"$mvDir/_snap", mvDir, keyCols, groupCol)
-      else streaming.StreamingOps.runMvSumPass(spark, schema, inDir,
-        ckptDir, stateDir, mvDir, keyCols, groupCol, enrich)
-    (SyncProgress(rows, epochs, None),
+    val src = sources.FileCdcSource(schema, inDir)
+    val (rows, epochs, lastSeq, pending, srcMax) =
+      if (minMax) streaming.StreamingOps.runMvMinMaxPassSource(spark, src,
+        ckptDir, stateDir, s"$mvDir/_snap", mvDir, keyCols, groupCol,
+        trackSeq = true)
+      else streaming.StreamingOps.runMvSumPassSource(spark, src,
+        ckptDir, stateDir, mvDir, keyCols, groupCol, enrich,
+        trackSeq = true)
+    (SyncProgress(rows, epochs, lastSeq, pending, srcMax),
       streaming.StreamingOps.readMv(spark, mvDir))
   }
 
@@ -203,8 +206,29 @@ object Replication {
     * that delta until rebuilt. The operator flow is repair → check →
     * [[viewRebuild]] if red. One aggregate scan of the state + one read
     * of the O(groups) view, compared null-safe per group. */
+  /** Fail loudly — by name — when `mvDir` does not hold a SUM view of
+    * the expected (groupCol, n_rows, total) shape: a minMax-mode view
+    * (n_rows, mn, mx) or a mismatched groupCol would otherwise surface
+    * as an opaque analysis error (or worse, a wrong comparison). MinMax
+    * views are non-retractable and rebuild through their own
+    * dirty-group pass, not this one. */
+  private def requireSumView(mvDir: String, groupCol: String): Unit = {
+    val published = streaming.StreamingOps.readStateSchema(mvDir)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$mvDir has no published _schema — not an MV dir maintained by " +
+          "incrementalSyncWithView"))
+    val names = published.fieldNames.toSeq
+    require(names == Seq(groupCol, "n_rows", "total"),
+      s"$mvDir publishes columns (${names.mkString(", ")}), but the SUM " +
+        s"view check/rebuild expects ($groupCol, n_rows, total) — a " +
+        "minMax view (n_rows, mn, mx) recovers through its own " +
+        "dirty-group recompute pass, and a different groupCol means " +
+        "this is a different view")
+  }
+
   def viewConsistencyCheck(spark: SparkSession, stateDir: String,
       mvDir: String, groupCol: String = "status"): ViewCheckReport = {
+    requireSumView(mvDir, groupCol)
     val truth = appliedState(spark, stateDir)
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_rows"),
@@ -220,18 +244,26 @@ object Replication {
 
   /** Rebuild the SUM view from the served state — the repair-recovery
     * path ([[viewConsistencyCheck]]'s red case): one group-by over the
-    * state lands as the view's next epoch, and maintenance resumes
-    * incrementally on top. O(table scan) — paid only on the repair
-    * path, never in steady state. */
+    * state REPLACES the view's NEWEST epoch snapshot in place, and
+    * maintenance resumes incrementally on top. In place, not at a new
+    * epoch id, because MV epoch ids ARE the stream's checkpoint batch
+    * ids: a rebuild written at max+1 would collide with the next
+    * batch's own id — that batch's strictly-below prior lookup would
+    * read the stale pre-rebuild snapshot and then overwrite the
+    * rebuild, silently discarding the repair delta (spec: MvSpec
+    * "maintenance after viewRebuild resumes on the rebuilt snapshot").
+    * O(table scan) — paid only on the repair path, never in steady
+    * state. */
   def viewRebuild(spark: SparkSession, stateDir: String, mvDir: String,
       groupCol: String = "status"): Unit = {
-    val next = streaming.StateFs.epochIds(mvDir).maxOption.getOrElse(-1L) + 1L
+    requireSumView(mvDir, groupCol)
+    val at = streaming.StateFs.epochIds(mvDir).maxOption.getOrElse(0L)
     appliedState(spark, stateDir)
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_rows"),
         sum(Tables.dec2(col("price"))).cast(Tables.D2).as("total"))
-      .write.mode("overwrite").parquet(s"$mvDir/epoch=$next")
-    streaming.StateFs.epochIds(mvDir).filter(_ < next - 1)
+      .write.mode("overwrite").parquet(s"$mvDir/epoch=$at")
+    streaming.StateFs.epochIds(mvDir).filter(_ < at - 1)
       .foreach(e => streaming.StateFs.deleteRecursive(s"$mvDir/epoch=$e"))
   }
 

@@ -1891,9 +1891,11 @@ object StreamingOps {
       in: String, ckpt: String, state: String, mv: String,
       keyCols: Seq[String] = Seq("okey"),
       groupCol: String = "status",
-      enrich: DataFrame => DataFrame = identity): (Long, Long) =
-    runMvSumPassSource(s, FileCdcSource(schema, in), ckpt, state, mv,
+      enrich: DataFrame => DataFrame = identity): (Long, Long) = {
+    val r = runMvSumPassSource(s, FileCdcSource(schema, in), ckpt, state, mv,
       keyCols, groupCol, enrich)
+    (r._1, r._2)
+  }
 
   /** [[runMvSumPass]] over an arbitrary [[CdcSource]] transport — the
     * MV maintains identically from files, a MemoryStream, or a real
@@ -1903,7 +1905,9 @@ object StreamingOps {
       keyCols: Seq[String] = Seq("okey"),
       groupCol: String = "status",
       enrich: DataFrame => DataFrame = identity,
-      txnCol: Option[String] = None): (Long, Long) = {
+      txnCol: Option[String] = None,
+      trackSeq: Boolean = false)
+      : (Long, Long, Option[Long], Long, Option[Long]) = {
     val schema = source.schema
     val mvSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField(groupCol, StringType),
@@ -1917,9 +1921,25 @@ object StreamingOps {
     // drops it), so it must not enter the published schema either.
     val envSchema = org.apache.spark.sql.types.StructType(
       schema.fields.filterNot(f => txnCol.contains(f.name)))
+    // the MV pass owns its state dir exactly like runCdcPass does —
+    // publish the key so compaction/repair/consistency tooling collapses
+    // on the declared (possibly composite) key, not the historical
+    // single-key fallback
+    ensureKeyCols(state, keyCols)
     ensureStateSchema(state, collapse(envelope(s.createDataFrame(
       new java.util.ArrayList[Row](), envSchema)), keyCols).schema)
-    runSourcePass(s, source, ckpt) {
+    // position bookkeeping, same contract as runCdcPass's trackSeq: the
+    // applied horizon advances through applied events AND resolved commit
+    // markers; the seen horizon reads the raw batch so txn-held events
+    // surface as lag, not as silence
+    var maxSeq = Option.empty[Long]
+    var srcMaxSeq = Option.empty[Long]
+    def foldSeq(df: DataFrame, into: Option[Long]): Option[Long] = {
+      val r = df.agg(max(col("seq"))).collect()(0)
+      if (r.isNullAt(0)) into
+      else Some(into.fold(r.getLong(0))(math.max(_, r.getLong(0))))
+    }
+    val (rows, epochs) = runSourcePass(s, source, ckpt) {
       (batch, epochId) =>
         // pin the batch: the old-image semi-join's broadcast subtree is
         // OUTSIDE the images cache and would re-scan the file source
@@ -1938,6 +1958,12 @@ object StreamingOps {
             val (r, f) = txnGate(s, bdf, tc, state, epochId)
             txnFull = Some(f)
             r.drop(tc)
+        }
+        if (trackSeq) {
+          maxSeq = foldSeq(ready, maxSeq)
+          txnCol.foreach(_ =>
+            maxSeq = foldSeq(bdf.filter(col("op") === "C"), maxSeq))
+          srcMaxSeq = foldSeq(bdf, srcMaxSeq)
         }
         val images = mvImages(s, state, epochId, ready, keyCols)
           .persist()
@@ -1981,6 +2007,7 @@ object StreamingOps {
           bdf.unpersist(); ()
         }
     }
+    (rows, epochs, maxSeq, pendingCount(s, state, txnCol), srcMaxSeq)
   }
 
   /** Seed a destination state dir + SUM MV from an existing SNAPSHOT
@@ -2043,6 +2070,7 @@ object StreamingOps {
     val envl = collapse(envelope(
       snapshot.withColumn("op", lit("I")).withColumn("seq", lit(0L))),
       keyCols)
+    ensureKeyCols(state, keyCols) // published key, as in runCdcPass
     ensureStateSchema(state, envl.schema)
     envl.write.mode("overwrite").parquet(s"$state/epoch=-1")
     s.read.schema(envl.schema).parquet(s"$state/epoch=-1")
@@ -2093,17 +2121,33 @@ object StreamingOps {
       in: String, ckpt: String, state: String, snap: String, mv: String,
       keyCols: Seq[String] = Seq("okey"),
       groupCol: String = "status"): (Long, Long) = {
+    val r = runMvMinMaxPassSource(s, FileCdcSource(schema, in), ckpt,
+      state, snap, mv, keyCols, groupCol)
+    (r._1, r._2)
+  }
+
+  /** [[runMvMinMaxPass]] over an arbitrary [[CdcSource]], with the full
+    * position bookkeeping (applied/seen seq horizons) of the CDC passes
+    * — what the Replication facade consumes for [[SyncProgress]]. */
+  private[graft] def runMvMinMaxPassSource(s: SparkSession,
+      source: CdcSource,
+      ckpt: String, state: String, snap: String, mv: String,
+      keyCols: Seq[String] = Seq("okey"),
+      groupCol: String = "status",
+      trackSeq: Boolean = false)
+      : (Long, Long, Option[Long], Long, Option[Long]) = {
     val mvSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField(groupCol, StringType),
       org.apache.spark.sql.types.StructField("n_rows",
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("mn", DoubleType),
       org.apache.spark.sql.types.StructField("mx", DoubleType)))
-    runMvRecomputePass(s, schema, in, ckpt, state, snap, mv, keyCols,
+    runMvRecomputePassSource(s, source, ckpt, state, snap, mv, keyCols,
       groupCol, mvSchema,
       snapRows => snapRows.groupBy(col(groupCol))
         .agg(count(lit(1)).as("n_rows"),
-          min(col("price")).as("mn"), max(col("price")).as("mx")))
+          min(col("price")).as("mn"), max(col("price")).as("mx")),
+      trackSeq = trackSeq)
   }
 
   /** The GENERAL dirty-group MV pass [[runMvMinMaxPass]] is an instance
@@ -2122,9 +2166,11 @@ object StreamingOps {
       in: String, ckpt: String, state: String, snap: String, mv: String,
       keyCols: Seq[String], groupCol: String,
       mvSchema: org.apache.spark.sql.types.StructType,
-      recompute: DataFrame => DataFrame): (Long, Long) =
-    runMvRecomputePassSource(s, FileCdcSource(schema, in), ckpt, state,
-      snap, mv, keyCols, groupCol, mvSchema, recompute)
+      recompute: DataFrame => DataFrame): (Long, Long) = {
+    val r = runMvRecomputePassSource(s, FileCdcSource(schema, in), ckpt,
+      state, snap, mv, keyCols, groupCol, mvSchema, recompute)
+    (r._1, r._2)
+  }
 
   /** [[runMvRecomputePass]] over an arbitrary [[CdcSource]]. */
   private[graft] def runMvRecomputePassSource(s: SparkSession,
@@ -2133,7 +2179,9 @@ object StreamingOps {
       keyCols: Seq[String], groupCol: String,
       mvSchema: org.apache.spark.sql.types.StructType,
       recompute: DataFrame => DataFrame,
-      txnCol: Option[String] = None): (Long, Long) = {
+      txnCol: Option[String] = None,
+      trackSeq: Boolean = false)
+      : (Long, Long, Option[Long], Long, Option[Long]) = {
     val schema = org.apache.spark.sql.types.StructType(
       source.schema.fields.filterNot(f => txnCol.contains(f.name)))
     ensureStateSchema(mv, mvSchema)
@@ -2143,8 +2191,17 @@ object StreamingOps {
     val snapSchema = collapse(envelope(s.createDataFrame(
       new java.util.ArrayList[Row](), schema)), keyCols).schema
     ensureStateSchema(snap, snapSchema)
+    ensureKeyCols(state, keyCols) // published key, as in runCdcPass
     ensureStateSchema(state, snapSchema) // pinned old-image reads
-    runSourcePass(s, source, ckpt) {
+    // position bookkeeping — see the sum pass's trackSeq note
+    var maxSeq = Option.empty[Long]
+    var srcMaxSeq = Option.empty[Long]
+    def foldSeq(df: DataFrame, into: Option[Long]): Option[Long] = {
+      val r = df.agg(max(col("seq"))).collect()(0)
+      if (r.isNullAt(0)) into
+      else Some(into.fold(r.getLong(0))(math.max(_, r.getLong(0))))
+    }
+    val (rows, epochs) = runSourcePass(s, source, ckpt) {
       (batch, epochId) =>
         // pin the batch (see the sum pass's note on the semi-join's
         // broadcast subtree re-scanning the source)
@@ -2157,6 +2214,12 @@ object StreamingOps {
             val (r, f) = txnGate(s, bdf, tc, state, epochId)
             txnFull = Some(f)
             r.drop(tc)
+        }
+        if (trackSeq) {
+          maxSeq = foldSeq(ready, maxSeq)
+          txnCol.foreach(_ =>
+            maxSeq = foldSeq(bdf.filter(col("op") === "C"), maxSeq))
+          srcMaxSeq = foldSeq(bdf, srcMaxSeq)
         }
         val images = mvImages(s, state, epochId, ready, keyCols)
           .persist()
@@ -2238,6 +2301,7 @@ object StreamingOps {
           bdf.unpersist(); ()
         }
     }
+    (rows, epochs, maxSeq, pendingCount(s, state, txnCol), srcMaxSeq)
   }
 
   /** Read-time collapse of all epoch deltas into the latest state (A8
@@ -2657,6 +2721,48 @@ object StreamingOps {
       readLatestState(s, s"$tmp/state")
     }),
 
+    // S-CHECKSUM-CHUNKED (M10): the pt-table-checksum flow live, under
+    // the oracle gate — after the apply, a NARROW corruption drifts a
+    // handful of keys; the CHUNKED consistency check localizes the
+    // divergence to its key-hash chunks, and the chunk-BOUNDED repair
+    // diffs only those chunks' rows (a clean chunk's keys can never
+    // enter the diff — ReplicationSpec proves the boundedness; the
+    // oracle proves the healed destination equals the untouched batch
+    // collapse bit-for-bit). The localization claim is enforced inline:
+    // the dirty set must be a strict subset of the chunk space, or the
+    // query fails red.
+    "cdc_checksum_chunked" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir)
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      writeWaves(log, in, when(col("seq") <= 2, 0).otherwise(1), 2,
+        Seq(col("okey")))
+      runCdcPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state")
+      val truth = collapse(envelope(log)).filter(col("op") =!= "D")
+        .select(col("okey"), col("price"), col("status"), col("ts"))
+        .localCheckpoint()
+      // narrow drift: a handful of low keys (plus one phantom) — the
+      // divergence an operator's stray UPDATE or partial restore leaves
+      truth.filter(col("okey") < 50)
+        .select(lit("U").as("op"), lit(1000L).as("seq"), col("ts"),
+          col("okey"), (col("price") + 777.0).as("price"), col("status"))
+        .unionByName(truth.limit(1).select(lit("I").as("op"),
+          lit(1000L).as("seq"), col("ts"), lit(-171717L).as("okey"),
+          lit(9.87).as("price"), lit("PHANTOM").as("status")))
+        .write.mode("overwrite").parquet(s"$tmp/state/epoch=99")
+      val reports = graft.Replication.consistencyCheckChunked(
+        truth, readLatestState(s, s"$tmp/state"))
+      val dirty = reports.filterNot(_.consistent).map(_.chunk)
+      require(dirty.nonEmpty && dirty.size < reports.size,
+        s"chunked check must LOCALIZE: ${dirty.size}/${reports.size} dirty")
+      graft.Replication.repairSyncChunked(s, truth, s"$tmp/state", dirty)
+      // a correction row is an UPDATE by nature (its op reads 'U'), so
+      // the oracle compares the VALUE columns — exactly the ones the
+      // chunk checksums fold over
+      readLatestState(s, s"$tmp/state")
+        .select(col("okey"), col("price"), col("status"), col("ts"))
+    }),
+
     // S-REPAIR-MULTI: TOPOLOGY-level repair under the oracle gate — the
     // multi-table consistency-fix flow live: the one-binlog→2-tables
     // fan-out applies, then BOTH destinations diverge differently
@@ -2926,6 +3032,44 @@ object StreamingOps {
       writeWaves(log, in, when(col("seq") === 1, 0).otherwise(1), 2,
         Seq(col("okey")))
       runMvSumPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state", s"$tmp/mv")
+      readMv(s, s"$tmp/mv")
+        .select(col("status"), col("n_rows"),
+          col("total").cast(DoubleType).as("total"))
+        .orderBy(col("status"))
+    }),
+
+    // S-VIEW-REBUILD (M11): the repair→check→rebuild recovery flow of
+    // the replicated-table + MV pair, live under the oracle gate. A
+    // row-level REPAIR writes correction epochs straight into the state
+    // dir — the one divergence a correctly-running MV pass cannot
+    // prevent, because the view's aggregate never saw the correction
+    // delta. viewConsistencyCheck must flag it (asserted inline — an
+    // unflagged drift fails the query red), viewRebuild re-derives the
+    // view from the served state IN PLACE of its newest epoch (MV
+    // epochs are checkpoint batch ids — see Replication.viewRebuild),
+    // and the served view must then equal a from-scratch group-by over
+    // the drifted truth, which is exactly what the oracle computes.
+    "cdc_view_rebuild" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir)
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      writeWaves(log, in, when(col("seq") === 1, 0).otherwise(1), 2,
+        Seq(col("okey")))
+      graft.Replication.incrementalSyncWithView(s, log.schema, in,
+        s"$tmp/ckpt", s"$tmp/state", s"$tmp/mv")
+      // deterministic drift: the source of truth moved on (price +123
+      // for okey%5==0) and a repair writes the corrections behind the
+      // MV's back
+      val truth = collapse(envelope(log)).filter(col("op") =!= "D")
+        .select(col("okey"),
+          when(col("okey") % 5 === 0, col("price") + lit(123.0d))
+            .otherwise(col("price")).as("price"),
+          col("status"), col("ts"))
+        .localCheckpoint()
+      graft.Replication.repairSync(s, truth, s"$tmp/state")
+      require(!graft.Replication.viewConsistencyCheck(s, s"$tmp/state",
+        s"$tmp/mv").consistent, "the repair delta must surface as drift")
+      graft.Replication.viewRebuild(s, s"$tmp/state", s"$tmp/mv")
       readMv(s, s"$tmp/mv")
         .select(col("status"), col("n_rows"),
           col("total").cast(DoubleType).as("total"))
@@ -3467,6 +3611,32 @@ object StreamingOps {
     // repair must put a three-way-diverged destination back to exactly
     // the batch collapse (drift reverted, phantom key tombstoned).
     "cdc_repair_resync" -> latestStateSql,
+
+    // chunked check + chunk-bounded repair must converge the destination
+    // to the untouched truth collapse — value columns only (a correction
+    // row's op reads 'U' by nature).
+    "cdc_checksum_chunked" ->
+      s"""WITH cdc_log AS (${Tables.cdcLogSql}),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM cdc_log)
+         SELECT okey, price, status, ts FROM ranked
+         WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
+
+    // view rebuild: after repair-drift + rebuild, the served view equals
+    // a from-scratch group-by over the DRIFTED truth.
+    "cdc_view_rebuild" ->
+      s"""WITH cdc_log AS (${Tables.cdcLogSql}),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM cdc_log),
+            latest AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D'),
+            drifted AS (SELECT status,
+                          CASE WHEN okey % 5 = 0
+                               THEN price + CAST(123 AS DOUBLE)
+                               ELSE price END AS price
+                        FROM latest)
+         SELECT status, count(*) AS n_rows,
+                CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM drifted GROUP BY status ORDER BY status""",
 
     // topology repair: BOTH diverged tables healed by one call — the
     // served union equals the untouched multi-table fan-out collapse.

@@ -424,9 +424,65 @@ class MvSpec extends SparkTestBase {
     Replication.viewRebuild(spark, s"$base/state", s"$base/mv")
     assert(Replication.viewConsistencyCheck(spark, s"$base/state",
       s"$base/mv").consistent)
-    // and incremental maintenance can resume on top of the rebuilt view:
-    // nothing asserts here beyond the serve path staying readable
-    assert(StreamingOps.readMv(spark, s"$base/mv").count() > 0)
+    // incremental maintenance RESUMES on top of the rebuilt snapshot:
+    // MV epochs are checkpoint batch ids, so a rebuild parked at a NEW
+    // epoch id would collide with the next batch's own id — the batch's
+    // strictly-below prior lookup would read the stale pre-rebuild view
+    // and silently discard the repair delta. Deliver another wave and
+    // prove the served view still carries both the repair and the wave.
+    val k2 = served.filter(col("okey") =!= k)
+      .orderBy(col("okey")).limit(1).collect()(0).getLong(0)
+    val wave4 = log.filter(col("seq") === 1 && col("okey") === k2)
+      .select(lit("U").as("op"), lit(4L).as("seq"), col("ts"),
+        col("okey"), (col("price") + lit(7.0d)).as("price"),
+        lit("P").as("status"))
+    graft.streaming.StreamingOps.writeWave(wave4, s"$base/in", 3)
+    val (progress, _) = Replication.incrementalSyncWithView(spark,
+      log.schema, s"$base/in", s"$base/ckpt", s"$base/state", s"$base/mv")
+    assert(progress.lastSeq.contains(4L) && progress.lag == 0L,
+      s"the facade must report the applied position: $progress")
+    assert(Replication.viewConsistencyCheck(spark, s"$base/state",
+      s"$base/mv").consistent,
+      "post-rebuild maintenance must not resurrect the pre-rebuild view")
+  }
+
+  test("view check/rebuild refuse a minMax-mode MV dir by name") {
+    val base = tmp()
+    val log = Tables.cdcLog(spark, sf)
+    (1 to 2).foreach(w => graft.streaming.StreamingOps.writeWave(
+      log.filter(col("seq") === w), s"$base/in", w - 1))
+    Replication.incrementalSyncWithView(spark, log.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", s"$base/mv", minMax = true)
+    val e = intercept[IllegalArgumentException] {
+      Replication.viewConsistencyCheck(spark, s"$base/state", s"$base/mv")
+    }
+    assert(e.getMessage.contains("minMax") || e.getMessage.contains("mn"),
+      s"the refusal must name the shape mismatch: ${e.getMessage}")
+    val e2 = intercept[IllegalArgumentException] {
+      Replication.viewRebuild(spark, s"$base/state", s"$base/mv")
+    }
+    assert(e2.getMessage.contains("n_rows"), e2.getMessage)
+  }
+
+  test("MV passes publish the state dir's key columns (composite keys)") {
+    val base = tmp()
+    // envelope with a second key column riding as an extra column
+    val ev = spark.createDataFrame(Seq(
+        ("I", 1L, 1L, 10.0, "A", 1L), ("I", 2L, 1L, 20.0, "A", 2L),
+        ("U", 3L, 1L, 30.0, "B", 1L)))
+      .toDF("op", "seq", "okey", "price", "status", "line_no")
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("seq")))
+      .select(col("op"), col("seq"), col("ts"), col("okey"), col("price"),
+        col("status"), col("line_no"))
+    StreamingOps.writeWave(ev, s"$base/in", 0)
+    StreamingOps.runMvSumPass(spark, ev.schema, s"$base/in", s"$base/ckpt",
+      s"$base/state", s"$base/mv", keyCols = Seq("okey", "line_no"))
+    assert(StreamingOps.readKeyCols(s"$base/state") == Seq("okey", "line_no"),
+      "an MV-built state dir must publish its key like runCdcPass does — " +
+        "compaction/repair would otherwise collapse on the wrong key")
+    // and the published key actually governs: both (1,1) and (1,2) rows
+    // survive the latest-wins collapse
+    assert(Replication.appliedState(spark, s"$base/state").count() == 2L)
   }
 
   test("txn-gated MV: straddling txn lands atomically, uncommitted txn never shows") {
