@@ -112,6 +112,51 @@ object Bench {
     // bench itself.
     val ranked = timed.sortBy(-_._2)
       .map { case (k, v) => s"\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    // STATE-READ microbench: the CDC/MV queries above time sync+read
+    // together, but what a 100× scale-up actually stresses is the READ
+    // path alone (epoch collapse, bucket-probe pruning, incremental
+    // changes poll). One canonical state dir is built OUTSIDE the
+    // timers (two deltas + a compacted baseline — the steady-state
+    // shape), then each read is timed by itself, so a state-read
+    // regression is visible per round in bench_full.json without being
+    // drowned by trigger fixed costs. Best-effort like the warmup.
+    val stateReads: Seq[(String, Double)] = try {
+      import org.apache.spark.sql.functions.col
+      val log = Tables.cdcLog(spark, sfDir)
+      val rtmp = TmpDirs.create("bench_stateread")
+      graft.streaming.StreamingOps.writeWave(
+        log.filter(col("seq") === 1), s"$rtmp/in", 0)
+      graft.streaming.StreamingOps.writeWave(
+        log.filter(col("seq") > 1), s"$rtmp/in", 1)
+      graft.streaming.StreamingOps.runCdcPass(spark, log.schema,
+        s"$rtmp/in", s"$rtmp/ckpt", s"$rtmp/state")
+      graft.streaming.StreamingOps.compactState(spark, s"$rtmp/state")
+      def t1(name: String)(body: => Unit): (String, Double) = {
+        val t0 = System.nanoTime()
+        body
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+      Seq(
+        t1("latest") {
+          graft.streaming.StreamingOps
+            .readLatestState(spark, s"$rtmp/state").count(); ()
+        },
+        t1("latest_bucket_probe") {
+          graft.streaming.StreamingOps.readLatestState(spark,
+            s"$rtmp/state", buckets = Some(Seq(0L, 1L))).count(); ()
+        },
+        t1("changes_since") {
+          graft.streaming.StreamingOps.readStateChanges(spark,
+            s"$rtmp/state", sinceSeq = 1L).count(); ()
+        })
+    } catch {
+      case e: Throwable =>
+        System.err.println(
+          s"BENCH STATE-READ FAIL: ${e.getClass.getName}: ${e.getMessage}")
+        Seq.empty
+    }
+    val srJson = stateReads.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
     // Only an UNFILTERED run may overwrite the artifact: a local filtered
     // iteration (`sbt "runMain graft.Bench some_query"`) would otherwise
     // clobber the committed full map with a 3-entry one.
@@ -119,7 +164,8 @@ object Bench {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_full.json"),
         s"""{"total":${f3(total)},"sf":"$sfDir","passes":$passes,""" +
-          s""""failed":$fq,"queries":$qs,"slowest_first":$ranked}""" + "\n")
+          s""""failed":$fq,"state_reads":$srJson,"queries":$qs,""" +
+          s""""slowest_first":$ranked}""" + "\n")
       ()
     } catch {
       case e: Throwable =>

@@ -148,7 +148,8 @@ object Replication {
       keyCols: Seq[String] = Seq("okey"),
       dropCols: Map[String, Long] = Map.empty,
       keepHistory: Boolean = false,
-      computedCols: Seq[(String, String)] = Seq.empty)
+      computedCols: Seq[(String, String)] = Seq.empty,
+      positionToken: Option[String] = None)
       : SyncProgress = {
     val (rows, epochs, lastSeq, pending, srcMax) =
       streaming.StreamingOps.runCdcPass(
@@ -160,6 +161,12 @@ object Replication {
         computedCols = computedCols)
     if (deltaCount(stateDir) > compactEvery)
       streaming.StreamingOps.compactState(spark, stateDir, tombstoneGc)
+    // the connector reported this pass's horizon under its own dialect:
+    // persist token → applied seq so a later `--position` resume decodes
+    // offline ([[PositionCatalog]]); a no-rows pass records nothing (its
+    // horizon is whatever the previous pass already recorded)
+    for (t <- positionToken; sq <- lastSeq)
+      PositionCatalog.record(ckptDir, t, sq)
     SyncProgress(rows, epochs, lastSeq, pending, srcMax)
   }
 
@@ -298,6 +305,54 @@ object Replication {
     override def toSeq(token: String): Long =
       token.trim.toLongOption.getOrElse(throw new IllegalArgumentException(
         s"not a seq-encoded position token: '$token'"))
+  }
+
+  /** Persisted POSITION CATALOG — token→seq mappings under the
+    * checkpoint (`_positions`: the `_schema` pattern, a tiny atomic
+    * control file living with the artifact whose lifecycle it shares).
+    * The source CONNECTOR is the only party that can translate its
+    * native tokens (binlog file:offset, GTID sets) into the engine's
+    * monotone seq — but it is only present while its pass runs.
+    * Recording each pass's (reported token, applied seq) horizon here
+    * makes `--position` resume self-contained: a later operator resumes
+    * by the token the connector reported at the time, with no connector
+    * round-trip — [[codec]] decodes strictly from the catalog and
+    * throws on a token no pass ever recorded (a guessed position
+    * replays or skips history). O(recorded positions) driver-side
+    * metadata, like every control file here. */
+  object PositionCatalog {
+    private def path(ckptDir: String) = s"$ckptDir/_positions"
+
+    /** Upsert one token→seq mapping (atomic rewrite of the tiny file —
+      * concurrent readers see the old or new catalog, never a torn
+      * one). Re-recording a token at a NEW seq is legal: a reused
+      * binlog filename after a source rotation means the newest
+      * recording wins, exactly like the connector would re-answer. */
+    def record(ckptDir: String, token: String, seq: Long): Unit = {
+      val t = token.trim
+      require(t.nonEmpty && !t.contains('\t') && !t.contains('\n'),
+        s"unusable position token '$token'")
+      val m = read(ckptDir) + (t -> seq)
+      streaming.StateFs.writeAtomic(path(ckptDir),
+        m.toSeq.sorted.map { case (tk, sq) => s"$tk\t$sq" }.mkString("\n"))
+    }
+
+    def read(ckptDir: String): Map[String, Long] =
+      streaming.StateFs.readSmall(path(ckptDir))
+        .map(_.split('\n').filter(_.nonEmpty).map { l =>
+          val i = l.lastIndexOf('\t')
+          l.substring(0, i) -> l.substring(i + 1).toLong
+        }.toMap).getOrElse(Map.empty)
+
+    /** Codec backed by the catalog alone. */
+    def codec(ckptDir: String): PositionCodec = new PositionCodec {
+      override def toSeq(token: String): Long =
+        read(ckptDir).getOrElse(token.trim,
+          throw new IllegalArgumentException(
+            s"position token '$token' was never recorded in " +
+              s"${path(ckptDir)} — resume by a token a prior pass " +
+              "reported, or supply the source's own codec"))
+    }
   }
 
   /** [[incrementalSync]] starting from an OPAQUE position token —
@@ -545,9 +600,22 @@ object Replication {
       keyCols: Seq[String] = Seq("okey"),
       pendingRoot: Option[String] = None): RepairReport = {
     if (dirtyChunks.isEmpty) return RepairReport(0, 0, 0)
+    // chunk ids translate to physical state BUCKETS when the chunk count
+    // divides the bucket count (both are pmod(xxhash64(key), n) over the
+    // same key columns): every key in dirty chunk c lives in a bucket b
+    // with b % nChunks == c, so the bucket set below covers the dirty
+    // keys exactly — the diff's state read then prunes to those buckets
+    // instead of scanning the table. Other chunk counts fall back to the
+    // exact-but-unpruned predicate alone.
+    val B = streaming.StreamingOps.StateBuckets
+    val buckets =
+      if (nChunks <= B && B % nChunks == 0)
+        Some((0L until B).filter(b => dirtyChunks.contains(b % nChunks)).toSeq)
+      else None
     val (i, u, d) = streaming.StreamingOps.repairState(spark, src, stateDir,
       keyCols, pendingRoot,
-      restrict = Some(chunkOf(keyCols, nChunks).isin(dirtyChunks: _*)))
+      restrict = Some(chunkOf(keyCols, nChunks).isin(dirtyChunks: _*)),
+      restrictBuckets = buckets)
     RepairReport(i, u, d)
   }
 

@@ -63,19 +63,24 @@ object Tables {
   def dec2(c: Column): Column = c.cast(D2)
 
   /** Single-pass I/U/D event synthesis: ONE scan of `base` explodes a
-    * per-row array of event variants — a variant whose predicate fails
-    * is a NULL element and drops. The three-union alternative executes
-    * the base once PER BRANCH (for the composite log that is the same
+    * per-row array of (keep, event) variants and drops the rows whose
+    * variant predicate failed. The three-union alternative executes the
+    * base once PER BRANCH (for the composite log that is the same
     * 600k-row groupBy shuffled three times; for the orders logs, three
     * scans), which every consumer of the log then pays per read. Spark
     * resolves the array elements to their least common type exactly as
     * unionByName would, so the emitted schema is branch-for-branch
-    * identical to the union form the oracle SQL still uses. */
+    * identical to the union form the oracle SQL still uses — including
+    * NULLABILITY: the keep flag (not a NULL element) is what encodes a
+    * failed predicate, so a column non-nullable in every branch (op,
+    * seq) stays non-nullable, which downstream plan rewrites key on
+    * (LatestByVersionRewrite refuses a nullable ordering key). */
   private def explodeEvents(base: DataFrame, cols: Seq[String],
-      variants: Seq[Column]): DataFrame =
-    base.select(explode(array(variants: _*)).as("_v"))
-      .filter(col("_v").isNotNull)
-      .select(cols.map(c => col(s"_v.$c").as(c)): _*)
+      variants: Seq[(Column, Column)]): DataFrame =
+    base.select(explode(array(variants.map { case (keep, e) =>
+        struct(keep.as("keep"), e.as("e")) }: _*)).as("_v"))
+      .filter(col("_v.keep"))
+      .select(cols.map(c => col(s"_v.e.$c").as(c)): _*)
 
   /** Deterministic CDC change log derived from `orders` — the harness ships
     * no binlog, so the change stream is synthesized reproducibly:
@@ -97,21 +102,21 @@ object Tables {
       col("o_orderkey"), col("o_totalprice").cast(DoubleType).as("price"),
       col("o_orderstatus").as("status"), col("o_orderdate"))
     explodeEvents(o, Seq("op", "seq", "ts", "okey", "price", "status"), Seq(
-      struct(
+      lit(true) -> struct(
         lit("I").as("op"), lit(1L).as("seq"), col("o_orderdate").as("ts"),
         col("o_orderkey").as("okey"), col("price"), col("status")),
-      when(col("o_orderkey") % 3 === 0, struct(
+      (col("o_orderkey") % 3 === 0) -> struct(
         lit("U").as("op"), lit(2L).as("seq"),
         (col("o_orderdate") + expr("INTERVAL 1 DAY")).as("ts"),
         col("o_orderkey").as("okey"),
         (col("price") + lit(10.0d)).as("price"),
-        lit("P").as("status"))),
-      when(col("o_orderkey") % 7 === 0, struct(
+        lit("P").as("status")),
+      (col("o_orderkey") % 7 === 0) -> struct(
         lit("D").as("op"), lit(3L).as("seq"),
         (col("o_orderdate") + expr("INTERVAL 2 DAY")).as("ts"),
         col("o_orderkey").as("okey"),
         lit(null).cast(DoubleType).as("price"),
-        lit(null).cast(StringType).as("status")))))
+        lit(null).cast(StringType).as("status"))))
   }
 
   /** DuckDB-SQL equivalent of [[cdcLog]] (a CTE body named `cdc_log`). */
@@ -156,19 +161,19 @@ object Tables {
         max(col("l_shipdate")).as("l_shipdate"))
     explodeEvents(l,
       Seq("op", "seq", "ts", "okey", "price", "status", "line_no"), Seq(
-      struct(
+      lit(true) -> struct(
         lit("I").as("op"), lit(1L).as("seq"), col("l_shipdate").as("ts"),
         col("okey"), col("price"), col("status"), col("line_no")),
-      when((col("okey") + col("line_no")) % 3 === 0, struct(
+      ((col("okey") + col("line_no")) % 3 === 0) -> struct(
         lit("U").as("op"), lit(2L).as("seq"),
         (col("l_shipdate") + expr("INTERVAL 1 DAY")).as("ts"),
         col("okey"), (col("price") + lit(10.0d)).as("price"),
-        lit("P").as("status"), col("line_no"))),
-      when((col("okey") + col("line_no")) % 7 === 0, struct(
+        lit("P").as("status"), col("line_no")),
+      ((col("okey") + col("line_no")) % 7 === 0) -> struct(
         lit("D").as("op"), lit(3L).as("seq"),
         (col("l_shipdate") + expr("INTERVAL 2 DAY")).as("ts"),
         col("okey"), lit(null).cast(DoubleType).as("price"),
-        lit(null).cast(StringType).as("status"), col("line_no")))))
+        lit(null).cast(StringType).as("status"), col("line_no"))))
   }
 
   /** [[cdcLog]] carrying the order's FOREIGN KEY (`custkey`) as an extra
@@ -183,22 +188,22 @@ object Tables {
       col("o_custkey"))
     explodeEvents(o,
       Seq("op", "seq", "ts", "okey", "price", "status", "custkey"), Seq(
-      struct(
+      lit(true) -> struct(
         lit("I").as("op"), lit(1L).as("seq"), col("o_orderdate").as("ts"),
         col("o_orderkey").as("okey"), col("price"), col("status"),
         col("o_custkey").as("custkey")),
-      when(col("o_orderkey") % 3 === 0, struct(
+      (col("o_orderkey") % 3 === 0) -> struct(
         lit("U").as("op"), lit(2L).as("seq"),
         (col("o_orderdate") + expr("INTERVAL 1 DAY")).as("ts"),
         col("o_orderkey").as("okey"),
         (col("price") + lit(10.0d)).as("price"),
-        lit("P").as("status"), col("o_custkey").as("custkey"))),
-      when(col("o_orderkey") % 7 === 0, struct(
+        lit("P").as("status"), col("o_custkey").as("custkey")),
+      (col("o_orderkey") % 7 === 0) -> struct(
         lit("D").as("op"), lit(3L).as("seq"),
         (col("o_orderdate") + expr("INTERVAL 2 DAY")).as("ts"),
         col("o_orderkey").as("okey"), lit(null).cast(DoubleType).as("price"),
         lit(null).cast(StringType).as("status"),
-        lit(null).cast(LongType).as("custkey")))))
+        lit(null).cast(LongType).as("custkey"))))
   }
 
   /** DuckDB-SQL equivalent of [[cdcLogDim]] (CTE body `cdc_log_dim`). */
@@ -228,23 +233,23 @@ object Tables {
       col("o_orderkey"), col("o_totalprice").cast(DoubleType).as("price"),
       col("o_orderstatus").as("status"), col("o_orderdate"))
     explodeEvents(o, Seq("op", "seq", "ts", "okey", "price", "status"), Seq(
-      struct(
+      lit(true) -> struct(
         lit("I").as("op"), lit(1L).as("seq"), col("o_orderdate").as("ts"),
         col("o_orderkey").as("okey"), col("price"), col("status")),
-      when(col("o_orderkey") % 3 === 0, struct(
+      (col("o_orderkey") % 3 === 0) -> struct(
         lit("U").as("op"), lit(2L).as("seq"),
         (col("o_orderdate") + expr("INTERVAL 1 DAY")).as("ts"),
         col("o_orderkey").as("okey"),
         (col("price") + lit(10.0d)).as("price"),
-        lit("P").as("status"))),
-      when(col("o_orderkey") % 7 === 0, struct(
+        lit("P").as("status")),
+      (col("o_orderkey") % 7 === 0) -> struct(
         lit("D").as("op"), lit(3L).as("seq"),
         (col("o_orderdate") + expr("INTERVAL 2 DAY")).as("ts"),
         col("o_orderkey").as("okey"),
         when(col("o_orderkey") % 3 === 0, col("price") + lit(10.0d))
           .otherwise(col("price")).as("price"),
         when(col("o_orderkey") % 3 === 0, lit("P"))
-          .otherwise(col("status")).as("status")))))
+          .otherwise(col("status")).as("status"))))
   }
 
   /** DuckDB-SQL equivalent of [[cdcLogBeforeImage]] (CTE body

@@ -77,6 +77,15 @@ final class JdbcBatchSink(url: String, table: String, user: String,
       .option("batchsize", 10000)
       .mode("append")
       .save()
+
+  /** Write a SERVED-STATE frame in the destination-table shape the
+    * bootstrap DDL declares — the default frame for this sink (the
+    * S17↔S5 loop): `_version`/`_is_deleted` are what make the
+    * append-mode replay contract sound, because the destination's
+    * ReplacingMergeTree collapses duplicates on (key, version) at merge
+    * time. See [[DestinationDdl.stateToDestination]]. */
+  def writeState(df: DataFrame, keyCols: Seq[String], epochId: Long): Unit =
+    write(DestinationDdl.stateToDestination(df, keyCols), epochId)
 }
 
 /** DESTINATION BOOTSTRAP DDL (SURVEY.md §2.1 S17): generate the ClickHouse
@@ -138,5 +147,30 @@ object DestinationDdl {
       "`_version` UInt64, `_is_deleted` UInt8) " +
       "ENGINE = ReplacingMergeTree(_version, _is_deleted) " +
       s"ORDER BY (${keyCols.map(k => s"`$k`").mkString(", ")})"
+  }
+
+  /** Project a served-state frame into the destination-table ROW shape
+    * [[createTable]] declares — the S17↔S5 closure: payload columns in
+    * frame order, then `_version` = the row's binlog `seq`
+    * (ReplacingMergeTree's version — latest wins at merge time) and
+    * `_is_deleted` = 1 for tombstone winners (the engine drops flagged
+    * rows at FINAL collapse). The input must carry the envelope
+    * bookkeeping (`op`, `seq`) alongside the payload — i.e. the state
+    * collapse WITH tombstones (the changes-export shape), never the
+    * tombstone-dropped serving view: a destination that is never told
+    * about a delete strands the row forever. Scan-local projection —
+    * no shuffle at any scale. */
+  def stateToDestination(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val missing = (keyCols :+ "op" :+ "seq").filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"state frame lacks column(s): ${missing.mkString(", ")} — the " +
+        "destination projection needs the key plus the op/seq envelope " +
+        "bookkeeping (export the collapse WITH tombstones)")
+    val payload = df.columns.toSeq.filterNot(Seq("op", "seq").contains)
+    df.select(payload.map(col) :+
+      col("seq").as("_version") :+
+      (col("op") === "D").cast(org.apache.spark.sql.types.ShortType)
+        .as("_is_deleted"): _*)
   }
 }

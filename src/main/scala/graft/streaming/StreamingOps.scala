@@ -185,6 +185,46 @@ object StreamingOps {
       org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
 
+  /** Physical KEY-HASH BUCKETING of state epochs — the 100 TB lever for
+    * the touched-key probes: every state delta/baseline row materializes
+    * `_bucket = pmod(xxhash64(key columns), StateBuckets)` and rows are
+    * clustered by it within each written file, so parquet row-group
+    * stats answer a bucket-set probe ([[mvImages]]' old-image lookup,
+    * the chunk-restricted repair read) with pruning instead of a full
+    * state scan per trigger. The bucket column is PHYSICAL-ONLY: it is
+    * excluded from the published `_schema`, so every schema-pinned
+    * reader is oblivious to it; probes opt in by appending the field to
+    * their pinned read schema. Epochs written before bucketing existed
+    * (or by writers that don't bucket — correction epochs from older
+    * repairs) surface NULL and always pass the gate, so pruning degrades
+    * to a scan, never to wrong rows. 64 equals the default chunk count
+    * of the checksum flow, so a dirty-chunk list IS a bucket list. */
+  private[graft] val StateBuckets = 64L
+  private[graft] val BucketCol = "_bucket"
+
+  private def bucketOf(keyCols: Seq[String]): Column =
+    pmod(xxhash64(keyCols.map(col): _*), lit(StateBuckets))
+
+  /** Cluster a state epoch's rows by bucket before writing. */
+  private def bucketed(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.withColumn(BucketCol, bucketOf(keyCols))
+      .sortWithinPartitions(BucketCol)
+
+  private def withBucketField(st: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(st.fields :+
+      org.apache.spark.sql.types.StructField(BucketCol,
+        org.apache.spark.sql.types.LongType, nullable = true))
+
+  /** The bucket-set probe predicate: NULL (pre-bucketing rows) always
+    * passes; a full bucket set skips the gate (nothing to prune). */
+  private def bucketGate(df: DataFrame, buckets: Option[Seq[Long]])
+      : DataFrame = buckets match {
+    case Some(bs) if bs.size < StateBuckets && df.columns.contains(BucketCol) =>
+      df.filter(col(BucketCol).isNull || col(BucketCol).isin(bs: _*))
+    case _ => df
+  }
+
   /** The state-side schema a pass with input envelope `input` writes:
     * the collapse's column order, bookkeeping ([[nonEnvelopeCols]] and
     * the configured txn column) excluded, everything nullable (an
@@ -473,7 +513,14 @@ object StreamingOps {
     * hold only current names; the historical columns read as all-NULL
     * no-ops. */
   private def readStateDir(s: SparkSession, state: String,
-      asOfSeq: Option[Long] = None): DataFrame = {
+      asOfSeq: Option[Long] = None,
+      buckets: Option[Seq[Long]] = None): DataFrame = {
+    // a bucket-set probe opts in by appending the physical _bucket field
+    // to the pinned read; the gate prunes row groups (and, post-
+    // compaction, whole files) via its stats, then the column drops
+    // before anything downstream sees it
+    val pin = (st: org.apache.spark.sql.types.StructType) =>
+      if (buckets.isDefined) withBucketField(st) else st
     val base = readStateSchema(state) match {
       case Some(p) =>
         // a historical name RE-ADDED later as a fresh column stops being
@@ -484,12 +531,14 @@ object StreamingOps {
           .map { case (n, olds) =>
             n -> olds.filterNot(p.fieldNames.contains) }
           .filter(_._2.nonEmpty)
-        if (hist.isEmpty) s.read.schema(p).parquet(state)
+        if (hist.isEmpty)
+          bucketGate(s.read.schema(pin(p)).parquet(state), buckets)
+            .drop(BucketCol)
         else {
           val aug = org.apache.spark.sql.types.StructType(
             p.fields.flatMap(f => f +: hist.getOrElse(f.name, Seq.empty)
               .map(h => f.copy(name = h))))
-          s.read.schema(aug).parquet(state)
+          bucketGate(s.read.schema(pin(aug)).parquet(state), buckets)
             .select(p.fields.map { f =>
               hist.get(f.name) match {
                 case Some(olds) =>
@@ -498,7 +547,9 @@ object StreamingOps {
               }
             }.toSeq :+ col("epoch"): _*)
         }
-      case None => s.read.option("mergeSchema", "true").parquet(state)
+      case None =>
+        bucketGate(s.read.option("mergeSchema", "true").parquet(state),
+          buckets).drop(BucketCol)
     }
     // DROP gate ([[readDrops]]): a column RE-ADDED after a drop starts
     // empty — rows last written at or below the newest drop position
@@ -872,8 +923,9 @@ object StreamingOps {
           // fold (events land verbatim) so as-of reads keep EVENT
           // granularity — the retention trade a time-traveling replica
           // opts into, exactly like retaining binlogs.
-          (if (keepHistory) envelope(applied)
-           else collapse(envelope(applied), keyCols))
+          bucketed(
+            if (keepHistory) envelope(applied)
+            else collapse(envelope(applied), keyCols), keyCols)
             .write.mode("overwrite").parquet(s"$state/epoch=$epochId")
           written += 1
         }
@@ -1227,7 +1279,18 @@ object StreamingOps {
               .agg(max_by(struct(fields.map(col): _*), col("seq")).as("l"))
               .select(col("table") +: fields.map(f => col("l." + f).as(f)): _*)
           }
-          collapsed
+          // same physical bucket layout as the single-table pass — each
+          // row bucketed under ITS table's key definition (scan-local
+          // CASE, one pass), clustered within the partitioned write
+          val bucketCase = keyFor.foldLeft(
+              lit(null).cast(org.apache.spark.sql.types.LongType)) {
+            case (acc, (t, ks)) =>
+              when(col("table") === t,
+                pmod(xxhash64(ks.map(col): _*), lit(StateBuckets)))
+                .otherwise(acc)
+          }
+          collapsed.withColumn(BucketCol, bucketCase)
+            .sortWithinPartitions(col("table"), col(BucketCol))
             .write.mode("overwrite").partitionBy("table").parquet(epochStage)
           present.foreach { r =>
             val t = r.getString(0)
@@ -1367,14 +1430,25 @@ object StreamingOps {
             col("seq") <= f))
         case _ => coll
       }
+      // the baseline is where bucketing pays most (it IS the table):
+      // repartition on the bucket so whole FILES align to buckets and a
+      // touched-bucket probe prunes at file granularity, not just row
+      // groups — one extra exchange on the maintenance path, never on
+      // reads
       val baseline = kept.drop("epoch")
+        .withColumn(BucketCol, bucketOf(keyCols))
+        .repartition(col(BucketCol))
+        .sortWithinPartitions(BucketCol)
       baseline.write.mode("overwrite").parquet(s"$side/epoch=$baseEpoch")
       StateFs.moveDir(s"$side/epoch=$baseEpoch", s"$state/epoch=$baseEpoch")
       // a pre-publication state dir (no pass has written _schema yet)
       // gets one from the compaction — the footer sweep this run already
-      // paid is the last one any reader needs
+      // paid is the last one any reader needs. The bucket column is
+      // physical-only: it never enters the published schema.
       if (readStateSchema(state).isEmpty)
-        StateFs.writeAtomic(s"$state/_schema", baseline.schema.json)
+        StateFs.writeAtomic(s"$state/_schema",
+          org.apache.spark.sql.types.StructType(
+            baseline.schema.filterNot(_.name == BucketCol)).json)
       newFloor.foreach(writePurgeFloor(state, _))
       // TIME-TRAVEL HORIZON: the newest seq folded into the baseline —
       // as-of reads below it are unreconstructable once the old epochs
@@ -1494,14 +1568,21 @@ object StreamingOps {
   private[graft] def repairState(s: SparkSession, src: DataFrame,
       state: String, keyCols: Seq[String] = Seq("okey"),
       pendingRoot: Option[String] = None,
-      restrict: Option[Column] = None): (Long, Long, Long) = {
+      restrict: Option[Column] = None,
+      restrictBuckets: Option[Seq[Long]] = None): (Long, Long, Long) = {
     // the key is the STATE DIR's property ([[readKeyCols]]); a repair
     // declaring a different one would diff apples against oranges
     val published = readKeyCols(state)
     require(keyCols == published,
       s"state dir is keyed by (${published.mkString(", ")}) but the repair " +
         s"declares (${keyCols.mkString(", ")})")
-    val dst = readLatestState(s, state)
+    // a chunk-restricted repair additionally pushes the dirty chunks'
+    // BUCKET set into the state scan (chunk ids are bucket ids when the
+    // chunk count divides StateBuckets — Replication derives the
+    // mapping): the served-side diff input then prunes files/row groups
+    // instead of collapsing the whole table. `restrict` still does the
+    // exact per-key gating; the buckets are pure IO pruning.
+    val dst = readLatestState(s, state, buckets = restrictBuckets)
     val valueCols = dst.columns.toSeq.filterNot((keyCols :+ "op").contains)
     val missingCols = valueCols.filterNot(src.columns.contains)
     require(missingCols.isEmpty,
@@ -1565,7 +1646,8 @@ object StreamingOps {
       val counts = diff.groupBy(col("op")).count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       if (counts.nonEmpty)
-        envelope(diff).write.mode("overwrite").parquet(s"$state/epoch=$epoch")
+        bucketed(envelope(diff), keyCols).write.mode("overwrite")
+          .parquet(s"$state/epoch=$epoch")
       (counts.getOrElse("I", 0L), counts.getOrElse("U", 0L),
         counts.getOrElse("D", 0L))
     } finally { diff.unpersist(); () }
@@ -1806,10 +1888,20 @@ object StreamingOps {
     val tagged =
       if (priorEpochs.isEmpty) b.withColumn("_src", lit("b"))
       else {
-        val prior = (readStateSchema(state) match {
-          case Some(p) => s.read.schema(p).parquet(state)
+        // the batch's touched BUCKETS (≤ StateBuckets values, one tiny
+        // distinct over the already-persisted batch): pushed into the
+        // prior-state scan so the old-image lookup prunes row groups /
+        // files instead of scanning every epoch per trigger — the
+        // O(state-scan) → O(touched-buckets) conversion that matters at
+        // 100 TB. The key-exact semi-join below is unchanged; the
+        // bucket gate is pure IO pruning.
+        val touched = b.select(bucketOf(keyCols).as(BucketCol)).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        val prior = bucketGate(readStateSchema(state) match {
+          case Some(p) => s.read.schema(withBucketField(p)).parquet(state)
           case None => s.read.option("mergeSchema", "true").parquet(state)
-        }).filter(col("epoch") < epochId).drop("epoch")
+        }, Some(touched))
+          .filter(col("epoch") < epochId).drop("epoch").drop(BucketCol)
           .join(broadcast(b.select(keyCols.map(col): _*).distinct()),
             keyCols, "left_semi")
         envelope(prior).withColumn("_src", lit("p"))
@@ -1969,7 +2061,7 @@ object StreamingOps {
           .persist()
         try {
           // the destination table's own delta — same fold as runCdcPass
-          mvView(images, "bwin", keyCols)
+          bucketed(mvView(images, "bwin", keyCols), keyCols)
             .write.mode("overwrite").parquet(s"$state/epoch=$epochId")
           // delta as ONE signed aggregate: +f(new image) − f(old image)
           // per touched key, exploded from the images frame — no second
@@ -2072,7 +2164,8 @@ object StreamingOps {
       keyCols)
     ensureKeyCols(state, keyCols) // published key, as in runCdcPass
     ensureStateSchema(state, envl.schema)
-    envl.write.mode("overwrite").parquet(s"$state/epoch=-1")
+    bucketed(envl, keyCols).write.mode("overwrite")
+      .parquet(s"$state/epoch=-1")
     s.read.schema(envl.schema).parquet(s"$state/epoch=-1")
   }
 
@@ -2224,7 +2317,7 @@ object StreamingOps {
         val images = mvImages(s, state, epochId, ready, keyCols)
           .persist()
         try {
-          mvView(images, "bwin", keyCols)
+          bucketed(mvView(images, "bwin", keyCols), keyCols)
             .write.mode("overwrite").parquet(s"$state/epoch=$epochId")
           val alive = (df: DataFrame) => df.filter(col("op") =!= "D")
           val newA = alive(mvView(images, "new", keyCols))
@@ -2314,7 +2407,8 @@ object StreamingOps {
     * (non-baseline, seq at or below the floor) are ignored so purged
     * deletes cannot resurrect. */
   private[graft] def readLatestState(s: SparkSession, state: String,
-      asOfSeq: Option[Long] = None, softDelete: Boolean = false): DataFrame = {
+      asOfSeq: Option[Long] = None, softDelete: Boolean = false,
+      buckets: Option[Seq[Long]] = None): DataFrame = {
     // TIME TRAVEL (`asOfSeq`): serve the state as of a binlog position —
     // the latest-wins collapse over events at or below it. Rewinds the
     // DML clock and the additive DDL clock (a DEFAULT declared after the
@@ -2337,7 +2431,11 @@ object StreamingOps {
             "retain more history (compact less) to time-travel earlier")
       }
     }
-    val raw = readStateDir(s, state, asOfSeq)
+    // `buckets` is correctness-safe to combine with the collapse: a
+    // key's rows all hash to ONE bucket, so the collapse over the
+    // bucket subset is exact for every key inside it (callers only ever
+    // consult keys whose buckets they asked for)
+    val raw = readStateDir(s, state, asOfSeq, buckets)
     val purgeGated = readPurgeFloor(state) match {
       case Some(f) => raw.filter(col("epoch") < 0 || col("seq") > f)
       case None => raw

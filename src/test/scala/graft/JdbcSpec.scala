@@ -107,6 +107,76 @@ class JdbcSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$pdir/epoch=0").count() == 50L)
   }
 
+  test("served state lands in the S17 DDL shape and Derby collapses it back") {
+    // the S17↔S5 loop: the bootstrap DDL promises a destination of
+    // (payload..., _version, _is_deleted) under ReplacingMergeTree —
+    // stateToDestination must produce EXACTLY that row shape from the
+    // engine's own state, and a (key, max _version) collapse over the
+    // landed rows must equal the engine's serving view.
+    val base = java.nio.file.Files.createTempDirectory("graft_jstate").toString
+    val ev = spark.createDataFrame(Seq(
+        ("I", 1L, 1L, 10.0, "O"), ("I", 2L, 2L, 20.0, "O"),
+        ("I", 3L, 3L, 30.0, "O"),
+        ("U", 4L, 2L, 25.0, "P"),   // key 2 drifts
+        ("D", 5L, 3L, 0.0, null)))  // key 3 dies — tombstone must export
+      .toDF("op", "seq", "okey", "price", "status")
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("seq")))
+      .select(col("op"), col("seq"), col("ts"), col("okey"), col("price"),
+        col("status"))
+    graft.streaming.StreamingOps.writeWave(ev, s"$base/in", 0)
+    graft.streaming.StreamingOps.runCdcPass(spark, ev.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state")
+    // export = the collapse WITH tombstones + seq (the changes shape)
+    val changes = graft.streaming.StreamingOps
+      .readStateChanges(spark, s"$base/state", sinceSeq = 0L)
+    val dest = graft.sources.DestinationDdl
+      .stateToDestination(changes, Seq("okey"))
+    // the projected row shape IS the DDL's declared column order
+    val ddl = graft.sources.DestinationDdl.createTable("t_orders",
+      org.apache.spark.sql.types.StructType(
+        changes.schema.filterNot(f => Seq("op", "seq").contains(f.name))),
+      Seq("okey"))
+    val declared = "`([^`]+)`".r.findAllMatchIn(
+      ddl.substring(ddl.indexOf('('), ddl.indexOf("ENGINE")))
+      .map(_.group(1)).toSeq
+    assert(declared == dest.columns.toSeq,
+      s"DDL declares ${declared.mkString(",")} but the projection emits " +
+        dest.columns.mkString(","))
+    // land it in Derby through the production sink
+    val url = freshUrl()
+    withConn(url) { conn =>
+      val st = conn.createStatement()
+      // status is CLOB, not VARCHAR: Spark's Derby dialect maps
+      // StringType to CLOB, and a tombstone's NULL status goes through
+      // setNull(CLOB) — a VARCHAR column rejects that type code
+      st.executeUpdate("CREATE TABLE t_dest (okey BIGINT NOT NULL, " +
+        "price DOUBLE, status CLOB, ts TIMESTAMP, " +
+        "\"_version\" BIGINT NOT NULL, \"_is_deleted\" SMALLINT NOT NULL)")
+      st.close()
+    }
+    new JdbcBatchSink(url, "t_dest", "", "").writeState(changes, Seq("okey"),
+      epochId = 0L)
+    val landed = new JdbcSource(url, "", "").snapshot(spark, "t_dest")
+    // tombstone flagged, not dropped; version = the winning seq
+    val dead = landed.filter(col("okey") === 3L).collect()
+    assert(dead.length == 1 && dead(0).getAs[Number]("_is_deleted")
+      .intValue == 1 && dead(0).getAs[Long]("_version") == 5L)
+    // the destination's ReplacingMergeTree semantics (latest _version
+    // wins, _is_deleted winners drop at FINAL) reproduce the engine's
+    // serving view exactly
+    val collapsed = landed
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("okey"))
+          .orderBy(col("_version").desc)))
+      .filter(col("rn") === 1 && col("_is_deleted") === 0)
+      .select(col("okey"), col("price"), col("status"))
+    val served = graft.streaming.StreamingOps
+      .readLatestState(spark, s"$base/state")
+      .select(col("okey"), col("price"), col("status"))
+    assert(collapsed.collect().map(_.toSeq).toSet ==
+      served.collect().map(_.toSeq).toSet)
+  }
+
   test("fullSync drives a JdbcSource end-to-end into parquet") {
     val url = freshUrl()
     seedOrders(url, 60)

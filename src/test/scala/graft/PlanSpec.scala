@@ -427,6 +427,46 @@ class PlanSpec extends SparkTestBase {
       s"dropped column still read by the scan:\n$plan")
   }
 
+  test("a bucket-set probe pushes the bucket filter into the state scan") {
+    // the 100 TB state-layout contract: every state epoch materializes
+    // `_bucket = xxhash64(key) % 64` clustered within its files, and a
+    // touched-bucket probe (MV old-image lookup, chunk-restricted
+    // repair) pushes `_bucket IS NULL OR _bucket IN (...)` to the scan
+    // — row groups (post-compaction: whole files) outside the touched
+    // buckets are pruned by statistics, converting the per-trigger
+    // O(state-scan) into O(touched buckets). Correctness is bucket-
+    // exact: a key's rows all hash to one bucket, so the collapse over
+    // the probed subset serves exactly the probed keys' rows.
+    val base = java.nio.file.Files.createTempDirectory("graft_planbkt").toString
+    val ev = spark.range(1, 200).select(lit("I").as("op"),
+      col("id").as("seq"),
+      org.apache.spark.sql.functions.timestamp_seconds(
+        lit(1700000000L) + col("id")).as("ts"),
+      col("id").as("okey"), (col("id") * 1.0).as("price"),
+      lit("O").as("status"))
+    graft.streaming.StreamingOps.writeWave(ev, s"$base/in", 0)
+    graft.streaming.StreamingOps.runCdcPass(spark, ev.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state")
+    val probe = graft.streaming.StreamingOps
+      .readLatestState(spark, s"$base/state", buckets = Some(Seq(3L, 7L)))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("In(_bucket"),
+      s"bucket set not pushed to the state scan:\n$plan")
+    assert(plan.contains("IsNull(_bucket"),
+      s"pre-bucketing NULL rows must pass the gate (pushed as Or):\n$plan")
+    // the physical column never leaks into the served schema
+    assert(!probe.columns.contains("_bucket"))
+    // and the probe serves EXACTLY the full read's rows for those
+    // buckets' keys (pruning is IO-only, never row-semantics)
+    val all = graft.streaming.StreamingOps
+      .readLatestState(spark, s"$base/state")
+      .withColumn("_b", pmod(xxhash64(col("okey")), lit(64L)))
+    val want = all.filter(col("_b").isin(3L, 7L)).drop("_b")
+      .collect().map(_.toSeq).toSet
+    assert(probe.collect().map(_.toSeq).toSet == want)
+    assert(want.nonEmpty, "fixture too small: no keys landed in the probe")
+  }
+
   test("no declared batch query plans an unbounded cartesian product") {
     // global scale guard: planning-only sweep over every PURE query (ones
     // whose builder neither runs a stream nor writes a sink — those

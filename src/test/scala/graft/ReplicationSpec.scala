@@ -253,6 +253,56 @@ class ReplicationSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { fileOffset.toSeq("gtid:1-77") }
   }
 
+  test("position catalog: a recorded token resumes exactly like the explicit seq") {
+    // the self-contained `--position` surface: pass 1 reports the
+    // connector's native token alongside its applied horizon, the
+    // catalog persists token→seq under the checkpoint, and a LATER
+    // resume decodes the token with no connector present — property:
+    // resume-by-token == resume-by-seq, over several wave splits
+    val log = Tables.cdcLog(spark, sf)
+    Seq(1L, 2L).foreach { splitAt =>
+      val base = tmp()
+      (1 to 3).foreach(w => graft.streaming.StreamingOps.writeWave(
+        log.filter(col("seq") === w), s"$base/in_a", w - 1))
+      // phase 1: apply waves up to splitAt, reporting the native token
+      val token = s"binlog.000042:${splitAt * 100}"
+      val p1 = Replication.incrementalSync(spark, log.schema,
+        s"$base/in_a", s"$base/ckpt_a", s"$base/state_a",
+        positionToken = Some(token))
+      assert(p1.lastSeq.contains(3L))
+      // the pass recorded ITS final horizon; re-record the split point
+      // the way a connector checkpointing mid-stream would have
+      Replication.PositionCatalog.record(s"$base/ckpt_a", token, splitAt)
+      assert(Replication.PositionCatalog.read(s"$base/ckpt_a")(token)
+        == splitAt)
+      // phase 2: two FRESH destinations replay the full log — one
+      // resumed by the cataloged token, one by the explicit seq
+      def replay(from: Option[Long], codecToken: Option[String])
+          : Set[Seq[Any]] = {
+        val b2 = tmp()
+        (1 to 3).foreach(w => graft.streaming.StreamingOps.writeWave(
+          log.filter(col("seq") === w), s"$b2/in", w - 1))
+        codecToken match {
+          case Some(t) => Replication.incrementalSyncFromPosition(
+            spark, log.schema, s"$b2/in", s"$b2/ckpt", s"$b2/state", t,
+            Replication.PositionCatalog.codec(s"$base/ckpt_a"))
+          case None => Replication.incrementalSync(spark, log.schema,
+            s"$b2/in", s"$b2/ckpt", s"$b2/state", fromSeq = from)
+        }
+        Replication.appliedState(spark, s"$b2/state").collect()
+          .map(_.toSeq).toSet
+      }
+      assert(replay(None, Some(token)) == replay(Some(splitAt), None),
+        s"token resume must equal seq resume at split $splitAt")
+    }
+    // an unrecorded token fails loudly — never a guessed position
+    val e = intercept[IllegalArgumentException] {
+      Replication.PositionCatalog.codec("/nonexistent_ckpt")
+        .toSeq("binlog.000099:1")
+    }
+    assert(e.getMessage.contains("never recorded"))
+  }
+
   test("configured sync rejects rename mappings that collide on a destination") {
     val log = Tables.cdcLog(spark, sf).withColumn("table", lit("a"))
     val cfg = Replication.SyncConfig(
