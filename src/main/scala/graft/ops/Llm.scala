@@ -425,12 +425,31 @@ object Llm {
       .orderBy(col("doc_id"))
   }
 
+  /** Physical key-hash bucketing of the EXACT-dedup index — the state
+    * dir's `_bucket` discipline applied to the LLM index side: hash
+    * files cluster by `xxhash64(text_hash) % 64`, and the ingest probe
+    * pushes the BATCH's bucket set into the index scan, so a small
+    * (streaming-sized) ingest prunes row groups / files instead of
+    * scanning the whole accumulated index. A batch touching every
+    * bucket skips the gate (nothing to prune); rows from pre-bucketing
+    * files surface NULL and always pass. The bands index deliberately
+    * does NOT bucket: a batch's (band, bv) key set is ~16× its doc
+    * count and saturates any bucket space immediately — there the df
+    * cap and the broadcast probe are the levers. */
+  private val IndexBuckets = 64L
+  private def hashBucket: Column =
+    pmod(xxhash64(col("text_hash")), lit(IndexBuckets))
+
   /** Seed the incremental EXACT-dedup index: the snapshot's distinct
-    * normalized content hashes, persisted under `indexDir/hashes`. */
+    * normalized content hashes, persisted under `indexDir/hashes`,
+    * clustered by hash bucket so ingest probes prune. */
   private[graft] def exactIndexSeed(s: SparkSession, snapshot: DataFrame,
       indexDir: String): Unit =
     snapshot.select(sha2(lower(trim(col("text"))), 256).as("text_hash"))
       .distinct()
+      .withColumn("_bucket", hashBucket)
+      .repartition(col("_bucket"))
+      .sortWithinPartitions("_bucket")
       .write.mode("overwrite").parquet(s"$indexDir/hashes")
 
   /** Incremental EXACT dedup-on-ingest: ship each arriving doc whose
@@ -446,6 +465,8 @@ object Llm {
     val kept = exactIngestFrame(s, batch, indexDir)
       .localCheckpoint() // pinned BEFORE the index append it derives from
     kept.select(col("text_hash"))
+      .withColumn("_bucket", hashBucket)
+      .sortWithinPartitions("_bucket")
       .write.mode("append").parquet(s"$indexDir/hashes")
     kept
   }
@@ -458,7 +479,18 @@ object Llm {
     val hashed = graft.CacheRegistry.track(
       batch.withColumn("text_hash", sha2(lower(trim(col("text"))), 256))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val present = s.read.parquet(s"$indexDir/hashes")
+    // the batch's touched buckets (≤ IndexBuckets values, one tiny
+    // distinct over the persisted batch) pushed into the index scan —
+    // row-group/file pruning for streaming-sized ingests, skipped when
+    // the batch saturates the bucket space
+    val touched = hashed.select(hashBucket.as("_b")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val idx0 = s.read.parquet(s"$indexDir/hashes")
+    val idx =
+      (if (touched.size < IndexBuckets && idx0.columns.contains("_bucket"))
+        idx0.filter(col("_bucket").isNull || col("_bucket").isin(touched: _*))
+      else idx0).select(col("text_hash"))
+    val present = idx
       .join(broadcast(hashed.select(col("text_hash")).distinct()),
         Seq("text_hash"), "left_semi")
     val fresh = hashed.join(broadcast(present), Seq("text_hash"), "left_anti")
@@ -563,7 +595,7 @@ object Llm {
     * dir — run it between ingests (a maintenance window), exactly as
     * llm_dedup_stream does inside its serial foreachBatch. */
   private def compactIndexTable(s: SparkSession, live: String,
-      targetFiles: Int): Unit = {
+      targetFiles: Int, clusterCol: Option[String] = None): Unit = {
     import graft.streaming.StateFs
     val trash = s"${live}_old"
     if (StateFs.exists(trash)) {
@@ -572,7 +604,12 @@ object Llm {
     }
     val side = s"${live}_compacting"
     StateFs.deleteRecursive(side)
-    s.read.parquet(live).repartition(targetFiles)
+    // a cluster column (the ANN index's cell, the exact index's bucket)
+    // re-aligns the compacted files to it, restoring the probe pruning
+    // the per-ingest appends progressively dilute
+    val raw = s.read.parquet(live)
+    clusterCol.fold(raw.repartition(targetFiles))(c =>
+        raw.repartition(targetFiles, col(c)).sortWithinPartitions(c))
       .write.mode("overwrite").parquet(side)
     StateFs.moveDir(live, trash)
     StateFs.moveDir(side, live)
@@ -590,7 +627,8 @@ object Llm {
     * centroid table is 16 rows in one file — nothing to compact). */
   private[graft] def annIndexCompact(s: SparkSession, indexDir: String,
       targetFiles: Int = 4): Unit =
-    compactIndexTable(s, s"$indexDir/assigned", targetFiles)
+    compactIndexTable(s, s"$indexDir/assigned", targetFiles,
+      clusterCol = Some("cell"))
 
   /** Centroid REFRESH (the periodic re-train [[annIngest]]'s scaladoc
     * defers drift to) as a first-class maintenance op: after many
@@ -638,7 +676,9 @@ object Llm {
       .select(col("vec_id").as("n_id"), col("v").as("n_v"), col("cell"))
       .localCheckpoint()
     replaceIndexTable(refreshed, s"$indexDir/centroids")
-    replaceIndexTable(reassigned, s"$indexDir/assigned")
+    // keep the cell-clustered layout through the swap
+    replaceIndexTable(reassigned.repartition(col("cell"))
+      .sortWithinPartitions("cell"), s"$indexDir/assigned")
   }
 
   /** Seed the incremental ANN's PERSISTED IVF INDEX from a corpus
@@ -669,8 +709,12 @@ object Llm {
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
     val refined = s.read.parquet(s"$indexDir/centroids")
       .agg(array_sort(collect_list(struct(col("c_id"), col("c_v")))).as("cents"))
+    // CELL-CLUSTERED layout: whole files align to cells, so an ingest's
+    // probed-cell filter ([[annIngestFrame]]) prunes at file granularity
     assignCells(a0.drop("cell"), refined)
       .select(col("vec_id").as("n_id"), col("v").as("n_v"), col("cell"))
+      .repartition(col("cell"))
+      .sortWithinPartitions("cell")
       .write.mode("overwrite").parquet(s"$indexDir/assigned")
   }
 
@@ -696,7 +740,8 @@ object Llm {
       indexDir: String): DataFrame = {
     val (topk0, bAssigned) = annIngestFrame(s, batch, indexDir)
     val topk = topk0.localCheckpoint()
-    bAssigned.write.mode("append").parquet(s"$indexDir/assigned")
+    bAssigned.sortWithinPartitions("cell")
+      .write.mode("append").parquet(s"$indexDir/assigned")
     topk
   }
 
@@ -713,10 +758,8 @@ object Llm {
       assignCells(batch.select(col("vec_id"), col("v")), cents)
         .select(col("vec_id").as("n_id"), col("v").as("n_v"), col("cell"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val candidates = s.read.parquet(s"$indexDir/assigned")
-      .unionByName(bAssigned)
     val wProbe = Window.partitionBy(col("q_id")).orderBy(desc("qcos"), asc("c_id"))
-    val probes = bAssigned
+    val probes = graft.CacheRegistry.track(bAssigned
       .select(col("n_id").as("q_id"), col("n_v").as("q_v"))
       .crossJoin(broadcast(cents))
       .select(col("q_id"), col("q_v"), explode(col("cents")).as("c"))
@@ -724,6 +767,18 @@ object Llm {
         call_function("cosine_sim", col("q_v"), col("c.c_v")).as("qcos"))
       .withColumn("prn", row_number().over(wProbe)).filter(col("prn") <= 4)
       .select(col("q_id"), col("q_v"), col("c_id").as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // the batch's PROBED CELLS (≤ centroid count, one tiny distinct over
+    // the persisted probe list) pushed into the assigned-table scan: the
+    // index is cell-clustered on disk ([[annIndexSeed]]/[[annIndexCompact]]),
+    // so a streaming-sized ingest reads only its probed cells' row
+    // groups/files instead of the whole accumulated index — the cell
+    // restriction the equi-join imposes anyway, moved to the scan
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.get(0)).toSeq
+    val candidates = s.read.parquet(s"$indexDir/assigned")
+      .filter(col("cell").isin(probedCells: _*))
+      .unionByName(bAssigned)
     val wTop = Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("n_id"))
     val topk = candidates.join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))

@@ -273,6 +273,38 @@ class PlanSpec extends SparkTestBase {
       s"expected broadcast probe joins:\n$plan")
   }
 
+  test("small-batch ingest probes prune the persisted indexes by bucket/cell") {
+    // the state dir's bucket discipline applied to the LLM index side: a
+    // streaming-sized ingest must push its touched-bucket / probed-cell
+    // set into the index scan so parquet stats prune — the difference
+    // between O(index scan) and O(touched files) per ingest at corpus
+    // scale. (The full-corpus-batch specs above keep asserting the
+    // saturated case, where the exact-index gate skips.)
+    val d = Tables.t(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val idx = s"${TmpDirs.create("graft_plan_bktidx")}/idx"
+    ops.Llm.exactIndexSeed(spark, d, idx)
+    val batch = d.orderBy(col("doc_id")).limit(3)
+      .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+      .localCheckpoint()
+    val plan = ops.Llm.exactIngestFrame(spark, batch, idx)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("In(_bucket") && plan.contains("IsNull(_bucket"),
+      s"hash-bucket set not pushed into the index scan:\n$plan")
+    // ANN: the probed-cell set reaches the assigned-table scan as a
+    // pushed filter (the scan-side form of the cell equi-join's
+    // restriction; the table is cell-clustered so it prunes files)
+    val all = Tables.t(spark, sf, "embeddings").select(
+      col("vec_id"), functions.VectorOps.toDouble(col("embedding")).as("v"))
+    val aidx = s"${TmpDirs.create("graft_plan_cellidx")}/idx"
+    ops.Llm.annIndexSeed(spark, all.filter(col("vec_id") % 10 =!= 0), aidx)
+    val (topk, _) = ops.Llm.annIngestFrame(spark,
+      all.orderBy(col("vec_id")).limit(2)
+        .select((col("vec_id") + 900000).as("vec_id"), col("v")), aidx)
+    val aplan = topk.queryExecution.executedPlan.toString
+    assert(aplan.contains("In(cell") || aplan.contains("EqualTo(cell"),
+      s"probed-cell set not pushed into the assigned scan:\n$aplan")
+  }
+
   test("substring-dedup fingerprints are df-capped before the self-join") {
     // L2h's guard, same contract: boilerplate fingerprints (df > 100)
     // never reach pair generation.
