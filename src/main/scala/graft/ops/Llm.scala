@@ -466,7 +466,6 @@ object Llm {
       .localCheckpoint() // pinned BEFORE the index append it derives from
     kept.select(col("text_hash"))
       .withColumn("_bucket", hashBucket)
-      .sortWithinPartitions("_bucket")
       .write.mode("append").parquet(s"$indexDir/hashes")
     kept
   }
@@ -740,8 +739,7 @@ object Llm {
       indexDir: String): DataFrame = {
     val (topk0, bAssigned) = annIngestFrame(s, batch, indexDir)
     val topk = topk0.localCheckpoint()
-    bAssigned.sortWithinPartitions("cell")
-      .write.mode("append").parquet(s"$indexDir/assigned")
+    bAssigned.write.mode("append").parquet(s"$indexDir/assigned")
     topk
   }
 

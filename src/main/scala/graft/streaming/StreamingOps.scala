@@ -205,10 +205,18 @@ object StreamingOps {
   private def bucketOf(keyCols: Seq[String]): Column =
     pmod(xxhash64(keyCols.map(col): _*), lit(StateBuckets))
 
-  /** Cluster a state epoch's rows by bucket before writing. */
+  /** Materialize the bucket column on a state epoch write. Deliberately
+    * NO per-write sort: a per-trigger delta is a handful of small files
+    * whose single row group spans the full bucket range either way (a
+    * sort there buys zero pruning and costs a codegen'd Sort per
+    * trigger — measured ~0.4 s/scenario at the bench). The clustering
+    * that makes the probe prune lives where the DATA lives: the
+    * compacted baseline ([[compactState]] repartitions on the bucket so
+    * whole files align) and the seed paths. Fresh uncompacted deltas
+    * are read in full by the probe — they are the small recent tail by
+    * construction. */
   private def bucketed(df: DataFrame, keyCols: Seq[String]): DataFrame =
     df.withColumn(BucketCol, bucketOf(keyCols))
-      .sortWithinPartitions(BucketCol)
 
   private def withBucketField(st: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType =
@@ -1279,9 +1287,9 @@ object StreamingOps {
               .agg(max_by(struct(fields.map(col): _*), col("seq")).as("l"))
               .select(col("table") +: fields.map(f => col("l." + f).as(f)): _*)
           }
-          // same physical bucket layout as the single-table pass — each
+          // same physical bucket column as the single-table pass — each
           // row bucketed under ITS table's key definition (scan-local
-          // CASE, one pass), clustered within the partitioned write
+          // CASE, one pass); no per-trigger sort (see [[bucketed]])
           val bucketCase = keyFor.foldLeft(
               lit(null).cast(org.apache.spark.sql.types.LongType)) {
             case (acc, (t, ks)) =>
@@ -1290,7 +1298,6 @@ object StreamingOps {
                 .otherwise(acc)
           }
           collapsed.withColumn(BucketCol, bucketCase)
-            .sortWithinPartitions(col("table"), col(BucketCol))
             .write.mode("overwrite").partitionBy("table").parquet(epochStage)
           present.foreach { r =>
             val t = r.getString(0)
@@ -2431,10 +2438,15 @@ object StreamingOps {
             "retain more history (compact less) to time-travel earlier")
       }
     }
-    // `buckets` is correctness-safe to combine with the collapse: a
-    // key's rows all hash to ONE bucket, so the collapse over the
-    // bucket subset is exact for every key inside it (callers only ever
-    // consult keys whose buckets they asked for)
+    // `buckets` contract (property-tested in CdcPropertySpec): a key's
+    // rows all hash to ONE bucket, so every PROBED key serves exactly
+    // its full-read row — its bucketed rows all pass the gate and its
+    // unbucketed (NULL) rows always pass. Keys OUTSIDE the probe may
+    // still surface through NULL-bucket rows, and one whose history
+    // spans bucketed and unbucketed epochs then serves a PARTIAL view
+    // (its bucketed rows were pruned) — callers must only consult keys
+    // whose buckets they asked for; both probe call sites (mvImages'
+    // semi-join, the chunk repair's restrict predicate) re-gate exactly
     val raw = readStateDir(s, state, asOfSeq, buckets)
     val purgeGated = readPurgeFloor(state) match {
       case Some(f) => raw.filter(col("epoch") < 0 || col("seq") > f)

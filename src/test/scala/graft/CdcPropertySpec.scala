@@ -302,6 +302,63 @@ class CdcPropertySpec extends SparkTestBase {
     }
   }
 
+  test("bucket-probe read == full read restricted to those buckets (random logs)") {
+    import graft.streaming.StreamingOps
+    // the layout contract behind the touched-key probes: over random
+    // logs, with a MIXED physical layout (a bucketed compaction baseline
+    // under an unbucketed hand-written delta — the worst case the gate
+    // must survive), a bucket-set read serves EXACTLY the full read's
+    // rows for keys hashing into those buckets — pruning is IO-only
+    samples(5).filter(_.length > 3).zipWithIndex.foreach { case (ops, si) =>
+      val sorted = ops.sortBy(_.seq)
+      val (first, rest) = sorted.splitAt(sorted.length / 2)
+      val state = java.nio.file.Files
+        .createTempDirectory(s"graft_bktprop$si").toString
+      def toDf(chunk: List[Op]) = {
+        import spark.implicits._
+        spark.createDataFrame(chunk)
+          .select(col("op"), col("seq"),
+            timestamp_seconds(lit(1700000000L) + col("seq")).as("ts"),
+            col("key").as("okey"), col("v").cast("double").as("price"),
+            lit("S").as("status"))
+      }
+      toDf(first).write.parquet(s"$state/epoch=0")
+      StreamingOps.compactState(spark, state) // noop at 1 epoch...
+      toDf(rest).write.parquet(s"$state/epoch=1")
+      StreamingOps.compactState(spark, state) // ...bucketed baseline here
+      toDf(List(Op("U", sorted.last.seq + 1, sorted.head.key, 777L)))
+        .write.parquet(s"$state/epoch=2") // unbucketed tail delta
+      val full = StreamingOps.readLatestState(spark, state)
+        .withColumn("_b", pmod(xxhash64(col("okey")), lit(64L)))
+        .collect()
+      val present = full.map(_.getAs[Long]("_b")).distinct.toSeq
+      // probe a strict subset when possible, the full set otherwise
+      val probed = present.sorted.take(math.max(1, present.length / 2))
+      // THE contract (the scaladoc's "callers only consult keys whose
+      // buckets they asked for"): every probed key serves EXACTLY its
+      // full-read row — completeness AND exactness; keys outside the
+      // probe may surface via NULL-bucket (unbucketed-epoch) rows and
+      // are contractually unconsulted, but even those must never be
+      // rows the full read does not serve... with one carve-out: an
+      // unprobed key whose history SPANS bucketed and unbucketed epochs
+      // legitimately serves a partial view (its bucketed rows were
+      // pruned). So: exact on probed keys; no phantom KEYS anywhere.
+      val bucketOfKey: Map[Any, Long] =
+        full.map(r => (r.toSeq.head, r.getAs[Long]("_b"))).toMap
+      val want = full.filter(r => probed.contains(r.getAs[Long]("_b")))
+        .map(_.toSeq.dropRight(1)).toSet
+      val got = StreamingOps.readLatestState(spark, state,
+          buckets = Some(probed))
+        .collect().map(_.toSeq).toSet
+      assert(got.filter(r => bucketOfKey.get(r.head).exists(probed.contains))
+          == want,
+        s"probed keys must serve exactly their full-read rows; " +
+          s"log: $ops, probed: $probed")
+      assert(got.map(_.head).subsetOf(bucketOfKey.keySet),
+        s"probe invented keys; log: $ops, probed: $probed")
+    }
+  }
+
   test("snapshot ∪ delta == full-log collapse") {
     samples(10).filter(_.length > 2).foreach { ops =>
       val sorted = ops.sortBy(_.seq)
