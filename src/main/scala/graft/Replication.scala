@@ -185,16 +185,17 @@ object Replication {
       inDir: String, ckptDir: String, stateDir: String, mvDir: String,
       groupCol: String = "status", minMax: Boolean = false,
       keyCols: Seq[String] = Seq("okey"),
-      enrich: DataFrame => DataFrame = identity)
+      enrich: DataFrame => DataFrame = identity,
+      txnCol: Option[String] = None)
       : (SyncProgress, DataFrame) = {
     val src = sources.FileCdcSource(schema, inDir)
     val (rows, epochs, lastSeq, pending, srcMax) =
       if (minMax) streaming.StreamingOps.runMvMinMaxPassSource(spark, src,
         ckptDir, stateDir, s"$mvDir/_snap", mvDir, keyCols, groupCol,
-        trackSeq = true)
+        txnCol = txnCol, trackSeq = true)
       else streaming.StreamingOps.runMvSumPassSource(spark, src,
         ckptDir, stateDir, mvDir, keyCols, groupCol, enrich,
-        trackSeq = true)
+        txnCol = txnCol, trackSeq = true)
     (SyncProgress(rows, epochs, lastSeq, pending, srcMax),
       streaming.StreamingOps.readMv(spark, mvDir))
   }

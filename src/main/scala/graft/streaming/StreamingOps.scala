@@ -2234,6 +2234,7 @@ object StreamingOps {
       ckpt: String, state: String, snap: String, mv: String,
       keyCols: Seq[String] = Seq("okey"),
       groupCol: String = "status",
+      txnCol: Option[String] = None,
       trackSeq: Boolean = false)
       : (Long, Long, Option[Long], Long, Option[Long]) = {
     val mvSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -2247,7 +2248,7 @@ object StreamingOps {
       snapRows => snapRows.groupBy(col(groupCol))
         .agg(count(lit(1)).as("n_rows"),
           min(col("price")).as("mn"), max(col("price")).as("mx")),
-      trackSeq = trackSeq)
+      txnCol = txnCol, trackSeq = trackSeq)
   }
 
   /** The GENERAL dirty-group MV pass [[runMvMinMaxPass]] is an instance
@@ -3128,6 +3129,46 @@ object StreamingOps {
       readStateChanges(s, s"$tmp/state", 1L)
     }),
 
+    // S-CHANGES-BETWEEN: the bounded incident-window audit live —
+    // "what changed in (p1, p2]": per key changed in the window, its
+    // latest in-window event, deletes included as tombstone rows. Needs
+    // RETAINED history (keepHistory — per-batch folding would displace
+    // in-window images; the read refuses otherwise, spec-covered) and
+    // an in-range compaction horizon. Both position predicates land on
+    // the scan (row-group pruning both ends).
+    "cdc_changes_between" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir)
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      writeWaves(log, in, col("seq") - 1, 3, Seq(col("okey")))
+      runCdcPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state",
+        keepHistory = true)
+      readStateChanges(s, s"$tmp/state", 1L, untilSeq = Some(3L))
+    }),
+
+    // S-MV-SEED: the `--full`-then-`--increment` operator flow with the
+    // MV riding along, under the oracle gate: the snapshot seeds the
+    // state baseline AND the view's first epoch (one group-by — the one
+    // full recompute the regime ever pays), then the incremental pass
+    // continues over the later waves with NO special case. The served
+    // view must equal the group-by over the final latest state — the
+    // same oracle as cdc_mv_sum, reached through the seeded path.
+    "cdc_mv_seeded" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir)
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      val snap = log.filter(col("seq") === 1)
+        .select(col("okey"), col("price"), col("status"), col("ts"))
+      mvSeedSum(s, snap, s"$tmp/state", s"$tmp/mv")
+      writeWaves(log.filter(col("seq") > 1), in, col("seq") - 2, 2,
+        Seq(col("okey")))
+      runMvSumPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state", s"$tmp/mv")
+      readMv(s, s"$tmp/mv")
+        .select(col("status"), col("n_rows"),
+          col("total").cast(DoubleType).as("total"))
+        .orderBy(col("status"))
+    }),
+
     // ST30: aggregate MV (count/sum per status) maintained from the CDC
     // stream by per-batch RETRACTION deltas — never a recompute; the
     // served MV equals the group-by over the final latest state.
@@ -3860,6 +3901,27 @@ object StreamingOps {
                        FROM cdc_log)
          SELECT okey, op, price, status, ts, seq FROM ranked
          WHERE rn = 1 AND seq > 1 ORDER BY okey""",
+
+    // the incident window (1, 3]: per key changed in it, the latest
+    // in-window event — updates AND delete tombstones.
+    "cdc_changes_between" ->
+      s"""WITH cdc_log AS (${Tables.cdcLogSql}),
+            win AS (SELECT * FROM cdc_log WHERE seq > 1 AND seq <= 3),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM win)
+         SELECT okey, op, price, status, ts, seq FROM ranked
+         WHERE rn = 1 ORDER BY okey""",
+
+    // seeded MV + incremental continuation must land on the SAME final
+    // view as maintaining from scratch: group-by over the final state.
+    "cdc_mv_seeded" ->
+      s"""WITH cdc_log AS (${Tables.cdcLogSql}),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM cdc_log),
+            latest AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D')
+         SELECT status, count(*) AS n_rows,
+                CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM latest GROUP BY status ORDER BY status""",
 
     // the MV oracles aggregate the FINAL latest state directly — the
     // incremental deltas telescope, so the maintained MV must match.
