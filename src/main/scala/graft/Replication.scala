@@ -28,11 +28,33 @@ object Replication {
     * production); this layer only sequences tables. Returns per-table
     * row counts (the reference logs the same). */
   def fullSync(spark: SparkSession, source: TableSource, tables: Seq[String],
-      destDir: String, filter: TableFilter = TableFilter()): Map[String, Long] =
-    tables.filter(filter.admits).map { t =>
+      destDir: String, filter: TableFilter = TableFilter(),
+      parallelism: Int = 1): Map[String, Long] = {
+    require(parallelism >= 1, "parallelism must be at least 1")
+    val admitted = tables.filter(filter.admits)
+    def one(t: String): (String, Long) = {
       source.snapshot(spark, t).write.mode("overwrite").parquet(s"$destDir/$t")
+      // the count re-reads what actually landed — a write verification,
+      // not bookkeeping off the in-flight frame
       t -> spark.read.parquet(s"$destDir/$t").count()
-    }.toMap
+    }
+    if (parallelism == 1) admitted.map(one).toMap
+    else {
+      // `parallelism` table snapshots in flight at once: Spark schedules
+      // concurrent jobs submitted from separate threads, so the
+      // dimension-table tail no longer serializes behind the fact
+      // table's snapshot — at snapshot scale the cluster stays busy for
+      // the whole sync, not just the widest table's job. Each table's
+      // job is still fully distributed on its own.
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(Future.traverse(admitted)(t => Future(one(t))),
+        Duration.Inf).toMap
+      finally { pool.shutdown(); () }
+    }
+  }
 
   /** Per-pass sync progress — the operational surface a replication user
     * watches (the reference logs rows/s and the applied position; here:

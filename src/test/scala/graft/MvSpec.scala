@@ -530,6 +530,20 @@ class MvSpec extends SparkTestBase {
         min(col("price")).as("mn"), max(col("price")).as("mx")),
       txnCol = Some("txn"))
     assert(servedMinMax(s"$b2/mv") == Map("B" -> ((1L, 11.00, 11.00))))
+    // and the FACADE exposes the gate: same waves through
+    // incrementalSyncWithView(txnCol), same committed view, and the
+    // uncommitted tail is visible as pendingRows with positive lag
+    val b3 = tmp()
+    StreamingOps.writeWave(w0, s"$b3/in", 0)
+    StreamingOps.writeWave(w1, s"$b3/in", 1)
+    val (progress, served) = Replication.incrementalSyncWithView(spark,
+      w0.schema, s"$b3/in", s"$b3/ckpt", s"$b3/state", s"$b3/mv",
+      txnCol = Some("txn"))
+    assert(served.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), BigDecimal(r.getDecimal(2))))).toMap ==
+      Map("B" -> ((1L, BigDecimal("11.00")))))
+    assert(progress.pendingRows == 1L && progress.lag > 0L,
+      s"the abandoned txn must surface in progress: $progress")
   }
 
   test("MV ingest continues across a state compaction (the bounded-lookup claim)") {

@@ -51,6 +51,15 @@ class ReplicationSpec extends SparkTestBase {
     assert(counts.keySet == Set("nation", "region"))
     assert(counts("nation") == Tables.t(spark, sf, "nation").count())
     assert(!new java.io.File(s"$dest/customer").exists())
+    // parallel submission is a pure scheduling change: same tables, same
+    // counts, same landed rows as the sequential pass
+    val dest2 = tmp()
+    val counts2 = Replication.fullSync(spark, src,
+      Seq("nation", "region", "customer"), dest2,
+      Replication.TableFilter(exclude = Set("customer")), parallelism = 3)
+    assert(counts2 == counts)
+    assert(spark.read.parquet(s"$dest2/nation").collect().map(_.toSeq).toSet
+      == spark.read.parquet(s"$dest/nation").collect().map(_.toSeq).toSet)
   }
 
   test("sync with view: table and MV advance together through the facade") {
