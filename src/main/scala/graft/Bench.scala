@@ -120,7 +120,11 @@ object Bench {
     // shape), then each read is timed by itself, so a state-read
     // regression is visible per round in bench_full.json without being
     // drowned by trigger fixed costs. Best-effort like the warmup.
-    val stateReads: Seq[(String, Double)] = try {
+    // gated like the artifact write it feeds: a filtered local
+    // iteration would otherwise pay the state build + three reads for a
+    // result nothing consumes
+    val stateReads: Seq[(String, Double)] = if (filt.nonEmpty) Seq.empty
+    else try {
       import org.apache.spark.sql.functions.col
       val log = Tables.cdcLog(spark, sfDir)
       val rtmp = TmpDirs.create("bench_stateread")

@@ -288,11 +288,33 @@ object Replication {
       groupCol: String = "status"): Unit = {
     requireSumView(mvDir, groupCol)
     val at = streaming.StateFs.epochIds(mvDir).maxOption.getOrElse(0L)
+    val live = s"$mvDir/epoch=$at"
+    val stage = s"$mvDir/_rebuilding"
+    val trash = s"$mvDir/_rebuild_old"
+    // the replace is STAGED, never a direct overwrite of the serving
+    // epoch: a Spark overwrite deletes the live files before the job
+    // commits, so a crash mid-rebuild would leave the only snapshot
+    // empty (readMv would silently serve an empty view). Stage → move
+    // live aside → move stage live → drop, with the replaceIndexTable
+    // auto-heal: trash WITHOUT live at entry is a crash between the
+    // two moves — restore it. Crash-safe, not concurrent-safe: run
+    // between passes (the repair flow is an operator maintenance
+    // window by nature).
+    if (streaming.StateFs.exists(trash)) {
+      if (streaming.StateFs.exists(live))
+        streaming.StateFs.deleteRecursive(trash)
+      else streaming.StateFs.moveDir(trash, live)
+    }
+    streaming.StateFs.deleteRecursive(stage)
     appliedState(spark, stateDir)
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_rows"),
         sum(Tables.dec2(col("price"))).cast(Tables.D2).as("total"))
-      .write.mode("overwrite").parquet(s"$mvDir/epoch=$at")
+      .write.mode("overwrite").parquet(stage)
+    if (streaming.StateFs.exists(live))
+      streaming.StateFs.moveDir(live, trash)
+    streaming.StateFs.moveDir(stage, live)
+    streaming.StateFs.deleteRecursive(trash)
     streaming.StateFs.epochIds(mvDir).filter(_ < at - 1)
       .foreach(e => streaming.StateFs.deleteRecursive(s"$mvDir/epoch=$e"))
   }

@@ -629,6 +629,16 @@ object Llm {
     compactIndexTable(s, s"$indexDir/assigned", targetFiles,
       clusterCol = Some("cell"))
 
+  /** [[compactIndexTable]] over the EXACT-dedup hash index — the
+    * maintenance op that restores the bucket clustering per-ingest
+    * appends progressively dilute (each append lands unclustered small
+    * files whose bucket range spans everything, so the probe's pruning
+    * decays back toward a full scan without this). */
+  private[graft] def exactIndexCompact(s: SparkSession, indexDir: String,
+      targetFiles: Int = 4): Unit =
+    compactIndexTable(s, s"$indexDir/hashes", targetFiles,
+      clusterCol = Some("_bucket"))
+
   /** Centroid REFRESH (the periodic re-train [[annIngest]]'s scaladoc
     * defers drift to) as a first-class maintenance op: after many
     * ingests the fixed seed-time centroids no longer reflect the

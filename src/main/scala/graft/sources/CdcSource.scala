@@ -96,6 +96,16 @@ final case class KafkaCdcSource(schema: StructType,
       from_json(col("value").cast("string"), dbz).as("e"),
       col("partition").cast("long").as("_p"),
       col("offset").as("_o"))
+      // Kafka-level TOMBSTONES (null-value records Debezium appends
+      // after every delete for log compaction, at a HIGHER offset than
+      // the delete event) parse to a null struct; letting one through
+      // would emit an op-NULL all-NULL row that WINS the key's
+      // latest-wins collapse — the destination would serve a phantom
+      // null image instead of the flagged delete. Same gate for op
+      // codes outside the DML dialect (truncate 't', message 'm'):
+      // they carry no row image and must not reach the collapse.
+      .filter(col("e").isNotNull &&
+        col("e.op").isin("c", "r", "u", "d"))
     val img = when(col("e.op") === "d", col("e.before"))
       .otherwise(col("e.after"))
     e.select(

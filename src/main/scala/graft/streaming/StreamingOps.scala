@@ -701,6 +701,16 @@ object StreamingOps {
     * bounded — spark.sql.streaming.numRecentProgressUpdates, default
     * 100 — plenty for the harness's ≤4-wave passes; a long-lived
     * production stream would consume a StreamingQueryListener instead.) */
+  /** Fold a frame's max(`seq`) into a running horizon — the ONE
+    * trackSeq position-bookkeeping primitive shared by the CDC passes
+    * and both MV passes (one 1-row aggregate per call; the contract
+    * notes live on runCdcPassSource). */
+  private def foldMaxSeq(df: DataFrame, into: Option[Long]): Option[Long] = {
+    val r = df.agg(max(col("seq"))).collect()(0)
+    if (r.isNullAt(0)) into
+    else Some(into.fold(r.getLong(0))(math.max(_, r.getLong(0))))
+  }
+
   private def runSourcePass(s: SparkSession, source: CdcSource, ckpt: String)(
       apply: (Dataset[Row], Long) => Unit): (Long, Long) = {
     val query = source.open(s)
@@ -897,11 +907,7 @@ object StreamingOps {
           case (df, (n, e)) => df.withColumn(n, expr(e))
         }
         if (trackSeq) {
-          def fold(df: DataFrame): Unit = {
-            val r = df.agg(max(col("seq"))).collect()(0)
-            if (!r.isNullAt(0))
-              maxSeq = Some(maxSeq.fold(r.getLong(0))(math.max(_, r.getLong(0))))
-          }
+          def fold(df: DataFrame): Unit = maxSeq = foldMaxSeq(df, maxSeq)
           fold(applied)
           // the applied POSITION also advances through RESOLVED events
           // that never reach state: a commit marker is resolved the
@@ -918,10 +924,7 @@ object StreamingOps {
           // the SEEN horizon reads the raw batch — before the position
           // skip, the txn gate, and the row filter — so the applied-vs-
           // seen gap (replication lag) is visible while events are held
-          val sr = batch.agg(max(col("seq"))).collect()(0)
-          if (!sr.isNullAt(0))
-            srcMaxSeq = Some(srcMaxSeq.fold(sr.getLong(0))(
-              math.max(_, sr.getLong(0))))
+          srcMaxSeq = foldMaxSeq(batch.toDF(), srcMaxSeq)
         }
         if ((startAfterSeq.isEmpty && txnCol.isEmpty && rowFilter.isEmpty) ||
             !applied.isEmpty) {
@@ -1205,10 +1208,7 @@ object StreamingOps {
         if (trackSourceSeq) {
           // SEEN horizon over the raw topology batch — ahead of the txn
           // gate, so lag stays visible while a transaction is pending
-          val sr = batch.agg(max(col("seq"))).collect()(0)
-          if (!sr.isNullAt(0))
-            srcMaxSeq = Some(srcMaxSeq.fold(sr.getLong(0))(
-              math.max(_, sr.getLong(0))))
+          srcMaxSeq = foldMaxSeq(batch.toDF(), srcMaxSeq)
         }
         // routing first: one scan-local codegen'd CASE renames source
         // table names to destinations, so the gate's pending tail and
@@ -2033,11 +2033,6 @@ object StreamingOps {
     // surface as lag, not as silence
     var maxSeq = Option.empty[Long]
     var srcMaxSeq = Option.empty[Long]
-    def foldSeq(df: DataFrame, into: Option[Long]): Option[Long] = {
-      val r = df.agg(max(col("seq"))).collect()(0)
-      if (r.isNullAt(0)) into
-      else Some(into.fold(r.getLong(0))(math.max(_, r.getLong(0))))
-    }
     val (rows, epochs) = runSourcePass(s, source, ckpt) {
       (batch, epochId) =>
         // pin the batch: the old-image semi-join's broadcast subtree is
@@ -2059,10 +2054,10 @@ object StreamingOps {
             r.drop(tc)
         }
         if (trackSeq) {
-          maxSeq = foldSeq(ready, maxSeq)
+          maxSeq = foldMaxSeq(ready, maxSeq)
           txnCol.foreach(_ =>
-            maxSeq = foldSeq(bdf.filter(col("op") === "C"), maxSeq))
-          srcMaxSeq = foldSeq(bdf, srcMaxSeq)
+            maxSeq = foldMaxSeq(bdf.filter(col("op") === "C"), maxSeq))
+          srcMaxSeq = foldMaxSeq(bdf, srcMaxSeq)
         }
         val images = mvImages(s, state, epochId, ready, keyCols)
           .persist()
@@ -2297,11 +2292,6 @@ object StreamingOps {
     // position bookkeeping — see the sum pass's trackSeq note
     var maxSeq = Option.empty[Long]
     var srcMaxSeq = Option.empty[Long]
-    def foldSeq(df: DataFrame, into: Option[Long]): Option[Long] = {
-      val r = df.agg(max(col("seq"))).collect()(0)
-      if (r.isNullAt(0)) into
-      else Some(into.fold(r.getLong(0))(math.max(_, r.getLong(0))))
-    }
     val (rows, epochs) = runSourcePass(s, source, ckpt) {
       (batch, epochId) =>
         // pin the batch (see the sum pass's note on the semi-join's
@@ -2317,10 +2307,10 @@ object StreamingOps {
             r.drop(tc)
         }
         if (trackSeq) {
-          maxSeq = foldSeq(ready, maxSeq)
+          maxSeq = foldMaxSeq(ready, maxSeq)
           txnCol.foreach(_ =>
-            maxSeq = foldSeq(bdf.filter(col("op") === "C"), maxSeq))
-          srcMaxSeq = foldSeq(bdf, srcMaxSeq)
+            maxSeq = foldMaxSeq(bdf.filter(col("op") === "C"), maxSeq))
+          srcMaxSeq = foldMaxSeq(bdf, srcMaxSeq)
         }
         val images = mvImages(s, state, epochId, ready, keyCols)
           .persist()
