@@ -83,6 +83,14 @@ final case class KafkaCdcSource(schema: StructType,
     val raw = maxOffsetsPerTrigger
       .fold(reader)(n => reader.option("maxOffsetsPerTrigger", n.toString))
       .load()
+    projectEnvelope(raw)
+  }
+
+  /** The value→envelope projection, split from the broker wiring so the
+    * mapping is EXECUTED in spec over record-shaped batch frames (the
+    * sandbox ships no broker; the stream and a batch frame share this
+    * exact plan). `raw` must carry Kafka's (value, partition, offset). */
+  private[graft] def projectEnvelope(raw: DataFrame): DataFrame = {
     // payload columns = the declared envelope minus the bookkeeping the
     // transport itself supplies
     val payloadFields = StructType(schema.fields.filterNot(f =>

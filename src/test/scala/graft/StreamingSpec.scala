@@ -310,12 +310,60 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
       Set(("B", 1L)),
       "the MV pass must maintain identically over a custom transport")
-    // and the production Kafka transport satisfies the same trait —
-    // construct-proven here (no broker/connector jar in the sandbox;
-    // open()'s format lookup resolves the moment spark-sql-kafka is on
-    // the classpath)
+    // and the production Kafka transport satisfies the same trait; its
+    // value→envelope projection is EXECUTED below over record-shaped
+    // rows (only the broker wiring itself needs the connector jar)
     val k = graft.sources.KafkaCdcSource(ev.schema, "broker:9092",
       "dbserver1.inventory.orders")
     assert(k.schema == ev.schema)
+  }
+
+  test("Kafka transport: the Debezium value projection maps, orders, and gates") {
+    // record-shaped batch rows stand in for the broker (the stream and a
+    // batch frame share the exact projectEnvelope plan): op dialect maps
+    // c/r→I u→U d→D with the delete taking its BEFORE image; seq =
+    // offset * maxPartitions + partition is per-key monotone; Kafka
+    // tombstones (null value) and non-DML ops ('t') are gated out
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("op",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("seq",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("okey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("price",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("status",
+        org.apache.spark.sql.types.StringType)))
+    def v(op: String, before: String, after: String) =
+      s"""{"op":"$op","before":$before,"after":$after}"""
+    // Debezium keys records by PK, so a key's events all live on ONE
+    // partition: k1 on p0, k2 on p1 — exactly the affinity the
+    // offset-arithmetic ordering contract stands on
+    val records = Seq(
+      // p0: insert k1, update k1
+      (v("c", "null", """{"okey":1,"price":10.0,"status":"A"}"""), 0, 0L),
+      (v("u", """{"okey":1,"price":10.0,"status":"A"}""",
+        """{"okey":1,"price":11.0,"status":"B"}"""), 0, 1L),
+      // p1: snapshot-read k2, delete k2 (before image), then its
+      // compaction TOMBSTONE at a higher offset, then a TRUNCATE
+      // QueryEvent — the last two must gate
+      (v("r", "null", """{"okey":2,"price":20.0,"status":"B"}"""), 1, 0L),
+      (v("d", """{"okey":2,"price":20.0,"status":"B"}""", "null"), 1, 1L),
+      (null, 1, 2L),
+      ("""{"op":"t","before":null,"after":null}""", 1, 3L))
+    val raw = spark.createDataFrame(records).toDF("value", "partition", "offset")
+    val k = graft.sources.KafkaCdcSource(schema, "broker:9092", "t",
+      maxPartitions = 16)
+    val out = k.projectEnvelope(raw).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3),
+        r.getString(4))).toSet
+    assert(out == Set(
+      ("I", 0L, 1L, 10.0, "A"),   // k1 insert: seq 0*16+0
+      ("U", 16L, 1L, 11.0, "B"),  // k1 update: seq 1*16+0 — monotone
+      ("I", 1L, 2L, 20.0, "B"),   // k2 read:   seq 0*16+1
+      ("D", 17L, 2L, 20.0, "B")), // k2 delete: before image, 1*16+1
+      s"projection diverged: $out")
   }
 }
