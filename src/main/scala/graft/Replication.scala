@@ -287,36 +287,43 @@ object Replication {
   def viewRebuild(spark: SparkSession, stateDir: String, mvDir: String,
       groupCol: String = "status"): Unit = {
     requireSumView(mvDir, groupCol)
-    val at = streaming.StateFs.epochIds(mvDir).maxOption.getOrElse(0L)
-    val live = s"$mvDir/epoch=$at"
+    import streaming.StateFs
     val stage = s"$mvDir/_rebuilding"
     val trash = s"$mvDir/_rebuild_old"
+    val marker = s"$mvDir/_rebuild_at"
     // the replace is STAGED, never a direct overwrite of the serving
     // epoch: a Spark overwrite deletes the live files before the job
     // commits, so a crash mid-rebuild would leave the only snapshot
-    // empty (readMv would silently serve an empty view). Stage → move
-    // live aside → move stage live → drop, with the replaceIndexTable
-    // auto-heal: trash WITHOUT live at entry is a crash between the
-    // two moves — restore it. Crash-safe, not concurrent-safe: run
-    // between passes (the repair flow is an operator maintenance
-    // window by nature).
-    if (streaming.StateFs.exists(trash)) {
-      if (streaming.StateFs.exists(live))
-        streaming.StateFs.deleteRecursive(trash)
-      else streaming.StateFs.moveDir(trash, live)
+    // empty (readMv would silently serve an empty view). The target id
+    // is recorded in a marker file BEFORE the swap, because the heal
+    // must distinguish a crash BETWEEN the two moves (trash holds what
+    // was the newest epoch — restore it to its ORIGINAL id) from a
+    // crash before the trash drop (the rebuilt epoch is live — drop
+    // the stale trash); the epoch listing alone cannot tell the two
+    // apart. Crash-safe, not concurrent-safe: run between passes (the
+    // repair flow is an operator maintenance window by nature).
+    StateFs.readSmall(marker).map(_.trim.toLong).foreach { crashedAt =>
+      if (StateFs.exists(trash) &&
+          !StateFs.exists(s"$mvDir/epoch=$crashedAt"))
+        StateFs.moveDir(trash, s"$mvDir/epoch=$crashedAt")
+      else StateFs.deleteRecursive(trash)
+      StateFs.deleteRecursive(marker)
     }
-    streaming.StateFs.deleteRecursive(stage)
+    val at = StateFs.epochIds(mvDir).maxOption.getOrElse(0L)
+    val live = s"$mvDir/epoch=$at"
+    StateFs.deleteRecursive(stage)
     appliedState(spark, stateDir)
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_rows"),
         sum(Tables.dec2(col("price"))).cast(Tables.D2).as("total"))
       .write.mode("overwrite").parquet(stage)
-    if (streaming.StateFs.exists(live))
-      streaming.StateFs.moveDir(live, trash)
-    streaming.StateFs.moveDir(stage, live)
-    streaming.StateFs.deleteRecursive(trash)
-    streaming.StateFs.epochIds(mvDir).filter(_ < at - 1)
-      .foreach(e => streaming.StateFs.deleteRecursive(s"$mvDir/epoch=$e"))
+    StateFs.writeAtomic(marker, at.toString)
+    if (StateFs.exists(live)) StateFs.moveDir(live, trash)
+    StateFs.moveDir(stage, live)
+    StateFs.deleteRecursive(trash)
+    StateFs.deleteRecursive(marker)
+    StateFs.epochIds(mvDir).filter(_ < at - 1)
+      .foreach(e => StateFs.deleteRecursive(s"$mvDir/epoch=$e"))
   }
 
   /** An opaque source-native POSITION token decoded to the engine's

@@ -446,6 +446,51 @@ class MvSpec extends SparkTestBase {
       "post-rebuild maintenance must not resurrect the pre-rebuild view")
   }
 
+  test("viewRebuild heals both crash windows of a previous rebuild") {
+    import graft.streaming.StateFs
+    def build(): String = {
+      val base = tmp()
+      val log = Tables.cdcLog(spark, sf)
+      (1 to 2).foreach(w => graft.streaming.StreamingOps.writeWave(
+        log.filter(col("seq") === w), s"$base/in", w - 1))
+      Replication.incrementalSyncWithView(spark, log.schema, s"$base/in",
+        s"$base/ckpt", s"$base/state", s"$base/mv")
+      base
+    }
+    // window 1: crash BETWEEN the two swap moves — live epoch sits in
+    // _rebuild_old, the marker names its original id. The next rebuild
+    // must restore it to THAT id (not its predecessor's) before
+    // choosing its own target, then run to a consistent view.
+    val b1 = build()
+    val at1 = StateFs.epochIds(s"$b1/mv").max
+    StateFs.moveDir(s"$b1/mv/epoch=$at1", s"$b1/mv/_rebuild_old")
+    StateFs.writeAtomic(s"$b1/mv/_rebuild_at", at1.toString)
+    Replication.viewRebuild(spark, s"$b1/state", s"$b1/mv")
+    assert(StateFs.epochIds(s"$b1/mv").max == at1,
+      "the crashed epoch must return to its original id")
+    assert(Replication.viewConsistencyCheck(spark, s"$b1/state",
+      s"$b1/mv").consistent)
+    assert(!StateFs.exists(s"$b1/mv/_rebuild_old") &&
+      !StateFs.exists(s"$b1/mv/_rebuild_at"))
+    // window 2: crash AFTER the rebuilt epoch went live but BEFORE the
+    // stale trash dropped — the heal must DROP the trash (restoring it
+    // would resurrect the pre-rebuild view under a colliding id).
+    val b2 = build()
+    val at2 = StateFs.epochIds(s"$b2/mv").max
+    // stale copy standing in for the pre-rebuild snapshot
+    spark.createDataFrame(Seq(("STALE", 1L, BigDecimal("1.00"))))
+      .toDF("status", "n_rows", "total")
+      .select(col("status"), col("n_rows"),
+        col("total").cast(Tables.D2).as("total"))
+      .write.parquet(s"$b2/mv/_rebuild_old")
+    StateFs.writeAtomic(s"$b2/mv/_rebuild_at", at2.toString)
+    Replication.viewRebuild(spark, s"$b2/state", s"$b2/mv")
+    assert(Replication.viewConsistencyCheck(spark, s"$b2/state",
+      s"$b2/mv").consistent)
+    assert(!servedSum(s"$b2/mv").contains("STALE"),
+      "the stale trash must never re-enter the view")
+  }
+
   test("view check/rebuild refuse a minMax-mode MV dir by name") {
     val base = tmp()
     val log = Tables.cdcLog(spark, sf)
