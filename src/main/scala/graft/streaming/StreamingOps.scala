@@ -4058,6 +4058,50 @@ object StreamingOps {
     "stream_dedup_watermark" ->
       "SELECT * FROM events ORDER BY event_id",
 
+    // late-data semantics are DETERMINISTIC given the declared waves:
+    // the held events (day ≤ 2, id % 10 = 0) arrive in wave 3, after
+    // the day-11/12 wave advanced the watermark past their windows'
+    // close — they are dropped, so no emitted count includes them; and
+    // append mode emits exactly the windows whose end the FINAL
+    // watermark (max in-wave ts − 2 days, monotone) passed.
+    "stream_late_data" ->
+      """WITH base AS (SELECT event_id, ts FROM events WHERE day(ts) <= 12),
+            kept AS (SELECT * FROM base
+                     WHERE NOT (event_id % 10 = 0 AND day(ts) <= 2)),
+            wm AS (SELECT max(ts) - INTERVAL 2 DAY AS w FROM base),
+            agg AS (SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400
+                             AS st,
+                           count(*) AS n
+                    FROM kept GROUP BY 1)
+         SELECT make_timestamp(st * 1000000) AS ws, n
+         FROM agg
+         WHERE make_timestamp((st + 86400) * 1000000) <= (SELECT w FROM wm)
+         ORDER BY ws""",
+
+    // session windows ARE deterministic given event time: gaps-and-
+    // islands per user (a session breaks when the gap reaches the
+    // timeout; its end extends 1h past its last event), SEALED by the
+    // final watermark — append mode only ever emits sessions whose end
+    // the watermark passed, and with 0s delay the final watermark is
+    // the global max event time.
+    "stream_window_session" ->
+      """WITH brk AS (SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 1 HOUR
+                     THEN 1 ELSE 0 END AS b
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            grp AS (SELECT user_id, ts,
+                sum(b) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS g
+              FROM brk),
+            sess AS (SELECT min(ts) AS ws, max(ts) + INTERVAL 1 HOUR AS we,
+                user_id, count(*) AS n
+              FROM grp GROUP BY user_id, g)
+         SELECT ws, we, user_id, n FROM sess
+         WHERE we <= (SELECT max(ts) FROM events)
+         ORDER BY ws, user_id""",
+
     "stream_stateful_running" ->
       """SELECT user_id, count(*) AS n,
            CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
