@@ -473,13 +473,21 @@ object Replication {
       keyCols: Seq[String] = Seq("okey"),
       keyColsByTable: Map[String, Seq[String]] = Map.empty,
       dropCols: Map[String, Long] = Map.empty,
-      keepHistory: Boolean = false)
+      keepHistory: Boolean = false,
+      positionToken: Option[String] = None)
       : Map[String, SyncProgress] = {
     val (stats, pending, srcMax) = streaming.StreamingOps.runCdcPassMulti(
       spark, schema, inDir, ckptDir, stateDirs, txnCol, renameCols, truncateAt,
       defaultCols, rowFilters, maskCols, keyCols, trackSourceSeq = true,
       keyColsByTable = keyColsByTable, dropCols = dropCols,
       keepHistory = keepHistory)
+    // the topology shares ONE binlog, so its position catalog entry is
+    // topology-level: the newest seq any table applied (the binlog is
+    // applied up to there; a table absent from this pass's waves simply
+    // had no events below it)
+    for (tk <- positionToken;
+         mx <- stats.values.map(_._3).maxOption)
+      PositionCatalog.record(ckptDir, tk, mx)
     stateDirs.map { case (t, dir) =>
       if (deltaCount(dir) > compactEvery)
         streaming.StreamingOps.compactState(spark, dir, tombstoneGc,

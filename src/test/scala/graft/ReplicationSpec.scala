@@ -310,6 +310,18 @@ class ReplicationSpec extends SparkTestBase {
         .toSeq("binlog.000099:1")
     }
     assert(e.getMessage.contains("never recorded"))
+    // the multi-table topology records ONE topology-level entry (one
+    // binlog, one position) under its shared checkpoint
+    val mlog = Tables.cdcLog(spark, sf).withColumn("table",
+      when(col("okey") % 2 === 0, "t_even").otherwise("t_odd"))
+    val bm = tmp()
+    (1 to 2).foreach(w => graft.streaming.StreamingOps.writeWave(
+      mlog.filter(col("seq") === w), s"$bm/in", w - 1))
+    Replication.incrementalSyncMulti(spark, mlog.schema, s"$bm/in",
+      s"$bm/ckpt", Map("t_even" -> s"$bm/se", "t_odd" -> s"$bm/so"),
+      positionToken = Some("binlog.000007:200"))
+    assert(Replication.PositionCatalog.read(s"$bm/ckpt")
+      .get("binlog.000007:200").contains(2L))
   }
 
   test("configured sync rejects rename mappings that collide on a destination") {
