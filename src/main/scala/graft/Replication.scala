@@ -222,6 +222,58 @@ object Replication {
       streaming.StreamingOps.readMv(spark, mvDir))
   }
 
+  /** One-call operational readout of a replica state dir — the SHOW
+    * REPLICA STATUS surface of this tool class. Everything except the
+    * applied position is O(1) published metadata (the control files the
+    * passes maintain); `appliedSeq` is one column-pruned max over the
+    * state's `seq` column — the only field that touches data, priced
+    * like the checksum flows that read it anyway. */
+  final case class ReplicaStatus(
+      appliedSeq: Option[Long],
+      deltaEpochs: Int,
+      baselineEpochs: Int,
+      keyCols: Seq[String],
+      columns: Seq[String],
+      pendingRows: Long,
+      purgeFloor: Option[Long],
+      truncateFloor: Option[Long],
+      compactHorizon: Option[Long],
+      historyRetained: Boolean)
+
+  def replicaStatus(spark: SparkSession, stateDir: String,
+      txnCol: Option[String] = None,
+      pendingRoot: Option[String] = None): ReplicaStatus = {
+    import streaming.{StateFs, StreamingOps}
+    val epochs = StateFs.epochIds(stateDir)
+    // applied position = the newest seq any applied event carries — the
+    // raw (pre-collapse, tombstone-inclusive) read, column-pruned to
+    // `seq` — FOLDED with the purge/truncate floors: a GC'ing
+    // compaction physically reclaims trailing tombstones' rows, but
+    // their seqs were applied and the floor records exactly that
+    val rawMax = if (epochs.isEmpty) None else {
+      val r = StreamingOps.readStateDir(spark, stateDir)
+        .agg(max(col("seq"))).collect()(0)
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    val applied = (rawMax.toSeq ++
+      StreamingOps.readPurgeFloor(stateDir) ++
+      StreamingOps.readTruncFloor(stateDir)).maxOption
+    ReplicaStatus(
+      appliedSeq = applied,
+      deltaEpochs = epochs.count(_ >= 0),
+      baselineEpochs = epochs.count(_ < 0),
+      keyCols = StreamingOps.readKeyCols(stateDir),
+      columns = StreamingOps.readStateSchema(stateDir)
+        .map(_.fieldNames.toSeq).getOrElse(Seq.empty),
+      pendingRows = StreamingOps.pendingCount(spark,
+        pendingRoot.getOrElse(stateDir), txnCol),
+      purgeFloor = StreamingOps.readPurgeFloor(stateDir),
+      truncateFloor = StreamingOps.readTruncFloor(stateDir),
+      compactHorizon = StreamingOps.readCompactHorizon(stateDir),
+      historyRetained =
+        StateFs.readSmall(s"$stateDir/_history").isDefined)
+  }
+
   /** Verdict of [[viewConsistencyCheck]]. */
   final case class ViewCheckReport(groupsChecked: Long, groupsDiverged: Long) {
     def consistent: Boolean = groupsDiverged == 0

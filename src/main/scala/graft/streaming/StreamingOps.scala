@@ -520,7 +520,7 @@ object StreamingOps {
     * serves NULL (both columns NULL). Epochs written after a compaction
     * hold only current names; the historical columns read as all-NULL
     * no-ops. */
-  private def readStateDir(s: SparkSession, state: String,
+  private[graft] def readStateDir(s: SparkSession, state: String,
       asOfSeq: Option[Long] = None,
       buckets: Option[Seq[Long]] = None): DataFrame = {
     // a bucket-set probe opts in by appending the physical _bucket field
@@ -951,7 +951,7 @@ object StreamingOps {
   /** Size of the uncommitted pending tail after a txn-gated pass (one
     * count over the newest — tiny — snapshot; never the state itself).
     * 0 when gating is off or nothing is pending. */
-  private def pendingCount(s: SparkSession, root: String,
+  private[graft] def pendingCount(s: SparkSession, root: String,
       txnCol: Option[String]): Long =
     if (txnCol.isEmpty) 0L
     else latestPendingBelow(root, Long.MaxValue)

@@ -324,6 +324,37 @@ class ReplicationSpec extends SparkTestBase {
       .get("binlog.000007:200").contains(2L))
   }
 
+  test("replicaStatus reads every published control surface") {
+    val log = Tables.cdcLog(spark, sf)
+    val base = tmp()
+    (1 to 3).foreach(w => graft.streaming.StreamingOps.writeWave(
+      log.filter(col("seq") === w), s"$base/in", w - 1))
+    Replication.incrementalSync(spark, log.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state")
+    val s1 = Replication.replicaStatus(spark, s"$base/state")
+    assert(s1.appliedSeq.contains(3L) && s1.deltaEpochs == 3 &&
+      s1.baselineEpochs == 0 && s1.keyCols == Seq("okey") &&
+      s1.columns.contains("price") && s1.pendingRows == 0L &&
+      s1.purgeFloor.isEmpty && !s1.historyRetained, s"fresh sync: $s1")
+    // a GC'ing compaction folds the deltas and publishes the floor
+    graft.streaming.StreamingOps.compactState(spark, s"$base/state",
+      tombstoneHorizon = Some(0))
+    val s2 = Replication.replicaStatus(spark, s"$base/state")
+    // the purged tombstones' rows are gone (the baseline's own max seq
+    // is 2) but their APPLICATION is fact — the floor records seq 3 and
+    // the status folds it into the applied position
+    assert(s2.deltaEpochs == 0 && s2.baselineEpochs == 1 &&
+      s2.purgeFloor.contains(3L) && s2.compactHorizon.isDefined &&
+      s2.appliedSeq.contains(3L), s"post-GC: $s2")
+    // a keepHistory dir reports its retention mode
+    val b2 = tmp()
+    (1 to 2).foreach(w => graft.streaming.StreamingOps.writeWave(
+      log.filter(col("seq") === w), s"$b2/in", w - 1))
+    Replication.incrementalSync(spark, log.schema, s"$b2/in",
+      s"$b2/ckpt", s"$b2/state", keepHistory = true)
+    assert(Replication.replicaStatus(spark, s"$b2/state").historyRetained)
+  }
+
   test("configured sync rejects rename mappings that collide on a destination") {
     val log = Tables.cdcLog(spark, sf).withColumn("table", lit("a"))
     val cfg = Replication.SyncConfig(
