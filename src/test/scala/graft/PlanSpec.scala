@@ -436,6 +436,16 @@ class PlanSpec extends SparkTestBase {
       s"position filter not pushed to the state scan:\n$plan")
   }
 
+  test("changes-between pushes BOTH window bounds into the state scan") {
+    // the incident-window audit's scale contract: the (p1, p2] read
+    // prunes row groups at both ends — epochs fully outside the window
+    // are never read, so the audit costs O(window), not O(history)
+    val plan = q("cdc_changes_between").queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(seq,1)") &&
+      plan.contains("LessThanOrEqual(seq,3)"),
+      s"window bounds not pushed to the state scan:\n$plan")
+  }
+
   test("a dropped column is never read from the state scan") {
     // ST24's scale contract: DROP COLUMN is O(1) metadata — the very
     // next read's scan schema excludes the dead physical column (no
