@@ -52,6 +52,18 @@ object Replication {
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       try Await.result(Future.traverse(admitted)(t => Future(one(t))),
         Duration.Inf).toMap
+      catch {
+        case e: Throwable =>
+          // one table's snapshot failed: the OTHER futures are still
+          // writing into destDir (shutdown() alone does not cancel
+          // running tasks), and a caller's immediate retry would overlap
+          // with those still-running overwrite jobs on the same table
+          // paths — drain the pool before propagating, so the failure
+          // the caller sees is also the moment the dest dir is quiet
+          pool.shutdownNow()
+          pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+          throw e
+      }
       finally { pool.shutdown(); () }
     }
   }
@@ -240,10 +252,28 @@ object Replication {
       compactHorizon: Option[Long],
       historyRetained: Boolean)
 
+  /** `txnCol`/`pendingRoot` mirror the sync's own configuration: a
+    * single-table txn-gated sync roots its `_pending` tail under the
+    * STATE dir (the default here), but a txn-gated MULTI-TABLE topology
+    * roots it under the sync's `ckptDir` — status for such a replica
+    * must pass `pendingRoot = ckptDir`, or the readout would silently
+    * report pendingRows = 0 and mask an abandoned-transaction backlog.
+    * The mismatch fails loudly: a txn-gated pass ALWAYS leaves a pending
+    * snapshot behind (an empty carry is still written), so asking for
+    * txn accounting against a root with no `_pending` at all means the
+    * root is wrong (or the table was never txn-synced). */
   def replicaStatus(spark: SparkSession, stateDir: String,
       txnCol: Option[String] = None,
       pendingRoot: Option[String] = None): ReplicaStatus = {
     import streaming.{StateFs, StreamingOps}
+    txnCol.foreach { _ =>
+      val root = pendingRoot.getOrElse(stateDir)
+      require(StateFs.exists(s"$root/_pending"),
+        s"txn accounting requested but $root holds no _pending tail — " +
+          "for a multi-table topology pass pendingRoot = the sync's " +
+          "ckptDir (that is where the topology roots _pending); for a " +
+          "table never synced with txnCol, drop the txnCol argument")
+    }
     val epochs = StateFs.epochIds(stateDir)
     // applied position = the newest seq any applied event carries — the
     // raw (pre-collapse, tombstone-inclusive) read, column-pruned to
@@ -427,18 +457,33 @@ object Replication {
   object PositionCatalog {
     private def path(ckptDir: String) = s"$ckptDir/_positions"
 
+    // record() is a read-modify-write of the catalog file: atomic per
+    // WRITE but not per UPDATE — two passes sharing one ckptDir (a table
+    // sync next to its MV facade) recording concurrently could lose one
+    // entry (last writer over a stale read). The catalog is driver-side
+    // metadata, so a JVM-level lock per canonical path serializes the
+    // RMW; cross-PROCESS writers remain the single-writer assumption
+    // every control file here carries.
+    private val recordLocks =
+      new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
     /** Upsert one token→seq mapping (atomic rewrite of the tiny file —
-      * concurrent readers see the old or new catalog, never a torn
-      * one). Re-recording a token at a NEW seq is legal: a reused
+      * concurrent readers see the old or new catalog, never a torn one;
+      * concurrent RECORDERS in this JVM are serialized per ckptDir).
+      * Re-recording a token at a NEW seq is legal: a reused
       * binlog filename after a source rotation means the newest
       * recording wins, exactly like the connector would re-answer. */
     def record(ckptDir: String, token: String, seq: Long): Unit = {
       val t = token.trim
       require(t.nonEmpty && !t.contains('\t') && !t.contains('\n'),
         s"unusable position token '$token'")
-      val m = read(ckptDir) + (t -> seq)
-      streaming.StateFs.writeAtomic(path(ckptDir),
-        m.toSeq.sorted.map { case (tk, sq) => s"$tk\t$sq" }.mkString("\n"))
+      val lock = recordLocks.computeIfAbsent(
+        new java.io.File(ckptDir).getAbsolutePath, _ => new Object)
+      lock.synchronized {
+        val m = read(ckptDir) + (t -> seq)
+        streaming.StateFs.writeAtomic(path(ckptDir),
+          m.toSeq.sorted.map { case (tk, sq) => s"$tk\t$sq" }.mkString("\n"))
+      }
     }
 
     def read(ckptDir: String): Map[String, Long] =

@@ -86,6 +86,35 @@ final case class KafkaCdcSource(schema: StructType,
     projectEnvelope(raw)
   }
 
+  /** Decode this source's native POSITION tokens (`"partition:offset"`,
+    * e.g. `"3:1017"`) into the engine's monotone seq — the SAME
+    * arithmetic [[projectEnvelope]] stamps on every record, so a resume
+    * by token lands exactly where the named record's seq does. Owned by
+    * the source because only it knows `maxPartitions`; a pass records
+    * the token it was driven with via `PositionCatalog` and a later
+    * operator resumes with either this codec (connector present) or the
+    * catalog (offline). Throws on garbage and on a partition at or above
+    * `maxPartitions` — the same bound the projection enforces, because a
+    * token outside it decodes to a seq that collides with another
+    * partition's range. */
+  def positionCodec: graft.Replication.PositionCodec =
+    new graft.Replication.PositionCodec {
+      override def toSeq(token: String): Long = {
+        val t = token.trim
+        val i = t.indexOf(':')
+        val parsed = for {
+          p <- if (i <= 0) None else t.substring(0, i).toLongOption
+          o <- t.substring(i + 1).toLongOption
+        } yield (p, o)
+        val (p, o) = parsed.getOrElse(throw new IllegalArgumentException(
+          s"not a Kafka 'partition:offset' position token: '$token'"))
+        require(p >= 0 && p < maxPartitions && o >= 0,
+          s"position token '$token' outside this source's bounds " +
+            s"(partition in [0, $maxPartitions), offset >= 0)")
+        o * maxPartitions + p
+      }
+    }
+
   /** The value→envelope projection, split from the broker wiring so the
     * mapping is EXECUTED in spec over record-shaped batch frames (the
     * sandbox ships no broker; the stream and a batch frame share this
@@ -116,11 +145,23 @@ final case class KafkaCdcSource(schema: StructType,
         col("e.op").isin("c", "r", "u", "d"))
     val img = when(col("e.op") === "d", col("e.before"))
       .otherwise(col("e.after"))
+    // the ordering contract stands on partition < maxPartitions: a topic
+    // whose partition count outgrew the configured bound would silently
+    // interleave seq ranges across partitions (offset 1 of p1024 ==
+    // offset 2 of p0), breaking per-key monotonicity — fail the record
+    // loudly instead of emitting a colliding position
+    val seqCol = when(col("_p") < maxPartitions,
+        col("_o") * maxPartitions + col("_p"))
+      .otherwise(raise_error(concat(
+        lit(s"Kafka partition "), col("_p").cast("string"),
+        lit(s" is at or above the configured maxPartitions=$maxPartitions" +
+          " — seq values would collide across partitions; raise" +
+          " maxPartitions (constant for the topic's lifetime)"))))
     e.select(
       when(col("e.op").isin("c", "r"), "I")
         .when(col("e.op") === "u", "U")
         .when(col("e.op") === "d", "D").as("op") +:
-      (col("_o") * maxPartitions + col("_p")).as("seq") +:
+      seqCol.as("seq") +:
       payloadFields.fieldNames.toSeq.map(f => img.getField(f).as(f)): _*)
       .select(schema.fieldNames.map(col).toSeq: _*)
   }

@@ -353,6 +353,53 @@ class ReplicationSpec extends SparkTestBase {
     Replication.incrementalSync(spark, log.schema, s"$b2/in",
       s"$b2/ckpt", s"$b2/state", keepHistory = true)
     assert(Replication.replicaStatus(spark, s"$b2/state").historyRetained)
+    // a declared truncate surfaces as the truncate floor (and folds into
+    // the applied position like the purge floor does)
+    val b3 = tmp()
+    (1 to 3).foreach(w => graft.streaming.StreamingOps.writeWave(
+      log.filter(col("seq") === w), s"$b3/in", w - 1))
+    Replication.incrementalSync(spark, log.schema, s"$b3/in",
+      s"$b3/ckpt", s"$b3/state", truncateAtSeq = Some(1L))
+    val s3 = Replication.replicaStatus(spark, s"$b3/state")
+    assert(s3.truncateFloor.contains(1L) && s3.appliedSeq.contains(3L),
+      s"truncate floor: $s3")
+  }
+
+  test("replicaStatus: txn accounting reads the right pending root, loudly") {
+    // single-table txn sync roots _pending under the STATE dir — the
+    // default root reports the abandoned tail
+    val base = tmp()
+    graft.streaming.StreamingOps.writeWave(txnDf(Seq(
+      TxnEv("I", 1, 1, 10.0, "O", 10), TxnEv("C", 2, -1, 0.0, null, 10),
+      TxnEv("U", 3, 1, 11.0, "P", 99))), s"$base/in", 0)
+    val schema = txnDf(Seq(TxnEv("I", 1, 1, 1.0, "O", 1))).schema
+    Replication.incrementalSync(spark, schema, s"$base/in", s"$base/ckpt",
+      s"$base/state", txnCol = Some("txn"))
+    val st = Replication.replicaStatus(spark, s"$base/state",
+      txnCol = Some("txn"))
+    assert(st.pendingRows == 1L, s"single-table txn tail: $st")
+    // a multi-table topology roots _pending under the sync's ckptDir:
+    // the default root has no _pending at all — asking for txn
+    // accounting there must fail loudly (a silent 0 would mask an
+    // abandoned-transaction backlog), and the correct pendingRoot
+    // reports the topology-level tail
+    val bm = tmp()
+    graft.streaming.StreamingOps.writeWave(txnDf(Seq(
+      TxnEv("I", 1, 1, 10.0, "O", 10), TxnEv("C", 2, -1, 0.0, null, 10),
+      TxnEv("U", 3, 1, 11.0, "P", 99)))
+      .withColumn("table", lit("t_a")), s"$bm/in", 0)
+    Replication.incrementalSyncMulti(spark,
+      txnDf(Seq(TxnEv("I", 1, 1, 1.0, "O", 1)))
+        .withColumn("table", lit("t_a")).schema,
+      s"$bm/in", s"$bm/ckpt", Map("t_a" -> s"$bm/sa"),
+      txnCol = Some("txn"))
+    val e = intercept[IllegalArgumentException] {
+      Replication.replicaStatus(spark, s"$bm/sa", txnCol = Some("txn"))
+    }
+    assert(e.getMessage.contains("pendingRoot"), e.getMessage)
+    val stm = Replication.replicaStatus(spark, s"$bm/sa",
+      txnCol = Some("txn"), pendingRoot = Some(s"$bm/ckpt"))
+    assert(stm.pendingRows == 1L, s"topology txn tail: $stm")
   }
 
   test("configured sync rejects rename mappings that collide on a destination") {

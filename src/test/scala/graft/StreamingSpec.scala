@@ -365,5 +365,93 @@ class StreamingSpec extends SparkTestBase {
       ("I", 1L, 2L, 20.0, "B"),   // k2 read:   seq 0*16+1
       ("D", 17L, 2L, 20.0, "B")), // k2 delete: before image, 1*16+1
       s"projection diverged: $out")
+    // the source's position codec decodes its OWN dialect through the
+    // SAME arithmetic the projection stamps: for every emitted record,
+    // codec("partition:offset") == the record's seq — so a resume by
+    // token lands exactly on the named record's position
+    val codec = k.positionCodec
+    assert(codec.toSeq("0:0") == 0L && codec.toSeq("0:1") == 16L &&
+      codec.toSeq("1:0") == 1L && codec.toSeq(" 1:1 ") == 17L)
+    // out-of-bounds and garbage fail loudly — a guessed position
+    // replays or skips history
+    intercept[IllegalArgumentException] { codec.toSeq("16:5") }
+    intercept[IllegalArgumentException] { codec.toSeq("-1:5") }
+    intercept[IllegalArgumentException] { codec.toSeq("binlog.000001:5") }
+    intercept[IllegalArgumentException] { codec.toSeq("17") }
+  }
+
+  test("Kafka transport: resume-by-token equals resume-by-seq over projected frames") {
+    import graft.streaming.StreamingOps
+    import org.apache.spark.sql.types._
+    def tmp(): String =
+      java.nio.file.Files.createTempDirectory("graft_kafka").toString
+    val schema = StructType(Seq(
+      StructField("op", StringType), StructField("seq", LongType),
+      StructField("ts", TimestampType),
+      StructField("okey", LongType), StructField("price", DoubleType),
+      StructField("status", StringType)))
+    def v(op: String, after: String) =
+      s"""{"op":"$op","before":null,"after":$after}"""
+    def img(okey: Int, price: Double, status: String) =
+      s"""{"ts":"2024-01-0$okey 00:00:00","okey":$okey,""" +
+        s""""price":$price,"status":"$status"}"""
+    // two keys on two partitions, two offsets each — the second offset
+    // wave is what a resume from the first wave's reported token skips
+    val records = Seq(
+      (v("c", img(1, 10.0, "A")), 0, 0L),
+      (v("c", img(2, 20.0, "A")), 1, 0L),
+      (v("u", img(1, 11.0, "B")), 0, 1L),
+      (v("u", img(2, 22.0, "B")), 1, 1L))
+    val raw = spark.createDataFrame(records).toDF("value", "partition", "offset")
+    val k = graft.sources.KafkaCdcSource(schema, "broker:9092", "t",
+      maxPartitions = 16)
+    val env = k.projectEnvelope(raw)
+    // the connector reported "1:0" (partition 1, offset 0) as the last
+    // consumed position of wave 1 — resuming there must apply exactly
+    // the records the explicit seq bound admits, on a fresh destination
+    def runFrom(from: Long): Set[Seq[Any]] = {
+      val base = tmp()
+      StreamingOps.writeWave(env, s"$base/in", 0)
+      Replication.incrementalSync(spark, env.schema, s"$base/in",
+        s"$base/ckpt", s"$base/state", fromSeq = Some(from))
+      Replication.appliedState(spark, s"$base/state")
+        .select(col("okey"), col("price"), col("status"))
+        .collect().map(_.toSeq).toSet
+    }
+    val viaToken = runFrom(k.positionCodec.toSeq("1:0"))
+    val viaSeq = runFrom(1L) // 0*16+1 — the same position, spelled as seq
+    assert(viaToken == viaSeq &&
+      viaToken == Set(Seq(1L, 11.0, "B"), Seq(2L, 22.0, "B")),
+      s"token resume diverged: $viaToken vs $viaSeq")
+    // ...and the recorded-token round trip: a pass driven by this source
+    // records the token it was resumed with; the catalog then answers
+    // offline exactly what the codec answers live
+    val base = tmp()
+    StreamingOps.writeWave(env, s"$base/in", 0)
+    Replication.incrementalSync(spark, env.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state",
+      positionToken = Some("1:1"))
+    Replication.PositionCatalog.record(s"$base/ckpt", "1:0",
+      k.positionCodec.toSeq("1:0"))
+    assert(Replication.PositionCatalog.codec(s"$base/ckpt").toSeq("1:0")
+      == k.positionCodec.toSeq("1:0"))
+  }
+
+  test("Kafka transport: a partition above the configured bound fails loudly") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("op", StringType), StructField("seq", LongType),
+      StructField("okey", LongType)))
+    val records = Seq(
+      ("""{"op":"c","before":null,"after":{"okey":1}}""", 16, 0L))
+    val raw = spark.createDataFrame(records).toDF("value", "partition", "offset")
+    val k = graft.sources.KafkaCdcSource(schema, "broker:9092", "t",
+      maxPartitions = 16)
+    val e = intercept[Exception] { k.projectEnvelope(raw).collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("maxPartitions")),
+      s"expected the partition-bound error, got: $e")
   }
 }
