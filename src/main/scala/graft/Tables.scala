@@ -270,6 +270,86 @@ object Tables {
          CASE WHEN o_orderkey % 3 = 0 THEN 'P' ELSE o_orderstatus END
        FROM orders WHERE o_orderkey % 7 = 0"""
 
+  /** [[cdcLog]] carrying the MYSQL TYPE SURFACE as extra payload columns
+    * — the fixture for the type-map axis this tool class breaks on most
+    * (SURVEY §2.7 F2 note): a DECIMAL(12,2) money column (`amount` —
+    * MySQL DECIMAL must survive bit-exact, never through a float), an
+    * unsigned-BIGINT-range id (`big_id`, carried as DECIMAL(20,0) — the
+    * 2^64−1 end of MySQL BIGINT UNSIGNED does not fit a signed long;
+    * parquet/Spark read UINT64 as exactly this type), an ENUM column
+    * (`tier` — MySQL enums replicate as their string values), and a JSON
+    * payload column (`attrs` — replicated as its serialized text,
+    * queryable at the destination). Same event rules as [[cdcLog]];
+    * updates move `amount` by an exact decimal +0.25, flip `tier` to
+    * 'platinum', and rewrite `attrs`; deletes ship NULL extras. */
+  def cdcLogTyped(spark: SparkSession, sfDir: String): DataFrame = {
+    val D12 = DecimalType(12, 2)
+    val D20 = DecimalType(20, 0)
+    val o = t(spark, sfDir, "orders").select(
+      col("o_orderkey"), col("o_totalprice").cast(DoubleType).as("price"),
+      col("o_orderstatus").as("status"), col("o_orderdate"))
+    val amount0 = col("price").cast(D12)
+    val bigId = (expr(s"CAST('18446744073709551615' AS DECIMAL(20,0))") -
+      col("o_orderkey")).cast(D20)
+    val tier0 = when(col("o_orderkey") % 3 === 0, "gold")
+      .when(col("o_orderkey") % 3 === 1, "silver").otherwise("bronze")
+    def attrsOf(src: String) = concat(lit("{\"k\":"),
+      (col("o_orderkey") % 10).cast(StringType),
+      lit(s""","src":"$src"}"""))
+    val cols = Seq("op", "seq", "ts", "okey", "price", "status",
+      "amount", "big_id", "tier", "attrs")
+    explodeEvents(o, cols, Seq(
+      lit(true) -> struct(
+        lit("I").as("op"), lit(1L).as("seq"), col("o_orderdate").as("ts"),
+        col("o_orderkey").as("okey"), col("price"), col("status"),
+        amount0.as("amount"), bigId.as("big_id"), tier0.as("tier"),
+        attrsOf("mysql").as("attrs")),
+      (col("o_orderkey") % 3 === 0) -> struct(
+        lit("U").as("op"), lit(2L).as("seq"),
+        (col("o_orderdate") + expr("INTERVAL 1 DAY")).as("ts"),
+        col("o_orderkey").as("okey"),
+        (col("price") + lit(10.0d)).as("price"), lit("P").as("status"),
+        (amount0 + expr("CAST(0.25 AS DECIMAL(3,2))")).cast(D12).as("amount"),
+        bigId.as("big_id"), lit("platinum").as("tier"),
+        attrsOf("binlog").as("attrs")),
+      (col("o_orderkey") % 7 === 0) -> struct(
+        lit("D").as("op"), lit(3L).as("seq"),
+        (col("o_orderdate") + expr("INTERVAL 2 DAY")).as("ts"),
+        col("o_orderkey").as("okey"), lit(null).cast(DoubleType).as("price"),
+        lit(null).cast(StringType).as("status"),
+        lit(null).cast(D12).as("amount"), lit(null).cast(D20).as("big_id"),
+        lit(null).cast(StringType).as("tier"),
+        lit(null).cast(StringType).as("attrs"))))
+  }
+
+  /** DuckDB-SQL equivalent of [[cdcLogTyped]] (CTE body `cdc_typed`). */
+  val cdcLogTypedSql: String =
+    """SELECT 'I' AS op, CAST(1 AS BIGINT) AS seq, o_orderdate AS ts,
+         o_orderkey AS okey, CAST(o_totalprice AS DOUBLE) AS price,
+         o_orderstatus AS status,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS amount,
+         CAST('18446744073709551615' AS DECIMAL(20,0)) - o_orderkey AS big_id,
+         CASE o_orderkey % 3 WHEN 0 THEN 'gold' WHEN 1 THEN 'silver'
+              ELSE 'bronze' END AS tier,
+         '{"k":' || CAST(o_orderkey % 10 AS VARCHAR) || ',"src":"mysql"}'
+           AS attrs
+       FROM orders
+       UNION ALL
+       SELECT 'U', CAST(2 AS BIGINT), o_orderdate + INTERVAL 1 DAY, o_orderkey,
+         CAST(o_totalprice AS DOUBLE) + CAST(10 AS DOUBLE), 'P',
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) + CAST(0.25 AS DECIMAL(3,2))
+              AS DECIMAL(12,2)),
+         CAST('18446744073709551615' AS DECIMAL(20,0)) - o_orderkey,
+         'platinum',
+         '{"k":' || CAST(o_orderkey % 10 AS VARCHAR) || ',"src":"binlog"}'
+       FROM orders WHERE o_orderkey % 3 = 0
+       UNION ALL
+       SELECT 'D', CAST(3 AS BIGINT), o_orderdate + INTERVAL 2 DAY, o_orderkey,
+         CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+         CAST(NULL AS DECIMAL(12,2)), CAST(NULL AS DECIMAL(20,0)),
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+       FROM orders WHERE o_orderkey % 7 = 0"""
+
   /** DuckDB-SQL equivalent of [[cdcLogComposite]] (CTE body
     * `cdc_log_comp`). */
   val cdcLogCompositeSql: String =

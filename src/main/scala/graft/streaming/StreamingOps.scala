@@ -2624,6 +2624,49 @@ object StreamingOps {
       readLatestState(s, s"$tmp/state", softDelete = true)
     }),
 
+    // S-TYPE-SURFACE: the MYSQL TYPE MAP through the WHOLE pipeline —
+    // the tool class's #1 bug source, exercised end to end: a
+    // DECIMAL(12,2) money column, an unsigned-BIGINT-range id carried
+    // as DECIMAL(20,0) (2^64−1 does not fit a signed long), an
+    // enum-as-string, and a JSON payload column all ride runCdcPass →
+    // latest-wins collapse → soft-delete read as evolved payload, and
+    // the S17 bootstrap DDL for the served table must name their
+    // ClickHouse types correctly (asserted inline — a wrong type map
+    // fails the query red, exactly like a wrong value would). Money
+    // stays DECIMAL through every hop; only the FINAL projection casts
+    // to DOUBLE / VARCHAR for the engine-portable hash (the Tables
+    // determinism policy), with the JSON column additionally probed via
+    // a key extraction both engines evaluate.
+    "cdc_type_surface" -> ((s, dir) => {
+      val log = Tables.cdcLogTyped(s, dir)
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      writeWaves(log, in, when(col("seq") <= 2, 0).otherwise(1), 2,
+        Seq(col("okey")))
+      runCdcPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state")
+      // the S17 closure: the DDL generated from the REPLICATED table's
+      // published schema must map every exercised type correctly
+      val payload = org.apache.spark.sql.types.StructType(
+        readStateSchema(s"$tmp/state").get.fields
+          .filterNot(f => Seq("op", "seq").contains(f.name)))
+      val ddl = graft.sources.DestinationDdl.createTable(
+        "orders_typed", payload, Seq("okey"))
+      for (want <- Seq("`okey` Int64", "`amount` Nullable(Decimal(12, 2))",
+          "`big_id` Nullable(Decimal(20, 0))", "`tier` Nullable(String)",
+          "`attrs` Nullable(String)", "`price` Nullable(Float64)"))
+        require(ddl.contains(want),
+          s"bootstrap DDL lost a type mapping — wanted '$want' in: $ddl")
+      readLatestState(s, s"$tmp/state", softDelete = true)
+        .select(col("okey"), col("op"), col("price"), col("status"),
+          col("ts"),
+          col("amount").cast(DoubleType).as("amount"),
+          col("big_id").cast(StringType).as("big_id"),
+          col("tier"), col("attrs"),
+          get_json_object(col("attrs"), "$.k").as("json_k"),
+          col("_deleted"))
+        .orderBy(col("okey"))
+    }),
+
     // ST-MULTI-PK: PER-TABLE primary keys in one topology — the real
     // fan-out shape: one binlog carries a header-style table keyed by
     // okey alone (the line_no=1 slice, where okey is unique) and a
@@ -3708,6 +3751,24 @@ object StreamingOps {
                          PARTITION BY okey ORDER BY seq DESC) rn
                        FROM cdc_log_bi)
          SELECT okey, op, price, status, ts,
+                CAST(CASE WHEN op = 'D' THEN 1 ELSE 0 END AS INTEGER)
+                  AS _deleted
+         FROM ranked WHERE rn = 1 ORDER BY okey""",
+
+    // the type surface: every key's latest event serves its DECIMAL /
+    // unsigned-range / enum / JSON values exactly — money compared
+    // through exact decimal then one final correctly-rounded DOUBLE
+    // cast, the unsigned id as its full-precision digit string.
+    "cdc_type_surface" ->
+      s"""WITH cdc_typed AS (${Tables.cdcLogTypedSql}),
+            ranked AS (SELECT *, row_number() OVER (
+                         PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM cdc_typed)
+         SELECT okey, op, price, status, ts,
+                CAST(amount AS DOUBLE) AS amount,
+                CAST(big_id AS VARCHAR) AS big_id,
+                tier, attrs,
+                attrs->>'k' AS json_k,
                 CAST(CASE WHEN op = 'D' THEN 1 ELSE 0 END AS INTEGER)
                   AS _deleted
          FROM ranked WHERE rn = 1 ORDER BY okey""",
