@@ -1904,11 +1904,16 @@ object StreamingOps {
         // bucket gate is pure IO pruning.
         val touched = b.select(bucketOf(keyCols).as(BucketCol)).distinct()
           .collect().map(_.getLong(0)).toSeq
-        val prior = bucketGate(readStateSchema(state) match {
-          case Some(p) => s.read.schema(withBucketField(p)).parquet(state)
-          case None => s.read.option("mergeSchema", "true").parquet(state)
-        }, Some(touched))
-          .filter(col("epoch") < epochId).drop("epoch").drop(BucketCol)
+        // the prior-state read goes through readStateDir, so old images
+        // honor the dir's FULL DDL record — pre-rename epochs serve
+        // under the current name (rename-history coalesce), pre-DDL
+        // rows serve an added column's DEFAULT, dropped-then-re-added
+        // columns gate to NULL — exactly what the retraction delta must
+        // subtract (retracting NULL where the row SERVED its default
+        // would leak the default into the view forever). On a dir with
+        // no DDL record this is bit-for-bit the old pinned read.
+        val prior = readStateDir(s, state, buckets = Some(touched))
+          .filter(col("epoch") < epochId).drop("epoch")
           .join(broadcast(b.select(keyCols.map(col): _*).distinct()),
             keyCols, "left_semi")
         envelope(prior).withColumn("_src", lit("p"))
@@ -1985,29 +1990,124 @@ object StreamingOps {
     * nation, month: the ClickHouse MV norm). A key-cardinality "view"
     * (one row per customer) is just the table itself — serve it from
     * the state dir's collapse instead; an MV adds nothing there. */
+  /** Migrate the MV dir itself across a RENAME COLUMN DDL that hits its
+    * group column: the published `_schema` renames in place and the
+    * newest snapshot physically rewrites under the new name. EAGER where
+    * the state side is lazy, deliberately: the MV snapshot is O(groups)
+    * — metadata-sized at any table scale — so one tiny rewrite beats
+    * carrying rename-coalesce machinery in every epoch read and delta
+    * join forever after (the 100 TB state dir makes the opposite trade
+    * for the same reason, [[applyRenameDdl]]). Crash-safe staged swap
+    * (stage → live→trash → stage→live → drop), healed at entry like the
+    * index compactions; idempotent — a replayed pass finds the old name
+    * gone and no-ops. */
+  private def migrateMvRename(s: SparkSession, mv: String,
+      renames: Map[String, String]): Unit =
+    readStateSchema(mv).foreach { p =>
+      val hit = renames.filter { case (o, _) => p.fieldNames.contains(o) }
+      if (hit.nonEmpty) {
+        hit.foreach { case (_, n) =>
+          require(!p.fieldNames.contains(n),
+            s"MV rename target '$n' already published — a rename cannot " +
+              "merge two view columns")
+        }
+        val stage = s"$mv/_rename_stage"
+        val trash = s"$mv/_rename_old"
+        // heal a crashed prior migration: trash without live restores,
+        // trash with live is a completed swap's leftover
+        StateFs.epochIds(mv).maxOption.foreach { at =>
+          val live = s"$mv/epoch=$at"
+          if (StateFs.exists(trash) && !StateFs.exists(live))
+            StateFs.moveDir(trash, live)
+        }
+        StateFs.deleteRecursive(trash)
+        StateFs.deleteRecursive(stage)
+        val renamed = org.apache.spark.sql.types.StructType(p.fields.map(f =>
+          hit.get(f.name).map(n => f.copy(name = n)).getOrElse(f)))
+        StateFs.epochIds(mv).maxOption.foreach { at =>
+          val live = s"$mv/epoch=$at"
+          readMvEpoch(s, mv, at).toDF(renamed.fieldNames.toSeq: _*)
+            .write.mode("overwrite").parquet(stage)
+          StateFs.moveDir(live, trash)
+          StateFs.moveDir(stage, live)
+        }
+        // schema publishes LAST: a crash above leaves the old name
+        // published over old-name data (consistent); after this line
+        // both are the new name
+        StateFs.writeAtomic(s"$mv/_schema", renamed.json)
+        StateFs.deleteRecursive(trash)
+      }
+    }
+
+  /** CREATE MATERIALIZED VIEW … POPULATE over an EXISTING replica — the
+    * attach-an-MV-later operator flow (the seeded path, [[mvSeedSum]],
+    * covers a FRESH destination; this covers a table that has already
+    * lived through syncs and DDL). One group-by over the served state —
+    * DDL record applied, so pre-DDL rows count their DEFAULT — written
+    * as the view snapshot AT the state's newest epoch id: the next
+    * maintenance pass (same checkpoint as the syncs) gets a strictly
+    * larger batch id, finds this snapshot as its prior, and continues
+    * incrementally with no special case. O(table scan) exactly once, at
+    * attach — the POPULATE cost every engine pays. */
+  private[graft] def mvAttachSum(s: SparkSession, state: String, mv: String,
+      groupCol: String = "status", measureCol: String = "price",
+      enrich: DataFrame => DataFrame = identity): Unit = {
+    val at = StateFs.epochIds(state).maxOption.getOrElse(
+      throw new IllegalStateException(
+        s"$state holds no epochs — attach an MV after the first sync " +
+          "(or seed a fresh pair with mvSeedSum)"))
+    val mvDf = enrich(readLatestState(s, state))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec2(col(measureCol))).cast(D2).as("total"))
+    ensureStateSchema(mv, mvDf.schema)
+    mvDf.write.mode("overwrite").parquet(s"$mv/epoch=$at")
+  }
+
   private[graft] def runMvSumPass(s: SparkSession,
       schema: org.apache.spark.sql.types.StructType,
       in: String, ckpt: String, state: String, mv: String,
       keyCols: Seq[String] = Seq("okey"),
       groupCol: String = "status",
-      enrich: DataFrame => DataFrame = identity): (Long, Long) = {
+      enrich: DataFrame => DataFrame = identity,
+      measureCol: String = "price",
+      renameCols: Map[String, String] = Map.empty,
+      defaultCols: Map[String, ColumnDefault] = Map.empty): (Long, Long) = {
     val r = runMvSumPassSource(s, FileCdcSource(schema, in), ckpt, state, mv,
-      keyCols, groupCol, enrich)
+      keyCols, groupCol, enrich, measureCol = measureCol,
+      renameCols = renameCols, defaultCols = defaultCols)
     (r._1, r._2)
   }
 
   /** [[runMvSumPass]] over an arbitrary [[CdcSource]] transport — the
     * MV maintains identically from files, a MemoryStream, or a real
     * Kafka+Debezium feed (spec-proved over the memory transport). */
+  /** `measureCol` names the summed column of the ENRICHED image frame
+    * (default the envelope's `price`). `renameCols`/`defaultCols`
+    * declare the same DDL record the CDC passes take
+    * ([[applyRenameDdl]]/[[applyDefaultDdl]]): the STATE side stays
+    * lazy (pre-rename epochs serve via history coalesce, pre-DDL rows
+    * serve the default at read time — the old-image lookup reads
+    * through [[readStateDir]], so retraction deltas subtract exactly
+    * what each row SERVED), while the MV side migrates eagerly when a
+    * rename hits its group column ([[migrateMvRename]] — the view is
+    * O(groups), one tiny rewrite). */
   private[graft] def runMvSumPassSource(s: SparkSession, source: CdcSource,
       ckpt: String, state: String, mv: String,
       keyCols: Seq[String] = Seq("okey"),
       groupCol: String = "status",
       enrich: DataFrame => DataFrame = identity,
       txnCol: Option[String] = None,
-      trackSeq: Boolean = false)
+      trackSeq: Boolean = false,
+      measureCol: String = "price",
+      renameCols: Map[String, String] = Map.empty,
+      defaultCols: Map[String, ColumnDefault] = Map.empty)
       : (Long, Long, Option[Long], Long, Option[Long]) = {
     val schema = source.schema
+    // a rename that hits the VIEW's group column migrates the view
+    // BEFORE its schema is (re)published below — the snapshot rewrite
+    // plus in-place schema rename; on any other rename this is a no-op
+    migrateMvRename(s, mv, renameCols)
     val mvSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField(groupCol, StringType),
       org.apache.spark.sql.types.StructField("n_rows",
@@ -2025,8 +2125,14 @@ object StreamingOps {
     // on the declared (possibly composite) key, not the historical
     // single-key fallback
     ensureKeyCols(state, keyCols)
-    ensureStateSchema(state, collapse(envelope(s.createDataFrame(
-      new java.util.ArrayList[Row](), envSchema)), keyCols).schema)
+    val envStateSchema = collapse(envelope(s.createDataFrame(
+      new java.util.ArrayList[Row](), envSchema)), keyCols).schema
+    // DDL metadata settles in runCdcPassSource's order: renames first
+    // (carry published history to the new name), then the schema union,
+    // then defaults (the column must ride the incoming envelope)
+    applyRenameDdl(state, renameCols, envStateSchema)
+    ensureStateSchema(state, envStateSchema)
+    applyDefaultDdl(state, defaultCols, envStateSchema)
     // position bookkeeping, same contract as runCdcPass's trackSeq: the
     // applied horizon advances through applied events AND resolved commit
     // markers; the seen horizon reads the raw batch so txn-held events
@@ -2082,7 +2188,7 @@ object StreamingOps {
           val delta = enrich(signed)
             .groupBy(col(groupCol))
             .agg(sum(col("sign")).as("dn"),
-              sum(col("sign") * dec2(col("price"))).cast(D2).as("dt"))
+              sum(col("sign") * dec2(col(measureCol))).cast(D2).as("dt"))
           val mvPrior = latestMvBelow(s, mv, epochId)
             .getOrElse(s.createDataFrame(
               new java.util.ArrayList[Row](), mvSchema))
@@ -3260,6 +3366,55 @@ object StreamingOps {
         .orderBy(col("status"))
     }),
 
+    // ST-MV-DDL: MV MAINTENANCE ACROSS DDL — the composition a real
+    // deployment hits within a week: the table lives through an ADD
+    // COLUMN … DEFAULT (the measured column `amt`, added mid-stream —
+    // pre-DDL rows must COUNT THE DEFAULT, not 0), the operator then
+    // attaches a sum MV over the evolved table (CREATE MV … POPULATE,
+    // mvAttachSum — one group-by over the served state, defaults
+    // filled), and maintenance continues through a RENAME of the group
+    // column (grp → seg): the state side serves pre-rename epochs via
+    // rename-history coalesce — so the delete wave's retraction deltas
+    // subtract exactly what each row SERVED, defaulted measure included
+    // — while the O(groups) view migrates eagerly (snapshot rewrite +
+    // schema rename). Served view must equal the group-by over the
+    // evolved-union collapse, which is what the oracle computes.
+    "cdc_mv_ddl" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir)
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      val grp = concat(lit("g"), (col("okey") % 4).cast(StringType))
+      // wave 0 (seq 1): inserts; group column still named `grp`, no amt
+      val w0 = log.filter(col("seq") === 1).withColumn("grp", grp)
+      writeWave(w0, in, 0)
+      runCdcPass(s, w0.schema, in, s"$tmp/ckpt", s"$tmp/state")
+      // wave 1 (seq 2): updates + ADD COLUMN amt DEFAULT 5.00 (declared
+      // at position 1); okey%5==0 writes an EXPLICIT NULL, which must
+      // stay NULL (MySQL backfill semantics, not a blanket coalesce)
+      val w1 = log.filter(col("seq") === 2).withColumn("grp", grp)
+        .withColumn("amt", when(col("okey") % 5 === 0,
+          lit(null).cast(DoubleType))
+          .otherwise((col("okey") % 89).cast(DoubleType) + lit(0.25)))
+      writeWave(w1, in, 1)
+      runCdcPass(s, w1.schema, in, s"$tmp/ckpt", s"$tmp/state",
+        defaultCols = Map("amt" -> ColumnDefault(1L, "5.00")))
+      // the operator creates the MV over the table AS EVOLVED
+      mvAttachSum(s, s"$tmp/state", s"$tmp/mv",
+        groupCol = "grp", measureCol = "amt")
+      // wave 2 (seq 3): deletes, with the group column RENAMED grp→seg
+      val w2 = log.filter(col("seq") === 3)
+        .withColumn("seg", lit(null).cast(StringType))
+        .withColumn("amt", lit(null).cast(DoubleType))
+      writeWave(w2, in, 2)
+      runMvSumPass(s, w2.schema, in, s"$tmp/ckpt", s"$tmp/state", s"$tmp/mv",
+        groupCol = "seg", measureCol = "amt",
+        renameCols = Map("grp" -> "seg"))
+      readMv(s, s"$tmp/mv")
+        .select(col("seg"), col("n_rows"),
+          col("total").cast(DoubleType).as("total"))
+        .orderBy(col("seg"))
+    }),
+
     // ST32: JOIN-MV — the aggregate MV's group key lives in STATIC
     // dimension tables (customer → nation), joined per image at apply
     // time: Δ(R ⋈ S) = ΔR ⋈ S for fixed S, so each batch joins only its
@@ -3984,6 +4139,40 @@ object StreamingOps {
          SELECT status, count(*) AS n_rows,
                 CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM latest GROUP BY status ORDER BY status""",
+
+    // MV across DDL: the served view equals the group-by over the
+    // evolved-union collapse — pre-DDL winners count the measured
+    // column's DEFAULT (5.00), post-DDL explicit NULLs stay NULL, and
+    // the rename is invisible to the answer (one column, one history).
+    "cdc_mv_ddl" ->
+      s"""WITH cdc_log AS (${Tables.cdcLogSql}),
+            evolved AS (
+              SELECT op, seq, okey,
+                     'g' || CAST(okey % 4 AS VARCHAR) AS seg,
+                     CAST(NULL AS DOUBLE) AS amt
+              FROM cdc_log WHERE seq = 1
+              UNION ALL
+              SELECT op, seq, okey,
+                     'g' || CAST(okey % 4 AS VARCHAR),
+                     CASE WHEN okey % 5 = 0 THEN NULL
+                          ELSE CAST(okey % 89 AS DOUBLE) +
+                               CAST(0.25 AS DOUBLE) END
+              FROM cdc_log WHERE seq = 2
+              UNION ALL
+              SELECT op, seq, okey, CAST(NULL AS VARCHAR),
+                     CAST(NULL AS DOUBLE)
+              FROM cdc_log WHERE seq = 3),
+            ranked AS (SELECT *, row_number() OVER (
+                         PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM evolved),
+            latest AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D'),
+            filled AS (SELECT seg,
+                         CASE WHEN amt IS NULL AND seq <= 1
+                              THEN CAST(5.00 AS DOUBLE) ELSE amt END AS amt
+                       FROM latest)
+         SELECT seg, count(*) AS n_rows,
+                CAST(sum(CAST(amt AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM filled GROUP BY seg ORDER BY seg""",
 
     "cdc_mv_join" ->
       s"""WITH cdc_log_dim AS (${Tables.cdcLogDimSql}),

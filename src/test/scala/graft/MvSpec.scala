@@ -704,4 +704,79 @@ class MvSpec extends SparkTestBase {
     assert(mm.map(r => (r.getString(0), r.getLong(1))).toSeq ==
       latest.map(r => (r.getString(0), r.getLong(1))).toSeq)
   }
+
+  test("MV across DDL: attach after ADD DEFAULT, maintain through a group rename") {
+    // the cdc_mv_ddl composition at unit scale, plus the piece the query
+    // cannot show: maintenance CONTINUES on the migrated view after the
+    // rename pass (a later ordinary pass under the new name)
+    val base = tmp()
+    def ev(op: String, seq: Long, okey: Long, grp: String,
+        amt: java.lang.Double) =
+      (op, seq, okey, grp, amt)
+    def frame(rows: Seq[(String, Long, Long, String, java.lang.Double)],
+        gname: String, withAmt: Boolean) = {
+      val df = spark.createDataFrame(rows)
+        .toDF("op", "seq", "okey", gname, "amt")
+        .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("seq")))
+        .withColumn("price", lit(1.0d))
+        .withColumn("status", lit("X"))
+      val cols = Seq("op", "seq", "ts", "okey", "price", "status", gname) ++
+        (if (withAmt) Seq("amt") else Nil)
+      df.select(cols.map(col): _*)
+    }
+    // pass 1: inserts, no amt column yet — k1/k2 in g1, k3/k5 in g2
+    val w0 = frame(Seq(ev("I", 1, 1, "g1", null), ev("I", 2, 2, "g1", null),
+      ev("I", 3, 3, "g2", null), ev("I", 4, 5, "g2", null)),
+      "grp", withAmt = false)
+    StreamingOps.writeWave(w0, s"$base/in", 0)
+    StreamingOps.runCdcPass(spark, w0.schema, s"$base/in", s"$base/ckpt",
+      s"$base/state")
+    // pass 2: ADD COLUMN amt DEFAULT 7.50 at position 4; k2 writes 2.00,
+    // k3 writes an explicit NULL (stays NULL — MySQL backfill, not a
+    // blanket coalesce); k1/k5 untouched → serve the default
+    val w1 = frame(Seq(ev("U", 5, 2, "g1", 2.0), ev("U", 6, 3, "g2", null)),
+      "grp", withAmt = true)
+    StreamingOps.writeWave(w1, s"$base/in", 1)
+    StreamingOps.runCdcPass(spark, w1.schema, s"$base/in", s"$base/ckpt",
+      s"$base/state",
+      defaultCols = Map("amt" -> StreamingOps.ColumnDefault(4L, "7.50")))
+    // attach: g1 = (2, 7.50 + 2.00); g2 = (2, NULL + 7.50)
+    StreamingOps.mvAttachSum(spark, s"$base/state", s"$base/mv",
+      groupCol = "grp", measureCol = "amt")
+    def served(): Map[String, (Long, BigDecimal)] = servedSum(s"$base/mv")
+    assert(served() == Map(
+      "g1" -> (2L, BigDecimal("9.50")), "g2" -> (2L, BigDecimal("7.50"))),
+      s"attach over the defaulted state: ${served()}")
+    // pass 3: rename grp→seg; delete k1 (pre-DDL — its retraction must
+    // subtract the DEFAULT it served, 7.50, not 0)
+    val w2 = frame(Seq(ev("D", 7, 1, null, null)), "seg", withAmt = true)
+    StreamingOps.writeWave(w2, s"$base/in", 2)
+    StreamingOps.runMvSumPass(spark, w2.schema, s"$base/in", s"$base/ckpt",
+      s"$base/state", s"$base/mv", groupCol = "seg", measureCol = "amt",
+      renameCols = Map("grp" -> "seg"))
+    assert(StreamingOps.readMv(spark, s"$base/mv").columns.head == "seg",
+      "the view's group column must migrate with the rename")
+    assert(served() == Map(
+      "g1" -> (1L, BigDecimal("2.00")), "g2" -> (2L, BigDecimal("7.50"))),
+      s"post-rename delete must retract the served default: ${served()}")
+    // pass 4: ordinary maintenance under the NEW name — k4 inserts into
+    // g2, k2 moves g1→g2 (group migration across the rename boundary)
+    val w3 = frame(Seq(ev("I", 8, 4, "g2", 1.25), ev("U", 9, 2, "g2", 2.0)),
+      "seg", withAmt = true)
+    StreamingOps.writeWave(w3, s"$base/in", 3)
+    StreamingOps.runMvSumPass(spark, w3.schema, s"$base/in", s"$base/ckpt",
+      s"$base/state", s"$base/mv", groupCol = "seg", measureCol = "amt")
+    assert(served() == Map(
+      "g2" -> (4L, BigDecimal("10.75"))),
+      s"maintenance must continue on the migrated view: ${served()}")
+    // and the state side serves the full evolved history under seg —
+    // the untouched pre-DDL key (k5) serves the default at read time
+    val st = Replication.appliedState(spark, s"$base/state")
+      .select(col("okey"), col("seg"), col("amt")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    assert(st == Set((2L, "g2", 2.0), (3L, "g2", null), (4L, "g2", 1.25),
+      (5L, "g2", 7.5)),
+      s"state across rename+default: $st")
+  }
 }
