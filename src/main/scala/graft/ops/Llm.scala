@@ -356,7 +356,11 @@ object Llm {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val newBands = graft.CacheRegistry.track(bandTableOf(newSh)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val oldBands = s.read.parquet(s"$indexDir/bands")
+    // retired docs' bands stop generating candidates NOW (their rows are
+    // physically reclaimed at the next compaction); the shingle side
+    // needs no gate — a pair only reaches the confirm through the bands
+    val oldBands = dropRetired(s, indexDir,
+      s.read.parquet(s"$indexDir/bands"), "doc_id")
     val oldSh = s.read.parquet(s"$indexDir/shingles")
     // the batch bands are the EXPLICIT broadcast build side (the
     // exactIngestFrame pattern — the contract is batch ≪ index, pinned
@@ -467,6 +471,20 @@ object Llm {
     kept.select(col("text_hash"))
       .withColumn("_bucket", hashBucket)
       .write.mode("append").parquet(s"$indexDir/hashes")
+    // a SHIPPED hash is live content again — drop it from the retired
+    // list ([[exactRetire]]): the hash IS the identity here, so leaving
+    // it retired would ship every later duplicate of the re-arrived
+    // content too (the near-dup index has no such collision — its
+    // identity is the per-doc id, and a re-arrival gets a fresh one)
+    val p = s"$indexDir/retired_hashes"
+    if (graft.streaming.StateFs.exists(p)) {
+      val keptRetired = s.read.parquet(p).select(col("text_hash")).distinct()
+        .join(broadcast(kept.select(col("text_hash"))),
+          Seq("text_hash"), "left_anti")
+        .localCheckpoint()
+      if (keptRetired.isEmpty) graft.streaming.StateFs.deleteRecursive(p)
+      else replaceIndexTable(keptRetired.coalesce(1), p)
+    }
     kept
   }
 
@@ -485,10 +503,10 @@ object Llm {
     val touched = hashed.select(hashBucket.as("_b")).distinct()
       .collect().map(_.getLong(0)).toSeq
     val idx0 = s.read.parquet(s"$indexDir/hashes")
-    val idx =
+    val idx = dropRetiredHashes(s, indexDir,
       (if (touched.size < IndexBuckets && idx0.columns.contains("_bucket"))
         idx0.filter(col("_bucket").isNull || col("_bucket").isin(touched: _*))
-      else idx0).select(col("text_hash"))
+      else idx0).select(col("text_hash")))
     val present = idx
       .join(broadcast(hashed.select(col("text_hash")).distinct()),
         Seq("text_hash"), "left_semi")
@@ -594,7 +612,8 @@ object Llm {
     * dir — run it between ingests (a maintenance window), exactly as
     * llm_dedup_stream does inside its serial foreachBatch. */
   private def compactIndexTable(s: SparkSession, live: String,
-      targetFiles: Int, clusterCol: Option[String] = None): Unit = {
+      targetFiles: Int, clusterCol: Option[String] = None,
+      transform: DataFrame => DataFrame = identity): Unit = {
     import graft.streaming.StateFs
     val trash = s"${live}_old"
     if (StateFs.exists(trash)) {
@@ -605,8 +624,11 @@ object Llm {
     StateFs.deleteRecursive(side)
     // a cluster column (the ANN index's cell, the exact index's bucket)
     // re-aligns the compacted files to it, restoring the probe pruning
-    // the per-ingest appends progressively dilute
-    val raw = s.read.parquet(live)
+    // the per-ingest appends progressively dilute; `transform` is the
+    // retirement hook — dropping a retired doc's rows here is the one
+    // moment the whole table is rewritten anyway, so retirement rides
+    // the maintenance job for free
+    val raw = transform(s.read.parquet(live))
     clusterCol.fold(raw.repartition(targetFiles))(c =>
         raw.repartition(targetFiles, col(c)).sortWithinPartitions(c))
       .write.mode("overwrite").parquet(side)
@@ -615,29 +637,126 @@ object Llm {
     StateFs.deleteRecursive(trash)
   }
 
+  // ── INDEX RETIREMENT ──────────────────────────────────────────────
+  // A doc deleted from the corpus must stop claiming dedup victories
+  // and ANN neighborships — otherwise the index only ever grows and a
+  // re-ingested near-dup of a long-deleted doc is dropped against a
+  // ghost. The ST16 purge-floor pattern applied to the LLM index
+  // discipline: retirement is O(retired) metadata at declare time (an
+  // append to a tiny `retired` list), takes effect IMMEDIATELY (every
+  // index-side probe anti-joins the broadcast list — bounded by
+  // retire-since-last-compaction, not the corpus), and is physically
+  // reclaimed by the NEXT index compaction, which then clears the list
+  // (crash between the two: entries linger, the anti-join drops rows
+  // already gone — idempotent).
+
+  private def retiredPath(indexDir: String) = s"$indexDir/retired"
+
+  private def appendRetired(s: SparkSession, indexDir: String,
+      ids: Seq[Long]): Unit = {
+    require(ids.nonEmpty, "retire needs at least one doc id")
+    s.createDataFrame(java.util.Arrays.asList(
+        ids.map(org.apache.spark.sql.Row(_)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+      .coalesce(1).write.mode("append").parquet(retiredPath(indexDir))
+  }
+
+  private def retiredDf(s: SparkSession, indexDir: String): Option[DataFrame] =
+    if (graft.streaming.StateFs.exists(retiredPath(indexDir)))
+      Some(s.read.parquet(retiredPath(indexDir))
+        .select(col("doc_id")).distinct())
+    else None
+
+  /** Anti-join `df`'s `idCol` against the index's retired list (no-op
+    * when nothing is retired). Broadcast by contract: the list is
+    * bounded by retirements since the last compaction. */
+  private def dropRetired(s: SparkSession, indexDir: String,
+      df: DataFrame, idCol: String): DataFrame =
+    retiredDf(s, indexDir).fold(df)(r =>
+      df.join(broadcast(r.select(col("doc_id").as(idCol))),
+        Seq(idCol), "left_anti"))
+
+  /** Retire docs from the NEAR-DUP index: their bands stop generating
+    * candidates and their shingles stop confirming as of this call;
+    * [[dedupIndexCompact]] physically drops their rows. Label-table
+    * rows (cluster membership) drop at the same compaction — a retired
+    * doc is no longer a member; its id may live on as other members'
+    * label VALUE, which is an identifier, not a membership claim. */
+  private[graft] def dedupRetire(s: SparkSession, indexDir: String,
+      ids: Seq[Long]): Unit = appendRetired(s, indexDir, ids)
+
+  /** Retire vectors from the ANN index: they stop surfacing as
+    * neighbors as of this call; [[annIndexCompact]] drops their
+    * assignment rows (and a later [[annReseed]] no longer counts them
+    * toward centroids). */
+  private[graft] def annRetire(s: SparkSession, indexDir: String,
+      ids: Seq[Long]): Unit = appendRetired(s, indexDir, ids)
+
+  /** Retire docs from the EXACT-dedup index. The hash index stores no
+    * doc ids (hashes only), so retirement is declared by the docs'
+    * (text) content: their normalized hashes append to a
+    * `retired_hashes` list, the ingest probe stops matching them
+    * immediately, and [[exactIndexCompact]] reclaims the rows. Retiring
+    * a hash whose doc still lives in the corpus would readmit its next
+    * duplicate — callers retire exactly the deleted docs' texts. */
+  private[graft] def exactRetire(s: SparkSession, indexDir: String,
+      docs: DataFrame): Unit =
+    docs.select(sha2(lower(trim(col("text"))), 256).as("text_hash"))
+      .distinct()
+      .coalesce(1).write.mode("append")
+      .parquet(s"$indexDir/retired_hashes")
+
+  private def dropRetiredHashes(s: SparkSession, indexDir: String,
+      df: DataFrame): DataFrame =
+    if (graft.streaming.StateFs.exists(s"$indexDir/retired_hashes"))
+      df.join(broadcast(s.read.parquet(s"$indexDir/retired_hashes")
+          .select(col("text_hash")).distinct()),
+        Seq("text_hash"), "left_anti")
+    else df
+
   /** [[compactIndexTable]] over the incremental-dedup index's two
-    * tables — the maintenance op [[dedupIncremental]]'s appends need. */
+    * tables — the maintenance op [[dedupIncremental]]'s appends need.
+    * Physically reclaims RETIRED docs' rows (shingles, bands, and — when
+    * the cluster layer exists — label memberships), then clears the
+    * retired list: its entries are now fact on disk. */
   private[graft] def dedupIndexCompact(s: SparkSession, indexDir: String,
-      targetFiles: Int = 4): Unit =
+      targetFiles: Int = 4): Unit = {
+    val gate = (df: DataFrame) => dropRetired(s, indexDir, df, "doc_id")
     Seq("shingles", "bands").foreach(t =>
-      compactIndexTable(s, s"$indexDir/$t", targetFiles))
+      compactIndexTable(s, s"$indexDir/$t", targetFiles, transform = gate))
+    if (graft.streaming.StateFs.exists(s"$indexDir/labels"))
+      compactIndexTable(s, s"$indexDir/labels", targetFiles,
+        transform = gate)
+    graft.streaming.StateFs.deleteRecursive(retiredPath(indexDir))
+  }
 
   /** [[compactIndexTable]] over the ANN index's assignment table (the
-    * centroid table is 16 rows in one file — nothing to compact). */
+    * centroid table is 16 rows in one file — nothing to compact).
+    * Physically reclaims retired vectors' assignments, then clears the
+    * retired list. */
   private[graft] def annIndexCompact(s: SparkSession, indexDir: String,
-      targetFiles: Int = 4): Unit =
+      targetFiles: Int = 4): Unit = {
     compactIndexTable(s, s"$indexDir/assigned", targetFiles,
-      clusterCol = Some("cell"))
+      clusterCol = Some("cell"),
+      transform = df => dropRetired(s, indexDir, df, "n_id"))
+    graft.streaming.StateFs.deleteRecursive(retiredPath(indexDir))
+  }
 
   /** [[compactIndexTable]] over the EXACT-dedup hash index — the
     * maintenance op that restores the bucket clustering per-ingest
     * appends progressively dilute (each append lands unclustered small
     * files whose bucket range spans everything, so the probe's pruning
-    * decays back toward a full scan without this). */
+    * decays back toward a full scan without this). Physically reclaims
+    * retired hashes ([[exactRetire]]), then clears the list. */
   private[graft] def exactIndexCompact(s: SparkSession, indexDir: String,
-      targetFiles: Int = 4): Unit =
+      targetFiles: Int = 4): Unit = {
     compactIndexTable(s, s"$indexDir/hashes", targetFiles,
-      clusterCol = Some("_bucket"))
+      clusterCol = Some("_bucket"),
+      transform = df => dropRetiredHashes(s, indexDir, df))
+    graft.streaming.StateFs.deleteRecursive(s"$indexDir/retired_hashes")
+  }
 
   /** Centroid REFRESH (the periodic re-train [[annIngest]]'s scaladoc
     * defers drift to) as a first-class maintenance op: after many
@@ -663,8 +782,11 @@ object Llm {
     * per-batch stays [[annIngest]]'s O(batch). */
   private[graft] def annReseed(s: SparkSession, indexDir: String): Unit = {
     VectorOps.register(s)
-    // pinned: everything below derives from the tables being replaced
-    val all = s.read.parquet(s"$indexDir/assigned")
+    // pinned: everything below derives from the tables being replaced;
+    // retired vectors (not yet physically compacted away) must not
+    // count toward the refreshed centroids or re-enter the reassignment
+    val all = dropRetired(s, indexDir,
+        s.read.parquet(s"$indexDir/assigned"), "n_id")
       .select(col("n_id").as("vec_id"), col("n_v").as("v"))
       .localCheckpoint()
     val cents0 = all.orderBy(col("vec_id")).limit(16)
@@ -688,6 +810,9 @@ object Llm {
     // keep the cell-clustered layout through the swap
     replaceIndexTable(reassigned.repartition(col("cell"))
       .sortWithinPartitions("cell"), s"$indexDir/assigned")
+    // the rebuilt assignment table excluded retired vectors — their
+    // retirement is now fact on disk, like after a compaction
+    graft.streaming.StateFs.deleteRecursive(retiredPath(indexDir))
   }
 
   /** Seed the incremental ANN's PERSISTED IVF INDEX from a corpus
@@ -784,8 +909,9 @@ object Llm {
     // restriction the equi-join imposes anyway, moved to the scan
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.get(0)).toSeq
-    val candidates = s.read.parquet(s"$indexDir/assigned")
-      .filter(col("cell").isin(probedCells: _*))
+    val candidates = dropRetired(s, indexDir,
+        s.read.parquet(s"$indexDir/assigned")
+          .filter(col("cell").isin(probedCells: _*)), "n_id")
       .unionByName(bAssigned)
     val wTop = Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("n_id"))
     val topk = candidates.join(broadcast(probes), Seq("cell"))

@@ -351,6 +351,106 @@ class LlmSpec extends SparkTestBase {
       "a salt change must re-deal most positions")
   }
 
+  test("retired docs stop claiming dedup victories; compaction reclaims, invariantly") {
+    val d = Tables.t(spark, sf, "documents")
+    val snapshot = d.select(col("doc_id"), col("text"))
+    val idx = s"${TmpDirs.create("graft_retire")}/idx"
+    ops.Llm.dedupIndexSeed(spark, snapshot, idx)
+    val nearDup = d.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1, length(text))").as("text"))
+    val origIds = nearDup.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSeq
+    def ingest(offset: Long): Set[(Long, Long)] =
+      ops.Llm.dedupIncremental(spark,
+        nearDup.select((col("doc_id") + offset).as("doc_id"), col("text")),
+        idx).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // baseline: the arriving near-dups confirm against their originals
+    val b1 = ingest(100000)
+    assert(b1.exists { case (a, b) => origIds.contains(a) && b == a + 100000 },
+      "fixture lost its teeth: no near-dup confirmed against its original")
+    // the originals are deleted from the corpus → retired from the index;
+    // a re-ingested near-dup must no longer be claimed by a ghost...
+    ops.Llm.dedupRetire(spark, idx, origIds)
+    val b2 = ingest(200000)
+    assert(!b2.exists { case (a, b) =>
+        origIds.contains(a) || origIds.contains(b) },
+      s"retired docs still claim victories: ${b2.filter(p =>
+        origIds.contains(p._1)).take(3)}")
+    // ...while LIVE index docs (the first arrivals) still confirm — the
+    // +200000 texts are exact twins of the +100000 ones
+    assert(b2.exists { case (a, b) => a >= 100000 && b >= 200000 },
+      "retirement must not silence live index docs")
+    // compaction physically reclaims the retired rows and clears the
+    // list; behavior afterwards is unchanged (the ghost stays gone,
+    // untouched docs unaffected)
+    ops.Llm.dedupIndexCompact(spark, idx)
+    assert(spark.read.parquet(s"$idx/bands")
+      .filter(col("doc_id").isin(origIds: _*)).count() == 0,
+      "compaction must reclaim retired band rows")
+    assert(!new java.io.File(s"$idx/retired").exists(),
+      "a completed compaction clears the retired list")
+    val b3 = ingest(300000)
+    assert(!b3.exists { case (a, b) =>
+      origIds.contains(a) || origIds.contains(b) })
+    assert(b3.exists { case (a, b) => a >= 100000 && b >= 300000 })
+  }
+
+  test("retired vectors stop surfacing as ANN neighbors; compaction reclaims") {
+    val all = Tables.t(spark, sf, "embeddings").select(
+      col("vec_id"), functions.VectorOps.toDouble(col("embedding")).as("v"))
+    val idx = s"${TmpDirs.create("graft_annret")}/idx"
+    ops.Llm.annIndexSeed(spark, all, idx)
+    val retired = all.filter(col("vec_id") % 10 === 0 && col("vec_id") < 250)
+    val retiredIds = retired.select(col("vec_id")).collect()
+      .map(_.getLong(0)).toSeq
+    // exact twins of the retired vectors under fresh ids: without
+    // retirement each twin's top-1 is its original at cosine 1.0
+    val twins = retired.select((col("vec_id") + 500000).as("vec_id"), col("v"))
+    ops.Llm.annRetire(spark, idx, retiredIds)
+    val res = ops.Llm.annIngest(spark, twins, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(!res.exists { case (_, n) => retiredIds.contains(n) },
+      s"retired vectors still neighbors: ${res.filter(p =>
+        retiredIds.contains(p._2)).take(3)}")
+    ops.Llm.annIndexCompact(spark, idx)
+    assert(spark.read.parquet(s"$idx/assigned")
+      .filter(col("n_id").isin(retiredIds: _*)).count() == 0,
+      "compaction must reclaim retired assignments")
+    assert(!new java.io.File(s"$idx/retired").exists())
+  }
+
+  test("retired hashes readmit the next duplicate through the exact index") {
+    val d = Tables.t(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val idx = s"${TmpDirs.create("graft_exret")}/idx"
+    ops.Llm.exactIndexSeed(spark, d, idx)
+    // duplicates of indexed docs arrive → all dropped (hashes known)
+    val dups = d.filter(col("doc_id") % 7 === 0)
+    val b1 = ops.Llm.exactIngestApply(spark,
+      dups.select((col("doc_id") + 100000).as("doc_id"), col("text")), idx)
+    assert(b1.count() == 0, "known hashes must drop their duplicates")
+    // those docs are deleted from the corpus → their hashes retire; the
+    // SAME texts re-arriving are now fresh content and must ship
+    ops.Llm.exactRetire(spark, idx, dups)
+    val b2 = ops.Llm.exactIngestApply(spark,
+      dups.select((col("doc_id") + 200000).as("doc_id"), col("text")), idx)
+    assert(b2.count() == dups.count(),
+      "retired hashes must readmit re-arriving content")
+    // a shipped hash is live again IMMEDIATELY (the ingest un-retires
+    // it): the next duplicate drops even before any compaction — the
+    // hash is the identity here, so retirement must not outlive it
+    val b3 = ops.Llm.exactIngestApply(spark,
+      dups.select((col("doc_id") + 300000).as("doc_id"), col("text")), idx)
+    assert(b3.count() == 0,
+      "the readmitted content's own hashes must dedup the next arrival")
+    // compaction reclaims whatever is still retired and clears the list
+    ops.Llm.exactIndexCompact(spark, idx)
+    assert(!new java.io.File(s"$idx/retired_hashes").exists())
+    val b4 = ops.Llm.exactIngestApply(spark,
+      dups.select((col("doc_id") + 400000).as("doc_id"), col("text")), idx)
+    assert(b4.count() == 0, "compaction must not resurrect retirement")
+  }
+
   test("exact-index compaction restores bucket clustering; ingest invariant") {
     // per-ingest appends land unclustered files that dilute the probe's
     // bucket pruning; exactIndexCompact re-clusters the hash index and
