@@ -159,7 +159,56 @@ object Bench {
           s"BENCH STATE-READ FAIL: ${e.getClass.getName}: ${e.getMessage}")
         Seq.empty
     }
+    // CROSS-SCALE evidence: the same three reads over a 10×-LARGER
+    // synthetic state (the log replicated under disjoint key ranges,
+    // built OUTSIDE the timers, compacted to the same steady-state
+    // shape). The "survives 100×" claim, measured: the bucket-probe and
+    // changes-poll timings must grow SUBLINEARLY vs the full collapse —
+    // they read pruned row groups / the changed tail, not the table.
+    val stateReads10x: Seq[(String, Double)] = if (filt.nonEmpty) Seq.empty
+    else try {
+      import org.apache.spark.sql.functions.{col, explode, lit}
+      val log = Tables.cdcLog(spark, sfDir)
+      val rep = log
+        .withColumn("_r", explode(lit((0 until 10).toArray)))
+        .withColumn("okey", col("okey") + col("_r").cast("long") * 10000000L)
+        .drop("_r")
+        .select(log.columns.map(col).toSeq: _*)
+      val rtmp = TmpDirs.create("bench_stateread10x")
+      graft.streaming.StreamingOps.writeWave(
+        rep.filter(col("seq") === 1), s"$rtmp/in", 0)
+      graft.streaming.StreamingOps.writeWave(
+        rep.filter(col("seq") > 1), s"$rtmp/in", 1)
+      graft.streaming.StreamingOps.runCdcPass(spark, log.schema,
+        s"$rtmp/in", s"$rtmp/ckpt", s"$rtmp/state")
+      graft.streaming.StreamingOps.compactState(spark, s"$rtmp/state")
+      def t1(name: String)(body: => Unit): (String, Double) = {
+        val t0 = System.nanoTime()
+        body
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+      Seq(
+        t1("latest") {
+          graft.streaming.StreamingOps
+            .readLatestState(spark, s"$rtmp/state").count(); ()
+        },
+        t1("latest_bucket_probe") {
+          graft.streaming.StreamingOps.readLatestState(spark,
+            s"$rtmp/state", buckets = Some(Seq(0L, 1L))).count(); ()
+        },
+        t1("changes_since") {
+          graft.streaming.StreamingOps.readStateChanges(spark,
+            s"$rtmp/state", sinceSeq = 1L).count(); ()
+        })
+    } catch {
+      case e: Throwable =>
+        System.err.println(
+          s"BENCH STATE-READ-10X FAIL: ${e.getClass.getName}: ${e.getMessage}")
+        Seq.empty
+    }
     val srJson = stateReads.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val sr10Json = stateReads10x.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     // Only an UNFILTERED run may overwrite the artifact: a local filtered
     // iteration (`sbt "runMain graft.Bench some_query"`) would otherwise
@@ -168,7 +217,8 @@ object Bench {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_full.json"),
         s"""{"total":${f3(total)},"sf":"$sfDir","passes":$passes,""" +
-          s""""failed":$fq,"state_reads":$srJson,"queries":$qs,""" +
+          s""""failed":$fq,"state_reads":$srJson,""" +
+          s""""state_reads_10x":$sr10Json,"queries":$qs,""" +
           s""""slowest_first":$ranked}""" + "\n")
       ()
     } catch {
