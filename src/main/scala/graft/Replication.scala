@@ -215,13 +215,27 @@ object Replication {
     * (sum mode only) joins each delta image against broadcast static
     * dimensions before grouping — the join-MV shape. Returns the pass's
     * progress and the SERVED view. */
+  /** `measureCol`/`renameCols`/`defaultCols` (sum mode only) are the
+    * MV-across-DDL surface: the summed column of the enriched image
+    * frame, and the same RENAME COLUMN / ADD COLUMN … DEFAULT
+    * declarations [[incrementalSync]] takes — the state side stays lazy
+    * while a rename hitting the view's group column migrates the
+    * O(groups) view eagerly (see StreamingOps.runMvSumPassSource). */
   def incrementalSyncWithView(spark: SparkSession, schema: StructType,
       inDir: String, ckptDir: String, stateDir: String, mvDir: String,
       groupCol: String = "status", minMax: Boolean = false,
       keyCols: Seq[String] = Seq("okey"),
       enrich: DataFrame => DataFrame = identity,
-      txnCol: Option[String] = None)
+      txnCol: Option[String] = None,
+      measureCol: String = "price",
+      renameCols: Map[String, String] = Map.empty,
+      defaultCols: Map[String, streaming.StreamingOps.ColumnDefault] = Map.empty)
       : (SyncProgress, DataFrame) = {
+    if (minMax) require(renameCols.isEmpty && defaultCols.isEmpty &&
+      measureCol == "price",
+      "DDL declarations and a custom measure are sum-mode surface: the " +
+        "dirty-group snapshot is physically partitioned by the group " +
+        "column, so a rename there needs a re-seed (mvSeedRecompute)")
     val src = sources.FileCdcSource(schema, inDir)
     val (rows, epochs, lastSeq, pending, srcMax) =
       if (minMax) streaming.StreamingOps.runMvMinMaxPassSource(spark, src,
@@ -229,7 +243,8 @@ object Replication {
         txnCol = txnCol, trackSeq = true)
       else streaming.StreamingOps.runMvSumPassSource(spark, src,
         ckptDir, stateDir, mvDir, keyCols, groupCol, enrich,
-        txnCol = txnCol, trackSeq = true)
+        txnCol = txnCol, trackSeq = true, measureCol = measureCol,
+        renameCols = renameCols, defaultCols = defaultCols)
     (SyncProgress(rows, epochs, lastSeq, pending, srcMax),
       streaming.StreamingOps.readMv(spark, mvDir))
   }

@@ -402,6 +402,44 @@ class ReplicationSpec extends SparkTestBase {
     assert(stm.pendingRows == 1L, s"topology txn tail: $stm")
   }
 
+  test("the MySQL type surface survives checksum and repair hash-exact") {
+    // DECIMAL money, unsigned-range DECIMAL(20,0) ids, enum strings and
+    // JSON text through the OPERATIONAL flows: the order-independent
+    // checksum must flag a 1-cent-class decimal drift, and the row
+    // repair must heal it back to hash-exact equality — the two flows a
+    // replication operator actually runs against typed tables
+    import org.apache.spark.sql.expressions.Window
+    val base = tmp()
+    val log = Tables.cdcLogTyped(spark, sf)
+    graft.streaming.StreamingOps.writeWave(log, s"$base/in", 0)
+    Replication.incrementalSync(spark, log.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state")
+    val w = Window.partitionBy(col("okey")).orderBy(col("seq").desc)
+    val truth = log.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("okey"), col("price"), col("status"), col("ts"),
+        col("amount"), col("big_id"), col("tier"), col("attrs"))
+      .localCheckpoint()
+    def served() = Replication.appliedState(spark, s"$base/state").drop("op")
+    assert(Replication.consistencyCheck(truth, served(), "okey").consistent)
+    // drift: a stray UPDATE bumps amount by exactly 1.00 on a key slice
+    truth.filter(col("okey") % 11 === 0)
+      .select(lit("U").as("op"), lit(1000L).as("seq"), col("ts"),
+        col("okey"), col("price"), col("status"),
+        (col("amount") + expr("CAST(1.00 AS DECIMAL(3,2))"))
+          .cast(org.apache.spark.sql.types.DecimalType(12, 2)).as("amount"),
+        col("big_id"), col("tier"), col("attrs"))
+      .write.mode("overwrite").parquet(s"$base/state/epoch=99")
+    val drifted = Replication.consistencyCheck(truth, served(), "okey")
+    assert(!drifted.consistent && !drifted.checksumsMatch,
+      s"a decimal drift must fail the checksum: $drifted")
+    val rep = Replication.repairSync(spark, truth, s"$base/state")
+    assert(rep.updated > 0 && rep.inserted == 0 && rep.deleted == 0,
+      s"the drift is updates-only: $rep")
+    assert(Replication.consistencyCheck(truth, served(), "okey").consistent,
+      "repair must restore hash-exact typed equality")
+  }
+
   test("configured sync rejects rename mappings that collide on a destination") {
     val log = Tables.cdcLog(spark, sf).withColumn("table", lit("a"))
     val cfg = Replication.SyncConfig(
