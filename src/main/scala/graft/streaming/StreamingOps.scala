@@ -2084,6 +2084,47 @@ object StreamingOps {
     mvDf.write.mode("overwrite").parquet(s"$mv/epoch=$at")
   }
 
+  /** [[mvAttachSum]] for the DIRTY-GROUP family: attach a
+    * recompute-regime MV (min/max, top-K — anything
+    * non-delta-maintainable) to an EXISTING replica. Seeds the
+    * group-partitioned snapshot from the served state (rows carry their
+    * winning `seq`, the DDL record applied), the pointer map (every
+    * group → the state's newest epoch id), and the view via one
+    * `recompute` over the full snapshot — the one O(table) pass the
+    * regime ever pays, at attach (the POPULATE cost). A later
+    * [[runMvRecomputePass]] on the sync's checkpoint gets a strictly
+    * larger batch id, resolves this snapshot through the pointer map,
+    * and continues dirty-group-bounded with no special case. */
+  private[graft] def mvAttachRecompute(s: SparkSession, state: String,
+      snap: String, mv: String, groupCol: String,
+      recompute: DataFrame => DataFrame): Unit = {
+    val at = StateFs.epochIds(state).maxOption.getOrElse(
+      throw new IllegalStateException(
+        s"$state holds no epochs — attach an MV after the first sync " +
+          "(or seed a fresh pair with mvSeedRecompute)"))
+    val base = readLatestState(s, state, keepSeq = true)
+    ensureStateSchema(snap, base.schema)
+    base.write.mode("overwrite").partitionBy(groupCol)
+      .parquet(s"$snap/epoch=$at")
+    val pinned = s.read.schema(base.schema).parquet(s"$snap/epoch=$at")
+    val groups = pinned.select(col(groupCol)).filter(col(groupCol).isNotNull)
+      .distinct().collect().map(_.getString(0))
+    StateFs.writeAtomic(s"$snap/_ptr/epoch=$at",
+      groups.map(g => s"$g\t$at").mkString("\n"))
+    val mvDf = recompute(pinned)
+    ensureStateSchema(mv, mvDf.schema)
+    mvDf.write.mode("overwrite").parquet(s"$mv/epoch=$at")
+  }
+
+  /** [[mvAttachRecompute]] specialized to the min/max view shape
+    * ([[runMvMinMaxPass]]'s) — the attach companion of ST31. */
+  private[graft] def mvAttachMinMax(s: SparkSession, state: String,
+      snap: String, mv: String, groupCol: String = "status"): Unit =
+    mvAttachRecompute(s, state, snap, mv, groupCol,
+      rows => rows.groupBy(col(groupCol))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("price")).as("mn"), max(col("price")).as("mx")))
+
   private[graft] def runMvSumPass(s: SparkSession,
       schema: org.apache.spark.sql.types.StructType,
       in: String, ckpt: String, state: String, mv: String,
@@ -2530,9 +2571,14 @@ object StreamingOps {
     * has published a purge floor, re-delivered already-folded epochs
     * (non-baseline, seq at or below the floor) are ignored so purged
     * deletes cannot resurrect. */
+  /** `keepSeq` appends each served row's winning `seq` to the output —
+    * the collapse-with-position shape the MV attach paths snapshot
+    * (their dirty-group machinery replays positions); the serving
+    * default stays position-free. */
   private[graft] def readLatestState(s: SparkSession, state: String,
       asOfSeq: Option[Long] = None, softDelete: Boolean = false,
-      buckets: Option[Seq[Long]] = None): DataFrame = {
+      buckets: Option[Seq[Long]] = None,
+      keepSeq: Boolean = false): DataFrame = {
     // TIME TRAVEL (`asOfSeq`): serve the state as of a binlog position —
     // the latest-wins collapse over events at or below it. Rewinds the
     // DML clock and the additive DDL clock (a DEFAULT declared after the
@@ -2598,6 +2644,7 @@ object StreamingOps {
       .select(((keyCols ++
         (Seq("op", "price", "status", "ts") ++ extraCols(gated))
           .filterNot(keyCols.contains)) ++
+        (if (keepSeq) Seq("seq") else Nil) ++
         (if (softDelete) Seq("_deleted") else Nil)).map(col): _*)
       .orderBy(keyCols.map(col): _*)
   }

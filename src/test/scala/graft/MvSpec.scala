@@ -705,6 +705,39 @@ class MvSpec extends SparkTestBase {
       latest.map(r => (r.getString(0), r.getLong(1))).toSeq)
   }
 
+  test("attach a minmax MV to an existing replica; dirty-group maintenance continues") {
+    // the recompute-family POPULATE flow: two plain sync passes build the
+    // replica, mvAttachMinMax seeds snapshot+pointer+view from the served
+    // state, then a delete of a group's current MAX arrives — the dirty
+    // group must recompute from the attached snapshot (the carried rows
+    // were never written by an MV pass), untouched groups carry forward
+    val e1 = Seq(MvEv("I", 1, 1, 10.00, "A"), MvEv("I", 2, 2, 30.00, "A"),
+      MvEv("I", 3, 3, 5.00, "B"))
+    val e2 = Seq(MvEv("U", 4, 2, 40.00, "A"))
+    val base = tmp()
+    writeEpochs(base, Seq(e1))
+    StreamingOps.runCdcPass(spark, evDf(Seq.empty).schema, s"$base/in",
+      s"$base/ckpt", s"$base/state")
+    StreamingOps.writeWave(evDf(e2), s"$base/in", 1)
+    StreamingOps.runCdcPass(spark, evDf(Seq.empty).schema, s"$base/in",
+      s"$base/ckpt", s"$base/state")
+    StreamingOps.mvAttachMinMax(spark, s"$base/state", s"$base/snap",
+      s"$base/mv")
+    assert(servedMinMax(s"$base/mv") == refMinMax(e1 ++ e2),
+      s"attach view: ${servedMinMax(s"$base/mv")}")
+    // wave 3: delete A's max (k2@40) and insert into B — A recomputes
+    // from the attached snapshot minus k2, B from snapshot plus k4
+    val e3 = Seq(MvEv("D", 5, 2, 0.00, null), MvEv("I", 6, 4, 7.00, "B"))
+    StreamingOps.writeWave(evDf(e3), s"$base/in", 2)
+    StreamingOps.runMvMinMaxPass(spark, evDf(Seq.empty).schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", s"$base/snap", s"$base/mv")
+    val all = e1 ++ e2 ++ e3
+    assert(servedMinMax(s"$base/mv") == refMinMax(all),
+      s"post-attach maintenance: ${servedMinMax(s"$base/mv")} vs ${refMinMax(all)}")
+    assert(refMinMax(all)("A") == ((1L, 10.00, 10.00)),
+      "the deleted max must demote A to its remaining row")
+  }
+
   test("MV across DDL: attach after ADD DEFAULT, maintain through a group rename") {
     // the cdc_mv_ddl composition at unit scale, plus the piece the query
     // cannot show: maintenance CONTINUES on the migrated view after the
