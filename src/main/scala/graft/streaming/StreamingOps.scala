@@ -3196,6 +3196,34 @@ object StreamingOps {
       readLatestState(s, s"$tmp/state")
     }),
 
+    // ST-WIDEN: MODIFY COLUMN type widening under the oracle gate — the
+    // remaining DDL verb (`ALTER TABLE … MODIFY qty BIGINT` on an INT
+    // column), live: pass 1 applies an envelope whose `qty` is INT; the
+    // resumed pass declares it BIGINT and writes values above 2^31 (the
+    // values only a real widening can hold — a silent re-narrow would
+    // overflow, a re-snapshot would be the expensive wrong answer).
+    // ensureStateSchema publishes the WIDE type; pre-DDL epochs keep
+    // their INT32 physical encoding and are served under BIGINT by the
+    // parquet reader natively — zero rewrite, zero backfill job.
+    "stream_cdc_widen" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir)
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      val v1 = log.filter(col("seq") === 1).withColumn("qty",
+        (col("okey") % 1000).cast(org.apache.spark.sql.types.IntegerType))
+      writeWave(v1, in, 0)
+      runCdcPass(s, v1.schema, in, s"$tmp/ckpt", s"$tmp/state")
+      // one post-DDL wave, as in ST14: the boundary that matters is the
+      // type change itself
+      val v2 = log.filter(col("seq") >= 2).withColumn("qty",
+        when(col("op") === "D",
+          lit(null).cast(org.apache.spark.sql.types.LongType))
+          .otherwise(col("okey") + lit(3000000000L)))
+      writeWave(v2, in, 1)
+      runCdcPass(s, v2.schema, in, s"$tmp/ckpt", s"$tmp/state")
+      readLatestState(s, s"$tmp/state")
+    }),
+
     // ST-DEFAULT: ADD COLUMN … DEFAULT under the oracle gate — MySQL's
     // backfill semantics, not a blanket NULL-coalesce: pass 2 resumes
     // with an envelope that gained `channel` DEFAULT 'none' (the DDL's
@@ -4312,6 +4340,26 @@ object StreamingOps {
             ranked AS (SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) rn
                        FROM evolved)
          SELECT okey, op, price, status, ts, channel FROM ranked
+         WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
+
+    // MODIFY COLUMN widening: the oracle computes qty as BIGINT from the
+    // start (DuckDB holds the values exactly either way); the Spark side
+    // must serve pre-DDL INT32 epochs and post-DDL 64-bit values under
+    // one published BIGINT column for the hashes to meet.
+    "stream_cdc_widen" ->
+      s"""WITH cdc_log AS (${Tables.cdcLogSql}),
+            evolved AS (
+              SELECT op, seq, ts, okey, price, status,
+                     CAST(okey % 1000 AS BIGINT) AS qty
+              FROM cdc_log WHERE seq = 1
+              UNION ALL BY NAME
+              SELECT op, seq, ts, okey, price, status,
+                     CASE WHEN op = 'D' THEN NULL
+                          ELSE okey + CAST(3000000000 AS BIGINT) END AS qty
+              FROM cdc_log WHERE seq >= 2),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM evolved)
+         SELECT okey, op, price, status, ts, qty FROM ranked
          WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
 
     // txn-boundary apply: only committed transactions (1 and 2) are
