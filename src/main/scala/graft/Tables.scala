@@ -350,6 +350,103 @@ object Tables {
          CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
        FROM orders WHERE o_orderkey % 7 = 0"""
 
+  /** TEMPORAL/BINARY-typed change log — the other half of the MySQL type
+    * map ([[cdcLogTyped]] covers numeric/enum/JSON): DATE (`d_date`),
+    * DATETIME (`dt_local`, timestamp WITHOUT timezone — MySQL DATETIME
+    * stores the wall-clock literally, so the replica must carry
+    * TIMESTAMP_NTZ, never an instant a session-tz shift could move),
+    * TIMESTAMP (`ts_utc`, a true instant — MySQL TIMESTAMP is UTC-stored),
+    * TIME (`t_sec`, seconds-since-midnight under the Int32 mapping this
+    * tool class uses — neither engine's TIME type round-trips parquet),
+    * and a BLOB payload (`bin_tag`, raw bytes end to end). Same event
+    * synthesis rules as [[cdcLog]]. */
+  def cdcLogTemporal(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders").select(
+      col("o_orderkey"), col("o_totalprice").cast(DoubleType).as("price"),
+      col("o_orderstatus").as("status"), col("o_orderdate"))
+    val cols = Seq("op", "seq", "ts", "okey", "price", "status",
+      "d_date", "dt_local", "ts_utc", "t_sec", "bin_tag")
+    val dDate0 = date_add(col("o_orderdate"),
+      (col("o_orderkey") % 28).cast(IntegerType))
+    val dtLocal0 = expr("""timestampadd(MINUTE, CAST(o_orderkey % 60 AS INT),
+      timestampadd(HOUR, CAST(o_orderkey % 24 AS INT),
+        CAST(o_orderdate AS TIMESTAMP_NTZ)))""")
+    val tsUtc0 = expr("""timestampadd(SECOND, CAST(o_orderkey % 3600 AS INT),
+      CAST(o_orderdate AS TIMESTAMP))""")
+    val tSec0 = (col("o_orderkey") % 86400).cast(IntegerType)
+    val binTag0 = encode(
+      concat(lit("tag-"), (col("o_orderkey") % 97).cast(StringType)), "UTF-8")
+    explodeEvents(o, cols, Seq(
+      lit(true) -> struct(
+        lit("I").as("op"), lit(1L).as("seq"), col("o_orderdate").as("ts"),
+        col("o_orderkey").as("okey"), col("price"), col("status"),
+        dDate0.as("d_date"), dtLocal0.as("dt_local"), tsUtc0.as("ts_utc"),
+        tSec0.as("t_sec"), binTag0.as("bin_tag")),
+      (col("o_orderkey") % 3 === 0) -> struct(
+        lit("U").as("op"), lit(2L).as("seq"),
+        (col("o_orderdate") + expr("INTERVAL 1 DAY")).as("ts"),
+        col("o_orderkey").as("okey"),
+        (col("price") + lit(10.0d)).as("price"), lit("P").as("status"),
+        date_add(dDate0, 1).as("d_date"),
+        expr("timestampadd(HOUR, 1, " +
+          """timestampadd(MINUTE, CAST(o_orderkey % 60 AS INT),
+            timestampadd(HOUR, CAST(o_orderkey % 24 AS INT),
+              CAST(o_orderdate AS TIMESTAMP_NTZ))))""").as("dt_local"),
+        expr("timestampadd(SECOND, 90, " +
+          """timestampadd(SECOND, CAST(o_orderkey % 3600 AS INT),
+            CAST(o_orderdate AS TIMESTAMP)))""").as("ts_utc"),
+        (((col("o_orderkey") % 86400) + 3600) % 86400)
+          .cast(IntegerType).as("t_sec"),
+        encode(concat(lit("tag2-"), (col("o_orderkey") % 97)
+          .cast(StringType)), "UTF-8").as("bin_tag")),
+      (col("o_orderkey") % 7 === 0) -> struct(
+        lit("D").as("op"), lit(3L).as("seq"),
+        (col("o_orderdate") + expr("INTERVAL 2 DAY")).as("ts"),
+        col("o_orderkey").as("okey"), lit(null).cast(DoubleType).as("price"),
+        lit(null).cast(StringType).as("status"),
+        lit(null).cast(DateType).as("d_date"),
+        lit(null).cast(TimestampNTZType).as("dt_local"),
+        lit(null).cast(TimestampType).as("ts_utc"),
+        lit(null).cast(IntegerType).as("t_sec"),
+        lit(null).cast(BinaryType).as("bin_tag"))))
+  }
+
+  /** DuckDB-SQL equivalent of [[cdcLogTemporal]] (CTE body
+    * `cdc_temporal`). DuckDB's TIMESTAMP is NTZ, matching `dt_local`
+    * natively; `ts_utc` is built as the same UTC wall-clock and compared
+    * as epoch microseconds (both engines run UTC). */
+  val cdcLogTemporalSql: String =
+    """SELECT 'I' AS op, CAST(1 AS BIGINT) AS seq, o_orderdate AS ts,
+         o_orderkey AS okey, CAST(o_totalprice AS DOUBLE) AS price,
+         o_orderstatus AS status,
+         CAST(o_orderdate AS DATE) + CAST(o_orderkey % 28 AS INTEGER)
+           AS d_date,
+         CAST(o_orderdate AS TIMESTAMP) + to_hours(o_orderkey % 24)
+           + to_minutes(o_orderkey % 60) AS dt_local,
+         CAST(o_orderdate AS TIMESTAMP)
+           + to_seconds(o_orderkey % 3600) AS ts_utc,
+         CAST(o_orderkey % 86400 AS INTEGER) AS t_sec,
+         encode('tag-' || CAST(o_orderkey % 97 AS VARCHAR)) AS bin_tag
+       FROM orders
+       UNION ALL
+       SELECT 'U', CAST(2 AS BIGINT), o_orderdate + INTERVAL 1 DAY,
+         o_orderkey, CAST(o_totalprice AS DOUBLE) + CAST(10 AS DOUBLE), 'P',
+         CAST(o_orderdate AS DATE) + CAST(o_orderkey % 28 AS INTEGER) + 1,
+         CAST(o_orderdate AS TIMESTAMP) + to_hours(o_orderkey % 24)
+           + to_minutes(o_orderkey % 60) + to_hours(1),
+         CAST(o_orderdate AS TIMESTAMP) + to_seconds(o_orderkey % 3600)
+           + to_seconds(90),
+         CAST((o_orderkey % 86400 + 3600) % 86400 AS INTEGER),
+         encode('tag2-' || CAST(o_orderkey % 97 AS VARCHAR))
+       FROM orders WHERE o_orderkey % 3 = 0
+       UNION ALL
+       SELECT 'D', CAST(3 AS BIGINT), o_orderdate + INTERVAL 2 DAY,
+         o_orderkey, CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+         CAST(NULL AS DATE), CAST(NULL AS TIMESTAMP),
+         CAST(NULL AS TIMESTAMP), CAST(NULL AS INTEGER),
+         CAST(NULL AS BLOB)
+       FROM orders WHERE o_orderkey % 7 = 0"""
+
   /** DuckDB-SQL equivalent of [[cdcLogComposite]] (CTE body
     * `cdc_log_comp`). */
   val cdcLogCompositeSql: String =

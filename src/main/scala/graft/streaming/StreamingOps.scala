@@ -2846,6 +2846,40 @@ object StreamingOps {
         .orderBy(col("okey"))
     }),
 
+    // S-TYPE-TEMPORAL: the TEMPORAL/BINARY half of the MySQL type map
+    // (S19 covers numeric/enum/JSON), through the whole pipeline: DATE,
+    // DATETIME (wall-clock, TIMESTAMP_NTZ — a session-tz shift must
+    // never move it), TIMESTAMP (a true instant, compared as epoch
+    // micros — the tz-proof encoding), TIME (seconds-since-midnight
+    // under the Int32 mapping), and a BLOB payload compared as raw
+    // bytes. The S17 closure asserts the bootstrap DDL maps each:
+    // Date32 / DateTime64(6) twice / Int32 / String.
+    "cdc_type_temporal" -> ((s, dir) => {
+      val log = Tables.cdcLogTemporal(s, dir)
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      writeWaves(log, in, when(col("seq") <= 2, 0).otherwise(1), 2,
+        Seq(col("okey")))
+      runCdcPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state")
+      val payload = org.apache.spark.sql.types.StructType(
+        readStateSchema(s"$tmp/state").get.fields
+          .filterNot(f => Seq("op", "seq").contains(f.name)))
+      val ddl = graft.sources.DestinationDdl.createTable(
+        "orders_temporal", payload, Seq("okey"))
+      for (want <- Seq("`d_date` Nullable(Date32)",
+          "`dt_local` Nullable(DateTime64(6))",
+          "`ts_utc` Nullable(DateTime64(6))",
+          "`t_sec` Nullable(Int32)", "`bin_tag` Nullable(String)"))
+        require(ddl.contains(want),
+          s"bootstrap DDL lost a temporal mapping — wanted '$want' in: $ddl")
+      readLatestState(s, s"$tmp/state")
+        .select(col("okey"), col("op"), col("price"), col("status"),
+          col("ts"), col("d_date"), col("dt_local"),
+          unix_micros(col("ts_utc")).as("ts_utc_us"),
+          col("t_sec"), col("bin_tag"))
+        .orderBy(col("okey"))
+    }),
+
     // ST-MULTI-PK: PER-TABLE primary keys in one topology — the real
     // fan-out shape: one binlog carries a header-style table keyed by
     // okey alone (the line_no=1 slice, where okey is unique) and a
@@ -4028,6 +4062,19 @@ object StreamingOps {
                 CAST(CASE WHEN op = 'D' THEN 1 ELSE 0 END AS INTEGER)
                   AS _deleted
          FROM ranked WHERE rn = 1 ORDER BY okey""",
+
+    // temporal/binary half of the type map: DATE and DATETIME (DuckDB's
+    // TIMESTAMP is NTZ, so dt_local compares natively), the instant as
+    // epoch micros (both engines run UTC), TIME as Int32 seconds, BLOB
+    // as raw bytes.
+    "cdc_type_temporal" ->
+      s"""WITH cdc_temporal AS (${Tables.cdcLogTemporalSql}),
+            ranked AS (SELECT *, row_number() OVER (
+                         PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM cdc_temporal)
+         SELECT okey, op, price, status, ts, d_date, dt_local,
+                epoch_us(ts_utc) AS ts_utc_us, t_sec, bin_tag
+         FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
 
     // per-table PKs: t_ord (the line_no=1 slice) collapses per okey,
     // t_line per full tuple — each side of the union ranked under its
