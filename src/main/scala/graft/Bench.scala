@@ -206,9 +206,86 @@ object Bench {
           s"BENCH STATE-READ-10X FAIL: ${e.getClass.getName}: ${e.getMessage}")
         Seq.empty
     }
+    // LLM-INDEX scaling evidence — the dedup-side analogue of the
+    // state-read pair above: the incremental-ingest claim is O(batch)
+    // work against a persisted index whose only O(index) cost is a
+    // pruned/columnar scan. Measured: the SAME fixed-size ingest probed
+    // against a 1× and a 10× index (corpus replicated under per-replica
+    // WORD salting, so replicas share no shingles/hashes — index MASS
+    // grows 10×, the batch's match structure does not). Index seeding
+    // runs OUTSIDE the timers (it is the one-time POPULATE cost). The
+    // exact probe is bucket-pruned (touched-bucket pushdown); the
+    // minhash probe pays a columnar band scan — both must grow far
+    // slower than the 10× index mass.
+    def indexReadsAt(factor: Int): Seq[(String, Double)] = {
+      import org.apache.spark.sql.functions._
+      val d = Tables.t(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      def salted(r: org.apache.spark.sql.Column,
+          t: org.apache.spark.sql.Column) =
+        concat_ws(" ", transform(split(t, " "),
+          w => concat(lit("s"), r, lit("_"), w)))
+      val corpus = d
+        .withColumn("_r", explode(lit((0 until factor).toArray)))
+        .select((col("doc_id") + col("_r").cast("long") * 1000000L)
+          .as("doc_id"), salted(col("_r"), col("text")).as("text"))
+      // the probe batch: near-dups (first salted word dropped) and exact
+      // copies of REPLICA 0 docs — identical at both factors
+      val base0 = d.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), salted(lit(0), col("text")).as("text"))
+      val nearBatch = base0.select((col("doc_id") + 50000000L).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1, length(text))")
+          .as("text"))
+      val exactBatch = base0
+        .select((col("doc_id") + 60000000L).as("doc_id"), col("text"))
+      val idxE = s"${TmpDirs.create(s"bench_idx_exact")}/idx"
+      val idxM = s"${TmpDirs.create(s"bench_idx_minhash")}/idx"
+      graft.ops.Llm.exactIndexSeed(spark, corpus, idxE)
+      graft.ops.Llm.dedupIndexSeed(spark, corpus, idxM)
+      CacheRegistry.releaseAll()
+      def t1(name: String)(body: => Unit): (String, Double) = {
+        val t0 = System.nanoTime()
+        body
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+      val out = Seq(
+        t1("exact_probe") {
+          graft.ops.Llm.exactIngestApply(spark, exactBatch, idxE).count(); ()
+        },
+        t1("minhash_probe") {
+          graft.ops.Llm.dedupIncremental(spark, nearBatch, idxM).count(); ()
+        })
+      CacheRegistry.releaseAll()
+      out
+    }
+    // one discarded warmup round first: the shingle/minhash codegen and
+    // parquet-append machinery otherwise bill their one-time init to the
+    // factor-1 probes, which at small SF INVERTS the comparison (r14
+    // local run: 10× probes read faster than 1× on exactly this)
+    if (filt.isEmpty) {
+      try { indexReadsAt(1); () } catch { case _: Throwable => () }
+    }
+    val indexReads: Seq[(String, Double)] = if (filt.nonEmpty) Seq.empty
+    else try indexReadsAt(1) catch {
+      case e: Throwable =>
+        System.err.println(
+          s"BENCH INDEX-READ FAIL: ${e.getClass.getName}: ${e.getMessage}")
+        Seq.empty
+    }
+    val indexReads10x: Seq[(String, Double)] = if (filt.nonEmpty) Seq.empty
+    else try indexReadsAt(10) catch {
+      case e: Throwable =>
+        System.err.println(
+          s"BENCH INDEX-READ-10X FAIL: ${e.getClass.getName}: ${e.getMessage}")
+        Seq.empty
+    }
     val srJson = stateReads.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val sr10Json = stateReads10x.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val irJson = indexReads.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val ir10Json = indexReads10x.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     // Only an UNFILTERED run may overwrite the artifact: a local filtered
     // iteration (`sbt "runMain graft.Bench some_query"`) would otherwise
@@ -218,7 +295,8 @@ object Bench {
         java.nio.file.Paths.get("bench_full.json"),
         s"""{"total":${f3(total)},"sf":"$sfDir","passes":$passes,""" +
           s""""failed":$fq,"state_reads":$srJson,""" +
-          s""""state_reads_10x":$sr10Json,"queries":$qs,""" +
+          s""""state_reads_10x":$sr10Json,"index_reads":$irJson,""" +
+          s""""index_reads_10x":$ir10Json,"queries":$qs,""" +
           s""""slowest_first":$ranked}""" + "\n")
       ()
     } catch {
