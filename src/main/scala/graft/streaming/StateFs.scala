@@ -88,6 +88,18 @@ private[graft] object StateFs {
       .flatMap(_.getPath.getName.stripPrefix("epoch=").toLongOption)
   }
 
+  /** Names of child DIRECTORIES under `root` starting with `prefix`
+    * (empty when `root` is absent) — the partition-directory listing
+    * the snapshot rename migration walks. */
+  def childDirNames(root: String, prefix: String): Seq[String] = {
+    val p = new Path(root)
+    val f = fs(p)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .map(_.getPath.getName)
+  }
+
   def exists(path: String): Boolean = {
     val p = new Path(path)
     fs(p).exists(p)

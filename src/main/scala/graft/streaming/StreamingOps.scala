@@ -2059,6 +2059,49 @@ object StreamingOps {
       }
     }
 
+  /** [[migrateMvRename]]'s companion for the GROUP-PARTITIONED snapshot
+    * dir of the recompute-family passes: the group column lives only in
+    * the partition DIRECTORY NAMES (`partitionBy` drops it from the
+    * data files) and in the published `_schema`, so migrating a
+    * group-column rename is O(groups × epochs) directory moves plus one
+    * schema rewrite — no data file is read or written at any table
+    * scale. Moves run first and idempotently (a crashed half-migration
+    * re-runs to completion; an old-name dir already gone is a no-op),
+    * the schema publishes LAST — at any crash point every partition is
+    * readable under exactly one name. A rename hitting a NON-partition
+    * snapshot column fails loudly: those live in the data files, where
+    * only the state dir carries the lazy rename-coalesce machinery —
+    * drop the snapshot/view pair and re-attach instead. */
+  private def migrateSnapRename(snap: String, renames: Map[String, String],
+      groupCol: String): Unit =
+    readStateSchema(snap).foreach { p =>
+      val hit = renames.filter { case (o, _) => p.fieldNames.contains(o) }
+      if (hit.nonEmpty) {
+        hit.foreach { case (o, n) =>
+          require(n == groupCol,
+            s"snapshot rename '$o' -> '$n' hits a non-group snapshot " +
+              "column — snapshot data files carry it physically and " +
+              "only the state dir reads through a rename history; " +
+              "re-attach the MV (mvAttach*) after this DDL instead")
+          require(!p.fieldNames.contains(n),
+            s"snapshot rename target '$n' already published — a rename " +
+              "cannot merge two snapshot columns")
+        }
+        StateFs.epochIds(snap).foreach { e =>
+          val root = s"$snap/epoch=$e"
+          hit.foreach { case (o, n) =>
+            StateFs.childDirNames(root, s"$o=").foreach { d =>
+              StateFs.moveDir(s"$root/$d",
+                s"$root/$n=${d.stripPrefix(s"$o=")}")
+            }
+          }
+        }
+        val renamed = org.apache.spark.sql.types.StructType(p.fields.map(f =>
+          hit.get(f.name).map(n => f.copy(name = n)).getOrElse(f)))
+        StateFs.writeAtomic(s"$snap/_schema", renamed.json)
+      }
+    }
+
   /** CREATE MATERIALIZED VIEW … POPULATE over an EXISTING replica — the
     * attach-an-MV-later operator flow (the seeded path, [[mvSeedSum]],
     * covers a FRESH destination; this covers a table that has already
@@ -2382,9 +2425,12 @@ object StreamingOps {
       schema: org.apache.spark.sql.types.StructType,
       in: String, ckpt: String, state: String, snap: String, mv: String,
       keyCols: Seq[String] = Seq("okey"),
-      groupCol: String = "status"): (Long, Long) = {
+      groupCol: String = "status",
+      renameCols: Map[String, String] = Map.empty,
+      defaultCols: Map[String, ColumnDefault] = Map.empty): (Long, Long) = {
     val r = runMvMinMaxPassSource(s, FileCdcSource(schema, in), ckpt,
-      state, snap, mv, keyCols, groupCol)
+      state, snap, mv, keyCols, groupCol,
+      renameCols = renameCols, defaultCols = defaultCols)
     (r._1, r._2)
   }
 
@@ -2397,7 +2443,9 @@ object StreamingOps {
       keyCols: Seq[String] = Seq("okey"),
       groupCol: String = "status",
       txnCol: Option[String] = None,
-      trackSeq: Boolean = false)
+      trackSeq: Boolean = false,
+      renameCols: Map[String, String] = Map.empty,
+      defaultCols: Map[String, ColumnDefault] = Map.empty)
       : (Long, Long, Option[Long], Long, Option[Long]) = {
     val mvSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField(groupCol, StringType),
@@ -2410,7 +2458,8 @@ object StreamingOps {
       snapRows => snapRows.groupBy(col(groupCol))
         .agg(count(lit(1)).as("n_rows"),
           min(col("price")).as("mn"), max(col("price")).as("mx")),
-      txnCol = txnCol, trackSeq = trackSeq)
+      txnCol = txnCol, trackSeq = trackSeq,
+      renameCols = renameCols, defaultCols = defaultCols)
   }
 
   /** The GENERAL dirty-group MV pass [[runMvMinMaxPass]] is an instance
@@ -2429,9 +2478,12 @@ object StreamingOps {
       in: String, ckpt: String, state: String, snap: String, mv: String,
       keyCols: Seq[String], groupCol: String,
       mvSchema: org.apache.spark.sql.types.StructType,
-      recompute: DataFrame => DataFrame): (Long, Long) = {
+      recompute: DataFrame => DataFrame,
+      renameCols: Map[String, String] = Map.empty,
+      defaultCols: Map[String, ColumnDefault] = Map.empty): (Long, Long) = {
     val r = runMvRecomputePassSource(s, FileCdcSource(schema, in), ckpt,
-      state, snap, mv, keyCols, groupCol, mvSchema, recompute)
+      state, snap, mv, keyCols, groupCol, mvSchema, recompute,
+      renameCols = renameCols, defaultCols = defaultCols)
     (r._1, r._2)
   }
 
@@ -2443,10 +2495,21 @@ object StreamingOps {
       mvSchema: org.apache.spark.sql.types.StructType,
       recompute: DataFrame => DataFrame,
       txnCol: Option[String] = None,
-      trackSeq: Boolean = false)
+      trackSeq: Boolean = false,
+      renameCols: Map[String, String] = Map.empty,
+      defaultCols: Map[String, ColumnDefault] = Map.empty)
       : (Long, Long, Option[Long], Long, Option[Long]) = {
     val schema = org.apache.spark.sql.types.StructType(
       source.schema.fields.filterNot(f => txnCol.contains(f.name)))
+    // DDL settles in [[runMvSumPassSource]]'s order, extended to the
+    // dirty-group family's THIRD dir: a rename hitting the view's group
+    // column migrates the view (snapshot rewrite — O(groups)) AND the
+    // group-partitioned snapshot (directory moves only — the group
+    // column never enters the data files) BEFORE either schema
+    // (re)publishes below; then the state renames carry published
+    // history, the schema union widens, and defaults record last
+    migrateMvRename(s, mv, renameCols)
+    migrateSnapRename(snap, renameCols, groupCol)
     ensureStateSchema(mv, mvSchema)
     // the snapshot's schema: the collapse's output columns (derived from
     // a driver-side probe so any keyCols order works) — published so
@@ -2455,7 +2518,32 @@ object StreamingOps {
       new java.util.ArrayList[Row](), schema)), keyCols).schema
     ensureStateSchema(snap, snapSchema)
     ensureKeyCols(state, keyCols) // published key, as in runCdcPass
+    applyRenameDdl(state, renameCols, snapSchema)
     ensureStateSchema(state, snapSchema) // pinned old-image reads
+    applyDefaultDdl(state, defaultCols, snapSchema)
+    // read-time DEFAULT fill for PRE-DDL snapshot partitions — the
+    // state read path's rule applied to the snapshot: a row last
+    // written at or below the declaring position serves the declared
+    // default (its snapshot epoch predates the column, so the pinned
+    // read surfaces NULL); a post-DDL row — explicit NULL included —
+    // serves what it wrote. Snapshot rows carry their winning `seq`
+    // precisely for this replay. The record of truth is the STATE
+    // dir's `_defaults` log, so a default declared in an earlier pass
+    // keeps filling here without being re-passed.
+    def fillSnapDefaults(df: DataFrame): DataFrame = {
+      val ds = readDefaults(state)
+        .filter { case (c, _, _) => df.columns.contains(c) }
+        .groupBy(_._1).map { case (c, es) => c -> es.last }
+      if (ds.isEmpty) df
+      else df.select(df.columns.toSeq.map { c =>
+        ds.get(c) match {
+          case Some((_, sq, d)) =>
+            when(col(c).isNull && col("seq") <= sq,
+              expr(d).cast(df.schema(c).dataType)).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+    }
     // position bookkeeping — see the sum pass's trackSeq note
     var maxSeq = Option.empty[Long]
     var srcMaxSeq = Option.empty[Long]
@@ -2503,8 +2591,9 @@ object StreamingOps {
             // source epoch
             val priorParts = dirty.flatMap(g => ptr.get(g).map(g -> _))
               .groupBy(_._2).map { case (e, gs) =>
-                s.read.schema(snapSchema).parquet(s"$snap/epoch=$e")
-                  .filter(col(groupCol).isin(gs.map(_._1).toSeq: _*))
+                fillSnapDefaults(
+                  s.read.schema(snapSchema).parquet(s"$snap/epoch=$e")
+                    .filter(col(groupCol).isin(gs.map(_._1).toSeq: _*)))
               }.toSeq
             val priorRows = priorParts
               .reduceOption(_.unionByName(_))

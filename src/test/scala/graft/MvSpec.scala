@@ -738,6 +738,102 @@ class MvSpec extends SparkTestBase {
       "the deleted max must demote A to its remaining row")
   }
 
+  test("minmax MV across DDL: group rename migrates view + snapshot dirs, maintenance continues") {
+    // the recompute-family half of the MV × DDL composition: the
+    // snapshot is group-PARTITIONED, so a rename of the group column
+    // must migrate the partition DIRECTORY names (no data rewrite) and
+    // the dirty-group machinery must keep resolving prior rows through
+    // the pointer map afterwards
+    val base = tmp()
+    def frame(rows: Seq[(String, Long, Long, Double, String)],
+        gname: String) =
+      spark.createDataFrame(rows).toDF("op", "seq", "okey", "price", gname)
+        .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("seq")))
+        .withColumn("status", lit("X"))
+        .select(col("op"), col("seq"), col("ts"), col("okey"), col("price"),
+          col("status"), col(gname))
+    // pass 1: k1/k2 in g1 (10, 30), k3 in g2 (5)
+    val w0 = frame(Seq(("I", 1L, 1L, 10.0, "g1"), ("I", 2L, 2L, 30.0, "g1"),
+      ("I", 3L, 3L, 5.0, "g2")), "grp")
+    StreamingOps.writeWave(w0, s"$base/in", 0)
+    StreamingOps.runMvMinMaxPass(spark, w0.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", s"$base/snap", s"$base/mv",
+      groupCol = "grp")
+    // pass 2: RENAME grp→seg; delete g1's max (k2) — g1 recomputes from
+    // the MIGRATED snapshot partition, g2 carries untouched
+    val w1 = frame(Seq(("D", 4L, 2L, 0.0, null)), "seg")
+    StreamingOps.writeWave(w1, s"$base/in", 1)
+    StreamingOps.runMvMinMaxPass(spark, w1.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", s"$base/snap", s"$base/mv",
+      groupCol = "seg", renameCols = Map("grp" -> "seg"))
+    assert(StreamingOps.readMv(spark, s"$base/mv").columns.head == "seg",
+      "the view's group column must migrate with the rename")
+    assert(servedMinMax(s"$base/mv") == Map(
+      "g1" -> ((1L, 10.0, 10.0)), "g2" -> ((1L, 5.0, 5.0))),
+      s"post-rename delete must demote g1's max: ${servedMinMax(s"$base/mv")}")
+    // pass 3: ordinary maintenance under the NEW name — k4 into g2, k1
+    // migrates g1→g2 across the rename boundary; g1 goes extinct
+    val w2 = frame(Seq(("I", 5L, 4L, 7.0, "g2"), ("U", 6L, 1L, 12.0, "g2")),
+      "seg")
+    StreamingOps.writeWave(w2, s"$base/in", 2)
+    StreamingOps.runMvMinMaxPass(spark, w2.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", s"$base/snap", s"$base/mv",
+      groupCol = "seg")
+    assert(servedMinMax(s"$base/mv") == Map("g2" -> ((3L, 5.0, 12.0))),
+      s"post-rename maintenance: ${servedMinMax(s"$base/mv")}")
+  }
+
+  test("recompute MV across ADD DEFAULT: pre-DDL snapshot partitions fill at read") {
+    // the piece unique to the dirty-group family: snapshot epochs
+    // written BEFORE the DDL physically lack the column; a later dirty
+    // group's recompute reads them pinned (NULL) and must serve the
+    // declared default for rows whose seq predates the DDL — while a
+    // post-DDL explicit NULL stays NULL
+    import org.apache.spark.sql.types.{StructType, StructField, StringType,
+      LongType, DoubleType}
+    val base = tmp()
+    def frame(rows: Seq[(String, Long, Long, String, java.lang.Double)],
+        withAmt: Boolean) = {
+      val df = spark.createDataFrame(rows)
+        .toDF("op", "seq", "okey", "grp", "amt")
+        .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("seq")))
+        .withColumn("price", lit(1.0d)).withColumn("status", lit("X"))
+      val cols = Seq("op", "seq", "ts", "okey", "price", "status", "grp") ++
+        (if (withAmt) Seq("amt") else Nil)
+      df.select(cols.map(col): _*)
+    }
+    val mvSchema = StructType(Seq(StructField("grp", StringType),
+      StructField("n_rows", LongType), StructField("mx_amt", DoubleType)))
+    def rec(rows: org.apache.spark.sql.DataFrame) =
+      rows.groupBy(col("grp")).agg(count(lit(1)).as("n_rows"),
+        (if (rows.columns.contains("amt")) max(col("amt"))
+         else lit(null).cast("double")).as("mx_amt"))
+    // pass 1: no amt yet — k1/k2 in g1, k3 in g2
+    val w0 = frame(Seq(("I", 1L, 1L, "g1", null), ("I", 2L, 2L, "g1", null),
+      ("I", 3L, 3L, "g2", null)), withAmt = false)
+    StreamingOps.writeWave(w0, s"$base/in", 0)
+    StreamingOps.runMvRecomputePass(spark, w0.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", s"$base/snap", s"$base/mv",
+      Seq("okey"), "grp", mvSchema, rec)
+    // pass 2: ADD COLUMN amt DEFAULT 7.50 at position 3; k2 writes 2.00,
+    // k3 writes an explicit NULL. g1's recompute reads k1 from the
+    // PRE-DDL snapshot partition — the fill must serve 7.50, so
+    // mx_amt(g1) = 7.50, not k2's 2.00; g2's explicit NULL stays NULL
+    val w1 = frame(Seq(("U", 4L, 2L, "g1", 2.0), ("U", 5L, 3L, "g2", null)),
+      withAmt = true)
+    StreamingOps.writeWave(w1, s"$base/in", 1)
+    StreamingOps.runMvRecomputePass(spark, w1.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", s"$base/snap", s"$base/mv",
+      Seq("okey"), "grp", mvSchema, rec,
+      defaultCols = Map("amt" -> StreamingOps.ColumnDefault(3L, "7.50")))
+    val served = StreamingOps.readMv(spark, s"$base/mv").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(served == Map("g1" -> ((2L, Some(7.5))), "g2" -> ((1L, None))),
+      s"default must fill pre-DDL snapshot rows, explicit NULL stays: $served")
+  }
+
   test("MV across DDL: attach after ADD DEFAULT, maintain through a group rename") {
     // the cdc_mv_ddl composition at unit scale, plus the piece the query
     // cannot show: maintenance CONTINUES on the migrated view after the
