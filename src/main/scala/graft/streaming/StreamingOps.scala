@@ -2427,10 +2427,12 @@ object StreamingOps {
       keyCols: Seq[String] = Seq("okey"),
       groupCol: String = "status",
       renameCols: Map[String, String] = Map.empty,
-      defaultCols: Map[String, ColumnDefault] = Map.empty): (Long, Long) = {
+      defaultCols: Map[String, ColumnDefault] = Map.empty,
+      dropCols: Map[String, Long] = Map.empty): (Long, Long) = {
     val r = runMvMinMaxPassSource(s, FileCdcSource(schema, in), ckpt,
       state, snap, mv, keyCols, groupCol,
-      renameCols = renameCols, defaultCols = defaultCols)
+      renameCols = renameCols, defaultCols = defaultCols,
+      dropCols = dropCols)
     (r._1, r._2)
   }
 
@@ -2445,7 +2447,8 @@ object StreamingOps {
       txnCol: Option[String] = None,
       trackSeq: Boolean = false,
       renameCols: Map[String, String] = Map.empty,
-      defaultCols: Map[String, ColumnDefault] = Map.empty)
+      defaultCols: Map[String, ColumnDefault] = Map.empty,
+      dropCols: Map[String, Long] = Map.empty)
       : (Long, Long, Option[Long], Long, Option[Long]) = {
     val mvSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField(groupCol, StringType),
@@ -2459,7 +2462,8 @@ object StreamingOps {
         .agg(count(lit(1)).as("n_rows"),
           min(col("price")).as("mn"), max(col("price")).as("mx")),
       txnCol = txnCol, trackSeq = trackSeq,
-      renameCols = renameCols, defaultCols = defaultCols)
+      renameCols = renameCols, defaultCols = defaultCols,
+      dropCols = dropCols)
   }
 
   /** The GENERAL dirty-group MV pass [[runMvMinMaxPass]] is an instance
@@ -2480,10 +2484,12 @@ object StreamingOps {
       mvSchema: org.apache.spark.sql.types.StructType,
       recompute: DataFrame => DataFrame,
       renameCols: Map[String, String] = Map.empty,
-      defaultCols: Map[String, ColumnDefault] = Map.empty): (Long, Long) = {
+      defaultCols: Map[String, ColumnDefault] = Map.empty,
+      dropCols: Map[String, Long] = Map.empty): (Long, Long) = {
     val r = runMvRecomputePassSource(s, FileCdcSource(schema, in), ckpt,
       state, snap, mv, keyCols, groupCol, mvSchema, recompute,
-      renameCols = renameCols, defaultCols = defaultCols)
+      renameCols = renameCols, defaultCols = defaultCols,
+      dropCols = dropCols)
     (r._1, r._2)
   }
 
@@ -2497,7 +2503,8 @@ object StreamingOps {
       txnCol: Option[String] = None,
       trackSeq: Boolean = false,
       renameCols: Map[String, String] = Map.empty,
-      defaultCols: Map[String, ColumnDefault] = Map.empty)
+      defaultCols: Map[String, ColumnDefault] = Map.empty,
+      dropCols: Map[String, Long] = Map.empty)
       : (Long, Long, Option[Long], Long, Option[Long]) = {
     val schema = org.apache.spark.sql.types.StructType(
       source.schema.fields.filterNot(f => txnCol.contains(f.name)))
@@ -2519,28 +2526,44 @@ object StreamingOps {
     ensureStateSchema(snap, snapSchema)
     ensureKeyCols(state, keyCols) // published key, as in runCdcPass
     applyRenameDdl(state, renameCols, snapSchema)
+    applyDropDdl(state, dropCols, snapSchema,
+      readds = defaultCols.map { case (c, d) => c -> d.atSeq })
     ensureStateSchema(state, snapSchema) // pinned old-image reads
     applyDefaultDdl(state, defaultCols, snapSchema)
-    // read-time DEFAULT fill for PRE-DDL snapshot partitions — the
-    // state read path's rule applied to the snapshot: a row last
-    // written at or below the declaring position serves the declared
-    // default (its snapshot epoch predates the column, so the pinned
-    // read surfaces NULL); a post-DDL row — explicit NULL included —
-    // serves what it wrote. Snapshot rows carry their winning `seq`
-    // precisely for this replay. The record of truth is the STATE
-    // dir's `_defaults` log, so a default declared in an earlier pass
-    // keeps filling here without being re-passed.
+    // read-time DDL gates for PRE-DDL snapshot partitions — the state
+    // read path's rules applied to the snapshot, in the same order.
+    // DROP gate first: a column dropped and RE-ADDED must not leak a
+    // row's stale pre-drop value out of an old snapshot partition —
+    // rows last written at or below the newest drop position serve
+    // NULL. DEFAULT fill second (so a re-add with DEFAULT backfills
+    // the gated rows): a row last written at or below the declaring
+    // position serves the declared default (its snapshot epoch
+    // predates the column, so the pinned read surfaces NULL); a
+    // post-DDL row — explicit NULL included — serves what it wrote.
+    // Snapshot rows carry their winning `seq` precisely for this
+    // replay. The record of truth is the STATE dir's `_drops` /
+    // `_defaults` logs, so DDL declared in an earlier pass keeps
+    // gating here without being re-passed.
     def fillSnapDefaults(df: DataFrame): DataFrame = {
+      val drops = readDrops(state)
+        .filter { case (c, _) => df.columns.contains(c) }
+        .groupBy(_._1).map { case (c, es) => c -> es.map(_._2).max }
       val ds = readDefaults(state)
         .filter { case (c, _, _) => df.columns.contains(c) }
         .groupBy(_._1).map { case (c, es) => c -> es.last }
-      if (ds.isEmpty) df
+      if (ds.isEmpty && drops.isEmpty) df
       else df.select(df.columns.toSeq.map { c =>
+        val gated = drops.get(c) match {
+          case Some(dSeq) =>
+            when(col("seq") <= dSeq, lit(null).cast(df.schema(c).dataType))
+              .otherwise(col(c))
+          case None => col(c)
+        }
         ds.get(c) match {
           case Some((_, sq, d)) =>
-            when(col(c).isNull && col("seq") <= sq,
-              expr(d).cast(df.schema(c).dataType)).otherwise(col(c)).as(c)
-          case None => col(c)
+            when(gated.isNull && col("seq") <= sq,
+              expr(d).cast(df.schema(c).dataType)).otherwise(gated).as(c)
+          case None => gated.as(c)
         }
       }: _*)
     }

@@ -834,6 +834,54 @@ class MvSpec extends SparkTestBase {
       s"default must fill pre-DDL snapshot rows, explicit NULL stays: $served")
   }
 
+  test("recompute MV across DROP + RE-ADD: stale pre-drop snapshot values never leak") {
+    // ST24's resurrection hazard at the snapshot layer: pass-1 snapshot
+    // partitions physically hold the pre-drop values; after DROP at P
+    // and RE-ADD with DEFAULT at P+1, a dirty group's recompute must
+    // serve the re-add default for rows untouched since before the drop
+    // — never the stale bytes still on disk. (Untouched groups carry
+    // their pre-DDL view forward — the recompute family's documented
+    // contract; a value-rewriting DDL needs mvAttachRecompute to
+    // rebuild, the POPULATE path.)
+    import org.apache.spark.sql.types.{StructType, StructField, StringType,
+      LongType, DoubleType}
+    val base = tmp()
+    def frame(rows: Seq[(String, Long, Long, String, java.lang.Double)]) = {
+      val df = spark.createDataFrame(rows)
+        .toDF("op", "seq", "okey", "grp", "amt")
+        .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("seq")))
+        .withColumn("price", lit(1.0d)).withColumn("status", lit("X"))
+      df.select(Seq("op", "seq", "ts", "okey", "price", "status", "grp",
+        "amt").map(col): _*)
+    }
+    val mvSchema = StructType(Seq(StructField("grp", StringType),
+      StructField("n_rows", LongType), StructField("mx_amt", DoubleType)))
+    def rec(rows: org.apache.spark.sql.DataFrame) =
+      rows.groupBy(col("grp")).agg(count(lit(1)).as("n_rows"),
+        max(col("amt")).as("mx_amt"))
+    // pass 1: amt carries OLD values — g1 mx 200, g2 mx 300
+    val w0 = frame(Seq(("I", 1L, 1L, "g1", 100.0), ("I", 2L, 2L, "g1", 200.0),
+      ("I", 3L, 3L, "g2", 300.0)))
+    StreamingOps.writeWave(w0, s"$base/in", 0)
+    StreamingOps.runMvRecomputePass(spark, w0.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", s"$base/snap", s"$base/mv",
+      Seq("okey"), "grp", mvSchema, rec)
+    // pass 2: DROP amt at position 3, RE-ADD DEFAULT 7.50 at position 4;
+    // k2 rewrites amt=2.00 (seq 5), dirtying g1 — whose recompute reads
+    // k1's snapshot row (physically 100.0): gate to NULL, fill 7.50
+    val w1 = frame(Seq(("U", 5L, 2L, "g1", 2.0)))
+    StreamingOps.writeWave(w1, s"$base/in", 1)
+    StreamingOps.runMvRecomputePass(spark, w1.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", s"$base/snap", s"$base/mv",
+      Seq("okey"), "grp", mvSchema, rec,
+      dropCols = Map("amt" -> 3L),
+      defaultCols = Map("amt" -> StreamingOps.ColumnDefault(4L, "7.50")))
+    val served = StreamingOps.readMv(spark, s"$base/mv").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(served == Map("g1" -> ((2L, 7.5)), "g2" -> ((1L, 300.0))),
+      s"drop gate + re-add fill on the dirty group, untouched carries: $served")
+  }
+
   test("MV across DDL: attach after ADD DEFAULT, maintain through a group rename") {
     // the cdc_mv_ddl composition at unit scale, plus the piece the query
     // cannot show: maintenance CONTINUES on the migrated view after the
