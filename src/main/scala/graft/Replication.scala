@@ -215,12 +215,15 @@ object Replication {
     * (sum mode only) joins each delta image against broadcast static
     * dimensions before grouping — the join-MV shape. Returns the pass's
     * progress and the SERVED view. */
-  /** `measureCol`/`renameCols`/`defaultCols` (sum mode only) are the
-    * MV-across-DDL surface: the summed column of the enriched image
-    * frame, and the same RENAME COLUMN / ADD COLUMN … DEFAULT
-    * declarations [[incrementalSync]] takes — the state side stays lazy
-    * while a rename hitting the view's group column migrates the
-    * O(groups) view eagerly (see StreamingOps.runMvSumPassSource). */
+  /** `renameCols`/`defaultCols` are the MV-across-DDL surface in BOTH
+    * modes — the same RENAME COLUMN / ADD COLUMN … DEFAULT declarations
+    * [[incrementalSync]] takes. The state side stays lazy; a rename
+    * hitting the view's group column migrates the O(groups) view
+    * eagerly, and in minMax mode also the group-partitioned snapshot
+    * (directory moves only — see StreamingOps.migrateSnapRename), with
+    * pre-DDL snapshot partitions filling declared defaults at read.
+    * `measureCol` (sum mode only) is the summed column of the enriched
+    * image frame — the min/max view is fixed to price. */
   def incrementalSyncWithView(spark: SparkSession, schema: StructType,
       inDir: String, ckptDir: String, stateDir: String, mvDir: String,
       groupCol: String = "status", minMax: Boolean = false,
@@ -231,16 +234,15 @@ object Replication {
       renameCols: Map[String, String] = Map.empty,
       defaultCols: Map[String, streaming.StreamingOps.ColumnDefault] = Map.empty)
       : (SyncProgress, DataFrame) = {
-    if (minMax) require(renameCols.isEmpty && defaultCols.isEmpty &&
-      measureCol == "price",
-      "DDL declarations and a custom measure are sum-mode surface: the " +
-        "dirty-group snapshot is physically partitioned by the group " +
-        "column, so a rename there needs a re-seed (mvSeedRecompute)")
+    if (minMax) require(measureCol == "price",
+      "a custom measure is sum-mode surface — the min/max view is fixed " +
+        "to price (declare an arbitrary view via runMvRecomputePass)")
     val src = sources.FileCdcSource(schema, inDir)
     val (rows, epochs, lastSeq, pending, srcMax) =
       if (minMax) streaming.StreamingOps.runMvMinMaxPassSource(spark, src,
         ckptDir, stateDir, s"$mvDir/_snap", mvDir, keyCols, groupCol,
-        txnCol = txnCol, trackSeq = true)
+        txnCol = txnCol, trackSeq = true,
+        renameCols = renameCols, defaultCols = defaultCols)
       else streaming.StreamingOps.runMvSumPassSource(spark, src,
         ckptDir, stateDir, mvDir, keyCols, groupCol, enrich,
         txnCol = txnCol, trackSeq = true, measureCol = measureCol,

@@ -803,11 +803,13 @@ object StreamingOps {
       keyCols: Seq[String] = Seq("okey"),
       dropCols: Map[String, Long] = Map.empty,
       keepHistory: Boolean = false,
-      computedCols: Seq[(String, String)] = Seq.empty)
+      computedCols: Seq[(String, String)] = Seq.empty,
+      partialImageCol: Option[String] = None)
       : (Long, Long, Option[Long], Long, Option[Long]) =
     runCdcPassSource(s, FileCdcSource(schema, in), ckpt, state, trackSeq,
       startAfterSeq, txnCol, renameCols, truncateAtSeq, defaultCols,
-      rowFilter, maskCols, keyCols, dropCols, keepHistory, computedCols)
+      rowFilter, maskCols, keyCols, dropCols, keepHistory, computedCols,
+      partialImageCol)
 
   /** [[runCdcPass]] over an arbitrary [[CdcSource]] transport.
     * `renameCols` (old → new) declares RENAME COLUMN DDLs this pass's
@@ -835,14 +837,24 @@ object StreamingOps {
       keyCols: Seq[String] = Seq("okey"),
       dropCols: Map[String, Long] = Map.empty,
       keepHistory: Boolean = false,
-      computedCols: Seq[(String, String)] = Seq.empty)
+      computedCols: Seq[(String, String)] = Seq.empty,
+      partialImageCol: Option[String] = None)
       : (Long, Long, Option[Long], Long, Option[Long]) = {
+    partialImageCol.foreach { cc =>
+      require(source.schema.fieldNames.contains(cc),
+        s"partial-image column '$cc' absent from the envelope")
+      require(!keepHistory,
+        "partial-image completion folds each batch to full per-key " +
+          "images; keepHistory stores events verbatim — the two modes " +
+          "are mutually exclusive (complete upstream to retain history)")
+    }
     require(keyCols.forall(source.schema.fieldNames.contains),
       s"key column(s) absent from the envelope: " +
         keyCols.filterNot(source.schema.fieldNames.contains).mkString(", "))
     // key columns are identity, not payload: masking one would collapse
     // unrelated keys together; so they join the unmaskable set
-    val unmaskable = Set("op", "seq", "ts") ++ keyCols ++ txnCol.toSet
+    val unmaskable = Set("op", "seq", "ts") ++ keyCols ++ txnCol.toSet ++
+      partialImageCol.toSet
     require(!maskCols.exists(unmaskable),
       s"mask names bookkeeping column(s): " +
         maskCols.filter(unmaskable).mkString(", "))
@@ -874,7 +886,8 @@ object StreamingOps {
     // (NULL forward), but a changed type must fail by name, not as a
     // mid-pass analysis error after some batches already applied
     val stateSchema = org.apache.spark.sql.types.StructType(
-      stateSchemaFor(source.schema, txnCol.toSet).fields ++ computedFields)
+      stateSchemaFor(source.schema, txnCol.toSet ++ partialImageCol.toSet)
+        .fields ++ computedFields)
     ensureKeyCols(state, keyCols)
     applyRenameDdl(state, renameCols, stateSchema)
     // drops settle AFTER renames (a rename-then-drop pass drops the NEW
@@ -892,7 +905,7 @@ object StreamingOps {
     // a batch consumed by >1 action must be pinned (see the note above);
     // the position and row filters add an isEmpty probe, so they pin too
     val multiAction = trackSeq || startAfterSeq.isDefined ||
-      txnCol.isDefined || rowFilter.isDefined
+      txnCol.isDefined || rowFilter.isDefined || partialImageCol.isDefined
     val (rows, _) = runSourcePass(s, source, ckpt) { (batch, epochId) =>
       if (multiAction) batch.persist()
       var txnFull = Option.empty[DataFrame] // txn path's extra pin
@@ -910,10 +923,19 @@ object StreamingOps {
             txnFull = Some(full)
             ready
         }
+        // MINIMAL row images complete BEFORE filters/masks/computed
+        // columns, so every later stage sees FULL rows — a row filter
+        // or computed column referencing an unchanged column must see
+        // its carried value, never a partial event's NULL
+        val completed = partialImageCol match {
+          case None => gatedTxn
+          case Some(cc) =>
+            completePartialImages(s, state, epochId, gatedTxn, keyCols, cc)
+        }
         // single-table row filter + masks (the multi pass's per-table
         // forms): one codegen'd filter, one select — deletes bypass
-        val filtered = rowFilter.fold(gatedTxn)(p =>
-          gatedTxn.filter(col("op") === "D" || expr(p)))
+        val filtered = rowFilter.fold(completed)(p =>
+          completed.filter(col("op") === "D" || expr(p)))
         val masked =
           if (maskCols.isEmpty) filtered
           else filtered.select(filtered.columns.toSeq.map { c =>
@@ -955,7 +977,7 @@ object StreamingOps {
           // granularity — the retention trade a time-traveling replica
           // opts into, exactly like retaining binlogs.
           bucketed(
-            if (keepHistory) envelope(applied)
+            if (keepHistory || partialImageCol.isDefined) envelope(applied)
             else collapse(envelope(applied), keyCols), keyCols)
             .write.mode("overwrite").parquet(s"$state/epoch=$epochId")
           written += 1
@@ -1889,6 +1911,71 @@ object StreamingOps {
   //     are recomputed from a group-partitioned snapshot while untouched
   //     groups carry forward; work is O(batch) + O(Σ dirty-group size).
   // ───────────────────────────────────────────────────────────────────
+
+  /** Complete a `binlog_row_image=MINIMAL` batch into FULL row images
+    * at apply time — the write-side completion that keeps every
+    * downstream path (collapse, compaction, MVs, repair, changelog
+    * export) oblivious to partial images. `changedCol` names an
+    * `array<string>` column listing the payload columns an UPDATE
+    * actually carried (MySQL's columns-present bitmap); INSERTs are
+    * full images by definition (their list is ignored), DELETEs are
+    * tombstones. Per batch, ONE shuffle: prior images of touched keys
+    * (bucket-pruned, key semi-joined — the [[mvImages]] read, DDL
+    * record honored) union the batch under a source tag, and a single
+    * groupBy computes per key the batch winner's bookkeeping, each
+    * payload column's LATEST IN-BATCH CHANGE (max_by over
+    * change-flagged events only — an explicit SET c = NULL is a change
+    * TO NULL, never "unchanged"), and the pre-batch image. The full
+    * image then reads: changed-in-batch value, else prior value, else
+    * NULL (first-seen key — the open-envelope convention). A prior
+    * TOMBSTONE contributes nothing: a key re-touched after its delete
+    * starts from NULLs, exactly like a fresh key. */
+  private def completePartialImages(s: SparkSession, state: String,
+      epochId: Long, batch: DataFrame, keyCols: Seq[String],
+      changedCol: String): DataFrame = {
+    val payload = batch.columns.toSeq
+      .filterNot(keyCols.contains)
+      .filterNot(Seq("op", "seq", "ts", changedCol).contains)
+    val b = batch.withColumn("_src", lit("b"))
+    val priorEpochs = StateFs.epochIds(state).filter(_ < epochId)
+    val tagged =
+      if (priorEpochs.isEmpty) b
+      else {
+        val touched = batch.select(bucketOf(keyCols).as(BucketCol))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        val prior = readStateDir(s, state, buckets = Some(touched))
+          .filter(col("epoch") < epochId).drop("epoch")
+          .join(broadcast(batch.select(keyCols.map(col): _*).distinct()),
+            keyCols, "left_semi")
+        b.unionByName(prior.withColumn("_src", lit("p")),
+          allowMissingColumns = true)
+      }
+    def chg(c: String) =
+      col("_src") === "b" && (col("op") === "I" ||
+        array_contains(col(changedCol), c))
+    val aggs = Seq(
+      max_by(struct(col("op"), col("seq"), col("ts")),
+        when(col("_src") === "b", col("seq"))).as("_top"),
+      max_by(col("op"),
+        when(col("_src") === "p", col("seq"))).as("_oldop")) ++
+      payload.flatMap { c => Seq(
+        max(when(chg(c), col("seq"))).as(s"_chg_$c"),
+        max_by(col(c), when(chg(c), col("seq"))).as(s"_new_$c"),
+        max_by(col(c),
+          when(col("_src") === "p", col("seq"))).as(s"_old_$c")) }
+    val agg = tagged.groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    agg.select((keyCols.map(col) ++ Seq(col("_top.op").as("op"),
+      col("_top.seq").as("seq"), col("_top.ts").as("ts")) ++
+      payload.map { c =>
+        val t = batch.schema(c).dataType
+        when(col("_top.op") === "D", lit(null).cast(t))
+          .when(col(s"_chg_$c").isNotNull, col(s"_new_$c"))
+          .when(col("_oldop").isNull || col("_oldop") === "D",
+            lit(null).cast(t))
+          .otherwise(col(s"_old_$c")).as(c)
+      }): _*)
+  }
 
   /** The MV passes' per-batch image computation, ONE shuffle for all
     * three views a maintenance step needs: per touched key,
@@ -3370,6 +3457,40 @@ object StreamingOps {
       readLatestState(s, s"$tmp/state")
     }),
 
+    // ST-PARTIAL: binlog_row_image=MINIMAL under the oracle gate — the
+    // binlog mode large MySQL deployments run to halve binlog volume:
+    // an UPDATE carries ONLY its changed columns plus the PK (the
+    // columns-present bitmap rides as a `_changed` array). Even-key
+    // updates here carry only the new price (the served status must
+    // stay the INSERT's, not revert or NULL), odd-key updates only the
+    // new status (price must stay the original). Completion happens at
+    // APPLY time against the bucket-pruned prior image, so the state
+    // holds full rows and every downstream path is oblivious. Wave
+    // split puts inserts and partial updates in different passes — the
+    // cross-batch carry is the part a naive latest-wins gets wrong.
+    "stream_cdc_partial_image" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir)
+      val partial = log
+        .withColumn("_changed",
+          when(col("op") === "U" && col("okey") % 2 === 0,
+            array(lit("price")))
+            .when(col("op") === "U", array(lit("status")))
+            .otherwise(lit(null).cast("array<string>")))
+        .withColumn("price", when(col("op") === "U" &&
+          !array_contains(col("_changed"), "price"),
+          lit(null).cast(DoubleType)).otherwise(col("price")))
+        .withColumn("status", when(col("op") === "U" &&
+          !array_contains(col("_changed"), "status"),
+          lit(null).cast(StringType)).otherwise(col("status")))
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      writeWaves(partial, in, when(col("seq") <= 1, 0).otherwise(1), 2,
+        Seq(col("okey")))
+      runCdcPass(s, partial.schema, in, s"$tmp/ckpt", s"$tmp/state",
+        partialImageCol = Some("_changed"))
+      readLatestState(s, s"$tmp/state")
+    }),
+
     // ST-DEFAULT: ADD COLUMN … DEFAULT under the oracle gate — MySQL's
     // backfill semantics, not a blanket NULL-coalesce: pass 2 resumes
     // with an envelope that gained `channel` DEFAULT 'none' (the DDL's
@@ -4519,6 +4640,33 @@ object StreamingOps {
             ranked AS (SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) rn
                        FROM evolved)
          SELECT okey, op, price, status, ts, qty FROM ranked
+         WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
+
+    // MINIMAL row images: per column, the served value is the latest
+    // event that CARRIED it (this fixture writes no explicit NULLs, so
+    // IGNORE NULLS expresses the columns-present bitmap exactly)
+    "stream_cdc_partial_image" ->
+      s"""WITH cdc_log AS (${Tables.cdcLogSql}),
+            partial AS (
+              SELECT op, seq, ts, okey,
+                     CASE WHEN op = 'U' AND okey % 2 <> 0 THEN NULL
+                          ELSE price END AS price,
+                     CASE WHEN op = 'U' AND okey % 2 = 0 THEN NULL
+                          ELSE status END AS status
+              FROM cdc_log),
+            filled AS (
+              SELECT op, seq, ts, okey,
+                     last_value(CASE WHEN op <> 'D' THEN price END
+                       IGNORE NULLS) OVER w AS price,
+                     last_value(CASE WHEN op <> 'D' THEN status END
+                       IGNORE NULLS) OVER w AS status
+              FROM partial
+              WINDOW w AS (PARTITION BY okey ORDER BY seq
+                           ROWS UNBOUNDED PRECEDING)),
+            ranked AS (SELECT *, row_number() OVER (
+                         PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM filled)
+         SELECT okey, op, price, status, ts FROM ranked
          WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
 
     // txn-boundary apply: only committed transactions (1 and 2) are

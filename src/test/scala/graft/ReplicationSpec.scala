@@ -99,6 +99,39 @@ class ReplicationSpec extends SparkTestBase {
     assert(mmGot == mmExpect)
   }
 
+  test("sync with view: minMax mode carries the view across a group rename") {
+    // the facade face of the recompute-family MV × DDL composition:
+    // one sync-with-view pass under the old group name, a resume that
+    // declares the rename — view, snapshot, and state all migrate and
+    // the dirty group recomputes from the moved snapshot partitions
+    val base = tmp()
+    def frame(rows: Seq[(String, Long, Long, Double, String)],
+        gname: String) =
+      spark.createDataFrame(rows).toDF("op", "seq", "okey", "price", gname)
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_seconds(
+          org.apache.spark.sql.functions.lit(1700000000L) + col("seq")))
+        .withColumn("status", org.apache.spark.sql.functions.lit("X"))
+        .select(Seq("op", "seq", "ts", "okey", "price", "status", gname)
+          .map(col): _*)
+    val w0 = frame(Seq(("I", 1L, 1L, 10.0, "g1"), ("I", 2L, 2L, 30.0, "g1"),
+      ("I", 3L, 3L, 5.0, "g2")), "grp")
+    graft.streaming.StreamingOps.writeWave(w0, s"$base/in", 0)
+    Replication.incrementalSyncWithView(spark, w0.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", s"$base/mv", groupCol = "grp",
+      minMax = true)
+    val w1 = frame(Seq(("D", 4L, 2L, 0.0, null)), "seg")
+    graft.streaming.StreamingOps.writeWave(w1, s"$base/in", 1)
+    val (_, view) = Replication.incrementalSyncWithView(spark, w1.schema,
+      s"$base/in", s"$base/ckpt", s"$base/state", s"$base/mv",
+      groupCol = "seg", minMax = true, renameCols = Map("grp" -> "seg"))
+    assert(view.columns.head == "seg",
+      "the served view's group column must migrate with the rename")
+    val got = view.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got == Map("g1" -> ((1L, 10.0, 10.0)), "g2" -> ((1L, 5.0, 5.0))),
+      s"post-rename delete must demote g1's max through the facade: $got")
+  }
+
   test("incremental sync applies waves; applied state == batch collapse") {
     val base = tmp()
     val log = Tables.cdcLog(spark, sf)

@@ -7,6 +7,49 @@ import org.apache.spark.sql.functions._
   */
 class StreamingSpec extends SparkTestBase {
 
+  test("partial images: explicit NULL set, in-batch composition, post-delete touch") {
+    // the MINIMAL-row-image edge cases the oracle fixture cannot carry:
+    // an explicit SET c = NULL (changed list names the column, value is
+    // NULL — must serve NULL, never the old value), two partial updates
+    // of one key composing inside one batch, and a partial touch of a
+    // key whose PRIOR image is a tombstone (starts from NULLs, never
+    // resurrects the pre-delete value)
+    import graft.streaming.StreamingOps
+    val base = java.nio.file.Files.createTempDirectory("graft_partial").toString
+    def frame(rows: Seq[(String, Long, Long, java.lang.Double, String,
+        Seq[String])]) =
+      spark.createDataFrame(rows)
+        .toDF("op", "seq", "okey", "price", "status", "_changed")
+        .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("seq")))
+        .select(col("op"), col("seq"), col("ts"), col("okey"), col("price"),
+          col("status"), col("_changed"))
+    def pass(df: org.apache.spark.sql.DataFrame, w: Int): Unit = {
+      StreamingOps.writeWave(df, s"$base/in", w)
+      StreamingOps.runCdcPass(spark, df.schema, s"$base/in", s"$base/ckpt",
+        s"$base/state", partialImageCol = Some("_changed"))
+    }
+    pass(frame(Seq(("I", 1L, 1L, 10.0, "A", null),
+      ("I", 2L, 2L, 20.0, "B", null),
+      ("I", 3L, 3L, 30.0, "C", null))), 0)
+    // k1: price@4 then status@5 — both must land; k2: explicit
+    // SET status = NULL; k3: deleted
+    pass(frame(Seq(("U", 4L, 1L, 11.0, null, Seq("price")),
+      ("U", 5L, 1L, null, "Z", Seq("status")),
+      ("U", 6L, 2L, null, null, Seq("status")),
+      ("D", 6L, 3L, null, null, null))), 1)
+    // k3 re-touched with only price carried: the prior image is a
+    // TOMBSTONE, so the unchanged status starts from NULL, never 'C'
+    pass(frame(Seq(("U", 7L, 3L, 33.0, null, Seq("price")))), 2)
+    val served = StreamingOps.readLatestState(spark, s"$base/state")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(2)).map(_.toString.toDouble),
+          Option(r.getString(3))))).toMap
+    assert(served == Map(
+      1L -> ((Some(11.0), Some("Z"))),
+      2L -> ((Some(20.0), None)),
+      3L -> ((Some(33.0), None))), s"partial-image semantics: $served")
+  }
+
   test("stream CDC apply == batch latest-wins collapse") {
     val stream = q("stream_cdc_apply").collect()
     val batch = q("agg_latest_by_version").collect()
