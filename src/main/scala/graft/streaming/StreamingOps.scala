@@ -1923,13 +1923,16 @@ object StreamingOps {
     * (bucket-pruned, key semi-joined — the [[mvImages]] read, DDL
     * record honored) union the batch under a source tag, and a single
     * groupBy computes per key the batch winner's bookkeeping, each
-    * payload column's LATEST IN-BATCH CHANGE (max_by over
-    * change-flagged events only — an explicit SET c = NULL is a change
-    * TO NULL, never "unchanged"), and the pre-batch image. The full
+    * payload column's latest in-batch DETERMINER (insert, delete, or a
+    * change-flagged update — an explicit SET c = NULL is a change TO
+    * NULL, never "unchanged", and a change landing before a mid-batch
+    * delete dies with it), and the pre-batch image. The full
     * image then reads: changed-in-batch value, else prior value, else
     * NULL (first-seen key — the open-envelope convention). A prior
     * TOMBSTONE contributes nothing: a key re-touched after its delete
-    * starts from NULLs, exactly like a fresh key. */
+    * starts from NULLs, exactly like a fresh key. CdcPropertySpec folds
+    * random partial logs over random wave splits against a sequential
+    * per-column reference. */
   private def completePartialImages(s: SparkSession, state: String,
       epochId: Long, batch: DataFrame, keyCols: Seq[String],
       changedCol: String): DataFrame = {
@@ -1950,8 +1953,14 @@ object StreamingOps {
         b.unionByName(prior.withColumn("_src", lit("p")),
           allowMissingColumns = true)
       }
-    def chg(c: String) =
-      col("_src") === "b" && (col("op") === "I" ||
+    // a column's in-batch DETERMINER is the latest event that decided
+    // its value: an INSERT (full image), a DELETE (resets every column
+    // — a change landing BEFORE a mid-batch delete must not survive
+    // it), or an UPDATE whose changed list names the column. The value
+    // a determiner assigns is NULL for the delete, the event's value
+    // otherwise (explicit SET c = NULL included).
+    def det(c: String) =
+      col("_src") === "b" && (col("op") === "I" || col("op") === "D" ||
         array_contains(col(changedCol), c))
     val aggs = Seq(
       max_by(struct(col("op"), col("seq"), col("ts")),
@@ -1959,8 +1968,10 @@ object StreamingOps {
       max_by(col("op"),
         when(col("_src") === "p", col("seq"))).as("_oldop")) ++
       payload.flatMap { c => Seq(
-        max(when(chg(c), col("seq"))).as(s"_chg_$c"),
-        max_by(col(c), when(chg(c), col("seq"))).as(s"_new_$c"),
+        max(when(det(c), col("seq"))).as(s"_chg_$c"),
+        max_by(when(col("op") === "D",
+          lit(null).cast(batch.schema(c).dataType)).otherwise(col(c)),
+          when(det(c), col("seq"))).as(s"_new_$c"),
         max_by(col(c),
           when(col("_src") === "p", col("seq"))).as(s"_old_$c")) }
     val agg = tagged.groupBy(keyCols.map(col): _*)

@@ -14,6 +14,9 @@ class CdcPropertySpec extends SparkTestBase {
 
   case class Op(op: String, seq: Long, key: Long, v: Long)
 
+  case class POp(op: String, seq: Long, key: Long, price: java.lang.Double,
+    status: String, changed: Seq[String])
+
   private val genOps: Gen[List[Op]] = for {
     nKeys <- Gen.choose(1, 8)
     n <- Gen.choose(1, 60)
@@ -372,6 +375,79 @@ class CdcPropertySpec extends SparkTestBase {
       val got = collapse(snapshot ++ delta).map { case (k, (_, v)) => k -> v }
       val want = replay(ops).map { case (k, (_, v)) => k -> v }
       assert(got == want, s"log: $ops")
+    }
+  }
+
+  test("PARTIAL-IMAGE property: any log, any wave split — served == per-column fold") {
+    import graft.streaming.StreamingOps
+    // random MINIMAL-row-image logs (inserts full, updates carrying a
+    // random changed subset — explicit NULL sets included — deletes,
+    // updates of absent keys), split into waves at random batch
+    // boundaries: the apply-time completion composed across batches
+    // must equal a sequential per-column fold. The fold's rules ARE the
+    // contract: changed column → event value (NULL included); unchanged
+    // → prior image's value; prior absent or tombstoned → NULL.
+    val gen: Gen[List[POp]] = for {
+      nKeys <- Gen.choose(1, 6)
+      n <- Gen.choose(4, 50)
+      evs <- Gen.listOfN(n, for {
+        k <- Gen.choose(0L, nKeys.toLong)
+        o <- Gen.oneOf("I", "U", "D")
+        pv <- Gen.choose(0, 999).map(_.toDouble)
+        sv <- Gen.oneOf(Option("A"), Option("B"), Option.empty[String])
+        ch <- Gen.oneOf(Seq("price"), Seq("status"), Seq("price", "status"))
+      } yield (k, o, pv, sv, ch))
+    } yield evs.zipWithIndex.map { case ((k, o, pv, sv, ch), i) =>
+      o match {
+        case "I" => POp("I", i.toLong, k, pv, sv.orNull, null)
+        case "U" => POp("U", i.toLong, k,
+          if (ch.contains("price")) pv else null,
+          if (ch.contains("status")) sv.orNull else null, ch)
+        case _ => POp("D", i.toLong, k, null, null, null)
+      }
+    }
+    def fold(evs: Seq[POp]): Map[Long, (Option[Double], Option[String])] =
+      evs.sortBy(_.seq)
+        .foldLeft(Map.empty[Long, Option[(Option[Double], Option[String])]]) {
+          (m, e) => e.op match {
+            case "I" => m.updated(e.key,
+              Some((Option(e.price).map(_.doubleValue), Option(e.status))))
+            case "D" => m.updated(e.key, None)
+            case _ =>
+              val prev = m.getOrElse(e.key, None)
+                .getOrElse((Option.empty[Double], Option.empty[String]))
+              m.updated(e.key, Some((
+                if (e.changed.contains("price"))
+                  Option(e.price).map(_.doubleValue) else prev._1,
+                if (e.changed.contains("status"))
+                  Option(e.status) else prev._2)))
+          }
+        }.collect { case (k, Some(img)) => k -> img }
+    val logs = (0 until 8).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(1234L + i)))
+    logs.zipWithIndex.foreach { case (ops, si) =>
+      val sorted = ops.sortBy(_.seq)
+      val waves = sorted.grouped(
+        math.max(1, sorted.length / (1 + si % 3))).toList
+      val base = java.nio.file.Files
+        .createTempDirectory(s"graft_partprop$si").toString
+      waves.zipWithIndex.foreach { case (w, i) =>
+        val df = spark.createDataFrame(w)
+          .select(col("op"), col("seq"),
+            timestamp_seconds(lit(1700000000L) + col("seq")).as("ts"),
+            col("key").as("okey"), col("price"), col("status"),
+            col("changed"))
+        StreamingOps.writeWave(df, s"$base/in", i)
+        StreamingOps.runCdcPass(spark, df.schema, s"$base/in",
+          s"$base/ckpt", s"$base/state",
+          partialImageCol = Some("changed"))
+      }
+      val served = StreamingOps.readLatestState(spark, s"$base/state")
+        .collect().map(r => r.getLong(0) ->
+          ((Option(r.get(2)).map(_.toString.toDouble),
+            Option(r.getString(3))))).toMap
+      assert(served == fold(sorted),
+        s"partial fold diverged (log $si, ${waves.size} waves): $ops")
     }
   }
 }
