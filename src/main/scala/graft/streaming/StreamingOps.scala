@@ -1103,11 +1103,13 @@ object StreamingOps {
       keyColsByTable: Map[String, Seq[String]] = Map.empty,
       dropCols: Map[String, Long] = Map.empty,
       keepHistory: Boolean = false,
-      routes: Map[String, String] = Map.empty)
+      routes: Map[String, String] = Map.empty,
+      partialImageCol: Option[String] = None)
       : (Map[String, (Long, Long, Long)], Long, Option[Long]) =
     runCdcPassMultiSource(s, FileCdcSource(schema, in), ckpt, stateDirs,
       txnCol, renameCols, truncateAt, defaultCols, rowFilters, maskCols,
-      keyCols, trackSourceSeq, keyColsByTable, dropCols, keepHistory, routes)
+      keyCols, trackSourceSeq, keyColsByTable, dropCols, keepHistory, routes,
+      partialImageCol)
 
   /** [[runCdcPassMulti]] over an arbitrary [[CdcSource]] transport.
     * `renameCols` declares RENAME COLUMN DDLs exactly as in
@@ -1167,8 +1169,17 @@ object StreamingOps {
       keyColsByTable: Map[String, Seq[String]] = Map.empty,
       dropCols: Map[String, Long] = Map.empty,
       keepHistory: Boolean = false,
-      routes: Map[String, String] = Map.empty)
+      routes: Map[String, String] = Map.empty,
+      partialImageCol: Option[String] = None)
       : (Map[String, (Long, Long, Long)], Long, Option[Long]) = {
+    partialImageCol.foreach { cc =>
+      require(source.schema.fieldNames.contains(cc),
+        s"partial-image column '$cc' absent from the envelope")
+      require(!keepHistory,
+        "partial-image completion folds each batch to full per-key " +
+          "images; keepHistory stores events verbatim — the two modes " +
+          "are mutually exclusive (complete upstream to retain history)")
+    }
     // TABLE ROUTING (the rename/shard-merge config of this tool class):
     // `routes` maps SOURCE table names in the envelope onto DESTINATION
     // table names — N sources routing to one destination merge shards
@@ -1209,7 +1220,7 @@ object StreamingOps {
       // identity, not payload: a table's OWN key columns are unmaskable
       // (another table's key is ordinary payload here)
       val unmaskable = Set("op", "seq", "ts") ++ keyFor(t) ++
-        txnCol.toSet + "table"
+        txnCol.toSet ++ partialImageCol.toSet + "table"
       val bad = cs.filter(unmaskable)
       require(bad.isEmpty,
         s"table '$t' masks bookkeeping column(s): ${bad.mkString(", ")}")
@@ -1220,7 +1231,8 @@ object StreamingOps {
     }
     // every table's state dir shares one envelope schema (one binlog,
     // one fan-out) — validate/publish each before the stream starts
-    val stateSchema = stateSchemaFor(source.schema, txnCol.toSet)
+    val stateSchema = stateSchemaFor(source.schema,
+      txnCol.toSet ++ partialImageCol.toSet)
     stateDirs.foreach { case (t, d) => ensureKeyCols(d, keyFor(t)) }
     stateDirs.values.foreach(applyRenameDdl(_, renameCols, stateSchema))
     // a DROP, like a RENAME, is an envelope-wide DDL: the topology
@@ -1270,13 +1282,22 @@ object StreamingOps {
             txnFull = Some(full)
             ready
         }
+        // MINIMAL row images complete BEFORE the per-table filters and
+        // masks, against each table's OWN prior state — every later
+        // stage sees FULL rows (the single-table pass's rule, applied
+        // per destination)
+        val gatedC = partialImageCol match {
+          case None => gated
+          case Some(cc) => completePartialImagesMulti(s, stateDirs,
+            keyFor, epochId, gated, cc)
+        }
         // per-table row filters + column masks: ONE codegen'd filter and
         // ONE select over the batch — never a job per table. Deletes
         // bypass the predicate (see the scaladoc), masks NULL the value
         // before anything is staged.
         val filtered =
-          if (rowFilters.isEmpty) gated
-          else gated.filter(rowFilters.foldLeft(lit(true)) {
+          if (rowFilters.isEmpty) gatedC
+          else gatedC.filter(rowFilters.foldLeft(lit(true)) {
             case (acc, (t, pred)) =>
               acc && (col("table") =!= t || col("op") === "D" || expr(pred))
           })
@@ -1985,6 +2006,91 @@ object StreamingOps {
           .when(col("_oldop").isNull || col("_oldop") === "D",
             lit(null).cast(t))
           .otherwise(col(s"_old_$c")).as(c)
+      }): _*)
+  }
+
+  /** [[completePartialImages]] for the MULTI-TABLE fan-out: one
+    * topology batch carries partial images for N destination tables
+    * (heterogeneous PKs included). Still ONE shuffle: each table's
+    * prior images (its OWN state dir, bucket-pruned under ITS key
+    * definition, key semi-joined to its batch slice) union the batch
+    * under a source tag, rows group on (table, per-table-encoded key
+    * — the fan-out's `to_json` CASE), and the same per-column
+    * determiner aggregates complete each table's rows. Key columns
+    * bypass the determiner logic: a PK always rides the row image
+    * (MySQL's MINIMAL contract), so each table's key columns read from
+    * the batch winner — one table's key is another's ordinary payload,
+    * and the CASE keeps the two roles straight per row. Rows of tables
+    * outside the topology are dropped here exactly as the fan-out
+    * would drop them. */
+  private def completePartialImagesMulti(s: SparkSession,
+      stateDirs: Map[String, String], keyFor: Map[String, Seq[String]],
+      epochId: Long, batch: DataFrame, changedCol: String): DataFrame = {
+    val tables = stateDirs.keys.toSeq
+    val b0 = batch.filter(col("table").isin(tables: _*))
+    val cols = batch.columns.toSeq
+      .filterNot(Seq("op", "seq", "ts", "table", changedCol).contains)
+    def keyCase = keyFor.foldLeft(lit(null).cast("string")) {
+      case (acc, (t, ks)) =>
+        when(col("table") === t, to_json(struct(ks.map(col): _*)))
+          .otherwise(acc)
+    }
+    def bucketCase = keyFor.foldLeft(
+        lit(null).cast(org.apache.spark.sql.types.LongType)) {
+      case (acc, (t, ks)) =>
+        when(col("table") === t,
+          pmod(xxhash64(ks.map(col): _*), lit(StateBuckets))).otherwise(acc)
+    }
+    // per-table touched buckets in ONE collect (≤ tables × StateBuckets
+    // rows — driver-side metadata, like the fan-out's table discovery)
+    val touched = b0.select(col("table"), bucketCase.as("_b")).distinct()
+      .collect().groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getLong(1)).toSeq }
+    val b = b0.withColumn("_src", lit("b"))
+    val priors = touched.keys.toSeq.sorted.flatMap { t =>
+      if (StateFs.epochIds(stateDirs(t)).forall(_ >= epochId)) None
+      else Some(readStateDir(s, stateDirs(t), buckets = Some(touched(t)))
+        .filter(col("epoch") < epochId).drop("epoch")
+        .join(broadcast(b0.filter(col("table") === t)
+          .select(keyFor(t).map(col): _*).distinct()),
+          keyFor(t), "left_semi")
+        .withColumn("table", lit(t)))
+    }
+    val tagged = priors.foldLeft(b)((acc, p) =>
+      acc.unionByName(p.withColumn("_src", lit("p")),
+        allowMissingColumns = true))
+    def det(c: String) =
+      col("_src") === "b" && (col("op") === "I" || col("op") === "D" ||
+        array_contains(col(changedCol), c))
+    val bSeq = when(col("_src") === "b", col("seq"))
+    val pSeq = when(col("_src") === "p", col("seq"))
+    val aggs = Seq(
+      max_by(struct(col("op"), col("seq"), col("ts")), bSeq).as("_top"),
+      max_by(col("op"), pSeq).as("_oldop")) ++
+      cols.flatMap { c => Seq(
+        max(when(det(c), col("seq"))).as(s"_chg_$c"),
+        max_by(when(col("op") === "D",
+          lit(null).cast(batch.schema(c).dataType)).otherwise(col(c)),
+          when(det(c), col("seq"))).as(s"_new_$c"),
+        max_by(col(c), pSeq).as(s"_old_$c"),
+        max_by(col(c), bSeq).as(s"_win_$c")) }
+    val agg = tagged.withColumn("__pk", keyCase)
+      .groupBy(col("table"), col("__pk"))
+      .agg(aggs.head, aggs.tail: _*)
+    agg.select((Seq(col("table"), col("_top.op").as("op"),
+      col("_top.seq").as("seq"), col("_top.ts").as("ts")) ++
+      cols.map { c =>
+        val t = batch.schema(c).dataType
+        val keyOf = keyFor.collect { case (tb, ks) if ks.contains(c) => tb }
+          .toSeq
+        val completed = when(col("_top.op") === "D", lit(null).cast(t))
+          .when(col(s"_chg_$c").isNotNull, col(s"_new_$c"))
+          .when(col("_oldop").isNull || col("_oldop") === "D",
+            lit(null).cast(t))
+          .otherwise(col(s"_old_$c"))
+        (if (keyOf.isEmpty) completed
+         else when(col("table").isin(keyOf: _*), col(s"_win_$c"))
+           .otherwise(completed)).as(c)
       }): _*)
   }
 

@@ -50,6 +50,56 @@ class StreamingSpec extends SparkTestBase {
       3L -> ((Some(33.0), None))), s"partial-image semantics: $served")
   }
 
+  test("partial images fan out: per-table completion under heterogeneous keys") {
+    // one MINIMAL-image binlog feeding two tables with different PKs:
+    // each table's rows must complete against ITS OWN prior state, with
+    // one table's key column an ordinary payload column of the other
+    import graft.streaming.StreamingOps
+    val base = java.nio.file.Files.createTempDirectory("graft_pmulti").toString
+    def frame(rows: Seq[(String, Long, Long, java.lang.Long,
+        java.lang.Double, String, Seq[String], String)]) =
+      spark.createDataFrame(rows)
+        .toDF("op", "seq", "okey", "line_no", "price", "status",
+          "_changed", "table")
+        .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("seq")))
+        .select(col("op"), col("seq"), col("ts"), col("okey"),
+          col("line_no"), col("price"), col("status"), col("_changed"),
+          col("table"))
+    val dirs = Map("t_ord" -> s"$base/state_ord",
+      "t_line" -> s"$base/state_line")
+    def pass(df: org.apache.spark.sql.DataFrame, w: Int): Unit = {
+      StreamingOps.writeWave(df, s"$base/in", w)
+      StreamingOps.runCdcPassMulti(spark, df.schema, s"$base/in",
+        s"$base/ckpt", dirs,
+        keyColsByTable = Map("t_ord" -> Seq("okey"),
+          "t_line" -> Seq("okey", "line_no")),
+        partialImageCol = Some("_changed"))
+    }
+    pass(frame(Seq(
+      ("I", 1L, 1L, 0L, 10.0, "A", null, "t_ord"),
+      ("I", 2L, 2L, 0L, 20.0, "B", null, "t_ord"),
+      ("I", 3L, 1L, 1L, 5.0, "X", null, "t_line"),
+      ("I", 4L, 1L, 2L, 6.0, "Y", null, "t_line"))), 0)
+    // partial updates cross-batch: t_ord k1 changes only price (status
+    // must stay 'A'), t_line (k1,2) changes only status (price must
+    // stay 6.0), t_ord k2 deleted
+    pass(frame(Seq(
+      ("U", 5L, 1L, null, 11.0, null, Seq("price"), "t_ord"),
+      ("U", 6L, 1L, 2L, null, "Z", Seq("status"), "t_line"),
+      ("D", 7L, 2L, null, null, null, null, "t_ord"))), 1)
+    val ord = StreamingOps.readLatestState(spark, dirs("t_ord"))
+      .select(col("okey"), col("price"), col("status")).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+    assert(ord == Map(1L -> ((11.0, "A"))),
+      s"t_ord: unchanged status must carry, k2 must vanish: $ord")
+    val line = StreamingOps.readLatestState(spark, dirs("t_line"))
+      .select(col("okey"), col("line_no"), col("price"), col("status"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getString(3)))).toMap
+    assert(line == Map((1L, 1L) -> ((5.0, "X")), (1L, 2L) -> ((6.0, "Z"))),
+      s"t_line: per-tuple completion: $line")
+  }
+
   test("stream CDC apply == batch latest-wins collapse") {
     val stream = q("stream_cdc_apply").collect()
     val batch = q("agg_latest_by_version").collect()
