@@ -169,7 +169,13 @@ object Replication {
     * `rowFilter`/`maskCols` are the single-table forms of
     * [[incrementalSyncMulti]]'s per-table filters: only matching events
     * replicate (deletes always bypass the predicate) and masked payload
-    * columns ship as NULL. */
+    * columns ship as NULL.
+    *
+    * `partialImageCol` names the columns-present list of a
+    * `binlog_row_image=MINIMAL` stream: each batch completes into full
+    * row images against the prior state at apply time (see
+    * StreamingOps.completePartialImages), so the replica and every
+    * downstream consumer hold full rows. */
   def incrementalSync(spark: SparkSession, schema: StructType, inDir: String,
       ckptDir: String, stateDir: String, compactEvery: Int = 16,
       fromSeq: Option[Long] = None, txnCol: Option[String] = None,
@@ -183,7 +189,8 @@ object Replication {
       dropCols: Map[String, Long] = Map.empty,
       keepHistory: Boolean = false,
       computedCols: Seq[(String, String)] = Seq.empty,
-      positionToken: Option[String] = None)
+      positionToken: Option[String] = None,
+      partialImageCol: Option[String] = None)
       : SyncProgress = {
     val (rows, epochs, lastSeq, pending, srcMax) =
       streaming.StreamingOps.runCdcPass(
@@ -192,7 +199,7 @@ object Replication {
         truncateAtSeq = truncateAtSeq, defaultCols = defaultCols,
         rowFilter = rowFilter, maskCols = maskCols, keyCols = keyCols,
         dropCols = dropCols, keepHistory = keepHistory,
-        computedCols = computedCols)
+        computedCols = computedCols, partialImageCol = partialImageCol)
     if (deltaCount(stateDir) > compactEvery)
       streaming.StreamingOps.compactState(spark, stateDir, tombstoneGc)
     // the connector reported this pass's horizon under its own dialect:
