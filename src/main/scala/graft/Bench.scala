@@ -227,7 +227,7 @@ object Bench {
           w => concat(lit("s"), r, lit("_"), w)))
       val corpus = d
         .withColumn("_r", explode(lit((0 until factor).toArray)))
-        .select((col("doc_id") + col("_r").cast("long") * 1000000L)
+        .select((col("doc_id") + col("_r").cast("long") * 10000000L)
           .as("doc_id"), salted(col("_r"), col("text")).as("text"))
       // the probe batch: near-dups (first salted word dropped) and exact
       // copies of REPLICA 0 docs — identical at both factors

@@ -559,21 +559,30 @@ object StreamingOps {
         bucketGate(s.read.option("mergeSchema", "true").parquet(state),
           buckets).drop(BucketCol)
     }
-    // DROP gate ([[readDrops]]): a column RE-ADDED after a drop starts
-    // empty — rows last written at or below the newest drop position
-    // serve NULL, never their stale pre-drop value. Gated BEFORE the
-    // default fill so a re-add with DEFAULT backfills the gated rows
-    // (MySQL's re-add semantics). Scan-local, codegen'd CASE.
+    applyDdlGates(state, base, asOfSeq)
+  }
+
+  /** The read-time DDL gates every pinned read of replicated rows
+    * applies, in the one correct order. DROP gate first ([[readDrops]]):
+    * a column RE-ADDED after a drop starts empty — rows last written at
+    * or below the newest drop position serve NULL, never their stale
+    * pre-drop value; gated BEFORE the default fill so a re-add with
+    * DEFAULT backfills the gated rows (MySQL's re-add semantics).
+    * DEFAULT fill second ([[readDefaults]]): a pre-DDL row — last
+    * written at or below the declaring position, NULL because its epoch
+    * predates the column — serves the declared default; a post-DDL row
+    * serves what it wrote, explicit NULL included. Scan-local (no
+    * shuffle, codegen'd CASE), materialized by the next compaction or
+    * snapshot rewrite (idempotent: a materialized value is non-NULL, so
+    * the fill's NULL guard skips it). `asOfSeq` rolls the DDL clock
+    * back — a default declared after the position does not fill.
+    * SHARED by [[readStateDir]] and the MV snapshot reads so the two
+    * paths can never drift. */
+  private def applyDdlGates(state: String, base: DataFrame,
+      asOfSeq: Option[Long] = None): DataFrame = {
     val drops = readDrops(state)
       .filter { case (c, _) => base.columns.contains(c) }
       .groupBy(_._1).map { case (c, es) => c -> es.map(_._2).max }
-    // DEFAULT fill ([[readDefaults]]): a pre-DDL row — last written at
-    // or below the declaring position, NULL because its epoch predates
-    // the column — serves the declared default; a post-DDL row serves
-    // what it wrote, explicit NULL included. Scan-local (no shuffle,
-    // codegen'd CASE), and the next compaction materializes it. An
-    // as-of read ([[readLatestState]]) rolls the DDL clock back too:
-    // a default declared after the as-of position does not fill.
     val defaults = readDefaults(state)
       .filter { case (c, _, _) => base.columns.contains(c) }
       .filter { case (_, sq, _) => asOfSeq.forall(sq <= _) }
@@ -593,6 +602,28 @@ object StreamingOps {
         case None => gated.as(c)
       }
     }: _*)
+  }
+
+  /** [[readStateDir]] plus the SERVING FLOORS every consumer of prior
+    * images must honor (the [[readLatestState]] gates, shared so no
+    * prior-image read can launder gated rows back to life): the purge
+    * floor makes re-delivered already-folded epochs inert (baselines
+    * exempt — they ARE the fold), the truncate floor kills dead rows
+    * baselines included. A partial-image completion or MV old-image
+    * lookup reading an ungated truncated row would fold its values into
+    * a NEW row above the floor — resurrecting exactly what the floor
+    * was published to keep dead. */
+  private def readStateDirGated(s: SparkSession, state: String,
+      buckets: Option[Seq[Long]] = None): DataFrame = {
+    val raw = readStateDir(s, state, buckets = buckets)
+    val purgeGated = readPurgeFloor(state) match {
+      case Some(f) => raw.filter(col("epoch") < 0 || col("seq") > f)
+      case None => raw
+    }
+    readTruncFloor(state) match {
+      case Some(t) => purgeGated.filter(col("seq") > t)
+      case None => purgeGated
+    }
   }
 
   private def tmpDir(): String = graft.TmpDirs.create("graft_stream")
@@ -909,6 +940,7 @@ object StreamingOps {
     val (rows, _) = runSourcePass(s, source, ckpt) { (batch, epochId) =>
       if (multiAction) batch.persist()
       var txnFull = Option.empty[DataFrame] // txn path's extra pin
+      var partialPinned = Option.empty[DataFrame]
       try {
         val positioned = startAfterSeq
           .map(p => batch.filter(col("seq") > p)).getOrElse(batch)
@@ -927,10 +959,16 @@ object StreamingOps {
         // columns, so every later stage sees FULL rows — a row filter
         // or computed column referencing an unchanged column must see
         // its carried value, never a partial event's NULL
+        // pinned: the completed frame feeds the seq fold, the isEmpty
+        // probe, and the epoch write — without the cache each action
+        // re-runs the prior-state read and the completion shuffle
         val completed = partialImageCol match {
           case None => gatedTxn
           case Some(cc) =>
-            completePartialImages(s, state, epochId, gatedTxn, keyCols, cc)
+            val c = completePartialImages(s, state, epochId, gatedTxn,
+              keyCols, cc).persist()
+            partialPinned = Some(c)
+            c
         }
         // single-table row filter + masks (the multi pass's per-table
         // forms): one codegen'd filter, one select — deletes bypass
@@ -984,6 +1022,7 @@ object StreamingOps {
         }
       } finally {
         txnFull.foreach(_.unpersist())
+        partialPinned.foreach(_.unpersist())
         if (multiAction) { batch.unpersist(); () }
       }
     }
@@ -1258,6 +1297,7 @@ object StreamingOps {
       // runCdcPass's note on multi-action foreachBatch)
       batch.persist()
       var txnFull = Option.empty[DataFrame] // txn path's extra pin
+      var partialPinned = Option.empty[DataFrame]
       try {
         if (trackSourceSeq) {
           // SEEN horizon over the raw topology batch — ahead of the txn
@@ -1286,10 +1326,15 @@ object StreamingOps {
         // masks, against each table's OWN prior state — every later
         // stage sees FULL rows (the single-table pass's rule, applied
         // per destination)
+        // pinned like the single-table completion: the fan-out's table
+        // discovery aggregate and the staged write both consume it
         val gatedC = partialImageCol match {
           case None => gated
-          case Some(cc) => completePartialImagesMulti(s, stateDirs,
-            keyFor, epochId, gated, cc)
+          case Some(cc) =>
+            val c = completePartialImagesMulti(s, stateDirs,
+              keyFor, epochId, gated, cc).persist()
+            partialPinned = Some(c)
+            c
         }
         // per-table row filters + column masks: ONE codegen'd filter and
         // ONE select over the batch — never a job per table. Deletes
@@ -1382,6 +1427,7 @@ object StreamingOps {
         }
       } finally {
         txnFull.foreach(_.unpersist())
+        partialPinned.foreach(_.unpersist())
         batch.unpersist(); ()
       }
     }
@@ -1967,7 +2013,7 @@ object StreamingOps {
       else {
         val touched = batch.select(bucketOf(keyCols).as(BucketCol))
           .distinct().collect().map(_.getLong(0)).toSeq
-        val prior = readStateDir(s, state, buckets = Some(touched))
+        val prior = readStateDirGated(s, state, buckets = Some(touched))
           .filter(col("epoch") < epochId).drop("epoch")
           .join(broadcast(batch.select(keyCols.map(col): _*).distinct()),
             keyCols, "left_semi")
@@ -2049,7 +2095,8 @@ object StreamingOps {
     val b = b0.withColumn("_src", lit("b"))
     val priors = touched.keys.toSeq.sorted.flatMap { t =>
       if (StateFs.epochIds(stateDirs(t)).forall(_ >= epochId)) None
-      else Some(readStateDir(s, stateDirs(t), buckets = Some(touched(t)))
+      else Some(readStateDirGated(s, stateDirs(t),
+          buckets = Some(touched(t)))
         .filter(col("epoch") < epochId).drop("epoch")
         .join(broadcast(b0.filter(col("table") === t)
           .select(keyFor(t).map(col): _*).distinct()),
@@ -2136,7 +2183,7 @@ object StreamingOps {
         // subtract (retracting NULL where the row SERVED its default
         // would leak the default into the view forever). On a dir with
         // no DDL record this is bit-for-bit the old pinned read.
-        val prior = readStateDir(s, state, buckets = Some(touched))
+        val prior = readStateDirGated(s, state, buckets = Some(touched))
           .filter(col("epoch") < epochId).drop("epoch")
           .join(broadcast(b.select(keyCols.map(col): _*).distinct()),
             keyCols, "left_semi")
@@ -2230,6 +2277,10 @@ object StreamingOps {
     readStateSchema(mv).foreach { p =>
       val hit = renames.filter { case (o, _) => p.fieldNames.contains(o) }
       if (hit.nonEmpty) {
+        val dup = hit.values.groupBy(identity)
+          .collect { case (n, vs) if vs.size > 1 => n }
+        require(dup.isEmpty,
+          s"renames merge view columns onto '${dup.mkString(", ")}'")
         hit.foreach { case (_, n) =>
           require(!p.fieldNames.contains(n),
             s"MV rename target '$n' already published — a rename cannot " +
@@ -2281,6 +2332,11 @@ object StreamingOps {
     readStateSchema(snap).foreach { p =>
       val hit = renames.filter { case (o, _) => p.fieldNames.contains(o) }
       if (hit.nonEmpty) {
+        val dup = hit.values.groupBy(identity)
+          .collect { case (n, vs) if vs.size > 1 => n }
+        require(dup.isEmpty,
+          s"renames merge columns onto '${dup.mkString(", ")}' — " +
+            "validated BEFORE any mutation, so nothing is half-renamed")
         hit.foreach { case (o, n) =>
           require(n == groupCol,
             s"snapshot rename '$o' -> '$n' hits a non-group snapshot " +
@@ -2748,29 +2804,8 @@ object StreamingOps {
     // replay. The record of truth is the STATE dir's `_drops` /
     // `_defaults` logs, so DDL declared in an earlier pass keeps
     // gating here without being re-passed.
-    def fillSnapDefaults(df: DataFrame): DataFrame = {
-      val drops = readDrops(state)
-        .filter { case (c, _) => df.columns.contains(c) }
-        .groupBy(_._1).map { case (c, es) => c -> es.map(_._2).max }
-      val ds = readDefaults(state)
-        .filter { case (c, _, _) => df.columns.contains(c) }
-        .groupBy(_._1).map { case (c, es) => c -> es.last }
-      if (ds.isEmpty && drops.isEmpty) df
-      else df.select(df.columns.toSeq.map { c =>
-        val gated = drops.get(c) match {
-          case Some(dSeq) =>
-            when(col("seq") <= dSeq, lit(null).cast(df.schema(c).dataType))
-              .otherwise(col(c))
-          case None => col(c)
-        }
-        ds.get(c) match {
-          case Some((_, sq, d)) =>
-            when(gated.isNull && col("seq") <= sq,
-              expr(d).cast(df.schema(c).dataType)).otherwise(gated).as(c)
-          case None => gated.as(c)
-        }
-      }: _*)
-    }
+    def fillSnapDefaults(df: DataFrame): DataFrame =
+      applyDdlGates(state, df)
     // position bookkeeping — see the sum pass's trackSeq note
     var maxSeq = Option.empty[Long]
     var srcMaxSeq = Option.empty[Long]

@@ -50,6 +50,40 @@ class StreamingSpec extends SparkTestBase {
       3L -> ((Some(33.0), None))), s"partial-image semantics: $served")
   }
 
+  test("partial images never launder truncated rows back to life") {
+    // the serving floors bind the completion's prior read: after a
+    // TRUNCATE at P, a partial update of a dead key must complete
+    // against NOTHING — folding the truncated row's columns into a new
+    // image above the floor would resurrect exactly what the floor
+    // keeps dead
+    import graft.streaming.StreamingOps
+    val base = java.nio.file.Files.createTempDirectory("graft_ptrunc").toString
+    def frame(rows: Seq[(String, Long, Long, java.lang.Double, String,
+        Seq[String])]) =
+      spark.createDataFrame(rows)
+        .toDF("op", "seq", "okey", "price", "status", "_changed")
+        .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("seq")))
+        .select(col("op"), col("seq"), col("ts"), col("okey"), col("price"),
+          col("status"), col("_changed"))
+    val w0 = frame(Seq(("I", 1L, 1L, 10.0, "A", null)))
+    StreamingOps.writeWave(w0, s"$base/in", 0)
+    StreamingOps.runCdcPass(spark, w0.schema, s"$base/in", s"$base/ckpt",
+      s"$base/state", partialImageCol = Some("_changed"))
+    // TRUNCATE at position 1 kills the insert; the resumed pass applies
+    // a MINIMAL update carrying only status — price must complete to
+    // NULL, never to the dead row's 10.0
+    val w1 = frame(Seq(("U", 2L, 1L, null, "Z", Seq("status"))))
+    StreamingOps.writeWave(w1, s"$base/in", 1)
+    StreamingOps.runCdcPass(spark, w1.schema, s"$base/in", s"$base/ckpt",
+      s"$base/state", partialImageCol = Some("_changed"),
+      truncateAtSeq = Some(1L))
+    val served = StreamingOps.readLatestState(spark, s"$base/state")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(2)), r.getString(3)))).toMap
+    assert(served == Map(1L -> ((None, "Z"))),
+      s"truncated prior must not leak into the completed image: $served")
+  }
+
   test("partial images fan out: per-table completion under heterogeneous keys") {
     // one MINIMAL-image binlog feeding two tables with different PKs:
     // each table's rows must complete against ITS OWN prior state, with
