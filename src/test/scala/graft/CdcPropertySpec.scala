@@ -450,4 +450,55 @@ class CdcPropertySpec extends SparkTestBase {
         s"partial fold diverged (log $si, ${waves.size} waves): $ops")
     }
   }
+
+  test("WIDEN property: any log, any widen point — narrow epochs serve exactly under the wide type") {
+    import graft.streaming.StreamingOps
+    // random logs split at a random wave boundary: waves before the
+    // boundary carry `qty` as INT, waves after as BIGINT with values
+    // above 2^31 — the served state must equal the sequential replay
+    // with every qty exact, pre-widening values included (the parquet
+    // INT32 physical encoding read natively under the published LONG)
+    samples(6).filter(_.length > 3).zipWithIndex.foreach { case (ops, si) =>
+      val sorted = ops.sortBy(_.seq)
+      val cut = sorted(sorted.length / 2).seq
+      val base = java.nio.file.Files
+        .createTempDirectory(s"graft_widenprop$si").toString
+      def toDf(chunk: List[Op], wide: Boolean) = {
+        val d = spark.createDataFrame(chunk)
+          .select(col("op"), col("seq"),
+            timestamp_seconds(lit(1700000000L) + col("seq")).as("ts"),
+            col("key").as("okey"), col("v").cast("double").as("price"),
+            lit("S").as("status"),
+            when(col("op") === "D", lit(null)).otherwise(
+              if (wide) col("v") + lit(3000000000L) else col("v"))
+              .as("qty"))
+        d.withColumn("qty",
+          col("qty").cast(if (wide) "bigint" else "int"))
+      }
+      val narrow = sorted.filter(_.seq <= cut)
+      val wide = sorted.filter(_.seq > cut)
+      var w = 0
+      if (narrow.nonEmpty) {
+        StreamingOps.writeWave(toDf(narrow, wide = false), s"$base/in", w)
+        StreamingOps.runCdcPass(spark,
+          toDf(narrow, wide = false).schema, s"$base/in", s"$base/ckpt",
+          s"$base/state")
+        w += 1
+      }
+      if (wide.nonEmpty) {
+        StreamingOps.writeWave(toDf(wide, wide = true), s"$base/in", w)
+        StreamingOps.runCdcPass(spark, toDf(wide, wide = true).schema,
+          s"$base/in", s"$base/ckpt", s"$base/state")
+      }
+      val served = StreamingOps.readLatestState(spark, s"$base/state")
+        .select(col("okey"), col("qty")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = replay(sorted).map { case (k, (_, v)) =>
+        k -> (if (sorted.filter(_.key == k).filter(_.op != "D")
+          .maxBy(_.seq).seq > cut) v + 3000000000L else v)
+      }
+      assert(served == want,
+        s"widen diverged (log $si, cut $cut): $ops")
+    }
+  }
 }

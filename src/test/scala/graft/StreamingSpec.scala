@@ -50,6 +50,42 @@ class StreamingSpec extends SparkTestBase {
       3L -> ((Some(33.0), None))), s"partial-image semantics: $served")
   }
 
+  test("partial images compose with RENAME COLUMN: prior images serve under the new name") {
+    // a MINIMAL stream whose envelope renames a payload column
+    // mid-stream: the resumed pass's changed lists speak the NEW name,
+    // and the completion's prior read must serve pre-rename epochs
+    // under it (the rename-history coalesce), so an unchanged renamed
+    // column carries its old value into the completed image
+    import graft.streaming.StreamingOps
+    val base = java.nio.file.Files.createTempDirectory("graft_pren").toString
+    def frame(rows: Seq[(String, Long, Long, java.lang.Double, String,
+        Seq[String])], cname: String) =
+      spark.createDataFrame(rows)
+        .toDF("op", "seq", "okey", "price", cname, "_changed")
+        .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("seq")))
+        .withColumn("status", lit("X"))
+        .select(col("op"), col("seq"), col("ts"), col("okey"), col("price"),
+          col("status"), col(cname), col("_changed"))
+    val w0 = frame(Seq(("I", 1L, 1L, 10.0, "A", null),
+      ("I", 2L, 2L, 20.0, "B", null)), "chan")
+    StreamingOps.writeWave(w0, s"$base/in", 0)
+    StreamingOps.runCdcPass(spark, w0.schema, s"$base/in", s"$base/ckpt",
+      s"$base/state", partialImageCol = Some("_changed"))
+    // RENAME chan→chan2; k1's partial update changes only price — its
+    // completed chan2 must read the pre-rename 'A'
+    val w1 = frame(Seq(("U", 3L, 1L, 11.0, null, Seq("price")),
+      ("U", 4L, 2L, null, "Z", Seq("chan2"))), "chan2")
+    StreamingOps.writeWave(w1, s"$base/in", 1)
+    StreamingOps.runCdcPass(spark, w1.schema, s"$base/in", s"$base/ckpt",
+      s"$base/state", partialImageCol = Some("_changed"),
+      renameCols = Map("chan" -> "chan2"))
+    val served = StreamingOps.readLatestState(spark, s"$base/state")
+      .select(col("okey"), col("price"), col("chan2")).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+    assert(served == Map(1L -> ((11.0, "A")), 2L -> ((20.0, "Z"))),
+      s"renamed column must carry its pre-rename value: $served")
+  }
+
   test("partial images never launder truncated rows back to life") {
     // the serving floors bind the completion's prior read: after a
     // TRUNCATE at P, a partial update of a dead key must complete
