@@ -86,6 +86,46 @@ class StreamingSpec extends SparkTestBase {
       s"renamed column must carry its pre-rename value: $served")
   }
 
+  test("partial images compose with the txn gate: completion waits for the commit") {
+    // a MINIMAL update inside an uncommitted transaction must not
+    // complete (or apply) until its commit marker arrives — and when it
+    // does, the completion runs in THAT epoch against the then-current
+    // prior state
+    import graft.streaming.StreamingOps
+    val base = java.nio.file.Files.createTempDirectory("graft_ptxn").toString
+    def frame(rows: Seq[(String, Long, Long, java.lang.Double, String,
+        Seq[String], String)]) =
+      spark.createDataFrame(rows)
+        .toDF("op", "seq", "okey", "price", "status", "_changed", "txn")
+        .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("seq")))
+        .select(col("op"), col("seq"), col("ts"), col("okey"), col("price"),
+          col("status"), col("_changed"), col("txn"))
+    def pass(df: org.apache.spark.sql.DataFrame, w: Int): Unit = {
+      StreamingOps.writeWave(df, s"$base/in", w)
+      StreamingOps.runCdcPass(spark, df.schema, s"$base/in", s"$base/ckpt",
+        s"$base/state", txnCol = Some("txn"),
+        partialImageCol = Some("_changed"))
+    }
+    // wave 0: committed insert (t1); an UNCOMMITTED partial update (t2)
+    pass(frame(Seq(
+      ("I", 1L, 1L, 10.0, "A", null, "t1"),
+      ("C", 2L, 0L, null, null, null, "t1"),
+      ("U", 3L, 1L, null, "Z", Seq("status"), "t2"))), 0)
+    val mid = StreamingOps.readLatestState(spark, s"$base/state")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getString(3)))).toMap
+    assert(mid == Map(1L -> ((10.0, "A"))),
+      s"uncommitted partial must not apply: $mid")
+    // wave 1: t2 commits — the held partial completes against the
+    // insert's image now
+    pass(frame(Seq(("C", 4L, 0L, null, null, null, "t2"))), 1)
+    val fin = StreamingOps.readLatestState(spark, s"$base/state")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getString(3)))).toMap
+    assert(fin == Map(1L -> ((10.0, "Z"))),
+      s"committed partial must complete against the prior image: $fin")
+  }
+
   test("partial images never launder truncated rows back to life") {
     // the serving floors bind the completion's prior read: after a
     // TRUNCATE at P, a partial update of a dead key must complete
