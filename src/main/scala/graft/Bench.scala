@@ -238,33 +238,43 @@ object Bench {
           .as("text"))
       val exactBatch = base0
         .select((col("doc_id") + 60000000L).as("doc_id"), col("text"))
-      val idxE = s"${TmpDirs.create(s"bench_idx_exact")}/idx"
-      val idxM = s"${TmpDirs.create(s"bench_idx_minhash")}/idx"
-      graft.ops.Llm.exactIndexSeed(spark, corpus, idxE)
-      graft.ops.Llm.dedupIndexSeed(spark, corpus, idxM)
-      CacheRegistry.releaseAll()
       def t1(name: String)(body: => Unit): (String, Double) = {
         val t0 = System.nanoTime()
         body
         name -> (System.nanoTime() - t0) / 1e9
       }
-      val out = Seq(
-        t1("exact_probe") {
-          graft.ops.Llm.exactIngestApply(spark, exactBatch, idxE).count(); ()
-        },
-        t1("minhash_probe") {
-          graft.ops.Llm.dedupIncremental(spark, nearBatch, idxM).count(); ()
-        })
-      CacheRegistry.releaseAll()
-      out
+      // MIN-OF-3, each repetition against freshly seeded dirs (the
+      // probes APPEND to their index, so re-probing one dir would
+      // measure a different index). A single discarded warmup round
+      // proved insufficient in a cold driver process (r14: first-probe
+      // init still billed ~1.1-1.4 s to the 1× pass, INVERTING the
+      // 1×/10× comparison); the min over three independent seeded
+      // probes is what the scaling claim actually needs — steady-state
+      // probe cost vs index mass, init and GC excursions excluded.
+      val reps = (0 until 3).map { _ =>
+        val idxE = s"${TmpDirs.create(s"bench_idx_exact")}/idx"
+        val idxM = s"${TmpDirs.create(s"bench_idx_minhash")}/idx"
+        graft.ops.Llm.exactIndexSeed(spark, corpus, idxE)
+        graft.ops.Llm.dedupIndexSeed(spark, corpus, idxM)
+        CacheRegistry.releaseAll()
+        val r = Seq(
+          t1("exact_probe") {
+            graft.ops.Llm.exactIngestApply(spark, exactBatch, idxE).count(); ()
+          },
+          t1("minhash_probe") {
+            graft.ops.Llm.dedupIncremental(spark, nearBatch, idxM).count(); ()
+          })
+        CacheRegistry.releaseAll()
+        r
+      }
+      reps.head.map(_._1).map { name =>
+        name -> reps.map(_.toMap.apply(name)).min
+      }
     }
-    // one discarded warmup round first: the shingle/minhash codegen and
-    // parquet-append machinery otherwise bill their one-time init to the
-    // factor-1 probes, which at small SF INVERTS the comparison (r14
-    // local run: 10× probes read faster than 1× on exactly this)
-    if (filt.isEmpty) {
-      try { indexReadsAt(1); () } catch { case _: Throwable => () }
-    }
+    // no separate discarded warmup round: the shingle/minhash codegen
+    // and parquet-append one-time init land in repetition 1 and the
+    // min-of-3 drops them — a full extra warmup call would only re-pay
+    // two index seeds for nothing
     val indexReads: Seq[(String, Double)] = if (filt.nonEmpty) Seq.empty
     else try indexReadsAt(1) catch {
       case e: Throwable =>

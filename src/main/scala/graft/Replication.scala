@@ -61,7 +61,16 @@ object Replication {
           // paths — drain the pool before propagating, so the failure
           // the caller sees is also the moment the dest dir is quiet
           pool.shutdownNow()
-          pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+          val drained =
+            pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+          if (!drained)
+            // surface the broken guarantee instead of silently voiding
+            // it: a caller's immediate retry would overlap the
+            // still-running overwrite jobs on the same table paths
+            e.addSuppressed(new IllegalStateException(
+              "fullSync drain timed out after 10 minutes — snapshot " +
+                s"writers may still be writing into $destDir; do not " +
+                "retry until they quiesce"))
           throw e
       }
       finally { pool.shutdown(); () }

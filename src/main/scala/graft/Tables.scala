@@ -466,4 +466,97 @@ object Tables {
        SELECT 'D', CAST(3 AS BIGINT), l_shipdate + INTERVAL 2 DAY,
          okey, CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR), line_no
        FROM li WHERE (okey + line_no) % 7 = 0"""
+
+  /** EXOTIC-typed change log — the tail of the MySQL type map
+    * ([[cdcLogTyped]]: numeric/enum/JSON, [[cdcLogTemporal]]:
+    * temporal/binary): SET (`flags_bits`, the raw member BITMASK the
+    * binlog ships — the pipeline decodes it to MySQL's comma-joined
+    * string form), YEAR (`yr`, Int16 range 1901..2155), BIT(20)
+    * (`bits`, the integer value), and the ZERO-DATE landmine: `d_raw` /
+    * `dt_raw` carry the RAW text a binlog decoder hands over, with
+    * `0000-00-00` (storable in MySQL, invalid everywhere else) on a
+    * deterministic subset of rows — inserts zero okey%5==0, updates
+    * zero okey%5==1, so the latest event can flip a key real→zero AND
+    * zero→real across the collapse. Same event rules as [[cdcLog]];
+    * deletes ship NULL extras. */
+  def cdcLogExotic(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders").select(
+      col("o_orderkey"), col("o_totalprice").cast(DoubleType).as("price"),
+      col("o_orderstatus").as("status"), col("o_orderdate"))
+    val cols = Seq("op", "seq", "ts", "okey", "price", "status",
+      "flags_bits", "yr", "bits", "d_raw", "dt_raw")
+    val flags0 = (col("o_orderkey") % 16).cast(LongType)
+    val yr0 = (lit(1901) + col("o_orderkey") % 200).cast(ShortType)
+    val bits0 = (col("o_orderkey") % 1048576).cast(LongType)
+    val dRaw0 = when(col("o_orderkey") % 5 === 0, lit("0000-00-00"))
+      .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd"))
+    val dtRaw0 = when(col("o_orderkey") % 4 === 0,
+      lit("0000-00-00 00:00:00"))
+      .otherwise(concat(date_format(col("o_orderdate"), "yyyy-MM-dd"),
+        lit(" 12:34:56")))
+    explodeEvents(o, cols, Seq(
+      lit(true) -> struct(
+        lit("I").as("op"), lit(1L).as("seq"), col("o_orderdate").as("ts"),
+        col("o_orderkey").as("okey"), col("price"), col("status"),
+        flags0.as("flags_bits"), yr0.as("yr"), bits0.as("bits"),
+        dRaw0.as("d_raw"), dtRaw0.as("dt_raw")),
+      (col("o_orderkey") % 3 === 0) -> struct(
+        lit("U").as("op"), lit(2L).as("seq"),
+        (col("o_orderdate") + expr("INTERVAL 1 DAY")).as("ts"),
+        col("o_orderkey").as("okey"),
+        (col("price") + lit(10.0d)).as("price"), lit("P").as("status"),
+        flags0.bitwiseXOR(lit(5L)).as("flags_bits"),
+        (yr0 + lit(1)).cast(ShortType).as("yr"),
+        ((col("o_orderkey") + 77) % 1048576).cast(LongType).as("bits"),
+        when(col("o_orderkey") % 5 === 1, lit("0000-00-00"))
+          .otherwise(date_format(date_add(col("o_orderdate"), 1),
+            "yyyy-MM-dd")).as("d_raw"),
+        when(col("o_orderkey") % 4 === 1, lit("0000-00-00 00:00:00"))
+          .otherwise(concat(
+            date_format(date_add(col("o_orderdate"), 1), "yyyy-MM-dd"),
+            lit(" 01:02:03"))).as("dt_raw")),
+      (col("o_orderkey") % 7 === 0) -> struct(
+        lit("D").as("op"), lit(3L).as("seq"),
+        (col("o_orderdate") + expr("INTERVAL 2 DAY")).as("ts"),
+        col("o_orderkey").as("okey"), lit(null).cast(DoubleType).as("price"),
+        lit(null).cast(StringType).as("status"),
+        lit(null).cast(LongType).as("flags_bits"),
+        lit(null).cast(ShortType).as("yr"),
+        lit(null).cast(LongType).as("bits"),
+        lit(null).cast(StringType).as("d_raw"),
+        lit(null).cast(StringType).as("dt_raw"))))
+  }
+
+  /** DuckDB-SQL equivalent of [[cdcLogExotic]] (CTE body `cdc_exotic`). */
+  val cdcLogExoticSql: String =
+    """SELECT 'I' AS op, CAST(1 AS BIGINT) AS seq, o_orderdate AS ts,
+         o_orderkey AS okey, CAST(o_totalprice AS DOUBLE) AS price,
+         o_orderstatus AS status,
+         CAST(o_orderkey % 16 AS BIGINT) AS flags_bits,
+         CAST(1901 + o_orderkey % 200 AS SMALLINT) AS yr,
+         CAST(o_orderkey % 1048576 AS BIGINT) AS bits,
+         CASE WHEN o_orderkey % 5 = 0 THEN '0000-00-00'
+              ELSE CAST(CAST(o_orderdate AS DATE) AS VARCHAR) END AS d_raw,
+         CASE WHEN o_orderkey % 4 = 0 THEN '0000-00-00 00:00:00'
+              ELSE CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+                || ' 12:34:56' END AS dt_raw
+       FROM orders
+       UNION ALL
+       SELECT 'U', CAST(2 AS BIGINT), o_orderdate + INTERVAL 1 DAY,
+         o_orderkey, CAST(o_totalprice AS DOUBLE) + CAST(10 AS DOUBLE), 'P',
+         CAST(xor(o_orderkey % 16, 5) AS BIGINT),
+         CAST(1901 + o_orderkey % 200 + 1 AS SMALLINT),
+         CAST((o_orderkey + 77) % 1048576 AS BIGINT),
+         CASE WHEN o_orderkey % 5 = 1 THEN '0000-00-00'
+              ELSE CAST(CAST(o_orderdate AS DATE) + 1 AS VARCHAR) END,
+         CASE WHEN o_orderkey % 4 = 1 THEN '0000-00-00 00:00:00'
+              ELSE CAST(CAST(o_orderdate AS DATE) + 1 AS VARCHAR)
+                || ' 01:02:03' END
+       FROM orders WHERE o_orderkey % 3 = 0
+       UNION ALL
+       SELECT 'D', CAST(3 AS BIGINT), o_orderdate + INTERVAL 2 DAY,
+         o_orderkey, CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+         CAST(NULL AS BIGINT), CAST(NULL AS SMALLINT), CAST(NULL AS BIGINT),
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+       FROM orders WHERE o_orderkey % 7 = 0"""
 }

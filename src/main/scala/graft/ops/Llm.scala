@@ -1026,6 +1026,29 @@ object Llm {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // L2m: INDEX RETIREMENT live under the oracle gate — the lifecycle
+    // op of the persisted near-dup index (the delete/GDPR flow): a
+    // subset of the seeded corpus is RETIRED before the ingest, so its
+    // bands generate no candidates and its shingles confirm nothing —
+    // the ingested batch's pair set equals the full recompute's
+    // batch-touching pairs MINUS every pair with a retired member. The
+    // retired list is O(retirements) driver-side metadata by design
+    // (the ops surface takes an id list; %100 keeps it bounded), and
+    // every retired id is %5==0, so each retirement provably removes a
+    // pair the unretired run emits. Re-ingest readmission and
+    // compaction invariance stay spec-covered in LlmSpec.
+    "llm_dedup_retire" -> ((s, dir) => {
+      val all = docsWithNearDups(s, dir)
+      val idx = s"${graft.TmpDirs.create("graft_dedup_retire")}/idx"
+      dedupIndexSeed(s, all.filter(col("doc_id") < 100000), idx)
+      val retired = all.filter(col("doc_id") < 100000 &&
+          col("doc_id") % 100 === 0)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      dedupRetire(s, idx, retired)
+      dedupIncremental(s, all.filter(col("doc_id") >= 100000), idx)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // L2k: APPLY at the ingest boundary — the shipped batch: arriving
     // docs confirmed as near-dups of anything older (index or earlier
     // in-batch) are DROPPED (keep-lowest-id, L2g's policy), the rest
@@ -2049,6 +2072,14 @@ object Llm {
            WHERE doc_id % 5 = 1)
          WHERE doc_id NOT IN (SELECT b_id FROM confirmed)
          ORDER BY doc_id""",
+
+    // retirement: the ingest's pairs are the incremental set minus
+    // every pair whose index-side member is retired (%100 of the seed)
+    "llm_dedup_retire" ->
+      s"""WITH $minhashPairCtes
+         SELECT a_id, b_id, jaccard FROM confirmed
+         WHERE b_id >= 100000 AND NOT (a_id < 100000 AND a_id % 100 = 0)
+         ORDER BY a_id, b_id""",
 
     // the streamed ingest unions to the same pair set for any wave split
     "llm_dedup_stream" ->

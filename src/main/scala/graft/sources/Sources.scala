@@ -47,6 +47,61 @@ final class JdbcSource(url: String, user: String, password: String,
       .load()
 }
 
+/** Decoders for the MYSQL TYPES whose binlog encoding is not a clean
+  * 1:1 Spark type (SURVEY §2.7 F2's exotic tail) — the apply-time
+  * column transforms a replica applies to the raw envelope before the
+  * CDC pass streams it. All scan-local codegen'd expressions: no UDF,
+  * no shuffle, valid at any scale.
+  *
+  *  - SET('a','b',…): the binlog ships the member BITMASK (one bit per
+  *    member in declaration order); MySQL's own string form is the
+  *    comma-joined members — [[decodeSet]] reproduces it exactly,
+  *    including the empty-set `''` and NULL for NULL.
+  *  - Zero dates: `0000-00-00` / `0000-00-00 00:00:00` are storable in
+  *    MySQL (sql_mode permitting) but invalid in every destination
+  *    engine this class targets — the standard replica behavior is
+  *    CONVERT_TO_NULL (the MySQL Connector/J `zeroDateTimeBehavior`
+  *    default for this tool class). [[zeroDateToNull]] /
+  *    [[zeroDateTimeToNull]] apply that rule explicitly, so the policy
+  *    is in the code, not an accident of a cast's overflow behavior.
+  *  - YEAR and BIT(n) need no decode: YEAR replicates as a small int
+  *    (Int16 at the destination), BIT(n≤64) as its integer value
+  *    (Int64) — they ride the envelope as-is.
+  */
+object MySqlTypes {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  /** MySQL SET bitmask → the comma-joined member string MySQL itself
+    * renders (`members` in declaration order, bit i ⇔ members(i)).
+    * NULL mask → NULL; zero mask → `''` (the empty SET). */
+  def decodeSet(mask: Column, members: Seq[String]): Column = {
+    require(members.nonEmpty && members.size <= 64,
+      s"MySQL SET carries 1..64 members, got ${members.size}")
+    when(mask.isNull, lit(null).cast("string")).otherwise(
+      concat_ws(",", members.zipWithIndex.map { case (m, i) =>
+        when(mask.bitwiseAND(lit(1L << i)) =!= 0L, lit(m))
+      }: _*))
+  }
+
+  /** Raw DATE text → DateType, `0000-00-00` (and the zero-month /
+    * zero-day variants MySQL also stores) → NULL. */
+  def zeroDateToNull(raw: Column): Column =
+    when(raw.isNull || raw.startsWith("0000-") ||
+      raw.substr(6, 5).startsWith("00-") || raw.endsWith("-00"),
+      lit(null).cast("date")).otherwise(to_date(raw, "yyyy-MM-dd"))
+
+  /** Raw DATETIME text → TimestampNTZType (MySQL DATETIME is a wall
+    * clock — NTZ, never an instant), zero dates → NULL. The date part
+    * alone decides zero-ness: `0000-00-00 00:00:00` is the zero value,
+    * a genuine midnight on a real date is not. */
+  def zeroDateTimeToNull(raw: Column): Column =
+    when(raw.isNull || raw.startsWith("0000-") ||
+      raw.substr(6, 5).startsWith("00-") || raw.substr(9, 3).startsWith("00 "),
+      lit(null).cast("timestamp_ntz"))
+      .otherwise(to_timestamp_ntz(raw, lit("yyyy-MM-dd HH:mm:ss")))
+}
+
 /** Sink abstraction (SURVEY.md §2.1 S4/S5): the reference batches INSERTs
   * into ClickHouse with a flush size/interval; the Spark-native analogue is
   * an epoch-keyed idempotent writer used from foreachBatch — replaying an

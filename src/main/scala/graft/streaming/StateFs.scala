@@ -146,10 +146,49 @@ private[graft] object StateFs {
     }
   }
 
+  /** The control files whose ABSENCE makes a state dir "clean": no DDL
+    * record to coalesce/gate and no serving floors to filter — the
+    * overwhelmingly common per-trigger case, where every pinned read can
+    * skip the whole gate stack. */
+  private val DdlGateFiles: Set[String] =
+    Set("_renames", "_defaults", "_drops", "_purge_floor", "_trunc_floor")
+
+  /** Per-process memo of state dirs KNOWN clean (no [[DdlGateFiles]]
+    * present). A hit saves five control-file probes plus the
+    * rename/default/drop/floor parses on EVERY pinned read — the MV
+    * passes pay that per trigger, pure overhead on dirs that never saw
+    * a DDL. Only the CLEAN verdict is cached (a dirty dir re-reads its
+    * record each call — the record can grow); [[writeAtomic]] of any
+    * gate file invalidates its parent, so even a spec publishing a
+    * floor directly is caught. Sound under the state protocol's
+    * standing single-writer assumption: the one pass that writes a
+    * dir's epochs is the only writer of its control files, so no other
+    * PROCESS can dirty a dir behind this JVM's cache. Keys are
+    * Hadoop-normalized path strings. */
+  private val cleanDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def normDir(state: String): String = new Path(state).toString
+
+  private[graft] def dirHasNoDdl(state: String): Boolean = {
+    val key = normDir(state)
+    cleanDirs.contains(key) || {
+      val clean = DdlGateFiles.forall(f => !exists(s"$state/$f"))
+      if (clean) cleanDirs.add(key)
+      clean
+    }
+  }
+
+  private[graft] def markDdlDirty(state: String): Unit = {
+    cleanDirs.remove(normDir(state)); ()
+  }
+
   /** Atomically publish a small control file: write `<path>.tmp`, then
     * `FileContext.rename(OVERWRITE)` it over the destination. */
   def writeAtomic(path: String, content: String): Unit = {
     val dst = new Path(path)
+    if (DdlGateFiles.contains(dst.getName))
+      Option(dst.getParent).foreach(p => { cleanDirs.remove(p.toString); () })
     val tmp = new Path(path + ".tmp")
     val f = fs(dst)
     val out = f.create(tmp, true)

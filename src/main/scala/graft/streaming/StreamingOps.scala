@@ -505,6 +505,11 @@ object StreamingOps {
           org.apache.spark.sql.types.StructType(shrunk).json)
     }
 
+  /** [[StateFs.dirHasNoDdl]]'s local alias — see the cache notes there
+    * (the memo lives in StateFs so a direct `writeAtomic` of a gate
+    * file, spec-side included, invalidates it). */
+  private def dirHasNoDdl(state: String): Boolean = StateFs.dirHasNoDdl(state)
+
   /** Read a state dir through its published schema when one exists
     * (pre-DDL epochs surface NULL for later columns exactly as
     * mergeSchema gave them), footer-merge only as the legacy fallback.
@@ -534,7 +539,8 @@ object StreamingOps {
         // a historical name RE-ADDED later as a fresh column stops being
         // history — the physical column now means the new column, and
         // coalescing it under the renamed one would mix the two
-        val hist = renameHistory(readRenames(state))
+        val hist = if (dirHasNoDdl(state)) Map.empty[String, Seq[String]]
+        else renameHistory(readRenames(state))
           .filter { case (n, _) => p.fieldNames.contains(n) }
           .map { case (n, olds) =>
             n -> olds.filterNot(p.fieldNames.contains) }
@@ -580,6 +586,7 @@ object StreamingOps {
     * paths can never drift. */
   private def applyDdlGates(state: String, base: DataFrame,
       asOfSeq: Option[Long] = None): DataFrame = {
+    if (dirHasNoDdl(state)) return base
     val drops = readDrops(state)
       .filter { case (c, _) => base.columns.contains(c) }
       .groupBy(_._1).map { case (c, es) => c -> es.map(_._2).max }
@@ -616,6 +623,7 @@ object StreamingOps {
   private def readStateDirGated(s: SparkSession, state: String,
       buckets: Option[Seq[Long]] = None): DataFrame = {
     val raw = readStateDir(s, state, buckets = buckets)
+    if (dirHasNoDdl(state)) return raw
     val purgeGated = readPurgeFloor(state) match {
       case Some(f) => raw.filter(col("epoch") < 0 || col("seq") > f)
       case None => raw
@@ -2111,6 +2119,10 @@ object StreamingOps {
         array_contains(col(changedCol), c))
     val bSeq = when(col("_src") === "b", col("seq"))
     val pSeq = when(col("_src") === "p", col("seq"))
+    // _win_<c> is read ONLY for columns that are some table's key (the
+    // PK-rides-the-image bypass below); emitting it for every payload
+    // column was dead per-batch aggregate work on the one shuffle.
+    val someKey = keyFor.values.flatten.toSet
     val aggs = Seq(
       max_by(struct(col("op"), col("seq"), col("ts")), bSeq).as("_top"),
       max_by(col("op"), pSeq).as("_oldop")) ++
@@ -2119,8 +2131,9 @@ object StreamingOps {
         max_by(when(col("op") === "D",
           lit(null).cast(batch.schema(c).dataType)).otherwise(col(c)),
           when(det(c), col("seq"))).as(s"_new_$c"),
-        max_by(col(c), pSeq).as(s"_old_$c"),
-        max_by(col(c), bSeq).as(s"_win_$c")) }
+        max_by(col(c), pSeq).as(s"_old_$c")) ++
+        (if (someKey.contains(c)) Seq(max_by(col(c), bSeq).as(s"_win_$c"))
+         else Nil) }
     val agg = tagged.withColumn("__pk", keyCase)
       .groupBy(col("table"), col("__pk"))
       .agg(aggs.head, aggs.tail: _*)
@@ -2269,14 +2282,33 @@ object StreamingOps {
     * carrying rename-coalesce machinery in every epoch read and delta
     * join forever after (the 100 TB state dir makes the opposite trade
     * for the same reason, [[applyRenameDdl]]). Crash-safe staged swap
-    * (stage → live→trash → stage→live → drop), healed at entry like the
-    * index compactions; idempotent — a replayed pass finds the old name
-    * gone and no-ops. */
+    * (stage → live→trash → stage→live → publish → drop trash) whose
+    * COMMIT POINT is the `_schema` publish: on entry, old names still
+    * published + a trash dir present means the swap did NOT commit, so
+    * healing ROLLS BACK to the trashed pre-rename copy (the live dir may
+    * already hold new-name files, unreadable under the published
+    * old-name schema — restoring, not keeping, is the only safe side);
+    * new names published means any stage/trash leftovers are a committed
+    * migration's unclaimed cleanup, reclaimed unconditionally. The trash
+    * move preserves the `epoch=<id>` dir name so a rollback knows which
+    * epoch to restore even when the live dir vanished with it.
+    * Idempotent — a replayed pass finds the old name gone and only
+    * reclaims leftovers. */
   private def migrateMvRename(s: SparkSession, mv: String,
       renames: Map[String, String]): Unit =
     readStateSchema(mv).foreach { p =>
+      val stage = s"$mv/_rename_stage"
+      val trash = s"$mv/_rename_old"
       val hit = renames.filter { case (o, _) => p.fieldNames.contains(o) }
-      if (hit.nonEmpty) {
+      if (hit.isEmpty) {
+        // committed (or never-started) regime: the published schema holds
+        // no old names, so stage/trash can only be a crashed completed
+        // swap's leftovers — reclaim them HERE, unconditionally, or a
+        // crash between the publish and the final drop leaks the trash
+        // copy forever (no later call would enter the rename branch).
+        StateFs.deleteRecursive(trash)
+        StateFs.deleteRecursive(stage)
+      } else {
         val dup = hit.values.groupBy(identity)
           .collect { case (n, vs) if vs.size > 1 => n }
         require(dup.isEmpty,
@@ -2286,14 +2318,14 @@ object StreamingOps {
             s"MV rename target '$n' already published — a rename cannot " +
               "merge two view columns")
         }
-        val stage = s"$mv/_rename_stage"
-        val trash = s"$mv/_rename_old"
-        // heal a crashed prior migration: trash without live restores,
-        // trash with live is a completed swap's leftover
-        StateFs.epochIds(mv).maxOption.foreach { at =>
-          val live = s"$mv/epoch=$at"
-          if (StateFs.exists(trash) && !StateFs.exists(live))
-            StateFs.moveDir(trash, live)
+        // uncommitted regime: old names are still published, so a trash
+        // dir is the ONLY authoritative pre-rename copy — roll back
+        // (drop whatever sits at live, restore trash) rather than trust
+        // live, which a crash mid-swap may have left holding new-name
+        // files that read all-NULL under the published schema.
+        StateFs.childDirNames(trash, "epoch=").foreach { e =>
+          StateFs.deleteRecursive(s"$mv/$e")
+          StateFs.moveDir(s"$trash/$e", s"$mv/$e")
         }
         StateFs.deleteRecursive(trash)
         StateFs.deleteRecursive(stage)
@@ -2303,12 +2335,12 @@ object StreamingOps {
           val live = s"$mv/epoch=$at"
           readMvEpoch(s, mv, at).toDF(renamed.fieldNames.toSeq: _*)
             .write.mode("overwrite").parquet(stage)
-          StateFs.moveDir(live, trash)
+          StateFs.moveDir(live, s"$trash/epoch=$at")
           StateFs.moveDir(stage, live)
         }
-        // schema publishes LAST: a crash above leaves the old name
-        // published over old-name data (consistent); after this line
-        // both are the new name
+        // schema publishes LAST — the commit point: a crash above rolls
+        // back to the trashed old-name copy on re-entry; after this line
+        // both data and schema are the new name and leftovers are inert
         StateFs.writeAtomic(s"$mv/_schema", renamed.json)
         StateFs.deleteRecursive(trash)
       }
@@ -2962,17 +2994,20 @@ object StreamingOps {
     // whose buckets they asked for; both probe call sites (mvImages'
     // semi-join, the chunk repair's restrict predicate) re-gate exactly
     val raw = readStateDir(s, state, asOfSeq, buckets)
-    val purgeGated = readPurgeFloor(state) match {
-      case Some(f) => raw.filter(col("epoch") < 0 || col("seq") > f)
-      case None => raw
-    }
+    val clean = dirHasNoDdl(state)
+    val purgeGated =
+      (if (clean) None else readPurgeFloor(state)) match {
+        case Some(f) => raw.filter(col("epoch") < 0 || col("seq") > f)
+        case None => raw
+      }
     // truncate floor ([[readTruncFloor]]): dead rows never reach the
     // collapse shuffle — and unlike the purge gate, baselines are NOT
     // exempt (a truncate kills folded history too)
-    val truncGated = readTruncFloor(state) match {
-      case Some(t) => purgeGated.filter(col("seq") > t)
-      case None => purgeGated
-    }
+    val truncGated =
+      (if (clean) None else readTruncFloor(state)) match {
+        case Some(t) => purgeGated.filter(col("seq") > t)
+        case None => purgeGated
+      }
     val gated = asOfSeq match {
       case Some(sq) => truncGated.filter(col("seq") <= sq)
       case None => truncGated
@@ -3227,8 +3262,82 @@ object StreamingOps {
         .select(col("okey"), col("op"), col("price"), col("status"),
           col("ts"), col("d_date"), col("dt_local"),
           unix_micros(col("ts_utc")).as("ts_utc_us"),
-          col("t_sec"), col("bin_tag"))
+          // hex, not raw bytes: the driver's comparator hashes cells in
+          // pandas, which cannot factorize a bytearray. The raw BLOB
+          // round-trip is still asserted end-to-end up to this final
+          // projection; both engines' hex() emits uppercase.
+          col("t_sec"), hex(col("bin_tag")).as("bin_tag_hex"))
         .orderBy(col("okey"))
+    }),
+
+    // S-TYPE-EXOTIC: the exotic tail of the MySQL type map (S19 covers
+    // numeric/enum/JSON, S20 temporal/binary): SET decoded from the raw
+    // member BITMASK the binlog ships to MySQL's own comma-joined
+    // string form (empty set = '', NULL stays NULL), YEAR as Int16,
+    // BIT(20) as its Int64 value, and the ZERO-DATE landmine —
+    // '0000-00-00' DATE/DATETIME text decoded to NULL (CONVERT_TO_NULL,
+    // the standard replica behavior) BEFORE the pass streams, so state
+    // and destination never hold a date no other engine can store. The
+    // update wave flips keys real→zero AND zero→real, so the collapse
+    // must serve the LATEST decode, not any per-column coalesce. The
+    // S17 closure asserts each destination mapping.
+    "cdc_type_exotic" -> ((s, dir) => {
+      val raw = Tables.cdcLogExotic(s, dir)
+      val log = raw
+        .withColumn("flags", graft.sources.MySqlTypes.decodeSet(
+          col("flags_bits"), Seq("a", "b", "c", "d")))
+        .withColumn("d_zero",
+          graft.sources.MySqlTypes.zeroDateToNull(col("d_raw")))
+        .withColumn("dt_zero",
+          graft.sources.MySqlTypes.zeroDateTimeToNull(col("dt_raw")))
+        .drop("flags_bits", "d_raw", "dt_raw")
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      writeWaves(log, in, when(col("seq") <= 2, 0).otherwise(1), 2,
+        Seq(col("okey")))
+      runCdcPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state")
+      val payload = org.apache.spark.sql.types.StructType(
+        readStateSchema(s"$tmp/state").get.fields
+          .filterNot(f => Seq("op", "seq").contains(f.name)))
+      val ddl = graft.sources.DestinationDdl.createTable(
+        "orders_exotic", payload, Seq("okey"))
+      for (want <- Seq("`flags` Nullable(String)", "`yr` Nullable(Int16)",
+          "`bits` Nullable(Int64)", "`d_zero` Nullable(Date32)",
+          "`dt_zero` Nullable(DateTime64(6))"))
+        require(ddl.contains(want),
+          s"bootstrap DDL lost an exotic mapping — wanted '$want' in: $ddl")
+      readLatestState(s, s"$tmp/state")
+        .select(col("okey"), col("op"), col("price"), col("status"),
+          col("ts"), col("flags"), col("yr"), col("bits"),
+          col("d_zero"), col("dt_zero"))
+        .orderBy(col("okey"))
+    }),
+
+    // ST-CHANGE-COLUMN: MySQL `ALTER TABLE … CHANGE COLUMN qty qty_big
+    // BIGINT` — RENAME + RETYPE as ONE DDL event, composed from the
+    // ST18 rename machinery and the ST37 widening guardrail in a single
+    // resumed pass: pass 2 declares the rename AND carries the renamed
+    // column at the wide type. Pre-DDL keys must serve their
+    // INT32-written values under the NEW name AND the WIDE type (the
+    // rename-coalesce reads the old physical column through the widened
+    // read schema — parquet upcasts int32→int64 natively, zero rewrite,
+    // zero backfill); post-DDL keys write values only a BIGINT holds.
+    "stream_cdc_change_column" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir)
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      val v1 = log.filter(col("seq") === 1).withColumn("qty",
+        (col("okey") % 1000).cast(org.apache.spark.sql.types.IntegerType))
+      writeWave(v1, in, 0)
+      runCdcPass(s, v1.schema, in, s"$tmp/ckpt", s"$tmp/state")
+      val v2 = log.filter(col("seq") >= 2).withColumn("qty_big",
+        when(col("op") === "D",
+          lit(null).cast(org.apache.spark.sql.types.LongType))
+          .otherwise(col("okey") + lit(3000000000L)))
+      writeWave(v2, in, 1)
+      runCdcPass(s, v2.schema, in, s"$tmp/ckpt", s"$tmp/state",
+        renameCols = Map("qty" -> "qty_big"))
+      readLatestState(s, s"$tmp/state")
     }),
 
     // ST-MULTI-PK: PER-TABLE primary keys in one topology — the real
@@ -4451,15 +4560,62 @@ object StreamingOps {
     // temporal/binary half of the type map: DATE and DATETIME (DuckDB's
     // TIMESTAMP is NTZ, so dt_local compares natively), the instant as
     // epoch micros (both engines run UTC), TIME as Int32 seconds, BLOB
-    // as raw bytes.
+    // compared as uppercase hex (raw bytes are driver-unhashable).
     "cdc_type_temporal" ->
       s"""WITH cdc_temporal AS (${Tables.cdcLogTemporalSql}),
             ranked AS (SELECT *, row_number() OVER (
                          PARTITION BY okey ORDER BY seq DESC) rn
                        FROM cdc_temporal)
          SELECT okey, op, price, status, ts, d_date, dt_local,
-                epoch_us(ts_utc) AS ts_utc_us, t_sec, bin_tag
+                epoch_us(ts_utc) AS ts_utc_us, t_sec,
+                hex(bin_tag) AS bin_tag_hex
          FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
+
+    // exotic tail of the type map: SET bitmask → MySQL's comma-joined
+    // member string (concat_ws skips the NULL member CASEs in both
+    // engines; zero mask = ''), YEAR/BIT ride as ints, zero-date text
+    // decodes to NULL — per EVENT, so the collapse serves the latest
+    // decode.
+    "cdc_type_exotic" ->
+      s"""WITH cdc_exotic AS (${Tables.cdcLogExoticSql}),
+            decoded AS (SELECT op, seq, ts, okey, price, status,
+                CASE WHEN flags_bits IS NULL THEN NULL ELSE concat_ws(',',
+                  CASE WHEN (flags_bits & 1) <> 0 THEN 'a' END,
+                  CASE WHEN (flags_bits & 2) <> 0 THEN 'b' END,
+                  CASE WHEN (flags_bits & 4) <> 0 THEN 'c' END,
+                  CASE WHEN (flags_bits & 8) <> 0 THEN 'd' END) END AS flags,
+                yr, bits,
+                CASE WHEN d_raw IS NULL OR d_raw LIKE '0000-%' THEN NULL
+                     ELSE CAST(d_raw AS DATE) END AS d_zero,
+                CASE WHEN dt_raw IS NULL OR dt_raw LIKE '0000-%' THEN NULL
+                     ELSE CAST(dt_raw AS TIMESTAMP) END AS dt_zero
+              FROM cdc_exotic),
+            ranked AS (SELECT *, row_number() OVER (
+                         PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM decoded)
+         SELECT okey, op, price, status, ts, flags, yr, bits,
+                d_zero, dt_zero
+         FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
+
+    // CHANGE COLUMN (rename + widen in one DDL): the full history
+    // serves under the new name at the wide type — pre-DDL values
+    // upcast, post-DDL values only a BIGINT can hold.
+    "stream_cdc_change_column" ->
+      s"""WITH cdc_log AS (${Tables.cdcLogSql}),
+            evolved AS (
+              SELECT op, seq, ts, okey, price, status,
+                     CAST(okey % 1000 AS BIGINT) AS qty_big
+              FROM cdc_log WHERE seq = 1
+              UNION ALL
+              SELECT op, seq, ts, okey, price, status,
+                     CASE WHEN op = 'D' THEN NULL
+                          ELSE okey + CAST(3000000000 AS BIGINT) END
+              FROM cdc_log WHERE seq >= 2),
+            ranked AS (SELECT *, row_number() OVER (
+                         PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM evolved)
+         SELECT okey, op, price, status, ts, qty_big FROM ranked
+         WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
 
     // per-table PKs: t_ord (the line_no=1 slice) collapses per okey,
     // t_line per full tuple — each side of the union ranked under its

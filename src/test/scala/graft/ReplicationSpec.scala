@@ -357,6 +357,49 @@ class ReplicationSpec extends SparkTestBase {
       .get("binlog.000007:200").contains(2L))
   }
 
+  test("position catalog across a binlog ROTATION: file roll keeps seq " +
+      "continuity, a reused filename takes the newest recording") {
+    // the rotate event mid-stream: the source rolls binlog.000001 →
+    // binlog.000002 (offsets restart per file, the engine's seq keeps
+    // climbing), and later REUSES a purged filename (RESET MASTER /
+    // log-index recycle — the classic position landmine). The catalog
+    // must serve each token's NEWEST recorded horizon so that
+    // resume-by-token stays equal to resume-by-seq on both sides of the
+    // roll AND after the recycle.
+    val log = Tables.cdcLog(spark, sf)
+    val base = tmp()
+    val ckpt = s"$base/ckpt"
+    // a connector checkpointing through the roll reports (token,
+    // horizon) pairs exactly like these
+    Replication.PositionCatalog.record(ckpt, "binlog.000001:400", 1L)
+    Replication.PositionCatalog.record(ckpt, "binlog.000002:120", 2L)
+    def replay(from: Option[Long], token: Option[String]): Set[Seq[Any]] = {
+      val b2 = tmp()
+      (1 to 3).foreach(w => graft.streaming.StreamingOps.writeWave(
+        log.filter(col("seq") === w), s"$b2/in", w - 1))
+      token match {
+        case Some(t) => Replication.incrementalSyncFromPosition(
+          spark, log.schema, s"$b2/in", s"$b2/ckpt", s"$b2/state", t,
+          Replication.PositionCatalog.codec(ckpt))
+        case None => Replication.incrementalSync(spark, log.schema,
+          s"$b2/in", s"$b2/ckpt", s"$b2/state", fromSeq = from)
+      }
+      Replication.appliedState(spark, s"$b2/state").collect()
+        .map(_.toSeq).toSet
+    }
+    assert(replay(None, Some("binlog.000001:400")) == replay(Some(1L), None),
+      "pre-roll token must resume like its recorded seq")
+    assert(replay(None, Some("binlog.000002:120")) == replay(Some(2L), None),
+      "post-roll token must resume like its recorded seq")
+    // recycle: the reused filename re-records at the NEW horizon —
+    // newest wins (Replication.record's documented contract), and
+    // resume follows the new meaning, never the purged file's
+    Replication.PositionCatalog.record(ckpt, "binlog.000001:400", 2L)
+    assert(Replication.PositionCatalog.read(ckpt)("binlog.000001:400") == 2L)
+    assert(replay(None, Some("binlog.000001:400")) == replay(Some(2L), None),
+      "a recycled filename must resume at its newest recording")
+  }
+
   test("replicaStatus reads every published control surface") {
     val log = Tables.cdcLog(spark, sf)
     val base = tmp()

@@ -86,6 +86,57 @@ class StreamingSpec extends SparkTestBase {
       s"renamed column must carry its pre-rename value: $served")
   }
 
+  test("CHANGE COLUMN: rename + retype in ONE DDL event — pre-DDL keys " +
+      "serve old values under the new name at the wide type") {
+    // MySQL `ALTER TABLE … CHANGE COLUMN qty qty_big BIGINT`: one
+    // QueryEvent carries both the rename and the widening. The resumed
+    // pass declares the rename while its envelope ships the renamed
+    // column at the wide type; the rename-coalesce must then read the
+    // old INT32 physical column through the widened read schema, so an
+    // untouched pre-DDL key serves its old value under the new name AS
+    // A LONG — no rewrite, no backfill, no fork.
+    import graft.streaming.StreamingOps
+    val base = java.nio.file.Files.createTempDirectory("graft_chg").toString
+    def frame(rows: Seq[(String, Long, Long, Long)], cname: String,
+        wide: Boolean) = {
+      val df = spark.createDataFrame(rows)
+        .toDF("op", "seq", "okey", cname)
+        .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("seq")))
+        .withColumn("price", lit(1.0d)).withColumn("status", lit("X"))
+      df.select(col("op"), col("seq"), col("ts"), col("okey"), col("price"),
+        col("status"),
+        (if (wide) col(cname) else col(cname).cast("int")).as(cname))
+    }
+    val w0 = frame(Seq(("I", 1L, 1L, 10L), ("I", 2L, 2L, 20L)),
+      "qty", wide = false)
+    StreamingOps.writeWave(w0, s"$base/in", 0)
+    StreamingOps.runCdcPass(spark, w0.schema, s"$base/in", s"$base/ckpt",
+      s"$base/state")
+    // the CHANGE COLUMN pass: k1 rewritten with a BIGINT-only value,
+    // k2 untouched — must serve 20 under qty_big
+    val w1 = frame(Seq(("U", 3L, 1L, 3000000000L)), "qty_big", wide = true)
+    StreamingOps.writeWave(w1, s"$base/in", 1)
+    StreamingOps.runCdcPass(spark, w1.schema, s"$base/in", s"$base/ckpt",
+      s"$base/state", renameCols = Map("qty" -> "qty_big"))
+    val st = StreamingOps.readLatestState(spark, s"$base/state")
+      .select(col("okey"), col("qty_big"))
+    assert(st.schema("qty_big").dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"published type must be the wide one: ${st.schema}")
+    val served = st.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(served == Map(1L -> 3000000000L, 2L -> 20L),
+      s"CHANGE COLUMN must carry pre-DDL values to the wide type: $served")
+    // a NARROWING change-column fails loudly by name — never a silent
+    // re-narrow (overflow) or a mid-pass analysis error
+    val w2 = frame(Seq(("U", 4L, 2L, 5L)), "qty_small", wide = false)
+    StreamingOps.writeWave(w2, s"$base/in", 2)
+    val e = intercept[StreamingOps.EnvelopeTypeChangeException] {
+      StreamingOps.runCdcPass(spark, w2.schema, s"$base/in", s"$base/ckpt",
+        s"$base/state", renameCols = Map("qty_big" -> "qty_small"))
+    }
+    assert(e.column == "qty_small")
+  }
+
   test("partial images compose with the txn gate: completion waits for the commit") {
     // a MINIMAL update inside an uncommitted transaction must not
     // complete (or apply) until its commit marker arrives — and when it

@@ -59,9 +59,33 @@ def norm_cell(v):
     return ("other", repr(v))
 
 
+def _has_binary(t):
+    """True if an arrow type contains a binary leaf anywhere (the driver's
+    pandas comparator crashes on bytearray cells: round-14 failure mode,
+    cdc_type_temporal shipped a BLOB column and the driver recorded err)."""
+    import pyarrow as pa
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t) \
+            or pa.types.is_fixed_size_binary(t):
+        return True
+    if pa.types.is_list(t) or pa.types.is_large_list(t) \
+            or pa.types.is_fixed_size_list(t):
+        return _has_binary(t.value_type)
+    if pa.types.is_struct(t):
+        return any(_has_binary(f.type) for f in t)
+    if pa.types.is_map(t):
+        return _has_binary(t.key_type) or _has_binary(t.item_type)
+    return False
+
+
 def load_spark(outdir, name):
     """Spark result via pyarrow, exactly like the driver."""
     tbl = pq.read_table(f"{outdir}/{name}")
+    bad = [f.name for f in tbl.schema if _has_binary(f.type)]
+    if bad:
+        raise ValueError(
+            f"driver-unhashable BinaryType column(s) {bad}: the driver's "
+            f"pandas comparator cannot factorize bytes — project hex() "
+            f"instead")
     cols = sorted(tbl.column_names)
     data = {c: tbl.column(c).to_pylist() for c in cols}
     rows = [tuple(norm_cell(data[c][i]) for c in cols)
