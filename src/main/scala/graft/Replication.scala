@@ -199,7 +199,8 @@ object Replication {
       keepHistory: Boolean = false,
       computedCols: Seq[(String, String)] = Seq.empty,
       positionToken: Option[String] = None,
-      partialImageCol: Option[String] = None)
+      partialImageCol: Option[String] = None,
+      heartbeats: Boolean = false)
       : SyncProgress = {
     val (rows, epochs, lastSeq, pending, srcMax) =
       streaming.StreamingOps.runCdcPass(
@@ -208,7 +209,8 @@ object Replication {
         truncateAtSeq = truncateAtSeq, defaultCols = defaultCols,
         rowFilter = rowFilter, maskCols = maskCols, keyCols = keyCols,
         dropCols = dropCols, keepHistory = keepHistory,
-        computedCols = computedCols, partialImageCol = partialImageCol)
+        computedCols = computedCols, partialImageCol = partialImageCol,
+        heartbeats = heartbeats)
     if (deltaCount(stateDir) > compactEvery)
       streaming.StreamingOps.compactState(spark, stateDir, tombstoneGc)
     // the connector reported this pass's horizon under its own dialect:

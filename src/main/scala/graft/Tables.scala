@@ -527,6 +527,73 @@ object Tables {
         lit(null).cast(StringType).as("dt_raw"))))
   }
 
+  /** CHARSET-typed change log — the text-encoding landmine of the MySQL
+    * type map: a latin1 (ISO-8859-1) column's binlog bytes are NOT
+    * UTF-8, and a replica that applies them verbatim serves mojibake.
+    * `name_raw` carries the raw latin1-encoded BYTES a binlog decoder
+    * hands over (accented names exercising the non-ASCII latin1 range);
+    * the pipeline must transcode to UTF-8 at apply time
+    * ([[graft.sources.MySqlTypes.decodeText]]). Same event rules as
+    * [[cdcLog]]; updates re-spell the name, deletes ship NULL. */
+  def cdcLogCharset(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders").select(
+      col("o_orderkey"), col("o_totalprice").cast(DoubleType).as("price"),
+      col("o_orderstatus").as("status"), col("o_orderdate"))
+    val cols = Seq("op", "seq", "ts", "okey", "price", "status", "name_raw")
+    def nm(names: Seq[String]) = concat(
+      element_at(array(names.map(lit): _*),
+        (col("o_orderkey") % 4 + 1).cast(IntegerType)),
+      lit("-"), (col("o_orderkey") % 100).cast(StringType))
+    val name0 = nm(Seq("Müller", "Ångström", "café", "niño"))
+    // every character sits inside the ISO-8859-1 repertoire (ř would
+    // not — an unmappable char turns into '?' at encode time and the
+    // hash gate would rightly fail), hence Dvorák, not Dvořák
+    val name1 = nm(Seq("Lindström", "Pérez", "Dvorák", "Çelik"))
+    explodeEvents(o, cols, Seq(
+      lit(true) -> struct(
+        lit("I").as("op"), lit(1L).as("seq"), col("o_orderdate").as("ts"),
+        col("o_orderkey").as("okey"), col("price"), col("status"),
+        encode(name0, "ISO-8859-1").as("name_raw")),
+      (col("o_orderkey") % 3 === 0) -> struct(
+        lit("U").as("op"), lit(2L).as("seq"),
+        (col("o_orderdate") + expr("INTERVAL 1 DAY")).as("ts"),
+        col("o_orderkey").as("okey"),
+        (col("price") + lit(10.0d)).as("price"), lit("P").as("status"),
+        encode(name1, "ISO-8859-1").as("name_raw")),
+      (col("o_orderkey") % 7 === 0) -> struct(
+        lit("D").as("op"), lit(3L).as("seq"),
+        (col("o_orderdate") + expr("INTERVAL 2 DAY")).as("ts"),
+        col("o_orderkey").as("okey"), lit(null).cast(DoubleType).as("price"),
+        lit(null).cast(StringType).as("status"),
+        lit(null).cast(BinaryType).as("name_raw"))))
+  }
+
+  /** DuckDB-SQL equivalent of [[cdcLogCharset]] (CTE body `cdc_charset`)
+    * — the oracle synthesizes the UTF-8 TEXT directly (DuckDB has no
+    * latin1 codec), so the hashes meet iff the Spark side's
+    * latin1-bytes round-trip is lossless (a decode under the wrong
+    * charset — the classic mojibake — would mangle every accent). */
+  val cdcLogCharsetSql: String =
+    """SELECT 'I' AS op, CAST(1 AS BIGINT) AS seq, o_orderdate AS ts,
+         o_orderkey AS okey, CAST(o_totalprice AS DOUBLE) AS price,
+         o_orderstatus AS status,
+         (CASE o_orderkey % 4 WHEN 0 THEN 'Müller' WHEN 1 THEN 'Ångström'
+               WHEN 2 THEN 'café' ELSE 'niño' END)
+           || '-' || CAST(o_orderkey % 100 AS VARCHAR) AS name
+       FROM orders
+       UNION ALL
+       SELECT 'U', CAST(2 AS BIGINT), o_orderdate + INTERVAL 1 DAY,
+         o_orderkey, CAST(o_totalprice AS DOUBLE) + CAST(10 AS DOUBLE), 'P',
+         (CASE o_orderkey % 4 WHEN 0 THEN 'Lindström' WHEN 1 THEN 'Pérez'
+               WHEN 2 THEN 'Dvorák' ELSE 'Çelik' END)
+           || '-' || CAST(o_orderkey % 100 AS VARCHAR)
+       FROM orders WHERE o_orderkey % 3 = 0
+       UNION ALL
+       SELECT 'D', CAST(3 AS BIGINT), o_orderdate + INTERVAL 2 DAY,
+         o_orderkey, CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+         CAST(NULL AS VARCHAR)
+       FROM orders WHERE o_orderkey % 7 = 0"""
+
   /** DuckDB-SQL equivalent of [[cdcLogExotic]] (CTE body `cdc_exotic`). */
   val cdcLogExoticSql: String =
     """SELECT 'I' AS op, CAST(1 AS BIGINT) AS seq, o_orderdate AS ts,

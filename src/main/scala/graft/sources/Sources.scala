@@ -84,6 +84,17 @@ object MySqlTypes {
       }: _*))
   }
 
+  /** Raw text-column BYTES in the source column's charset → a UTF-8
+    * String — the transcode a replica owes every non-utf8mb4 MySQL
+    * column (latin1 is still the accumulated-schema default in the
+    * wild): applying binlog bytes verbatim serves mojibake at the
+    * destination. `charset` is the Java canonical name the MySQL
+    * charset maps to (latin1 → ISO-8859-1, ujis → EUC-JP, …); an
+    * unmappable byte surfaces as the codec's replacement char rather
+    * than corrupting neighbors. NULL stays NULL. */
+  def decodeText(raw: Column, charset: String): Column =
+    decode(raw, charset)
+
   /** Raw DATE text → DateType, `0000-00-00` (and the zero-month /
     * zero-day variants MySQL also stores) → NULL. */
   def zeroDateToNull(raw: Column): Column =

@@ -843,12 +843,13 @@ object StreamingOps {
       dropCols: Map[String, Long] = Map.empty,
       keepHistory: Boolean = false,
       computedCols: Seq[(String, String)] = Seq.empty,
-      partialImageCol: Option[String] = None)
+      partialImageCol: Option[String] = None,
+      heartbeats: Boolean = false)
       : (Long, Long, Option[Long], Long, Option[Long]) =
     runCdcPassSource(s, FileCdcSource(schema, in), ckpt, state, trackSeq,
       startAfterSeq, txnCol, renameCols, truncateAtSeq, defaultCols,
       rowFilter, maskCols, keyCols, dropCols, keepHistory, computedCols,
-      partialImageCol)
+      partialImageCol, heartbeats)
 
   /** [[runCdcPass]] over an arbitrary [[CdcSource]] transport.
     * `renameCols` (old → new) declares RENAME COLUMN DDLs this pass's
@@ -862,7 +863,11 @@ object StreamingOps {
     * `rowFilter`/`maskCols` are the single-table forms of the multi
     * pass's per-table filters ([[runCdcPassMultiSource]]): only matching
     * events replicate — deletes ALWAYS bypass the predicate — and masked
-    * payload columns ship as NULL. */
+    * payload columns ship as NULL. `heartbeats` declares that the
+    * transport emits binlog KEEP-ALIVE rows (`op = "H"`, position-only):
+    * they never reach state, they advance the applied position like a
+    * commit marker (the source's "nothing happened through here"), and a
+    * heartbeat-only batch writes no delta. */
   private[graft] def runCdcPassSource(s: SparkSession, source: CdcSource,
       ckpt: String, state: String,
       trackSeq: Boolean = false,
@@ -877,7 +882,8 @@ object StreamingOps {
       dropCols: Map[String, Long] = Map.empty,
       keepHistory: Boolean = false,
       computedCols: Seq[(String, String)] = Seq.empty,
-      partialImageCol: Option[String] = None)
+      partialImageCol: Option[String] = None,
+      heartbeats: Boolean = false)
       : (Long, Long, Option[Long], Long, Option[Long]) = {
     partialImageCol.foreach { cc =>
       require(source.schema.fieldNames.contains(cc),
@@ -944,14 +950,25 @@ object StreamingOps {
     // a batch consumed by >1 action must be pinned (see the note above);
     // the position and row filters add an isEmpty probe, so they pin too
     val multiAction = trackSeq || startAfterSeq.isDefined ||
-      txnCol.isDefined || rowFilter.isDefined || partialImageCol.isDefined
+      txnCol.isDefined || rowFilter.isDefined ||
+      partialImageCol.isDefined || heartbeats
     val (rows, _) = runSourcePass(s, source, ckpt) { (batch, epochId) =>
       if (multiAction) batch.persist()
       var txnFull = Option.empty[DataFrame] // txn path's extra pin
       var partialPinned = Option.empty[DataFrame]
       try {
-        val positioned = startAfterSeq
+        val positioned0 = startAfterSeq
           .map(p => batch.filter(col("seq") > p)).getOrElse(batch)
+        // HEARTBEAT events (the binlog keep-alive rows a long-polling
+        // connector emits on a quiet source): op = "H" rows carry a
+        // position and nothing else — they must never reach state (a
+        // NULL-key phantom row) but DO advance the applied position
+        // below, exactly like a commit marker: the source is declaring
+        // "nothing happened through here", which is the caught-up
+        // signal a replication operator reads. Filtered BEFORE the txn
+        // gate (a heartbeat belongs to no transaction).
+        val positioned = if (!heartbeats) positioned0
+          else positioned0.filter(col("op") =!= "H")
         val gatedTxn = txnCol match {
           case None => positioned.toDF()
           case Some(tc) =>
@@ -1005,6 +1022,7 @@ object StreamingOps {
           // this fold a caught-up destination would read a permanent
           // phantom lag of one trailing marker.
           txnCol.foreach(_ => fold(batch.filter(col("op") === "C")))
+          if (heartbeats) fold(batch.filter(col("op") === "H"))
           startAfterSeq.foreach(p => fold(batch.filter(col("seq") <= p)))
           // filter-excluded events are resolved too: the predicate says
           // they will never apply, which is configuration, not lag
@@ -1014,8 +1032,8 @@ object StreamingOps {
           // seen gap (replication lag) is visible while events are held
           srcMaxSeq = foldMaxSeq(batch.toDF(), srcMaxSeq)
         }
-        if ((startAfterSeq.isEmpty && txnCol.isEmpty && rowFilter.isEmpty) ||
-            !applied.isEmpty) {
+        if ((startAfterSeq.isEmpty && txnCol.isEmpty && rowFilter.isEmpty &&
+            !heartbeats) || !applied.isEmpty) {
           // default: fold the batch to per-key winners before writing —
           // the delta then costs O(keys touched), not O(events), and
           // the read-side collapse is unchanged. keepHistory skips the
@@ -3313,6 +3331,57 @@ object StreamingOps {
         .orderBy(col("okey"))
     }),
 
+    // ST-HEARTBEAT: binlog KEEP-ALIVE events under the oracle gate —
+    // the quiet-source shape: position-only `op = "H"` rows ride the
+    // stream interleaved with DML and as a whole trailing batch. The
+    // served state must equal the plain collapse over the REAL events
+    // (no NULL-key phantom rows, no delta written for the
+    // heartbeat-only wave), while the pass's applied position advances
+    // through every heartbeat — the caught-up signal ReplicationSpec
+    // pins; here the state-invisibility half is hash-gated.
+    "stream_cdc_heartbeat" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir)
+      def hb(seq: Long) = log.limit(1).select(lit("H").as("op"),
+        lit(seq).as("seq"), col("ts"),
+        lit(null).cast(log.schema("okey").dataType).as("okey"),
+        lit(null).cast(log.schema("price").dataType).as("price"),
+        lit(null).cast(log.schema("status").dataType).as("status"))
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      writeWave(log.filter(col("seq") <= 2).unionByName(hb(50L)), in, 0)
+      writeWave(log.filter(col("seq") === 3), in, 1)
+      writeWave(hb(60L), in, 2)
+      runCdcPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state",
+        heartbeats = true)
+      readLatestState(s, s"$tmp/state")
+    }),
+
+    // S-TYPE-CHARSET: the text-ENCODING landmine of the MySQL type map:
+    // a latin1 column's binlog bytes are not UTF-8, and a replica that
+    // applies them verbatim serves mojibake forever. The fixture ships
+    // the raw ISO-8859-1 BYTES (accented names across the non-ASCII
+    // latin1 range); the pipeline transcodes to UTF-8 at apply time and
+    // streams the decoded text. The oracle synthesizes the UTF-8 text
+    // DIRECTLY (DuckDB has no latin1 codec), so the hash meets iff the
+    // byte round-trip is lossless — a decode under the wrong charset
+    // mangles every accent and fails red.
+    "cdc_type_charset" -> ((s, dir) => {
+      val raw = Tables.cdcLogCharset(s, dir)
+      val log = raw
+        .withColumn("name",
+          graft.sources.MySqlTypes.decodeText(col("name_raw"), "ISO-8859-1"))
+        .drop("name_raw")
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      writeWaves(log, in, when(col("seq") <= 2, 0).otherwise(1), 2,
+        Seq(col("okey")))
+      runCdcPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state")
+      readLatestState(s, s"$tmp/state")
+        .select(col("okey"), col("op"), col("price"), col("status"),
+          col("ts"), col("name"))
+        .orderBy(col("okey"))
+    }),
+
     // ST-CHANGE-COLUMN: MySQL `ALTER TABLE … CHANGE COLUMN qty qty_big
     // BIGINT` — RENAME + RETYPE as ONE DDL event, composed from the
     // ST18 rename machinery and the ST37 widening guardrail in a single
@@ -4595,6 +4664,20 @@ object StreamingOps {
                        FROM decoded)
          SELECT okey, op, price, status, ts, flags, yr, bits,
                 d_zero, dt_zero
+         FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
+
+    // heartbeats are invisible to state: the served collapse is the
+    // plain latest-wins over the real events alone
+    "stream_cdc_heartbeat" -> latestStateSql,
+
+    // charset transcode: the oracle builds the UTF-8 text directly —
+    // hash equality proves the Spark side's latin1 round-trip lossless
+    "cdc_type_charset" ->
+      s"""WITH cdc_charset AS (${Tables.cdcLogCharsetSql}),
+            ranked AS (SELECT *, row_number() OVER (
+                         PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM cdc_charset)
+         SELECT okey, op, price, status, ts, name
          FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
 
     // CHANGE COLUMN (rename + widen in one DDL): the full history

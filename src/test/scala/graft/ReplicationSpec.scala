@@ -357,6 +357,47 @@ class ReplicationSpec extends SparkTestBase {
       .get("binlog.000007:200").contains(2L))
   }
 
+  test("binlog heartbeats: keep-alive rows advance the position but " +
+      "never reach state, and a heartbeat-only batch writes no delta") {
+    // the long-quiet-source shape: the connector emits position-only
+    // keep-alive rows (op = "H") so the replica's applied position keeps
+    // advancing while no DML arrives — without them a caught-up replica
+    // on a quiet source reads a permanent phantom lag
+    import graft.streaming.StreamingOps
+    val log = Tables.cdcLog(spark, sf)
+    val base = tmp()
+    val w0 = log.filter(col("seq") <= 2)
+    val hb = log.limit(1).select(lit("H").as("op"), lit(100L).as("seq"),
+      col("ts"),
+      lit(null).cast(log.schema("okey").dataType).as("okey"),
+      lit(null).cast(log.schema("price").dataType).as("price"),
+      lit(null).cast(log.schema("status").dataType).as("status"))
+    StreamingOps.writeWave(w0, s"$base/in", 0)
+    StreamingOps.writeWave(hb, s"$base/in", 1)
+    val prog = Replication.incrementalSync(spark, log.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", heartbeats = true)
+    // state == the collapse over the REAL events alone; in particular no
+    // NULL-key phantom row from the heartbeat
+    val applied = Replication.appliedState(spark, s"$base/state")
+      .collect().map(_.toSeq).toSet
+    assert(!applied.exists(r => r.head == null),
+      "a heartbeat must never materialize as a state row")
+    val expect = w0.groupBy(col("okey"))
+      .agg(max_by(struct(col("op"), col("price"), col("status"), col("ts"),
+        col("seq")), col("seq")).as("l"))
+      .filter(col("l.op") =!= "D")
+      .select(col("okey"), col("l.op"), col("l.price"), col("l.status"),
+        col("l.ts"))
+      .collect().map(_.toSeq).toSet
+    assert(applied == expect)
+    // the applied position advanced THROUGH the heartbeat (the
+    // caught-up signal), so lag reads 0
+    assert(prog.lastSeq.contains(100L), s"lastSeq=${prog.lastSeq}")
+    assert(prog.lag == 0L)
+    // the heartbeat-only batch wrote NO delta epoch
+    assert(prog.epochs == 1, s"epochs=${prog.epochs}")
+  }
+
   test("position catalog across a binlog ROTATION: file roll keeps seq " +
       "continuity, a reused filename takes the newest recording") {
     // the rotate event mid-stream: the source rolls binlog.000001 →
