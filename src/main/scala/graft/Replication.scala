@@ -677,6 +677,104 @@ object Replication {
       .map { case (t, p) => config.dest(t) -> p }
   }
 
+  /** MySQL `RENAME TABLE a TO b [, c TO d …]` applied to the DESTINATION:
+    * atomically re-bind whole table state dirs under `root` — the verb
+    * behind every online-schema-change cutover (gh-ost / pt-osc end with
+    * `RENAME TABLE orders TO _orders_del, _orders_gho TO orders` as ONE
+    * statement). MySQL semantics exactly: the list executes
+    * left-to-right under one lock, so each source must exist and each
+    * target must be free AT ITS TURN — which is what lets the cutover
+    * pair work (the live name is moved away before the shadow lands on
+    * it) while `a TO b, b TO c` correctly refuses (b still occupied at
+    * a's turn).
+    *
+    * Each step is ONE directory rename — O(1) metadata at any table
+    * size; the dir carries its epochs, `_schema`, `_keycols`, floors and
+    * DDL records with it, so the swapped-in table serves immediately
+    * under the new name with its OWN key declaration (the re-key an OSC
+    * exists to deliver needs no further migration). Crash safety is a
+    * cursored journal, not staging: the FULL plan plus a done-cursor
+    * publishes atomically to `root/_rename_tables` BEFORE the first
+    * move, the cursor re-publishes after EVERY step, and the journal is
+    * deleted after the last — so [[healTableRenames]] resumes a crashed
+    * plan at its cursor with no layout inference (the one ambiguous
+    * window, a crash between a step's move and its cursor publish, is
+    * resolved by the step's source being gone — under the validated
+    * plan with all prior steps done, the source exists iff the move has
+    * not run; later steps can only recreate the name after this one
+    * completes). Like MySQL, the statement either fully applies or
+    * (validation) refuses up front; unlike a half-written multi-file
+    * swap, a crash mid-plan is completed — never rolled back — because
+    * the journal IS the commit point. */
+  def renameTables(root: String, renames: Seq[(String, String)]): Unit = {
+    // a crashed earlier statement completes first: its journal committed
+    // it, so the new statement validates against the healed layout
+    healTableRenames(root)
+    require(renames.nonEmpty, "RENAME TABLE with an empty rename list")
+    renames.foreach { case (o, n) =>
+      require(o != n, s"RENAME TABLE '$o' onto itself")
+      Seq(o, n).foreach(t => require(
+        t.nonEmpty && !t.exists(c => c == '/' || c == '\t' || c == '\n'),
+        s"malformed table name '$t'"))
+    }
+    // validate the WHOLE statement left-to-right against a simulated
+    // layout before touching anything — MySQL's all-or-nothing refusal
+    val involved = renames.flatMap { case (o, n) => Seq(o, n) }.distinct
+    var present = involved
+      .filter(t => streaming.StateFs.exists(s"$root/$t")).toSet
+    renames.foreach { case (o, n) =>
+      require(present.contains(o),
+        s"RENAME TABLE source '$o' does not exist at its turn")
+      require(!present.contains(n),
+        s"RENAME TABLE target '$n' already exists at its turn")
+      present = present - o + n
+    }
+    executeRenamePlan(root, renames, from = 0)
+  }
+
+  /** Complete a crashed [[renameTables]] statement: if a journal exists
+    * under `root`, its plan committed — resume at its cursor and retire
+    * the journal. A deployment calls this at startup (every
+    * [[renameTables]] call also heals first); with no journal it is a
+    * no-op. */
+  def healTableRenames(root: String): Unit =
+    streaming.StateFs.readSmall(s"$root/_rename_tables").foreach { text =>
+      val lines = text.split('\n').toSeq.filter(_.nonEmpty)
+      val cursor = lines.head.stripPrefix("done=").toInt
+      val steps = lines.tail.map { line =>
+        val Array(o, n) = line.split('\t')
+        (o, n)
+      }
+      executeRenamePlan(root, steps, from = cursor)
+    }
+
+  private def executeRenamePlan(root: String,
+      renames: Seq[(String, String)], from: Int): Unit = {
+    val journal = s"$root/_rename_tables"
+    val planText = renames.map { case (o, n) => s"$o\t$n" }.mkString("\n")
+    if (from == 0)
+      streaming.StateFs.writeAtomic(journal, s"done=0\n$planText")
+    for (i <- from until renames.size) {
+      val (o, n) = renames(i)
+      val src = s"$root/$o"
+      val dst = s"$root/$n"
+      if (streaming.StateFs.exists(src)) {
+        // pending step: under the validated left-to-right plan the
+        // target slot is free by now (any occupant moved away in an
+        // earlier step) — occupied means an outside writer raced the
+        // statement, which the protocol's single-writer contract forbids
+        require(!streaming.StateFs.exists(dst),
+          s"RENAME TABLE step '$o' -> '$n': target occupied mid-plan " +
+            "(outside writer raced the statement)")
+        streaming.StateFs.moveDir(src, dst)
+      } else require(streaming.StateFs.exists(dst),
+        s"RENAME TABLE step '$o' -> '$n': neither side exists — the " +
+          "journal does not match the directory layout")
+      streaming.StateFs.writeAtomic(journal, s"done=${i + 1}\n$planText")
+    }
+    streaming.StateFs.deleteRecursive(journal)
+  }
+
   /** The currently applied destination state (latest row per key,
     * tombstones dropped) — what the ClickHouse-side table would serve.
     * `asOfSeq` serves the state AS OF a binlog position instead (time

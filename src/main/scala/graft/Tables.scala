@@ -626,4 +626,100 @@ object Tables {
          CAST(NULL AS BIGINT), CAST(NULL AS SMALLINT), CAST(NULL AS BIGINT),
          CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
        FROM orders WHERE o_orderkey % 7 = 0"""
+
+  /** The gh-ost/pt-osc COPIER's view at cutover: one Insert per live
+    * order carrying the key's latest pre-cutover image ([[cdcLog]]'s
+    * seq<=2 collapse — the online-schema-change tool guarantees
+    * shadow == live at the cutover instant) PLUS the migration's new
+    * column `price_cents` (the whole point of the OSC): exact integer
+    * cents computed in DECIMAL so both engines agree bit for bit.
+    * `seq` carries the copied image's source position (2 for updated
+    * keys, 1 otherwise) so post-cutover events (seq 3+) win the
+    * collapse exactly as binlog order dictates. */
+  def cdcLogOscShadow(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders")
+    val upd = col("o_orderkey") % 3 === 0
+    o.select(
+      lit("I").as("op"),
+      when(upd, lit(2L)).otherwise(lit(1L)).as("seq"),
+      when(upd, col("o_orderdate") + expr("INTERVAL 1 DAY"))
+        .otherwise(col("o_orderdate")).as("ts"),
+      col("o_orderkey").as("okey"),
+      when(upd, col("o_totalprice").cast(DoubleType) + lit(10.0d))
+        .otherwise(col("o_totalprice").cast(DoubleType)).as("price"),
+      when(upd, lit("P")).otherwise(col("o_orderstatus")).as("status"),
+      ((dec2(col("o_totalprice")) +
+          when(upd, lit(10)).otherwise(lit(0))) * lit(100))
+        .cast(LongType).as("price_cents"))
+  }
+
+  /** DuckDB-SQL equivalent of [[cdcLogOscShadow]] (CTE body
+    * `osc_shadow`). */
+  val cdcLogOscShadowSql: String =
+    """SELECT 'I' AS op,
+         CASE WHEN o_orderkey % 3 = 0 THEN CAST(2 AS BIGINT)
+              ELSE CAST(1 AS BIGINT) END AS seq,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_orderdate + INTERVAL 1 DAY
+              ELSE o_orderdate END AS ts,
+         o_orderkey AS okey,
+         CASE WHEN o_orderkey % 3 = 0
+              THEN CAST(o_totalprice AS DOUBLE) + CAST(10 AS DOUBLE)
+              ELSE CAST(o_totalprice AS DOUBLE) END AS price,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'P'
+              ELSE o_orderstatus END AS status,
+         CAST((CAST(o_totalprice AS DECIMAL(12,2))
+               + CASE WHEN o_orderkey % 3 = 0 THEN 10 ELSE 0 END) * 100
+              AS BIGINT) AS price_cents
+       FROM orders"""
+
+  /** POST-CUTOVER binlog continuation under the swapped-in table (the
+    * OSC's new schema, [[cdcLogOscShadow]]'s envelope): [[cdcLog]]'s
+    * seq=3 deletes ride through unchanged, and a fresh update wave
+    * (seq=4, keys % 5 = 0 excluding the deleted % 7 keys — MySQL never
+    * emits an update for a deleted row) overwrites copied shadow images
+    * including the new column. */
+  def cdcLogOscPost(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders")
+    val upd = col("o_orderkey") % 3 === 0
+    val cols = Seq("op", "seq", "ts", "okey", "price", "status",
+      "price_cents")
+    explodeEvents(o, cols, Seq(
+      (col("o_orderkey") % 7 === 0) -> struct(
+        lit("D").as("op"), lit(3L).as("seq"),
+        (col("o_orderdate") + expr("INTERVAL 2 DAY")).as("ts"),
+        col("o_orderkey").as("okey"),
+        lit(null).cast(DoubleType).as("price"),
+        lit(null).cast(StringType).as("status"),
+        lit(null).cast(LongType).as("price_cents")),
+      (col("o_orderkey") % 5 === 0 && col("o_orderkey") % 7 =!= 0) -> struct(
+        lit("U").as("op"), lit(4L).as("seq"),
+        (col("o_orderdate") + expr("INTERVAL 3 DAY")).as("ts"),
+        col("o_orderkey").as("okey"),
+        (when(upd, col("o_totalprice").cast(DoubleType) + lit(10.0d))
+          .otherwise(col("o_totalprice").cast(DoubleType)) + lit(25.0d))
+          .as("price"),
+        lit("F").as("status"),
+        ((dec2(col("o_totalprice")) +
+            when(upd, lit(10)).otherwise(lit(0)) + lit(25)) * lit(100))
+          .cast(LongType).as("price_cents"))))
+  }
+
+  /** DuckDB-SQL equivalent of [[cdcLogOscPost]] (CTE body `osc_post`). */
+  val cdcLogOscPostSql: String =
+    """SELECT 'D' AS op, CAST(3 AS BIGINT) AS seq,
+         o_orderdate + INTERVAL 2 DAY AS ts, o_orderkey AS okey,
+         CAST(NULL AS DOUBLE) AS price, CAST(NULL AS VARCHAR) AS status,
+         CAST(NULL AS BIGINT) AS price_cents
+       FROM orders WHERE o_orderkey % 7 = 0
+       UNION ALL
+       SELECT 'U', CAST(4 AS BIGINT), o_orderdate + INTERVAL 3 DAY,
+         o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0
+              THEN CAST(o_totalprice AS DOUBLE) + CAST(10 AS DOUBLE)
+              ELSE CAST(o_totalprice AS DOUBLE) END + CAST(25 AS DOUBLE),
+         'F',
+         CAST((CAST(o_totalprice AS DECIMAL(12,2))
+               + CASE WHEN o_orderkey % 3 = 0 THEN 10 ELSE 0 END + 25) * 100
+              AS BIGINT)
+       FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0"""
 }

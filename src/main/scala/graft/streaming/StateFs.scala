@@ -126,6 +126,10 @@ private[graft] object StateFs {
     val dfs = fs(dp)
     require(sfs.exists(sp), s"staged dir missing: $src")
     Option(dp.getParent).foreach(dfs.mkdirs(_))
+    // a WHOLE state dir can land at dst (table rename cutover) carrying
+    // its DDL gate files — a stale clean verdict memoized for that path
+    // would skip gates the arriving dir needs
+    cleanDirs.remove(normDir(dst))
     val renamed = (sfs.getUri == dfs.getUri) && sfs.rename(sp, dp)
     if (!renamed)
       require(FileUtil.copy(sfs, sp, dfs, dp, true, conf(dp)),

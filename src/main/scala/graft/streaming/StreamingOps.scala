@@ -3382,6 +3382,54 @@ object StreamingOps {
         .orderBy(col("okey"))
     }),
 
+    // ST-OSC-CUTOVER: the online-schema-change cutover (gh-ost/pt-osc)
+    // end to end — the way production MySQL actually ships a schema
+    // change on a big table. Three acts: (1) the live replica applies
+    // binlog up to the cutover position; (2) the OSC copier fills the
+    // shadow table `_orders_gho` under the NEW schema (added
+    // price_cents column) to exactly the live image; (3) ONE atomic
+    // `RENAME TABLE orders TO _orders_del, _orders_gho TO orders`
+    // rebinds the dirs — O(1) metadata, zero rewrite — and the binlog
+    // continues under `orders` with the new schema onto the swapped-in
+    // state. Served: the new-schema orders (shadow images overwritten
+    // by post-cutover updates/deletes) next to the frozen retired copy.
+    "cdc_osc_cutover" -> ((s, dir) => {
+      val tmp = tmpDir()
+      val root = s"$tmp/tables"
+      // act 1: live replica at the cutover position (cdcLog seq<=2 era)
+      val live = Tables.cdcLog(s, dir).filter(col("seq") <= 2)
+      writeWave(live, s"$tmp/in_live", 0)
+      runCdcPass(s, live.schema, s"$tmp/in_live", s"$tmp/ckpt_live",
+        s"$root/orders")
+      // act 2: the copier's shadow fill (new schema: + price_cents);
+      // the new-schema stream keeps ONE checkpoint across the cutover —
+      // the resumed pass's batch ids continue, so post-cutover epochs
+      // append after the shadow's instead of colliding with them
+      val shadow = Tables.cdcLogOscShadow(s, dir)
+      val inNew = s"$tmp/in_new"
+      val ckptNew = s"$tmp/ckpt_new"
+      writeWave(shadow, inNew, 0)
+      runCdcPass(s, shadow.schema, inNew, ckptNew, s"$root/_orders_gho")
+      // act 3: the atomic cutover statement, then the post-cutover
+      // binlog resumes under `orders` — the same physical state dir the
+      // shadow pass filled, now bound to its post-cutover name
+      graft.Replication.renameTables(root,
+        Seq("orders" -> "_orders_del", "_orders_gho" -> "orders"))
+      val post = Tables.cdcLogOscPost(s, dir)
+      writeWave(post, inNew, 1)
+      runCdcPass(s, post.schema, inNew, ckptNew, s"$root/orders")
+      val served = readLatestState(s, s"$root/orders")
+        .withColumn("tbl", lit("orders"))
+      val retired = readLatestState(s, s"$root/_orders_del")
+        .withColumn("price_cents",
+          lit(null).cast(org.apache.spark.sql.types.LongType))
+        .withColumn("tbl", lit("_orders_del"))
+      served.unionByName(retired)
+        .select(col("tbl"), col("okey"), col("op"), col("price"),
+          col("status"), col("ts"), col("price_cents"))
+        .orderBy(col("tbl"), col("okey"))
+    }),
+
     // ST-CHANGE-COLUMN: MySQL `ALTER TABLE … CHANGE COLUMN qty qty_big
     // BIGINT` — RENAME + RETYPE as ONE DDL event, composed from the
     // ST18 rename machinery and the ST37 widening guardrail in a single
@@ -4679,6 +4727,31 @@ object StreamingOps {
                        FROM cdc_charset)
          SELECT okey, op, price, status, ts, name
          FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
+
+    // OSC cutover: the served `orders` is the latest-wins collapse over
+    // shadow copy images ∪ post-cutover events (binlog order by seq);
+    // the retired `_orders_del` is the frozen pre-cutover live collapse
+    // under the OLD schema (price_cents NULL)
+    "cdc_osc_cutover" ->
+      s"""WITH cdc_log AS (${Tables.cdcLogSql}),
+            live AS (SELECT * FROM cdc_log WHERE seq <= 2),
+            ranked_live AS (SELECT *, row_number() OVER (
+                              PARTITION BY okey ORDER BY seq DESC) rn
+                            FROM live),
+            osc_shadow AS (${Tables.cdcLogOscShadowSql}),
+            osc_post AS (${Tables.cdcLogOscPostSql}),
+            new_log AS (SELECT * FROM osc_shadow
+                        UNION ALL SELECT * FROM osc_post),
+            ranked_new AS (SELECT *, row_number() OVER (
+                             PARTITION BY okey ORDER BY seq DESC) rn
+                           FROM new_log)
+         SELECT 'orders' AS tbl, okey, op, price, status, ts, price_cents
+         FROM ranked_new WHERE rn = 1 AND op <> 'D'
+         UNION ALL
+         SELECT '_orders_del', okey, op, price, status, ts,
+                CAST(NULL AS BIGINT)
+         FROM ranked_live WHERE rn = 1 AND op <> 'D'
+         ORDER BY tbl, okey""",
 
     // CHANGE COLUMN (rename + widen in one DDL): the full history
     // serves under the new name at the wide type — pre-DDL values

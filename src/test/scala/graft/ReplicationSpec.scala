@@ -441,6 +441,99 @@ class ReplicationSpec extends SparkTestBase {
       "a recycled filename must resume at its newest recording")
   }
 
+  test("RENAME TABLE: one statement swaps table dirs with MySQL's " +
+      "left-to-right semantics and refuses invalid plans up front") {
+    import graft.streaming.StateFs
+    val root = tmp()
+    def mk(t: String, tag: String): Unit =
+      StateFs.writeAtomic(s"$root/$t/_schema", tag)
+    def tag(t: String): Option[String] = StateFs.readSmall(s"$root/$t/_schema")
+    mk("orders", "live"); mk("_orders_gho", "shadow")
+    // the gh-ost cutover statement: works ONLY because the list runs
+    // left-to-right (orders is moved away before the shadow lands on it)
+    Replication.renameTables(root,
+      Seq("orders" -> "_orders_del", "_orders_gho" -> "orders"))
+    assert(tag("orders").contains("shadow"))
+    assert(tag("_orders_del").contains("live"))
+    assert(!StateFs.exists(s"$root/_orders_gho"))
+    assert(!StateFs.exists(s"$root/_rename_tables"), "journal retired")
+    // occupied target with no rename-away refuses — and refuses BEFORE
+    // any move (all-or-nothing): both dirs intact after
+    val e1 = intercept[IllegalArgumentException] {
+      Replication.renameTables(root, Seq("orders" -> "_orders_del"))
+    }
+    assert(e1.getMessage.contains("already exists at its turn"))
+    assert(tag("orders").contains("shadow") &&
+      tag("_orders_del").contains("live"))
+    // missing source refuses by name
+    val e2 = intercept[IllegalArgumentException] {
+      Replication.renameTables(root, Seq("nope" -> "other"))
+    }
+    assert(e2.getMessage.contains("does not exist at its turn"))
+    // `a TO b, b TO c` with b occupied refuses at a's turn (b is only
+    // freed AFTER a's move in MySQL's ordering — same here)
+    val e3 = intercept[IllegalArgumentException] {
+      Replication.renameTables(root,
+        Seq("_orders_del" -> "orders", "orders" -> "archive"))
+    }
+    assert(e3.getMessage.contains("'orders' already exists at its turn"))
+    // a three-step rotation (swap via temp) — every intermediate slot
+    // free at its turn
+    Replication.renameTables(root, Seq("orders" -> "_tmp_swap",
+      "_orders_del" -> "orders", "_tmp_swap" -> "_orders_del"))
+    assert(tag("orders").contains("live"))
+    assert(tag("_orders_del").contains("shadow"))
+  }
+
+  test("RENAME TABLE crash mid-plan: the cursored journal completes the " +
+      "statement from any interruption point, including the move/cursor " +
+      "window") {
+    import graft.streaming.StateFs
+    val root = tmp()
+    StateFs.writeAtomic(s"$root/a/_schema", "A")
+    StateFs.writeAtomic(s"$root/b/_schema", "B")
+    val plan = "a\t_tmp\nb\ta\n_tmp\tb"
+    // crash after step 0's move AND its cursor publish: journal says
+    // done=1, steps 1..2 pending
+    StateFs.writeAtomic(s"$root/_rename_tables", s"done=1\n$plan")
+    StateFs.moveDir(s"$root/a", s"$root/_tmp")
+    Replication.healTableRenames(root)
+    assert(StateFs.readSmall(s"$root/a/_schema").contains("B"))
+    assert(StateFs.readSmall(s"$root/b/_schema").contains("A"))
+    assert(!StateFs.exists(s"$root/_tmp"))
+    assert(!StateFs.exists(s"$root/_rename_tables"))
+    // crash INSIDE the window — step 1's move ran but its cursor did
+    // not publish: heal recognizes the step done (source gone under a
+    // validated plan means the move ran) and continues, never double-
+    // moving
+    StateFs.writeAtomic(s"$root/_rename_tables", s"done=1\n$plan")
+    StateFs.moveDir(s"$root/a", s"$root/_tmp") // step 0 (done per cursor)
+    StateFs.moveDir(s"$root/b", s"$root/a")    // step 1 moved, cursor stale
+    Replication.healTableRenames(root)
+    assert(StateFs.readSmall(s"$root/a/_schema").contains("A"))
+    assert(StateFs.readSmall(s"$root/b/_schema").contains("B"))
+    assert(!StateFs.exists(s"$root/_rename_tables"))
+    // heal with no journal is a no-op; a fresh statement heals leftovers
+    // first by contract (renameTables entry) — already exercised above
+    Replication.healTableRenames(root)
+    assert(StateFs.readSmall(s"$root/a/_schema").contains("A"))
+  }
+
+  test("moveDir invalidates the clean-dir memo: a swapped-in dir's DDL " +
+      "gate files are honored at the destination path") {
+    import graft.streaming.StateFs
+    val root = tmp()
+    // destination path probed clean first (memoized)
+    StateFs.writeAtomic(s"$root/dst/_keycols", "okey")
+    assert(StateFs.dirHasNoDdl(s"$root/dst"), "clean before the swap")
+    // a dir carrying a serving floor lands there via the rename verb
+    StateFs.writeAtomic(s"$root/src/_purge_floor", "7")
+    StateFs.deleteRecursive(s"$root/dst")
+    StateFs.moveDir(s"$root/src", s"$root/dst")
+    assert(!StateFs.dirHasNoDdl(s"$root/dst"),
+      "the arriving dir's gate files must defeat the stale clean memo")
+  }
+
   test("replicaStatus reads every published control surface") {
     val log = Tables.cdcLog(spark, sf)
     val base = tmp()
