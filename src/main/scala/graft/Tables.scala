@@ -722,4 +722,58 @@ object Tables {
                + CASE WHEN o_orderkey % 3 = 0 THEN 10 ELSE 0 END + 25) * 100
               AS BIGINT)
        FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0"""
+
+  /** [[cdcLog]] carrying binlog_row_image=FULL's BEFORE image for the
+    * checked payload column (`before_price`): inserts/deletes ship NULL
+    * (no before to declare / bypassed by the gate), updates declare the
+    * price the source saw before the change — CORRECT for most keys
+    * (the insert's price), deliberately WRONG (+999) for keys with
+    * o_orderkey % 11 == 0: the planted divergence the strict apply gate
+    * must quarantine instead of laundering into current state. */
+  def cdcLogConflict(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders").select(
+      col("o_orderkey"), col("o_totalprice").cast(DoubleType).as("price"),
+      col("o_orderstatus").as("status"), col("o_orderdate"))
+    val cols = Seq("op", "seq", "ts", "okey", "price", "status",
+      "before_price")
+    explodeEvents(o, cols, Seq(
+      lit(true) -> struct(
+        lit("I").as("op"), lit(1L).as("seq"), col("o_orderdate").as("ts"),
+        col("o_orderkey").as("okey"), col("price"), col("status"),
+        lit(null).cast(DoubleType).as("before_price")),
+      (col("o_orderkey") % 3 === 0) -> struct(
+        lit("U").as("op"), lit(2L).as("seq"),
+        (col("o_orderdate") + expr("INTERVAL 1 DAY")).as("ts"),
+        col("o_orderkey").as("okey"),
+        (col("price") + lit(10.0d)).as("price"),
+        lit("P").as("status"),
+        when(col("o_orderkey") % 11 === 0, col("price") + lit(999.0d))
+          .otherwise(col("price")).as("before_price")),
+      (col("o_orderkey") % 7 === 0) -> struct(
+        lit("D").as("op"), lit(3L).as("seq"),
+        (col("o_orderdate") + expr("INTERVAL 2 DAY")).as("ts"),
+        col("o_orderkey").as("okey"), lit(null).cast(DoubleType).as("price"),
+        lit(null).cast(StringType).as("status"),
+        lit(null).cast(DoubleType).as("before_price"))))
+  }
+
+  /** DuckDB-SQL equivalent of [[cdcLogConflict]] (CTE body
+    * `cdc_conflict`). */
+  val cdcLogConflictSql: String =
+    """SELECT 'I' AS op, CAST(1 AS BIGINT) AS seq, o_orderdate AS ts,
+         o_orderkey AS okey, CAST(o_totalprice AS DOUBLE) AS price,
+         o_orderstatus AS status, CAST(NULL AS DOUBLE) AS before_price
+       FROM orders
+       UNION ALL
+       SELECT 'U', CAST(2 AS BIGINT), o_orderdate + INTERVAL 1 DAY,
+         o_orderkey, CAST(o_totalprice AS DOUBLE) + CAST(10 AS DOUBLE), 'P',
+         CASE WHEN o_orderkey % 11 = 0
+              THEN CAST(o_totalprice AS DOUBLE) + CAST(999 AS DOUBLE)
+              ELSE CAST(o_totalprice AS DOUBLE) END
+       FROM orders WHERE o_orderkey % 3 = 0
+       UNION ALL
+       SELECT 'D', CAST(3 AS BIGINT), o_orderdate + INTERVAL 2 DAY,
+         o_orderkey, CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+         CAST(NULL AS DOUBLE)
+       FROM orders WHERE o_orderkey % 7 = 0"""
 }

@@ -844,12 +844,14 @@ object StreamingOps {
       keepHistory: Boolean = false,
       computedCols: Seq[(String, String)] = Seq.empty,
       partialImageCol: Option[String] = None,
-      heartbeats: Boolean = false)
+      heartbeats: Boolean = false,
+      strictBefore: Option[(String, String)] = None,
+      conflictDlq: Option[String] = None)
       : (Long, Long, Option[Long], Long, Option[Long]) =
     runCdcPassSource(s, FileCdcSource(schema, in), ckpt, state, trackSeq,
       startAfterSeq, txnCol, renameCols, truncateAtSeq, defaultCols,
       rowFilter, maskCols, keyCols, dropCols, keepHistory, computedCols,
-      partialImageCol, heartbeats)
+      partialImageCol, heartbeats, strictBefore, conflictDlq)
 
   /** [[runCdcPass]] over an arbitrary [[CdcSource]] transport.
     * `renameCols` (old → new) declares RENAME COLUMN DDLs this pass's
@@ -867,7 +869,16 @@ object StreamingOps {
     * transport emits binlog KEEP-ALIVE rows (`op = "H"`, position-only):
     * they never reach state, they advance the applied position like a
     * commit marker (the source's "nothing happened through here"), and a
-    * heartbeat-only batch writes no delta. */
+    * heartbeat-only batch writes no delta.
+    *
+    * `strictBefore` = (payload column, before column) turns on the
+    * STRICT before-image apply gate ([[gateBeforeImages]]): every
+    * UPDATE's declared before image must match what the destination
+    * serves, or the event (and the key's remaining batch chain)
+    * quarantines to `conflictDlq` instead of applying — MySQL's strict
+    * slave-exec discipline against out-of-order applies and second
+    * destination writers. Mutually exclusive with `partialImageCol`
+    * (MINIMAL row images carry no before images by definition). */
   private[graft] def runCdcPassSource(s: SparkSession, source: CdcSource,
       ckpt: String, state: String,
       trackSeq: Boolean = false,
@@ -883,7 +894,9 @@ object StreamingOps {
       keepHistory: Boolean = false,
       computedCols: Seq[(String, String)] = Seq.empty,
       partialImageCol: Option[String] = None,
-      heartbeats: Boolean = false)
+      heartbeats: Boolean = false,
+      strictBefore: Option[(String, String)] = None,
+      conflictDlq: Option[String] = None)
       : (Long, Long, Option[Long], Long, Option[Long]) = {
     partialImageCol.foreach { cc =>
       require(source.schema.fieldNames.contains(cc),
@@ -893,6 +906,20 @@ object StreamingOps {
           "images; keepHistory stores events verbatim — the two modes " +
           "are mutually exclusive (complete upstream to retain history)")
     }
+    strictBefore.foreach { case (pc, bc) =>
+      Seq(pc, bc).foreach(c => require(
+        source.schema.fieldNames.contains(c),
+        s"strict-before column '$c' absent from the envelope"))
+      require(!(Set("op", "seq", "ts") ++ keyCols).contains(pc),
+        s"strict-before checks payload, not bookkeeping: '$pc'")
+      require(partialImageCol.isEmpty,
+        "binlog_row_image=MINIMAL carries no before images — the " +
+          "strict before-image gate and partial-image completion are " +
+          "mutually exclusive by definition")
+    }
+    require(conflictDlq.isEmpty || strictBefore.isDefined,
+      "a conflict DLQ without a strict-before declaration is dead " +
+        "config — declare strictBefore or drop the DLQ dir")
     require(keyCols.forall(source.schema.fieldNames.contains),
       s"key column(s) absent from the envelope: " +
         keyCols.filterNot(source.schema.fieldNames.contains).mkString(", "))
@@ -931,8 +958,8 @@ object StreamingOps {
     // (NULL forward), but a changed type must fail by name, not as a
     // mid-pass analysis error after some batches already applied
     val stateSchema = org.apache.spark.sql.types.StructType(
-      stateSchemaFor(source.schema, txnCol.toSet ++ partialImageCol.toSet)
-        .fields ++ computedFields)
+      stateSchemaFor(source.schema, txnCol.toSet ++ partialImageCol.toSet
+        ++ strictBefore.map(_._2)).fields ++ computedFields)
     ensureKeyCols(state, keyCols)
     applyRenameDdl(state, renameCols, stateSchema)
     // drops settle AFTER renames (a rename-then-drop pass drops the NEW
@@ -951,11 +978,12 @@ object StreamingOps {
     // the position and row filters add an isEmpty probe, so they pin too
     val multiAction = trackSeq || startAfterSeq.isDefined ||
       txnCol.isDefined || rowFilter.isDefined ||
-      partialImageCol.isDefined || heartbeats
+      partialImageCol.isDefined || heartbeats || strictBefore.isDefined
     val (rows, _) = runSourcePass(s, source, ckpt) { (batch, epochId) =>
       if (multiAction) batch.persist()
       var txnFull = Option.empty[DataFrame] // txn path's extra pin
       var partialPinned = Option.empty[DataFrame]
+      var strictPinned = Option.empty[DataFrame]
       try {
         val positioned0 = startAfterSeq
           .map(p => batch.filter(col("seq") > p)).getOrElse(batch)
@@ -995,10 +1023,21 @@ object StreamingOps {
             partialPinned = Some(c)
             c
         }
+        // STRICT BEFORE-IMAGE gate after completion (full rows), before
+        // filters/masks — a conflict is a property of the source chain
+        // vs the destination, not of what this replica chooses to ship
+        val checked = strictBefore match {
+          case None => completed
+          case Some((pc, bc)) =>
+            val (admitted, pin) = gateBeforeImages(s, state, epochId,
+              completed, keyCols, pc, bc, conflictDlq)
+            strictPinned = Some(pin)
+            admitted
+        }
         // single-table row filter + masks (the multi pass's per-table
         // forms): one codegen'd filter, one select — deletes bypass
-        val filtered = rowFilter.fold(completed)(p =>
-          completed.filter(col("op") === "D" || expr(p)))
+        val filtered = rowFilter.fold(checked)(p =>
+          checked.filter(col("op") === "D" || expr(p)))
         val masked =
           if (maskCols.isEmpty) filtered
           else filtered.select(filtered.columns.toSeq.map { c =>
@@ -1027,13 +1066,17 @@ object StreamingOps {
           // filter-excluded events are resolved too: the predicate says
           // they will never apply, which is configuration, not lag
           rowFilter.foreach(_ => fold(gatedTxn))
+          // quarantined conflicts are resolved the batch they verdict:
+          // they will never apply (the operator reads them in the DLQ),
+          // so the applied position advances past them
+          strictBefore.foreach(_ => fold(completed))
           // the SEEN horizon reads the raw batch — before the position
           // skip, the txn gate, and the row filter — so the applied-vs-
           // seen gap (replication lag) is visible while events are held
           srcMaxSeq = foldMaxSeq(batch.toDF(), srcMaxSeq)
         }
         if ((startAfterSeq.isEmpty && txnCol.isEmpty && rowFilter.isEmpty &&
-            !heartbeats) || !applied.isEmpty) {
+            !heartbeats && strictBefore.isEmpty) || !applied.isEmpty) {
           // default: fold the batch to per-key winners before writing —
           // the delta then costs O(keys touched), not O(events), and
           // the read-side collapse is unchanged. keepHistory skips the
@@ -1049,6 +1092,7 @@ object StreamingOps {
       } finally {
         txnFull.foreach(_.unpersist())
         partialPinned.foreach(_.unpersist())
+        strictPinned.foreach(_.unpersist())
         if (multiAction) { batch.unpersist(); () }
       }
     }
@@ -2026,6 +2070,90 @@ object StreamingOps {
     * starts from NULLs, exactly like a fresh key. CdcPropertySpec folds
     * random partial logs over random wave splits against a sequential
     * per-column reference. */
+  /** STRICT BEFORE-IMAGE apply gate (binlog_row_image=FULL carries each
+    * update's before image; MySQL's strict slave-exec discipline checks
+    * it): an UPDATE whose declared before image does not match what the
+    * destination actually serves is a CONFLICT — an out-of-order apply,
+    * a lost update, or a second writer on the destination — and
+    * applying it would silently launder the divergence into "current".
+    * Conflicted updates quarantine to a dead-letter dir instead (the
+    * S14 DLQ discipline: epoch-keyed overwrite, so a crash-replayed
+    * batch re-verdicts identically), and the key's REMAINING events in
+    * the batch quarantine with them — the source declared them as a
+    * chain (each before = the predecessor's after), and the chain broke
+    * (deletes bypass the check cross-batch, like the row-filter rule:
+    * a tombstone is idempotent repair, never corruption). Expected
+    * values: the key's first batch event checks against the PRIOR STATE
+    * image (bucket-pruned, key semi-joined — one metadata-bounded read,
+    * the completePartialImages shape); later events check against their
+    * in-batch predecessor's after image (a predecessor delete resets it
+    * to NULL). One extra shuffle per batch (the per-key window), same
+    * cost shape as partial-image completion. Returns (admitted events
+    * minus the before column, the pinned frame the caller unpersists —
+    * the DLQ write and the admitted read share one computation). */
+  private def gateBeforeImages(s: SparkSession, state: String,
+      epochId: Long, batch: DataFrame, keyCols: Seq[String],
+      checkCol: String, beforeCol: String,
+      dlqDir: Option[String]): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val t = batch.schema(checkCol).dataType
+    val priorEpochs = StateFs.epochIds(state).filter(_ < epochId)
+    val withPrior =
+      if (priorEpochs.isEmpty)
+        batch.withColumn("_cur_op", lit(null).cast("string"))
+          .withColumn("_cur", lit(null).cast(t))
+      else {
+        val prior = readLatestPriorImages(s, state, epochId, batch, keyCols)
+          .groupBy(keyCols.map(col): _*)
+          .agg(max_by(struct(col("op"), col(checkCol)), col("seq")).as("_p"))
+          .select(keyCols.map(col) :+ col("_p.op").as("_cur_op")
+            :+ col(s"_p.$checkCol").as("_cur"): _*)
+        batch.join(prior, keyCols, "left")
+      }
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("seq"))
+    // an event's AFTER image for chaining: a delete resets to NULL
+    val after = when(col("op") === "D", lit(null).cast(t))
+      .otherwise(col(checkCol))
+    val chained = withPrior
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_prev", lag(after, 1).over(w))
+    // first batch event → prior state (a prior tombstone serves NULL);
+    // later events → the in-batch predecessor's after image
+    val expected = when(col("_rn") === 1,
+        when(col("_cur_op") === "D", lit(null).cast(t)).otherwise(col("_cur")))
+      .otherwise(col("_prev"))
+    val conflict = col("op") === "U" && !(col(beforeCol) <=> expected)
+    val pinned = chained.withColumn("_cseq",
+        min(when(conflict, col("seq")))
+          .over(Window.partitionBy(keyCols.map(col): _*)))
+      .persist()
+    dlqDir.foreach { d =>
+      pinned.filter(col("_cseq").isNotNull && col("seq") >= col("_cseq"))
+        .drop("_rn", "_prev", "_cur_op", "_cur", "_cseq")
+        .write.mode("overwrite").parquet(s"$d/epoch=$epochId")
+    }
+    val admitted = pinned
+      .filter(col("_cseq").isNull || col("seq") < col("_cseq"))
+      .drop("_rn", "_prev", "_cur_op", "_cur", "_cseq", beforeCol)
+    (admitted, pinned)
+  }
+
+  /** The batch's touched keys' latest-known PRIOR images: the state
+    * dir's rows below `epochId`, bucket-pruned to the batch's key
+    * buckets and semi-joined to its exact keys — the metadata-bounded
+    * prior read shared by partial-image completion and the strict
+    * before-image gate. */
+  private def readLatestPriorImages(s: SparkSession, state: String,
+      epochId: Long, batch: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val touched = batch.select(bucketOf(keyCols).as(BucketCol))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    readStateDirGated(s, state, buckets = Some(touched))
+      .filter(col("epoch") < epochId).drop("epoch")
+      .join(broadcast(batch.select(keyCols.map(col): _*).distinct()),
+        keyCols, "left_semi")
+  }
+
   private def completePartialImages(s: SparkSession, state: String,
       epochId: Long, batch: DataFrame, keyCols: Seq[String],
       changedCol: String): DataFrame = {
@@ -2037,12 +2165,7 @@ object StreamingOps {
     val tagged =
       if (priorEpochs.isEmpty) b
       else {
-        val touched = batch.select(bucketOf(keyCols).as(BucketCol))
-          .distinct().collect().map(_.getLong(0)).toSeq
-        val prior = readStateDirGated(s, state, buckets = Some(touched))
-          .filter(col("epoch") < epochId).drop("epoch")
-          .join(broadcast(batch.select(keyCols.map(col): _*).distinct()),
-            keyCols, "left_semi")
+        val prior = readLatestPriorImages(s, state, epochId, batch, keyCols)
         b.unionByName(prior.withColumn("_src", lit("p")),
           allowMissingColumns = true)
       }
@@ -3430,6 +3553,33 @@ object StreamingOps {
         .orderBy(col("tbl"), col("okey"))
     }),
 
+    // ST-CONFLICT: STRICT BEFORE-IMAGE apply (binlog_row_image=FULL +
+    // MySQL's strict slave-exec discipline) under the oracle gate: every
+    // update's declared before image is checked against what the
+    // destination actually serves; the planted divergences (keys
+    // % 11 == 0 declare a wrong before) quarantine to the DLQ instead
+    // of laundering into state — those keys keep serving their insert
+    // image, later deletes still apply (a tombstone is idempotent
+    // repair), and the output flags every key that ever conflicted.
+    "stream_cdc_conflict" -> ((s, dir) => {
+      val log = Tables.cdcLogConflict(s, dir)
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      writeWaves(log, in, when(col("seq") <= 2, 0).otherwise(1), 2,
+        Seq(col("okey")))
+      runCdcPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state",
+        strictBefore = Some(("price", "before_price")),
+        conflictDlq = Some(s"$tmp/dlq"))
+      val confKeys = s.read.parquet(s"$tmp/dlq").select(col("okey"))
+        .distinct().withColumn("had_conflict", lit(true))
+      readLatestState(s, s"$tmp/state")
+        .join(confKeys, Seq("okey"), "left")
+        .select(col("okey"), col("op"), col("price"), col("status"),
+          col("ts"),
+          coalesce(col("had_conflict"), lit(false)).as("had_conflict"))
+        .orderBy(col("okey"))
+    }),
+
     // ST-CHANGE-COLUMN: MySQL `ALTER TABLE … CHANGE COLUMN qty qty_big
     // BIGINT` — RENAME + RETYPE as ONE DDL event, composed from the
     // ST18 rename machinery and the ST37 widening guardrail in a single
@@ -4752,6 +4902,30 @@ object StreamingOps {
                 CAST(NULL AS BIGINT)
          FROM ranked_live WHERE rn = 1 AND op <> 'D'
          ORDER BY tbl, okey""",
+
+    // strict before-image apply: the oracle re-derives each update's
+    // EXPECTED before as its key's previous after image (lag over seq —
+    // faithful here because every admitted prior event applied) and
+    // excludes the mismatches from the collapse, exactly what the gate
+    // quarantines; had_conflict flags keys with any excluded event
+    "stream_cdc_conflict" ->
+      s"""WITH cdc_conflict AS (${Tables.cdcLogConflictSql}),
+            prevs AS (SELECT *, lag(price) OVER (
+                        PARTITION BY okey ORDER BY seq) AS prev_price
+                      FROM cdc_conflict),
+            flagged AS (SELECT *, (op = 'U' AND
+                          before_price IS DISTINCT FROM prev_price)
+                          AS conflicted
+                        FROM prevs),
+            ranked AS (SELECT *, row_number() OVER (
+                         PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM flagged WHERE NOT conflicted),
+            conf_keys AS (SELECT DISTINCT okey FROM flagged
+                          WHERE conflicted)
+         SELECT r.okey, r.op, r.price, r.status, r.ts,
+                (c.okey IS NOT NULL) AS had_conflict
+         FROM ranked r LEFT JOIN conf_keys c ON r.okey = c.okey
+         WHERE r.rn = 1 AND r.op <> 'D' ORDER BY r.okey""",
 
     // CHANGE COLUMN (rename + widen in one DDL): the full history
     // serves under the new name at the wide type — pre-DDL values

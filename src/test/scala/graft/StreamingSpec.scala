@@ -50,6 +50,64 @@ class StreamingSpec extends SparkTestBase {
       3L -> ((Some(33.0), None))), s"partial-image semantics: $served")
   }
 
+  test("strict before-image gate: chain quarantine, update-after-delete, " +
+      "cross-batch recovery, DLQ replay idempotence") {
+    // the conflict edge cases the oracle fixture cannot carry: a broken
+    // chain quarantines the key's WHOLE batch suffix (the later event's
+    // before matches its quarantined predecessor, not the state), an
+    // update chained after an in-batch delete conflicts (expected after
+    // a delete is NULL), and a later batch whose before matches the
+    // ACTUAL applied state admits again — quarantine is per batch, not
+    // a poison pill
+    import graft.streaming.StreamingOps
+    val base = java.nio.file.Files.createTempDirectory("graft_strict").toString
+    def frame(rows: Seq[(String, Long, Long, java.lang.Double, String,
+        java.lang.Double)]) =
+      spark.createDataFrame(rows)
+        .toDF("op", "seq", "okey", "price", "status", "before_price")
+        .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("seq")))
+        .select(col("op"), col("seq"), col("ts"), col("okey"), col("price"),
+          col("status"), col("before_price"))
+    def pass(df: org.apache.spark.sql.DataFrame, w: Int): Unit = {
+      StreamingOps.writeWave(df, s"$base/in", w)
+      StreamingOps.runCdcPass(spark, df.schema, s"$base/in", s"$base/ckpt",
+        s"$base/state", strictBefore = Some(("price", "before_price")),
+        conflictDlq = Some(s"$base/dlq"))
+    }
+    pass(frame(Seq(("I", 1L, 1L, 10.0, "A", null),
+      ("I", 2L, 2L, 20.0, "B", null),
+      ("I", 3L, 3L, 30.0, "C", null))), 0)
+    // k1: U@4 declares a WRONG before (11 != 10) → quarantined, and
+    // U@5's before (12) matches U@4's after — the chain, not the state
+    // — so it quarantines with it; k2: D@6 then U@7 chained after the
+    // delete with a non-NULL before → conflict (expected after D is
+    // NULL); k3: clean update admits
+    pass(frame(Seq(("U", 4L, 1L, 12.0, "X", 11.0),
+      ("U", 5L, 1L, 13.0, "Y", 12.0),
+      ("D", 6L, 2L, null, null, null),
+      ("U", 7L, 2L, 21.0, "B2", 20.0),
+      ("U", 8L, 3L, 31.0, "C2", 30.0))), 1)
+    def served = StreamingOps.readLatestState(spark, s"$base/state")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(2)).map(_.toString.toDouble),
+          Option(r.getString(3))))).toMap
+    assert(served == Map(
+      1L -> ((Some(10.0), Some("A"))), // whole suffix quarantined
+      3L -> ((Some(31.0), Some("C2")))), // k2 deleted, k3 admitted
+      s"strict-before semantics: $served")
+    val dlq = spark.read.parquet(s"$base/dlq")
+    assert(dlq.select("seq").collect().map(_.getLong(0)).toSet ==
+      Set(4L, 5L, 7L), "the DLQ holds exactly the quarantined suffix")
+    // cross-batch recovery: a before matching the ACTUAL applied state
+    // (k1 still serves 10.0) admits — divergence is per batch verdict,
+    // never a poison pill on the key
+    pass(frame(Seq(("U", 9L, 1L, 14.0, "R", 10.0))), 2)
+    assert(served(1L) == ((Some(14.0), Some("R"))))
+    // the batch-2 DLQ slot stayed empty (no conflicts) and batch 1's
+    // verdict is untouched — epoch-keyed overwrite, replay idempotent
+    assert(spark.read.parquet(s"$base/dlq").count() == 3)
+  }
+
   test("partial images compose with RENAME COLUMN: prior images serve under the new name") {
     // a MINIMAL stream whose envelope renames a payload column
     // mid-stream: the resumed pass's changed lists speak the NEW name,
