@@ -200,7 +200,9 @@ object Replication {
       computedCols: Seq[(String, String)] = Seq.empty,
       positionToken: Option[String] = None,
       partialImageCol: Option[String] = None,
-      heartbeats: Boolean = false)
+      heartbeats: Boolean = false,
+      strictBefore: Option[(String, String)] = None,
+      conflictDlq: Option[String] = None)
       : SyncProgress = {
     val (rows, epochs, lastSeq, pending, srcMax) =
       streaming.StreamingOps.runCdcPass(
@@ -210,7 +212,8 @@ object Replication {
         rowFilter = rowFilter, maskCols = maskCols, keyCols = keyCols,
         dropCols = dropCols, keepHistory = keepHistory,
         computedCols = computedCols, partialImageCol = partialImageCol,
-        heartbeats = heartbeats)
+        heartbeats = heartbeats, strictBefore = strictBefore,
+        conflictDlq = conflictDlq)
     if (deltaCount(stateDir) > compactEvery)
       streaming.StreamingOps.compactState(spark, stateDir, tombstoneGc)
     // the connector reported this pass's horizon under its own dialect:
@@ -474,6 +477,57 @@ object Replication {
     override def toSeq(token: String): Long =
       token.trim.toLongOption.getOrElse(throw new IllegalArgumentException(
         s"not a seq-encoded position token: '$token'"))
+  }
+
+  /** The GTID dialect — the position vocabulary every modern MySQL
+    * deployment replicates by (`gtid_mode=ON`): a token is an executed
+    * GTID SET like `3e11fa47-71ca-11e1-9e33-c80aa9429562:1-77` (interval
+    * lists `:1-40:42-77` and multi-source UUIDs comma-separated). The
+    * engine's seq is a TOTAL order, so only a set this replica can
+    * actually stand at maps: the declared source's intervals must be
+    * gap-free from 1 (`uuid:1-N` → seq N; `1-40:42-77` REFUSES — the
+    * hole at 41 is history this replica would silently skip, the exact
+    * corruption GTID auto-positioning exists to prevent). Singleton
+    * intervals (`:5` = `:5-5`) parse; UUIDs other than the declared
+    * source refuse by name (cross-source ids share no seq axis — run
+    * one channel per source); case-insensitive UUID match, as MySQL
+    * treats them. */
+  final case class GtidSetCodec(sourceUuid: String) extends PositionCodec {
+    require(sourceUuid.trim.nonEmpty, "empty source UUID")
+    override def toSeq(token: String): Long = {
+      val parts = token.trim.split(',').map(_.trim).filter(_.nonEmpty)
+      require(parts.nonEmpty, s"empty GTID set: '$token'")
+      val mine = parts.filter { p =>
+        p.takeWhile(_ != ':').equalsIgnoreCase(sourceUuid.trim)
+      }
+      require(mine.nonEmpty,
+        s"GTID set '$token' carries no transactions from source " +
+          s"'$sourceUuid' — wrong channel, or resume by seq instead")
+      require(mine.length == 1,
+        s"GTID set '$token' names source '$sourceUuid' twice")
+      val ivls = mine.head.split(':').drop(1)
+      require(ivls.nonEmpty, s"GTID '$token' has no interval list")
+      val ranges = ivls.map { iv =>
+        iv.split('-') match {
+          case Array(a) => (a.toLong, a.toLong)
+          case Array(a, b) => (a.toLong, b.toLong)
+          case _ => throw new IllegalArgumentException(
+            s"malformed GTID interval '$iv' in '$token'")
+        }
+      }.sortBy(_._1)
+      ranges.foreach { case (a, b) => require(a >= 1 && b >= a,
+        s"malformed GTID interval '$a-$b' in '$token'") }
+      // the seq axis is total: the set must be gap-free from txn 1, or
+      // resuming at its max would skip the holes' history silently
+      val horizon = ranges.foldLeft(0L) { case (h, (a, b)) =>
+        require(a <= h + 1,
+          s"GTID set '$token' has a gap before txn $a (covered through " +
+            s"$h) — this replica cannot stand at a gapped set; repair " +
+            "the source's executed set or resync")
+        math.max(h, b)
+      }
+      horizon
+    }
   }
 
   /** Persisted POSITION CATALOG — token→seq mappings under the

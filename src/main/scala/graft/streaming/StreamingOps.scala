@@ -1213,12 +1213,14 @@ object StreamingOps {
       dropCols: Map[String, Long] = Map.empty,
       keepHistory: Boolean = false,
       routes: Map[String, String] = Map.empty,
-      partialImageCol: Option[String] = None)
+      partialImageCol: Option[String] = None,
+      strictBefore: Option[(String, String)] = None,
+      conflictDlq: Option[String] = None)
       : (Map[String, (Long, Long, Long)], Long, Option[Long]) =
     runCdcPassMultiSource(s, FileCdcSource(schema, in), ckpt, stateDirs,
       txnCol, renameCols, truncateAt, defaultCols, rowFilters, maskCols,
       keyCols, trackSourceSeq, keyColsByTable, dropCols, keepHistory, routes,
-      partialImageCol)
+      partialImageCol, strictBefore, conflictDlq)
 
   /** [[runCdcPassMulti]] over an arbitrary [[CdcSource]] transport.
     * `renameCols` declares RENAME COLUMN DDLs exactly as in
@@ -1279,7 +1281,9 @@ object StreamingOps {
       dropCols: Map[String, Long] = Map.empty,
       keepHistory: Boolean = false,
       routes: Map[String, String] = Map.empty,
-      partialImageCol: Option[String] = None)
+      partialImageCol: Option[String] = None,
+      strictBefore: Option[(String, String)] = None,
+      conflictDlq: Option[String] = None)
       : (Map[String, (Long, Long, Long)], Long, Option[Long]) = {
     partialImageCol.foreach { cc =>
       require(source.schema.fieldNames.contains(cc),
@@ -1289,6 +1293,18 @@ object StreamingOps {
           "images; keepHistory stores events verbatim — the two modes " +
           "are mutually exclusive (complete upstream to retain history)")
     }
+    strictBefore.foreach { case (pc, bc) =>
+      Seq(pc, bc).foreach(c => require(
+        source.schema.fieldNames.contains(c),
+        s"strict-before column '$c' absent from the envelope"))
+      require(partialImageCol.isEmpty,
+        "binlog_row_image=MINIMAL carries no before images — the " +
+          "strict before-image gate and partial-image completion are " +
+          "mutually exclusive by definition")
+    }
+    require(conflictDlq.isEmpty || strictBefore.isDefined,
+      "a conflict DLQ without a strict-before declaration is dead " +
+        "config — declare strictBefore or drop the DLQ dir")
     // TABLE ROUTING (the rename/shard-merge config of this tool class):
     // `routes` maps SOURCE table names in the envelope onto DESTINATION
     // table names — N sources routing to one destination merge shards
@@ -1338,10 +1354,18 @@ object StreamingOps {
         s"table '$t' masks column(s) absent from the envelope: " +
           absent.mkString(", "))
     }
+    strictBefore.foreach { case (pc, _) =>
+      // a key column is degenerate to check (a PK rides every row image
+      // unchanged) and one table's key is another's payload — refuse the
+      // ambiguity topology-wide
+      require(!(Set("op", "seq", "ts", "table") ++ allKeyCols).contains(pc),
+        s"strict-before checks payload, not bookkeeping or key " +
+          s"columns: '$pc'")
+    }
     // every table's state dir shares one envelope schema (one binlog,
     // one fan-out) — validate/publish each before the stream starts
     val stateSchema = stateSchemaFor(source.schema,
-      txnCol.toSet ++ partialImageCol.toSet)
+      txnCol.toSet ++ partialImageCol.toSet ++ strictBefore.map(_._2))
     stateDirs.foreach { case (t, d) => ensureKeyCols(d, keyFor(t)) }
     stateDirs.values.foreach(applyRenameDdl(_, renameCols, stateSchema))
     // a DROP, like a RENAME, is an envelope-wide DDL: the topology
@@ -1368,6 +1392,7 @@ object StreamingOps {
       batch.persist()
       var txnFull = Option.empty[DataFrame] // txn path's extra pin
       var partialPinned = Option.empty[DataFrame]
+      var strictPinned = Option.empty[DataFrame]
       try {
         if (trackSourceSeq) {
           // SEEN horizon over the raw topology batch — ahead of the txn
@@ -1406,13 +1431,23 @@ object StreamingOps {
             partialPinned = Some(c)
             c
         }
+        // STRICT BEFORE-IMAGE gate, per destination table against its
+        // own prior state (the single-table pass's rule, fanned out)
+        val checked = strictBefore match {
+          case None => gatedC
+          case Some((pc, bc)) =>
+            val (adm, pin) = gateBeforeImagesMulti(s, stateDirs, keyFor,
+              epochId, gatedC, pc, bc, conflictDlq)
+            strictPinned = Some(pin)
+            adm
+        }
         // per-table row filters + column masks: ONE codegen'd filter and
         // ONE select over the batch — never a job per table. Deletes
         // bypass the predicate (see the scaladoc), masks NULL the value
         // before anything is staged.
         val filtered =
-          if (rowFilters.isEmpty) gatedC
-          else gatedC.filter(rowFilters.foldLeft(lit(true)) {
+          if (rowFilters.isEmpty) checked
+          else checked.filter(rowFilters.foldLeft(lit(true)) {
             case (acc, (t, pred)) =>
               acc && (col("table") =!= t || col("op") === "D" || expr(pred))
           })
@@ -1498,6 +1533,7 @@ object StreamingOps {
       } finally {
         txnFull.foreach(_.unpersist())
         partialPinned.foreach(_.unpersist())
+        strictPinned.foreach(_.unpersist())
         batch.unpersist(); ()
       }
     }
@@ -2202,6 +2238,86 @@ object StreamingOps {
             lit(null).cast(t))
           .otherwise(col(s"_old_$c")).as(c)
       }): _*)
+  }
+
+  /** [[gateBeforeImages]] for the MULTI-TABLE fan-out: one topology
+    * batch carries before images for N destination tables
+    * (heterogeneous PKs included). The same shape as
+    * [[completePartialImagesMulti]]: each table's prior images read
+    * from its OWN state dir (bucket-pruned under ITS key definition,
+    * key semi-joined to its batch slice), rows chain per (table,
+    * per-table-encoded key), and one window pass verdicts the whole
+    * topology — never a job per table. The DLQ carries the `table`
+    * column, so one dead-letter dir serves the whole topology. */
+  private def gateBeforeImagesMulti(s: SparkSession,
+      stateDirs: Map[String, String], keyFor: Map[String, Seq[String]],
+      epochId: Long, batch: DataFrame, checkCol: String, beforeCol: String,
+      dlqDir: Option[String]): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val t = batch.schema(checkCol).dataType
+    val tables = stateDirs.keys.toSeq
+    val b0 = batch.filter(col("table").isin(tables: _*))
+    def keyCase = keyFor.foldLeft(lit(null).cast("string")) {
+      case (acc, (tb, ks)) =>
+        when(col("table") === tb, to_json(struct(ks.map(col): _*)))
+          .otherwise(acc)
+    }
+    def bucketCase = keyFor.foldLeft(
+        lit(null).cast(org.apache.spark.sql.types.LongType)) {
+      case (acc, (tb, ks)) =>
+        when(col("table") === tb,
+          pmod(xxhash64(ks.map(col): _*), lit(StateBuckets))).otherwise(acc)
+    }
+    val touched = b0.select(col("table"), bucketCase.as("_b")).distinct()
+      .collect().groupBy(_.getString(0))
+      .map { case (tb, rs) => tb -> rs.map(_.getLong(1)).toSeq }
+    val priors = touched.keys.toSeq.sorted.flatMap { tb =>
+      if (StateFs.epochIds(stateDirs(tb)).forall(_ >= epochId)) None
+      else Some(readStateDirGated(s, stateDirs(tb),
+          buckets = Some(touched(tb)))
+        .filter(col("epoch") < epochId).drop("epoch")
+        .join(broadcast(b0.filter(col("table") === tb)
+          .select(keyFor(tb).map(col): _*).distinct()),
+          keyFor(tb), "left_semi")
+        .select(lit(tb).as("table"),
+          to_json(struct(keyFor(tb).map(col): _*)).as("_k"),
+          col("op"), col(checkCol), col("seq")))
+    }
+    val keyed = b0.withColumn("_k", keyCase)
+    val withPrior = priors.reduceOption(_.unionByName(_)) match {
+      case None =>
+        keyed.withColumn("_cur_op", lit(null).cast("string"))
+          .withColumn("_cur", lit(null).cast(t))
+      case Some(pall) =>
+        val prior = pall.groupBy(col("table"), col("_k"))
+          .agg(max_by(struct(col("op"), col(checkCol)), col("seq")).as("_p"))
+          .select(col("table"), col("_k"), col("_p.op").as("_cur_op"),
+            col(s"_p.$checkCol").as("_cur"))
+        keyed.join(prior, Seq("table", "_k"), "left")
+    }
+    val pk = Seq(col("table"), col("_k"))
+    val w = Window.partitionBy(pk: _*).orderBy(col("seq"))
+    val after = when(col("op") === "D", lit(null).cast(t))
+      .otherwise(col(checkCol))
+    val chained = withPrior
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_prev", lag(after, 1).over(w))
+    val expected = when(col("_rn") === 1,
+        when(col("_cur_op") === "D", lit(null).cast(t)).otherwise(col("_cur")))
+      .otherwise(col("_prev"))
+    val conflict = col("op") === "U" && !(col(beforeCol) <=> expected)
+    val pinned = chained.withColumn("_cseq",
+        min(when(conflict, col("seq"))).over(Window.partitionBy(pk: _*)))
+      .persist()
+    dlqDir.foreach { d =>
+      pinned.filter(col("_cseq").isNotNull && col("seq") >= col("_cseq"))
+        .drop("_rn", "_prev", "_cur_op", "_cur", "_cseq", "_k")
+        .write.mode("overwrite").parquet(s"$d/epoch=$epochId")
+    }
+    val admitted = pinned
+      .filter(col("_cseq").isNull || col("seq") < col("_cseq"))
+      .drop("_rn", "_prev", "_cur_op", "_cur", "_cseq", "_k", beforeCol)
+    (admitted, pinned)
   }
 
   /** [[completePartialImages]] for the MULTI-TABLE fan-out: one

@@ -441,6 +441,53 @@ class ReplicationSpec extends SparkTestBase {
       "a recycled filename must resume at its newest recording")
   }
 
+  test("GTID-set codec: gap-free sets resume like their horizon seq, " +
+      "gapped or foreign sets refuse loudly") {
+    // the position dialect every gtid_mode=ON deployment hands back:
+    // an executed GTID set maps onto the engine's total seq order ONLY
+    // when the declared source's intervals are gap-free from 1
+    val uuid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    val codec = Replication.GtidSetCodec(uuid)
+    assert(codec.toSeq(s"$uuid:1-2") == 2L)
+    assert(codec.toSeq(s"$uuid:1") == 1L)
+    // adjacent intervals cover gap-free; a multi-source set picks the
+    // declared source's intervals (case-insensitive, as MySQL compares)
+    assert(codec.toSeq(s"${uuid.toUpperCase}:1-40:41-77") == 77L)
+    assert(codec.toSeq(
+      s"otheruuid-0000-0000-0000-000000000000:1-9,$uuid:1-3") == 3L)
+    // a HOLE refuses: resuming at the max would silently skip txn 41's
+    // history — the corruption GTID auto-positioning exists to prevent
+    val gap = intercept[IllegalArgumentException] {
+      codec.toSeq(s"$uuid:1-40:42-77")
+    }
+    assert(gap.getMessage.contains("gap before txn 42"))
+    intercept[IllegalArgumentException] {
+      codec.toSeq(s"$uuid:2-77") // missing txn 1
+    }
+    // a set with none of this source's transactions refuses by name
+    val foreign = intercept[IllegalArgumentException] {
+      codec.toSeq("otheruuid-0000-0000-0000-000000000000:1-9")
+    }
+    assert(foreign.getMessage.contains(uuid))
+    // end to end: resume-by-GTID == resume-by-seq on a real pass
+    val log = Tables.cdcLog(spark, sf)
+    def replay(from: Option[Long], gtid: Option[String]): Set[Seq[Any]] = {
+      val b = tmp()
+      (1 to 3).foreach(w => graft.streaming.StreamingOps.writeWave(
+        log.filter(col("seq") === w), s"$b/in", w - 1))
+      gtid match {
+        case Some(g) => Replication.incrementalSyncFromPosition(
+          spark, log.schema, s"$b/in", s"$b/ckpt", s"$b/state", g, codec)
+        case None => Replication.incrementalSync(spark, log.schema,
+          s"$b/in", s"$b/ckpt", s"$b/state", fromSeq = from)
+      }
+      Replication.appliedState(spark, s"$b/state").collect()
+        .map(_.toSeq).toSet
+    }
+    assert(replay(None, Some(s"$uuid:1-2")) == replay(Some(2L), None),
+      "GTID resume must equal seq resume at the same horizon")
+  }
+
   test("RENAME TABLE: one statement swaps table dirs with MySQL's " +
       "left-to-right semantics and refuses invalid plans up front") {
     import graft.streaming.StateFs

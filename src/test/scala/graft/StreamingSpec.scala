@@ -319,6 +319,65 @@ class StreamingSpec extends SparkTestBase {
       s"t_line: per-tuple completion: $line")
   }
 
+  test("strict before-image gate fans out: per-table verdicts under " +
+      "heterogeneous keys, one topology DLQ") {
+    // one FULL-image binlog feeding two tables with different PKs: each
+    // table's updates check against ITS OWN prior state — a conflicted
+    // update in one table must not poison the other table's same-seq
+    // window, and the shared DLQ carries the table column
+    import graft.streaming.StreamingOps
+    val base = java.nio.file.Files.createTempDirectory("graft_smulti").toString
+    def frame(rows: Seq[(String, Long, Long, java.lang.Long,
+        java.lang.Double, String, java.lang.Double, String)]) =
+      spark.createDataFrame(rows)
+        .toDF("op", "seq", "okey", "line_no", "price", "status",
+          "before_price", "table")
+        .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("seq")))
+        .select(col("op"), col("seq"), col("ts"), col("okey"),
+          col("line_no"), col("price"), col("status"), col("before_price"),
+          col("table"))
+    val dirs = Map("t_ord" -> s"$base/state_ord",
+      "t_line" -> s"$base/state_line")
+    def pass(df: org.apache.spark.sql.DataFrame, w: Int): Unit = {
+      StreamingOps.writeWave(df, s"$base/in", w)
+      StreamingOps.runCdcPassMulti(spark, df.schema, s"$base/in",
+        s"$base/ckpt", dirs,
+        keyColsByTable = Map("t_ord" -> Seq("okey"),
+          "t_line" -> Seq("okey", "line_no")),
+        strictBefore = Some(("price", "before_price")),
+        conflictDlq = Some(s"$base/dlq"))
+    }
+    pass(frame(Seq(
+      ("I", 1L, 1L, 0L, 10.0, "A", null, "t_ord"),
+      ("I", 2L, 1L, 1L, 5.0, "X", null, "t_line"),
+      ("I", 3L, 1L, 2L, 6.0, "Y", null, "t_line"))), 0)
+    // t_ord k1 declares a WRONG before (99 != 10) → quarantined;
+    // t_line (1,1) declares the RIGHT before under ITS key — the okey
+    // value it shares with the conflicted t_ord row must not drag it
+    // down; t_line (1,2) chains two updates in-batch, both clean
+    pass(frame(Seq(
+      ("U", 4L, 1L, null, 12.0, "B", 99.0, "t_ord"),
+      ("U", 5L, 1L, 1L, 5.5, "X2", 5.0, "t_line"),
+      ("U", 6L, 1L, 2L, 6.5, "Y2", 6.0, "t_line"),
+      ("U", 7L, 1L, 2L, 7.0, "Y3", 6.5, "t_line"))), 1)
+    val ord = StreamingOps.readLatestState(spark, dirs("t_ord"))
+      .select(col("okey"), col("price"), col("status")).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+    assert(ord == Map(1L -> ((10.0, "A"))),
+      s"t_ord: the conflicted update must not apply: $ord")
+    val line = StreamingOps.readLatestState(spark, dirs("t_line"))
+      .select(col("okey"), col("line_no"), col("price"), col("status"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getString(3)))).toMap
+    assert(line == Map((1L, 1L) -> ((5.5, "X2")), (1L, 2L) -> ((7.0, "Y3"))),
+      s"t_line: clean per-key chains must apply: $line")
+    val dlq = spark.read.parquet(s"$base/dlq")
+      .select(col("table"), col("seq")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(dlq == Set(("t_ord", 4L)),
+      s"one topology DLQ, table-tagged: $dlq")
+  }
+
   test("stream CDC apply == batch latest-wins collapse") {
     val stream = q("stream_cdc_apply").collect()
     val batch = q("agg_latest_by_version").collect()
