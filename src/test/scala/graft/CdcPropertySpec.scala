@@ -17,6 +17,9 @@ class CdcPropertySpec extends SparkTestBase {
   case class POp(op: String, seq: Long, key: Long, price: java.lang.Double,
     status: String, changed: Seq[String])
 
+  case class SOp(op: String, seq: Long, key: Long, price: java.lang.Double,
+    status: String, before: java.lang.Double)
+
   private val genOps: Gen[List[Op]] = for {
     nKeys <- Gen.choose(1, 8)
     n <- Gen.choose(1, 60)
@@ -448,6 +451,105 @@ class CdcPropertySpec extends SparkTestBase {
             Option(r.getString(3))))).toMap
       assert(served == fold(sorted),
         s"partial fold diverged (log $si, ${waves.size} waves): $ops")
+    }
+  }
+
+  test("STRICT-BEFORE property: any log, any wave split — served state " +
+      "and DLQ == the sequential chain fold") {
+    import graft.streaming.StreamingOps
+    // random FULL-row-image logs where a random subset of updates LIE
+    // about their before image, split into waves at random boundaries:
+    // the gate's verdicts composed across batches must equal a
+    // sequential fold whose rules ARE the contract — an update's
+    // expected before is its in-batch predecessor's declared after
+    // (chain), or the pre-batch applied state for the key's first batch
+    // event; a mismatch quarantines the key's remaining batch events;
+    // the next batch verdicts against the actual applied state again.
+    case class Raw(key: Long, op: String, v: Double, st: String,
+      lie: Boolean)
+    val gen: Gen[List[Raw]] = for {
+      nKeys <- Gen.choose(1, 6)
+      n <- Gen.choose(4, 50)
+      evs <- Gen.listOfN(n, for {
+        k <- Gen.choose(0L, nKeys.toLong)
+        o <- Gen.frequency((3, "I"), (4, "U"), (2, "D"))
+        v <- Gen.choose(0, 999).map(_.toDouble)
+        st <- Gen.oneOf("A", "B")
+        lie <- Gen.frequency((3, false), (1, true))
+      } yield Raw(k, o, v, st, lie))
+    } yield evs
+    val logs = (0 until 8).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(4242L + i)))
+    logs.zipWithIndex.foreach { case (raws, si) =>
+      val seqd = raws.zipWithIndex.map { case (r, i) => (r, i.toLong) }
+      val waves = seqd.grouped(
+        math.max(1, seqd.length / (1 + si % 3))).toList
+      // the reference fold ASSIGNS each update's declared before (true
+      // chain value, or a deterministic lie) and verdicts sequentially
+      var state = Map.empty[Long, (Double, String)]
+      val events = scala.collection.mutable.ListBuffer.empty[SOp]
+      val dlqModel = scala.collection.mutable.Set.empty[Long]
+      waves.foreach { w =>
+        val quarantined = scala.collection.mutable.Set.empty[Long]
+        val chainAfter =
+          scala.collection.mutable.Map.empty[Long, Option[Double]]
+        w.foreach { case (r, seq) =>
+          val expected: Option[Double] =
+            chainAfter.getOrElse(r.key, state.get(r.key).map(_._1))
+          val before: java.lang.Double =
+            if (r.op != "U") null
+            else if (!r.lie) expected.map(Double.box).orNull
+            else expected match {
+              case None => Double.box(123456.0)
+              case Some(e) =>
+                if (seq % 2 == 0) null else Double.box(e + 777.0)
+            }
+          events += SOp(r.op, seq, r.key,
+            if (r.op == "D") null else Double.box(r.v),
+            if (r.op == "D") null else r.st, before)
+          if (quarantined(r.key)) dlqModel += seq
+          else r.op match {
+            case "I" => state += r.key -> ((r.v, r.st))
+            case "D" => state -= r.key
+            case _ =>
+              val ok = (Option(before).map(_.doubleValue), expected) match {
+                case (None, None) => true
+                case (Some(b), Some(e)) => b == e
+                case _ => false
+              }
+              if (ok) state += r.key -> ((r.v, r.st))
+              else { dlqModel += seq; quarantined += r.key }
+          }
+          chainAfter(r.key) = if (r.op == "D") None else Some(r.v)
+        }
+      }
+      // drive the impl over the SAME waves
+      val base = java.nio.file.Files
+        .createTempDirectory(s"graft_strictprop$si").toString
+      val evList = events.toList
+      val evWaves = evList.grouped(
+        math.max(1, seqd.length / (1 + si % 3))).toList
+      evWaves.zipWithIndex.foreach { case (w, i) =>
+        val df = spark.createDataFrame(w)
+          .select(col("op"), col("seq"),
+            timestamp_seconds(lit(1700000000L) + col("seq")).as("ts"),
+            col("key").as("okey"), col("price"), col("status"),
+            col("before"))
+        StreamingOps.writeWave(df, s"$base/in", i)
+        StreamingOps.runCdcPass(spark, df.schema, s"$base/in",
+          s"$base/ckpt", s"$base/state",
+          strictBefore = Some(("price", "before")),
+          conflictDlq = Some(s"$base/dlq"))
+      }
+      val served = StreamingOps.readLatestState(spark, s"$base/state")
+        .collect().map(r => r.getLong(0) ->
+          ((r.get(2).toString.toDouble, r.getString(3)))).toMap
+      assert(served == state,
+        s"strict fold diverged (log $si, ${evWaves.size} waves): $evList")
+      val dlqImpl = spark.read.parquet(s"$base/dlq")
+        .select(col("seq")).collect().map(_.getLong(0)).toSet
+      assert(dlqImpl == dlqModel.toSet,
+        s"DLQ diverged (log $si, ${evWaves.size} waves): $evList")
     }
   }
 

@@ -566,6 +566,52 @@ class ReplicationSpec extends SparkTestBase {
     assert(StateFs.readSmall(s"$root/a/_schema").contains("A"))
   }
 
+  test("OSC cutover re-keys: the swapped-in table serves under its OWN " +
+      "key declaration with no migration") {
+    // the re-key a gh-ost migration exists to deliver (ALTER ... ADD
+    // PRIMARY KEY via shadow copy): live `orders` is keyed okey, the
+    // shadow is keyed (okey, line_no) — after the atomic rename the
+    // served `orders` collapses per composite tuple, because _keycols
+    // moved with the directory; nothing was rewritten or re-declared
+    import graft.streaming.StreamingOps
+    val base = tmp()
+    val root = s"$base/tables"
+    def frame(rows: Seq[(String, Long, Long, java.lang.Long,
+        java.lang.Double, String)]) =
+      spark.createDataFrame(rows)
+        .toDF("op", "seq", "okey", "line_no", "price", "status")
+        .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("seq")))
+        .select(col("op"), col("seq"), col("ts"), col("okey"),
+          col("line_no"), col("price"), col("status"))
+    // live replica: single-column key — two events of okey=1 COLLAPSE
+    val live = frame(Seq(("I", 1L, 1L, 0L, 10.0, "A"),
+      ("U", 2L, 1L, 0L, 11.0, "B")))
+    StreamingOps.writeWave(live, s"$base/in_live", 0)
+    StreamingOps.runCdcPass(spark, live.schema, s"$base/in_live",
+      s"$base/ckpt_live", s"$root/orders")
+    // shadow fill: COMPOSITE key — same okey, two lines, both live
+    val shadow = frame(Seq(("I", 1L, 1L, 1L, 5.0, "X"),
+      ("I", 2L, 1L, 2L, 6.0, "Y")))
+    StreamingOps.writeWave(shadow, s"$base/in_gho", 0)
+    StreamingOps.runCdcPass(spark, shadow.schema, s"$base/in_gho",
+      s"$base/ckpt_gho", s"$root/_orders_gho",
+      keyCols = Seq("okey", "line_no"))
+    Replication.renameTables(root,
+      Seq("orders" -> "_orders_del", "_orders_gho" -> "orders"))
+    // the swapped-in `orders` collapses per (okey, line_no): two rows
+    // survive where the old key declaration would have merged them
+    val served = StreamingOps.readLatestState(spark, s"$root/orders")
+      .select(col("okey"), col("line_no"), col("price")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(served == Map((1L, 1L) -> 5.0, (1L, 2L) -> 6.0),
+      s"composite _keycols must travel with the dir: $served")
+    // the retired copy still collapses per its own single-column key
+    val retired = StreamingOps.readLatestState(spark, s"$root/_orders_del")
+      .select(col("okey"), col("price")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(retired == Map(1L -> 11.0))
+  }
+
   test("moveDir invalidates the clean-dir memo: a swapped-in dir's DDL " +
       "gate files are honored at the destination path") {
     import graft.streaming.StateFs
