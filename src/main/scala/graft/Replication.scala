@@ -288,7 +288,8 @@ object Replication {
       purgeFloor: Option[Long],
       truncateFloor: Option[Long],
       compactHorizon: Option[Long],
-      historyRetained: Boolean)
+      historyRetained: Boolean,
+      conflictRows: Option[Long] = None)
 
   /** `txnCol`/`pendingRoot` mirror the sync's own configuration: a
     * single-table txn-gated sync roots its `_pending` tail under the
@@ -302,7 +303,8 @@ object Replication {
     * root is wrong (or the table was never txn-synced). */
   def replicaStatus(spark: SparkSession, stateDir: String,
       txnCol: Option[String] = None,
-      pendingRoot: Option[String] = None): ReplicaStatus = {
+      pendingRoot: Option[String] = None,
+      conflictDlq: Option[String] = None): ReplicaStatus = {
     import streaming.{StateFs, StreamingOps}
     txnCol.foreach { _ =>
       val root = pendingRoot.getOrElse(stateDir)
@@ -311,6 +313,13 @@ object Replication {
           "for a multi-table topology pass pendingRoot = the sync's " +
           "ckptDir (that is where the topology roots _pending); for a " +
           "table never synced with txnCol, drop the txnCol argument")
+    }
+    // quarantine accounting mirrors the txn rule: asking for it against
+    // a dir no strict-before pass ever wrote is a wrong root, loudly
+    conflictDlq.foreach { d =>
+      require(StateFs.exists(d),
+        s"conflict accounting requested but $d does not exist — pass " +
+          "the conflictDlq dir the sync writes, or drop the argument")
     }
     val epochs = StateFs.epochIds(stateDir)
     // applied position = the newest seq any applied event carries — the
@@ -339,7 +348,9 @@ object Replication {
       truncateFloor = StreamingOps.readTruncFloor(stateDir),
       compactHorizon = StreamingOps.readCompactHorizon(stateDir),
       historyRetained =
-        StateFs.readSmall(s"$stateDir/_history").isDefined)
+        StateFs.readSmall(s"$stateDir/_history").isDefined,
+      conflictRows =
+        conflictDlq.map(d => spark.read.parquet(d).count()))
   }
 
   /** Verdict of [[viewConsistencyCheck]]. */

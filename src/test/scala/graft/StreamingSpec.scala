@@ -106,6 +106,15 @@ class StreamingSpec extends SparkTestBase {
     // the batch-2 DLQ slot stayed empty (no conflicts) and batch 1's
     // verdict is untouched — epoch-keyed overwrite, replay idempotent
     assert(spark.read.parquet(s"$base/dlq").count() == 3)
+    // the operator's first question surfaces in replicaStatus; asking
+    // against a dir no strict pass ever wrote refuses by name
+    assert(graft.Replication.replicaStatus(spark, s"$base/state",
+      conflictDlq = Some(s"$base/dlq")).conflictRows.contains(3L))
+    val wrongRoot = intercept[IllegalArgumentException] {
+      graft.Replication.replicaStatus(spark, s"$base/state",
+        conflictDlq = Some(s"$base/nope"))
+    }
+    assert(wrongRoot.getMessage.contains("does not exist"))
   }
 
   test("partial images compose with RENAME COLUMN: prior images serve under the new name") {
