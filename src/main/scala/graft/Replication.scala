@@ -314,13 +314,10 @@ object Replication {
           "ckptDir (that is where the topology roots _pending); for a " +
           "table never synced with txnCol, drop the txnCol argument")
     }
-    // quarantine accounting mirrors the txn rule: asking for it against
-    // a dir no strict-before pass ever wrote is a wrong root, loudly
-    conflictDlq.foreach { d =>
-      require(StateFs.exists(d),
-        s"conflict accounting requested but $d does not exist — pass " +
-          "the conflictDlq dir the sync writes, or drop the argument")
-    }
+    // an ABSENT DLQ dir is the healthy steady state, not a wrong root:
+    // the gate writes an epoch only when a batch actually conflicts, so
+    // a strict replica that never diverged has no dir at all — report 0
+    // (unlike the txn root, which a txn-gated pass always materializes)
     val epochs = StateFs.epochIds(stateDir)
     // applied position = the newest seq any applied event carries — the
     // raw (pre-collapse, tombstone-inclusive) read, column-pruned to
@@ -349,8 +346,8 @@ object Replication {
       compactHorizon = StreamingOps.readCompactHorizon(stateDir),
       historyRetained =
         StateFs.readSmall(s"$stateDir/_history").isDefined,
-      conflictRows =
-        conflictDlq.map(d => spark.read.parquet(d).count()))
+      conflictRows = conflictDlq.map(d =>
+        if (!StateFs.exists(d)) 0L else spark.read.parquet(d).count()))
   }
 
   /** Verdict of [[viewConsistencyCheck]]. */
@@ -778,9 +775,16 @@ object Replication {
     require(renames.nonEmpty, "RENAME TABLE with an empty rename list")
     renames.foreach { case (o, n) =>
       require(o != n, s"RENAME TABLE '$o' onto itself")
-      Seq(o, n).foreach(t => require(
-        t.nonEmpty && !t.exists(c => c == '/' || c == '\t' || c == '\n'),
-        s"malformed table name '$t'"))
+      Seq(o, n).foreach { t =>
+        require(
+          t.nonEmpty && !t.exists(c => c == '/' || c == '\t' || c == '\n'),
+          s"malformed table name '$t'")
+        // the journal slot is the protocol's, not a table's: a plan
+        // touching it would occupy its own commit record and wedge the
+        // root behind a heal that can never complete
+        require(t != "_rename_tables",
+          "'_rename_tables' is the rename journal, not a table name")
+      }
     }
     // validate the WHOLE statement left-to-right against a simulated
     // layout before touching anything — MySQL's all-or-nothing refusal

@@ -126,14 +126,16 @@ private[graft] object StateFs {
     val dfs = fs(dp)
     require(sfs.exists(sp), s"staged dir missing: $src")
     Option(dp.getParent).foreach(dfs.mkdirs(_))
-    // a WHOLE state dir can land at dst (table rename cutover) carrying
-    // its DDL gate files — a stale clean verdict memoized for that path
-    // would skip gates the arriving dir needs
-    cleanDirs.remove(normDir(dst))
     val renamed = (sfs.getUri == dfs.getUri) && sfs.rename(sp, dp)
     if (!renamed)
       require(FileUtil.copy(sfs, sp, dfs, dp, true, conf(dp)),
         s"cannot move $src -> $dst")
+    // a WHOLE state dir can land at dst (table rename cutover) carrying
+    // its DDL gate files — a stale clean verdict memoized for that path
+    // would skip gates the arriving dir needs. Bumped AFTER the move is
+    // visible (see gateGen): a concurrent clean probe either sees the
+    // arrived files or fails the generation check at cache time.
+    bumpGate(normDir(dst))
   }
 
   /** Contents of a small control file, None when absent. */
@@ -172,27 +174,40 @@ private[graft] object StateFs {
   private val cleanDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  // per-dir invalidation GENERATION, bumped after every gate-file write
+  // or whole-dir move: a reader that probed clean but raced a writer
+  // (probe before the gate file landed, cache after the writer's
+  // invalidation) would otherwise memoize a stale CLEAN verdict forever
+  // — the generation check at cache time closes the window, because the
+  // writer bumps strictly AFTER its file is visible, so either the
+  // reader's probe sees the file or its cache attempt sees the bump.
+  private val gateGen =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def genOf(key: String): Long =
+    Option(gateGen.get(key)).map(_.longValue).getOrElse(0L)
+
+  private def bumpGate(key: String): Unit = {
+    gateGen.merge(key, 1L, (a, b) => java.lang.Long.valueOf(a + b))
+    cleanDirs.remove(key); ()
+  }
+
   private def normDir(state: String): String = new Path(state).toString
 
   private[graft] def dirHasNoDdl(state: String): Boolean = {
     val key = normDir(state)
     cleanDirs.contains(key) || {
+      val g0 = genOf(key)
       val clean = DdlGateFiles.forall(f => !exists(s"$state/$f"))
-      if (clean) cleanDirs.add(key)
+      if (clean && genOf(key) == g0) cleanDirs.add(key)
       clean
     }
-  }
-
-  private[graft] def markDdlDirty(state: String): Unit = {
-    cleanDirs.remove(normDir(state)); ()
   }
 
   /** Atomically publish a small control file: write `<path>.tmp`, then
     * `FileContext.rename(OVERWRITE)` it over the destination. */
   def writeAtomic(path: String, content: String): Unit = {
     val dst = new Path(path)
-    if (DdlGateFiles.contains(dst.getName))
-      Option(dst.getParent).foreach(p => { cleanDirs.remove(p.toString); () })
     val tmp = new Path(path + ".tmp")
     val f = fs(dst)
     val out = f.create(tmp, true)
@@ -202,5 +217,10 @@ private[graft] object StateFs {
     // local path has no URI authority of its own)
     FileContext.getFileContext(f.getUri, conf(dst))
       .rename(tmp, dst, Options.Rename.OVERWRITE)
+    // invalidate AFTER the file is visible (see gateGen): bumping first
+    // would let a racing reader probe clean post-bump, pre-file, and
+    // cache the stale verdict with no later invalidation to evict it
+    if (DdlGateFiles.contains(dst.getName))
+      Option(dst.getParent).foreach(p => bumpGate(p.toString))
   }
 }

@@ -916,6 +916,9 @@ object StreamingOps {
         "binlog_row_image=MINIMAL carries no before images — the " +
           "strict before-image gate and partial-image completion are " +
           "mutually exclusive by definition")
+      require(conflictDlq.isDefined,
+        "strictBefore without a conflictDlq would DISCARD conflicted " +
+          "events with no record anywhere — declare the dead-letter dir")
     }
     require(conflictDlq.isEmpty || strictBefore.isDefined,
       "a conflict DLQ without a strict-before declaration is dead " +
@@ -1030,7 +1033,7 @@ object StreamingOps {
           case None => completed
           case Some((pc, bc)) =>
             val (admitted, pin) = gateBeforeImages(s, state, epochId,
-              completed, keyCols, pc, bc, conflictDlq)
+              completed, keyCols, pc, bc, conflictDlq.get)
             strictPinned = Some(pin)
             admitted
         }
@@ -1301,6 +1304,9 @@ object StreamingOps {
         "binlog_row_image=MINIMAL carries no before images — the " +
           "strict before-image gate and partial-image completion are " +
           "mutually exclusive by definition")
+      require(conflictDlq.isDefined,
+        "strictBefore without a conflictDlq would DISCARD conflicted " +
+          "events with no record anywhere — declare the dead-letter dir")
     }
     require(conflictDlq.isEmpty || strictBefore.isDefined,
       "a conflict DLQ without a strict-before declaration is dead " +
@@ -1437,7 +1443,7 @@ object StreamingOps {
           case None => gatedC
           case Some((pc, bc)) =>
             val (adm, pin) = gateBeforeImagesMulti(s, stateDirs, keyFor,
-              epochId, gatedC, pc, bc, conflictDlq)
+              epochId, gatedC, pc, bc, conflictDlq.get)
             strictPinned = Some(pin)
             adm
         }
@@ -2130,8 +2136,7 @@ object StreamingOps {
   private def gateBeforeImages(s: SparkSession, state: String,
       epochId: Long, batch: DataFrame, keyCols: Seq[String],
       checkCol: String, beforeCol: String,
-      dlqDir: Option[String]): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
+      dlqDir: String): (DataFrame, DataFrame) = {
     val t = batch.schema(checkCol).dataType
     val priorEpochs = StateFs.epochIds(state).filter(_ < epochId)
     val withPrior =
@@ -2146,7 +2151,23 @@ object StreamingOps {
             :+ col(s"_p.$checkCol").as("_cur"): _*)
         batch.join(prior, keyCols, "left")
       }
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("seq"))
+    verdictBeforeImages(withPrior, keyCols.map(col), t, checkCol,
+      beforeCol, dlqDir, epochId, extraDrop = Seq.empty)
+  }
+
+  /** The one verdict core both gates share (single-table and fan-out
+    * differ only in the chain's PARTITION KEY and the prior lookup):
+    * chain expected values, the conflict test, suffix quarantine, the
+    * DLQ write (skipped when the batch has no conflicts — a healthy
+    * stream must not accrete one empty epoch dir per trigger), and the
+    * admitted filter. Returns (admitted, the pinned frame the caller
+    * unpersists). */
+  private def verdictBeforeImages(withPrior: DataFrame, pk: Seq[Column],
+      t: org.apache.spark.sql.types.DataType, checkCol: String,
+      beforeCol: String, dlqDir: String, epochId: Long,
+      extraDrop: Seq[String]): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(pk: _*).orderBy(col("seq"))
     // an event's AFTER image for chaining: a delete resets to NULL
     val after = when(col("op") === "D", lit(null).cast(t))
       .otherwise(col(checkCol))
@@ -2160,17 +2181,20 @@ object StreamingOps {
       .otherwise(col("_prev"))
     val conflict = col("op") === "U" && !(col(beforeCol) <=> expected)
     val pinned = chained.withColumn("_cseq",
-        min(when(conflict, col("seq")))
-          .over(Window.partitionBy(keyCols.map(col): _*)))
+        min(when(conflict, col("seq"))).over(Window.partitionBy(pk: _*)))
       .persist()
-    dlqDir.foreach { d =>
-      pinned.filter(col("_cseq").isNotNull && col("seq") >= col("_cseq"))
-        .drop("_rn", "_prev", "_cur_op", "_cur", "_cseq")
-        .write.mode("overwrite").parquet(s"$d/epoch=$epochId")
-    }
+    val book = Seq("_rn", "_prev", "_cur_op", "_cur", "_cseq") ++ extraDrop
+    val conflicts = pinned
+      .filter(col("_cseq").isNotNull && col("seq") >= col("_cseq"))
+      .drop(book: _*)
+    // epoch-keyed overwrite keeps a crash-replayed batch's re-verdict
+    // idempotent; the emptiness probe is one cheap action on the
+    // already-pinned frame
+    if (!conflicts.isEmpty)
+      conflicts.write.mode("overwrite").parquet(s"$dlqDir/epoch=$epochId")
     val admitted = pinned
       .filter(col("_cseq").isNull || col("seq") < col("_cseq"))
-      .drop("_rn", "_prev", "_cur_op", "_cur", "_cseq", beforeCol)
+      .drop((book :+ beforeCol): _*)
     (admitted, pinned)
   }
 
@@ -2252,8 +2276,7 @@ object StreamingOps {
   private def gateBeforeImagesMulti(s: SparkSession,
       stateDirs: Map[String, String], keyFor: Map[String, Seq[String]],
       epochId: Long, batch: DataFrame, checkCol: String, beforeCol: String,
-      dlqDir: Option[String]): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
+      dlqDir: String): (DataFrame, DataFrame) = {
     val t = batch.schema(checkCol).dataType
     val tables = stateDirs.keys.toSeq
     val b0 = batch.filter(col("table").isin(tables: _*))
@@ -2295,29 +2318,8 @@ object StreamingOps {
             col(s"_p.$checkCol").as("_cur"))
         keyed.join(prior, Seq("table", "_k"), "left")
     }
-    val pk = Seq(col("table"), col("_k"))
-    val w = Window.partitionBy(pk: _*).orderBy(col("seq"))
-    val after = when(col("op") === "D", lit(null).cast(t))
-      .otherwise(col(checkCol))
-    val chained = withPrior
-      .withColumn("_rn", row_number().over(w))
-      .withColumn("_prev", lag(after, 1).over(w))
-    val expected = when(col("_rn") === 1,
-        when(col("_cur_op") === "D", lit(null).cast(t)).otherwise(col("_cur")))
-      .otherwise(col("_prev"))
-    val conflict = col("op") === "U" && !(col(beforeCol) <=> expected)
-    val pinned = chained.withColumn("_cseq",
-        min(when(conflict, col("seq"))).over(Window.partitionBy(pk: _*)))
-      .persist()
-    dlqDir.foreach { d =>
-      pinned.filter(col("_cseq").isNotNull && col("seq") >= col("_cseq"))
-        .drop("_rn", "_prev", "_cur_op", "_cur", "_cseq", "_k")
-        .write.mode("overwrite").parquet(s"$d/epoch=$epochId")
-    }
-    val admitted = pinned
-      .filter(col("_cseq").isNull || col("seq") < col("_cseq"))
-      .drop("_rn", "_prev", "_cur_op", "_cur", "_cseq", "_k", beforeCol)
-    (admitted, pinned)
+    verdictBeforeImages(withPrior, Seq(col("table"), col("_k")), t,
+      checkCol, beforeCol, dlqDir, epochId, extraDrop = Seq("_k"))
   }
 
   /** [[completePartialImages]] for the MULTI-TABLE fan-out: one
@@ -2556,16 +2558,39 @@ object StreamingOps {
     readStateSchema(mv).foreach { p =>
       val stage = s"$mv/_rename_stage"
       val trash = s"$mv/_rename_old"
-      val hit = renames.filter { case (o, _) => p.fieldNames.contains(o) }
-      if (hit.isEmpty) {
-        // committed (or never-started) regime: the published schema holds
-        // no old names, so stage/trash can only be a crashed completed
-        // swap's leftovers — reclaim them HERE, unconditionally, or a
-        // crash between the publish and the final drop leaks the trash
-        // copy forever (no later call would enter the rename branch).
+      val claim = s"$mv/_rename_claim"
+      // settle a prior swap's leftovers FIRST, by OWNERSHIP: the trash
+      // belongs to the CLAIM that staged it (published before the first
+      // destructive step), never to the rename map of the CURRENT call
+      // — a crash between the schema publish and the trash drop, healed
+      // by a pass already carrying the NEXT rename, must reclaim the
+      // committed swap's trash, not "roll back" onto it (that would
+      // serve the stale pre-rename copy and bake all-NULL reads into
+      // the next swap).
+      StateFs.readSmall(claim).foreach { owned =>
+        val oldNames = owned.split('\n').filter(_.nonEmpty)
+        if (oldNames.exists(p.fieldNames.contains)) {
+          // UNCOMMITTED: the claim's old names are still published, so
+          // the trash is the only authoritative pre-rename copy — roll
+          // back (drop whatever sits at live, restore trash) rather
+          // than trust live, which a crash mid-swap may have left
+          // holding new-name files that read all-NULL under the
+          // published schema. The trash move preserved the epoch name.
+          StateFs.childDirNames(trash, "epoch=").foreach { e =>
+            StateFs.deleteRecursive(s"$mv/$e")
+            StateFs.moveDir(s"$trash/$e", s"$mv/$e")
+          }
+        }
+        // committed (or just rolled back): leftovers are inert now
         StateFs.deleteRecursive(trash)
         StateFs.deleteRecursive(stage)
-      } else {
+        StateFs.deleteRecursive(claim)
+      }
+      // claimless leftovers can only be stage debris (the claim is the
+      // first artifact a swap publishes) — reclaim unconditionally
+      StateFs.deleteRecursive(stage)
+      val hit = renames.filter { case (o, _) => p.fieldNames.contains(o) }
+      if (hit.nonEmpty) {
         val dup = hit.values.groupBy(identity)
           .collect { case (n, vs) if vs.size > 1 => n }
         require(dup.isEmpty,
@@ -2575,19 +2600,12 @@ object StreamingOps {
             s"MV rename target '$n' already published — a rename cannot " +
               "merge two view columns")
         }
-        // uncommitted regime: old names are still published, so a trash
-        // dir is the ONLY authoritative pre-rename copy — roll back
-        // (drop whatever sits at live, restore trash) rather than trust
-        // live, which a crash mid-swap may have left holding new-name
-        // files that read all-NULL under the published schema.
-        StateFs.childDirNames(trash, "epoch=").foreach { e =>
-          StateFs.deleteRecursive(s"$mv/$e")
-          StateFs.moveDir(s"$trash/$e", s"$mv/$e")
-        }
-        StateFs.deleteRecursive(trash)
-        StateFs.deleteRecursive(stage)
         val renamed = org.apache.spark.sql.types.StructType(p.fields.map(f =>
           hit.get(f.name).map(n => f.copy(name = n)).getOrElse(f)))
+        // the claim publishes BEFORE the first destructive step: from
+        // here until the schema publish, healing rolls back; after it,
+        // healing reclaims — ownership, not guesswork, decides
+        StateFs.writeAtomic(claim, hit.keys.toSeq.sorted.mkString("\n"))
         StateFs.epochIds(mv).maxOption.foreach { at =>
           val live = s"$mv/epoch=$at"
           readMvEpoch(s, mv, at).toDF(renamed.fieldNames.toSeq: _*)
@@ -2600,6 +2618,7 @@ object StreamingOps {
         // both data and schema are the new name and leftovers are inert
         StateFs.writeAtomic(s"$mv/_schema", renamed.json)
         StateFs.deleteRecursive(trash)
+        StateFs.deleteRecursive(claim)
       }
     }
 

@@ -546,8 +546,12 @@ class CdcPropertySpec extends SparkTestBase {
           ((r.get(2).toString.toDouble, r.getString(3)))).toMap
       assert(served == state,
         s"strict fold diverged (log $si, ${evWaves.size} waves): $evList")
-      val dlqImpl = spark.read.parquet(s"$base/dlq")
-        .select(col("seq")).collect().map(_.getLong(0)).toSet
+      // a conflict-free run never creates the DLQ dir (the gate skips
+      // empty epoch writes) — absent reads as the empty verdict set
+      val dlqImpl =
+        if (!graft.streaming.StateFs.exists(s"$base/dlq")) Set.empty[Long]
+        else spark.read.parquet(s"$base/dlq")
+          .select(col("seq")).collect().map(_.getLong(0)).toSet
       assert(dlqImpl == dlqModel.toSet,
         s"DLQ diverged (log $si, ${evWaves.size} waves): $evList")
     }

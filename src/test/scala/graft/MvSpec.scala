@@ -738,6 +738,67 @@ class MvSpec extends SparkTestBase {
       "the deleted max must demote A to its remaining row")
   }
 
+  test("MV rename heal reclaims a COMMITTED swap's trash by ownership — " +
+      "the NEXT rename must never roll back onto it") {
+    // the crash window: a pass renames grp→seg and dies BETWEEN the
+    // _schema publish (the commit point) and the trash drop. The
+    // operator resumes LATER, with the next DDL (seg→zone) already in
+    // renameCols. Healing by the CURRENT rename map would see a hit and
+    // "roll back" onto the stale grp-named trash — serving the
+    // pre-rename copy, which reads all-NULL under the published seg
+    // schema and then bakes into the seg→zone swap. Ownership (the
+    // _rename_claim staged with the trash) must reclaim instead.
+    import graft.streaming.StateFs
+    val base = tmp()
+    def frame(rows: Seq[(String, Long, Long, Double, String)],
+        gname: String) =
+      spark.createDataFrame(rows).toDF("op", "seq", "okey", "price", gname)
+        .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("seq")))
+        .withColumn("status", lit("X"))
+        .select(col("op"), col("seq"), col("ts"), col("okey"), col("price"),
+          col("status"), col(gname))
+    val w0 = frame(Seq(("I", 1L, 1L, 10.0, "g1"), ("I", 2L, 2L, 5.0, "g2")),
+      "grp")
+    StreamingOps.writeWave(w0, s"$base/in", 0)
+    StreamingOps.runMvSumPass(spark, w0.schema, s"$base/in", s"$base/ckpt",
+      s"$base/state", s"$base/mv", groupCol = "grp")
+    // the pre-rename MV content — what the crashed swap's trash held
+    val preRows = StreamingOps.readMv(spark, s"$base/mv").collect().toSeq
+    val preCols = StreamingOps.readMv(spark, s"$base/mv").schema
+    // committed rename grp→seg (k1's price moves to 12 in the same pass)
+    val w1 = frame(Seq(("U", 3L, 1L, 12.0, "g1")), "seg")
+    StreamingOps.writeWave(w1, s"$base/in", 1)
+    StreamingOps.runMvSumPass(spark, w1.schema, s"$base/in", s"$base/ckpt",
+      s"$base/state", s"$base/mv", groupCol = "seg",
+      renameCols = Map("grp" -> "seg"))
+    assert(servedSum(s"$base/mv") == Map(
+      "g1" -> ((1L, BigDecimal("12.00"))),
+      "g2" -> ((1L, BigDecimal("5.00")))))
+    // reconstruct the crash leftovers of that committed swap: the
+    // grp-named trash copy plus the claim that staged it
+    val trashEpoch = StateFs.epochIds(s"$base/mv").max
+    spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(preRows: _*)),
+        preCols)
+      .write.parquet(s"$base/mv/_rename_old/epoch=$trashEpoch")
+    StateFs.writeAtomic(s"$base/mv/_rename_claim", "grp")
+    // the NEXT rename (seg→zone) heals first: it must RECLAIM the
+    // committed trash (claim's old name 'grp' is no longer published),
+    // then swap seg→zone over the LIVE data — never the stale copy
+    val w2 = frame(Seq(("I", 4L, 3L, 2.0, "g2")), "zone")
+    StreamingOps.writeWave(w2, s"$base/in", 2)
+    StreamingOps.runMvSumPass(spark, w2.schema, s"$base/in", s"$base/ckpt",
+      s"$base/state", s"$base/mv", groupCol = "zone",
+      renameCols = Map("seg" -> "zone"))
+    assert(StreamingOps.readMv(spark, s"$base/mv").columns.head == "zone")
+    assert(servedSum(s"$base/mv") == Map(
+      "g1" -> ((1L, BigDecimal("12.00"))),
+      "g2" -> ((2L, BigDecimal("7.00")))),
+      s"the live data must survive the heal: ${servedSum(s"$base/mv")}")
+    assert(!StateFs.exists(s"$base/mv/_rename_old") &&
+      !StateFs.exists(s"$base/mv/_rename_claim"), "leftovers reclaimed")
+  }
+
   test("minmax MV across DDL: group rename migrates view + snapshot dirs, maintenance continues") {
     // the recompute-family half of the MV × DDL composition: the
     // snapshot is group-PARTITIONED, so a rename of the group column

@@ -103,18 +103,25 @@ class StreamingSpec extends SparkTestBase {
     // never a poison pill on the key
     pass(frame(Seq(("U", 9L, 1L, 14.0, "R", 10.0))), 2)
     assert(served(1L) == ((Some(14.0), Some("R"))))
-    // the batch-2 DLQ slot stayed empty (no conflicts) and batch 1's
-    // verdict is untouched — epoch-keyed overwrite, replay idempotent
+    // conflict-free batches write NO DLQ epoch (a healthy stream never
+    // accretes empty dirs) and batch 1's verdict is untouched —
+    // epoch-keyed overwrite, replay idempotent
     assert(spark.read.parquet(s"$base/dlq").count() == 3)
-    // the operator's first question surfaces in replicaStatus; asking
-    // against a dir no strict pass ever wrote refuses by name
+    assert(graft.streaming.StateFs.childDirNames(s"$base/dlq", "epoch=")
+      == Seq("epoch=1"), "only the conflicted batch writes an epoch")
+    // the operator's first question surfaces in replicaStatus; a dir no
+    // batch ever conflicted into is ABSENT and reads as zero
     assert(graft.Replication.replicaStatus(spark, s"$base/state",
       conflictDlq = Some(s"$base/dlq")).conflictRows.contains(3L))
-    val wrongRoot = intercept[IllegalArgumentException] {
-      graft.Replication.replicaStatus(spark, s"$base/state",
-        conflictDlq = Some(s"$base/nope"))
+    assert(graft.Replication.replicaStatus(spark, s"$base/state",
+      conflictDlq = Some(s"$base/never")).conflictRows.contains(0L))
+    // the gate without a DLQ would discard events silently — refused
+    val noDlq = intercept[IllegalArgumentException] {
+      StreamingOps.runCdcPass(spark, frame(Seq.empty).schema,
+        s"$base/in2", s"$base/ckpt2", s"$base/state2",
+        strictBefore = Some(("price", "before_price")))
     }
-    assert(wrongRoot.getMessage.contains("does not exist"))
+    assert(noDlq.getMessage.contains("DISCARD"))
   }
 
   test("partial images compose with RENAME COLUMN: prior images serve under the new name") {
