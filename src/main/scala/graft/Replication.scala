@@ -346,8 +346,14 @@ object Replication {
       compactHorizon = StreamingOps.readCompactHorizon(stateDir),
       historyRetained =
         StateFs.readSmall(s"$stateDir/_history").isDefined,
-      conflictRows = conflictDlq.map(d =>
-        if (!StateFs.exists(d)) 0L else spark.read.parquet(d).count()))
+      conflictRows = conflictDlq.map { d =>
+        // absent OR drained (operator deleted resolved epoch dirs) both
+        // read as zero — an epoch listing first, because spark.read
+        // throws on an existing dir with no parquet underneath
+        if (!StateFs.exists(d) ||
+            StateFs.childDirNames(d, "epoch=").isEmpty) 0L
+        else spark.read.parquet(d).count()
+      })
   }
 
   /** Verdict of [[viewConsistencyCheck]]. */
@@ -780,10 +786,12 @@ object Replication {
           t.nonEmpty && !t.exists(c => c == '/' || c == '\t' || c == '\n'),
           s"malformed table name '$t'")
         // the journal slot is the protocol's, not a table's: a plan
-        // touching it would occupy its own commit record and wedge the
-        // root behind a heal that can never complete
-        require(t != "_rename_tables",
-          "'_rename_tables' is the rename journal, not a table name")
+        // touching it (or writeAtomic's '.tmp' sibling) would occupy its
+        // own commit record and wedge the root behind a heal that can
+        // never complete
+        require(!t.startsWith("_rename_tables"),
+          s"'$t' collides with the rename journal's namespace " +
+            "('_rename_tables*'), which the protocol reserves")
       }
     }
     // validate the WHOLE statement left-to-right against a simulated

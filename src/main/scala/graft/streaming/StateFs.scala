@@ -199,7 +199,16 @@ private[graft] object StateFs {
     cleanDirs.contains(key) || {
       val g0 = genOf(key)
       val clean = DdlGateFiles.forall(f => !exists(s"$state/$f"))
-      if (clean && genOf(key) == g0) cleanDirs.add(key)
+      if (clean && genOf(key) == g0) {
+        // add-then-revalidate: a writer's bump landing entirely between
+        // the pre-add check and the add would otherwise strand a stale
+        // CLEAN verdict (its remove ran before our add). After the add,
+        // either our re-check sees the bump (we evict ourselves) or the
+        // writer's remove runs after our add (it evicts us) — no
+        // interleaving leaves the stale entry cached.
+        cleanDirs.add(key)
+        if (genOf(key) != g0) { cleanDirs.remove(key); () }
+      }
       clean
     }
   }

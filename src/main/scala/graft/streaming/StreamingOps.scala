@@ -2567,28 +2567,43 @@ object StreamingOps {
       // committed swap's trash, not "roll back" onto it (that would
       // serve the stale pre-rename copy and bake all-NULL reads into
       // the next swap).
-      StateFs.readSmall(claim).foreach { owned =>
-        val oldNames = owned.split('\n').filter(_.nonEmpty)
-        if (oldNames.exists(p.fieldNames.contains)) {
-          // UNCOMMITTED: the claim's old names are still published, so
-          // the trash is the only authoritative pre-rename copy — roll
-          // back (drop whatever sits at live, restore trash) rather
-          // than trust live, which a crash mid-swap may have left
-          // holding new-name files that read all-NULL under the
-          // published schema. The trash move preserved the epoch name.
-          StateFs.childDirNames(trash, "epoch=").foreach { e =>
-            StateFs.deleteRecursive(s"$mv/$e")
-            StateFs.moveDir(s"$trash/$e", s"$mv/$e")
+      StateFs.readSmall(claim) match {
+        case Some(owned) =>
+          val oldNames = owned.split('\n').filter(_.nonEmpty)
+          if (oldNames.exists(p.fieldNames.contains)) {
+            // UNCOMMITTED: the claim's old names are still published, so
+            // the trash is the only authoritative pre-rename copy — roll
+            // back (drop whatever sits at live, restore trash) rather
+            // than trust live, which a crash mid-swap may have left
+            // holding new-name files that read all-NULL under the
+            // published schema. The trash move preserved the epoch name.
+            StateFs.childDirNames(trash, "epoch=").foreach { e =>
+              StateFs.deleteRecursive(s"$mv/$e")
+              StateFs.moveDir(s"$trash/$e", s"$mv/$e")
+            }
           }
-        }
-        // committed (or just rolled back): leftovers are inert now
-        StateFs.deleteRecursive(trash)
-        StateFs.deleteRecursive(stage)
-        StateFs.deleteRecursive(claim)
+          // committed (or just rolled back): leftovers are inert now
+          StateFs.deleteRecursive(trash)
+          StateFs.deleteRecursive(stage)
+          StateFs.deleteRecursive(claim)
+        case None =>
+          // a trash dir with NO claim cannot be adjudicated here: under
+          // the claim protocol it never happens (the claim publishes
+          // before the first destructive step), so it can only be a
+          // pre-claim-era swap's crash — whether its copy is the
+          // authoritative rollback source or committed debris is
+          // unknowable without the claim, and guessing either way risks
+          // data loss (reclaim an uncommitted copy) or serving a stale
+          // epoch (restore a committed one). Refuse loudly.
+          require(!StateFs.exists(trash),
+            s"$trash exists with no $claim — a pre-claim-protocol swap " +
+              "crashed here; adjudicate manually: restore its epochs if " +
+              "the published schema still holds their old column names, " +
+              "else delete the dir")
+          // claimless STAGE leftovers are always debris (never the only
+          // copy) — reclaim
+          StateFs.deleteRecursive(stage)
       }
-      // claimless leftovers can only be stage debris (the claim is the
-      // first artifact a swap publishes) — reclaim unconditionally
-      StateFs.deleteRecursive(stage)
       val hit = renames.filter { case (o, _) => p.fieldNames.contains(o) }
       if (hit.nonEmpty) {
         val dup = hit.values.groupBy(identity)

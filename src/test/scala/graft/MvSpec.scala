@@ -797,6 +797,18 @@ class MvSpec extends SparkTestBase {
       s"the live data must survive the heal: ${servedSum(s"$base/mv")}")
     assert(!StateFs.exists(s"$base/mv/_rename_old") &&
       !StateFs.exists(s"$base/mv/_rename_claim"), "leftovers reclaimed")
+    // a trash dir with NO claim is unadjudicable (pre-claim-era crash:
+    // rollback source or committed debris?) — the pass refuses loudly
+    // instead of guessing either way
+    StateFs.mkdirs(s"$base/mv/_rename_old/epoch=0")
+    val w3 = frame(Seq(("I", 5L, 4L, 1.0, "g1")), "zone")
+    StreamingOps.writeWave(w3, s"$base/in", 3)
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.runMvSumPass(spark, w3.schema, s"$base/in",
+        s"$base/ckpt", s"$base/state", s"$base/mv", groupCol = "zone",
+        renameCols = Map("zone" -> "region"))
+    }
+    assert(e.getMessage.contains("pre-claim-protocol"))
   }
 
   test("minmax MV across DDL: group rename migrates view + snapshot dirs, maintenance continues") {

@@ -530,6 +530,14 @@ class ReplicationSpec extends SparkTestBase {
       "_orders_del" -> "orders", "_tmp_swap" -> "_orders_del"))
     assert(tag("orders").contains("live"))
     assert(tag("_orders_del").contains("shadow"))
+    // the journal's namespace is reserved — including writeAtomic's
+    // '.tmp' sibling, which a table move would occupy and wedge
+    Seq("_rename_tables", "_rename_tables.tmp").foreach { bad =>
+      val e = intercept[IllegalArgumentException] {
+        Replication.renameTables(root, Seq("orders" -> bad))
+      }
+      assert(e.getMessage.contains("journal"))
+    }
   }
 
   test("RENAME TABLE crash mid-plan: the cursored journal completes the " +

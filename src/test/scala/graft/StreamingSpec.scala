@@ -115,6 +115,11 @@ class StreamingSpec extends SparkTestBase {
       conflictDlq = Some(s"$base/dlq")).conflictRows.contains(3L))
     assert(graft.Replication.replicaStatus(spark, s"$base/state",
       conflictDlq = Some(s"$base/never")).conflictRows.contains(0L))
+    // a DRAINED dlq (operator deleted the resolved epoch dirs) also
+    // reads as zero, not as an unreadable-parquet error
+    graft.streaming.StateFs.deleteRecursive(s"$base/dlq/epoch=1")
+    assert(graft.Replication.replicaStatus(spark, s"$base/state",
+      conflictDlq = Some(s"$base/dlq")).conflictRows.contains(0L))
     // the gate without a DLQ would discard events silently — refused
     val noDlq = intercept[IllegalArgumentException] {
       StreamingOps.runCdcPass(spark, frame(Seq.empty).schema,
