@@ -509,38 +509,113 @@ object Replication {
   final case class GtidSetCodec(sourceUuid: String) extends PositionCodec {
     require(sourceUuid.trim.nonEmpty, "empty source UUID")
     override def toSeq(token: String): Long = {
-      val parts = token.trim.split(',').map(_.trim).filter(_.nonEmpty)
-      require(parts.nonEmpty, s"empty GTID set: '$token'")
-      val mine = parts.filter { p =>
-        p.takeWhile(_ != ':').equalsIgnoreCase(sourceUuid.trim)
+      val horizons = GtidSet.parse(token)
+      val mine = horizons.collect {
+        case (u, h) if u.equalsIgnoreCase(sourceUuid.trim) => h
       }
       require(mine.nonEmpty,
         s"GTID set '$token' carries no transactions from source " +
           s"'$sourceUuid' — wrong channel, or resume by seq instead")
-      require(mine.length == 1,
-        s"GTID set '$token' names source '$sourceUuid' twice")
-      val ivls = mine.head.split(':').drop(1)
-      require(ivls.nonEmpty, s"GTID '$token' has no interval list")
-      val ranges = ivls.map { iv =>
-        iv.split('-') match {
-          case Array(a) => (a.toLong, a.toLong)
-          case Array(a, b) => (a.toLong, b.toLong)
-          case _ => throw new IllegalArgumentException(
-            s"malformed GTID interval '$iv' in '$token'")
+      mine.head
+    }
+  }
+
+  /** Shared GTID-SET text parser: token → per-UUID gap-free horizon, in
+    * the set's declared order. Every refusal is a loud
+    * IllegalArgumentException naming the offending piece — a guessed
+    * position replays or skips history, so nothing escapes as a bare
+    * NumberFormatException. */
+  private[graft] object GtidSet {
+    private def bound(iv: String, token: String, s: String): Long =
+      s.trim.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"malformed GTID interval '$iv' in '$token'"))
+
+    def parse(token: String): Seq[(String, Long)] = {
+      val parts = token.trim.split(',').map(_.trim).filter(_.nonEmpty)
+      require(parts.nonEmpty, s"empty GTID set: '$token'")
+      val byUuid = parts.map { p =>
+        val uuid = p.takeWhile(_ != ':')
+        require(uuid.nonEmpty, s"GTID '$p' in '$token' has no source UUID")
+        val ivls = p.split(':').drop(1)
+        require(ivls.nonEmpty, s"GTID '$p' in '$token' has no interval list")
+        val ranges = ivls.map { iv =>
+          iv.split('-') match {
+            case Array(a) => (bound(iv, token, a), bound(iv, token, a))
+            case Array(a, b) => (bound(iv, token, a), bound(iv, token, b))
+            case _ => throw new IllegalArgumentException(
+              s"malformed GTID interval '$iv' in '$token'")
+          }
+        }.sortBy(_._1)
+        ranges.foreach { case (a, b) => require(a >= 1 && b >= a,
+          s"malformed GTID interval '$a-$b' in '$token'") }
+        // per-UUID the seq axis is total: the intervals must be gap-free
+        // from txn 1, or resuming at the max would skip the holes' history
+        val horizon = ranges.foldLeft(0L) { case (h, (a, b)) =>
+          require(a <= h + 1,
+            s"GTID set '$token' has a gap before txn $a of '$uuid' " +
+              s"(covered through $h) — this replica cannot stand at a " +
+              "gapped set; repair the source's executed set or resync")
+          math.max(h, b)
         }
-      }.sortBy(_._1)
-      ranges.foreach { case (a, b) => require(a >= 1 && b >= a,
-        s"malformed GTID interval '$a-$b' in '$token'") }
-      // the seq axis is total: the set must be gap-free from txn 1, or
-      // resuming at its max would skip the holes' history silently
-      val horizon = ranges.foldLeft(0L) { case (h, (a, b)) =>
-        require(a <= h + 1,
-          s"GTID set '$token' has a gap before txn $a (covered through " +
-            s"$h) — this replica cannot stand at a gapped set; repair " +
-            "the source's executed set or resync")
-        math.max(h, b)
+        uuid -> horizon
+      }.toSeq
+      val dups = byUuid.groupBy(_._1.toLowerCase).filter(_._2.length > 1)
+      require(dups.isEmpty,
+        s"GTID set '$token' names source(s) ${dups.keys.mkString(", ")} twice")
+      byUuid
+    }
+  }
+
+  /** The MULTI-CHANNEL GTID dialect — resume-by-GTID across a PRIMARY
+    * FAILOVER. After a failover the binlog stream continues under the
+    * NEW primary's server UUID, so a replica's executed set names several
+    * UUIDs (`old:1-77,new:1-12`), each numbering its own transactions
+    * from 1. The engine's seq stays ONE total order; `channels` declares
+    * the failover chain in stream order with each RETIRED channel's
+    * transaction count (how many seqs it contributed — the old primary's
+    * final executed horizon). The LAST channel is the active one; its
+    * count is open-ended.
+    *
+    * Decode: the deepest named channel anchors the position —
+    * `seq = sum(counts of all earlier channels) + that channel's
+    * horizon` — and the set must actually STAND there: every channel
+    * before the anchor must be named and covered to exactly its full
+    * count (a shortfall is a gap in history; an overshoot claims
+    * transactions the chain says never existed), and channels after the
+    * anchor must be absent (covering the new primary while missing the
+    * old one is the same gap, worded differently). A UUID outside the
+    * chain refuses by name — cross-chain ids share no seq axis. */
+  final case class GtidChannelCodec(channels: Seq[(String, Long)])
+      extends PositionCodec {
+    require(channels.nonEmpty, "empty channel chain")
+    channels.foreach { case (u, n) =>
+      require(u.trim.nonEmpty, "empty channel UUID")
+      require(n >= 0, s"negative transaction count for channel '$u'") }
+    require(channels.map(_._1.trim.toLowerCase).distinct.length ==
+      channels.length, "channel chain names a UUID twice")
+
+    override def toSeq(token: String): Long = {
+      val horizons = GtidSet.parse(token)
+        .map { case (u, h) => u.toLowerCase -> h }.toMap
+      val chain = channels.map { case (u, n) => (u.trim.toLowerCase, n) }
+      horizons.keys.foreach { u =>
+        require(chain.exists(_._1 == u),
+          s"GTID set '$token' names source '$u' outside this replica's " +
+            s"channel chain (${chain.map(_._1).mkString(" -> ")}) — " +
+            "wrong replica, or the chain declaration is stale")
       }
-      horizon
+      val anchorIdx = chain.lastIndexWhere { case (u, _) => horizons.contains(u) }
+      require(anchorIdx >= 0,
+        s"GTID set '$token' names no channel of this chain")
+      chain.take(anchorIdx).foreach { case (u, n) =>
+        val h = horizons.getOrElse(u, 0L)
+        require(h == n,
+          s"GTID set '$token' covers channel '$u' through $h but the " +
+            s"chain retired it at $n — " +
+            (if (h < n) "the set is missing history below the failover"
+             else "the set claims transactions past the channel's end"))
+      }
+      chain.take(anchorIdx).map(_._2).sum + horizons(chain(anchorIdx)._1)
     }
   }
 

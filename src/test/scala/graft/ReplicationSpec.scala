@@ -488,6 +488,63 @@ class ReplicationSpec extends SparkTestBase {
       "GTID resume must equal seq resume at the same horizon")
   }
 
+  test("multi-channel GTID codec: a failover chain maps multi-UUID sets " +
+      "onto the one seq axis; unknown or gapped sets refuse loudly") {
+    val a = "aaaaaaaa-0000-0000-0000-000000000001"
+    val b = "bbbbbbbb-0000-0000-0000-000000000002"
+    // chain: primary A served 1 transaction (seq 1), then failed over to
+    // B — B's txn k continues the stream at seq 1 + k
+    val codec = Replication.GtidChannelCodec(Seq(a -> 1L, b -> 0L))
+    // a pre-failover set decodes on A's axis alone
+    assert(codec.toSeq(s"$a:1") == 1L)
+    // post-failover: A fully covered + B's horizon, order-insensitive,
+    // case-insensitive (MySQL compares UUIDs case-blind)
+    assert(codec.toSeq(s"$a:1,$b:1-2") == 3L)
+    assert(codec.toSeq(s"${b.toUpperCase}:1-2,$a:1") == 3L)
+    // B named while A is absent: history below the failover is missing
+    intercept[IllegalArgumentException] { codec.toSeq(s"$b:1") }
+    // A claiming transactions past its retirement point
+    val over = intercept[IllegalArgumentException] {
+      Replication.GtidChannelCodec(Seq(a -> 1L, b -> 0L))
+        .toSeq(s"$a:1-2,$b:1")
+    }
+    assert(over.getMessage.contains("past the channel's end"))
+    // a UUID outside the chain refuses by name
+    val unk = intercept[IllegalArgumentException] {
+      codec.toSeq(s"cccccccc-0000-0000-0000-000000000003:1")
+    }
+    assert(unk.getMessage.contains("cccccccc"))
+    // per-channel gap-freedom still holds inside a multi-UUID set
+    intercept[IllegalArgumentException] { codec.toSeq(s"$a:1,$b:2-3") }
+    // malformed interval bounds refuse as the codec's OWN loud refusal
+    // (ADVICE r15: never a bare NumberFormatException) — both dialects
+    val bad = intercept[IllegalArgumentException] { codec.toSeq(s"$a:1-abc") }
+    assert(bad.getMessage.contains("malformed GTID interval"))
+    val bad2 = intercept[IllegalArgumentException] {
+      Replication.GtidSetCodec(a).toSeq(s"$a:1e3")
+    }
+    assert(bad2.getMessage.contains("malformed GTID interval"))
+    // end to end: resume from a set naming BOTH UUIDs lands on the same
+    // state as resume-by-seq at the decoded horizon
+    val log = Tables.cdcLog(spark, sf)
+    def replay(from: Option[Long], gtid: Option[String]): Set[Seq[Any]] = {
+      val base = tmp()
+      (1 to 3).foreach(w => graft.streaming.StreamingOps.writeWave(
+        log.filter(col("seq") === w), s"$base/in", w - 1))
+      gtid match {
+        case Some(g) => Replication.incrementalSyncFromPosition(
+          spark, log.schema, s"$base/in", s"$base/ckpt", s"$base/state",
+          g, codec)
+        case None => Replication.incrementalSync(spark, log.schema,
+          s"$base/in", s"$base/ckpt", s"$base/state", fromSeq = from)
+      }
+      Replication.appliedState(spark, s"$base/state").collect()
+        .map(_.toSeq).toSet
+    }
+    assert(replay(None, Some(s"$a:1,$b:1")) == replay(Some(2L), None),
+      "failover-chain GTID resume must equal seq resume at the horizon")
+  }
+
   test("RENAME TABLE: one statement swaps table dirs with MySQL's " +
       "left-to-right semantics and refuses invalid plans up front") {
     import graft.streaming.StateFs
