@@ -4107,6 +4107,52 @@ object StreamingOps {
       readLatestState(s, s"$tmp/state")
     }),
 
+    // ST-DDL-SQL: DDL from RAW QueryEvent SQL TEXT — what a real binlog
+    // actually ships. Every DDL verb above is declared as structured
+    // config; here the gap between the passes carries `ALTER TABLE`
+    // statements as text (rename + add-with-default + an inert index
+    // add + drop + modify), DdlSql.parse/fold maps them onto those
+    // structured verbs, and the resumed pass must land on the same
+    // evolved-union collapse as hand-declared config — proving a binlog
+    // feed survives DDL with no operator translation. Parsing is
+    // driver-side O(statements); the pass underneath is unchanged.
+    "cdc_ddl_from_sql" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir)
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      val v1 = log.filter(col("seq") === 1)
+        .withColumn("channel",
+          when(col("op") === "D", lit(null).cast(StringType))
+            .otherwise(concat(lit("old"), (col("okey") % 4).cast(StringType))))
+        .withColumn("extra",
+          when(col("op") === "D", lit(null).cast(StringType))
+            .otherwise(concat(lit("x"), (col("okey") % 2).cast(StringType))))
+      writeWave(v1, in, 0)
+      runCdcPass(s, v1.schema, in, s"$tmp/ckpt", s"$tmp/state")
+      // the DDL gap, exactly as the binlog ships it: QueryEvents at
+      // position 1 (= everything pass 1 applied), raw SQL text
+      val cfg = DdlSql.fold(Seq(
+        1L -> "ALTER TABLE orders RENAME COLUMN channel TO chan",
+        1L -> ("ALTER TABLE `orders` ADD COLUMN `note` VARCHAR(32) " +
+          "DEFAULT 'none', ADD INDEX idx_note (note)"),
+        1L -> "ALTER TABLE orders DROP COLUMN extra",
+        1L -> "ALTER TABLE orders MODIFY price DOUBLE"),
+        tableFilter = Some("orders"))
+      val v2 = log.filter(col("seq") >= 2)
+        .withColumn("chan",
+          when(col("op") === "D", lit(null).cast(StringType))
+            .otherwise(concat(lit("new"), (col("okey") % 4).cast(StringType))))
+        .withColumn("note",
+          when(col("op") === "D" || col("okey") % 5 === 0,
+            lit(null).cast(StringType))
+            .otherwise(concat(lit("n"), (col("okey") % 3).cast(StringType))))
+      writeWave(v2, in, 1)
+      runCdcPass(s, v2.schema, in, s"$tmp/ckpt", s"$tmp/state",
+        renameCols = cfg.renameCols, defaultCols = cfg.defaultCols,
+        dropCols = cfg.dropCols, truncateAtSeq = cfg.truncateAtSeq)
+      readLatestState(s, s"$tmp/state")
+    }),
+
     // ST-WIDEN: MODIFY COLUMN type widening under the oracle gate — the
     // remaining DDL verb (`ALTER TABLE … MODIFY qty BIGINT` on an INT
     // column), live: pass 1 applies an envelope whose `qty` is INT; the
@@ -5226,6 +5272,33 @@ object StreamingOps {
          SELECT okey, op, price, status, ts,
                 CASE WHEN seq <= 1 AND channel IS NULL THEN 'none'
                      ELSE channel END AS channel
+         FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
+
+    // DDL from SQL text: the rename carries pass-1 'old…' values under
+    // `chan`, the ADD…DEFAULT backfills `note` with 'none' for pass-1
+    // winners (explicit post-DDL NULLs stay NULL), and the dropped
+    // `extra` never appears — identical semantics to the structured
+    // declarations, reached from raw statement text.
+    "cdc_ddl_from_sql" ->
+      s"""WITH cdc_log AS (${Tables.cdcLogSql}),
+            evolved AS (
+              SELECT op, seq, ts, okey, price, status,
+                     CASE WHEN op = 'D' THEN NULL
+                          ELSE 'old' || CAST(okey % 4 AS VARCHAR) END AS chan,
+                     CAST(NULL AS VARCHAR) AS note
+              FROM cdc_log WHERE seq = 1
+              UNION ALL
+              SELECT op, seq, ts, okey, price, status,
+                     CASE WHEN op = 'D' THEN NULL
+                          ELSE 'new' || CAST(okey % 4 AS VARCHAR) END,
+                     CASE WHEN op = 'D' OR okey % 5 = 0 THEN NULL
+                          ELSE 'n' || CAST(okey % 3 AS VARCHAR) END
+              FROM cdc_log WHERE seq >= 2),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM evolved)
+         SELECT okey, op, price, status, ts, chan,
+                CASE WHEN seq <= 1 AND note IS NULL THEN 'none'
+                     ELSE note END AS note
          FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
 
     // drop at position 1 then re-add with DEFAULT at position 3: a

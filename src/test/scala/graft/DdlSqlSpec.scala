@@ -1,0 +1,151 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.DdlSql
+import graft.streaming.DdlSql._
+import graft.streaming.StreamingOps.ColumnDefault
+
+/** The QueryEvent SQL-text parser: raw MySQL DDL statements onto the
+  * engine's structured verbs (see DdlSql's dialect notes). Pure
+  * driver-side parsing — no Spark session needed. */
+class DdlSqlSpec extends AnyFunSuite {
+
+  test("each supported verb parses to its structured statement") {
+    assert(DdlSql.parse(
+      "ALTER TABLE orders ADD COLUMN note VARCHAR(32) DEFAULT 'none'") ==
+      Seq(AddColumn("orders", "note", "VARCHAR(32)", Some("'none'"))))
+    assert(DdlSql.parse("ALTER TABLE orders ADD flag TINYINT(1)") ==
+      Seq(AddColumn("orders", "flag", "TINYINT(1)", None)))
+    assert(DdlSql.parse("ALTER TABLE orders DROP COLUMN extra") ==
+      Seq(DropColumn("orders", "extra")))
+    assert(DdlSql.parse("ALTER TABLE orders RENAME COLUMN channel TO chan") ==
+      Seq(RenameColumn("orders", "channel", "chan")))
+    assert(DdlSql.parse("ALTER TABLE orders MODIFY qty BIGINT") ==
+      Seq(ModifyColumn("orders", "qty", "BIGINT")))
+    // CHANGE with a new name is a rename; same name is a pure MODIFY
+    assert(DdlSql.parse("ALTER TABLE orders CHANGE qty qty_big BIGINT") ==
+      Seq(RenameColumn("orders", "qty", "qty_big")))
+    assert(DdlSql.parse("ALTER TABLE orders CHANGE COLUMN qty qty BIGINT") ==
+      Seq(ModifyColumn("orders", "qty", "BIGINT")))
+    assert(DdlSql.parse("TRUNCATE TABLE orders") ==
+      Seq(TruncateTable("orders")))
+    assert(DdlSql.parse("TRUNCATE orders") == Seq(TruncateTable("orders")))
+    assert(DdlSql.parse("RENAME TABLE orders TO _orders_del, " +
+      "_orders_gho TO orders") ==
+      Seq(RenameTable(Seq("orders" -> "_orders_del",
+        "_orders_gho" -> "orders"))))
+    assert(DdlSql.parse("ALTER TABLE orders RENAME TO orders_v2") ==
+      Seq(RenameTable(Seq("orders" -> "orders_v2"))))
+  }
+
+  test("MySQL surface noise parses: backticks, db qualifiers, case, " +
+      "semicolons, NOT NULL / position clauses, index verbs inert") {
+    assert(DdlSql.parse(
+      "alter table `shop`.`orders` add column `note` varchar(32) " +
+        "not null default 'n/a' after `status`;") ==
+      Seq(AddColumn("orders", "note", "VARCHAR(32)", Some("'n/a'"))))
+    // doubled-quote escape inside the literal, comma inside the literal
+    assert(DdlSql.parse(
+      "ALTER TABLE t ADD c VARCHAR(9) DEFAULT 'it''s, ok'") ==
+      Seq(AddColumn("t", "c", "VARCHAR(9)", Some("'it''s, ok'"))))
+    // numeric defaults, including decimals (the qualifier-dot trap)
+    assert(DdlSql.parse("ALTER TABLE t ADD c DECIMAL(10,2) DEFAULT 1.5") ==
+      Seq(AddColumn("t", "c", "DECIMAL(10,2)", Some("1.5"))))
+    assert(DdlSql.parse("ALTER TABLE t ADD c INT DEFAULT -5") ==
+      Seq(AddColumn("t", "c", "INT", Some("-5"))))
+    // multi-clause ALTER splits on top-level commas only
+    assert(DdlSql.parse("ALTER TABLE t ADD a INT DEFAULT 1, " +
+      "DROP COLUMN b, ADD INDEX idx_a (a, b(10))") ==
+      Seq(AddColumn("t", "a", "INT", Some("1")), DropColumn("t", "b"),
+        Inert("t", "ADD INDEX")))
+    // index verbs are recognized-and-inert, not refused
+    assert(DdlSql.parse("ALTER TABLE t DROP INDEX idx_a") ==
+      Seq(Inert("t", "DROP INDEX")))
+    assert(DdlSql.parse(
+      "ALTER TABLE t ADD UNIQUE KEY uq_c (c)") ==
+      Seq(Inert("t", "ADD INDEX")))
+    // a backticked column that SPELLS index is a column, not a verb
+    assert(DdlSql.parse("ALTER TABLE t DROP `index`") ==
+      Seq(DropColumn("t", "index")))
+    // type attributes ride with the type
+    assert(DdlSql.parse("ALTER TABLE t MODIFY c BIGINT UNSIGNED") ==
+      Seq(ModifyColumn("t", "c", "BIGINT UNSIGNED")))
+  }
+
+  test("unparseable and unsupported statements refuse loudly by name") {
+    def refuses(sql: String, naming: String): Unit = {
+      val e = intercept[IllegalArgumentException] { DdlSql.parse(sql) }
+      assert(e.getMessage.contains(naming),
+        s"for <$sql>: ${e.getMessage}")
+    }
+    // statements outside the dialect
+    refuses("CREATE TABLE t (a INT)", "unsupported statement verb")
+    refuses("DROP TABLE orders", "unsupported statement verb")
+    refuses("OPTIMIZE TABLE orders", "unsupported statement verb")
+    // ALTER clauses the engine has no safe semantics for
+    refuses("ALTER TABLE t ADD PRIMARY KEY (id)", "unsupported")
+    refuses("ALTER TABLE t DROP PRIMARY KEY", "unsupported")
+    refuses("ALTER TABLE t ADD CONSTRAINT fk FOREIGN KEY (a) " +
+      "REFERENCES u (b)", "unsupported")
+    refuses("ALTER TABLE t PARTITION BY HASH(id)", "unsupported")
+    refuses("ALTER TABLE t ALTER COLUMN c SET DEFAULT 5", "unsupported")
+    // expression defaults are not frozen literals — refuse
+    refuses("ALTER TABLE t ADD c TIMESTAMP DEFAULT CURRENT_TIMESTAMP",
+      "unsupported DEFAULT")
+    // garbage shapes
+    refuses("ALTER TABLE t ADD COLUMN 'oops' INT", "expected column name")
+    refuses("ALTER TABLE t RENAME COLUMN a b", "expected TO")
+    refuses("ALTER TABLE t ADD c VARCHAR(32", "unterminated type")
+    refuses("ALTER TABLE t ADD c VARCHAR(3) DEFAULT 'x", "unterminated")
+    refuses("TRUNCATE TABLE a b", "trailing tokens")
+    // every refusal carries the statement text for the operator's log
+    val e = intercept[IllegalArgumentException] {
+      DdlSql.parse("DROP TABLE orders")
+    }
+    assert(e.getMessage.contains("DROP TABLE orders"))
+  }
+
+  test("fold composes a DDL gap into one pass's structured config") {
+    val cfg = DdlSql.fold(Seq(
+      1L -> "ALTER TABLE orders RENAME COLUMN channel TO chan",
+      2L -> "ALTER TABLE orders ADD COLUMN note VARCHAR(32) DEFAULT 'none'",
+      3L -> "ALTER TABLE orders DROP COLUMN extra",
+      4L -> "TRUNCATE TABLE orders",
+      5L -> "TRUNCATE TABLE orders"))
+    assert(cfg.renameCols == Map("channel" -> "chan"))
+    assert(cfg.defaultCols == Map("note" -> ColumnDefault(2L, "'none'")))
+    assert(cfg.dropCols == Map("extra" -> 3L))
+    assert(cfg.truncateAtSeq.contains(5L)) // newest truncate wins
+    // rename chains collapse to origin→final
+    val chain = DdlSql.fold(Seq(
+      1L -> "ALTER TABLE t RENAME COLUMN a TO b",
+      2L -> "ALTER TABLE t RENAME COLUMN b TO c"))
+    assert(chain.renameCols == Map("a" -> "c"))
+    // a column born and dropped inside the gap never existed
+    val born = DdlSql.fold(Seq(
+      1L -> "ALTER TABLE t ADD c INT DEFAULT 7",
+      2L -> "ALTER TABLE t DROP COLUMN c"))
+    assert(born.defaultCols.isEmpty && born.dropCols.isEmpty)
+    // a gap-born column renamed: its default follows the new name and
+    // no state-side rename is recorded (the state never saw the old one)
+    val reborn = DdlSql.fold(Seq(
+      1L -> "ALTER TABLE t ADD c INT DEFAULT 7",
+      2L -> "ALTER TABLE t RENAME COLUMN c TO d"))
+    assert(reborn.renameCols.isEmpty)
+    assert(reborn.defaultCols == Map("d" -> ColumnDefault(1L, "7")))
+    // table scoping: other tables' column DDL is skipped, RENAME TABLE
+    // pairs stay (they rebind dirs at the topology level)
+    val scoped = DdlSql.fold(Seq(
+      1L -> "ALTER TABLE other ADD c INT DEFAULT 1",
+      2L -> "ALTER TABLE orders DROP COLUMN extra",
+      3L -> "RENAME TABLE x TO y"), tableFilter = Some("orders"))
+    assert(scoped.defaultCols.isEmpty)
+    assert(scoped.dropCols == Map("extra" -> 2L))
+    assert(scoped.tableRenames == Seq("x" -> "y"))
+    // events arriving out of order fold in position order
+    val unordered = DdlSql.fold(Seq(
+      2L -> "ALTER TABLE t RENAME COLUMN b TO c",
+      1L -> "ALTER TABLE t RENAME COLUMN a TO b"))
+    assert(unordered.renameCols == Map("a" -> "c"))
+  }
+}
