@@ -289,7 +289,8 @@ object Replication {
       truncateFloor: Option[Long],
       compactHorizon: Option[Long],
       historyRetained: Boolean,
-      conflictRows: Option[Long] = None)
+      conflictRows: Option[Long] = None,
+      secondsBehindSource: Option[Double] = None)
 
   /** `txnCol`/`pendingRoot` mirror the sync's own configuration: a
     * single-table txn-gated sync roots its `_pending` tail under the
@@ -348,11 +349,29 @@ object Replication {
         StateFs.readSmall(s"$stateDir/_history").isDefined,
       conflictRows = conflictDlq.map { d =>
         // absent OR drained (operator deleted resolved epoch dirs) both
-        // read as zero — an epoch listing first, because spark.read
-        // throws on an existing dir with no parquet underneath
-        if (!StateFs.exists(d) ||
-            StateFs.childDirNames(d, "epoch=").isEmpty) 0L
-        else spark.read.parquet(d).count()
+        // read as zero. Live epochs read their `_counts` sidecar
+        // (written with each conflict epoch) — O(epochs) metadata per
+        // poll, never a growing parquet re-scan; epochs a pre-sidecar
+        // writer left behind fall back to counting just themselves.
+        val live = StateFs.epochIds(d)
+        if (!StateFs.exists(d) || live.isEmpty) 0L
+        else {
+          val counted = StreamingOps.readDlqCounts(d)
+          val (known, unknown) = live.partition(counted.contains)
+          known.map(counted).sum + unknown.map(e =>
+            spark.read.parquet(s"$d/epoch=$e").count()).sum
+        }
+      },
+      // the Seconds_Behind_Master analogue: newest event-time the sync
+      // SAW minus newest it RESOLVED (StreamingOps.writeLagMarks — O(1)
+      // metadata, maintained by every trackSeq pass). Caught-up reads
+      // 0 even when only heartbeats trail (a heartbeat resolves the
+      // source's wall-clock); a held-back transaction tail reads as
+      // exactly its event-time gap. None before the first tracked pass.
+      secondsBehindSource = {
+        val (applied, seen) = StreamingOps.readLagMarks(stateDir)
+        for (a <- applied; s2 <- seen)
+          yield math.max(0.0, (s2 - a) / 1e6)
       })
   }
 

@@ -770,6 +770,65 @@ object StreamingOps {
     else Some(into.fold(r.getLong(0))(math.max(_, r.getLong(0))))
   }
 
+  /** [[foldMaxSeq]] plus the event-TIME horizon in the SAME 1-row
+    * aggregate (zero extra jobs): max seq and max `ts` (as epoch
+    * micros), each max-merged into its accumulator. The ts horizon
+    * feeds the `Seconds_Behind_Master` analogue ([[readLagMarks]]) —
+    * the wall-clock gap between what the source last stamped and what
+    * the destination last resolved. */
+  private def foldMaxSeqTs(df: DataFrame, intoSeq: Option[Long],
+      intoTs: Option[Long]): (Option[Long], Option[Long]) = {
+    val tsCol = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.TimestampType =>
+        unix_micros(max(col("ts")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // sessions here run UTC (build.sbt forks with UTC), so the
+        // NTZ→TZ cast is the identity mapping onto epoch micros
+        unix_micros(max(col("ts"))
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => max(col("ts")).cast("long") // pre-decoded numeric envelope
+    }
+    val r = df.agg(max(col("seq")), tsCol).collect()(0)
+    val s2 = if (r.isNullAt(0)) intoSeq
+      else Some(intoSeq.fold(r.getLong(0))(math.max(_, r.getLong(0))))
+    val t2 = if (r.isNullAt(1)) intoTs
+      else Some(intoTs.fold(r.getLong(1))(math.max(_, r.getLong(1))))
+    (s2, t2)
+  }
+
+  /** TIME-LAG MARKS (`_lag`: one tab-separated line,
+    * `appliedTsMicros\tsourceTsMicros`, either side possibly empty) —
+    * the record behind `secondsBehindSource`, the
+    * `Seconds_Behind_Master` analogue every replication operator reads
+    * first. `applied` is the newest event-time the pass RESOLVED
+    * (applied to state, or resolved without applying: commit markers,
+    * heartbeats — the source's "current through this wall-clock" —
+    * position-skipped and filter-excluded events); `source` is the
+    * newest event-time SEEN, held-back transaction tails included. Both
+    * are monotone max-merged across passes, so a crashed pass can only
+    * under-report progress, never invent it. O(1) metadata like every
+    * control file here. */
+  private[graft] def writeLagMarks(state: String,
+      appliedTs: Option[Long], sourceTs: Option[Long]): Unit =
+    if (appliedTs.isDefined || sourceTs.isDefined) {
+      val (pa, ps) = readLagMarks(state)
+      val a = (pa.toSeq ++ appliedTs).maxOption
+      val s = (ps.toSeq ++ sourceTs).maxOption
+      StateFs.writeAtomic(s"$state/_lag",
+        s"${a.map(_.toString).getOrElse("")}\t${s.map(_.toString).getOrElse("")}")
+    }
+
+  private[graft] def readLagMarks(state: String)
+      : (Option[Long], Option[Long]) =
+    StateFs.readSmall(s"$state/_lag") match {
+      case None => (None, None)
+      case Some(line) =>
+        val p = line.split('\t')
+        def f(i: Int): Option[Long] =
+          if (i < p.length) p(i).trim.toLongOption else None
+        (f(0), f(1))
+    }
+
   private def runSourcePass(s: SparkSession, source: CdcSource, ckpt: String)(
       apply: (Dataset[Row], Long) => Unit): (Long, Long) = {
     val query = source.open(s)
@@ -869,7 +928,11 @@ object StreamingOps {
     * transport emits binlog KEEP-ALIVE rows (`op = "H"`, position-only):
     * they never reach state, they advance the applied position like a
     * commit marker (the source's "nothing happened through here"), and a
-    * heartbeat-only batch writes no delta.
+    * heartbeat-only batch writes no delta. Under transaction gating the
+    * advance is CAPPED at the oldest still-pending event — a keep-alive
+    * cannot resolve a held transaction, so a connector that interleaves
+    * a heartbeat ahead of events it already shipped cannot fake a
+    * caught-up position that a fresh resume would then skip from.
     *
     * `strictBefore` = (payload column, before column) turns on the
     * STRICT before-image apply gate ([[gateBeforeImages]]): every
@@ -919,6 +982,15 @@ object StreamingOps {
       require(conflictDlq.isDefined,
         "strictBefore without a conflictDlq would DISCARD conflicted " +
           "events with no record anywhere — declare the dead-letter dir")
+      // a rowFilter INTENTIONALLY diverges destination state from the
+      // source, so a key whose prior update was filter-excluded would
+      // quarantine its later admitted updates as false conflicts —
+      // refuse the composition up front (the partialImageCol treatment)
+      require(rowFilter.isEmpty,
+        "strictBefore checks before images against destination state " +
+          "that a rowFilter has intentionally diverged from the " +
+          "source — filter upstream, or replicate the table strictly " +
+          "and unfiltered")
     }
     require(conflictDlq.isEmpty || strictBefore.isDefined,
       "a conflict DLQ without a strict-before declaration is dead " +
@@ -976,6 +1048,10 @@ object StreamingOps {
     applyDefaultDdl(state, defaultCols, stateSchema)
     var maxSeq = Option.empty[Long]
     var srcMaxSeq = Option.empty[Long]
+    // event-TIME horizons, folded in the same 1-row aggregates as the
+    // seq horizons (foldMaxSeqTs) — the Seconds_Behind_Master record
+    var appliedTs = Option.empty[Long]
+    var srcTs = Option.empty[Long]
     var written = 0L
     // a batch consumed by >1 action must be pinned (see the note above);
     // the position and row filters add an isEmpty probe, so they pin too
@@ -1054,7 +1130,10 @@ object StreamingOps {
           case (df, (n, e)) => df.withColumn(n, expr(e))
         }
         if (trackSeq) {
-          def fold(df: DataFrame): Unit = maxSeq = foldMaxSeq(df, maxSeq)
+          def fold(df: DataFrame): Unit = {
+            val (s2, t2) = foldMaxSeqTs(df, maxSeq, appliedTs)
+            maxSeq = s2; appliedTs = t2
+          }
           fold(applied)
           // the applied POSITION also advances through RESOLVED events
           // that never reach state: a commit marker is resolved the
@@ -1064,7 +1143,28 @@ object StreamingOps {
           // this fold a caught-up destination would read a permanent
           // phantom lag of one trailing marker.
           txnCol.foreach(_ => fold(batch.filter(col("op") === "C")))
-          if (heartbeats) fold(batch.filter(col("op") === "H"))
+          if (heartbeats) {
+            // a heartbeat must never advance the applied position past
+            // HELD events: under the txn gate, only heartbeats below
+            // the oldest still-pending event fold (a faithful binlog
+            // cannot interleave a keep-alive ahead of events it already
+            // shipped — but position integrity must not TRUST the
+            // connector's ordering; a phantom caught-up here would make
+            // a fresh resume skip the held transaction). One 1-row min
+            // over the just-written pending snapshot, only when both
+            // gates are on.
+            val hb = batch.filter(col("op") === "H")
+            val capped =
+              if (txnCol.isEmpty) hb
+              else latestPendingBelow(state, Long.MaxValue) match {
+                case None => hb
+                case Some(p) =>
+                  val r = s.read.parquet(p).agg(min(col("seq"))).collect()(0)
+                  if (r.isNullAt(0)) hb
+                  else hb.filter(col("seq") < r.getLong(0))
+              }
+            fold(capped)
+          }
           startAfterSeq.foreach(p => fold(batch.filter(col("seq") <= p)))
           // filter-excluded events are resolved too: the predicate says
           // they will never apply, which is configuration, not lag
@@ -1076,7 +1176,8 @@ object StreamingOps {
           // the SEEN horizon reads the raw batch — before the position
           // skip, the txn gate, and the row filter — so the applied-vs-
           // seen gap (replication lag) is visible while events are held
-          srcMaxSeq = foldMaxSeq(batch.toDF(), srcMaxSeq)
+          val (ss, st) = foldMaxSeqTs(batch.toDF(), srcMaxSeq, srcTs)
+          srcMaxSeq = ss; srcTs = st
         }
         if ((startAfterSeq.isEmpty && txnCol.isEmpty && rowFilter.isEmpty &&
             !heartbeats && strictBefore.isEmpty) || !applied.isEmpty) {
@@ -1099,6 +1200,10 @@ object StreamingOps {
         if (multiAction) { batch.unpersist(); () }
       }
     }
+    // persist the time horizons with the state they describe — read by
+    // replicaStatus as secondsBehindSource (monotone max-merge, so a
+    // re-run pass can only confirm progress, never regress it)
+    if (trackSeq) writeLagMarks(state, appliedTs, srcTs)
     (rows, written, maxSeq, pendingCount(s, state, txnCol), srcMaxSeq)
   }
 
@@ -1307,6 +1412,14 @@ object StreamingOps {
       require(conflictDlq.isDefined,
         "strictBefore without a conflictDlq would DISCARD conflicted " +
           "events with no record anywhere — declare the dead-letter dir")
+      // same mutual exclusion as the single-table pass: a filtered
+      // table's destination state has intentionally diverged, so its
+      // before-image checks would quarantine false conflicts
+      require(rowFilters.isEmpty,
+        "strictBefore checks before images against destination state " +
+          "that row filters have intentionally diverged from the " +
+          "source — filter upstream, or replicate strictly and " +
+          "unfiltered")
     }
     require(conflictDlq.isEmpty || strictBefore.isDefined,
       "a conflict DLQ without a strict-before declaration is dead " +
@@ -2189,14 +2302,38 @@ object StreamingOps {
       .drop(book: _*)
     // epoch-keyed overwrite keeps a crash-replayed batch's re-verdict
     // idempotent; the emptiness probe is one cheap action on the
-    // already-pinned frame
-    if (!conflicts.isEmpty)
+    // already-pinned frame. The count sidecar rides the same write so
+    // replicaStatus never re-scans retained DLQ epochs (conflicts are
+    // the rare path — the count() only runs when one actually happened)
+    if (!conflicts.isEmpty) {
       conflicts.write.mode("overwrite").parquet(s"$dlqDir/epoch=$epochId")
+      writeDlqCount(dlqDir, epochId, conflicts.count())
+    }
     val admitted = pinned
       .filter(col("_cseq").isNull || col("seq") < col("_cseq"))
       .drop((book :+ beforeCol): _*)
     (admitted, pinned)
   }
+
+  /** DLQ COUNT SIDECAR (`_counts`: `epoch\trows` lines) — written with
+    * each conflict epoch so the operator's first question
+    * (replicaStatus.conflictRows) reads O(epochs) metadata instead of
+    * re-scanning every retained epoch's parquet per poll. Epoch-keyed
+    * upsert: a crash-replayed batch's re-verdict overwrites its own
+    * entry, mirroring the epoch dir's overwrite. */
+  private[graft] def writeDlqCount(dlq: String, epochId: Long,
+      n: Long): Unit = {
+    val merged = readDlqCounts(dlq) + (epochId -> n)
+    StateFs.writeAtomic(s"$dlq/_counts",
+      merged.toSeq.sorted.map { case (e, c) => s"$e\t$c" }.mkString("\n"))
+  }
+
+  private[graft] def readDlqCounts(dlq: String): Map[Long, Long] =
+    StateFs.readSmall(s"$dlq/_counts").map(
+      _.split('\n').filter(_.nonEmpty).map { l =>
+        val p = l.split('\t')
+        p(0).toLong -> p(1).toLong
+      }.toMap).getOrElse(Map.empty)
 
   /** The batch's touched keys' latest-known PRIOR images: the state
     * dir's rows below `epochId`, bucket-pruned to the batch's key

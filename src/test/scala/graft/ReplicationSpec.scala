@@ -932,6 +932,84 @@ class ReplicationSpec extends SparkTestBase {
     assert(applied == batch)
   }
 
+  test("secondsBehindSource: a held transaction tail reads as its " +
+      "event-time gap; a caught-up replica with trailing heartbeats reads 0") {
+    // txnDf stamps ts = base + seq seconds, so seq gaps ARE second gaps
+    val base = tmp()
+    // wave 0: txn 10 commits (seqs 1-3); txn 20's update sits at seq 300
+    // with NO commit marker — 297 wall-clock seconds of source history
+    // the destination cannot apply yet
+    graft.streaming.StreamingOps.writeWave(txnDf(Seq(
+      TxnEv("I", 1, 1, 10.0, "O", 10), TxnEv("I", 2, 2, 20.0, "O", 10),
+      TxnEv("C", 3, -1, 0.0, null, 10), TxnEv("U", 300, 1, 11.0, "P", 20))),
+      s"$base/in", 0)
+    Replication.incrementalSync(spark, txnDf(Seq(TxnEv("I", 1, 1, 1.0, "O", 1))).schema,
+      s"$base/in", s"$base/ckpt", s"$base/state", txnCol = Some("txn"))
+    val behind = Replication.replicaStatus(spark, s"$base/state",
+      txnCol = Some("txn"))
+    assert(behind.secondsBehindSource.contains(297.0),
+      s"expected 297s behind, got ${behind.secondsBehindSource}")
+    // the commit arrives: the tail applies, the replica is current
+    graft.streaming.StreamingOps.writeWave(txnDf(Seq(
+      TxnEv("C", 301, -1, 0.0, null, 20))), s"$base/in", 1)
+    Replication.incrementalSync(spark, txnDf(Seq(TxnEv("I", 1, 1, 1.0, "O", 1))).schema,
+      s"$base/in", s"$base/ckpt", s"$base/state", txnCol = Some("txn"))
+    val caught = Replication.replicaStatus(spark, s"$base/state",
+      txnCol = Some("txn"))
+    assert(caught.secondsBehindSource.contains(0.0))
+    // heartbeats on a QUIET source: op='H' rows resolve the source's
+    // wall-clock without touching state — a caught-up replica whose only
+    // traffic is keep-alives must read 0, never a phantom lag
+    val hb = tmp()
+    graft.streaming.StreamingOps.writeWave(txnDf(Seq(
+      TxnEv("I", 1, 1, 10.0, "O", 0), TxnEv("I", 2, 2, 20.0, "O", 0))),
+      s"$hb/in", 0)
+    Replication.incrementalSync(spark, txnDf(Seq(TxnEv("I", 1, 1, 1.0, "O", 0))).schema,
+      s"$hb/in", s"$hb/ckpt", s"$hb/state", heartbeats = true)
+    graft.streaming.StreamingOps.writeWave(txnDf(Seq(
+      TxnEv("H", 500, -1, 0.0, null, 0))), s"$hb/in", 1)
+    Replication.incrementalSync(spark, txnDf(Seq(TxnEv("I", 1, 1, 1.0, "O", 0))).schema,
+      s"$hb/in", s"$hb/ckpt", s"$hb/state", heartbeats = true)
+    val idle = Replication.replicaStatus(spark, s"$hb/state")
+    assert(idle.secondsBehindSource.contains(0.0),
+      s"trailing heartbeats must read caught-up, got ${idle.secondsBehindSource}")
+    // a heartbeat INTERLEAVED ahead of a held transaction must not
+    // advance the applied position past the held events — a fresh
+    // resume from that position would skip them (ADVICE r15)
+    val mix = tmp()
+    graft.streaming.StreamingOps.writeWave(txnDf(Seq(
+      TxnEv("I", 1, 1, 10.0, "O", 1), TxnEv("C", 2, -1, 0.0, null, 1),
+      TxnEv("U", 3, 1, 11.0, "P", 2), TxnEv("H", 10, -1, 0.0, null, 0))),
+      s"$mix/in", 0)
+    val held = Replication.incrementalSync(spark,
+      txnDf(Seq(TxnEv("I", 1, 1, 1.0, "O", 0))).schema,
+      s"$mix/in", s"$mix/ckpt", s"$mix/state",
+      txnCol = Some("txn"), heartbeats = true)
+    assert(held.lastSeq.contains(2L),
+      s"heartbeat past a held txn must not advance position: ${held.lastSeq}")
+    assert(Replication.replicaStatus(spark, s"$mix/state",
+      txnCol = Some("txn")).secondsBehindSource.contains(8.0))
+    // the commit arrives: position and clock both catch up
+    graft.streaming.StreamingOps.writeWave(txnDf(Seq(
+      TxnEv("C", 11, -1, 0.0, null, 2))), s"$mix/in", 1)
+    val freed = Replication.incrementalSync(spark,
+      txnDf(Seq(TxnEv("I", 1, 1, 1.0, "O", 0))).schema,
+      s"$mix/in", s"$mix/ckpt", s"$mix/state",
+      txnCol = Some("txn"), heartbeats = true)
+    assert(freed.lastSeq.contains(11L))
+    assert(Replication.replicaStatus(spark, s"$mix/state",
+      txnCol = Some("txn")).secondsBehindSource.contains(0.0))
+    // a dir no tracked pass ever wrote reports None, not a guess
+    val cold = tmp()
+    graft.streaming.StreamingOps.writeWave(txnDf(Seq(
+      TxnEv("I", 1, 1, 10.0, "O", 0))), s"$cold/in", 0)
+    graft.streaming.StreamingOps.runCdcPass(spark,
+      txnDf(Seq(TxnEv("I", 1, 1, 1.0, "O", 0))).schema,
+      s"$cold/in", s"$cold/ckpt", s"$cold/state")
+    assert(Replication.replicaStatus(spark, s"$cold/state")
+      .secondsBehindSource.isEmpty)
+  }
+
   test("txn-boundary apply: no epoch ever exposes a half-applied transaction") {
     val base = tmp()
     // txn 10 commits in wave 0; txn 20 STRADDLES waves 0/1 (its update to
