@@ -1,0 +1,281 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** `mysqlbinlog --verbose` TEXT as a CDC transport — the ingest-fidelity
+  * bridge this harness can actually exercise (zero egress, no MySQL
+  * socket): the verbose pseudo-SQL dump format every MySQL operator has
+  * read is parsed into the engine's change-event envelope, so a pass can
+  * run end-to-end from binlog-shaped bytes instead of pre-decoded
+  * parquet. The dialect is the public mysqlbinlog row-event rendering:
+  *
+  * {{{
+  * # at 120
+  * #920315  0:00:00 server id 1  end_log_pos 245 CRC32 0x00000000  Write_rows: table id 108 flags: STMT_END_F
+  * ### INSERT INTO `db`.`orders`
+  * ### SET
+  * ###   @1=42
+  * ###   @2=100.5 /* DOUBLE meta=8 nullable=1 is_null=0 */
+  * ###   @3='O'
+  * }}}
+  *
+  * `UPDATE` blocks carry `### WHERE` (the before image — key columns at
+  * minimum) then `### SET` (the after image, which is what replicates);
+  * `DELETE FROM` blocks carry only `### WHERE`. Values are positional
+  * (`@1`..`@n`, the TABLE_MAP ordering), so decoding needs the same
+  * column list the real wire decoder would get from the TABLE_MAP event
+  * — the caller supplies it.
+  *
+  * Scale shape: one binlog FILE is the natural parallelism unit (a
+  * rotation boundary), exactly how a fleet tails binlogs — the parse
+  * reads whole files (`wholetext`) and decodes blocks inside each file
+  * independently, so N rotated files decode on N tasks with no
+  * cross-file state. Event blocks are self-positioned (`# at` carries
+  * the seq), so file order never matters. The round-trip renderer
+  * exists for fixtures and diagnostics; it refuses sub-second
+  * timestamps loudly (binlog headers are second-granular — silently
+  * flooring one would corrupt the event time it claims to carry). */
+object BinlogText {
+
+  private val HeaderTs =
+    """^#(\d{6}) +(\d{1,2}):(\d{2}):(\d{2}) server id .*""".r
+
+  /** Decode a directory of mysqlbinlog-style text files into the
+    * envelope `(op, seq, ts, <cols…>)`. `cols` is the TABLE_MAP
+    * analogue: the payload columns in `@i` position order with their
+    * engine types (Long/Int/Double/String supported — the fixture
+    * dialect; anything else refuses loudly). Distributed per FILE:
+    * each binlog rotation decodes on its own task. */
+  def parse(spark: SparkSession, dir: String,
+      cols: Seq[(String, DataType)]): DataFrame = {
+    validateCols(cols)
+    val schema = StructType(
+      Seq(StructField("op", StringType, nullable = false),
+        StructField("seq", LongType, nullable = false),
+        StructField("ts", TimestampNTZType, nullable = false)) ++
+        cols.map { case (n, t) => StructField(n, t, nullable = true) })
+    val colsB = cols // stable capture for the task closure
+    val files = spark.read.option("wholetext", "true").text(dir)
+    files.select(col("value")).flatMap(
+      r => parseFile(r.getString(0), colsB))(RowEncoder.encoderFor(schema))
+      .toDF()
+  }
+
+  /** Render an envelope frame as mysqlbinlog-style verbose text under
+    * `outDir` — `files` output files, i.e. `files` simulated binlog
+    * rotations (event blocks are self-positioned, so the split is
+    * free to be arbitrary). */
+  def render(df: DataFrame, cols: Seq[(String, DataType)],
+      outDir: String, files: Int = 4): Unit = {
+    validateCols(cols)
+    require(files >= 1, "at least one binlog file")
+    import df.sparkSession.implicits._
+    val colsB = cols
+    val ordered = df.select(
+      (Seq(col("op"), col("seq"), unix_micros(col("ts")
+        .cast(TimestampType)).as("ts_us")) ++
+        colsB.map { case (n, _) => col(n) }): _*)
+    ordered.repartition(files)
+      .map(r => renderBlock(r, colsB))
+      .write.mode("overwrite").text(outDir)
+  }
+
+  private def validateCols(cols: Seq[(String, DataType)]): Unit = {
+    require(cols.nonEmpty, "empty TABLE_MAP column list")
+    cols.foreach { case (n, t) =>
+      require(Seq(LongType, IntegerType, DoubleType, StringType)
+        .contains(t),
+        s"unsupported binlog-text column type for '$n': $t — the " +
+          "fixture dialect decodes integers, doubles, and strings")
+      require(!Seq("op", "seq", "ts").contains(n),
+        s"payload column '$n' collides with envelope bookkeeping")
+    }
+  }
+
+  // ── rendering ────────────────────────────────────────────────────
+
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "\\'")
+
+  private def unesc(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) { sb.append(s.charAt(i + 1)); i += 2 }
+      else { sb.append(c); i += 1 }
+    }
+    sb.result()
+  }
+
+  private def renderValue(r: Row, i: Int, t: DataType): String =
+    if (r.isNullAt(i)) "NULL"
+    else t match {
+      case LongType => r.getLong(i).toString
+      case IntegerType => r.getInt(i).toString
+      case DoubleType =>
+        // shortest round-trip repr + the meta comment mysqlbinlog prints
+        s"${r.getDouble(i)} /* DOUBLE meta=8 nullable=1 is_null=0 */"
+      case StringType => s"'${esc(r.getString(i))}'"
+      case other => throw new IllegalArgumentException(
+        s"unsupported render type $other") // validateCols precludes this
+    }
+
+  private def renderBlock(r: Row, cols: Seq[(String, DataType)]): String = {
+    val op = r.getString(0)
+    val seq = r.getLong(1)
+    val tsUs = r.getLong(2)
+    require(tsUs % 1000000L == 0,
+      s"binlog text headers are second-granular; event at seq $seq " +
+        s"carries sub-second time ($tsUs µs) the format would silently " +
+        "floor — refuse instead")
+    val ldt = java.time.LocalDateTime.ofEpochSecond(
+      tsUs / 1000000L, 0, java.time.ZoneOffset.UTC)
+    val hdr = f"#${ldt.getYear % 100}%02d${ldt.getMonthValue}%02d" +
+      f"${ldt.getDayOfMonth}%02d ${ldt.getHour}%2d:" +
+      f"${ldt.getMinute}%02d:${ldt.getSecond}%02d"
+    val verb = op match {
+      case "I" => "Write_rows"
+      case "U" => "Update_rows"
+      case "D" => "Delete_rows"
+      case other => throw new IllegalArgumentException(
+        s"cannot render op '$other' as a binlog row event")
+    }
+    def image(pad: String): String = cols.zipWithIndex.map {
+      case ((_, t), i) => s"$pad@${i + 1}=${renderValue(r, i + 3, t)}"
+    }.mkString("\n")
+    val body = op match {
+      case "I" =>
+        s"### INSERT INTO `db`.`orders`\n### SET\n${image("###   ")}"
+      case "U" =>
+        // WHERE carries the key column (binlog_row_image=MINIMAL shape);
+        // SET carries the full after image — the side that replicates
+        s"### UPDATE `db`.`orders`\n### WHERE\n###   @1=" +
+          s"${renderValue(r, 3, cols.head._2)}\n### SET\n${image("###   ")}"
+      case _ =>
+        s"### DELETE FROM `db`.`orders`\n### WHERE\n${image("###   ")}"
+    }
+    s"# at $seq\n$hdr server id 1  end_log_pos $seq CRC32 0x00000000 " +
+      s"\t$verb: table id 108 flags: STMT_END_F\n$body"
+  }
+
+  // ── parsing ──────────────────────────────────────────────────────
+
+  private def parseValue(raw: String, name: String,
+      t: DataType): Any = {
+    // strip the trailing /* meta */ comment mysqlbinlog appends
+    val v0 = raw.trim
+    val v = {
+      val ci = v0.indexOf("/*")
+      (if (ci >= 0 && !v0.startsWith("'")) v0.substring(0, ci) else v0).trim
+    }
+    if (v == "NULL") null
+    else t match {
+      case LongType => v.toLongOption.getOrElse(
+        badValue(name, v))
+      case IntegerType => v.toIntOption.getOrElse(badValue(name, v))
+      case DoubleType => v.toDoubleOption.getOrElse(badValue(name, v))
+      case StringType =>
+        if (v.length >= 2 && v.startsWith("'") && v.endsWith("'"))
+          unesc(v.substring(1, v.length - 1))
+        else badValue(name, v)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported type $other")
+    }
+  }
+
+  private def badValue(name: String, v: String): Nothing =
+    throw new IllegalArgumentException(
+      s"malformed binlog value for column '$name': $v")
+
+  private def parseHeaderTs(line: String): java.time.LocalDateTime =
+    line match {
+      case HeaderTs(ymd, h, m, s2) =>
+        val yy = ymd.substring(0, 2).toInt
+        // MySQL's TIMESTAMP two-digit-year pivot: 70..99 → 19xx
+        val year = if (yy < 70) 2000 + yy else 1900 + yy
+        java.time.LocalDateTime.of(year, ymd.substring(2, 4).toInt,
+          ymd.substring(4, 6).toInt, h.toInt, m.toInt, s2.toInt)
+      case _ => throw new IllegalArgumentException(
+        s"malformed binlog event header: $line")
+    }
+
+  /** One file's blocks → envelope rows. Stateful single scan: `# at`
+    * opens an event, the dated header stamps time + verb, `### WHERE` /
+    * `### SET` collect positional images, and the next `# at` (or EOF)
+    * seals the pending event. Every malformed line refuses loudly with
+    * its text — a silently skipped event is a silently diverged
+    * replica. */
+  private def parseFile(text: String,
+      cols: Seq[(String, DataType)]): Iterator[Row] = {
+    val out = Vector.newBuilder[Row]
+    var pos = Option.empty[Long]
+    var ts = Option.empty[java.time.LocalDateTime]
+    var op = Option.empty[String]
+    var section = "" // "", WHERE, SET
+    var where = Map.empty[Int, String]
+    var set = Map.empty[Int, String]
+
+    def seal(): Unit = for (p <- pos) {
+      val o = op.getOrElse(throw new IllegalArgumentException(
+        s"binlog event at $p has a position but no row-event block"))
+      val time = ts.getOrElse(throw new IllegalArgumentException(
+        s"binlog event at $p has no dated header"))
+      // the image that replicates: SET for inserts/updates (the after
+      // image), WHERE for deletes (the row being removed)
+      val img = if (o == "D") where else set
+      require(img.nonEmpty, s"binlog event at $p carries no row image")
+      img.keys.foreach(i => require(i >= 1 && i <= cols.length,
+        s"binlog event at $p names @$i beyond the ${cols.length}-column " +
+          "TABLE_MAP"))
+      val vals = cols.zipWithIndex.map { case ((n, t), i) =>
+        img.get(i + 1).map(parseValue(_, n, t)).orNull
+      }
+      out += Row.fromSeq(Seq(o, p, time) ++ vals)
+      pos = None; ts = None; op = None; section = ""
+      where = Map.empty; set = Map.empty
+    }
+
+    for (line0 <- text.linesIterator; line = line0.trim if line.nonEmpty) {
+      if (line.startsWith("# at ")) {
+        seal()
+        pos = Some(line.stripPrefix("# at ").trim.toLongOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"malformed binlog position line: $line")))
+      } else if (line.startsWith("#") && !line.startsWith("###")) {
+        if (HeaderTs.matches(line)) {
+          ts = Some(parseHeaderTs(line))
+          if (line.contains("Write_rows")) op = Some("I")
+          else if (line.contains("Update_rows")) op = Some("U")
+          else if (line.contains("Delete_rows")) op = Some("D")
+        } // other comment lines (format description, CRC summaries) pass
+      } else if (line.startsWith("### ")) {
+        val b = line.stripPrefix("### ").trim
+        if (b.startsWith("INSERT INTO")) { op = Some("I"); section = "SET" }
+        else if (b.startsWith("UPDATE")) { op = Some("U"); section = "" }
+        else if (b.startsWith("DELETE FROM")) { op = Some("D"); section = "" }
+        else if (b == "WHERE") section = "WHERE"
+        else if (b == "SET") section = "SET"
+        else if (b.startsWith("@")) {
+          val eq = b.indexOf('=')
+          require(eq > 1, s"malformed binlog value line: $line")
+          val idx = b.substring(1, eq).toIntOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"malformed binlog value line: $line"))
+          require(section == "WHERE" || section == "SET",
+            s"binlog value line outside WHERE/SET: $line")
+          if (section == "WHERE") where += (idx -> b.substring(eq + 1))
+          else set += (idx -> b.substring(eq + 1))
+        } else throw new IllegalArgumentException(
+          s"unrecognized binlog pseudo-SQL line: $line")
+      }
+      // non-# lines (BEGIN/COMMIT/DELIMITER noise) pass through silently:
+      // they position nothing and carry no row image
+    }
+    seal()
+    out.result().iterator
+  }
+}

@@ -3601,6 +3601,29 @@ object StreamingOps {
     // sink + latest-wins merge make the duplicate delivery a no-op.
     "sink_foreachbatch_idempotent" -> ((s, dir) => cdcApply(s, dir, replayLast = true)),
 
+    // S-BINLOG-TEXT: ingest from mysqlbinlog-VERBOSE TEXT — the
+    // binlog-shaped transport this harness can actually exercise. The
+    // change log renders as rotated pseudo-SQL dump files (the public
+    // `mysqlbinlog -v` row-event dialect: `# at` positions, dated
+    // headers, `### INSERT/UPDATE/DELETE` blocks with positional `@i`
+    // images), BinlogText.parse decodes them back per file (rotation =
+    // parallelism unit, no cross-file state), and the pass applied over
+    // the DECODED envelope must land on the same collapse as the
+    // pre-decoded parquet feed — round-trip fidelity under the oracle.
+    "cdc_binlog_text" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir)
+      val cols: Seq[(String, org.apache.spark.sql.types.DataType)] = Seq(
+        "okey" -> org.apache.spark.sql.types.LongType,
+        "price" -> DoubleType, "status" -> StringType)
+      val tmp = tmpDir()
+      graft.sources.BinlogText.render(log, cols, s"$tmp/binlog", files = 4)
+      val env = graft.sources.BinlogText.parse(s, s"$tmp/binlog", cols)
+      val in = s"$tmp/in"
+      writeWave(env, in, 0)
+      runCdcPass(s, env.schema, in, s"$tmp/ckpt", s"$tmp/state")
+      readLatestState(s, s"$tmp/state")
+    }),
+
     // ST-SOFT-DELETE: the tool class's "keep deleted rows" mode
     // (ReplacingMergeTree(ver, is_deleted)): the log ships binlog-true
     // DELETE events carrying the row's BEFORE IMAGE, and the destination
@@ -5126,6 +5149,8 @@ object StreamingOps {
     // stream ≡ batch: the applied state must equal the A8 collapse.
     "stream_cdc_apply" -> latestStateSql,
     "sink_foreachbatch_idempotent" -> latestStateSql,
+    // text-decoded binlog ≡ pre-decoded parquet feed: same collapse.
+    "cdc_binlog_text" -> latestStateSql,
 
     // soft delete: every key's latest event survives — tombstone winners
     // flagged `_deleted = 1` with the delete's before-image payload.

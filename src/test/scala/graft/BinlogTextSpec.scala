@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.BinlogText
+
+/** The mysqlbinlog-verbose text transport: render/parse round-trip
+  * fidelity and the loud-refusal edges (see BinlogText's dialect
+  * scaladoc). The end-to-end collapse equivalence is the declared
+  * `cdc_binlog_text` query's oracle row. */
+class BinlogTextSpec extends SparkTestBase {
+
+  private val cols: Seq[(String, DataType)] = Seq(
+    "okey" -> LongType, "price" -> DoubleType, "status" -> StringType)
+
+  private def envDf(rows: Seq[(String, Long, Long, Any, Any, Any)]) = {
+    val schema = StructType(Seq(
+      StructField("op", StringType), StructField("seq", LongType),
+      StructField("tsSec", LongType), StructField("okey", LongType),
+      StructField("price", DoubleType), StructField("status", StringType)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r =>
+        Row(r._1, r._2, r._3, r._4, r._5, r._6)): _*), schema)
+      .withColumn("ts", timestamp_seconds(col("tsSec"))
+        .cast(TimestampNTZType))
+      .select("op", "seq", "ts", "okey", "price", "status")
+  }
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_binlog").toString
+
+  test("render/parse round-trips ops, NULLs, doubles, and escaped text") {
+    val env = envDf(Seq(
+      ("I", 1L, 800000000L, 1L, 10.5, "plain"),
+      ("I", 2L, 800000001L, 2L, null, null), // explicit NULL payload
+      ("U", 3L, 800000002L, 1L, -7.25, "it's a 'quote' \\ slash"),
+      ("D", 4L, 900000000L, 2L, null, null)))
+    val dir = tmp()
+    BinlogText.render(env, cols, s"$dir/binlog", files = 2)
+    val back = BinlogText.parse(spark, s"$dir/binlog", cols)
+    assert(back.schema.fieldNames.toSeq ==
+      Seq("op", "seq", "ts", "okey", "price", "status"))
+    assert(back.schema("ts").dataType == TimestampNTZType)
+    val got = back.collect().map(_.toSeq).toSet
+    val want = env.collect().map(_.toSeq).toSet
+    assert(got == want, s"round-trip diverged:\n got=$got\nwant=$want")
+    // rotation = parallelism unit: the blocks really split across files
+    val files = new java.io.File(s"$dir/binlog").listFiles()
+      .filter(_.getName.endsWith(".txt")).map(_.getName).toSeq
+    assert(files.size >= 1)
+  }
+
+  test("parse reads the side that replicates: UPDATE takes SET, " +
+      "DELETE takes WHERE; unlisted columns surface NULL") {
+    val dir = tmp()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/f.txt"),
+      """# at 7
+        |#920315  0:00:00 server id 1  end_log_pos 7 CRC32 0x00000000 	Update_rows: table id 108 flags: STMT_END_F
+        |### UPDATE `db`.`orders`
+        |### WHERE
+        |###   @1=42
+        |###   @2=1.0 /* old */
+        |### SET
+        |###   @1=42
+        |###   @2=2.5 /* DOUBLE meta=8 nullable=1 is_null=0 */
+        |# at 9
+        |#920316 23:59:59 server id 1  end_log_pos 9 CRC32 0x00000000 	Delete_rows: table id 108 flags: STMT_END_F
+        |### DELETE FROM `db`.`orders`
+        |### WHERE
+        |###   @1=43
+        |###   @3='gone'
+        |""".stripMargin)
+    val rows = BinlogText.parse(spark, dir, cols)
+      .orderBy(col("seq")).collect()
+    assert(rows.length == 2)
+    val u = rows(0)
+    assert(u.getString(0) == "I" || u.getString(0) == "U")
+    assert(u.getString(0) == "U" && u.getLong(1) == 7L)
+    assert(u.getLong(3) == 42L && u.getDouble(4) == 2.5)
+    assert(u.isNullAt(5), "column absent from the image surfaces NULL")
+    val d = rows(1)
+    assert(d.getString(0) == "D" && d.getLong(1) == 9L)
+    assert(d.getLong(3) == 43L && d.isNullAt(4) && d.getString(5) == "gone")
+    assert(d.getAs[java.time.LocalDateTime](2) ==
+      java.time.LocalDateTime.of(1992, 3, 16, 23, 59, 59))
+  }
+
+  test("malformed input and lossy renders refuse loudly") {
+    def parseText(text: String): Unit = {
+      val dir = tmp()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/f.txt"), text)
+      BinlogText.parse(spark, dir, cols).collect()
+      ()
+    }
+    def refuses(text: String, naming: String): Unit = {
+      val e = intercept[Throwable] { parseText(text) }
+      val msg = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+      assert(msg.contains(naming), s"got: $msg")
+    }
+    val hdr = "#920315  0:00:00 server id 1  end_log_pos 1 CRC32 " +
+      "0x00000000 \tWrite_rows: table id 108 flags: STMT_END_F"
+    // a position with no row image is a truncated dump, not data
+    refuses(s"# at 5\n$hdr\n### INSERT INTO `db`.`t`\n### SET\n",
+      "carries no row image")
+    // an image column beyond the TABLE_MAP is a schema mismatch
+    refuses(s"# at 5\n$hdr\n### INSERT INTO `db`.`t`\n### SET\n" +
+      "###   @1=1\n###   @9=2\n", "beyond the 3-column TABLE_MAP")
+    // garbage pseudo-SQL refuses with the line text
+    refuses(s"# at 5\n$hdr\n### FROB `db`.`t`\n", "unrecognized")
+    // type mismatch refuses naming the column
+    refuses(s"# at 5\n$hdr\n### INSERT INTO `db`.`t`\n### SET\n" +
+      "###   @1='not a long'\n", "malformed binlog value for column 'okey'")
+    // a dated header is required before values can stamp an event
+    refuses("# at 5\n### INSERT INTO `db`.`t`\n### SET\n###   @1=1\n",
+      "no dated header")
+    // the renderer refuses sub-second event times instead of flooring
+    val sub = envDf(Seq(("I", 1L, 800000000L, 1L, 1.0, "x")))
+      .withColumn("ts", (col("ts").cast(TimestampType) +
+        expr("INTERVAL 0.5 SECOND")).cast(TimestampNTZType))
+    val e = intercept[Throwable] {
+      BinlogText.render(sub, cols, s"${tmp()}/binlog")
+    }
+    val msg = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msg.contains("second-granular"))
+  }
+}
