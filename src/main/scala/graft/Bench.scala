@@ -217,7 +217,7 @@ object Bench {
     // exact probe is bucket-pruned (touched-bucket pushdown); the
     // minhash probe pays a columnar band scan — both must grow far
     // slower than the 10× index mass.
-    def indexReadsAt(factor: Int): Seq[(String, Double)] = {
+    def indexReadsAt(factor: Int, reps: Int = 3): Seq[(String, Double)] = {
       import org.apache.spark.sql.functions._
       val d = Tables.t(spark, sfDir, "documents")
         .select(col("doc_id"), col("text"))
@@ -251,7 +251,7 @@ object Bench {
       // 1×/10× comparison); the min over three independent seeded
       // probes is what the scaling claim actually needs — steady-state
       // probe cost vs index mass, init and GC excursions excluded.
-      val reps = (0 until 3).map { _ =>
+      val repRuns = (0 until reps).map { _ =>
         val idxE = s"${TmpDirs.create(s"bench_idx_exact")}/idx"
         val idxM = s"${TmpDirs.create(s"bench_idx_minhash")}/idx"
         graft.ops.Llm.exactIndexSeed(spark, corpus, idxE)
@@ -267,16 +267,18 @@ object Bench {
         CacheRegistry.releaseAll()
         r
       }
-      reps.head.map(_._1).map { name =>
-        name -> reps.map(_.toMap.apply(name)).min
+      repRuns.head.map(_._1).map { name =>
+        name -> repRuns.map(_.toMap.apply(name)).min
       }
     }
-    // no separate discarded warmup round: the shingle/minhash codegen
-    // and parquet-append one-time init land in repetition 1 and the
-    // min-of-3 drops them — a full extra warmup call would only re-pay
-    // two index seeds for nothing
+    // a FULL discarded warmup round (seed + both probe bodies, untimed)
+    // before the timed reps: min-of-3 alone still billed first-touch
+    // init to the 1× pass in a cold driver (r15 verdict: exact probe
+    // 1× 0.496 s > 10× 0.468 s — the comparison the artifact exists to
+    // make, inverted by JIT). The warmup pays two extra index seeds
+    // once; the timed reps then all measure steady-state probe cost.
     val indexReads: Seq[(String, Double)] = if (filt.nonEmpty) Seq.empty
-    else try indexReadsAt(1) catch {
+    else try { indexReadsAt(1, reps = 1); indexReadsAt(1) } catch {
       case e: Throwable =>
         System.err.println(
           s"BENCH INDEX-READ FAIL: ${e.getClass.getName}: ${e.getMessage}")
@@ -289,6 +291,69 @@ object Bench {
           s"BENCH INDEX-READ-10X FAIL: ${e.getClass.getName}: ${e.getMessage}")
         Seq.empty
     }
+    // SKETCH ERROR BOUNDS, proved per round in the artifact: the three
+    // approximate operators are non-oracle by design (sketch estimates
+    // aren't SQL-reproducible bit-for-bit), so their correctness story
+    // lives in declared error bounds — previously asserted only in
+    // OperatorSpec runs, now measured against exact answers here so the
+    // driver artifact carries the evidence every round. Best-effort
+    // like the other sections; tools/check.py validates the block.
+    val bounds: Seq[(String, String)] = if (filt.nonEmpty) Seq.empty
+    else try {
+      import org.apache.spark.sql.functions._
+      def f6(v: Double): String =
+        "%.6f".formatLocal(java.util.Locale.ROOT, v)
+      val li = Tables.t(spark, sfDir, "lineitem")
+      // A3: approx_count_distinct(rsd=0.02) vs exact — allow 10% (the
+      // OperatorSpec bound: generous vs the declared rsd, catches gross
+      // breakage without flaking on small SFs)
+      val apx = SparkEntry.queries("agg_approx_distinct")(spark, sfDir)
+        .collect()(0)
+      val exOrders = li.select(countDistinct(col("l_orderkey")))
+        .collect()(0).getLong(0)
+      val aOrders = apx.getLong(apx.fieldIndex("approx_orders"))
+      val relErr = math.abs(aOrders - exOrders).toDouble / exOrders
+      val a3 = s""""agg_approx_distinct":{"estimate":$aOrders,""" +
+        s""""exact":$exOrders,"rel_err":${f6(relErr)},"bound":0.1,""" +
+        s""""ok":${relErr < 0.1}}"""
+      // A26: percentile_approx(accuracy=1000) vs exact percentiles —
+      // l_quantity spans 1..50, the spec bound is ±2.0 absolute
+      val qa = SparkEntry.queries("agg_quantiles_approx")(spark, sfDir)
+        .collect().map(r => r.getString(0) -> (r.getDouble(1),
+          r.getDouble(2))).toMap
+      val qe = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.95)").as("p95"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1),
+          r.getDouble(2))).toMap
+      val qErr = qa.map { case (fl, (a50, a95)) =>
+        math.max(math.abs(a50 - qe(fl)._1), math.abs(a95 - qe(fl)._2))
+      }.max
+      val a26 = s""""agg_quantiles_approx":{"max_abs_err":${f6(qErr)},""" +
+        s""""bound":2.0,"ok":${qErr <= 2.0}}"""
+      // A24: merged HLL states vs one direct global sketch (must be
+      // bit-identical — merge is lossless) and vs exact (5%, the spec's
+      // allowance over the lgConfigK=12 rsd of ~1.6%)
+      val us = SparkEntry.queries("agg_uniq_sketch_merge")(spark, sfDir)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val ev = Tables.t(spark, sfDir, "events")
+      val direct = ev.agg(hll_sketch_estimate(
+        hll_sketch_agg(col("user_id")))).collect()(0).getLong(0)
+      val exactU = ev.select(col("user_id")).distinct().count()
+      val uErr = math.abs(us("<all>").toDouble - exactU) / exactU
+      val a24 = s""""agg_uniq_sketch_merge":{"estimate":${us("<all>")},""" +
+        s""""exact":$exactU,"rel_err":${f6(uErr)},"bound":0.05,""" +
+        s""""merge_lossless":${us("<all>") == direct},""" +
+        s""""ok":${uErr < 0.05 && us("<all>") == direct}}"""
+      Seq("agg_approx_distinct" -> a3, "agg_quantiles_approx" -> a26,
+        "agg_uniq_sketch_merge" -> a24)
+    } catch {
+      case e: Throwable =>
+        System.err.println(
+          s"BENCH BOUNDS FAIL: ${e.getClass.getName}: ${e.getMessage}")
+        Seq.empty
+    }
+    val boundsJson = bounds.map(_._2).mkString("{", ",", "}")
     val srJson = stateReads.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val sr10Json = stateReads10x.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
@@ -306,7 +371,8 @@ object Bench {
         s"""{"total":${f3(total)},"sf":"$sfDir","passes":$passes,""" +
           s""""failed":$fq,"state_reads":$srJson,""" +
           s""""state_reads_10x":$sr10Json,"index_reads":$irJson,""" +
-          s""""index_reads_10x":$ir10Json,"queries":$qs,""" +
+          s""""index_reads_10x":$ir10Json,"bounds":$boundsJson,""" +
+          s""""queries":$qs,""" +
           s""""slowest_first":$ranked}""" + "\n")
       ()
     } catch {

@@ -155,6 +155,35 @@ def main():
         else:
             n_pass += 1
             print(f"  OK   {name} ({len(exp)} rows)")
+    # Sketch error bounds: the three approximate operators are non-oracle
+    # by design, so their per-round evidence is the `bounds` block Bench
+    # writes into bench_full.json (estimate vs exact, declared bound,
+    # ok flag). Validate it when the artifact is present: a bounds entry
+    # with ok=false is a red row exactly like a hash mismatch. A missing
+    # artifact (fresh clone, bench not yet run) only warns — correctness
+    # of the oracle-gated queries must not depend on a timing artifact.
+    import os
+    bench_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench_full.json")
+    if not filt and os.path.exists(bench_path):
+        try:
+            bench = json.load(open(bench_path))
+        except Exception as e:
+            fails.append(("bench_full.json", f"unreadable: {e}"))
+            bench = {}
+        bounds = bench.get("bounds")
+        if bounds is None:
+            print("  WARN bench_full.json carries no bounds block "
+                  "(pre-r16 artifact?) — rerun the full bench")
+        else:
+            for name in sorted(bounds):
+                b = bounds[name]
+                if b.get("ok") is True:
+                    n_pass += 1
+                    print(f"  OK   bounds:{name} ({json.dumps(b)})")
+                else:
+                    fails.append((f"bounds:{name}",
+                                  f"outside declared bound: {json.dumps(b)}"))
     for name, msg in fails:
         print(f"  FAIL {name}: {msg[:600]}")
     print(f"== {n_pass} pass, {len(fails)} fail ==")
