@@ -283,6 +283,53 @@ class CdcPropertySpec extends SparkTestBase {
     }
   }
 
+  test("CHANGES-BETWEEN property: any log, any (from, to] window — the " +
+      "audit export == per-key latest in-window event, tombstones included") {
+    import graft.streaming.{StateFs, StreamingOps}
+    // random history-retaining state dirs (events land verbatim, the
+    // keepHistory layout) probed with random incident windows: the
+    // bounded export must equal the sequential reference — for each key
+    // changed in (from, to], its latest in-window event, deletes
+    // surfacing as tombstone rows with their image carried.
+    samples(6).filter(_.length > 3).zipWithIndex.foreach { case (ops, si) =>
+      val sorted = ops.sortBy(_.seq)
+      val state = java.nio.file.Files
+        .createTempDirectory(s"graft_cbprop$si").toString
+      def toDf(chunk: List[Op]) =
+        spark.createDataFrame(chunk)
+          .select(col("op"), col("seq"),
+            timestamp_seconds(lit(1700000000L) + col("seq")).as("ts"),
+            col("key").as("okey"), col("v").cast("double").as("price"),
+            lit("S").as("status"))
+      sorted.grouped(math.max(1, sorted.length / 3)).zipWithIndex
+        .foreach { case (c, i) => toDf(c).write.parquet(s"$state/epoch=$i") }
+      StateFs.writeAtomic(s"$state/_history", "true")
+      val seqs = sorted.map(_.seq)
+      val rnd = new scala.util.Random(77 + si)
+      val mid = seqs(seqs.length / 2)
+      val (a, b) = (seqs(rnd.nextInt(seqs.length)),
+        seqs(rnd.nextInt(seqs.length)))
+      val windows = Seq(
+        (seqs.head - 1, mid), // from the very start
+        (mid, seqs.last), // to the very end
+        (math.min(a, b) - 1, math.max(a, b))) // arbitrary interior
+      windows.filter { case (f, t) => t > f }.foreach { case (from, to) =>
+        val got = StreamingOps.readStateChanges(spark, state, from,
+          untilSeq = Some(to))
+          .select(col("okey"), col("op"), col("price"), col("seq"))
+          .collect()
+          .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2),
+            r.getLong(3))).toMap
+        val want = sorted.filter(o => o.seq > from && o.seq <= to)
+          .groupBy(_.key).map { case (k, es) =>
+            val w = es.maxBy(_.seq)
+            k -> (w.op, w.v.toDouble, w.seq)
+          }
+        assert(got == want, s"log: $ops window=($from,$to]")
+      }
+    }
+  }
+
   test("TIME TRAVEL property: any log, any position — as-of == replay of the prefix") {
     import graft.streaming.{StateFs, StreamingOps}
     samples(6).filter(_.length > 3).zipWithIndex.foreach { case (ops, si) =>
