@@ -185,6 +185,17 @@ object Replication {
     * row images against the prior state at apply time (see
     * StreamingOps.completePartialImages), so the replica and every
     * downstream consumer hold full rows. */
+  /** `ddlSql` is the RAW-TEXT alternative to the structured DDL
+    * arguments: the gap's `QueryEvent` statements as the binlog ships
+    * them — `(binlog position, SQL text)` pairs — parsed and folded
+    * onto `renameCols`/`defaultCols`/`dropCols`/`truncateAtSeq` by
+    * [[streaming.DdlSql]] (unsupported statements refuse loudly, see
+    * its dialect notes). Mutually exclusive with declaring those four
+    * structurally: merging two sources of the same DDL silently is how
+    * a rename gets applied twice. Statement-level table renames
+    * (`RENAME TABLE`) are NOT absorbed here — they rebind whole state
+    * dirs, not columns; apply them via [[renameTables]] before the
+    * pass, as the refusal message directs. */
   def incrementalSync(spark: SparkSession, schema: StructType, inDir: String,
       ckptDir: String, stateDir: String, compactEvery: Int = 16,
       fromSeq: Option[Long] = None, txnCol: Option[String] = None,
@@ -202,15 +213,33 @@ object Replication {
       partialImageCol: Option[String] = None,
       heartbeats: Boolean = false,
       strictBefore: Option[(String, String)] = None,
-      conflictDlq: Option[String] = None)
+      conflictDlq: Option[String] = None,
+      ddlSql: Seq[(Long, String)] = Seq.empty)
       : SyncProgress = {
+    val (renames2, truncate2, defaults2, drops2) =
+      if (ddlSql.isEmpty) (renameCols, truncateAtSeq, defaultCols, dropCols)
+      else {
+        require(renameCols.isEmpty && truncateAtSeq.isEmpty &&
+          defaultCols.isEmpty && dropCols.isEmpty,
+          "ddlSql and structured DDL arguments are mutually exclusive — " +
+            "the fold would silently double-apply whichever verb both " +
+            "declare; pass the gap's DDL one way")
+        val cfg = streaming.DdlSql.fold(ddlSql)
+        require(cfg.tableRenames.isEmpty,
+          "ddlSql carries RENAME TABLE statement(s) " +
+            cfg.tableRenames.map { case (a, b) => s"'$a'->'$b'" }
+              .mkString(", ") +
+            " — table renames rebind state dirs, not columns: apply " +
+            "them via Replication.renameTables BEFORE this pass")
+        (cfg.renameCols, cfg.truncateAtSeq, cfg.defaultCols, cfg.dropCols)
+      }
     val (rows, epochs, lastSeq, pending, srcMax) =
       streaming.StreamingOps.runCdcPass(
         spark, schema, inDir, ckptDir, stateDir, trackSeq = true,
-        startAfterSeq = fromSeq, txnCol = txnCol, renameCols = renameCols,
-        truncateAtSeq = truncateAtSeq, defaultCols = defaultCols,
+        startAfterSeq = fromSeq, txnCol = txnCol, renameCols = renames2,
+        truncateAtSeq = truncate2, defaultCols = defaults2,
         rowFilter = rowFilter, maskCols = maskCols, keyCols = keyCols,
-        dropCols = dropCols, keepHistory = keepHistory,
+        dropCols = drops2, keepHistory = keepHistory,
         computedCols = computedCols, partialImageCol = partialImageCol,
         heartbeats = heartbeats, strictBefore = strictBefore,
         conflictDlq = conflictDlq)

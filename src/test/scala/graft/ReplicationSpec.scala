@@ -932,6 +932,45 @@ class ReplicationSpec extends SparkTestBase {
     assert(applied == batch)
   }
 
+  test("facade ddlSql: raw QueryEvent text drives the resumed pass; " +
+      "ambiguous or dir-level statements refuse loudly") {
+    import graft.streaming.StreamingOps
+    val log = Tables.cdcLog(spark, sf)
+    val base = tmp()
+    val v1 = log.filter(col("seq") === 1).withColumn("channel",
+      concat(lit("old"), (col("okey") % 4).cast("string")))
+    StreamingOps.writeWave(v1, s"$base/in", 0)
+    Replication.incrementalSync(spark, v1.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state")
+    val v2 = log.filter(col("seq") === 2).withColumn("chan",
+      concat(lit("new"), (col("okey") % 4).cast("string")))
+    StreamingOps.writeWave(v2, s"$base/in", 1)
+    Replication.incrementalSync(spark, v2.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state",
+      ddlSql = Seq(1L -> "ALTER TABLE orders RENAME COLUMN channel TO chan"))
+    val served = Replication.appliedState(spark, s"$base/state")
+    assert(!served.columns.contains("channel"))
+    // a key only touched pre-DDL serves its old value under the new name
+    val preOnly = served.filter(col("okey") % 3 =!= 0)
+      .filter(!col("chan").startsWith("old")).count()
+    assert(preOnly == 0, "pre-DDL history lost under the renamed column")
+    // both DDL vocabularies at once is ambiguous — refuse
+    val both = intercept[IllegalArgumentException] {
+      Replication.incrementalSync(spark, v2.schema, s"$base/in",
+        s"$base/ckpt", s"$base/state",
+        renameCols = Map("a" -> "b"),
+        ddlSql = Seq(1L -> "ALTER TABLE orders DROP COLUMN x"))
+    }
+    assert(both.getMessage.contains("mutually exclusive"))
+    // RENAME TABLE rebinds dirs, not columns — directed to renameTables
+    val rt = intercept[IllegalArgumentException] {
+      Replication.incrementalSync(spark, v2.schema, s"$base/in",
+        s"$base/ckpt", s"$base/state",
+        ddlSql = Seq(1L -> "RENAME TABLE orders TO archive"))
+    }
+    assert(rt.getMessage.contains("renameTables"))
+  }
+
   test("secondsBehindSource: a held transaction tail reads as its " +
       "event-time gap; a caught-up replica with trailing heartbeats reads 0") {
     // txnDf stamps ts = base + seq seconds, so seq gaps ARE second gaps
