@@ -162,6 +162,74 @@ object BinlogText {
       s"\t$verb: table id 108 flags: STMT_END_F\n$body"
   }
 
+  /** Extract the dump's DDL QueryEvents as `(position, statement)` —
+    * the statement side of the same files [[parse]] reads rows from: a
+    * `Query` event's statement lines follow its header (wrapped
+    * `…/*!*/;` by mysqlbinlog) until the next event. Transaction
+    * punctuation (`BEGIN`/`COMMIT`/`ROLLBACK`), session `SET`s,
+    * `DELIMITER`, and `use db` noise are skipped — they position
+    * nothing schema-wise; everything else returns verbatim for
+    * [[graft.streaming.DdlSql]] to parse (which refuses what it cannot
+    * map, so nothing is silently dropped downstream). Driver-side and
+    * position-sorted: DDL is metadata-scale by nature, and the fold
+    * that consumes it runs on the driver anyway. */
+  def parseDdl(spark: SparkSession, dir: String): Seq[(Long, String)] = {
+    val files = spark.read.option("wholetext", "true").text(dir)
+      .collect().map(_.getString(0))
+    val out = Seq.newBuilder[(Long, String)]
+    files.foreach { text =>
+      var pos = Option.empty[Long]
+      var inQuery = false
+      var stmt = new StringBuilder
+      def seal(): Unit = {
+        // a query block is `SET TIMESTAMP=…/*!*/;` then the statement,
+        // each wrapped in its own /*!*/; terminator — split per
+        // statement BEFORE the noise check, or the leading session SET
+        // would shadow the DDL behind it
+        for (p <- pos if inQuery) {
+          stmt.result().split("""/\*!\*/;""")
+            .map(_.trim.stripSuffix(";").trim).filter(_.nonEmpty)
+            .foreach { s =>
+              val head = s.takeWhile(!_.isWhitespace).toUpperCase
+              val noise = Seq("BEGIN", "COMMIT", "ROLLBACK", "SET",
+                "DELIMITER", "USE")
+              if (!noise.contains(head)) out += (p -> s)
+            }
+        }
+        pos = None; inQuery = false; stmt = new StringBuilder
+      }
+      for (line0 <- text.linesIterator; line = line0.trim if line.nonEmpty) {
+        if (line.startsWith("# at ")) {
+          seal()
+          pos = line.stripPrefix("# at ").trim.toLongOption
+        } else if (line.startsWith("#") && !line.startsWith("###")) {
+          if (HeaderTs.matches(line) && line.contains("Query"))
+            inQuery = true
+        } else if (!line.startsWith("###") && inQuery) {
+          // statement text may span lines; keep them joined
+          if (stmt.nonEmpty) stmt.append('\n')
+          stmt.append(line)
+          ()
+        }
+      }
+      seal()
+    }
+    out.result().sortBy(_._1)
+  }
+
+  /** Render one DDL QueryEvent block (the [[parseDdl]] inverse) — for
+    * fixtures interleaving statements with row events. */
+  def renderQuery(seq: Long, tsEpochSec: Long, sql: String): String = {
+    val ldt = java.time.LocalDateTime.ofEpochSecond(
+      tsEpochSec, 0, java.time.ZoneOffset.UTC)
+    val hdr = f"#${ldt.getYear % 100}%02d${ldt.getMonthValue}%02d" +
+      f"${ldt.getDayOfMonth}%02d ${ldt.getHour}%2d:" +
+      f"${ldt.getMinute}%02d:${ldt.getSecond}%02d"
+    s"# at $seq\n$hdr server id 1  end_log_pos $seq CRC32 0x00000000 " +
+      s"\tQuery\tthread_id=1\texec_time=0\terror_code=0\n" +
+      s"SET TIMESTAMP=$tsEpochSec/*!*/;\n$sql\n/*!*/;"
+  }
+
   // ── parsing ──────────────────────────────────────────────────────
 
   private def parseValue(raw: String, name: String,
@@ -206,8 +274,12 @@ object BinlogText {
   /** One file's blocks → envelope rows. Stateful single scan: `# at`
     * opens an event, the dated header stamps time + verb, `### WHERE` /
     * `### SET` collect positional images, and the next `# at` (or EOF)
-    * seals the pending event. Every malformed line refuses loudly with
-    * its text — a silently skipped event is a silently diverged
+    * seals the pending event. Non-row events a real dump interleaves —
+    * Query (DDL, BEGIN/COMMIT), Xid, Rotate, format description — are
+    * skipped HERE (their headers name no row verb and no `###` block
+    * follows); DDL QueryEvents are extracted by [[parseDdl]], the
+    * statement-side pass. Every malformed ROW line refuses loudly with
+    * its text — a silently skipped row event is a silently diverged
     * replica. */
   private def parseFile(text: String,
       cols: Seq[(String, DataType)]): Iterator[Row] = {
@@ -220,21 +292,27 @@ object BinlogText {
     var set = Map.empty[Int, String]
 
     def seal(): Unit = for (p <- pos) {
-      val o = op.getOrElse(throw new IllegalArgumentException(
-        s"binlog event at $p has a position but no row-event block"))
-      val time = ts.getOrElse(throw new IllegalArgumentException(
-        s"binlog event at $p has no dated header"))
-      // the image that replicates: SET for inserts/updates (the after
-      // image), WHERE for deletes (the row being removed)
-      val img = if (o == "D") where else set
-      require(img.nonEmpty, s"binlog event at $p carries no row image")
-      img.keys.foreach(i => require(i >= 1 && i <= cols.length,
-        s"binlog event at $p names @$i beyond the ${cols.length}-column " +
-          "TABLE_MAP"))
-      val vals = cols.zipWithIndex.map { case ((n, t), i) =>
-        img.get(i + 1).map(parseValue(_, n, t)).orNull
+      if (op.isEmpty && where.isEmpty && set.isEmpty) {
+        // a positioned non-row event (Query/Xid/Rotate) — not row data;
+        // DDL statements are parseDdl's side of the dump
+        ()
+      } else {
+        val o = op.getOrElse(throw new IllegalArgumentException(
+          s"binlog event at $p has a position but no row-event block"))
+        val time = ts.getOrElse(throw new IllegalArgumentException(
+          s"binlog event at $p has no dated header"))
+        // the image that replicates: SET for inserts/updates (the after
+        // image), WHERE for deletes (the row being removed)
+        val img = if (o == "D") where else set
+        require(img.nonEmpty, s"binlog event at $p carries no row image")
+        img.keys.foreach(i => require(i >= 1 && i <= cols.length,
+          s"binlog event at $p names @$i beyond the ${cols.length}-column " +
+            "TABLE_MAP"))
+        val vals = cols.zipWithIndex.map { case ((n, t), i) =>
+          img.get(i + 1).map(parseValue(_, n, t)).orNull
+        }
+        out += Row.fromSeq(Seq(o, p, time) ++ vals)
       }
-      out += Row.fromSeq(Seq(o, p, time) ++ vals)
       pos = None; ts = None; op = None; section = ""
       where = Map.empty; set = Map.empty
     }

@@ -88,6 +88,38 @@ class BinlogTextSpec extends SparkTestBase {
       java.time.LocalDateTime.of(1992, 3, 16, 23, 59, 59))
   }
 
+  test("parseDdl extracts QueryEvent statements; row parse skips them; " +
+      "transaction punctuation never surfaces") {
+    val dir = tmp()
+    val ddlBlock = BinlogText.renderQuery(5L, 800000000L,
+      "ALTER TABLE orders RENAME COLUMN channel TO chan")
+    val txnNoise = BinlogText.renderQuery(6L, 800000001L, "BEGIN")
+    val rowEnv = envDf(Seq(("I", 7L, 800000002L, 1L, 10.0, "x")))
+    BinlogText.render(rowEnv, cols, s"$dir/binlog", files = 1)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/binlog/ddl.txt"),
+      s"$ddlBlock\n$txnNoise\n")
+    // the statement side: the DDL comes back verbatim at its position;
+    // BEGIN and the SET TIMESTAMP session line never surface
+    val ddl = BinlogText.parseDdl(spark, s"$dir/binlog")
+    assert(ddl == Seq(
+      5L -> "ALTER TABLE orders RENAME COLUMN channel TO chan"))
+    // the row side: query blocks are skipped, the row event decodes
+    val rows = BinlogText.parse(spark, s"$dir/binlog", cols).collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("I", 7L)))
+    // multi-line statements join; a second statement in one block
+    // (mysqlbinlog prints each in its own /*!*/; wrapper) splits out
+    val dir2 = tmp()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir2))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir2/f.txt"),
+      BinlogText.renderQuery(9L, 800000003L,
+        "ALTER TABLE orders\nADD COLUMN note VARCHAR(32)") + "\n")
+    assert(BinlogText.parseDdl(spark, dir2) == Seq(
+      9L -> "ALTER TABLE orders\nADD COLUMN note VARCHAR(32)"))
+  }
+
   test("malformed input and lossy renders refuse loudly") {
     def parseText(text: String): Unit = {
       val dir = tmp()
