@@ -192,7 +192,11 @@ object Replication {
     * [[streaming.DdlSql]] (unsupported statements refuse loudly, see
     * its dialect notes). Mutually exclusive with declaring those four
     * structurally: merging two sources of the same DDL silently is how
-    * a rename gets applied twice. Statement-level table renames
+    * a rename gets applied twice. `ddlTable` scopes the fold to this
+    * sync's table — pass it whenever the feed carries a topology's
+    * interleaved DDL (e.g. straight from `BinlogText.parseDdl`);
+    * without it every statement is treated as this table's, which is
+    * only right for a pre-filtered feed. Statement-level table renames
     * (`RENAME TABLE`) are NOT absorbed here — they rebind whole state
     * dirs, not columns; apply them via [[renameTables]] before the
     * pass, as the refusal message directs. */
@@ -214,7 +218,8 @@ object Replication {
       heartbeats: Boolean = false,
       strictBefore: Option[(String, String)] = None,
       conflictDlq: Option[String] = None,
-      ddlSql: Seq[(Long, String)] = Seq.empty)
+      ddlSql: Seq[(Long, String)] = Seq.empty,
+      ddlTable: Option[String] = None)
       : SyncProgress = {
     val (renames2, truncate2, defaults2, drops2) =
       if (ddlSql.isEmpty) (renameCols, truncateAtSeq, defaultCols, dropCols)
@@ -224,7 +229,12 @@ object Replication {
           "ddlSql and structured DDL arguments are mutually exclusive — " +
             "the fold would silently double-apply whichever verb both " +
             "declare; pass the gap's DDL one way")
-        val cfg = streaming.DdlSql.fold(ddlSql)
+        // a real binlog interleaves EVERY table's DDL: `ddlTable` scopes
+        // the fold to this sync's table (other tables' statements skip;
+        // in-scope unsupported ones still refuse). An unscoped fold is
+        // for pre-filtered feeds — a multi-table gap without the scope
+        // would fold a neighbor's rename onto THIS table's columns.
+        val cfg = streaming.DdlSql.fold(ddlSql, tableFilter = ddlTable)
         require(cfg.tableRenames.isEmpty,
           "ddlSql carries RENAME TABLE statement(s) " +
             cfg.tableRenames.map { case (a, b) => s"'$a'->'$b'" }
@@ -396,7 +406,13 @@ object Replication {
       // metadata, maintained by every trackSeq pass). Caught-up reads
       // 0 even when only heartbeats trail (a heartbeat resolves the
       // source's wall-clock); a held-back transaction tail reads as
-      // exactly its event-time gap. None before the first tracked pass.
+      // exactly its event-time gap. None means NO RESOLVED CLOCK YET —
+      // either no tracked pass ever ran, or every event seen so far is
+      // still held (a first pass that ingested only an uncommitted
+      // tail): MySQL's NULL Seconds_Behind_Master ambiguity. The
+      // disambiguator is pendingRows — a fresh dir reads 0 pending, a
+      // held-tail replica reads its tail size — so the operator's
+      // check is (secondsBehindSource, pendingRows) together.
       secondsBehindSource = {
         val (applied, seen) = StreamingOps.readLagMarks(stateDir)
         for (a <- applied; s2 <- seen)
@@ -557,28 +573,35 @@ object Replication {
   final case class GtidSetCodec(sourceUuid: String) extends PositionCodec {
     require(sourceUuid.trim.nonEmpty, "empty source UUID")
     override def toSeq(token: String): Long = {
-      val horizons = GtidSet.parse(token)
-      val mine = horizons.collect {
-        case (u, h) if u.equalsIgnoreCase(sourceUuid.trim) => h
+      val mine = GtidSet.parse(token).collect {
+        case (u, ranges) if u.equalsIgnoreCase(sourceUuid.trim) => ranges
       }
       require(mine.nonEmpty,
         s"GTID set '$token' carries no transactions from source " +
           s"'$sourceUuid' — wrong channel, or resume by seq instead")
-      mine.head
+      // gap-freedom is checked for THIS channel only: foreign parts of
+      // a multi-source set are another replica's business
+      GtidSet.horizon(sourceUuid.trim, mine.head, token)
     }
   }
 
-  /** Shared GTID-SET text parser: token → per-UUID gap-free horizon, in
-    * the set's declared order. Every refusal is a loud
-    * IllegalArgumentException naming the offending piece — a guessed
-    * position replays or skips history, so nothing escapes as a bare
+  /** Shared GTID-SET text parser: token → per-UUID sorted interval
+    * lists, in the set's declared order. SHAPE is validated globally
+    * (malformed bounds, inverted ranges, duplicate UUIDs — garbage is
+    * garbage whichever channel it names), but GAP-freedom is the
+    * CALLER's per-channel call via [[horizon]]: a multi-source set may
+    * legitimately carry gapped intervals for channels this replica
+    * does not map (parallel appliers, filtered co-sources), and
+    * refusing those would break resumes the single-channel codec
+    * always accepted. Every refusal is a loud IllegalArgumentException
+    * naming the offending piece — nothing escapes as a bare
     * NumberFormatException. */
   private[graft] object GtidSet {
     private def bound(iv: String, token: String, s: String): Long =
       s.trim.toLongOption.getOrElse(throw new IllegalArgumentException(
         s"malformed GTID interval '$iv' in '$token'"))
 
-    def parse(token: String): Seq[(String, Long)] = {
+    def parse(token: String): Seq[(String, Seq[(Long, Long)])] = {
       val parts = token.trim.split(',').map(_.trim).filter(_.nonEmpty)
       require(parts.nonEmpty, s"empty GTID set: '$token'")
       val byUuid = parts.map { p =>
@@ -593,25 +616,30 @@ object Replication {
             case _ => throw new IllegalArgumentException(
               s"malformed GTID interval '$iv' in '$token'")
           }
-        }.sortBy(_._1)
+        }.sortBy(_._1).toSeq
         ranges.foreach { case (a, b) => require(a >= 1 && b >= a,
           s"malformed GTID interval '$a-$b' in '$token'") }
-        // per-UUID the seq axis is total: the intervals must be gap-free
-        // from txn 1, or resuming at the max would skip the holes' history
-        val horizon = ranges.foldLeft(0L) { case (h, (a, b)) =>
-          require(a <= h + 1,
-            s"GTID set '$token' has a gap before txn $a of '$uuid' " +
-              s"(covered through $h) — this replica cannot stand at a " +
-              "gapped set; repair the source's executed set or resync")
-          math.max(h, b)
-        }
-        uuid -> horizon
+        uuid -> ranges
       }.toSeq
       val dups = byUuid.groupBy(_._1.toLowerCase).filter(_._2.length > 1)
       require(dups.isEmpty,
         s"GTID set '$token' names source(s) ${dups.keys.mkString(", ")} twice")
       byUuid
     }
+
+    /** A MAPPED channel's gap-free horizon: the intervals must cover
+      * 1..N with no hole, or resuming at the max would silently skip
+      * the holes' history — the corruption GTID auto-positioning
+      * exists to prevent. */
+    def horizon(uuid: String, ranges: Seq[(Long, Long)],
+        token: String): Long =
+      ranges.foldLeft(0L) { case (h, (a, b)) =>
+        require(a <= h + 1,
+          s"GTID set '$token' has a gap before txn $a of '$uuid' " +
+            s"(covered through $h) — this replica cannot stand at a " +
+            "gapped set; repair the source's executed set or resync")
+        math.max(h, b)
+      }
   }
 
   /** The MULTI-CHANNEL GTID dialect — resume-by-GTID across a PRIMARY
@@ -643,15 +671,18 @@ object Replication {
       channels.length, "channel chain names a UUID twice")
 
     override def toSeq(token: String): Long = {
-      val horizons = GtidSet.parse(token)
-        .map { case (u, h) => u.toLowerCase -> h }.toMap
+      val parsed = GtidSet.parse(token)
+        .map { case (u, r) => u.toLowerCase -> r }.toMap
       val chain = channels.map { case (u, n) => (u.trim.toLowerCase, n) }
-      horizons.keys.foreach { u =>
+      parsed.keys.foreach { u =>
         require(chain.exists(_._1 == u),
           s"GTID set '$token' names source '$u' outside this replica's " +
             s"channel chain (${chain.map(_._1).mkString(" -> ")}) — " +
             "wrong replica, or the chain declaration is stale")
       }
+      // every named channel is MAPPED here, so each must be gap-free
+      val horizons = parsed.map { case (u, r) =>
+        u -> GtidSet.horizon(u, r, token) }
       val anchorIdx = chain.lastIndexWhere { case (u, _) => horizons.contains(u) }
       require(anchorIdx >= 0,
         s"GTID set '$token' names no channel of this chain")
@@ -663,7 +694,17 @@ object Replication {
             (if (h < n) "the set is missing history below the failover"
              else "the set claims transactions past the channel's end"))
       }
-      chain.take(anchorIdx).map(_._2).sum + horizons(chain(anchorIdx)._1)
+      // the anchor itself must respect its retirement too: a RETIRED
+      // anchor covered past its count would decode onto seqs that
+      // belong to the NEXT channel's transactions (the active tail
+      // channel is open-ended by definition)
+      val (anchorUuid, anchorN) = chain(anchorIdx)
+      val anchorH = horizons(anchorUuid)
+      require(anchorIdx == chain.length - 1 || anchorH <= anchorN,
+        s"GTID set '$token' covers retired channel '$anchorUuid' " +
+          s"through $anchorH but the chain retired it at $anchorN — " +
+          "the set claims transactions past the channel's end")
+      chain.take(anchorIdx).map(_._2).sum + anchorH
     }
   }
 

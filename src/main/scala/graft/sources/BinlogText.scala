@@ -43,6 +43,22 @@ object BinlogText {
   private val HeaderTs =
     """^#(\d{6}) +(\d{1,2}):(\d{2}):(\d{2}) server id .*""".r
 
+  /** The two-digit-year header, refused outside the [[parseHeaderTs]]
+    * pivot window [1970, 2069] — a year the format cannot name would
+    * round-trip a century wrong, the same silent corruption class as a
+    * floored sub-second timestamp. */
+  private def headerDate(ldt: java.time.LocalDateTime,
+      what: String): String = {
+    require(ldt.getYear >= 1970 && ldt.getYear <= 2069,
+      s"two-digit binlog headers cannot represent year ${ldt.getYear} " +
+        s"($what) — the parse pivot maps 70..99 to 19xx and 00..69 to " +
+        "20xx, so the round-trip would land a century off; refuse " +
+        "instead")
+    f"#${ldt.getYear % 100}%02d${ldt.getMonthValue}%02d" +
+      f"${ldt.getDayOfMonth}%02d ${ldt.getHour}%2d:" +
+      f"${ldt.getMinute}%02d:${ldt.getSecond}%02d"
+  }
+
   /** Decode a directory of mysqlbinlog-style text files into the
     * envelope `(op, seq, ts, <cols…>)`. `cols` is the TABLE_MAP
     * analogue: the payload columns in `@i` position order with their
@@ -97,15 +113,27 @@ object BinlogText {
 
   // ── rendering ────────────────────────────────────────────────────
 
+  // newlines MUST escape: the parser is line-based, so a raw \n in a
+  // value would split the block mid-value — a render that succeeded
+  // but produced an unreadable dump (the lossy-render class this
+  // module refuses up front, like sub-second timestamps)
   private def esc(s: String): String =
     s.replace("\\", "\\\\").replace("'", "\\'")
+      .replace("\n", "\\n").replace("\r", "\\r")
 
   private def unesc(s: String): String = {
     val sb = new StringBuilder
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '\\' && i + 1 < s.length) { sb.append(s.charAt(i + 1)); i += 2 }
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n')
+          case 'r' => sb.append('\r')
+          case d => sb.append(d)
+        }
+        i += 2
+      }
       else { sb.append(c); i += 1 }
     }
     sb.result()
@@ -134,9 +162,7 @@ object BinlogText {
         "floor — refuse instead")
     val ldt = java.time.LocalDateTime.ofEpochSecond(
       tsUs / 1000000L, 0, java.time.ZoneOffset.UTC)
-    val hdr = f"#${ldt.getYear % 100}%02d${ldt.getMonthValue}%02d" +
-      f"${ldt.getDayOfMonth}%02d ${ldt.getHour}%2d:" +
-      f"${ldt.getMinute}%02d:${ldt.getSecond}%02d"
+    val hdr = headerDate(ldt, s"event at seq $seq")
     val verb = op match {
       case "I" => "Write_rows"
       case "U" => "Update_rows"
@@ -222,9 +248,7 @@ object BinlogText {
   def renderQuery(seq: Long, tsEpochSec: Long, sql: String): String = {
     val ldt = java.time.LocalDateTime.ofEpochSecond(
       tsEpochSec, 0, java.time.ZoneOffset.UTC)
-    val hdr = f"#${ldt.getYear % 100}%02d${ldt.getMonthValue}%02d" +
-      f"${ldt.getDayOfMonth}%02d ${ldt.getHour}%2d:" +
-      f"${ldt.getMinute}%02d:${ldt.getSecond}%02d"
+    val hdr = headerDate(ldt, s"query event at seq $seq")
     s"# at $seq\n$hdr server id 1  end_log_pos $seq CRC32 0x00000000 " +
       s"\tQuery\tthread_id=1\texec_time=0\terror_code=0\n" +
       s"SET TIMESTAMP=$tsEpochSec/*!*/;\n$sql\n/*!*/;"

@@ -61,6 +61,14 @@ object DdlSql {
       extends Statement { def table: String = renames.head._1 }
   /** Recognized verb with no envelope effect (secondary index DDL). */
   final case class Inert(table: String, clause: String) extends Statement
+  /** A table-level verb OUTSIDE the dialect (CREATE/DROP/OPTIMIZE/
+    * ANALYZE TABLE), parsed far enough to NAME its table: a scoped fold
+    * skips other tables' routine noise (every real binlog interleaves
+    * the whole topology's DDL), while an in-scope one still refuses
+    * loudly at fold — recreating or dropping the replicated table has
+    * no safe mapping. */
+  final case class Unsupported(table: String, verb: String)
+      extends Statement
 
   /** The structured configuration one resumed pass takes — the fold of
     * every QueryEvent in the gap between two passes. Feed the fields
@@ -217,9 +225,40 @@ object DdlSql {
       }
       if (c.more) fail(stripped, s"trailing tokens at ${show(c.peek)}")
       out.result()
+    } else if (kw(head, "CREATE") || kw(head, "DROP") ||
+      kw(head, "OPTIMIZE") || kw(head, "ANALYZE")) {
+      // table-level verbs outside the dialect: name the table so a
+      // scoped fold can skip topology noise; CREATE/DROP INDEX is the
+      // statement form of the inert index clause
+      val verb = head.toUpperCase
+      c.takeKw("TEMPORARY"); c.takeKw("NO_WRITE_TO_BINLOG"); c.takeKw("LOCAL")
+      if ((kw(head, "CREATE") || kw(head, "DROP")) && {
+        c.takeKw("UNIQUE"); c.takeKw("FULLTEXT"); c.takeKw("SPATIAL")
+        c.takeKw("INDEX")
+      }) {
+        c.ident("index name")
+        c.expectKw("ON")
+        val t = c.tableName()
+        c.i = c.toks.length // index column list / options — inert
+        Seq(Inert(t, s"$verb INDEX"))
+      } else if (c.takeKw("TABLE")) {
+        if (c.takeKw("IF")) { c.takeKw("NOT"); c.expectKw("EXISTS") }
+        val first = c.tableName()
+        val tables = Seq.newBuilder[String]
+        tables += first
+        // DROP/OPTIMIZE/ANALYZE accept a table list; CREATE's next
+        // token is its column list, never a second table
+        while (c.more && c.peek == "," && !kw(head, "CREATE")) {
+          c.i += 1; tables += c.tableName()
+        }
+        c.i = c.toks.length // definitions/options — fold decides scope
+        tables.result().map(t => Unsupported(t, s"$verb TABLE"))
+      } else fail(stripped,
+        s"unsupported statement verb '${show(head)} ${show(c.peek)}'")
     } else fail(stripped,
       s"unsupported statement verb '${show(head)}' (supported: ALTER " +
-        "TABLE, RENAME TABLE, TRUNCATE)")
+        "TABLE, RENAME TABLE, TRUNCATE; CREATE/DROP/OPTIMIZE/ANALYZE " +
+        "TABLE parse for scoping and refuse at fold when in scope)")
   }
 
   private val typeStop = Set("NOT", "NULL", "DEFAULT", "FIRST", "AFTER",
@@ -245,10 +284,22 @@ object DdlSql {
     }
     while (c.more && c.peek != "," && isIdentTok(c.peek) &&
       !typeStop.contains(identOf(c.peek).toUpperCase)) {
+      // a column-spec constraint word here is NOT a type attribute:
+      // `ADD c BIGINT PRIMARY KEY` (or the bare `KEY` shorthand)
+      // changes replication identity and must refuse, not be absorbed
+      val w = identOf(c.peek).toUpperCase
+      if (!c.peek.startsWith(" ") && columnConstraintKws.contains(w))
+        fail(sql, s"unsupported column constraint '$w' — key/constraint " +
+          "changes alter replication identity and have no safe mapping")
       sb.append(' ').append(c.ident("type attribute").toUpperCase)
     }
     sb.result()
   }
+
+  /** Constraint words that may trail a column spec and must refuse
+    * rather than ride along as type attributes. */
+  private val columnConstraintKws =
+    Set("PRIMARY", "KEY", "UNIQUE", "REFERENCES", "CHECK", "CONSTRAINT")
 
   /** DEFAULT literal → Spark-SQL expression text. Only literals the
     * engine can serve as a lazy backfill are accepted; expressions
@@ -429,6 +480,12 @@ object DdlSql {
         case RenameTable(pairs) =>
           cfg = cfg.copy(tableRenames = cfg.tableRenames ++ pairs)
         case Inert(_, _) => ()
+        case Unsupported(t, verb) =>
+          // reachable only in scope (the filter skipped foreign noise):
+          // recreating/dropping THE replicated table has no safe mapping
+          throw new IllegalArgumentException(
+            s"unsupported statement verb '$verb' for replicated table " +
+              s"'$t' at seq $seq — in: $sql")
       }
     }
     cfg

@@ -35,6 +35,9 @@ class BinlogTextSpec extends SparkTestBase {
       ("I", 1L, 800000000L, 1L, 10.5, "plain"),
       ("I", 2L, 800000001L, 2L, null, null), // explicit NULL payload
       ("U", 3L, 800000002L, 1L, -7.25, "it's a 'quote' \\ slash"),
+      // embedded newlines: the parser is line-based, so these MUST
+      // escape or the dump is unreadable (review finding r16)
+      ("I", 5L, 800000003L, 3L, 1.0, "line1\nline2\rtail"),
       ("D", 4L, 900000000L, 2L, null, null)))
     val dir = tmp()
     BinlogText.render(env, cols, s"$dir/binlog", files = 2)
@@ -160,5 +163,17 @@ class BinlogTextSpec extends SparkTestBase {
     val msg = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
       .map(_.getMessage).mkString(" | ")
     assert(msg.contains("second-granular"))
+    // a year the two-digit header cannot name refuses instead of
+    // round-tripping a century wrong (pivot window [1970, 2069])
+    val y2070 = envDf(Seq(("I", 1L, 3155760000L, 1L, 1.0, "x"))) // 2070-01-01
+    val ey = intercept[Throwable] {
+      BinlogText.render(y2070, cols, s"${tmp()}/binlog")
+    }
+    val msgY = Iterator.iterate(ey)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgY.contains("cannot represent year 2070"))
+    intercept[IllegalArgumentException] {
+      BinlogText.renderQuery(1L, 3155760000L, "ALTER TABLE t DROP COLUMN c")
+    }
   }
 }

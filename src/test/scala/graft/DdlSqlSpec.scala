@@ -78,15 +78,23 @@ class DdlSqlSpec extends AnyFunSuite {
       assert(e.getMessage.contains(naming),
         s"for <$sql>: ${e.getMessage}")
     }
-    // statements outside the dialect
-    refuses("CREATE TABLE t (a INT)", "unsupported statement verb")
-    refuses("DROP TABLE orders", "unsupported statement verb")
-    refuses("OPTIMIZE TABLE orders", "unsupported statement verb")
+    // statements entirely outside any table-level shape
+    refuses("GRANT ALL ON db.* TO 'u'@'%'", "unsupported statement verb")
+    refuses("FLUSH LOGS", "unsupported statement verb")
     // ALTER clauses the engine has no safe semantics for
     refuses("ALTER TABLE t ADD PRIMARY KEY (id)", "unsupported")
     refuses("ALTER TABLE t DROP PRIMARY KEY", "unsupported")
     refuses("ALTER TABLE t ADD CONSTRAINT fk FOREIGN KEY (a) " +
       "REFERENCES u (b)", "unsupported")
+    // a constraint word TRAILING a column type must refuse, never be
+    // absorbed as a type attribute (a key change alters replication
+    // identity — the silent-swallow class)
+    refuses("ALTER TABLE t ADD c BIGINT PRIMARY KEY",
+      "unsupported column constraint 'PRIMARY'")
+    refuses("ALTER TABLE t ADD c BIGINT KEY",
+      "unsupported column constraint 'KEY'")
+    refuses("ALTER TABLE t MODIFY id BIGINT UNIQUE",
+      "unsupported column constraint 'UNIQUE'")
     refuses("ALTER TABLE t PARTITION BY HASH(id)", "unsupported")
     refuses("ALTER TABLE t ALTER COLUMN c SET DEFAULT 5", "unsupported")
     // expression defaults are not frozen literals — refuse
@@ -100,9 +108,44 @@ class DdlSqlSpec extends AnyFunSuite {
     refuses("TRUNCATE TABLE a b", "trailing tokens")
     // every refusal carries the statement text for the operator's log
     val e = intercept[IllegalArgumentException] {
-      DdlSql.parse("DROP TABLE orders")
+      DdlSql.parse("ALTER TABLE t FROB x")
     }
-    assert(e.getMessage.contains("DROP TABLE orders"))
+    assert(e.getMessage.contains("ALTER TABLE t FROB x"))
+  }
+
+  test("table-level verbs outside the dialect parse for SCOPING: an " +
+      "in-scope one refuses at fold, a neighbor's is skipped noise") {
+    // a real binlog interleaves the whole topology's DDL — CREATE TABLE
+    // audit_log must not kill the orders sync, but CREATE/DROP of the
+    // REPLICATED table itself has no safe mapping
+    assert(DdlSql.parse("CREATE TABLE audit_log (id BIGINT, msg TEXT)") ==
+      Seq(Unsupported("audit_log", "CREATE TABLE")))
+    assert(DdlSql.parse("DROP TABLE IF EXISTS a, b") ==
+      Seq(Unsupported("a", "DROP TABLE"), Unsupported("b", "DROP TABLE")))
+    assert(DdlSql.parse("OPTIMIZE TABLE orders") ==
+      Seq(Unsupported("orders", "OPTIMIZE TABLE")))
+    // statement-form index DDL is the inert class, like the ALTER clause
+    assert(DdlSql.parse("CREATE UNIQUE INDEX idx ON orders (okey)") ==
+      Seq(Inert("orders", "CREATE INDEX")))
+    assert(DdlSql.parse("DROP INDEX idx ON orders") ==
+      Seq(Inert("orders", "DROP INDEX")))
+    // scoped fold: the neighbor's CREATE skips, the real DDL lands
+    val scoped = DdlSql.fold(Seq(
+      1L -> "CREATE TABLE audit_log (id BIGINT)",
+      2L -> "ALTER TABLE orders DROP COLUMN extra"),
+      tableFilter = Some("orders"))
+    assert(scoped.dropCols == Map("extra" -> 2L))
+    // in scope (or unscoped), the verb refuses loudly by name
+    val e1 = intercept[IllegalArgumentException] {
+      DdlSql.fold(Seq(1L -> "DROP TABLE orders"),
+        tableFilter = Some("orders"))
+    }
+    assert(e1.getMessage.contains("'DROP TABLE' for replicated table " +
+      "'orders'"))
+    val e2 = intercept[IllegalArgumentException] {
+      DdlSql.fold(Seq(1L -> "CREATE TABLE t (a INT)"))
+    }
+    assert(e2.getMessage.contains("CREATE TABLE"))
   }
 
   test("fold composes a DDL gap into one pass's structured config") {

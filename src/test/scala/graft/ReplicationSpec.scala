@@ -469,6 +469,11 @@ class ReplicationSpec extends SparkTestBase {
       codec.toSeq("otheruuid-0000-0000-0000-000000000000:1-9")
     }
     assert(foreign.getMessage.contains(uuid))
+    // a FOREIGN channel's gaps are another replica's business: only the
+    // declared source's intervals must be gap-free (a multi-source set
+    // legitimately carries holes for channels this codec never maps)
+    assert(codec.toSeq(
+      s"otheruuid-0000-0000-0000-000000000000:3-9,$uuid:1-5") == 5L)
     // end to end: resume-by-GTID == resume-by-seq on a real pass
     val log = Tables.cdcLog(spark, sf)
     def replay(from: Option[Long], gtid: Option[String]): Set[Seq[Any]] = {
@@ -509,6 +514,15 @@ class ReplicationSpec extends SparkTestBase {
         .toSeq(s"$a:1-2,$b:1")
     }
     assert(over.getMessage.contains("past the channel's end"))
+    // …including when the overshooting RETIRED channel is itself the
+    // anchor (no later channel named): A:1-2 would decode onto seq 2,
+    // which the chain says belongs to B's first transaction
+    val overAnchor = intercept[IllegalArgumentException] {
+      codec.toSeq(s"$a:1-2")
+    }
+    assert(overAnchor.getMessage.contains("past the channel's end"))
+    // the ACTIVE tail channel is open-ended: any horizon decodes
+    assert(codec.toSeq(s"$a:1,$b:1-40") == 41L)
     // a UUID outside the chain refuses by name
     val unk = intercept[IllegalArgumentException] {
       codec.toSeq(s"cccccccc-0000-0000-0000-000000000003:1")

@@ -175,6 +175,14 @@ def main():
         if bounds is None:
             print("  WARN bench_full.json carries no bounds block "
                   "(pre-r16 artifact?) — rerun the full bench")
+        elif not bounds:
+            # the key exists but holds {}: Bench RAN and its bounds
+            # computation crashed (caught best-effort) — the evidence
+            # the block exists to carry is absent, which is a red row,
+            # not a warning
+            fails.append(("bounds", "block empty — Bench's bounds "
+                          "computation failed (see BENCH BOUNDS FAIL "
+                          "on its stderr); rerun the full bench"))
         else:
             for name in sorted(bounds):
                 b = bounds[name]
