@@ -985,6 +985,85 @@ class ReplicationSpec extends SparkTestBase {
     assert(rt.getMessage.contains("renameTables"))
   }
 
+  test("ddlSql gap fold == applying the statements one pass each " +
+      "(rename chain; gap-born add+rename)") {
+    import graft.streaming.StreamingOps
+    val log = Tables.cdcLog(spark, sf).filter(col("okey") <= 2000)
+    def withCol(seqSel: Long => Boolean, name: String, tag: String) = {
+      val base = if (seqSel(1L)) log.filter(col("seq") === 1)
+        else log.filter(col("seq") >= 2)
+      base.withColumn(name,
+        when(col("op") === "D", lit(null).cast("string"))
+          .otherwise(concat(lit(tag), (col("okey") % 3).cast("string"))))
+    }
+    def served(dir: String): (Set[String], Set[Seq[Any]]) = {
+      val df = Replication.appliedState(spark, s"$dir/state")
+      (df.columns.toSet, df.collect().map(_.toSeq).toSet)
+    }
+    // rename CHAIN a→b→c inside one gap: the fold collapses to a→c;
+    // the sequential reference renames one pass at a time (a no-row
+    // pass still settles DDL metadata before streaming)
+    val v1 = withCol(_ == 1L, "a", "old")
+    val v2 = withCol(_ != 1L, "c", "new")
+    val one = tmp()
+    StreamingOps.writeWave(v1, s"$one/in", 0)
+    Replication.incrementalSync(spark, v1.schema, s"$one/in",
+      s"$one/ckpt", s"$one/state")
+    StreamingOps.writeWave(v2, s"$one/in", 1)
+    Replication.incrementalSync(spark, v2.schema, s"$one/in",
+      s"$one/ckpt", s"$one/state",
+      ddlSql = Seq(1L -> "ALTER TABLE orders RENAME COLUMN a TO b",
+        1L -> "ALTER TABLE orders RENAME COLUMN b TO c"),
+      ddlTable = Some("orders"))
+    val many = tmp()
+    val v1mid = withCol(_ == 1L, "b", "old") // the intermediate envelope
+    StreamingOps.writeWave(v1, s"$many/in", 0)
+    Replication.incrementalSync(spark, v1.schema, s"$many/in",
+      s"$many/ckpt", s"$many/state")
+    Replication.incrementalSync(spark, v1mid.schema, s"$many/in",
+      s"$many/ckpt", s"$many/state", renameCols = Map("a" -> "b"))
+    StreamingOps.writeWave(v2, s"$many/in", 1)
+    Replication.incrementalSync(spark, v2.schema, s"$many/in",
+      s"$many/ckpt", s"$many/state", renameCols = Map("b" -> "c"))
+    assert(served(one) == served(many),
+      "folded rename chain diverged from the sequential replay")
+    // gap-born ADD…DEFAULT then RENAME: the fold re-keys the default
+    // onto the final name (no state-side rename — the state never saw
+    // the birth name); sequential adds then renames
+    val w2add = withCol(_ != 1L, "memo", "m")
+    val oneB = tmp()
+    StreamingOps.writeWave(log.filter(col("seq") === 1), s"$oneB/in", 0)
+    Replication.incrementalSync(spark,
+      log.filter(col("seq") === 1).schema, s"$oneB/in",
+      s"$oneB/ckpt", s"$oneB/state")
+    StreamingOps.writeWave(w2add, s"$oneB/in", 1)
+    Replication.incrementalSync(spark, w2add.schema, s"$oneB/in",
+      s"$oneB/ckpt", s"$oneB/state",
+      ddlSql = Seq(
+        1L -> "ALTER TABLE orders ADD COLUMN note VARCHAR(8) DEFAULT 'x'",
+        1L -> "ALTER TABLE orders RENAME COLUMN note TO memo"),
+      ddlTable = Some("orders"))
+    val manyB = tmp()
+    val w2noteSchema = withCol(_ != 1L, "note", "m").schema
+    StreamingOps.writeWave(log.filter(col("seq") === 1), s"$manyB/in", 0)
+    Replication.incrementalSync(spark,
+      log.filter(col("seq") === 1).schema, s"$manyB/in",
+      s"$manyB/ckpt", s"$manyB/state")
+    Replication.incrementalSync(spark, w2noteSchema, s"$manyB/in",
+      s"$manyB/ckpt", s"$manyB/state",
+      defaultCols = Map("note" ->
+        graft.streaming.StreamingOps.ColumnDefault(1L, "'x'")))
+    StreamingOps.writeWave(w2add, s"$manyB/in", 1)
+    Replication.incrementalSync(spark, w2add.schema, s"$manyB/in",
+      s"$manyB/ckpt", s"$manyB/state", renameCols = Map("note" -> "memo"))
+    assert(served(oneB) == served(manyB),
+      "folded add+rename diverged from the sequential replay")
+    // the backfill really happened: a pre-DDL-only key serves 'x'
+    val preOnly = Replication.appliedState(spark, s"$oneB/state")
+      .filter(col("okey") % 3 =!= 0 && col("okey") % 7 =!= 0)
+    assert(preOnly.filter(col("memo") =!= "x").count() == 0)
+  }
+
   test("secondsBehindSource: a held transaction tail reads as its " +
       "event-time gap; a caught-up replica with trailing heartbeats reads 0") {
     // txnDf stamps ts = base + seq seconds, so seq gaps ARE second gaps
