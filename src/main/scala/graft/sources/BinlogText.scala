@@ -102,10 +102,14 @@ object BinlogText {
   private def validateCols(cols: Seq[(String, DataType)]): Unit = {
     require(cols.nonEmpty, "empty TABLE_MAP column list")
     cols.foreach { case (n, t) =>
-      require(Seq(LongType, IntegerType, DoubleType, StringType)
-        .contains(t),
+      val ok = t match {
+        case LongType | IntegerType | DoubleType | StringType => true
+        case _: DecimalType => true // MySQL's money type, printed plain
+        case _ => false
+      }
+      require(ok,
         s"unsupported binlog-text column type for '$n': $t — the " +
-          "fixture dialect decodes integers, doubles, and strings")
+          "dialect decodes integers, doubles, decimals, and strings")
       require(!Seq("op", "seq", "ts").contains(n),
         s"payload column '$n' collides with envelope bookkeeping")
     }
@@ -147,6 +151,10 @@ object BinlogText {
       case DoubleType =>
         // shortest round-trip repr + the meta comment mysqlbinlog prints
         s"${r.getDouble(i)} /* DOUBLE meta=8 nullable=1 is_null=0 */"
+      case d: DecimalType =>
+        s"${r.getDecimal(i).toPlainString} /* DECIMAL(${d.precision}," +
+          s"${d.scale}) meta=${d.precision * 256 + d.scale} nullable=1 " +
+          "is_null=0 */"
       case StringType => s"'${esc(r.getString(i))}'"
       case other => throw new IllegalArgumentException(
         s"unsupported render type $other") // validateCols precludes this
@@ -270,6 +278,13 @@ object BinlogText {
         badValue(name, v))
       case IntegerType => v.toIntOption.getOrElse(badValue(name, v))
       case DoubleType => v.toDoubleOption.getOrElse(badValue(name, v))
+      case d: DecimalType =>
+        try {
+          val bd = new java.math.BigDecimal(v).setScale(d.scale)
+          require(bd.precision <= d.precision)
+          org.apache.spark.sql.types.Decimal(bd, d.precision, d.scale)
+            .toJavaBigDecimal
+        } catch { case _: Exception => badValue(name, v) }
       case StringType =>
         if (v.length >= 2 && v.startsWith("'") && v.endsWith("'"))
           unesc(v.substring(1, v.length - 1))

@@ -91,6 +91,47 @@ class BinlogTextSpec extends SparkTestBase {
       java.time.LocalDateTime.of(1992, 3, 16, 23, 59, 59))
   }
 
+  test("DECIMAL payloads round-trip exactly — the money type, scale " +
+      "preserved, never through a double") {
+    val dcols: Seq[(String, DataType)] = Seq(
+      "okey" -> LongType, "amount" -> DecimalType(12, 2))
+    val schema = StructType(Seq(
+      StructField("op", StringType), StructField("seq", LongType),
+      StructField("okey", LongType),
+      StructField("amount", DecimalType(12, 2))))
+    val env = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row("I", 1L, 1L, new java.math.BigDecimal("1234567890.05")),
+        Row("I", 2L, 2L, new java.math.BigDecimal("-0.10")),
+        Row("I", 3L, 3L, null)), schema)
+      .withColumn("ts", timestamp_seconds(lit(800000000L) + col("seq"))
+        .cast(TimestampNTZType))
+      .select("op", "seq", "ts", "okey", "amount")
+    val dir = tmp()
+    BinlogText.render(env, dcols, s"$dir/binlog", files = 1)
+    val back = BinlogText.parse(spark, s"$dir/binlog", dcols)
+    assert(back.schema("amount").dataType == DecimalType(12, 2))
+    assert(back.select("okey", "amount").collect()
+      .map(r => r.getLong(0) -> Option(r.getDecimal(1)).map(_.toPlainString))
+      .toSet == Set(1L -> Some("1234567890.05"), 2L -> Some("-0.10"),
+        3L -> None))
+    // a value exceeding the declared precision refuses, never truncates
+    val tooBig = tmp()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tooBig))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tooBig/f.txt"),
+      "# at 1\n#920315  0:00:00 server id 1  end_log_pos 1 CRC32 " +
+        "0x00000000 \tWrite_rows: table id 108 flags: STMT_END_F\n" +
+        "### INSERT INTO `db`.`t`\n### SET\n###   @1=1\n" +
+        "###   @2=123456789012345.00\n")
+    val e = intercept[Throwable] {
+      BinlogText.parse(spark, tooBig, dcols).collect()
+    }
+    val msg = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msg.contains("malformed binlog value for column 'amount'"))
+  }
+
   test("parseDdl extracts QueryEvent statements; row parse skips them; " +
       "transaction punctuation never surfaces") {
     val dir = tmp()
