@@ -271,26 +271,32 @@ object Bench {
         name -> repRuns.map(_.toMap.apply(name)).min
       }
     }
-    // a FULL discarded warmup round (seed + both probe bodies, untimed)
-    // before the timed reps: min-of-3 alone still billed first-touch
-    // init to the 1× pass in a cold driver (r15 verdict: exact probe
-    // 1× 0.496 s > 10× 0.468 s — the comparison the artifact exists to
-    // make, inverted by JIT). The warmup pays two extra index seeds
-    // once; the timed reps then all measure steady-state probe cost.
-    val indexReads: Seq[(String, Double)] = if (filt.nonEmpty) Seq.empty
-    else try { indexReadsAt(1, reps = 1); indexReadsAt(1) } catch {
-      case e: Throwable =>
-        System.err.println(
-          s"BENCH INDEX-READ FAIL: ${e.getClass.getName}: ${e.getMessage}")
-        Seq.empty
-    }
-    val indexReads10x: Seq[(String, Double)] = if (filt.nonEmpty) Seq.empty
-    else try indexReadsAt(10) catch {
-      case e: Throwable =>
-        System.err.println(
-          s"BENCH INDEX-READ-10X FAIL: ${e.getClass.getName}: ${e.getMessage}")
-        Seq.empty
-    }
+    // INTERLEAVED measurement: one discarded warmup rep (seed + both
+    // probe bodies), then three rounds each timing a fresh 1× rep AND a
+    // fresh 10× rep back to back, min per (factor, probe) across
+    // rounds. Sequential blocks (all 1× reps, then all 10×) kept
+    // billing residual JIT/first-touch warmth asymmetrically — the 10×
+    // block always ran warmer, inverting the very comparison this
+    // section exists to make (r15 verdict; recurred at smaller
+    // magnitude with a lone warmup). Interleaving gives both factors
+    // the same thermal history in every round.
+    val (indexReads: Seq[(String, Double)],
+        indexReads10x: Seq[(String, Double)]) =
+      if (filt.nonEmpty) (Seq.empty, Seq.empty)
+      else try {
+        indexReadsAt(1, reps = 1) // discarded: absorbs cold-JVM init
+        val rounds = (0 until 3).map { _ =>
+          (indexReadsAt(1, reps = 1), indexReadsAt(10, reps = 1))
+        }
+        def mins(xs: Seq[Seq[(String, Double)]]): Seq[(String, Double)] =
+          xs.head.map(_._1).map { n => n -> xs.map(_.toMap.apply(n)).min }
+        (mins(rounds.map(_._1)), mins(rounds.map(_._2)))
+      } catch {
+        case e: Throwable =>
+          System.err.println(
+            s"BENCH INDEX-READ FAIL: ${e.getClass.getName}: ${e.getMessage}")
+          (Seq.empty, Seq.empty)
+      }
     // SKETCH ERROR BOUNDS, proved per round in the artifact: the three
     // approximate operators are non-oracle by design (sketch estimates
     // aren't SQL-reproducible bit-for-bit), so their correctness story

@@ -62,21 +62,37 @@ object BinlogText {
   /** Decode a directory of mysqlbinlog-style text files into the
     * envelope `(op, seq, ts, <cols…>)`. `cols` is the TABLE_MAP
     * analogue: the payload columns in `@i` position order with their
-    * engine types (Long/Int/Double/String supported — the fixture
+    * engine types (Long/Int/Double/Decimal/String supported — the
     * dialect; anything else refuses loudly). Distributed per FILE:
-    * each binlog rotation decodes on its own task. */
+    * each binlog rotation decodes on its own task.
+    *
+    * `beforeCols` additionally surfaces the WHERE image — the BEFORE
+    * image a `binlog_row_image=FULL` dump carries for updates and
+    * deletes — as `before_<col>` columns (NULL on inserts), exactly the
+    * shape [[graft.streaming.StreamingOps.runCdcPass]]'s `strictBefore`
+    * gate consumes: the strict slave-exec discipline straight from the
+    * dump text, no connector in between. */
   def parse(spark: SparkSession, dir: String,
-      cols: Seq[(String, DataType)]): DataFrame = {
+      cols: Seq[(String, DataType)],
+      beforeCols: Seq[String] = Nil): DataFrame = {
     validateCols(cols)
+    beforeCols.foreach(b => require(cols.exists(_._1 == b),
+      s"before-image column '$b' absent from the TABLE_MAP list"))
     val schema = StructType(
       Seq(StructField("op", StringType, nullable = false),
         StructField("seq", LongType, nullable = false),
         StructField("ts", TimestampNTZType, nullable = false)) ++
-        cols.map { case (n, t) => StructField(n, t, nullable = true) })
+        cols.map { case (n, t) => StructField(n, t, nullable = true) } ++
+        beforeCols.map { b =>
+          StructField(s"before_$b", cols.find(_._1 == b).get._2,
+            nullable = true)
+        })
     val colsB = cols // stable capture for the task closure
+    val beforeB = beforeCols
     val files = spark.read.option("wholetext", "true").text(dir)
     files.select(col("value")).flatMap(
-      r => parseFile(r.getString(0), colsB))(RowEncoder.encoderFor(schema))
+      r => parseFile(r.getString(0), colsB, beforeB))(
+      RowEncoder.encoderFor(schema))
       .toDF()
   }
 
@@ -321,7 +337,8 @@ object BinlogText {
     * its text — a silently skipped row event is a silently diverged
     * replica. */
   private def parseFile(text: String,
-      cols: Seq[(String, DataType)]): Iterator[Row] = {
+      cols: Seq[(String, DataType)],
+      beforeCols: Seq[String] = Nil): Iterator[Row] = {
     val out = Vector.newBuilder[Row]
     var pos = Option.empty[Long]
     var ts = Option.empty[java.time.LocalDateTime]
@@ -350,7 +367,14 @@ object BinlogText {
         val vals = cols.zipWithIndex.map { case ((n, t), i) =>
           img.get(i + 1).map(parseValue(_, n, t)).orNull
         }
-        out += Row.fromSeq(Seq(o, p, time) ++ vals)
+        // the WHERE image IS the before image (FULL row images); an
+        // insert has none by definition
+        val befores = beforeCols.map { b =>
+          val i = cols.indexWhere(_._1 == b)
+          if (o == "I") null
+          else where.get(i + 1).map(parseValue(_, b, cols(i)._2)).orNull
+        }
+        out += Row.fromSeq(Seq(o, p, time) ++ vals ++ befores)
       }
       pos = None; ts = None; op = None; section = ""
       where = Map.empty; set = Map.empty

@@ -219,7 +219,7 @@ object DdlSql {
       val out = Seq.newBuilder[Statement]
       var go = true
       while (go) {
-        out += parseAlterClause(c, table, stripped)
+        out ++= parseAlterClause(c, table, stripped)
         go = c.more && c.peek == ","
         if (go) c.i += 1
       }
@@ -362,50 +362,69 @@ object DdlSql {
   }
 
   private def parseAlterClause(c: Cur, table: String,
-      sql: String): Statement = {
+      sql: String): Seq[Statement] = {
     if (c.takeKw("ADD")) {
-      if (c.more && !c.peek.startsWith(" S") &&
-        indexKws.contains(identOf(c.peek).toUpperCase)) {
-        skipClause(c); Inert(table, "ADD INDEX")
+      // only a BARE keyword opens an index clause: a backticked ident
+      // that happens to spell INDEX is a column named INDEX
+      if (c.more && !c.peek.startsWith(" ") &&
+        indexKws.contains(c.peek.toUpperCase)) {
+        skipClause(c); Seq(Inert(table, "ADD INDEX"))
       } else {
         refuseClauseKw(c, sql, "ADD")
         c.takeKw("COLUMN")
-        val col = c.ident("column name")
-        val tpe = parseType(c, sql)
-        AddColumn(table, col, tpe, parseColumnTail(c, sql))
+        if (c.more && c.peek == "(") {
+          // MySQL's parenthesized multi-add:
+          // ADD COLUMN (a INT, b VARCHAR(8) DEFAULT 'x')
+          c.i += 1
+          val adds = Seq.newBuilder[Statement]
+          var go = true
+          while (go) {
+            val col = c.ident("column name")
+            val tpe = parseType(c, sql)
+            adds += AddColumn(table, col, tpe, parseColumnTail(c, sql))
+            if (c.more && c.peek == ",") c.i += 1 else go = false
+          }
+          if (!c.more || c.next() != ")")
+            fail(sql, "expected ) closing the ADD column list")
+          adds.result()
+        } else {
+          val col = c.ident("column name")
+          val tpe = parseType(c, sql)
+          Seq(AddColumn(table, col, tpe, parseColumnTail(c, sql)))
+        }
       }
     } else if (c.takeKw("DROP")) {
       if (c.more && !c.peek.startsWith(" ") &&
         indexKws.contains(c.peek.toUpperCase)) {
-        skipClause(c); Inert(table, "DROP INDEX")
+        skipClause(c); Seq(Inert(table, "DROP INDEX"))
       } else {
         refuseClauseKw(c, sql, "DROP")
         c.takeKw("COLUMN")
-        DropColumn(table, c.ident("column name"))
+        Seq(DropColumn(table, c.ident("column name")))
       }
     } else if (c.takeKw("RENAME")) {
       if (c.takeKw("COLUMN")) {
         val from = c.ident("column name")
         c.expectKw("TO")
-        RenameColumn(table, from, c.ident("column name"))
+        Seq(RenameColumn(table, from, c.ident("column name")))
       } else {
         c.takeKw("TO"); c.takeKw("AS")
-        RenameTable(Seq(table -> c.tableName()))
+        Seq(RenameTable(Seq(table -> c.tableName())))
       }
     } else if (c.takeKw("MODIFY")) {
       c.takeKw("COLUMN")
       val col = c.ident("column name")
       val tpe = parseType(c, sql)
       parseColumnTail(c, sql)
-      ModifyColumn(table, col, tpe)
+      Seq(ModifyColumn(table, col, tpe))
     } else if (c.takeKw("CHANGE")) {
       c.takeKw("COLUMN")
       val from = c.ident("column name")
       val to = c.ident("column name")
       val tpe = parseType(c, sql)
       parseColumnTail(c, sql)
-      if (from.equalsIgnoreCase(to)) ModifyColumn(table, to, tpe)
-      else RenameColumn(table, from, to)
+      if (from.equalsIgnoreCase(to)) Seq(ModifyColumn(table, to, tpe))
+      else Seq(RenameColumn(table, from, to))
     } else fail(sql,
       s"unsupported ALTER TABLE clause at ${show(c.peek)} (supported: " +
         "ADD/DROP/MODIFY/CHANGE/RENAME COLUMN, RENAME TO, index verbs)")

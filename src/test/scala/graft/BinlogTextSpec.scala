@@ -164,6 +164,65 @@ class BinlogTextSpec extends SparkTestBase {
       9L -> "ALTER TABLE orders\nADD COLUMN note VARCHAR(32)"))
   }
 
+  test("beforeCols surfaces the WHERE image, feeding the strict " +
+      "before-image gate straight from the dump text") {
+    import graft.streaming.StreamingOps
+    val dir = tmp()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    def hdr(seq: Long, verb: String) =
+      s"# at $seq\n#920315  0:00:00 server id 1  end_log_pos $seq " +
+        s"CRC32 0x00000000 \t$verb: table id 108 flags: STMT_END_F"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/f.txt"),
+      s"""${hdr(1, "Write_rows")}
+         |### INSERT INTO `db`.`orders`
+         |### SET
+         |###   @1=1
+         |###   @2=10.0
+         |###   @3='a'
+         |${hdr(2, "Update_rows")}
+         |### UPDATE `db`.`orders`
+         |### WHERE
+         |###   @1=1
+         |###   @2=10.0
+         |###   @3='a'
+         |### SET
+         |###   @1=1
+         |###   @2=20.0
+         |###   @3='b'
+         |${hdr(3, "Update_rows")}
+         |### UPDATE `db`.`orders`
+         |### WHERE
+         |###   @1=1
+         |###   @2=99.0
+         |###   @3='b'
+         |### SET
+         |###   @1=1
+         |###   @2=30.0
+         |###   @3='c'
+         |""".stripMargin)
+    val env = BinlogText.parse(spark, dir, cols, beforeCols = Seq("price"))
+    assert(env.schema.fieldNames.contains("before_price"))
+    // inserts carry no before image; updates carry the WHERE value
+    val bySeq = env.collect().map(r => r.getLong(1) -> r).toMap
+    assert(bySeq(1L).isNullAt(bySeq(1L).fieldIndex("before_price")))
+    assert(bySeq(2L).getDouble(bySeq(2L).fieldIndex("before_price")) == 10.0)
+    assert(bySeq(3L).getDouble(bySeq(3L).fieldIndex("before_price")) == 99.0)
+    // end to end: the truthful update applies, the lying one (declared
+    // before 99.0 vs the actually-served 20.0) quarantines to the DLQ
+    val base = tmp()
+    StreamingOps.writeWave(env, s"$base/in", 0)
+    StreamingOps.runCdcPass(spark, env.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state",
+      strictBefore = Some(("price", "before_price")),
+      conflictDlq = Some(s"$base/dlq"))
+    val served = StreamingOps.readLatestState(spark, s"$base/state")
+      .select("okey", "price").collect()
+    assert(served.map(r => r.getLong(0) -> r.getDouble(1)).toSeq ==
+      Seq(1L -> 20.0))
+    assert(spark.read.parquet(s"$base/dlq").count() == 1)
+  }
+
   test("malformed input and lossy renders refuse loudly") {
     def parseText(text: String): Unit = {
       val dir = tmp()

@@ -70,6 +70,17 @@ class DdlSqlSpec extends AnyFunSuite {
     // type attributes ride with the type
     assert(DdlSql.parse("ALTER TABLE t MODIFY c BIGINT UNSIGNED") ==
       Seq(ModifyColumn("t", "c", "BIGINT UNSIGNED")))
+    // MySQL's parenthesized multi-add yields one AddColumn per spec
+    assert(DdlSql.parse(
+      "ALTER TABLE t ADD COLUMN (a INT, b VARCHAR(8) DEFAULT 'x')") ==
+      Seq(AddColumn("t", "a", "INT", None),
+        AddColumn("t", "b", "VARCHAR(8)", Some("'x'"))))
+    // a backticked column spelling INDEX is a column in ADD too
+    assert(DdlSql.parse("ALTER TABLE t ADD `index` INT") ==
+      Seq(AddColumn("t", "index", "INT", None)))
+    intercept[IllegalArgumentException] {
+      DdlSql.parse("ALTER TABLE t ADD COLUMN (a INT, b INT")
+    }
   }
 
   test("unparseable and unsupported statements refuse loudly by name") {
