@@ -223,6 +223,57 @@ class BinlogTextSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$base/dlq").count() == 1)
   }
 
+  test("PROPERTY: random envelopes round-trip render→parse identically " +
+      "(hostile strings, NULLs, decimals)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val pcols: Seq[(String, DataType)] = Seq(
+      "okey" -> LongType, "price" -> DoubleType,
+      "amount" -> DecimalType(10, 2), "status" -> StringType)
+    // strings draw from the characters that break naive escaping:
+    // quotes, backslashes, newlines, the marker text itself
+    val hostile = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('\'', '\\', '\n', '\r', ' ', '@', '#',
+        '=', ','))).map(_.mkString)
+    val genRow: Gen[(String, Long, Long, Any, Any, Any, Any)] = for {
+      op <- Gen.oneOf("I", "U", "D")
+      seq <- Gen.choose(1L, 100000L)
+      sec <- Gen.choose(0L, 3155759999L) // within the header pivot window
+      k <- Gen.choose(0L, 50L)
+      price <- Gen.option(Gen.choose(-1e6, 1e6))
+      amt <- Gen.option(Gen.choose(-99999999L, 99999999L)
+        .map(c => new java.math.BigDecimal(java.math.BigInteger.valueOf(c), 2)))
+      st <- Gen.option(hostile)
+    } yield (op, seq, sec, k, price.map(Double.box).orNull,
+      amt.orNull, st.orNull)
+    val genLog = Gen.choose(1, 30).flatMap(n => Gen.listOfN(n, genRow))
+    (0 until 8).foreach { i =>
+      val rows = genLog.apply(Gen.Parameters.default, Seed(900L + i)).get
+      val schema = StructType(Seq(
+        StructField("op", StringType), StructField("seq", LongType),
+        StructField("sec", LongType), StructField("okey", LongType),
+        StructField("price", DoubleType),
+        StructField("amount", DecimalType(10, 2)),
+        StructField("status", StringType)))
+      val env = spark.createDataFrame(
+        java.util.Arrays.asList(rows.map(r =>
+          Row(r._1, r._2, r._3, r._4, r._5, r._6, r._7)): _*), schema)
+        .withColumn("ts", timestamp_seconds(col("sec"))
+          .cast(TimestampNTZType))
+        .select("op", "seq", "ts", "okey", "price", "amount", "status")
+      val dir = tmp()
+      BinlogText.render(env, pcols, s"$dir/binlog", files = 3)
+      val back = BinlogText.parse(spark, s"$dir/binlog", pcols)
+      val a = env.collect().map(_.toSeq).toSeq
+        .map(_.map(v => Option(v).map(_.toString).orNull)).sorted(
+          Ordering.by((s: Seq[String]) => s.mkString(" ")))
+      val b = back.collect().map(_.toSeq).toSeq
+        .map(_.map(v => Option(v).map(_.toString).orNull)).sorted(
+          Ordering.by((s: Seq[String]) => s.mkString(" ")))
+      assert(a == b, s"sample $i diverged")
+    }
+  }
+
   test("malformed input and lossy renders refuse loudly") {
     def parseText(text: String): Unit = {
       val dir = tmp()
