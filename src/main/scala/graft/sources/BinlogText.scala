@@ -71,13 +71,30 @@ object BinlogText {
     * deletes — as `before_<col>` columns (NULL on inserts), exactly the
     * shape [[graft.streaming.StreamingOps.runCdcPass]]'s `strictBefore`
     * gate consumes: the strict slave-exec discipline straight from the
-    * dump text, no connector in between. */
+    * dump text, no connector in between.
+    *
+    * `changedCol` names a columns-present list to surface: under
+    * `binlog_row_image=MINIMAL` an UPDATE's SET block carries ONLY the
+    * changed columns, and the named array column lists exactly which
+    * `@i` positions appeared (NULL for inserts/deletes — full images by
+    * definition) — the shape `runCdcPass(partialImageCol = …)`'s
+    * completion-at-apply consumes, so a MINIMAL dump replays correctly
+    * with no connector in between either. */
   def parse(spark: SparkSession, dir: String,
       cols: Seq[(String, DataType)],
-      beforeCols: Seq[String] = Nil): DataFrame = {
+      beforeCols: Seq[String] = Nil,
+      changedCol: Option[String] = None): DataFrame = {
     validateCols(cols)
     beforeCols.foreach(b => require(cols.exists(_._1 == b),
       s"before-image column '$b' absent from the TABLE_MAP list"))
+    changedCol.foreach { cc =>
+      require(!cols.exists(_._1 == cc) && !Seq("op", "seq", "ts").contains(cc),
+        s"changed-list column '$cc' collides with an envelope column")
+      require(beforeCols.isEmpty,
+        "beforeCols and changedCol are mutually exclusive — MINIMAL row " +
+          "images carry no before images by definition (the same rule " +
+          "as runCdcPass's strictBefore vs partialImageCol)")
+    }
     val schema = StructType(
       Seq(StructField("op", StringType, nullable = false),
         StructField("seq", LongType, nullable = false),
@@ -86,12 +103,15 @@ object BinlogText {
         beforeCols.map { b =>
           StructField(s"before_$b", cols.find(_._1 == b).get._2,
             nullable = true)
-        })
+        } ++
+        changedCol.map(cc =>
+          StructField(cc, ArrayType(StringType), nullable = true)))
     val colsB = cols // stable capture for the task closure
     val beforeB = beforeCols
+    val changedB = changedCol
     val files = spark.read.option("wholetext", "true").text(dir)
     files.select(col("value")).flatMap(
-      r => parseFile(r.getString(0), colsB, beforeB))(
+      r => parseFile(r.getString(0), colsB, beforeB, changedB))(
       RowEncoder.encoderFor(schema))
       .toDF()
   }
@@ -338,7 +358,8 @@ object BinlogText {
     * replica. */
   private def parseFile(text: String,
       cols: Seq[(String, DataType)],
-      beforeCols: Seq[String] = Nil): Iterator[Row] = {
+      beforeCols: Seq[String] = Nil,
+      changedCol: Option[String] = None): Iterator[Row] = {
     val out = Vector.newBuilder[Row]
     var pos = Option.empty[Long]
     var ts = Option.empty[java.time.LocalDateTime]
@@ -361,11 +382,18 @@ object BinlogText {
         // image), WHERE for deletes (the row being removed)
         val img = if (o == "D") where else set
         require(img.nonEmpty, s"binlog event at $p carries no row image")
-        img.keys.foreach(i => require(i >= 1 && i <= cols.length,
-          s"binlog event at $p names @$i beyond the ${cols.length}-column " +
-            "TABLE_MAP"))
+        (img.keys ++ where.keys).foreach(i =>
+          require(i >= 1 && i <= cols.length,
+            s"binlog event at $p names @$i beyond the ${cols.length}-" +
+              "column TABLE_MAP"))
+        // MINIMAL mode: an UPDATE's WHERE carries only the PK and its
+        // SET only the changed columns — the row's identity positions
+        // merge in from WHERE (SET wins any overlap). FULL dumps never
+        // reach this: their SET carries every column already.
+        val effImg = if (changedCol.isDefined && o == "U") where ++ set
+          else img
         val vals = cols.zipWithIndex.map { case ((n, t), i) =>
-          img.get(i + 1).map(parseValue(_, n, t)).orNull
+          effImg.get(i + 1).map(parseValue(_, n, t)).orNull
         }
         // the WHERE image IS the before image (FULL row images); an
         // insert has none by definition
@@ -374,7 +402,14 @@ object BinlogText {
           if (o == "I") null
           else where.get(i + 1).map(parseValue(_, b, cols(i)._2)).orNull
         }
-        out += Row.fromSeq(Seq(o, p, time) ++ vals ++ befores)
+        // MINIMAL row images: the SET block's present positions ARE the
+        // changed-column list; inserts/deletes carry full images (null
+        // list = complete, the partialImageCol contract)
+        val changed = changedCol.map { _ =>
+          if (o != "U") null
+          else set.keys.toSeq.sorted.map(i => cols(i - 1)._1)
+        }.toSeq
+        out += Row.fromSeq(Seq(o, p, time) ++ vals ++ befores ++ changed)
       }
       pos = None; ts = None; op = None; section = ""
       where = Map.empty; set = Map.empty

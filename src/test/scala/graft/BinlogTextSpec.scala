@@ -223,6 +223,71 @@ class BinlogTextSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$base/dlq").count() == 1)
   }
 
+  test("changedCol surfaces MINIMAL row images: SET lists the changed " +
+      "columns, WHERE carries the PK, completion-at-apply fills the rest") {
+    import graft.streaming.StreamingOps
+    val dir = tmp()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    def hdr(seq: Long, verb: String) =
+      s"# at $seq\n#920315  0:00:00 server id 1  end_log_pos $seq " +
+        s"CRC32 0x00000000 \t$verb: table id 108 flags: STMT_END_F"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/f.txt"),
+      s"""${hdr(1, "Write_rows")}
+         |### INSERT INTO `db`.`orders`
+         |### SET
+         |###   @1=1
+         |###   @2=10.0
+         |###   @3='a'
+         |${hdr(2, "Write_rows")}
+         |### INSERT INTO `db`.`orders`
+         |### SET
+         |###   @1=2
+         |###   @2=50.0
+         |###   @3='b'
+         |${hdr(3, "Update_rows")}
+         |### UPDATE `db`.`orders`
+         |### WHERE
+         |###   @1=1
+         |### SET
+         |###   @2=20.0
+         |${hdr(4, "Update_rows")}
+         |### UPDATE `db`.`orders`
+         |### WHERE
+         |###   @1=2
+         |### SET
+         |###   @3='z'
+         |""".stripMargin)
+    val env = BinlogText.parse(spark, dir, cols,
+      changedCol = Some("_changed"))
+    val bySeq = env.collect().map(r => r.getLong(1) -> r).toMap
+    // inserts: full image, null changed list
+    assert(bySeq(1L).isNullAt(bySeq(1L).fieldIndex("_changed")))
+    // MINIMAL update: PK merged from WHERE, unchanged payload NULL,
+    // the changed list names exactly the SET positions
+    assert(bySeq(3L).getLong(bySeq(3L).fieldIndex("okey")) == 1L)
+    assert(bySeq(3L).isNullAt(bySeq(3L).fieldIndex("status")))
+    assert(bySeq(3L).getSeq[String](bySeq(3L).fieldIndex("_changed")) ==
+      Seq("price"))
+    // end to end through completion-at-apply: each key serves its
+    // changed value AND its carried unchanged value
+    val base = tmp()
+    StreamingOps.writeWave(env, s"$base/in", 0)
+    StreamingOps.runCdcPass(spark, env.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", partialImageCol = Some("_changed"))
+    val served = StreamingOps.readLatestState(spark, s"$base/state")
+      .select("okey", "price", "status").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+    assert(served == Map(1L -> ((20.0, "a")), 2L -> ((50.0, "z"))),
+      s"got $served")
+    // beforeCols and changedCol refuse to compose (MINIMAL carries no
+    // before images — the strictBefore/partialImageCol rule)
+    intercept[IllegalArgumentException] {
+      BinlogText.parse(spark, dir, cols, beforeCols = Seq("price"),
+        changedCol = Some("_changed"))
+    }
+  }
+
   test("PROPERTY: random envelopes round-trip render→parse identically " +
       "(hostile strings, NULLs, decimals)") {
     import org.scalacheck.Gen
