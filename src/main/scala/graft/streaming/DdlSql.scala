@@ -344,6 +344,43 @@ object DdlSql {
   private val refusedClauseKws =
     Set("PRIMARY", "FOREIGN", "CONSTRAINT", "CHECK", "PARTITION")
 
+  /** Execution hints and physical table options — clauses with NO
+    * replica semantics (the destination's physical layout is its own):
+    * `ALGORITHM=INPLACE`, `LOCK=NONE` (the tails every gh-ost/pt-osc
+    * ALTER ships), `ENGINE=InnoDB` (the standard defrag rebuild),
+    * AUTO_INCREMENT / ROW_FORMAT / COMMENT / KEY_BLOCK_SIZE / STATS_*
+    * options, and the DEFAULT CHARACTER SET/COLLATE table defaults
+    * (which affect FUTURE columns source-side — existing data is
+    * untouched, unlike `CONVERT TO CHARACTER SET`, which rewrites data
+    * and still refuses). The tokenizer keeps `K=V` as one token, so
+    * both `ALGORITHM=INPLACE` and `ALGORITHM = INPLACE` match. */
+  private val hintKws = Set("ALGORITHM", "LOCK", "ENGINE",
+    "AUTO_INCREMENT", "ROW_FORMAT", "COMMENT", "KEY_BLOCK_SIZE",
+    "STATS_PERSISTENT", "STATS_AUTO_RECALC", "CHARSET", "COLLATE",
+    "CHARACTER", "DEFAULT")
+
+  /** True iff the cursor stands at a hint/table-option clause. Looks,
+    * never consumes — [[skipClause]] eats the clause when it matches.
+    * `DEFAULT` qualifies only when followed by a charset word (a bare
+    * DEFAULT clause shape doesn't exist in ALTER). */
+  private def hintClause(c: Cur): Boolean = {
+    if (!c.more || c.peek.startsWith(" ")) false
+    else {
+      val up = c.peek.toUpperCase
+      val word = up.takeWhile(_ != '=')
+      if (!hintKws.contains(word)) false
+      else if (word == "DEFAULT" || word == "CHARACTER") {
+        // DEFAULT [CHARACTER SET|CHARSET] / CHARACTER SET — look ahead
+        // one token for the charset shape
+        val next = if (c.i + 1 < c.toks.length) c.toks(c.i + 1) else ""
+        word != "DEFAULT" ||
+          (!next.startsWith(" ") &&
+            Seq("CHARACTER", "CHARSET", "COLLATE")
+              .contains(next.toUpperCase.takeWhile(_ != '=')))
+      } else true
+    }
+  }
+
   private def refuseClauseKw(c: Cur, sql: String, verb: String): Unit =
     if (c.more && !c.peek.startsWith(" ") &&
       refusedClauseKws.contains(c.peek.toUpperCase))
@@ -407,10 +444,20 @@ object DdlSql {
         val from = c.ident("column name")
         c.expectKw("TO")
         Seq(RenameColumn(table, from, c.ident("column name")))
+      } else if (c.more && !c.peek.startsWith(" ") &&
+        Seq("INDEX", "KEY").contains(c.peek.toUpperCase)) {
+        // RENAME INDEX a TO b — secondary-index bookkeeping, inert
+        skipClause(c); Seq(Inert(table, "RENAME INDEX"))
       } else {
         c.takeKw("TO"); c.takeKw("AS")
         Seq(RenameTable(Seq(table -> c.tableName())))
       }
+    } else if (hintClause(c)) {
+      // execution hints and table options with no replica semantics:
+      // every gh-ost/pt-osc ALTER ships ALGORITHM=INPLACE, LOCK=NONE
+      // tails, and ENGINE=InnoDB is the standard defrag rebuild —
+      // refusing them would reject nearly every real migration statement
+      skipClause(c); Seq(Inert(table, "TABLE OPTION"))
     } else if (c.takeKw("MODIFY")) {
       c.takeKw("COLUMN")
       val col = c.ident("column name")

@@ -81,6 +81,22 @@ class DdlSqlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       DdlSql.parse("ALTER TABLE t ADD COLUMN (a INT, b INT")
     }
+    // the tails every migration tool ships are inert hints, not refusals
+    assert(DdlSql.parse("ALTER TABLE t ADD c INT, ALGORITHM=INPLACE, " +
+      "LOCK=NONE") ==
+      Seq(AddColumn("t", "c", "INT", None), Inert("t", "TABLE OPTION"),
+        Inert("t", "TABLE OPTION")))
+    assert(DdlSql.parse("ALTER TABLE t ALGORITHM = COPY, ENGINE=InnoDB") ==
+      Seq(Inert("t", "TABLE OPTION"), Inert("t", "TABLE OPTION")))
+    assert(DdlSql.parse(
+      "ALTER TABLE t DEFAULT CHARACTER SET utf8mb4 COLLATE " +
+        "utf8mb4_general_ci") == Seq(Inert("t", "TABLE OPTION")))
+    assert(DdlSql.parse("ALTER TABLE t RENAME INDEX i1 TO i2") ==
+      Seq(Inert("t", "RENAME INDEX")))
+    // CONVERT TO CHARACTER SET rewrites data — still refuses
+    intercept[IllegalArgumentException] {
+      DdlSql.parse("ALTER TABLE t CONVERT TO CHARACTER SET utf8mb4")
+    }
   }
 
   test("unparseable and unsupported statements refuse loudly by name") {
