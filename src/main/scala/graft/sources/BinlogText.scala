@@ -85,8 +85,16 @@ object BinlogText {
       beforeCols: Seq[String] = Nil,
       changedCol: Option[String] = None): DataFrame = {
     validateCols(cols)
-    beforeCols.foreach(b => require(cols.exists(_._1 == b),
-      s"before-image column '$b' absent from the TABLE_MAP list"))
+    require(beforeCols.distinct.length == beforeCols.length,
+      s"duplicate before-image column(s): " +
+        beforeCols.diff(beforeCols.distinct).distinct.mkString(", "))
+    beforeCols.foreach { b =>
+      require(cols.exists(_._1 == b),
+        s"before-image column '$b' absent from the TABLE_MAP list")
+      require(!cols.exists(_._1 == s"before_$b"),
+        s"before-image output 'before_$b' collides with a TABLE_MAP " +
+          "column of that name")
+    }
     changedCol.foreach { cc =>
       require(!cols.exists(_._1 == cc) && !Seq("op", "seq", "ts").contains(cc),
         s"changed-list column '$cc' collides with an envelope column")

@@ -214,6 +214,16 @@ object DdlSql {
       if (c.more) fail(stripped, "trailing tokens after RENAME TABLE list")
       Seq(RenameTable(pairs.result()))
     } else if (kw(head, "ALTER")) {
+      if (c.more && !c.peek.startsWith(" ") &&
+        nonTableObjects.contains(c.peek.toUpperCase)) {
+        // ALTER of a non-table object — same scoping story as
+        // CREATE/DROP of one
+        val objKind = c.next().toUpperCase
+        val name = if (c.more && isIdentTok(c.peek)) c.tableName()
+          else "<none>"
+        c.i = c.toks.length
+        return Seq(Unsupported(name, s"ALTER $objKind"))
+      }
       c.expectKw("TABLE")
       val table = c.tableName()
       val out = Seq.newBuilder[Statement]
@@ -252,14 +262,51 @@ object DdlSql {
           c.i += 1; tables += c.tableName()
         }
         c.i = c.toks.length // definitions/options — fold decides scope
-        tables.result().map(t => Unsupported(t, s"$verb TABLE"))
+        if (kw(head, "OPTIMIZE") || kw(head, "ANALYZE"))
+          // maintenance verbs: statistics refresh / defrag rebuild —
+          // no schema or data semantics on the replica (the ALTER-form
+          // ENGINE=InnoDB rebuild is inert for the same reason)
+          tables.result().map(t => Inert(t, s"$verb TABLE"))
+        else tables.result().map(t => Unsupported(t, s"$verb TABLE"))
+      } else if (c.more && !c.peek.startsWith(" ") &&
+        (kw(c.peek, "OR") ||
+          nonTableObjects.contains(c.peek.toUpperCase))) {
+        // CREATE [OR REPLACE]/DROP of a NON-TABLE object (view,
+        // trigger, database, routine …): named so a scoped fold can
+        // skip it as topology noise; unscoped it still refuses — the
+        // caller declared no table to scope by, so nothing may
+        // silently drop
+        if (c.takeKw("OR")) c.expectKw("REPLACE")
+        if (!c.more || c.peek.startsWith(" ") ||
+          !nonTableObjects.contains(c.peek.toUpperCase))
+          fail(stripped,
+            s"unsupported statement verb '${show(head)} ${show(c.peek)}'")
+        val objKind = c.next().toUpperCase
+        if (c.takeKw("IF")) { c.takeKw("NOT"); c.expectKw("EXISTS") }
+        val name = if (c.more && isIdentTok(c.peek)) c.tableName() else "<none>"
+        c.i = c.toks.length
+        Seq(Unsupported(name, s"$verb $objKind"))
       } else fail(stripped,
         s"unsupported statement verb '${show(head)} ${show(c.peek)}'")
+    } else if (kw(head, "GRANT") || kw(head, "REVOKE") ||
+      kw(head, "FLUSH")) {
+      // privilege/session statements: no table semantics at all — a
+      // scoped fold skips them (their '<none>' subject matches no
+      // table filter); an unscoped fold still refuses loudly
+      c.i = c.toks.length
+      Seq(Unsupported("<none>", head.toUpperCase))
     } else fail(stripped,
       s"unsupported statement verb '${show(head)}' (supported: ALTER " +
         "TABLE, RENAME TABLE, TRUNCATE; CREATE/DROP/OPTIMIZE/ANALYZE " +
-        "TABLE parse for scoping and refuse at fold when in scope)")
+        "and GRANT/REVOKE/FLUSH parse for scoping and refuse at fold " +
+        "when in scope)")
   }
+
+  /** Non-table object kinds a CREATE/DROP may target — named for
+    * scoping, never mapped. */
+  private val nonTableObjects = Set("DATABASE", "SCHEMA", "VIEW",
+    "TRIGGER", "EVENT", "PROCEDURE", "FUNCTION", "USER", "TABLESPACE",
+    "SERVER")
 
   private val typeStop = Set("NOT", "NULL", "DEFAULT", "FIRST", "AFTER",
     "COMMENT", "COLLATE", "CHARACTER")
@@ -370,13 +417,17 @@ object DdlSql {
       val word = up.takeWhile(_ != '=')
       if (!hintKws.contains(word)) false
       else if (word == "DEFAULT" || word == "CHARACTER") {
-        // DEFAULT [CHARACTER SET|CHARSET] / CHARACTER SET — look ahead
-        // one token for the charset shape
+        // DEFAULT [CHARACTER SET|CHARSET|COLLATE] / CHARACTER SET —
+        // BOTH require the charset shape one token ahead, or the
+        // clause is not a table option and must refuse downstream
+        // instead of silently absorbing as an inert hint
         val next = if (c.i + 1 < c.toks.length) c.toks(c.i + 1) else ""
-        word != "DEFAULT" ||
-          (!next.startsWith(" ") &&
-            Seq("CHARACTER", "CHARSET", "COLLATE")
-              .contains(next.toUpperCase.takeWhile(_ != '=')))
+        if (next.startsWith(" ")) false
+        else if (word == "DEFAULT")
+          Seq("CHARACTER", "CHARSET", "COLLATE")
+            .contains(next.toUpperCase.takeWhile(_ != '='))
+        else next.equalsIgnoreCase("SET") ||
+          next.toUpperCase.startsWith("SET=")
       } else true
     }
   }
@@ -544,7 +595,15 @@ object DdlSql {
           cfg = cfg.copy(truncateAtSeq =
             Some(math.max(cfg.truncateAtSeq.getOrElse(Long.MinValue), seq)))
         case RenameTable(pairs) =>
-          cfg = cfg.copy(tableRenames = cfg.tableRenames ++ pairs)
+          // scoped per PAIR: a rename touching the scoped table on
+          // either side matters (the OSC cutover renames it); a fully
+          // foreign rename is a neighbor's cutover — routine noise
+          val kept = tableFilter match {
+            case None => pairs
+            case Some(t) => pairs.filter { case (a, b) =>
+              a.equalsIgnoreCase(t) || b.equalsIgnoreCase(t) }
+          }
+          cfg = cfg.copy(tableRenames = cfg.tableRenames ++ kept)
         case Inert(_, _) => ()
         case Unsupported(t, verb) =>
           // reachable only in scope (the filter skipped foreign noise):

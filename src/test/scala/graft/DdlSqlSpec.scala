@@ -105,9 +105,9 @@ class DdlSqlSpec extends AnyFunSuite {
       assert(e.getMessage.contains(naming),
         s"for <$sql>: ${e.getMessage}")
     }
-    // statements entirely outside any table-level shape
-    refuses("GRANT ALL ON db.* TO 'u'@'%'", "unsupported statement verb")
-    refuses("FLUSH LOGS", "unsupported statement verb")
+    // statements entirely outside any recognizable shape
+    refuses("INSERT INTO t VALUES (1)", "unsupported statement verb")
+    refuses("KILL 42", "unsupported statement verb")
     // ALTER clauses the engine has no safe semantics for
     refuses("ALTER TABLE t ADD PRIMARY KEY (id)", "unsupported")
     refuses("ALTER TABLE t DROP PRIMARY KEY", "unsupported")
@@ -149,8 +149,6 @@ class DdlSqlSpec extends AnyFunSuite {
       Seq(Unsupported("audit_log", "CREATE TABLE")))
     assert(DdlSql.parse("DROP TABLE IF EXISTS a, b") ==
       Seq(Unsupported("a", "DROP TABLE"), Unsupported("b", "DROP TABLE")))
-    assert(DdlSql.parse("OPTIMIZE TABLE orders") ==
-      Seq(Unsupported("orders", "OPTIMIZE TABLE")))
     // statement-form index DDL is the inert class, like the ALTER clause
     assert(DdlSql.parse("CREATE UNIQUE INDEX idx ON orders (okey)") ==
       Seq(Inert("orders", "CREATE INDEX")))
@@ -173,6 +171,40 @@ class DdlSqlSpec extends AnyFunSuite {
       DdlSql.fold(Seq(1L -> "CREATE TABLE t (a INT)"))
     }
     assert(e2.getMessage.contains("CREATE TABLE"))
+    // maintenance verbs are inert even in scope: they change neither
+    // schema nor data (the ALTER-form ENGINE rebuild rule)
+    assert(DdlSql.parse("OPTIMIZE TABLE orders") ==
+      Seq(Inert("orders", "OPTIMIZE TABLE")))
+    assert(DdlSql.fold(Seq(1L -> "ANALYZE TABLE orders"),
+      tableFilter = Some("orders")) == DdlSql.DdlConfig())
+    // non-table objects and privilege statements: named (or '<none>')
+    // so a scoped fold skips them; unscoped they refuse
+    assert(DdlSql.parse("CREATE OR REPLACE VIEW daily AS SELECT 1") ==
+      Seq(Unsupported("daily", "CREATE VIEW")))
+    assert(DdlSql.parse("DROP TRIGGER IF EXISTS trg") ==
+      Seq(Unsupported("trg", "DROP TRIGGER")))
+    assert(DdlSql.parse("ALTER VIEW v AS SELECT 2") ==
+      Seq(Unsupported("v", "ALTER VIEW")))
+    assert(DdlSql.parse("GRANT ALL ON db.* TO 'u'@'%'") ==
+      Seq(Unsupported("<none>", "GRANT")))
+    val noisy = DdlSql.fold(Seq(
+      1L -> "CREATE OR REPLACE VIEW daily AS SELECT 1",
+      2L -> "GRANT SELECT ON db.* TO 'u'@'%'",
+      3L -> "ALTER DATABASE reports CHARACTER SET utf8mb4",
+      4L -> "ALTER TABLE orders DROP COLUMN extra"),
+      tableFilter = Some("orders"))
+    assert(noisy.dropCols == Map("extra" -> 4L))
+    intercept[IllegalArgumentException] {
+      DdlSql.fold(Seq(1L -> "GRANT SELECT ON db.* TO 'u'@'%'"))
+    }
+    // RENAME TABLE scoping is per PAIR: a neighbor's cutover skips, a
+    // rename touching the scoped table (either side) is kept
+    val cutovers = DdlSql.fold(Seq(
+      1L -> "RENAME TABLE users TO _users_del, _users_gho TO users",
+      2L -> "RENAME TABLE orders TO _orders_del, _orders_gho TO orders"),
+      tableFilter = Some("orders"))
+    assert(cutovers.tableRenames ==
+      Seq("orders" -> "_orders_del", "_orders_gho" -> "orders"))
   }
 
   test("fold composes a DDL gap into one pass's structured config") {
@@ -203,15 +235,17 @@ class DdlSqlSpec extends AnyFunSuite {
       2L -> "ALTER TABLE t RENAME COLUMN c TO d"))
     assert(reborn.renameCols.isEmpty)
     assert(reborn.defaultCols == Map("d" -> ColumnDefault(1L, "7")))
-    // table scoping: other tables' column DDL is skipped, RENAME TABLE
-    // pairs stay (they rebind dirs at the topology level)
+    // table scoping: other tables' column DDL is skipped; RENAME TABLE
+    // pairs keep only the sides touching the scoped table (a fully
+    // foreign rename is a neighbor's cutover — routine noise)
     val scoped = DdlSql.fold(Seq(
       1L -> "ALTER TABLE other ADD c INT DEFAULT 1",
       2L -> "ALTER TABLE orders DROP COLUMN extra",
-      3L -> "RENAME TABLE x TO y"), tableFilter = Some("orders"))
+      3L -> "RENAME TABLE x TO y",
+      4L -> "RENAME TABLE orders TO o2"), tableFilter = Some("orders"))
     assert(scoped.defaultCols.isEmpty)
     assert(scoped.dropCols == Map("extra" -> 2L))
-    assert(scoped.tableRenames == Seq("x" -> "y"))
+    assert(scoped.tableRenames == Seq("orders" -> "o2"))
     // events arriving out of order fold in position order
     val unordered = DdlSql.fold(Seq(
       2L -> "ALTER TABLE t RENAME COLUMN b TO c",
