@@ -76,10 +76,14 @@ object BinlogText {
     * `changedCol` names a columns-present list to surface: under
     * `binlog_row_image=MINIMAL` an UPDATE's SET block carries ONLY the
     * changed columns, and the named array column lists exactly which
-    * `@i` positions appeared (NULL for inserts/deletes — full images by
-    * definition) — the shape `runCdcPass(partialImageCol = …)`'s
-    * completion-at-apply consumes, so a MINIMAL dump replays correctly
-    * with no connector in between either. */
+    * `@i` positions appeared. Inserts list NULL (full images by
+    * definition — the partialImageCol "complete" marker); deletes list
+    * their WHERE positions, because a MINIMAL delete's before image is
+    * PK-ONLY, not full — harmless to the collapse (delete payloads are
+    * null by design) but visible to history/audit consumers. This is
+    * the shape `runCdcPass(partialImageCol = …)`'s completion-at-apply
+    * consumes, so a MINIMAL dump replays correctly with no connector
+    * in between either. */
   def parse(spark: SparkSession, dir: String,
       cols: Seq[(String, DataType)],
       beforeCols: Seq[String] = Nil,
@@ -248,51 +252,73 @@ object BinlogText {
     * `DELIMITER`, and `use db` noise are skipped — they position
     * nothing schema-wise; everything else returns verbatim for
     * [[graft.streaming.DdlSql]] to parse (which refuses what it cannot
-    * map, so nothing is silently dropped downstream). Driver-side and
-    * position-sorted: DDL is metadata-scale by nature, and the fold
-    * that consumes it runs on the driver anyway. */
-  def parseDdl(spark: SparkSession, dir: String): Seq[(Long, String)] = {
+    * map, so nothing is silently dropped downstream). The extraction
+    * runs DISTRIBUTED, per file, exactly like [[parse]] — the
+    * statements share the dump's rotated files with O(data) row-event
+    * text, so only the extracted `(pos, stmt)` rows (genuinely
+    * metadata-scale) ever reach the driver; collecting whole files
+    * here would be a driver OOM at fleet scale. Position-sorted,
+    * within-position order preserved (two statements at one position
+    * keep their file order — stable sort over in-file emission). */
+  def parseDdl(spark: SparkSession, dir: String): Seq[(Long, String)] =
+    parseDdlFrame(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+
+  /** The distributed half of [[parseDdl]]: one `(pos, stmt)` row per
+    * extracted statement, the file text flat-mapped task-side (the
+    * same per-file parallelism unit as [[parse]]). Exposed so a spec
+    * can assert the plan reads the text source lazily instead of
+    * collecting dump bytes driver-side. */
+  private[graft] def parseDdlFrame(spark: SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
     val files = spark.read.option("wholetext", "true").text(dir)
-      .collect().map(_.getString(0))
-    val out = Seq.newBuilder[(Long, String)]
-    files.foreach { text =>
-      var pos = Option.empty[Long]
-      var inQuery = false
-      var stmt = new StringBuilder
-      def seal(): Unit = {
-        // a query block is `SET TIMESTAMP=…/*!*/;` then the statement,
-        // each wrapped in its own /*!*/; terminator — split per
-        // statement BEFORE the noise check, or the leading session SET
-        // would shadow the DDL behind it
-        for (p <- pos if inQuery) {
-          stmt.result().split("""/\*!\*/;""")
-            .map(_.trim.stripSuffix(";").trim).filter(_.nonEmpty)
-            .foreach { s =>
-              val head = s.takeWhile(!_.isWhitespace).toUpperCase
-              val noise = Seq("BEGIN", "COMMIT", "ROLLBACK", "SET",
-                "DELIMITER", "USE")
-              if (!noise.contains(head)) out += (p -> s)
-            }
-        }
-        pos = None; inQuery = false; stmt = new StringBuilder
+    files.select(col("value"))
+      .flatMap(r => extractDdl(r.getString(0)))(
+        Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .toDF("pos", "stmt")
+  }
+
+  /** One file's QueryEvent statements, in file order (pure text work —
+    * runs inside the task that holds the file). */
+  private def extractDdl(text: String): Iterator[(Long, String)] = {
+    val out = Vector.newBuilder[(Long, String)]
+    var pos = Option.empty[Long]
+    var inQuery = false
+    var stmt = new StringBuilder
+    def seal(): Unit = {
+      // a query block is `SET TIMESTAMP=…/*!*/;` then the statement,
+      // each wrapped in its own /*!*/; terminator — split per
+      // statement BEFORE the noise check, or the leading session SET
+      // would shadow the DDL behind it
+      for (p <- pos if inQuery) {
+        stmt.result().split("""/\*!\*/;""")
+          .map(_.trim.stripSuffix(";").trim).filter(_.nonEmpty)
+          .foreach { s =>
+            val head = s.takeWhile(!_.isWhitespace).toUpperCase
+            val noise = Seq("BEGIN", "COMMIT", "ROLLBACK", "SET",
+              "DELIMITER", "USE")
+            if (!noise.contains(head)) out += (p -> s)
+          }
       }
-      for (line0 <- text.linesIterator; line = line0.trim if line.nonEmpty) {
-        if (line.startsWith("# at ")) {
-          seal()
-          pos = line.stripPrefix("# at ").trim.toLongOption
-        } else if (line.startsWith("#") && !line.startsWith("###")) {
-          if (HeaderTs.matches(line) && line.contains("Query"))
-            inQuery = true
-        } else if (!line.startsWith("###") && inQuery) {
-          // statement text may span lines; keep them joined
-          if (stmt.nonEmpty) stmt.append('\n')
-          stmt.append(line)
-          ()
-        }
-      }
-      seal()
+      pos = None; inQuery = false; stmt = new StringBuilder
     }
-    out.result().sortBy(_._1)
+    for (line0 <- text.linesIterator; line = line0.trim if line.nonEmpty) {
+      if (line.startsWith("# at ")) {
+        seal()
+        pos = line.stripPrefix("# at ").trim.toLongOption
+      } else if (line.startsWith("#") && !line.startsWith("###")) {
+        if (HeaderTs.matches(line) && line.contains("Query"))
+          inQuery = true
+      } else if (!line.startsWith("###") && inQuery) {
+        // statement text may span lines; keep them joined
+        if (stmt.nonEmpty) stmt.append('\n')
+        stmt.append(line)
+        ()
+      }
+    }
+    seal()
+    out.result().iterator
   }
 
   /** Render one DDL QueryEvent block (the [[parseDdl]] inverse) — for
@@ -306,16 +332,151 @@ object BinlogText {
       s"SET TIMESTAMP=$tsEpochSec/*!*/;\n$sql\n/*!*/;"
   }
 
+  /** Render one GTID event block — the `SET @@SESSION.GTID_NEXT`
+    * stamp a `gtid_mode=ON` server writes before EVERY transaction
+    * ([[parseGtidIndex]]'s inverse; for fixtures interleaving GTID
+    * stamps with row events). */
+  def renderGtid(seq: Long, tsEpochSec: Long, uuid: String,
+      txn: Long): String = {
+    require(uuid.trim.nonEmpty && !uuid.contains("'"), s"bad GTID uuid '$uuid'")
+    require(txn >= 1, s"GTID transaction numbers start at 1, got $txn")
+    val ldt = java.time.LocalDateTime.ofEpochSecond(
+      tsEpochSec, 0, java.time.ZoneOffset.UTC)
+    val hdr = headerDate(ldt, s"gtid event at seq $seq")
+    s"# at $seq\n$hdr server id 1  end_log_pos $seq CRC32 0x00000000 " +
+      s"\tGTID\tlast_committed=0\tsequence_number=$txn\n" +
+      s"SET @@SESSION.GTID_NEXT= '$uuid:$txn'/*!*/;"
+  }
+
+  /** The dump's GTID INDEX — one `(binlog position, source uuid,
+    * transaction number)` per `SET @@SESSION.GTID_NEXT='uuid:n'` stamp
+    * (`AUTOMATIC` stamps are session noise and skip). Distributed per
+    * file like [[parse]]/[[parseDdl]] — only the index rows (metadata
+    * scale: one tiny row per transaction) reach the driver. Position
+    * order. This is what lets a text-dump resume compose with the
+    * GTID position codecs ([[graft.Replication.GtidSetCodec]] /
+    * [[graft.Replication.GtidChannelCodec]]): the codec decodes a
+    * token to a transaction horizon, the index maps that horizon back
+    * onto a binlog position — see [[gtidStartAfter]]. */
+  def parseGtidIndex(spark: SparkSession,
+      dir: String): Seq[(Long, String, Long)] = {
+    import org.apache.spark.sql.Encoders
+    val files = spark.read.option("wholetext", "true").text(dir)
+    files.select(col("value"))
+      .flatMap(r => extractGtid(r.getString(0)))(
+        Encoders.tuple(Encoders.scalaLong, Encoders.STRING,
+          Encoders.scalaLong))
+      .collect().toSeq.sortBy(_._1)
+  }
+
+  private def extractGtid(text: String): Iterator[(Long, String, Long)] = {
+    val out = Vector.newBuilder[(Long, String, Long)]
+    var pos = Option.empty[Long]
+    for (line0 <- text.linesIterator; line = line0.trim if line.nonEmpty) {
+      if (line.startsWith("# at "))
+        pos = line.stripPrefix("# at ").trim.toLongOption
+      else if (line.toUpperCase.startsWith("SET @@SESSION.GTID_NEXT")) {
+        val q0 = line.indexOf('\'')
+        val q1 = if (q0 < 0) -1 else line.indexOf('\'', q0 + 1)
+        require(q0 >= 0 && q1 > q0, s"malformed GTID_NEXT line: $line")
+        val v = line.substring(q0 + 1, q1)
+        if (!v.equalsIgnoreCase("AUTOMATIC")) {
+          val ci = v.lastIndexOf(':')
+          require(ci > 0, s"malformed GTID '$v' in GTID_NEXT line: $line")
+          val txn = v.substring(ci + 1).trim.toLongOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"malformed GTID transaction number in: $line"))
+          val p = pos.getOrElse(throw new IllegalArgumentException(
+            s"GTID_NEXT stamp without a '# at' position: $line"))
+          out += ((p, v.substring(0, ci), txn))
+        }
+      }
+    }
+    out.result().iterator
+  }
+
+  /** Decode a GTID-set resume TOKEN against THIS dump's GTID index:
+    * returns the `startAfterSeq` boundary — events at or below it
+    * belong to transactions the set already covers; events above it
+    * apply. `channels` is the replica's failover chain exactly as
+    * [[graft.Replication.GtidChannelCodec]] declares it (single
+    * primary: `Seq(uuid -> 0L)` — the open tail channel's count is
+    * unused), so every codec refusal composes unchanged: a foreign
+    * UUID, a gapped interval list, or a set past a retired channel's
+    * end refuses loudly HERE, before any event is skipped.
+    *
+    * The dump's own stamps are validated too: every stamped source
+    * must belong to the chain, and the stamped transactions must be
+    * CONTIGUOUS in chain order (a rotated dump may start mid-history
+    * at transaction K, but a hole inside it means row events whose
+    * transaction nobody can name — refuse rather than mis-anchor).
+    * A token standing below the dump's oldest stamp refuses (that
+    * history has rotated away — resyncing, not guessing, is the only
+    * safe answer); a token covering the whole dump returns
+    * `Long.MaxValue` (every event here is already applied). */
+  def gtidStartAfter(spark: SparkSession, dir: String, token: String,
+      channels: Seq[(String, Long)]): Long = {
+    val horizon = graft.Replication.GtidChannelCodec(channels).toSeq(token)
+    val idx = parseGtidIndex(spark, dir)
+    require(idx.nonEmpty,
+      s"dump at $dir carries no GTID_NEXT stamps — this feed cannot " +
+        "anchor a GTID resume; resume by seq instead")
+    val chain = channels.map { case (u, n) => (u.trim.toLowerCase, n) }
+    val chainIdx = chain.map(_._1).zipWithIndex.toMap
+    // each stamp's GLOBAL transaction number: retired channels' counts
+    // offset the per-channel numbering onto the engine's one seq axis
+    // (the GtidChannelCodec mapping, applied stamp-side)
+    val global = idx.map { case (p, u, t) =>
+      val i = chainIdx.getOrElse(u.toLowerCase,
+        throw new IllegalArgumentException(
+          s"dump stamps GTID source '$u' outside this replica's channel " +
+            s"chain (${chain.map(_._1).mkString(" -> ")}) — wrong dump, " +
+            "or the chain declaration is stale"))
+      require(i == chain.length - 1 || t <= chain(i)._2,
+        s"dump stamps transaction $t of retired channel '$u', past its " +
+          s"declared count ${chain(i)._2} — the chain declaration is stale")
+      (chain.take(i).map(_._2).sum + t, p)
+    }.sortBy(_._1)
+    global.sliding(2).foreach {
+      case Seq((a, pa), (b, pb)) =>
+        require(b == a + 1,
+          s"dump's GTID stamps jump from transaction $a to $b — a hole " +
+            "inside the dump leaves row events no stamp can claim; the " +
+            "feed is truncated mid-history")
+        require(pb > pa,
+          s"dump's GTID stamp positions regress ($pa then $pb) against " +
+            "transaction order — the dump is corrupt")
+      case _ => ()
+    }
+    val first = global.head._1
+    if (horizon >= global.last._1) Long.MaxValue
+    else {
+      require(horizon >= first - 1,
+        s"GTID set '$token' stands at transaction $horizon but this " +
+          s"dump's oldest stamp is transaction $first — the gap between " +
+          "them has rotated away; resync instead of silently skipping")
+      // everything strictly below the NEXT uncovered transaction's
+      // stamp belongs to covered transactions
+      global.find(_._1 == horizon + 1).get._2 - 1
+    }
+  }
+
   // ── parsing ──────────────────────────────────────────────────────
 
   private def parseValue(raw: String, name: String,
       t: DataType): Any = {
-    // strip the trailing /* meta */ comment mysqlbinlog appends
+    // strip the trailing /* meta */ comment mysqlbinlog appends — for
+    // QUOTED values too: `mysqlbinlog -vv` annotates string columns
+    // (`@3='O' /* STRING(3) ... */`), so the comment scan must start
+    // AFTER the closing quote or every double-verbose string column
+    // would refuse as malformed
     val v0 = raw.trim
-    val v = {
-      val ci = v0.indexOf("/*")
-      (if (ci >= 0 && !v0.startsWith("'")) v0.substring(0, ci) else v0).trim
-    }
+    val v =
+      if (v0.startsWith("'")) v0
+      else {
+        val ci = v0.indexOf("/*")
+        (if (ci >= 0) v0.substring(0, ci) else v0).trim
+      }
     if (v == "NULL") null
     else t match {
       case LongType => v.toLongOption.getOrElse(
@@ -330,8 +491,26 @@ object BinlogText {
             .toJavaBigDecimal
         } catch { case _: Exception => badValue(name, v) }
       case StringType =>
-        if (v.length >= 2 && v.startsWith("'") && v.endsWith("'"))
-          unesc(v.substring(1, v.length - 1))
+        if (v.length >= 2 && v.startsWith("'")) {
+          // scan for the UNESCAPED closing quote (the renderer escapes
+          // embedded quotes as \'), then allow only whitespace or one
+          // /* … */ meta comment to trail it — anything else is a
+          // malformed line, not a longer string
+          var i = 1
+          var close = -1
+          while (close < 0 && i < v.length) {
+            val c = v.charAt(i)
+            if (c == '\\' && i + 1 < v.length) i += 2
+            else if (c == '\'') close = i
+            else i += 1
+          }
+          if (close < 0) badValue(name, v)
+          val tail = v.substring(close + 1).trim
+          if (tail.nonEmpty &&
+            !(tail.startsWith("/*") && tail.endsWith("*/")))
+            badValue(name, v)
+          unesc(v.substring(1, close))
+        }
         else badValue(name, v)
       case other =>
         throw new IllegalArgumentException(s"unsupported type $other")
@@ -411,10 +590,17 @@ object BinlogText {
           else where.get(i + 1).map(parseValue(_, b, cols(i)._2)).orNull
         }
         // MINIMAL row images: the SET block's present positions ARE the
-        // changed-column list; inserts/deletes carry full images (null
-        // list = complete, the partialImageCol contract)
+        // changed-column list. Inserts carry full images by definition
+        // (null list = complete, the partialImageCol contract). A
+        // MINIMAL DELETE is NOT a full image — MySQL ships PK-only
+        // before images for it — so its list names the WHERE positions
+        // actually present: the collapse is unaffected (delete payloads
+        // are null by design, and completion treats any D as a full
+        // column reset), but history/audit consumers can now tell a
+        // partial tombstone image from a full one.
         val changed = changedCol.map { _ =>
-          if (o != "U") null
+          if (o == "I") null
+          else if (o == "D") where.keys.toSeq.sorted.map(i => cols(i - 1)._1)
           else set.keys.toSeq.sorted.map(i => cols(i - 1)._1)
         }.toSeq
         out += Row.fromSeq(Seq(o, p, time) ++ vals ++ befores ++ changed)

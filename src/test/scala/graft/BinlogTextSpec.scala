@@ -339,6 +339,260 @@ class BinlogTextSpec extends SparkTestBase {
     }
   }
 
+  test("parseDdl extracts DISTRIBUTED: the frame plans a lazy scan over " +
+      "the dump files — heavyweight row-event text never collects") {
+    val dir = tmp()
+    // a dir whose OTHER files hold the heavy row-event text (the shape
+    // that made the old driver-side collect O(data))
+    val rowEnv = envDf((1 to 500).map(i =>
+      ("I", 100L + i, 800000000L, i.toLong, i * 1.5, s"payload_$i")))
+    BinlogText.render(rowEnv, cols, s"$dir/binlog", files = 3)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/binlog/ddl.txt"),
+      BinlogText.renderQuery(50L, 800000000L,
+        "ALTER TABLE orders DROP COLUMN note") + "\n" +
+        BinlogText.renderQuery(60L, 800000001L,
+          "TRUNCATE TABLE orders") + "\n")
+    val frame = BinlogText.parseDdlFrame(spark, s"$dir/binlog")
+    // the plan's leaves must be the text-file relation — a
+    // LocalRelation leaf would mean the dump text was collected
+    // driver-side and re-parallelized (the r16 scale-killer)
+    val leaves = frame.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.nonEmpty)
+    leaves.foreach { l =>
+      val cls = l.getClass.getSimpleName
+      assert(cls.contains("LogicalRelation") || cls.contains("Relation"),
+        s"parseDdl plan leaf is $cls — expected a lazy file relation")
+      assert(!cls.contains("LocalRelation"),
+        "parseDdl collected dump text driver-side (LocalRelation leaf)")
+    }
+    // only the statements come back — position-sorted, row text skipped
+    assert(BinlogText.parseDdl(spark, s"$dir/binlog") == Seq(
+      50L -> "ALTER TABLE orders DROP COLUMN note",
+      60L -> "TRUNCATE TABLE orders"))
+  }
+
+  test("double-verbose dumps: string values carry trailing /* meta */ " +
+      "comments and still parse (mysqlbinlog -vv shape)") {
+    val dir = tmp()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/f.txt"),
+      "# at 5\n#920315  0:00:00 server id 1  end_log_pos 5 CRC32 " +
+        "0x00000000 \tWrite_rows: table id 108 flags: STMT_END_F\n" +
+        "### INSERT INTO `db`.`orders`\n### SET\n" +
+        "###   @1=7 /* LONGINT meta=0 nullable=0 is_null=0 */\n" +
+        "###   @2=1.5 /* DOUBLE meta=8 nullable=1 is_null=0 */\n" +
+        "###   @3='O' /* STRING(3) meta=65027 nullable=1 is_null=0 */\n")
+    val r = BinlogText.parse(spark, dir, cols).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(3) == 7L && r(0).getDouble(4) == 1.5 &&
+      r(0).getString(5) == "O")
+    // an escaped quote inside the string composes with the comment
+    val dir2 = tmp()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir2))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir2/f.txt"),
+      "# at 6\n#920315  0:00:00 server id 1  end_log_pos 6 CRC32 " +
+        "0x00000000 \tWrite_rows: table id 108 flags: STMT_END_F\n" +
+        "### INSERT INTO `db`.`orders`\n### SET\n###   @1=8\n" +
+        "###   @2=2.0\n" +
+        "###   @3='it\\'s' /* VARSTRING(40) meta=40 nullable=1 */\n")
+    val r2 = BinlogText.parse(spark, dir2, cols).collect()
+    assert(r2(0).getString(5) == "it's")
+    // garbage after the closing quote that is NOT a comment still refuses
+    val dir3 = tmp()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir3))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir3/f.txt"),
+      "# at 7\n#920315  0:00:00 server id 1  end_log_pos 7 CRC32 " +
+        "0x00000000 \tWrite_rows: table id 108 flags: STMT_END_F\n" +
+        "### INSERT INTO `db`.`orders`\n### SET\n###   @1=9\n" +
+        "###   @2=2.0\n###   @3='x' trailing junk\n")
+    val e = intercept[Throwable] { BinlogText.parse(spark, dir3, cols).collect() }
+    val msg = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msg.contains("malformed binlog value for column 'status'"))
+  }
+
+  test("MINIMAL deletes list their WHERE positions in the changed " +
+      "column — a PK-only tombstone image is visibly partial") {
+    val dir = tmp()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    def hdr(seq: Long, verb: String) =
+      s"# at $seq\n#920315  0:00:00 server id 1  end_log_pos $seq " +
+        s"CRC32 0x00000000 \t$verb: table id 108 flags: STMT_END_F"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/f.txt"),
+      s"""${hdr(1, "Write_rows")}
+         |### INSERT INTO `db`.`orders`
+         |### SET
+         |###   @1=1
+         |###   @2=10.0
+         |###   @3='a'
+         |${hdr(2, "Delete_rows")}
+         |### DELETE FROM `db`.`orders`
+         |### WHERE
+         |###   @1=1
+         |""".stripMargin)
+    val env = BinlogText.parse(spark, dir, cols,
+      changedCol = Some("_changed"))
+    val bySeq = env.collect().map(r => r.getLong(1) -> r).toMap
+    // insert: full image by definition → null list
+    assert(bySeq(1L).isNullAt(bySeq(1L).fieldIndex("_changed")))
+    // MINIMAL delete: PK-only image → the list names exactly the WHERE
+    // positions, so history consumers see the image is partial
+    assert(bySeq(2L).getSeq[String](bySeq(2L).fieldIndex("_changed")) ==
+      Seq("okey"))
+    // the collapse is unaffected: the delete still wins and serves as
+    // a tombstone through completion-at-apply
+    import graft.streaming.StreamingOps
+    val base = tmp()
+    StreamingOps.writeWave(env, s"$base/in", 0)
+    StreamingOps.runCdcPass(spark, env.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", partialImageCol = Some("_changed"))
+    assert(StreamingOps.readLatestState(spark, s"$base/state").count() == 0)
+  }
+
+  test("GTID stamps: index extraction, resume-by-set equals " +
+      "resume-by-seq, and codec refusals compose") {
+    import graft.streaming.StreamingOps
+    val uuid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    val dir = tmp()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/binlog"))
+    def rowBlock(seq: Long, okey: Long, price: Double, st: String) =
+      s"# at $seq\n#920315  0:00:00 server id 1  end_log_pos $seq CRC32 " +
+        "0x00000000 \tWrite_rows: table id 108 flags: STMT_END_F\n" +
+        s"### INSERT INTO `db`.`orders`\n### SET\n###   @1=$okey\n" +
+        s"###   @2=$price\n###   @3='$st'\n"
+    // two rotated files, three transactions: txn1 = pos 11-12,
+    // txn2 = pos 21, txn3 = pos 31-32 (file 2)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/binlog/f1.txt"),
+      BinlogText.renderGtid(10L, 800000000L, uuid, 1L) + "\n" +
+        rowBlock(11L, 1L, 1.0, "a") + rowBlock(12L, 2L, 2.0, "b") +
+        BinlogText.renderGtid(20L, 800000001L, uuid, 2L) + "\n" +
+        rowBlock(21L, 1L, 3.0, "c"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/binlog/f2.txt"),
+      BinlogText.renderGtid(30L, 800000002L, uuid, 3L) + "\n" +
+        rowBlock(31L, 3L, 4.0, "d") + rowBlock(32L, 2L, 5.0, "e"))
+    // the index: one stamp per transaction, position-ordered
+    assert(BinlogText.parseGtidIndex(spark, s"$dir/binlog") == Seq(
+      (10L, uuid, 1L), (20L, uuid, 2L), (30L, uuid, 3L)))
+    // row parse is undisturbed by the stamps
+    val env = BinlogText.parse(spark, s"$dir/binlog", cols)
+    assert(env.count() == 5)
+    val chain = Seq(uuid -> 0L)
+    // the executed-set token decodes onto the position boundary: txns
+    // 1-2 covered → everything below txn 3's stamp skips
+    val boundary = BinlogText.gtidStartAfter(spark, s"$dir/binlog",
+      s"$uuid:1-2", chain)
+    assert(boundary == 29L, s"got $boundary")
+    // resume-by-GTID lands on the same state as resume-by-seq: seed a
+    // replica with txns 1-2 applied, then resume over the FULL dump
+    val a = tmp()
+    StreamingOps.writeWave(env, s"$a/in", 0)
+    StreamingOps.runCdcPass(spark, env.schema, s"$a/in", s"$a/ckpt",
+      s"$a/state")
+    val b = tmp()
+    StreamingOps.writeWave(env.filter(col("seq") <= 21), s"$b/in", 0)
+    StreamingOps.runCdcPass(spark, env.schema, s"$b/in", s"$b/ckpt",
+      s"$b/state")
+    StreamingOps.writeWave(env, s"$b/in", 1)
+    StreamingOps.runCdcPass(spark, env.schema, s"$b/in", s"$b/ckpt",
+      s"$b/state", startAfterSeq = Some(boundary))
+    def served(d: String) = StreamingOps.readLatestState(spark, s"$d/state")
+      .select("okey", "price", "status").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(served(a) == served(b),
+      s"GTID resume diverged: full=${served(a)} resumed=${served(b)}")
+    // a fully-covered set skips the whole dump
+    assert(BinlogText.gtidStartAfter(spark, s"$dir/binlog",
+      s"$uuid:1-3", chain) == Long.MaxValue)
+    // codec refusals surface unchanged: foreign UUID by name, gapped set
+    val foreign = intercept[IllegalArgumentException] {
+      BinlogText.gtidStartAfter(spark, s"$dir/binlog",
+        "deadbeef-0000-0000-0000-000000000000:1-2", chain)
+    }
+    assert(foreign.getMessage.contains("deadbeef"))
+    val gapped = intercept[IllegalArgumentException] {
+      BinlogText.gtidStartAfter(spark, s"$dir/binlog", s"$uuid:1:3", chain)
+    }
+    assert(gapped.getMessage.contains("gap"))
+    // a rotated dump that starts EXACTLY one past the token's horizon
+    // still anchors (txn 2's stamp is the boundary — no history missing)
+    val dir2 = tmp()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir2/binlog"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir2/binlog/f2.txt"),
+      BinlogText.renderGtid(20L, 800000001L, uuid, 2L) + "\n" +
+        rowBlock(21L, 1L, 3.0, "c") +
+        BinlogText.renderGtid(30L, 800000002L, uuid, 3L) + "\n" +
+        rowBlock(31L, 3L, 4.0, "d"))
+    assert(BinlogText.gtidStartAfter(spark, s"$dir2/binlog",
+      s"$uuid:1", Seq(uuid -> 0L)) == 19L)
+    // but a token standing BELOW the dump's oldest stamp minus one
+    // refuses — the history between them has rotated away
+    val dir3 = tmp()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir3/binlog"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir3/binlog/f3.txt"),
+      BinlogText.renderGtid(30L, 800000002L, uuid, 3L) + "\n" +
+        rowBlock(31L, 3L, 4.0, "d") +
+        BinlogText.renderGtid(40L, 800000003L, uuid, 4L) + "\n" +
+        rowBlock(41L, 4L, 5.0, "e"))
+    val rotated = intercept[IllegalArgumentException] {
+      // horizon 1, oldest stamp 3: txn 2 is in neither the set nor
+      // the dump — nothing may silently skip it
+      BinlogText.gtidStartAfter(spark, s"$dir3/binlog",
+        s"$uuid:1", Seq(uuid -> 0L))
+    }
+    assert(rotated.getMessage.contains("rotated away"))
+  }
+
+  test("GTID failover chain: stamps under two server UUIDs decode onto " +
+      "one seq axis; stale chains and out-of-chain stamps refuse") {
+    val old = "aaaaaaaa-0000-0000-0000-000000000001"
+    val neo = "bbbbbbbb-0000-0000-0000-000000000002"
+    val dir = tmp()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/binlog"))
+    def rowBlock(seq: Long, okey: Long) =
+      s"# at $seq\n#920315  0:00:00 server id 1  end_log_pos $seq CRC32 " +
+        "0x00000000 \tWrite_rows: table id 108 flags: STMT_END_F\n" +
+        s"### INSERT INTO `db`.`orders`\n### SET\n###   @1=$okey\n" +
+        s"###   @2=1.0\n###   @3='x'\n"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/binlog/f.txt"),
+      BinlogText.renderGtid(10L, 800000000L, old, 1L) + "\n" + rowBlock(11L, 1L) +
+        BinlogText.renderGtid(20L, 800000001L, old, 2L) + "\n" + rowBlock(21L, 2L) +
+        BinlogText.renderGtid(30L, 800000002L, neo, 1L) + "\n" + rowBlock(31L, 3L))
+    val chain = Seq(old -> 2L, neo -> 0L)
+    // covered through the failover: only the new primary's txn remains
+    assert(BinlogText.gtidStartAfter(spark, s"$dir/binlog",
+      s"$old:1-2", chain) == 29L)
+    // covered past the failover: the whole dump skips
+    assert(BinlogText.gtidStartAfter(spark, s"$dir/binlog",
+      s"$old:1-2,$neo:1", chain) == Long.MaxValue)
+    // a chain that retired the old primary EARLIER than the dump's
+    // stamps is stale — refuse, the dump claims txns past the end
+    val stale = intercept[IllegalArgumentException] {
+      BinlogText.gtidStartAfter(spark, s"$dir/binlog",
+        s"$old:1", Seq(old -> 1L, neo -> 0L))
+    }
+    assert(stale.getMessage.contains("past its declared count"))
+    // a stamp outside the declared chain refuses by name
+    val outside = intercept[IllegalArgumentException] {
+      BinlogText.gtidStartAfter(spark, s"$dir/binlog",
+        s"$old:1-2", Seq(old -> 2L))
+    }
+    assert(outside.getMessage.contains("outside this replica's channel"))
+  }
+
   test("malformed input and lossy renders refuse loudly") {
     def parseText(text: String): Unit = {
       val dir = tmp()
