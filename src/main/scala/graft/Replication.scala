@@ -241,6 +241,37 @@ object Replication {
               .mkString(", ") +
             " — table renames rebind state dirs, not columns: apply " +
             "them via Replication.renameTables BEFORE this pass")
+        // same contract for the lifecycle pair: a single-table pass
+        // cannot open or retire state dirs — the topology layer does
+        require(cfg.createTables.isEmpty && cfg.dropTables.isEmpty,
+          "ddlSql carries table lifecycle statement(s) " +
+            (cfg.createTables.map(c => s"CREATE '${c._2.table}'") ++
+              cfg.dropTables.map(d => s"DROP '${d._2}'")).mkString(", ") +
+            " — CREATE/DROP TABLE bootstrap or retire whole state " +
+            "dirs: apply them via Replication.applyTableLifecycle " +
+            "BEFORE this pass")
+        // MODIFY declarations are checked against the PUBLISHED schema
+        // at the gate: a narrowing (or cross-family) modify refuses
+        // HERE, naming the statement — MySQL rewrites (truncates)
+        // source data on a narrowing MODIFY, so a replica that kept
+        // serving wide values for untouched keys would silently
+        // diverge; the envelope-layer guardrail alone would refuse
+        // later with no statement to point at. Widenings and same-type
+        // modifies pass through — the resumed envelope carries them to
+        // the widening guardrail as before.
+        for (published <- streaming.StreamingOps.readStateSchema(stateDir);
+             (colName, (atSeq, tpe)) <- cfg.modifyCols;
+             pf <- published.fields.find(_.name == colName)) {
+          val declared = streaming.DdlSql.sparkType(tpe)
+          require(declared == pf.dataType ||
+            streaming.StreamingOps.widensForDdl(pf.dataType, declared),
+            s"MODIFY COLUMN '$colName' $tpe (at seq $atSeq) would " +
+              s"narrow or change the published ${pf.dataType.simpleString}" +
+              " — the source rewrites its data on such a MODIFY while " +
+              "untouched replica keys would keep serving the old-typed " +
+              "values; resync the table instead of replicating the " +
+              "statement")
+        }
         (cfg.renameCols, cfg.truncateAtSeq, cfg.defaultCols, cfg.dropCols)
       }
     val (rows, epochs, lastSeq, pending, srcMax) =
@@ -1014,6 +1045,103 @@ object Replication {
       streaming.StateFs.writeAtomic(journal, s"done=${i + 1}\n$planText")
     }
     streaming.StateFs.deleteRecursive(journal)
+  }
+
+  /** What [[applyTableLifecycle]] did: per created table its generated
+    * destination bootstrap DDL, per dropped table the retired dir name
+    * under the root (empty seq entries never occur — a table created
+    * and dropped inside one gap simply vanishes from `stateDirs` with
+    * nothing on disk to retire), and the UPDATED topology map to hand
+    * the next multi-table pass. */
+  final case class TableLifecycleReport(
+      created: Seq[(String, String)],
+      retired: Seq[(String, String)],
+      stateDirs: Map[String, String])
+
+  /** TABLE LIFECYCLE from a DDL gap — the topology-level verbs a real
+    * binlog feed ships mid-stream: `CREATE TABLE` (a new table appears,
+    * then its row events follow) and `DROP TABLE` (an old one
+    * retires). Scans the gap's QueryEvents (straight from
+    * `BinlogText.parseDdl` or any `(pos, sql)` feed) and applies, in
+    * position order:
+    *
+    *  - an in-scope CREATE TABLE **bootstraps** the table: its parsed
+    *    column list maps through [[streaming.DdlSql.sparkType]] onto
+    *    the engine schema, [[sources.DestinationDdl.createTable]]
+    *    generates the destination DDL (returned for the operator to
+    *    run), and `root/<table>` joins the topology map so the next
+    *    [[incrementalSyncMulti]] pass fans its row events out. A
+    *    CREATE without a PRIMARY KEY refuses — a keyless table has no
+    *    replication identity to collapse on. Re-creating a replicated
+    *    table refuses — no safe mapping, same as before.
+    *  - an in-scope DROP TABLE **retires** the table's state dir via
+    *    the journaled rename protocol ([[renameTables]]) to
+    *    `_<table>_dropped_<seq>` — crash-safe, neighbors untouched,
+    *    the frozen dir left for the operator to audit or delete.
+    *
+    * Everything else — column-level verbs, out-of-scope noise — is the
+    * per-pass fold's business and is skipped here; run this BEFORE the
+    * pass, exactly like [[renameTables]]. `inScope` is the replication
+    * scope predicate (a whole-database channel passes `_ => true`;
+    * an include-list topology passes its filter). The topology's state
+    * dirs must live at `root/<table>` — the layout the rename/retire
+    * protocol operates on. Driver-side metadata work throughout. */
+  def applyTableLifecycle(spark: SparkSession, root: String,
+      events: Seq[(Long, String)],
+      replicated: Map[String, String],
+      inScope: String => Boolean = _ => true): TableLifecycleReport = {
+    replicated.foreach { case (t, d) =>
+      require(d == s"$root/$t",
+        s"table '$t' state dir '$d' is not root-relative ('$root/$t') — " +
+          "the lifecycle retire protocol renames dirs under one root")
+    }
+    var dirs = replicated
+    var gapBorn = Set.empty[String]
+    val created = Seq.newBuilder[(String, String)]
+    val retired = Seq.newBuilder[(String, String)]
+    for ((seq, sql) <- events.sortBy(_._1);
+         st <- streaming.DdlSql.parse(sql)) st match {
+      case ct: streaming.DdlSql.CreateTable if inScope(ct.table) =>
+        require(!dirs.contains(ct.table),
+          s"CREATE TABLE '${ct.table}' at seq $seq but the table is " +
+            "already replicated — re-creating it has no safe mapping " +
+            "(drop it first, or resync)")
+        require(!streaming.StateFs.exists(s"$root/${ct.table}"),
+          s"CREATE TABLE '${ct.table}' at seq $seq but $root already " +
+            "holds a dir of that name — an undeclared leftover the " +
+            "bootstrap must not silently adopt")
+        require(ct.keyCols.nonEmpty,
+          s"CREATE TABLE '${ct.table}' declares no PRIMARY KEY — a " +
+            "keyless table has no replication identity to collapse on")
+        val schema = StructType(ct.columns.map { case (n, tp) =>
+          org.apache.spark.sql.types.StructField(n,
+            streaming.DdlSql.sparkType(tp),
+            nullable = !ct.keyCols.exists(_.equalsIgnoreCase(n)))
+        })
+        created += ct.table ->
+          sources.DestinationDdl.createTable(ct.table, schema, ct.keyCols)
+        dirs += ct.table -> s"$root/${ct.table}"
+        gapBorn += ct.table
+      case streaming.DdlSql.DropTable(t) if inScope(t) =>
+        require(dirs.contains(t),
+          s"DROP TABLE '$t' at seq $seq but the table is not " +
+            "replicated here — scope the gap, or the chain is stale")
+        if (gapBorn(t)) {
+          // born and dropped inside the gap: never synced, nothing on
+          // disk — both entries cancel (the column-add/drop rule,
+          // one level up)
+          gapBorn -= t
+        } else if (streaming.StateFs.exists(s"$root/$t")) {
+          val dest = s"_${t}_dropped_$seq"
+          renameTables(root, Seq(t -> dest))
+          retired += t -> dest
+        }
+        // declared-but-never-synced tables have no dir to retire —
+        // they only leave the topology map
+        dirs -= t
+      case _ => () // column verbs / out-of-scope noise: not ours
+    }
+    TableLifecycleReport(created.result(), retired.result(), dirs)
   }
 
   /** The currently applied destination state (latest row per key,

@@ -395,6 +395,109 @@ object BinlogText {
     out.result().iterator
   }
 
+  /** Render one Xid event block — the COMMIT marker a transactional
+    * engine writes at each transaction's end ([[parseXids]]'s inverse;
+    * for fixtures). */
+  def renderXid(seq: Long, tsEpochSec: Long, xid: Long): String = {
+    val ldt = java.time.LocalDateTime.ofEpochSecond(
+      tsEpochSec, 0, java.time.ZoneOffset.UTC)
+    val hdr = headerDate(ldt, s"xid event at seq $seq")
+    s"# at $seq\n$hdr server id 1  end_log_pos $seq CRC32 0x00000000 " +
+      s"\tXid = $xid\nCOMMIT/*!*/;"
+  }
+
+  /** The dump's COMMIT positions: one `(binlog position, header epoch
+    * seconds)` per Xid event. Distributed per file like every other
+    * extractor here; metadata scale (one tiny row per transaction). */
+  def parseXids(spark: SparkSession, dir: String): Seq[(Long, Long)] = {
+    import org.apache.spark.sql.Encoders
+    val files = spark.read.option("wholetext", "true").text(dir)
+    files.select(col("value"))
+      .flatMap(r => extractXids(r.getString(0)))(
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .collect().toSeq.sortBy(_._1)
+  }
+
+  private def extractXids(text: String): Iterator[(Long, Long)] = {
+    val out = Vector.newBuilder[(Long, Long)]
+    var pos = Option.empty[Long]
+    for (line0 <- text.linesIterator; line = line0.trim if line.nonEmpty) {
+      if (line.startsWith("# at "))
+        pos = line.stripPrefix("# at ").trim.toLongOption
+      else if (line.startsWith("#") && !line.startsWith("###") &&
+        HeaderTs.matches(line) && line.contains("Xid")) {
+        val p = pos.getOrElse(throw new IllegalArgumentException(
+          s"Xid event without a '# at' position: $line"))
+        val epochSec = parseHeaderTs(line)
+          .toEpochSecond(java.time.ZoneOffset.UTC)
+        out += ((p, epochSec))
+      }
+    }
+    out.result().iterator
+  }
+
+  /** The dump as a TXN-GATED envelope — the full transaction loop from
+    * text: [[parse]]'s row events stamped with their transaction's
+    * GTID (`txnCol` = `uuid:n`, from the deepest GTID stamp at or
+    * below each event's position) plus one `op = "C"` commit-marker
+    * row per Xid event, positioned and time-stamped by the Xid's own
+    * header — exactly the shape `runCdcPass(txnCol = …)` consumes. An
+    * uncommitted TRAILING transaction (GTID stamp and row events, no
+    * Xid yet) therefore arrives marker-less and is held back by the
+    * gate, and because the header times ride the envelope's `ts`, a
+    * text-fed replica's `secondsBehindSource` reads the held tail's
+    * true event-time gap — Seconds_Behind_Master end to end from dump
+    * bytes. The stamp/Xid indexes are driver-side metadata (one tiny
+    * row per transaction); the row decode itself stays distributed
+    * per file. */
+  def parseTxn(spark: SparkSession, dir: String,
+      cols: Seq[(String, DataType)],
+      txnCol: String = "txn"): DataFrame = {
+    require(!cols.exists(_._1 == txnCol) &&
+      !Seq("op", "seq", "ts").contains(txnCol),
+      s"txn column '$txnCol' collides with an envelope column")
+    val env = parse(spark, dir, cols)
+    val gtids = parseGtidIndex(spark, dir) // (pos, uuid, n), pos-sorted
+    require(gtids.nonEmpty,
+      s"dump at $dir carries no GTID_NEXT stamps — transactions cannot " +
+        "be delimited; consume it as a plain stream instead")
+    val stamps = gtids.map { case (p, u, n) => (p, s"$u:$n") }
+    // stamp each row event: deepest GTID at-or-below its position —
+    // a broadcast range-join against the metadata-scale interval table
+    import spark.implicits._
+    val bounds = stamps.zip(
+      stamps.drop(1).map(_._1) :+ Long.MaxValue)
+      .map { case ((p, g), next) => (p, next, g) }
+      .toDF("_lo", "_hi", txnCol)
+    val stamped = env.join(broadcast(bounds),
+      col("seq") > col("_lo") && col("seq") < col("_hi"), "left")
+      .drop("_lo", "_hi")
+    stamped.filter(col(txnCol).isNull).limit(1).collect().headOption
+      .foreach { r =>
+        throw new IllegalArgumentException(
+          s"row event at position ${r.getAs[Long]("seq")} precedes the " +
+            "dump's first GTID stamp — its transaction cannot be named")
+      }
+    // commit markers from the Xid events: each closes the deepest
+    // transaction opened before it
+    val markers = parseXids(spark, dir).map { case (p, epochSec) =>
+      val g = stamps.takeWhile(_._1 < p).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"Xid at position $p precedes the dump's first GTID stamp"))
+      (p, epochSec, g._2)
+    }
+    val markerDf = markers.toDF("seq", "_sec", txnCol)
+      .select(lit("C").as("op"), col("seq"),
+        timestamp_seconds(col("_sec"))
+          .cast(org.apache.spark.sql.types.TimestampNTZType).as("ts"),
+        col(txnCol))
+    val payloadNulls = cols.map { case (n, t) =>
+      lit(null).cast(t).as(n) }
+    stamped.unionByName(
+      markerDf.select(Seq(col("op"), col("seq"), col("ts")) ++
+        payloadNulls :+ col(txnCol): _*))
+  }
+
   /** Decode a GTID-set resume TOKEN against THIS dump's GTID index:
     * returns the `startAfterSeq` boundary — events at or below it
     * belong to transactions the set already covers; events above it

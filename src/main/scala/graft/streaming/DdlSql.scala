@@ -59,14 +59,35 @@ object DdlSql {
   final case class TruncateTable(table: String) extends Statement
   final case class RenameTable(renames: Seq[(String, String)])
       extends Statement { def table: String = renames.head._1 }
+  /** TABLE LIFECYCLE: a parsed `CREATE TABLE` — the statement a real
+    * replication feed sees when a new table appears mid-stream.
+    * `columns` are (name, MySQL type text) in declaration order;
+    * `keyCols` is the PRIMARY KEY (inline `col … PRIMARY KEY` and the
+    * table-constraint form both land here). The fold records it in
+    * [[DdlConfig.createTables]]; the TOPOLOGY layer
+    * ([[graft.Replication.applyTableLifecycle]]) turns it into a
+    * destination bootstrap + a new state dir — a single-table pass
+    * cannot absorb it and refuses, as before. A CREATE whose body the
+    * dialect cannot parse degrades to [[Unsupported]], so out-of-scope
+    * exotic CREATEs stay skippable noise while in-scope ones refuse. */
+  final case class CreateTable(table: String,
+      columns: Seq[(String, String)], keyCols: Seq[String])
+      extends Statement
+  /** TABLE LIFECYCLE: a parsed `DROP TABLE` for one table (a DROP
+    * list yields one statement per table). Fold records it in
+    * [[DdlConfig.dropTables]]; the topology layer retires the state
+    * dir via the journaled rename protocol. */
+  final case class DropTable(table: String) extends Statement
   /** Recognized verb with no envelope effect (secondary index DDL). */
   final case class Inert(table: String, clause: String) extends Statement
-  /** A table-level verb OUTSIDE the dialect (CREATE/DROP/OPTIMIZE/
-    * ANALYZE TABLE), parsed far enough to NAME its table: a scoped fold
-    * skips other tables' routine noise (every real binlog interleaves
-    * the whole topology's DDL), while an in-scope one still refuses
-    * loudly at fold — recreating or dropping the replicated table has
-    * no safe mapping. */
+  /** A table-level verb OUTSIDE the dialect (OPTIMIZE/ANALYZE noise
+    * aside — those are Inert — e.g. CREATE TABLE … LIKE/AS SELECT, or
+    * CREATE/DROP of a non-table object), parsed far enough to NAME its
+    * table: a scoped fold skips other tables' routine noise (every
+    * real binlog interleaves the whole topology's DDL), while an
+    * in-scope one still refuses loudly at fold — a statement the
+    * dialect cannot map for the replicated table itself must never
+    * silently drop. */
   final case class Unsupported(table: String, verb: String)
       extends Statement
 
@@ -80,7 +101,31 @@ object DdlSql {
       dropCols: Map[String, Long] = Map.empty,
       defaultCols: Map[String, StreamingOps.ColumnDefault] = Map.empty,
       truncateAtSeq: Option[Long] = None,
-      tableRenames: Seq[(String, String)] = Nil)
+      tableRenames: Seq[(String, String)] = Nil,
+      /** In-scope CREATE TABLE statements, in position order. Like
+        * `tableRenames`, these are NOT a column-level pass's business:
+        * a pass consuming the config must refuse them and direct the
+        * operator to [[graft.Replication.applyTableLifecycle]], which
+        * bootstraps the destination and opens the state dir BEFORE the
+        * pass runs. */
+      createTables: Seq[(Long, CreateTable)] = Nil,
+      /** In-scope DROP TABLE statements, (position, table), in position
+        * order — same contract as `createTables`: the topology layer
+        * retires the dir; a column-level pass refuses. */
+      dropTables: Seq[(Long, String)] = Nil,
+      /** In-scope MODIFY/CHANGE type declarations for PUBLISHED columns:
+        * column → (position, declared MySQL type text). The type change
+        * itself still arrives with the resumed pass's envelope schema —
+        * but the consuming pass checks these declarations against the
+        * published schema FIRST, so a NARROWING or cross-family modify
+        * refuses at the gate naming the statement (MySQL rewrites —
+        * truncates — source data on a narrowing MODIFY; a replica that
+        * kept serving wide values for untouched keys would silently
+        * diverge), instead of surfacing later as an envelope-layer
+        * type-change error with no statement to point at. Gap-born
+        * columns' modifies are not recorded — there is no published
+        * type to narrow. */
+      modifyCols: Map[String, (Long, String)] = Map.empty)
 
   // ---------------------------------------------------------------
   // tokenizer: whitespace-split with backtick idents, quoted strings
@@ -237,11 +282,13 @@ object DdlSql {
       out.result()
     } else if (kw(head, "CREATE") || kw(head, "DROP") ||
       kw(head, "OPTIMIZE") || kw(head, "ANALYZE")) {
-      // table-level verbs outside the dialect: name the table so a
-      // scoped fold can skip topology noise; CREATE/DROP INDEX is the
-      // statement form of the inert index clause
+      // table-level verbs: CREATE/DROP TABLE are the LIFECYCLE pair
+      // (parsed to structured statements — the topology layer maps
+      // them); CREATE/DROP INDEX is the statement form of the inert
+      // index clause; OPTIMIZE/ANALYZE are maintenance noise
       val verb = head.toUpperCase
-      c.takeKw("TEMPORARY"); c.takeKw("NO_WRITE_TO_BINLOG"); c.takeKw("LOCAL")
+      val temporary = c.takeKw("TEMPORARY")
+      c.takeKw("NO_WRITE_TO_BINLOG"); c.takeKw("LOCAL")
       if ((kw(head, "CREATE") || kw(head, "DROP")) && {
         c.takeKw("UNIQUE"); c.takeKw("FULLTEXT"); c.takeKw("SPATIAL")
         c.takeKw("INDEX")
@@ -261,13 +308,37 @@ object DdlSql {
         while (c.more && c.peek == "," && !kw(head, "CREATE")) {
           c.i += 1; tables += c.tableName()
         }
-        c.i = c.toks.length // definitions/options — fold decides scope
-        if (kw(head, "OPTIMIZE") || kw(head, "ANALYZE"))
+        if (kw(head, "OPTIMIZE") || kw(head, "ANALYZE")) {
           // maintenance verbs: statistics refresh / defrag rebuild —
           // no schema or data semantics on the replica (the ALTER-form
           // ENGINE=InnoDB rebuild is inert for the same reason)
+          c.i = c.toks.length
           tables.result().map(t => Inert(t, s"$verb TABLE"))
-        else tables.result().map(t => Unsupported(t, s"$verb TABLE"))
+        } else if (temporary) {
+          // TEMPORARY tables are session-local: their row changes never
+          // enter the binlog under ROW format, so the lifecycle pair is
+          // deliberately inert for them — in OR out of scope
+          c.i = c.toks.length
+          tables.result().map(t => Inert(t, s"$verb TEMPORARY TABLE"))
+        } else if (kw(head, "DROP")) {
+          // RESTRICT/CASCADE tails are parse noise (MySQL accepts and
+          // ignores them)
+          c.takeKw("RESTRICT"); c.takeKw("CASCADE")
+          if (c.more) fail(stripped,
+            s"trailing tokens after DROP TABLE list at ${show(c.peek)}")
+          tables.result().map(DropTable)
+        } else {
+          // CREATE TABLE: parse the column body into a structured
+          // CreateTable; a body outside the dialect (LIKE, AS SELECT,
+          // exotic clauses) degrades to Unsupported so a scoped fold
+          // can still skip it as a neighbor's noise
+          try Seq(parseCreateBody(c, first, stripped))
+          catch {
+            case _: IllegalArgumentException =>
+              c.i = c.toks.length
+              Seq(Unsupported(first, "CREATE TABLE"))
+          }
+        }
       } else if (c.more && !c.peek.startsWith(" ") &&
         (kw(c.peek, "OR") ||
           nonTableObjects.contains(c.peek.toUpperCase))) {
@@ -528,18 +599,230 @@ object DdlSql {
         "ADD/DROP/MODIFY/CHANGE/RENAME COLUMN, RENAME TO, index verbs)")
   }
 
+  /** Parse a `CREATE TABLE t (…)` body into its structured statement.
+    * Columns parse as (name, MySQL type text); the PRIMARY KEY arrives
+    * inline (`id BIGINT PRIMARY KEY`, or the bare `KEY` shorthand) or
+    * as the table-constraint form (`PRIMARY KEY (a, b)`). Secondary
+    * index/constraint clauses (KEY/INDEX/UNIQUE/FULLTEXT/SPATIAL/
+    * CONSTRAINT/FOREIGN KEY/CHECK) are inert here exactly as in ALTER
+    * — source-side physical concerns. Column DEFAULTs (expressions
+    * included) and ON UPDATE tails are consumed without recording: a
+    * table born in the gap has no pre-DDL rows to backfill, so its
+    * defaults never become lazy-backfill verbs. Table options after
+    * the closing paren (ENGINE=, CHARSET…) skip. Anything else throws
+    * — the caller degrades the statement to [[Unsupported]]. */
+  private def parseCreateBody(c: Cur, table: String,
+      sql: String): CreateTable = {
+    if (!c.more || c.next() != "(")
+      fail(sql, "expected ( opening the CREATE TABLE column list")
+    val cols = Seq.newBuilder[(String, String)]
+    var keyCols = Seq.empty[String]
+    var go = true
+    while (go) {
+      if (c.more && !c.peek.startsWith(" ") &&
+        c.peek.equalsIgnoreCase("PRIMARY")) {
+        c.i += 1; c.expectKw("KEY")
+        if (c.takeKw("USING")) c.ident("index type")
+        require(keyCols.isEmpty, "duplicate PRIMARY KEY clause")
+        keyCols = parseKeyColumnList(c, sql)
+      } else if (c.more && !c.peek.startsWith(" ") &&
+        (indexKws.contains(c.peek.toUpperCase) ||
+          Seq("CONSTRAINT", "FOREIGN", "CHECK")
+            .contains(c.peek.toUpperCase))) {
+        skipCreateClause(c)
+      } else {
+        val (name, tpe, pk) = parseCreateColumn(c, sql)
+        cols += (name -> tpe)
+        if (pk) {
+          require(keyCols.isEmpty,
+            "duplicate PRIMARY KEY declaration (inline + constraint)")
+          keyCols = Seq(name)
+        }
+      }
+      if (c.more && c.peek == ",") c.i += 1
+      else if (c.more && c.peek == ")") { c.i += 1; go = false }
+      else fail(sql, s"expected , or ) in CREATE TABLE body at " +
+        show(c.peek))
+    }
+    c.i = c.toks.length // table options (ENGINE=, CHARSET, …) — inert
+    val columns = cols.result()
+    require(columns.nonEmpty, "CREATE TABLE with no columns")
+    require(columns.map(_._1.toLowerCase).distinct.length == columns.length,
+      "CREATE TABLE declares a column twice")
+    keyCols.foreach(k => require(
+      columns.exists(_._1.equalsIgnoreCase(k)),
+      s"PRIMARY KEY names undeclared column '$k'"))
+    CreateTable(table, columns, keyCols)
+  }
+
+  /** `(a, b(10), c ASC)` → Seq(a, b, c). */
+  private def parseKeyColumnList(c: Cur, sql: String): Seq[String] = {
+    if (!c.more || c.next() != "(")
+      fail(sql, "expected ( opening the key column list")
+    val out = Seq.newBuilder[String]
+    var go = true
+    while (go) {
+      out += c.ident("key column")
+      if (c.more && c.peek == "(") { // prefix length, e.g. name(10)
+        c.i += 1; c.next(); if (!c.more || c.next() != ")")
+          fail(sql, "unterminated key prefix length")
+      }
+      c.takeKw("ASC"); c.takeKw("DESC")
+      if (c.more && c.peek == ",") c.i += 1
+      else if (c.more && c.peek == ")") { c.i += 1; go = false }
+      else fail(sql, "expected , or ) in key column list")
+    }
+    out.result()
+  }
+
+  /** Skip an index/constraint clause inside a CREATE body: to the next
+    * comma at THIS paren depth, or to (not past) the body's closing
+    * paren. */
+  private def skipCreateClause(c: Cur): Unit = {
+    var depth = 0
+    var go = true
+    while (go && c.more) {
+      if (depth == 0 && (c.peek == "," || c.peek == ")")) go = false
+      else {
+        val t = c.next()
+        if (t == "(") depth += 1
+        if (t == ")") depth -= 1
+      }
+    }
+  }
+
+  /** One CREATE-body column spec: name, type text, inline-PK flag.
+    * Unlike ALTER's [[parseType]], an inline `PRIMARY KEY` (or the
+    * bare `KEY` shorthand) is a KEY DECLARATION here — a CREATE is
+    * allowed to declare its identity; only ALTERing identity refuses. */
+  private def parseCreateColumn(c: Cur,
+      sql: String): (String, String, Boolean) = {
+    val name = c.ident("column name")
+    val sb = new StringBuilder(c.ident("column type").toUpperCase)
+    if (c.more && c.peek == "(") {
+      sb.append('(')
+      c.i += 1
+      var depth = 1
+      while (depth > 0) {
+        if (!c.more) fail(sql, "unterminated type argument list")
+        val t = c.next()
+        if (t == "(") depth += 1
+        if (t == ")") depth -= 1
+        if (depth > 0) sb.append(if (t == ",") "," else show(t))
+      }
+      sb.append(')')
+    }
+    while (c.more && !c.peek.startsWith(" ") &&
+      Seq("UNSIGNED", "ZEROFILL").contains(c.peek.toUpperCase))
+      sb.append(' ').append(c.next().toUpperCase)
+    var pk = false
+    var go = true
+    def literalOrCall(): Unit = {
+      c.next() // a literal, or a function word like CURRENT_TIMESTAMP
+      if (c.more && c.peek == "(") { // …(6) precision args
+        var depth = 0
+        do {
+          val t = c.next()
+          if (t == "(") depth += 1
+          if (t == ")") depth -= 1
+        } while (depth > 0 && c.more)
+      }
+    }
+    while (go && c.more && c.peek != "," && c.peek != ")") {
+      if (c.takeKw("NOT")) c.expectKw("NULL")
+      else if (c.takeKw("NULL")) ()
+      else if (c.takeKw("DEFAULT")) literalOrCall()
+      else if (c.takeKw("ON")) { c.expectKw("UPDATE"); literalOrCall() }
+      else if (c.takeKw("AUTO_INCREMENT")) ()
+      else if (c.takeKw("COMMENT")) { c.next(); () }
+      else if (c.takeKw("COLLATE")) { c.next(); () }
+      else if (c.takeKw("CHARACTER")) { c.expectKw("SET"); c.next(); () }
+      else if (c.takeKw("PRIMARY")) { c.expectKw("KEY"); pk = true }
+      else if (c.takeKw("KEY")) pk = true // column-spec KEY = PRIMARY KEY
+      else if (c.takeKw("UNIQUE")) { c.takeKw("KEY"); () }
+      else go = false
+    }
+    if (!go) fail(sql,
+      s"unsupported CREATE column attribute at ${show(c.peek)}")
+    (name, sb.result(), pk)
+  }
+
+  /** MySQL column type text → the engine's Spark type — the TABLE_MAP
+    * analogue a CREATE TABLE bootstrap needs (feeds
+    * [[graft.sources.DestinationDdl.createTable]] through the topology
+    * layer). The mappings mirror the exercised type-surface policy:
+    * unsigned BIGINT rides DECIMAL(20,0) (2^64−1 overflows a signed
+    * long), ENUM/SET/JSON ride as strings, TIME as seconds-of-day
+    * Int32, BIT as Int64, DATETIME/TIMESTAMP as µs-precision naive
+    * timestamps (sessions pin UTC). Unknown types refuse loudly — a
+    * guessed type map is the tool class's #1 silent-corruption source. */
+  def sparkType(mysqlType: String): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    val t = mysqlType.trim.toUpperCase
+    val base = t.takeWhile(ch => ch != '(' && !ch.isWhitespace)
+    val unsigned = t.contains("UNSIGNED")
+    def args: Seq[Int] = {
+      val o = t.indexOf('(')
+      if (o < 0) Seq.empty
+      else t.substring(o + 1, t.indexOf(')', o)).split(',')
+        .flatMap(_.trim.toIntOption).toSeq
+    }
+    base match {
+      case "TINYINT" => if (unsigned) ShortType else ByteType
+      case "BOOL" | "BOOLEAN" => ByteType // TINYINT(1) alias
+      case "SMALLINT" => if (unsigned) IntegerType else ShortType
+      case "MEDIUMINT" => IntegerType // unsigned max 2^24 fits Int32
+      case "INT" | "INTEGER" => if (unsigned) LongType else IntegerType
+      case "BIGINT" => if (unsigned) DecimalType(20, 0) else LongType
+      case "DECIMAL" | "NUMERIC" | "DEC" | "FIXED" =>
+        val a = args
+        DecimalType(a.headOption.getOrElse(10), a.drop(1).headOption.getOrElse(0))
+      case "FLOAT" => FloatType
+      case "DOUBLE" | "REAL" => DoubleType
+      case "CHAR" | "VARCHAR" | "TINYTEXT" | "TEXT" | "MEDIUMTEXT" |
+        "LONGTEXT" | "ENUM" | "SET" | "JSON" => StringType
+      case "BINARY" | "VARBINARY" | "TINYBLOB" | "BLOB" | "MEDIUMBLOB" |
+        "LONGBLOB" => BinaryType
+      case "DATE" => DateType
+      case "DATETIME" | "TIMESTAMP" => TimestampNTZType
+      case "TIME" => IntegerType // seconds-of-day, the engine's TIME carrier
+      case "YEAR" => IntegerType
+      case "BIT" => LongType // bits ride as ints (cdc_type_exotic policy)
+      case other => throw new IllegalArgumentException(
+        s"no engine mapping for MySQL type '$other' (in '$mysqlType') — " +
+          "extend the type map explicitly rather than guessing")
+    }
+  }
+
   /** Fold the gap's QueryEvents — (binlog position, raw SQL) in
     * position order — into ONE resumed pass's structured config.
     * Composition rules mirror what the structured verbs would see if
     * declared one pass per statement:
     *
-    *  - renames CHAIN (a→b then b→c folds to a→c) and re-key pending
-    *    default/drop entries declared earlier in the gap;
+    *  - renames CHAIN (a→b then b→c folds to a→c) and re-key GAP-BORN
+    *    defaults (an ADD…DEFAULT earlier in the same gap follows the
+    *    new name); published-column drop entries are NOT re-keyed —
+    *    there is nothing valid to re-key them to;
     *  - a column ADDED and DROPPED within the gap never existed for
     *    the state — both entries cancel;
+    *  - NAME-REUSE ACROSS DROP/RENAME REFUSES: the pass config applies
+    *    renames before drops, so a gap like `DROP COLUMN a; RENAME
+    *    COLUMN b TO a` (b's history must survive under the name whose
+    *    OLD values the drop killed) cannot be expressed as one config
+    *    — folding it would either refuse downstream with a misleading
+    *    message or null out b's carried history; likewise renaming a
+    *    column already dropped in the gap, or dropping a column
+    *    already renamed away. Each refusal names the gap sequence.
+    *    (`DROP COLUMN a; ADD COLUMN a … DEFAULT d` DOES compose: old
+    *    values die at the drop seq, the reborn column backfills.)
     *  - TRUNCATE keeps the newest position (each one widens the floor);
     *  - table renames accumulate in statement order (apply them via
-    *    [[graft.Replication.renameTables]] BEFORE the pass).
+    *    [[graft.Replication.renameTables]] BEFORE the pass);
+    *  - in-scope CREATE/DROP TABLE record into
+    *    `createTables`/`dropTables` for the TOPOLOGY layer
+    *    ([[graft.Replication.applyTableLifecycle]]); a column-level
+    *    pass consuming the config refuses them, as it does
+    *    `tableRenames`.
     *
     * `tableFilter` scopes the fold to one destination table's
     * statements (a binlog interleaves every table's DDL); column-verb
@@ -571,9 +854,40 @@ object DdlSql {
             added -= col
             cfg = cfg.copy(defaultCols = cfg.defaultCols - col)
           } else {
+            // dropping a name a rename already claimed (either side)
+            // is unfoldable: `RENAME a TO b; DROP a` drops a column
+            // that no longer exists, `RENAME a TO b; DROP b` kills the
+            // migrated history a single config would order wrongly
+            cfg.renameCols.find { case (f, t2) => f == col || t2 == col }
+              .foreach { case (f, t2) =>
+                throw new IllegalArgumentException(
+                  s"DDL gap renames '$f' to '$t2' and later (at seq " +
+                    s"$seq) drops '$col' — one pass config applies " +
+                    "renames before drops and cannot express this " +
+                    "order; split the gap into two passes")
+              }
             cfg = cfg.copy(dropCols = cfg.dropCols + (col -> seq))
           }
         case RenameColumn(_, from, to) =>
+          // name reuse across an earlier drop is unfoldable: the pass
+          // applies renames BEFORE drops, so `DROP a; RENAME b TO a`
+          // folded together would gate b's carried history under a's
+          // drop seq (nulling what must survive) — refuse naming the
+          // sequence instead of mis-applying or refusing downstream
+          // with a misleading 'target already published'
+          if (cfg.dropCols.contains(to))
+            throw new IllegalArgumentException(
+              s"DDL gap drops column '$to' (at seq ${cfg.dropCols(to)}) " +
+                s"and later (at seq $seq) renames '$from' onto the freed " +
+                "name — one pass config applies renames before drops " +
+                "and cannot express this order; split the gap into two " +
+                "passes")
+          if (cfg.dropCols.contains(from))
+            throw new IllegalArgumentException(
+              s"DDL gap drops column '$from' (at seq " +
+                s"${cfg.dropCols(from)}) and later (at seq $seq) " +
+                "renames it — the column no longer exists at the " +
+                "rename's turn")
           if (added.contains(from)) {
             // a gap-born column renames by re-keying its default —
             // the state has no published column to migrate
@@ -587,10 +901,13 @@ object DdlSql {
             case None =>
               cfg = cfg.copy(renameCols = cfg.renameCols + (from -> to))
           }
-        case ModifyColumn(_, _, _) =>
+        case ModifyColumn(_, col, tpe) =>
           // the type change arrives with the resumed pass's envelope
-          // schema — the widening guardrail there is the enforcement
-          ()
+          // schema — but the declaration is RECORDED so the consuming
+          // pass can refuse a narrowing at the gate, naming this
+          // statement (gap-born columns skip: nothing published yet)
+          if (!added.contains(col))
+            cfg = cfg.copy(modifyCols = cfg.modifyCols + (col -> (seq, tpe)))
         case TruncateTable(_) =>
           cfg = cfg.copy(truncateAtSeq =
             Some(math.max(cfg.truncateAtSeq.getOrElse(Long.MinValue), seq)))
@@ -604,10 +921,18 @@ object DdlSql {
               a.equalsIgnoreCase(t) || b.equalsIgnoreCase(t) }
           }
           cfg = cfg.copy(tableRenames = cfg.tableRenames ++ kept)
+        case ct: CreateTable =>
+          // lifecycle verbs record for the TOPOLOGY layer — the same
+          // contract as tableRenames: a column-level pass consuming
+          // the config refuses them, applyTableLifecycle maps them
+          cfg = cfg.copy(createTables = cfg.createTables :+ (seq -> ct))
+        case DropTable(t) =>
+          cfg = cfg.copy(dropTables = cfg.dropTables :+ (seq -> t))
         case Inert(_, _) => ()
         case Unsupported(t, verb) =>
           // reachable only in scope (the filter skipped foreign noise):
-          // recreating/dropping THE replicated table has no safe mapping
+          // a statement the dialect cannot map for THE replicated
+          // table must never silently drop
           throw new IllegalArgumentException(
             s"unsupported statement verb '$verb' for replicated table " +
               s"'$t' at seq $seq — in: $sql")

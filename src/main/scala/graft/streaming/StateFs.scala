@@ -138,6 +138,27 @@ private[graft] object StateFs {
     bumpGate(normDir(dst))
   }
 
+  /** Recursive directory COPY (source untouched) — the fixture-clone
+    * primitive: a cached synced-state prefix is copied into a fresh
+    * dir so a scenario can corrupt/resume its own copy while every
+    * other consumer replays the pristine original. Byte copy, no Spark
+    * job, O(state bytes) — at harness scale milliseconds vs the
+    * seconds of re-running the streaming sync it replaces. The
+    * destination must not exist. Like [[moveDir]], bumps the arriving
+    * path's DDL-gate generation. */
+  def copyDir(src: String, dst: String): Unit = {
+    val sp = new Path(src)
+    val dp = new Path(dst)
+    val sfs = fs(sp)
+    val dfs = fs(dp)
+    require(sfs.exists(sp), s"copy source missing: $src")
+    require(!dfs.exists(dp), s"copy destination occupied: $dst")
+    Option(dp.getParent).foreach(dfs.mkdirs(_))
+    require(FileUtil.copy(sfs, sp, dfs, dp, false, conf(dp)),
+      s"cannot copy $src -> $dst")
+    bumpGate(normDir(dst))
+  }
+
   /** Contents of a small control file, None when absent. */
   def readSmall(path: String): Option[String] = {
     val p = new Path(path)

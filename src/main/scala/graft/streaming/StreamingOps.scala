@@ -263,6 +263,12 @@ object StreamingOps {
     case _ => false
   }
 
+  /** [[widens]] for the DDL-text gate ([[graft.Replication]]'s MODIFY
+    * narrowing check) — the same allowlist, shared so the two
+    * enforcement points can never drift. */
+  private[graft] def widensForDdl(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = widens(from, to)
+
   /** Validate `incoming` against the published schema (type-change fails
     * loudly, see [[EnvelopeTypeChangeException]]; allowlisted widenings
     * — see [[widens]] — publish the WIDER type instead) and publish the
@@ -656,6 +662,38 @@ object StreamingOps {
       in
     })
 
+  /** Per-process cache of SYNCED-STATE fixtures — the shared PREFIX of
+    * the repair/rebuild scenario family: those queries each sync the
+    * SAME waves into identical state (+ckpt/mv) dirs before their
+    * actual subject (corrupt→repair, drift→check→rebuild) begins,
+    * which at sf0.1 rebuilt ~identical streaming state four times per
+    * bench pass. The first caller builds the prefix root once;
+    * consumers CLONE the dirs they mutate ([[StateFs.copyDir]] — a
+    * byte copy, no stream trigger, milliseconds vs seconds) and leave
+    * the cached root pristine. Sound for the sharedWaves reason: the
+    * root is immutable after build, and nothing in a state/mv dir
+    * embeds its own path. Queries whose SUBJECT is the sync pass
+    * itself (the mv_* maintenance regimes) stay live — only true
+    * prefixes share. */
+  private val syncedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def sharedSynced(dir: String, key: String)
+      (build: String => Unit): String =
+    syncedCache.computeIfAbsent(s"$dir|$key", _ => {
+      val root = s"${tmpDir()}/fixture"
+      build(root)
+      root
+    })
+
+  /** Clone the named subdirs of a cached fixture root into a fresh tmp
+    * dir (the consumer's mutable copy); returns the new root. */
+  private def cloneSynced(root: String, subdirs: String*): String = {
+    val dst = tmpDir()
+    subdirs.foreach(sd => StateFs.copyDir(s"$root/$sd", s"$dst/$sd"))
+    dst
+  }
+
   private def memName(): String =
     "m" + UUID.randomUUID.toString.replace("-", "")
 
@@ -780,20 +818,31 @@ object StreamingOps {
       intoTs: Option[Long]): (Option[Long], Option[Long]) = {
     val tsCol = df.schema("ts").dataType match {
       case org.apache.spark.sql.types.TimestampType =>
-        unix_micros(max(col("ts")))
+        Some(unix_micros(max(col("ts"))))
       case org.apache.spark.sql.types.TimestampNTZType =>
         // sessions here run UTC (build.sbt forks with UTC), so the
         // NTZ→TZ cast is the identity mapping onto epoch micros
-        unix_micros(max(col("ts"))
-          .cast(org.apache.spark.sql.types.TimestampType))
-      case _ => max(col("ts")).cast("long") // pre-decoded numeric envelope
+        Some(unix_micros(max(col("ts"))
+          .cast(org.apache.spark.sql.types.TimestampType)))
+      case _ =>
+        // pre-decoded NUMERIC envelope: the unit is unknowable here
+        // (a seconds-unit feed recorded as-is would read 10^6 off in
+        // the µs-based lag math) — leave the time horizon UNRECORDED;
+        // seq tracking is unaffected and secondsBehindSource honestly
+        // reports None instead of a silently wrong number
+        None
     }
-    val r = df.agg(max(col("seq")), tsCol).collect()(0)
-    val s2 = if (r.isNullAt(0)) intoSeq
-      else Some(intoSeq.fold(r.getLong(0))(math.max(_, r.getLong(0))))
-    val t2 = if (r.isNullAt(1)) intoTs
-      else Some(intoTs.fold(r.getLong(1))(math.max(_, r.getLong(1))))
-    (s2, t2)
+    tsCol match {
+      case None =>
+        (foldMaxSeq(df, intoSeq), intoTs)
+      case Some(tc) =>
+        val r = df.agg(max(col("seq")), tc).collect()(0)
+        val s2 = if (r.isNullAt(0)) intoSeq
+          else Some(intoSeq.fold(r.getLong(0))(math.max(_, r.getLong(0))))
+        val t2 = if (r.isNullAt(1)) intoTs
+          else Some(intoTs.fold(r.getLong(1))(math.max(_, r.getLong(1))))
+        (s2, t2)
+    }
   }
 
   /** TIME-LAG MARKS (`_lag`: one tab-separated line,
@@ -3683,6 +3732,60 @@ object StreamingOps {
       readLatestState(s, s"$tmp/state")
     }),
 
+    // S-BINLOG-TEXT-TXN: the TRANSACTION loop from dump text — GTID
+    // stamps delimit transactions, Xid events mark their commits, and
+    // BinlogText.parseTxn turns both plus the row events into the
+    // txn-gated envelope runCdcPass(txnCol) consumes, with no
+    // hand-declared transaction anywhere between the dump and the
+    // served state. Transactions 1-2 (the insert and update waves)
+    // commit; transaction 3 (the delete wave) has its GTID stamp and
+    // row events in the dump but NO Xid yet — the uncommitted tail a
+    // replica must hold back entirely — so the served state must equal
+    // the latest-wins collapse over seq <= 2 only. The GTID resume
+    // boundary is asserted inline: the executed-set token 'uuid:1-2'
+    // must decode onto exactly the position below txn 3's stamp.
+    "cdc_binlog_text_txn" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir)
+      val cols: Seq[(String, org.apache.spark.sql.types.DataType)] = Seq(
+        "okey" -> org.apache.spark.sql.types.LongType,
+        "price" -> DoubleType, "status" -> StringType)
+      // binlog positions: seq*1e8 + okey + 1 — strictly per-key
+      // monotone in seq (the collapse is unchanged) and each wave's
+      // rows sit strictly between their txn's GTID stamp (n*1e8; the
+      // +1 keeps okey 0 off the stamp itself) and its Xid
+      // ((n+1)*1e8 - 1)
+      val env = log.select(col("op"),
+        (col("seq") * 100000000L + col("okey") + 1L).as("seq"),
+        col("ts"), col("okey"), col("price"), col("status"))
+      val tmp = tmpDir()
+      graft.sources.BinlogText.render(env, cols, s"$tmp/binlog", files = 3)
+      val uuid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+      val stamps = (1 to 3).map(n => graft.sources.BinlogText.renderGtid(
+        n * 100000000L, 800000000L, uuid, n)) ++
+        (1 to 2).map(n => graft.sources.BinlogText.renderXid(
+          (n + 1) * 100000000L - 1, 800000000L, n))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$tmp/binlog/txn.txt"),
+        stamps.mkString("\n"))
+      // resume composition: the executed set through txn 2 anchors one
+      // position below txn 3's stamp (fails red if the codec↔index
+      // mapping drifts)
+      val boundary = graft.sources.BinlogText.gtidStartAfter(
+        s, s"$tmp/binlog", s"$uuid:1-2", Seq(uuid -> 0L))
+      require(boundary == 3L * 100000000L - 1,
+        s"GTID resume boundary drifted: $boundary")
+      val envTxn = graft.sources.BinlogText.parseTxn(
+        s, s"$tmp/binlog", cols)
+      val in = s"$tmp/in"
+      writeWave(envTxn, in, 0)
+      runCdcPass(s, envTxn.schema, in, s"$tmp/ckpt", s"$tmp/state",
+        txnCol = Some("txn"))
+      readLatestState(s, s"$tmp/state")
+        .select(col("okey"), col("op"), col("price"), col("status"),
+          col("ts"))
+        .orderBy(col("okey"))
+    }),
+
     // ST-SOFT-DELETE: the tool class's "keep deleted rows" mode
     // (ReplacingMergeTree(ver, is_deleted)): the log ships binlog-true
     // DELETE events carrying the row's BEFORE IMAGE, and the destination
@@ -4054,6 +4157,79 @@ object StreamingOps {
         .orderBy(col("tbl"), col("okey"))
     }),
 
+    // ST-LIFECYCLE: TABLE LIFECYCLE from DDL TEXT — the two topology
+    // verbs a real binlog feed ships mid-stream, live end to end: the
+    // one-binlog→2-tables fan-out applies wave 1; then a dump rotation
+    // carries `CREATE TABLE t_new (…)` and `DROP TABLE t_odd` as
+    // QueryEvent text (extracted by BinlogText.parseDdl, mapped by
+    // Replication.applyTableLifecycle — no hand-declared verb between
+    // the dump and the topology change): the CREATE bootstraps the
+    // destination (its generated DDL is asserted inline — the S17
+    // closure over a PARSED source schema) and opens a state dir the
+    // next pass fans into; the DROP retires t_odd's dir via the
+    // journaled rename protocol, neighbors untouched. Wave 2 then
+    // carries t_even's updates/deletes AND the new table's first rows
+    // through ONE resumed pass, and the union read must equal the
+    // oracle's per-table collapses — with the dropped table absent and
+    // its frozen state intact under the retired name.
+    "cdc_table_lifecycle" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir)
+      val tmp = tmpDir()
+      val root = s"$tmp/tables"
+      val in = s"$tmp/in"
+      val w0 = log.filter(col("seq") === 1).withColumn("table",
+        when(col("okey") % 2 === 0, "t_even").otherwise("t_odd"))
+      writeWave(w0, in, 0)
+      val dirs = Map("t_even" -> s"$root/t_even", "t_odd" -> s"$root/t_odd")
+      runCdcPassMulti(s, w0.schema, in, s"$tmp/ckpt", dirs)
+      // the gap: one dump rotation of QueryEvent text
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$tmp/gap"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$tmp/gap/ddl.txt"),
+        Seq(
+          graft.sources.BinlogText.renderQuery(1L, 800000000L,
+            "CREATE TABLE `t_new` (`okey` BIGINT NOT NULL, " +
+              "`price` DOUBLE, `status` CHAR(1), `ts` DATETIME(6), " +
+              "PRIMARY KEY (`okey`)) ENGINE=InnoDB"),
+          graft.sources.BinlogText.renderQuery(2L, 800000001L,
+            "DROP TABLE `t_odd`")).mkString("\n"))
+      val report = graft.Replication.applyTableLifecycle(s, root,
+        graft.sources.BinlogText.parseDdl(s, s"$tmp/gap"), dirs)
+      // bootstrap DDL from the PARSED CREATE must map every type —
+      // asserted inline, a lost mapping fails the query red
+      val ddl = report.created.toMap.apply("t_new")
+      for (want <- Seq("`okey` Int64", "`price` Nullable(Float64)",
+          "`status` Nullable(String)", "`ts` Nullable(DateTime64(6))",
+          "ReplacingMergeTree", "ORDER BY (`okey`)"))
+        require(ddl.contains(want),
+          s"lifecycle bootstrap DDL lost a mapping — wanted '$want' " +
+            s"in: $ddl")
+      require(report.retired == Seq("t_odd" -> "_t_odd_dropped_2"),
+        s"expected the journaled retire, got ${report.retired}")
+      require(!StateFs.exists(s"$root/t_odd") &&
+        StateFs.exists(s"$root/_t_odd_dropped_2"),
+        "retire must MOVE the state dir, not copy or drop it")
+      require(report.stateDirs.keySet == Set("t_even", "t_new"),
+        s"topology after the gap: ${report.stateDirs.keySet}")
+      // wave 2: the evolved topology's events through the SAME
+      // checkpoint — t_even's tail plus the new table's first rows
+      val w1 = log.filter(col("seq") >= 2 && col("okey") % 2 === 0)
+        .withColumn("table", lit("t_even"))
+        .unionByName(log.filter(col("seq") === 1 && col("okey") % 2 === 1)
+          .select(lit("I").as("op"), lit(2L).as("seq"),
+            (col("ts") + expr("INTERVAL 3 DAY")).as("ts"), col("okey"),
+            col("price"), lit("N").as("status"), lit("t_new").as("table")))
+      writeWave(w1, in, 1)
+      runCdcPassMulti(s, w0.schema, in, s"$tmp/ckpt", report.stateDirs)
+      report.stateDirs.toSeq.sortBy(_._1).map { case (t, d) =>
+        readLatestState(s, d).withColumn("tbl", lit(t))
+      }.reduce(_.unionByName(_))
+        .select(col("tbl"), col("okey"), col("op"), col("price"),
+          col("status"), col("ts"))
+        .orderBy(col("tbl"), col("okey"))
+    }),
+
     // ST34: SHARDED DESTINATION (the ClickHouse Distributed-engine
     // topology, reversed from ST29's shard MERGE): ONE table's change
     // stream fans out to N shard state dirs by key hash — the
@@ -4144,15 +4320,19 @@ object StreamingOps {
     // single O(divergence) pass.
     "cdc_repair_resync" -> ((s, dir) => {
       val log = Tables.cdcLog(s, dir)
-      val tmp = tmpDir()
-      // two waves (seq 1-2, then 3): the batch boundary that matters
-      // here is divergence-then-repair, not wave count — per-wave apply
-      // semantics are ST1/ST11's job; the fixture is shared across the
-      // scenarios playing this exact split (sharedWaves)
-      val in = sharedWaves(dir, "cdclog_2w")(i =>
-        writeWaves(log, i, when(col("seq") <= 2, 0).otherwise(1), 2,
-          Seq(col("okey"))))
-      runCdcPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state")
+      // the synced-state PREFIX is the family fixture (sharedSynced):
+      // this query's subject is divergence-then-repair, so it clones
+      // the pristine synced dir and corrupts the clone — the sync
+      // itself builds once per process (two waves, seq 1-2 then 3,
+      // over the sharedWaves split)
+      val root = sharedSynced(dir, "sync_cdclog2w") { r =>
+        val in = sharedWaves(dir, "cdclog_2w")(i =>
+          writeWaves(log, i, when(col("seq") <= 2, 0).otherwise(1), 2,
+            Seq(col("okey"))))
+        runCdcPass(s, log.schema, in, s"$r/ckpt", s"$r/state")
+        ()
+      }
+      val tmp = cloneSynced(root, "state")
       // the SOURCE side of the consistency check: what the source
       // database actually holds — the log's batch latest-wins collapse,
       // computed from the log parquet (never from the state dir being
@@ -4192,11 +4372,17 @@ object StreamingOps {
     // query fails red.
     "cdc_checksum_chunked" -> ((s, dir) => {
       val log = Tables.cdcLog(s, dir)
-      val tmp = tmpDir()
-      val in = sharedWaves(dir, "cdclog_2w")(i =>
-        writeWaves(log, i, when(col("seq") <= 2, 0).otherwise(1), 2,
-          Seq(col("okey"))))
-      runCdcPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state")
+      // same synced-state prefix as cdc_repair_resync (sharedSynced);
+      // the subject here is chunk localization + bounded repair, so
+      // only the clone is corrupted
+      val root = sharedSynced(dir, "sync_cdclog2w") { r =>
+        val in = sharedWaves(dir, "cdclog_2w")(i =>
+          writeWaves(log, i, when(col("seq") <= 2, 0).otherwise(1), 2,
+            Seq(col("okey"))))
+        runCdcPass(s, log.schema, in, s"$r/ckpt", s"$r/state")
+        ()
+      }
+      val tmp = cloneSynced(root, "state")
       val truth = collapse(envelope(log)).filter(col("op") =!= "D")
         .select(col("okey"), col("price"), col("status"), col("ts"))
         .localCheckpoint()
@@ -4233,14 +4419,21 @@ object StreamingOps {
     "cdc_repair_multi" -> ((s, dir) => {
       val log = Tables.cdcLog(s, dir).withColumn("table",
         when(col("okey") % 2 === 0, "t_even").otherwise("t_odd"))
-      val tmp = tmpDir()
-      val in = s"$tmp/in"
-      // two waves, as in cdc_repair_resync: the scenario is
-      // divergence-then-repair, not per-wave apply
-      writeWaves(log, in, when(col("seq") <= 2, 0).otherwise(1), 2,
-        Seq(col("okey")))
+      // the multi-table synced prefix builds once (sharedSynced) over
+      // the same waves stream_cdc_filtered plays (sharedWaves, same
+      // log + split); the topology-repair subject corrupts a CLONE of
+      // both state dirs — two waves, as in cdc_repair_resync: the
+      // scenario is divergence-then-repair, not per-wave apply
+      val root = sharedSynced(dir, "sync_eo2w_multi") { r =>
+        val in = sharedWaves(dir, "cdclog_eo_2w")(i =>
+          writeWaves(log, i, when(col("seq") <= 2, 0).otherwise(1), 2,
+            Seq(col("okey"))))
+        runCdcPassMulti(s, log.schema, in, s"$r/ckpt",
+          Map("t_even" -> s"$r/state_even", "t_odd" -> s"$r/state_odd"))
+        ()
+      }
+      val tmp = cloneSynced(root, "state_even", "state_odd")
       val dirs = Map("t_even" -> s"$tmp/state_even", "t_odd" -> s"$tmp/state_odd")
-      runCdcPassMulti(s, log.schema, in, s"$tmp/ckpt", dirs)
       // source of truth per table: the binlog's batch collapse fanned
       // out by the same parity mapping (computed from the log parquet,
       // never from the state dirs being repaired). Pinned once — the two
@@ -4612,12 +4805,15 @@ object StreamingOps {
     "cdc_mv_seeded" -> ((s, dir) => {
       val log = Tables.cdcLog(s, dir)
       val tmp = tmpDir()
-      val in = s"$tmp/in"
       val snap = log.filter(col("seq") === 1)
         .select(col("okey"), col("price"), col("status"), col("ts"))
       mvSeedSum(s, snap, s"$tmp/state", s"$tmp/mv")
-      writeWaves(log.filter(col("seq") > 1), in, col("seq") - 2, 2,
-        Seq(col("okey")))
+      // the post-snapshot tail waves are immutable — shared across
+      // passes like every wave fixture (the seed dirs stay per-query:
+      // the resumed pass mutates them)
+      val in = sharedWaves(dir, "cdclog_tail2w")(i =>
+        writeWaves(log.filter(col("seq") > 1), i, col("seq") - 2, 2,
+          Seq(col("okey"))))
       runMvSumPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state", s"$tmp/mv")
       readMv(s, s"$tmp/mv")
         .select(col("status"), col("n_rows"),
@@ -4657,12 +4853,19 @@ object StreamingOps {
     // the drifted truth, which is exactly what the oracle computes.
     "cdc_view_rebuild" -> ((s, dir) => {
       val log = Tables.cdcLog(s, dir)
-      val tmp = tmpDir()
-      val in = sharedWaves(dir, "cdclog_mv2w")(i =>
-        writeWaves(log, i, when(col("seq") === 1, 0).otherwise(1), 2,
-          Seq(col("okey"))))
-      graft.Replication.incrementalSyncWithView(s, log.schema, in,
-        s"$tmp/ckpt", s"$tmp/state", s"$tmp/mv")
+      // the synced table+MV pair is this query's PREFIX (its subject
+      // is drift→check→rebuild): built once via sharedSynced over the
+      // MV family's shared waves, then cloned — repairSync writes into
+      // the clone's state dir and viewRebuild rewrites the clone's MV
+      val root = sharedSynced(dir, "mvsum_2w") { r =>
+        val in = sharedWaves(dir, "cdclog_mv2w")(i =>
+          writeWaves(log, i, when(col("seq") === 1, 0).otherwise(1), 2,
+            Seq(col("okey"))))
+        graft.Replication.incrementalSyncWithView(s, log.schema, in,
+          s"$r/ckpt", s"$r/state", s"$r/mv")
+        ()
+      }
+      val tmp = cloneSynced(root, "state", "mv")
       // deterministic drift: the source of truth moved on (price +123
       // for okey%5==0) and a repair writes the corrections behind the
       // MV's back
@@ -5242,6 +5445,17 @@ object StreamingOps {
                      ELSE note END AS note
          FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
 
+    // txn gate from dump text: transactions 1-2 committed (Xid present),
+    // txn 3 — the delete wave — held back entirely, so the collapse
+    // runs over seq <= 2 only
+    "cdc_binlog_text_txn" ->
+      s"""WITH cdc_log AS (${Tables.cdcLogSql}),
+            ranked AS (SELECT *, row_number() OVER (
+                         PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM cdc_log WHERE seq <= 2)
+         SELECT okey, op, price, status, ts
+         FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
+
     // soft delete: every key's latest event survives — tombstone winners
     // flagged `_deleted = 1` with the delete's before-image payload.
     "stream_cdc_soft_delete" ->
@@ -5813,6 +6027,23 @@ object StreamingOps {
          SELECT CASE WHEN okey % 2 = 0 THEN 't_even' ELSE 't_odd' END AS tbl,
                 okey, op, price, status, ts
          FROM ranked WHERE rn = 1 AND op <> 'D'
+         ORDER BY tbl, okey""",
+
+    // the lifecycle topology after the gap: t_even's full collapse,
+    // t_new's first-wave inserts (odd keys reborn at seq 2, ts +3d,
+    // status 'N'), t_odd gone entirely — its history lives only in
+    // the retired dir the query asserts inline
+    "cdc_table_lifecycle" ->
+      s"""WITH cdc_log AS (${Tables.cdcLogSql}),
+            even_ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY okey ORDER BY seq DESC) rn
+              FROM cdc_log WHERE okey % 2 = 0)
+         SELECT 't_even' AS tbl, okey, op, price, status, ts
+         FROM even_ranked WHERE rn = 1 AND op <> 'D'
+         UNION ALL
+         SELECT 't_new', okey, 'I', price, 'N', ts + INTERVAL 3 DAY
+         FROM cdc_log WHERE seq = 1 AND okey % 2 = 1
          ORDER BY tbl, okey""",
 
     "stream_static_join" ->

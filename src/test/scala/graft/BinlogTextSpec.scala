@@ -593,6 +593,62 @@ class BinlogTextSpec extends SparkTestBase {
     assert(outside.getMessage.contains("outside this replica's channel"))
   }
 
+  test("parseTxn: GTID stamps delimit transactions, Xids become commit " +
+      "markers, pre-stamp rows and stamp-less dumps refuse") {
+    val uuid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    def rowBlock(pos: Long, okey: Long) =
+      s"# at $pos\n#920315  0:00:00 server id 1  end_log_pos $pos CRC32 " +
+        "0x00000000 \tWrite_rows: table id 108 flags: STMT_END_F\n" +
+        s"### INSERT INTO `db`.`orders`\n### SET\n###   @1=$okey\n" +
+        s"###   @2=1.5\n###   @3='x'\n"
+    val dir = tmp()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/b"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/b/f.txt"),
+      BinlogText.renderGtid(10L, 800000000L, uuid, 1L) + "\n" +
+        rowBlock(11L, 1L) + rowBlock(12L, 2L) +
+        BinlogText.renderXid(19L, 800000000L, 7L) + "\n" +
+        BinlogText.renderGtid(20L, 800000060L, uuid, 2L) + "\n" +
+        rowBlock(21L, 3L))
+    assert(BinlogText.parseXids(spark, s"$dir/b") ==
+      Seq(19L -> 800000000L))
+    val env = BinlogText.parseTxn(spark, s"$dir/b", cols)
+    val rows = env.orderBy(col("seq")).collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1),
+      r.getString(r.fieldIndex("txn")))).toSeq == Seq(
+      ("I", 11L, s"$uuid:1"), ("I", 12L, s"$uuid:1"),
+      ("C", 19L, s"$uuid:1"), ("I", 21L, s"$uuid:2")))
+    // the marker's payload is null; its ts is the Xid header's clock
+    val marker = rows(2)
+    assert(marker.isNullAt(marker.fieldIndex("okey")))
+    assert(marker.getAs[java.time.LocalDateTime]("ts")
+      .toEpochSecond(java.time.ZoneOffset.UTC) == 800000000L)
+    // a row event BELOW the first stamp has no nameable transaction
+    val dir2 = tmp()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir2/b"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir2/b/f.txt"),
+      rowBlock(5L, 1L) +
+        BinlogText.renderGtid(10L, 800000000L, uuid, 1L) + "\n" +
+        rowBlock(11L, 2L))
+    val e = intercept[IllegalArgumentException] {
+      BinlogText.parseTxn(spark, s"$dir2/b", cols)
+    }
+    assert(e.getMessage.contains("precedes the dump's first GTID stamp"))
+    // a dump with no stamps at all cannot delimit transactions
+    val dir3 = tmp()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir3/b"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir3/b/f.txt"), rowBlock(5L, 1L))
+    val e2 = intercept[IllegalArgumentException] {
+      BinlogText.parseTxn(spark, s"$dir3/b", cols)
+    }
+    assert(e2.getMessage.contains("no GTID_NEXT stamps"))
+  }
+
   test("malformed input and lossy renders refuse loudly") {
     def parseText(text: String): Unit = {
       val dir = tmp()

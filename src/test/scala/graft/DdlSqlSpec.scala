@@ -140,15 +140,16 @@ class DdlSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("ALTER TABLE t FROB x"))
   }
 
-  test("table-level verbs outside the dialect parse for SCOPING: an " +
-      "in-scope one refuses at fold, a neighbor's is skipped noise") {
+  test("table-level verbs parse for SCOPING and LIFECYCLE: CREATE/DROP " +
+      "TABLE are structured statements, a neighbor's is skipped noise") {
     // a real binlog interleaves the whole topology's DDL — CREATE TABLE
-    // audit_log must not kill the orders sync, but CREATE/DROP of the
-    // REPLICATED table itself has no safe mapping
+    // audit_log must not kill the orders sync; the lifecycle pair now
+    // parses structurally so the topology layer can map it
     assert(DdlSql.parse("CREATE TABLE audit_log (id BIGINT, msg TEXT)") ==
-      Seq(Unsupported("audit_log", "CREATE TABLE")))
+      Seq(CreateTable("audit_log",
+        Seq("id" -> "BIGINT", "msg" -> "TEXT"), Seq.empty)))
     assert(DdlSql.parse("DROP TABLE IF EXISTS a, b") ==
-      Seq(Unsupported("a", "DROP TABLE"), Unsupported("b", "DROP TABLE")))
+      Seq(DropTable("a"), DropTable("b")))
     // statement-form index DDL is the inert class, like the ALTER clause
     assert(DdlSql.parse("CREATE UNIQUE INDEX idx ON orders (okey)") ==
       Seq(Inert("orders", "CREATE INDEX")))
@@ -160,17 +161,18 @@ class DdlSqlSpec extends AnyFunSuite {
       2L -> "ALTER TABLE orders DROP COLUMN extra"),
       tableFilter = Some("orders"))
     assert(scoped.dropCols == Map("extra" -> 2L))
-    // in scope (or unscoped), the verb refuses loudly by name
-    val e1 = intercept[IllegalArgumentException] {
-      DdlSql.fold(Seq(1L -> "DROP TABLE orders"),
-        tableFilter = Some("orders"))
-    }
-    assert(e1.getMessage.contains("'DROP TABLE' for replicated table " +
-      "'orders'"))
-    val e2 = intercept[IllegalArgumentException] {
-      DdlSql.fold(Seq(1L -> "CREATE TABLE t (a INT)"))
-    }
-    assert(e2.getMessage.contains("CREATE TABLE"))
+    assert(scoped.createTables.isEmpty && scoped.dropTables.isEmpty)
+    // in scope (or unscoped), the lifecycle verbs RECORD for the
+    // topology layer instead of refusing (round-17: the applier is
+    // Replication.applyTableLifecycle; a column-level pass still
+    // refuses a config carrying them — see ReplicationSpec)
+    val lc = DdlSql.fold(Seq(
+      1L -> ("CREATE TABLE t_new (id BIGINT NOT NULL, v DOUBLE, " +
+        "PRIMARY KEY (id))"),
+      2L -> "DROP TABLE orders"))
+    assert(lc.createTables == Seq(1L -> CreateTable("t_new",
+      Seq("id" -> "BIGINT", "v" -> "DOUBLE"), Seq("id"))))
+    assert(lc.dropTables == Seq(2L -> "orders"))
     // maintenance verbs are inert even in scope: they change neither
     // schema nor data (the ALTER-form ENGINE rebuild rule)
     assert(DdlSql.parse("OPTIMIZE TABLE orders") ==
@@ -251,5 +253,152 @@ class DdlSqlSpec extends AnyFunSuite {
       2L -> "ALTER TABLE t RENAME COLUMN b TO c",
       1L -> "ALTER TABLE t RENAME COLUMN a TO b"))
     assert(unordered.renameCols == Map("a" -> "c"))
+  }
+
+  test("fold refuses drop/rename NAME REUSE it cannot order — and the " +
+      "compositions that DO work keep working") {
+    def refuses(events: Seq[(Long, String)], naming: String): Unit = {
+      val e = intercept[IllegalArgumentException] { DdlSql.fold(events) }
+      assert(e.getMessage.contains(naming), s"got: ${e.getMessage}")
+    }
+    // DROP a; RENAME b TO a — renames apply before drops, so one
+    // config would gate b's carried history under a's drop seq
+    refuses(Seq(
+      1L -> "ALTER TABLE t DROP COLUMN a",
+      2L -> "ALTER TABLE t RENAME COLUMN b TO a"),
+      "renames 'b' onto the freed name")
+    // RENAME a TO b; DROP a — a no longer exists at the drop's turn
+    refuses(Seq(
+      1L -> "ALTER TABLE t RENAME COLUMN a TO b",
+      2L -> "ALTER TABLE t DROP COLUMN a"),
+      "drops 'a'")
+    // RENAME a TO b; DROP b — kills the migrated history one config
+    // would order wrongly
+    refuses(Seq(
+      1L -> "ALTER TABLE t RENAME COLUMN a TO b",
+      2L -> "ALTER TABLE t DROP COLUMN b"),
+      "drops 'b'")
+    // DROP a; RENAME a TO b — the dropped column cannot rename
+    refuses(Seq(
+      1L -> "ALTER TABLE t DROP COLUMN a",
+      2L -> "ALTER TABLE t RENAME COLUMN a TO b"),
+      "no longer exists")
+    // every refusal names the gap sequence (both seqs appear)
+    val e = intercept[IllegalArgumentException] {
+      DdlSql.fold(Seq(
+        3L -> "ALTER TABLE t DROP COLUMN a",
+        7L -> "ALTER TABLE t RENAME COLUMN b TO a"))
+    }
+    assert(e.getMessage.contains("seq 3") && e.getMessage.contains("seq 7"))
+    // DROP a; ADD a … DEFAULT composes: old values die at the drop
+    // seq, the reborn column backfills its default
+    val reborn = DdlSql.fold(Seq(
+      1L -> "ALTER TABLE t DROP COLUMN a",
+      2L -> "ALTER TABLE t ADD COLUMN a INT DEFAULT 9"))
+    assert(reborn.dropCols == Map("a" -> 1L))
+    assert(reborn.defaultCols == Map("a" -> ColumnDefault(2L, "9")))
+  }
+
+  test("statement-format row changes (binlog_format=STATEMENT dumps) " +
+      "refuse by verb — never silently skip") {
+    // a STATEMENT-format dump ships plain DML as QueryEvents; the
+    // engine replicates ROW images, so each verb must refuse loudly
+    // naming itself (the refusal IS the contract: an operator pointed
+    // at a statement-format feed learns immediately, instead of a
+    // silently empty replica)
+    for (dml <- Seq(
+        "INSERT INTO orders (okey, price) VALUES (1, 2.5)",
+        "UPDATE orders SET price = 3.5 WHERE okey = 1",
+        "DELETE FROM orders WHERE okey = 1")) {
+      val verb = dml.takeWhile(!_.isWhitespace)
+      val e = intercept[IllegalArgumentException] { DdlSql.parse(dml) }
+      assert(e.getMessage.contains("unsupported statement verb") &&
+        e.getMessage.contains(verb),
+        s"for <$dml>: ${e.getMessage}")
+      // and through fold, even scoped — DML is never topology noise
+      // (it carries no parsable table subject, so scoping cannot and
+      // must not skip it)
+      val ef = intercept[IllegalArgumentException] {
+        DdlSql.fold(Seq(1L -> dml), tableFilter = Some("orders"))
+      }
+      assert(ef.getMessage.contains(verb))
+    }
+  }
+
+  test("CREATE TABLE bodies parse: inline/constraint PRIMARY KEY, " +
+      "index clauses inert, exotic forms degrade to Unsupported") {
+    // table-constraint PK, composite
+    assert(DdlSql.parse("CREATE TABLE t (a BIGINT NOT NULL, " +
+      "b INT, c VARCHAR(10) DEFAULT 'x', PRIMARY KEY (a, b))") ==
+      Seq(CreateTable("t", Seq("a" -> "BIGINT", "b" -> "INT",
+        "c" -> "VARCHAR(10)"), Seq("a", "b"))))
+    // inline PK + attribute soup a real dump ships
+    assert(DdlSql.parse("CREATE TABLE IF NOT EXISTS `db`.`t` (" +
+      "`id` BIGINT UNSIGNED NOT NULL AUTO_INCREMENT PRIMARY KEY, " +
+      "`ts` TIMESTAMP(6) DEFAULT CURRENT_TIMESTAMP(6) ON UPDATE " +
+      "CURRENT_TIMESTAMP(6), `note` TEXT COMMENT 'freeform', " +
+      "KEY idx_note (note(10)), CONSTRAINT ck CHECK (id > 0)) " +
+      "ENGINE=InnoDB DEFAULT CHARSET=utf8mb4") ==
+      Seq(CreateTable("t", Seq("id" -> "BIGINT UNSIGNED",
+        "ts" -> "TIMESTAMP(6)", "note" -> "TEXT"), Seq("id"))))
+    // the bare column-spec KEY shorthand is a PK declaration in CREATE
+    assert(DdlSql.parse("CREATE TABLE t (id INT KEY, v DOUBLE)") ==
+      Seq(CreateTable("t", Seq("id" -> "INT", "v" -> "DOUBLE"),
+        Seq("id"))))
+    // TEMPORARY tables are session-local — inert, never lifecycle
+    assert(DdlSql.parse("CREATE TEMPORARY TABLE tmp1 (a INT)") ==
+      Seq(Inert("tmp1", "CREATE TEMPORARY TABLE")))
+    assert(DdlSql.parse("DROP TEMPORARY TABLE IF EXISTS tmp1") ==
+      Seq(Inert("tmp1", "DROP TEMPORARY TABLE")))
+    // bodies outside the dialect degrade to Unsupported: scoped folds
+    // skip them as neighbor noise, in-scope ones refuse at fold
+    assert(DdlSql.parse("CREATE TABLE t2 LIKE t") ==
+      Seq(Unsupported("t2", "CREATE TABLE")))
+    assert(DdlSql.parse("CREATE TABLE t3 AS SELECT * FROM t") ==
+      Seq(Unsupported("t3", "CREATE TABLE")))
+    intercept[IllegalArgumentException] {
+      DdlSql.fold(Seq(1L -> "CREATE TABLE t2 LIKE t"),
+        tableFilter = Some("t2"))
+    }
+    // duplicate PK declarations refuse (degraded to Unsupported at
+    // parse, refused in scope)
+    assert(DdlSql.parse(
+      "CREATE TABLE t (a INT PRIMARY KEY, PRIMARY KEY (a))") ==
+      Seq(Unsupported("t", "CREATE TABLE")))
+    // DROP list tails parse; trailing garbage refuses
+    assert(DdlSql.parse("DROP TABLE a, b CASCADE") ==
+      Seq(DropTable("a"), DropTable("b")))
+    intercept[IllegalArgumentException] {
+      DdlSql.parse("DROP TABLE a b")
+    }
+  }
+
+  test("the MySQL→engine type map covers the replicated surface and " +
+      "refuses what it cannot name") {
+    import org.apache.spark.sql.types._
+    assert(DdlSql.sparkType("BIGINT") == LongType)
+    assert(DdlSql.sparkType("BIGINT UNSIGNED") == DecimalType(20, 0))
+    assert(DdlSql.sparkType("INT") == IntegerType)
+    assert(DdlSql.sparkType("INT UNSIGNED") == LongType)
+    assert(DdlSql.sparkType("SMALLINT") == ShortType)
+    assert(DdlSql.sparkType("TINYINT(1)") == ByteType)
+    assert(DdlSql.sparkType("TINYINT UNSIGNED") == ShortType)
+    assert(DdlSql.sparkType("DECIMAL(12,2)") == DecimalType(12, 2))
+    assert(DdlSql.sparkType("NUMERIC") == DecimalType(10, 0))
+    assert(DdlSql.sparkType("DOUBLE") == DoubleType)
+    assert(DdlSql.sparkType("FLOAT") == FloatType)
+    assert(DdlSql.sparkType("VARCHAR(32)") == StringType)
+    assert(DdlSql.sparkType("ENUM('a','b')") == StringType)
+    assert(DdlSql.sparkType("JSON") == StringType)
+    assert(DdlSql.sparkType("LONGBLOB") == BinaryType)
+    assert(DdlSql.sparkType("DATE") == DateType)
+    assert(DdlSql.sparkType("DATETIME(6)") == TimestampNTZType)
+    assert(DdlSql.sparkType("TIMESTAMP") == TimestampNTZType)
+    assert(DdlSql.sparkType("YEAR") == IntegerType)
+    assert(DdlSql.sparkType("BIT(8)") == LongType)
+    val e = intercept[IllegalArgumentException] {
+      DdlSql.sparkType("GEOMETRY")
+    }
+    assert(e.getMessage.contains("GEOMETRY"))
   }
 }

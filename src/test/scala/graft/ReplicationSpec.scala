@@ -2408,6 +2408,215 @@ class ReplicationSpec extends SparkTestBase {
     assert(e.column == "qty")
   }
 
+  test("table lifecycle: CREATE bootstraps + opens a dir, DROP retires " +
+      "via the journal, neighbors untouched, refusals by name") {
+    val base = tmp()
+    val root = s"$base/tables"
+    val log = Tables.cdcLog(spark, sf).withColumn("table",
+      when(col("okey") % 2 === 0, "t_even").otherwise("t_odd"))
+    graft.streaming.StreamingOps.writeWave(
+      log.filter(col("seq") === 1), s"$base/in", 0)
+    val dirs = Map("t_even" -> s"$root/t_even", "t_odd" -> s"$root/t_odd")
+    Replication.incrementalSyncMulti(spark, log.schema, s"$base/in",
+      s"$base/ckpt", dirs)
+    val evenBefore = Replication.appliedState(spark, s"$root/t_even")
+      .count()
+    val oddBefore = Replication.appliedState(spark, s"$root/t_odd").count()
+    val report = Replication.applyTableLifecycle(spark, root, Seq(
+      1L -> ("CREATE TABLE t_new (okey BIGINT NOT NULL PRIMARY KEY, " +
+        "price DOUBLE, note VARCHAR(40))"),
+      2L -> "DROP TABLE t_odd",
+      // foreign noise and column verbs are NOT this layer's business
+      3L -> "CREATE TABLE audit (x INT)",
+      4L -> "ALTER TABLE t_even ADD COLUMN extra INT"),
+      dirs, inScope = Set("t_even", "t_odd", "t_new"))
+    // CREATE: bootstrap DDL generated from the parsed source schema,
+    // dir joined the topology (no data yet — the next pass writes it)
+    assert(report.created.map(_._1) == Seq("t_new"))
+    val ddl = report.created.head._2
+    assert(ddl.contains("`okey` Int64") && ddl.contains("ORDER BY (`okey`)")
+      && ddl.contains("`note` Nullable(String)"))
+    assert(report.stateDirs == Map("t_even" -> s"$root/t_even",
+      "t_new" -> s"$root/t_new"))
+    // DROP: the journaled retire moved the dir; the frozen state still
+    // serves under the retired name; the neighbor never moved
+    assert(report.retired == Seq("t_odd" -> "_t_odd_dropped_2"))
+    assert(!graft.streaming.StateFs.exists(s"$root/t_odd"))
+    assert(Replication.appliedState(spark,
+      s"$root/_t_odd_dropped_2").count() == oddBefore)
+    assert(Replication.appliedState(spark, s"$root/t_even").count()
+      == evenBefore)
+    // refusals by name: re-create of a live table, keyless create,
+    // drop of an unknown table, non-root-relative layout
+    def refuses(events: Seq[(Long, String)], naming: String,
+        dd: Map[String, String] = report.stateDirs): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        Replication.applyTableLifecycle(spark, root, events, dd)
+      }
+      assert(e.getMessage.contains(naming), s"got: ${e.getMessage}")
+    }
+    refuses(Seq(1L -> "CREATE TABLE t_even (a INT PRIMARY KEY)"),
+      "already replicated")
+    refuses(Seq(1L -> "CREATE TABLE t_x (a INT)"), "no PRIMARY KEY")
+    refuses(Seq(1L -> "DROP TABLE ghost"), "not replicated")
+    refuses(Seq(1L -> "DROP TABLE t_even"), "not root-relative",
+      Map("t_even" -> "/elsewhere/t_even"))
+    // a leftover dir under the root must not be silently adopted
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/t_stale"))
+    refuses(Seq(1L -> "CREATE TABLE t_stale (a INT PRIMARY KEY)"),
+      "already holds a dir")
+    // a table born and dropped inside one gap never existed: nothing
+    // bootstraps, nothing retires, the map is unchanged
+    val ephemeral = Replication.applyTableLifecycle(spark, root, Seq(
+      1L -> "CREATE TABLE t_tmp (a BIGINT PRIMARY KEY)",
+      2L -> "DROP TABLE t_tmp"), report.stateDirs)
+    assert(ephemeral.created.map(_._1) == Seq("t_tmp"))
+    assert(ephemeral.retired.isEmpty)
+    assert(ephemeral.stateDirs == report.stateDirs)
+    // a single-table pass handed lifecycle verbs refuses, directing to
+    // this API (the tableRenames contract, extended)
+    val in2 = s"$base/in2"
+    val slog = Tables.cdcLog(spark, sf)
+    graft.streaming.StreamingOps.writeWave(
+      slog.filter(col("seq") === 1), in2, 0)
+    val e = intercept[IllegalArgumentException] {
+      Replication.incrementalSync(spark, slog.schema, in2,
+        s"$base/ckpt2", s"$base/state2",
+        ddlSql = Seq(1L -> "DROP TABLE orders"),
+        ddlTable = Some("orders"))
+    }
+    assert(e.getMessage.contains("applyTableLifecycle"))
+  }
+
+  test("a text-fed replica answers Seconds_Behind_Master end to end: " +
+      "held txn tail reads its header-time gap, caught-up reads 0") {
+    import graft.sources.BinlogText
+    val uuid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    val cols: Seq[(String, org.apache.spark.sql.types.DataType)] = Seq(
+      "okey" -> org.apache.spark.sql.types.LongType,
+      "price" -> org.apache.spark.sql.types.DoubleType,
+      "status" -> org.apache.spark.sql.types.StringType)
+    val t0 = 800000000L
+    def rowBlock(pos: Long, sec: Long, okey: Long, price: Double) = {
+      val ldt = java.time.LocalDateTime.ofEpochSecond(sec, 0,
+        java.time.ZoneOffset.UTC)
+      f"# at $pos\n#${ldt.getYear % 100}%02d${ldt.getMonthValue}%02d" +
+        f"${ldt.getDayOfMonth}%02d ${ldt.getHour}%2d:" +
+        f"${ldt.getMinute}%02d:${ldt.getSecond}%02d server id 1  " +
+        s"end_log_pos $pos CRC32 0x00000000 \tWrite_rows: table id 108 " +
+        "flags: STMT_END_F\n### INSERT INTO `db`.`orders`\n### SET\n" +
+        s"###   @1=$okey\n###   @2=$price\n###   @3='x'\n"
+    }
+    // the fixture clock: txn 1 commits at t0, txn 2 at t0+120; txn 3's
+    // stamp and rows (t0+300) are in the dump with NO Xid — the
+    // uncommitted tail, 180 s of event time past the applied horizon
+    def writeDump(dir: String, commitTxn3: Boolean): Unit = {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val blocks = Seq(
+        BinlogText.renderGtid(100L, t0, uuid, 1L),
+        rowBlock(101L, t0, 1L, 1.0), rowBlock(102L, t0, 2L, 2.0),
+        BinlogText.renderXid(109L, t0, 1L),
+        BinlogText.renderGtid(200L, t0 + 120, uuid, 2L),
+        rowBlock(201L, t0 + 120, 1L, 3.0),
+        BinlogText.renderXid(209L, t0 + 120, 2L),
+        BinlogText.renderGtid(300L, t0 + 300, uuid, 3L),
+        rowBlock(301L, t0 + 300, 3L, 4.0),
+        rowBlock(302L, t0 + 300, 1L, 5.0)) ++
+        (if (commitTxn3) Seq(BinlogText.renderXid(309L, t0 + 300, 3L))
+         else Seq.empty)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/f.txt"), blocks.mkString("\n"))
+    }
+    val base = tmp()
+    writeDump(s"$base/dump", commitTxn3 = false)
+    val env = BinlogText.parseTxn(spark, s"$base/dump", cols)
+    graft.streaming.StreamingOps.writeWave(env, s"$base/in", 0)
+    Replication.incrementalSync(spark, env.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", txnCol = Some("txn"))
+    val st = Replication.replicaStatus(spark, s"$base/state",
+      txnCol = Some("txn"))
+    // behind by exactly the held tail's event-time gap, from header
+    // seconds alone; the tail's two rows are pending
+    assert(st.secondsBehindSource.contains(180.0),
+      s"expected 180 s behind, got ${st.secondsBehindSource}")
+    assert(st.pendingRows == 2L)
+    // the served state is txns 1-2 only (okey 3 unseen, okey 1 at 3.0)
+    assert(Replication.appliedState(spark, s"$base/state")
+      .select(col("okey"), col("price")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap ==
+      Map(1L -> 3.0, 2L -> 2.0))
+    // caught up: the same dump WITH txn 3's Xid reports 0 behind even
+    // though events trail the last commit in file order
+    val base2 = tmp()
+    writeDump(s"$base2/dump", commitTxn3 = true)
+    val env2 = BinlogText.parseTxn(spark, s"$base2/dump", cols)
+    graft.streaming.StreamingOps.writeWave(env2, s"$base2/in", 0)
+    Replication.incrementalSync(spark, env2.schema, s"$base2/in",
+      s"$base2/ckpt", s"$base2/state", txnCol = Some("txn"))
+    val st2 = Replication.replicaStatus(spark, s"$base2/state",
+      txnCol = Some("txn"))
+    assert(st2.secondsBehindSource.contains(0.0),
+      s"expected caught-up 0, got ${st2.secondsBehindSource}")
+    assert(st2.pendingRows == 0L)
+    assert(Replication.appliedState(spark, s"$base2/state")
+      .select(col("okey"), col("price")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap ==
+      Map(1L -> 5.0, 2L -> 2.0, 3L -> 4.0))
+  }
+
+  test("narrowing MODIFY via SQL text refuses at the gate naming the " +
+      "statement; widening text passes through to the guardrail") {
+    val base = tmp()
+    val v1 = txnDf(Seq(TxnEv("I", 1, 1, 10.0, "O", 0),
+      TxnEv("I", 2, 2, 20.0, "O", 0))).drop("txn")
+      .withColumn("qty", col("okey") * 200L) // published BIGINT
+    graft.streaming.StreamingOps.writeWave(v1, s"$base/in", 0)
+    Replication.incrementalSync(spark, v1.schema, s"$base/in",
+      s"$base/ckpt", s"$base/state")
+    // the narrowing MODIFY refuses AT THE GATE — before any event
+    // applies — naming the statement's column, type, and position
+    graft.streaming.StreamingOps.writeWave(
+      txnDf(Seq(TxnEv("U", 3, 1, 11.0, "P", 0))).drop("txn")
+        .withColumn("qty", lit(7).cast("int")), s"$base/in", 1)
+    val e = intercept[IllegalArgumentException] {
+      Replication.incrementalSync(spark, v1.schema, s"$base/in",
+        s"$base/ckpt", s"$base/state",
+        ddlSql = Seq(9L -> "ALTER TABLE orders MODIFY qty INT"),
+        ddlTable = Some("orders"))
+    }
+    assert(e.getMessage.contains("MODIFY COLUMN 'qty' INT") &&
+      e.getMessage.contains("seq 9") && e.getMessage.contains("bigint"),
+      s"got: ${e.getMessage}")
+    // a cross-family modify refuses the same way
+    val e2 = intercept[IllegalArgumentException] {
+      Replication.incrementalSync(spark, v1.schema, s"$base/in",
+        s"$base/ckpt", s"$base/state",
+        ddlSql = Seq(9L -> "ALTER TABLE orders MODIFY qty VARCHAR(8)"),
+        ddlTable = Some("orders"))
+    }
+    assert(e2.getMessage.contains("MODIFY COLUMN 'qty' VARCHAR(8)"))
+    // a WIDENING modify on an INT column passes the gate and the
+    // widened envelope promotes the published schema, as before
+    val base2 = tmp()
+    val w1 = txnDf(Seq(TxnEv("I", 1, 1, 10.0, "O", 0))).drop("txn")
+      .withColumn("qty", lit(5).cast("int"))
+    graft.streaming.StreamingOps.writeWave(w1, s"$base2/in", 0)
+    Replication.incrementalSync(spark, w1.schema, s"$base2/in",
+      s"$base2/ckpt", s"$base2/state")
+    val w2 = txnDf(Seq(TxnEv("U", 2, 1, 11.0, "P", 0))).drop("txn")
+      .withColumn("qty", col("okey") * 4000000000L)
+    graft.streaming.StreamingOps.writeWave(w2, s"$base2/in", 1)
+    Replication.incrementalSync(spark, w2.schema, s"$base2/in",
+      s"$base2/ckpt", s"$base2/state",
+      ddlSql = Seq(9L -> "ALTER TABLE orders MODIFY qty BIGINT"),
+      ddlTable = Some("orders"))
+    assert(graft.streaming.StreamingOps.readStateSchema(s"$base2/state")
+      .get.apply("qty").dataType == org.apache.spark.sql.types.LongType)
+    assert(Replication.appliedState(spark, s"$base2/state")
+      .select(col("qty")).collect()(0).getLong(0) == 4000000000L)
+  }
+
   test("topology repair: one repairSyncMulti call heals two diverged tables") {
     val base = tmp()
     val log = Tables.cdcLog(spark, sf).withColumn("table",
