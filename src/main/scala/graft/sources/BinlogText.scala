@@ -462,22 +462,39 @@ object BinlogText {
       s"dump at $dir carries no GTID_NEXT stamps — transactions cannot " +
         "be delimited; consume it as a plain stream instead")
     val stamps = gtids.map { case (p, u, n) => (p, s"$u:$n") }
-    // stamp each row event: deepest GTID at-or-below its position —
-    // a broadcast range-join against the metadata-scale interval table
+    // stamp each row event with the deepest GTID strictly below its
+    // position — a BINARY SEARCH over the broadcast stamp index, O(log
+    // txns) per row with no join: an interval join here would plan as
+    // a broadcast nested loop, O(rows × txns), which a dump window
+    // holding millions of transactions turns into the bottleneck. The
+    // index itself is metadata scale (two words per transaction).
+    val stampPos = stamps.map(_._1).toArray
+    val stampTxn = stamps.map(_._2).toArray
+    val bc = spark.sparkContext.broadcast((stampPos, stampTxn))
     import spark.implicits._
-    val bounds = stamps.zip(
-      stamps.drop(1).map(_._1) :+ Long.MaxValue)
-      .map { case ((p, g), next) => (p, next, g) }
-      .toDF("_lo", "_hi", txnCol)
-    val stamped = env.join(broadcast(bounds),
-      col("seq") > col("_lo") && col("seq") < col("_hi"), "left")
-      .drop("_lo", "_hi")
-    stamped.filter(col(txnCol).isNull).limit(1).collect().headOption
-      .foreach { r =>
-        throw new IllegalArgumentException(
-          s"row event at position ${r.getAs[Long]("seq")} precedes the " +
-            "dump's first GTID stamp — its transaction cannot be named")
+    val assign = udf { p: Long =>
+      val (pos, txn) = bc.value
+      var lo = 0
+      var hi = pos.length - 1
+      var ans = -1
+      while (lo <= hi) { // largest i with pos(i) < p
+        val mid = (lo + hi) >>> 1
+        if (pos(mid) < p) { ans = mid; lo = mid + 1 } else hi = mid - 1
       }
+      if (ans < 0) throw new IllegalArgumentException(
+        s"row event at position $p precedes the dump's first GTID " +
+          "stamp — its transaction cannot be named")
+      txn(ans)
+    }.asNondeterministic() // it throws: keep it un-reordered past filters
+    // eager gate (one 1-row aggregate): a row event at or below the
+    // first stamp has no nameable transaction — refuse at build time,
+    // not lazily inside whichever action first touches the frame
+    val minPos = env.agg(min(col("seq"))).collect()(0)
+    if (!minPos.isNullAt(0) && minPos.getLong(0) <= stampPos(0))
+      throw new IllegalArgumentException(
+        s"row event at position ${minPos.getLong(0)} precedes the " +
+          "dump's first GTID stamp — its transaction cannot be named")
+    val stamped = env.withColumn(txnCol, assign(col("seq")))
     // commit markers from the Xid events: each closes the deepest
     // transaction opened before it
     val markers = parseXids(spark, dir).map { case (p, epochSec) =>
