@@ -855,6 +855,19 @@ object Replication {
     * to a lines table keyed by (order id, line no) — and the single
     * fan-out job collapses each table under its own key (see
     * StreamingOps.runCdcPassMultiSource). */
+  /** `ddlSql` is the RAW-TEXT DDL surface for the TOPOLOGY, mirroring
+    * [[incrementalSync]]'s: the gap's QueryEvents fold through
+    * [[streaming.DdlSql.foldTopology]] scoped to the replicated set —
+    * column verbs fold ENVELOPE-WIDE (one binlog, one shared envelope,
+    * one fan-out: a rename declared on any replicated table renames
+    * the column in every state dir, the multi pass's documented
+    * model), TRUNCATE folds per table, foreign tables' noise skips.
+    * Mutually exclusive with the structured DDL arguments; RENAME
+    * TABLE refuses toward [[renameTables]] and CREATE/DROP TABLE
+    * toward [[applyTableLifecycle]] — run both BEFORE this pass.
+    * Narrowing/cross-family MODIFY declarations refuse at this gate
+    * against EVERY replicated table's published schema that carries
+    * the column. */
   def incrementalSyncMulti(spark: SparkSession, schema: StructType,
       inDir: String, ckptDir: String, stateDirs: Map[String, String],
       compactEvery: Int = 16,
@@ -869,12 +882,55 @@ object Replication {
       keyColsByTable: Map[String, Seq[String]] = Map.empty,
       dropCols: Map[String, Long] = Map.empty,
       keepHistory: Boolean = false,
-      positionToken: Option[String] = None)
+      positionToken: Option[String] = None,
+      ddlSql: Seq[(Long, String)] = Seq.empty)
       : Map[String, SyncProgress] = {
+    val (renames2, truncate2, defaults2, drops2) =
+      if (ddlSql.isEmpty) (renameCols, truncateAt, defaultCols, dropCols)
+      else {
+        require(renameCols.isEmpty && truncateAt.isEmpty &&
+          defaultCols.isEmpty && dropCols.isEmpty,
+          "ddlSql and structured DDL arguments are mutually exclusive — " +
+            "the fold would silently double-apply whichever verb both " +
+            "declare; pass the gap's DDL one way")
+        val (cfg, truncates) = streaming.DdlSql.foldTopology(
+          ddlSql, stateDirs.keySet)
+        require(cfg.tableRenames.isEmpty,
+          "ddlSql carries RENAME TABLE statement(s) " +
+            cfg.tableRenames.map { case (a, b) => s"'$a'->'$b'" }
+              .mkString(", ") +
+            " — table renames rebind state dirs, not columns: apply " +
+            "them via Replication.renameTables BEFORE this pass")
+        require(cfg.createTables.isEmpty && cfg.dropTables.isEmpty,
+          "ddlSql carries table lifecycle statement(s) " +
+            (cfg.createTables.map(c => s"CREATE '${c._2.table}'") ++
+              cfg.dropTables.map(d => s"DROP '${d._2}'")).mkString(", ") +
+            " — CREATE/DROP TABLE bootstrap or retire whole state " +
+            "dirs: apply them via Replication.applyTableLifecycle " +
+            "BEFORE this pass")
+        // the MODIFY narrowing gate, topology-wide: the envelope is
+        // shared, so a declared type must not narrow ANY table's
+        // published column
+        for (dirPath <- stateDirs.values.toSeq.sorted;
+             published <- streaming.StreamingOps.readStateSchema(dirPath);
+             (colName, (atSeq, tpe)) <- cfg.modifyCols;
+             pf <- published.fields.find(_.name == colName)) {
+          val declared = streaming.DdlSql.sparkType(tpe)
+          require(declared == pf.dataType ||
+            streaming.StreamingOps.widensForDdl(pf.dataType, declared),
+            s"MODIFY COLUMN '$colName' $tpe (at seq $atSeq) would " +
+              s"narrow or change the published ${pf.dataType.simpleString}" +
+              s" of $dirPath — the source rewrites its data on such a " +
+              "MODIFY while untouched replica keys would keep serving " +
+              "the old-typed values; resync instead of replicating " +
+              "the statement")
+        }
+        (cfg.renameCols, truncates, cfg.defaultCols, cfg.dropCols)
+      }
     val (stats, pending, srcMax) = streaming.StreamingOps.runCdcPassMulti(
-      spark, schema, inDir, ckptDir, stateDirs, txnCol, renameCols, truncateAt,
-      defaultCols, rowFilters, maskCols, keyCols, trackSourceSeq = true,
-      keyColsByTable = keyColsByTable, dropCols = dropCols,
+      spark, schema, inDir, ckptDir, stateDirs, txnCol, renames2, truncate2,
+      defaults2, rowFilters, maskCols, keyCols, trackSourceSeq = true,
+      keyColsByTable = keyColsByTable, dropCols = drops2,
       keepHistory = keepHistory)
     // the topology shares ONE binlog, so its position catalog entry is
     // topology-level: the newest seq any table applied (the binlog is

@@ -829,15 +829,49 @@ object DdlSql {
     * statements for other tables are skipped, RENAME TABLE pairs are
     * kept whole (they rebind dirs at the topology level). */
   def fold(events: Seq[(Long, String)],
-      tableFilter: Option[String] = None): DdlConfig = {
+      tableFilter: Option[String] = None): DdlConfig =
+    foldCore(events,
+      scope = st => tableFilter.forall(t => st.table.equalsIgnoreCase(t)),
+      keepPair = { case (a, b) => tableFilter.forall(t =>
+        a.equalsIgnoreCase(t) || b.equalsIgnoreCase(t)) })._1
+
+  /** [[fold]] for the MULTI-TABLE topology ([[StreamingOps
+    * .runCdcPassMulti]]'s config shape): scope = membership in the
+    * replicated set. Column verbs fold ENVELOPE-WIDE exactly as the
+    * multi pass applies them — one binlog, one shared envelope, one
+    * fan-out: a rename declared on any replicated table renames the
+    * column in every table's state dir (the engine's documented
+    * model); TRUNCATE is the one per-TABLE verb, returned as the
+    * second element (table → newest position — the multi pass's
+    * `truncateAt` shape). RENAME TABLE pairs touching any replicated
+    * table are kept; lifecycle verbs record as in [[fold]]. Returned
+    * `cfg.truncateAtSeq` is always None here — the per-table map is
+    * authoritative. */
+  def foldTopology(events: Seq[(Long, String)], tables: Set[String])
+      : (DdlConfig, Map[String, Long]) = {
+    val lower = tables.map(_.toLowerCase)
+    val (cfg, trunc) = foldCore(events,
+      scope = st => lower.contains(st.table.toLowerCase),
+      keepPair = { case (a, b) =>
+        lower.contains(a.toLowerCase) || lower.contains(b.toLowerCase) },
+      perTableTruncate = true)
+    (cfg, trunc)
+  }
+
+  private def foldCore(events: Seq[(Long, String)],
+      scope: Statement => Boolean,
+      keepPair: ((String, String)) => Boolean,
+      perTableTruncate: Boolean = false)
+      : (DdlConfig, Map[String, Long]) = {
     var cfg = DdlConfig()
+    var truncates = Map.empty[String, Long]
     var added = Set.empty[String] // columns born in this gap
     val evs = events.sortBy(_._1)
     for ((seq, sql) <- evs; st <- parse(sql)) {
-      val inScope = tableFilter.forall(t => st match {
-        case _: RenameTable => true
-        case s => s.table.equalsIgnoreCase(t)
-      })
+      val inScope = st match {
+        case _: RenameTable => true // pair-filtered below
+        case s => scope(s)
+      }
       if (inScope) st match {
         case AddColumn(_, col, _, default) =>
           require(!added.contains(col),
@@ -895,7 +929,17 @@ object DdlSql {
             cfg.defaultCols.get(from).foreach { d =>
               cfg = cfg.copy(defaultCols = cfg.defaultCols - from + (to -> d))
             }
-          } else cfg.renameCols.find(_._2 == from) match {
+          } else if (cfg.renameCols.contains(from))
+            // `RENAME a TO b; RENAME a TO c` — a was renamed away
+            // earlier in the gap, so the second statement names a
+            // column that no longer exists (MySQL would have refused
+            // it at the source; a fold that silently overwrote the
+            // first mapping would lose b entirely)
+            throw new IllegalArgumentException(
+              s"DDL gap renames '$from' (to '${cfg.renameCols(from)}') " +
+                s"and later (at seq $seq) renames it again to '$to' — " +
+                "the column no longer exists at the second rename's turn")
+          else cfg.renameCols.find(_._2 == from) match {
             case Some((orig, _)) => // chain a→b, b→c ⇒ a→c
               cfg = cfg.copy(renameCols = cfg.renameCols + (orig -> to))
             case None =>
@@ -908,19 +952,18 @@ object DdlSql {
           // statement (gap-born columns skip: nothing published yet)
           if (!added.contains(col))
             cfg = cfg.copy(modifyCols = cfg.modifyCols + (col -> (seq, tpe)))
-        case TruncateTable(_) =>
-          cfg = cfg.copy(truncateAtSeq =
+        case TruncateTable(t) =>
+          if (perTableTruncate)
+            truncates += (t ->
+              math.max(truncates.getOrElse(t, Long.MinValue), seq))
+          else cfg = cfg.copy(truncateAtSeq =
             Some(math.max(cfg.truncateAtSeq.getOrElse(Long.MinValue), seq)))
         case RenameTable(pairs) =>
-          // scoped per PAIR: a rename touching the scoped table on
+          // scoped per PAIR: a rename touching a scoped table on
           // either side matters (the OSC cutover renames it); a fully
           // foreign rename is a neighbor's cutover — routine noise
-          val kept = tableFilter match {
-            case None => pairs
-            case Some(t) => pairs.filter { case (a, b) =>
-              a.equalsIgnoreCase(t) || b.equalsIgnoreCase(t) }
-          }
-          cfg = cfg.copy(tableRenames = cfg.tableRenames ++ kept)
+          cfg = cfg.copy(tableRenames =
+            cfg.tableRenames ++ pairs.filter(keepPair))
         case ct: CreateTable =>
           // lifecycle verbs record for the TOPOLOGY layer — the same
           // contract as tableRenames: a column-level pass consuming
@@ -938,6 +981,6 @@ object DdlSql {
               s"'$t' at seq $seq — in: $sql")
       }
     }
-    cfg
+    (cfg, truncates)
   }
 }

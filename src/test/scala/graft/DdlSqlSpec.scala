@@ -299,6 +299,53 @@ class DdlSqlSpec extends AnyFunSuite {
     assert(reborn.defaultCols == Map("a" -> ColumnDefault(2L, "9")))
   }
 
+  test("foldTopology: column verbs fold envelope-wide over the " +
+      "replicated set, TRUNCATE folds per table, foreign noise skips") {
+    val (cfg, truncates) = DdlSql.foldTopology(Seq(
+      1L -> "ALTER TABLE t_even RENAME COLUMN channel TO chan",
+      2L -> "TRUNCATE TABLE t_odd",
+      3L -> "TRUNCATE TABLE t_odd",
+      4L -> "TRUNCATE TABLE t_even",
+      5L -> "ALTER TABLE t_odd ADD COLUMN note VARCHAR(8) DEFAULT 'n'",
+      // a neighbor's DDL — not replicated here, routine noise
+      6L -> "ALTER TABLE audit_log DROP COLUMN x",
+      7L -> "CREATE TABLE audit_log2 (a INT)",
+      8L -> "GRANT SELECT ON db.* TO 'u'@'%'",
+      // a cutover pair touching a replicated table is kept
+      9L -> "RENAME TABLE users TO _users_del",
+      10L -> "RENAME TABLE t_even TO _t_even_del"),
+      tables = Set("t_even", "t_odd"))
+    // one shared envelope: the rename declared on t_even and the
+    // add-default declared on t_odd BOTH fold envelope-wide
+    assert(cfg.renameCols == Map("channel" -> "chan"))
+    assert(cfg.defaultCols == Map("note" -> ColumnDefault(5L, "'n'")))
+    // truncate is the per-table verb: newest position per table, and
+    // the single-table slot stays empty
+    assert(truncates == Map("t_odd" -> 3L, "t_even" -> 4L))
+    assert(cfg.truncateAtSeq.isEmpty)
+    assert(cfg.tableRenames == Seq("t_even" -> "_t_even_del"))
+    // lifecycle of an UNREPLICATED table is noise to this fold
+    assert(cfg.createTables.isEmpty && cfg.dropTables.isEmpty)
+    // in-scope lifecycle records, as in the single-table fold
+    val (lc, _) = DdlSql.foldTopology(Seq(
+      1L -> "DROP TABLE t_odd"), tables = Set("t_even", "t_odd"))
+    assert(lc.dropTables == Seq(1L -> "t_odd"))
+  }
+
+  test("a column renamed away cannot rename again in the same gap") {
+    val e = intercept[IllegalArgumentException] {
+      DdlSql.fold(Seq(
+        1L -> "ALTER TABLE t RENAME COLUMN a TO b",
+        2L -> "ALTER TABLE t RENAME COLUMN a TO c"))
+    }
+    assert(e.getMessage.contains("renames it again"))
+    // the legitimate chain still folds (a→b then b→c ⇒ a→c)
+    assert(DdlSql.fold(Seq(
+      1L -> "ALTER TABLE t RENAME COLUMN a TO b",
+      2L -> "ALTER TABLE t RENAME COLUMN b TO c")).renameCols ==
+      Map("a" -> "c"))
+  }
+
   test("statement-format row changes (binlog_format=STATEMENT dumps) " +
       "refuse by verb — never silently skip") {
     // a STATEMENT-format dump ships plain DML as QueryEvents; the

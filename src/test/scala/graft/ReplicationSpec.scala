@@ -2565,6 +2565,81 @@ class ReplicationSpec extends SparkTestBase {
       Map(1L -> 5.0, 2L -> 2.0, 3L -> 4.0))
   }
 
+  test("full dump feed: lifecycle + column DDL from ONE QueryEvent " +
+      "stream drive the multi-table topology end to end") {
+    import graft.sources.BinlogText
+    val base = tmp()
+    val root = s"$base/tables"
+    val log0 = Tables.cdcLog(spark, sf).withColumn("table",
+      when(col("okey") % 2 === 0, "t_even").otherwise("t_odd"))
+    // the shared envelope carries an extra `channel` column — the one
+    // the gap's RENAME COLUMN targets (core envelope columns are the
+    // harness's fixed vocabulary; real DDL renames payload columns)
+    val log = log0.withColumn("channel",
+      when(col("op") === "D", lit(null).cast("string"))
+        .otherwise(concat(lit("c"), (col("okey") % 4).cast("string"))))
+    // pass 1: the parity fan-out applies wave 1
+    graft.streaming.StreamingOps.writeWave(
+      log.filter(col("seq") === 1), s"$base/in", 0)
+    val dirs = Map("t_even" -> s"$root/t_even", "t_odd" -> s"$root/t_odd")
+    Replication.incrementalSyncMulti(spark, log.schema, s"$base/in",
+      s"$base/ckpt", dirs)
+    // the GAP, as dump text: a lifecycle verb AND a column verb in one
+    // QueryEvent stream — extracted once, split by layer
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$base/gap"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$base/gap/ddl.txt"),
+      Seq(
+        BinlogText.renderQuery(10L, 800000000L,
+          "DROP TABLE `t_odd`"),
+        BinlogText.renderQuery(11L, 800000001L,
+          "ALTER TABLE t_even RENAME COLUMN channel TO chan"),
+        BinlogText.renderQuery(12L, 800000002L,
+          "ALTER TABLE neighbors_audit ADD COLUMN junk INT")) // noise
+        .mkString("\n"))
+    val gap = BinlogText.parseDdl(spark, s"$base/gap")
+    // layer 1: lifecycle (DROP retires t_odd, topology shrinks)
+    val report = Replication.applyTableLifecycle(spark, root, gap, dirs)
+    assert(report.stateDirs.keySet == Set("t_even"))
+    // layer 2: the SAME gap feeds the resumed pass — lifecycle verbs
+    // are out of the (shrunk) scope now, the rename folds, the
+    // neighbor's ALTER skips
+    val w2 = log.filter(col("seq") >= 2 && col("okey") % 2 === 0)
+      .withColumnRenamed("channel", "chan")
+      .withColumn("chan", when(col("op") === "D",
+        lit(null).cast("string")).otherwise(concat(lit("n"),
+        (col("okey") % 4).cast("string"))))
+    graft.streaming.StreamingOps.writeWave(w2, s"$base/in", 1)
+    Replication.incrementalSyncMulti(spark, w2.schema, s"$base/in",
+      s"$base/ckpt", report.stateDirs, ddlSql = gap)
+    val served = Replication.appliedState(spark, s"$root/t_even")
+    assert(served.columns.contains("chan") &&
+      !served.columns.contains("channel"))
+    // pre-rename winners serve their old 'c…' values under the NEW
+    // name; post-rename winners serve their 'n…' values
+    val byKey = served.select(col("okey"), col("chan")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pre = byKey.filter { case (k, _) => k % 3 != 0 && k % 7 != 0 }
+    val post = byKey.filter { case (k, _) => k % 3 == 0 && k % 7 != 0 }
+    assert(pre.nonEmpty && pre.values.forall(_.startsWith("c")))
+    assert(post.nonEmpty && post.values.forall(_.startsWith("n")))
+    // the UNSHRUNK scope refuses the same gap loudly: DROP TABLE of a
+    // still-declared table cannot fold into a column-level pass
+    val e = intercept[IllegalArgumentException] {
+      Replication.incrementalSyncMulti(spark, w2.schema, s"$base/in",
+        s"$base/ckpt2", dirs, ddlSql = gap)
+    }
+    assert(e.getMessage.contains("applyTableLifecycle"))
+    // and a narrowing MODIFY refuses topology-wide, naming the dir
+    val e2 = intercept[IllegalArgumentException] {
+      Replication.incrementalSyncMulti(spark, w2.schema, s"$base/in",
+        s"$base/ckpt3", report.stateDirs,
+        ddlSql = Seq(20L -> "ALTER TABLE t_even MODIFY okey INT"))
+    }
+    assert(e2.getMessage.contains("MODIFY COLUMN 'okey' INT"))
+  }
+
   test("narrowing MODIFY via SQL text refuses at the gate naming the " +
       "statement; widening text passes through to the guardrail") {
     val base = tmp()
