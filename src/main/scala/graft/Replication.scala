@@ -259,10 +259,15 @@ object Replication {
         // later with no statement to point at. Widenings and same-type
         // modifies pass through — the resumed envelope carries them to
         // the widening guardrail as before.
+        // declarations whose MySQL type has no engine mapping SKIP the
+        // gate (a metadata-only MODIFY of an exotic type must not
+        // hard-fail the sync) — the envelope guardrail still owns the
+        // actual type change
         for (published <- streaming.StreamingOps.readStateSchema(stateDir);
              (colName, (atSeq, tpe)) <- cfg.modifyCols;
-             pf <- published.fields.find(_.name == colName)) {
-          val declared = streaming.DdlSql.sparkType(tpe)
+             pf <- published.fields.find(_.name == colName);
+             declared <- scala.util.Try(
+               streaming.DdlSql.sparkType(tpe)).toOption) {
           require(declared == pf.dataType ||
             streaming.StreamingOps.widensForDdl(pf.dataType, declared),
             s"MODIFY COLUMN '$colName' $tpe (at seq $atSeq) would " +
@@ -901,21 +906,33 @@ object Replication {
               .mkString(", ") +
             " — table renames rebind state dirs, not columns: apply " +
             "them via Replication.renameTables BEFORE this pass")
-        require(cfg.createTables.isEmpty && cfg.dropTables.isEmpty,
-          "ddlSql carries table lifecycle statement(s) " +
-            (cfg.createTables.map(c => s"CREATE '${c._2.table}'") ++
-              cfg.dropTables.map(d => s"DROP '${d._2}'")).mkString(", ") +
-            " — CREATE/DROP TABLE bootstrap or retire whole state " +
-            "dirs: apply them via Replication.applyTableLifecycle " +
-            "BEFORE this pass")
+        // lifecycle statements the topology ALREADY REFLECTS are
+        // acknowledged, so the documented composition — run
+        // applyTableLifecycle on the gap, then hand the SAME gap's
+        // ddlSql to this pass — needs no hand-filtering: a recorded
+        // CreateTable is in scope only because its table IS declared
+        // in stateDirs (the lifecycle layer put it there, or the
+        // operator declared it deliberately), which is exactly the
+        // applied state. A recorded DropTable is the opposite — its
+        // table still being declared means the retire has NOT run —
+        // and refuses toward the lifecycle API as before.
+        require(cfg.dropTables.isEmpty,
+          "ddlSql carries DROP TABLE statement(s) " +
+            cfg.dropTables.map(d => s"'${d._2}'").mkString(", ") +
+            " for table(s) still declared in this topology — retire " +
+            "them via Replication.applyTableLifecycle BEFORE this pass")
         // the MODIFY narrowing gate, topology-wide: the envelope is
         // shared, so a declared type must not narrow ANY table's
-        // published column
+        // published column. Declarations whose MySQL type has no
+        // engine mapping SKIP the gate (a metadata-only MODIFY of an
+        // exotic type must not hard-fail the sync) — the envelope
+        // guardrail still owns the actual type change.
         for (dirPath <- stateDirs.values.toSeq.sorted;
              published <- streaming.StreamingOps.readStateSchema(dirPath);
              (colName, (atSeq, tpe)) <- cfg.modifyCols;
-             pf <- published.fields.find(_.name == colName)) {
-          val declared = streaming.DdlSql.sparkType(tpe)
+             pf <- published.fields.find(_.name == colName);
+             declared <- scala.util.Try(
+               streaming.DdlSql.sparkType(tpe)).toOption) {
           require(declared == pf.dataType ||
             streaming.StreamingOps.widensForDdl(pf.dataType, declared),
             s"MODIFY COLUMN '$colName' $tpe (at seq $atSeq) would " +
@@ -1153,7 +1170,7 @@ object Replication {
     }
     var dirs = replicated
     var gapBorn = Set.empty[String]
-    val created = Seq.newBuilder[(String, String)]
+    var created = Seq.empty[(String, String)]
     val retired = Seq.newBuilder[(String, String)]
     for ((seq, sql) <- events.sortBy(_._1);
          st <- streaming.DdlSql.parse(sql)) st match {
@@ -1174,7 +1191,7 @@ object Replication {
             streaming.DdlSql.sparkType(tp),
             nullable = !ct.keyCols.exists(_.equalsIgnoreCase(n)))
         })
-        created += ct.table ->
+        created :+= ct.table ->
           sources.DestinationDdl.createTable(ct.table, schema, ct.keyCols)
         dirs += ct.table -> s"$root/${ct.table}"
         gapBorn += ct.table
@@ -1184,9 +1201,12 @@ object Replication {
             "replicated here — scope the gap, or the chain is stale")
         if (gapBorn(t)) {
           // born and dropped inside the gap: never synced, nothing on
-          // disk — both entries cancel (the column-add/drop rule,
-          // one level up)
+          // disk — both entries cancel (the column-add/drop rule, one
+          // level up), INCLUDING the bootstrap DDL: a report listing a
+          // CREATE for a table absent from stateDirs would invite the
+          // operator to bootstrap an orphan destination table
           gapBorn -= t
+          created = created.filterNot(_._1 == t)
         } else if (streaming.StateFs.exists(s"$root/$t")) {
           val dest = s"_${t}_dropped_$seq"
           renameTables(root, Seq(t -> dest))
@@ -1195,9 +1215,22 @@ object Replication {
         // declared-but-never-synced tables have no dir to retire —
         // they only leave the topology map
         dirs -= t
+      case streaming.DdlSql.Unsupported(t, "CREATE TABLE")
+        if inScope(t) =>
+        // an in-scope CREATE whose body the dialect could not parse
+        // (LIKE / AS SELECT / exotic attributes) must REFUSE here, not
+        // skip: silently ignoring it would leave the new table out of
+        // the topology and the multi pass would then silently filter
+        // its row events — the exact corruption the in-scope-refusal
+        // discipline exists to prevent
+        throw new IllegalArgumentException(
+          s"CREATE TABLE '$t' at seq $seq is outside the parseable " +
+            s"dialect (LIKE / AS SELECT / exotic column attributes) — " +
+            "the table cannot be bootstrapped from the statement; " +
+            s"declare it by hand and resync — in: $sql")
       case _ => () // column verbs / out-of-scope noise: not ours
     }
-    TableLifecycleReport(created.result(), retired.result(), dirs)
+    TableLifecycleReport(created, retired.result(), dirs)
   }
 
   /** The currently applied destination state (latest row per key,

@@ -486,22 +486,29 @@ object BinlogText {
           "stamp — its transaction cannot be named")
       txn(ans)
     }.asNondeterministic() // it throws: keep it un-reordered past filters
-    // eager gate (one 1-row aggregate): a row event at or below the
-    // first stamp has no nameable transaction — refuse at build time,
-    // not lazily inside whichever action first touches the frame
-    val minPos = env.agg(min(col("seq"))).collect()(0)
-    if (!minPos.isNullAt(0) && minPos.getLong(0) <= stampPos(0))
-      throw new IllegalArgumentException(
-        s"row event at position ${minPos.getLong(0)} precedes the " +
-          "dump's first GTID stamp — its transaction cannot be named")
+    // the pre-stamp refusal is the UDF's (it fires on the first action
+    // that touches the frame): an eager probe here would cost a full
+    // extra decode of the dump purely to move the same error earlier
     val stamped = env.withColumn(txnCol, assign(col("seq")))
     // commit markers from the Xid events: each closes the deepest
-    // transaction opened before it
+    // transaction opened before it — the same binary search as the
+    // row path (a linear prefix scan per Xid would be O(txns²) on the
+    // driver at exactly the dump sizes the row path is built for)
+    def deepestBelow(p: Long): Int = {
+      var lo = 0
+      var hi = stampPos.length - 1
+      var ans = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (stampPos(mid) < p) { ans = mid; lo = mid + 1 } else hi = mid - 1
+      }
+      ans
+    }
     val markers = parseXids(spark, dir).map { case (p, epochSec) =>
-      val g = stamps.takeWhile(_._1 < p).lastOption.getOrElse(
-        throw new IllegalArgumentException(
-          s"Xid at position $p precedes the dump's first GTID stamp"))
-      (p, epochSec, g._2)
+      val i = deepestBelow(p)
+      if (i < 0) throw new IllegalArgumentException(
+        s"Xid at position $p precedes the dump's first GTID stamp")
+      (p, epochSec, stampTxn(i))
     }
     val markerDf = markers.toDF("seq", "_sec", txnCol)
       .select(lit("C").as("op"), col("seq"),

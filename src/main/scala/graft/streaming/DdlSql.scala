@@ -865,7 +865,13 @@ object DdlSql {
       : (DdlConfig, Map[String, Long]) = {
     var cfg = DdlConfig()
     var truncates = Map.empty[String, Long]
-    var added = Set.empty[String] // columns born in this gap
+    // columns born in this gap, with the spec that declared them — a
+    // multi-table source migrating a SHARED envelope column emits one
+    // identical ALTER per table (MySQL binlogs only successful
+    // statements, so a true same-table duplicate can never arrive):
+    // IDENTICAL re-declarations are idempotent no-ops, only a
+    // CONFLICTING one refuses
+    var added = Map.empty[String, (String, Option[String])]
     val evs = events.sortBy(_._1)
     for ((seq, sql) <- evs; st <- parse(sql)) {
       val inScope = st match {
@@ -873,13 +879,21 @@ object DdlSql {
         case s => scope(s)
       }
       if (inScope) st match {
-        case AddColumn(_, col, _, default) =>
-          require(!added.contains(col),
-            s"DDL gap adds column '$col' twice (at seq $seq)")
-          added += col
-          default.foreach { d =>
-            cfg = cfg.copy(defaultCols = cfg.defaultCols +
-              (col -> StreamingOps.ColumnDefault(seq, d)))
+        case AddColumn(_, col, tpe, default) =>
+          added.get(col) match {
+            case Some(spec) if spec == (tpe, default) =>
+              () // the same ADD from a sibling table — idempotent
+            case Some((t0, d0)) =>
+              throw new IllegalArgumentException(
+                s"DDL gap adds column '$col' twice with conflicting " +
+                  s"specs ($t0 default $d0 vs $tpe default $default, " +
+                  s"at seq $seq)")
+            case None =>
+              added += col -> (tpe, default)
+              default.foreach { d =>
+                cfg = cfg.copy(defaultCols = cfg.defaultCols +
+                  (col -> StreamingOps.ColumnDefault(seq, d)))
+              }
           }
         case DropColumn(_, col) =>
           if (added.contains(col)) {
@@ -900,8 +914,16 @@ object DdlSql {
                     "renames before drops and cannot express this " +
                     "order; split the gap into two passes")
               }
-            cfg = cfg.copy(dropCols = cfg.dropCols + (col -> seq))
+            // a narrowing/modify declaration for a column the gap then
+            // DROPS is moot — the column dies at the drop seq; leaving
+            // the entry would falsely refuse a narrow-then-remove
+            // cleanup migration at the MODIFY gate
+            cfg = cfg.copy(dropCols = cfg.dropCols + (col -> seq),
+              modifyCols = cfg.modifyCols - col)
           }
+        case RenameColumn(_, from, to)
+          if cfg.renameCols.get(from).contains(to) =>
+          () // the same RENAME from a sibling table — idempotent
         case RenameColumn(_, from, to) =>
           // name reuse across an earlier drop is unfoldable: the pass
           // applies renames BEFORE drops, so `DROP a; RENAME b TO a`
@@ -925,7 +947,7 @@ object DdlSql {
           if (added.contains(from)) {
             // a gap-born column renames by re-keying its default —
             // the state has no published column to migrate
-            added = added - from + to
+            added = added - from + (to -> added(from))
             cfg.defaultCols.get(from).foreach { d =>
               cfg = cfg.copy(defaultCols = cfg.defaultCols - from + (to -> d))
             }

@@ -624,7 +624,9 @@ class BinlogTextSpec extends SparkTestBase {
     assert(marker.isNullAt(marker.fieldIndex("okey")))
     assert(marker.getAs[java.time.LocalDateTime]("ts")
       .toEpochSecond(java.time.ZoneOffset.UTC) == 800000000L)
-    // a row event BELOW the first stamp has no nameable transaction
+    // a row event BELOW the first stamp has no nameable transaction —
+    // the refusal fires on the first ACTION (the stamping is lazy: an
+    // eager probe would re-decode the whole dump just to fail earlier)
     val dir2 = tmp()
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(s"$dir2/b"))
@@ -633,10 +635,12 @@ class BinlogTextSpec extends SparkTestBase {
       rowBlock(5L, 1L) +
         BinlogText.renderGtid(10L, 800000000L, uuid, 1L) + "\n" +
         rowBlock(11L, 2L))
-    val e = intercept[IllegalArgumentException] {
-      BinlogText.parseTxn(spark, s"$dir2/b", cols)
+    val e = intercept[Throwable] {
+      BinlogText.parseTxn(spark, s"$dir2/b", cols).collect()
     }
-    assert(e.getMessage.contains("precedes the dump's first GTID stamp"))
+    val msg = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msg.contains("precedes the dump's first GTID stamp"), s"got: $msg")
     // a dump with no stamps at all cannot delimit transactions
     val dir3 = tmp()
     java.nio.file.Files.createDirectories(

@@ -332,6 +332,40 @@ class DdlSqlSpec extends AnyFunSuite {
     assert(lc.dropTables == Seq(1L -> "t_odd"))
   }
 
+  test("per-table duplicates of one shared-envelope migration fold " +
+      "idempotently; conflicting re-declarations refuse") {
+    // a topology migrating a SHARED column emits one identical ALTER
+    // per table — the fold must treat them as one declaration
+    val (cfg, _) = DdlSql.foldTopology(Seq(
+      1L -> "ALTER TABLE t_even ADD COLUMN note VARCHAR(8) DEFAULT 'n'",
+      2L -> "ALTER TABLE t_odd ADD COLUMN note VARCHAR(8) DEFAULT 'n'",
+      3L -> "ALTER TABLE t_even RENAME COLUMN channel TO chan",
+      4L -> "ALTER TABLE t_odd RENAME COLUMN channel TO chan"),
+      tables = Set("t_even", "t_odd"))
+    assert(cfg.defaultCols == Map("note" -> ColumnDefault(1L, "'n'")))
+    assert(cfg.renameCols == Map("channel" -> "chan"))
+    // a CONFLICTING re-declaration is a different migration — refuse
+    val e = intercept[IllegalArgumentException] {
+      DdlSql.foldTopology(Seq(
+        1L -> "ALTER TABLE t_even ADD COLUMN note VARCHAR(8) DEFAULT 'n'",
+        2L -> "ALTER TABLE t_odd ADD COLUMN note INT DEFAULT 0"),
+        tables = Set("t_even", "t_odd"))
+    }
+    assert(e.getMessage.contains("conflicting"))
+  }
+
+  test("a MODIFY followed by DROP of the same column cancels the " +
+      "narrowing declaration — the column dies at the drop seq") {
+    val cfg = DdlSql.fold(Seq(
+      1L -> "ALTER TABLE t MODIFY qty INT",
+      2L -> "ALTER TABLE t DROP COLUMN qty"))
+    assert(cfg.modifyCols.isEmpty)
+    assert(cfg.dropCols == Map("qty" -> 2L))
+    // without the drop, the declaration stays recorded for the gate
+    assert(DdlSql.fold(Seq(1L -> "ALTER TABLE t MODIFY qty INT"))
+      .modifyCols == Map("qty" -> (1L, "INT")))
+  }
+
   test("a column renamed away cannot rename again in the same gap") {
     val e = intercept[IllegalArgumentException] {
       DdlSql.fold(Seq(

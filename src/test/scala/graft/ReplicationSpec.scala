@@ -2467,13 +2467,24 @@ class ReplicationSpec extends SparkTestBase {
     refuses(Seq(1L -> "CREATE TABLE t_stale (a INT PRIMARY KEY)"),
       "already holds a dir")
     // a table born and dropped inside one gap never existed: nothing
-    // bootstraps, nothing retires, the map is unchanged
+    // bootstraps (its DDL leaves the report too — an orphan bootstrap
+    // invitation), nothing retires, the map is unchanged
     val ephemeral = Replication.applyTableLifecycle(spark, root, Seq(
       1L -> "CREATE TABLE t_tmp (a BIGINT PRIMARY KEY)",
       2L -> "DROP TABLE t_tmp"), report.stateDirs)
-    assert(ephemeral.created.map(_._1) == Seq("t_tmp"))
+    assert(ephemeral.created.isEmpty)
     assert(ephemeral.retired.isEmpty)
     assert(ephemeral.stateDirs == report.stateDirs)
+    // an in-scope CREATE whose body degrades (LIKE/AS SELECT) refuses
+    // HERE — silently skipping it would strand the new table's row
+    // events outside the topology
+    refuses(Seq(1L -> "CREATE TABLE t_ghost LIKE t_even"),
+      "outside the parseable dialect")
+    // …while the same statement for an out-of-scope table stays noise
+    val noisy = Replication.applyTableLifecycle(spark, root,
+      Seq(1L -> "CREATE TABLE neighbor LIKE other"),
+      report.stateDirs, inScope = Set("t_even", "t_new"))
+    assert(noisy.stateDirs == report.stateDirs)
     // a single-table pass handed lifecycle verbs refuses, directing to
     // this API (the tableRenames contract, extended)
     val in2 = s"$base/in2"
@@ -2631,6 +2642,31 @@ class ReplicationSpec extends SparkTestBase {
         s"$base/ckpt2", dirs, ddlSql = gap)
     }
     assert(e.getMessage.contains("applyTableLifecycle"))
+    // the CREATE composition is deadlock-free: a gap carrying CREATE +
+    // column DDL runs applyTableLifecycle first, then the SAME gap's
+    // ddlSql feeds the pass — the recorded CreateTable is acknowledged
+    // (its table is declared: that IS the applied state), only the
+    // column verb folds
+    val base2 = tmp()
+    val root2 = s"$base2/tables"
+    graft.streaming.StreamingOps.writeWave(
+      log.filter(col("seq") === 1), s"$base2/in", 0)
+    val dirs2 = Map("t_even" -> s"$root2/t_even", "t_odd" -> s"$root2/t_odd")
+    Replication.incrementalSyncMulti(spark, log.schema, s"$base2/in",
+      s"$base2/ckpt", dirs2)
+    val gap2 = Seq(
+      10L -> ("CREATE TABLE t_extra (okey BIGINT PRIMARY KEY, " +
+        "price DOUBLE)"),
+      11L -> "ALTER TABLE t_even RENAME COLUMN channel TO chan")
+    val rep2 = Replication.applyTableLifecycle(spark, root2, gap2, dirs2)
+    assert(rep2.stateDirs.keySet == Set("t_even", "t_odd", "t_extra"))
+    val w2b = log.filter(col("seq") >= 2)
+      .withColumnRenamed("channel", "chan")
+    graft.streaming.StreamingOps.writeWave(w2b, s"$base2/in", 1)
+    Replication.incrementalSyncMulti(spark, w2b.schema, s"$base2/in",
+      s"$base2/ckpt", rep2.stateDirs, ddlSql = gap2) // must not refuse
+    assert(Replication.appliedState(spark, s"$root2/t_even")
+      .columns.contains("chan"))
     // and a narrowing MODIFY refuses topology-wide, naming the dir
     val e2 = intercept[IllegalArgumentException] {
       Replication.incrementalSyncMulti(spark, w2.schema, s"$base/in",
