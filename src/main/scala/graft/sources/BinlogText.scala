@@ -123,28 +123,118 @@ object BinlogText {
     val changedB = changedCol
     val files = spark.read.option("wholetext", "true").text(dir)
     files.select(col("value")).flatMap(
-      r => parseFile(r.getString(0), colsB, beforeB, changedB))(
+      r => parseFile(r.getString(0),
+        decodeSingle(colsB, beforeB, changedB)))(
       RowEncoder.encoderFor(schema))
+      .toDF()
+  }
+
+  /** Decode a MULTI-TABLE dump — the reference's actual topology (one
+    * binlog, N tables) from text: each row event dispatches on the
+    * TABLE its verb line names, decodes under THAT table's TABLE_MAP
+    * column list, and lands in the SHARED envelope `(op, seq, ts,
+    * <tableCol>, <union of all tables' columns>)` with the columns a
+    * table does not carry left NULL — exactly the one-envelope shape
+    * [[graft.streaming.StreamingOps.runCdcPassMulti]] fans out (its
+    * per-table state dirs, filters, and keys all dispatch on the same
+    * table column). Overlapping column names must agree on type (one
+    * envelope column serves them all); same-named columns at different
+    * positions per table are fine — positions are per-table. Events
+    * for a table in `ignoreTables` are SKIPPED (the TableFilter
+    * exclusion, declared so the skip is a decision, not an accident);
+    * an event for a table in neither map REFUSES loudly — decoding
+    * positional values without a declared TABLE_MAP would be guessing,
+    * and silently dropping an undeclared table's events is the
+    * silently-diverged-replica class. Distributed per file like
+    * [[parse]]; same grammar, one scan. */
+  def parseMulti(spark: SparkSession, dir: String,
+      colsByTable: Map[String, Seq[(String, DataType)]],
+      tableCol: String = "table",
+      ignoreTables: Set[String] = Set.empty): DataFrame = {
+    require(colsByTable.nonEmpty, "no TABLE_MAP declared for any table")
+    colsByTable.values.foreach(validateCols)
+    require(colsByTable.keySet.intersect(ignoreTables).isEmpty,
+      "table(s) both declared and ignored: " +
+        colsByTable.keySet.intersect(ignoreTables).mkString(", "))
+    // the union envelope: tables in sorted order, first declaration of
+    // a name wins its slot; overlapping names must agree on type
+    val union = Vector.newBuilder[(String, DataType)]
+    var seen = Map.empty[String, DataType]
+    for (t <- colsByTable.keys.toSeq.sorted;
+         (n, dt) <- colsByTable(t)) seen.get(n) match {
+      case None => seen += (n -> dt); union += (n -> dt)
+      case Some(prev) => require(prev == dt,
+        s"column '$n' is declared $prev by one table and $dt by " +
+          s"'$t' — one shared envelope column cannot carry both; " +
+          "rename one side or align the types")
+    }
+    val unionCols = union.result()
+    require(!unionCols.exists(_._1 == tableCol) &&
+      !Seq("op", "seq", "ts").contains(tableCol),
+      s"table column '$tableCol' collides with an envelope column")
+    val slot = unionCols.map(_._1).zipWithIndex.toMap
+    val schema = StructType(
+      Seq(StructField("op", StringType, nullable = false),
+        StructField("seq", LongType, nullable = false),
+        StructField("ts", TimestampNTZType, nullable = false),
+        StructField(tableCol, StringType, nullable = false)) ++
+        unionCols.map { case (n, t) => StructField(n, t, nullable = true) })
+    val colsB = colsByTable
+    val ignoreB = ignoreTables
+    val slotB = slot
+    val width = unionCols.length
+    val decode: EventDecode = (t, o, p, time, where, set) =>
+      colsB.get(t) match {
+        case None if ignoreB.contains(t) => None // declared exclusion
+        case None => throw new IllegalArgumentException(
+          s"binlog event at $p names table '$t', which is neither " +
+            "declared (colsByTable) nor excluded (ignoreTables) — " +
+            "decoding its positional values without a TABLE_MAP would " +
+            "be guessing; declare or exclude it")
+        case Some(cols) =>
+          val img = if (o == "D") where else set
+          require(img.nonEmpty,
+            s"binlog event at $p carries no row image")
+          (img.keys ++ where.keys).foreach(i =>
+            require(i >= 1 && i <= cols.length,
+              s"binlog event at $p names @$i beyond table '$t''s " +
+                s"${cols.length}-column TABLE_MAP"))
+          val vals = Array.fill[Any](width)(null)
+          cols.zipWithIndex.foreach { case ((n, dt), i) =>
+            img.get(i + 1).foreach(raw =>
+              vals(slotB(n)) = parseValue(raw, n, dt))
+          }
+          Some(Row.fromSeq(Seq(o, p, time, t) ++ vals))
+      }
+    val files = spark.read.option("wholetext", "true").text(dir)
+    files.select(col("value"))
+      .flatMap(r => parseFile(r.getString(0), decode))(
+        RowEncoder.encoderFor(schema))
       .toDF()
   }
 
   /** Render an envelope frame as mysqlbinlog-style verbose text under
     * `outDir` — `files` output files, i.e. `files` simulated binlog
     * rotations (event blocks are self-positioned, so the split is
-    * free to be arbitrary). */
+    * free to be arbitrary). `table` names the verb lines' target
+    * (multi-table dumps render per table into one dir — append mode —
+    * and [[parseMulti]] dispatches the blocks back). */
   def render(df: DataFrame, cols: Seq[(String, DataType)],
-      outDir: String, files: Int = 4): Unit = {
+      outDir: String, files: Int = 4, table: String = "orders",
+      append: Boolean = false): Unit = {
     validateCols(cols)
     require(files >= 1, "at least one binlog file")
+    require(table.nonEmpty && !table.contains("`"), s"bad table '$table'")
     import df.sparkSession.implicits._
     val colsB = cols
+    val tableB = table
     val ordered = df.select(
       (Seq(col("op"), col("seq"), unix_micros(col("ts")
         .cast(TimestampType)).as("ts_us")) ++
         colsB.map { case (n, _) => col(n) }): _*)
     ordered.repartition(files)
-      .map(r => renderBlock(r, colsB))
-      .write.mode("overwrite").text(outDir)
+      .map(r => renderBlock(r, colsB, tableB))
+      .write.mode(if (append) "append" else "overwrite").text(outDir)
   }
 
   private def validateCols(cols: Seq[(String, DataType)]): Unit = {
@@ -208,7 +298,8 @@ object BinlogText {
         s"unsupported render type $other") // validateCols precludes this
     }
 
-  private def renderBlock(r: Row, cols: Seq[(String, DataType)]): String = {
+  private def renderBlock(r: Row, cols: Seq[(String, DataType)],
+      table: String): String = {
     val op = r.getString(0)
     val seq = r.getLong(1)
     val tsUs = r.getLong(2)
@@ -231,14 +322,14 @@ object BinlogText {
     }.mkString("\n")
     val body = op match {
       case "I" =>
-        s"### INSERT INTO `db`.`orders`\n### SET\n${image("###   ")}"
+        s"### INSERT INTO `db`.`$table`\n### SET\n${image("###   ")}"
       case "U" =>
         // WHERE carries the key column (binlog_row_image=MINIMAL shape);
         // SET carries the full after image — the side that replicates
-        s"### UPDATE `db`.`orders`\n### WHERE\n###   @1=" +
+        s"### UPDATE `db`.`$table`\n### WHERE\n###   @1=" +
           s"${renderValue(r, 3, cols.head._2)}\n### SET\n${image("###   ")}"
       case _ =>
-        s"### DELETE FROM `db`.`orders`\n### WHERE\n${image("###   ")}"
+        s"### DELETE FROM `db`.`$table`\n### WHERE\n${image("###   ")}"
     }
     s"# at $seq\n$hdr server id 1  end_log_pos $seq CRC32 0x00000000 " +
       s"\t$verb: table id 108 flags: STMT_END_F\n$body"
@@ -456,7 +547,40 @@ object BinlogText {
     require(!cols.exists(_._1 == txnCol) &&
       !Seq("op", "seq", "ts").contains(txnCol),
       s"txn column '$txnCol' collides with an envelope column")
-    val env = parse(spark, dir, cols)
+    gtidTxnEnvelope(spark, dir, parse(spark, dir, cols), txnCol)
+  }
+
+  /** [[parseTxn]] over a MULTI-TABLE dump ([[parseMulti]] + the GTID/
+    * Xid machinery): the cross-table transaction shape —
+    * `runCdcPassMulti(txnCol)`'s input — straight from dump bytes. One
+    * transaction's events may span tables; its single Xid closes them
+    * all at once (the marker is TOPOLOGY-level: its `tableCol` reads
+    * the `_ctl` placeholder — markers are consumed by the gate, never
+    * fanned out to a state dir), so no table applies any slice until
+    * the commit arrives and an uncommitted trailing transaction holds
+    * back across the whole topology. */
+  def parseMultiTxn(spark: SparkSession, dir: String,
+      colsByTable: Map[String, Seq[(String, DataType)]],
+      tableCol: String = "table",
+      txnCol: String = "txn",
+      ignoreTables: Set[String] = Set.empty): DataFrame = {
+    require(!colsByTable.values.exists(_.exists(_._1 == txnCol)) &&
+      !Seq("op", "seq", "ts", tableCol).contains(txnCol),
+      s"txn column '$txnCol' collides with an envelope column")
+    gtidTxnEnvelope(spark, dir,
+      parseMulti(spark, dir, colsByTable, tableCol, ignoreTables),
+      txnCol, markerOverrides = Map(tableCol -> "_ctl"))
+  }
+
+  /** The shared GTID/Xid → txn-gated-envelope machinery behind
+    * [[parseTxn]]/[[parseMultiTxn]]: stamp `env`'s row events with
+    * their transaction and append the Xid-derived `op = "C"` commit
+    * markers (marker columns beyond op/seq/ts/txn fill NULL, except
+    * `markerOverrides` — the multi envelope's non-nullable table slot
+    * takes its `_ctl` placeholder there). */
+  private def gtidTxnEnvelope(spark: SparkSession, dir: String,
+      env: DataFrame, txnCol: String,
+      markerOverrides: Map[String, Any] = Map.empty): DataFrame = {
     val gtids = parseGtidIndex(spark, dir) // (pos, uuid, n), pos-sorted
     require(gtids.nonEmpty,
       s"dump at $dir carries no GTID_NEXT stamps — transactions cannot " +
@@ -515,11 +639,20 @@ object BinlogText {
         timestamp_seconds(col("_sec"))
           .cast(org.apache.spark.sql.types.TimestampNTZType).as("ts"),
         col(txnCol))
-    val payloadNulls = cols.map { case (n, t) =>
-      lit(null).cast(t).as(n) }
+    // marker columns beyond op/seq/ts/txn: NULL of the envelope's own
+    // type, or the caller's override (the multi envelope's
+    // non-nullable table slot)
+    val filler = env.schema.fields
+      .filterNot(f => Seq("op", "seq", "ts").contains(f.name))
+      .map { f =>
+        markerOverrides.get(f.name) match {
+          case Some(v) => lit(v).cast(f.dataType).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
+      }.toSeq
     stamped.unionByName(
       markerDf.select(Seq(col("op"), col("seq"), col("ts")) ++
-        payloadNulls :+ col(txnCol): _*))
+        filler :+ col(txnCol): _*))
   }
 
   /** Decode a GTID-set resume TOKEN against THIS dump's GTID index:
@@ -660,24 +793,101 @@ object BinlogText {
         s"malformed binlog event header: $line")
     }
 
+  /** One sealed row event, handed to the decode plug: the verb-line
+    * TABLE NAME (db-qualifier stripped), op, position, header clock,
+    * and the raw WHERE/SET images. Returning None SKIPS the event (the
+    * multi decode's undeclared-table allowance); the single decode
+    * always emits. */
+  private type EventDecode = (String, String, Long,
+    java.time.LocalDateTime, Map[Int, String], Map[Int, String])
+    => Option[Row]
+
+  /** The SINGLE-TABLE decode ([[parse]]'s): positional images against
+    * one caller-supplied TABLE_MAP, with the before-image and
+    * MINIMAL-changed-list surfaces. Table names on the verb lines are
+    * not dispatched on — a single-table dump's blocks all name the
+    * same table. */
+  private def decodeSingle(cols: Seq[(String, DataType)],
+      beforeCols: Seq[String],
+      changedCol: Option[String]): EventDecode =
+    (_, o, p, time, where, set) => {
+      // the image that replicates: SET for inserts/updates (the after
+      // image), WHERE for deletes (the row being removed)
+      val img = if (o == "D") where else set
+      require(img.nonEmpty, s"binlog event at $p carries no row image")
+      (img.keys ++ where.keys).foreach(i =>
+        require(i >= 1 && i <= cols.length,
+          s"binlog event at $p names @$i beyond the ${cols.length}-" +
+            "column TABLE_MAP"))
+      // MINIMAL mode: an UPDATE's WHERE carries only the PK and its
+      // SET only the changed columns — the row's identity positions
+      // merge in from WHERE (SET wins any overlap). FULL dumps never
+      // reach this: their SET carries every column already.
+      val effImg = if (changedCol.isDefined && o == "U") where ++ set
+        else img
+      val vals = cols.zipWithIndex.map { case ((n, t), i) =>
+        effImg.get(i + 1).map(parseValue(_, n, t)).orNull
+      }
+      // the WHERE image IS the before image (FULL row images); an
+      // insert has none by definition
+      val befores = beforeCols.map { b =>
+        val i = cols.indexWhere(_._1 == b)
+        if (o == "I") null
+        else where.get(i + 1).map(parseValue(_, b, cols(i)._2)).orNull
+      }
+      // MINIMAL row images: the SET block's present positions ARE the
+      // changed-column list. Inserts carry full images by definition
+      // (null list = complete, the partialImageCol contract). A
+      // MINIMAL DELETE is NOT a full image — MySQL ships PK-only
+      // before images for it — so its list names the WHERE positions
+      // actually present: the collapse is unaffected (delete payloads
+      // are null by design, and completion treats any D as a full
+      // column reset), but history/audit consumers can now tell a
+      // partial tombstone image from a full one.
+      val changed = changedCol.map { _ =>
+        if (o == "I") null
+        else if (o == "D") where.keys.toSeq.sorted.map(i => cols(i - 1)._1)
+        else set.keys.toSeq.sorted.map(i => cols(i - 1)._1)
+      }.toSeq
+      Some(Row.fromSeq(Seq(o, p, time) ++ vals ++ befores ++ changed))
+    }
+
+  /** Table name off a verb line's tail: the LAST backticked ident of
+    * `INSERT INTO \`db\`.\`t\`` (or the bare last dot-segment when
+    * unquoted). */
+  private def tableOfVerbLine(rest: String, line: String): String = {
+    val r = rest.trim
+    if (r.endsWith("`")) {
+      val close = r.length - 1
+      val open = r.lastIndexOf('`', close - 1)
+      require(open >= 0, s"malformed binlog verb line: $line")
+      r.substring(open + 1, close)
+    } else {
+      val seg = r.split('.').last.trim
+      require(seg.nonEmpty && !seg.exists(_.isWhitespace),
+        s"malformed binlog verb line: $line")
+      seg
+    }
+  }
+
   /** One file's blocks → envelope rows. Stateful single scan: `# at`
     * opens an event, the dated header stamps time + verb, `### WHERE` /
     * `### SET` collect positional images, and the next `# at` (or EOF)
-    * seals the pending event. Non-row events a real dump interleaves —
-    * Query (DDL, BEGIN/COMMIT), Xid, Rotate, format description — are
-    * skipped HERE (their headers name no row verb and no `###` block
-    * follows); DDL QueryEvents are extracted by [[parseDdl]], the
-    * statement-side pass. Every malformed ROW line refuses loudly with
-    * its text — a silently skipped row event is a silently diverged
-    * replica. */
-  private def parseFile(text: String,
-      cols: Seq[(String, DataType)],
-      beforeCols: Seq[String] = Nil,
-      changedCol: Option[String] = None): Iterator[Row] = {
+    * seals the pending event through the `decode` plug (the
+    * single-table projection, or [[parseMulti]]'s per-table dispatch —
+    * ONE grammar, two decodes). Non-row events a real dump
+    * interleaves — Query (DDL, BEGIN/COMMIT), Xid, Rotate, format
+    * description — are skipped HERE (their headers name no row verb
+    * and no `###` block follows); DDL QueryEvents are extracted by
+    * [[parseDdl]], the statement-side pass. Every malformed ROW line
+    * refuses loudly with its text — a silently skipped row event is a
+    * silently diverged replica. */
+  private def parseFile(text: String, decode: EventDecode): Iterator[Row] = {
     val out = Vector.newBuilder[Row]
     var pos = Option.empty[Long]
     var ts = Option.empty[java.time.LocalDateTime]
     var op = Option.empty[String]
+    var tbl = Option.empty[String]
     var section = "" // "", WHERE, SET
     var where = Map.empty[Int, String]
     var set = Map.empty[Int, String]
@@ -692,47 +902,11 @@ object BinlogText {
           s"binlog event at $p has a position but no row-event block"))
         val time = ts.getOrElse(throw new IllegalArgumentException(
           s"binlog event at $p has no dated header"))
-        // the image that replicates: SET for inserts/updates (the after
-        // image), WHERE for deletes (the row being removed)
-        val img = if (o == "D") where else set
-        require(img.nonEmpty, s"binlog event at $p carries no row image")
-        (img.keys ++ where.keys).foreach(i =>
-          require(i >= 1 && i <= cols.length,
-            s"binlog event at $p names @$i beyond the ${cols.length}-" +
-              "column TABLE_MAP"))
-        // MINIMAL mode: an UPDATE's WHERE carries only the PK and its
-        // SET only the changed columns — the row's identity positions
-        // merge in from WHERE (SET wins any overlap). FULL dumps never
-        // reach this: their SET carries every column already.
-        val effImg = if (changedCol.isDefined && o == "U") where ++ set
-          else img
-        val vals = cols.zipWithIndex.map { case ((n, t), i) =>
-          effImg.get(i + 1).map(parseValue(_, n, t)).orNull
-        }
-        // the WHERE image IS the before image (FULL row images); an
-        // insert has none by definition
-        val befores = beforeCols.map { b =>
-          val i = cols.indexWhere(_._1 == b)
-          if (o == "I") null
-          else where.get(i + 1).map(parseValue(_, b, cols(i)._2)).orNull
-        }
-        // MINIMAL row images: the SET block's present positions ARE the
-        // changed-column list. Inserts carry full images by definition
-        // (null list = complete, the partialImageCol contract). A
-        // MINIMAL DELETE is NOT a full image — MySQL ships PK-only
-        // before images for it — so its list names the WHERE positions
-        // actually present: the collapse is unaffected (delete payloads
-        // are null by design, and completion treats any D as a full
-        // column reset), but history/audit consumers can now tell a
-        // partial tombstone image from a full one.
-        val changed = changedCol.map { _ =>
-          if (o == "I") null
-          else if (o == "D") where.keys.toSeq.sorted.map(i => cols(i - 1)._1)
-          else set.keys.toSeq.sorted.map(i => cols(i - 1)._1)
-        }.toSeq
-        out += Row.fromSeq(Seq(o, p, time) ++ vals ++ befores ++ changed)
+        val t = tbl.getOrElse(throw new IllegalArgumentException(
+          s"binlog event at $p names no table"))
+        decode(t, o, p, time, where, set).foreach(out += _)
       }
-      pos = None; ts = None; op = None; section = ""
+      pos = None; ts = None; op = None; tbl = None; section = ""
       where = Map.empty; set = Map.empty
     }
 
@@ -751,9 +925,16 @@ object BinlogText {
         } // other comment lines (format description, CRC summaries) pass
       } else if (line.startsWith("### ")) {
         val b = line.stripPrefix("### ").trim
-        if (b.startsWith("INSERT INTO")) { op = Some("I"); section = "SET" }
-        else if (b.startsWith("UPDATE")) { op = Some("U"); section = "" }
-        else if (b.startsWith("DELETE FROM")) { op = Some("D"); section = "" }
+        if (b.startsWith("INSERT INTO")) {
+          op = Some("I"); section = "SET"
+          tbl = Some(tableOfVerbLine(b.stripPrefix("INSERT INTO"), line))
+        } else if (b.startsWith("UPDATE")) {
+          op = Some("U"); section = ""
+          tbl = Some(tableOfVerbLine(b.stripPrefix("UPDATE"), line))
+        } else if (b.startsWith("DELETE FROM")) {
+          op = Some("D"); section = ""
+          tbl = Some(tableOfVerbLine(b.stripPrefix("DELETE FROM"), line))
+        }
         else if (b == "WHERE") section = "WHERE"
         else if (b == "SET") section = "SET"
         else if (b.startsWith("@")) {

@@ -3732,6 +3732,60 @@ object StreamingOps {
       readLatestState(s, s"$tmp/state")
     }),
 
+    // S-BINLOG-TEXT-MULTI: ONE DUMP → N TABLES — the reference's actual
+    // topology, decoded from text: a single rotated dump interleaves
+    // row events for t_even (okey, price, status) and t_odd (okey,
+    // price, note) — HETEROGENEOUS payloads — plus an undeclared
+    // `audit` table's events. BinlogText.parseMulti dispatches each
+    // block on the table its verb line names, decodes under THAT
+    // table's TABLE_MAP, skips the declared-excluded audit events (the
+    // TableFilter exclusion, a decision not an accident), and lands
+    // everything in the one shared envelope runCdcPassMulti fans out —
+    // columns a table doesn't carry ride NULL. The union read must
+    // equal the per-table collapses.
+    "cdc_binlog_text_multi" -> ((s, dir) => {
+      import org.apache.spark.sql.types.LongType
+      val log = Tables.cdcLog(s, dir)
+      val colsEven: Seq[(String, org.apache.spark.sql.types.DataType)] =
+        Seq("okey" -> LongType, "price" -> DoubleType,
+          "status" -> StringType)
+      val colsOdd: Seq[(String, org.apache.spark.sql.types.DataType)] =
+        Seq("okey" -> LongType, "price" -> DoubleType,
+          "note" -> StringType)
+      val tmp = tmpDir()
+      graft.sources.BinlogText.render(
+        log.filter(col("okey") % 2 === 0), colsEven,
+        s"$tmp/binlog", files = 2, table = "t_even")
+      graft.sources.BinlogText.render(
+        log.filter(col("okey") % 2 === 1)
+          .withColumn("note", when(col("op") === "D",
+            lit(null).cast(StringType))
+            .otherwise(concat(lit("n"), (col("okey") % 5).cast(StringType))))
+          .select("op", "seq", "ts", "okey", "price", "note"),
+        colsOdd, s"$tmp/binlog", files = 2, table = "t_odd",
+        append = true)
+      // an undeclared table's events ride the same dump — excluded by
+      // declaration, never silently
+      graft.sources.BinlogText.render(
+        log.filter(col("okey") % 2 === 0 && col("seq") === 1 &&
+          col("okey") < 100), colsEven,
+        s"$tmp/binlog", files = 1, table = "audit", append = true)
+      val env = graft.sources.BinlogText.parseMulti(s, s"$tmp/binlog",
+        Map("t_even" -> colsEven, "t_odd" -> colsOdd),
+        ignoreTables = Set("audit"))
+      val in = s"$tmp/in"
+      writeWave(env, in, 0)
+      val dirs = Map("t_even" -> s"$tmp/state_even",
+        "t_odd" -> s"$tmp/state_odd")
+      runCdcPassMulti(s, env.schema, in, s"$tmp/ckpt", dirs)
+      dirs.toSeq.sortBy(_._1).map { case (t, d) =>
+        readLatestState(s, d).withColumn("tbl", lit(t))
+      }.reduce(_.unionByName(_))
+        .select(col("tbl"), col("okey"), col("op"), col("price"),
+          col("status"), col("note"), col("ts"))
+        .orderBy(col("tbl"), col("okey"))
+    }),
+
     // S-BINLOG-TEXT-TXN: the TRANSACTION loop from dump text — GTID
     // stamps delimit transactions, Xid events mark their commits, and
     // BinlogText.parseTxn turns both plus the row events into the
@@ -5444,6 +5498,23 @@ object StreamingOps {
                 CASE WHEN seq <= 1 AND note IS NULL THEN 'none'
                      ELSE note END AS note
          FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
+
+    // one dump, two tables, heterogeneous payloads: per-table collapse
+    // with each table's undeclared columns NULL; the audit exclusion
+    // and the dispatch leave the values untouched
+    "cdc_binlog_text_multi" ->
+      s"""WITH cdc_log AS (${Tables.cdcLogSql}),
+            ranked AS (SELECT *, row_number() OVER (
+                         PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM cdc_log)
+         SELECT CASE WHEN okey % 2 = 0 THEN 't_even' ELSE 't_odd' END AS tbl,
+                okey, op, price,
+                CASE WHEN okey % 2 = 0 THEN status END AS status,
+                CASE WHEN okey % 2 = 1
+                     THEN 'n' || CAST(okey % 5 AS VARCHAR) END AS note,
+                ts
+         FROM ranked WHERE rn = 1 AND op <> 'D'
+         ORDER BY tbl, okey""",
 
     // txn gate from dump text: transactions 1-2 committed (Xid present),
     // txn 3 — the delete wave — held back entirely, so the collapse

@@ -593,6 +593,87 @@ class BinlogTextSpec extends SparkTestBase {
     assert(outside.getMessage.contains("outside this replica's channel"))
   }
 
+  test("parseMulti: blocks dispatch on their verb line's table, decode " +
+      "under that table's TABLE_MAP, and land in one union envelope") {
+    val colsA: Seq[(String, DataType)] = Seq(
+      "okey" -> LongType, "price" -> DoubleType, "status" -> StringType)
+    val colsB: Seq[(String, DataType)] = Seq(
+      "okey" -> LongType, "note" -> StringType)
+    def hdr(seq: Long, verb: String) =
+      s"# at $seq\n#920315  0:00:00 server id 1  end_log_pos $seq " +
+        s"CRC32 0x00000000 \t$verb: table id 108 flags: STMT_END_F"
+    val dir = tmp()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/f.txt"),
+      s"""${hdr(1, "Write_rows")}
+         |### INSERT INTO `db`.`ta`
+         |### SET
+         |###   @1=1
+         |###   @2=10.0
+         |###   @3='x'
+         |${hdr(2, "Write_rows")}
+         |### INSERT INTO `db`.`tb`
+         |### SET
+         |###   @1=1
+         |###   @2='memo'
+         |${hdr(3, "Delete_rows")}
+         |### DELETE FROM `db`.`ta`
+         |### WHERE
+         |###   @1=1
+         |###   @2=10.0
+         |###   @3='x'
+         |${hdr(4, "Write_rows")}
+         |### INSERT INTO `db`.`skipme`
+         |### SET
+         |###   @1=9
+         |""".stripMargin)
+    val env = BinlogText.parseMulti(spark, dir,
+      Map("ta" -> colsA, "tb" -> colsB), ignoreTables = Set("skipme"))
+    // union envelope: sorted tables, first declaration wins the slot —
+    // (okey, price, status) from ta, then tb's novel (note)
+    assert(env.schema.fieldNames.toSeq ==
+      Seq("op", "seq", "ts", "table", "okey", "price", "status", "note"))
+    val rows = env.orderBy(col("seq")).collect()
+    assert(rows.map(r => (r.getLong(1), r.getString(3))).toSeq ==
+      Seq((1L, "ta"), (2L, "tb"), (3L, "ta")))
+    // ta's row: its 3 columns decoded, tb's note NULL; tb's row: @2 is
+    // NOTE under tb's TABLE_MAP (not price) — per-table positions
+    val a = rows(0); val b = rows(1)
+    assert(a.getDouble(a.fieldIndex("price")) == 10.0 &&
+      a.isNullAt(a.fieldIndex("note")))
+    assert(b.getString(b.fieldIndex("note")) == "memo" &&
+      b.isNullAt(b.fieldIndex("price")) &&
+      b.isNullAt(b.fieldIndex("status")))
+    // an event for a table neither declared nor excluded refuses
+    val e = intercept[Throwable] {
+      BinlogText.parseMulti(spark, dir, Map("ta" -> colsA, "tb" -> colsB))
+        .collect()
+    }
+    val msg = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msg.contains("'skipme'") && msg.contains("declare or exclude"))
+    // overlapping column names must agree on type — one envelope slot
+    val e2 = intercept[IllegalArgumentException] {
+      BinlogText.parseMulti(spark, dir, Map(
+        "ta" -> colsA,
+        "tb" -> Seq("okey" -> LongType, "price" -> StringType)))
+    }
+    assert(e2.getMessage.contains("'price'"))
+    // round-trip through the renderer's table parameter: two tables
+    // appended into one dump dir come back dispatched
+    val dir2 = tmp()
+    val envA = envDf(Seq(("I", 10L, 800000000L, 5L, 1.5, "s")))
+    BinlogText.render(envA, cols, s"$dir2/binlog", files = 1, table = "ta")
+    BinlogText.render(envDf(Seq(("I", 11L, 800000001L, 6L, 2.5, "t"))),
+      cols, s"$dir2/binlog", files = 1, table = "tb", append = true)
+    val back = BinlogText.parseMulti(spark, s"$dir2/binlog",
+      Map("ta" -> cols, "tb" -> cols))
+    assert(back.select("table", "okey").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSet ==
+      Set("ta" -> 5L, "tb" -> 6L))
+  }
+
   test("parseTxn: GTID stamps delimit transactions, Xids become commit " +
       "markers, pre-stamp rows and stamp-less dumps refuse") {
     val uuid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
@@ -651,6 +732,57 @@ class BinlogTextSpec extends SparkTestBase {
       BinlogText.parseTxn(spark, s"$dir3/b", cols)
     }
     assert(e2.getMessage.contains("no GTID_NEXT stamps"))
+  }
+
+  test("parseMultiTxn: cross-table transactions from dump bytes — one " +
+      "Xid closes a txn spanning tables, an uncommitted tail holds " +
+      "back across the whole topology") {
+    import graft.streaming.StreamingOps
+    val uuid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    val colsA: Seq[(String, DataType)] = Seq(
+      "okey" -> LongType, "price" -> DoubleType, "status" -> StringType)
+    val colsB: Seq[(String, DataType)] = Seq(
+      "okey" -> LongType, "note" -> StringType)
+    def hdr(seq: Long, verb: String) =
+      s"# at $seq\n#920315  0:00:00 server id 1  end_log_pos $seq " +
+        s"CRC32 0x00000000 \t$verb: table id 108 flags: STMT_END_F"
+    def rowA(pos: Long, okey: Long, price: Double) =
+      s"${hdr(pos, "Write_rows")}\n### INSERT INTO `db`.`ta`\n### SET\n" +
+        s"###   @1=$okey\n###   @2=$price\n###   @3='s'\n"
+    def rowB(pos: Long, okey: Long, note: String) =
+      s"${hdr(pos, "Write_rows")}\n### INSERT INTO `db`.`tb`\n### SET\n" +
+        s"###   @1=$okey\n###   @2='$note'\n"
+    val dir = tmp()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/b"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/b/f.txt"),
+      BinlogText.renderGtid(10L, 800000000L, uuid, 1L) + "\n" +
+        rowA(11L, 1L, 1.0) + rowB(12L, 1L, "m1") +
+        BinlogText.renderXid(19L, 800000000L, 1L) + "\n" +
+        BinlogText.renderGtid(20L, 800000060L, uuid, 2L) + "\n" +
+        rowA(21L, 2L, 2.0) + rowB(22L, 2L, "m2"))
+    val env = BinlogText.parseMultiTxn(spark, s"$dir/b",
+      Map("ta" -> colsA, "tb" -> colsB))
+    // the marker is topology-level: table = the _ctl placeholder
+    val m = env.filter(col("op") === "C").collect()
+    assert(m.map(r => (r.getLong(r.fieldIndex("seq")),
+      r.getString(r.fieldIndex("table")),
+      r.getString(r.fieldIndex("txn")))).toSeq ==
+      Seq((19L, "_ctl", s"$uuid:1")))
+    // through the multi pass: txn 1's slices apply to BOTH tables
+    // atomically; txn 2 (no Xid) holds back across the whole topology
+    val base = tmp()
+    StreamingOps.writeWave(env, s"$base/in", 0)
+    StreamingOps.runCdcPassMulti(spark, env.schema, s"$base/in",
+      s"$base/ckpt",
+      Map("ta" -> s"$base/ta", "tb" -> s"$base/tb"),
+      txnCol = Some("txn"))
+    assert(StreamingOps.readLatestState(spark, s"$base/ta")
+      .select("okey").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(StreamingOps.readLatestState(spark, s"$base/tb")
+      .select("okey", "note").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq == Seq(1L -> "m1"))
   }
 
   test("malformed input and lossy renders refuse loudly") {
