@@ -734,6 +734,71 @@ class BinlogTextSpec extends SparkTestBase {
     assert(e2.getMessage.contains("no GTID_NEXT stamps"))
   }
 
+  test("PROPERTY: random TWO-TABLE envelopes round-trip " +
+      "render→parseMulti identically, each table under its own map") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val colsA: Seq[(String, DataType)] = Seq(
+      "okey" -> LongType, "price" -> DoubleType, "status" -> StringType)
+    val colsB: Seq[(String, DataType)] = Seq(
+      "okey" -> LongType, "note" -> StringType)
+    val hostile = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('\'', '\\', '\n', '\r', ' ', '@', '#',
+        '=', ','))).map(_.mkString)
+    val genRow = for {
+      op <- Gen.oneOf("I", "U", "D")
+      seq <- Gen.choose(1L, 100000L)
+      sec <- Gen.choose(0L, 3155759999L)
+      k <- Gen.choose(0L, 50L)
+      price <- Gen.option(Gen.choose(-1e6, 1e6))
+      st <- Gen.option(hostile)
+    } yield (op, seq, sec, k, price.map(Double.box).orNull, st.orNull)
+    (0 until 4).foreach { i =>
+      val rowsA = Gen.choose(1, 20).flatMap(n => Gen.listOfN(n, genRow))
+        .apply(Gen.Parameters.default, Seed(7100L + i)).get
+      val rowsB = Gen.choose(1, 20).flatMap(n => Gen.listOfN(n, genRow))
+        .apply(Gen.Parameters.default, Seed(7200L + i)).get
+      val envA = envDf(rowsA.map(r =>
+        (r._1, r._2, r._3, r._4: Any, r._5, r._6)))
+      val schemaB = StructType(Seq(
+        StructField("op", StringType), StructField("seq", LongType),
+        StructField("sec", LongType), StructField("okey", LongType),
+        StructField("note", StringType)))
+      val envB = spark.createDataFrame(
+        java.util.Arrays.asList(rowsB.map(r =>
+          Row(r._1, r._2, r._3, r._4, r._6)): _*), schemaB)
+        .withColumn("ts", timestamp_seconds(col("sec"))
+          .cast(TimestampNTZType))
+        .select("op", "seq", "ts", "okey", "note")
+      val dir = tmp()
+      BinlogText.render(envA, colsA, s"$dir/binlog", files = 2,
+        table = "ta")
+      BinlogText.render(envB, colsB, s"$dir/binlog", files = 2,
+        table = "tb", append = true)
+      val back = BinlogText.parseMulti(spark, s"$dir/binlog",
+        Map("ta" -> colsA, "tb" -> colsB))
+      def canon(df: org.apache.spark.sql.DataFrame,
+          names: Seq[String]): Seq[Seq[String]] =
+        df.select(names.map(col): _*).collect().map(_.toSeq
+          .map(v => Option(v).map(_.toString).orNull)).toSeq
+          .sorted(Ordering.by((s: Seq[String]) => s.mkString("")))
+      // table A's slice carries its columns exactly; B's likewise,
+      // with the other table's columns NULL throughout
+      assert(canon(back.filter(col("table") === "ta"),
+        Seq("op", "seq", "ts", "okey", "price", "status")) ==
+        canon(envA, Seq("op", "seq", "ts", "okey", "price", "status")),
+        s"sample $i: table A diverged")
+      assert(canon(back.filter(col("table") === "tb"),
+        Seq("op", "seq", "ts", "okey", "note")) ==
+        canon(envB, Seq("op", "seq", "ts", "okey", "note")),
+        s"sample $i: table B diverged")
+      assert(back.filter(col("table") === "tb" &&
+        (col("price").isNotNull || col("status").isNotNull)).count() == 0)
+      assert(back.filter(col("table") === "ta" &&
+        col("note").isNotNull).count() == 0)
+    }
+  }
+
   test("parseMultiTxn: cross-table transactions from dump bytes — one " +
       "Xid closes a txn spanning tables, an uncommitted tail holds " +
       "back across the whole topology") {
