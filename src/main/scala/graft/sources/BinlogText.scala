@@ -139,20 +139,43 @@ object BinlogText {
     * per-table state dirs, filters, and keys all dispatch on the same
     * table column). Overlapping column names must agree on type (one
     * envelope column serves them all); same-named columns at different
-    * positions per table are fine — positions are per-table. Events
+    * positions per table are fine — positions are per-table.
+    * `changedCol` is the MINIMAL-row-image surface, exactly as on
+    * [[parse]]: the named array column lists each event's present
+    * positions (per-table names) and updates merge their PK in from
+    * WHERE — a `binlog_row_image=MINIMAL` multi dump MUST declare it,
+    * because without it a partial SET decodes with NULLs for the
+    * unnamed columns (the documented unlisted-column dialect) and a
+    * latest-wins collapse would apply those NULLs as real values.
+    * Events
     * for a table in `ignoreTables` are SKIPPED (the TableFilter
     * exclusion, declared so the skip is a decision, not an accident);
     * an event for a table in neither map REFUSES loudly — decoding
     * positional values without a declared TABLE_MAP would be guessing,
     * and silently dropping an undeclared table's events is the
     * silently-diverged-replica class. Distributed per file like
-    * [[parse]]; same grammar, one scan. */
+    * [[parse]]; same grammar, one scan.
+    *
+    * Scale envelope: the union's WIDTH is the sum of the declared
+    * tables' distinct column names. Parquet stores the all-NULL slots
+    * at ~zero cost (RLE), so state bytes don't bloat — but catalog and
+    * codegen cost grows with width, so a VERY wide topology (hundreds
+    * of tables, thousands of distinct columns) should split into
+    * schema-cohort channels (one parseMulti + pass per cohort), the
+    * same sharding every connector in this class applies to its topic
+    * fan-out. */
   def parseMulti(spark: SparkSession, dir: String,
       colsByTable: Map[String, Seq[(String, DataType)]],
       tableCol: String = "table",
-      ignoreTables: Set[String] = Set.empty): DataFrame = {
+      ignoreTables: Set[String] = Set.empty,
+      changedCol: Option[String] = None): DataFrame = {
     require(colsByTable.nonEmpty, "no TABLE_MAP declared for any table")
     colsByTable.values.foreach(validateCols)
+    changedCol.foreach { cc =>
+      require(!colsByTable.values.exists(_.exists(_._1 == cc)) &&
+        !Seq("op", "seq", "ts", tableCol).contains(cc),
+        s"changed-list column '$cc' collides with an envelope column")
+    }
     require(colsByTable.keySet.intersect(ignoreTables).isEmpty,
       "table(s) both declared and ignored: " +
         colsByTable.keySet.intersect(ignoreTables).mkString(", "))
@@ -178,9 +201,12 @@ object BinlogText {
         StructField("seq", LongType, nullable = false),
         StructField("ts", TimestampNTZType, nullable = false),
         StructField(tableCol, StringType, nullable = false)) ++
-        unionCols.map { case (n, t) => StructField(n, t, nullable = true) })
+        unionCols.map { case (n, t) => StructField(n, t, nullable = true) } ++
+        changedCol.map(cc =>
+          StructField(cc, ArrayType(StringType), nullable = true)))
     val colsB = colsByTable
     val ignoreB = ignoreTables
+    val changedB = changedCol
     val slotB = slot
     val width = unionCols.length
     val decode: EventDecode = (t, o, p, time, where, set) =>
@@ -192,19 +218,16 @@ object BinlogText {
             "decoding its positional values without a TABLE_MAP would " +
             "be guessing; declare or exclude it")
         case Some(cols) =>
-          val img = if (o == "D") where else set
-          require(img.nonEmpty,
-            s"binlog event at $p carries no row image")
-          (img.keys ++ where.keys).foreach(i =>
-            require(i >= 1 && i <= cols.length,
-              s"binlog event at $p names @$i beyond table '$t''s " +
-                s"${cols.length}-column TABLE_MAP"))
+          val effImg = replicatingImage(o, p, cols.length, where, set,
+            minimal = changedB.isDefined, tableTag = s" table '$t'")
           val vals = Array.fill[Any](width)(null)
           cols.zipWithIndex.foreach { case ((n, dt), i) =>
-            img.get(i + 1).foreach(raw =>
+            effImg.get(i + 1).foreach(raw =>
               vals(slotB(n)) = parseValue(raw, n, dt))
           }
-          Some(Row.fromSeq(Seq(o, p, time, t) ++ vals))
+          val changed = changedB.map(_ =>
+            changedList(o, cols, where, set)).toSeq
+          Some(Row.fromSeq(Seq(o, p, time, t) ++ vals ++ changed))
       }
     val files = spark.read.option("wholetext", "true").text(dir)
     files.select(col("value"))
@@ -224,7 +247,14 @@ object BinlogText {
       append: Boolean = false): Unit = {
     validateCols(cols)
     require(files >= 1, "at least one binlog file")
-    require(table.nonEmpty && !table.contains("`"), s"bad table '$table'")
+    // backticks would need MySQL's ``-doubling (the parser handles
+    // incoming dumps that carry it; the renderer refuses rather than
+    // escape) and a control character would split the line-based verb
+    // line — the lossy-render class this module refuses up front
+    require(table.nonEmpty &&
+      !table.exists(c => c == '`' || c == '\n' || c == '\r'),
+      s"bad table name '$table' — backticks and control characters " +
+        "would corrupt the rendered verb line")
     import df.sparkSession.implicits._
     val colsB = cols
     val tableB = table
@@ -239,6 +269,12 @@ object BinlogText {
 
   private def validateCols(cols: Seq[(String, DataType)]): Unit = {
     require(cols.nonEmpty, "empty TABLE_MAP column list")
+    require(cols.map(_._1).distinct.length == cols.length,
+      s"duplicate TABLE_MAP column name(s): " +
+        cols.map(_._1).diff(cols.map(_._1).distinct).distinct
+          .mkString(", ") +
+        " — two positions cannot share one output column (the later " +
+        "would silently win)")
     cols.foreach { case (n, t) =>
       val ok = t match {
         case LongType | IntegerType | DoubleType | StringType => true
@@ -802,6 +838,38 @@ object BinlogText {
     java.time.LocalDateTime, Map[Int, String], Map[Int, String])
     => Option[Row]
 
+  /** The ONE image rule behind both decodes — which image replicates
+    * (SET for inserts/updates — the after image; WHERE for deletes —
+    * the row being removed), its non-emptiness and `@i` bounds checks,
+    * and MINIMAL mode's identity merge (an UPDATE's WHERE carries only
+    * the PK and its SET only the changed columns, so the identity
+    * positions merge in from WHERE, SET winning any overlap; FULL
+    * dumps never reach the merge — their SET carries every column
+    * already). Shared so the single and multi decodes can never
+    * drift. */
+  private def replicatingImage(o: String, p: Long, arity: Int,
+      where: Map[Int, String], set: Map[Int, String],
+      minimal: Boolean, tableTag: String): Map[Int, String] = {
+    val img = if (o == "D") where else set
+    require(img.nonEmpty, s"binlog event at $p carries no row image")
+    (img.keys ++ where.keys).foreach(i =>
+      require(i >= 1 && i <= arity,
+        s"binlog event at $p names @$i beyond the$tableTag $arity-" +
+          "column TABLE_MAP"))
+    if (minimal && o == "U") where ++ set else img
+  }
+
+  /** The MINIMAL changed-position list (the partialImageCol shape):
+    * inserts carry full images by definition (null = complete);
+    * deletes list their WHERE positions (MySQL MINIMAL deletes are
+    * PK-only — visibly partial to history consumers); updates list
+    * their SET positions. */
+  private def changedList(o: String, cols: Seq[(String, DataType)],
+      where: Map[Int, String], set: Map[Int, String]): Seq[String] =
+    if (o == "I") null
+    else if (o == "D") where.keys.toSeq.sorted.map(i => cols(i - 1)._1)
+    else set.keys.toSeq.sorted.map(i => cols(i - 1)._1)
+
   /** The SINGLE-TABLE decode ([[parse]]'s): positional images against
     * one caller-supplied TABLE_MAP, with the before-image and
     * MINIMAL-changed-list surfaces. Table names on the verb lines are
@@ -811,20 +879,8 @@ object BinlogText {
       beforeCols: Seq[String],
       changedCol: Option[String]): EventDecode =
     (_, o, p, time, where, set) => {
-      // the image that replicates: SET for inserts/updates (the after
-      // image), WHERE for deletes (the row being removed)
-      val img = if (o == "D") where else set
-      require(img.nonEmpty, s"binlog event at $p carries no row image")
-      (img.keys ++ where.keys).foreach(i =>
-        require(i >= 1 && i <= cols.length,
-          s"binlog event at $p names @$i beyond the ${cols.length}-" +
-            "column TABLE_MAP"))
-      // MINIMAL mode: an UPDATE's WHERE carries only the PK and its
-      // SET only the changed columns — the row's identity positions
-      // merge in from WHERE (SET wins any overlap). FULL dumps never
-      // reach this: their SET carries every column already.
-      val effImg = if (changedCol.isDefined && o == "U") where ++ set
-        else img
+      val effImg = replicatingImage(o, p, cols.length, where, set,
+        minimal = changedCol.isDefined, tableTag = "")
       val vals = cols.zipWithIndex.map { case ((n, t), i) =>
         effImg.get(i + 1).map(parseValue(_, n, t)).orNull
       }
@@ -835,33 +891,36 @@ object BinlogText {
         if (o == "I") null
         else where.get(i + 1).map(parseValue(_, b, cols(i)._2)).orNull
       }
-      // MINIMAL row images: the SET block's present positions ARE the
-      // changed-column list. Inserts carry full images by definition
-      // (null list = complete, the partialImageCol contract). A
-      // MINIMAL DELETE is NOT a full image — MySQL ships PK-only
-      // before images for it — so its list names the WHERE positions
-      // actually present: the collapse is unaffected (delete payloads
-      // are null by design, and completion treats any D as a full
-      // column reset), but history/audit consumers can now tell a
-      // partial tombstone image from a full one.
-      val changed = changedCol.map { _ =>
-        if (o == "I") null
-        else if (o == "D") where.keys.toSeq.sorted.map(i => cols(i - 1)._1)
-        else set.keys.toSeq.sorted.map(i => cols(i - 1)._1)
-      }.toSeq
+      // MINIMAL row images: the changed-position list (see
+      // [[changedList]] — the collapse is unaffected by a delete's
+      // partial list, but history/audit consumers can tell a PK-only
+      // tombstone image from a full one)
+      val changed = changedCol.map(_ => changedList(o, cols, where, set))
+        .toSeq
       Some(Row.fromSeq(Seq(o, p, time) ++ vals ++ befores ++ changed))
     }
 
   /** Table name off a verb line's tail: the LAST backticked ident of
-    * `INSERT INTO \`db\`.\`t\`` (or the bare last dot-segment when
-    * unquoted). */
+    * `INSERT INTO \`db\`.\`t\`` — MySQL doubles embedded backticks
+    * (`` `a``b` `` names the table `` a`b ``), so the backward scan
+    * skips doubled pairs and the extracted name un-doubles them — or
+    * the bare last dot-segment when unquoted. */
   private def tableOfVerbLine(rest: String, line: String): String = {
     val r = rest.trim
     if (r.endsWith("`")) {
       val close = r.length - 1
-      val open = r.lastIndexOf('`', close - 1)
+      // walk left to the UNPAIRED opening backtick: a `` pair inside
+      // the name is an escaped backtick, not a boundary
+      var i = close - 1
+      var open = -1
+      while (open < 0 && i >= 0) {
+        if (r.charAt(i) == '`') {
+          if (i > 0 && r.charAt(i - 1) == '`') i -= 2
+          else open = i
+        } else i -= 1
+      }
       require(open >= 0, s"malformed binlog verb line: $line")
-      r.substring(open + 1, close)
+      r.substring(open + 1, close).replace("``", "`")
     } else {
       val seg = r.split('.').last.trim
       require(seg.nonEmpty && !seg.exists(_.isWhitespace),
@@ -892,20 +951,24 @@ object BinlogText {
     var where = Map.empty[Int, String]
     var set = Map.empty[Int, String]
 
-    def seal(): Unit = for (p <- pos) {
-      if (op.isEmpty && where.isEmpty && set.isEmpty) {
-        // a positioned non-row event (Query/Xid/Rotate) — not row data;
-        // DDL statements are parseDdl's side of the dump
-        ()
-      } else {
-        val o = op.getOrElse(throw new IllegalArgumentException(
-          s"binlog event at $p has a position but no row-event block"))
-        val time = ts.getOrElse(throw new IllegalArgumentException(
-          s"binlog event at $p has no dated header"))
-        val t = tbl.getOrElse(throw new IllegalArgumentException(
-          s"binlog event at $p names no table"))
-        decode(t, o, p, time, where, set).foreach(out += _)
+    def seal(): Unit = {
+      for (p <- pos) {
+        if (op.isEmpty && where.isEmpty && set.isEmpty) {
+          // a positioned non-row event (Query/Xid/Rotate) — not row
+          // data; DDL statements are parseDdl's side of the dump
+          ()
+        } else {
+          val o = op.getOrElse(throw new IllegalArgumentException(
+            s"binlog event at $p has a position but no row-event block"))
+          val time = ts.getOrElse(throw new IllegalArgumentException(
+            s"binlog event at $p has no dated header"))
+          val t = tbl.getOrElse(throw new IllegalArgumentException(
+            s"binlog event at $p names no table"))
+          decode(t, o, p, time, where, set).foreach(out += _)
+        }
       }
+      // reset UNCONDITIONALLY: a reset gated on `pos` would leak an
+      // orphan block's op/images into the next positioned event
       pos = None; ts = None; op = None; tbl = None; section = ""
       where = Map.empty; set = Map.empty
     }
@@ -924,6 +987,12 @@ object BinlogText {
           else if (line.contains("Delete_rows")) op = Some("D")
         } // other comment lines (format description, CRC summaries) pass
       } else if (line.startsWith("### ")) {
+        // row-event text outside any '# at' block is a truncated dump
+        // head (every event opens with its position) — refuse rather
+        // than decode an un-positioned, possibly half-present image
+        require(pos.isDefined,
+          s"row-event text before any '# at' position (truncated " +
+            s"dump?): $line")
         val b = line.stripPrefix("### ").trim
         if (b.startsWith("INSERT INTO")) {
           op = Some("I"); section = "SET"

@@ -799,6 +799,87 @@ class BinlogTextSpec extends SparkTestBase {
     }
   }
 
+  test("multi-path edges: MINIMAL images via changedCol, doubled " +
+      "backticks in table names, truncated heads and duplicate " +
+      "TABLE_MAP names refuse") {
+    import graft.streaming.StreamingOps
+    val colsA: Seq[(String, DataType)] = Seq(
+      "okey" -> LongType, "price" -> DoubleType, "status" -> StringType)
+    def hdr(seq: Long, verb: String) =
+      s"# at $seq\n#920315  0:00:00 server id 1  end_log_pos $seq " +
+        s"CRC32 0x00000000 \t$verb: table id 108 flags: STMT_END_F"
+    // MINIMAL multi dump: the update's SET names only @2; without
+    // changedCol that would decode status as a REAL NULL and the
+    // collapse would apply it — with changedCol the completion fills
+    // the unchanged column from the prior image
+    val dir = tmp()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/f.txt"),
+      s"""${hdr(1, "Write_rows")}
+         |### INSERT INTO `db`.`ta`
+         |### SET
+         |###   @1=1
+         |###   @2=10.0
+         |###   @3='keepme'
+         |${hdr(2, "Update_rows")}
+         |### UPDATE `db`.`ta`
+         |### WHERE
+         |###   @1=1
+         |### SET
+         |###   @2=20.0
+         |""".stripMargin)
+    val env = BinlogText.parseMulti(spark, dir, Map("ta" -> colsA),
+      changedCol = Some("_changed"))
+    val u = env.filter(col("seq") === 2).collect()(0)
+    assert(u.getSeq[String](u.fieldIndex("_changed")) == Seq("price"))
+    assert(u.getLong(u.fieldIndex("okey")) == 1L) // PK merged from WHERE
+    val base = tmp()
+    StreamingOps.writeWave(env.drop("table"), s"$base/in", 0)
+    StreamingOps.runCdcPass(spark, env.drop("table").schema, s"$base/in",
+      s"$base/ckpt", s"$base/state", partialImageCol = Some("_changed"))
+    val served = StreamingOps.readLatestState(spark, s"$base/state")
+      .select("okey", "price", "status").collect()(0)
+    assert(served.getDouble(1) == 20.0 && served.getString(2) == "keepme",
+      s"MINIMAL completion lost a column: $served")
+    // a table named with an embedded backtick dispatches through the
+    // doubled-backtick escape
+    val dir2 = tmp()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir2))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir2/f.txt"),
+      s"${hdr(1, "Write_rows")}\n### INSERT INTO `db`.`a``b`\n### SET\n" +
+        "###   @1=1\n###   @2=1.0\n###   @3='x'\n")
+    assert(BinlogText.parseMulti(spark, dir2, Map("a`b" -> colsA))
+      .select("table").collect()(0).getString(0) == "a`b")
+    // row-event text before any '# at' is a truncated head — refuse
+    val dir3 = tmp()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir3))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir3/f.txt"),
+      "###   @2=99.0\n### SET\n" + s"${hdr(1, "Write_rows")}\n" +
+        "### INSERT INTO `db`.`ta`\n### SET\n###   @1=1\n###   @2=1.0\n" +
+        "###   @3='x'\n")
+    val e = intercept[Throwable] {
+      BinlogText.parseMulti(spark, dir3, Map("ta" -> colsA)).collect()
+    }
+    val msg = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msg.contains("before any '# at'"), s"got: $msg")
+    // duplicate TABLE_MAP names refuse up front (two positions cannot
+    // share one output column), and the renderer refuses a table name
+    // that would corrupt its verb line
+    intercept[IllegalArgumentException] {
+      BinlogText.parseMulti(spark, dir, Map("ta" ->
+        Seq("okey" -> LongType, "price" -> DoubleType,
+          "price" -> DoubleType)))
+    }
+    intercept[IllegalArgumentException] {
+      BinlogText.render(envDf(Seq(("I", 1L, 800000000L, 1L, 1.0, "x"))),
+        cols, s"${tmp()}/b", table = "t\nx")
+    }
+  }
+
   test("parseMultiTxn: cross-table transactions from dump bytes — one " +
       "Xid closes a txn spanning tables, an uncommitted tail holds " +
       "back across the whole topology") {
