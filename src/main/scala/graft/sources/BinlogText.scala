@@ -88,6 +88,49 @@ object BinlogText {
       cols: Seq[(String, DataType)],
       beforeCols: Seq[String] = Nil,
       changedCol: Option[String] = None): DataFrame = {
+    val schema = singleEnvelopeSchema(cols, beforeCols, changedCol)
+    val colsB = cols // stable capture for the task closure
+    val beforeB = beforeCols
+    val changedB = changedCol
+    val files = spark.read.option("wholetext", "true").text(dir)
+    files.select(col("value")).flatMap(
+      r => parseFile(r.getString(0),
+        decodeSingle(colsB, beforeB, changedB)))(
+      RowEncoder.encoderFor(schema))
+      .toDF()
+  }
+
+  /** [[parse]] as a STREAMING decode — the transport behind
+    * [[BinlogTextCdcSource]]: tail `dir` and decode each binlog
+    * ROTATION file as it lands, one file per micro-batch (exactly how
+    * a binlog tail advances — a rotation is the source's natural
+    * arrival unit). Same validations, same schema, same per-file
+    * decode closure as the batch parse — only the reader is a stream. */
+  private[sources] def parseStream(spark: SparkSession, dir: String,
+      cols: Seq[(String, DataType)],
+      beforeCols: Seq[String] = Nil,
+      changedCol: Option[String] = None): DataFrame = {
+    val schema = singleEnvelopeSchema(cols, beforeCols, changedCol)
+    val colsB = cols
+    val beforeB = beforeCols
+    val changedB = changedCol
+    spark.readStream
+      .option("wholetext", "true")
+      .option("maxFilesPerTrigger", "1")
+      .text(dir)
+      .select(col("value")).flatMap(
+        r => parseFile(r.getString(0),
+          decodeSingle(colsB, beforeB, changedB)))(
+        RowEncoder.encoderFor(schema))
+      .toDF()
+  }
+
+  /** The single-table envelope's validations + schema, shared by the
+    * batch and streaming decodes (a validation added to one must gate
+    * the other). */
+  private[sources] def singleEnvelopeSchema(cols: Seq[(String, DataType)],
+      beforeCols: Seq[String],
+      changedCol: Option[String]): StructType = {
     validateCols(cols)
     require(beforeCols.distinct.length == beforeCols.length,
       s"duplicate before-image column(s): " +
@@ -107,7 +150,7 @@ object BinlogText {
           "images carry no before images by definition (the same rule " +
           "as runCdcPass's strictBefore vs partialImageCol)")
     }
-    val schema = StructType(
+    StructType(
       Seq(StructField("op", StringType, nullable = false),
         StructField("seq", LongType, nullable = false),
         StructField("ts", TimestampNTZType, nullable = false)) ++
@@ -118,15 +161,6 @@ object BinlogText {
         } ++
         changedCol.map(cc =>
           StructField(cc, ArrayType(StringType), nullable = true)))
-    val colsB = cols // stable capture for the task closure
-    val beforeB = beforeCols
-    val changedB = changedCol
-    val files = spark.read.option("wholetext", "true").text(dir)
-    files.select(col("value")).flatMap(
-      r => parseFile(r.getString(0),
-        decodeSingle(colsB, beforeB, changedB)))(
-      RowEncoder.encoderFor(schema))
-      .toDF()
   }
 
   /** Decode a MULTI-TABLE dump — the reference's actual topology (one
@@ -169,6 +203,43 @@ object BinlogText {
       tableCol: String = "table",
       ignoreTables: Set[String] = Set.empty,
       changedCol: Option[String] = None): DataFrame = {
+    val (schema, decode) =
+      multiEnvelope(colsByTable, tableCol, ignoreTables, changedCol)
+    val files = spark.read.option("wholetext", "true").text(dir)
+    files.select(col("value"))
+      .flatMap(r => parseFile(r.getString(0), decode))(
+        RowEncoder.encoderFor(schema))
+      .toDF()
+  }
+
+  /** [[parseMulti]] as a STREAMING decode — the transport behind
+    * [[BinlogTextMultiCdcSource]]: tail the dump dir, one rotation
+    * file per micro-batch, same validations/schema/decode as the batch
+    * read. */
+  private[sources] def parseMultiStream(spark: SparkSession, dir: String,
+      colsByTable: Map[String, Seq[(String, DataType)]],
+      tableCol: String = "table",
+      ignoreTables: Set[String] = Set.empty,
+      changedCol: Option[String] = None): DataFrame = {
+    val (schema, decode) =
+      multiEnvelope(colsByTable, tableCol, ignoreTables, changedCol)
+    spark.readStream
+      .option("wholetext", "true")
+      .option("maxFilesPerTrigger", "1")
+      .text(dir)
+      .select(col("value"))
+      .flatMap(r => parseFile(r.getString(0), decode))(
+        RowEncoder.encoderFor(schema))
+      .toDF()
+  }
+
+  /** The multi-table envelope's validations, union schema, and decode
+    * closure — shared by the batch and streaming reads. */
+  private[sources] def multiEnvelope(
+      colsByTable: Map[String, Seq[(String, DataType)]],
+      tableCol: String,
+      ignoreTables: Set[String],
+      changedCol: Option[String]): (StructType, EventDecode) = {
     require(colsByTable.nonEmpty, "no TABLE_MAP declared for any table")
     colsByTable.values.foreach(validateCols)
     changedCol.foreach { cc =>
@@ -229,11 +300,7 @@ object BinlogText {
             changedList(o, cols, where, set)).toSeq
           Some(Row.fromSeq(Seq(o, p, time, t) ++ vals ++ changed))
       }
-    val files = spark.read.option("wholetext", "true").text(dir)
-    files.select(col("value"))
-      .flatMap(r => parseFile(r.getString(0), decode))(
-        RowEncoder.encoderFor(schema))
-      .toDF()
+    (schema, decode)
   }
 
   /** Render an envelope frame as mysqlbinlog-style verbose text under

@@ -32,6 +32,45 @@ final case class FileCdcSource(schema: StructType, path: String)
       .option("maxFilesPerTrigger", "1").parquet(path)
 }
 
+/** BINLOG-TEXT transport as a first-class streaming source: TAIL a
+  * `mysqlbinlog --verbose` dump directory and decode each binlog
+  * ROTATION file as it lands — one file per micro-batch, which is
+  * exactly how a binlog tail advances (a rotation is the source's
+  * natural arrival unit; blocks are self-positioned so arrival order
+  * never matters). The decode is [[BinlogText.parse]]'s, unchanged —
+  * `cols` is the TABLE_MAP column list, `beforeCols`/`changedCol` the
+  * FULL/MINIMAL image surfaces — so every `runCdcPass*` topology
+  * consumes dump bytes through the same trait plug as parquet waves,
+  * MemoryStream, or Kafka: the transport is a constructor argument,
+  * not a rewrite. */
+final case class BinlogTextCdcSource(dir: String,
+    cols: Seq[(String, org.apache.spark.sql.types.DataType)],
+    beforeCols: Seq[String] = Nil,
+    changedCol: Option[String] = None) extends CdcSource {
+  override val schema: StructType =
+    BinlogText.singleEnvelopeSchema(cols, beforeCols, changedCol)
+  override def open(spark: SparkSession): DataFrame =
+    BinlogText.parseStream(spark, dir, cols, beforeCols, changedCol)
+}
+
+/** [[BinlogTextCdcSource]] for a MULTI-TABLE dump: one tailed dir
+  * carries N tables' interleaved row events (the reference's actual
+  * topology), each block dispatching on its verb line's table under
+  * [[BinlogText.parseMulti]]'s rules — the natural feed for
+  * `runCdcPassMultiSource`'s per-table fan-out. */
+final case class BinlogTextMultiCdcSource(dir: String,
+    colsByTable: Map[String, Seq[(String, org.apache.spark.sql.types.DataType)]],
+    tableCol: String = "table",
+    ignoreTables: Set[String] = Set.empty,
+    changedCol: Option[String] = None) extends CdcSource {
+  override val schema: StructType =
+    BinlogText.multiEnvelope(colsByTable, tableCol, ignoreTables,
+      changedCol)._1
+  override def open(spark: SparkSession): DataFrame =
+    BinlogText.parseMultiStream(spark, dir, colsByTable, tableCol,
+      ignoreTables, changedCol)
+}
+
 /** Test/embedded backend over an already-constructed streaming DataFrame
   * (e.g. a MemoryStream's `toDF` — StreamingSpec proves the pass runs
   * unchanged over it). `schema` is taken from the DataFrame itself. */

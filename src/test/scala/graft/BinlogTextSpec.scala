@@ -931,6 +931,96 @@ class BinlogTextSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getString(1)).toSeq == Seq(1L -> "m1"))
   }
 
+  test("BinlogTextCdcSource: the pass TAILS a dump dir — each rotation " +
+      "decodes as it lands, resume picks up only new rotations") {
+    import graft.streaming.StreamingOps
+    import graft.sources.BinlogTextCdcSource
+    val base = tmp()
+    val dump = s"$base/dump"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dump))
+    def rotation(name: String, blocks: String): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dump/$name"), blocks)
+    def rowBlock(pos: Long, op: String, okey: Long, price: Double) = {
+      val verb = op match {
+        case "I" => "Write_rows"; case "U" => "Update_rows"
+        case _ => "Delete_rows"
+      }
+      val body = op match {
+        case "D" => s"### DELETE FROM `db`.`orders`\n### WHERE\n" +
+          s"###   @1=$okey\n###   @2=$price\n###   @3='x'\n"
+        case "U" => s"### UPDATE `db`.`orders`\n### WHERE\n" +
+          s"###   @1=$okey\n### SET\n###   @1=$okey\n###   @2=$price\n" +
+          s"###   @3='x'\n"
+        case _ => s"### INSERT INTO `db`.`orders`\n### SET\n" +
+          s"###   @1=$okey\n###   @2=$price\n###   @3='x'\n"
+      }
+      s"# at $pos\n#920315  0:00:00 server id 1  end_log_pos $pos " +
+        s"CRC32 0x00000000 \t$verb: table id 108 flags: STMT_END_F\n$body"
+    }
+    val src = BinlogTextCdcSource(dump, cols)
+    assert(src.schema.fieldNames.toSeq ==
+      Seq("op", "seq", "ts", "okey", "price", "status"))
+    // rotation 1 lands; the pass tails the dir and applies it
+    rotation("bin.000001",
+      rowBlock(1, "I", 1L, 10.0) + rowBlock(2, "I", 2L, 20.0))
+    StreamingOps.runCdcPassSource(spark, src, s"$base/ckpt", s"$base/state")
+    def served: Map[Long, Double] =
+      StreamingOps.readLatestState(spark, s"$base/state")
+        .select("okey", "price").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(served == Map(1L -> 10.0, 2L -> 20.0))
+    // rotations 2 and 3 land; the RESUMED pass (same checkpoint)
+    // consumes only the new files
+    rotation("bin.000002",
+      rowBlock(3, "U", 1L, 11.0))
+    rotation("bin.000003",
+      rowBlock(4, "D", 2L, 20.0))
+    StreamingOps.runCdcPassSource(spark, src, s"$base/ckpt", s"$base/state")
+    assert(served == Map(1L -> 11.0))
+  }
+
+  test("BinlogTextMultiCdcSource: one tailed dump feeds the multi-table " +
+      "fan-out, rotations arriving across resumed passes") {
+    import graft.streaming.StreamingOps
+    import graft.sources.BinlogTextMultiCdcSource
+    val colsA: Seq[(String, DataType)] = Seq(
+      "okey" -> LongType, "price" -> DoubleType, "status" -> StringType)
+    val colsB: Seq[(String, DataType)] = Seq(
+      "okey" -> LongType, "note" -> StringType)
+    def hdr(seq: Long) =
+      s"# at $seq\n#920315  0:00:00 server id 1  end_log_pos $seq " +
+        "CRC32 0x00000000 \tWrite_rows: table id 108 flags: STMT_END_F"
+    def rowA(pos: Long, okey: Long, price: Double) =
+      s"${hdr(pos)}\n### INSERT INTO `db`.`ta`\n### SET\n" +
+        s"###   @1=$okey\n###   @2=$price\n###   @3='s'\n"
+    def rowB(pos: Long, okey: Long, note: String) =
+      s"${hdr(pos)}\n### INSERT INTO `db`.`tb`\n### SET\n" +
+        s"###   @1=$okey\n###   @2='$note'\n"
+    val base = tmp()
+    val dump = s"$base/dump"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dump))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dump/bin.000001"),
+      rowA(1L, 1L, 10.0) + rowB(2L, 1L, "m1"))
+    val src = BinlogTextMultiCdcSource(dump,
+      Map("ta" -> colsA, "tb" -> colsB))
+    val dirs = Map("ta" -> s"$base/ta", "tb" -> s"$base/tb")
+    StreamingOps.runCdcPassMultiSource(spark, src, s"$base/ckpt", dirs)
+    assert(StreamingOps.readLatestState(spark, s"$base/ta").count() == 1)
+    assert(StreamingOps.readLatestState(spark, s"$base/tb").count() == 1)
+    // the next rotation lands; the resumed pass fans out only its rows
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dump/bin.000002"),
+      rowA(3L, 2L, 20.0) + rowB(4L, 1L, "m2"))
+    StreamingOps.runCdcPassMultiSource(spark, src, s"$base/ckpt", dirs)
+    assert(StreamingOps.readLatestState(spark, s"$base/ta")
+      .select("okey").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(StreamingOps.readLatestState(spark, s"$base/tb")
+      .select("okey", "note").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq == Seq(1L -> "m2"))
+  }
+
   test("malformed input and lossy renders refuse loudly") {
     def parseText(text: String): Unit = {
       val dir = tmp()
