@@ -40,6 +40,14 @@ import org.apache.spark.sql.types._
   * flooring one would corrupt the event time it claims to carry). */
 object BinlogText {
 
+  /** The footer `mysqlbinlog` writes when it FINISHES a dump — the
+    * completeness marker the streaming tail gates on: a rotation file
+    * missing it is in-flight or torn, and decoding its partial bytes
+    * would silently lose the remainder forever (the file source never
+    * re-reads a seen file). Inert to every parser (a `#` comment line
+    * that is neither a position nor a dated header). */
+  val DumpTerminator = "# End of log file"
+
   private val HeaderTs =
     """^#(\d{6}) +(\d{1,2}):(\d{2}):(\d{2}) server id .*""".r
 
@@ -88,49 +96,64 @@ object BinlogText {
       cols: Seq[(String, DataType)],
       beforeCols: Seq[String] = Nil,
       changedCol: Option[String] = None): DataFrame = {
-    val schema = singleEnvelopeSchema(cols, beforeCols, changedCol)
-    val colsB = cols // stable capture for the task closure
-    val beforeB = beforeCols
-    val changedB = changedCol
-    val files = spark.read.option("wholetext", "true").text(dir)
-    files.select(col("value")).flatMap(
-      r => parseFile(r.getString(0),
-        decodeSingle(colsB, beforeB, changedB)))(
-      RowEncoder.encoderFor(schema))
-      .toDF()
+    val (schema, decode) = singleEnvelope(cols, beforeCols, changedCol)
+    decodeText(spark.read.option("wholetext", "true").text(dir),
+      schema, decode, requireTerminator = false)
   }
+
+  /** The ONE text→envelope pipeline behind all four read paths (batch
+    * and streaming, single and multi): whole-file text frame → per-file
+    * decode under the given plug. `requireTerminator` is the streaming
+    * tail's torn-rotation gate: a tailed file must END with
+    * [[DumpTerminator]] (what mysqlbinlog writes when it finishes) or
+    * the batch REFUSES naming the file — a partial snapshot of an
+    * in-flight rotation would otherwise decode its truncated bytes as
+    * final and the file source would never re-read the rest. The
+    * refusal composes with restart semantics: the failed micro-batch
+    * never commits, so a retry after the writer finishes re-reads the
+    * now-complete file. Batch reads of at-rest dumps stay lenient
+    * (fixtures and hand-cut extracts don't always carry footers). */
+  private def decodeText(df: DataFrame, schema: StructType,
+      decode: EventDecode, requireTerminator: Boolean): DataFrame =
+    df.select(col("value"), input_file_name().as("_f"))
+      .flatMap { r =>
+        val text = r.getString(0)
+        if (requireTerminator)
+          require(text.trim.endsWith(DumpTerminator),
+            s"binlog file ${r.getString(1)} does not end with " +
+              s"'$DumpTerminator' — an in-flight or torn rotation; " +
+              "stage rotations atomically (write elsewhere, then " +
+              "rename into the tailed dir) or disable requireTerminator")
+        parseFile(text, decode)
+      }(RowEncoder.encoderFor(schema))
+      .toDF()
 
   /** [[parse]] as a STREAMING decode — the transport behind
     * [[BinlogTextCdcSource]]: tail `dir` and decode each binlog
     * ROTATION file as it lands, one file per micro-batch (exactly how
     * a binlog tail advances — a rotation is the source's natural
-    * arrival unit). Same validations, same schema, same per-file
-    * decode closure as the batch parse — only the reader is a stream. */
-  private[sources] def parseStream(spark: SparkSession, dir: String,
-      cols: Seq[(String, DataType)],
-      beforeCols: Seq[String] = Nil,
-      changedCol: Option[String] = None): DataFrame = {
-    val schema = singleEnvelopeSchema(cols, beforeCols, changedCol)
-    val colsB = cols
-    val beforeB = beforeCols
-    val changedB = changedCol
-    spark.readStream
-      .option("wholetext", "true")
-      .option("maxFilesPerTrigger", "1")
-      .text(dir)
-      .select(col("value")).flatMap(
-        r => parseFile(r.getString(0),
-          decodeSingle(colsB, beforeB, changedB)))(
-        RowEncoder.encoderFor(schema))
-      .toDF()
-  }
+    * arrival unit). Takes the precomputed (schema, decode) pair so the
+    * source validates ONCE at construction; `maxFileAge` is disabled —
+    * the default 7-day window would silently skip a backfilled
+    * rotation restored with its original mtime, the exact
+    * silently-skipped-event class this module refuses. */
+  private[sources] def streamDecode(spark: SparkSession, dir: String,
+      schema: StructType, decode: EventDecode,
+      requireTerminator: Boolean): DataFrame =
+    decodeText(
+      spark.readStream
+        .option("wholetext", "true")
+        .option("maxFilesPerTrigger", "1")
+        .option("maxFileAge", "36500d")
+        .text(dir),
+      schema, decode, requireTerminator)
 
-  /** The single-table envelope's validations + schema, shared by the
-    * batch and streaming decodes (a validation added to one must gate
-    * the other). */
-  private[sources] def singleEnvelopeSchema(cols: Seq[(String, DataType)],
+  /** The single-table envelope's validations + schema + decode plug,
+    * shared by the batch and streaming reads (a validation added to
+    * one gates the other). */
+  private[sources] def singleEnvelope(cols: Seq[(String, DataType)],
       beforeCols: Seq[String],
-      changedCol: Option[String]): StructType = {
+      changedCol: Option[String]): (StructType, EventDecode) = {
     validateCols(cols)
     require(beforeCols.distinct.length == beforeCols.length,
       s"duplicate before-image column(s): " +
@@ -150,7 +173,7 @@ object BinlogText {
           "images carry no before images by definition (the same rule " +
           "as runCdcPass's strictBefore vs partialImageCol)")
     }
-    StructType(
+    val schema = StructType(
       Seq(StructField("op", StringType, nullable = false),
         StructField("seq", LongType, nullable = false),
         StructField("ts", TimestampNTZType, nullable = false)) ++
@@ -161,6 +184,7 @@ object BinlogText {
         } ++
         changedCol.map(cc =>
           StructField(cc, ArrayType(StringType), nullable = true)))
+    (schema, decodeSingle(cols, beforeCols, changedCol))
   }
 
   /** Decode a MULTI-TABLE dump — the reference's actual topology (one
@@ -205,32 +229,8 @@ object BinlogText {
       changedCol: Option[String] = None): DataFrame = {
     val (schema, decode) =
       multiEnvelope(colsByTable, tableCol, ignoreTables, changedCol)
-    val files = spark.read.option("wholetext", "true").text(dir)
-    files.select(col("value"))
-      .flatMap(r => parseFile(r.getString(0), decode))(
-        RowEncoder.encoderFor(schema))
-      .toDF()
-  }
-
-  /** [[parseMulti]] as a STREAMING decode — the transport behind
-    * [[BinlogTextMultiCdcSource]]: tail the dump dir, one rotation
-    * file per micro-batch, same validations/schema/decode as the batch
-    * read. */
-  private[sources] def parseMultiStream(spark: SparkSession, dir: String,
-      colsByTable: Map[String, Seq[(String, DataType)]],
-      tableCol: String = "table",
-      ignoreTables: Set[String] = Set.empty,
-      changedCol: Option[String] = None): DataFrame = {
-    val (schema, decode) =
-      multiEnvelope(colsByTable, tableCol, ignoreTables, changedCol)
-    spark.readStream
-      .option("wholetext", "true")
-      .option("maxFilesPerTrigger", "1")
-      .text(dir)
-      .select(col("value"))
-      .flatMap(r => parseFile(r.getString(0), decode))(
-        RowEncoder.encoderFor(schema))
-      .toDF()
+    decodeText(spark.read.option("wholetext", "true").text(dir),
+      schema, decode, requireTerminator = false)
   }
 
   /** The multi-table envelope's validations, union schema, and decode
@@ -330,7 +330,12 @@ object BinlogText {
         .cast(TimestampType)).as("ts_us")) ++
         colsB.map { case (n, _) => col(n) }): _*)
     ordered.repartition(files)
-      .map(r => renderBlock(r, colsB, tableB))
+      // each output file ends with the terminator mysqlbinlog writes
+      // when it finishes a dump — what the streaming tail's
+      // torn-rotation gate checks for (inert to every parser)
+      .mapPartitions(it =>
+        it.map(r => renderBlock(r, colsB, tableB)) ++
+          Iterator(DumpTerminator))
       .write.mode(if (append) "append" else "overwrite").text(outDir)
   }
 

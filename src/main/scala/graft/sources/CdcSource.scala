@@ -46,11 +46,18 @@ final case class FileCdcSource(schema: StructType, path: String)
 final case class BinlogTextCdcSource(dir: String,
     cols: Seq[(String, org.apache.spark.sql.types.DataType)],
     beforeCols: Seq[String] = Nil,
-    changedCol: Option[String] = None) extends CdcSource {
-  override val schema: StructType =
-    BinlogText.singleEnvelopeSchema(cols, beforeCols, changedCol)
+    changedCol: Option[String] = None,
+    /** Torn-rotation gate: every tailed file must END with the
+      * `# End of log file` footer mysqlbinlog writes when it finishes
+      * — a partial snapshot of an in-flight rotation would otherwise
+      * decode truncated bytes as final and the file source would never
+      * re-read the rest. Disable ONLY for a writer that provably
+      * stages rotations atomically (write elsewhere + rename in). */
+    requireTerminator: Boolean = true) extends CdcSource {
+  private val sd = BinlogText.singleEnvelope(cols, beforeCols, changedCol)
+  override def schema: StructType = sd._1
   override def open(spark: SparkSession): DataFrame =
-    BinlogText.parseStream(spark, dir, cols, beforeCols, changedCol)
+    BinlogText.streamDecode(spark, dir, sd._1, sd._2, requireTerminator)
 }
 
 /** [[BinlogTextCdcSource]] for a MULTI-TABLE dump: one tailed dir
@@ -60,15 +67,21 @@ final case class BinlogTextCdcSource(dir: String,
   * `runCdcPassMultiSource`'s per-table fan-out. */
 final case class BinlogTextMultiCdcSource(dir: String,
     colsByTable: Map[String, Seq[(String, org.apache.spark.sql.types.DataType)]],
-    tableCol: String = "table",
     ignoreTables: Set[String] = Set.empty,
-    changedCol: Option[String] = None) extends CdcSource {
-  override val schema: StructType =
-    BinlogText.multiEnvelope(colsByTable, tableCol, ignoreTables,
-      changedCol)._1
+    changedCol: Option[String] = None,
+    /** See [[BinlogTextCdcSource.requireTerminator]]. */
+    requireTerminator: Boolean = true) extends CdcSource {
+  // the table column is PINNED to "table": runCdcPassMulti* dispatches
+  // on exactly that name (groupBy/partitionBy/filters), so a
+  // configurable name here would either break analysis or — if a
+  // payload column happened to be named 'table' — silently mis-dispatch
+  // every row; the pinned name also activates multiEnvelope's collision
+  // check against payload columns named 'table'
+  private val sd = BinlogText.multiEnvelope(colsByTable,
+    tableCol = "table", ignoreTables, changedCol)
+  override def schema: StructType = sd._1
   override def open(spark: SparkSession): DataFrame =
-    BinlogText.parseMultiStream(spark, dir, colsByTable, tableCol,
-      ignoreTables, changedCol)
+    BinlogText.streamDecode(spark, dir, sd._1, sd._2, requireTerminator)
 }
 
 /** Test/embedded backend over an already-constructed streaming DataFrame

@@ -961,9 +961,11 @@ class BinlogTextSpec extends SparkTestBase {
     val src = BinlogTextCdcSource(dump, cols)
     assert(src.schema.fieldNames.toSeq ==
       Seq("op", "seq", "ts", "okey", "price", "status"))
-    // rotation 1 lands; the pass tails the dir and applies it
+    val fin = "\n" + BinlogText.DumpTerminator + "\n"
+    // rotation 1 lands COMPLETE (terminator footer); the pass tails
+    // the dir and applies it
     rotation("bin.000001",
-      rowBlock(1, "I", 1L, 10.0) + rowBlock(2, "I", 2L, 20.0))
+      rowBlock(1, "I", 1L, 10.0) + rowBlock(2, "I", 2L, 20.0) + fin)
     StreamingOps.runCdcPassSource(spark, src, s"$base/ckpt", s"$base/state")
     def served: Map[Long, Double] =
       StreamingOps.readLatestState(spark, s"$base/state")
@@ -973,11 +975,29 @@ class BinlogTextSpec extends SparkTestBase {
     // rotations 2 and 3 land; the RESUMED pass (same checkpoint)
     // consumes only the new files
     rotation("bin.000002",
-      rowBlock(3, "U", 1L, 11.0))
+      rowBlock(3, "U", 1L, 11.0) + fin)
     rotation("bin.000003",
-      rowBlock(4, "D", 2L, 20.0))
+      rowBlock(4, "D", 2L, 20.0) + fin)
     StreamingOps.runCdcPassSource(spark, src, s"$base/ckpt", s"$base/state")
     assert(served == Map(1L -> 11.0))
+    // an IN-FLIGHT rotation (no terminator yet) refuses the batch —
+    // partial bytes must never decode as final, because the file
+    // source would never re-read the remainder
+    val base2 = tmp()
+    val dump2 = s"$base2/dump"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dump2))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dump2/bin.000001"),
+      rowBlock(1, "I", 1L, 10.0)) // torn: writer still appending
+    val src2 = BinlogTextCdcSource(dump2, cols)
+    val e = intercept[Throwable] {
+      StreamingOps.runCdcPassSource(spark, src2, s"$base2/ckpt",
+        s"$base2/state")
+    }
+    val msg = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msg.contains("in-flight or torn rotation"), s"got: $msg")
   }
 
   test("BinlogTextMultiCdcSource: one tailed dump feeds the multi-table " +
@@ -1000,9 +1020,10 @@ class BinlogTextSpec extends SparkTestBase {
     val base = tmp()
     val dump = s"$base/dump"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dump))
+    val fin = "\n" + BinlogText.DumpTerminator + "\n"
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dump/bin.000001"),
-      rowA(1L, 1L, 10.0) + rowB(2L, 1L, "m1"))
+      rowA(1L, 1L, 10.0) + rowB(2L, 1L, "m1") + fin)
     val src = BinlogTextMultiCdcSource(dump,
       Map("ta" -> colsA, "tb" -> colsB))
     val dirs = Map("ta" -> s"$base/ta", "tb" -> s"$base/tb")
@@ -1012,7 +1033,7 @@ class BinlogTextSpec extends SparkTestBase {
     // the next rotation lands; the resumed pass fans out only its rows
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dump/bin.000002"),
-      rowA(3L, 2L, 20.0) + rowB(4L, 1L, "m2"))
+      rowA(3L, 2L, 20.0) + rowB(4L, 1L, "m2") + fin)
     StreamingOps.runCdcPassMultiSource(spark, src, s"$base/ckpt", dirs)
     assert(StreamingOps.readLatestState(spark, s"$base/ta")
       .select("okey").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
