@@ -118,10 +118,16 @@ object BinlogText {
     df.select(col("value"), input_file_name().as("_f"))
       .flatMap { r =>
         val text = r.getString(0)
+        // the marker must appear as a LINE, not as the final bytes:
+        // real mysqlbinlog prints it and then trailing session-reset
+        // footers (`/*!50003 SET COMPLETION_TYPE=…*/;`, `DELIMITER ;`,
+        // `/*!50530 SET @@SESSION.PSEUDO_SLAVE_MODE=0*/;`), so an
+        // ends-with check would reject every genuine complete dump
+        // and push users to disable the gate entirely
         if (requireTerminator)
-          require(text.trim.endsWith(DumpTerminator),
-            s"binlog file ${r.getString(1)} does not end with " +
-              s"'$DumpTerminator' — an in-flight or torn rotation; " +
+          require(text.linesIterator.exists(_.trim == DumpTerminator),
+            s"binlog file ${r.getString(1)} carries no " +
+              s"'$DumpTerminator' line — an in-flight or torn rotation; " +
               "stage rotations atomically (write elsewhere, then " +
               "rename into the tailed dir) or disable requireTerminator")
         parseFile(text, decode)
@@ -457,25 +463,35 @@ object BinlogText {
     * text, so only the extracted `(pos, stmt)` rows (genuinely
     * metadata-scale) ever reach the driver; collecting whole files
     * here would be a driver OOM at fleet scale. Position-sorted,
-    * within-position order preserved (two statements at one position
-    * keep their file order — stable sort over in-file emission). */
+    * with each statement's IN-FILE emission index as the tiebreak —
+    * two statements at one position in the SAME file keep their file
+    * order deterministically (Spark orders file splits by size, not
+    * listing order, so without the explicit key the collect order is
+    * nondeterministic); same-position statements across DIFFERENT
+    * files have no defined relative order (a real binlog never
+    * repeats a position across rotations). */
   def parseDdl(spark: SparkSession, dir: String): Seq[(Long, String)] =
     parseDdlFrame(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      .sortBy(t => (t._1, t._2)).map(t => (t._1, t._3))
 
-  /** The distributed half of [[parseDdl]]: one `(pos, stmt)` row per
-    * extracted statement, the file text flat-mapped task-side (the
-    * same per-file parallelism unit as [[parse]]). Exposed so a spec
-    * can assert the plan reads the text source lazily instead of
-    * collecting dump bytes driver-side. */
+  /** The distributed half of [[parseDdl]]: one `(pos, idx, stmt)` row
+    * per extracted statement — `idx` the statement's in-file emission
+    * index, [[parseDdl]]'s deterministic within-position tiebreak —
+    * the file text flat-mapped task-side (the same per-file
+    * parallelism unit as [[parse]]). Exposed so a spec can assert the
+    * plan reads the text source lazily instead of collecting dump
+    * bytes driver-side. */
   private[graft] def parseDdlFrame(spark: SparkSession,
       dir: String): DataFrame = {
     import org.apache.spark.sql.Encoders
     val files = spark.read.option("wholetext", "true").text(dir)
     files.select(col("value"))
-      .flatMap(r => extractDdl(r.getString(0)))(
-        Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
-      .toDF("pos", "stmt")
+      .flatMap(r => extractDdl(r.getString(0)).zipWithIndex.map {
+        case ((p, s2), i) => (p, i.toLong, s2)
+      })(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.STRING))
+      .toDF("pos", "idx", "stmt")
   }
 
   /** One file's QueryEvent statements, in file order (pure text work —
@@ -646,16 +662,19 @@ object BinlogText {
     * gate, and because the header times ride the envelope's `ts`, a
     * text-fed replica's `secondsBehindSource` reads the held tail's
     * true event-time gap — Seconds_Behind_Master end to end from dump
-    * bytes. The stamp/Xid indexes are driver-side metadata (one tiny
-    * row per transaction); the row decode itself stays distributed
-    * per file. */
+    * bytes. Only the GTID stamp index is driver-side metadata (one
+    * tiny row per transaction, needed to build the broadcast the
+    * stamping closes over); rows AND commit markers decode together
+    * in one distributed per-file pass — the returned plan holds a
+    * single dump relation. */
   def parseTxn(spark: SparkSession, dir: String,
       cols: Seq[(String, DataType)],
       txnCol: String = "txn"): DataFrame = {
     require(!cols.exists(_._1 == txnCol) &&
       !Seq("op", "seq", "ts").contains(txnCol),
       s"txn column '$txnCol' collides with an envelope column")
-    gtidTxnEnvelope(spark, dir, parse(spark, dir, cols), txnCol)
+    val (schema, decode) = singleEnvelope(cols, Nil, None)
+    gtidTxnEnvelope(spark, dir, schema, decode, txnCol)
   }
 
   /** [[parseTxn]] over a MULTI-TABLE dump ([[parseMulti]] + the GTID/
@@ -675,35 +694,48 @@ object BinlogText {
     require(!colsByTable.values.exists(_.exists(_._1 == txnCol)) &&
       !Seq("op", "seq", "ts", tableCol).contains(txnCol),
       s"txn column '$txnCol' collides with an envelope column")
-    gtidTxnEnvelope(spark, dir,
-      parseMulti(spark, dir, colsByTable, tableCol, ignoreTables),
-      txnCol, markerOverrides = Map(tableCol -> "_ctl"))
+    val (schema, decode) =
+      multiEnvelope(colsByTable, tableCol, ignoreTables, None)
+    gtidTxnEnvelope(spark, dir, schema, decode, txnCol,
+      markerOverrides = Map(tableCol -> "_ctl"))
   }
 
   /** The shared GTID/Xid → txn-gated-envelope machinery behind
-    * [[parseTxn]]/[[parseMultiTxn]]: stamp `env`'s row events with
-    * their transaction and append the Xid-derived `op = "C"` commit
-    * markers (marker columns beyond op/seq/ts/txn fill NULL, except
-    * `markerOverrides` — the multi envelope's non-nullable table slot
-    * takes its `_ctl` placeholder there). */
+    * [[parseTxn]]/[[parseMultiTxn]]: decode the dump's row events AND
+    * its Xid commit markers in ONE per-file flatMap — one dump
+    * relation in the returned plan — then stamp every emitted row
+    * (row events and markers alike) with its transaction. Markers
+    * surface as `op = "C"` rows positioned and time-stamped by the
+    * Xid's own header; their columns beyond op/seq/ts/txn fill NULL,
+    * except `markerOverrides` (the multi envelope's non-nullable
+    * table slot takes its `_ctl` placeholder there).
+    *
+    * Scan economy: the dump is read exactly TWICE per action — one
+    * eager metadata pass for the GTID index (the broadcast stamp
+    * table must exist driver-side before the stamping UDF can close
+    * over it; one tiny row per transaction) and one lazy pass
+    * decoding rows + markers together. The pre-fold shape paid a
+    * THIRD full pass (a separate Xid collect) and planned the markers
+    * as a driver-built LocalRelation unioned onto the scan. */
   private def gtidTxnEnvelope(spark: SparkSession, dir: String,
-      env: DataFrame, txnCol: String,
+      schema: StructType, decode: EventDecode, txnCol: String,
       markerOverrides: Map[String, Any] = Map.empty): DataFrame = {
     val gtids = parseGtidIndex(spark, dir) // (pos, uuid, n), pos-sorted
     require(gtids.nonEmpty,
       s"dump at $dir carries no GTID_NEXT stamps — transactions cannot " +
         "be delimited; consume it as a plain stream instead")
     val stamps = gtids.map { case (p, u, n) => (p, s"$u:$n") }
-    // stamp each row event with the deepest GTID strictly below its
-    // position — a BINARY SEARCH over the broadcast stamp index, O(log
-    // txns) per row with no join: an interval join here would plan as
-    // a broadcast nested loop, O(rows × txns), which a dump window
-    // holding millions of transactions turns into the bottleneck. The
-    // index itself is metadata scale (two words per transaction).
+    // stamp each emitted row — row event or commit marker — with the
+    // deepest GTID strictly below its position: a BINARY SEARCH over
+    // the broadcast stamp index, O(log txns) per row with no join (an
+    // interval join here would plan as a broadcast nested loop,
+    // O(rows × txns), which a dump window holding millions of
+    // transactions turns into the bottleneck). The index itself is
+    // metadata scale (two words per transaction). The same search
+    // closes each Xid onto the deepest transaction opened before it.
     val stampPos = stamps.map(_._1).toArray
     val stampTxn = stamps.map(_._2).toArray
     val bc = spark.sparkContext.broadcast((stampPos, stampTxn))
-    import spark.implicits._
     val assign = udf { p: Long =>
       val (pos, txn) = bc.value
       var lo = 0
@@ -714,53 +746,35 @@ object BinlogText {
         if (pos(mid) < p) { ans = mid; lo = mid + 1 } else hi = mid - 1
       }
       if (ans < 0) throw new IllegalArgumentException(
-        s"row event at position $p precedes the dump's first GTID " +
+        s"event at position $p precedes the dump's first GTID " +
           "stamp — its transaction cannot be named")
       txn(ans)
     }.asNondeterministic() // it throws: keep it un-reordered past filters
+    // marker slots beyond op/seq/ts: NULL, or the caller's override
+    // (precomputed index → value, applied task-side per marker)
+    val overrideIdx = markerOverrides.map { case (n, v) =>
+      schema.fieldIndex(n) -> v }
+    val width = schema.length
+    val frame = spark.read.option("wholetext", "true").text(dir)
+      .select(col("value"))
+      .flatMap { r =>
+        val text = r.getString(0)
+        val markers = extractXids(text).map { case (p, epochSec) =>
+          val vals = Array.fill[Any](width)(null)
+          vals(0) = "C"
+          vals(1) = p
+          vals(2) = java.time.LocalDateTime.ofEpochSecond(
+            epochSec, 0, java.time.ZoneOffset.UTC)
+          overrideIdx.foreach { case (i, v) => vals(i) = v }
+          Row.fromSeq(vals.toSeq)
+        }
+        parseFile(text, decode) ++ markers
+      }(RowEncoder.encoderFor(schema))
+      .toDF()
     // the pre-stamp refusal is the UDF's (it fires on the first action
     // that touches the frame): an eager probe here would cost a full
     // extra decode of the dump purely to move the same error earlier
-    val stamped = env.withColumn(txnCol, assign(col("seq")))
-    // commit markers from the Xid events: each closes the deepest
-    // transaction opened before it — the same binary search as the
-    // row path (a linear prefix scan per Xid would be O(txns²) on the
-    // driver at exactly the dump sizes the row path is built for)
-    def deepestBelow(p: Long): Int = {
-      var lo = 0
-      var hi = stampPos.length - 1
-      var ans = -1
-      while (lo <= hi) {
-        val mid = (lo + hi) >>> 1
-        if (stampPos(mid) < p) { ans = mid; lo = mid + 1 } else hi = mid - 1
-      }
-      ans
-    }
-    val markers = parseXids(spark, dir).map { case (p, epochSec) =>
-      val i = deepestBelow(p)
-      if (i < 0) throw new IllegalArgumentException(
-        s"Xid at position $p precedes the dump's first GTID stamp")
-      (p, epochSec, stampTxn(i))
-    }
-    val markerDf = markers.toDF("seq", "_sec", txnCol)
-      .select(lit("C").as("op"), col("seq"),
-        timestamp_seconds(col("_sec"))
-          .cast(org.apache.spark.sql.types.TimestampNTZType).as("ts"),
-        col(txnCol))
-    // marker columns beyond op/seq/ts/txn: NULL of the envelope's own
-    // type, or the caller's override (the multi envelope's
-    // non-nullable table slot)
-    val filler = env.schema.fields
-      .filterNot(f => Seq("op", "seq", "ts").contains(f.name))
-      .map { f =>
-        markerOverrides.get(f.name) match {
-          case Some(v) => lit(v).cast(f.dataType).as(f.name)
-          case None => lit(null).cast(f.dataType).as(f.name)
-        }
-      }.toSeq
-    stamped.unionByName(
-      markerDf.select(Seq(col("op"), col("seq"), col("ts")) ++
-        filler :+ col(txnCol): _*))
+    frame.withColumn(txnCol, assign(col("seq")))
   }
 
   /** Decode a GTID-set resume TOKEN against THIS dump's GTID index:
@@ -924,7 +938,11 @@ object BinlogText {
       minimal: Boolean, tableTag: String): Map[Int, String] = {
     val img = if (o == "D") where else set
     require(img.nonEmpty, s"binlog event at $p carries no row image")
-    (img.keys ++ where.keys).foreach(i =>
+    // BOTH images range-check unconditionally: for deletes img IS
+    // where, so an (img ++ where) union would leave a delete's SET
+    // positions unchecked — a malformed `@i` beyond the TABLE_MAP
+    // must refuse loudly for every op, not just inserts/updates
+    (where.keys ++ set.keys).foreach(i =>
       require(i >= 1 && i <= arity,
         s"binlog event at $p names @$i beyond the$tableTag $arity-" +
           "column TABLE_MAP"))
@@ -1022,18 +1040,32 @@ object BinlogText {
     var section = "" // "", WHERE, SET
     var where = Map.empty[Int, String]
     var set = Map.empty[Int, String]
+    var sawBase64 = false // a `BINLOG '…'` base64 statement this event
 
     def seal(): Unit = {
       for (p <- pos) {
         if (op.isEmpty && where.isEmpty && set.isEmpty) {
           // a positioned non-row event (Query/Xid/Rotate) — not row
-          // data; DDL statements are parseDdl's side of the dump
+          // data; DDL statements are parseDdl's side of the dump.
+          // (The file-head FDE's own BINLOG base64 block lands here
+          // too: no row verb, nothing to diagnose.)
           ()
         } else {
           val o = op.getOrElse(throw new IllegalArgumentException(
             s"binlog event at $p has a position but no row-event block"))
           val time = ts.getOrElse(throw new IllegalArgumentException(
             s"binlog event at $p has no dated header"))
+          // a row event whose payload arrived ONLY as a `BINLOG '…'`
+          // base64 statement is a dump produced WITHOUT --verbose:
+          // mysqlbinlog prints the ### pseudo-SQL images only under
+          // -v, so name the real cause instead of the misleading
+          // 'names no table' a missing verb line would otherwise raise
+          if (tbl.isEmpty && sawBase64)
+            throw new IllegalArgumentException(
+              s"row event at $p carries only a BINLOG base64 block — " +
+                "this dump was produced without --verbose, so no " +
+                "pseudo-SQL row images exist to decode; re-dump with " +
+                "`mysqlbinlog --verbose` (or -vv)")
           val t = tbl.getOrElse(throw new IllegalArgumentException(
             s"binlog event at $p names no table"))
           decode(t, o, p, time, where, set).foreach(out += _)
@@ -1042,7 +1074,7 @@ object BinlogText {
       // reset UNCONDITIONALLY: a reset gated on `pos` would leak an
       // orphan block's op/images into the next positioned event
       pos = None; ts = None; op = None; tbl = None; section = ""
-      where = Map.empty; set = Map.empty
+      where = Map.empty; set = Map.empty; sawBase64 = false
     }
 
     for (line0 <- text.linesIterator; line = line0.trim if line.nonEmpty) {
@@ -1091,8 +1123,10 @@ object BinlogText {
         } else throw new IllegalArgumentException(
           s"unrecognized binlog pseudo-SQL line: $line")
       }
-      // non-# lines (BEGIN/COMMIT/DELIMITER noise) pass through silently:
-      // they position nothing and carry no row image
+      else if (line.startsWith("BINLOG '")) sawBase64 = true
+      // other non-# lines (BEGIN/COMMIT/DELIMITER noise, base64
+      // continuation) pass through silently: they position nothing
+      // and carry no decodable row image
     }
     seal()
     out.result().iterator

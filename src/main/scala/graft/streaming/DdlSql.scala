@@ -786,7 +786,13 @@ object DdlSql {
       case "DATE" => DateType
       case "DATETIME" | "TIMESTAMP" => TimestampNTZType
       case "TIME" => IntegerType // seconds-of-day, the engine's TIME carrier
-      case "YEAR" => IntegerType
+      // Int16 — the exercised type-surface policy (Tables.cdcLogExotic's
+      // `yr` column and MySqlTypes' scaladoc both pin YEAR to Int16:
+      // range 1901..2155): the envelope path and this parsed-CREATE
+      // path must produce the SAME engine type or a CREATE-bootstrapped
+      // table would diverge from an envelope-fed one (closure spec in
+      // DdlSqlSpec "type map closes over both paths")
+      case "YEAR" => ShortType
       case "BIT" => LongType // bits ride as ints (cdc_type_exotic policy)
       case other => throw new IllegalArgumentException(
         s"no engine mapping for MySQL type '$other' (in '$mysqlType') — " +
@@ -872,6 +878,12 @@ object DdlSql {
     // IDENTICAL re-declarations are idempotent no-ops, only a
     // CONFLICTING one refuses
     var added = Map.empty[String, (String, Option[String])]
+    // every rename STEP applied so far, kept verbatim across chaining:
+    // sibling-table idempotency must match the step as DECLARED, not
+    // the collapsed renameCols map — once a chain folds a→b, b→c into
+    // a→c, a sibling's re-declared 'b TO c' no longer maps to anything
+    // in renameCols and would otherwise record a phantom fresh rename
+    var renameSteps = Set.empty[(String, String)]
     val evs = events.sortBy(_._1)
     for ((seq, sql) <- evs; st <- parse(sql)) {
       val inScope = st match {
@@ -922,9 +934,10 @@ object DdlSql {
               modifyCols = cfg.modifyCols - col)
           }
         case RenameColumn(_, from, to)
-          if cfg.renameCols.get(from).contains(to) =>
-          () // the same RENAME from a sibling table — idempotent
+          if renameSteps.contains((from, to)) =>
+          () // the same RENAME step from a sibling table — idempotent
         case RenameColumn(_, from, to) =>
+          renameSteps += ((from, to))
           // name reuse across an earlier drop is unfoldable: the pass
           // applies renames BEFORE drops, so `DROP a; RENAME b TO a`
           // folded together would gate b's carried history under a's

@@ -331,10 +331,10 @@ class BinlogTextSpec extends SparkTestBase {
       val back = BinlogText.parse(spark, s"$dir/binlog", pcols)
       val a = env.collect().map(_.toSeq).toSeq
         .map(_.map(v => Option(v).map(_.toString).orNull)).sorted(
-          Ordering.by((s: Seq[String]) => s.mkString(" ")))
+          Ordering.by((s: Seq[String]) => s.mkString("\u0000")))
       val b = back.collect().map(_.toSeq).toSeq
         .map(_.map(v => Option(v).map(_.toString).orNull)).sorted(
-          Ordering.by((s: Seq[String]) => s.mkString(" ")))
+          Ordering.by((s: Seq[String]) => s.mkString("\u0000")))
       assert(a == b, s"sample $i diverged")
     }
   }
@@ -962,10 +962,16 @@ class BinlogTextSpec extends SparkTestBase {
     assert(src.schema.fieldNames.toSeq ==
       Seq("op", "seq", "ts", "okey", "price", "status"))
     val fin = "\n" + BinlogText.DumpTerminator + "\n"
-    // rotation 1 lands COMPLETE (terminator footer); the pass tails
-    // the dir and applies it
+    // rotation 1 lands COMPLETE, as real mysqlbinlog writes it: the
+    // terminator line followed by session-reset FOOTER statements —
+    // the torn-rotation gate must accept the marker as a LINE, not
+    // demand it as the final bytes (an ends-with check would reject
+    // every genuine complete dump)
     rotation("bin.000001",
-      rowBlock(1, "I", 1L, 10.0) + rowBlock(2, "I", 2L, 20.0) + fin)
+      rowBlock(1, "I", 1L, 10.0) + rowBlock(2, "I", 2L, 20.0) + fin +
+        "/*!50003 SET COMPLETION_TYPE=@OLD_COMPLETION_TYPE*/;\n" +
+        "DELIMITER ;\nROLLBACK /* added by mysqlbinlog */;\n" +
+        "/*!50530 SET @@SESSION.PSEUDO_SLAVE_MODE=0*/;\n")
     StreamingOps.runCdcPassSource(spark, src, s"$base/ckpt", s"$base/state")
     def served: Map[Long, Double] =
       StreamingOps.readLatestState(spark, s"$base/state")
@@ -1094,5 +1100,79 @@ class BinlogTextSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       BinlogText.renderQuery(1L, 3155760000L, "ALTER TABLE t DROP COLUMN c")
     }
+  }
+
+  test("torn-rotation gate refused: a non-verbose dump's BINLOG base64 " +
+      "row event refuses naming --verbose, not a missing table") {
+    val dir = tmp()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/b"))
+    // what `mysqlbinlog` WITHOUT -v prints for a row event: the dated
+    // comment header names the verb, but the row images arrive only as
+    // an executable base64 BINLOG statement — nothing pseudo-SQL to
+    // decode
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/b/f.txt"),
+      "# at 120\n#920315  0:00:00 server id 1  end_log_pos 190 CRC32 " +
+        "0x00000000 \tWrite_rows: table id 108 flags: STMT_END_F\n" +
+        "BINLOG '\nwlZbVRMBAAAAKwAAAL8AAAAAAHEAAAAAAAEABHRlc3QAAWEAAQ==\n" +
+        "'/*!*/;\n")
+    val e = intercept[Throwable] {
+      BinlogText.parse(spark, s"$dir/b", cols).collect()
+    }
+    val msg = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msg.contains("--verbose"), s"got: $msg")
+    assert(!msg.contains("names no table"), s"got: $msg")
+  }
+
+  test("a DELETE's stray SET image is range-checked like every other " +
+      "image — @i beyond the TABLE_MAP refuses for every op") {
+    val dir = tmp()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/b"))
+    // malformed: a DELETE block carrying a SET section whose position
+    // exceeds the 3-column TABLE_MAP — the delete's replicating image
+    // is WHERE, but the stray @9 must still refuse loudly
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/b/f.txt"),
+      "# at 7\n#920315  0:00:00 server id 1  end_log_pos 7 CRC32 " +
+        "0x00000000 \tDelete_rows: table id 108 flags: STMT_END_F\n" +
+        "### DELETE FROM `db`.`orders`\n### WHERE\n###   @1=1\n" +
+        "### SET\n###   @9=1\n")
+    val e = intercept[Throwable] {
+      BinlogText.parse(spark, s"$dir/b", cols).collect()
+    }
+    val msg = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msg.contains("@9 beyond"), s"got: $msg")
+  }
+
+  test("parseTxn plans ONE scan of the dump relation — commit markers " +
+      "ride the distributed decode, not a driver-built union branch") {
+    val uuid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    val dir = tmp()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/b"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/b/f.txt"),
+      BinlogText.renderGtid(10L, 800000000L, uuid, 1L) + "\n" +
+        "# at 11\n#920315  0:00:00 server id 1  end_log_pos 11 CRC32 " +
+        "0x00000000 \tWrite_rows: table id 108 flags: STMT_END_F\n" +
+        "### INSERT INTO `db`.`orders`\n### SET\n###   @1=1\n" +
+        "###   @2=1.5\n###   @3='x'\n" +
+        BinlogText.renderXid(19L, 800000000L, 7L) + "\n")
+    val env = BinlogText.parseTxn(spark, s"$dir/b", cols)
+    val leaves = env.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.size == 1,
+      s"expected ONE dump relation in the txn envelope's plan, got " +
+        s"${leaves.map(_.getClass.getSimpleName)}")
+    assert(!leaves.head.getClass.getSimpleName.contains("LocalRelation"),
+      "txn envelope planned a driver-built LocalRelation leaf")
+    // and the folded plan still yields the stamped rows + marker
+    val got = env.orderBy(col("seq")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(r.fieldIndex("txn")))).toSeq
+    assert(got == Seq(("I", 11L, s"$uuid:1"), ("C", 19L, s"$uuid:1")))
   }
 }

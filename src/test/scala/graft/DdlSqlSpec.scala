@@ -475,11 +475,112 @@ class DdlSqlSpec extends AnyFunSuite {
     assert(DdlSql.sparkType("DATE") == DateType)
     assert(DdlSql.sparkType("DATETIME(6)") == TimestampNTZType)
     assert(DdlSql.sparkType("TIMESTAMP") == TimestampNTZType)
-    assert(DdlSql.sparkType("YEAR") == IntegerType)
+    assert(DdlSql.sparkType("YEAR") == ShortType)
     assert(DdlSql.sparkType("BIT(8)") == LongType)
     val e = intercept[IllegalArgumentException] {
       DdlSql.sparkType("GEOMETRY")
     }
     assert(e.getMessage.contains("GEOMETRY"))
+  }
+
+  test("fold: sibling-table ALTER idempotency survives a rename CHAIN — " +
+      "a re-declared step after collapse is a no-op, not a phantom") {
+    // two tables migrate the SAME shared envelope column through a
+    // two-step rename, statements interleaved (each table emits each
+    // ALTER): once t1's a->b, b->c collapse to a->c, t2's re-declared
+    // 'b TO c' no longer maps to anything in renameCols — idempotency
+    // must key off the APPLIED STEPS, or the fold records a phantom
+    // fresh rename b->c alongside a->c
+    val cfg = DdlSql.fold(Seq(
+      1L -> "ALTER TABLE t1 RENAME COLUMN a TO b",
+      2L -> "ALTER TABLE t2 RENAME COLUMN a TO b",
+      3L -> "ALTER TABLE t1 RENAME COLUMN b TO c",
+      4L -> "ALTER TABLE t2 RENAME COLUMN b TO c"))
+    assert(cfg.renameCols == Map("a" -> "c"),
+      s"phantom rename recorded: ${cfg.renameCols}")
+    // the gap-born flavor: ADD + RENAME, both duplicated by a sibling —
+    // the rename re-keys `added`, so the sibling's replay must match
+    // the applied step, not the (empty) renameCols map
+    val cfg2 = DdlSql.fold(Seq(
+      1L -> "ALTER TABLE t1 ADD COLUMN x INT DEFAULT 5",
+      2L -> "ALTER TABLE t2 ADD COLUMN x INT DEFAULT 5",
+      3L -> "ALTER TABLE t1 RENAME COLUMN x TO y",
+      4L -> "ALTER TABLE t2 RENAME COLUMN x TO y"))
+    assert(cfg2.renameCols.isEmpty,
+      s"gap-born rename leaked a published-column rename: ${cfg2.renameCols}")
+    assert(cfg2.defaultCols.keySet == Set("y"))
+  }
+
+  test("type map closes over both paths: a CREATE TABLE covering the " +
+      "S19-S22 type surface bootstraps byte-identical destination DDL " +
+      "to the hand-declared envelope schema") {
+    import org.apache.spark.sql.types._
+    import graft.sources.DestinationDdl
+    // the exercised type-surface policy, spelled as MySQL DDL — every
+    // family the S19-S22 fixtures ride (numeric/unsigned/enum/JSON,
+    // temporal, exotic YEAR/BIT/TIME, text/binary)
+    val sql =
+      """CREATE TABLE typed (
+           okey BIGINT NOT NULL PRIMARY KEY,
+           price DOUBLE,
+           status CHAR(1),
+           amount DECIMAL(12,2),
+           big_id BIGINT UNSIGNED,
+           tier ENUM('gold','silver','bronze'),
+           attrs JSON,
+           d DATE,
+           dt DATETIME(6),
+           created TIMESTAMP,
+           t_sec TIME,
+           yr YEAR,
+           bits BIT(20),
+           payload LONGBLOB,
+           ratio FLOAT,
+           tiny TINYINT,
+           utiny TINYINT UNSIGNED,
+           small SMALLINT,
+           usmall SMALLINT UNSIGNED,
+           med MEDIUMINT,
+           qty INT,
+           uqty INT UNSIGNED,
+           note VARCHAR(32),
+           body TEXT)"""
+    val Seq(ct: CreateTable) = DdlSql.parse(sql)
+    val parsed = StructType(ct.columns.map { case (n, tp) =>
+      StructField(n, DdlSql.sparkType(tp),
+        nullable = !ct.keyCols.exists(_.equalsIgnoreCase(n)))
+    })
+    // the ENVELOPE path: the same columns as the S19-S22 fixtures and
+    // the MySqlTypes policy docs declare them, by hand
+    val envelope = StructType(Seq(
+      StructField("okey", LongType, nullable = false),
+      StructField("price", DoubleType),
+      StructField("status", StringType),
+      StructField("amount", DecimalType(12, 2)),
+      StructField("big_id", DecimalType(20, 0)), // 2^64-1 overflows Int64
+      StructField("tier", StringType), // ENUM rides as string
+      StructField("attrs", StringType), // JSON rides as string
+      StructField("d", DateType),
+      StructField("dt", TimestampNTZType), // DATETIME is a wall clock
+      StructField("created", TimestampNTZType), // sessions pin UTC
+      StructField("t_sec", IntegerType), // TIME = seconds-of-day
+      StructField("yr", ShortType), // YEAR = Int16, 1901..2155
+      StructField("bits", LongType), // BIT(n<=64) = its integer value
+      StructField("payload", BinaryType),
+      StructField("ratio", FloatType),
+      StructField("tiny", ByteType),
+      StructField("utiny", ShortType),
+      StructField("small", ShortType),
+      StructField("usmall", IntegerType),
+      StructField("med", IntegerType),
+      StructField("qty", IntegerType),
+      StructField("uqty", LongType),
+      StructField("note", StringType),
+      StructField("body", StringType)))
+    val fromParse = DestinationDdl.createTable("typed", parsed, ct.keyCols)
+    val fromEnvelope = DestinationDdl.createTable("typed", envelope,
+      Seq("okey"))
+    assert(fromParse == fromEnvelope,
+      s"the two paths diverged:\n parse:    $fromParse\n envelope: $fromEnvelope")
   }
 }
