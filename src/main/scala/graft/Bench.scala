@@ -52,6 +52,22 @@ object Bench {
     // match); the driver passes no args
     val filt = args.headOption.getOrElse("")
       .split(',').filter(_.nonEmpty).toSeq
+    // MACHINE-LOAD CALIBRATION: a fixed CPU-bound probe (constant work,
+    // no I/O, no data dependence) timed before and after the suite.
+    // Two rounds running, the driver's artifact inflated ~9% / ~33%
+    // near-uniformly over the builder's same-HEAD run — ambient load,
+    // not code — making round-over-round driver totals noisy. The
+    // probe's min-of-5 is a load-normalization anchor: cross-round
+    // comparisons divide by it to ANNOTATE (never gate) the total.
+    def calibrate(): Double =
+      (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(20000000L).selectExpr("sum(id * id)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    val calPre =
+      if (filt.nonEmpty) Double.NaN
+      else try calibrate() catch { case _: Throwable => Double.NaN }
     // name-sorted: Map iteration order shifts as queries are added, which
     // would re-deal the warmup/cache attribution every round and make
     // per-query timings incomparable across rounds
@@ -368,6 +384,15 @@ object Bench {
           s"BENCH BOUNDS FAIL: ${e.getClass.getName}: ${e.getMessage}")
         Seq.empty
     }
+    // the post-suite calibration rep: load that arrived mid-run shows
+    // up as post > pre; a reader normalizes against min(pre, post)
+    val calPost =
+      if (filt.nonEmpty) Double.NaN
+      else try calibrate() catch { case _: Throwable => Double.NaN }
+    def f3OrNull(v: Double): String =
+      if (v.isNaN) "null" else "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val calJson = s"""{"probe":"sum_id_sq_20m","reps":5,""" +
+      s""""pre":${f3OrNull(calPre)},"post":${f3OrNull(calPost)}}"""
     val boundsJson = bounds.map(_._2).mkString("{", ",", "}")
     val srJson = stateReads.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
@@ -384,6 +409,7 @@ object Bench {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_full.json"),
         s"""{"total":${f3(total)},"sf":"$sfDir","passes":$passes,""" +
+          s""""calibration":$calJson,""" +
           s""""failed":$fq,"state_reads":$srJson,""" +
           s""""state_reads_10x":$sr10Json,"index_reads":$irJson,""" +
           s""""index_reads_10x":$ir10Json,"bounds":$boundsJson,""" +

@@ -1,0 +1,649 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The MySQL binlog BINARY wire format as a CDC transport — the raw
+  * bytes a server writes to `binlog.000NNN`, decoded straight into the
+  * same change-event envelope [[BinlogText.parse]] fills from the
+  * `mysqlbinlog --verbose` text rendering. Format knowledge is the
+  * public binlog v4 event layout:
+  *
+  *  - file = 4-byte magic `\xfe bin` + a stream of events;
+  *  - every event opens with the 19-byte v4 common header
+  *    `timestamp(4 LE) type(1) server_id(4 LE) event_size(4 LE)
+  *    log_pos(4 LE) flags(2 LE)`;
+  *  - the first event is the FORMAT_DESCRIPTION (type 15) declaring
+  *    binlog_version 4, the 19-byte header, and (5.6+) the trailing
+  *    checksum algorithm byte;
+  *  - TABLE_MAP (type 19) names the table and declares its columns'
+  *    wire types + metadata — the decoder for every row event that
+  *    follows under the same table id;
+  *  - WRITE/UPDATE/DELETE_ROWS v2 (types 30/31/32) carry the row
+  *    images: a columns-present bitmap, then per row a null bitmap
+  *    and the present non-null values in TABLE_MAP order. UPDATE
+  *    rows come as (before, after) image PAIRS; the AFTER image is
+  *    what replicates (the same rule as the text path's SET block),
+  *    DELETE carries the before image (the text path's WHERE);
+  *  - when the FDE declares CRC32 checksums, every event's last 4
+  *    bytes are the CRC32 of the rest of the event — verified here,
+  *    refused loudly on mismatch (a silently mis-decoded event is a
+  *    silently diverged replica).
+  *
+  * Envelope semantics mirror [[BinlogText]] exactly: `op` I/U/D, `seq`
+  * = the event's log position, `ts` = the header clock (second-granular
+  * by format), payload columns positional against the caller's declared
+  * column list — which the parsed TABLE_MAP is VALIDATED against
+  * (arity and per-position type family), so a drifted declaration
+  * refuses instead of mis-decoding. Non-row events a real binlog
+  * interleaves (Query, Xid, Gtid, Rotate, Stop) checksum-verify and
+  * skip, exactly like the text parser skips their rendered blocks.
+  *
+  * Scale shape: one binlog FILE is the parallelism unit (a rotation
+  * boundary, the same unit a fleet tails) — `binaryFile` hands each
+  * task whole files and the decode runs inside the task, no cross-file
+  * state, no driver collect. The renderer exists for fixtures and
+  * diagnostics (the [[BinlogText.render]] pattern): it writes
+  * checksummed, FDE-led, TABLE_MAP-prefixed rotation files and refuses
+  * what the format cannot carry (sub-second timestamps, positions or
+  * clocks beyond 32 bits, strings over 65535 bytes) rather than
+  * silently corrupting them. Update fixtures carry before == after
+  * image (FULL-image shape; the strict-before machinery is exercised
+  * on the text path).
+  */
+object BinlogBinary {
+
+  private val Magic = Array[Byte](0xfe.toByte, 'b', 'i', 'n')
+  private val HeaderLen = 19
+
+  // event type codes (public binlog v4 numbering)
+  private val FORMAT_DESCRIPTION = 15
+  private val TABLE_MAP = 19
+  private val WRITE_ROWS_V2 = 30
+  private val UPDATE_ROWS_V2 = 31
+  private val DELETE_ROWS_V2 = 32
+
+  // wire column type codes
+  private val T_LONG = 3 // INT: 4-byte LE
+  private val T_DOUBLE = 5
+  private val T_LONGLONG = 8 // BIGINT: 8-byte LE
+  private val T_VARCHAR = 15
+  private val T_VAR_STRING = 253 // pre-5.0 alias; same wire shape
+  private val T_NEWDECIMAL = 246
+
+  /** Decode a directory of raw binlog files into the envelope
+    * `(op, seq, ts, <cols…>)` — the SAME schema [[BinlogText.parse]]
+    * produces for the same column list, so every downstream pass is
+    * transport-agnostic. Distributed per FILE. */
+  def parse(spark: SparkSession, dir: String,
+      cols: Seq[(String, DataType)]): DataFrame = {
+    val (schema, _) = BinlogText.singleEnvelope(cols, Nil, None)
+    val colsB = cols
+    spark.read.format("binaryFile").load(dir)
+      .select(col("content"), col("path"))
+      .flatMap { r =>
+        decodeFile(r.getAs[Array[Byte]](0), r.getString(1), colsB)
+      }(RowEncoder.encoderFor(schema))
+      .toDF()
+  }
+
+  // ── rendering (fixtures/diagnostics) ─────────────────────────────
+
+  /** Render an envelope frame as binary binlog rotation files under
+    * `outDir` — `files` output files, each self-contained (magic, FDE
+    * declaring CRC32 checksums, one TABLE_MAP, then one checksummed
+    * row event per envelope row). Refuses values the format cannot
+    * carry, like the text renderer. Local-filesystem fixture writer:
+    * each task writes its own rotation file. */
+  def render(df: DataFrame, cols: Seq[(String, DataType)],
+      outDir: String, files: Int = 4, table: String = "orders"): Unit = {
+    validateCols(cols)
+    require(files >= 1, "at least one binlog file")
+    require(table.nonEmpty && table.getBytes("UTF-8").length <= 250 &&
+      !table.exists(c => c.isWhitespace),
+      s"bad table name '$table' for a TABLE_MAP event")
+    val dirPath = java.nio.file.Paths.get(outDir)
+    if (java.nio.file.Files.exists(dirPath)) {
+      // overwrite semantics, mirroring the text renderer's writer
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+    }
+    java.nio.file.Files.createDirectories(dirPath)
+    val colsB = cols
+    val tableB = table
+    val ordered = df.select(
+      (Seq(col("op"), col("seq"), unix_micros(col("ts")
+        .cast(TimestampType)).as("ts_us")) ++
+        colsB.map { case (n, _) => col(n) }): _*)
+    ordered.repartition(files).foreachPartition {
+      (it: Iterator[Row]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val out = new java.io.ByteArrayOutputStream()
+        out.write(Magic)
+        out.write(fdeEvent())
+        out.write(tableMapEvent(tableB, colsB))
+        it.foreach { r =>
+          out.write(rowsEvent(r, colsB))
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(outDir, f"bin.$pid%06d"),
+          out.toByteArray)
+        ()
+    }
+  }
+
+  private def validateCols(cols: Seq[(String, DataType)]): Unit = {
+    require(cols.nonEmpty, "empty TABLE_MAP column list")
+    require(cols.map(_._1).distinct.length == cols.length,
+      "duplicate TABLE_MAP column name(s): " +
+        cols.map(_._1).diff(cols.map(_._1).distinct).distinct
+          .mkString(", "))
+    cols.foreach { case (n, t) =>
+      val ok = t match {
+        case LongType | IntegerType | DoubleType | StringType => true
+        case d: DecimalType => d.precision <= 65 && d.scale <= 30
+        case _ => false
+      }
+      require(ok,
+        s"unsupported binlog-binary column type for '$n': $t — the " +
+          "dialect decodes integers, doubles, decimals, and strings")
+      require(!Seq("op", "seq", "ts").contains(n),
+        s"payload column '$n' collides with envelope bookkeeping")
+    }
+  }
+
+  // ---- event builders (private[graft] so specs can compose
+  //      malformed files byte by byte) ----
+
+  private def u32(b: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    b.write((v & 0xff).toInt); b.write(((v >> 8) & 0xff).toInt)
+    b.write(((v >> 16) & 0xff).toInt); b.write(((v >> 24) & 0xff).toInt)
+  }
+  private def u16(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    b.write(v & 0xff); b.write((v >> 8) & 0xff)
+  }
+
+  /** Seal a header + payload into one checksummed event. `tsSec` and
+    * `logPos` must fit the header's 32-bit fields — the format cannot
+    * name larger values and silently truncating one would corrupt the
+    * position/clock it claims to carry. */
+  private[graft] def sealEvent(tsSec: Long, eventType: Int,
+      logPos: Long, payload: Array[Byte], serverId: Long = 1L,
+      flags: Int = 0): Array[Byte] = {
+    require(tsSec >= 0 && tsSec <= 0xffffffffL,
+      s"binlog header clocks are 32-bit epoch seconds; $tsSec is out " +
+        "of range — refuse instead of truncating")
+    require(logPos >= 0 && logPos <= 0xffffffffL,
+      s"binlog positions are 32-bit; $logPos is out of range — " +
+        "refuse instead of truncating")
+    val size = HeaderLen + payload.length + 4 // + CRC32
+    val b = new java.io.ByteArrayOutputStream(size)
+    u32(b, tsSec)
+    b.write(eventType)
+    u32(b, serverId)
+    u32(b, size.toLong)
+    u32(b, logPos)
+    u16(b, flags)
+    b.write(payload)
+    val body = b.toByteArray
+    val crc = new java.util.zip.CRC32()
+    crc.update(body, 0, body.length)
+    u32(b, crc.getValue)
+    b.toByteArray
+  }
+
+  /** FORMAT_DESCRIPTION event declaring binlog v4, the 19-byte header,
+    * and CRC32 checksums (the 5.6+ trailing algorithm byte). */
+  private[graft] def fdeEvent(): Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    u16(b, 4) // binlog_version
+    val ver = "8.0.36-graft".getBytes("UTF-8")
+    b.write(ver)
+    b.write(new Array[Byte](50 - ver.length)) // null-padded to 50
+    u32(b, 0L) // create_timestamp
+    b.write(HeaderLen) // header_length
+    // post-header length table, one byte per known event type — our
+    // parser reads sizes from each event's own header, so plausible
+    // zeros suffice here (a real server fills its own table)
+    b.write(new Array[Byte](38))
+    b.write(1) // checksum algorithm: CRC32
+    sealEvent(0L, FORMAT_DESCRIPTION, 0L, b.toByteArray)
+  }
+
+  /** TABLE_MAP event: table id 108, the declared columns' wire types
+    * and metadata, all columns nullable. */
+  private[graft] def tableMapEvent(table: String,
+      cols: Seq[(String, DataType)], tableId: Long = 108L,
+      tsSec: Long = 0L): Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    // post-header: table_id(6 LE) + flags(2)
+    var tid = tableId
+    (0 until 6).foreach { _ => b.write((tid & 0xff).toInt); tid >>= 8 }
+    u16(b, 1)
+    val db = "db".getBytes("UTF-8")
+    b.write(db.length); b.write(db); b.write(0)
+    val tb = table.getBytes("UTF-8")
+    b.write(tb.length); b.write(tb); b.write(0)
+    packed(b, cols.length.toLong)
+    cols.foreach { case (_, t) => b.write(wireType(t)) }
+    // metadata block: packed length, then per-type metadata
+    val meta = new java.io.ByteArrayOutputStream()
+    cols.foreach {
+      case (_, DoubleType) => meta.write(8)
+      case (_, StringType) => u16(meta, 65535) // max length, LE
+      case (_, d: DecimalType) =>
+        meta.write(d.precision); meta.write(d.scale)
+      case _ => () // LONG/LONGLONG carry no metadata
+    }
+    val mb = meta.toByteArray
+    packed(b, mb.length.toLong)
+    b.write(mb)
+    // null bits: every column nullable (the envelope's own posture)
+    b.write(Array.fill[Byte]((cols.length + 7) / 8)(0xff.toByte))
+    sealEvent(tsSec, TABLE_MAP, 0L, b.toByteArray)
+  }
+
+  /** One row event from one envelope row (op, seq, ts_us, values…).
+    * Updates write (before == after) image pairs — FULL-image fixture
+    * shape. */
+  private def rowsEvent(r: Row, cols: Seq[(String, DataType)]): Array[Byte] = {
+    val op = r.getString(0)
+    val seq = r.getLong(1)
+    val tsUs = r.getLong(2)
+    require(tsUs % 1000000L == 0,
+      s"binlog headers are second-granular; event at seq $seq carries " +
+        s"sub-second time ($tsUs µs) the format would silently floor — " +
+        "refuse instead")
+    val eventType = op match {
+      case "I" => WRITE_ROWS_V2
+      case "U" => UPDATE_ROWS_V2
+      case "D" => DELETE_ROWS_V2
+      case other => throw new IllegalArgumentException(
+        s"cannot render op '$other' as a binlog row event")
+    }
+    val image = imageBytes(r, cols)
+    val b = new java.io.ByteArrayOutputStream()
+    var tid = 108L
+    (0 until 6).foreach { _ => b.write((tid & 0xff).toInt); tid >>= 8 }
+    u16(b, 1) // flags: STMT_END_F
+    u16(b, 2) // v2 extra-data length (2 = none beyond the length field)
+    packed(b, cols.length.toLong)
+    val present = Array.fill[Byte]((cols.length + 7) / 8)(0xff.toByte)
+    b.write(present) // columns-present bitmap (all)
+    if (eventType == UPDATE_ROWS_V2) b.write(present) // after-image bitmap
+    b.write(image)
+    if (eventType == UPDATE_ROWS_V2) b.write(image) // before == after
+    sealEvent(tsUs / 1000000L, eventType, seq, b.toByteArray)
+  }
+
+  /** One row image: null bitmap over the present columns, then the
+    * present non-null values in TABLE_MAP order. */
+  private def imageBytes(r: Row,
+      cols: Seq[(String, DataType)]): Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    val nulls = new Array[Byte]((cols.length + 7) / 8)
+    cols.zipWithIndex.foreach { case (_, i) =>
+      if (r.isNullAt(i + 3)) nulls(i / 8) =
+        (nulls(i / 8) | (1 << (i % 8))).toByte
+    }
+    b.write(nulls)
+    cols.zipWithIndex.foreach { case ((n, t), i) =>
+      if (!r.isNullAt(i + 3)) t match {
+        case LongType =>
+          var v = r.getLong(i + 3)
+          (0 until 8).foreach { _ => b.write((v & 0xff).toInt); v >>= 8 }
+        case IntegerType =>
+          var v = r.getInt(i + 3).toLong
+          (0 until 4).foreach { _ => b.write((v & 0xff).toInt); v >>= 8 }
+        case DoubleType =>
+          var v = java.lang.Double.doubleToLongBits(r.getDouble(i + 3))
+          (0 until 8).foreach { _ => b.write((v & 0xff).toInt); v >>= 8 }
+        case StringType =>
+          val s = r.getString(i + 3).getBytes("UTF-8")
+          require(s.length <= 65535,
+            s"string value for '$n' exceeds the VARCHAR wire limit " +
+              s"(${s.length} bytes) — refuse instead of truncating")
+          u16(b, s.length)
+          b.write(s)
+        case d: DecimalType =>
+          b.write(encodeDecimal(r.getDecimal(i + 3), d.precision, d.scale))
+        case other => throw new IllegalArgumentException(
+          s"unsupported render type $other") // validateCols precludes
+      }
+    }
+    b.toByteArray
+  }
+
+  private def wireType(t: DataType): Int = t match {
+    case LongType => T_LONGLONG
+    case IntegerType => T_LONG
+    case DoubleType => T_DOUBLE
+    case StringType => T_VARCHAR
+    case _: DecimalType => T_NEWDECIMAL
+    case other => throw new IllegalArgumentException(
+      s"unsupported wire type $other")
+  }
+
+  private def packed(b: java.io.ByteArrayOutputStream, v: Long): Unit =
+    if (v < 251) b.write(v.toInt)
+    else if (v < 65536) { b.write(0xfc); u16(b, v.toInt) }
+    else if (v < 16777216) {
+      b.write(0xfd); b.write((v & 0xff).toInt)
+      b.write(((v >> 8) & 0xff).toInt); b.write(((v >> 16) & 0xff).toInt)
+    } else { b.write(0xfe); u32(b, v & 0xffffffffL); u32(b, v >>> 32) }
+
+  // ── MySQL NEWDECIMAL binary codec ────────────────────────────────
+  // digits pack in groups of 9 per 4 big-endian bytes, partial lead/
+  // tail groups in the minimal byte count; positive numbers flip the
+  // first byte's top bit, negative numbers store the complement. The
+  // public decimal2bin layout every binlog decoder implements.
+
+  private val Dig2Bytes = Array(0, 1, 1, 2, 2, 3, 3, 4, 4, 4)
+
+  private[graft] def decimalBinSize(precision: Int, scale: Int): Int = {
+    val intg = precision - scale
+    intg / 9 * 4 + Dig2Bytes(intg % 9) +
+      scale / 9 * 4 + Dig2Bytes(scale % 9)
+  }
+
+  private[graft] def encodeDecimal(x: java.math.BigDecimal,
+      precision: Int, scale: Int): Array[Byte] = {
+    val neg = x.signum() < 0
+    val abs = x.abs().setScale(scale, java.math.RoundingMode.UNNECESSARY)
+    require(abs.precision() - abs.scale() <= precision - scale,
+      s"decimal $x overflows DECIMAL($precision,$scale)")
+    val intg = precision - scale
+    val digits = abs.movePointRight(scale).toBigInteger.toString
+    val all = ("0" * (intg + scale - digits.length)) + digits
+    val b = new java.io.ByteArrayOutputStream(
+      decimalBinSize(precision, scale))
+    def writeGroup(ds: String): Unit = {
+      if (ds.nonEmpty) {
+        var v = ds.toLong
+        val n = Dig2Bytes(ds.length)
+        val bytes = new Array[Byte](n)
+        (n - 1 to 0 by -1).foreach { i =>
+          bytes(i) = (v & 0xff).toByte; v >>= 8
+        }
+        b.write(bytes)
+      }
+    }
+    val leadLen = intg % 9
+    writeGroup(all.substring(0, leadLen))
+    var o = leadLen
+    (0 until intg / 9).foreach { _ =>
+      writeGroup(all.substring(o, o + 9)); o += 9 }
+    (0 until scale / 9).foreach { _ =>
+      writeGroup(all.substring(o, o + 9)); o += 9 }
+    writeGroup(all.substring(o))
+    val out = b.toByteArray
+    if (neg) out.indices.foreach(i => out(i) = (~out(i)).toByte)
+    out(0) = (out(0) ^ 0x80).toByte
+    out
+  }
+
+  private[graft] def decodeDecimal(buf: Array[Byte], off: Int,
+      precision: Int, scale: Int): java.math.BigDecimal = {
+    val size = decimalBinSize(precision, scale)
+    val b = java.util.Arrays.copyOfRange(buf, off, off + size)
+    val neg = (b(0) & 0x80) == 0
+    b(0) = (b(0) ^ 0x80).toByte
+    if (neg) b.indices.foreach(i => b(i) = (~b(i)).toByte)
+    val intg = precision - scale
+    val sb = new StringBuilder
+    var o = 0
+    def readGroup(nDigits: Int): Unit = if (nDigits > 0) {
+      val n = Dig2Bytes(nDigits)
+      var v = 0L
+      (0 until n).foreach { i => v = (v << 8) | (b(o + i) & 0xffL) }
+      o += n
+      val s = v.toString
+      require(s.length <= nDigits,
+        s"decimal group overflows its digit count ($v in $nDigits)")
+      sb.append("0" * (nDigits - s.length)).append(s)
+      ()
+    }
+    readGroup(intg % 9)
+    (0 until intg / 9).foreach(_ => readGroup(9))
+    val intStr = if (sb.isEmpty) "0" else sb.result()
+    sb.clear()
+    (0 until scale / 9).foreach(_ => readGroup(9))
+    readGroup(scale % 9)
+    val fracStr = sb.result()
+    val s = intStr + (if (fracStr.nonEmpty) "." + fracStr else "")
+    val v = new java.math.BigDecimal(s)
+    if (neg) v.negate() else v
+  }
+
+  // ── parsing ──────────────────────────────────────────────────────
+
+  private def rdU16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def rdU32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  private def rdI32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def rdI64(b: Array[Byte], o: Int): Long = {
+    var v = 0L
+    (7 to 0 by -1).foreach(i => v = (v << 8) | (b(o + i) & 0xffL))
+    v
+  }
+
+  private final class Cursor(val b: Array[Byte], var o: Int,
+      val end: Int, val what: String) {
+    def need(n: Int): Unit = require(o + n <= end,
+      s"$what: truncated at offset $o (need $n bytes, have ${end - o})")
+    def u8(): Int = { need(1); val v = b(o) & 0xff; o += 1; v }
+    def u16(): Int = { need(2); val v = rdU16(b, o); o += 2; v }
+    def skip(n: Int): Unit = { need(n); o += n }
+    def packed(): Long = {
+      val first = u8()
+      if (first < 251) first.toLong
+      else if (first == 0xfc) u16().toLong
+      else if (first == 0xfd) {
+        need(3)
+        val v = (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+          ((b(o + 2) & 0xffL) << 16)
+        o += 3; v
+      } else { need(8); val v = rdI64(b, o); o += 8; v }
+    }
+  }
+
+  /** One declared table's wire decode plan, validated against the
+    * TABLE_MAP the file itself carries. */
+  private final case class WireCols(types: Array[Int], metas: Array[Int])
+
+  private def decodeFile(bytes: Array[Byte], path: String,
+      cols: Seq[(String, DataType)]): Iterator[Row] = {
+    require(bytes.length >= 4 &&
+      java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(bytes, 0, 4), Magic),
+      s"$path is not a binlog file (bad magic)")
+    val out = Vector.newBuilder[Row]
+    var o = 4
+    var checksummed = false
+    var sawFde = false
+    var tableMaps = Map.empty[Long, WireCols]
+    while (o < bytes.length) {
+      require(bytes.length - o >= HeaderLen,
+        s"$path: truncated event header at offset $o " +
+          s"(${bytes.length - o} trailing bytes)")
+      val tsSec = rdU32(bytes, o)
+      val eventType = bytes(o + 4) & 0xff
+      val size = rdU32(bytes, o + 9).toInt
+      val logPos = rdU32(bytes, o + 13)
+      require(size >= HeaderLen && o + size <= bytes.length,
+        s"$path: event at offset $o declares size $size beyond the " +
+          s"file's ${bytes.length} bytes — truncated or corrupt")
+      if (!sawFde) {
+        require(eventType == FORMAT_DESCRIPTION,
+          s"$path: first event is type $eventType, not a " +
+            "FORMAT_DESCRIPTION — not a binlog head (a mid-stream " +
+            "slice cannot declare its checksum algorithm)")
+        require(rdU16(bytes, o + HeaderLen) == 4,
+          s"$path: binlog version ${rdU16(bytes, o + HeaderLen)} — " +
+            "only v4 decodes")
+        require((bytes(o + HeaderLen + 2 + 50 + 4) & 0xff) == HeaderLen,
+          s"$path: FDE declares a non-19-byte common header")
+        val alg = bytes(o + size - 5) & 0xff
+        require(alg == 0 || alg == 1,
+          s"$path: unknown checksum algorithm $alg (0=off, 1=CRC32)")
+        checksummed = alg == 1
+        sawFde = true
+      }
+      val bodyEnd = if (checksummed) {
+        val crc = new java.util.zip.CRC32()
+        crc.update(bytes, o, size - 4)
+        val stored = rdU32(bytes, o + size - 4)
+        require(crc.getValue == stored,
+          f"$path: CRC32 mismatch on event at offset $o (type " +
+            f"$eventType): computed 0x${crc.getValue}%08x, stored " +
+            f"0x$stored%08x — the file is corrupt; refuse rather than " +
+            "decode garbage")
+        o + size - 4
+      } else o + size
+      eventType match {
+        case TABLE_MAP =>
+          val c = new Cursor(bytes, o + HeaderLen, bodyEnd,
+            s"$path TABLE_MAP at $o")
+          var tid = 0L
+          (0 until 6).foreach(i => tid |= (c.b(c.o + i) & 0xffL) << (8 * i))
+          c.skip(6); c.skip(2) // table_id, flags
+          val dbLen = c.u8(); c.skip(dbLen + 1)
+          val tbLen = c.u8()
+          c.need(tbLen)
+          c.skip(tbLen + 1)
+          val n = c.packed().toInt
+          require(n == cols.length,
+            s"$path: TABLE_MAP declares $n columns but the caller " +
+              s"declared ${cols.length} — the declaration is stale; " +
+              "refuse rather than mis-decode positional values")
+          val types = new Array[Int](n)
+          (0 until n).foreach(i => types(i) = c.u8())
+          val metaLen = c.packed().toInt
+          val metaEnd = c.o + metaLen
+          c.need(metaLen)
+          val metas = new Array[Int](n)
+          (0 until n).foreach { i =>
+            metas(i) = types(i) match {
+              case T_DOUBLE => c.u8()
+              case T_VARCHAR | T_VAR_STRING => c.u16()
+              case T_NEWDECIMAL => { val p = c.u8(); (p << 8) | c.u8() }
+              case _ => 0
+            }
+          }
+          require(c.o == metaEnd,
+            s"$path: TABLE_MAP metadata length $metaLen does not match " +
+              "its types — corrupt or an unsupported type's metadata")
+          // validate the wire plan against the declared Spark types
+          cols.zipWithIndex.foreach { case ((name, dt), i) =>
+            val ok = (types(i), dt) match {
+              case (T_LONGLONG, LongType) => true
+              case (T_LONG, IntegerType) => true
+              case (T_DOUBLE, DoubleType) => true
+              case (T_VARCHAR | T_VAR_STRING, StringType) => true
+              case (T_NEWDECIMAL, d: DecimalType) =>
+                (metas(i) >> 8) == d.precision && (metas(i) & 0xff) == d.scale
+              case _ => false
+            }
+            require(ok,
+              s"$path: TABLE_MAP column @${i + 1} is wire type " +
+                s"${types(i)} (meta ${metas(i)}) but '$name' is " +
+                s"declared ${dt.simpleString} — the declaration is " +
+                "stale; refuse rather than mis-decode")
+          }
+          tableMaps += tid -> WireCols(types, metas)
+        case WRITE_ROWS_V2 | UPDATE_ROWS_V2 | DELETE_ROWS_V2 =>
+          val c = new Cursor(bytes, o + HeaderLen, bodyEnd,
+            s"$path row event at $o")
+          var tid = 0L
+          (0 until 6).foreach(i => tid |= (c.b(c.o + i) & 0xffL) << (8 * i))
+          c.skip(6); c.skip(2) // table_id, flags
+          val extraLen = c.u16()
+          require(extraLen >= 2,
+            s"$path: row event v2 extra-data length $extraLen < 2")
+          c.skip(extraLen - 2)
+          val wire = tableMaps.getOrElse(tid,
+            throw new IllegalArgumentException(
+              s"$path: row event at offset $o references table id $tid " +
+                "with no preceding TABLE_MAP — a mid-stream slice; " +
+                "refuse rather than guess the column layout"))
+          val n = c.packed().toInt
+          require(n == cols.length,
+            s"$path: row event declares width $n, TABLE_MAP ${cols.length}")
+          val present1 = readBitmap(c, n)
+          val present2 =
+            if (eventType == UPDATE_ROWS_V2) readBitmap(c, n) else present1
+          val op = eventType match {
+            case WRITE_ROWS_V2 => "I"
+            case UPDATE_ROWS_V2 => "U"
+            case _ => "D"
+          }
+          val time = java.time.LocalDateTime.ofEpochSecond(
+            tsSec, 0, java.time.ZoneOffset.UTC)
+          // rows repeat until the body ends (multi-row statements)
+          while (c.o < c.end) {
+            val first = readImage(c, cols, wire, present1)
+            val replicating = if (eventType == UPDATE_ROWS_V2)
+              readImage(c, cols, wire, present2) // after image wins
+            else first
+            out += Row.fromSeq(Seq(op, logPos, time) ++ replicating)
+          }
+        case _ => () // Query/Xid/Gtid/Rotate/Stop/FDE: verified, skipped
+      }
+      o += size
+    }
+    out.result().iterator
+  }
+
+  private def readBitmap(c: Cursor, n: Int): Array[Boolean] = {
+    val bytes = (n + 7) / 8
+    c.need(bytes)
+    val out = Array.tabulate(n)(i =>
+      ((c.b(c.o + i / 8) >> (i % 8)) & 1) == 1)
+    c.o += bytes
+    out
+  }
+
+  /** One row image under the TABLE_MAP plan: null bitmap over the
+    * PRESENT columns, then the present non-null values. Absent
+    * columns surface NULL (the text path's unlisted-column rule). */
+  private def readImage(c: Cursor, cols: Seq[(String, DataType)],
+      wire: WireCols, present: Array[Boolean]): Seq[Any] = {
+    val presentIdx = present.zipWithIndex.filter(_._1).map(_._2)
+    val nullBits = readBitmap(c, presentIdx.length)
+    val vals = new Array[Any](cols.length)
+    presentIdx.zipWithIndex.foreach { case (ci, pj) =>
+      if (!nullBits(pj)) {
+        val (name, dt) = cols(ci)
+        vals(ci) = wire.types(ci) match {
+          case T_LONGLONG => { c.need(8); val v = rdI64(c.b, c.o); c.o += 8; v }
+          case T_LONG => { c.need(4); val v = rdI32(c.b, c.o); c.o += 4; v }
+          case T_DOUBLE =>
+            c.need(8)
+            val v = java.lang.Double.longBitsToDouble(rdI64(c.b, c.o))
+            c.o += 8; v
+          case T_VARCHAR | T_VAR_STRING =>
+            val len = if (wire.metas(ci) < 256) c.u8() else c.u16()
+            c.need(len)
+            val s = new String(c.b, c.o, len, "UTF-8")
+            c.o += len; s
+          case T_NEWDECIMAL =>
+            val d = dt.asInstanceOf[DecimalType]
+            c.need(decimalBinSize(d.precision, d.scale))
+            val v = decodeDecimal(c.b, c.o, d.precision, d.scale)
+            c.o += decimalBinSize(d.precision, d.scale)
+            v
+          case other => throw new IllegalArgumentException(
+            s"unsupported wire type $other for column '$name'")
+        }
+      }
+    }
+    vals.toSeq
+  }
+}

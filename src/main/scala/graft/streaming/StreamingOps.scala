@@ -3673,6 +3673,31 @@ object StreamingOps {
       readLatestState(s, s"$tmp/state")
     }),
 
+    // S-BINLOG-BINARY: ingest from the RAW binlog wire format — the
+    // bytes a server writes to binlog.000NNN, no mysqlbinlog in
+    // between: the change log renders as checksummed binary rotation
+    // files (magic, FORMAT_DESCRIPTION declaring CRC32, TABLE_MAP,
+    // WRITE/UPDATE/DELETE_ROWS v2 events with present/null bitmaps and
+    // little-endian values), BinlogBinary.parse decodes them back per
+    // file — CRC-verified, TABLE_MAP-validated against the declared
+    // columns — and the pass applied over the decoded envelope must
+    // land on the SAME collapse as the pre-decoded parquet feed and
+    // the text transport: one oracle, three transports.
+    "cdc_binlog_binary" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir)
+      val cols: Seq[(String, org.apache.spark.sql.types.DataType)] = Seq(
+        "okey" -> org.apache.spark.sql.types.LongType,
+        "price" -> DoubleType, "status" -> StringType)
+      val tmp = tmpDir()
+      graft.sources.BinlogBinary.render(log, cols, s"$tmp/binlog",
+        files = 4)
+      val env = graft.sources.BinlogBinary.parse(s, s"$tmp/binlog", cols)
+      val in = s"$tmp/in"
+      writeWave(env, in, 0)
+      runCdcPass(s, env.schema, in, s"$tmp/ckpt", s"$tmp/state")
+      readLatestState(s, s"$tmp/state")
+    }),
+
     // S-BINLOG-TEXT-DDL: the FULL binlog loop — row events AND DDL
     // QueryEvents in one dump. Rotation 1 carries the v1 rows; rotation
     // 2 opens with `ALTER TABLE` QueryEvents (RENAME COLUMN + ADD
@@ -5490,6 +5515,9 @@ object StreamingOps {
     "sink_foreachbatch_idempotent" -> latestStateSql,
     // text-decoded binlog ≡ pre-decoded parquet feed: same collapse.
     "cdc_binlog_text" -> latestStateSql,
+    // binary-wire-decoded binlog ≡ the same collapse — one oracle,
+    // three transports (parquet waves, dump text, raw bytes).
+    "cdc_binlog_binary" -> latestStateSql,
 
     // the full dump loop (rows + DDL QueryEvents): rename carries the
     // pass-1 'old…' values under `chan`, the ADD…DEFAULT backfills

@@ -1,0 +1,272 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.{BinlogBinary, BinlogText}
+
+/** The binary binlog wire decode: render/parse round-trip fidelity,
+  * envelope equality with the text transport, the NEWDECIMAL codec,
+  * and the loud-refusal edges (truncation, checksum, stale
+  * declarations). The end-to-end collapse equivalence is the declared
+  * `cdc_binlog_binary` query's oracle row — the SAME latest-wins
+  * oracle as `cdc_binlog_text`. */
+class BinlogBinarySpec extends SparkTestBase {
+
+  private val cols: Seq[(String, DataType)] = Seq(
+    "okey" -> LongType, "price" -> DoubleType, "status" -> StringType)
+
+  private def envDf(rows: Seq[(String, Long, Long, Any, Any, Any)]) = {
+    val schema = StructType(Seq(
+      StructField("op", StringType), StructField("seq", LongType),
+      StructField("tsSec", LongType), StructField("okey", LongType),
+      StructField("price", DoubleType), StructField("status", StringType)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r =>
+        Row(r._1, r._2, r._3, r._4, r._5, r._6)): _*), schema)
+      .withColumn("ts", timestamp_seconds(col("tsSec"))
+        .cast(TimestampNTZType))
+      .select("op", "seq", "ts", "okey", "price", "status")
+  }
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_binbin").toString
+
+  test("render/parse round-trips ops, NULLs, doubles, unicode text — " +
+      "and the envelope schema equals the text transport's") {
+    val env = envDf(Seq(
+      ("I", 1L, 800000000L, 1L, 10.5, "plain"),
+      ("I", 2L, 800000001L, 2L, null, null), // explicit NULL payload
+      ("U", 3L, 800000002L, 1L, -7.25, "it's a 'quote' \\ slash"),
+      ("I", 5L, 800000003L, 3L, 1.0, "line1\nline2\rtail — ünïcodé ⚡"),
+      ("D", 4L, 900000000L, 2L, null, null)))
+    val dir = tmp()
+    BinlogBinary.render(env, cols, s"$dir/binlog", files = 2)
+    val back = BinlogBinary.parse(spark, s"$dir/binlog", cols)
+    // transport-agnostic: byte-identical schema to the text path
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/empty_text"))
+    assert(back.schema ==
+      BinlogText.parse(spark, s"$dir/empty_text", cols).schema)
+    val got = back.collect().map(_.toSeq).toSet
+    val want = env.collect().map(_.toSeq).toSet
+    assert(got == want, s"round-trip diverged:\n got=$got\nwant=$want")
+    // rotation files really split and are raw binlog (magic-led)
+    val files = new java.io.File(s"$dir/binlog").listFiles()
+      .filter(_.getName.startsWith("bin.")).toSeq
+    assert(files.size == 2)
+    files.foreach { f =>
+      val head = java.nio.file.Files.readAllBytes(f.toPath).take(4)
+      assert(head.sameElements(Array(0xfe.toByte, 'b'.toByte,
+        'i'.toByte, 'n'.toByte)))
+    }
+  }
+
+  test("NEWDECIMAL codec: digit-group packing round-trips signs, " +
+      "scales, leading zeros, and group boundaries") {
+    def rt(s: String, p: Int, sc: Int): Unit = {
+      val x = new java.math.BigDecimal(s)
+      val enc = BinlogBinary.encodeDecimal(x, p, sc)
+      assert(enc.length == BinlogBinary.decimalBinSize(p, sc))
+      val dec = BinlogBinary.decodeDecimal(enc, 0, p, sc)
+      assert(dec.compareTo(x.setScale(sc)) == 0,
+        s"decimal($p,$sc) round-trip of $s gave $dec")
+    }
+    rt("0", 10, 2); rt("0.00", 10, 2)
+    rt("1234.56", 10, 2); rt("-1234.56", 10, 2)
+    rt("99999999.99", 10, 2); rt("-99999999.99", 10, 2)
+    rt("0.01", 10, 2); rt("-0.01", 10, 2)
+    // group boundaries: 9/18/27 digit spans on both sides of the point
+    rt("123456789", 9, 0); rt("-123456789", 9, 0)
+    rt("123456789987654321", 18, 0)
+    rt("0.123456789", 9, 9); rt("-0.123456789987", 12, 12)
+    rt("1.000000001", 18, 9)
+    rt("999999999999999999.999999999999", 30, 12)
+    rt("-999999999999999999.999999999999", 30, 12)
+    // the money shape the type-surface fixtures ride
+    rt("18446744073709551615", 20, 0) // 2^64-1, the unsigned carrier
+    rt("-0.5", 3, 2)
+    // ordering sanity: binary compare of encodings matches numeric
+    // order (the property MySQL's sort relies on)
+    val a = BinlogBinary.encodeDecimal(
+      new java.math.BigDecimal("-5.00"), 10, 2)
+    val b = BinlogBinary.encodeDecimal(
+      new java.math.BigDecimal("3.00"), 10, 2)
+    val cmp = a.zip(b).collectFirst {
+      case (x, y) if x != y => (x & 0xff) - (y & 0xff) }
+    assert(cmp.exists(_ < 0), "negative must sort below positive")
+  }
+
+  test("decimal columns ride the wire: DECIMAL(12,2) and the unsigned " +
+      "DECIMAL(20,0) carrier round-trip through a rendered file") {
+    val dcols: Seq[(String, DataType)] = Seq(
+      "okey" -> LongType, "amount" -> DecimalType(12, 2),
+      "big_id" -> DecimalType(20, 0), "qty" -> IntegerType)
+    val schema = StructType(Seq(
+      StructField("op", StringType), StructField("seq", LongType),
+      StructField("tsSec", LongType), StructField("okey", LongType),
+      StructField("amount", DecimalType(12, 2)),
+      StructField("big_id", DecimalType(20, 0)),
+      StructField("qty", IntegerType)))
+    def d(s: String) = new java.math.BigDecimal(s)
+    val rows = Seq(
+      Row("I", 1L, 800000000L, 1L, d("1234.56"), d("18446744073709551615"),
+        42),
+      Row("U", 2L, 800000001L, 1L, d("-0.25"), d("7"), -13),
+      Row("I", 3L, 800000002L, 2L, null, null, null))
+    val env = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+      .withColumn("ts", timestamp_seconds(col("tsSec"))
+        .cast(TimestampNTZType))
+      .select("op", "seq", "ts", "okey", "amount", "big_id", "qty")
+    val dir = tmp()
+    BinlogBinary.render(env, dcols, s"$dir/binlog", files = 1)
+    val back = BinlogBinary.parse(spark, s"$dir/binlog", dcols)
+    assert(back.collect().map(_.toSeq).toSet ==
+      env.collect().map(_.toSeq).toSet)
+  }
+
+  test("PROPERTY: random envelopes round-trip render→parse identically") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genRow = for {
+      op <- Gen.oneOf("I", "U", "D")
+      seq <- Gen.chooseNum(0L, 0xffffffffL)
+      ts <- Gen.chooseNum(0L, 2000000000L)
+      okey <- Gen.chooseNum(-1000000L, 1000000L)
+      price <- Gen.oneOf(
+        Gen.const(null), Gen.chooseNum(-1e9, 1e9).map(Double.box))
+      status <- Gen.oneOf(Gen.const(null),
+        Gen.asciiPrintableStr.map(_.take(40)),
+        Gen.const("tab\t'q'\\n\u00e9"))
+    } yield (op, seq, ts, okey: Any, price: Any, status: Any)
+    (0 until 3).foreach { i =>
+      val rows = Gen.listOfN(60, genRow)
+        .apply(Gen.Parameters.default, Seed(42L + i)).get
+      val env = envDf(rows)
+      val dir = tmp()
+      BinlogBinary.render(env, cols, s"$dir/b", files = 3)
+      val back = BinlogBinary.parse(spark, s"$dir/b", cols)
+      def key(s: Seq[Any]) = s.map(String.valueOf(_)).mkString("\u0001")
+      val a = env.collect().map(_.toSeq).toSeq.sortBy(key)
+      val b = back.collect().map(_.toSeq).toSeq.sortBy(key)
+      assert(a == b, s"sample $i diverged")
+    }
+  }
+
+  test("refusals: truncation, checksum corruption, bad magic, missing " +
+      "TABLE_MAP, and stale declarations all refuse loudly") {
+    val env = envDf(Seq(
+      ("I", 1L, 800000000L, 1L, 10.5, "abc"),
+      ("U", 2L, 800000001L, 1L, 11.5, "def")))
+    val dir = tmp()
+    BinlogBinary.render(env, cols, s"$dir/good", files = 1)
+    val good = java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$dir/good").listFiles()
+        .filter(_.getName.startsWith("bin.")).head.toPath)
+
+    def refuse(bytes: Array[Byte], naming: String,
+        declared: Seq[(String, DataType)] = cols): Unit = {
+      val d2 = tmp()
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$d2/b"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$d2/b/bin.000000"), bytes)
+      val e = intercept[Throwable] {
+        BinlogBinary.parse(spark, s"$d2/b", declared).collect()
+      }
+      val msg = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      assert(msg.contains(naming), s"wanted '$naming', got: $msg")
+    }
+
+    // TRUNCATED: the last event's declared size overruns the file
+    refuse(good.dropRight(10), "truncated or corrupt")
+    // mid-header truncation
+    refuse(good.dropRight(good.length - (4 + 5)), "truncated event header")
+    // CHECKSUM: flip one byte inside the last event's payload
+    val corrupt = good.clone()
+    corrupt(corrupt.length - 9) = (corrupt(corrupt.length - 9) ^ 0x40).toByte
+    refuse(corrupt, "CRC32 mismatch")
+    // MAGIC: not a binlog file
+    refuse("CSV,not,binlog\n".getBytes("UTF-8"), "bad magic")
+    // MISSING TABLE_MAP: a mid-stream slice (FDE + row event, no map)
+    val fde = BinlogBinary.fdeEvent()
+    val rowsEventBytes = good.drop(4 + fde.length +
+      BinlogBinary.tableMapEvent("orders", cols).length)
+    val slice = Array[Byte](0xfe.toByte, 'b', 'i', 'n') ++ fde ++
+      rowsEventBytes
+    refuse(slice, "no preceding TABLE_MAP")
+    // STALE DECLARATION: wrong arity
+    refuse(good, "declared 2", Seq("okey" -> LongType,
+      "price" -> DoubleType))
+    // STALE DECLARATION: wrong type at a position
+    refuse(good, "declaration is stale", Seq("okey" -> LongType,
+      "price" -> DoubleType, "status" -> LongType))
+    // FIRST EVENT NOT FDE: decoding cannot know the checksum algorithm
+    refuse(Array[Byte](0xfe.toByte, 'b', 'i', 'n') ++
+      BinlogBinary.tableMapEvent("orders", cols),
+      "not a FORMAT_DESCRIPTION")
+  }
+
+  test("renderer refuses what the format cannot carry: sub-second " +
+      "timestamps, 33-bit positions, oversized strings") {
+    val dir = tmp()
+    // sub-second ts
+    val subSec = envDf(Seq(("I", 1L, 800000000L, 1L, 1.0, "x")))
+      .withColumn("ts", (col("ts").cast(TimestampType) +
+        expr("INTERVAL 0.5 SECOND")).cast(TimestampNTZType))
+    val e1 = intercept[Throwable] {
+      BinlogBinary.render(subSec, cols, s"$dir/b1", files = 1)
+    }
+    assert(Iterator.iterate(e1)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      .contains("second-granular"))
+    // a position past 2^32 cannot ride the 4-byte log_pos field
+    val bigSeq = envDf(Seq(("I", 5000000000L, 800000000L, 1L, 1.0, "x")))
+    val e2 = intercept[Throwable] {
+      BinlogBinary.render(bigSeq, cols, s"$dir/b2", files = 1)
+    }
+    assert(Iterator.iterate(e2)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      .contains("32-bit"))
+  }
+
+  test("multi-row events decode: one event body carrying several rows " +
+      "(the STMT_END_F batch shape a real server writes)") {
+    // compose a two-row WRITE_ROWS v2 event by hand via the builders
+    val b = new java.io.ByteArrayOutputStream()
+    var tid = 108L
+    (0 until 6).foreach { _ => b.write((tid & 0xff).toInt); tid >>= 8 }
+    b.write(1); b.write(0) // flags LE
+    b.write(2); b.write(0) // extra-data len = 2
+    b.write(3) // packed width
+    b.write(0xff) // present bitmap: all 3
+    def image(okey: Long, price: Double, status: String): Unit = {
+      b.write(0) // null bitmap: none null
+      var v = okey
+      (0 until 8).foreach { _ => b.write((v & 0xff).toInt); v >>= 8 }
+      var d = java.lang.Double.doubleToLongBits(price)
+      (0 until 8).foreach { _ => b.write((d & 0xff).toInt); d >>= 8 }
+      val s = status.getBytes("UTF-8")
+      b.write(s.length & 0xff); b.write((s.length >> 8) & 0xff)
+      b.write(s)
+    }
+    image(7L, 1.5, "a")
+    image(8L, 2.5, "b")
+    val event = BinlogBinary.sealEvent(800000000L, 30, 77L, b.toByteArray)
+    val file = Array[Byte](0xfe.toByte, 'b', 'i', 'n') ++
+      BinlogBinary.fdeEvent() ++
+      BinlogBinary.tableMapEvent("orders", cols) ++ event
+    val dir = tmp()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/b"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/b/bin.000000"), file)
+    val got = BinlogBinary.parse(spark, s"$dir/b", cols)
+      .orderBy(col("okey")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+        r.getDouble(4), r.getString(5))).toSeq
+    assert(got == Seq(("I", 77L, 7L, 1.5, "a"), ("I", 77L, 8L, 2.5, "b")))
+  }
+}

@@ -235,6 +235,24 @@ def main():
                                   f"(1x={t1:.3f}s 10x={t10:.3f}s) — the "
                                   f"probe is no longer flat-to-sublinear "
                                   f"vs index/state mass"))
+        # Machine-load calibration (round-18): the artifact carries a
+        # fixed CPU-bound probe timed before/after the suite, so a
+        # cross-round comparison can normalize for ambient load (two
+        # rounds running, driver artifacts inflated ~9%/~33% near-
+        # uniformly over same-HEAD builder runs). ANNOTATION ONLY —
+        # never a gate: load is the machine's business, not the code's.
+        cal = bench.get("calibration") or {}
+        pre, post = cal.get("pre"), cal.get("post")
+        if pre is not None and post is not None:
+            drift = max(pre, post) / min(pre, post) if min(pre, post) > 0 else 0
+            note = (" — load shifted mid-run; normalize totals against "
+                    "min(pre, post)") if drift > 1.5 else ""
+            print(f"  INFO calibration: pre={pre:.3f}s post={post:.3f}s "
+                  f"(probe {cal.get('probe')}, min-of-{cal.get('reps')})"
+                  f"{note}")
+        else:
+            print("  WARN bench_full.json carries no calibration block "
+                  "(pre-r18 artifact?) — rerun the full bench")
     for name, msg in fails:
         print(f"  FAIL {name}: {msg[:600]}")
     print(f"== {n_pass} pass, {len(fails)} fail ==")
