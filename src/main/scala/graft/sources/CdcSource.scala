@@ -171,7 +171,23 @@ final case class KafkaCdcSource(schema: StructType,
     * mapping is EXECUTED in spec over record-shaped batch frames (the
     * sandbox ships no broker; the stream and a batch frame share this
     * exact plan). `raw` must carry Kafka's (value, partition, offset). */
-  private[graft] def projectEnvelope(raw: DataFrame): DataFrame = {
+  private[graft] def projectEnvelope(raw: DataFrame): DataFrame =
+    DebeziumEnvelope.project(schema, maxPartitions, raw,
+      col("value").cast("string"))
+}
+
+/** The ONE Debezium-envelope → engine-envelope projection behind the
+  * Kafka-shaped sources — JSON and Confluent-Avro wire formats differ
+  * only in how `value` becomes the envelope's JSON text, so the
+  * tombstone gate, the op-dialect gate, and the partition/offset → seq
+  * arithmetic are shared here (a rule added to one transport gates the
+  * other). */
+private[sources] object DebeziumEnvelope {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  def project(schema: StructType, maxPartitions: Int, raw: DataFrame,
+      jsonValue: Column): DataFrame = {
     // payload columns = the declared envelope minus the bookkeeping the
     // transport itself supplies
     val payloadFields = StructType(schema.fields.filterNot(f =>
@@ -182,7 +198,7 @@ final case class KafkaCdcSource(schema: StructType,
       org.apache.spark.sql.types.StructField("before", payloadFields),
       org.apache.spark.sql.types.StructField("after", payloadFields)))
     val e = raw.select(
-      from_json(col("value").cast("string"), dbz).as("e"),
+      from_json(jsonValue, dbz).as("e"),
       col("partition").cast("long").as("_p"),
       col("offset").as("_o"))
       // Kafka-level TOMBSTONES (null-value records Debezium appends
@@ -216,5 +232,193 @@ final case class KafkaCdcSource(schema: StructType,
       seqCol.as("seq") +:
       payloadFields.fieldNames.toSeq.map(f => img.getField(f).as(f)): _*)
       .select(schema.fieldNames.map(col).toSeq: _*)
+  }
+}
+
+/** PRODUCTION transport: Kafka carrying Debezium envelopes in the
+  * CONFLUENT AVRO wire format — `[magic 0x00][schema id: 4-byte
+  * big-endian][Avro binary body]`, the framing every Schema-Registry
+  * deployment ships. The registry itself is DECLARED, not dialed (zero
+  * egress, and a replica should pin the schemas it decodes anyway):
+  * `schemaById` maps each expected schema id to its Avro schema JSON;
+  * a record naming an id outside the map REFUSES loudly — guessing a
+  * reader schema is the silent-corruption class this engine refuses
+  * throughout. Broker wiring is identical to [[KafkaCdcSource]]; the
+  * value decode differs: the Avro body decodes executor-side
+  * (avro-core `GenericDatumReader`, per-JVM parsed-schema cache) into
+  * the SAME Debezium-shaped JSON text, and from there the ONE shared
+  * projection ([[DebeziumEnvelope]]) applies — tombstone gate, op
+  * dialect, partition/offset seq arithmetic, all identical. Kafka-level
+  * tombstones (null value) pass through as NULL and fall to the shared
+  * gate, exactly like the JSON transport's unparseable-null rows. */
+final case class KafkaAvroCdcSource(schema: StructType,
+    bootstrapServers: String, topic: String,
+    schemaById: Map[Int, String],
+    startingOffsets: String = "earliest",
+    maxPartitions: Int = 1024,
+    maxOffsetsPerTrigger: Option[Long] = None) extends CdcSource {
+  import org.apache.spark.sql.functions._
+
+  require(schemaById.nonEmpty,
+    "no Avro schemas declared — an empty registry map can decode nothing")
+  // parse eagerly at construction so a malformed schema JSON refuses at
+  // declare time, not first-record time on an executor
+  schemaById.foreach { case (id, json) =>
+    try ConfluentAvro.schemaOf(json)
+    catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"Avro schema for id $id does not parse: ${e.getMessage}")
+    }
+  }
+
+  override def open(spark: SparkSession): DataFrame = {
+    val reader = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .option("failOnDataLoss", "true")
+    val raw = maxOffsetsPerTrigger
+      .fold(reader)(n => reader.option("maxOffsetsPerTrigger", n.toString))
+      .load()
+    projectEnvelope(raw)
+  }
+
+  /** See [[KafkaCdcSource.positionCodec]] — identical arithmetic. */
+  def positionCodec: graft.Replication.PositionCodec =
+    KafkaCdcSource(schema, bootstrapServers, topic,
+      maxPartitions = maxPartitions).positionCodec
+
+  /** The value→envelope projection, spec-executable over record-shaped
+    * batch frames exactly like the JSON transport's. */
+  private[graft] def projectEnvelope(raw: DataFrame): DataFrame = {
+    val reg = schemaById // serializable capture (id -> schema JSON)
+    val decode = udf { bytes: Array[Byte] =>
+      ConfluentAvro.decodeToJson(bytes, reg)
+    }
+    DebeziumEnvelope.project(schema, maxPartitions, raw,
+      decode(col("value")))
+  }
+}
+
+/** The Confluent wire decode: framing checks, declared-registry lookup,
+  * avro-core binary decode, and a Debezium-shaped JSON rendering of the
+  * GenericRecord (Avro's own JSON encoding wraps union values —
+  * `{"string": "x"}` — which `from_json` cannot address; this renders
+  * PLAIN JSON so the shared projection reads it like the JSON wire).
+  * Executor-side, per-record; the parsed-schema cache is per JVM. */
+private[graft] object ConfluentAvro {
+  import org.apache.avro.Schema
+  import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+  import org.apache.avro.io.DecoderFactory
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Schema]()
+
+  def schemaOf(json: String): Schema =
+    cache.computeIfAbsent(json, s => new Schema.Parser().parse(s))
+
+  /** Null in (a Kafka tombstone) → null out; the shared projection's
+    * tombstone gate drops it. Everything malformed refuses loudly. */
+  def decodeToJson(bytes: Array[Byte], schemaById: Map[Int, String]): String = {
+    if (bytes == null) return null
+    require(bytes.length >= 5,
+      s"Confluent Avro frame is ${bytes.length} bytes — shorter than " +
+        "the 5-byte magic + schema-id header; truncated or not " +
+        "Confluent-framed")
+    require(bytes(0) == 0,
+      s"bad Confluent wire magic byte ${bytes(0)} (expected 0x00) — " +
+        "this topic is not Confluent-Avro-framed; use the JSON source " +
+        "or fix the producer")
+    val id = ((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) |
+      ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
+    val schemaJson = schemaById.getOrElse(id,
+      throw new IllegalArgumentException(
+        s"record names Avro schema id $id, which is not declared in " +
+          "schemaById — a producer-side schema evolution this consumer " +
+          "has not reviewed; register the id (and its schema) " +
+          "explicitly rather than decoding under a guessed reader " +
+          "schema"))
+    val schema = schemaOf(schemaJson)
+    val reader = new GenericDatumReader[Any](schema)
+    val dec = DecoderFactory.get.binaryDecoder(
+      bytes, 5, bytes.length - 5, null)
+    val rec = reader.read(null, dec)
+    val sb = new StringBuilder
+    renderJson(rec, sb)
+    sb.result()
+  }
+
+  /** Plain-JSON rendering of an avro-core generic value — records,
+    * maps, arrays, strings, numbers, booleans, enums, null. Bytes and
+    * fixed refuse (no canonical JSON carrier; the engine's envelopes
+    * don't ride binary through Kafka JSON either). */
+  private def renderJson(v: Any, sb: StringBuilder): Unit = v match {
+    case null => sb.append("null"); ()
+    case r: GenericRecord =>
+      sb.append('{')
+      val fields = r.getSchema.getFields
+      var first = true
+      (0 until fields.size()).foreach { i =>
+        if (!first) sb.append(',')
+        first = false
+        quote(fields.get(i).name(), sb)
+        sb.append(':')
+        renderJson(r.get(i), sb)
+      }
+      sb.append('}')
+      ()
+    case s: CharSequence => quote(s.toString, sb)
+    case b: java.lang.Boolean => sb.append(b.toString); ()
+    case n @ (_: java.lang.Integer | _: java.lang.Long) =>
+      sb.append(n.toString); ()
+    case d: java.lang.Double =>
+      require(!d.isNaN && !d.isInfinite,
+        s"non-finite double $d has no JSON carrier — refuse")
+      sb.append(d.toString); ()
+    case f: java.lang.Float =>
+      require(!f.isNaN && !f.isInfinite,
+        s"non-finite float $f has no JSON carrier — refuse")
+      sb.append(f.toString); ()
+    case e: org.apache.avro.generic.GenericEnumSymbol[_] =>
+      quote(e.toString, sb)
+    case l: java.util.List[_] =>
+      sb.append('[')
+      (0 until l.size()).foreach { i =>
+        if (i > 0) sb.append(',')
+        renderJson(l.get(i), sb)
+      }
+      sb.append(']')
+      ()
+    case m: java.util.Map[_, _] =>
+      sb.append('{')
+      var first = true
+      m.forEach { (k, mv) =>
+        if (!first) sb.append(',')
+        first = false
+        quote(String.valueOf(k), sb)
+        sb.append(':')
+        renderJson(mv, sb)
+      }
+      sb.append('}')
+      ()
+    case other => throw new IllegalArgumentException(
+      s"Avro value of ${other.getClass.getName} has no JSON envelope " +
+        "carrier (bytes/fixed don't ride the Debezium JSON shape) — " +
+        "extend the mapping explicitly rather than guessing")
+  }
+
+  private def quote(s: String, sb: StringBuilder): Unit = {
+    sb.append('"')
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"')
+    ()
   }
 }

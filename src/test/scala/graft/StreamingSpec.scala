@@ -846,4 +846,115 @@ class StreamingSpec extends SparkTestBase {
     assert(messages(e).exists(_.contains("maxPartitions")),
       s"expected the partition-bound error, got: $e")
   }
+
+  test("Kafka AVRO transport: the Confluent wire decode feeds the SAME " +
+      "Debezium projection — framing, registry, and gates all refuse/" +
+      "filter identically to the JSON wire") {
+    import org.apache.avro.generic.GenericData
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("op",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("seq",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("okey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("price",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("status",
+        org.apache.spark.sql.types.StringType)))
+    // the Debezium value schema, spelled as Avro (nullable unions all
+    // around, exactly what the connector registers)
+    val avroJson =
+      """{"type":"record","name":"Envelope","fields":[
+           {"name":"op","type":["null","string"],"default":null},
+           {"name":"before","type":["null",{"type":"record","name":"Val",
+             "fields":[
+               {"name":"okey","type":["null","long"],"default":null},
+               {"name":"price","type":["null","double"],"default":null},
+               {"name":"status","type":["null","string"],"default":null}]}],
+            "default":null},
+           {"name":"after","type":["null","Val"],"default":null}]}"""
+    val avroSchema = new org.apache.avro.Schema.Parser().parse(avroJson)
+    val valSchema = avroSchema.getField("before").schema().getTypes.get(1)
+    def img(v: Option[(Long, Double, String)]): AnyRef = v match {
+      case None => null
+      case Some((k, p, s)) =>
+        val r = new GenericData.Record(valSchema)
+        r.put("okey", k); r.put("price", p); r.put("status", s)
+        r
+    }
+    def enc(schemaId: Int, op: String, before: Option[(Long, Double, String)],
+        after: Option[(Long, Double, String)]): Array[Byte] = {
+      val rec = new GenericData.Record(avroSchema)
+      rec.put("op", op)
+      rec.put("before", img(before))
+      rec.put("after", img(after))
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(0) // Confluent magic
+      bos.write((schemaId >> 24) & 0xff); bos.write((schemaId >> 16) & 0xff)
+      bos.write((schemaId >> 8) & 0xff); bos.write(schemaId & 0xff)
+      val e = org.apache.avro.io.EncoderFactory.get.binaryEncoder(bos, null)
+      new org.apache.avro.generic.GenericDatumWriter[GenericData.Record](
+        avroSchema).write(rec, e)
+      e.flush()
+      bos.toByteArray
+    }
+    val k = graft.sources.KafkaAvroCdcSource(schema, "broker:9092", "t",
+      schemaById = Map(7 -> avroJson), maxPartitions = 16)
+    assert(k.schema == schema)
+    // the same record set as the JSON-wire case: c/u on p0, r/d on p1,
+    // then a Kafka tombstone (null value) and a non-DML op 't' — the
+    // last two must gate exactly as on the JSON wire
+    val records: Seq[(Array[Byte], Int, Long)] = Seq(
+      (enc(7, "c", None, Some((1L, 10.0, "A"))), 0, 0L),
+      (enc(7, "u", Some((1L, 10.0, "A")), Some((1L, 11.0, "B"))), 0, 1L),
+      (enc(7, "r", None, Some((2L, 20.0, "B"))), 1, 0L),
+      (enc(7, "d", Some((2L, 20.0, "B")), None), 1, 1L),
+      (null, 1, 2L),
+      (enc(7, "t", None, None), 1, 3L))
+    val raw = spark.createDataFrame(records)
+      .toDF("value", "partition", "offset")
+    val out = k.projectEnvelope(raw).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3),
+        r.getString(4))).toSet
+    assert(out == Set(
+      ("I", 0L, 1L, 10.0, "A"),
+      ("U", 16L, 1L, 11.0, "B"),
+      ("I", 1L, 2L, 20.0, "B"),
+      ("D", 17L, 2L, 20.0, "B")),
+      s"avro projection diverged: $out")
+    // UNKNOWN SCHEMA ID: a producer-side evolution this consumer has
+    // not reviewed must refuse by id, never decode under a guessed
+    // reader schema
+    val unknown = spark.createDataFrame(
+      Seq((enc(99, "c", None, Some((3L, 1.0, "x"))), 0, 4L)))
+      .toDF("value", "partition", "offset")
+    val e1 = intercept[Throwable] { k.projectEnvelope(unknown).collect() }
+    val m1 = Iterator.iterate(e1)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(m1.contains("schema id 99"), s"got: $m1")
+    // BAD MAGIC: not Confluent-framed
+    val badMagic = enc(7, "c", None, Some((3L, 1.0, "x")))
+    badMagic(0) = 1
+    val raw2 = spark.createDataFrame(Seq((badMagic, 0, 5L)))
+      .toDF("value", "partition", "offset")
+    val e2 = intercept[Throwable] { k.projectEnvelope(raw2).collect() }
+    val m2 = Iterator.iterate(e2)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(m2.contains("magic"), s"got: $m2")
+    // TRUNCATED FRAME: shorter than the 5-byte header
+    val raw3 = spark.createDataFrame(Seq((Array[Byte](0, 0, 7), 0, 6L)))
+      .toDF("value", "partition", "offset")
+    val e3 = intercept[Throwable] { k.projectEnvelope(raw3).collect() }
+    assert(Iterator.iterate(e3)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      .contains("shorter than"))
+    // a malformed registry schema refuses at DECLARE time
+    val e4 = intercept[IllegalArgumentException] {
+      graft.sources.KafkaAvroCdcSource(schema, "b:9092", "t",
+        schemaById = Map(1 -> "{not avro}"))
+    }
+    assert(e4.getMessage.contains("does not parse"))
+  }
 }
