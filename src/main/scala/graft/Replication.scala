@@ -1233,6 +1233,62 @@ object Replication {
     TableLifecycleReport(created, retired.result(), dirs)
   }
 
+  /** What [[resnapshotTable]] did: rows seeded, where the OLD state dir
+    * was parked (None for a first snapshot), and the destination
+    * bootstrap DDL for the table's NEW shape (the operator re-creates
+    * the destination table under the new key before pointing readers
+    * at it — the same contract as [[TableLifecycleReport.created]]). */
+  final case class ResyncReport(table: String, rows: Long,
+      parkedAs: Option[String], bootstrapDdl: String)
+
+  /** SINGLE-TABLE RE-SNAPSHOT — the heal for the DDL classes this
+    * engine REFUSES to replicate statement-wise: a PRIMARY KEY change
+    * (replication identity — `ensureKeyCols` and the DDL-text parser
+    * both refuse it), a narrowing MODIFY (the source rewrites its
+    * data), a partition-clause rewrite. The refusal message says
+    * "resync the table"; this is that verb: snapshot the source of
+    * truth under the NEW key columns into a STAGED state dir
+    * ([[streaming.StreamingOps.seedStateFromTruth]] — baseline-shaped,
+    * bucket-clustered, `_schema`/`_keycols` published), then swap it
+    * live via the journaled rename protocol ([[renameTables]]) — the
+    * old dir parks as `_<table>_replaced_<seq>` in the same atomic
+    * statement, so a crash anywhere heals forward and readers never
+    * see a half-built dir. Neighbors are untouched: the swap renames
+    * exactly one table's dirs under the root.
+    *
+    * `truth` is the table itself (e.g. a fresh
+    * `JdbcSource.snapshotPartitioned` read, or the filtered/masked
+    * view for a table synced with filters — same rule as
+    * [[repairSyncMulti]]); `snapshotSeq` is the binlog position the
+    * snapshot was cut at — the next [[incrementalSync]] resumes with
+    * `fromSeq = snapshotSeq` and the NEW `keyCols`. Returns the
+    * [[ResyncReport]] with the destination bootstrap DDL for the new
+    * shape. */
+  def resnapshotTable(spark: SparkSession, root: String, table: String,
+      truth: DataFrame, keyCols: Seq[String], snapshotSeq: Long)
+      : ResyncReport = {
+    require(table.nonEmpty && !table.startsWith("_"),
+      s"bad table name '$table' — underscore-prefixed names are the " +
+        "protocol namespace (parked/staged dirs)")
+    healTableRenames(root)
+    val stage = s"_resync_${table}_stage"
+    // a dead earlier attempt's stage dir is torn by definition (the
+    // swap below is the only thing that makes a seed live) — rebuild it
+    streaming.StateFs.deleteRecursive(s"$root/$stage")
+    streaming.StreamingOps.seedStateFromTruth(spark, truth,
+      s"$root/$stage", keyCols, snapshotSeq)
+    val rows = spark.read.parquet(s"$root/$stage/epoch=-1").count()
+    val parked =
+      if (streaming.StateFs.exists(s"$root/$table"))
+        Some(s"_${table}_replaced_$snapshotSeq")
+      else None
+    renameTables(root,
+      parked.map(p => Seq(table -> p, stage -> table))
+        .getOrElse(Seq(stage -> table)))
+    ResyncReport(table, rows, parked,
+      sources.DestinationDdl.createTable(table, truth.schema, keyCols))
+  }
+
   /** The currently applied destination state (latest row per key,
     * tombstones dropped) — what the ClickHouse-side table would serve.
     * `asOfSeq` serves the state AS OF a binlog position instead (time

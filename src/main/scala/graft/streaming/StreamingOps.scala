@@ -1860,6 +1860,57 @@ object StreamingOps {
     } finally StateFs.deleteRecursive(side) // never leave a stale _compacting dir
   }
 
+  /** Seed a FRESH state dir from a source-of-truth TABLE — the build
+    * step of [[graft.Replication.resnapshotTable]]'s refused-DDL heal
+    * flow (a PK change or other unreplicable DDL needs a full
+    * re-snapshot under the NEW identity; this writes that snapshot in
+    * the state-dir layout every reader/pass consumes). `truth` is the
+    * table itself (payload columns, the new key columns included —
+    * never an envelope: op/seq are stamped here, `op = 'I'`,
+    * `seq = snapshotSeq`, the position the snapshot was cut at, so the
+    * next incremental pass resumes with `fromSeq = snapshotSeq`).
+    * Layout matches a compacted dir: one baseline-shaped epoch,
+    * bucket-clustered so touched-key probes prune from day one,
+    * `_schema`/`_keycols` published. Duplicate keys in the truth
+    * refuse loudly — seeding them would bake a broken identity into
+    * every later collapse. `stage` must not be live: the caller swaps
+    * it in atomically (the rename journal), so a torn seed is re-run,
+    * never served. */
+  private[graft] def seedStateFromTruth(s: SparkSession, truth: DataFrame,
+      stage: String, keyCols: Seq[String], snapshotSeq: Long): Unit = {
+    require(keyCols.nonEmpty, "keyCols must name at least one column")
+    keyCols.foreach(k => require(truth.columns.contains(k),
+      s"key column '$k' absent from the truth frame " +
+        s"(${truth.columns.mkString(", ")})"))
+    Seq("op", "seq").foreach(c => require(!truth.columns.contains(c),
+      s"truth frame carries envelope bookkeeping column '$c' — pass the " +
+        "TABLE, not a change envelope (the seed stamps op/seq itself)"))
+    val env = truth
+      .withColumn("op", lit("I"))
+      .withColumn("seq", lit(snapshotSeq))
+    val schema = stateSchemaFor(env.schema, Set.empty)
+    // duplicate keys would bake a broken identity into the dir: every
+    // later collapse would serve an arbitrary winner — refuse now
+    val dup = env.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"truth frame holds duplicate rows for key (${keyCols.mkString(", ")})" +
+        s" — e.g. ${dup.headOption.map(_.toSeq.init.mkString("/")).getOrElse("")}" +
+        "; a snapshot must be unique per key")
+    // the seed is a BASELINE epoch (negative id, the compaction
+    // convention): the next pass runs on a FRESH checkpoint whose
+    // batch ids restart at 0, and a seed written as epoch=0 would be
+    // silently OVERWRITTEN by that pass's first delta (the round-15
+    // fresh-checkpoint trap, here by construction rather than by
+    // accident)
+    bucketed(env.select(schema.fieldNames.map(col).toSeq: _*), keyCols)
+      .repartition(col(BucketCol))
+      .sortWithinPartitions(BucketCol)
+      .write.mode("overwrite").parquet(s"$stage/epoch=-1")
+    StateFs.writeAtomic(s"$stage/_keycols", keyCols.mkString("\t"))
+    StateFs.writeAtomic(s"$stage/_schema", schema.json)
+  }
+
   /** The purge floor published by a tombstone-GC'ing compaction (see
     * [[compactState]]); absent until one has run. Underscore-prefixed,
     * so parquet reads of the state dir never see it. */

@@ -3238,4 +3238,90 @@ class ReplicationSpec extends SparkTestBase {
     }
     assert(e2.getMessage.contains("t_shard_0"))
   }
+
+  test("refused-DDL heal: a PK-change statement refuses, resnapshotTable " +
+      "rebuilds the table under the NEW key via the journaled swap, " +
+      "neighbors untouched, the next pass resumes on the seeded dir") {
+    val base = tmp()
+    def frame(rows: Seq[(String, Long, Long, Double, String, Long)]) =
+      spark.createDataFrame(rows)
+        .toDF("op", "seq", "okey", "price", "status", "line_no")
+        .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("seq")))
+        .select(Seq("op", "seq", "ts", "okey", "price", "status",
+          "line_no").map(col): _*)
+    // the live table, keyed by okey alone (line_no rides as payload)
+    val w0 = frame(Seq(("I", 1L, 1L, 10.0, "A", 1L),
+      ("I", 2L, 2L, 20.0, "B", 1L), ("U", 3L, 1L, 11.0, "A", 1L)))
+    graft.streaming.StreamingOps.writeWave(w0, s"$base/in", 0)
+    Replication.incrementalSync(spark, w0.schema, s"$base/in",
+      s"$base/ckpt", s"$base/orders")
+    // a NEIGHBOR table under the same root — must be untouched by the
+    // orders resync
+    graft.streaming.StreamingOps.writeWave(w0.limit(1), s"$base/in_n", 0)
+    Replication.incrementalSync(spark, w0.schema, s"$base/in_n",
+      s"$base/ckpt_n", s"$base/customers")
+    val neighborBefore = Replication.appliedState(spark, s"$base/customers")
+      .collect().map(_.toSeq).toSet
+    // the PK-change DDL arrives as statement text → REFUSES by name
+    val e = intercept[IllegalArgumentException] {
+      Replication.incrementalSync(spark, w0.schema, s"$base/in",
+        s"$base/ckpt2", s"$base/orders",
+        ddlSql = Seq(10L ->
+          "ALTER TABLE orders ADD PRIMARY KEY (okey, line_no)"),
+        ddlTable = Some("orders"))
+    }
+    assert(e.getMessage.contains("unsupported"), e.getMessage)
+    // the heal: a fresh snapshot of the source of truth, keyed by the
+    // NEW composite key — rows that COLLIDE under the old key are the
+    // point (two line_nos of one okey)
+    val truth = frame(Seq(("I", 0L, 1L, 11.0, "A", 1L),
+      ("I", 0L, 1L, 12.0, "A", 2L), ("I", 0L, 2L, 20.0, "B", 1L)))
+      .drop("op", "seq")
+    val report = Replication.resnapshotTable(spark, base, "orders",
+      truth, Seq("okey", "line_no"), snapshotSeq = 100L)
+    assert(report.rows == 3)
+    assert(report.parkedAs.contains("_orders_replaced_100"))
+    assert(graft.streaming.StateFs.exists(s"$base/_orders_replaced_100"),
+      "the old state dir must park, not vanish")
+    assert(report.bootstrapDdl.contains("ORDER BY (`okey`, `line_no`)"),
+      report.bootstrapDdl)
+    // served state = the truth under the NEW key; the published key
+    // and schema follow
+    val served = Replication.appliedState(spark, s"$base/orders")
+      .select(col("okey"), col("line_no"), col("price")).collect()
+      .map(_.toSeq).toSet
+    assert(served == Set(Seq(1L, 1L, 11.0), Seq(1L, 2L, 12.0),
+      Seq(2L, 1L, 20.0)), s"got $served")
+    assert(graft.streaming.StreamingOps.readKeyCols(s"$base/orders") ==
+      Seq("okey", "line_no"))
+    // the NEXT incremental pass resumes on the seeded dir under the
+    // new key, from the snapshot position
+    val w1 = frame(Seq(("U", 101L, 1L, 99.0, "A", 2L)))
+    graft.streaming.StreamingOps.writeWave(w1, s"$base/in_resync", 0)
+    Replication.incrementalSync(spark, w1.schema, s"$base/in_resync",
+      s"$base/ckpt_resync", s"$base/orders", fromSeq = Some(100L),
+      keyCols = Seq("okey", "line_no"))
+    val after = Replication.appliedState(spark, s"$base/orders")
+      .select(col("okey"), col("line_no"), col("price")).collect()
+      .map(_.toSeq).toSet
+    assert(after == Set(Seq(1L, 1L, 11.0), Seq(1L, 2L, 99.0),
+      Seq(2L, 1L, 20.0)), s"got $after")
+    // neighbors untouched
+    assert(Replication.appliedState(spark, s"$base/customers")
+      .collect().map(_.toSeq).toSet == neighborBefore)
+    // refusals: duplicate truth keys, and an envelope passed as truth
+    val dupTruth = frame(Seq(("I", 0L, 1L, 1.0, "A", 1L),
+      ("I", 0L, 1L, 2.0, "A", 1L))).drop("op", "seq")
+    val e2 = intercept[IllegalArgumentException] {
+      Replication.resnapshotTable(spark, base, "orders", dupTruth,
+        Seq("okey", "line_no"), 200L)
+    }
+    assert(e2.getMessage.contains("duplicate"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      Replication.resnapshotTable(spark, base, "orders",
+        frame(Seq(("I", 0L, 1L, 1.0, "A", 1L))),
+        Seq("okey", "line_no"), 200L)
+    }
+    assert(e3.getMessage.contains("bookkeeping"), e3.getMessage)
+  }
 }
