@@ -4325,17 +4325,39 @@ object StreamingOps {
       writeWave(env1, in, 0)
       val dirs = Map("t_even" -> s"$root/t_even", "t_odd" -> s"$root/t_odd")
       runCdcPassMulti(s, env1.schema, in, s"$tmp/ckpt", dirs)
-      // rotation 2: the lifecycle QueryEvents, then the evolved
-      // topology's row events — t_even's tail and t_new's first rows
+      // rotation 2, TXN-DELIMITED (the production shape: one dump
+      // carrying lifecycle QueryEvents AND cross-table transactions):
+      // transaction 1 SPANS t_even (the seq-2 updates) and t_new (its
+      // first rows) and commits with ONE topology-level Xid; transaction
+      // 2 — t_even's delete wave — has its GTID stamp and row events in
+      // the dump but NO Xid yet, so the whole uncommitted cross-table
+      // tail holds back while the lifecycle gap applies mid-stream.
+      // Positions: wave*1e8 + okey + 1 sits each wave's rows strictly
+      // between its txn's stamp (wave*1e8) and the next (the +1 keeps
+      // okey 0 off the stamp itself — the r17 boundary trap).
       graft.sources.BinlogText.render(
-        log.filter(col("seq") >= 2 && col("okey") % 2 === 0), cols,
-        s"$tmp/binlog2", files = 2, table = "t_even")
+        log.filter(col("seq") >= 2 && col("okey") % 2 === 0)
+          .select(col("op"),
+            (col("seq") * 100000000L + col("okey") + 1L).as("seq"),
+            col("ts"), col("okey"), col("price"), col("status")),
+        cols, s"$tmp/binlog2", files = 2, table = "t_even")
       graft.sources.BinlogText.render(
         log.filter(col("seq") === 1 && col("okey") % 2 === 1)
-          .select(lit("I").as("op"), lit(2L).as("seq"),
+          .select(lit("I").as("op"),
+            (lit(200000000L) + col("okey") + 1L).as("seq"),
             (col("ts") + expr("INTERVAL 3 DAY")).as("ts"), col("okey"),
             col("price"), lit("N").as("status")),
         cols, s"$tmp/binlog2", files = 2, table = "t_new", append = true)
+      val uuid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$tmp/binlog2/txn.txt"),
+        Seq(
+          graft.sources.BinlogText.renderGtid(200000000L, 800000000L,
+            uuid, 1L),
+          graft.sources.BinlogText.renderGtid(300000000L, 800000060L,
+            uuid, 2L),
+          graft.sources.BinlogText.renderXid(300000000L - 1, 800000000L,
+            1L)).mkString("\n"))
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$tmp/binlog2/ddl.txt"),
         Seq(
@@ -4363,13 +4385,22 @@ object StreamingOps {
         "retire must MOVE the state dir, not copy or drop it")
       require(report.stateDirs.keySet == Set("t_even", "t_new"),
         s"topology after the gap: ${report.stateDirs.keySet}")
-      // the same rotation's row events, decoded with the RETIRED table
-      // excluded by declaration (its straggler events, had any been in
-      // flight, would skip as a decision — never silently)
-      val env2 = graft.sources.BinlogText.parseMulti(s, s"$tmp/binlog2",
+      // the same rotation's row events, decoded TXN-GATED with the
+      // RETIRED table excluded by declaration (its straggler events,
+      // had any been in flight, would skip as a decision — never
+      // silently): parseMultiTxn stamps each row with its transaction
+      // and appends the topology-level '_ctl' commit markers
+      val env2 = graft.sources.BinlogText.parseMultiTxn(s, s"$tmp/binlog2",
         byTable - "t_odd", ignoreTables = Set("t_odd"))
       writeWave(env2, in, 1)
-      runCdcPassMulti(s, env2.schema, in, s"$tmp/ckpt", report.stateDirs)
+      runCdcPassMulti(s, env2.schema, in, s"$tmp/ckpt", report.stateDirs,
+        txnCol = Some("txn"))
+      // the uncommitted delete wave really is HELD, not lost: the
+      // topology's pending tail (rooted under the ckpt dir) is
+      // non-empty — a zero here means the gate silently applied or
+      // dropped transaction 2, either of which must fail the query red
+      require(pendingCount(s, s"$tmp/ckpt", Some("txn")) > 0,
+        "transaction 2 (no Xid) must sit in the topology's pending tail")
       report.stateDirs.toSeq.sortBy(_._1).map { case (t, d) =>
         readLatestState(s, d).withColumn("tbl", lit(t))
       }.reduce(_.unionByName(_))
@@ -6197,16 +6228,19 @@ object StreamingOps {
          FROM ranked WHERE rn = 1 AND op <> 'D'
          ORDER BY tbl, okey""",
 
-    // the lifecycle topology after the gap: t_even's full collapse,
-    // t_new's first-wave inserts (odd keys reborn at seq 2, ts +3d,
-    // status 'N'), t_odd gone entirely — its history lives only in
-    // the retired dir the query asserts inline
+    // the lifecycle topology after the gap, UNDER THE TXN GATE:
+    // t_even's collapse over seq <= 2 only — its delete wave rode
+    // transaction 2, whose Xid never arrived, so the whole cross-table
+    // tail holds back; t_new's first-wave inserts committed in
+    // transaction 1 (odd keys reborn at seq 2, ts +3d, status 'N');
+    // t_odd gone entirely — its history lives only in the retired dir
+    // the query asserts inline
     "cdc_table_lifecycle" ->
       s"""WITH cdc_log AS (${Tables.cdcLogSql}),
             even_ranked AS (
               SELECT *, row_number() OVER (
                 PARTITION BY okey ORDER BY seq DESC) rn
-              FROM cdc_log WHERE okey % 2 = 0)
+              FROM cdc_log WHERE okey % 2 = 0 AND seq <= 2)
          SELECT 't_even' AS tbl, okey, op, price, status, ts
          FROM even_ranked WHERE rn = 1 AND op <> 'D'
          UNION ALL
