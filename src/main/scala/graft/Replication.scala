@@ -1271,17 +1271,26 @@ object Replication {
       s"bad table name '$table' — underscore-prefixed names are the " +
         "protocol namespace (parked/staged dirs)")
     healTableRenames(root)
-    val stage = s"_resync_${table}_stage"
-    // a dead earlier attempt's stage dir is torn by definition (the
-    // swap below is the only thing that makes a seed live) — rebuild it
-    streaming.StateFs.deleteRecursive(s"$root/$stage")
-    streaming.StreamingOps.seedStateFromTruth(spark, truth,
-      s"$root/$stage", keyCols, snapshotSeq)
-    val rows = spark.read.parquet(s"$root/$stage/epoch=-1").count()
+    // the parked slot is claimed UP FRONT, before the expensive
+    // snapshot: a retry after a COMPLETED swap (crash between swap and
+    // report) would otherwise re-run the whole seed only to refuse at
+    // the rename's validation — refuse cheaply here, naming the state
     val parked =
       if (streaming.StateFs.exists(s"$root/$table"))
         Some(s"_${table}_replaced_$snapshotSeq")
       else None
+    parked.foreach(p => require(!streaming.StateFs.exists(s"$root/$p"),
+      s"$root/$p already exists — a resync of '$table' at snapshot " +
+        s"position $snapshotSeq already swapped (the heal completed; " +
+        "a retry has nothing to do), or an older parked dir occupies " +
+        "the slot — audit and remove it, or resync at the current " +
+        "snapshot position"))
+    val stage = s"_resync_${table}_stage"
+    // a dead earlier attempt's stage dir is torn by definition (the
+    // swap below is the only thing that makes a seed live) — rebuild it
+    streaming.StateFs.deleteRecursive(s"$root/$stage")
+    val rows = streaming.StreamingOps.seedStateFromTruth(spark, truth,
+      s"$root/$stage", keyCols, snapshotSeq)
     renameTables(root,
       parked.map(p => Seq(table -> p, stage -> table))
         .getOrElse(Seq(stage -> table)))

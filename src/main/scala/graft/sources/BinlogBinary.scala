@@ -107,16 +107,26 @@ object BinlogBinary {
     val dirPath = java.nio.file.Paths.get(outDir)
     if (java.nio.file.Files.exists(dirPath)) {
       // overwrite semantics, mirroring the text renderer's writer
+      // (stream closed explicitly — a leaked walk handle per render
+      // call accumulates in a long-lived driver)
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq
+      val walk = java.nio.file.Files.walk(dirPath)
+      try walk.iterator().asScala.toSeq
         .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+      finally walk.close()
     }
     java.nio.file.Files.createDirectories(dirPath)
     val colsB = cols
     val tableB = table
+    // ts rides RAW (TimestampNTZ → LocalDateTime task-side) and
+    // converts to the header's epoch seconds via UTC — the exact
+    // inverse of the parser's LocalDateTime.ofEpochSecond(…, UTC), so
+    // the round trip is timezone-independent (a unix_micros(cast)
+    // here would interpret the wall clock in the SESSION timezone and
+    // silently shift every event time on non-UTC sessions)
     val ordered = df.select(
-      (Seq(col("op"), col("seq"), unix_micros(col("ts")
-        .cast(TimestampType)).as("ts_us")) ++
+      (Seq(col("op"), col("seq"),
+        col("ts").cast(TimestampNTZType).as("ts")) ++
         colsB.map { case (n, _) => col(n) }): _*)
     ordered.repartition(files).foreachPartition {
       (it: Iterator[Row]) =>
@@ -252,11 +262,12 @@ object BinlogBinary {
   private def rowsEvent(r: Row, cols: Seq[(String, DataType)]): Array[Byte] = {
     val op = r.getString(0)
     val seq = r.getLong(1)
-    val tsUs = r.getLong(2)
-    require(tsUs % 1000000L == 0,
+    val ldt = r.getAs[java.time.LocalDateTime](2)
+    require(ldt.getNano == 0,
       s"binlog headers are second-granular; event at seq $seq carries " +
-        s"sub-second time ($tsUs µs) the format would silently floor — " +
+        s"sub-second time ($ldt) the format would silently floor — " +
         "refuse instead")
+    val tsSec = ldt.toEpochSecond(java.time.ZoneOffset.UTC)
     val eventType = op match {
       case "I" => WRITE_ROWS_V2
       case "U" => UPDATE_ROWS_V2
@@ -276,7 +287,7 @@ object BinlogBinary {
     if (eventType == UPDATE_ROWS_V2) b.write(present) // after-image bitmap
     b.write(image)
     if (eventType == UPDATE_ROWS_V2) b.write(image) // before == after
-    sealEvent(tsUs / 1000000L, eventType, seq, b.toByteArray)
+    sealEvent(tsSec, eventType, seq, b.toByteArray)
   }
 
   /** One row image: null bitmap over the present columns, then the
@@ -485,6 +496,13 @@ object BinlogBinary {
           s"$path: first event is type $eventType, not a " +
             "FORMAT_DESCRIPTION — not a binlog head (a mid-stream " +
             "slice cannot declare its checksum algorithm)")
+        // the FDE field reads below use fixed offsets (version,
+        // header_length, the alg byte at size-5) — a corrupt size
+        // smaller than the minimal FDE would otherwise read past the
+        // event with a bare index error instead of the named refusal
+        require(size >= HeaderLen + 2 + 50 + 4 + 1 + 1 + 4,
+          s"$path: FORMAT_DESCRIPTION event declares size $size — " +
+            "smaller than the minimal v4 FDE; truncated or corrupt")
         require(rdU16(bytes, o + HeaderLen) == 4,
           s"$path: binlog version ${rdU16(bytes, o + HeaderLen)} — " +
             "only v4 decodes")

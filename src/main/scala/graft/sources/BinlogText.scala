@@ -123,13 +123,29 @@ object BinlogText {
         // footers (`/*!50003 SET COMPLETION_TYPE=…*/;`, `DELIMITER ;`,
         // `/*!50530 SET @@SESSION.PSEUDO_SLAVE_MODE=0*/;`), so an
         // ends-with check would reject every genuine complete dump
-        // and push users to disable the gate entirely
-        if (requireTerminator)
-          require(text.linesIterator.exists(_.trim == DumpTerminator),
+        // and push users to disable the gate entirely. But a marker
+        // ANYWHERE is too weak the other way: a file holding a
+        // complete dump PLUS appended in-flight content (concatenated
+        // rotations, a writer reusing a terminated file) would pass on
+        // the first dump's marker while its tail is torn — so event
+        // content AFTER the last marker line still refuses.
+        if (requireTerminator) {
+          val lines = text.linesIterator.map(_.trim).toVector
+          val last = lines.lastIndexOf(DumpTerminator)
+          require(last >= 0,
             s"binlog file ${r.getString(1)} carries no " +
               s"'$DumpTerminator' line — an in-flight or torn rotation; " +
               "stage rotations atomically (write elsewhere, then " +
               "rename into the tailed dir) or disable requireTerminator")
+          lines.drop(last + 1).foreach(l => require(
+            !l.startsWith("# at ") && !l.startsWith("### ") &&
+              !l.startsWith("BINLOG '"),
+            s"binlog file ${r.getString(1)} carries event content " +
+              s"AFTER its '$DumpTerminator' line ('${l.take(60)}') — a " +
+              "complete dump with an in-flight tail appended; stage " +
+              "rotations atomically instead of appending to a " +
+              "terminated file"))
+        }
         parseFile(text, decode)
       }(RowEncoder.encoderFor(schema))
       .toDF()
@@ -331,9 +347,15 @@ object BinlogText {
     import df.sparkSession.implicits._
     val colsB = cols
     val tableB = table
+    // ts rides RAW (TimestampNTZ → LocalDateTime task-side) and
+    // renders through the UTC header formatter — the exact inverse of
+    // parseHeaderTs's UTC read, so the round trip is
+    // timezone-independent (a unix_micros(cast) here would interpret
+    // the wall clock in the SESSION timezone and shift every event
+    // time on non-UTC sessions)
     val ordered = df.select(
-      (Seq(col("op"), col("seq"), unix_micros(col("ts")
-        .cast(TimestampType)).as("ts_us")) ++
+      (Seq(col("op"), col("seq"),
+        col("ts").cast(TimestampNTZType).as("ts")) ++
         colsB.map { case (n, _) => col(n) }): _*)
     ordered.repartition(files)
       // each output file ends with the terminator mysqlbinlog writes
@@ -416,13 +438,11 @@ object BinlogText {
       table: String): String = {
     val op = r.getString(0)
     val seq = r.getLong(1)
-    val tsUs = r.getLong(2)
-    require(tsUs % 1000000L == 0,
+    val ldt = r.getAs[java.time.LocalDateTime](2)
+    require(ldt.getNano == 0,
       s"binlog text headers are second-granular; event at seq $seq " +
-        s"carries sub-second time ($tsUs µs) the format would silently " +
+        s"carries sub-second time ($ldt) the format would silently " +
         "floor — refuse instead")
-    val ldt = java.time.LocalDateTime.ofEpochSecond(
-      tsUs / 1000000L, 0, java.time.ZoneOffset.UTC)
     val hdr = headerDate(ldt, s"event at seq $seq")
     val verb = op match {
       case "I" => "Write_rows"

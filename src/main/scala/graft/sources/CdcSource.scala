@@ -294,7 +294,13 @@ final case class KafkaAvroCdcSource(schema: StructType,
     val reg = schemaById // serializable capture (id -> schema JSON)
     val decode = udf { bytes: Array[Byte] =>
       ConfluentAvro.decodeToJson(bytes, reg)
-    }
+    }.asNondeterministic()
+    // nondeterministic for two load-bearing reasons: (1) it THROWS on
+    // malformed frames, so the optimizer must not reorder it past
+    // filters (the BinlogText.assign precedent); (2) predicate
+    // pushdown would otherwise substitute the expression into the
+    // projection's own filter and run the per-record Avro decode
+    // TWICE on the ingest hot path
     DebeziumEnvelope.project(schema, maxPartitions, raw,
       decode(col("value")))
   }

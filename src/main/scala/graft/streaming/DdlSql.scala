@@ -878,19 +878,41 @@ object DdlSql {
     // IDENTICAL re-declarations are idempotent no-ops, only a
     // CONFLICTING one refuses
     var added = Map.empty[String, (String, Option[String])]
-    // every rename STEP applied so far, kept verbatim across chaining:
-    // sibling-table idempotency must match the step as DECLARED, not
-    // the collapsed renameCols map — once a chain folds a→b, b→c into
-    // a→c, a sibling's re-declared 'b TO c' no longer maps to anything
-    // in renameCols and would otherwise record a phantom fresh rename
-    var renameSteps = Set.empty[(String, String)]
+    // SIBLING-TABLE REPLAY detection, keyed on (verb signature →
+    // first applying table): a multi-table source migrating a SHARED
+    // envelope column emits one identical ALTER per table, so the
+    // same column verb arriving from a DIFFERENT table is that
+    // sibling's replay of an already-applied step — a no-op — while
+    // the same verb from the SAME table is genuine (e.g. `DROP a;
+    // ADD a` name reuse). Matching the step AS DECLARED (not the
+    // collapsed renameCols map) keeps chains idempotent: once a→b,
+    // b→c fold to a→c, a sibling's re-declared 'b TO c' maps to
+    // nothing in renameCols; and matching per TABLE keeps GROUPED
+    // arrival (all of t1's ALTERs, then all of t2's) from re-adding a
+    // column the first table's rename already re-keyed.
+    var applied = Map.empty[Product, String]
+    def siblingReplay(st: Statement): Boolean = {
+      val sig: Option[Product] = st match {
+        case AddColumn(_, c, t, d) => Some(("ADD", c, t, d))
+        case DropColumn(_, c) => Some(("DROP", c))
+        case RenameColumn(_, f, t) => Some(("RENAME", f, t))
+        case ModifyColumn(_, c, t) => Some(("MODIFY", c, t))
+        case _ => None // table-level verbs are per-table by nature
+      }
+      sig.exists { g =>
+        applied.get(g) match {
+          case Some(t0) => !t0.equalsIgnoreCase(st.table) // replay
+          case None => applied += g -> st.table; false
+        }
+      }
+    }
     val evs = events.sortBy(_._1)
     for ((seq, sql) <- evs; st <- parse(sql)) {
       val inScope = st match {
         case _: RenameTable => true // pair-filtered below
         case s => scope(s)
       }
-      if (inScope) st match {
+      if (inScope && !siblingReplay(st)) st match {
         case AddColumn(_, col, tpe, default) =>
           added.get(col) match {
             case Some(spec) if spec == (tpe, default) =>
@@ -933,11 +955,7 @@ object DdlSql {
             cfg = cfg.copy(dropCols = cfg.dropCols + (col -> seq),
               modifyCols = cfg.modifyCols - col)
           }
-        case RenameColumn(_, from, to)
-          if renameSteps.contains((from, to)) =>
-          () // the same RENAME step from a sibling table — idempotent
         case RenameColumn(_, from, to) =>
-          renameSteps += ((from, to))
           // name reuse across an earlier drop is unfoldable: the pass
           // applies renames BEFORE drops, so `DROP a; RENAME b TO a`
           // folded together would gate b's carried history under a's

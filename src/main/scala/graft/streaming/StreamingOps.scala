@@ -1871,13 +1871,18 @@ object StreamingOps {
     * next incremental pass resumes with `fromSeq = snapshotSeq`).
     * Layout matches a compacted dir: one baseline-shaped epoch,
     * bucket-clustered so touched-key probes prune from day one,
-    * `_schema`/`_keycols` published. Duplicate keys in the truth
-    * refuse loudly — seeding them would bake a broken identity into
-    * every later collapse. `stage` must not be live: the caller swaps
-    * it in atomically (the rename journal), so a torn seed is re-run,
-    * never served. */
+    * `_schema`/`_keycols` published. Duplicate keys refuse loudly —
+    * seeding them would bake a broken identity into every later
+    * collapse — and the check runs over the WRITTEN files, not the
+    * source frame: a live (non-snapshot-isolated) truth read can
+    * mutate between two actions, so validating a separate pre-write
+    * scan would green-light bytes it never saw; this way the one
+    * source scan is the write, and the validation covers exactly what
+    * would go live. `stage` must not be live: the caller swaps it in
+    * atomically (the rename journal), so a torn or refused seed is
+    * re-run, never served. Returns the seeded row count. */
   private[graft] def seedStateFromTruth(s: SparkSession, truth: DataFrame,
-      stage: String, keyCols: Seq[String], snapshotSeq: Long): Unit = {
+      stage: String, keyCols: Seq[String], snapshotSeq: Long): Long = {
     require(keyCols.nonEmpty, "keyCols must name at least one column")
     keyCols.foreach(k => require(truth.columns.contains(k),
       s"key column '$k' absent from the truth frame " +
@@ -1889,14 +1894,6 @@ object StreamingOps {
       .withColumn("op", lit("I"))
       .withColumn("seq", lit(snapshotSeq))
     val schema = stateSchemaFor(env.schema, Set.empty)
-    // duplicate keys would bake a broken identity into the dir: every
-    // later collapse would serve an arbitrary winner — refuse now
-    val dup = env.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"truth frame holds duplicate rows for key (${keyCols.mkString(", ")})" +
-        s" — e.g. ${dup.headOption.map(_.toSeq.init.mkString("/")).getOrElse("")}" +
-        "; a snapshot must be unique per key")
     // the seed is a BASELINE epoch (negative id, the compaction
     // convention): the next pass runs on a FRESH checkpoint whose
     // batch ids restart at 0, and a seed written as epoch=0 would be
@@ -1907,8 +1904,19 @@ object StreamingOps {
       .repartition(col(BucketCol))
       .sortWithinPartitions(BucketCol)
       .write.mode("overwrite").parquet(s"$stage/epoch=-1")
+    // rows + per-key uniqueness from ONE scan of the written baseline
+    val stats = s.read.parquet(s"$stage/epoch=-1")
+      .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("rows"), max(col("n")).as("maxPerKey"))
+      .collect()(0)
+    val rows = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+    require(stats.isNullAt(1) || stats.getLong(1) == 1L,
+      s"truth frame holds duplicate rows for key (${keyCols.mkString(", ")})" +
+        " — a snapshot must be unique per key; refuse rather than bake " +
+        "a broken identity into every later collapse")
     StateFs.writeAtomic(s"$stage/_keycols", keyCols.mkString("\t"))
     StateFs.writeAtomic(s"$stage/_schema", schema.json)
+    rows
   }
 
   /** The purge floor published by a tombstone-GC'ing compaction (see

@@ -509,6 +509,29 @@ class DdlSqlSpec extends AnyFunSuite {
     assert(cfg2.renameCols.isEmpty,
       s"gap-born rename leaked a published-column rename: ${cfg2.renameCols}")
     assert(cfg2.defaultCols.keySet == Set("y"))
+    // GROUPED arrival — all of t1's ALTERs, then all of t2's (the
+    // normal per-table migration order): t2's re-ADD of x lands after
+    // t1's rename already re-keyed it away, so replay detection must
+    // key on (verb, table), or the fold records a phantom default for
+    // the dead name 'x' alongside y's
+    val cfg3 = DdlSql.fold(Seq(
+      1L -> "ALTER TABLE t1 ADD COLUMN x INT DEFAULT 5",
+      2L -> "ALTER TABLE t1 RENAME COLUMN x TO y",
+      3L -> "ALTER TABLE t2 ADD COLUMN x INT DEFAULT 5",
+      4L -> "ALTER TABLE t2 RENAME COLUMN x TO y"))
+    assert(cfg3.defaultCols.keySet == Set("y"),
+      s"grouped sibling replay left a phantom: ${cfg3.defaultCols}")
+    assert(cfg3.renameCols.isEmpty)
+    // genuine SAME-TABLE name reuse still applies (never a replay):
+    // DROP a; ADD a … composes — old values die, the reborn column
+    // backfills — even when the spec text repeats an earlier ADD's
+    val cfg4 = DdlSql.fold(Seq(
+      1L -> "ALTER TABLE t1 ADD COLUMN a INT DEFAULT 7",
+      2L -> "ALTER TABLE t1 DROP COLUMN a",
+      3L -> "ALTER TABLE t1 ADD COLUMN a INT DEFAULT 7"))
+    assert(cfg4.defaultCols.keySet == Set("a"))
+    assert(cfg4.defaultCols("a").atSeq == 3L,
+      s"the reborn ADD must re-apply, not replay-skip: ${cfg4.defaultCols}")
   }
 
   test("type map closes over both paths: a CREATE TABLE covering the " +
