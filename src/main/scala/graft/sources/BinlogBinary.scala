@@ -59,11 +59,16 @@ object BinlogBinary {
   private val HeaderLen = 19
 
   // event type codes (public binlog v4 numbering)
+  private val QUERY = 2
+  private val STOP = 3
+  private val ROTATE = 4
   private val FORMAT_DESCRIPTION = 15
+  private val XID = 16
   private val TABLE_MAP = 19
   private val WRITE_ROWS_V2 = 30
   private val UPDATE_ROWS_V2 = 31
   private val DELETE_ROWS_V2 = 32
+  private val GTID = 33
 
   // wire column type codes
   private val T_LONG = 3 // INT: 4-byte LE
@@ -138,6 +143,9 @@ object BinlogBinary {
         it.foreach { r =>
           out.write(rowsEvent(r, colsB))
         }
+        // a finished rotation ends with ROTATE — what the streaming
+        // tail's torn-rotation gate checks for (inert to batch reads)
+        out.write(rotateEvent(f"bin.${pid + 1}%06d"))
         java.nio.file.Files.write(
           java.nio.file.Paths.get(outDir, f"bin.$pid%06d"),
           out.toByteArray)
@@ -203,6 +211,81 @@ object BinlogBinary {
     crc.update(body, 0, body.length)
     u32(b, crc.getValue)
     b.toByteArray
+  }
+
+  /** One Query event — the statement transport (DDL, BEGIN/COMMIT
+    * punctuation). Payload layout: `thread_id(4) exec_time(4)
+    * schema_len(1) error_code(2) status_vars_len(2)` + schema + NUL +
+    * statement text. For fixtures interleaving DDL with row events
+    * (the [[parseDdl]] inverse). */
+  def queryEvent(pos: Long, tsSec: Long, sql: String,
+      schema: String = "db"): Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    u32(b, 1L) // thread_id
+    u32(b, 0L) // exec_time
+    val sb = schema.getBytes("UTF-8")
+    b.write(sb.length)
+    u16(b, 0) // error_code
+    u16(b, 0) // status_vars_len (none)
+    b.write(sb); b.write(0)
+    b.write(sql.getBytes("UTF-8"))
+    sealEvent(tsSec, QUERY, pos, b.toByteArray)
+  }
+
+  /** One GTID event — the transaction stamp a `gtid_mode=ON` server
+    * writes before every transaction: `flags(1) sid(16) gno(8 LE)`
+    * (the [[parseGtidIndex]] inverse). */
+  def gtidEvent(pos: Long, tsSec: Long, uuid: String,
+      txn: Long): Array[Byte] = {
+    require(txn >= 1, s"GTID transaction numbers start at 1, got $txn")
+    val hex = uuid.replace("-", "").toLowerCase
+    require(hex.length == 32 && hex.forall(c =>
+      c.isDigit || (c >= 'a' && c <= 'f')),
+      s"bad GTID uuid '$uuid' — expected 32 hex digits")
+    val b = new java.io.ByteArrayOutputStream()
+    b.write(1) // commit flag
+    hex.grouped(2).foreach(h => b.write(Integer.parseInt(h, 16)))
+    var g = txn
+    (0 until 8).foreach { _ => b.write((g & 0xff).toInt); g >>= 8 }
+    sealEvent(tsSec, GTID, pos, b.toByteArray)
+  }
+
+  /** One Xid event — the COMMIT marker (payload: `xid(8 LE)`; the
+    * [[parseXids]] inverse). */
+  def xidEvent(pos: Long, tsSec: Long, xid: Long): Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    var x = xid
+    (0 until 8).foreach { _ => b.write((x & 0xff).toInt); x >>= 8 }
+    sealEvent(tsSec, XID, pos, b.toByteArray)
+  }
+
+  /** One ROTATE event — what a server writes when it FINISHES a
+    * rotation file (post-header `position(8 LE)` + next file name):
+    * the completeness marker the streaming tail's torn-rotation gate
+    * checks for. */
+  def rotateEvent(nextFile: String, pos: Long = 4L): Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    var p = pos
+    (0 until 8).foreach { _ => b.write((p & 0xff).toInt); p >>= 8 }
+    b.write(nextFile.getBytes("UTF-8"))
+    sealEvent(0L, ROTATE, 0L, b.toByteArray)
+  }
+
+  /** Write a self-contained binlog file (magic + FDE + the given
+    * events) — the fixture composer for dumps interleaving GTID/Query/
+    * Xid events with [[render]]'s row files (positions are dump-global,
+    * exactly like the text fixtures' side files). */
+  def writeEvents(outDir: String, name: String,
+      events: Seq[Array[Byte]]): Unit = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Magic)
+    out.write(fdeEvent())
+    events.foreach(out.write)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(outDir))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outDir, name), out.toByteArray)
+    ()
   }
 
   /** FORMAT_DESCRIPTION event declaring binlog v4, the 19-byte header,
@@ -469,17 +552,24 @@ object BinlogBinary {
     * TABLE_MAP the file itself carries. */
   private final case class WireCols(types: Array[Int], metas: Array[Int])
 
-  private def decodeFile(bytes: Array[Byte], path: String,
-      cols: Seq[(String, DataType)]): Iterator[Row] = {
+  /** The ONE event-stream walk behind every extractor (row decode, DDL
+    * statements, GTID index, Xids): magic check, per-event header and
+    * size validation, FDE-first discipline, per-event CRC32 when the
+    * FDE declares it — a validation added here gates every consumer.
+    * `handler` receives (eventType, tsSec, logPos, eventOffset,
+    * bodyEnd-exclusive-of-checksum). Returns the LAST event's type —
+    * the streaming tail's torn-rotation signal (a finished rotation
+    * ends with ROTATE, a clean shutdown with STOP). */
+  private def walkEvents(bytes: Array[Byte], path: String)(
+      handler: (Int, Long, Long, Int, Int) => Unit): Int = {
     require(bytes.length >= 4 &&
       java.util.Arrays.equals(
         java.util.Arrays.copyOfRange(bytes, 0, 4), Magic),
       s"$path is not a binlog file (bad magic)")
-    val out = Vector.newBuilder[Row]
     var o = 4
     var checksummed = false
     var sawFde = false
-    var tableMaps = Map.empty[Long, WireCols]
+    var lastType = -1
     while (o < bytes.length) {
       require(bytes.length - o >= HeaderLen,
         s"$path: truncated event header at offset $o " +
@@ -525,7 +615,28 @@ object BinlogBinary {
             "decode garbage")
         o + size - 4
       } else o + size
-      eventType match {
+      handler(eventType, tsSec, logPos, o, bodyEnd)
+      lastType = eventType
+      o += size
+    }
+    lastType
+  }
+
+  /** Row-event decode over [[walkEvents]]. `emitMarkers` additionally
+    * surfaces each Xid event as an `op = "C"` commit-marker row (seq =
+    * the Xid's position, ts = its header clock, payload NULL) — the
+    * [[parseTxn]] shape. `requireRotate` is the streaming tail's
+    * torn-rotation gate: the file's LAST event must be ROTATE (a
+    * finished rotation) or STOP (a clean shutdown), or the file is an
+    * in-flight snapshot whose remainder the file source would never
+    * re-read. */
+  private def decodeFile(bytes: Array[Byte], path: String,
+      cols: Seq[(String, DataType)], emitMarkers: Boolean = false,
+      requireRotate: Boolean = false): Iterator[Row] = {
+    val out = Vector.newBuilder[Row]
+    var tableMaps = Map.empty[Long, WireCols]
+    val lastType = walkEvents(bytes, path) {
+      (eventType, tsSec, logPos, o, bodyEnd) => eventType match {
         case TABLE_MAP =>
           val c = new Cursor(bytes, o + HeaderLen, bodyEnd,
             s"$path TABLE_MAP at $o")
@@ -612,11 +723,196 @@ object BinlogBinary {
             else first
             out += Row.fromSeq(Seq(op, logPos, time) ++ replicating)
           }
+        case XID if emitMarkers =>
+          out += Row.fromSeq(Seq("C", logPos,
+            java.time.LocalDateTime.ofEpochSecond(tsSec, 0,
+              java.time.ZoneOffset.UTC)) ++ cols.map(_ => null))
         case _ => () // Query/Xid/Gtid/Rotate/Stop/FDE: verified, skipped
       }
-      o += size
+    }
+    if (requireRotate)
+      require(lastType == ROTATE || lastType == STOP,
+        s"$path does not end with a ROTATE or STOP event (last event " +
+          s"type: $lastType) — an in-flight or torn rotation snapshot; " +
+          "stage rotations atomically (write elsewhere, then rename " +
+          "into the tailed dir) or disable requireRotate")
+    out.result().iterator
+  }
+
+  /** The dump's DDL QueryEvents as `(position, statement)` — the
+    * binary analogue of [[BinlogText.parseDdl]], feeding the same
+    * [[graft.streaming.DdlSql]] fold. Query-event payload: post-header
+    * `thread_id(4) exec_time(4) schema_len(1) error_code(2)
+    * status_vars_len(2)`, then the status vars, the schema name, a
+    * NUL, and the statement text. Transaction punctuation
+    * (BEGIN/COMMIT/ROLLBACK), session SETs, and USE noise skip — the
+    * same filter as the text extractor. Distributed per file;
+    * metadata-scale rows to the driver; position-sorted with the
+    * in-file emission index as the tiebreak. */
+  def parseDdl(spark: SparkSession, dir: String): Seq[(Long, String)] = {
+    import org.apache.spark.sql.Encoders
+    spark.read.format("binaryFile").load(dir)
+      .select(col("content"), col("path"))
+      .flatMap { r =>
+        extractQueries(r.getAs[Array[Byte]](0), r.getString(1))
+          .zipWithIndex.map { case ((p, s2), i) => (p, i.toLong, s2) }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.STRING))
+      .collect().toSeq.sortBy(t => (t._1, t._2)).map(t => (t._1, t._3))
+  }
+
+  private def extractQueries(bytes: Array[Byte],
+      path: String): Iterator[(Long, String)] = {
+    val out = Vector.newBuilder[(Long, String)]
+    walkEvents(bytes, path) { (eventType, _, logPos, o, bodyEnd) =>
+      if (eventType == QUERY) {
+        val c = new Cursor(bytes, o + HeaderLen, bodyEnd,
+          s"$path QUERY event at $o")
+        c.skip(4) // thread_id
+        c.skip(4) // exec_time
+        val schemaLen = c.u8()
+        c.skip(2) // error_code
+        val statusLen = c.u16()
+        c.skip(statusLen)
+        c.skip(schemaLen + 1) // schema name + NUL
+        val stmt = new String(bytes, c.o, bodyEnd - c.o, "UTF-8").trim
+        val head = stmt.takeWhile(!_.isWhitespace).toUpperCase
+        val noise = Seq("BEGIN", "COMMIT", "ROLLBACK", "SET",
+          "DELIMITER", "USE")
+        if (stmt.nonEmpty && !noise.contains(head))
+          out += (logPos -> stmt)
+      }
     }
     out.result().iterator
+  }
+
+  /** The dump's GTID index — one `(position, source uuid, transaction
+    * number)` per GTID event (type 33: `flags(1) sid(16) gno(8 LE)`,
+    * trailing logical-timestamp fields ignored) — the binary analogue
+    * of [[BinlogText.parseGtidIndex]], feeding the same position
+    * codecs and [[parseTxn]] stamping. Distributed per file,
+    * metadata-scale rows to the driver, position order. */
+  def parseGtidIndex(spark: SparkSession,
+      dir: String): Seq[(Long, String, Long)] = {
+    import org.apache.spark.sql.Encoders
+    spark.read.format("binaryFile").load(dir)
+      .select(col("content"), col("path"))
+      .flatMap { r => extractGtids(r.getAs[Array[Byte]](0), r.getString(1))
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.STRING,
+        Encoders.scalaLong))
+      .collect().toSeq.sortBy(_._1)
+  }
+
+  private def extractGtids(bytes: Array[Byte],
+      path: String): Iterator[(Long, String, Long)] = {
+    val out = Vector.newBuilder[(Long, String, Long)]
+    walkEvents(bytes, path) { (eventType, _, logPos, o, bodyEnd) =>
+      if (eventType == GTID) {
+        val c = new Cursor(bytes, o + HeaderLen, bodyEnd,
+          s"$path GTID event at $o")
+        c.skip(1) // commit flag
+        c.need(16 + 8)
+        val sid = java.util.Arrays.copyOfRange(c.b, c.o, c.o + 16)
+        c.o += 16
+        val gno = rdI64(c.b, c.o)
+        c.o += 8
+        require(gno >= 1,
+          s"$path: GTID event at $o carries transaction number $gno — " +
+            "GTID numbering starts at 1; corrupt event")
+        out += ((logPos, formatUuid(sid), gno))
+      }
+    }
+    out.result().iterator
+  }
+
+  private def formatUuid(sid: Array[Byte]): String = {
+    val hex = sid.map(b => f"${b & 0xff}%02x").mkString
+    s"${hex.substring(0, 8)}-${hex.substring(8, 12)}-" +
+      s"${hex.substring(12, 16)}-${hex.substring(16, 20)}-" +
+      s"${hex.substring(20, 32)}"
+  }
+
+  /** The dump's COMMIT positions — `(position, header epoch seconds)`
+    * per Xid event (payload: `xid(8 LE)`) — the binary
+    * [[BinlogText.parseXids]]. */
+  def parseXids(spark: SparkSession, dir: String): Seq[(Long, Long)] = {
+    import org.apache.spark.sql.Encoders
+    spark.read.format("binaryFile").load(dir)
+      .select(col("content"), col("path"))
+      .flatMap { r =>
+        val out = Vector.newBuilder[(Long, Long)]
+        walkEvents(r.getAs[Array[Byte]](0), r.getString(1)) {
+          (eventType, tsSec, logPos, _, _) =>
+            if (eventType == XID) out += ((logPos, tsSec))
+        }
+        out.result().iterator
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .collect().toSeq.sortBy(_._1)
+  }
+
+  /** The dump as a TXN-GATED envelope — [[BinlogText.parseTxn]] from
+    * raw wire bytes: row events stamped with their transaction's GTID
+    * (`uuid:n`, the deepest GTID event at or below each row's
+    * position — [[BinlogText.stampTxns]]'s broadcast binary search,
+    * shared so the stamping rule can never fork between transports)
+    * plus one `op = "C"` commit-marker row per Xid event, all emitted
+    * in ONE distributed per-file decode (a single dump relation in the
+    * returned plan; only the GTID index — one tiny row per transaction
+    * — is an eager driver-side collect, to build the broadcast).
+    * Exactly the shape `runCdcPass(txnCol = …)` consumes: an
+    * uncommitted trailing transaction (GTID event and rows, no Xid)
+    * arrives marker-less and is held back by the gate. */
+  def parseTxn(spark: SparkSession, dir: String,
+      cols: Seq[(String, DataType)],
+      txnCol: String = "txn"): DataFrame = {
+    require(!cols.exists(_._1 == txnCol) &&
+      !Seq("op", "seq", "ts").contains(txnCol),
+      s"txn column '$txnCol' collides with an envelope column")
+    val gtids = parseGtidIndex(spark, dir)
+    require(gtids.nonEmpty,
+      s"dump at $dir carries no GTID events — transactions cannot be " +
+        "delimited; consume it as a plain stream instead")
+    val stamps = gtids.map { case (p, u, n) => (p, s"$u:$n") }
+    val (schema, _) = BinlogText.singleEnvelope(cols, Nil, None)
+    val colsB = cols
+    val frame = spark.read.format("binaryFile").load(dir)
+      .select(col("content"), col("path"))
+      .flatMap { r =>
+        decodeFile(r.getAs[Array[Byte]](0), r.getString(1), colsB,
+          emitMarkers = true)
+      }(RowEncoder.encoderFor(schema))
+      .toDF()
+    BinlogText.stampTxns(spark, frame, stamps, txnCol)
+  }
+
+  /** [[parse]] as a STREAMING decode — the transport behind
+    * [[BinlogBinaryCdcSource]]: tail `dir` and decode each raw binlog
+    * rotation as it lands, one file per micro-batch. `maxFileAge` is
+    * disabled for the same reason as the text tail: the default window
+    * would silently skip a backfilled rotation restored with its
+    * original mtime. */
+  private[sources] def streamDecode(spark: SparkSession, dir: String,
+      cols: Seq[(String, DataType)],
+      requireRotate: Boolean): DataFrame = {
+    val (schema, _) = BinlogText.singleEnvelope(cols, Nil, None)
+    val colsB = cols
+    spark.readStream.format("binaryFile")
+      // the binaryFile source's FIXED schema — streaming sources must
+      // declare it explicitly (no inference pass at stream start)
+      .schema(StructType(Seq(
+        StructField("path", StringType, nullable = false),
+        StructField("modificationTime", TimestampType, nullable = false),
+        StructField("length", LongType, nullable = false),
+        StructField("content", BinaryType, nullable = true))))
+      .option("maxFilesPerTrigger", "1")
+      .option("maxFileAge", "36500d")
+      .load(dir)
+      .select(col("content"), col("path"))
+      .flatMap { r =>
+        decodeFile(r.getAs[Array[Byte]](0), r.getString(1), colsB,
+          requireRotate = requireRotate)
+      }(RowEncoder.encoderFor(schema))
+      .toDF()
   }
 
   private def readBitmap(c: Cursor, n: Int): Array[Boolean] = {

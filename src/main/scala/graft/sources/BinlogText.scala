@@ -745,31 +745,6 @@ object BinlogText {
       s"dump at $dir carries no GTID_NEXT stamps — transactions cannot " +
         "be delimited; consume it as a plain stream instead")
     val stamps = gtids.map { case (p, u, n) => (p, s"$u:$n") }
-    // stamp each emitted row — row event or commit marker — with the
-    // deepest GTID strictly below its position: a BINARY SEARCH over
-    // the broadcast stamp index, O(log txns) per row with no join (an
-    // interval join here would plan as a broadcast nested loop,
-    // O(rows × txns), which a dump window holding millions of
-    // transactions turns into the bottleneck). The index itself is
-    // metadata scale (two words per transaction). The same search
-    // closes each Xid onto the deepest transaction opened before it.
-    val stampPos = stamps.map(_._1).toArray
-    val stampTxn = stamps.map(_._2).toArray
-    val bc = spark.sparkContext.broadcast((stampPos, stampTxn))
-    val assign = udf { p: Long =>
-      val (pos, txn) = bc.value
-      var lo = 0
-      var hi = pos.length - 1
-      var ans = -1
-      while (lo <= hi) { // largest i with pos(i) < p
-        val mid = (lo + hi) >>> 1
-        if (pos(mid) < p) { ans = mid; lo = mid + 1 } else hi = mid - 1
-      }
-      if (ans < 0) throw new IllegalArgumentException(
-        s"event at position $p precedes the dump's first GTID " +
-          "stamp — its transaction cannot be named")
-      txn(ans)
-    }.asNondeterministic() // it throws: keep it un-reordered past filters
     // marker slots beyond op/seq/ts: NULL, or the caller's override
     // (precomputed index → value, applied task-side per marker)
     val overrideIdx = markerOverrides.map { case (n, v) =>
@@ -794,6 +769,38 @@ object BinlogText {
     // the pre-stamp refusal is the UDF's (it fires on the first action
     // that touches the frame): an eager probe here would cost a full
     // extra decode of the dump purely to move the same error earlier
+    stampTxns(spark, frame, stamps, txnCol)
+  }
+
+  /** Stamp every row of `frame` (row events and `op = "C"` commit
+    * markers alike) with its transaction: the deepest GTID stamp
+    * strictly below the row's `seq` position — a BINARY SEARCH over
+    * the broadcast stamp index, O(log txns) per row with no join (an
+    * interval join here would plan as a broadcast nested loop,
+    * O(rows × txns), which a dump window holding millions of
+    * transactions turns into the bottleneck). The index itself is
+    * metadata scale (two words per transaction). Shared by the text
+    * and BINARY transports ([[BinlogBinary.parseTxn]]) — the stamping
+    * rule must never fork between them. */
+  private[sources] def stampTxns(spark: SparkSession, frame: DataFrame,
+      stamps: Seq[(Long, String)], txnCol: String): DataFrame = {
+    val stampPos = stamps.map(_._1).toArray
+    val stampTxn = stamps.map(_._2).toArray
+    val bc = spark.sparkContext.broadcast((stampPos, stampTxn))
+    val assign = udf { p: Long =>
+      val (pos, txn) = bc.value
+      var lo = 0
+      var hi = pos.length - 1
+      var ans = -1
+      while (lo <= hi) { // largest i with pos(i) < p
+        val mid = (lo + hi) >>> 1
+        if (pos(mid) < p) { ans = mid; lo = mid + 1 } else hi = mid - 1
+      }
+      if (ans < 0) throw new IllegalArgumentException(
+        s"event at position $p precedes the dump's first GTID " +
+          "stamp — its transaction cannot be named")
+      txn(ans)
+    }.asNondeterministic() // it throws: keep it un-reordered past filters
     frame.withColumn(txnCol, assign(col("seq")))
   }
 

@@ -84,6 +84,28 @@ final case class BinlogTextMultiCdcSource(dir: String,
     BinlogText.streamDecode(spark, dir, sd._1, sd._2, requireTerminator)
 }
 
+/** BINLOG-BINARY transport as a first-class streaming source: TAIL a
+  * directory of RAW binlog files and decode each rotation as it lands
+  * — one file per micro-batch, the tail's natural arrival unit, no
+  * mysqlbinlog in between. The decode is [[BinlogBinary.parse]]'s,
+  * unchanged (CRC-verified, TABLE_MAP-validated), so every
+  * `runCdcPass*` topology consumes raw wire bytes through the same
+  * trait plug as parquet waves, dump text, or Kafka. */
+final case class BinlogBinaryCdcSource(dir: String,
+    cols: Seq[(String, org.apache.spark.sql.types.DataType)],
+    /** Torn-rotation gate: every tailed file must END with a ROTATE
+      * (finished rotation) or STOP (clean shutdown) event — a partial
+      * snapshot of an in-flight rotation would otherwise decode
+      * truncated bytes as final and the file source would never
+      * re-read the rest. Disable ONLY for a writer that provably
+      * stages rotations atomically. */
+    requireRotate: Boolean = true) extends CdcSource {
+  override def schema: StructType =
+    BinlogText.singleEnvelope(cols, Nil, None)._1
+  override def open(spark: SparkSession): DataFrame =
+    BinlogBinary.streamDecode(spark, dir, cols, requireRotate)
+}
+
 /** Test/embedded backend over an already-constructed streaming DataFrame
   * (e.g. a MemoryStream's `toDF` — StreamingSpec proves the pass runs
   * unchanged over it). `schema` is taken from the DataFrame itself. */

@@ -3757,6 +3757,49 @@ object StreamingOps {
       readLatestState(s, s"$tmp/state")
     }),
 
+    // S-BINLOG-BINARY-TXN: the TRANSACTION loop from RAW WIRE BYTES —
+    // GTID events (type 33) delimit transactions, Xid events (16) mark
+    // their commits, BinlogBinary.parseTxn stamps rows and emits the
+    // 'C' markers in one distributed decode, and runCdcPass(txnCol)
+    // gates exactly as on the text transport: transactions 1-2 commit,
+    // transaction 3 — the delete wave — has its GTID event and rows in
+    // the dump but NO Xid, so the uncommitted tail holds back and the
+    // served state equals the latest-wins collapse over seq <= 2. Same
+    // positions, same oracle as cdc_binlog_text_txn: one transaction
+    // discipline, two wire formats.
+    "cdc_binlog_binary_txn" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir)
+      val cols: Seq[(String, org.apache.spark.sql.types.DataType)] = Seq(
+        "okey" -> org.apache.spark.sql.types.LongType,
+        "price" -> DoubleType, "status" -> StringType)
+      // positions: seq*1e8 + okey + 1 — strictly per-key monotone and
+      // each wave's rows sit strictly between their txn's GTID event
+      // (n*1e8) and its Xid ((n+1)*1e8 - 1); the +1 keeps okey 0 off
+      // the stamp itself (the r17 boundary trap)
+      val env = log.select(col("op"),
+        (col("seq") * 100000000L + col("okey") + 1L).as("seq"),
+        col("ts"), col("okey"), col("price"), col("status"))
+      val tmp = tmpDir()
+      graft.sources.BinlogBinary.render(env, cols, s"$tmp/binlog",
+        files = 3)
+      val uuid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+      graft.sources.BinlogBinary.writeEvents(s"$tmp/binlog", "bin.000099",
+        (1 to 3).map(n => graft.sources.BinlogBinary.gtidEvent(
+          n * 100000000L, 800000000L, uuid, n)) ++
+          (1 to 2).map(n => graft.sources.BinlogBinary.xidEvent(
+            (n + 1) * 100000000L - 1, 800000000L, n)))
+      val envTxn = graft.sources.BinlogBinary.parseTxn(
+        s, s"$tmp/binlog", cols)
+      val in = s"$tmp/in"
+      writeWave(envTxn, in, 0)
+      runCdcPass(s, envTxn.schema, in, s"$tmp/ckpt", s"$tmp/state",
+        txnCol = Some("txn"))
+      readLatestState(s, s"$tmp/state")
+        .select(col("okey"), col("op"), col("price"), col("status"),
+          col("ts"))
+        .orderBy(col("okey"))
+    }),
+
     // S-BINLOG-TEXT-DDL: the FULL binlog loop — row events AND DDL
     // QueryEvents in one dump. Rotation 1 carries the v1 rows; rotation
     // 2 opens with `ALTER TABLE` QueryEvents (RENAME COLUMN + ADD
@@ -5608,6 +5651,17 @@ object StreamingOps {
     // binary-wire-decoded binlog ≡ the same collapse — one oracle,
     // three transports (parquet waves, dump text, raw bytes).
     "cdc_binlog_binary" -> latestStateSql,
+
+    // txn gate from raw wire bytes: same semantics and oracle as the
+    // text transport's txn loop — transactions 1-2 committed, txn 3
+    // held back, collapse over seq <= 2 only
+    "cdc_binlog_binary_txn" ->
+      s"""WITH cdc_log AS (${Tables.cdcLogSql}),
+            ranked AS (SELECT *, row_number() OVER (
+                         PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM cdc_log WHERE seq <= 2)
+         SELECT okey, op, price, status, ts
+         FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
 
     // the full dump loop (rows + DDL QueryEvents): rename carries the
     // pass-1 'old…' values under `chan`, the ADD…DEFAULT backfills

@@ -269,4 +269,132 @@ class BinlogBinarySpec extends SparkTestBase {
         r.getDouble(4), r.getString(5))).toSeq
     assert(got == Seq(("I", 77L, 7L, 1.5, "a"), ("I", 77L, 8L, 2.5, "b")))
   }
+
+  test("parseDdl: Query events extract position-sorted statements; " +
+      "BEGIN/COMMIT/SET punctuation skips — same filter as the text path") {
+    val env = envDf(Seq(("I", 50L, 800000000L, 1L, 1.0, "x")))
+    val dir = tmp()
+    BinlogBinary.render(env, cols, s"$dir/b", files = 1)
+    BinlogBinary.writeEvents(s"$dir/b", "bin.000009", Seq(
+      BinlogBinary.queryEvent(10L, 800000000L, "BEGIN"),
+      BinlogBinary.queryEvent(20L, 800000000L,
+        "ALTER TABLE orders ADD COLUMN note VARCHAR(32) DEFAULT 'none'"),
+      BinlogBinary.queryEvent(20L, 800000000L,
+        "ALTER TABLE orders RENAME COLUMN channel TO chan"),
+      BinlogBinary.queryEvent(30L, 800000001L, "COMMIT"),
+      BinlogBinary.queryEvent(40L, 800000001L, "SET TIMESTAMP=800000001"),
+      BinlogBinary.queryEvent(60L, 800000002L, "TRUNCATE TABLE orders")))
+    assert(BinlogBinary.parseDdl(spark, s"$dir/b") == Seq(
+      20L -> "ALTER TABLE orders ADD COLUMN note VARCHAR(32) DEFAULT 'none'",
+      20L -> "ALTER TABLE orders RENAME COLUMN channel TO chan",
+      60L -> "TRUNCATE TABLE orders"))
+    // and the extracted statements feed the SAME DdlSql fold
+    val cfg = graft.streaming.DdlSql.fold(
+      BinlogBinary.parseDdl(spark, s"$dir/b"),
+      tableFilter = Some("orders"))
+    assert(cfg.renameCols == Map("channel" -> "chan"))
+    assert(cfg.defaultCols.keySet == Set("note"))
+    assert(cfg.truncateAtSeq.contains(60L))
+  }
+
+  test("parseTxn from raw bytes: GTID events delimit, Xids become " +
+      "commit markers in ONE distributed decode, the uncommitted " +
+      "tail arrives marker-less, pre-stamp rows refuse") {
+    val uuid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    val dir = tmp()
+    // rows: txn 1 = okeys 1,2 (positions 11,12); txn 2 = okey 3 (21)
+    val env = envDf(Seq(
+      ("I", 11L, 800000000L, 1L, 1.5, "a"),
+      ("I", 12L, 800000000L, 2L, 2.5, "b"),
+      ("I", 21L, 800000060L, 3L, 3.5, "c")))
+    BinlogBinary.render(env, cols, s"$dir/b", files = 1)
+    BinlogBinary.writeEvents(s"$dir/b", "bin.000009", Seq(
+      BinlogBinary.gtidEvent(10L, 800000000L, uuid, 1L),
+      BinlogBinary.gtidEvent(20L, 800000060L, uuid, 2L),
+      BinlogBinary.xidEvent(19L, 800000000L, 7L)))
+    assert(BinlogBinary.parseGtidIndex(spark, s"$dir/b") == Seq(
+      (10L, uuid, 1L), (20L, uuid, 2L)))
+    assert(BinlogBinary.parseXids(spark, s"$dir/b") ==
+      Seq(19L -> 800000000L))
+    val txn = BinlogBinary.parseTxn(spark, s"$dir/b", cols)
+    // one dump relation in the plan: markers ride the same decode
+    val leaves = txn.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.size == 1,
+      s"expected ONE dump relation, got ${leaves.map(_.getClass.getSimpleName)}")
+    val got = txn.orderBy(col("seq")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(r.fieldIndex("txn")))).toSeq
+    assert(got == Seq(
+      ("I", 11L, s"$uuid:1"), ("I", 12L, s"$uuid:1"),
+      ("C", 19L, s"$uuid:1"), ("I", 21L, s"$uuid:2")),
+      s"got: $got")
+    // a row below the first GTID event refuses on action
+    val dir2 = tmp()
+    BinlogBinary.render(envDf(Seq(("I", 5L, 800000000L, 1L, 1.0, "x"))),
+      cols, s"$dir2/b", files = 1)
+    BinlogBinary.writeEvents(s"$dir2/b", "bin.000009", Seq(
+      BinlogBinary.gtidEvent(10L, 800000000L, uuid, 1L)))
+    val e = intercept[Throwable] {
+      BinlogBinary.parseTxn(spark, s"$dir2/b", cols).collect()
+    }
+    assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      .contains("precedes the dump's first GTID"))
+    // a dump with no GTID events at all refuses at declare time
+    val dir3 = tmp()
+    BinlogBinary.render(envDf(Seq(("I", 5L, 800000000L, 1L, 1.0, "x"))),
+      cols, s"$dir3/b", files = 1)
+    val e2 = intercept[IllegalArgumentException] {
+      BinlogBinary.parseTxn(spark, s"$dir3/b", cols)
+    }
+    assert(e2.getMessage.contains("no GTID events"))
+  }
+
+  test("BinlogBinaryCdcSource: the pass TAILS raw rotations; a file " +
+      "without a trailing ROTATE/STOP event refuses as torn") {
+    import graft.streaming.StreamingOps
+    import graft.sources.BinlogBinaryCdcSource
+    val base = tmp()
+    val dump = s"$base/dump"
+    // rotation 1: two inserts, rendered complete (trailing ROTATE)
+    BinlogBinary.render(envDf(Seq(
+      ("I", 1L, 800000000L, 1L, 10.0, "a"),
+      ("I", 2L, 800000000L, 2L, 20.0, "b"))), cols, dump, files = 1)
+    val src = BinlogBinaryCdcSource(dump, cols)
+    assert(src.schema.fieldNames.toSeq ==
+      Seq("op", "seq", "ts", "okey", "price", "status"))
+    StreamingOps.runCdcPassSource(spark, src, s"$base/ckpt", s"$base/state")
+    def served: Map[Long, Double] =
+      StreamingOps.readLatestState(spark, s"$base/state")
+        .select("okey", "price").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(served == Map(1L -> 10.0, 2L -> 20.0))
+    // rotation 2 lands: an EMPTY finished rotation (TABLE_MAP +
+    // trailing ROTATE, no rows — servers write these), then rotation 3
+    // with the delete; the RESUMED pass consumes only the new files
+    BinlogBinary.writeEvents(dump, "bin.000100", Seq(
+      BinlogBinary.tableMapEvent("orders", cols),
+      BinlogBinary.rotateEvent("bin.000101")))
+    BinlogBinary.render(envDf(Seq(("D", 3L, 800000001L, 2L, null, null))),
+      cols, s"$base/rot2", files = 1)
+    val rot2 = new java.io.File(s"$base/rot2").listFiles()
+      .filter(_.getName.startsWith("bin.")).head
+    java.nio.file.Files.copy(rot2.toPath,
+      java.nio.file.Paths.get(s"$dump/bin.000200"))
+    StreamingOps.runCdcPassSource(spark, src, s"$base/ckpt", s"$base/state")
+    assert(served == Map(1L -> 10.0))
+    // a TORN rotation (no trailing ROTATE/STOP) refuses the batch
+    val base2 = tmp()
+    val dump2 = s"$base2/dump"
+    BinlogBinary.writeEvents(dump2, "bin.000001", Seq(
+      BinlogBinary.tableMapEvent("orders", cols)))
+    val src2 = BinlogBinaryCdcSource(dump2, cols)
+    val e = intercept[Throwable] {
+      StreamingOps.runCdcPassSource(spark, src2, s"$base2/ckpt",
+        s"$base2/state")
+    }
+    assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      .contains("in-flight or torn rotation"))
+  }
 }
