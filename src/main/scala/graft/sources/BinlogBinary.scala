@@ -94,6 +94,160 @@ object BinlogBinary {
       .toDF()
   }
 
+  /** Decode a MULTI-TABLE raw dump: one rotated binlog dir whose
+    * TABLE_MAP events name different tables, dispatched on the table
+    * name each map carries ON THE WIRE (the binary format's native
+    * dispatch key) into the SAME union envelope
+    * `(op, seq, ts, <tableCol>, <union cols…>)` as
+    * [[BinlogText.parseMulti]] — one decode contract, two transports.
+    * Tables in `ignoreTables` skip with ZERO row-body work (events are
+    * size-addressed); a table in neither map refuses loudly at its
+    * TABLE_MAP — decoding positional values without a declared plan
+    * would be guessing, and silently dropping an undeclared table's
+    * events is the silently-diverged-replica class. Distributed per
+    * FILE like [[parse]]. */
+  def parseMulti(spark: SparkSession, dir: String,
+      colsByTable: Map[String, Seq[(String, DataType)]],
+      tableCol: String = "table",
+      ignoreTables: Set[String] = Set.empty): DataFrame = {
+    val (schema, _) =
+      BinlogText.multiEnvelope(colsByTable, tableCol, ignoreTables, None)
+    multiFrame(spark, dir, schema, colsByTable, ignoreTables,
+      marker = false)
+  }
+
+  /** [[parseTxn]] over a MULTI-TABLE raw dump — cross-table
+    * transactions straight from wire bytes: rows dispatch per table,
+    * GTID events stamp them, each Xid surfaces as ONE topology-level
+    * `op = "C"` marker (its `tableCol` reads the `_ctl` placeholder,
+    * exactly [[BinlogText.parseMultiTxn]]'s shape), so no table
+    * applies any slice of a transaction until its commit arrives and
+    * an uncommitted trailing transaction holds back across the whole
+    * topology. Same two-scan economy as the text path: one eager
+    * metadata pass for the GTID index, one lazy pass decoding rows
+    * and markers together. */
+  def parseMultiTxn(spark: SparkSession, dir: String,
+      colsByTable: Map[String, Seq[(String, DataType)]],
+      tableCol: String = "table",
+      txnCol: String = "txn",
+      ignoreTables: Set[String] = Set.empty): DataFrame = {
+    require(!colsByTable.values.exists(_.exists(_._1 == txnCol)) &&
+      !Seq("op", "seq", "ts", tableCol).contains(txnCol),
+      s"txn column '$txnCol' collides with an envelope column")
+    val gtids = parseGtidIndex(spark, dir)
+    require(gtids.nonEmpty,
+      s"dump at $dir carries no GTID events — transactions cannot be " +
+        "delimited; consume it as a plain stream instead")
+    val stamps = gtids.map { case (p, u, n) => (p, s"$u:$n") }
+    val (schema, _) =
+      BinlogText.multiEnvelope(colsByTable, tableCol, ignoreTables, None)
+    val frame = multiFrame(spark, dir, schema, colsByTable, ignoreTables,
+      marker = true)
+    BinlogText.stampTxns(spark, frame, stamps, txnCol)
+  }
+
+  /** The multi-table decode frame behind [[parseMulti]] and
+    * [[parseMultiTxn]]: per-table routing + union-slot placement over
+    * [[decodeFileRouted]]. `schema` is [[BinlogText.multiEnvelope]]'s
+    * (op, seq, ts, tableCol, union cols…) — its field order IS the
+    * slot map, so both transports fill identical frames. */
+  private def multiFrame(spark: SparkSession, dir: String,
+      schema: StructType,
+      colsByTable: Map[String, Seq[(String, DataType)]],
+      ignoreTables: Set[String], marker: Boolean): DataFrame =
+    multiDecode(spark.read.format("binaryFile").load(dir),
+      schema, colsByTable, ignoreTables, marker, requireRotate = false)
+
+  /** [[parseMulti]] as a STREAMING decode — the transport behind
+    * [[BinlogBinaryMultiCdcSource]]: tail `dir` and decode each raw
+    * multi-table rotation as it lands, one file per micro-batch.
+    * `maxFileAge` disabled for the same backfill reason as the
+    * single-table tail. */
+  private[sources] def streamDecodeMulti(spark: SparkSession,
+      dir: String, schema: StructType,
+      colsByTable: Map[String, Seq[(String, DataType)]],
+      ignoreTables: Set[String], requireRotate: Boolean): DataFrame =
+    multiDecode(
+      spark.readStream.format("binaryFile")
+        .schema(StructType(Seq(
+          StructField("path", StringType, nullable = false),
+          StructField("modificationTime", TimestampType, nullable = false),
+          StructField("length", LongType, nullable = false),
+          StructField("content", BinaryType, nullable = true))))
+        .option("maxFilesPerTrigger", "1")
+        .option("maxFileAge", "36500d")
+        .load(dir),
+      schema, colsByTable, ignoreTables, marker = false, requireRotate)
+
+  /** The routing/slotting decode shared by the batch and streaming
+    * multi-table reads — `raw` is any (content, path)-bearing frame. */
+  private def multiDecode(raw: DataFrame, schema: StructType,
+      colsByTable: Map[String, Seq[(String, DataType)]],
+      ignoreTables: Set[String], marker: Boolean,
+      requireRotate: Boolean): DataFrame = {
+    val colsB = colsByTable
+    val ignoreB = ignoreTables
+    val rotateB = requireRotate
+    val markerB = marker
+    val schemaB = schema
+    raw.select(col("content"), col("path"))
+      .flatMap { r =>
+        decodeMultiFileBytes(r.getAs[Array[Byte]](0), r.getString(1),
+          schemaB, colsB, ignoreB, markerB, rotateB)
+      }(RowEncoder.encoderFor(schema))
+      .toDF()
+  }
+
+  /** One FILE's multi-table decode: routing by wire table name +
+    * union-slot placement. Shared by [[multiDecode]] (raw files) and
+    * the non-verbose text transport
+    * ([[BinlogText.parseMultiNonVerbose]]), which hands base64-decoded
+    * event bytes through [[decodeMultiEventStream]]. */
+  private[sources] def decodeMultiFileBytes(bytes: Array[Byte],
+      path: String, schema: StructType,
+      colsByTable: Map[String, Seq[(String, DataType)]],
+      ignoreTables: Set[String], marker: Boolean,
+      requireRotate: Boolean): Iterator[Row] = {
+    val slot = schema.fieldNames.drop(4).zipWithIndex.toMap
+    val slotsByTable = colsByTable.map { case (t, cols) =>
+      t -> cols.map { case (n, _) => slot(n) }.toArray
+    }
+    val width = slot.size
+    val emitMarker =
+      if (marker)
+        // topology-level commit marker: `_ctl`, never a state table
+        Some((p: Long, t: java.time.LocalDateTime) => Row.fromSeq(
+          Seq("C", p, t, "_ctl") ++ Seq.fill[Any](width)(null)))
+      else None
+    decodeFileRouted(bytes, path,
+      route = t => colsByTable.get(t) match {
+        case Some(cols) => DecodeAs(cols, s" for table '$t'")
+        case None if ignoreTables.contains(t) => SkipTable
+        case None => throw new IllegalArgumentException(
+          s"$path: TABLE_MAP names table '$t', which is neither " +
+            "declared (colsByTable) nor excluded (ignoreTables) — " +
+            "decoding its positional values without a TABLE_MAP " +
+            "declaration would be guessing; declare or exclude it")
+      },
+      emit = (t, op, p, time, vals) => {
+        val arr = new Array[Any](width)
+        val slots = slotsByTable(t)
+        vals.zipWithIndex.foreach { case (v, i) => arr(slots(i)) = v }
+        Row.fromSeq(Seq(op, p, time, t) ++ arr)
+      },
+      marker = emitMarker,
+      requireRotate = requireRotate)
+  }
+
+  /** [[decodeEventStream]] for the MULTI-TABLE union envelope: bare
+    * event bytes (no magic) → routed decode. */
+  private[sources] def decodeMultiEventStream(eventBytes: Array[Byte],
+      path: String, schema: StructType,
+      colsByTable: Map[String, Seq[(String, DataType)]],
+      ignoreTables: Set[String]): Iterator[Row] =
+    decodeMultiFileBytes(Magic ++ eventBytes, path, schema,
+      colsByTable, ignoreTables, marker = false, requireRotate = false)
+
   // ── rendering (fixtures/diagnostics) ─────────────────────────────
 
   /** Render an envelope frame as binary binlog rotation files under
@@ -101,16 +255,23 @@ object BinlogBinary {
     * declaring CRC32 checksums, one TABLE_MAP, then one checksummed
     * row event per envelope row). Refuses values the format cannot
     * carry, like the text renderer. Local-filesystem fixture writer:
-    * each task writes its own rotation file. */
+    * each task writes its own rotation file. Multi-table dumps render
+    * per table into one dir — `append = true` with a per-table
+    * `prefix` so rotation file names never collide — and
+    * [[parseMulti]] dispatches the TABLE_MAPs back. */
   def render(df: DataFrame, cols: Seq[(String, DataType)],
-      outDir: String, files: Int = 4, table: String = "orders"): Unit = {
+      outDir: String, files: Int = 4, table: String = "orders",
+      prefix: String = "bin", append: Boolean = false): Unit = {
     validateCols(cols)
     require(files >= 1, "at least one binlog file")
     require(table.nonEmpty && table.getBytes("UTF-8").length <= 250 &&
       !table.exists(c => c.isWhitespace),
       s"bad table name '$table' for a TABLE_MAP event")
+    require(prefix.nonEmpty && !prefix.exists(c =>
+      c.isWhitespace || c == '/' || c == '\\'),
+      s"bad rotation file prefix '$prefix'")
     val dirPath = java.nio.file.Paths.get(outDir)
-    if (java.nio.file.Files.exists(dirPath)) {
+    if (!append && java.nio.file.Files.exists(dirPath)) {
       // overwrite semantics, mirroring the text renderer's writer
       // (stream closed explicitly — a leaked walk handle per render
       // call accumulates in a long-lived driver)
@@ -123,6 +284,7 @@ object BinlogBinary {
     java.nio.file.Files.createDirectories(dirPath)
     val colsB = cols
     val tableB = table
+    val prefixB = prefix
     // ts rides RAW (TimestampNTZ → LocalDateTime task-side) and
     // converts to the header's epoch seconds via UTC — the exact
     // inverse of the parser's LocalDateTime.ofEpochSecond(…, UTC), so
@@ -145,9 +307,9 @@ object BinlogBinary {
         }
         // a finished rotation ends with ROTATE — what the streaming
         // tail's torn-rotation gate checks for (inert to batch reads)
-        out.write(rotateEvent(f"bin.${pid + 1}%06d"))
+        out.write(rotateEvent(f"$prefixB.${pid + 1}%06d"))
         java.nio.file.Files.write(
-          java.nio.file.Paths.get(outDir, f"bin.$pid%06d"),
+          java.nio.file.Paths.get(outDir, f"$prefixB.$pid%06d"),
           out.toByteArray)
         ()
     }
@@ -342,7 +504,8 @@ object BinlogBinary {
   /** One row event from one envelope row (op, seq, ts_us, values…).
     * Updates write (before == after) image pairs — FULL-image fixture
     * shape. */
-  private def rowsEvent(r: Row, cols: Seq[(String, DataType)]): Array[Byte] = {
+  private[graft] def rowsEvent(r: Row, cols: Seq[(String, DataType)],
+      tableId: Long = 108L): Array[Byte] = {
     val op = r.getString(0)
     val seq = r.getLong(1)
     val ldt = r.getAs[java.time.LocalDateTime](2)
@@ -360,7 +523,7 @@ object BinlogBinary {
     }
     val image = imageBytes(r, cols)
     val b = new java.io.ByteArrayOutputStream()
-    var tid = 108L
+    var tid = tableId
     (0 until 6).foreach { _ => b.write((tid & 0xff).toInt); tid >>= 8 }
     u16(b, 1) // flags: STMT_END_F
     u16(b, 2) // v2 extra-data length (2 = none beyond the length field)
@@ -633,100 +796,171 @@ object BinlogBinary {
   private def decodeFile(bytes: Array[Byte], path: String,
       cols: Seq[(String, DataType)], emitMarkers: Boolean = false,
       requireRotate: Boolean = false): Iterator[Row] = {
+    val marker =
+      if (emitMarkers)
+        Some((p: Long, t: java.time.LocalDateTime) =>
+          Row.fromSeq(Seq("C", p, t) ++ cols.map(_ => null)))
+      else None
+    decodeFileRouted(bytes, path,
+      // the single-table decode accepts ANY table name (a single-table
+      // dump's TABLE_MAPs all name the same table — the text path's
+      // posture); arity/type validation still refuses a stale declaration
+      route = _ => DecodeAs(cols, ""),
+      emit = (_, op, p, t, vals) => Row.fromSeq(Seq(op, p, t) ++ vals),
+      marker = marker,
+      requireRotate = requireRotate)
+  }
+
+  /** Decode a BARE event stream — event bytes with no leading 4-byte
+    * magic, which is exactly what the `BINLOG '…'` base64 statements
+    * of a NON-VERBOSE text dump carry once decoded and concatenated
+    * (the first statement holds the FDE, so the stream self-describes
+    * its checksum algorithm like any binlog head). The text side
+    * ([[BinlogText.parseNonVerbose]]) extracts and base64-decodes the
+    * payloads; this is the shared wire decode underneath — CRC
+    * verification, TABLE_MAP validation, and every refusal identical
+    * to the raw-file path. */
+  private[sources] def decodeEventStream(eventBytes: Array[Byte],
+      path: String, cols: Seq[(String, DataType)]): Iterator[Row] =
+    decodeFile(Magic ++ eventBytes, path, cols)
+
+  /** How the routed decode treats one TABLE_MAP's table: decode its
+    * row events against declared columns (`tag` flavors refusal
+    * messages with the table name on the multi path), or skip them —
+    * a DECLARED exclusion, never a silent drop (an unroutable table
+    * throws inside the route closure itself). */
+  private sealed trait TableRoute
+  private final case class DecodeAs(cols: Seq[(String, DataType)],
+      tag: String) extends TableRoute
+  private case object SkipTable extends TableRoute
+
+  /** The decode core shared by the single- and multi-table paths:
+    * walk a file's events, register each TABLE_MAP under its table id
+    * — routed through `route` by the table NAME the event carries on
+    * the wire (the binary format's own dispatch key; the text path
+    * has to read it off verb lines) — validate the wire plan against
+    * the routed declaration, and decode row events positionally under
+    * their registered map. Row events for a skipped table cost ZERO
+    * body work: events are size-addressed, so the walk jumps straight
+    * to the next header. `emit` shapes the output row (single
+    * envelope vs union envelope); `marker` (when set) surfaces each
+    * Xid as a commit-marker row — the txn-gate shape. */
+  private def decodeFileRouted(bytes: Array[Byte], path: String,
+      route: String => TableRoute,
+      emit: (String, String, Long, java.time.LocalDateTime, Seq[Any]) => Row,
+      marker: Option[(Long, java.time.LocalDateTime) => Row],
+      requireRotate: Boolean): Iterator[Row] = {
     val out = Vector.newBuilder[Row]
-    var tableMaps = Map.empty[Long, WireCols]
+    // table id -> None (declared-skipped) | Some(table, cols, wire)
+    var tableMaps =
+      Map.empty[Long, Option[(String, Seq[(String, DataType)], WireCols)]]
     val lastType = walkEvents(bytes, path) {
       (eventType, tsSec, logPos, o, bodyEnd) => eventType match {
         case TABLE_MAP =>
           val c = new Cursor(bytes, o + HeaderLen, bodyEnd,
             s"$path TABLE_MAP at $o")
+          c.need(6)
           var tid = 0L
           (0 until 6).foreach(i => tid |= (c.b(c.o + i) & 0xffL) << (8 * i))
           c.skip(6); c.skip(2) // table_id, flags
           val dbLen = c.u8(); c.skip(dbLen + 1)
           val tbLen = c.u8()
           c.need(tbLen)
+          val table = new String(c.b, c.o, tbLen, "UTF-8")
           c.skip(tbLen + 1)
-          val n = c.packed().toInt
-          require(n == cols.length,
-            s"$path: TABLE_MAP declares $n columns but the caller " +
-              s"declared ${cols.length} — the declaration is stale; " +
-              "refuse rather than mis-decode positional values")
-          val types = new Array[Int](n)
-          (0 until n).foreach(i => types(i) = c.u8())
-          val metaLen = c.packed().toInt
-          val metaEnd = c.o + metaLen
-          c.need(metaLen)
-          val metas = new Array[Int](n)
-          (0 until n).foreach { i =>
-            metas(i) = types(i) match {
-              case T_DOUBLE => c.u8()
-              case T_VARCHAR | T_VAR_STRING => c.u16()
-              case T_NEWDECIMAL => { val p = c.u8(); (p << 8) | c.u8() }
-              case _ => 0
-            }
+          route(table) match {
+            case SkipTable => tableMaps += tid -> None
+            case DecodeAs(cols, tag) =>
+              val n = c.packed().toInt
+              require(n == cols.length,
+                s"$path: TABLE_MAP declares $n columns but the caller " +
+                  s"declared ${cols.length}$tag — the declaration is " +
+                  "stale; refuse rather than mis-decode positional values")
+              val types = new Array[Int](n)
+              (0 until n).foreach(i => types(i) = c.u8())
+              val metaLen = c.packed().toInt
+              val metaEnd = c.o + metaLen
+              c.need(metaLen)
+              val metas = new Array[Int](n)
+              (0 until n).foreach { i =>
+                metas(i) = types(i) match {
+                  case T_DOUBLE => c.u8()
+                  case T_VARCHAR | T_VAR_STRING => c.u16()
+                  case T_NEWDECIMAL => { val p = c.u8(); (p << 8) | c.u8() }
+                  case _ => 0
+                }
+              }
+              require(c.o == metaEnd,
+                s"$path: TABLE_MAP metadata length $metaLen does not " +
+                  "match its types — corrupt or an unsupported type's " +
+                  "metadata")
+              // validate the wire plan against the declared Spark types
+              cols.zipWithIndex.foreach { case ((name, dt), i) =>
+                val ok = (types(i), dt) match {
+                  case (T_LONGLONG, LongType) => true
+                  case (T_LONG, IntegerType) => true
+                  case (T_DOUBLE, DoubleType) => true
+                  case (T_VARCHAR | T_VAR_STRING, StringType) => true
+                  case (T_NEWDECIMAL, d: DecimalType) =>
+                    (metas(i) >> 8) == d.precision &&
+                      (metas(i) & 0xff) == d.scale
+                  case _ => false
+                }
+                require(ok,
+                  s"$path: TABLE_MAP column @${i + 1} is wire type " +
+                    s"${types(i)} (meta ${metas(i)}) but '$name' is " +
+                    s"declared ${dt.simpleString}$tag — the declaration " +
+                    "is stale; refuse rather than mis-decode")
+              }
+              tableMaps += tid -> Some((table, cols, WireCols(types, metas)))
           }
-          require(c.o == metaEnd,
-            s"$path: TABLE_MAP metadata length $metaLen does not match " +
-              "its types — corrupt or an unsupported type's metadata")
-          // validate the wire plan against the declared Spark types
-          cols.zipWithIndex.foreach { case ((name, dt), i) =>
-            val ok = (types(i), dt) match {
-              case (T_LONGLONG, LongType) => true
-              case (T_LONG, IntegerType) => true
-              case (T_DOUBLE, DoubleType) => true
-              case (T_VARCHAR | T_VAR_STRING, StringType) => true
-              case (T_NEWDECIMAL, d: DecimalType) =>
-                (metas(i) >> 8) == d.precision && (metas(i) & 0xff) == d.scale
-              case _ => false
-            }
-            require(ok,
-              s"$path: TABLE_MAP column @${i + 1} is wire type " +
-                s"${types(i)} (meta ${metas(i)}) but '$name' is " +
-                s"declared ${dt.simpleString} — the declaration is " +
-                "stale; refuse rather than mis-decode")
-          }
-          tableMaps += tid -> WireCols(types, metas)
         case WRITE_ROWS_V2 | UPDATE_ROWS_V2 | DELETE_ROWS_V2 =>
           val c = new Cursor(bytes, o + HeaderLen, bodyEnd,
             s"$path row event at $o")
+          c.need(6)
           var tid = 0L
           (0 until 6).foreach(i => tid |= (c.b(c.o + i) & 0xffL) << (8 * i))
-          c.skip(6); c.skip(2) // table_id, flags
-          val extraLen = c.u16()
-          require(extraLen >= 2,
-            s"$path: row event v2 extra-data length $extraLen < 2")
-          c.skip(extraLen - 2)
-          val wire = tableMaps.getOrElse(tid,
+          val routed = tableMaps.getOrElse(tid,
             throw new IllegalArgumentException(
               s"$path: row event at offset $o references table id $tid " +
                 "with no preceding TABLE_MAP — a mid-stream slice; " +
                 "refuse rather than guess the column layout"))
-          val n = c.packed().toInt
-          require(n == cols.length,
-            s"$path: row event declares width $n, TABLE_MAP ${cols.length}")
-          val present1 = readBitmap(c, n)
-          val present2 =
-            if (eventType == UPDATE_ROWS_V2) readBitmap(c, n) else present1
-          val op = eventType match {
-            case WRITE_ROWS_V2 => "I"
-            case UPDATE_ROWS_V2 => "U"
-            case _ => "D"
+          routed match {
+            case None => () // declared-skipped table; size-addressed jump
+            case Some((table, cols, wire)) =>
+              c.skip(6); c.skip(2) // table_id, flags
+              val extraLen = c.u16()
+              require(extraLen >= 2,
+                s"$path: row event v2 extra-data length $extraLen < 2")
+              c.skip(extraLen - 2)
+              val n = c.packed().toInt
+              require(n == cols.length,
+                s"$path: row event declares width $n, TABLE_MAP " +
+                  s"${cols.length}")
+              val present1 = readBitmap(c, n)
+              val present2 =
+                if (eventType == UPDATE_ROWS_V2) readBitmap(c, n)
+                else present1
+              val op = eventType match {
+                case WRITE_ROWS_V2 => "I"
+                case UPDATE_ROWS_V2 => "U"
+                case _ => "D"
+              }
+              val time = java.time.LocalDateTime.ofEpochSecond(
+                tsSec, 0, java.time.ZoneOffset.UTC)
+              // rows repeat until the body ends (multi-row statements)
+              while (c.o < c.end) {
+                val first = readImage(c, cols, wire, present1)
+                val replicating = if (eventType == UPDATE_ROWS_V2)
+                  readImage(c, cols, wire, present2) // after image wins
+                else first
+                out += emit(table, op, logPos, time, replicating)
+              }
           }
-          val time = java.time.LocalDateTime.ofEpochSecond(
-            tsSec, 0, java.time.ZoneOffset.UTC)
-          // rows repeat until the body ends (multi-row statements)
-          while (c.o < c.end) {
-            val first = readImage(c, cols, wire, present1)
-            val replicating = if (eventType == UPDATE_ROWS_V2)
-              readImage(c, cols, wire, present2) // after image wins
-            else first
-            out += Row.fromSeq(Seq(op, logPos, time) ++ replicating)
-          }
-        case XID if emitMarkers =>
-          out += Row.fromSeq(Seq("C", logPos,
+        case XID if marker.isDefined =>
+          out += marker.get(logPos,
             java.time.LocalDateTime.ofEpochSecond(tsSec, 0,
-              java.time.ZoneOffset.UTC)) ++ cols.map(_ => null))
+              java.time.ZoneOffset.UTC))
         case _ => () // Query/Xid/Gtid/Rotate/Stop/FDE: verified, skipped
       }
     }
@@ -801,6 +1035,79 @@ object BinlogBinary {
       }(Encoders.tuple(Encoders.scalaLong, Encoders.STRING,
         Encoders.scalaLong))
       .collect().toSeq.sortBy(_._1)
+  }
+
+  /** Decode a GTID-set resume token against THIS raw dump's GTID
+    * index — the binary transport's [[BinlogText.gtidStartAfter]]:
+    * same shared boundary rule ([[BinlogText.gtidStartAfterIndex]]),
+    * same channel-chain and contiguity refusals, so a replica can
+    * anchor its resume on whichever wire format it tails. */
+  def gtidStartAfter(spark: SparkSession, dir: String, token: String,
+      channels: Seq[(String, Long)]): Long = {
+    val idx = parseGtidIndex(spark, dir)
+    require(idx.nonEmpty,
+      s"dump at $dir carries no GTID events — this feed cannot " +
+        "anchor a GTID resume; resume by seq instead")
+    BinlogText.gtidStartAfterIndex(idx, token, channels)
+  }
+
+  /** Verify a rotation DIRECTORY's chain integrity — the lost-rotation
+    * guard: a binlog file's trailing ROTATE event names the NEXT file
+    * the server opened, so for every file in the dir (grouped by name
+    * prefix, sorted by name) the announced successor must BE the next
+    * file present. A hole (`bin.000002` missing between 000001 and
+    * 000003) is silently lost change events — the silently-diverged-
+    * replica class — and refuses naming the missing file. The LAST
+    * file's announcement may point beyond the window (the tail still
+    * being written, or rotated out of this batch's scope) — allowed;
+    * a file ending in STOP (clean shutdown) or with no
+    * announcement (an at-rest extract) closes its chain. Distributed
+    * per file (each task reads its own announcement); only the
+    * metadata-scale (file → successor) map collects. */
+  def verifyRotationChain(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.Encoders
+    val ann = spark.read.format("binaryFile").load(dir)
+      .select(col("content"), col("path"))
+      .flatMap { r =>
+        val name = r.getString(1).split('/').last
+        Iterator((name, lastRotateTarget(
+          r.getAs[Array[Byte]](0), r.getString(1)).getOrElse("")))
+      }(Encoders.tuple(Encoders.STRING, Encoders.STRING))
+      .collect().toSeq.sortBy(_._1)
+    // chains are PER PREFIX (`binlog.000123` → prefix `binlog`): one
+    // server writes one name family, and a fixture dir composing
+    // several families must not cross-compare their chains
+    ann.groupBy(_._1.reverse.dropWhile(_ != '.').reverse)
+      .values.foreach { group =>
+        group.sortBy(_._1).sliding(2).foreach {
+          case Seq((f, next), (g, _)) if next.nonEmpty =>
+            require(next == g,
+              s"rotation chain broken: $f announces successor '$next' " +
+                s"but the next file present is '$g' — the announced " +
+                "rotation is MISSING from this window (lost change " +
+                "events); restore it or re-snapshot instead of " +
+                "silently skipping")
+          case _ => () // no announcement (STOP/at-rest): chain ends
+        }
+      }
+  }
+
+  /** The file's LAST event's ROTATE target, if its last event is a
+    * ROTATE — the successor announcement [[verifyRotationChain]]
+    * checks. */
+  private def lastRotateTarget(bytes: Array[Byte],
+      path: String): Option[String] = {
+    var last: Option[String] = None
+    walkEvents(bytes, path) { (eventType, _, _, o, bodyEnd) =>
+      last = eventType match {
+        case ROTATE =>
+          // post-header: position(8 LE), then the next file name
+          Some(new String(bytes, o + HeaderLen + 8,
+            bodyEnd - (o + HeaderLen + 8), "UTF-8"))
+        case _ => None
+      }
+    }
+    last
   }
 
   private def extractGtids(bytes: Array[Byte],

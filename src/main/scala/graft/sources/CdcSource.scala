@@ -106,6 +106,25 @@ final case class BinlogBinaryCdcSource(dir: String,
     BinlogBinary.streamDecode(spark, dir, cols, requireRotate)
 }
 
+/** [[BinlogBinaryCdcSource]] for a MULTI-TABLE raw dump: one tailed
+  * dir carries N tables' interleaved row events, each dispatching on
+  * the table name its TABLE_MAP carries on the wire under
+  * [[BinlogBinary.parseMulti]]'s rules — the natural raw-bytes feed
+  * for `runCdcPassMultiSource`'s per-table fan-out. */
+final case class BinlogBinaryMultiCdcSource(dir: String,
+    colsByTable: Map[String, Seq[(String, org.apache.spark.sql.types.DataType)]],
+    ignoreTables: Set[String] = Set.empty,
+    /** See [[BinlogBinaryCdcSource.requireRotate]]. */
+    requireRotate: Boolean = true) extends CdcSource {
+  // table column PINNED to "table" — see BinlogTextMultiCdcSource
+  private val sd = BinlogText.multiEnvelope(colsByTable,
+    tableCol = "table", ignoreTables, None)
+  override def schema: StructType = sd._1
+  override def open(spark: SparkSession): DataFrame =
+    BinlogBinary.streamDecodeMulti(spark, dir, sd._1, colsByTable,
+      ignoreTables, requireRotate)
+}
+
 /** Test/embedded backend over an already-constructed streaming DataFrame
   * (e.g. a MemoryStream's `toDF` — StreamingSpec proves the pass runs
   * unchanged over it). `schema` is taken from the DataFrame itself. */

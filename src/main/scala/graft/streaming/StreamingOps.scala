@@ -3757,6 +3757,122 @@ object StreamingOps {
       readLatestState(s, s"$tmp/state")
     }),
 
+    // S-BINLOG-BASE64: ingest from a NON-VERBOSE text dump —
+    // mysqlbinlog's DEFAULT output, where row events arrive only as
+    // `BINLOG '…'` base64 statements (no ### pseudo-SQL anywhere).
+    // BinlogText.parseNonVerbose extracts the payloads per file,
+    // decodes them back into the raw event stream they are, and hands
+    // them to the BINARY wire decoder — CRC32-verified,
+    // TABLE_MAP-validated — so the operator whose first contact is
+    // the default mysqlbinlog output needs no re-dump. The pass over
+    // this envelope must land on the SAME collapse as the other three
+    // transports: one oracle — parquet waves, verbose text, raw
+    // bytes, base64 text.
+    "cdc_binlog_base64" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir)
+      val cols: Seq[(String, org.apache.spark.sql.types.DataType)] = Seq(
+        "okey" -> org.apache.spark.sql.types.LongType,
+        "price" -> DoubleType, "status" -> StringType)
+      val tmp = tmpDir()
+      graft.sources.BinlogText.renderBase64(log, cols, s"$tmp/binlog",
+        files = 4)
+      val env = graft.sources.BinlogText.parseNonVerbose(
+        s, s"$tmp/binlog", cols)
+      val in = s"$tmp/in"
+      writeWave(env, in, 0)
+      runCdcPass(s, env.schema, in, s"$tmp/ckpt", s"$tmp/state")
+      readLatestState(s, s"$tmp/state")
+    }),
+
+    // S-BINLOG-BASE64-MULTI: ONE NON-VERBOSE DUMP → N TABLES — the
+    // base64 payloads carry TABLE_MAP events naming their tables on
+    // the wire, so the routed binary decode dispatches them through
+    // the text transport into the same union envelope as every other
+    // multi-table path. Same topology, same oracle as the text and
+    // raw-bytes multi queries.
+    "cdc_binlog_base64_multi" -> ((s, dir) => {
+      import org.apache.spark.sql.types.LongType
+      val log = Tables.cdcLog(s, dir)
+      val colsEven: Seq[(String, org.apache.spark.sql.types.DataType)] =
+        Seq("okey" -> LongType, "price" -> DoubleType,
+          "status" -> StringType)
+      val colsOdd: Seq[(String, org.apache.spark.sql.types.DataType)] =
+        Seq("okey" -> LongType, "price" -> DoubleType,
+          "note" -> StringType)
+      val tmp = tmpDir()
+      graft.sources.BinlogText.renderBase64(
+        log.filter(col("okey") % 2 === 0), colsEven,
+        s"$tmp/binlog", files = 2, table = "t_even")
+      graft.sources.BinlogText.renderBase64(
+        log.filter(col("okey") % 2 === 1)
+          .withColumn("note", when(col("op") === "D",
+            lit(null).cast(StringType))
+            .otherwise(concat(lit("n"), (col("okey") % 5).cast(StringType))))
+          .select("op", "seq", "ts", "okey", "price", "note"),
+        colsOdd, s"$tmp/binlog", files = 2, table = "t_odd",
+        append = true)
+      graft.sources.BinlogText.renderBase64(
+        log.filter(col("okey") % 2 === 0 && col("seq") === 1 &&
+          col("okey") < 100), colsEven,
+        s"$tmp/binlog", files = 1, table = "audit", append = true)
+      val env = graft.sources.BinlogText.parseMultiNonVerbose(
+        s, s"$tmp/binlog",
+        Map("t_even" -> colsEven, "t_odd" -> colsOdd),
+        ignoreTables = Set("audit"))
+      val in = s"$tmp/in"
+      writeWave(env, in, 0)
+      val dirs = Map("t_even" -> s"$tmp/state_even",
+        "t_odd" -> s"$tmp/state_odd")
+      runCdcPassMulti(s, env.schema, in, s"$tmp/ckpt", dirs)
+      dirs.toSeq.sortBy(_._1).map { case (t, d) =>
+        readLatestState(s, d).withColumn("tbl", lit(t))
+      }.reduce(_.unionByName(_))
+        .select(col("tbl"), col("okey"), col("op"), col("price"),
+          col("status"), col("note"), col("ts"))
+        .orderBy(col("tbl"), col("okey"))
+    }),
+
+    // S-BINLOG-BASE64-TXN: the TRANSACTION loop from a NON-VERBOSE
+    // dump — the realistic split a default mysqlbinlog dump actually
+    // carries: row events as BINLOG base64 statements (decoded through
+    // the binary wire path), GTID stamps and Xid commits as PLAIN TEXT
+    // (mysqlbinlog prints those decoded in every mode, so the text
+    // extractors serve both transports — the transaction discipline
+    // cannot fork). Transactions 1-2 commit; txn 3's rows ride the
+    // dump with no Xid and hold back. Same positions, same oracle as
+    // the text and raw-bytes txn loops: one transaction discipline,
+    // three transports.
+    "cdc_binlog_base64_txn" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir)
+      val cols: Seq[(String, org.apache.spark.sql.types.DataType)] = Seq(
+        "okey" -> org.apache.spark.sql.types.LongType,
+        "price" -> DoubleType, "status" -> StringType)
+      val env = log.select(col("op"),
+        (col("seq") * 100000000L + col("okey") + 1L).as("seq"),
+        col("ts"), col("okey"), col("price"), col("status"))
+      val tmp = tmpDir()
+      graft.sources.BinlogText.renderBase64(env, cols, s"$tmp/binlog",
+        files = 3)
+      val uuid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+      val stamps = (1 to 3).map(n => graft.sources.BinlogText.renderGtid(
+        n * 100000000L, 800000000L, uuid, n)) ++
+        (1 to 2).map(n => graft.sources.BinlogText.renderXid(
+          (n + 1) * 100000000L - 1, 800000000L, n))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$tmp/binlog/txn.txt"),
+        stamps.mkString("\n"))
+      val envTxn = graft.sources.BinlogText.parseTxnNonVerbose(
+        s, s"$tmp/binlog", cols)
+      val in = s"$tmp/in"
+      writeWave(envTxn, in, 0)
+      runCdcPass(s, envTxn.schema, in, s"$tmp/ckpt", s"$tmp/state",
+        txnCol = Some("txn"))
+      readLatestState(s, s"$tmp/state")
+        .select(col("okey"), col("op"), col("price"), col("status"),
+          col("ts"))
+        .orderBy(col("okey"))
+    }),
+
     // S-BINLOG-BINARY-TXN: the TRANSACTION loop from RAW WIRE BYTES —
     // GTID events (type 33) delimit transactions, Xid events (16) mark
     // their commits, BinlogBinary.parseTxn stamps rows and emits the
@@ -3798,6 +3914,120 @@ object StreamingOps {
         .select(col("okey"), col("op"), col("price"), col("status"),
           col("ts"))
         .orderBy(col("okey"))
+    }),
+
+    // S-BINLOG-BINARY-MULTI: ONE RAW DUMP → N TABLES — the multi-table
+    // topology decoded from wire bytes: TABLE_MAP events name their
+    // tables natively (the binary format's own dispatch key — no verb
+    // line parsing), BinlogBinary.parseMulti routes each row event to
+    // its declared column plan, skips the declared-excluded audit
+    // table with ZERO body work (events are size-addressed), refuses
+    // undeclared tables loudly, and fills the SAME union envelope as
+    // the text transport so runCdcPassMulti consumes both without
+    // knowing which wire format fed it. Same fixture topology and the
+    // SAME oracle as cdc_binlog_text_multi: one decode contract, two
+    // wire formats.
+    "cdc_binlog_binary_multi" -> ((s, dir) => {
+      import org.apache.spark.sql.types.LongType
+      val log = Tables.cdcLog(s, dir)
+      val colsEven: Seq[(String, org.apache.spark.sql.types.DataType)] =
+        Seq("okey" -> LongType, "price" -> DoubleType,
+          "status" -> StringType)
+      val colsOdd: Seq[(String, org.apache.spark.sql.types.DataType)] =
+        Seq("okey" -> LongType, "price" -> DoubleType,
+          "note" -> StringType)
+      val tmp = tmpDir()
+      graft.sources.BinlogBinary.render(
+        log.filter(col("okey") % 2 === 0), colsEven,
+        s"$tmp/binlog", files = 2, table = "t_even", prefix = "even")
+      graft.sources.BinlogBinary.render(
+        log.filter(col("okey") % 2 === 1)
+          .withColumn("note", when(col("op") === "D",
+            lit(null).cast(StringType))
+            .otherwise(concat(lit("n"), (col("okey") % 5).cast(StringType))))
+          .select("op", "seq", "ts", "okey", "price", "note"),
+        colsOdd, s"$tmp/binlog", files = 2, table = "t_odd",
+        prefix = "odd", append = true)
+      // an undeclared table's events ride the same dump — excluded by
+      // declaration, never silently
+      graft.sources.BinlogBinary.render(
+        log.filter(col("okey") % 2 === 0 && col("seq") === 1 &&
+          col("okey") < 100), colsEven,
+        s"$tmp/binlog", files = 1, table = "audit", prefix = "audit",
+        append = true)
+      val env = graft.sources.BinlogBinary.parseMulti(s, s"$tmp/binlog",
+        Map("t_even" -> colsEven, "t_odd" -> colsOdd),
+        ignoreTables = Set("audit"))
+      val in = s"$tmp/in"
+      writeWave(env, in, 0)
+      val dirs = Map("t_even" -> s"$tmp/state_even",
+        "t_odd" -> s"$tmp/state_odd")
+      runCdcPassMulti(s, env.schema, in, s"$tmp/ckpt", dirs)
+      dirs.toSeq.sortBy(_._1).map { case (t, d) =>
+        readLatestState(s, d).withColumn("tbl", lit(t))
+      }.reduce(_.unionByName(_))
+        .select(col("tbl"), col("okey"), col("op"), col("price"),
+          col("status"), col("note"), col("ts"))
+        .orderBy(col("tbl"), col("okey"))
+    }),
+
+    // S-BINLOG-BINARY-DDL: the FULL binlog loop from RAW WIRE BYTES —
+    // row events AND DDL QueryEvents in one dump, no mysqlbinlog and
+    // no hand-declared verb anywhere: rotation 1 carries the v1 rows,
+    // rotation 2 opens with ALTER TABLE QueryEvents (thread_id/
+    // exec_time/status-vars wire layout) followed by the post-DDL rows
+    // under the evolved TABLE_MAP. BinlogBinary.parse decodes the rows
+    // (query events checksum-verify and skip), BinlogBinary.parseDdl
+    // extracts the statements, and the SAME DdlSql fold the text
+    // transport feeds maps them onto the resumed pass. Same fixture
+    // evolution and the SAME oracle as cdc_binlog_text_ddl.
+    "cdc_binlog_binary_ddl" -> ((s, dir) => {
+      import org.apache.spark.sql.types.LongType
+      val log = Tables.cdcLog(s, dir)
+      val tmp = tmpDir()
+      val in = s"$tmp/in"
+      val cols1: Seq[(String, org.apache.spark.sql.types.DataType)] = Seq(
+        "okey" -> LongType, "price" -> DoubleType,
+        "status" -> StringType, "channel" -> StringType)
+      val v1 = log.filter(col("seq") === 1).withColumn("channel",
+        when(col("op") === "D", lit(null).cast(StringType))
+          .otherwise(concat(lit("old"), (col("okey") % 4).cast(StringType))))
+      graft.sources.BinlogBinary.render(v1, cols1, s"$tmp/binlog1",
+        files = 2)
+      val env1 = graft.sources.BinlogBinary.parse(s, s"$tmp/binlog1", cols1)
+      writeWave(env1, in, 0)
+      runCdcPass(s, env1.schema, in, s"$tmp/ckpt", s"$tmp/state")
+      // rotation 2: DDL query events at position 1, then evolved rows
+      val cols2: Seq[(String, org.apache.spark.sql.types.DataType)] = Seq(
+        "okey" -> LongType, "price" -> DoubleType,
+        "status" -> StringType, "chan" -> StringType,
+        "note" -> StringType)
+      val v2 = log.filter(col("seq") >= 2)
+        .withColumn("chan",
+          when(col("op") === "D", lit(null).cast(StringType))
+            .otherwise(concat(lit("new"), (col("okey") % 4).cast(StringType))))
+        .withColumn("note",
+          when(col("op") === "D" || col("okey") % 5 === 0,
+            lit(null).cast(StringType))
+            .otherwise(concat(lit("n"), (col("okey") % 3).cast(StringType))))
+      graft.sources.BinlogBinary.render(v2, cols2, s"$tmp/binlog2",
+        files = 2)
+      graft.sources.BinlogBinary.writeEvents(s"$tmp/binlog2",
+        "bin.000099", Seq(
+          graft.sources.BinlogBinary.queryEvent(1L, 800000000L,
+            "ALTER TABLE orders RENAME COLUMN channel TO chan"),
+          graft.sources.BinlogBinary.queryEvent(1L, 800000000L,
+            "ALTER TABLE `orders` ADD COLUMN `note` VARCHAR(32) " +
+              "DEFAULT 'none'")))
+      val cfg = DdlSql.fold(
+        graft.sources.BinlogBinary.parseDdl(s, s"$tmp/binlog2"),
+        tableFilter = Some("orders"))
+      val env2 = graft.sources.BinlogBinary.parse(s, s"$tmp/binlog2", cols2)
+      writeWave(env2, in, 1)
+      runCdcPass(s, env2.schema, in, s"$tmp/ckpt", s"$tmp/state",
+        renameCols = cfg.renameCols, defaultCols = cfg.defaultCols,
+        dropCols = cfg.dropCols, truncateAtSeq = cfg.truncateAtSeq)
+      readLatestState(s, s"$tmp/state")
     }),
 
     // S-BINLOG-TEXT-DDL: the FULL binlog loop — row events AND DDL
@@ -5642,6 +5872,67 @@ object StreamingOps {
        SELECT okey, op, price, status, ts FROM ranked
        WHERE rn = 1 AND op <> 'D' ORDER BY okey"""
 
+  // the full dump loop (rows + DDL QueryEvents): rename carries the
+  // pass-1 'old…' values under `chan`, the ADD…DEFAULT backfills
+  // `note` with 'none' for pass-1 winners, post-DDL explicit NULLs
+  // stay NULL — identical to the hand-declared evolved union. ONE
+  // oracle for both wire formats (text and raw bytes): the DDL fold
+  // must land the same state no matter which transport extracted the
+  // statements.
+  private val binlogDdlSql: String =
+    s"""WITH cdc_log AS (${Tables.cdcLogSql}),
+          evolved AS (
+            SELECT op, seq, ts, okey, price, status,
+                   CASE WHEN op = 'D' THEN NULL
+                        ELSE 'old' || CAST(okey % 4 AS VARCHAR) END AS chan,
+                   CAST(NULL AS VARCHAR) AS note
+            FROM cdc_log WHERE seq = 1
+            UNION ALL
+            SELECT op, seq, ts, okey, price, status,
+                   CASE WHEN op = 'D' THEN NULL
+                        ELSE 'new' || CAST(okey % 4 AS VARCHAR) END,
+                   CASE WHEN op = 'D' OR okey % 5 = 0 THEN NULL
+                        ELSE 'n' || CAST(okey % 3 AS VARCHAR) END
+            FROM cdc_log WHERE seq >= 2),
+          ranked AS (SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) rn
+                     FROM evolved)
+       SELECT okey, op, price, status, ts, chan,
+              CASE WHEN seq <= 1 AND note IS NULL THEN 'none'
+                   ELSE note END AS note
+       FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY okey"""
+
+  // the txn gate from dump bytes: transactions 1-2 committed (Xid
+  // present), txn 3 — the delete wave — held back entirely, so the
+  // collapse runs over seq <= 2 only. ONE oracle for all three
+  // transports that can carry transaction punctuation (verbose text,
+  // raw bytes, non-verbose base64).
+  private val binlogTxnSql: String =
+    s"""WITH cdc_log AS (${Tables.cdcLogSql}),
+          ranked AS (SELECT *, row_number() OVER (
+                       PARTITION BY okey ORDER BY seq DESC) rn
+                     FROM cdc_log WHERE seq <= 2)
+       SELECT okey, op, price, status, ts
+       FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY okey"""
+
+  // one dump, two tables, heterogeneous payloads: per-table collapse
+  // with each table's undeclared columns NULL; the audit exclusion and
+  // the dispatch leave the values untouched. ONE oracle for both wire
+  // formats — the union envelope must not care which transport filled
+  // it.
+  private val binlogMultiSql: String =
+    s"""WITH cdc_log AS (${Tables.cdcLogSql}),
+          ranked AS (SELECT *, row_number() OVER (
+                       PARTITION BY okey ORDER BY seq DESC) rn
+                     FROM cdc_log)
+       SELECT CASE WHEN okey % 2 = 0 THEN 't_even' ELSE 't_odd' END AS tbl,
+              okey, op, price,
+              CASE WHEN okey % 2 = 0 THEN status END AS status,
+              CASE WHEN okey % 2 = 1
+                   THEN 'n' || CAST(okey % 5 AS VARCHAR) END AS note,
+              ts
+       FROM ranked WHERE rn = 1 AND op <> 'D'
+       ORDER BY tbl, okey"""
+
   val oracle: Map[String, String] = Map(
     // stream ≡ batch: the applied state must equal the A8 collapse.
     "stream_cdc_apply" -> latestStateSql,
@@ -5649,73 +5940,29 @@ object StreamingOps {
     // text-decoded binlog ≡ pre-decoded parquet feed: same collapse.
     "cdc_binlog_text" -> latestStateSql,
     // binary-wire-decoded binlog ≡ the same collapse — one oracle,
-    // three transports (parquet waves, dump text, raw bytes).
+    // four transports (parquet waves, dump text, raw bytes, and the
+    // non-verbose dump's base64 statements).
     "cdc_binlog_binary" -> latestStateSql,
+    "cdc_binlog_base64" -> latestStateSql,
 
-    // txn gate from raw wire bytes: same semantics and oracle as the
-    // text transport's txn loop — transactions 1-2 committed, txn 3
-    // held back, collapse over seq <= 2 only
-    "cdc_binlog_binary_txn" ->
-      s"""WITH cdc_log AS (${Tables.cdcLogSql}),
-            ranked AS (SELECT *, row_number() OVER (
-                         PARTITION BY okey ORDER BY seq DESC) rn
-                       FROM cdc_log WHERE seq <= 2)
-         SELECT okey, op, price, status, ts
-         FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
+    // txn gate — one oracle, three transports (see binlogTxnSql)
+    "cdc_binlog_binary_txn" -> binlogTxnSql,
+    "cdc_binlog_base64_txn" -> binlogTxnSql,
+    "cdc_binlog_base64_multi" -> binlogMultiSql,
 
-    // the full dump loop (rows + DDL QueryEvents): rename carries the
-    // pass-1 'old…' values under `chan`, the ADD…DEFAULT backfills
-    // `note` with 'none' for pass-1 winners, post-DDL explicit NULLs
-    // stay NULL — identical to the hand-declared evolved union.
-    "cdc_binlog_text_ddl" ->
-      s"""WITH cdc_log AS (${Tables.cdcLogSql}),
-            evolved AS (
-              SELECT op, seq, ts, okey, price, status,
-                     CASE WHEN op = 'D' THEN NULL
-                          ELSE 'old' || CAST(okey % 4 AS VARCHAR) END AS chan,
-                     CAST(NULL AS VARCHAR) AS note
-              FROM cdc_log WHERE seq = 1
-              UNION ALL
-              SELECT op, seq, ts, okey, price, status,
-                     CASE WHEN op = 'D' THEN NULL
-                          ELSE 'new' || CAST(okey % 4 AS VARCHAR) END,
-                     CASE WHEN op = 'D' OR okey % 5 = 0 THEN NULL
-                          ELSE 'n' || CAST(okey % 3 AS VARCHAR) END
-              FROM cdc_log WHERE seq >= 2),
-            ranked AS (SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) rn
-                       FROM evolved)
-         SELECT okey, op, price, status, ts, chan,
-                CASE WHEN seq <= 1 AND note IS NULL THEN 'none'
-                     ELSE note END AS note
-         FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
+    // the full dump loop (rows + DDL QueryEvents) — one oracle, both
+    // wire formats (see binlogDdlSql)
+    "cdc_binlog_text_ddl" -> binlogDdlSql,
+    "cdc_binlog_binary_ddl" -> binlogDdlSql,
 
-    // one dump, two tables, heterogeneous payloads: per-table collapse
-    // with each table's undeclared columns NULL; the audit exclusion
-    // and the dispatch leave the values untouched
-    "cdc_binlog_text_multi" ->
-      s"""WITH cdc_log AS (${Tables.cdcLogSql}),
-            ranked AS (SELECT *, row_number() OVER (
-                         PARTITION BY okey ORDER BY seq DESC) rn
-                       FROM cdc_log)
-         SELECT CASE WHEN okey % 2 = 0 THEN 't_even' ELSE 't_odd' END AS tbl,
-                okey, op, price,
-                CASE WHEN okey % 2 = 0 THEN status END AS status,
-                CASE WHEN okey % 2 = 1
-                     THEN 'n' || CAST(okey % 5 AS VARCHAR) END AS note,
-                ts
-         FROM ranked WHERE rn = 1 AND op <> 'D'
-         ORDER BY tbl, okey""",
+    // one dump, two tables — one oracle, both wire formats (see
+    // binlogMultiSql)
+    "cdc_binlog_text_multi" -> binlogMultiSql,
+    "cdc_binlog_binary_multi" -> binlogMultiSql,
 
-    // txn gate from dump text: transactions 1-2 committed (Xid present),
-    // txn 3 — the delete wave — held back entirely, so the collapse
-    // runs over seq <= 2 only
-    "cdc_binlog_text_txn" ->
-      s"""WITH cdc_log AS (${Tables.cdcLogSql}),
-            ranked AS (SELECT *, row_number() OVER (
-                         PARTITION BY okey ORDER BY seq DESC) rn
-                       FROM cdc_log WHERE seq <= 2)
-         SELECT okey, op, price, status, ts
-         FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
+    // txn gate from dump text — one oracle, three transports (see
+    // binlogTxnSql)
+    "cdc_binlog_text_txn" -> binlogTxnSql,
 
     // soft delete: every key's latest event survives — tombstone winners
     // flagged `_deleted = 1` with the delete's before-image payload.

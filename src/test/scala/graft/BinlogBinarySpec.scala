@@ -397,4 +397,224 @@ class BinlogBinarySpec extends SparkTestBase {
       .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
       .contains("in-flight or torn rotation"))
   }
+
+  private val colsOdd: Seq[(String, DataType)] = Seq(
+    "okey" -> LongType, "price" -> DoubleType, "note" -> StringType)
+
+  test("parseMulti dispatches on the TABLE_MAP's wire table name into " +
+      "the union envelope; ignored tables skip; undeclared refuses") {
+    val dir = tmp()
+    BinlogBinary.render(envDf(Seq(
+      ("I", 1L, 800000000L, 2L, 20.0, "s2"),
+      ("U", 3L, 800000002L, 2L, 21.0, "s2b"))),
+      cols, s"$dir/b", files = 1, table = "t_even", prefix = "even")
+    val odd = envDf(Seq(
+      ("I", 2L, 800000001L, 1L, 10.0, "n1"),
+      ("D", 4L, 800000003L, 1L, null, null)))
+      .withColumnRenamed("status", "note")
+    BinlogBinary.render(odd, colsOdd, s"$dir/b", files = 1,
+      table = "t_odd", prefix = "odd", append = true)
+    // an excluded table's events ride the same dump
+    BinlogBinary.render(envDf(Seq(("I", 9L, 800000009L, 7L, 7.0, "x"))),
+      cols, s"$dir/b", files = 1, table = "audit", prefix = "audit",
+      append = true)
+    val env = BinlogBinary.parseMulti(spark, s"$dir/b",
+      Map("t_even" -> cols, "t_odd" -> colsOdd),
+      ignoreTables = Set("audit"))
+    // union envelope: byte-identical schema to the text transport's
+    val dirT = tmp()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dirT/empty"))
+    assert(env.schema == BinlogText.parseMulti(spark, s"$dirT/empty",
+      Map("t_even" -> cols, "t_odd" -> colsOdd),
+      ignoreTables = Set("audit")).schema)
+    val got = env.orderBy(col("seq")).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getString(3),
+        r.getAs[Any]("okey"), r.getAs[Any]("price"),
+        r.getAs[Any]("status"), r.getAs[Any]("note"))).toSeq
+    assert(got == Seq(
+      ("I", 1L, "t_even", 2L, 20.0, "s2", null),
+      ("I", 2L, "t_odd", 1L, 10.0, null, "n1"),
+      ("U", 3L, "t_even", 2L, 21.0, "s2b", null),
+      ("D", 4L, "t_odd", 1L, null, null, null)), s"got: $got")
+    // the same dump with audit neither declared nor excluded refuses
+    val e = intercept[Throwable] {
+      BinlogBinary.parseMulti(spark, s"$dir/b",
+        Map("t_even" -> cols, "t_odd" -> colsOdd)).collect()
+    }
+    assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      .contains("names table 'audit'"))
+    // a PER-TABLE stale declaration refuses with the table named
+    val e2 = intercept[Throwable] {
+      BinlogBinary.parseMulti(spark, s"$dir/b",
+        Map("t_even" -> cols,
+          "t_odd" -> Seq[(String, DataType)]("okey" -> LongType,
+            "price" -> DoubleType, "note" -> LongType)),
+        ignoreTables = Set("audit")).collect()
+    }
+    assert(Iterator.iterate(e2)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      .contains("for table 't_odd'"))
+  }
+
+  test("parseMulti: interleaved and RE-REGISTERED table ids in ONE " +
+      "file dispatch each row event under its live TABLE_MAP") {
+    val dir = tmp()
+    val t0 = java.time.LocalDateTime.ofEpochSecond(
+      800000000L, 0, java.time.ZoneOffset.UTC)
+    def evenRow(seq: Long, okey: Long, price: Double, status: String) =
+      Row("I", seq, t0, okey, price, status)
+    def oddRow(seq: Long, okey: Long, price: Double, note: String) =
+      Row("I", seq, t0, okey, price, note)
+    // tid 7 = t_even, tid 9 first maps t_odd, later RE-REGISTERS to
+    // t_even (servers reuse table ids across TABLE_MAPs; the LAST
+    // registration owns the id) — rows interleave across both maps
+    BinlogBinary.writeEvents(s"$dir/b", "bin.000001", Seq(
+      BinlogBinary.tableMapEvent("t_even", cols, tableId = 7L),
+      BinlogBinary.rowsEvent(evenRow(1L, 10L, 1.0, "a"), cols, 7L),
+      BinlogBinary.tableMapEvent("t_odd", colsOdd, tableId = 9L),
+      BinlogBinary.rowsEvent(oddRow(2L, 11L, 2.0, "n"), colsOdd, 9L),
+      BinlogBinary.rowsEvent(evenRow(3L, 12L, 3.0, "b"), cols, 7L),
+      BinlogBinary.tableMapEvent("t_even", cols, tableId = 9L),
+      BinlogBinary.rowsEvent(evenRow(4L, 13L, 4.0, "c"), cols, 9L)))
+    val env = BinlogBinary.parseMulti(spark, s"$dir/b",
+      Map("t_even" -> cols, "t_odd" -> colsOdd))
+    val got = env.orderBy(col("seq")).collect().map(r =>
+      (r.getLong(1), r.getString(3), r.getAs[Any]("status"),
+        r.getAs[Any]("note"))).toSeq
+    assert(got == Seq(
+      (1L, "t_even", "a", null), (2L, "t_odd", null, "n"),
+      (3L, "t_even", "b", null), (4L, "t_even", "c", null)),
+      s"got: $got")
+  }
+
+  test("parseMultiTxn: one topology-level Xid closes a CROSS-TABLE " +
+      "transaction; the uncommitted tail stays marker-less; one scan") {
+    val dir = tmp()
+    val uuid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    // txn 1 spans t_even (pos 11) and t_odd (pos 12), Xid at 19;
+    // txn 2 (pos 21) has no Xid — the uncommitted tail
+    BinlogBinary.render(envDf(Seq(
+      ("I", 11L, 800000000L, 1L, 1.5, "a"),
+      ("I", 21L, 800000060L, 3L, 3.5, "c"))),
+      cols, s"$dir/b", files = 1, table = "t_even", prefix = "even")
+    BinlogBinary.render(
+      envDf(Seq(("I", 12L, 800000000L, 2L, 2.5, "n2")))
+        .withColumnRenamed("status", "note"),
+      colsOdd, s"$dir/b", files = 1, table = "t_odd", prefix = "odd",
+      append = true)
+    BinlogBinary.writeEvents(s"$dir/b", "bin.000009", Seq(
+      BinlogBinary.gtidEvent(10L, 800000000L, uuid, 1L),
+      BinlogBinary.gtidEvent(20L, 800000060L, uuid, 2L),
+      BinlogBinary.xidEvent(19L, 800000000L, 7L)))
+    val txn = BinlogBinary.parseMultiTxn(spark, s"$dir/b",
+      Map("t_even" -> cols, "t_odd" -> colsOdd))
+    // rows and markers decode in ONE pass: a single dump relation
+    val leaves = txn.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.size == 1,
+      s"expected ONE dump relation, got ${leaves.map(_.getClass.getSimpleName)}")
+    val got = txn.orderBy(col("seq")).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getString(3),
+        r.getString(r.fieldIndex("txn")))).toSeq
+    assert(got == Seq(
+      ("I", 11L, "t_even", s"$uuid:1"),
+      ("I", 12L, "t_odd", s"$uuid:1"),
+      ("C", 19L, "_ctl", s"$uuid:1"),
+      ("I", 21L, "t_even", s"$uuid:2")), s"got: $got")
+  }
+
+  test("gtidStartAfter: a resume token decodes against the BINARY " +
+      "GTID index under the same shared boundary rule as text") {
+    val dir = tmp()
+    val uuid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    BinlogBinary.render(envDf(Seq(
+      ("I", 11L, 800000000L, 1L, 1.5, "a"),
+      ("I", 21L, 800000060L, 3L, 3.5, "c"))),
+      cols, s"$dir/b", files = 1)
+    BinlogBinary.writeEvents(s"$dir/b", "bin.000009", Seq(
+      BinlogBinary.gtidEvent(10L, 800000000L, uuid, 1L),
+      BinlogBinary.gtidEvent(20L, 800000060L, uuid, 2L)))
+    // txn 1 covered -> boundary one position below txn 2's stamp
+    assert(BinlogBinary.gtidStartAfter(spark, s"$dir/b",
+      s"$uuid:1", Seq(uuid -> 0L)) == 19L)
+    // the whole dump covered -> everything already applied
+    assert(BinlogBinary.gtidStartAfter(spark, s"$dir/b",
+      s"$uuid:1-2", Seq(uuid -> 0L)) == Long.MaxValue)
+    // a foreign-source token refuses through the shared codec
+    val e = intercept[Throwable] {
+      BinlogBinary.gtidStartAfter(spark, s"$dir/b",
+        "11111111-2222-3333-4444-555555555555:1", Seq(uuid -> 0L))
+    }
+    assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      .nonEmpty)
+  }
+
+  test("verifyRotationChain: ROTATE announcements must name the next " +
+      "file present — a missing middle rotation refuses by name") {
+    val dir = tmp()
+    BinlogBinary.render(envDf(Seq(
+      ("I", 1L, 800000000L, 1L, 1.0, "a"),
+      ("I", 2L, 800000000L, 2L, 2.0, "b"),
+      ("I", 3L, 800000000L, 3L, 3.0, "c"))),
+      cols, s"$dir/b", files = 3)
+    // a second name family in the same dir must chain independently
+    BinlogBinary.render(envDf(Seq(("I", 9L, 800000009L, 7L, 7.0, "x"))),
+      cols, s"$dir/b", files = 1, table = "audit", prefix = "audit",
+      append = true)
+    BinlogBinary.verifyRotationChain(spark, s"$dir/b") // intact: passes
+    // delete the middle rotation: its predecessor's announcement now
+    // points at a file that is not there — lost change events
+    assert(new java.io.File(s"$dir/b/bin.000001").delete())
+    val e = intercept[Throwable] {
+      BinlogBinary.verifyRotationChain(spark, s"$dir/b")
+    }
+    val msg = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msg.contains("announces successor 'bin.000001'"), s"got: $msg")
+    assert(msg.contains("MISSING"), s"got: $msg")
+  }
+
+  test("BinlogBinaryMultiCdcSource: one tailed raw dump feeds the " +
+      "multi-table fan-out, rotations arriving across resumed passes") {
+    import graft.streaming.StreamingOps
+    import graft.sources.BinlogBinaryMultiCdcSource
+    val colsB2: Seq[(String, DataType)] = Seq(
+      "okey" -> LongType, "note" -> StringType)
+    val t0 = java.time.LocalDateTime.ofEpochSecond(
+      800000000L, 0, java.time.ZoneOffset.UTC)
+    def aRow(seq: Long, okey: Long, price: Double) =
+      BinlogBinary.rowsEvent(Row("I", seq, t0, okey, price, "s"), cols, 7L)
+    def bRow(seq: Long, okey: Long, note: String) =
+      BinlogBinary.rowsEvent(Row("I", seq, t0, okey, note), colsB2, 9L)
+    val base = tmp()
+    val dump = s"$base/dump"
+    // rotation 1: both tables interleaved, finished with ROTATE
+    BinlogBinary.writeEvents(dump, "bin.000001", Seq(
+      BinlogBinary.tableMapEvent("ta", cols, tableId = 7L),
+      aRow(1L, 1L, 10.0),
+      BinlogBinary.tableMapEvent("tb", colsB2, tableId = 9L),
+      bRow(2L, 1L, "m1"),
+      BinlogBinary.rotateEvent("bin.000002")))
+    val src = BinlogBinaryMultiCdcSource(dump,
+      Map("ta" -> cols, "tb" -> colsB2))
+    val dirs = Map("ta" -> s"$base/ta", "tb" -> s"$base/tb")
+    StreamingOps.runCdcPassMultiSource(spark, src, s"$base/ckpt", dirs)
+    assert(StreamingOps.readLatestState(spark, s"$base/ta").count() == 1)
+    assert(StreamingOps.readLatestState(spark, s"$base/tb").count() == 1)
+    // the next rotation lands; the resumed pass fans out only its rows
+    BinlogBinary.writeEvents(dump, "bin.000002", Seq(
+      BinlogBinary.tableMapEvent("ta", cols, tableId = 7L),
+      aRow(3L, 2L, 20.0),
+      BinlogBinary.tableMapEvent("tb", colsB2, tableId = 9L),
+      bRow(4L, 1L, "m2"),
+      BinlogBinary.rotateEvent("bin.000003")))
+    StreamingOps.runCdcPassMultiSource(spark, src, s"$base/ckpt", dirs)
+    assert(StreamingOps.readLatestState(spark, s"$base/ta")
+      .select("okey").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(StreamingOps.readLatestState(spark, s"$base/tb")
+      .select("okey", "note").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq == Seq(1L -> "m2"))
+  }
 }

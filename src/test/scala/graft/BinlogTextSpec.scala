@@ -1123,6 +1123,8 @@ class BinlogTextSpec extends SparkTestBase {
     val msg = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
       .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
     assert(msg.contains("--verbose"), s"got: $msg")
+    // …and points at the decoder that CAN read it
+    assert(msg.contains("parseNonVerbose"), s"got: $msg")
     assert(!msg.contains("names no table"), s"got: $msg")
   }
 
@@ -1174,5 +1176,186 @@ class BinlogTextSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getLong(1),
         r.getString(r.fieldIndex("txn")))).toSeq
     assert(got == Seq(("I", 11L, s"$uuid:1"), ("C", 19L, s"$uuid:1")))
+  }
+
+  test("parseNonVerbose: a no-verbose dump's BINLOG base64 statements " +
+      "decode through the binary wire path — full round trip") {
+    val env = envDf(Seq(
+      ("I", 1L, 800000000L, 1L, 10.5, "plain"),
+      ("I", 2L, 800000001L, 2L, null, null),
+      ("U", 3L, 800000002L, 1L, -7.25, "it's a 'quote' \\ slash"),
+      ("I", 5L, 800000003L, 3L, 1.0, "ünïcodé ⚡"),
+      ("D", 4L, 900000000L, 2L, null, null)))
+    val dir = tmp()
+    BinlogText.renderBase64(env, cols, s"$dir/binlog", files = 2)
+    val back = BinlogText.parseNonVerbose(spark, s"$dir/binlog", cols)
+    // same envelope schema as every other transport
+    val dirEmpty = tmp()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dirEmpty/e"))
+    assert(back.schema ==
+      BinlogText.parse(spark, s"$dirEmpty/e", cols).schema)
+    val got = back.collect().map(_.toSeq).toSet
+    val want = env.collect().map(_.toSeq).toSet
+    assert(got == want, s"round-trip diverged:\n got=$got\nwant=$want")
+    // the rendered files really carry mysqlbinlog's non-verbose
+    // framing and NO pseudo-SQL images
+    val texts = new java.io.File(s"$dir/binlog").listFiles()
+      .filter(_.getName.startsWith("part-")).map(f =>
+        java.nio.file.Files.readString(f.toPath))
+    assert(texts.forall(_.contains("BINLOG '")))
+    assert(texts.forall(!_.contains("### ")))
+    // the verbose parser refuses this dump pointing HERE; the stale-
+    // declaration refusal is the binary decoder's own (wire-validated)
+    val e = intercept[Throwable] {
+      BinlogText.parseNonVerbose(spark, s"$dir/binlog",
+        Seq[(String, DataType)]("okey" -> LongType,
+          "price" -> DoubleType)).collect()
+    }
+    assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      .contains("declares 3 columns but the caller declared 2"))
+  }
+
+  test("parseNonVerbose refusals: a verbose dump (no BINLOG blocks) " +
+      "points at parse; a torn base64 statement refuses; corrupt " +
+      "base64 payload fails the binary CRC") {
+    // a verbose dump carries no BINLOG statements: name the right path
+    val env = envDf(Seq(("I", 1L, 800000000L, 1L, 1.0, "x")))
+    val dirV = tmp()
+    BinlogText.render(env, cols, s"$dirV/b", files = 1)
+    val e1 = intercept[Throwable] {
+      BinlogText.parseNonVerbose(spark, s"$dirV/b", cols).collect()
+    }
+    assert(Iterator.iterate(e1)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      .contains("decode it with parse"))
+    // an unterminated BINLOG statement is a torn write
+    val dirT = tmp()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dirT/b"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dirT/b/f.txt"),
+      "# at 4\nBINLOG '\nwlZbVRMBAAAAKwAAAL8AAAAAAHEAAAAAAAEABHRlc3Q=\n")
+    val e2 = intercept[Throwable] {
+      BinlogText.parseNonVerbose(spark, s"$dirT/b", cols).collect()
+    }
+    assert(Iterator.iterate(e2)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      .contains("unterminated BINLOG base64"))
+    // flip one byte inside a valid dump's base64: the BINARY decoder's
+    // CRC32 check refuses through the text transport too
+    val dirC = tmp()
+    BinlogText.renderBase64(env, cols, s"$dirC/b", files = 1)
+    val f = new java.io.File(s"$dirC/b").listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val txt = java.nio.file.Files.readString(f.toPath)
+    val i = txt.lastIndexOf("BINLOG '") + 20
+    val corrupted = txt.substring(0, i) +
+      (if (txt.charAt(i) == 'A') 'B' else 'A') + txt.substring(i + 1)
+    java.nio.file.Files.writeString(f.toPath, corrupted)
+    // drop Hadoop's local-FS .crc sidecars: the in-place edit must hit
+    // OUR wire CRC, not the filesystem's
+    new java.io.File(s"$dirC/b").listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    val e3 = intercept[Throwable] {
+      BinlogText.parseNonVerbose(spark, s"$dirC/b", cols).collect()
+    }
+    val msg3 = Iterator.iterate(e3)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msg3.contains("CRC32 mismatch") || msg3.contains("corrupt") ||
+      msg3.contains("truncated"), s"got: $msg3")
+  }
+
+  test("parseMultiNonVerbose: base64 TABLE_MAPs dispatch per table; " +
+      "an eventless text file (pure punctuation) decodes to nothing") {
+    val colsOdd: Seq[(String, DataType)] = Seq(
+      "okey" -> LongType, "price" -> DoubleType, "note" -> StringType)
+    val dir = tmp()
+    BinlogText.renderBase64(envDf(Seq(
+      ("I", 1L, 800000000L, 2L, 20.0, "s2"))),
+      cols, s"$dir/b", files = 1, table = "t_even")
+    BinlogText.renderBase64(envDf(Seq(
+      ("I", 2L, 800000001L, 1L, 10.0, "n1")))
+      .withColumnRenamed("status", "note"),
+      colsOdd, s"$dir/b", files = 1, table = "t_odd", append = true)
+    BinlogText.renderBase64(envDf(Seq(
+      ("I", 9L, 800000009L, 7L, 7.0, "x"))),
+      cols, s"$dir/b", files = 1, table = "audit", append = true)
+    // an eventless rotation slice: GTID/Xid punctuation only, no
+    // BINLOG blocks — legitimate, decodes to nothing
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/b/txn.txt"),
+      BinlogText.renderGtid(100L, 800000000L,
+        "3e11fa47-71ca-11e1-9e33-c80aa9429562", 1L))
+    val env = BinlogText.parseMultiNonVerbose(spark, s"$dir/b",
+      Map("t_even" -> cols, "t_odd" -> colsOdd),
+      ignoreTables = Set("audit"))
+    val got = env.orderBy(col("seq")).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getString(3),
+        r.getAs[Any]("okey"), r.getAs[Any]("status"),
+        r.getAs[Any]("note"))).toSeq
+    assert(got == Seq(
+      ("I", 1L, "t_even", 2L, "s2", null),
+      ("I", 2L, "t_odd", 1L, null, "n1")), s"got: $got")
+  }
+
+  test("parseTxnNonVerbose: rows from base64 bytes, GTID/Xid from " +
+      "text — the realistic non-verbose split; uncommitted tail " +
+      "stays marker-less; one dump relation in the plan") {
+    val uuid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    val dir = tmp()
+    BinlogText.renderBase64(envDf(Seq(
+      ("I", 11L, 800000000L, 1L, 1.5, "a"),
+      ("I", 21L, 800000060L, 3L, 3.5, "c"))),
+      cols, s"$dir/b", files = 1)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/b/txn.txt"),
+      Seq(
+        BinlogText.renderGtid(10L, 800000000L, uuid, 1L),
+        BinlogText.renderGtid(20L, 800000060L, uuid, 2L),
+        BinlogText.renderXid(19L, 800000000L, 7L)).mkString("\n"))
+    val txn = BinlogText.parseTxnNonVerbose(spark, s"$dir/b", cols)
+    val leaves = txn.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.size == 1,
+      s"expected ONE dump relation, got ${leaves.map(_.getClass.getSimpleName)}")
+    val got = txn.orderBy(col("seq")).collect().map(r =>
+      (r.getString(0), r.getLong(1),
+        r.getString(r.fieldIndex("txn")))).toSeq
+    assert(got == Seq(
+      ("I", 11L, s"$uuid:1"), ("C", 19L, s"$uuid:1"),
+      ("I", 21L, s"$uuid:2")), s"got: $got")
+  }
+
+  test("parseMultiTxnNonVerbose: one topology-level Xid closes a " +
+      "cross-table transaction decoded from base64 payloads") {
+    val colsOdd: Seq[(String, DataType)] = Seq(
+      "okey" -> LongType, "price" -> DoubleType, "note" -> StringType)
+    val uuid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    val dir = tmp()
+    BinlogText.renderBase64(envDf(Seq(
+      ("I", 11L, 800000000L, 1L, 1.5, "a"),
+      ("I", 21L, 800000060L, 3L, 3.5, "c"))),
+      cols, s"$dir/b", files = 1, table = "t_even")
+    BinlogText.renderBase64(envDf(Seq(
+      ("I", 12L, 800000000L, 2L, 2.5, "n2")))
+      .withColumnRenamed("status", "note"),
+      colsOdd, s"$dir/b", files = 1, table = "t_odd", append = true)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/b/txn.txt"),
+      Seq(
+        BinlogText.renderGtid(10L, 800000000L, uuid, 1L),
+        BinlogText.renderGtid(20L, 800000060L, uuid, 2L),
+        BinlogText.renderXid(19L, 800000000L, 7L)).mkString("\n"))
+    val txn = BinlogText.parseMultiTxnNonVerbose(spark, s"$dir/b",
+      Map("t_even" -> cols, "t_odd" -> colsOdd))
+    val got = txn.orderBy(col("seq")).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getString(3),
+        r.getString(r.fieldIndex("txn")))).toSeq
+    assert(got == Seq(
+      ("I", 11L, "t_even", s"$uuid:1"),
+      ("I", 12L, "t_odd", s"$uuid:1"),
+      ("C", 19L, "_ctl", s"$uuid:1"),
+      ("I", 21L, "t_even", s"$uuid:2")), s"got: $got")
   }
 }
