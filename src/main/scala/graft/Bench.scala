@@ -62,12 +62,20 @@ object Bench {
     def calibrate(): Double =
       (1 to 5).map { _ =>
         val t0 = System.nanoTime()
-        spark.range(20000000L).selectExpr("sum(id * id)").collect()
+        // per-row multiply + mod keeps the probe CPU-bound while the
+        // SUM stays far inside bigint: a bare sum(id*id) over 2e7 rows
+        // is ~2.7e21 and OVERFLOWS under ANSI — the r18 null-pre bug
+        spark.range(20000000L)
+          .selectExpr("sum((id * id) % 1000000007)").collect()
         (System.nanoTime() - t0) / 1e9
       }.min
     val calPre =
       if (filt.nonEmpty) Double.NaN
-      else try calibrate() catch { case _: Throwable => Double.NaN }
+      else try calibrate() catch {
+        case e: Throwable => // never silent: a null pre hides load data
+          System.err.println(s"BENCH CALIBRATION FAIL: ${e.getMessage}")
+          Double.NaN
+      }
     // name-sorted: Map iteration order shifts as queries are added, which
     // would re-deal the warmup/cache attribution every round and make
     // per-query timings incomparable across rounds
@@ -388,10 +396,14 @@ object Bench {
     // up as post > pre; a reader normalizes against min(pre, post)
     val calPost =
       if (filt.nonEmpty) Double.NaN
-      else try calibrate() catch { case _: Throwable => Double.NaN }
+      else try calibrate() catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH CALIBRATION FAIL: ${e.getMessage}")
+          Double.NaN
+      }
     def f3OrNull(v: Double): String =
       if (v.isNaN) "null" else "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val calJson = s"""{"probe":"sum_id_sq_20m","reps":5,""" +
+    val calJson = s"""{"probe":"sum_id_sq_mod_20m","reps":5,""" +
       s""""pre":${f3OrNull(calPre)},"post":${f3OrNull(calPost)}}"""
     val boundsJson = bounds.map(_._2).mkString("{", ",", "}")
     val srJson = stateReads.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
