@@ -167,17 +167,26 @@ object BinlogBinary {
       dir: String, schema: StructType,
       colsByTable: Map[String, Seq[(String, DataType)]],
       ignoreTables: Set[String], requireRotate: Boolean): DataFrame =
-    multiDecode(
-      spark.readStream.format("binaryFile")
-        .schema(StructType(Seq(
-          StructField("path", StringType, nullable = false),
-          StructField("modificationTime", TimestampType, nullable = false),
-          StructField("length", LongType, nullable = false),
-          StructField("content", BinaryType, nullable = true))))
-        .option("maxFilesPerTrigger", "1")
-        .option("maxFileAge", "36500d")
-        .load(dir),
+    multiDecode(rawStream(spark, dir),
       schema, colsByTable, ignoreTables, marker = false, requireRotate)
+
+  /** The tailed raw-rotation stream shared by the single- and
+    * multi-table streaming decodes: one file per micro-batch (the
+    * tail's natural arrival unit), the binaryFile source's FIXED
+    * schema declared explicitly (streaming sources get no inference
+    * pass), and `maxFileAge` disabled — the default 7-day window
+    * would silently skip a backfilled rotation restored with its
+    * original mtime. */
+  private def rawStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.format("binaryFile")
+      .schema(StructType(Seq(
+        StructField("path", StringType, nullable = false),
+        StructField("modificationTime", TimestampType, nullable = false),
+        StructField("length", LongType, nullable = false),
+        StructField("content", BinaryType, nullable = true))))
+      .option("maxFilesPerTrigger", "1")
+      .option("maxFileAge", "36500d")
+      .load(dir)
 
   /** The routing/slotting decode shared by the batch and streaming
     * multi-table reads — `raw` is any (content, path)-bearing frame. */
@@ -271,6 +280,16 @@ object BinlogBinary {
       c.isWhitespace || c == '/' || c == '\\'),
       s"bad rotation file prefix '$prefix'")
     val dirPath = java.nio.file.Paths.get(outDir)
+    // append composes multi-table dirs; a REUSED prefix would
+    // truncate-replace the earlier table's rotation files with no
+    // error — refuse the collision up front instead
+    if (append && java.nio.file.Files.exists(dirPath)) {
+      val clash = dirPath.toFile.listFiles()
+        .exists(_.getName.startsWith(s"$prefix."))
+      require(!clash,
+        s"append into $outDir would overwrite existing '$prefix.*' " +
+          "rotation files — give each appended render its own prefix")
+    }
     if (!append && java.nio.file.Files.exists(dirPath)) {
       // overwrite semantics, mirroring the text renderer's writer
       // (stream closed explicitly — a leaked walk handle per render
@@ -941,6 +960,22 @@ object BinlogBinary {
               val present2 =
                 if (eventType == UPDATE_ROWS_V2) readBitmap(c, n)
                 else present1
+              // a PARTIAL columns-present bitmap is binlog_row_image=
+              // MINIMAL: absent columns are "unchanged", NOT NULL —
+              // decoding them as NULL and letting a latest-wins
+              // collapse apply them is the silently-diverged-replica
+              // class. This decoder has no changed-list surface (the
+              // text path's changedCol), so refuse by name rather
+              // than mis-decode.
+              require(present1.forall(identity) &&
+                present2.forall(identity),
+                s"$path: row event at offset $o carries a PARTIAL " +
+                  "columns-present bitmap (binlog_row_image=MINIMAL) " +
+                  "— absent columns mean 'unchanged', not NULL, and " +
+                  "this wire decoder has no changed-list surface to " +
+                  "carry that; re-dump with binlog_row_image=FULL, or " +
+                  "feed a verbose text dump through the changedCol " +
+                  "path")
               val op = eventType match {
                 case WRITE_ROWS_V2 => "I"
                 case UPDATE_ROWS_V2 => "U"
@@ -1076,10 +1111,17 @@ object BinlogBinary {
       .collect().toSeq.sortBy(_._1)
     // chains are PER PREFIX (`binlog.000123` → prefix `binlog`): one
     // server writes one name family, and a fixture dir composing
-    // several families must not cross-compare their chains
+    // several families must not cross-compare their chains. Order is
+    // NUMERIC on the suffix, not lexicographic: MySQL extends the
+    // extension past 999999 (binlog.999999 → binlog.1000000), and a
+    // string sort would put 1000000 before 999999 and falsely refuse
+    // an intact rollover window
+    def suffixNum(name: String): Long =
+      name.reverse.takeWhile(_ != '.').reverse.toLongOption
+        .getOrElse(Long.MaxValue) // non-numeric: stable at the end
     ann.groupBy(_._1.reverse.dropWhile(_ != '.').reverse)
       .values.foreach { group =>
-        group.sortBy(_._1).sliding(2).foreach {
+        group.sortBy(p => (suffixNum(p._1), p._1)).sliding(2).foreach {
           case Seq((f, next), (g, _)) if next.nonEmpty =>
             require(next == g,
               s"rotation chain broken: $f announces successor '$next' " +
@@ -1203,17 +1245,7 @@ object BinlogBinary {
       requireRotate: Boolean): DataFrame = {
     val (schema, _) = BinlogText.singleEnvelope(cols, Nil, None)
     val colsB = cols
-    spark.readStream.format("binaryFile")
-      // the binaryFile source's FIXED schema — streaming sources must
-      // declare it explicitly (no inference pass at stream start)
-      .schema(StructType(Seq(
-        StructField("path", StringType, nullable = false),
-        StructField("modificationTime", TimestampType, nullable = false),
-        StructField("length", LongType, nullable = false),
-        StructField("content", BinaryType, nullable = true))))
-      .option("maxFilesPerTrigger", "1")
-      .option("maxFileAge", "36500d")
-      .load(dir)
+    rawStream(spark, dir)
       .select(col("content"), col("path"))
       .flatMap { r =>
         decodeFile(r.getAs[Array[Byte]](0), r.getString(1), colsB,

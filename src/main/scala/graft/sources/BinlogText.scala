@@ -268,6 +268,13 @@ object BinlogText {
       append: Boolean = false): Unit = {
     validateCols(cols)
     require(files >= 1, "at least one binlog file")
+    // the TABLE_MAP event stores the name length in ONE byte — the
+    // same refusal the binary renderer makes, because an over-long
+    // name would silently truncate the length and corrupt every event
+    // after it
+    require(table.nonEmpty && table.getBytes("UTF-8").length <= 250 &&
+      !table.exists(c => c.isWhitespace),
+      s"bad table name '$table' for a TABLE_MAP event")
     import df.sparkSession.implicits._
     val colsB = cols
     val tableB = table

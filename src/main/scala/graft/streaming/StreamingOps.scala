@@ -642,6 +642,165 @@ object StreamingOps {
 
   private def tmpDir(): String = graft.TmpDirs.create("graft_stream")
 
+  private type BCols = Seq[(String, org.apache.spark.sql.types.DataType)]
+
+  /** The ONE multi-table dump topology behind every transport's multi
+    * query (verbose text / raw bytes / base64 text): cdcLog split into
+    * t_even (status) and t_odd (note) plus an excluded audit table,
+    * written by the transport's `render`, decoded by its `parse`,
+    * fanned out per table, and collapsed into [[binlogMultiSql]]'s
+    * shape. One fixture, one oracle — a transport whose decode drifts
+    * fails its hash, and a topology change edits exactly one body.
+    * `render` is (frame, cols, outDir, table, files, append);
+    * `parse` is (outDir, colsByTable, ignoreTables). */
+  private def binlogMultiScenario(s: SparkSession, dir: String,
+      render: (DataFrame, BCols, String, String, Int, Boolean) => Unit,
+      parse: (String, Map[String, BCols], Set[String]) => DataFrame)
+      : DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val log = Tables.cdcLog(s, dir)
+    val colsEven: BCols = Seq("okey" -> LongType, "price" -> DoubleType,
+      "status" -> StringType)
+    val colsOdd: BCols = Seq("okey" -> LongType, "price" -> DoubleType,
+      "note" -> StringType)
+    val tmp = tmpDir()
+    render(log.filter(col("okey") % 2 === 0), colsEven,
+      s"$tmp/binlog", "t_even", 2, false)
+    render(log.filter(col("okey") % 2 === 1)
+      .withColumn("note", when(col("op") === "D",
+        lit(null).cast(StringType))
+        .otherwise(concat(lit("n"), (col("okey") % 5).cast(StringType))))
+      .select("op", "seq", "ts", "okey", "price", "note"),
+      colsOdd, s"$tmp/binlog", "t_odd", 2, true)
+    // an undeclared table's events ride the same dump — excluded by
+    // declaration, never silently
+    render(log.filter(col("okey") % 2 === 0 && col("seq") === 1 &&
+      col("okey") < 100), colsEven, s"$tmp/binlog", "audit", 1, true)
+    val env = parse(s"$tmp/binlog",
+      Map("t_even" -> colsEven, "t_odd" -> colsOdd), Set("audit"))
+    val in = s"$tmp/in"
+    writeWave(env, in, 0)
+    val dirs = Map("t_even" -> s"$tmp/state_even",
+      "t_odd" -> s"$tmp/state_odd")
+    runCdcPassMulti(s, env.schema, in, s"$tmp/ckpt", dirs)
+    dirs.toSeq.sortBy(_._1).map { case (t, d) =>
+      readLatestState(s, d).withColumn("tbl", lit(t))
+    }.reduce(_.unionByName(_))
+      .select(col("tbl"), col("okey"), col("op"), col("price"),
+        col("status"), col("note"), col("ts"))
+      .orderBy(col("tbl"), col("okey"))
+  }
+
+  /** The ONE rows+DDL dump scenario behind the text and raw-bytes DDL
+    * queries: v1 rows in rotation 1, a RENAME + ADD…DEFAULT arriving
+    * as statements in rotation 2 followed by the evolved rows, the
+    * statements extracted by the transport's `parseDdl` and folded by
+    * the one shared [[DdlSql]] — collapsing into [[binlogDdlSql]]'s
+    * shape. `render` is (frame, cols, outDir); `writeDdl` writes the
+    * two ALTER statements into the given rotation-2 dir in the
+    * transport's own framing. */
+  private def binlogDdlScenario(s: SparkSession, dir: String,
+      render: (DataFrame, BCols, String) => Unit,
+      writeDdl: String => Unit,
+      parse: (String, BCols) => DataFrame,
+      parseDdl: String => Seq[(Long, String)]): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val log = Tables.cdcLog(s, dir)
+    val tmp = tmpDir()
+    val in = s"$tmp/in"
+    val cols1: BCols = Seq(
+      "okey" -> LongType, "price" -> DoubleType,
+      "status" -> StringType, "channel" -> StringType)
+    val v1 = log.filter(col("seq") === 1).withColumn("channel",
+      when(col("op") === "D", lit(null).cast(StringType))
+        .otherwise(concat(lit("old"), (col("okey") % 4).cast(StringType))))
+    render(v1, cols1, s"$tmp/binlog1")
+    val env1 = parse(s"$tmp/binlog1", cols1)
+    writeWave(env1, in, 0)
+    runCdcPass(s, env1.schema, in, s"$tmp/ckpt", s"$tmp/state")
+    // rotation 2: DDL statements at position 1, then evolved rows
+    val cols2: BCols = Seq(
+      "okey" -> LongType, "price" -> DoubleType,
+      "status" -> StringType, "chan" -> StringType,
+      "note" -> StringType)
+    val v2 = log.filter(col("seq") >= 2)
+      .withColumn("chan",
+        when(col("op") === "D", lit(null).cast(StringType))
+          .otherwise(concat(lit("new"), (col("okey") % 4).cast(StringType))))
+      .withColumn("note",
+        when(col("op") === "D" || col("okey") % 5 === 0,
+          lit(null).cast(StringType))
+          .otherwise(concat(lit("n"), (col("okey") % 3).cast(StringType))))
+    render(v2, cols2, s"$tmp/binlog2")
+    writeDdl(s"$tmp/binlog2")
+    val cfg = DdlSql.fold(parseDdl(s"$tmp/binlog2"),
+      tableFilter = Some("orders"))
+    val env2 = parse(s"$tmp/binlog2", cols2)
+    writeWave(env2, in, 1)
+    runCdcPass(s, env2.schema, in, s"$tmp/ckpt", s"$tmp/state",
+      renameCols = cfg.renameCols, defaultCols = cfg.defaultCols,
+      dropCols = cfg.dropCols, truncateAtSeq = cfg.truncateAtSeq)
+    readLatestState(s, s"$tmp/state")
+  }
+
+  /** The two ALTER statements every DDL scenario ships — one rename
+    * carrying prior values, one ADD with a DEFAULT backfill. */
+  private val ddlScenarioStatements = Seq(
+    "ALTER TABLE orders RENAME COLUMN channel TO chan",
+    "ALTER TABLE `orders` ADD COLUMN `note` VARCHAR(32) DEFAULT 'none'")
+
+  /** The ONE transaction-gated dump scenario behind every transport's
+    * txn query: positions seq*1e8+okey+1 (strictly per-key monotone;
+    * each wave's rows sit strictly between their txn's GTID stamp at
+    * n*1e8 and its Xid at (n+1)*1e8-1), transactions 1-2 committed,
+    * txn 3 — the delete wave — stamped but Xid-less, held back
+    * entirely; collapsing into [[binlogTxnSql]]'s shape. `render`
+    * writes the positioned rows; `writeStamps` writes the GTID/Xid
+    * punctuation in the transport's framing (text lines or wire
+    * events); `parseTxn` decodes dir → txn-stamped envelope. */
+  /** The txn scenarios' shared TABLE_MAP. */
+  private val txnScenarioCols: BCols = Seq(
+    "okey" -> org.apache.spark.sql.types.LongType,
+    "price" -> DoubleType, "status" -> StringType)
+
+  /** The GTID/Xid punctuation in TEXT framing — shared by the verbose
+    * and base64 txn scenarios (mysqlbinlog prints it as plain text in
+    * both modes): stamps at n*1e8 for transactions 1-3, Xids closing
+    * only 1-2. */
+  private def writeTxnStampsText(out: String, uuid: String): Unit = {
+    val stamps = (1 to 3).map(n => graft.sources.BinlogText.renderGtid(
+      n * 100000000L, 800000000L, uuid, n)) ++
+      (1 to 2).map(n => graft.sources.BinlogText.renderXid(
+        (n + 1) * 100000000L - 1, 800000000L, n))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/txn.txt"), stamps.mkString("\n"))
+    ()
+  }
+
+  private def binlogTxnScenario(s: SparkSession, dir: String,
+      render: (DataFrame, BCols, String) => Unit,
+      writeStamps: (String, String) => Unit,
+      parseTxn: String => DataFrame): DataFrame = {
+    val log = Tables.cdcLog(s, dir)
+    val cols: BCols = txnScenarioCols
+    val env = log.select(col("op"),
+      (col("seq") * 100000000L + col("okey") + 1L).as("seq"),
+      col("ts"), col("okey"), col("price"), col("status"))
+    val tmp = tmpDir()
+    render(env, cols, s"$tmp/binlog")
+    val uuid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    writeStamps(s"$tmp/binlog", uuid)
+    val envTxn = parseTxn(s"$tmp/binlog")
+    val in = s"$tmp/in"
+    writeWave(envTxn, in, 0)
+    runCdcPass(s, envTxn.schema, in, s"$tmp/ckpt", s"$tmp/state",
+      txnCol = Some("txn"))
+    readLatestState(s, s"$tmp/state")
+      .select(col("okey"), col("op"), col("price"), col("status"),
+        col("ts"))
+      .orderBy(col("okey"))
+  }
+
   /** Per-process cache of IMMUTABLE wave fixtures: several scenario
     * queries play the identical (log, split) wave set, and each rebuild
     * pays the log synthesis plus a partitioned write for bytes already
@@ -3790,47 +3949,13 @@ object StreamingOps {
     // the text transport into the same union envelope as every other
     // multi-table path. Same topology, same oracle as the text and
     // raw-bytes multi queries.
-    "cdc_binlog_base64_multi" -> ((s, dir) => {
-      import org.apache.spark.sql.types.LongType
-      val log = Tables.cdcLog(s, dir)
-      val colsEven: Seq[(String, org.apache.spark.sql.types.DataType)] =
-        Seq("okey" -> LongType, "price" -> DoubleType,
-          "status" -> StringType)
-      val colsOdd: Seq[(String, org.apache.spark.sql.types.DataType)] =
-        Seq("okey" -> LongType, "price" -> DoubleType,
-          "note" -> StringType)
-      val tmp = tmpDir()
-      graft.sources.BinlogText.renderBase64(
-        log.filter(col("okey") % 2 === 0), colsEven,
-        s"$tmp/binlog", files = 2, table = "t_even")
-      graft.sources.BinlogText.renderBase64(
-        log.filter(col("okey") % 2 === 1)
-          .withColumn("note", when(col("op") === "D",
-            lit(null).cast(StringType))
-            .otherwise(concat(lit("n"), (col("okey") % 5).cast(StringType))))
-          .select("op", "seq", "ts", "okey", "price", "note"),
-        colsOdd, s"$tmp/binlog", files = 2, table = "t_odd",
-        append = true)
-      graft.sources.BinlogText.renderBase64(
-        log.filter(col("okey") % 2 === 0 && col("seq") === 1 &&
-          col("okey") < 100), colsEven,
-        s"$tmp/binlog", files = 1, table = "audit", append = true)
-      val env = graft.sources.BinlogText.parseMultiNonVerbose(
-        s, s"$tmp/binlog",
-        Map("t_even" -> colsEven, "t_odd" -> colsOdd),
-        ignoreTables = Set("audit"))
-      val in = s"$tmp/in"
-      writeWave(env, in, 0)
-      val dirs = Map("t_even" -> s"$tmp/state_even",
-        "t_odd" -> s"$tmp/state_odd")
-      runCdcPassMulti(s, env.schema, in, s"$tmp/ckpt", dirs)
-      dirs.toSeq.sortBy(_._1).map { case (t, d) =>
-        readLatestState(s, d).withColumn("tbl", lit(t))
-      }.reduce(_.unionByName(_))
-        .select(col("tbl"), col("okey"), col("op"), col("price"),
-          col("status"), col("note"), col("ts"))
-        .orderBy(col("tbl"), col("okey"))
-    }),
+    "cdc_binlog_base64_multi" -> ((s, dir) => binlogMultiScenario(s, dir,
+      (df, cols, out, table, files, append) =>
+        graft.sources.BinlogText.renderBase64(df, cols, out,
+          files = files, table = table, append = append),
+      (out, byTable, ignore) =>
+        graft.sources.BinlogText.parseMultiNonVerbose(
+          s, out, byTable, ignoreTables = ignore))),
 
     // S-BINLOG-BASE64-TXN: the TRANSACTION loop from a NON-VERBOSE
     // dump — the realistic split a default mysqlbinlog dump actually
@@ -3842,36 +3967,12 @@ object StreamingOps {
     // dump with no Xid and hold back. Same positions, same oracle as
     // the text and raw-bytes txn loops: one transaction discipline,
     // three transports.
-    "cdc_binlog_base64_txn" -> ((s, dir) => {
-      val log = Tables.cdcLog(s, dir)
-      val cols: Seq[(String, org.apache.spark.sql.types.DataType)] = Seq(
-        "okey" -> org.apache.spark.sql.types.LongType,
-        "price" -> DoubleType, "status" -> StringType)
-      val env = log.select(col("op"),
-        (col("seq") * 100000000L + col("okey") + 1L).as("seq"),
-        col("ts"), col("okey"), col("price"), col("status"))
-      val tmp = tmpDir()
-      graft.sources.BinlogText.renderBase64(env, cols, s"$tmp/binlog",
-        files = 3)
-      val uuid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
-      val stamps = (1 to 3).map(n => graft.sources.BinlogText.renderGtid(
-        n * 100000000L, 800000000L, uuid, n)) ++
-        (1 to 2).map(n => graft.sources.BinlogText.renderXid(
-          (n + 1) * 100000000L - 1, 800000000L, n))
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$tmp/binlog/txn.txt"),
-        stamps.mkString("\n"))
-      val envTxn = graft.sources.BinlogText.parseTxnNonVerbose(
-        s, s"$tmp/binlog", cols)
-      val in = s"$tmp/in"
-      writeWave(envTxn, in, 0)
-      runCdcPass(s, envTxn.schema, in, s"$tmp/ckpt", s"$tmp/state",
-        txnCol = Some("txn"))
-      readLatestState(s, s"$tmp/state")
-        .select(col("okey"), col("op"), col("price"), col("status"),
-          col("ts"))
-        .orderBy(col("okey"))
-    }),
+    "cdc_binlog_base64_txn" -> ((s, dir) => binlogTxnScenario(s, dir,
+      (df, cols, out) =>
+        graft.sources.BinlogText.renderBase64(df, cols, out, files = 3),
+      (out, uuid) => writeTxnStampsText(out, uuid),
+      out => graft.sources.BinlogText.parseTxnNonVerbose(
+        s, out, txnScenarioCols))),
 
     // S-BINLOG-BINARY-TXN: the TRANSACTION loop from RAW WIRE BYTES —
     // GTID events (type 33) delimit transactions, Xid events (16) mark
@@ -3883,38 +3984,17 @@ object StreamingOps {
     // served state equals the latest-wins collapse over seq <= 2. Same
     // positions, same oracle as cdc_binlog_text_txn: one transaction
     // discipline, two wire formats.
-    "cdc_binlog_binary_txn" -> ((s, dir) => {
-      val log = Tables.cdcLog(s, dir)
-      val cols: Seq[(String, org.apache.spark.sql.types.DataType)] = Seq(
-        "okey" -> org.apache.spark.sql.types.LongType,
-        "price" -> DoubleType, "status" -> StringType)
-      // positions: seq*1e8 + okey + 1 — strictly per-key monotone and
-      // each wave's rows sit strictly between their txn's GTID event
-      // (n*1e8) and its Xid ((n+1)*1e8 - 1); the +1 keeps okey 0 off
-      // the stamp itself (the r17 boundary trap)
-      val env = log.select(col("op"),
-        (col("seq") * 100000000L + col("okey") + 1L).as("seq"),
-        col("ts"), col("okey"), col("price"), col("status"))
-      val tmp = tmpDir()
-      graft.sources.BinlogBinary.render(env, cols, s"$tmp/binlog",
-        files = 3)
-      val uuid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
-      graft.sources.BinlogBinary.writeEvents(s"$tmp/binlog", "bin.000099",
+    "cdc_binlog_binary_txn" -> ((s, dir) => binlogTxnScenario(s, dir,
+      (df, cols, out) =>
+        graft.sources.BinlogBinary.render(df, cols, out, files = 3),
+      (out, uuid) => graft.sources.BinlogBinary.writeEvents(
+        out, "bin.000099",
         (1 to 3).map(n => graft.sources.BinlogBinary.gtidEvent(
           n * 100000000L, 800000000L, uuid, n)) ++
           (1 to 2).map(n => graft.sources.BinlogBinary.xidEvent(
-            (n + 1) * 100000000L - 1, 800000000L, n)))
-      val envTxn = graft.sources.BinlogBinary.parseTxn(
-        s, s"$tmp/binlog", cols)
-      val in = s"$tmp/in"
-      writeWave(envTxn, in, 0)
-      runCdcPass(s, envTxn.schema, in, s"$tmp/ckpt", s"$tmp/state",
-        txnCol = Some("txn"))
-      readLatestState(s, s"$tmp/state")
-        .select(col("okey"), col("op"), col("price"), col("status"),
-          col("ts"))
-        .orderBy(col("okey"))
-    }),
+            (n + 1) * 100000000L - 1, 800000000L, n))),
+      out => graft.sources.BinlogBinary.parseTxn(
+        s, out, txnScenarioCols))),
 
     // S-BINLOG-BINARY-MULTI: ONE RAW DUMP → N TABLES — the multi-table
     // topology decoded from wire bytes: TABLE_MAP events name their
@@ -3927,49 +4007,12 @@ object StreamingOps {
     // knowing which wire format fed it. Same fixture topology and the
     // SAME oracle as cdc_binlog_text_multi: one decode contract, two
     // wire formats.
-    "cdc_binlog_binary_multi" -> ((s, dir) => {
-      import org.apache.spark.sql.types.LongType
-      val log = Tables.cdcLog(s, dir)
-      val colsEven: Seq[(String, org.apache.spark.sql.types.DataType)] =
-        Seq("okey" -> LongType, "price" -> DoubleType,
-          "status" -> StringType)
-      val colsOdd: Seq[(String, org.apache.spark.sql.types.DataType)] =
-        Seq("okey" -> LongType, "price" -> DoubleType,
-          "note" -> StringType)
-      val tmp = tmpDir()
-      graft.sources.BinlogBinary.render(
-        log.filter(col("okey") % 2 === 0), colsEven,
-        s"$tmp/binlog", files = 2, table = "t_even", prefix = "even")
-      graft.sources.BinlogBinary.render(
-        log.filter(col("okey") % 2 === 1)
-          .withColumn("note", when(col("op") === "D",
-            lit(null).cast(StringType))
-            .otherwise(concat(lit("n"), (col("okey") % 5).cast(StringType))))
-          .select("op", "seq", "ts", "okey", "price", "note"),
-        colsOdd, s"$tmp/binlog", files = 2, table = "t_odd",
-        prefix = "odd", append = true)
-      // an undeclared table's events ride the same dump — excluded by
-      // declaration, never silently
-      graft.sources.BinlogBinary.render(
-        log.filter(col("okey") % 2 === 0 && col("seq") === 1 &&
-          col("okey") < 100), colsEven,
-        s"$tmp/binlog", files = 1, table = "audit", prefix = "audit",
-        append = true)
-      val env = graft.sources.BinlogBinary.parseMulti(s, s"$tmp/binlog",
-        Map("t_even" -> colsEven, "t_odd" -> colsOdd),
-        ignoreTables = Set("audit"))
-      val in = s"$tmp/in"
-      writeWave(env, in, 0)
-      val dirs = Map("t_even" -> s"$tmp/state_even",
-        "t_odd" -> s"$tmp/state_odd")
-      runCdcPassMulti(s, env.schema, in, s"$tmp/ckpt", dirs)
-      dirs.toSeq.sortBy(_._1).map { case (t, d) =>
-        readLatestState(s, d).withColumn("tbl", lit(t))
-      }.reduce(_.unionByName(_))
-        .select(col("tbl"), col("okey"), col("op"), col("price"),
-          col("status"), col("note"), col("ts"))
-        .orderBy(col("tbl"), col("okey"))
-    }),
+    "cdc_binlog_binary_multi" -> ((s, dir) => binlogMultiScenario(s, dir,
+      (df, cols, out, table, files, append) =>
+        graft.sources.BinlogBinary.render(df, cols, out, files = files,
+          table = table, prefix = table, append = append),
+      (out, byTable, ignore) => graft.sources.BinlogBinary.parseMulti(
+        s, out, byTable, ignoreTables = ignore))),
 
     // S-BINLOG-BINARY-DDL: the FULL binlog loop from RAW WIRE BYTES —
     // row events AND DDL QueryEvents in one dump, no mysqlbinlog and
@@ -3981,54 +4024,14 @@ object StreamingOps {
     // extracts the statements, and the SAME DdlSql fold the text
     // transport feeds maps them onto the resumed pass. Same fixture
     // evolution and the SAME oracle as cdc_binlog_text_ddl.
-    "cdc_binlog_binary_ddl" -> ((s, dir) => {
-      import org.apache.spark.sql.types.LongType
-      val log = Tables.cdcLog(s, dir)
-      val tmp = tmpDir()
-      val in = s"$tmp/in"
-      val cols1: Seq[(String, org.apache.spark.sql.types.DataType)] = Seq(
-        "okey" -> LongType, "price" -> DoubleType,
-        "status" -> StringType, "channel" -> StringType)
-      val v1 = log.filter(col("seq") === 1).withColumn("channel",
-        when(col("op") === "D", lit(null).cast(StringType))
-          .otherwise(concat(lit("old"), (col("okey") % 4).cast(StringType))))
-      graft.sources.BinlogBinary.render(v1, cols1, s"$tmp/binlog1",
-        files = 2)
-      val env1 = graft.sources.BinlogBinary.parse(s, s"$tmp/binlog1", cols1)
-      writeWave(env1, in, 0)
-      runCdcPass(s, env1.schema, in, s"$tmp/ckpt", s"$tmp/state")
-      // rotation 2: DDL query events at position 1, then evolved rows
-      val cols2: Seq[(String, org.apache.spark.sql.types.DataType)] = Seq(
-        "okey" -> LongType, "price" -> DoubleType,
-        "status" -> StringType, "chan" -> StringType,
-        "note" -> StringType)
-      val v2 = log.filter(col("seq") >= 2)
-        .withColumn("chan",
-          when(col("op") === "D", lit(null).cast(StringType))
-            .otherwise(concat(lit("new"), (col("okey") % 4).cast(StringType))))
-        .withColumn("note",
-          when(col("op") === "D" || col("okey") % 5 === 0,
-            lit(null).cast(StringType))
-            .otherwise(concat(lit("n"), (col("okey") % 3).cast(StringType))))
-      graft.sources.BinlogBinary.render(v2, cols2, s"$tmp/binlog2",
-        files = 2)
-      graft.sources.BinlogBinary.writeEvents(s"$tmp/binlog2",
-        "bin.000099", Seq(
-          graft.sources.BinlogBinary.queryEvent(1L, 800000000L,
-            "ALTER TABLE orders RENAME COLUMN channel TO chan"),
-          graft.sources.BinlogBinary.queryEvent(1L, 800000000L,
-            "ALTER TABLE `orders` ADD COLUMN `note` VARCHAR(32) " +
-              "DEFAULT 'none'")))
-      val cfg = DdlSql.fold(
-        graft.sources.BinlogBinary.parseDdl(s, s"$tmp/binlog2"),
-        tableFilter = Some("orders"))
-      val env2 = graft.sources.BinlogBinary.parse(s, s"$tmp/binlog2", cols2)
-      writeWave(env2, in, 1)
-      runCdcPass(s, env2.schema, in, s"$tmp/ckpt", s"$tmp/state",
-        renameCols = cfg.renameCols, defaultCols = cfg.defaultCols,
-        dropCols = cfg.dropCols, truncateAtSeq = cfg.truncateAtSeq)
-      readLatestState(s, s"$tmp/state")
-    }),
+    "cdc_binlog_binary_ddl" -> ((s, dir) => binlogDdlScenario(s, dir,
+      (df, cols, out) =>
+        graft.sources.BinlogBinary.render(df, cols, out, files = 2),
+      out => graft.sources.BinlogBinary.writeEvents(out, "bin.000099",
+        ddlScenarioStatements.map(
+          graft.sources.BinlogBinary.queryEvent(1L, 800000000L, _))),
+      (out, cols) => graft.sources.BinlogBinary.parse(s, out, cols),
+      out => graft.sources.BinlogBinary.parseDdl(s, out))),
 
     // S-BINLOG-TEXT-DDL: the FULL binlog loop — row events AND DDL
     // QueryEvents in one dump. Rotation 1 carries the v1 rows; rotation
@@ -4041,53 +4044,19 @@ object StreamingOps {
     // hand-declared verb anywhere between the dump and the served
     // state. This is the "a real binlog feed survives DDL" claim,
     // end to end under the oracle gate.
-    "cdc_binlog_text_ddl" -> ((s, dir) => {
-      import org.apache.spark.sql.types.LongType
-      val log = Tables.cdcLog(s, dir)
-      val tmp = tmpDir()
-      val in = s"$tmp/in"
-      val cols1: Seq[(String, org.apache.spark.sql.types.DataType)] = Seq(
-        "okey" -> LongType, "price" -> DoubleType,
-        "status" -> StringType, "channel" -> StringType)
-      val v1 = log.filter(col("seq") === 1).withColumn("channel",
-        when(col("op") === "D", lit(null).cast(StringType))
-          .otherwise(concat(lit("old"), (col("okey") % 4).cast(StringType))))
-      graft.sources.BinlogText.render(v1, cols1, s"$tmp/binlog1", files = 2)
-      val env1 = graft.sources.BinlogText.parse(s, s"$tmp/binlog1", cols1)
-      writeWave(env1, in, 0)
-      runCdcPass(s, env1.schema, in, s"$tmp/ckpt", s"$tmp/state")
-      // rotation 2: DDL query blocks at position 1, then evolved rows
-      val cols2: Seq[(String, org.apache.spark.sql.types.DataType)] = Seq(
-        "okey" -> LongType, "price" -> DoubleType,
-        "status" -> StringType, "chan" -> StringType,
-        "note" -> StringType)
-      val v2 = log.filter(col("seq") >= 2)
-        .withColumn("chan",
-          when(col("op") === "D", lit(null).cast(StringType))
-            .otherwise(concat(lit("new"), (col("okey") % 4).cast(StringType))))
-        .withColumn("note",
-          when(col("op") === "D" || col("okey") % 5 === 0,
-            lit(null).cast(StringType))
-            .otherwise(concat(lit("n"), (col("okey") % 3).cast(StringType))))
-      graft.sources.BinlogText.render(v2, cols2, s"$tmp/binlog2", files = 2)
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$tmp/binlog2/ddl.txt"),
-        Seq(
-          graft.sources.BinlogText.renderQuery(1L, 800000000L,
-            "ALTER TABLE orders RENAME COLUMN channel TO chan"),
-          graft.sources.BinlogText.renderQuery(1L, 800000000L,
-            "ALTER TABLE `orders` ADD COLUMN `note` VARCHAR(32) " +
-              "DEFAULT 'none'")).mkString("\n"))
-      val cfg = DdlSql.fold(
-        graft.sources.BinlogText.parseDdl(s, s"$tmp/binlog2"),
-        tableFilter = Some("orders"))
-      val env2 = graft.sources.BinlogText.parse(s, s"$tmp/binlog2", cols2)
-      writeWave(env2, in, 1)
-      runCdcPass(s, env2.schema, in, s"$tmp/ckpt", s"$tmp/state",
-        renameCols = cfg.renameCols, defaultCols = cfg.defaultCols,
-        dropCols = cfg.dropCols, truncateAtSeq = cfg.truncateAtSeq)
-      readLatestState(s, s"$tmp/state")
-    }),
+    "cdc_binlog_text_ddl" -> ((s, dir) => binlogDdlScenario(s, dir,
+      (df, cols, out) =>
+        graft.sources.BinlogText.render(df, cols, out, files = 2),
+      out => {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$out/ddl.txt"),
+          ddlScenarioStatements.map(
+            graft.sources.BinlogText.renderQuery(1L, 800000000L, _))
+            .mkString("\n"))
+        ()
+      },
+      (out, cols) => graft.sources.BinlogText.parse(s, out, cols),
+      out => graft.sources.BinlogText.parseDdl(s, out))),
 
     // S-BINLOG-TEXT-MULTI: ONE DUMP → N TABLES — the reference's actual
     // topology, decoded from text: a single rotated dump interleaves
@@ -4100,48 +4069,12 @@ object StreamingOps {
     // everything in the one shared envelope runCdcPassMulti fans out —
     // columns a table doesn't carry ride NULL. The union read must
     // equal the per-table collapses.
-    "cdc_binlog_text_multi" -> ((s, dir) => {
-      import org.apache.spark.sql.types.LongType
-      val log = Tables.cdcLog(s, dir)
-      val colsEven: Seq[(String, org.apache.spark.sql.types.DataType)] =
-        Seq("okey" -> LongType, "price" -> DoubleType,
-          "status" -> StringType)
-      val colsOdd: Seq[(String, org.apache.spark.sql.types.DataType)] =
-        Seq("okey" -> LongType, "price" -> DoubleType,
-          "note" -> StringType)
-      val tmp = tmpDir()
-      graft.sources.BinlogText.render(
-        log.filter(col("okey") % 2 === 0), colsEven,
-        s"$tmp/binlog", files = 2, table = "t_even")
-      graft.sources.BinlogText.render(
-        log.filter(col("okey") % 2 === 1)
-          .withColumn("note", when(col("op") === "D",
-            lit(null).cast(StringType))
-            .otherwise(concat(lit("n"), (col("okey") % 5).cast(StringType))))
-          .select("op", "seq", "ts", "okey", "price", "note"),
-        colsOdd, s"$tmp/binlog", files = 2, table = "t_odd",
-        append = true)
-      // an undeclared table's events ride the same dump — excluded by
-      // declaration, never silently
-      graft.sources.BinlogText.render(
-        log.filter(col("okey") % 2 === 0 && col("seq") === 1 &&
-          col("okey") < 100), colsEven,
-        s"$tmp/binlog", files = 1, table = "audit", append = true)
-      val env = graft.sources.BinlogText.parseMulti(s, s"$tmp/binlog",
-        Map("t_even" -> colsEven, "t_odd" -> colsOdd),
-        ignoreTables = Set("audit"))
-      val in = s"$tmp/in"
-      writeWave(env, in, 0)
-      val dirs = Map("t_even" -> s"$tmp/state_even",
-        "t_odd" -> s"$tmp/state_odd")
-      runCdcPassMulti(s, env.schema, in, s"$tmp/ckpt", dirs)
-      dirs.toSeq.sortBy(_._1).map { case (t, d) =>
-        readLatestState(s, d).withColumn("tbl", lit(t))
-      }.reduce(_.unionByName(_))
-        .select(col("tbl"), col("okey"), col("op"), col("price"),
-          col("status"), col("note"), col("ts"))
-        .orderBy(col("tbl"), col("okey"))
-    }),
+    "cdc_binlog_text_multi" -> ((s, dir) => binlogMultiScenario(s, dir,
+      (df, cols, out, table, files, append) =>
+        graft.sources.BinlogText.render(df, cols, out, files = files,
+          table = table, append = append),
+      (out, byTable, ignore) => graft.sources.BinlogText.parseMulti(
+        s, out, byTable, ignoreTables = ignore))),
 
     // S-BINLOG-TEXT-TXN: the TRANSACTION loop from dump text — GTID
     // stamps delimit transactions, Xid events mark their commits, and
@@ -4155,47 +4088,20 @@ object StreamingOps {
     // the latest-wins collapse over seq <= 2 only. The GTID resume
     // boundary is asserted inline: the executed-set token 'uuid:1-2'
     // must decode onto exactly the position below txn 3's stamp.
-    "cdc_binlog_text_txn" -> ((s, dir) => {
-      val log = Tables.cdcLog(s, dir)
-      val cols: Seq[(String, org.apache.spark.sql.types.DataType)] = Seq(
-        "okey" -> org.apache.spark.sql.types.LongType,
-        "price" -> DoubleType, "status" -> StringType)
-      // binlog positions: seq*1e8 + okey + 1 — strictly per-key
-      // monotone in seq (the collapse is unchanged) and each wave's
-      // rows sit strictly between their txn's GTID stamp (n*1e8; the
-      // +1 keeps okey 0 off the stamp itself) and its Xid
-      // ((n+1)*1e8 - 1)
-      val env = log.select(col("op"),
-        (col("seq") * 100000000L + col("okey") + 1L).as("seq"),
-        col("ts"), col("okey"), col("price"), col("status"))
-      val tmp = tmpDir()
-      graft.sources.BinlogText.render(env, cols, s"$tmp/binlog", files = 3)
-      val uuid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
-      val stamps = (1 to 3).map(n => graft.sources.BinlogText.renderGtid(
-        n * 100000000L, 800000000L, uuid, n)) ++
-        (1 to 2).map(n => graft.sources.BinlogText.renderXid(
-          (n + 1) * 100000000L - 1, 800000000L, n))
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$tmp/binlog/txn.txt"),
-        stamps.mkString("\n"))
-      // resume composition: the executed set through txn 2 anchors one
-      // position below txn 3's stamp (fails red if the codec↔index
-      // mapping drifts)
-      val boundary = graft.sources.BinlogText.gtidStartAfter(
-        s, s"$tmp/binlog", s"$uuid:1-2", Seq(uuid -> 0L))
-      require(boundary == 3L * 100000000L - 1,
-        s"GTID resume boundary drifted: $boundary")
-      val envTxn = graft.sources.BinlogText.parseTxn(
-        s, s"$tmp/binlog", cols)
-      val in = s"$tmp/in"
-      writeWave(envTxn, in, 0)
-      runCdcPass(s, envTxn.schema, in, s"$tmp/ckpt", s"$tmp/state",
-        txnCol = Some("txn"))
-      readLatestState(s, s"$tmp/state")
-        .select(col("okey"), col("op"), col("price"), col("status"),
-          col("ts"))
-        .orderBy(col("okey"))
-    }),
+    "cdc_binlog_text_txn" -> ((s, dir) => binlogTxnScenario(s, dir,
+      (df, cols, out) =>
+        graft.sources.BinlogText.render(df, cols, out, files = 3),
+      (out, uuid) => {
+        writeTxnStampsText(out, uuid)
+        // resume composition: the executed set through txn 2 anchors
+        // one position below txn 3's stamp (fails red if the
+        // codec↔index mapping drifts)
+        val boundary = graft.sources.BinlogText.gtidStartAfter(
+          s, out, s"$uuid:1-2", Seq(uuid -> 0L))
+        require(boundary == 3L * 100000000L - 1,
+          s"GTID resume boundary drifted: $boundary")
+      },
+      out => graft.sources.BinlogText.parseTxn(s, out, txnScenarioCols))),
 
     // ST-SOFT-DELETE: the tool class's "keep deleted rows" mode
     // (ReplacingMergeTree(ver, is_deleted)): the log ships binlog-true

@@ -576,6 +576,62 @@ class BinlogBinarySpec extends SparkTestBase {
     assert(msg.contains("MISSING"), s"got: $msg")
   }
 
+  test("a PARTIAL columns-present bitmap (binlog_row_image=MINIMAL) " +
+      "refuses by name — absent columns are 'unchanged', not NULL") {
+    // hand-built WRITE_ROWS_V2: 3-column TABLE_MAP but the present
+    // bitmap covers only okey+price (0b011) — the MINIMAL shape
+    val body = new java.io.ByteArrayOutputStream()
+    var tid = 108L
+    (0 until 6).foreach { _ => body.write((tid & 0xff).toInt); tid >>= 8 }
+    body.write(Array[Byte](1, 0)) // flags
+    body.write(Array[Byte](2, 0)) // v2 extra-data length (none)
+    body.write(3) // packed column count
+    body.write(0x03) // columns-present: okey, price only
+    body.write(0x00) // null bitmap over the 2 present columns
+    var v = 5L // okey
+    (0 until 8).foreach { _ => body.write((v & 0xff).toInt); v >>= 8 }
+    var d = java.lang.Double.doubleToLongBits(1.5) // price
+    (0 until 8).foreach { _ => body.write((d & 0xff).toInt); d >>= 8 }
+    val dir = tmp()
+    BinlogBinary.writeEvents(s"$dir/b", "bin.000001", Seq(
+      BinlogBinary.tableMapEvent("orders", cols),
+      BinlogBinary.sealEvent(800000000L, 30, 7L, body.toByteArray)))
+    val e = intercept[Throwable] {
+      BinlogBinary.parse(spark, s"$dir/b", cols).collect()
+    }
+    val msg = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msg.contains("PARTIAL columns-present bitmap"), s"got: $msg")
+    assert(msg.contains("MINIMAL"), s"got: $msg")
+  }
+
+  test("render refuses an append that would overwrite an existing " +
+      "prefix's rotation files") {
+    val dir = tmp()
+    val env = envDf(Seq(("I", 1L, 800000000L, 1L, 1.0, "a")))
+    BinlogBinary.render(env, cols, s"$dir/b", files = 1)
+    val e = intercept[IllegalArgumentException] {
+      BinlogBinary.render(env, cols, s"$dir/b", files = 1,
+        table = "other", append = true) // same default prefix "bin"
+    }
+    assert(e.getMessage.contains("would overwrite"))
+    // a distinct prefix composes fine
+    BinlogBinary.render(env, cols, s"$dir/b", files = 1,
+      table = "other", prefix = "other", append = true)
+  }
+
+  test("verifyRotationChain orders rotations NUMERICALLY: the " +
+      "999999 -> 1000000 extension rollover is an intact chain") {
+    val dir = tmp()
+    BinlogBinary.writeEvents(s"$dir/b", "bin.999999", Seq(
+      BinlogBinary.tableMapEvent("orders", cols),
+      BinlogBinary.rotateEvent("bin.1000000")))
+    BinlogBinary.writeEvents(s"$dir/b", "bin.1000000", Seq(
+      BinlogBinary.tableMapEvent("orders", cols),
+      BinlogBinary.rotateEvent("bin.1000001")))
+    BinlogBinary.verifyRotationChain(spark, s"$dir/b") // must not throw
+  }
+
   test("BinlogBinaryMultiCdcSource: one tailed raw dump feeds the " +
       "multi-table fan-out, rotations arriving across resumed passes") {
     import graft.streaming.StreamingOps
