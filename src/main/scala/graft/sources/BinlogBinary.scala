@@ -83,13 +83,16 @@ object BinlogBinary {
     * produces for the same column list, so every downstream pass is
     * transport-agnostic. Distributed per FILE. */
   def parse(spark: SparkSession, dir: String,
-      cols: Seq[(String, DataType)]): DataFrame = {
-    val (schema, _) = BinlogText.singleEnvelope(cols, Nil, None)
+      cols: Seq[(String, DataType)],
+      changedCol: Option[String] = None): DataFrame = {
+    val (schema, _) = BinlogText.singleEnvelope(cols, Nil, changedCol)
     val colsB = cols
+    val changedB = changedCol
     spark.read.format("binaryFile").load(dir)
       .select(col("content"), col("path"))
       .flatMap { r =>
-        decodeFile(r.getAs[Array[Byte]](0), r.getString(1), colsB)
+        decodeFile(r.getAs[Array[Byte]](0), r.getString(1), colsB,
+          changedCol = changedB)
       }(RowEncoder.encoderFor(schema))
       .toDF()
   }
@@ -109,11 +112,12 @@ object BinlogBinary {
   def parseMulti(spark: SparkSession, dir: String,
       colsByTable: Map[String, Seq[(String, DataType)]],
       tableCol: String = "table",
-      ignoreTables: Set[String] = Set.empty): DataFrame = {
-    val (schema, _) =
-      BinlogText.multiEnvelope(colsByTable, tableCol, ignoreTables, None)
+      ignoreTables: Set[String] = Set.empty,
+      changedCol: Option[String] = None): DataFrame = {
+    val (schema, _) = BinlogText.multiEnvelope(
+      colsByTable, tableCol, ignoreTables, changedCol)
     multiFrame(spark, dir, schema, colsByTable, ignoreTables,
-      marker = false)
+      marker = false, changedCol = changedCol)
   }
 
   /** [[parseTxn]] over a MULTI-TABLE raw dump — cross-table
@@ -154,9 +158,11 @@ object BinlogBinary {
   private def multiFrame(spark: SparkSession, dir: String,
       schema: StructType,
       colsByTable: Map[String, Seq[(String, DataType)]],
-      ignoreTables: Set[String], marker: Boolean): DataFrame =
+      ignoreTables: Set[String], marker: Boolean,
+      changedCol: Option[String] = None): DataFrame =
     multiDecode(spark.read.format("binaryFile").load(dir),
-      schema, colsByTable, ignoreTables, marker, requireRotate = false)
+      schema, colsByTable, ignoreTables, marker, requireRotate = false,
+      changedCol = changedCol)
 
   /** [[parseMulti]] as a STREAMING decode — the transport behind
     * [[BinlogBinaryMultiCdcSource]]: tail `dir` and decode each raw
@@ -193,16 +199,18 @@ object BinlogBinary {
   private def multiDecode(raw: DataFrame, schema: StructType,
       colsByTable: Map[String, Seq[(String, DataType)]],
       ignoreTables: Set[String], marker: Boolean,
-      requireRotate: Boolean): DataFrame = {
+      requireRotate: Boolean,
+      changedCol: Option[String] = None): DataFrame = {
     val colsB = colsByTable
     val ignoreB = ignoreTables
     val rotateB = requireRotate
     val markerB = marker
     val schemaB = schema
+    val changedB = changedCol
     raw.select(col("content"), col("path"))
       .flatMap { r =>
         decodeMultiFileBytes(r.getAs[Array[Byte]](0), r.getString(1),
-          schemaB, colsB, ignoreB, markerB, rotateB)
+          schemaB, colsB, ignoreB, markerB, rotateB, changedB)
       }(RowEncoder.encoderFor(schema))
       .toDF()
   }
@@ -216,8 +224,13 @@ object BinlogBinary {
       path: String, schema: StructType,
       colsByTable: Map[String, Seq[(String, DataType)]],
       ignoreTables: Set[String], marker: Boolean,
-      requireRotate: Boolean): Iterator[Row] = {
-    val slot = schema.fieldNames.drop(4).zipWithIndex.toMap
+      requireRotate: Boolean,
+      changedCol: Option[String] = None): Iterator[Row] = {
+    // union slots = the fields after (op, seq, ts, tableCol), minus
+    // the trailing changed-list column when the MINIMAL surface is on
+    val slot = schema.fieldNames.drop(4)
+      .dropRight(if (changedCol.isDefined) 1 else 0)
+      .zipWithIndex.toMap
     val slotsByTable = colsByTable.map { case (t, cols) =>
       t -> cols.map { case (n, _) => slot(n) }.toArray
     }
@@ -226,7 +239,8 @@ object BinlogBinary {
       if (marker)
         // topology-level commit marker: `_ctl`, never a state table
         Some((p: Long, t: java.time.LocalDateTime) => Row.fromSeq(
-          Seq("C", p, t, "_ctl") ++ Seq.fill[Any](width)(null)))
+          Seq("C", p, t, "_ctl") ++ Seq.fill[Any](width)(null) ++
+            changedCol.map(_ => null)))
       else None
     decodeFileRouted(bytes, path,
       route = t => colsByTable.get(t) match {
@@ -238,14 +252,16 @@ object BinlogBinary {
             "decoding its positional values without a TABLE_MAP " +
             "declaration would be guessing; declare or exclude it")
       },
-      emit = (t, op, p, time, vals) => {
+      emit = (t, op, p, time, vals, changed) => {
         val arr = new Array[Any](width)
         val slots = slotsByTable(t)
         vals.zipWithIndex.foreach { case (v, i) => arr(slots(i)) = v }
-        Row.fromSeq(Seq(op, p, time, t) ++ arr)
+        Row.fromSeq(Seq(op, p, time, t) ++ arr ++
+          changedCol.map(_ => changed))
       },
       marker = emitMarker,
-      requireRotate = requireRotate)
+      requireRotate = requireRotate,
+      minimal = changedCol.isDefined)
   }
 
   /** [[decodeEventStream]] for the MULTI-TABLE union envelope: bare
@@ -253,9 +269,11 @@ object BinlogBinary {
   private[sources] def decodeMultiEventStream(eventBytes: Array[Byte],
       path: String, schema: StructType,
       colsByTable: Map[String, Seq[(String, DataType)]],
-      ignoreTables: Set[String]): Iterator[Row] =
+      ignoreTables: Set[String],
+      changedCol: Option[String] = None): Iterator[Row] =
     decodeMultiFileBytes(Magic ++ eventBytes, path, schema,
-      colsByTable, ignoreTables, marker = false, requireRotate = false)
+      colsByTable, ignoreTables, marker = false, requireRotate = false,
+      changedCol = changedCol)
 
   // ── rendering (fixtures/diagnostics) ─────────────────────────────
 
@@ -540,14 +558,15 @@ object BinlogBinary {
       case other => throw new IllegalArgumentException(
         s"cannot render op '$other' as a binlog row event")
     }
-    val image = imageBytes(r, cols)
+    val full = Array.fill(cols.length)(true)
+    val image = imageBytes(r, cols, full)
     val b = new java.io.ByteArrayOutputStream()
     var tid = tableId
     (0 until 6).foreach { _ => b.write((tid & 0xff).toInt); tid >>= 8 }
     u16(b, 1) // flags: STMT_END_F
     u16(b, 2) // v2 extra-data length (2 = none beyond the length field)
     packed(b, cols.length.toLong)
-    val present = Array.fill[Byte]((cols.length + 7) / 8)(0xff.toByte)
+    val present = bitmapBytes(full)
     b.write(present) // columns-present bitmap (all)
     if (eventType == UPDATE_ROWS_V2) b.write(present) // after-image bitmap
     b.write(image)
@@ -555,18 +574,142 @@ object BinlogBinary {
     sealEvent(tsSec, eventType, seq, b.toByteArray)
   }
 
-  /** One row image: null bitmap over the present columns, then the
-    * present non-null values in TABLE_MAP order. */
-  private def imageBytes(r: Row,
-      cols: Seq[(String, DataType)]): Array[Byte] = {
+  private def bitmapBytes(mask: Array[Boolean]): Array[Byte] = {
+    val out = new Array[Byte]((mask.length + 7) / 8)
+    mask.indices.foreach(i => if (mask(i))
+      out(i / 8) = (out(i / 8) | (1 << (i % 8))).toByte)
+    out
+  }
+
+  /** One MINIMAL-row-image event: inserts carry full images (the
+    * format's own rule), updates carry a PK-only before image and a
+    * changed-columns-only after image (the row's trailing
+    * changed-name list names them), deletes carry the PK-only before
+    * image. The row layout is `(op, seq, ts, <cols…>, changed)` —
+    * [[renderMinimal]]'s select order. */
+  private[graft] def rowsEventMinimal(r: Row,
+      cols: Seq[(String, DataType)], pkIdx: Array[Int],
+      tableId: Long = 108L): Array[Byte] = {
+    val op = r.getString(0)
+    val seq = r.getLong(1)
+    val ldt = r.getAs[java.time.LocalDateTime](2)
+    require(ldt.getNano == 0,
+      s"binlog headers are second-granular; event at seq $seq carries " +
+        s"sub-second time ($ldt) the format would silently floor — " +
+        "refuse instead")
+    val tsSec = ldt.toEpochSecond(java.time.ZoneOffset.UTC)
+    val full = Array.fill(cols.length)(true)
+    val pkMask = {
+      val m = Array.fill(cols.length)(false)
+      pkIdx.foreach(m(_) = true)
+      m
+    }
+    def changedMask: Array[Boolean] = {
+      val names = r.getSeq[String](3 + cols.length)
+      require(names != null && names.nonEmpty,
+        s"MINIMAL update at seq $seq carries no changed-column list")
+      val m = Array.fill(cols.length)(false)
+      names.foreach { n =>
+        val i = cols.indexWhere(_._1 == n)
+        require(i >= 0, s"changed column '$n' is not in the TABLE_MAP")
+        m(i) = true
+      }
+      m
+    }
     val b = new java.io.ByteArrayOutputStream()
-    val nulls = new Array[Byte]((cols.length + 7) / 8)
-    cols.zipWithIndex.foreach { case (_, i) =>
-      if (r.isNullAt(i + 3)) nulls(i / 8) =
-        (nulls(i / 8) | (1 << (i % 8))).toByte
+    var tid = tableId
+    (0 until 6).foreach { _ => b.write((tid & 0xff).toInt); tid >>= 8 }
+    u16(b, 1) // flags: STMT_END_F
+    u16(b, 2) // v2 extra-data length
+    packed(b, cols.length.toLong)
+    op match {
+      case "I" =>
+        b.write(bitmapBytes(full))
+        b.write(imageBytes(r, cols, full))
+        sealEvent(tsSec, WRITE_ROWS_V2, seq, b.toByteArray)
+      case "U" =>
+        val after = changedMask
+        b.write(bitmapBytes(pkMask))
+        b.write(bitmapBytes(after))
+        b.write(imageBytes(r, cols, pkMask))
+        b.write(imageBytes(r, cols, after))
+        sealEvent(tsSec, UPDATE_ROWS_V2, seq, b.toByteArray)
+      case "D" =>
+        b.write(bitmapBytes(pkMask))
+        b.write(imageBytes(r, cols, pkMask))
+        sealEvent(tsSec, DELETE_ROWS_V2, seq, b.toByteArray)
+      case other => throw new IllegalArgumentException(
+        s"cannot render op '$other' as a binlog row event")
+    }
+  }
+
+  /** [[render]] in `binlog_row_image=MINIMAL` shape — the
+    * [[parse]]`(changedCol)` fixture writer: the frame carries a
+    * changed-name array column (`changedCol`), updates write PK-only
+    * before images and changed-only after images, deletes PK-only
+    * before images. Real wire bytes, so the MINIMAL decode path is
+    * exercised end to end including its identity merge. */
+  def renderMinimal(df: DataFrame, cols: Seq[(String, DataType)],
+      outDir: String, files: Int = 4, table: String = "orders",
+      pkCols: Seq[String] = Seq("okey"),
+      changedCol: String = "_changed"): Unit = {
+    validateCols(cols)
+    require(files >= 1, "at least one binlog file")
+    require(pkCols.nonEmpty, "MINIMAL images need at least one PK column")
+    val pkIdx = pkCols.map { n =>
+      val i = cols.indexWhere(_._1 == n)
+      require(i >= 0, s"PK column '$n' is not in the TABLE_MAP")
+      i
+    }.toArray
+    val dirPath = java.nio.file.Paths.get(outDir)
+    if (java.nio.file.Files.exists(dirPath)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dirPath)
+      try walk.iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
+    java.nio.file.Files.createDirectories(dirPath)
+    val colsB = cols
+    val tableB = table
+    val pkIdxB = pkIdx
+    val ordered = df.select(
+      (Seq(col("op"), col("seq"),
+        col("ts").cast(TimestampNTZType).as("ts")) ++
+        colsB.map { case (n, _) => col(n) } :+ col(changedCol)): _*)
+    ordered.repartition(files).foreachPartition {
+      (it: Iterator[Row]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val out = new java.io.ByteArrayOutputStream()
+        out.write(Magic)
+        out.write(fdeEvent())
+        out.write(tableMapEvent(tableB, colsB))
+        it.foreach { r => out.write(rowsEventMinimal(r, colsB, pkIdxB)) }
+        out.write(rotateEvent(f"bin.${pid + 1}%06d"))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(outDir, f"bin.$pid%06d"),
+          out.toByteArray)
+        ()
+    }
+  }
+
+  /** One row image under a columns-present MASK: null bitmap over the
+    * PRESENT columns (indexed in presence order, exactly how the
+    * decoder reads it back), then the present non-null values in
+    * TABLE_MAP order. The FULL-image path passes an all-true mask;
+    * the MINIMAL renderer masks to PK / changed positions. */
+  private def imageBytes(r: Row, cols: Seq[(String, DataType)],
+      mask: Array[Boolean]): Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    val presentIdx = cols.indices.filter(mask(_)).toArray
+    val nulls = new Array[Byte]((presentIdx.length + 7) / 8)
+    presentIdx.zipWithIndex.foreach { case (ci, pj) =>
+      if (r.isNullAt(ci + 3)) nulls(pj / 8) =
+        (nulls(pj / 8) | (1 << (pj % 8))).toByte
     }
     b.write(nulls)
-    cols.zipWithIndex.foreach { case ((n, t), i) =>
+    presentIdx.foreach { i =>
+      val (n, t) = cols(i)
       if (!r.isNullAt(i + 3)) t match {
         case LongType =>
           var v = r.getLong(i + 3)
@@ -814,20 +957,24 @@ object BinlogBinary {
     * re-read. */
   private def decodeFile(bytes: Array[Byte], path: String,
       cols: Seq[(String, DataType)], emitMarkers: Boolean = false,
-      requireRotate: Boolean = false): Iterator[Row] = {
+      requireRotate: Boolean = false,
+      changedCol: Option[String] = None): Iterator[Row] = {
     val marker =
       if (emitMarkers)
         Some((p: Long, t: java.time.LocalDateTime) =>
-          Row.fromSeq(Seq("C", p, t) ++ cols.map(_ => null)))
+          Row.fromSeq(Seq("C", p, t) ++ cols.map(_ => null) ++
+            changedCol.map(_ => null)))
       else None
     decodeFileRouted(bytes, path,
       // the single-table decode accepts ANY table name (a single-table
       // dump's TABLE_MAPs all name the same table — the text path's
       // posture); arity/type validation still refuses a stale declaration
       route = _ => DecodeAs(cols, ""),
-      emit = (_, op, p, t, vals) => Row.fromSeq(Seq(op, p, t) ++ vals),
+      emit = (_, op, p, t, vals, changed) => Row.fromSeq(
+        Seq(op, p, t) ++ vals ++ changedCol.map(_ => changed)),
       marker = marker,
-      requireRotate = requireRotate)
+      requireRotate = requireRotate,
+      minimal = changedCol.isDefined)
   }
 
   /** Decode a BARE event stream — event bytes with no leading 4-byte
@@ -840,8 +987,9 @@ object BinlogBinary {
     * verification, TABLE_MAP validation, and every refusal identical
     * to the raw-file path. */
   private[sources] def decodeEventStream(eventBytes: Array[Byte],
-      path: String, cols: Seq[(String, DataType)]): Iterator[Row] =
-    decodeFile(Magic ++ eventBytes, path, cols)
+      path: String, cols: Seq[(String, DataType)],
+      changedCol: Option[String] = None): Iterator[Row] =
+    decodeFile(Magic ++ eventBytes, path, cols, changedCol = changedCol)
 
   /** How the routed decode treats one TABLE_MAP's table: decode its
     * row events against declared columns (`tag` flavors refusal
@@ -866,9 +1014,11 @@ object BinlogBinary {
     * Xid as a commit-marker row — the txn-gate shape. */
   private def decodeFileRouted(bytes: Array[Byte], path: String,
       route: String => TableRoute,
-      emit: (String, String, Long, java.time.LocalDateTime, Seq[Any]) => Row,
+      emit: (String, String, Long, java.time.LocalDateTime, Seq[Any],
+        Seq[String]) => Row,
       marker: Option[(Long, java.time.LocalDateTime) => Row],
-      requireRotate: Boolean): Iterator[Row] = {
+      requireRotate: Boolean,
+      minimal: Boolean = false): Iterator[Row] = {
     val out = Vector.newBuilder[Row]
     // table id -> None (declared-skipped) | Some(table, cols, wire)
     var tableMaps =
@@ -960,36 +1110,70 @@ object BinlogBinary {
               val present2 =
                 if (eventType == UPDATE_ROWS_V2) readBitmap(c, n)
                 else present1
-              // a PARTIAL columns-present bitmap is binlog_row_image=
-              // MINIMAL: absent columns are "unchanged", NOT NULL —
-              // decoding them as NULL and letting a latest-wins
-              // collapse apply them is the silently-diverged-replica
-              // class. This decoder has no changed-list surface (the
-              // text path's changedCol), so refuse by name rather
-              // than mis-decode.
-              require(present1.forall(identity) &&
-                present2.forall(identity),
-                s"$path: row event at offset $o carries a PARTIAL " +
-                  "columns-present bitmap (binlog_row_image=MINIMAL) " +
-                  "— absent columns mean 'unchanged', not NULL, and " +
-                  "this wire decoder has no changed-list surface to " +
-                  "carry that; re-dump with binlog_row_image=FULL, or " +
-                  "feed a verbose text dump through the changedCol " +
-                  "path")
               val op = eventType match {
                 case WRITE_ROWS_V2 => "I"
                 case UPDATE_ROWS_V2 => "U"
                 case _ => "D"
               }
+              if (!minimal)
+                // a PARTIAL columns-present bitmap is binlog_row_image=
+                // MINIMAL: absent columns are "unchanged", NOT NULL —
+                // decoding them as NULL and letting a latest-wins
+                // collapse apply them is the silently-diverged-replica
+                // class. Without a declared changed-list surface (the
+                // changedCol parameter), refuse by name rather than
+                // mis-decode.
+                require(present1.forall(identity) &&
+                  present2.forall(identity),
+                  s"$path: row event at offset $o carries a PARTIAL " +
+                    "columns-present bitmap (binlog_row_image=MINIMAL) " +
+                    "— absent columns mean 'unchanged', not NULL; " +
+                    "declare changedCol to decode MINIMAL dumps, or " +
+                    "re-dump with binlog_row_image=FULL")
+              else if (op == "I")
+                // MINIMAL inserts carry full images by definition (the
+                // changed-list marker for inserts is null = complete) —
+                // a partial insert bitmap has no honest decode
+                require(present1.forall(identity),
+                  s"$path: row event at offset $o is an INSERT with a " +
+                    "PARTIAL columns-present bitmap — MINIMAL inserts " +
+                    "carry full images by definition; the dump is " +
+                    "corrupt")
               val time = java.time.LocalDateTime.ofEpochSecond(
                 tsSec, 0, java.time.ZoneOffset.UTC)
+              // the changed-position list (the text path's changedList
+              // rule): inserts null = complete; deletes list their
+              // before-image positions (MINIMAL deletes are PK-only —
+              // visibly partial to history consumers); updates list
+              // their after-image positions
+              val changed: Seq[String] =
+                if (!minimal) null
+                else op match {
+                  case "I" => null
+                  case "D" => cols.indices.collect {
+                    case i if present1(i) => cols(i)._1 }
+                  case _ => cols.indices.collect {
+                    case i if present2(i) => cols(i)._1 }
+                }
               // rows repeat until the body ends (multi-row statements)
               while (c.o < c.end) {
                 val first = readImage(c, cols, wire, present1)
-                val replicating = if (eventType == UPDATE_ROWS_V2)
-                  readImage(c, cols, wire, present2) // after image wins
-                else first
-                out += emit(table, op, logPos, time, replicating)
+                val replicating =
+                  if (eventType != UPDATE_ROWS_V2) first
+                  else {
+                    val second = readImage(c, cols, wire, present2)
+                    if (!minimal) second // FULL: the after image wins
+                    else
+                      // MINIMAL update: the after image carries only
+                      // the changed columns; identity positions merge
+                      // in from the before image, after winning any
+                      // overlap — the text path's `where ++ set` rule
+                      cols.indices.map(i =>
+                        if (present2(i)) second(i)
+                        else if (present1(i)) first(i)
+                        else null)
+                  }
+                out += emit(table, op, logPos, time, replicating, changed)
               }
           }
         case XID if marker.isDefined =>
@@ -1242,14 +1426,16 @@ object BinlogBinary {
     * original mtime. */
   private[sources] def streamDecode(spark: SparkSession, dir: String,
       cols: Seq[(String, DataType)],
-      requireRotate: Boolean): DataFrame = {
-    val (schema, _) = BinlogText.singleEnvelope(cols, Nil, None)
+      requireRotate: Boolean,
+      changedCol: Option[String] = None): DataFrame = {
+    val (schema, _) = BinlogText.singleEnvelope(cols, Nil, changedCol)
     val colsB = cols
+    val changedB = changedCol
     rawStream(spark, dir)
       .select(col("content"), col("path"))
       .flatMap { r =>
         decodeFile(r.getAs[Array[Byte]](0), r.getString(1), colsB,
-          requireRotate = requireRotate)
+          requireRotate = requireRotate, changedCol = changedB)
       }(RowEncoder.encoderFor(schema))
       .toDF()
   }

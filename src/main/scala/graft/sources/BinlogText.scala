@@ -118,12 +118,14 @@ object BinlogText {
     * here, raw files through [[BinlogBinary.parse]] — one collapse,
     * whatever the transport. */
   def parseNonVerbose(spark: SparkSession, dir: String,
-      cols: Seq[(String, DataType)]): DataFrame = {
-    val (schema, _) = singleEnvelope(cols, Nil, None)
+      cols: Seq[(String, DataType)],
+      changedCol: Option[String] = None): DataFrame = {
+    val (schema, _) = singleEnvelope(cols, Nil, changedCol)
     val colsB = cols
+    val changedB = changedCol
     decodeBase64(spark.read.option("wholetext", "true").text(dir),
       schema, (bytes, path) =>
-        BinlogBinary.decodeEventStream(bytes, path, colsB))
+        BinlogBinary.decodeEventStream(bytes, path, colsB, changedB))
   }
 
   /** [[parseNonVerbose]] over a MULTI-TABLE dump: the base64 payloads
@@ -135,15 +137,17 @@ object BinlogText {
   def parseMultiNonVerbose(spark: SparkSession, dir: String,
       colsByTable: Map[String, Seq[(String, DataType)]],
       tableCol: String = "table",
-      ignoreTables: Set[String] = Set.empty): DataFrame = {
+      ignoreTables: Set[String] = Set.empty,
+      changedCol: Option[String] = None): DataFrame = {
     val (schema, _) =
-      multiEnvelope(colsByTable, tableCol, ignoreTables, None)
+      multiEnvelope(colsByTable, tableCol, ignoreTables, changedCol)
     val colsB = colsByTable
     val ignoreB = ignoreTables
+    val changedB = changedCol
     decodeBase64(spark.read.option("wholetext", "true").text(dir),
       schema, (bytes, path) =>
         BinlogBinary.decodeMultiEventStream(bytes, path, schema,
-          colsB, ignoreB))
+          colsB, ignoreB, changedB))
   }
 
   /** The TRANSACTION loop from a NON-VERBOSE dump: row events decode

@@ -99,11 +99,15 @@ final case class BinlogBinaryCdcSource(dir: String,
       * truncated bytes as final and the file source would never
       * re-read the rest. Disable ONLY for a writer that provably
       * stages rotations atomically. */
-    requireRotate: Boolean = true) extends CdcSource {
+    requireRotate: Boolean = true,
+    /** The MINIMAL-row-image surface ([[BinlogBinary.parse]]'s
+      * `changedCol`) — declare it to tail `binlog_row_image=MINIMAL`
+      * rotations; without it, partial bitmaps refuse loudly. */
+    changedCol: Option[String] = None) extends CdcSource {
   override def schema: StructType =
-    BinlogText.singleEnvelope(cols, Nil, None)._1
+    BinlogText.singleEnvelope(cols, Nil, changedCol)._1
   override def open(spark: SparkSession): DataFrame =
-    BinlogBinary.streamDecode(spark, dir, cols, requireRotate)
+    BinlogBinary.streamDecode(spark, dir, cols, requireRotate, changedCol)
 }
 
 /** [[BinlogBinaryCdcSource]] for a MULTI-TABLE raw dump: one tailed

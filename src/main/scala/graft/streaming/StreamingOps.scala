@@ -4007,6 +4007,44 @@ object StreamingOps {
     // knowing which wire format fed it. Same fixture topology and the
     // SAME oracle as cdc_binlog_text_multi: one decode contract, two
     // wire formats.
+    // S-BINLOG-BINARY-MINIMAL: binlog_row_image=MINIMAL from RAW WIRE
+    // BYTES — the production default-tuning shape: updates ship a
+    // PK-only before image and a changed-columns-only after image
+    // (the columns-present BITMAPS carry what the text dialect's
+    // changed-position lists carry), deletes ship the PK-only before
+    // image. BinlogBinary.parse(changedCol) merges the update's
+    // identity from the before image, surfaces the changed-name list,
+    // and runCdcPass(partialImageCol) completes the partial rows at
+    // apply — the same completion the envelope and text paths use,
+    // now fed straight from wire bitmaps. Same oracle as
+    // stream_cdc_partial_image: one MINIMAL discipline, three feeds.
+    "cdc_binlog_binary_minimal" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir)
+      val partial = log
+        .withColumn("_changed",
+          when(col("op") === "U" && col("okey") % 2 === 0,
+            array(lit("price")))
+            .when(col("op") === "U", array(lit("status")))
+            .otherwise(lit(null).cast("array<string>")))
+        .withColumn("price", when(col("op") === "U" &&
+          !array_contains(col("_changed"), "price"),
+          lit(null).cast(DoubleType)).otherwise(col("price")))
+        .withColumn("status", when(col("op") === "U" &&
+          !array_contains(col("_changed"), "status"),
+          lit(null).cast(StringType)).otherwise(col("status")))
+      val tmp = tmpDir()
+      graft.sources.BinlogBinary.renderMinimal(partial, txnScenarioCols,
+        s"$tmp/binlog", files = 3)
+      val env = graft.sources.BinlogBinary.parse(s, s"$tmp/binlog",
+        txnScenarioCols, changedCol = Some("_changed"))
+      val in = s"$tmp/in"
+      writeWaves(env, in, when(col("seq") <= 1, 0).otherwise(1), 2,
+        Seq(col("okey")))
+      runCdcPass(s, env.schema, in, s"$tmp/ckpt", s"$tmp/state",
+        partialImageCol = Some("_changed"))
+      readLatestState(s, s"$tmp/state")
+    }),
+
     "cdc_binlog_binary_multi" -> ((s, dir) => binlogMultiScenario(s, dir,
       (df, cols, out, table, files, append) =>
         graft.sources.BinlogBinary.render(df, cols, out, files = files,
@@ -5807,6 +5845,35 @@ object StreamingOps {
                    ELSE note END AS note
        FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY okey"""
 
+  // MINIMAL row images (partial updates completed at apply from each
+  // key's prior image): the latest-wins collapse over the FILLED
+  // history. ONE oracle for the envelope feed and the raw-wire MINIMAL
+  // decode — the completion discipline must not care which transport
+  // carried the partial rows.
+  private val partialImageSql: String =
+    s"""WITH cdc_log AS (${Tables.cdcLogSql}),
+          partial AS (
+            SELECT op, seq, ts, okey,
+                   CASE WHEN op = 'U' AND okey % 2 <> 0 THEN NULL
+                        ELSE price END AS price,
+                   CASE WHEN op = 'U' AND okey % 2 = 0 THEN NULL
+                        ELSE status END AS status
+            FROM cdc_log),
+          filled AS (
+            SELECT op, seq, ts, okey,
+                   last_value(CASE WHEN op <> 'D' THEN price END
+                     IGNORE NULLS) OVER w AS price,
+                   last_value(CASE WHEN op <> 'D' THEN status END
+                     IGNORE NULLS) OVER w AS status
+            FROM partial
+            WINDOW w AS (PARTITION BY okey ORDER BY seq
+                         ROWS UNBOUNDED PRECEDING)),
+          ranked AS (SELECT *, row_number() OVER (
+                       PARTITION BY okey ORDER BY seq DESC) rn
+                     FROM filled)
+       SELECT okey, op, price, status, ts FROM ranked
+       WHERE rn = 1 AND op <> 'D' ORDER BY okey"""
+
   // the txn gate from dump bytes: transactions 1-2 committed (Xid
   // present), txn 3 — the delete wave — held back entirely, so the
   // collapse runs over seq <= 2 only. ONE oracle for all three
@@ -6386,29 +6453,10 @@ object StreamingOps {
     // MINIMAL row images: per column, the served value is the latest
     // event that CARRIED it (this fixture writes no explicit NULLs, so
     // IGNORE NULLS expresses the columns-present bitmap exactly)
-    "stream_cdc_partial_image" ->
-      s"""WITH cdc_log AS (${Tables.cdcLogSql}),
-            partial AS (
-              SELECT op, seq, ts, okey,
-                     CASE WHEN op = 'U' AND okey % 2 <> 0 THEN NULL
-                          ELSE price END AS price,
-                     CASE WHEN op = 'U' AND okey % 2 = 0 THEN NULL
-                          ELSE status END AS status
-              FROM cdc_log),
-            filled AS (
-              SELECT op, seq, ts, okey,
-                     last_value(CASE WHEN op <> 'D' THEN price END
-                       IGNORE NULLS) OVER w AS price,
-                     last_value(CASE WHEN op <> 'D' THEN status END
-                       IGNORE NULLS) OVER w AS status
-              FROM partial
-              WINDOW w AS (PARTITION BY okey ORDER BY seq
-                           ROWS UNBOUNDED PRECEDING)),
-            ranked AS (SELECT *, row_number() OVER (
-                         PARTITION BY okey ORDER BY seq DESC) rn
-                       FROM filled)
-         SELECT okey, op, price, status, ts FROM ranked
-         WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
+    "stream_cdc_partial_image" -> partialImageSql,
+    // MINIMAL images straight from wire bitmaps: same completion,
+    // same oracle
+    "cdc_binlog_binary_minimal" -> partialImageSql,
 
     // txn-boundary apply: only committed transactions (1 and 2) are
     // served; txn 3 (the delete wave) never commits and never applies.

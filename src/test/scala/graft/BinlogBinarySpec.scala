@@ -605,6 +605,49 @@ class BinlogBinarySpec extends SparkTestBase {
     assert(msg.contains("MINIMAL"), s"got: $msg")
   }
 
+  test("MINIMAL wire images decode under changedCol: updates merge " +
+      "identity from the PK-only before image, the present bitmaps " +
+      "surface as the changed list, deletes are PK-only") {
+    val schema = StructType(Seq(
+      StructField("op", StringType), StructField("seq", LongType),
+      StructField("tsSec", LongType), StructField("okey", LongType),
+      StructField("price", DoubleType), StructField("status", StringType),
+      StructField("_changed", ArrayType(StringType))))
+    val rows = Seq(
+      Row("I", 1L, 800000000L, 1L, 10.0, "new", null),
+      Row("U", 2L, 800000001L, 1L, 11.5, null, Seq("price")),
+      Row("U", 3L, 800000002L, 1L, null, "shipped", Seq("status")),
+      Row("D", 4L, 800000003L, 1L, null, null, null))
+    val env = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+      .withColumn("ts", timestamp_seconds(col("tsSec"))
+        .cast(TimestampNTZType))
+      .select("op", "seq", "ts", "okey", "price", "status", "_changed")
+    val dir = tmp()
+    BinlogBinary.renderMinimal(env, cols, s"$dir/b", files = 1)
+    val back = BinlogBinary.parse(spark, s"$dir/b", cols,
+      changedCol = Some("_changed"))
+    val got = back.orderBy(col("seq")).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getAs[Any]("okey"),
+        r.getAs[Any]("price"), r.getAs[Any]("status"),
+        Option(r.getAs[Seq[String]]("_changed")).orNull)).toSeq
+    assert(got == Seq(
+      ("I", 1L, 1L, 10.0, "new", null), // full image, complete marker
+      // identity merged from the before image; unchanged -> NULL
+      ("U", 2L, 1L, 11.5, null, Seq("price")),
+      ("U", 3L, 1L, null, "shipped", Seq("status")),
+      // MINIMAL delete: PK-only, visibly partial
+      ("D", 4L, 1L, null, null, Seq("okey"))), s"got: $got")
+    // WITHOUT changedCol the same dump refuses by name — no silent
+    // NULLs for 'unchanged'
+    val e = intercept[Throwable] {
+      BinlogBinary.parse(spark, s"$dir/b", cols).collect()
+    }
+    assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      .contains("declare changedCol"))
+  }
+
   test("render refuses an append that would overwrite an existing " +
       "prefix's rotation files") {
     val dir = tmp()
