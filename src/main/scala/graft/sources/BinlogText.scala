@@ -338,23 +338,7 @@ object BinlogText {
         // rotations, a writer reusing a terminated file) would pass on
         // the first dump's marker while its tail is torn — so event
         // content AFTER the last marker line still refuses.
-        if (requireTerminator) {
-          val lines = text.linesIterator.map(_.trim).toVector
-          val last = lines.lastIndexOf(DumpTerminator)
-          require(last >= 0,
-            s"binlog file ${r.getString(1)} carries no " +
-              s"'$DumpTerminator' line — an in-flight or torn rotation; " +
-              "stage rotations atomically (write elsewhere, then " +
-              "rename into the tailed dir) or disable requireTerminator")
-          lines.drop(last + 1).foreach(l => require(
-            !l.startsWith("# at ") && !l.startsWith("### ") &&
-              !l.startsWith("BINLOG '"),
-            s"binlog file ${r.getString(1)} carries event content " +
-              s"AFTER its '$DumpTerminator' line ('${l.take(60)}') — a " +
-              "complete dump with an in-flight tail appended; stage " +
-              "rotations atomically instead of appending to a " +
-              "terminated file"))
-        }
+        if (requireTerminator) requireTerminated(text, r.getString(1))
         parseFile(text, decode)
       }(RowEncoder.encoderFor(schema))
       .toDF()
@@ -378,6 +362,54 @@ object BinlogText {
         .option("maxFileAge", "36500d")
         .text(dir),
       schema, decode, requireTerminator)
+
+  /** The torn-rotation gate shared by every TEXT-framed tail (verbose
+    * and base64): the file must carry the [[DumpTerminator]] line
+    * mysqlbinlog writes when it finishes, with no event content after
+    * the LAST one (a complete dump with an in-flight tail appended is
+    * torn too). */
+  private def requireTerminated(text: String, path: String): Unit = {
+    val lines = text.linesIterator.map(_.trim).toVector
+    val last = lines.lastIndexOf(DumpTerminator)
+    require(last >= 0,
+      s"binlog file $path carries no " +
+        s"'$DumpTerminator' line — an in-flight or torn rotation; " +
+        "stage rotations atomically (write elsewhere, then " +
+        "rename into the tailed dir) or disable requireTerminator")
+    lines.drop(last + 1).foreach(l => require(
+      !l.startsWith("# at ") && !l.startsWith("### ") &&
+        !l.startsWith("BINLOG '"),
+      s"binlog file $path carries event content " +
+        s"AFTER its '$DumpTerminator' line ('${l.take(60)}') — a " +
+        "complete dump with an in-flight tail appended; stage " +
+        "rotations atomically instead of appending to a " +
+        "terminated file"))
+  }
+
+  /** [[parseNonVerbose]] as a STREAMING decode — the transport behind
+    * [[BinlogBase64CdcSource]]: tail a dir of NON-VERBOSE dumps and
+    * decode each rotation's `BINLOG '…'` payloads as it lands, one
+    * file per micro-batch, through the same torn-rotation gate as the
+    * verbose tail (mysqlbinlog writes the terminator line in every
+    * mode). `decode` is the (bytes, path) → rows plug — single or
+    * multi. */
+  private[sources] def streamDecodeBase64(spark: SparkSession,
+      dir: String, schema: StructType,
+      decode: (Array[Byte], String) => Iterator[Row],
+      requireTerminator: Boolean): DataFrame =
+    spark.readStream
+      .option("wholetext", "true")
+      .option("maxFilesPerTrigger", "1")
+      .option("maxFileAge", "36500d")
+      .text(dir)
+      .select(col("value"), input_file_name().as("_f"))
+      .flatMap { r =>
+        val text = r.getString(0)
+        val path = r.getString(1)
+        if (requireTerminator) requireTerminated(text, path)
+        decode(base64Payload(text, path), path)
+      }(RowEncoder.encoderFor(schema))
+      .toDF()
 
   /** The single-table envelope's validations + schema + decode plug,
     * shared by the batch and streaming reads (a validation added to

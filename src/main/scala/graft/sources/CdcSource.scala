@@ -129,6 +129,48 @@ final case class BinlogBinaryMultiCdcSource(dir: String,
       ignoreTables, requireRotate)
 }
 
+/** NON-VERBOSE dump transport as a first-class streaming source: TAIL
+  * a dir of default-`mysqlbinlog` output (row events only as
+  * `BINLOG '…'` base64 statements) and decode each rotation through
+  * the binary wire path as it lands — one file per micro-batch, the
+  * same torn-rotation gate as the verbose text tail (the terminator
+  * line prints in every dump mode). The operator tails whatever dump
+  * they already have; no re-dump, no format knowledge in the pass. */
+final case class BinlogBase64CdcSource(dir: String,
+    cols: Seq[(String, org.apache.spark.sql.types.DataType)],
+    /** MINIMAL surface — see [[BinlogBinaryCdcSource.changedCol]]. */
+    changedCol: Option[String] = None,
+    /** See [[BinlogTextCdcSource.requireTerminator]]. */
+    requireTerminator: Boolean = true) extends CdcSource {
+  private val sd = BinlogText.singleEnvelope(cols, Nil, changedCol)
+  override def schema: StructType = sd._1
+  override def open(spark: SparkSession): DataFrame =
+    BinlogText.streamDecodeBase64(spark, dir, sd._1,
+      (bytes, path) => BinlogBinary.decodeEventStream(
+        bytes, path, cols, changedCol),
+      requireTerminator)
+}
+
+/** [[BinlogBase64CdcSource]] for a MULTI-TABLE non-verbose dump: one
+  * tailed dir, N tables dispatched on the TABLE_MAP names the base64
+  * payloads carry on the wire — `runCdcPassMultiSource`'s fan-out
+  * from the default mysqlbinlog output. */
+final case class BinlogBase64MultiCdcSource(dir: String,
+    colsByTable: Map[String, Seq[(String, org.apache.spark.sql.types.DataType)]],
+    ignoreTables: Set[String] = Set.empty,
+    /** See [[BinlogTextCdcSource.requireTerminator]]. */
+    requireTerminator: Boolean = true) extends CdcSource {
+  // table column PINNED to "table" — see BinlogTextMultiCdcSource
+  private val sd = BinlogText.multiEnvelope(colsByTable,
+    tableCol = "table", ignoreTables, None)
+  override def schema: StructType = sd._1
+  override def open(spark: SparkSession): DataFrame =
+    BinlogText.streamDecodeBase64(spark, dir, sd._1,
+      (bytes, path) => BinlogBinary.decodeMultiEventStream(
+        bytes, path, sd._1, colsByTable, ignoreTables),
+      requireTerminator)
+}
+
 /** Test/embedded backend over an already-constructed streaming DataFrame
   * (e.g. a MemoryStream's `toDF` — StreamingSpec proves the pass runs
   * unchanged over it). `schema` is taken from the DataFrame itself. */

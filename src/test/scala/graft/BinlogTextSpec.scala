@@ -1327,6 +1327,50 @@ class BinlogTextSpec extends SparkTestBase {
       ("I", 21L, s"$uuid:2")), s"got: $got")
   }
 
+  test("BinlogBase64CdcSource: the pass TAILS non-verbose dumps, " +
+      "rotations arriving across resumed passes; a rotation without " +
+      "the terminator line refuses") {
+    import graft.streaming.StreamingOps
+    import graft.sources.BinlogBase64CdcSource
+    val base = tmp()
+    val dump = s"$base/dump"
+    BinlogText.renderBase64(envDf(Seq(
+      ("I", 1L, 800000000L, 1L, 10.0, "a"),
+      ("I", 2L, 800000000L, 2L, 20.0, "b"))),
+      cols, dump, files = 1)
+    val src = BinlogBase64CdcSource(dump, cols)
+    StreamingOps.runCdcPassSource(spark, src, s"$base/ckpt",
+      s"$base/state")
+    assert(StreamingOps.readLatestState(spark, s"$base/state")
+      .count() == 2)
+    // the next rotation lands (append mode = a new part file); the
+    // resumed pass consumes only it
+    BinlogText.renderBase64(envDf(Seq(
+      ("D", 3L, 800000001L, 2L, null, null))),
+      cols, dump, files = 1, append = true)
+    StreamingOps.runCdcPassSource(spark, src, s"$base/ckpt",
+      s"$base/state")
+    assert(StreamingOps.readLatestState(spark, s"$base/state")
+      .select("okey").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // a TORN rotation (no terminator line) refuses the batch
+    val base2 = tmp()
+    val dump2 = s"$base2/dump"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dump2))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dump2/f.txt"),
+      "# at 4\nBINLOG '\nwlZbVRMBAAAAKwAAAL8AAAAAAHEAAAAAAAEABHRlc3Q=\n" +
+        "'/*!*/;\n")
+    val src2 = BinlogBase64CdcSource(dump2, cols)
+    val e = intercept[Throwable] {
+      StreamingOps.runCdcPassSource(spark, src2, s"$base2/ckpt",
+        s"$base2/state")
+    }
+    assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      .contains("in-flight or torn rotation"))
+  }
+
   test("parseMultiTxnNonVerbose: one topology-level Xid closes a " +
       "cross-table transaction decoded from base64 payloads") {
     val colsOdd: Seq[(String, DataType)] = Seq(
