@@ -1292,30 +1292,10 @@ object BinlogBinary {
         Iterator((name, lastRotateTarget(
           r.getAs[Array[Byte]](0), r.getString(1)).getOrElse("")))
       }(Encoders.tuple(Encoders.STRING, Encoders.STRING))
-      .collect().toSeq.sortBy(_._1)
-    // chains are PER PREFIX (`binlog.000123` → prefix `binlog`): one
-    // server writes one name family, and a fixture dir composing
-    // several families must not cross-compare their chains. Order is
-    // NUMERIC on the suffix, not lexicographic: MySQL extends the
-    // extension past 999999 (binlog.999999 → binlog.1000000), and a
-    // string sort would put 1000000 before 999999 and falsely refuse
-    // an intact rollover window
-    def suffixNum(name: String): Long =
-      name.reverse.takeWhile(_ != '.').reverse.toLongOption
-        .getOrElse(Long.MaxValue) // non-numeric: stable at the end
-    ann.groupBy(_._1.reverse.dropWhile(_ != '.').reverse)
-      .values.foreach { group =>
-        group.sortBy(p => (suffixNum(p._1), p._1)).sliding(2).foreach {
-          case Seq((f, next), (g, _)) if next.nonEmpty =>
-            require(next == g,
-              s"rotation chain broken: $f announces successor '$next' " +
-                s"but the next file present is '$g' — the announced " +
-                "rotation is MISSING from this window (lost change " +
-                "events); restore it or re-snapshot instead of " +
-                "silently skipping")
-          case _ => () // no announcement (STOP/at-rest): chain ends
-        }
-      }
+      .collect().toSeq
+    // one shared chain rule with the text transport: per name family,
+    // numeric suffix order, announced successor must be present
+    BinlogText.verifyChain(ann)
   }
 
   /** The file's LAST event's ROTATE target, if its last event is a

@@ -882,6 +882,72 @@ object BinlogText {
       s"\tXid = $xid\nCOMMIT/*!*/;"
   }
 
+  /** A ROTATE header line — what mysqlbinlog prints when the server
+    * switched to the next binlog file ([[verifyRotationChain]]'s
+    * inverse; fixture composer). */
+  def renderRotate(seq: Long, tsEpochSec: Long,
+      nextFile: String): String = {
+    val ldt = java.time.LocalDateTime.ofEpochSecond(
+      tsEpochSec, 0, java.time.ZoneOffset.UTC)
+    val hdr = headerDate(ldt, s"rotate event at seq $seq")
+    s"# at $seq\n$hdr server id 1  end_log_pos $seq CRC32 0x00000000 " +
+      s"\tRotate to $nextFile  pos: 4"
+  }
+
+  /** Verify a TEXT dump directory's rotation chain — the lost-rotation
+    * guard on the mysqlbinlog framing: each dump file's LAST `Rotate
+    * to <next>` header must name the next file present in its name
+    * family ([[BinlogBinary.verifyRotationChain]]'s rule, one shared
+    * chain check). Files with no Rotate header close their chain (an
+    * at-rest extract or a STOP-terminated tail). */
+  def verifyRotationChain(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.Encoders
+    val ann = spark.read.option("wholetext", "true").text(dir)
+      .select(col("value"), input_file_name().as("_f"))
+      .flatMap { r =>
+        val name = r.getString(1).split('/').last
+        var target = ""
+        for (line0 <- r.getString(0).linesIterator;
+             line = line0.trim
+             if line.startsWith("#") && !line.startsWith("###")) {
+          val i = line.indexOf("Rotate to ")
+          if (HeaderTs.matches(line) && i >= 0) {
+            target = line.substring(i + "Rotate to ".length)
+              .takeWhile(!_.isWhitespace)
+          }
+        }
+        Iterator((name, target))
+      }(Encoders.tuple(Encoders.STRING, Encoders.STRING))
+      .collect().toSeq
+    verifyChain(ann)
+  }
+
+  /** The rotation-chain check shared by the text and binary transports
+    * (one loss-detection rule, every framing): per name family
+    * (prefix), in NUMERIC suffix order — MySQL extends the extension
+    * past 999999, where a string sort would falsely refuse the
+    * rollover — each file's announced successor must be the next file
+    * present; the family's last announcement may point beyond the
+    * window, and an empty announcement closes its chain. */
+  private[sources] def verifyChain(ann: Seq[(String, String)]): Unit = {
+    def suffixNum(name: String): Long =
+      name.reverse.takeWhile(_ != '.').reverse.toLongOption
+        .getOrElse(Long.MaxValue) // non-numeric: stable at the end
+    ann.groupBy(_._1.reverse.dropWhile(_ != '.').reverse)
+      .values.foreach { group =>
+        group.sortBy(p => (suffixNum(p._1), p._1)).sliding(2).foreach {
+          case Seq((f, next), (g, _)) if next.nonEmpty =>
+            require(next == g,
+              s"rotation chain broken: $f announces successor '$next' " +
+                s"but the next file present is '$g' — the announced " +
+                "rotation is MISSING from this window (lost change " +
+                "events); restore it or re-snapshot instead of " +
+                "silently skipping")
+          case _ => () // no announcement: chain ends
+        }
+      }
+  }
+
   /** The dump's COMMIT positions: one `(binlog position, header epoch
     * seconds)` per Xid event. Distributed per file like every other
     * extractor here; metadata scale (one tiny row per transaction). */

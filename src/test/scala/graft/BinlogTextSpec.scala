@@ -1327,6 +1327,31 @@ class BinlogTextSpec extends SparkTestBase {
       ("I", 21L, s"$uuid:2")), s"got: $got")
   }
 
+  test("verifyRotationChain (text framing): 'Rotate to' headers must " +
+      "name the next file present — a missing rotation refuses") {
+    val dir = tmp()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/b"))
+    def dumpFile(name: String, next: String): Unit = {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/b/$name"),
+        BinlogText.renderRotate(100L, 800000000L, next) + "\n" +
+          BinlogText.DumpTerminator + "\n")
+      ()
+    }
+    dumpFile("bin.000001", "bin.000002")
+    dumpFile("bin.000002", "bin.000003") // last announcement: beyond ok
+    BinlogText.verifyRotationChain(spark, s"$dir/b") // intact
+    assert(new java.io.File(s"$dir/b/bin.000002").delete())
+    dumpFile("bin.000003", "bin.000004")
+    val e = intercept[Throwable] {
+      BinlogText.verifyRotationChain(spark, s"$dir/b")
+    }
+    val msg = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msg.contains("announces successor 'bin.000002'"), s"got: $msg")
+  }
+
   test("BinlogBase64CdcSource: the pass TAILS non-verbose dumps, " +
       "rotations arriving across resumed passes; a rotation without " +
       "the terminator line refuses") {
