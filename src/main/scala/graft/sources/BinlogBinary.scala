@@ -69,6 +69,7 @@ object BinlogBinary {
   private val UPDATE_ROWS_V2 = 31
   private val DELETE_ROWS_V2 = 32
   private val GTID = 33
+  private val TRANSACTION_PAYLOAD = 40 // binlog_transaction_compression
 
   // wire column type codes
   private val T_LONG = 3 // INT: 4-byte LE
@@ -410,6 +411,154 @@ object BinlogBinary {
     crc.update(body, 0, body.length)
     u32(b, crc.getValue)
     b.toByteArray
+  }
+
+  /** Inflate a TRANSACTION_PAYLOAD event's body into the inner event
+    * stream it wraps — `binlog_transaction_compression=ON` (MySQL
+    * 8.0.20+): the body is a TLV header (field type as a packed int —
+    * 0 ends the header, 2 = compression type, 3 = uncompressed size,
+    * each non-end field followed by a packed length and that many
+    * value bytes) and then the payload bytes to the event end.
+    * Compression type 0 = ZSTD (inflated against the DECLARED
+    * uncompressed size — a mismatch refuses as corruption), 255 =
+    * NONE. Unknown field types skip by their declared length (the
+    * format's own forward-compatibility rule); unknown compression
+    * types refuse loudly. */
+  private def inflatePayload(bytes: Array[Byte], path: String,
+      start: Int, end: Int): Array[Byte] = {
+    val c = new Cursor(bytes, start, end,
+      s"$path TRANSACTION_PAYLOAD at $start")
+    var compression = 255L // NONE unless declared
+    var uncompressed = -1L
+    var done = false
+    while (!done) {
+      val t = c.packed()
+      if (t == 0) done = true // OTW header end mark
+      else {
+        val len = c.packed().toInt
+        val valEnd = c.o + len
+        c.need(len)
+        val v = new Cursor(bytes, c.o, valEnd,
+          s"$path TRANSACTION_PAYLOAD field $t")
+        t match {
+          case 2 => compression = v.packed()
+          case 3 => uncompressed = v.packed()
+          case _ => () // payload-size & future fields: length-skipped
+        }
+        c.o = valEnd
+      }
+    }
+    val payload = java.util.Arrays.copyOfRange(bytes, c.o, end)
+    compression match {
+      case 255 => payload
+      case 0 =>
+        require(uncompressed >= 0,
+          s"$path: ZSTD TRANSACTION_PAYLOAD declares no uncompressed " +
+            "size — corrupt")
+        try com.github.luben.zstd.Zstd.decompress(
+          payload, uncompressed.toInt)
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"$path: ZSTD payload failed to inflate to its declared " +
+              s"$uncompressed bytes (${e.getMessage}) — the event is " +
+              "corrupt; refuse rather than decode garbage")
+        }
+      case other => throw new IllegalArgumentException(
+        s"$path: unknown TRANSACTION_PAYLOAD compression type $other " +
+          "(0=ZSTD, 255=NONE) — refuse rather than guess")
+    }
+  }
+
+  /** One TRANSACTION_PAYLOAD event wrapping `inner` event bytes —
+    * the [[inflatePayload]] inverse for fixtures: inner events must
+    * carry NO per-event CRC ([[withoutCrc]] strips one), the wrapper
+    * is checksummed like every outer event. */
+  def payloadEvent(pos: Long, tsSec: Long,
+      inner: Seq[Array[Byte]], compressed: Boolean = true): Array[Byte] = {
+    val innerBytes = inner.foldLeft(new java.io.ByteArrayOutputStream()) {
+      (b, ev) => b.write(ev); b
+    }.toByteArray
+    val b = new java.io.ByteArrayOutputStream()
+    // compression type field (2), then for ZSTD the uncompressed size
+    // field (3), then the header end mark, then the payload
+    val ctype = if (compressed) 0L else 255L
+    val cval = new java.io.ByteArrayOutputStream()
+    packed(cval, ctype)
+    packed(b, 2L); packed(b, cval.size.toLong); b.write(cval.toByteArray)
+    val payload =
+      if (compressed) {
+        val uval = new java.io.ByteArrayOutputStream()
+        packed(uval, innerBytes.length.toLong)
+        packed(b, 3L); packed(b, uval.size.toLong); b.write(uval.toByteArray)
+        com.github.luben.zstd.Zstd.compress(innerBytes, 3)
+      } else innerBytes
+    packed(b, 0L) // header end mark
+    b.write(payload)
+    sealEvent(tsSec, TRANSACTION_PAYLOAD, pos, b.toByteArray)
+  }
+
+  /** Strip an event's trailing CRC32 and fix its header size — events
+    * INSIDE a TRANSACTION_PAYLOAD carry no per-event checksum (the
+    * wrapper's CRC covers them), so fixture builders' checksummed
+    * output converts through here before wrapping. */
+  private[graft] def withoutCrc(ev: Array[Byte]): Array[Byte] = {
+    val out = java.util.Arrays.copyOf(ev, ev.length - 4)
+    val newSize = out.length
+    out(9) = (newSize & 0xff).toByte
+    out(10) = ((newSize >> 8) & 0xff).toByte
+    out(11) = ((newSize >> 16) & 0xff).toByte
+    out(12) = ((newSize >> 24) & 0xff).toByte
+    out
+  }
+
+  /** [[render]] with `binlog_transaction_compression=ON` framing: row
+    * batches wrap in ZSTD TRANSACTION_PAYLOAD events, each carrying
+    * its own TABLE_MAP exactly as a server compresses a transaction
+    * (map + rows together). Real wire bytes end to end — the
+    * compressed decode path is exercised from genuine ZSTD frames. */
+  def renderCompressed(df: DataFrame, cols: Seq[(String, DataType)],
+      outDir: String, files: Int = 4, table: String = "orders",
+      rowsPerTxn: Int = 512): Unit = {
+    validateCols(cols)
+    require(files >= 1, "at least one binlog file")
+    require(rowsPerTxn >= 1, "at least one row per wrapped transaction")
+    val dirPath = java.nio.file.Paths.get(outDir)
+    if (java.nio.file.Files.exists(dirPath)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dirPath)
+      try walk.iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
+    java.nio.file.Files.createDirectories(dirPath)
+    val colsB = cols
+    val tableB = table
+    val perTxnB = rowsPerTxn
+    val ordered = df.select(
+      (Seq(col("op"), col("seq"),
+        col("ts").cast(TimestampNTZType).as("ts")) ++
+        colsB.map { case (n, _) => col(n) }): _*)
+    ordered.repartition(files).foreachPartition {
+      (it: Iterator[Row]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val out = new java.io.ByteArrayOutputStream()
+        out.write(Magic)
+        out.write(fdeEvent())
+        it.grouped(perTxnB).foreach { chunk =>
+          val inner = withoutCrc(tableMapEvent(tableB, colsB)) +:
+            chunk.map(r => withoutCrc(rowsEvent(r, colsB)))
+          // position the wrapper at its first row's seq (inner events
+          // keep their own header positions)
+          out.write(payloadEvent(chunk.head.getLong(1),
+            chunk.head.getAs[java.time.LocalDateTime](2)
+              .toEpochSecond(java.time.ZoneOffset.UTC), inner))
+        }
+        out.write(rotateEvent(f"bin.${pid + 1}%06d"))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(outDir, f"bin.$pid%06d"),
+          out.toByteArray)
+        ()
+    }
   }
 
   /** One Query event — the statement transport (DDL, BEGIN/COMMIT
@@ -1023,10 +1172,17 @@ object BinlogBinary {
     // table id -> None (declared-skipped) | Some(table, cols, wire)
     var tableMaps =
       Map.empty[Long, Option[(String, Seq[(String, DataType)], WireCols)]]
-    val lastType = walkEvents(bytes, path) {
-      (eventType, tsSec, logPos, o, bodyEnd) => eventType match {
+    // one handler for OUTER events and the events INSIDE a
+    // TRANSACTION_PAYLOAD (binlog_transaction_compression=ON wraps a
+    // whole transaction — TABLE_MAPs included — in one compressed
+    // event): `src` is the file bytes or the inflated payload, and
+    // inner events carry NO per-event checksum (the outer event's
+    // CRC already covered them)
+    def handle(src: Array[Byte], eventType: Int, tsSec: Long,
+        logPos: Long, o: Int, bodyEnd: Int,
+        inPayload: Boolean): Unit = eventType match {
         case TABLE_MAP =>
-          val c = new Cursor(bytes, o + HeaderLen, bodyEnd,
+          val c = new Cursor(src, o + HeaderLen, bodyEnd,
             s"$path TABLE_MAP at $o")
           c.need(6)
           var tid = 0L
@@ -1084,7 +1240,7 @@ object BinlogBinary {
               tableMaps += tid -> Some((table, cols, WireCols(types, metas)))
           }
         case WRITE_ROWS_V2 | UPDATE_ROWS_V2 | DELETE_ROWS_V2 =>
-          val c = new Cursor(bytes, o + HeaderLen, bodyEnd,
+          val c = new Cursor(src, o + HeaderLen, bodyEnd,
             s"$path row event at $o")
           c.need(6)
           var tid = 0L
@@ -1180,8 +1336,33 @@ object BinlogBinary {
           out += marker.get(logPos,
             java.time.LocalDateTime.ofEpochSecond(tsSec, 0,
               java.time.ZoneOffset.UTC))
+        case TRANSACTION_PAYLOAD =>
+          require(!inPayload,
+            s"$path: nested TRANSACTION_PAYLOAD at offset $o — the " +
+              "format does not nest; corrupt")
+          val inner = inflatePayload(src, path, o + HeaderLen, bodyEnd)
+          var io = 0
+          while (io < inner.length) {
+            require(inner.length - io >= HeaderLen,
+              s"$path: truncated inner event header at payload " +
+                s"offset $io (${inner.length - io} trailing bytes)")
+            val its = rdU32(inner, io)
+            val it = inner(io + 4) & 0xff
+            val isz = rdU32(inner, io + 9).toInt
+            val ipos = rdU32(inner, io + 13)
+            require(isz >= HeaderLen && io + isz <= inner.length,
+              s"$path: inner event at payload offset $io declares " +
+                s"size $isz beyond the payload's ${inner.length} " +
+                "bytes — truncated or corrupt")
+            handle(inner, it, its, ipos, io, io + isz, inPayload = true)
+            io += isz
+          }
         case _ => () // Query/Xid/Gtid/Rotate/Stop/FDE: verified, skipped
-      }
+    }
+    val lastType = walkEvents(bytes, path) {
+      (eventType, tsSec, logPos, o, bodyEnd) =>
+        handle(bytes, eventType, tsSec, logPos, o, bodyEnd,
+          inPayload = false)
     }
     if (requireRotate)
       require(lastType == ROTATE || lastType == STOP,

@@ -4007,6 +4007,27 @@ object StreamingOps {
     // knowing which wire format fed it. Same fixture topology and the
     // SAME oracle as cdc_binlog_text_multi: one decode contract, two
     // wire formats.
+    // S-BINLOG-BINARY-COMPRESSED: binlog_transaction_compression=ON —
+    // MySQL 8.0.20+ wraps each transaction (TABLE_MAPs included) in
+    // one ZSTD TRANSACTION_PAYLOAD event. The fixture renders genuine
+    // ZSTD frames; the decoder inflates them against the declared
+    // uncompressed size and routes the inner events through the same
+    // handler as plain files — the pass cannot tell a compressed dump
+    // from an uncompressed one, and the collapse hash-matches the
+    // same oracle as every other transport.
+    "cdc_binlog_binary_compressed" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir)
+      val tmp = tmpDir()
+      graft.sources.BinlogBinary.renderCompressed(log, txnScenarioCols,
+        s"$tmp/binlog", files = 4)
+      val env = graft.sources.BinlogBinary.parse(s, s"$tmp/binlog",
+        txnScenarioCols)
+      val in = s"$tmp/in"
+      writeWave(env, in, 0)
+      runCdcPass(s, env.schema, in, s"$tmp/ckpt", s"$tmp/state")
+      readLatestState(s, s"$tmp/state")
+    }),
+
     // S-BINLOG-BINARY-MINIMAL: binlog_row_image=MINIMAL from RAW WIRE
     // BYTES — the production default-tuning shape: updates ship a
     // PK-only before image and a changed-columns-only after image
@@ -5917,6 +5938,7 @@ object StreamingOps {
     // non-verbose dump's base64 statements).
     "cdc_binlog_binary" -> latestStateSql,
     "cdc_binlog_base64" -> latestStateSql,
+    "cdc_binlog_binary_compressed" -> latestStateSql,
 
     // txn gate — one oracle, three transports (see binlogTxnSql)
     "cdc_binlog_binary_txn" -> binlogTxnSql,

@@ -605,6 +605,70 @@ class BinlogBinarySpec extends SparkTestBase {
     assert(msg.contains("MINIMAL"), s"got: $msg")
   }
 
+  test("TRANSACTION_PAYLOAD (binlog_transaction_compression): ZSTD " +
+      "and NONE payloads inflate and route like plain events; " +
+      "corruption and unknown compression refuse") {
+    val env = envDf(Seq(
+      ("I", 1L, 800000000L, 1L, 10.5, "plain"),
+      ("I", 2L, 800000001L, 2L, null, null),
+      ("U", 3L, 800000002L, 1L, -7.25, "quote 'n' slash — ünïcodé"),
+      ("D", 4L, 900000000L, 2L, null, null)))
+    val dir = tmp()
+    BinlogBinary.renderCompressed(env, cols, s"$dir/b", files = 2,
+      rowsPerTxn = 2)
+    val back = BinlogBinary.parse(spark, s"$dir/b", cols)
+    assert(back.collect().map(_.toSeq).toSet ==
+      env.collect().map(_.toSeq).toSet)
+    // the files really carry type-40 wrappers, not bare row events
+    val raw = java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$dir/b").listFiles()
+        .filter(_.getName.startsWith("bin.")).head.toPath)
+    def eventTypes(bytes: Array[Byte]): Seq[Int] = {
+      var o = 4
+      val out = Vector.newBuilder[Int]
+      while (o < bytes.length) {
+        out += (bytes(o + 4) & 0xff)
+        o += java.nio.ByteBuffer.wrap(bytes, o + 9, 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      }
+      out.result()
+    }
+    assert(eventTypes(raw).contains(40))
+    assert(!eventTypes(raw).exists(t => t == 19 || t == 30 || t == 31),
+      "TABLE_MAP/rows must ride INSIDE the payload, not beside it")
+    // an UNCOMPRESSED (type NONE) payload decodes too
+    val t0 = java.time.LocalDateTime.ofEpochSecond(
+      800000000L, 0, java.time.ZoneOffset.UTC)
+    val dir2 = tmp()
+    BinlogBinary.writeEvents(s"$dir2/b", "bin.000001", Seq(
+      BinlogBinary.payloadEvent(5L, 800000000L, Seq(
+        BinlogBinary.withoutCrc(BinlogBinary.tableMapEvent("t", cols)),
+        BinlogBinary.withoutCrc(BinlogBinary.rowsEvent(
+          Row("I", 5L, t0, 9L, 1.0, "x"), cols))),
+        compressed = false)))
+    val got2 = BinlogBinary.parse(spark, s"$dir2/b", cols).collect()
+    assert(got2.length == 1 && got2.head.getLong(3) == 9L)
+    // corrupt ZSTD bytes refuse naming the inflation
+    val corrupt = java.util.Arrays.copyOf(raw, raw.length)
+    // flip a byte late in the first payload body (past the FDE)
+    val fdeSize = java.nio.ByteBuffer.wrap(corrupt, 4 + 9, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    val target = 4 + fdeSize + 19 + 12
+    corrupt(target) = (corrupt(target) ^ 0x5a).toByte
+    val dir3 = tmp()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir3/b"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir3/b/bin.000001"), corrupt)
+    val e = intercept[Throwable] {
+      BinlogBinary.parse(spark, s"$dir3/b", cols).collect()
+    }
+    val msg = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msg.contains("CRC32 mismatch") || msg.contains("inflate") ||
+      msg.contains("corrupt"), s"got: $msg")
+  }
+
   test("MINIMAL wire images decode under changedCol: updates merge " +
       "identity from the PK-only before image, the present bitmaps " +
       "surface as the changed list, deletes are PK-only") {
