@@ -1534,10 +1534,32 @@ object BinlogBinary {
     spark.read.format("binaryFile").load(dir)
       .select(col("content"), col("path"))
       .flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](0)
+        val path = r.getString(1)
         val out = Vector.newBuilder[(Long, Long)]
-        walkEvents(r.getAs[Array[Byte]](0), r.getString(1)) {
-          (eventType, tsSec, logPos, _, _) =>
+        walkEvents(bytes, path) {
+          (eventType, tsSec, logPos, o, bodyEnd) =>
             if (eventType == XID) out += ((logPos, tsSec))
+            // a compressed transaction's Xid rides INSIDE its
+            // TRANSACTION_PAYLOAD — scan the inflated inner stream
+            // too, or every compressed commit would go missing here
+            else if (eventType == TRANSACTION_PAYLOAD) {
+              val inner = inflatePayload(bytes, path,
+                o + HeaderLen, bodyEnd)
+              var io = 0
+              while (io < inner.length) {
+                require(inner.length - io >= HeaderLen,
+                  s"$path: truncated inner event header at payload " +
+                    s"offset $io")
+                val isz = rdU32(inner, io + 9).toInt
+                require(isz >= HeaderLen && io + isz <= inner.length,
+                  s"$path: inner event at payload offset $io declares " +
+                    s"size $isz beyond the payload")
+                if ((inner(io + 4) & 0xff) == XID)
+                  out += ((rdU32(inner, io + 13), rdU32(inner, io)))
+                io += isz
+              }
+            }
         }
         out.result().iterator
       }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))

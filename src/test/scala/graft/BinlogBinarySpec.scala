@@ -669,6 +669,39 @@ class BinlogBinarySpec extends SparkTestBase {
       msg.contains("corrupt"), s"got: $msg")
   }
 
+  test("compressed transactions gate like plain ones: the Xid rides " +
+      "INSIDE the ZSTD payload, the GTID outside — parseTxn stamps " +
+      "and holds the uncommitted tail; parseXids sees inner commits") {
+    val uuid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    val t0 = java.time.LocalDateTime.ofEpochSecond(
+      800000000L, 0, java.time.ZoneOffset.UTC)
+    def innerTxn(rows: Seq[(Long, Long, Double, String)],
+        xid: Option[Long]): Seq[Array[Byte]] =
+      (BinlogBinary.withoutCrc(BinlogBinary.tableMapEvent("t", cols)) +:
+        rows.map { case (seq, okey, price, status) =>
+          BinlogBinary.withoutCrc(BinlogBinary.rowsEvent(
+            Row("I", seq, t0, okey, price, status), cols))
+        }) ++ xid.map(p => BinlogBinary.withoutCrc(
+        BinlogBinary.xidEvent(p, 800000000L, 7L)))
+    val dir = tmp()
+    BinlogBinary.writeEvents(s"$dir/b", "bin.000001", Seq(
+      BinlogBinary.gtidEvent(10L, 800000000L, uuid, 1L),
+      BinlogBinary.payloadEvent(11L, 800000000L,
+        innerTxn(Seq((11L, 1L, 1.5, "a")), xid = Some(19L))),
+      BinlogBinary.gtidEvent(20L, 800000060L, uuid, 2L),
+      BinlogBinary.payloadEvent(21L, 800000060L,
+        innerTxn(Seq((21L, 3L, 3.5, "c")), xid = None))))
+    assert(BinlogBinary.parseXids(spark, s"$dir/b") ==
+      Seq(19L -> 800000000L))
+    val txn = BinlogBinary.parseTxn(spark, s"$dir/b", cols)
+    val got = txn.orderBy(col("seq")).collect().map(r =>
+      (r.getString(0), r.getLong(1),
+        r.getString(r.fieldIndex("txn")))).toSeq
+    assert(got == Seq(
+      ("I", 11L, s"$uuid:1"), ("C", 19L, s"$uuid:1"),
+      ("I", 21L, s"$uuid:2")), s"got: $got")
+  }
+
   test("MINIMAL wire images decode under changedCol: updates merge " +
       "identity from the PK-only before image, the present bitmaps " +
       "surface as the changed list, deletes are PK-only") {
