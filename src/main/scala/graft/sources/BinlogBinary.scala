@@ -173,9 +173,11 @@ object BinlogBinary {
   private[sources] def streamDecodeMulti(spark: SparkSession,
       dir: String, schema: StructType,
       colsByTable: Map[String, Seq[(String, DataType)]],
-      ignoreTables: Set[String], requireRotate: Boolean): DataFrame =
+      ignoreTables: Set[String], requireRotate: Boolean,
+      changedCol: Option[String] = None): DataFrame =
     multiDecode(rawStream(spark, dir),
-      schema, colsByTable, ignoreTables, marker = false, requireRotate)
+      schema, colsByTable, ignoreTables, marker = false, requireRotate,
+      changedCol = changedCol)
 
   /** The tailed raw-rotation stream shared by the single- and
     * multi-table streaming decodes: one file per micro-batch (the
@@ -291,10 +293,8 @@ object BinlogBinary {
       outDir: String, files: Int = 4, table: String = "orders",
       prefix: String = "bin", append: Boolean = false): Unit = {
     validateCols(cols)
+    validateTableName(table)
     require(files >= 1, "at least one binlog file")
-    require(table.nonEmpty && table.getBytes("UTF-8").length <= 250 &&
-      !table.exists(c => c.isWhitespace),
-      s"bad table name '$table' for a TABLE_MAP event")
     require(prefix.nonEmpty && !prefix.exists(c =>
       c.isWhitespace || c == '/' || c == '\\'),
       s"bad rotation file prefix '$prefix'")
@@ -309,16 +309,7 @@ object BinlogBinary {
         s"append into $outDir would overwrite existing '$prefix.*' " +
           "rotation files — give each appended render its own prefix")
     }
-    if (!append && java.nio.file.Files.exists(dirPath)) {
-      // overwrite semantics, mirroring the text renderer's writer
-      // (stream closed explicitly — a leaked walk handle per render
-      // call accumulates in a long-lived driver)
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(dirPath)
-      try walk.iterator().asScala.toSeq
-        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
-      finally walk.close()
-    }
+    if (!append) clearDir(outDir)
     java.nio.file.Files.createDirectories(dirPath)
     val colsB = cols
     val tableB = table
@@ -352,6 +343,28 @@ object BinlogBinary {
         ()
     }
   }
+
+  /** Overwrite semantics for the fixture writers: clear the target
+    * dir if it exists (stream closed explicitly — a leaked walk
+    * handle per render call accumulates in a long-lived driver). */
+  private def clearDir(outDir: String): Unit = {
+    val dirPath = java.nio.file.Paths.get(outDir)
+    if (java.nio.file.Files.exists(dirPath)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dirPath)
+      try walk.iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
+  }
+
+  /** The TABLE_MAP one-byte-length guard shared by every binary
+    * fixture writer: an over-long name would silently truncate the
+    * length byte and corrupt every event after it. */
+  private def validateTableName(table: String): Unit =
+    require(table.nonEmpty && table.getBytes("UTF-8").length <= 250 &&
+      !table.exists(c => c.isWhitespace),
+      s"bad table name '$table' for a TABLE_MAP event")
 
   private def validateCols(cols: Seq[(String, DataType)]): Unit = {
     require(cols.nonEmpty, "empty TABLE_MAP column list")
@@ -413,6 +426,35 @@ object BinlogBinary {
     b.toByteArray
   }
 
+  /** Walk an inflated TRANSACTION_PAYLOAD's inner event stream — the
+    * ONE validation loop for every consumer (decode, Xid scan):
+    * size-addressed 19-byte headers, no magic, no FDE, no per-event
+    * checksum (the wrapper's CRC covered them), and nested wrappers
+    * refuse HERE so the rule cannot fork between consumers. Handler
+    * args: (eventType, tsSec, logPos, offset, end). */
+  private def walkInnerEvents(inner: Array[Byte], path: String)(
+      handler: (Int, Long, Long, Int, Int) => Unit): Unit = {
+    var io = 0
+    while (io < inner.length) {
+      require(inner.length - io >= HeaderLen,
+        s"$path: truncated inner event header at payload offset $io " +
+          s"(${inner.length - io} trailing bytes)")
+      val its = rdU32(inner, io)
+      val it = inner(io + 4) & 0xff
+      val isz = rdU32(inner, io + 9).toInt
+      val ipos = rdU32(inner, io + 13)
+      require(isz >= HeaderLen && io + isz <= inner.length,
+        s"$path: inner event at payload offset $io declares size " +
+          s"$isz beyond the payload's ${inner.length} bytes — " +
+          "truncated or corrupt")
+      require(it != TRANSACTION_PAYLOAD,
+        s"$path: nested TRANSACTION_PAYLOAD at payload offset $io — " +
+          "the format does not nest; corrupt")
+      handler(it, its, ipos, io, io + isz)
+      io += isz
+    }
+  }
+
   /** Inflate a TRANSACTION_PAYLOAD event's body into the inner event
     * stream it wraps — `binlog_transaction_compression=ON` (MySQL
     * 8.0.20+): the body is a TLV header (field type as a packed int —
@@ -435,9 +477,16 @@ object BinlogBinary {
       val t = c.packed()
       if (t == 0) done = true // OTW header end mark
       else {
-        val len = c.packed().toInt
+        // validate the packed length BEFORE narrowing: a corrupt
+        // 64-bit length would truncate negative through .toInt, slip
+        // past need() (o + negative <= end holds), and REWIND the
+        // cursor — crafted bytes then cycle this loop forever
+        val lenL = c.packed()
+        require(lenL >= 0 && lenL <= (end - c.o).toLong,
+          s"$path: TRANSACTION_PAYLOAD field $t declares length " +
+            s"$lenL beyond the event body — corrupt")
+        val len = lenL.toInt
         val valEnd = c.o + len
-        c.need(len)
         val v = new Cursor(bytes, c.o, valEnd,
           s"$path TRANSACTION_PAYLOAD field $t")
         t match {
@@ -455,14 +504,30 @@ object BinlogBinary {
         require(uncompressed >= 0,
           s"$path: ZSTD TRANSACTION_PAYLOAD declares no uncompressed " +
             "size — corrupt")
-        try com.github.luben.zstd.Zstd.decompress(
-          payload, uncompressed.toInt)
-        catch {
-          case e: Exception => throw new IllegalArgumentException(
-            s"$path: ZSTD payload failed to inflate to its declared " +
-              s"$uncompressed bytes (${e.getMessage}) — the event is " +
-              "corrupt; refuse rather than decode garbage")
-        }
+        // MySQL bounds one event at 1 GiB — a declared size past that
+        // is corruption, not data, and must not drive the allocation
+        require(uncompressed <= (1L << 30),
+          s"$path: ZSTD TRANSACTION_PAYLOAD declares $uncompressed " +
+            "uncompressed bytes — past the 1 GiB event bound; corrupt")
+        val out =
+          try com.github.luben.zstd.Zstd.decompress(
+            payload, uncompressed.toInt)
+          catch {
+            case e: Exception => throw new IllegalArgumentException(
+              s"$path: ZSTD payload failed to inflate to its declared " +
+                s"$uncompressed bytes (${e.getMessage}) — the event is " +
+                "corrupt; refuse rather than decode garbage")
+          }
+        // zstd-jni returns the ACTUAL inflated bytes without error
+        // when a truncated frame yields fewer than declared — that
+        // would silently lose the transaction's tail, so the declared
+        // size is a contract, not a hint
+        require(out.length == uncompressed.toInt,
+          s"$path: ZSTD payload inflated to ${out.length} bytes but " +
+            s"declared $uncompressed — a truncated compressed " +
+            "transaction; refuse rather than decode a partial event " +
+            "stream")
+        out
       case other => throw new IllegalArgumentException(
         s"$path: unknown TRANSACTION_PAYLOAD compression type $other " +
           "(0=ZSTD, 255=NONE) — refuse rather than guess")
@@ -520,17 +585,12 @@ object BinlogBinary {
       outDir: String, files: Int = 4, table: String = "orders",
       rowsPerTxn: Int = 512): Unit = {
     validateCols(cols)
+    validateTableName(table)
     require(files >= 1, "at least one binlog file")
     require(rowsPerTxn >= 1, "at least one row per wrapped transaction")
-    val dirPath = java.nio.file.Paths.get(outDir)
-    if (java.nio.file.Files.exists(dirPath)) {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(dirPath)
-      try walk.iterator().asScala.toSeq
-        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
-      finally walk.close()
-    }
-    java.nio.file.Files.createDirectories(dirPath)
+    clearDir(outDir)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(outDir))
     val colsB = cols
     val tableB = table
     val perTxnB = rowsPerTxn
@@ -803,6 +863,7 @@ object BinlogBinary {
       pkCols: Seq[String] = Seq("okey"),
       changedCol: String = "_changed"): Unit = {
     validateCols(cols)
+    validateTableName(table)
     require(files >= 1, "at least one binlog file")
     require(pkCols.nonEmpty, "MINIMAL images need at least one PK column")
     val pkIdx = pkCols.map { n =>
@@ -810,15 +871,9 @@ object BinlogBinary {
       require(i >= 0, s"PK column '$n' is not in the TABLE_MAP")
       i
     }.toArray
-    val dirPath = java.nio.file.Paths.get(outDir)
-    if (java.nio.file.Files.exists(dirPath)) {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(dirPath)
-      try walk.iterator().asScala.toSeq
-        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
-      finally walk.close()
-    }
-    java.nio.file.Files.createDirectories(dirPath)
+    clearDir(outDir)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(outDir))
     val colsB = cols
     val tableB = table
     val pkIdxB = pkIdx
@@ -1341,21 +1396,8 @@ object BinlogBinary {
             s"$path: nested TRANSACTION_PAYLOAD at offset $o — the " +
               "format does not nest; corrupt")
           val inner = inflatePayload(src, path, o + HeaderLen, bodyEnd)
-          var io = 0
-          while (io < inner.length) {
-            require(inner.length - io >= HeaderLen,
-              s"$path: truncated inner event header at payload " +
-                s"offset $io (${inner.length - io} trailing bytes)")
-            val its = rdU32(inner, io)
-            val it = inner(io + 4) & 0xff
-            val isz = rdU32(inner, io + 9).toInt
-            val ipos = rdU32(inner, io + 13)
-            require(isz >= HeaderLen && io + isz <= inner.length,
-              s"$path: inner event at payload offset $io declares " +
-                s"size $isz beyond the payload's ${inner.length} " +
-                "bytes — truncated or corrupt")
-            handle(inner, it, its, ipos, io, io + isz, inPayload = true)
-            io += isz
+          walkInnerEvents(inner, path) { (it, its, ipos, io, iEnd) =>
+            handle(inner, it, its, ipos, io, iEnd, inPayload = true)
           }
         case _ => () // Query/Xid/Gtid/Rotate/Stop/FDE: verified, skipped
     }
@@ -1546,18 +1588,8 @@ object BinlogBinary {
             else if (eventType == TRANSACTION_PAYLOAD) {
               val inner = inflatePayload(bytes, path,
                 o + HeaderLen, bodyEnd)
-              var io = 0
-              while (io < inner.length) {
-                require(inner.length - io >= HeaderLen,
-                  s"$path: truncated inner event header at payload " +
-                    s"offset $io")
-                val isz = rdU32(inner, io + 9).toInt
-                require(isz >= HeaderLen && io + isz <= inner.length,
-                  s"$path: inner event at payload offset $io declares " +
-                    s"size $isz beyond the payload")
-                if ((inner(io + 4) & 0xff) == XID)
-                  out += ((rdU32(inner, io + 13), rdU32(inner, io)))
-                io += isz
+              walkInnerEvents(inner, path) { (it, its, ipos, _, _) =>
+                if (it == XID) out += ((ipos, its))
               }
             }
         }

@@ -193,14 +193,21 @@ object BinlogText {
       txnCol, markerOverrides = Map(tableCol -> "_ctl"))
   }
 
-  /** The shared frame shape behind [[parseNonVerbose]]: whole-file
-    * text → per-file base64 payload → byte decode. */
+  /** The ONE text→bytes→envelope pipeline behind the batch and
+    * streaming non-verbose reads (the [[decodeText]] pattern: a
+    * validation added to one gates the other): whole-file text →
+    * optional torn-rotation gate → per-file base64 payload → byte
+    * decode. Batch reads of at-rest dumps stay lenient like the
+    * verbose path's. */
   private def decodeBase64(df: DataFrame, schema: StructType,
-      decode: (Array[Byte], String) => Iterator[Row]): DataFrame =
+      decode: (Array[Byte], String) => Iterator[Row],
+      requireTerminator: Boolean = false): DataFrame =
     df.select(col("value"), input_file_name().as("_f"))
       .flatMap { r =>
+        val text = r.getString(0)
         val path = r.getString(1)
-        decode(base64Payload(r.getString(0), path), path)
+        if (requireTerminator) requireTerminated(text, path)
+        decode(base64Payload(text, path), path)
       }(RowEncoder.encoderFor(schema))
       .toDF()
 
@@ -397,19 +404,13 @@ object BinlogText {
       dir: String, schema: StructType,
       decode: (Array[Byte], String) => Iterator[Row],
       requireTerminator: Boolean): DataFrame =
-    spark.readStream
-      .option("wholetext", "true")
-      .option("maxFilesPerTrigger", "1")
-      .option("maxFileAge", "36500d")
-      .text(dir)
-      .select(col("value"), input_file_name().as("_f"))
-      .flatMap { r =>
-        val text = r.getString(0)
-        val path = r.getString(1)
-        if (requireTerminator) requireTerminated(text, path)
-        decode(base64Payload(text, path), path)
-      }(RowEncoder.encoderFor(schema))
-      .toDF()
+    decodeBase64(
+      spark.readStream
+        .option("wholetext", "true")
+        .option("maxFilesPerTrigger", "1")
+        .option("maxFileAge", "36500d")
+        .text(dir),
+      schema, decode, requireTerminator)
 
   /** The single-table envelope's validations + schema + decode plug,
     * shared by the batch and streaming reads (a validation added to

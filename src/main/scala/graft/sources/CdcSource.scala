@@ -119,14 +119,16 @@ final case class BinlogBinaryMultiCdcSource(dir: String,
     colsByTable: Map[String, Seq[(String, org.apache.spark.sql.types.DataType)]],
     ignoreTables: Set[String] = Set.empty,
     /** See [[BinlogBinaryCdcSource.requireRotate]]. */
-    requireRotate: Boolean = true) extends CdcSource {
+    requireRotate: Boolean = true,
+    /** MINIMAL surface — see [[BinlogBinaryCdcSource.changedCol]]. */
+    changedCol: Option[String] = None) extends CdcSource {
   // table column PINNED to "table" — see BinlogTextMultiCdcSource
   private val sd = BinlogText.multiEnvelope(colsByTable,
-    tableCol = "table", ignoreTables, None)
+    tableCol = "table", ignoreTables, changedCol)
   override def schema: StructType = sd._1
   override def open(spark: SparkSession): DataFrame =
     BinlogBinary.streamDecodeMulti(spark, dir, sd._1, colsByTable,
-      ignoreTables, requireRotate)
+      ignoreTables, requireRotate, changedCol)
 }
 
 /** NON-VERBOSE dump transport as a first-class streaming source: TAIL
@@ -159,15 +161,17 @@ final case class BinlogBase64MultiCdcSource(dir: String,
     colsByTable: Map[String, Seq[(String, org.apache.spark.sql.types.DataType)]],
     ignoreTables: Set[String] = Set.empty,
     /** See [[BinlogTextCdcSource.requireTerminator]]. */
-    requireTerminator: Boolean = true) extends CdcSource {
+    requireTerminator: Boolean = true,
+    /** MINIMAL surface — see [[BinlogBinaryCdcSource.changedCol]]. */
+    changedCol: Option[String] = None) extends CdcSource {
   // table column PINNED to "table" — see BinlogTextMultiCdcSource
   private val sd = BinlogText.multiEnvelope(colsByTable,
-    tableCol = "table", ignoreTables, None)
+    tableCol = "table", ignoreTables, changedCol)
   override def schema: StructType = sd._1
   override def open(spark: SparkSession): DataFrame =
     BinlogText.streamDecodeBase64(spark, dir, sd._1,
       (bytes, path) => BinlogBinary.decodeMultiEventStream(
-        bytes, path, sd._1, colsByTable, ignoreTables),
+        bytes, path, sd._1, colsByTable, ignoreTables, changedCol),
       requireTerminator)
 }
 
