@@ -303,6 +303,11 @@ object BinlogBinary {
     // truncate-replace the earlier table's rotation files with no
     // error — refuse the collision up front instead
     if (append && java.nio.file.Files.exists(dirPath)) {
+      // exists-but-a-regular-file would make listFiles() return null —
+      // a bare NPE instead of the refusal this guard owes the caller
+      require(java.nio.file.Files.isDirectory(dirPath),
+        s"append target $outDir exists but is not a directory — " +
+          "point the render at the rotation directory itself")
       val clash = dirPath.toFile.listFiles()
         .exists(_.getName.startsWith(s"$prefix."))
       require(!clash,
@@ -431,10 +436,28 @@ object BinlogBinary {
     * size-addressed 19-byte headers, no magic, no FDE, no per-event
     * checksum (the wrapper's CRC covered them), and nested wrappers
     * refuse HERE so the rule cannot fork between consumers. Handler
-    * args: (eventType, tsSec, logPos, offset, end). */
-  private def walkInnerEvents(inner: Array[Byte], path: String)(
+    * args: (eventType, tsSec, logPos, offset, end).
+    *
+    * `outerPos` is the wrapping TRANSACTION_PAYLOAD event's own header
+    * position, and it gates how much the inner headers' `log_pos`
+    * fields can be trusted: downstream the row/Xid positions become
+    * `seq` — the latest-wins collapse's ordering axis — but a real
+    * server writes inner events while they sit in the TRANSACTION
+    * CACHE, where end_log_pos is cache-relative (small, restarting
+    * per transaction), not file-global. Letting those through would
+    * collide and reorder the collapse — the silently-diverged-replica
+    * class. So every inner ROW/XID position must be at or past the
+    * wrapper's own (file-global) position and non-decreasing across
+    * the payload, or the walk refuses naming the real cause; streams
+    * whose inner positions were re-numbered to dump-global (this
+    * renderer's discipline, mysqlbinlog-recomputed output) pass.
+    * Non-row inner events (TABLE_MAP, GTID) never feed `seq`, so
+    * their positions stay unchecked. */
+  private def walkInnerEvents(inner: Array[Byte], path: String,
+      outerPos: Long)(
       handler: (Int, Long, Long, Int, Int) => Unit): Unit = {
     var io = 0
+    var lastSeqPos = -1L
     while (io < inner.length) {
       require(inner.length - io >= HeaderLen,
         s"$path: truncated inner event header at payload offset $io " +
@@ -450,6 +473,17 @@ object BinlogBinary {
       require(it != TRANSACTION_PAYLOAD,
         s"$path: nested TRANSACTION_PAYLOAD at payload offset $io — " +
           "the format does not nest; corrupt")
+      if (it == WRITE_ROWS_V2 || it == UPDATE_ROWS_V2 ||
+        it == DELETE_ROWS_V2 || it == XID) {
+        require(ipos >= outerPos && ipos >= lastSeqPos,
+          s"$path: inner event at payload offset $io carries position " +
+            s"$ipos below its TRANSACTION_PAYLOAD wrapper's $outerPos " +
+            s"(or regressing from $lastSeqPos) — transaction-cache-" +
+            "relative positions, which cannot order the replica's " +
+            "collapse; re-number the stream through mysqlbinlog or " +
+            "dump with binlog_transaction_compression=OFF")
+        lastSeqPos = ipos
+      }
       handler(it, its, ipos, io, io + isz)
       io += isz
     }
@@ -580,7 +614,14 @@ object BinlogBinary {
     * batches wrap in ZSTD TRANSACTION_PAYLOAD events, each carrying
     * its own TABLE_MAP exactly as a server compresses a transaction
     * (map + rows together). Real wire bytes end to end — the
-    * compressed decode path is exercised from genuine ZSTD frames. */
+    * compressed decode path is exercised from genuine ZSTD frames.
+    * Rows sort by `seq` within each file before chunking so the
+    * rendered stream honors the inner-position discipline
+    * [[walkInnerEvents]] enforces: each wrapper sits at its first
+    * row's position and every inner row position is at or past it and
+    * non-decreasing — the dump-global numbering a decoder can trust
+    * (a real server's cache-relative inner positions cannot order the
+    * collapse and refuse at decode). */
   def renderCompressed(df: DataFrame, cols: Seq[(String, DataType)],
       outDir: String, files: Int = 4, table: String = "orders",
       rowsPerTxn: Int = 512): Unit = {
@@ -598,7 +639,8 @@ object BinlogBinary {
       (Seq(col("op"), col("seq"),
         col("ts").cast(TimestampNTZType).as("ts")) ++
         colsB.map { case (n, _) => col(n) }): _*)
-    ordered.repartition(files).foreachPartition {
+    ordered.repartition(files).sortWithinPartitions(col("seq"))
+      .foreachPartition {
       (it: Iterator[Row]) =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val out = new java.io.ByteArrayOutputStream()
@@ -1396,7 +1438,7 @@ object BinlogBinary {
             s"$path: nested TRANSACTION_PAYLOAD at offset $o — the " +
               "format does not nest; corrupt")
           val inner = inflatePayload(src, path, o + HeaderLen, bodyEnd)
-          walkInnerEvents(inner, path) { (it, its, ipos, io, iEnd) =>
+          walkInnerEvents(inner, path, logPos) { (it, its, ipos, io, iEnd) =>
             handle(inner, it, its, ipos, io, iEnd, inPayload = true)
           }
         case _ => () // Query/Xid/Gtid/Rotate/Stop/FDE: verified, skipped
@@ -1588,7 +1630,7 @@ object BinlogBinary {
             else if (eventType == TRANSACTION_PAYLOAD) {
               val inner = inflatePayload(bytes, path,
                 o + HeaderLen, bodyEnd)
-              walkInnerEvents(inner, path) { (it, its, ipos, _, _) =>
+              walkInnerEvents(inner, path, logPos) { (it, its, ipos, _, _) =>
                 if (it == XID) out += ((ipos, its))
               }
             }

@@ -929,14 +929,18 @@ object BinlogText {
     * past 999999, where a string sort would falsely refuse the
     * rollover — each file's announced successor must be the next file
     * present; the family's last announcement may point beyond the
-    * window, and an empty announcement closes its chain. */
+    * window, and an empty announcement closes its chain. Files whose
+    * suffix is NOT numeric (`bin.index`, `bin.bak`) are not rotations
+    * and take no part in any chain: sorted into the numeric family
+    * they would become the last real rotation's "successor" and a
+    * healthy directory would falsely refuse. */
   private[sources] def verifyChain(ann: Seq[(String, String)]): Unit = {
-    def suffixNum(name: String): Long =
+    def suffixNum(name: String): Option[Long] =
       name.reverse.takeWhile(_ != '.').reverse.toLongOption
-        .getOrElse(Long.MaxValue) // non-numeric: stable at the end
-    ann.groupBy(_._1.reverse.dropWhile(_ != '.').reverse)
+    ann.filter(p => suffixNum(p._1).isDefined)
+      .groupBy(_._1.reverse.dropWhile(_ != '.').reverse)
       .values.foreach { group =>
-        group.sortBy(p => (suffixNum(p._1), p._1)).sliding(2).foreach {
+        group.sortBy(p => (suffixNum(p._1).get, p._1)).sliding(2).foreach {
           case Seq((f, next), (g, _)) if next.nonEmpty =>
             require(next == g,
               s"rotation chain broken: $f announces successor '$next' " +

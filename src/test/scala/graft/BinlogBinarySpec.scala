@@ -758,6 +758,78 @@ class BinlogBinarySpec extends SparkTestBase {
     // a distinct prefix composes fine
     BinlogBinary.render(env, cols, s"$dir/b", files = 1,
       table = "other", prefix = "other", append = true)
+    // an append whose target EXISTS BUT IS A FILE refuses by name —
+    // listFiles() returns null there, which used to escape as a bare
+    // NullPointerException instead of the guard's refusal
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/not_a_dir"), "plain file")
+    val e2 = intercept[IllegalArgumentException] {
+      BinlogBinary.render(env, cols, s"$dir/not_a_dir", files = 1,
+        append = true)
+    }
+    assert(e2.getMessage.contains("not a directory"), e2.getMessage)
+  }
+
+  test("payload-inner positions are trusted only when dump-global: " +
+      "cache-relative inner row/Xid positions (below the wrapper's " +
+      "own) refuse by name instead of corrupting the collapse order") {
+    val t0 = java.time.LocalDateTime.ofEpochSecond(
+      800000000L, 0, java.time.ZoneOffset.UTC)
+    // wrapper sealed at position 100; inner row event at position 5 —
+    // the shape a real server's transaction cache writes (end_log_pos
+    // restarts low per transaction)
+    val dir = tmp()
+    BinlogBinary.writeEvents(s"$dir/b", "bin.000001", Seq(
+      BinlogBinary.payloadEvent(100L, 800000000L, Seq(
+        BinlogBinary.withoutCrc(BinlogBinary.tableMapEvent("t", cols)),
+        BinlogBinary.withoutCrc(BinlogBinary.rowsEvent(
+          Row("I", 5L, t0, 1L, 1.0, "a"), cols))))))
+    val e = intercept[Throwable] {
+      BinlogBinary.parse(spark, s"$dir/b", cols).collect()
+    }
+    val msg = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msg.contains("transaction-cache"), s"got: $msg")
+    // the same discipline guards the Xid scan — a commit position
+    // nobody can trust must not become a gate boundary
+    val e2 = intercept[Throwable] {
+      BinlogBinary.parseXids(spark, s"$dir/b")
+    }
+    assert(Iterator.iterate(e2)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      .contains("transaction-cache"))
+    // a REGRESSING inner position (second row below the first) refuses
+    // too, even when both clear the wrapper
+    val dir2 = tmp()
+    BinlogBinary.writeEvents(s"$dir2/b", "bin.000001", Seq(
+      BinlogBinary.payloadEvent(10L, 800000000L, Seq(
+        BinlogBinary.withoutCrc(BinlogBinary.tableMapEvent("t", cols)),
+        BinlogBinary.withoutCrc(BinlogBinary.rowsEvent(
+          Row("I", 30L, t0, 1L, 1.0, "a"), cols)),
+        BinlogBinary.withoutCrc(BinlogBinary.rowsEvent(
+          Row("I", 20L, t0, 2L, 2.0, "b"), cols))))))
+    val e3 = intercept[Throwable] {
+      BinlogBinary.parse(spark, s"$dir2/b", cols).collect()
+    }
+    assert(Iterator.iterate(e3)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      .contains("transaction-cache"))
+  }
+
+  test("verifyRotationChain ignores non-numeric suffixes: a stray " +
+      "bin.index beside the rotations is not a chain member") {
+    val dir = tmp()
+    BinlogBinary.writeEvents(s"$dir/b", "bin.000001", Seq(
+      BinlogBinary.tableMapEvent("orders", cols),
+      BinlogBinary.rotateEvent("bin.000002")))
+    BinlogBinary.writeEvents(s"$dir/b", "bin.000002", Seq(
+      BinlogBinary.tableMapEvent("orders", cols),
+      BinlogBinary.rotateEvent("bin.000003")))
+    // sorted into the family this would claim to be 000002's successor
+    // and falsely refuse a healthy directory
+    BinlogBinary.writeEvents(s"$dir/b", "bin.index", Seq(
+      BinlogBinary.tableMapEvent("orders", cols)))
+    BinlogBinary.verifyRotationChain(spark, s"$dir/b") // must not throw
   }
 
   test("verifyRotationChain orders rotations NUMERICALLY: the " +
