@@ -4147,19 +4147,14 @@ object StreamingOps {
     // the latest-wins collapse over seq <= 2 only. The GTID resume
     // boundary is asserted inline: the executed-set token 'uuid:1-2'
     // must decode onto exactly the position below txn 3's stamp.
+    // (the GTID resume-boundary composition — executed set through
+    // txn 2 anchoring one position below txn 3's stamp — is pinned in
+    // BinlogTextSpec: asserting it inline here cost a second full
+    // parseGtidIndex scan of the dump on every bench run)
     "cdc_binlog_text_txn" -> ((s, dir) => binlogTxnScenario(s, dir,
       (df, cols, out) =>
         graft.sources.BinlogText.render(df, cols, out, files = 3),
-      (out, uuid) => {
-        writeTxnStampsText(out, uuid)
-        // resume composition: the executed set through txn 2 anchors
-        // one position below txn 3's stamp (fails red if the
-        // codec↔index mapping drifts)
-        val boundary = graft.sources.BinlogText.gtidStartAfter(
-          s, out, s"$uuid:1-2", Seq(uuid -> 0L))
-        require(boundary == 3L * 100000000L - 1,
-          s"GTID resume boundary drifted: $boundary")
-      },
+      (out, uuid) => writeTxnStampsText(out, uuid),
       out => graft.sources.BinlogText.parseTxn(s, out, txnScenarioCols))),
 
     // ST-SOFT-DELETE: the tool class's "keep deleted rows" mode

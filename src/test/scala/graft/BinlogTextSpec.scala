@@ -554,6 +554,30 @@ class BinlogTextSpec extends SparkTestBase {
     assert(rotated.getMessage.contains("rotated away"))
   }
 
+  test("GTID resume boundary under the txn-scenario stamp geometry: " +
+      "the executed set through txn 2 anchors one position below " +
+      "txn 3's stamp") {
+    // the exact stamp layout the declared cdc_binlog_*_txn queries
+    // render (stamps at n*1e8, Xids closing txns 1-2) — pinned HERE so
+    // the benched queries stay render→parse→pass→collapse only (the
+    // inline assert cost a second full dump scan per bench run)
+    val uuid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    val dir = tmp()
+    val stamps = (1 to 3).map(n => BinlogText.renderGtid(
+      n * 100000000L, 800000000L, uuid, n)) ++
+      (1 to 2).map(n => BinlogText.renderXid(
+        (n + 1) * 100000000L - 1, 800000000L, n))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/binlog"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/binlog/txn.txt"),
+      stamps.mkString("\n"))
+    val boundary = BinlogText.gtidStartAfter(spark, s"$dir/binlog",
+      s"$uuid:1-2", Seq(uuid -> 0L))
+    assert(boundary == 3L * 100000000L - 1,
+      s"GTID resume boundary drifted: $boundary")
+  }
+
   test("GTID failover chain: stamps under two server UUIDs decode onto " +
       "one seq axis; stale chains and out-of-chain stamps refuse") {
     val old = "aaaaaaaa-0000-0000-0000-000000000001"
