@@ -69,7 +69,9 @@ object BinlogBinary {
   private val UPDATE_ROWS_V2 = 31
   private val DELETE_ROWS_V2 = 32
   private val GTID = 33
+  private val PARTIAL_UPDATE_ROWS = 39 // binlog_row_value_options=PARTIAL_JSON
   private val TRANSACTION_PAYLOAD = 40 // binlog_transaction_compression
+  private val START_ENCRYPTION_MARIA = 164 // MariaDB binlog_encryption=ON
 
   // wire column type codes
   private val T_LONG = 3 // INT: 4-byte LE
@@ -473,6 +475,7 @@ object BinlogBinary {
       require(it != TRANSACTION_PAYLOAD,
         s"$path: nested TRANSACTION_PAYLOAD at payload offset $io — " +
           "the format does not nest; corrupt")
+      refuseUndecodableEvent(it, path, io)
       if (it == WRITE_ROWS_V2 || it == UPDATE_ROWS_V2 ||
         it == DELETE_ROWS_V2 || it == XID) {
         require(ipos >= outerPos && ipos >= lastSeqPos,
@@ -1133,6 +1136,15 @@ object BinlogBinary {
     * ends with ROTATE, a clean shutdown with STOP). */
   private def walkEvents(bytes: Array[Byte], path: String)(
       handler: (Int, Long, Long, Int, Int) => Unit): Int = {
+    // MySQL 8 binlog_encryption=ON swaps the magic to \xFD bin and
+    // encrypts everything after the header — name the real cause
+    // instead of failing as "bad magic" on a file the operator CAN fix
+    require(!(bytes.length >= 4 && (bytes(0) & 0xff) == 0xfd &&
+      bytes(1) == 'b' && bytes(2) == 'i' && bytes(3) == 'n'),
+      s"$path is an ENCRYPTED binlog (binlog_encryption=ON, magic " +
+        "\\xFD bin) — the event stream is undecodable without the " +
+        "server's keyring; decrypt by re-dumping through mysqlbinlog " +
+        "on the server, or disable binlog_encryption")
     require(bytes.length >= 4 &&
       java.util.Arrays.equals(
         java.util.Arrays.copyOfRange(bytes, 0, 4), Magic),
@@ -1152,6 +1164,18 @@ object BinlogBinary {
       require(size >= HeaderLen && o + size <= bytes.length,
         s"$path: event at offset $o declares size $size beyond the " +
           s"file's ${bytes.length} bytes — truncated or corrupt")
+      refuseUndecodableEvent(eventType, path, o)
+      // MariaDB binlog_encryption=ON announces itself mid-stream: a
+      // START_ENCRYPTION event, after which every byte is ciphertext.
+      // Skipping it (the unknown-type rule) would surface the
+      // encrypted remainder as generic truncation/CRC garbage — name
+      // the real cause at the announcement instead.
+      require(eventType != START_ENCRYPTION_MARIA,
+        s"$path: START_ENCRYPTION event at offset $o — the rest of " +
+          "this binlog is encrypted (binlog_encryption=ON) and cannot " +
+          "decode without the server's key file; decrypt by re-dumping " +
+          "through mysqlbinlog on the server, or disable " +
+          "binlog_encryption")
       if (!sawFde) {
         require(eventType == FORMAT_DESCRIPTION,
           s"$path: first event is type $eventType, not a " +
@@ -1192,6 +1216,22 @@ object BinlogBinary {
     }
     lastType
   }
+
+  /** Event types that carry ROW DATA this decoder cannot yet
+    * represent — skipping them (the unknown-type rule for bookkeeping
+    * events) would silently lose changes, so they refuse by name with
+    * the server setting to flip. One rule for the outer walk and the
+    * payload-inner walk: a compressed transaction can carry the same
+    * events. */
+  private def refuseUndecodableEvent(eventType: Int, path: String,
+      off: Int): Unit =
+    require(eventType != PARTIAL_UPDATE_ROWS,
+      s"$path: PARTIAL_UPDATE_ROWS event at offset $off — " +
+        "binlog_row_value_options=PARTIAL_JSON ships JSON diffs, not " +
+        "full after-images, and applying a partial document as the " +
+        "full value silently diverges the replica; re-dump with " +
+        "binlog_row_value_options='' (empty) to carry full JSON " +
+        "images")
 
   /** Row-event decode over [[walkEvents]]. `emitMarkers` additionally
     * surfaces each Xid event as an `op = "C"` commit-marker row (seq =

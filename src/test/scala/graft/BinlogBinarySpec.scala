@@ -816,6 +816,73 @@ class BinlogBinarySpec extends SparkTestBase {
       .contains("transaction-cache"))
   }
 
+  test("encrypted binlogs refuse naming binlog_encryption, not as " +
+      "generic magic/CRC garbage: the \\xFD magic and the MariaDB " +
+      "START_ENCRYPTION announcement both name the real cause") {
+    // MySQL 8 shape: the whole file is ciphertext behind a \xFD magic
+    val dir = tmp()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/b"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/b/bin.000001"),
+      Array[Byte](0xfd.toByte, 'b', 'i', 'n') ++
+        Array.fill[Byte](64)(0x5a))
+    val e = intercept[Throwable] {
+      BinlogBinary.parse(spark, s"$dir/b", cols).collect()
+    }
+    val msg = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msg.contains("binlog_encryption"), s"got: $msg")
+    // MariaDB shape: plaintext head, then a START_ENCRYPTION event
+    // (type 164) after which every byte is ciphertext — the refusal
+    // fires AT the announcement instead of surfacing downstream CRC
+    // garbage
+    val dir2 = tmp()
+    BinlogBinary.writeEvents(s"$dir2/b", "bin.000001", Seq(
+      BinlogBinary.tableMapEvent("orders", cols),
+      BinlogBinary.sealEvent(800000000L, 164, 50L,
+        Array[Byte](1, 0, 0, 0) ++ Array.fill[Byte](16)(9))))
+    val e2 = intercept[Throwable] {
+      BinlogBinary.parse(spark, s"$dir2/b", cols).collect()
+    }
+    val msg2 = Iterator.iterate(e2)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msg2.contains("START_ENCRYPTION") &&
+      msg2.contains("binlog_encryption"), s"got: $msg2")
+  }
+
+  test("PARTIAL_UPDATE_ROWS (binlog_row_value_options=PARTIAL_JSON) " +
+      "refuses by name — a JSON diff applied as a full value is a " +
+      "silently diverged replica — outside AND inside a compressed " +
+      "transaction") {
+    val dir = tmp()
+    BinlogBinary.writeEvents(s"$dir/b", "bin.000001", Seq(
+      BinlogBinary.tableMapEvent("orders", cols),
+      BinlogBinary.sealEvent(800000000L, 39, 30L,
+        Array.fill[Byte](24)(1))))
+    val e = intercept[Throwable] {
+      BinlogBinary.parse(spark, s"$dir/b", cols).collect()
+    }
+    val msg = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msg.contains("PARTIAL_UPDATE_ROWS") &&
+      msg.contains("PARTIAL_JSON"), s"got: $msg")
+    // the same event INSIDE a TRANSACTION_PAYLOAD refuses identically
+    // (one rule, both walks)
+    val dir2 = tmp()
+    BinlogBinary.writeEvents(s"$dir2/b", "bin.000001", Seq(
+      BinlogBinary.payloadEvent(10L, 800000000L, Seq(
+        BinlogBinary.withoutCrc(BinlogBinary.tableMapEvent("t", cols)),
+        BinlogBinary.withoutCrc(BinlogBinary.sealEvent(
+          800000000L, 39, 30L, Array.fill[Byte](24)(1)))))))
+    val e2 = intercept[Throwable] {
+      BinlogBinary.parse(spark, s"$dir2/b", cols).collect()
+    }
+    assert(Iterator.iterate(e2)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      .contains("PARTIAL_UPDATE_ROWS"))
+  }
+
   test("verifyRotationChain ignores non-numeric suffixes: a stray " +
       "bin.index beside the rotations is not a chain member") {
     val dir = tmp()
