@@ -627,6 +627,86 @@ object Tables {
          CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
        FROM orders WHERE o_orderkey % 7 = 0"""
 
+  /** SMALL-NUMERIC change log — the narrow-integer/float head of the
+    * MySQL type map ([[cdcLogTyped]] covers DECIMAL/unsigned/enum/JSON,
+    * [[cdcLogTemporal]] temporal/binary, [[cdcLogExotic]] SET/YEAR/
+    * BIT/zero-dates): TINYINT (`tny`, ByteType), SMALLINT (`sml`),
+    * MEDIUMINT (`med` — the 3-byte type only MySQL has, ±8388607),
+    * FLOAT (`flt`, built from exactly-representable quarters so both
+    * engines agree bit for bit), and CHAR (`code` — the fixed-width
+    * text type, wire type STRING). Same event rules as [[cdcLog]];
+    * deletes ship NULL extras. */
+  def cdcLogNumeric(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders").select(
+      col("o_orderkey"), col("o_totalprice").cast(DoubleType).as("price"),
+      col("o_orderstatus").as("status"), col("o_orderdate"))
+    val cols = Seq("op", "seq", "ts", "okey", "price", "status", "tny",
+      "sml", "med", "flt", "code")
+    val tny0 = (col("o_orderkey") % 200 - 100).cast(ByteType)
+    val sml0 = (col("o_orderkey") % 60000 - 30000).cast(ShortType)
+    val med0 = (col("o_orderkey") % 16000000 - 8000000).cast(IntegerType)
+    val flt0 = ((col("o_orderkey") % 1000).cast(DoubleType) / lit(4.0d))
+      .cast(FloatType)
+    val code0 = concat(lit("c"), (col("o_orderkey") % 100).cast(StringType))
+    explodeEvents(o, cols, Seq(
+      lit(true) -> struct(
+        lit("I").as("op"), lit(1L).as("seq"), col("o_orderdate").as("ts"),
+        col("o_orderkey").as("okey"), col("price"), col("status"),
+        tny0.as("tny"), sml0.as("sml"),
+        med0.as("med"), flt0.as("flt"), code0.as("code")),
+      (col("o_orderkey") % 3 === 0) -> struct(
+        lit("U").as("op"), lit(2L).as("seq"),
+        (col("o_orderdate") + expr("INTERVAL 1 DAY")).as("ts"),
+        col("o_orderkey").as("okey"),
+        (col("price") + lit(10.0d)).as("price"), lit("P").as("status"),
+        (tny0 + lit(1)).cast(ByteType).as("tny"),
+        (sml0 + lit(1)).cast(ShortType).as("sml"),
+        (med0 + lit(1)).cast(IntegerType).as("med"),
+        ((col("o_orderkey") % 1000).cast(DoubleType) / lit(4.0d) +
+          lit(0.25d)).cast(FloatType).as("flt"),
+        concat(lit("u"), (col("o_orderkey") % 100).cast(StringType))
+          .as("code")),
+      (col("o_orderkey") % 7 === 0) -> struct(
+        lit("D").as("op"), lit(3L).as("seq"),
+        (col("o_orderdate") + expr("INTERVAL 2 DAY")).as("ts"),
+        col("o_orderkey").as("okey"), lit(null).cast(DoubleType).as("price"),
+        lit(null).cast(StringType).as("status"),
+        lit(null).cast(ByteType).as("tny"),
+        lit(null).cast(ShortType).as("sml"),
+        lit(null).cast(IntegerType).as("med"),
+        lit(null).cast(FloatType).as("flt"),
+        lit(null).cast(StringType).as("code"))))
+  }
+
+  /** DuckDB-SQL equivalent of [[cdcLogNumeric]] (CTE body
+    * `cdc_numeric`). */
+  val cdcLogNumericSql: String =
+    """SELECT 'I' AS op, CAST(1 AS BIGINT) AS seq, o_orderdate AS ts,
+         o_orderkey AS okey, CAST(o_totalprice AS DOUBLE) AS price,
+         o_orderstatus AS status,
+         CAST(o_orderkey % 200 - 100 AS TINYINT) AS tny,
+         CAST(o_orderkey % 60000 - 30000 AS SMALLINT) AS sml,
+         CAST(o_orderkey % 16000000 - 8000000 AS INTEGER) AS med,
+         CAST(CAST(o_orderkey % 1000 AS DOUBLE) / 4 AS REAL) AS flt,
+         'c' || CAST(o_orderkey % 100 AS VARCHAR) AS code
+       FROM orders
+       UNION ALL
+       SELECT 'U', CAST(2 AS BIGINT), o_orderdate + INTERVAL 1 DAY,
+         o_orderkey, CAST(o_totalprice AS DOUBLE) + CAST(10 AS DOUBLE), 'P',
+         CAST(o_orderkey % 200 - 100 + 1 AS TINYINT),
+         CAST(o_orderkey % 60000 - 30000 + 1 AS SMALLINT),
+         CAST(o_orderkey % 16000000 - 8000000 + 1 AS INTEGER),
+         CAST(CAST(o_orderkey % 1000 AS DOUBLE) / 4
+              + CAST(0.25 AS DOUBLE) AS REAL),
+         'u' || CAST(o_orderkey % 100 AS VARCHAR)
+       FROM orders WHERE o_orderkey % 3 = 0
+       UNION ALL
+       SELECT 'D', CAST(3 AS BIGINT), o_orderdate + INTERVAL 2 DAY,
+         o_orderkey, CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+         CAST(NULL AS TINYINT), CAST(NULL AS SMALLINT),
+         CAST(NULL AS INTEGER), CAST(NULL AS REAL), CAST(NULL AS VARCHAR)
+       FROM orders WHERE o_orderkey % 7 = 0"""
+
   /** The gh-ost/pt-osc COPIER's view at cutover: one Insert per live
     * order carrying the key's latest pre-cutover image ([[cdcLog]]'s
     * seq<=2 collapse — the online-schema-change tool guarantees

@@ -73,13 +73,80 @@ object BinlogBinary {
   private val TRANSACTION_PAYLOAD = 40 // binlog_transaction_compression
   private val START_ENCRYPTION_MARIA = 164 // MariaDB binlog_encryption=ON
 
-  // wire column type codes
+  // wire column type codes (the public MYSQL_TYPE numbering)
+  private val T_TINY = 1 // TINYINT: 1 byte signed
+  private val T_SHORT = 2 // SMALLINT: 2-byte LE
   private val T_LONG = 3 // INT: 4-byte LE
+  private val T_FLOAT = 4
   private val T_DOUBLE = 5
   private val T_LONGLONG = 8 // BIGINT: 8-byte LE
+  private val T_INT24 = 9 // MEDIUMINT: 3-byte LE signed
+  private val T_DATE = 10 // 3-byte LE packed y/m/d
+  private val T_YEAR = 13 // 1 byte, value = year - 1900 (0 = 0000)
+  private val T_NEWDATE = 14 // 5.x alias of DATE; same 3-byte packing
   private val T_VARCHAR = 15
-  private val T_VAR_STRING = 253 // pre-5.0 alias; same wire shape
+  private val T_BIT = 16 // big-endian value in ceil(bits/8) bytes
+  private val T_TIMESTAMP2 = 17 // 4-byte BE epoch seconds + fsp frac
+  private val T_DATETIME2 = 18 // 5-byte BE packed wall clock + fsp frac
+  private val T_TIME2 = 19 // 3-byte BE packed h/m/s + fsp frac
+  private val T_JSON = 245 // length-prefixed binary JSON document
   private val T_NEWDECIMAL = 246
+  private val T_ENUM = 247 // rides TABLE_MAP as STRING + meta byte
+  private val T_SET = 248 // rides TABLE_MAP as STRING + meta byte
+  private val T_BLOB = 252 // length-prefixed raw bytes
+  private val T_VAR_STRING = 253 // pre-5.0 alias; same wire shape
+  private val T_STRING = 254 // CHAR; also the ENUM/SET carrier
+
+  /** Per-column WIRE HINTS — the declaration surface for MySQL types a
+    * Spark `DataType` alone cannot imply. The DECODE side is wire-
+    * driven (the TABLE_MAP names the true type and its metadata); a
+    * hint is required at decode only where the wire underdetermines
+    * the decode — an ENUM's value list lives in the table's DDL, not
+    * on the wire, and a DATE/DATETIME column decoding to its RAW TEXT
+    * form (the zero-date-capable surface [[graft.sources.MySqlTypes]]
+    * post-processes) is a caller's choice, not a wire fact. The
+    * RENDER side needs the hint wherever one Spark type maps to
+    * several wire types (StringType → VARCHAR/ENUM/JSON/CHAR,
+    * LongType → BIGINT/SET/BIT, …). */
+  sealed trait WireHint
+  object WireHint {
+    /** MySQL ENUM: the wire carries a 1-or-2-byte 1-based index into
+      * the DDL's value list (0 = the invalid-value empty string). */
+    final case class Enum(values: Seq[String]) extends WireHint
+    /** MySQL SET with `members` declared members: the wire carries
+      * the member BITMASK little-endian in ceil(members/8) bytes —
+      * surfaced as the Long mask (decode member names downstream via
+      * [[MySqlTypes.decodeSet]], the text transport's own shape). */
+    final case class SetBits(members: Int) extends WireHint
+    /** MySQL BIT(bits): big-endian value, surfaced as Long. */
+    final case class Bit(bits: Int) extends WireHint
+    /** MySQL YEAR on a ShortType column (1901..2155 + zero). */
+    case object Year extends WireHint
+    /** MySQL JSON on a StringType column: binary documents decode to
+      * compact text ([[MySqlJsonb]]); render parses the text back. */
+    case object Json extends WireHint
+    /** MySQL TIME on an IntegerType column under the seconds-since-
+      * midnight Int32 mapping (the type surface's TIME rule). */
+    case object TimeSeconds extends WireHint
+    /** MySQL MEDIUMINT (3-byte signed) on an IntegerType column. */
+    case object MediumInt extends WireHint
+    /** A text column whose BYTES pass through raw (BinaryType over
+      * the VARCHAR wire) — the charset-transcode surface: the binlog
+      * ships the column's own encoding (latin1, …) and the pipeline
+      * transcodes at apply via [[MySqlTypes.decodeText]]. */
+    case object RawText extends WireHint
+    /** MySQL CHAR(n) (wire type STRING) on a StringType column;
+      * `maxLen` is the column's byte capacity (≤ 255 here). */
+    final case class Char(maxLen: Int) extends WireHint
+    /** A DATE column decoding to its RAW TEXT form (`yyyy-MM-dd`,
+      * zero dates as `0000-00-00`) on a StringType column — the
+      * zero-date-capable surface [[MySqlTypes.zeroDateToNull]] then
+      * nulls at apply. */
+    case object DateText extends WireHint
+    /** A DATETIME(0) column decoding to its RAW TEXT form
+      * (`yyyy-MM-dd HH:mm:ss`, zero as `0000-00-00 00:00:00`). */
+    case object DateTimeText extends WireHint
+  }
 
   /** Decode a directory of raw binlog files into the envelope
     * `(op, seq, ts, <cols…>)` — the SAME schema [[BinlogText.parse]]
@@ -87,15 +154,19 @@ object BinlogBinary {
     * transport-agnostic. Distributed per FILE. */
   def parse(spark: SparkSession, dir: String,
       cols: Seq[(String, DataType)],
-      changedCol: Option[String] = None): DataFrame = {
-    val (schema, _) = BinlogText.singleEnvelope(cols, Nil, changedCol)
+      changedCol: Option[String] = None,
+      hints: Map[String, WireHint] = Map.empty): DataFrame = {
+    validateCols(cols, hints)
+    val (schema, _) = BinlogText.singleEnvelope(cols, Nil, changedCol,
+      textTypes = false)
     val colsB = cols
     val changedB = changedCol
+    val hintsB = hints
     spark.read.format("binaryFile").load(dir)
       .select(col("content"), col("path"))
       .flatMap { r =>
         decodeFile(r.getAs[Array[Byte]](0), r.getString(1), colsB,
-          changedCol = changedB)
+          changedCol = changedB, hints = hintsB)
       }(RowEncoder.encoderFor(schema))
       .toDF()
   }
@@ -118,7 +189,8 @@ object BinlogBinary {
       ignoreTables: Set[String] = Set.empty,
       changedCol: Option[String] = None): DataFrame = {
     val (schema, _) = BinlogText.multiEnvelope(
-      colsByTable, tableCol, ignoreTables, changedCol)
+      colsByTable, tableCol, ignoreTables, changedCol,
+      textTypes = false)
     multiFrame(spark, dir, schema, colsByTable, ignoreTables,
       marker = false, changedCol = changedCol)
   }
@@ -147,7 +219,8 @@ object BinlogBinary {
         "delimited; consume it as a plain stream instead")
     val stamps = gtids.map { case (p, u, n) => (p, s"$u:$n") }
     val (schema, _) =
-      BinlogText.multiEnvelope(colsByTable, tableCol, ignoreTables, None)
+      BinlogText.multiEnvelope(colsByTable, tableCol, ignoreTables,
+        None, textTypes = false)
     val frame = multiFrame(spark, dir, schema, colsByTable, ignoreTables,
       marker = true)
     BinlogText.stampTxns(spark, frame, stamps, txnCol)
@@ -293,8 +366,9 @@ object BinlogBinary {
     * [[parseMulti]] dispatches the TABLE_MAPs back. */
   def render(df: DataFrame, cols: Seq[(String, DataType)],
       outDir: String, files: Int = 4, table: String = "orders",
-      prefix: String = "bin", append: Boolean = false): Unit = {
-    validateCols(cols)
+      prefix: String = "bin", append: Boolean = false,
+      hints: Map[String, WireHint] = Map.empty): Unit = {
+    validateCols(cols, hints)
     validateTableName(table)
     require(files >= 1, "at least one binlog file")
     require(prefix.nonEmpty && !prefix.exists(c =>
@@ -321,6 +395,7 @@ object BinlogBinary {
     val colsB = cols
     val tableB = table
     val prefixB = prefix
+    val hintsB = hints
     // ts rides RAW (TimestampNTZ → LocalDateTime task-side) and
     // converts to the header's epoch seconds via UTC — the exact
     // inverse of the parser's LocalDateTime.ofEpochSecond(…, UTC), so
@@ -337,9 +412,9 @@ object BinlogBinary {
         val out = new java.io.ByteArrayOutputStream()
         out.write(Magic)
         out.write(fdeEvent())
-        out.write(tableMapEvent(tableB, colsB))
+        out.write(tableMapEvent(tableB, colsB, hints = hintsB))
         it.foreach { r =>
-          out.write(rowsEvent(r, colsB))
+          out.write(rowsEvent(r, colsB, hints = hintsB))
         }
         // a finished rotation ends with ROTATE — what the streaming
         // tail's torn-rotation gate checks for (inert to batch reads)
@@ -373,21 +448,56 @@ object BinlogBinary {
       !table.exists(c => c.isWhitespace),
       s"bad table name '$table' for a TABLE_MAP event")
 
-  private def validateCols(cols: Seq[(String, DataType)]): Unit = {
+  private def validateCols(cols: Seq[(String, DataType)],
+      hints: Map[String, WireHint] = Map.empty): Unit = {
+    import WireHint._
     require(cols.nonEmpty, "empty TABLE_MAP column list")
     require(cols.map(_._1).distinct.length == cols.length,
       "duplicate TABLE_MAP column name(s): " +
         cols.map(_._1).diff(cols.map(_._1).distinct).distinct
           .mkString(", "))
+    hints.keys.foreach { n =>
+      require(cols.exists(_._1 == n),
+        s"wire hint for '$n' names no declared column")
+    }
     cols.foreach { case (n, t) =>
-      val ok = t match {
-        case LongType | IntegerType | DoubleType | StringType => true
-        case d: DecimalType => d.precision <= 65 && d.scale <= 30
+      val hint = hints.get(n)
+      val ok = (t, hint) match {
+        case (LongType | IntegerType | DoubleType | StringType |
+          ByteType | ShortType | FloatType | BinaryType | DateType |
+          TimestampNTZType | TimestampType, None) => true
+        case (d: DecimalType, None) =>
+          d.precision <= 65 && d.scale <= 30
+        case (StringType, Some(Enum(vs))) =>
+          require(vs.nonEmpty && vs.size <= 65535 &&
+            vs.distinct.size == vs.size &&
+            vs.forall(_.getBytes("UTF-8").length <= 65535),
+            s"bad ENUM value list for '$n'")
+          true
+        case (LongType, Some(SetBits(m))) =>
+          require(m >= 1 && m <= 64,
+            s"MySQL SET carries 1..64 members, '$n' declares $m")
+          true
+        case (LongType, Some(Bit(b))) =>
+          require(b >= 1 && b <= 64,
+            s"MySQL BIT carries 1..64 bits, '$n' declares $b")
+          true
+        case (ShortType, Some(Year)) => true
+        case (StringType, Some(Json)) => true
+        case (IntegerType, Some(TimeSeconds)) => true
+        case (IntegerType, Some(MediumInt)) => true
+        case (BinaryType, Some(RawText)) => true
+        case (StringType, Some(Char(l))) =>
+          require(l >= 1 && l <= 255,
+            s"CHAR hint for '$n' must declare 1..255 bytes, got $l")
+          true
+        case (StringType, Some(DateText) | Some(DateTimeText)) => true
         case _ => false
       }
       require(ok,
-        s"unsupported binlog-binary column type for '$n': $t — the " +
-          "dialect decodes integers, doubles, decimals, and strings")
+        s"unsupported binlog-binary column declaration for '$n': $t" +
+          hint.fold("")(h => s" with hint $h") +
+          " — see WireHint for the type-hint pairs this dialect carries")
       require(!Seq("op", "seq", "ts").contains(n),
         s"payload column '$n' collides with envelope bookkeeping")
     }
@@ -763,7 +873,9 @@ object BinlogBinary {
     * and metadata, all columns nullable. */
   private[graft] def tableMapEvent(table: String,
       cols: Seq[(String, DataType)], tableId: Long = 108L,
-      tsSec: Long = 0L): Array[Byte] = {
+      tsSec: Long = 0L,
+      hints: Map[String, WireHint] = Map.empty): Array[Byte] = {
+    import WireHint._
     val b = new java.io.ByteArrayOutputStream()
     // post-header: table_id(6 LE) + flags(2)
     var tid = tableId
@@ -774,15 +886,37 @@ object BinlogBinary {
     val tb = table.getBytes("UTF-8")
     b.write(tb.length); b.write(tb); b.write(0)
     packed(b, cols.length.toLong)
-    cols.foreach { case (_, t) => b.write(wireType(t)) }
+    cols.foreach { case (n, t) => b.write(wireType(t, hints.get(n))) }
     // metadata block: packed length, then per-type metadata
     val meta = new java.io.ByteArrayOutputStream()
-    cols.foreach {
-      case (_, DoubleType) => meta.write(8)
-      case (_, StringType) => u16(meta, 65535) // max length, LE
-      case (_, d: DecimalType) =>
-        meta.write(d.precision); meta.write(d.scale)
-      case _ => () // LONG/LONGLONG carry no metadata
+    cols.foreach { case (n, t) =>
+      (t, hints.get(n)) match {
+        case (DoubleType, _) => meta.write(8)
+        case (FloatType, _) => meta.write(4)
+        case (StringType, Some(Enum(vs))) =>
+          // ENUM/SET ride the STRING slot: meta = (real type, pack len)
+          meta.write(T_ENUM)
+          meta.write(if (vs.size <= 255) 1 else 2)
+        case (LongType, Some(SetBits(m))) =>
+          meta.write(T_SET); meta.write((m + 7) / 8)
+        case (LongType, Some(Bit(bits))) =>
+          meta.write(bits % 8); meta.write(bits / 8)
+        case (StringType, Some(Char(l))) =>
+          meta.write(T_STRING); meta.write(l) // ≤ 255: the simple form
+        case (StringType, Some(Json)) =>
+          meta.write(4) // length-prefix width
+        case (StringType, Some(DateText)) => () // DATE: no metadata
+        case (StringType, Some(DateTimeText)) => meta.write(0) // fsp 0
+        case (BinaryType, Some(RawText)) => u16(meta, 65535)
+        case (BinaryType, _) => meta.write(2) // BLOB length-prefix width
+        case (StringType, _) => u16(meta, 65535) // VARCHAR max length, LE
+        case (TimestampNTZType, _) | (TimestampType, _) =>
+          meta.write(6) // fsp: microseconds
+        case (IntegerType, Some(TimeSeconds)) => meta.write(0) // fsp 0
+        case (d: DecimalType, _) =>
+          meta.write(d.precision); meta.write(d.scale)
+        case _ => () // TINY/SHORT/INT24/LONG/LONGLONG/YEAR/DATE: none
+      }
     }
     val mb = meta.toByteArray
     packed(b, mb.length.toLong)
@@ -796,7 +930,8 @@ object BinlogBinary {
     * Updates write (before == after) image pairs — FULL-image fixture
     * shape. */
   private[graft] def rowsEvent(r: Row, cols: Seq[(String, DataType)],
-      tableId: Long = 108L): Array[Byte] = {
+      tableId: Long = 108L,
+      hints: Map[String, WireHint] = Map.empty): Array[Byte] = {
     val op = r.getString(0)
     val seq = r.getLong(1)
     val ldt = r.getAs[java.time.LocalDateTime](2)
@@ -813,7 +948,7 @@ object BinlogBinary {
         s"cannot render op '$other' as a binlog row event")
     }
     val full = Array.fill(cols.length)(true)
-    val image = imageBytes(r, cols, full)
+    val image = imageBytes(r, cols, full, hints)
     val b = new java.io.ByteArrayOutputStream()
     var tid = tableId
     (0 until 6).foreach { _ => b.write((tid & 0xff).toInt); tid >>= 8 }
@@ -942,13 +1077,53 @@ object BinlogBinary {
     }
   }
 
+  // ── temporal wire packings (public binlog 5.6+ layouts) ──────────
+
+  /** DATE: `(year << 9) | (month << 5) | day`, 3 bytes LE; all-zero
+    * parts are the storable zero date. */
+  private def writeDate3(b: java.io.ByteArrayOutputStream,
+      y: Int, m: Int, d: Int): Unit = {
+    val v = (y << 9) | (m << 5) | d
+    b.write(v & 0xff); b.write((v >> 8) & 0xff); b.write((v >> 16) & 0xff)
+  }
+
+  private def writeBe(b: java.io.ByteArrayOutputStream, v: Long,
+      n: Int): Unit =
+    (n - 1 to 0 by -1).foreach(i => b.write(((v >> (8 * i)) & 0xff).toInt))
+
+  /** DATETIME2's 5-byte big-endian integer part: sign bit (1 =
+    * non-negative), 17 bits `year*13 + month`, 5 bits day, 5 hour,
+    * 6 minute, 6 second. */
+  private def packDatetime2(y: Int, mo: Int, d: Int, h: Int, mi: Int,
+      s: Int): Long =
+    (1L << 39) | ((y * 13L + mo) << 22) | (d.toLong << 17) |
+      (h.toLong << 12) | (mi.toLong << 6) | s.toLong
+
+  /** Fractional-seconds byte count for an fsp (1-2 → 1, 3-4 → 2,
+    * 5-6 → 3 big-endian bytes, value scaled to fsp digits). */
+  private def fracLen(fsp: Int): Int = (fsp + 1) / 2
+
+  private def writeFrac(b: java.io.ByteArrayOutputStream, micros: Long,
+      fsp: Int): Unit =
+    if (fsp > 0) {
+      var scaled = micros
+      (fsp until 6).foreach(_ => scaled /= 10)
+      writeBe(b, scaled, fracLen(fsp))
+    }
+
+  private val DateTextRe = """(\d{4})-(\d{2})-(\d{2})""".r
+  private val DateTimeTextRe =
+    """(\d{4})-(\d{2})-(\d{2}) (\d{2}):(\d{2}):(\d{2})""".r
+
   /** One row image under a columns-present MASK: null bitmap over the
     * PRESENT columns (indexed in presence order, exactly how the
     * decoder reads it back), then the present non-null values in
     * TABLE_MAP order. The FULL-image path passes an all-true mask;
     * the MINIMAL renderer masks to PK / changed positions. */
   private def imageBytes(r: Row, cols: Seq[(String, DataType)],
-      mask: Array[Boolean]): Array[Byte] = {
+      mask: Array[Boolean],
+      hints: Map[String, WireHint] = Map.empty): Array[Byte] = {
+    import WireHint._
     val b = new java.io.ByteArrayOutputStream()
     val presentIdx = cols.indices.filter(mask(_)).toArray
     val nulls = new Array[Byte]((presentIdx.length + 7) / 8)
@@ -959,40 +1134,182 @@ object BinlogBinary {
     b.write(nulls)
     presentIdx.foreach { i =>
       val (n, t) = cols(i)
-      if (!r.isNullAt(i + 3)) t match {
-        case LongType =>
+      if (!r.isNullAt(i + 3)) (t, hints.get(n)) match {
+        case (LongType, Some(SetBits(m))) =>
+          val v = r.getLong(i + 3)
+          require(v >= 0 && (m == 64 || v < (1L << m)),
+            s"SET mask $v for '$n' overflows its $m members")
+          var x = v
+          (0 until (m + 7) / 8).foreach { _ =>
+            b.write((x & 0xff).toInt); x >>= 8 }
+        case (LongType, Some(Bit(bits))) =>
+          val v = r.getLong(i + 3)
+          require(v >= 0 && (bits == 64 || v < (1L << bits)),
+            s"BIT value $v for '$n' overflows BIT($bits)")
+          writeBe(b, v, (bits + 7) / 8)
+        case (LongType, _) =>
           var v = r.getLong(i + 3)
           (0 until 8).foreach { _ => b.write((v & 0xff).toInt); v >>= 8 }
-        case IntegerType =>
+        case (IntegerType, Some(TimeSeconds)) =>
+          val s = r.getInt(i + 3)
+          // the TIME wire names at most 838:59:59; the Int32 mapping
+          // here is non-negative seconds since midnight
+          require(s >= 0 && s <= 838 * 3600 + 59 * 60 + 59,
+            s"TIME seconds $s for '$n' is outside 0..838:59:59 — " +
+              "refuse instead of wrapping")
+          writeBe(b, (1L << 23) | ((s / 3600L) << 12) |
+            ((s / 60 % 60L) << 6) | (s % 60L), 3)
+        case (IntegerType, Some(MediumInt)) =>
+          val v = r.getInt(i + 3)
+          require(v >= -8388608 && v <= 8388607,
+            s"value $v for '$n' overflows MEDIUMINT — refuse instead " +
+              "of truncating")
+          b.write(v & 0xff); b.write((v >> 8) & 0xff)
+          b.write((v >> 16) & 0xff)
+        case (IntegerType, _) =>
           var v = r.getInt(i + 3).toLong
           (0 until 4).foreach { _ => b.write((v & 0xff).toInt); v >>= 8 }
-        case DoubleType =>
+        case (ShortType, Some(Year)) =>
+          val y = r.getShort(i + 3).toInt
+          require(y == 0 || (y >= 1901 && y <= 2155),
+            s"YEAR value $y for '$n' is outside 1901..2155 (or 0)")
+          b.write(if (y == 0) 0 else y - 1900)
+        case (ShortType, _) =>
+          val v = r.getShort(i + 3).toInt
+          b.write(v & 0xff); b.write((v >> 8) & 0xff)
+        case (ByteType, _) => b.write(r.getByte(i + 3).toInt & 0xff)
+        case (FloatType, _) =>
+          var v = java.lang.Float.floatToIntBits(r.getFloat(i + 3)).toLong
+          (0 until 4).foreach { _ => b.write((v & 0xff).toInt); v >>= 8 }
+        case (DoubleType, _) =>
           var v = java.lang.Double.doubleToLongBits(r.getDouble(i + 3))
           (0 until 8).foreach { _ => b.write((v & 0xff).toInt); v >>= 8 }
-        case StringType =>
+        case (StringType, Some(Enum(vs))) =>
+          val s = r.getString(i + 3)
+          val idx = if (s.isEmpty) 0 else {
+            val j = vs.indexOf(s)
+            require(j >= 0,
+              s"value '$s' for '$n' is not in the declared ENUM list " +
+                s"(${vs.mkString(", ")}) — refuse instead of storing " +
+                "the invalid-value 0")
+            j + 1
+          }
+          if (vs.size <= 255) b.write(idx) else u16(b, idx)
+        case (StringType, Some(Json)) =>
+          val doc = MySqlJsonb.encode(r.getString(i + 3),
+            s"JSON render for '$n'")
+          u32(b, doc.length.toLong)
+          b.write(doc)
+        case (StringType, Some(Char(l))) =>
+          val s = r.getString(i + 3).getBytes("UTF-8")
+          require(s.length <= l,
+            s"CHAR value for '$n' exceeds its declared $l bytes " +
+              s"(${s.length}) — refuse instead of truncating")
+          b.write(s.length)
+          b.write(s)
+        case (StringType, Some(DateText)) =>
+          r.getString(i + 3) match {
+            case DateTextRe(y, m, d) =>
+              writeDate3(b, y.toInt, m.toInt, d.toInt)
+            case other => throw new IllegalArgumentException(
+              s"raw DATE text '$other' for '$n' is not yyyy-MM-dd — " +
+                "refuse instead of storing garbage")
+          }
+        case (StringType, Some(DateTimeText)) =>
+          r.getString(i + 3) match {
+            case DateTimeTextRe(y, mo, d, h, mi, s) =>
+              writeBe(b, packDatetime2(y.toInt, mo.toInt, d.toInt,
+                h.toInt, mi.toInt, s.toInt), 5)
+            case other => throw new IllegalArgumentException(
+              s"raw DATETIME text '$other' for '$n' is not " +
+                "yyyy-MM-dd HH:mm:ss — refuse instead of storing garbage")
+          }
+        case (StringType, _) =>
           val s = r.getString(i + 3).getBytes("UTF-8")
           require(s.length <= 65535,
             s"string value for '$n' exceeds the VARCHAR wire limit " +
               s"(${s.length} bytes) — refuse instead of truncating")
           u16(b, s.length)
           b.write(s)
-        case d: DecimalType =>
+        case (BinaryType, Some(RawText)) =>
+          val s = r.getAs[Array[Byte]](i + 3)
+          require(s.length <= 65535,
+            s"raw text value for '$n' exceeds the VARCHAR wire limit")
+          u16(b, s.length)
+          b.write(s)
+        case (BinaryType, _) =>
+          val s = r.getAs[Array[Byte]](i + 3)
+          require(s.length <= 65535,
+            s"BLOB value for '$n' exceeds this renderer's 2-byte " +
+              s"length prefix (${s.length} bytes)")
+          u16(b, s.length)
+          b.write(s)
+        case (DateType, _) =>
+          val ld = r.get(i + 3) match {
+            case d: java.sql.Date => d.toLocalDate
+            case d: java.time.LocalDate => d
+            case other => throw new IllegalArgumentException(
+              s"unexpected DATE external value $other for '$n'")
+          }
+          writeDate3(b, ld.getYear, ld.getMonthValue, ld.getDayOfMonth)
+        case (TimestampNTZType, _) =>
+          val ldt = r.getAs[java.time.LocalDateTime](i + 3)
+          writeBe(b, packDatetime2(ldt.getYear, ldt.getMonthValue,
+            ldt.getDayOfMonth, ldt.getHour, ldt.getMinute,
+            ldt.getSecond), 5)
+          writeFrac(b, ldt.getNano / 1000L, 6)
+        case (TimestampType, _) =>
+          val (sec, micros) = r.get(i + 3) match {
+            case ts: java.sql.Timestamp =>
+              (Math.floorDiv(ts.getTime, 1000L), ts.getNanos / 1000L)
+            case ins: java.time.Instant =>
+              (ins.getEpochSecond, ins.getNano / 1000L)
+            case other => throw new IllegalArgumentException(
+              s"unexpected TIMESTAMP external value $other for '$n'")
+          }
+          require(sec >= 0 && sec <= 0xffffffffL,
+            s"TIMESTAMP for '$n' is outside the wire's unsigned 32-bit " +
+              s"epoch seconds ($sec) — refuse instead of truncating")
+          writeBe(b, sec, 4)
+          writeFrac(b, micros, 6)
+        case (d: DecimalType, _) =>
           b.write(encodeDecimal(r.getDecimal(i + 3), d.precision, d.scale))
-        case other => throw new IllegalArgumentException(
-          s"unsupported render type $other") // validateCols precludes
+        case (other, h) => throw new IllegalArgumentException(
+          s"unsupported render type $other (hint $h)") // precluded
       }
     }
     b.toByteArray
   }
 
-  private def wireType(t: DataType): Int = t match {
-    case LongType => T_LONGLONG
-    case IntegerType => T_LONG
-    case DoubleType => T_DOUBLE
-    case StringType => T_VARCHAR
-    case _: DecimalType => T_NEWDECIMAL
-    case other => throw new IllegalArgumentException(
-      s"unsupported wire type $other")
+  private def wireType(t: DataType, hint: Option[WireHint]): Int = {
+    import WireHint._
+    (t, hint) match {
+      case (LongType, Some(SetBits(_))) => T_STRING // ENUM/SET carrier
+      case (LongType, Some(Bit(_))) => T_BIT
+      case (LongType, _) => T_LONGLONG
+      case (IntegerType, Some(TimeSeconds)) => T_TIME2
+      case (IntegerType, Some(MediumInt)) => T_INT24
+      case (IntegerType, _) => T_LONG
+      case (ShortType, Some(Year)) => T_YEAR
+      case (ShortType, _) => T_SHORT
+      case (ByteType, _) => T_TINY
+      case (FloatType, _) => T_FLOAT
+      case (DoubleType, _) => T_DOUBLE
+      case (StringType, Some(Enum(_))) => T_STRING // meta names ENUM
+      case (StringType, Some(Json)) => T_JSON
+      case (StringType, Some(Char(_))) => T_STRING
+      case (StringType, Some(DateText)) => T_DATE
+      case (StringType, Some(DateTimeText)) => T_DATETIME2
+      case (StringType, _) => T_VARCHAR
+      case (BinaryType, Some(RawText)) => T_VARCHAR
+      case (BinaryType, _) => T_BLOB
+      case (DateType, _) => T_DATE
+      case (TimestampNTZType, _) => T_DATETIME2
+      case (TimestampType, _) => T_TIMESTAMP2
+      case (_: DecimalType, _) => T_NEWDECIMAL
+      case (other, h) => throw new IllegalArgumentException(
+        s"unsupported wire type $other (hint $h)")
+    }
   }
 
   private def packed(b: java.io.ByteArrayOutputStream, v: Long): Unit =
@@ -1126,6 +1443,21 @@ object BinlogBinary {
     * TABLE_MAP the file itself carries. */
   private final case class WireCols(types: Array[Int], metas: Array[Int])
 
+  /** Unfold a STRING-slot column's 2-byte metadata: ENUM/SET ride the
+    * STRING wire type with their REAL type in the first metadata byte
+    * and their pack length in the second; a true CHAR splits its
+    * max byte length across the two (the server XORs the length's
+    * high bits into the type byte — the public do_save_field_metadata
+    * encoding). Returns (real type, pack-or-max length). */
+  private def stringMeta(meta: Int): (Int, Int) = {
+    val m0 = meta >> 8
+    val m1 = meta & 0xff
+    if (m0 == T_ENUM || m0 == T_SET) (m0, m1)
+    else if ((m0 & 0x30) != 0x30)
+      (T_STRING, m1 | (((m0 & 0x30) ^ 0x30) << 4))
+    else (T_STRING, m1)
+  }
+
   /** The ONE event-stream walk behind every extractor (row decode, DDL
     * statements, GTID index, Xids): magic check, per-event header and
     * size validation, FDE-first discipline, per-event CRC32 when the
@@ -1244,7 +1576,8 @@ object BinlogBinary {
   private def decodeFile(bytes: Array[Byte], path: String,
       cols: Seq[(String, DataType)], emitMarkers: Boolean = false,
       requireRotate: Boolean = false,
-      changedCol: Option[String] = None): Iterator[Row] = {
+      changedCol: Option[String] = None,
+      hints: Map[String, WireHint] = Map.empty): Iterator[Row] = {
     val marker =
       if (emitMarkers)
         Some((p: Long, t: java.time.LocalDateTime) =>
@@ -1255,7 +1588,7 @@ object BinlogBinary {
       // the single-table decode accepts ANY table name (a single-table
       // dump's TABLE_MAPs all name the same table — the text path's
       // posture); arity/type validation still refuses a stale declaration
-      route = _ => DecodeAs(cols, ""),
+      route = _ => DecodeAs(cols, "", hints),
       emit = (_, op, p, t, vals, changed) => Row.fromSeq(
         Seq(op, p, t) ++ vals ++ changedCol.map(_ => changed)),
       marker = marker,
@@ -1284,7 +1617,8 @@ object BinlogBinary {
     * throws inside the route closure itself). */
   private sealed trait TableRoute
   private final case class DecodeAs(cols: Seq[(String, DataType)],
-      tag: String) extends TableRoute
+      tag: String,
+      hints: Map[String, WireHint] = Map.empty) extends TableRoute
   private case object SkipTable extends TableRoute
 
   /** The decode core shared by the single- and multi-table paths:
@@ -1306,9 +1640,9 @@ object BinlogBinary {
       requireRotate: Boolean,
       minimal: Boolean = false): Iterator[Row] = {
     val out = Vector.newBuilder[Row]
-    // table id -> None (declared-skipped) | Some(table, cols, wire)
-    var tableMaps =
-      Map.empty[Long, Option[(String, Seq[(String, DataType)], WireCols)]]
+    // table id -> None (declared-skipped) | Some(table, cols, wire, hints)
+    var tableMaps = Map.empty[Long, Option[(String,
+      Seq[(String, DataType)], WireCols, Map[String, WireHint])]]
     // one handler for OUTER events and the events INSIDE a
     // TRANSACTION_PAYLOAD (binlog_transaction_compression=ON wraps a
     // whole transaction — TABLE_MAPs included — in one compressed
@@ -1332,7 +1666,8 @@ object BinlogBinary {
           c.skip(tbLen + 1)
           route(table) match {
             case SkipTable => tableMaps += tid -> None
-            case DecodeAs(cols, tag) =>
+            case DecodeAs(cols, tag, hints) =>
+              import WireHint._
               val n = c.packed().toInt
               require(n == cols.length,
                 s"$path: TABLE_MAP declares $n columns but the caller " +
@@ -1346,10 +1681,16 @@ object BinlogBinary {
               val metas = new Array[Int](n)
               (0 until n).foreach { i =>
                 metas(i) = types(i) match {
-                  case T_DOUBLE => c.u8()
+                  case T_FLOAT | T_DOUBLE => c.u8()
                   case T_VARCHAR | T_VAR_STRING => c.u16()
                   case T_NEWDECIMAL => { val p = c.u8(); (p << 8) | c.u8() }
-                  case _ => 0
+                  case T_TIME2 | T_DATETIME2 | T_TIMESTAMP2 => c.u8()
+                  case T_BLOB | T_JSON => c.u8()
+                  case T_BIT =>
+                    // (bits % 8, whole bytes) → total bits
+                    { val b0 = c.u8(); val b1 = c.u8(); b1 * 8 + b0 }
+                  case T_STRING => { val m0 = c.u8(); (m0 << 8) | c.u8() }
+                  case _ => 0 // fixed-width integer/temporal types
                 }
               }
               require(c.o == metaEnd,
@@ -1357,24 +1698,62 @@ object BinlogBinary {
                   "match its types — corrupt or an unsupported type's " +
                   "metadata")
               // validate the wire plan against the declared Spark types
+              // (+ hints where the wire underdetermines the decode —
+              // ENUM value lists live in DDL, raw-text temporal decode
+              // is a caller's choice)
               cols.zipWithIndex.foreach { case ((name, dt), i) =>
+                val hint = hints.get(name)
                 val ok = (types(i), dt) match {
                   case (T_LONGLONG, LongType) => true
                   case (T_LONG, IntegerType) => true
-                  case (T_DOUBLE, DoubleType) => true
+                  case (T_INT24, IntegerType) => true
+                  case (T_TINY, ByteType) => true
+                  case (T_SHORT, ShortType) => true
+                  case (T_YEAR, ShortType) => true
+                  case (T_FLOAT, FloatType) => metas(i) == 4
+                  case (T_DOUBLE, DoubleType) => metas(i) == 8
                   case (T_VARCHAR | T_VAR_STRING, StringType) => true
+                  // a text column's raw bytes, charset decoded at apply
+                  case (T_VARCHAR | T_VAR_STRING, BinaryType) => true
                   case (T_NEWDECIMAL, d: DecimalType) =>
                     (metas(i) >> 8) == d.precision &&
                       (metas(i) & 0xff) == d.scale
+                  case (T_DATE | T_NEWDATE, DateType) => true
+                  case (T_DATE | T_NEWDATE, StringType) =>
+                    hint.contains(DateText)
+                  case (T_DATETIME2, TimestampNTZType) => metas(i) <= 6
+                  case (T_DATETIME2, StringType) =>
+                    hint.contains(DateTimeText) && metas(i) == 0
+                  case (T_TIMESTAMP2, TimestampType) => metas(i) <= 6
+                  case (T_TIME2, IntegerType) => metas(i) <= 6
+                  case (T_BIT, LongType) =>
+                    metas(i) >= 1 && metas(i) <= 64
+                  case (T_BLOB, BinaryType) =>
+                    metas(i) >= 1 && metas(i) <= 4
+                  case (T_JSON, StringType) =>
+                    metas(i) >= 1 && metas(i) <= 4
+                  case (T_STRING, _) => stringMeta(metas(i)) match {
+                    case (T_ENUM, packLen) => dt == StringType &&
+                      (packLen == 1 || packLen == 2) &&
+                      hint.exists(_.isInstanceOf[Enum])
+                    case (T_SET, packLen) => dt == LongType &&
+                      packLen >= 1 && packLen <= 8
+                    case (_, maxLen) => dt == StringType && maxLen <= 255
+                  }
                   case _ => false
                 }
                 require(ok,
                   s"$path: TABLE_MAP column @${i + 1} is wire type " +
                     s"${types(i)} (meta ${metas(i)}) but '$name' is " +
-                    s"declared ${dt.simpleString}$tag — the declaration " +
-                    "is stale; refuse rather than mis-decode")
+                    s"declared ${dt.simpleString}" +
+                    hint.fold("")(h => s" with hint $h") + tag +
+                    " — the declaration is stale (an ENUM additionally " +
+                    "needs its WireHint.Enum value list, a raw-text " +
+                    "DATE/DATETIME its DateText/DateTimeText hint); " +
+                    "refuse rather than mis-decode")
               }
-              tableMaps += tid -> Some((table, cols, WireCols(types, metas)))
+              tableMaps += tid ->
+                Some((table, cols, WireCols(types, metas), hints))
           }
         case WRITE_ROWS_V2 | UPDATE_ROWS_V2 | DELETE_ROWS_V2 =>
           val c = new Cursor(src, o + HeaderLen, bodyEnd,
@@ -1389,7 +1768,7 @@ object BinlogBinary {
                 "refuse rather than guess the column layout"))
           routed match {
             case None => () // declared-skipped table; size-addressed jump
-            case Some((table, cols, wire)) =>
+            case Some((table, cols, wire, hints)) =>
               c.skip(6); c.skip(2) // table_id, flags
               val extraLen = c.u16()
               require(extraLen >= 2,
@@ -1450,11 +1829,11 @@ object BinlogBinary {
                 }
               // rows repeat until the body ends (multi-row statements)
               while (c.o < c.end) {
-                val first = readImage(c, cols, wire, present1)
+                val first = readImage(c, cols, wire, present1, hints)
                 val replicating =
                   if (eventType != UPDATE_ROWS_V2) first
                   else {
-                    val second = readImage(c, cols, wire, present2)
+                    val second = readImage(c, cols, wire, present2, hints)
                     if (!minimal) second // FULL: the after image wins
                     else
                       // MINIMAL update: the after image carries only
@@ -1703,7 +2082,8 @@ object BinlogBinary {
       s"dump at $dir carries no GTID events — transactions cannot be " +
         "delimited; consume it as a plain stream instead")
     val stamps = gtids.map { case (p, u, n) => (p, s"$u:$n") }
-    val (schema, _) = BinlogText.singleEnvelope(cols, Nil, None)
+    val (schema, _) = BinlogText.singleEnvelope(cols, Nil, None,
+      textTypes = false)
     val colsB = cols
     val frame = spark.read.format("binaryFile").load(dir)
       .select(col("content"), col("path"))
@@ -1725,7 +2105,8 @@ object BinlogBinary {
       cols: Seq[(String, DataType)],
       requireRotate: Boolean,
       changedCol: Option[String] = None): DataFrame = {
-    val (schema, _) = BinlogText.singleEnvelope(cols, Nil, changedCol)
+    val (schema, _) = BinlogText.singleEnvelope(cols, Nil, changedCol,
+      textTypes = false)
     val colsB = cols
     val changedB = changedCol
     rawStream(spark, dir)
@@ -1746,11 +2127,36 @@ object BinlogBinary {
     out
   }
 
+  /** Read a big-endian unsigned value of `n` bytes at the cursor. */
+  private def rdBe(c: Cursor, n: Int): Long = {
+    c.need(n)
+    var v = 0L
+    (0 until n).foreach(i => v = (v << 8) | (c.b(c.o + i) & 0xffL))
+    c.o += n
+    v
+  }
+
+  /** A DATETIME2/TIMESTAMP2/TIME2 fractional part in MICROSECONDS —
+    * fsp digits scale up to µs. */
+  private def readFrac(c: Cursor, fsp: Int): Long =
+    if (fsp == 0) 0L
+    else {
+      var v = rdBe(c, fracLen(fsp))
+      (fsp until 6).foreach(_ => v *= 10)
+      v
+    }
+
   /** One row image under the TABLE_MAP plan: null bitmap over the
     * PRESENT columns, then the present non-null values. Absent
-    * columns surface NULL (the text path's unlisted-column rule). */
+    * columns surface NULL (the text path's unlisted-column rule).
+    * The WIRE type drives each decode (the TABLE_MAP is the truth);
+    * `hints` supply what the wire cannot — ENUM value lists, the
+    * raw-text temporal surfaces (validated upstream at the
+    * TABLE_MAP). */
   private def readImage(c: Cursor, cols: Seq[(String, DataType)],
-      wire: WireCols, present: Array[Boolean]): Seq[Any] = {
+      wire: WireCols, present: Array[Boolean],
+      hints: Map[String, WireHint]): Seq[Any] = {
+    import WireHint._
     val presentIdx = present.zipWithIndex.filter(_._1).map(_._2)
     val nullBits = readBitmap(c, presentIdx.length)
     val vals = new Array[Any](cols.length)
@@ -1760,6 +2166,22 @@ object BinlogBinary {
         vals(ci) = wire.types(ci) match {
           case T_LONGLONG => { c.need(8); val v = rdI64(c.b, c.o); c.o += 8; v }
           case T_LONG => { c.need(4); val v = rdI32(c.b, c.o); c.o += 4; v }
+          case T_INT24 =>
+            c.need(3)
+            val raw = (c.b(c.o) & 0xff) | ((c.b(c.o + 1) & 0xff) << 8) |
+              ((c.b(c.o + 2) & 0xff) << 16)
+            c.o += 3
+            if ((raw & 0x800000) != 0) raw | 0xff000000 else raw
+          case T_TINY => { c.need(1); val v = c.b(c.o); c.o += 1; v }
+          case T_SHORT =>
+            c.need(2); val v = rdU16(c.b, c.o).toShort; c.o += 2; v
+          case T_YEAR =>
+            val v = c.u8()
+            (if (v == 0) 0 else 1900 + v).toShort
+          case T_FLOAT =>
+            c.need(4)
+            val v = java.lang.Float.intBitsToFloat(rdI32(c.b, c.o))
+            c.o += 4; v
           case T_DOUBLE =>
             c.need(8)
             val v = java.lang.Double.longBitsToDouble(rdI64(c.b, c.o))
@@ -1767,19 +2189,140 @@ object BinlogBinary {
           case T_VARCHAR | T_VAR_STRING =>
             val len = if (wire.metas(ci) < 256) c.u8() else c.u16()
             c.need(len)
-            val s = new String(c.b, c.o, len, "UTF-8")
-            c.o += len; s
+            val v: Any = dt match {
+              case BinaryType =>
+                java.util.Arrays.copyOfRange(c.b, c.o, c.o + len)
+              case _ => new String(c.b, c.o, len, "UTF-8")
+            }
+            c.o += len; v
           case T_NEWDECIMAL =>
             val d = dt.asInstanceOf[DecimalType]
             c.need(decimalBinSize(d.precision, d.scale))
             val v = decodeDecimal(c.b, c.o, d.precision, d.scale)
             c.o += decimalBinSize(d.precision, d.scale)
             v
+          case T_DATE | T_NEWDATE =>
+            c.need(3)
+            val raw = (c.b(c.o) & 0xff) | ((c.b(c.o + 1) & 0xff) << 8) |
+              ((c.b(c.o + 2) & 0xff) << 16)
+            c.o += 3
+            val (y, m, d) = (raw >> 9, (raw >> 5) & 0xf, raw & 0x1f)
+            dt match {
+              case StringType => f"$y%04d-$m%02d-$d%02d"
+              case _ =>
+                require(y > 0 && m > 0 && d > 0,
+                  s"$name carries the zero date 0000-00-00 (or a " +
+                    "zero month/day), which DateType cannot hold — " +
+                    "declare WireHint.DateText and null it at apply " +
+                    "via MySqlTypes.zeroDateToNull")
+                java.sql.Date.valueOf(java.time.LocalDate.of(y, m, d))
+            }
+          case T_DATETIME2 =>
+            val fsp = wire.metas(ci)
+            val packed = rdBe(c, 5)
+            require((packed & (1L << 39)) != 0,
+              s"$name carries a pre-epoch (negative) DATETIME2 this " +
+                "decoder does not represent")
+            val intPart = packed & ((1L << 39) - 1)
+            val ym = (intPart >> 22).toInt
+            val (y, mo) = (ym / 13, ym % 13)
+            val d = ((intPart >> 17) & 0x1f).toInt
+            val h = ((intPart >> 12) & 0x1f).toInt
+            val mi = ((intPart >> 6) & 0x3f).toInt
+            val s = (intPart & 0x3f).toInt
+            val micros = readFrac(c, fsp)
+            dt match {
+              case StringType =>
+                // fsp 0 validated at the TABLE_MAP: the raw-text
+                // surface is second-granular like the text transport
+                f"$y%04d-$mo%02d-$d%02d $h%02d:$mi%02d:$s%02d"
+              case _ =>
+                require(y > 0 && mo > 0 && d > 0,
+                  s"$name carries the zero datetime 0000-00-00 " +
+                    "00:00:00, which TIMESTAMP_NTZ cannot hold — " +
+                    "declare WireHint.DateTimeText and null it at " +
+                    "apply via MySqlTypes.zeroDateTimeToNull")
+                java.time.LocalDateTime.of(y, mo, d, h, mi, s,
+                  micros.toInt * 1000)
+            }
+          case T_TIMESTAMP2 =>
+            val sec = rdBe(c, 4)
+            val micros = readFrac(c, wire.metas(ci))
+            val ts = new java.sql.Timestamp(sec * 1000L)
+            ts.setNanos(micros.toInt * 1000)
+            ts
+          case T_TIME2 =>
+            val fsp = wire.metas(ci)
+            val packed = rdBe(c, 3)
+            require((packed & (1L << 23)) != 0,
+              s"$name carries a NEGATIVE TIME value, which the " +
+                "seconds-since-midnight Int32 mapping cannot hold — " +
+                "negative TIME is an interval, not a clock")
+            val h = ((packed >> 12) & 0x3ff).toInt
+            val mi = ((packed >> 6) & 0x3f).toInt
+            val s = (packed & 0x3f).toInt
+            val micros = readFrac(c, fsp)
+            require(micros == 0,
+              s"$name carries fractional TIME seconds ($micros µs) " +
+                "the Int32 seconds mapping would silently drop — " +
+                "refuse instead")
+            h * 3600 + mi * 60 + s
+          case T_BIT => rdBe(c, (wire.metas(ci) + 7) / 8)
+          case T_BLOB =>
+            val len = readLenByWidth(c, wire.metas(ci))
+            c.need(len)
+            val v = java.util.Arrays.copyOfRange(c.b, c.o, c.o + len)
+            c.o += len; v
+          case T_JSON =>
+            val len = readLenByWidth(c, wire.metas(ci))
+            c.need(len)
+            val v = MySqlJsonb.decode(c.b, c.o, len,
+              s"JSON column '$name'")
+            c.o += len; v
+          case T_STRING => stringMeta(wire.metas(ci)) match {
+            case (T_ENUM, packLen) =>
+              val idx = if (packLen == 1) c.u8() else c.u16()
+              val values = hints(name) match {
+                case Enum(vs) => vs
+                case other => throw new IllegalArgumentException(
+                  s"'$name' decodes as ENUM but its hint is $other")
+              }
+              if (idx == 0) "" // MySQL's invalid-value empty member
+              else {
+                require(idx <= values.size,
+                  s"ENUM index $idx for '$name' is past its declared " +
+                    s"${values.size} values — the value list is stale; " +
+                    "refuse rather than serve the wrong member")
+                values(idx - 1)
+              }
+            case (T_SET, packLen) =>
+              var v = 0L
+              c.need(packLen)
+              (0 until packLen).foreach(i =>
+                v |= (c.b(c.o + i) & 0xffL) << (8 * i))
+              c.o += packLen
+              v
+            case (_, maxLen) =>
+              val len = if (maxLen < 256) c.u8() else c.u16()
+              c.need(len)
+              val v = new String(c.b, c.o, len, "UTF-8")
+              c.o += len; v
+          }
           case other => throw new IllegalArgumentException(
             s"unsupported wire type $other for column '$name'")
         }
       }
     }
     vals.toSeq
+  }
+
+  /** A BLOB/JSON length prefix of `width` little-endian bytes. */
+  private def readLenByWidth(c: Cursor, width: Int): Int = {
+    c.need(width)
+    var v = 0L
+    (0 until width).foreach(i => v |= (c.b(c.o + i) & 0xffL) << (8 * i))
+    c.o += width
+    require(v >= 0 && v <= Int.MaxValue, s"unreasonable length $v")
+    v.toInt
   }
 }

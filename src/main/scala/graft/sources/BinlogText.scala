@@ -417,8 +417,9 @@ object BinlogText {
     * one gates the other). */
   private[sources] def singleEnvelope(cols: Seq[(String, DataType)],
       beforeCols: Seq[String],
-      changedCol: Option[String]): (StructType, EventDecode) = {
-    validateCols(cols)
+      changedCol: Option[String],
+      textTypes: Boolean = true): (StructType, EventDecode) = {
+    validateCols(cols, textTypes)
     require(beforeCols.distinct.length == beforeCols.length,
       s"duplicate before-image column(s): " +
         beforeCols.diff(beforeCols.distinct).distinct.mkString(", "))
@@ -503,9 +504,10 @@ object BinlogText {
       colsByTable: Map[String, Seq[(String, DataType)]],
       tableCol: String,
       ignoreTables: Set[String],
-      changedCol: Option[String]): (StructType, EventDecode) = {
+      changedCol: Option[String],
+      textTypes: Boolean = true): (StructType, EventDecode) = {
     require(colsByTable.nonEmpty, "no TABLE_MAP declared for any table")
-    colsByTable.values.foreach(validateCols)
+    colsByTable.values.foreach(validateCols(_, textTypes))
     changedCol.foreach { cc =>
       require(!colsByTable.values.exists(_.exists(_._1 == cc)) &&
         !Seq("op", "seq", "ts", tableCol).contains(cc),
@@ -609,7 +611,15 @@ object BinlogText {
       .write.mode(if (append) "append" else "overwrite").text(outDir)
   }
 
-  private def validateCols(cols: Seq[(String, DataType)]): Unit = {
+  /** Structural validation every transport shares; `textTypes` adds
+    * the TEXT dialect's type allowlist (the `@i=value` lines print
+    * ints, doubles, decimals, and quoted strings — nothing else
+    * round-trips the pseudo-SQL rendering). The BINARY transport
+    * shares the envelope but carries the full MySQL type map, so it
+    * builds its schema with `textTypes = false` and gates types
+    * against the TABLE_MAP instead. */
+  private[sources] def validateCols(cols: Seq[(String, DataType)],
+      textTypes: Boolean = true): Unit = {
     require(cols.nonEmpty, "empty TABLE_MAP column list")
     require(cols.map(_._1).distinct.length == cols.length,
       s"duplicate TABLE_MAP column name(s): " +
@@ -618,11 +628,11 @@ object BinlogText {
         " — two positions cannot share one output column (the later " +
         "would silently win)")
     cols.foreach { case (n, t) =>
-      val ok = t match {
+      val ok = !textTypes || (t match {
         case LongType | IntegerType | DoubleType | StringType => true
         case _: DecimalType => true // MySQL's money type, printed plain
         case _ => false
-      }
+      })
       require(ok,
         s"unsupported binlog-text column type for '$n': $t — the " +
           "dialect decodes integers, doubles, decimals, and strings")

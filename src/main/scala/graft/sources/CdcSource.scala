@@ -105,7 +105,8 @@ final case class BinlogBinaryCdcSource(dir: String,
       * rotations; without it, partial bitmaps refuse loudly. */
     changedCol: Option[String] = None) extends CdcSource {
   override def schema: StructType =
-    BinlogText.singleEnvelope(cols, Nil, changedCol)._1
+    BinlogText.singleEnvelope(cols, Nil, changedCol,
+      textTypes = false)._1
   override def open(spark: SparkSession): DataFrame =
     BinlogBinary.streamDecode(spark, dir, cols, requireRotate, changedCol)
 }
@@ -124,7 +125,7 @@ final case class BinlogBinaryMultiCdcSource(dir: String,
     changedCol: Option[String] = None) extends CdcSource {
   // table column PINNED to "table" — see BinlogTextMultiCdcSource
   private val sd = BinlogText.multiEnvelope(colsByTable,
-    tableCol = "table", ignoreTables, changedCol)
+    tableCol = "table", ignoreTables, changedCol, textTypes = false)
   override def schema: StructType = sd._1
   override def open(spark: SparkSession): DataFrame =
     BinlogBinary.streamDecodeMulti(spark, dir, sd._1, colsByTable,

@@ -763,6 +763,132 @@ object StreamingOps {
     "okey" -> org.apache.spark.sql.types.LongType,
     "price" -> DoubleType, "status" -> StringType)
 
+  /** The S19 TYPE-SURFACE pipeline from an already-decoded envelope —
+    * shared by the parquet feed (`cdc_type_surface`) and the raw-wire
+    * decode (`cdc_binlog_binary_types`), so both transports must land
+    * the SAME collapse under the SAME oracle: waves split at seq 2,
+    * the pass, the S17 bootstrap-DDL closure over the published
+    * schema, and the soft-delete read projected for the
+    * engine-portable hash. */
+  private def typeSurfacePipeline(s: SparkSession,
+      log: DataFrame): DataFrame = {
+    val tmp = tmpDir()
+    val in = s"$tmp/in"
+    writeWaves(log, in, when(col("seq") <= 2, 0).otherwise(1), 2,
+      Seq(col("okey")))
+    runCdcPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state")
+    // the S17 closure: the DDL generated from the REPLICATED table's
+    // published schema must map every exercised type correctly
+    val payload = org.apache.spark.sql.types.StructType(
+      readStateSchema(s"$tmp/state").get.fields
+        .filterNot(f => Seq("op", "seq").contains(f.name)))
+    val ddl = graft.sources.DestinationDdl.createTable(
+      "orders_typed", payload, Seq("okey"))
+    for (want <- Seq("`okey` Int64", "`amount` Nullable(Decimal(12, 2))",
+        "`big_id` Nullable(Decimal(20, 0))", "`tier` Nullable(String)",
+        "`attrs` Nullable(String)", "`price` Nullable(Float64)"))
+      require(ddl.contains(want),
+        s"bootstrap DDL lost a type mapping — wanted '$want' in: $ddl")
+    readLatestState(s, s"$tmp/state", softDelete = true)
+      .select(col("okey"), col("op"), col("price"), col("status"),
+        col("ts"),
+        col("amount").cast(DoubleType).as("amount"),
+        col("big_id").cast(StringType).as("big_id"),
+        col("tier"), col("attrs"),
+        get_json_object(col("attrs"), "$.k").as("json_k"),
+        col("_deleted"))
+      .orderBy(col("okey"))
+  }
+
+  /** The S20 TEMPORAL pipeline — shared like [[typeSurfacePipeline]]
+    * by the parquet feed and the raw-wire decode. */
+  private def typeTemporalPipeline(s: SparkSession,
+      log: DataFrame): DataFrame = {
+    val tmp = tmpDir()
+    val in = s"$tmp/in"
+    writeWaves(log, in, when(col("seq") <= 2, 0).otherwise(1), 2,
+      Seq(col("okey")))
+    runCdcPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state")
+    val payload = org.apache.spark.sql.types.StructType(
+      readStateSchema(s"$tmp/state").get.fields
+        .filterNot(f => Seq("op", "seq").contains(f.name)))
+    val ddl = graft.sources.DestinationDdl.createTable(
+      "orders_temporal", payload, Seq("okey"))
+    for (want <- Seq("`d_date` Nullable(Date32)",
+        "`dt_local` Nullable(DateTime64(6))",
+        "`ts_utc` Nullable(DateTime64(6))",
+        "`t_sec` Nullable(Int32)", "`bin_tag` Nullable(String)"))
+      require(ddl.contains(want),
+        s"bootstrap DDL lost a temporal mapping — wanted '$want' in: $ddl")
+    readLatestState(s, s"$tmp/state")
+      .select(col("okey"), col("op"), col("price"), col("status"),
+        col("ts"), col("d_date"), col("dt_local"),
+        unix_micros(col("ts_utc")).as("ts_utc_us"),
+        // hex, not raw bytes: the driver's comparator hashes cells in
+        // pandas, which cannot factorize a bytearray. The raw BLOB
+        // round-trip is still asserted end-to-end up to this final
+        // projection; both engines' hex() emits uppercase.
+        col("t_sec"), hex(col("bin_tag")).as("bin_tag_hex"))
+      .orderBy(col("okey"))
+  }
+
+  /** The S21 EXOTIC pipeline (SET/YEAR/BIT/zero-dates) from the RAW
+    * fixture shape `(…, flags_bits, yr, bits, d_raw, dt_raw)` —
+    * shared by the parquet feed and the raw-wire decode; the
+    * apply-time decodes (SET bitmask → member string, zero-date text
+    * → NULL) are the SAME MySqlTypes rules for both. */
+  private def typeExoticPipeline(s: SparkSession,
+      raw: DataFrame): DataFrame = {
+    val log = raw
+      .withColumn("flags", graft.sources.MySqlTypes.decodeSet(
+        col("flags_bits"), Seq("a", "b", "c", "d")))
+      .withColumn("d_zero",
+        graft.sources.MySqlTypes.zeroDateToNull(col("d_raw")))
+      .withColumn("dt_zero",
+        graft.sources.MySqlTypes.zeroDateTimeToNull(col("dt_raw")))
+      .drop("flags_bits", "d_raw", "dt_raw")
+    val tmp = tmpDir()
+    val in = s"$tmp/in"
+    writeWaves(log, in, when(col("seq") <= 2, 0).otherwise(1), 2,
+      Seq(col("okey")))
+    runCdcPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state")
+    val payload = org.apache.spark.sql.types.StructType(
+      readStateSchema(s"$tmp/state").get.fields
+        .filterNot(f => Seq("op", "seq").contains(f.name)))
+    val ddl = graft.sources.DestinationDdl.createTable(
+      "orders_exotic", payload, Seq("okey"))
+    for (want <- Seq("`flags` Nullable(String)", "`yr` Nullable(Int16)",
+        "`bits` Nullable(Int64)", "`d_zero` Nullable(Date32)",
+        "`dt_zero` Nullable(DateTime64(6))"))
+      require(ddl.contains(want),
+        s"bootstrap DDL lost an exotic mapping — wanted '$want' in: $ddl")
+    readLatestState(s, s"$tmp/state")
+      .select(col("okey"), col("op"), col("price"), col("status"),
+        col("ts"), col("flags"), col("yr"), col("bits"),
+        col("d_zero"), col("dt_zero"))
+      .orderBy(col("okey"))
+  }
+
+  /** The S22 CHARSET pipeline from the raw-bytes fixture shape
+    * `(…, name_raw: binary)` — shared by the parquet feed and the
+    * raw-wire decode; ONE latin1→UTF-8 transcode rule at apply. */
+  private def typeCharsetPipeline(s: SparkSession,
+      raw: DataFrame): DataFrame = {
+    val log = raw
+      .withColumn("name",
+        graft.sources.MySqlTypes.decodeText(col("name_raw"), "ISO-8859-1"))
+      .drop("name_raw")
+    val tmp = tmpDir()
+    val in = s"$tmp/in"
+    writeWaves(log, in, when(col("seq") <= 2, 0).otherwise(1), 2,
+      Seq(col("okey")))
+    runCdcPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state")
+    readLatestState(s, s"$tmp/state")
+      .select(col("okey"), col("op"), col("price"), col("status"),
+        col("ts"), col("name"))
+      .orderBy(col("okey"))
+  }
+
   /** The GTID/Xid punctuation in TEXT framing — shared by the verbose
     * and base64 txn scenarios (mysqlbinlog prints it as plain text in
     * both modes): stamps at n*1e8 for transactions 1-3, Xids closing
@@ -4186,34 +4312,35 @@ object StreamingOps {
     // to DOUBLE / VARCHAR for the engine-portable hash (the Tables
     // determinism policy), with the JSON column additionally probed via
     // a key extraction both engines evaluate.
-    "cdc_type_surface" -> ((s, dir) => {
+    "cdc_type_surface" -> ((s, dir) =>
+      typeSurfacePipeline(s, Tables.cdcLogTyped(s, dir))),
+
+    // S-BINLOG-BINARY-TYPES: the SAME type surface decoded from RAW
+    // WIRE BYTES — DECIMAL as NEWDECIMAL digit groups, the unsigned-
+    // range id as DECIMAL(20,0), ENUM as its 1-byte index resolved
+    // against the declared value list (the wire carries the index;
+    // the DDL's list is the decode plan), JSON as MySQL's binary
+    // document format parsed back to the same compact text. One
+    // pipeline, one oracle, two transports: the envelope feed
+    // (cdc_type_surface) and this wire decode must hash-match the
+    // same SQL.
+    "cdc_binlog_binary_types" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{DecimalType, LongType}
+      import graft.sources.BinlogBinary.WireHint
       val log = Tables.cdcLogTyped(s, dir)
+      val cols: BCols = Seq("okey" -> LongType, "price" -> DoubleType,
+        "status" -> StringType, "amount" -> DecimalType(12, 2),
+        "big_id" -> DecimalType(20, 0), "tier" -> StringType,
+        "attrs" -> StringType)
+      val hints = Map[String, WireHint](
+        "tier" -> WireHint.Enum(
+          Seq("gold", "silver", "bronze", "platinum")),
+        "attrs" -> WireHint.Json)
       val tmp = tmpDir()
-      val in = s"$tmp/in"
-      writeWaves(log, in, when(col("seq") <= 2, 0).otherwise(1), 2,
-        Seq(col("okey")))
-      runCdcPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state")
-      // the S17 closure: the DDL generated from the REPLICATED table's
-      // published schema must map every exercised type correctly
-      val payload = org.apache.spark.sql.types.StructType(
-        readStateSchema(s"$tmp/state").get.fields
-          .filterNot(f => Seq("op", "seq").contains(f.name)))
-      val ddl = graft.sources.DestinationDdl.createTable(
-        "orders_typed", payload, Seq("okey"))
-      for (want <- Seq("`okey` Int64", "`amount` Nullable(Decimal(12, 2))",
-          "`big_id` Nullable(Decimal(20, 0))", "`tier` Nullable(String)",
-          "`attrs` Nullable(String)", "`price` Nullable(Float64)"))
-        require(ddl.contains(want),
-          s"bootstrap DDL lost a type mapping — wanted '$want' in: $ddl")
-      readLatestState(s, s"$tmp/state", softDelete = true)
-        .select(col("okey"), col("op"), col("price"), col("status"),
-          col("ts"),
-          col("amount").cast(DoubleType).as("amount"),
-          col("big_id").cast(StringType).as("big_id"),
-          col("tier"), col("attrs"),
-          get_json_object(col("attrs"), "$.k").as("json_k"),
-          col("_deleted"))
-        .orderBy(col("okey"))
+      graft.sources.BinlogBinary.render(log, cols, s"$tmp/binlog",
+        files = 4, hints = hints)
+      typeSurfacePipeline(s, graft.sources.BinlogBinary.parse(
+        s, s"$tmp/binlog", cols, hints = hints))
     }),
 
     // S-TYPE-TEMPORAL: the TEMPORAL/BINARY half of the MySQL type map
@@ -4224,34 +4351,31 @@ object StreamingOps {
     // under the Int32 mapping), and a BLOB payload compared as raw
     // bytes. The S17 closure asserts the bootstrap DDL maps each:
     // Date32 / DateTime64(6) twice / Int32 / String.
-    "cdc_type_temporal" -> ((s, dir) => {
+    "cdc_type_temporal" -> ((s, dir) =>
+      typeTemporalPipeline(s, Tables.cdcLogTemporal(s, dir))),
+
+    // S-BINLOG-BINARY-TEMPORAL: the temporal/binary half decoded from
+    // RAW WIRE BYTES — DATE as the 3-byte packed day, DATETIME as
+    // 5-byte big-endian packed DATETIME2(6) + micro fraction (the
+    // wall clock stays NTZ end to end), TIMESTAMP as big-endian
+    // TIMESTAMP2(6) epoch seconds (a true instant), TIME as packed
+    // TIME2 under the Int32 seconds mapping, BLOB length-prefixed raw
+    // bytes. Same pipeline and oracle as cdc_type_temporal.
+    "cdc_binlog_binary_temporal" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{BinaryType, DateType,
+        IntegerType, LongType, TimestampNTZType, TimestampType}
+      import graft.sources.BinlogBinary.WireHint
       val log = Tables.cdcLogTemporal(s, dir)
+      val cols: BCols = Seq("okey" -> LongType, "price" -> DoubleType,
+        "status" -> StringType, "d_date" -> DateType,
+        "dt_local" -> TimestampNTZType, "ts_utc" -> TimestampType,
+        "t_sec" -> IntegerType, "bin_tag" -> BinaryType)
+      val hints = Map[String, WireHint]("t_sec" -> WireHint.TimeSeconds)
       val tmp = tmpDir()
-      val in = s"$tmp/in"
-      writeWaves(log, in, when(col("seq") <= 2, 0).otherwise(1), 2,
-        Seq(col("okey")))
-      runCdcPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state")
-      val payload = org.apache.spark.sql.types.StructType(
-        readStateSchema(s"$tmp/state").get.fields
-          .filterNot(f => Seq("op", "seq").contains(f.name)))
-      val ddl = graft.sources.DestinationDdl.createTable(
-        "orders_temporal", payload, Seq("okey"))
-      for (want <- Seq("`d_date` Nullable(Date32)",
-          "`dt_local` Nullable(DateTime64(6))",
-          "`ts_utc` Nullable(DateTime64(6))",
-          "`t_sec` Nullable(Int32)", "`bin_tag` Nullable(String)"))
-        require(ddl.contains(want),
-          s"bootstrap DDL lost a temporal mapping — wanted '$want' in: $ddl")
-      readLatestState(s, s"$tmp/state")
-        .select(col("okey"), col("op"), col("price"), col("status"),
-          col("ts"), col("d_date"), col("dt_local"),
-          unix_micros(col("ts_utc")).as("ts_utc_us"),
-          // hex, not raw bytes: the driver's comparator hashes cells in
-          // pandas, which cannot factorize a bytearray. The raw BLOB
-          // round-trip is still asserted end-to-end up to this final
-          // projection; both engines' hex() emits uppercase.
-          col("t_sec"), hex(col("bin_tag")).as("bin_tag_hex"))
-        .orderBy(col("okey"))
+      graft.sources.BinlogBinary.render(log, cols, s"$tmp/binlog",
+        files = 4, hints = hints)
+      typeTemporalPipeline(s, graft.sources.BinlogBinary.parse(
+        s, s"$tmp/binlog", cols, hints = hints))
     }),
 
     // S-TYPE-EXOTIC: the exotic tail of the MySQL type map (S19 covers
@@ -4265,36 +4389,35 @@ object StreamingOps {
     // update wave flips keys real→zero AND zero→real, so the collapse
     // must serve the LATEST decode, not any per-column coalesce. The
     // S17 closure asserts each destination mapping.
-    "cdc_type_exotic" -> ((s, dir) => {
+    "cdc_type_exotic" -> ((s, dir) =>
+      typeExoticPipeline(s, Tables.cdcLogExotic(s, dir))),
+
+    // S-BINLOG-BINARY-EXOTIC: the exotic tail decoded from RAW WIRE
+    // BYTES — SET as its little-endian member bitmask (riding the
+    // STRING wire slot with real-type metadata), YEAR as the 1-byte
+    // offset-1900 value, BIT(20) big-endian, and the zero-date
+    // landmine carried through the RAW-TEXT surface (DateText/
+    // DateTimeText hints): the wire value 0 decodes to '0000-00-00'
+    // exactly as a text dump prints it, and the SAME
+    // MySqlTypes.zeroDateToNull apply-time rule nulls it. Same
+    // pipeline and oracle as cdc_type_exotic.
+    "cdc_binlog_binary_exotic" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, ShortType}
+      import graft.sources.BinlogBinary.WireHint
       val raw = Tables.cdcLogExotic(s, dir)
-      val log = raw
-        .withColumn("flags", graft.sources.MySqlTypes.decodeSet(
-          col("flags_bits"), Seq("a", "b", "c", "d")))
-        .withColumn("d_zero",
-          graft.sources.MySqlTypes.zeroDateToNull(col("d_raw")))
-        .withColumn("dt_zero",
-          graft.sources.MySqlTypes.zeroDateTimeToNull(col("dt_raw")))
-        .drop("flags_bits", "d_raw", "dt_raw")
+      val cols: BCols = Seq("okey" -> LongType, "price" -> DoubleType,
+        "status" -> StringType, "flags_bits" -> LongType,
+        "yr" -> ShortType, "bits" -> LongType, "d_raw" -> StringType,
+        "dt_raw" -> StringType)
+      val hints = Map[String, WireHint](
+        "flags_bits" -> WireHint.SetBits(4), "yr" -> WireHint.Year,
+        "bits" -> WireHint.Bit(20), "d_raw" -> WireHint.DateText,
+        "dt_raw" -> WireHint.DateTimeText)
       val tmp = tmpDir()
-      val in = s"$tmp/in"
-      writeWaves(log, in, when(col("seq") <= 2, 0).otherwise(1), 2,
-        Seq(col("okey")))
-      runCdcPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state")
-      val payload = org.apache.spark.sql.types.StructType(
-        readStateSchema(s"$tmp/state").get.fields
-          .filterNot(f => Seq("op", "seq").contains(f.name)))
-      val ddl = graft.sources.DestinationDdl.createTable(
-        "orders_exotic", payload, Seq("okey"))
-      for (want <- Seq("`flags` Nullable(String)", "`yr` Nullable(Int16)",
-          "`bits` Nullable(Int64)", "`d_zero` Nullable(Date32)",
-          "`dt_zero` Nullable(DateTime64(6))"))
-        require(ddl.contains(want),
-          s"bootstrap DDL lost an exotic mapping — wanted '$want' in: $ddl")
-      readLatestState(s, s"$tmp/state")
-        .select(col("okey"), col("op"), col("price"), col("status"),
-          col("ts"), col("flags"), col("yr"), col("bits"),
-          col("d_zero"), col("dt_zero"))
-        .orderBy(col("okey"))
+      graft.sources.BinlogBinary.render(raw, cols, s"$tmp/binlog",
+        files = 4, hints = hints)
+      typeExoticPipeline(s, graft.sources.BinlogBinary.parse(
+        s, s"$tmp/binlog", cols, hints = hints))
     }),
 
     // ST-HEARTBEAT: binlog KEEP-ALIVE events under the oracle gate —
@@ -4331,20 +4454,63 @@ object StreamingOps {
     // DIRECTLY (DuckDB has no latin1 codec), so the hash meets iff the
     // byte round-trip is lossless — a decode under the wrong charset
     // mangles every accent and fails red.
-    "cdc_type_charset" -> ((s, dir) => {
+    "cdc_type_charset" -> ((s, dir) =>
+      typeCharsetPipeline(s, Tables.cdcLogCharset(s, dir))),
+
+    // S-BINLOG-BINARY-CHARSET: the charset landmine from RAW WIRE
+    // BYTES — a latin1 column's VARCHAR value bytes ride the wire in
+    // the column's OWN encoding, so the decode surfaces them as raw
+    // bytes (the RawText hint: BinaryType over the VARCHAR wire) and
+    // the SAME MySqlTypes.decodeText apply-time transcode turns them
+    // into UTF-8. Same pipeline and oracle as cdc_type_charset — the
+    // oracle synthesizes the UTF-8 text directly, so the hash meets
+    // iff the byte round-trip through the wire is lossless.
+    "cdc_binlog_binary_charset" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{BinaryType, LongType}
+      import graft.sources.BinlogBinary.WireHint
       val raw = Tables.cdcLogCharset(s, dir)
-      val log = raw
-        .withColumn("name",
-          graft.sources.MySqlTypes.decodeText(col("name_raw"), "ISO-8859-1"))
-        .drop("name_raw")
+      val cols: BCols = Seq("okey" -> LongType, "price" -> DoubleType,
+        "status" -> StringType, "name_raw" -> BinaryType)
+      val hints = Map[String, WireHint]("name_raw" -> WireHint.RawText)
       val tmp = tmpDir()
+      graft.sources.BinlogBinary.render(raw, cols, s"$tmp/binlog",
+        files = 4, hints = hints)
+      typeCharsetPipeline(s, graft.sources.BinlogBinary.parse(
+        s, s"$tmp/binlog", cols, hints = hints))
+    }),
+
+    // S-BINLOG-BINARY-NUMERIC: the narrow-numeric head of the type
+    // map from RAW WIRE BYTES — TINYINT (1 byte signed), SMALLINT
+    // (2 LE), MEDIUMINT (the 3-byte type only MySQL has,
+    // sign-extended), FLOAT (4-byte IEEE), and CHAR riding the
+    // STRING wire type with its split-length metadata. Own fixture
+    // and oracle (Tables.cdcLogNumeric): render → decode → pass →
+    // collapse, every value bit-exact against DuckDB.
+    "cdc_binlog_binary_numeric" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{ByteType, FloatType,
+        IntegerType, LongType, ShortType}
+      import graft.sources.BinlogBinary.WireHint
+      val log = Tables.cdcLogNumeric(s, dir)
+      val cols: BCols = Seq("okey" -> LongType, "price" -> DoubleType,
+        "status" -> StringType, "tny" -> ByteType,
+        "sml" -> ShortType, "med" -> IntegerType, "flt" -> FloatType,
+        "code" -> StringType)
+      val hints = Map[String, WireHint](
+        "med" -> WireHint.MediumInt, "code" -> WireHint.Char(8))
+      val tmp = tmpDir()
+      graft.sources.BinlogBinary.render(log, cols, s"$tmp/binlog",
+        files = 4, hints = hints)
+      val env = graft.sources.BinlogBinary.parse(s, s"$tmp/binlog",
+        cols, hints = hints)
       val in = s"$tmp/in"
-      writeWaves(log, in, when(col("seq") <= 2, 0).otherwise(1), 2,
+      writeWaves(env, in, when(col("seq") <= 2, 0).otherwise(1), 2,
         Seq(col("okey")))
-      runCdcPass(s, log.schema, in, s"$tmp/ckpt", s"$tmp/state")
+      runCdcPass(s, env.schema, in, s"$tmp/ckpt", s"$tmp/state")
       readLatestState(s, s"$tmp/state")
         .select(col("okey"), col("op"), col("price"), col("status"),
-          col("ts"), col("name"))
+          col("ts"), col("tny").cast(IntegerType).as("tny"),
+          col("sml").cast(IntegerType).as("sml"), col("med"),
+          col("flt").cast(DoubleType).as("flt"), col("code"))
         .orderBy(col("okey"))
     }),
 
@@ -5825,6 +5991,75 @@ object StreamingOps {
       withMicroBatchShuffle(s)(f(s, dir)): DataFrame)
   }
 
+
+  // ── the TYPED oracles (S19-S22), each shared by the parquet-feed
+  // query and its raw-wire (cdc_binlog_binary_*) twin: one SQL per
+  // semantic, two transports ──────────────────────────────────────
+
+  private val typeSurfaceSql: String =
+      s"""WITH cdc_typed AS (${Tables.cdcLogTypedSql}),
+            ranked AS (SELECT *, row_number() OVER (
+                         PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM cdc_typed)
+         SELECT okey, op, price, status, ts,
+                CAST(amount AS DOUBLE) AS amount,
+                CAST(big_id AS VARCHAR) AS big_id,
+                tier, attrs,
+                attrs->>'k' AS json_k,
+                CAST(CASE WHEN op = 'D' THEN 1 ELSE 0 END AS INTEGER)
+                  AS _deleted
+         FROM ranked WHERE rn = 1 ORDER BY okey"""
+
+  // temporal/binary half of the type map: DATE and DATETIME (DuckDB's
+  // TIMESTAMP is NTZ, so dt_local compares natively), the instant as
+  // epoch micros (both engines run UTC), TIME as Int32 seconds, BLOB
+  // compared as uppercase hex (raw bytes are driver-unhashable).
+  private val typeTemporalSql: String =
+      s"""WITH cdc_temporal AS (${Tables.cdcLogTemporalSql}),
+            ranked AS (SELECT *, row_number() OVER (
+                         PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM cdc_temporal)
+         SELECT okey, op, price, status, ts, d_date, dt_local,
+                epoch_us(ts_utc) AS ts_utc_us, t_sec,
+                hex(bin_tag) AS bin_tag_hex
+         FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY okey"""
+
+  // exotic tail of the type map: SET bitmask → MySQL's comma-joined
+  // member string (concat_ws skips the NULL member CASEs in both
+  // engines; zero mask = ''), YEAR/BIT ride as ints, zero-date text
+  // decodes to NULL — per EVENT, so the collapse serves the latest
+  // decode.
+  private val typeExoticSql: String =
+      s"""WITH cdc_exotic AS (${Tables.cdcLogExoticSql}),
+            decoded AS (SELECT op, seq, ts, okey, price, status,
+                CASE WHEN flags_bits IS NULL THEN NULL ELSE concat_ws(',',
+                  CASE WHEN (flags_bits & 1) <> 0 THEN 'a' END,
+                  CASE WHEN (flags_bits & 2) <> 0 THEN 'b' END,
+                  CASE WHEN (flags_bits & 4) <> 0 THEN 'c' END,
+                  CASE WHEN (flags_bits & 8) <> 0 THEN 'd' END) END AS flags,
+                yr, bits,
+                CASE WHEN d_raw IS NULL OR d_raw LIKE '0000-%' THEN NULL
+                     ELSE CAST(d_raw AS DATE) END AS d_zero,
+                CASE WHEN dt_raw IS NULL OR dt_raw LIKE '0000-%' THEN NULL
+                     ELSE CAST(dt_raw AS TIMESTAMP) END AS dt_zero
+              FROM cdc_exotic),
+            ranked AS (SELECT *, row_number() OVER (
+                         PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM decoded)
+         SELECT okey, op, price, status, ts, flags, yr, bits,
+                d_zero, dt_zero
+         FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY okey"""
+
+  // charset transcode: the oracle builds the UTF-8 text directly —
+  // hash equality proves the Spark side's latin1 round-trip lossless
+  private val typeCharsetSql: String =
+      s"""WITH cdc_charset AS (${Tables.cdcLogCharsetSql}),
+            ranked AS (SELECT *, row_number() OVER (
+                         PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM cdc_charset)
+         SELECT okey, op, price, status, ts, name
+         FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY okey"""
+
   private val latestStateSql: String =
     s"""WITH cdc_log AS (${Tables.cdcLogSql}),
           ranked AS (SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) rn
@@ -5966,77 +6201,35 @@ object StreamingOps {
                   AS _deleted
          FROM ranked WHERE rn = 1 ORDER BY okey""",
 
+    // the narrow-numeric head of the type map from raw wire bytes:
+    // TINY/SHORT/INT24/FLOAT/CHAR decoded per the TABLE_MAP, the
+    // collapse bit-exact (float built from representable quarters)
+    "cdc_binlog_binary_numeric" ->
+      s"""WITH cdc_numeric AS (${Tables.cdcLogNumericSql}),
+            ranked AS (SELECT *, row_number() OVER (
+                         PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM cdc_numeric)
+         SELECT okey, op, price, status, ts, CAST(tny AS INTEGER) AS tny,
+                CAST(sml AS INTEGER) AS sml, med,
+                CAST(flt AS DOUBLE) AS flt, code
+         FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
+
     // the type surface: every key's latest event serves its DECIMAL /
     // unsigned-range / enum / JSON values exactly — money compared
     // through exact decimal then one final correctly-rounded DOUBLE
     // cast, the unsigned id as its full-precision digit string.
-    "cdc_type_surface" ->
-      s"""WITH cdc_typed AS (${Tables.cdcLogTypedSql}),
-            ranked AS (SELECT *, row_number() OVER (
-                         PARTITION BY okey ORDER BY seq DESC) rn
-                       FROM cdc_typed)
-         SELECT okey, op, price, status, ts,
-                CAST(amount AS DOUBLE) AS amount,
-                CAST(big_id AS VARCHAR) AS big_id,
-                tier, attrs,
-                attrs->>'k' AS json_k,
-                CAST(CASE WHEN op = 'D' THEN 1 ELSE 0 END AS INTEGER)
-                  AS _deleted
-         FROM ranked WHERE rn = 1 ORDER BY okey""",
-
-    // temporal/binary half of the type map: DATE and DATETIME (DuckDB's
-    // TIMESTAMP is NTZ, so dt_local compares natively), the instant as
-    // epoch micros (both engines run UTC), TIME as Int32 seconds, BLOB
-    // compared as uppercase hex (raw bytes are driver-unhashable).
-    "cdc_type_temporal" ->
-      s"""WITH cdc_temporal AS (${Tables.cdcLogTemporalSql}),
-            ranked AS (SELECT *, row_number() OVER (
-                         PARTITION BY okey ORDER BY seq DESC) rn
-                       FROM cdc_temporal)
-         SELECT okey, op, price, status, ts, d_date, dt_local,
-                epoch_us(ts_utc) AS ts_utc_us, t_sec,
-                hex(bin_tag) AS bin_tag_hex
-         FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
-
-    // exotic tail of the type map: SET bitmask → MySQL's comma-joined
-    // member string (concat_ws skips the NULL member CASEs in both
-    // engines; zero mask = ''), YEAR/BIT ride as ints, zero-date text
-    // decodes to NULL — per EVENT, so the collapse serves the latest
-    // decode.
-    "cdc_type_exotic" ->
-      s"""WITH cdc_exotic AS (${Tables.cdcLogExoticSql}),
-            decoded AS (SELECT op, seq, ts, okey, price, status,
-                CASE WHEN flags_bits IS NULL THEN NULL ELSE concat_ws(',',
-                  CASE WHEN (flags_bits & 1) <> 0 THEN 'a' END,
-                  CASE WHEN (flags_bits & 2) <> 0 THEN 'b' END,
-                  CASE WHEN (flags_bits & 4) <> 0 THEN 'c' END,
-                  CASE WHEN (flags_bits & 8) <> 0 THEN 'd' END) END AS flags,
-                yr, bits,
-                CASE WHEN d_raw IS NULL OR d_raw LIKE '0000-%' THEN NULL
-                     ELSE CAST(d_raw AS DATE) END AS d_zero,
-                CASE WHEN dt_raw IS NULL OR dt_raw LIKE '0000-%' THEN NULL
-                     ELSE CAST(dt_raw AS TIMESTAMP) END AS dt_zero
-              FROM cdc_exotic),
-            ranked AS (SELECT *, row_number() OVER (
-                         PARTITION BY okey ORDER BY seq DESC) rn
-                       FROM decoded)
-         SELECT okey, op, price, status, ts, flags, yr, bits,
-                d_zero, dt_zero
-         FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
+    "cdc_type_surface" -> typeSurfaceSql,
+    "cdc_binlog_binary_types" -> typeSurfaceSql,
+    "cdc_type_temporal" -> typeTemporalSql,
+    "cdc_binlog_binary_temporal" -> typeTemporalSql,
+    "cdc_type_exotic" -> typeExoticSql,
+    "cdc_binlog_binary_exotic" -> typeExoticSql,
+    "cdc_type_charset" -> typeCharsetSql,
+    "cdc_binlog_binary_charset" -> typeCharsetSql,
 
     // heartbeats are invisible to state: the served collapse is the
     // plain latest-wins over the real events alone
     "stream_cdc_heartbeat" -> latestStateSql,
-
-    // charset transcode: the oracle builds the UTF-8 text directly —
-    // hash equality proves the Spark side's latin1 round-trip lossless
-    "cdc_type_charset" ->
-      s"""WITH cdc_charset AS (${Tables.cdcLogCharsetSql}),
-            ranked AS (SELECT *, row_number() OVER (
-                         PARTITION BY okey ORDER BY seq DESC) rn
-                       FROM cdc_charset)
-         SELECT okey, op, price, status, ts, name
-         FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
 
     // OSC cutover: the served `orders` is the latest-wins collapse over
     // shadow copy images ∪ post-cutover events (binlog order by seq);

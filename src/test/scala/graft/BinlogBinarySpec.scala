@@ -816,6 +816,203 @@ class BinlogBinarySpec extends SparkTestBase {
       .contains("transaction-cache"))
   }
 
+  test("the FULL MySQL type map round-trips the wire: small ints, " +
+      "float, DATE/DATETIME2/TIMESTAMP2/TIME2, ENUM/SET/BIT/YEAR, " +
+      "BLOB, CHAR, raw-charset text, JSON documents, zero dates") {
+    import graft.sources.BinlogBinary.WireHint
+    val wideCols: Seq[(String, DataType)] = Seq(
+      "okey" -> LongType, "tny" -> ByteType, "sml" -> ShortType,
+      "med" -> IntegerType, "flt" -> FloatType, "d" -> DateType,
+      "dtl" -> TimestampNTZType, "tsu" -> TimestampType,
+      "tsec" -> IntegerType, "tier" -> StringType,
+      "flags" -> LongType, "bits" -> LongType, "yr" -> ShortType,
+      "blob" -> BinaryType, "code" -> StringType,
+      "rawtxt" -> BinaryType, "attrs" -> StringType,
+      "draw" -> StringType, "dtraw" -> StringType)
+    val hints = Map[String, WireHint](
+      "med" -> WireHint.MediumInt, "tsec" -> WireHint.TimeSeconds,
+      "tier" -> WireHint.Enum(Seq("gold", "silver", "bronze")),
+      "flags" -> WireHint.SetBits(4), "bits" -> WireHint.Bit(20),
+      "yr" -> WireHint.Year, "code" -> WireHint.Char(8),
+      "rawtxt" -> WireHint.RawText, "attrs" -> WireHint.Json,
+      "draw" -> WireHint.DateText, "dtraw" -> WireHint.DateTimeText)
+    val schema = StructType(
+      Seq(StructField("op", StringType), StructField("seq", LongType),
+        StructField("tsSec", LongType)) ++
+        wideCols.map { case (n, t) => StructField(n, t) })
+    val t0 = java.time.LocalDateTime.of(1995, 3, 14, 7, 30, 15, 123456000)
+    val i0 = java.sql.Timestamp.from(
+      java.time.Instant.parse("1995-03-14T12:00:00.654321Z"))
+    // already in the binary format's canonical key order (length,
+    // bytes): k < src < deep at the top, f < arr inside
+    val json =
+      """{"k":3,"src":"mysql","deep":{"f":1.5,"arr":[1,true,null,"x"]}}"""
+    val rows = Seq(
+      Row("I", 1L, 800000000L, 1L, (-7).toByte, (-30000).toShort,
+        -8000000, 2.25f, java.sql.Date.valueOf("1995-03-14"), t0, i0,
+        83999, "silver", 5L, 1048575L, 2101.toShort,
+        Array[Byte](0, 1, 127, -128), "c42",
+        "Müller-7".getBytes("ISO-8859-1"), json,
+        "1995-03-14", "1995-03-14 12:34:56"),
+      // NULLs across every new type + zero dates in the raw-text slots
+      Row("U", 2L, 800000001L, 2L, null, null, null, null, null, null,
+        null, null, "", 0L, 0L, 0.toShort, null, null, null,
+        """[{"a":-70000},2.0,"tail"]""", "0000-00-00",
+        "0000-00-00 00:00:00"),
+      Row("D", 3L, 800000002L, 1L, 127.toByte, 32767.toShort, 8388607,
+        -0.5f, java.sql.Date.valueOf("1992-01-01"),
+        java.time.LocalDateTime.of(1992, 1, 1, 0, 0, 0),
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1L)),
+        0, "gold", 15L, 0L, 1901.toShort, Array[Byte](),
+        "", Array[Byte](), "null", "1992-01-01", "1992-01-01 00:00:00"))
+    val env = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+      .withColumn("ts", timestamp_seconds(col("tsSec"))
+        .cast(TimestampNTZType))
+      .select((Seq(col("op"), col("seq"), col("ts")) ++
+        wideCols.map(c => col(c._1))): _*)
+    val dir = tmp()
+    BinlogBinary.render(env, wideCols, s"$dir/b", files = 1,
+      hints = hints)
+    val back = BinlogBinary.parse(spark, s"$dir/b", wideCols,
+      hints = hints)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      env.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("seq")).collect().map(_.toSeq.map {
+        case a: Array[Byte] => a.toSeq
+        case x => x
+      }).toSeq
+    assert(canon(back) == canon(env),
+      s"wide round-trip diverged:\n got=${canon(back)}\n" +
+        s"want=${canon(env)}")
+  }
+
+  test("type-surface refusals: zero dates under DateType, stale ENUM " +
+      "value lists, negative TIME, MEDIUMINT/BIT overflow, bad raw " +
+      "date text — all by name") {
+    import graft.sources.BinlogBinary.WireHint
+    val t0 = java.time.LocalDateTime.ofEpochSecond(
+      800000000L, 0, java.time.ZoneOffset.UTC)
+    def one(colsW: Seq[(String, DataType)], hintsW: Map[String, WireHint],
+        value: Any): String = {
+      val schema = StructType(
+        Seq(StructField("op", StringType), StructField("seq", LongType),
+          StructField("ts", TimestampNTZType)) ++
+          colsW.map { case (n, t) => StructField(n, t) })
+      val env = spark.createDataFrame(java.util.Arrays.asList(
+        Row(Seq("I", 1L, t0, value): _*)), schema)
+      val dir = tmp()
+      val e = intercept[Throwable] {
+        BinlogBinary.render(env, colsW, s"$dir/b", files = 1,
+          hints = hintsW)
+        BinlogBinary.parse(spark, s"$dir/b", colsW, hints = hintsW)
+          .collect()
+        ()
+      }
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    }
+    // render refusals
+    assert(one(Seq("t" -> IntegerType),
+      Map("t" -> WireHint.TimeSeconds), -5).contains("838:59:59"))
+    assert(one(Seq("m" -> IntegerType),
+      Map("m" -> WireHint.MediumInt), 8388608).contains("MEDIUMINT"))
+    assert(one(Seq("b" -> LongType),
+      Map("b" -> WireHint.Bit(20)), 1048576L).contains("BIT(20)"))
+    assert(one(Seq("e" -> StringType),
+      Map("e" -> WireHint.Enum(Seq("a", "b"))), "zz")
+      .contains("ENUM list"))
+    assert(one(Seq("d" -> StringType),
+      Map("d" -> WireHint.DateText), "14-03-1995")
+      .contains("yyyy-MM-dd"))
+    assert(one(Seq("y" -> ShortType),
+      Map("y" -> WireHint.Year), 1899.toShort).contains("1901"))
+    // decode refusals: a zero date rendered through the raw-text
+    // surface refuses when decoded under DateType (no honest value)
+    val dir = tmp()
+    val schema0 = StructType(Seq(StructField("op", StringType),
+      StructField("seq", LongType), StructField("ts", TimestampNTZType),
+      StructField("d", StringType)))
+    val env0 = spark.createDataFrame(java.util.Arrays.asList(
+      Row("I", 1L, t0, "0000-00-00")), schema0)
+    BinlogBinary.render(env0, Seq("d" -> StringType), s"$dir/b",
+      files = 1, hints = Map("d" -> WireHint.DateText))
+    val e0 = intercept[Throwable] {
+      BinlogBinary.parse(spark, s"$dir/b", Seq("d" -> DateType))
+        .collect()
+    }
+    assert(Iterator.iterate(e0)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      .contains("zeroDateToNull"))
+    // a stale ENUM value list: the wire index runs past it
+    val dir2 = tmp()
+    val schema2 = StructType(Seq(StructField("op", StringType),
+      StructField("seq", LongType), StructField("ts", TimestampNTZType),
+      StructField("e", StringType)))
+    val env2 = spark.createDataFrame(java.util.Arrays.asList(
+      Row("I", 1L, t0, "d")), schema2)
+    BinlogBinary.render(env2, Seq("e" -> StringType), s"$dir2/b",
+      files = 1, hints = Map("e" -> WireHint.Enum(Seq("a", "b", "c", "d"))))
+    val e2 = intercept[Throwable] {
+      BinlogBinary.parse(spark, s"$dir2/b", Seq("e" -> StringType),
+        hints = Map("e" -> WireHint.Enum(Seq("a", "b")))).collect()
+    }
+    assert(Iterator.iterate(e2)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      .contains("stale"))
+    // an ENUM column with NO hint refuses at the TABLE_MAP, naming
+    // the missing value list
+    val e3 = intercept[Throwable] {
+      BinlogBinary.parse(spark, s"$dir2/b", Seq("e" -> StringType))
+        .collect()
+    }
+    assert(Iterator.iterate(e3)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      .contains("WireHint.Enum"))
+  }
+
+  test("binary JSON documents: canonical key order, every scalar " +
+      "type, nesting — and opaque values refuse by name") {
+    import graft.sources.MySqlJsonb
+    def rt(text: String): String = {
+      val doc = MySqlJsonb.encode(text, "spec")
+      MySqlJsonb.decode(doc, 0, doc.length, "spec")
+    }
+    // already-canonical text round-trips identically
+    assert(rt("""{"k":3,"src":"mysql"}""") == """{"k":3,"src":"mysql"}""")
+    assert(rt("null") == "null")
+    assert(rt("true") == "true")
+    assert(rt("-12") == "-12")
+    assert(rt("123456789012") == "123456789012")
+    assert(rt("1.5") == "1.5")
+    assert(rt(""""plain"""") == """"plain"""")
+    assert(rt("[]") == "[]")
+    assert(rt("{}") == "{}")
+    assert(rt("""[1,"two",null,false,[3],{"a":1}]""") ==
+      """[1,"two",null,false,[3],{"a":1}]""")
+    // keys re-sort by (length, bytes) — the server's storage order
+    assert(rt("""{"bb":1,"a":2,"ab":3}""") == """{"a":2,"ab":3,"bb":1}""")
+    // whitespace normalizes away; escapes survive
+    assert(rt("""{ "a" : [ 1 , 2 ] }""") == """{"a":[1,2]}""")
+    assert(rt("""{"s":"line\nquote\" é"}""") ==
+      "{\"s\":\"line\\nquote\\\" é\"}")
+    // an integral double cannot masquerade as an int
+    assert(rt("""{"d":2.0}""") == """{"d":2.0}""")
+    // malformed text refuses at encode
+    intercept[IllegalArgumentException] {
+      MySqlJsonb.encode("""{"a":}""", "spec") }
+    intercept[IllegalArgumentException] {
+      MySqlJsonb.encode("""{"a":1} trailing""", "spec") }
+    intercept[IllegalArgumentException] {
+      MySqlJsonb.encode("""{"a":1,"a":2}""", "spec") } // dup key
+    // an OPAQUE value (decimal/date inside a JSON doc) refuses by name
+    val opaque = Array[Byte](0x0f, 0, 0)
+    val e = intercept[IllegalArgumentException] {
+      MySqlJsonb.decode(opaque, 0, opaque.length, "spec") }
+    assert(e.getMessage.contains("opaque"))
+  }
+
   test("encrypted binlogs refuse naming binlog_encryption, not as " +
       "generic magic/CRC garbage: the \\xFD magic and the MariaDB " +
       "START_ENCRYPTION announcement both name the real cause") {
