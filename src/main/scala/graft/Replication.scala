@@ -641,6 +641,14 @@ object Replication {
       val parts = token.trim.split(',').map(_.trim).filter(_.nonEmpty)
       require(parts.nonEmpty, s"empty GTID set: '$token'")
       val byUuid = parts.map { p =>
+        // a MariaDB position slipped into a MySQL channel is the
+        // flavor mismatch class — name it instead of the generic
+        // "no interval list" shape error
+        require(!MariaGtid.looksLike(p),
+          s"GTID '$p' in '$token' is a MariaDB position " +
+            "(domain-server-seq) but this channel speaks MySQL GTID " +
+            "sets (uuid:intervals) — flavor mismatch; use the " +
+            "MariaDB codec (MariaGtidCodec / flavor = MariaGtidFlavor)")
         val uuid = p.takeWhile(_ != ':')
         require(uuid.nonEmpty, s"GTID '$p' in '$token' has no source UUID")
         val ivls = p.split(':').drop(1)
@@ -741,6 +749,117 @@ object Replication {
           s"through $anchorH but the chain retired it at $anchorN — " +
           "the set claims transactions past the channel's end")
       chain.take(anchorIdx).map(_._2).sum + anchorH
+    }
+  }
+
+  /** GTID FLAVOR — which dialect a channel's position tokens and
+    * binlog stamps speak. MySQL (uuid executed SETS, per-source
+    * transaction numbering) and MariaDB (`domain-server-seq`
+    * POSITIONS, per-DOMAIN seq numbering that continues across server
+    * failovers) share no token syntax, and decoding one as the other
+    * is the silently-wrong-position class — every codec refuses the
+    * foreign flavor BY NAME. */
+  sealed trait GtidFlavor
+  case object MySqlGtidFlavor extends GtidFlavor
+  case object MariaGtidFlavor extends GtidFlavor
+
+  /** Shared MariaDB-GTID text parser: `domain-server-seq` entries,
+    * comma-separated, at most one per domain (a MariaDB position names
+    * each domain's watermark once — seq N implies 1..N executed in
+    * that domain; the server id is WHO wrote it last, not a numbering
+    * axis, because MariaDB seq_no is per-domain monotone across
+    * failovers). */
+  private[graft] object MariaGtid {
+    private val Shape = """(\d+)-(\d+)-(\d+)""".r
+
+    /** Cheap shape probe for flavor-mismatch refusals. */
+    def looksLike(part: String): Boolean = part.trim match {
+      case Shape(_, _, _) => true
+      case _ => false
+    }
+
+    /** token → (domain, server, seqno) entries in declared order. */
+    def parse(token: String): Seq[(Long, Long, Long)] = {
+      val parts = token.trim.split(',').map(_.trim).filter(_.nonEmpty)
+      require(parts.nonEmpty, s"empty MariaDB GTID position: '$token'")
+      val entries = parts.toSeq.map {
+        case Shape(d, s, n) =>
+          val seq = n.toLongOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"MariaDB GTID seq '$n' in '$token' overflows"))
+          require(seq >= 1,
+            s"MariaDB GTID '$d-$s-$n' in '$token': seq numbers start at 1")
+          (d.toLong, s.toLong, seq)
+        case p if p.contains(':') => throw new IllegalArgumentException(
+          s"GTID '$p' in '$token' is a MySQL uuid set but this channel " +
+            "speaks MariaDB positions (domain-server-seq) — flavor " +
+            "mismatch; use the MySQL codec (GtidSetCodec / " +
+            "GtidChannelCodec)")
+        case p => throw new IllegalArgumentException(
+          s"malformed MariaDB GTID '$p' in '$token' — expected " +
+            "domain-server-seq")
+      }
+      val dups = entries.groupBy(_._1).filter(_._2.length > 1)
+      require(dups.isEmpty,
+        s"MariaDB GTID position '$token' names domain(s) " +
+          s"${dups.keys.mkString(", ")} twice — a position carries one " +
+          "watermark per domain")
+      entries
+    }
+  }
+
+  /** The MariaDB-GTID dialect — `gtid_slave_pos`-style POSITION tokens
+    * (`0-1-77`, multi-domain comma-separated) against a DOMAIN chain,
+    * the structural mirror of [[GtidChannelCodec]]'s uuid chain: the
+    * engine's seq is one total order, `domains` declares the stream's
+    * domain history in order with each RETIRED domain's transaction
+    * count, the LAST domain is active/open-ended. Unlike MySQL uuids,
+    * a server failover does NOT start a new channel — MariaDB seq_no
+    * is per-domain and keeps counting under the new server id, so the
+    * server field decodes as provenance, not position. Refusals
+    * mirror the MySQL codec: a domain outside the chain, a retired
+    * domain covered short or past its count, and MySQL-flavored
+    * tokens refuse by name. */
+  final case class MariaGtidCodec(domains: Seq[(Long, Long)])
+      extends PositionCodec {
+    require(domains.nonEmpty, "empty domain chain")
+    domains.foreach { case (_, n) =>
+      require(n >= 0, "negative transaction count for a domain") }
+    require(domains.map(_._1).distinct.length == domains.length,
+      "domain chain names a domain twice")
+
+    override def toSeq(token: String): Long = {
+      val byDomain = MariaGtid.parse(token)
+        .map { case (d, _, n) => d -> n }.toMap
+      byDomain.keys.foreach { d =>
+        require(domains.exists(_._1 == d),
+          s"MariaDB GTID position '$token' names domain $d outside " +
+            s"this replica's domain chain " +
+            s"(${domains.map(_._1).mkString(" -> ")}) — wrong replica, " +
+            "or the chain declaration is stale")
+      }
+      val anchorIdx = domains.lastIndexWhere { case (d, _) =>
+        byDomain.contains(d) }
+      require(anchorIdx >= 0,
+        s"MariaDB GTID position '$token' names no domain of this chain")
+      domains.take(anchorIdx).foreach { case (d, n) =>
+        val h = byDomain.getOrElse(d, 0L)
+        require(h == n,
+          s"MariaDB GTID position '$token' covers domain $d through " +
+            s"$h but the chain retired it at $n — " +
+            (if (h < n) "the position is missing history below the " +
+              "domain switch"
+             else "the position claims transactions past the domain's " +
+               "end"))
+      }
+      val (anchorD, anchorN) = domains(anchorIdx)
+      val anchorH = byDomain(anchorD)
+      require(anchorIdx == domains.length - 1 || anchorH <= anchorN,
+        s"MariaDB GTID position '$token' covers retired domain " +
+          s"$anchorD through $anchorH but the chain retired it at " +
+          s"$anchorN — the position claims transactions past the " +
+          "domain's end")
+      domains.take(anchorIdx).map(_._2).sum + anchorH
     }
   }
 

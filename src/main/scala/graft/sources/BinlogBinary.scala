@@ -71,6 +71,8 @@ object BinlogBinary {
   private val GTID = 33
   private val PARTIAL_UPDATE_ROWS = 39 // binlog_row_value_options=PARTIAL_JSON
   private val TRANSACTION_PAYLOAD = 40 // binlog_transaction_compression
+  private val GTID_MARIA = 162 // MariaDB per-transaction GTID stamp
+  private val GTID_LIST_MARIA = 163 // MariaDB rotation-head executed state
   private val START_ENCRYPTION_MARIA = 164 // MariaDB binlog_encryption=ON
 
   // wire column type codes (the public MYSQL_TYPE numbering)
@@ -811,6 +813,41 @@ object BinlogBinary {
     var g = txn
     (0 until 8).foreach { _ => b.write((g & 0xff).toInt); g >>= 8 }
     sealEvent(tsSec, GTID, pos, b.toByteArray)
+  }
+
+  /** One MARIADB GTID event (type 162) — the stamp a MariaDB server
+    * writes before every transaction: `seqno(8 LE) domain(4 LE)
+    * flags(1)`; the server id rides the common header (the
+    * [[parseGtidIndexMaria]] inverse). */
+  def gtidEventMaria(pos: Long, tsSec: Long, domain: Long,
+      server: Long, seqno: Long): Array[Byte] = {
+    require(domain >= 0 && domain <= 0xffffffffL &&
+      server >= 1 && server <= 0xffffffffL && seqno >= 1,
+      s"bad MariaDB GTID $domain-$server-$seqno")
+    val b = new java.io.ByteArrayOutputStream()
+    var n = seqno
+    (0 until 8).foreach { _ => b.write((n & 0xff).toInt); n >>= 8 }
+    u32(b, domain)
+    b.write(0) // flags2
+    sealEvent(tsSec, GTID_MARIA, pos, b.toByteArray, serverId = server)
+  }
+
+  /** One MARIADB GTID_LIST event (type 163) — what a MariaDB server
+    * writes at each rotation head: the executed state BEFORE this
+    * file, `count(4 LE, low 28 bits)` then count × `domain(4)
+    * server(4) seqno(8)` LE. The decode's continuity guard anchors on
+    * it ([[parseGtidIndexMaria]]). */
+  def gtidListEventMaria(pos: Long, tsSec: Long,
+      entries: Seq[(Long, Long, Long)]): Array[Byte] = {
+    require(entries.size < (1 << 28), "GTID_LIST count field overflow")
+    val b = new java.io.ByteArrayOutputStream()
+    u32(b, entries.size.toLong)
+    entries.foreach { case (d, s, n) =>
+      u32(b, d); u32(b, s)
+      var x = n
+      (0 until 8).foreach { _ => b.write((x & 0xff).toInt); x >>= 8 }
+    }
+    sealEvent(tsSec, GTID_LIST_MARIA, pos, b.toByteArray)
   }
 
   /** One Xid event — the COMMIT marker (payload: `xid(8 LE)`; the
@@ -2022,6 +2059,101 @@ object BinlogBinary {
     out.result().iterator
   }
 
+  /** The dump's MARIADB GTID index — one `(position, domain, server,
+    * seqno)` per GTID event (type 162), validated against each file's
+    * GTID_LIST rotation-head state (type 163): the list names what
+    * was executed BEFORE the file, so a domain's first stamp in the
+    * file must be exactly `listed + 1` and stamps within a domain
+    * must increase by 1 — a jump is a lost rotation's transactions
+    * (the silently-diverged-replica class) and refuses naming the
+    * gap. Distributed per file, metadata-scale rows to the driver,
+    * position order. */
+  def parseGtidIndexMaria(spark: SparkSession,
+      dir: String): Seq[(Long, Long, Long, Long)] = {
+    import org.apache.spark.sql.Encoders
+    spark.read.format("binaryFile").load(dir)
+      .select(col("content"), col("path"))
+      .flatMap { r =>
+        extractGtidsMaria(r.getAs[Array[Byte]](0), r.getString(1))
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong))
+      .collect().toSeq.sortBy(_._1)
+  }
+
+  private def extractGtidsMaria(bytes: Array[Byte],
+      path: String): Iterator[(Long, Long, Long, Long)] = {
+    val out = Vector.newBuilder[(Long, Long, Long, Long)]
+    // per-domain continuity floor: from the file's GTID_LIST head
+    // state, then advanced by each stamp
+    var floor = Map.empty[Long, Long]
+    var sawList = false
+    walkEvents(bytes, path) { (eventType, _, logPos, o, bodyEnd) =>
+      if (eventType == GTID_LIST_MARIA) {
+        val c = new Cursor(bytes, o + HeaderLen, bodyEnd,
+          s"$path GTID_LIST at $o")
+        c.need(4)
+        val count = (rdU32(c.b, c.o) & 0x0fffffffL).toInt
+        c.o += 4
+        (0 until count).foreach { _ =>
+          c.need(16)
+          val d = rdU32(c.b, c.o)
+          val n = rdI64(c.b, c.o + 8)
+          c.o += 16
+          floor += d -> n
+        }
+        sawList = true
+      } else if (eventType == GTID_MARIA) {
+        val c = new Cursor(bytes, o + HeaderLen, bodyEnd,
+          s"$path MariaDB GTID at $o")
+        c.need(12)
+        val seqno = rdI64(c.b, c.o)
+        val domain = rdU32(c.b, c.o + 8)
+        val server = rdU32(bytes, o + 5) // common header's server_id
+        require(seqno >= 1,
+          s"$path: MariaDB GTID at $o carries seq $seqno — numbering " +
+            "starts at 1; corrupt event")
+        floor.get(domain).foreach { f =>
+          require(seqno == f + 1,
+            s"$path: domain $domain stamps seq $seqno after $f — " +
+              (if (seqno > f + 1)
+                s"transactions ${f + 1}..${seqno - 1} are MISSING " +
+                  "(a lost rotation between the GTID_LIST state and " +
+                  "this stream); restore the gap or re-snapshot"
+               else "the stream regresses against its own executed " +
+                 "state; the dump is corrupt"))
+        }
+        // an unlisted domain in a file WITH a head state is history
+        // the list says never existed before — its first stamp must
+        // open at 1
+        if (sawList && !floor.contains(domain))
+          require(seqno == 1,
+            s"$path: domain $domain opens at seq $seqno but the " +
+              "file's GTID_LIST head state does not name it — its " +
+              "earlier transactions are missing; restore the gap or " +
+              "re-snapshot")
+        floor += domain -> seqno
+        out += ((logPos, domain, server.toLong, seqno))
+      }
+    }
+    out.result().iterator
+  }
+
+  /** [[gtidStartAfter]] under the MARIADB flavor — the binary twin of
+    * [[BinlogText.gtidStartAfterMaria]], through the same shared
+    * boundary core; a MySQL uuid-set token refuses naming the flavor
+    * mismatch. */
+  def gtidStartAfterMaria(spark: SparkSession, dir: String,
+      token: String, domains: Seq[(Long, Long)]): Long = {
+    val idx = parseGtidIndexMaria(spark, dir)
+    require(idx.nonEmpty,
+      s"dump at $dir carries no MariaDB GTID events — this feed " +
+        "cannot anchor a GTID resume; resume by seq instead (or is " +
+        "this a MySQL-flavored dump? its stamps are type-33 GTID " +
+        "events)")
+    BinlogText.gtidStartAfterIndexMaria(
+      idx.map { case (p, d, _, n) => (p, d.toString, n) }, token, domains)
+  }
+
   private def formatUuid(sid: Array[Byte]): String = {
     val hex = sid.map(b => f"${b & 0xff}%02x").mkString
     s"${hex.substring(0, 8)}-${hex.substring(8, 12)}-" +
@@ -2073,15 +2205,30 @@ object BinlogBinary {
     * arrives marker-less and is held back by the gate. */
   def parseTxn(spark: SparkSession, dir: String,
       cols: Seq[(String, DataType)],
-      txnCol: String = "txn"): DataFrame = {
+      txnCol: String = "txn",
+      flavor: graft.Replication.GtidFlavor =
+        graft.Replication.MySqlGtidFlavor): DataFrame = {
     require(!cols.exists(_._1 == txnCol) &&
       !Seq("op", "seq", "ts").contains(txnCol),
       s"txn column '$txnCol' collides with an envelope column")
-    val gtids = parseGtidIndex(spark, dir)
-    require(gtids.nonEmpty,
-      s"dump at $dir carries no GTID events — transactions cannot be " +
-        "delimited; consume it as a plain stream instead")
-    val stamps = gtids.map { case (p, u, n) => (p, s"$u:$n") }
+    val stamps = flavor match {
+      case graft.Replication.MySqlGtidFlavor =>
+        val gtids = parseGtidIndex(spark, dir)
+        require(gtids.nonEmpty,
+          s"dump at $dir carries no GTID events — transactions cannot " +
+            "be delimited; consume it as a plain stream instead (or " +
+            "is this a MariaDB-flavored dump? its stamps are type-162 " +
+            "events — pass MariaGtidFlavor)")
+        gtids.map { case (p, u, n) => (p, s"$u:$n") }
+      case graft.Replication.MariaGtidFlavor =>
+        val gtids = parseGtidIndexMaria(spark, dir)
+        require(gtids.nonEmpty,
+          s"dump at $dir carries no MariaDB GTID events — " +
+            "transactions cannot be delimited; consume it as a plain " +
+            "stream instead (or is this a MySQL-flavored dump? its " +
+            "stamps are type-33 events — pass MySqlGtidFlavor)")
+        gtids.map { case (p, d, s2, n) => (p, s"$d-$s2-$n") }
+    }
     val (schema, _) = BinlogText.singleEnvelope(cols, Nil, None,
       textTypes = false)
     val colsB = cols

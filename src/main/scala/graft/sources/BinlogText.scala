@@ -882,6 +882,81 @@ object BinlogText {
     out.result().iterator
   }
 
+  /** Render one MARIADB GTID header block — the `GTID D-S-N` line a
+    * MariaDB server's binlog dump prints before every transaction
+    * (`gtid_domain_id` deployments; [[parseGtidIndexMaria]]'s
+    * inverse). */
+  def renderGtidMaria(seq: Long, tsEpochSec: Long, domain: Long,
+      server: Long, seqno: Long): String = {
+    require(domain >= 0 && server >= 1 && seqno >= 1,
+      s"bad MariaDB GTID $domain-$server-$seqno")
+    val ldt = java.time.LocalDateTime.ofEpochSecond(
+      tsEpochSec, 0, java.time.ZoneOffset.UTC)
+    val hdr = headerDate(ldt, s"gtid event at seq $seq")
+    s"# at $seq\n$hdr server id $server  end_log_pos $seq CRC32 " +
+      s"0x00000000 \tGTID $domain-$server-$seqno trans"
+  }
+
+  /** The dump's MARIADB GTID index — one `(position, domain, server,
+    * seqno)` per `GTID D-S-N` header line (the MariaDB dialect's
+    * stamp; MySQL dumps carry `SET @@SESSION.GTID_NEXT` instead —
+    * [[parseGtidIndex]]). Distributed per file, metadata-scale rows
+    * to the driver, position order. */
+  def parseGtidIndexMaria(spark: SparkSession,
+      dir: String): Seq[(Long, Long, Long, Long)] = {
+    import org.apache.spark.sql.Encoders
+    val files = spark.read.option("wholetext", "true").text(dir)
+    files.select(col("value"))
+      .flatMap(r => extractGtidMaria(r.getString(0)))(
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong, Encoders.scalaLong))
+      .collect().toSeq.sortBy(_._1)
+  }
+
+  private val MariaGtidLine = """.*\tGTID (\d+)-(\d+)-(\d+)\b.*""".r
+
+  private def extractGtidMaria(
+      text: String): Iterator[(Long, Long, Long, Long)] = {
+    val out = Vector.newBuilder[(Long, Long, Long, Long)]
+    var pos = Option.empty[Long]
+    for (line0 <- text.linesIterator; line = line0.trim if line.nonEmpty) {
+      if (line.startsWith("# at "))
+        pos = line.stripPrefix("# at ").trim.toLongOption
+      else if (line.startsWith("#") && !line.startsWith("###") &&
+        HeaderTs.matches(line)) line match {
+        case MariaGtidLine(d, s2, n) =>
+          val p = pos.getOrElse(throw new IllegalArgumentException(
+            s"MariaDB GTID header without a '# at' position: $line"))
+          val seqno = n.toLongOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"MariaDB GTID seq overflows in: $line"))
+          require(seqno >= 1,
+            s"MariaDB GTID seq numbers start at 1: $line")
+          out += ((p, d.toLong, s2.toLong, seqno))
+        case _ => ()
+      }
+    }
+    out.result().iterator
+  }
+
+  /** [[gtidStartAfter]] under the MARIADB flavor: decode a
+    * `domain-server-seq` position token against THIS dump's GTID
+    * header index. `domains` is the replica's domain chain exactly as
+    * [[graft.Replication.MariaGtidCodec]] declares it (single domain:
+    * `Seq(0L -> 0L)`). A MySQL uuid-set token refuses naming the
+    * flavor mismatch — through the shared codec, so the wording
+    * cannot fork between transports. */
+  def gtidStartAfterMaria(spark: SparkSession, dir: String,
+      token: String, domains: Seq[(Long, Long)]): Long = {
+    val idx = parseGtidIndexMaria(spark, dir)
+    require(idx.nonEmpty,
+      s"dump at $dir carries no MariaDB GTID headers — this feed " +
+        "cannot anchor a GTID resume; resume by seq instead (or is " +
+        "this a MySQL-flavored dump? its stamps are GTID_NEXT lines)")
+    gtidStartAfterIndexMaria(
+      idx.map { case (p, d, _, n) => (p, d.toString, n) }, token, domains)
+  }
+
   /** Render one Xid event block — the COMMIT marker a transactional
     * engine writes at each transaction's end ([[parseXids]]'s inverse;
     * for fixtures). */
@@ -1011,12 +1086,15 @@ object BinlogText {
     * single dump relation. */
   def parseTxn(spark: SparkSession, dir: String,
       cols: Seq[(String, DataType)],
-      txnCol: String = "txn"): DataFrame = {
+      txnCol: String = "txn",
+      flavor: graft.Replication.GtidFlavor =
+        graft.Replication.MySqlGtidFlavor): DataFrame = {
     require(!cols.exists(_._1 == txnCol) &&
       !Seq("op", "seq", "ts").contains(txnCol),
       s"txn column '$txnCol' collides with an envelope column")
     val (schema, decode) = singleEnvelope(cols, Nil, None)
-    gtidTxnEnvelope(spark, dir, schema, decode, txnCol)
+    gtidTxnEnvelope(spark, dir, schema, decode, txnCol,
+      flavor = flavor)
   }
 
   /** [[parseTxn]] over a MULTI-TABLE dump ([[parseMulti]] + the GTID/
@@ -1061,9 +1139,12 @@ object BinlogText {
     * as a driver-built LocalRelation unioned onto the scan. */
   private def gtidTxnEnvelope(spark: SparkSession, dir: String,
       schema: StructType, decode: EventDecode, txnCol: String,
-      markerOverrides: Map[String, Any] = Map.empty): DataFrame =
+      markerOverrides: Map[String, Any] = Map.empty,
+      flavor: graft.Replication.GtidFlavor =
+        graft.Replication.MySqlGtidFlavor): DataFrame =
     gtidTxnEnvelopeRows(spark, dir, schema,
-      (text, _) => parseFile(text, decode), txnCol, markerOverrides)
+      (text, _) => parseFile(text, decode), txnCol, markerOverrides,
+      flavor)
 
   /** [[gtidTxnEnvelope]] with a PLUGGABLE per-file row decode — the
     * verbose paths pass [[parseFile]] under their envelope plug, the
@@ -1076,12 +1157,29 @@ object BinlogText {
   private def gtidTxnEnvelopeRows(spark: SparkSession, dir: String,
       schema: StructType, rows: (String, String) => Iterator[Row],
       txnCol: String,
-      markerOverrides: Map[String, Any] = Map.empty): DataFrame = {
-    val gtids = parseGtidIndex(spark, dir) // (pos, uuid, n), pos-sorted
-    require(gtids.nonEmpty,
-      s"dump at $dir carries no GTID_NEXT stamps — transactions cannot " +
-        "be delimited; consume it as a plain stream instead")
-    val stamps = gtids.map { case (p, u, n) => (p, s"$u:$n") }
+      markerOverrides: Map[String, Any] = Map.empty,
+      flavor: graft.Replication.GtidFlavor =
+        graft.Replication.MySqlGtidFlavor): DataFrame = {
+    // flavor decides which stamp dialect delimits transactions; the
+    // stamping, markers, and gate below are flavor-independent
+    val stamps = flavor match {
+      case graft.Replication.MySqlGtidFlavor =>
+        val gtids = parseGtidIndex(spark, dir) // (pos, uuid, n)
+        require(gtids.nonEmpty,
+          s"dump at $dir carries no GTID_NEXT stamps — transactions " +
+            "cannot be delimited; consume it as a plain stream " +
+            "instead (or is this a MariaDB-flavored dump? its stamps " +
+            "are GTID D-S-N headers — pass MariaGtidFlavor)")
+        gtids.map { case (p, u, n) => (p, s"$u:$n") }
+      case graft.Replication.MariaGtidFlavor =>
+        val gtids = parseGtidIndexMaria(spark, dir)
+        require(gtids.nonEmpty,
+          s"dump at $dir carries no MariaDB GTID headers — " +
+            "transactions cannot be delimited; consume it as a plain " +
+            "stream instead (or is this a MySQL-flavored dump? its " +
+            "stamps are GTID_NEXT lines — pass MySqlGtidFlavor)")
+        gtids.map { case (p, d, s2, n) => (p, s"$d-$s2-$n") }
+    }
     // marker slots beyond op/seq/ts: NULL, or the caller's override
     // (precomputed index → value, applied task-side per marker)
     val overrideIdx = markerOverrides.map { case (n, v) =>
@@ -1174,8 +1272,32 @@ object BinlogText {
     * `gtidStartAfter` (one boundary rule, every wire format; the
     * validations in the scaladoc above all live here). */
   private[sources] def gtidStartAfterIndex(idx: Seq[(Long, String, Long)],
-      token: String, channels: Seq[(String, Long)]): Long = {
-    val horizon = graft.Replication.GtidChannelCodec(channels).toSeq(token)
+      token: String, channels: Seq[(String, Long)]): Long =
+    gtidBoundary(idx,
+      graft.Replication.GtidChannelCodec(channels).toSeq(token),
+      token, channels)
+
+  /** [[gtidStartAfterIndex]] under the MARIADB flavor: the same
+    * boundary core over a (position, domain, seqno) stamp index and a
+    * DOMAIN chain, the horizon decoded by
+    * [[graft.Replication.MariaGtidCodec]] — one boundary rule, both
+    * dialects, so every contiguity/rotation refusal reads identically
+    * whichever server flavor produced the dump. */
+  private[sources] def gtidStartAfterIndexMaria(
+      idx: Seq[(Long, String, Long)], token: String,
+      domains: Seq[(Long, Long)]): Long =
+    gtidBoundary(idx,
+      graft.Replication.MariaGtidCodec(domains).toSeq(token),
+      token, domains.map { case (d, n) => (d.toString, n) })
+
+  /** The flavor-independent resume-boundary core: map each stamp onto
+    * the engine's ONE global transaction axis via the channel chain,
+    * validate contiguity and position order, and decode the token's
+    * horizon onto a binlog position (all the scaladoc'd refusals of
+    * [[gtidStartAfter]] live here). */
+  private def gtidBoundary(idx: Seq[(Long, String, Long)],
+      horizon: Long, token: String,
+      channels: Seq[(String, Long)]): Long = {
     val chain = channels.map { case (u, n) => (u.trim.toLowerCase, n) }
     val chainIdx = chain.map(_._1).zipWithIndex.toMap
     // each stamp's GLOBAL transaction number: retired channels' counts

@@ -4283,6 +4283,48 @@ object StreamingOps {
       (out, uuid) => writeTxnStampsText(out, uuid),
       out => graft.sources.BinlogText.parseTxn(s, out, txnScenarioCols))),
 
+    // S-BINLOG-TXN-MARIA ×2: the SAME transaction loop under the
+    // MARIADB GTID dialect — `GTID domain-server-seq` header lines
+    // (text) / type-162 GTID events behind a type-163 GTID_LIST
+    // rotation head (binary) instead of MySQL's uuid:n stamps. The
+    // stamps parse through the flavor-parameterized index, the
+    // stamping/gate/boundary core is SHARED with the MySQL flavor
+    // (one discipline, two dialects), and the collapse hash-matches
+    // the same binlogTxnSql oracle: transactions 1-2 commit, the
+    // marker-less trailing transaction 3 holds back.
+    "cdc_binlog_text_txn_maria" -> ((s, dir) => binlogTxnScenario(s, dir,
+      (df, cols, out) =>
+        graft.sources.BinlogText.render(df, cols, out, files = 3),
+      (out, _) => {
+        val stamps = (1 to 3).map(n =>
+          graft.sources.BinlogText.renderGtidMaria(
+            n * 100000000L, 800000000L, 0L, 1L, n)) ++
+          (1 to 2).map(n => graft.sources.BinlogText.renderXid(
+            (n + 1) * 100000000L - 1, 800000000L, n))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$out/txn.txt"),
+          stamps.mkString("\n"))
+        ()
+      },
+      out => graft.sources.BinlogText.parseTxn(s, out, txnScenarioCols,
+        flavor = graft.Replication.MariaGtidFlavor))),
+
+    "cdc_binlog_binary_txn_maria" -> ((s, dir) =>
+      binlogTxnScenario(s, dir,
+        (df, cols, out) =>
+          graft.sources.BinlogBinary.render(df, cols, out, files = 3),
+        (out, _) => graft.sources.BinlogBinary.writeEvents(
+          out, "bin.000099",
+          graft.sources.BinlogBinary.gtidListEventMaria(
+            1L, 800000000L, Nil) +:
+            ((1 to 3).map(n => graft.sources.BinlogBinary.gtidEventMaria(
+              n * 100000000L, 800000000L, 0L, 1L, n)) ++
+              (1 to 2).map(n => graft.sources.BinlogBinary.xidEvent(
+                (n + 1) * 100000000L - 1, 800000000L, n)))),
+        out => graft.sources.BinlogBinary.parseTxn(
+          s, out, txnScenarioCols,
+          flavor = graft.Replication.MariaGtidFlavor))),
+
     // ST-SOFT-DELETE: the tool class's "keep deleted rows" mode
     // (ReplacingMergeTree(ver, is_deleted)): the log ships binlog-true
     // DELETE events carrying the row's BEFORE IMAGE, and the destination
@@ -6188,6 +6230,10 @@ object StreamingOps {
     // txn gate from dump text — one oracle, three transports (see
     // binlogTxnSql)
     "cdc_binlog_text_txn" -> binlogTxnSql,
+    // the SAME gate under the MariaDB GTID dialect — one discipline,
+    // two flavors, one oracle
+    "cdc_binlog_text_txn_maria" -> binlogTxnSql,
+    "cdc_binlog_binary_txn_maria" -> binlogTxnSql,
 
     // soft delete: every key's latest event survives — tombstone winners
     // flagged `_deleted = 1` with the delete's before-image payload.

@@ -1013,6 +1013,52 @@ class BinlogBinarySpec extends SparkTestBase {
     assert(e.getMessage.contains("opaque"))
   }
 
+  test("MariaDB GTID events on the wire: type-162 stamps index, the " +
+      "type-163 GTID_LIST head state gates continuity (a lost " +
+      "rotation's transactions refuse by name), resume decodes " +
+      "through the shared core") {
+    val dir = tmp()
+    // rotation head: domain 0 executed through seq 2 BEFORE this file
+    BinlogBinary.writeEvents(s"$dir/b", "bin.000002", Seq(
+      BinlogBinary.gtidListEventMaria(4L, 800000000L, Seq((0L, 1L, 2L))),
+      BinlogBinary.gtidEventMaria(10L, 800000001L, 0L, 1L, 3L),
+      BinlogBinary.gtidEventMaria(20L, 800000002L, 0L, 9L, 4L)))
+    assert(BinlogBinary.parseGtidIndexMaria(spark, s"$dir/b") == Seq(
+      (10L, 0L, 1L, 3L), (20L, 0L, 9L, 4L)))
+    assert(BinlogBinary.gtidStartAfterMaria(spark, s"$dir/b",
+      "0-1-3", Seq(0L -> 0L)) == 19L)
+    // a flavor-mismatched token refuses by name
+    val em = intercept[IllegalArgumentException] {
+      BinlogBinary.gtidStartAfterMaria(spark, s"$dir/b",
+        "3e11fa47-71ca-11e1-9e33-c80aa9429562:1", Seq(0L -> 0L))
+    }
+    assert(em.getMessage.contains("flavor mismatch"), em.getMessage)
+    // a GAP against the head state — the list says executed-through-2
+    // but the first stamp is seq 5: transactions 3..4 are a lost
+    // rotation's; refuse naming them
+    val dir2 = tmp()
+    BinlogBinary.writeEvents(s"$dir2/b", "bin.000002", Seq(
+      BinlogBinary.gtidListEventMaria(4L, 800000000L, Seq((0L, 1L, 2L))),
+      BinlogBinary.gtidEventMaria(10L, 800000001L, 0L, 1L, 5L)))
+    val e = intercept[Throwable] {
+      BinlogBinary.parseGtidIndexMaria(spark, s"$dir2/b")
+    }
+    val msg = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msg.contains("3..4") && msg.contains("MISSING"), s"got: $msg")
+    // a domain the head state does not name must open at seq 1
+    val dir3 = tmp()
+    BinlogBinary.writeEvents(s"$dir3/b", "bin.000002", Seq(
+      BinlogBinary.gtidListEventMaria(4L, 800000000L, Seq((0L, 1L, 2L))),
+      BinlogBinary.gtidEventMaria(10L, 800000001L, 3L, 1L, 7L)))
+    val e2 = intercept[Throwable] {
+      BinlogBinary.parseGtidIndexMaria(spark, s"$dir3/b")
+    }
+    assert(Iterator.iterate(e2)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      .contains("does not name it"))
+  }
+
   test("encrypted binlogs refuse naming binlog_encryption, not as " +
       "generic magic/CRC garbage: the \\xFD magic and the MariaDB " +
       "START_ENCRYPTION announcement both name the real cause") {

@@ -554,6 +554,56 @@ class BinlogTextSpec extends SparkTestBase {
     assert(rotated.getMessage.contains("rotated away"))
   }
 
+  test("MariaDB GTID dialect: D-S-N header index, resume boundary " +
+      "through the shared core, seq continuity across a server " +
+      "failover, and flavor-mismatch refusals both ways") {
+    import graft.Replication.{GtidSetCodec, MariaGtidCodec}
+    val dir = tmp()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/binlog"))
+    // three transactions; the third under a NEW server id in the SAME
+    // domain (a MariaDB failover: seq_no keeps counting per domain)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/binlog/f1.txt"),
+      BinlogText.renderGtidMaria(10L, 800000000L, 0L, 1L, 1L) + "\n" +
+        BinlogText.renderGtidMaria(20L, 800000001L, 0L, 1L, 2L) + "\n" +
+        BinlogText.renderGtidMaria(30L, 800000002L, 0L, 7L, 3L))
+    assert(BinlogText.parseGtidIndexMaria(spark, s"$dir/binlog") == Seq(
+      (10L, 0L, 1L, 1L), (20L, 0L, 1L, 2L), (30L, 0L, 7L, 3L)))
+    // position 0-1-2 (executed through seq 2) anchors one below txn
+    // 3's stamp — the server id names provenance, not position, so
+    // the failover does not split the channel
+    assert(BinlogText.gtidStartAfterMaria(spark, s"$dir/binlog",
+      "0-1-2", Seq(0L -> 0L)) == 29L)
+    // the NEW server's own position token decodes identically
+    assert(BinlogText.gtidStartAfterMaria(spark, s"$dir/binlog",
+      "0-7-3", Seq(0L -> 0L)) == Long.MaxValue)
+    // a MySQL uuid-set token on a MariaDB channel refuses naming the
+    // flavor, and vice versa
+    val e1 = intercept[IllegalArgumentException] {
+      BinlogText.gtidStartAfterMaria(spark, s"$dir/binlog",
+        "3e11fa47-71ca-11e1-9e33-c80aa9429562:1-2", Seq(0L -> 0L))
+    }
+    assert(e1.getMessage.contains("flavor mismatch"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      GtidSetCodec("3e11fa47-71ca-11e1-9e33-c80aa9429562").toSeq("0-1-2")
+    }
+    assert(e2.getMessage.contains("flavor mismatch"), e2.getMessage)
+    // a foreign domain refuses by name through the shared codec
+    val e3 = intercept[IllegalArgumentException] {
+      MariaGtidCodec(Seq(0L -> 0L)).toSeq("5-1-2")
+    }
+    assert(e3.getMessage.contains("domain 5"), e3.getMessage)
+    // a domain-SWITCH chain mirrors the MySQL failover chain: domain
+    // 0 retired at 2 transactions, domain 1 active
+    assert(MariaGtidCodec(Seq(0L -> 2L, 1L -> 0L))
+      .toSeq("0-1-2,1-2-5") == 7L)
+    val short = intercept[IllegalArgumentException] {
+      MariaGtidCodec(Seq(0L -> 2L, 1L -> 0L)).toSeq("0-1-1,1-2-5")
+    }
+    assert(short.getMessage.contains("missing history"), short.getMessage)
+  }
+
   test("GTID resume boundary under the txn-scenario stamp geometry: " +
       "the executed set through txn 2 anchors one position below " +
       "txn 3's stamp") {
