@@ -189,13 +189,31 @@ object BinlogBinary {
       colsByTable: Map[String, Seq[(String, DataType)]],
       tableCol: String = "table",
       ignoreTables: Set[String] = Set.empty,
-      changedCol: Option[String] = None): DataFrame = {
+      changedCol: Option[String] = None,
+      hintsByTable: Map[String, Map[String, WireHint]] = Map.empty)
+      : DataFrame = {
+    validateMultiHints(colsByTable, hintsByTable)
     val (schema, _) = BinlogText.multiEnvelope(
       colsByTable, tableCol, ignoreTables, changedCol,
       textTypes = false)
     multiFrame(spark, dir, schema, colsByTable, ignoreTables,
-      marker = false, changedCol = changedCol)
+      marker = false, changedCol = changedCol,
+      hintsByTable = hintsByTable)
   }
+
+  /** Per-table hint validation for the multi-table surfaces: every
+    * hinted table must be declared, every hint valid for its table's
+    * column list. */
+  private def validateMultiHints(
+      colsByTable: Map[String, Seq[(String, DataType)]],
+      hintsByTable: Map[String, Map[String, WireHint]]): Unit =
+    hintsByTable.foreach { case (t, hints) =>
+      val cols = colsByTable.getOrElse(t,
+        throw new IllegalArgumentException(
+          s"wire hints declared for table '$t', which is not in " +
+            "colsByTable"))
+      validateCols(cols, hints)
+    }
 
   /** [[parseTxn]] over a MULTI-TABLE raw dump — cross-table
     * transactions straight from wire bytes: rows dispatch per table,
@@ -211,10 +229,13 @@ object BinlogBinary {
       colsByTable: Map[String, Seq[(String, DataType)]],
       tableCol: String = "table",
       txnCol: String = "txn",
-      ignoreTables: Set[String] = Set.empty): DataFrame = {
+      ignoreTables: Set[String] = Set.empty,
+      hintsByTable: Map[String, Map[String, WireHint]] = Map.empty)
+      : DataFrame = {
     require(!colsByTable.values.exists(_.exists(_._1 == txnCol)) &&
       !Seq("op", "seq", "ts", tableCol).contains(txnCol),
       s"txn column '$txnCol' collides with an envelope column")
+    validateMultiHints(colsByTable, hintsByTable)
     val gtids = parseGtidIndex(spark, dir)
     require(gtids.nonEmpty,
       s"dump at $dir carries no GTID events — transactions cannot be " +
@@ -224,7 +245,7 @@ object BinlogBinary {
       BinlogText.multiEnvelope(colsByTable, tableCol, ignoreTables,
         None, textTypes = false)
     val frame = multiFrame(spark, dir, schema, colsByTable, ignoreTables,
-      marker = true)
+      marker = true, hintsByTable = hintsByTable)
     BinlogText.stampTxns(spark, frame, stamps, txnCol)
   }
 
@@ -237,10 +258,12 @@ object BinlogBinary {
       schema: StructType,
       colsByTable: Map[String, Seq[(String, DataType)]],
       ignoreTables: Set[String], marker: Boolean,
-      changedCol: Option[String] = None): DataFrame =
+      changedCol: Option[String] = None,
+      hintsByTable: Map[String, Map[String, WireHint]] = Map.empty)
+      : DataFrame =
     multiDecode(spark.read.format("binaryFile").load(dir),
       schema, colsByTable, ignoreTables, marker, requireRotate = false,
-      changedCol = changedCol)
+      changedCol = changedCol, hintsByTable = hintsByTable)
 
   /** [[parseMulti]] as a STREAMING decode — the transport behind
     * [[BinlogBinaryMultiCdcSource]]: tail `dir` and decode each raw
@@ -251,10 +274,12 @@ object BinlogBinary {
       dir: String, schema: StructType,
       colsByTable: Map[String, Seq[(String, DataType)]],
       ignoreTables: Set[String], requireRotate: Boolean,
-      changedCol: Option[String] = None): DataFrame =
+      changedCol: Option[String] = None,
+      hintsByTable: Map[String, Map[String, WireHint]] = Map.empty)
+      : DataFrame =
     multiDecode(rawStream(spark, dir),
       schema, colsByTable, ignoreTables, marker = false, requireRotate,
-      changedCol = changedCol)
+      changedCol = changedCol, hintsByTable = hintsByTable)
 
   /** The tailed raw-rotation stream shared by the single- and
     * multi-table streaming decodes: one file per micro-batch (the
@@ -280,17 +305,20 @@ object BinlogBinary {
       colsByTable: Map[String, Seq[(String, DataType)]],
       ignoreTables: Set[String], marker: Boolean,
       requireRotate: Boolean,
-      changedCol: Option[String] = None): DataFrame = {
+      changedCol: Option[String] = None,
+      hintsByTable: Map[String, Map[String, WireHint]] = Map.empty)
+      : DataFrame = {
     val colsB = colsByTable
     val ignoreB = ignoreTables
     val rotateB = requireRotate
     val markerB = marker
     val schemaB = schema
     val changedB = changedCol
+    val hintsB = hintsByTable
     raw.select(col("content"), col("path"))
       .flatMap { r =>
         decodeMultiFileBytes(r.getAs[Array[Byte]](0), r.getString(1),
-          schemaB, colsB, ignoreB, markerB, rotateB, changedB)
+          schemaB, colsB, ignoreB, markerB, rotateB, changedB, hintsB)
       }(RowEncoder.encoderFor(schema))
       .toDF()
   }
@@ -305,7 +333,9 @@ object BinlogBinary {
       colsByTable: Map[String, Seq[(String, DataType)]],
       ignoreTables: Set[String], marker: Boolean,
       requireRotate: Boolean,
-      changedCol: Option[String] = None): Iterator[Row] = {
+      changedCol: Option[String] = None,
+      hintsByTable: Map[String, Map[String, WireHint]] = Map.empty)
+      : Iterator[Row] = {
     // union slots = the fields after (op, seq, ts, tableCol), minus
     // the trailing changed-list column when the MINIMAL surface is on
     val slot = schema.fieldNames.drop(4)
@@ -324,7 +354,8 @@ object BinlogBinary {
       else None
     decodeFileRouted(bytes, path,
       route = t => colsByTable.get(t) match {
-        case Some(cols) => DecodeAs(cols, s" for table '$t'")
+        case Some(cols) => DecodeAs(cols, s" for table '$t'",
+          hintsByTable.getOrElse(t, Map.empty))
         case None if ignoreTables.contains(t) => SkipTable
         case None => throw new IllegalArgumentException(
           s"$path: TABLE_MAP names table '$t', which is neither " +
@@ -350,10 +381,12 @@ object BinlogBinary {
       path: String, schema: StructType,
       colsByTable: Map[String, Seq[(String, DataType)]],
       ignoreTables: Set[String],
-      changedCol: Option[String] = None): Iterator[Row] =
+      changedCol: Option[String] = None,
+      hintsByTable: Map[String, Map[String, WireHint]] = Map.empty)
+      : Iterator[Row] =
     decodeMultiFileBytes(Magic ++ eventBytes, path, schema,
       colsByTable, ignoreTables, marker = false, requireRotate = false,
-      changedCol = changedCol)
+      changedCol = changedCol, hintsByTable = hintsByTable)
 
   // ── rendering (fixtures/diagnostics) ─────────────────────────────
 
@@ -739,8 +772,9 @@ object BinlogBinary {
     * collapse and refuse at decode). */
   def renderCompressed(df: DataFrame, cols: Seq[(String, DataType)],
       outDir: String, files: Int = 4, table: String = "orders",
-      rowsPerTxn: Int = 512): Unit = {
-    validateCols(cols)
+      rowsPerTxn: Int = 512,
+      hints: Map[String, WireHint] = Map.empty): Unit = {
+    validateCols(cols, hints)
     validateTableName(table)
     require(files >= 1, "at least one binlog file")
     require(rowsPerTxn >= 1, "at least one row per wrapped transaction")
@@ -750,6 +784,7 @@ object BinlogBinary {
     val colsB = cols
     val tableB = table
     val perTxnB = rowsPerTxn
+    val hintsB = hints
     val ordered = df.select(
       (Seq(col("op"), col("seq"),
         col("ts").cast(TimestampNTZType).as("ts")) ++
@@ -762,8 +797,9 @@ object BinlogBinary {
         out.write(Magic)
         out.write(fdeEvent())
         it.grouped(perTxnB).foreach { chunk =>
-          val inner = withoutCrc(tableMapEvent(tableB, colsB)) +:
-            chunk.map(r => withoutCrc(rowsEvent(r, colsB)))
+          val inner =
+            withoutCrc(tableMapEvent(tableB, colsB, hints = hintsB)) +:
+            chunk.map(r => withoutCrc(rowsEvent(r, colsB, hints = hintsB)))
           // position the wrapper at its first row's seq (inner events
           // keep their own header positions)
           out.write(payloadEvent(chunk.head.getLong(1),
@@ -1015,7 +1051,8 @@ object BinlogBinary {
     * [[renderMinimal]]'s select order. */
   private[graft] def rowsEventMinimal(r: Row,
       cols: Seq[(String, DataType)], pkIdx: Array[Int],
-      tableId: Long = 108L): Array[Byte] = {
+      tableId: Long = 108L,
+      hints: Map[String, WireHint] = Map.empty): Array[Byte] = {
     val op = r.getString(0)
     val seq = r.getLong(1)
     val ldt = r.getAs[java.time.LocalDateTime](2)
@@ -1051,18 +1088,18 @@ object BinlogBinary {
     op match {
       case "I" =>
         b.write(bitmapBytes(full))
-        b.write(imageBytes(r, cols, full))
+        b.write(imageBytes(r, cols, full, hints))
         sealEvent(tsSec, WRITE_ROWS_V2, seq, b.toByteArray)
       case "U" =>
         val after = changedMask
         b.write(bitmapBytes(pkMask))
         b.write(bitmapBytes(after))
-        b.write(imageBytes(r, cols, pkMask))
-        b.write(imageBytes(r, cols, after))
+        b.write(imageBytes(r, cols, pkMask, hints))
+        b.write(imageBytes(r, cols, after, hints))
         sealEvent(tsSec, UPDATE_ROWS_V2, seq, b.toByteArray)
       case "D" =>
         b.write(bitmapBytes(pkMask))
-        b.write(imageBytes(r, cols, pkMask))
+        b.write(imageBytes(r, cols, pkMask, hints))
         sealEvent(tsSec, DELETE_ROWS_V2, seq, b.toByteArray)
       case other => throw new IllegalArgumentException(
         s"cannot render op '$other' as a binlog row event")
@@ -1078,8 +1115,9 @@ object BinlogBinary {
   def renderMinimal(df: DataFrame, cols: Seq[(String, DataType)],
       outDir: String, files: Int = 4, table: String = "orders",
       pkCols: Seq[String] = Seq("okey"),
-      changedCol: String = "_changed"): Unit = {
-    validateCols(cols)
+      changedCol: String = "_changed",
+      hints: Map[String, WireHint] = Map.empty): Unit = {
+    validateCols(cols, hints)
     validateTableName(table)
     require(files >= 1, "at least one binlog file")
     require(pkCols.nonEmpty, "MINIMAL images need at least one PK column")
@@ -1094,6 +1132,7 @@ object BinlogBinary {
     val colsB = cols
     val tableB = table
     val pkIdxB = pkIdx
+    val hintsB = hints
     val ordered = df.select(
       (Seq(col("op"), col("seq"),
         col("ts").cast(TimestampNTZType).as("ts")) ++
@@ -1104,8 +1143,9 @@ object BinlogBinary {
         val out = new java.io.ByteArrayOutputStream()
         out.write(Magic)
         out.write(fdeEvent())
-        out.write(tableMapEvent(tableB, colsB))
-        it.foreach { r => out.write(rowsEventMinimal(r, colsB, pkIdxB)) }
+        out.write(tableMapEvent(tableB, colsB, hints = hintsB))
+        it.foreach { r =>
+          out.write(rowsEventMinimal(r, colsB, pkIdxB, hints = hintsB)) }
         out.write(rotateEvent(f"bin.${pid + 1}%06d"))
         java.nio.file.Files.write(
           java.nio.file.Paths.get(outDir, f"bin.$pid%06d"),
@@ -2251,16 +2291,20 @@ object BinlogBinary {
   private[sources] def streamDecode(spark: SparkSession, dir: String,
       cols: Seq[(String, DataType)],
       requireRotate: Boolean,
-      changedCol: Option[String] = None): DataFrame = {
+      changedCol: Option[String] = None,
+      hints: Map[String, WireHint] = Map.empty): DataFrame = {
+    validateCols(cols, hints)
     val (schema, _) = BinlogText.singleEnvelope(cols, Nil, changedCol,
       textTypes = false)
     val colsB = cols
     val changedB = changedCol
+    val hintsB = hints
     rawStream(spark, dir)
       .select(col("content"), col("path"))
       .flatMap { r =>
         decodeFile(r.getAs[Array[Byte]](0), r.getString(1), colsB,
-          requireRotate = requireRotate, changedCol = changedB)
+          requireRotate = requireRotate, changedCol = changedB,
+          hints = hintsB)
       }(RowEncoder.encoderFor(schema))
       .toDF()
   }

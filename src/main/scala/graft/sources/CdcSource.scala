@@ -103,12 +103,18 @@ final case class BinlogBinaryCdcSource(dir: String,
     /** The MINIMAL-row-image surface ([[BinlogBinary.parse]]'s
       * `changedCol`) — declare it to tail `binlog_row_image=MINIMAL`
       * rotations; without it, partial bitmaps refuse loudly. */
-    changedCol: Option[String] = None) extends CdcSource {
+    changedCol: Option[String] = None,
+    /** Per-column wire hints — the full-type-map surface
+      * ([[BinlogBinary.WireHint]]): ENUM value lists, raw-text
+      * temporal decodes, render disambiguation. */
+    hints: Map[String, BinlogBinary.WireHint] = Map.empty)
+    extends CdcSource {
   override def schema: StructType =
     BinlogText.singleEnvelope(cols, Nil, changedCol,
       textTypes = false)._1
   override def open(spark: SparkSession): DataFrame =
-    BinlogBinary.streamDecode(spark, dir, cols, requireRotate, changedCol)
+    BinlogBinary.streamDecode(spark, dir, cols, requireRotate,
+      changedCol, hints)
 }
 
 /** [[BinlogBinaryCdcSource]] for a MULTI-TABLE raw dump: one tailed
@@ -122,14 +128,17 @@ final case class BinlogBinaryMultiCdcSource(dir: String,
     /** See [[BinlogBinaryCdcSource.requireRotate]]. */
     requireRotate: Boolean = true,
     /** MINIMAL surface — see [[BinlogBinaryCdcSource.changedCol]]. */
-    changedCol: Option[String] = None) extends CdcSource {
+    changedCol: Option[String] = None,
+    /** Per-table wire hints — see [[BinlogBinaryCdcSource.hints]]. */
+    hintsByTable: Map[String, Map[String, BinlogBinary.WireHint]] =
+      Map.empty) extends CdcSource {
   // table column PINNED to "table" — see BinlogTextMultiCdcSource
   private val sd = BinlogText.multiEnvelope(colsByTable,
     tableCol = "table", ignoreTables, changedCol, textTypes = false)
   override def schema: StructType = sd._1
   override def open(spark: SparkSession): DataFrame =
     BinlogBinary.streamDecodeMulti(spark, dir, sd._1, colsByTable,
-      ignoreTables, requireRotate, changedCol)
+      ignoreTables, requireRotate, changedCol, hintsByTable)
 }
 
 /** NON-VERBOSE dump transport as a first-class streaming source: TAIL

@@ -888,6 +888,94 @@ class BinlogBinarySpec extends SparkTestBase {
         s"want=${canon(env)}")
   }
 
+  test("the type surface threads the whole matrix: typed MULTI-TABLE " +
+      "routing, typed MINIMAL images, typed COMPRESSED transactions") {
+    import graft.sources.BinlogBinary.WireHint
+    val t0 = java.time.LocalDateTime.ofEpochSecond(
+      800000000L, 0, java.time.ZoneOffset.UTC)
+    // ── multi-table: one dump, two tables with DIFFERENT typed plans
+    val colsA: Seq[(String, DataType)] = Seq("okey" -> LongType,
+      "tier" -> StringType, "d" -> DateType)
+    val hintsA = Map[String, WireHint](
+      "tier" -> WireHint.Enum(Seq("gold", "silver")))
+    val colsB2: Seq[(String, DataType)] = Seq("okey" -> LongType,
+      "attrs" -> StringType)
+    val hintsB2 = Map[String, WireHint]("attrs" -> WireHint.Json)
+    val dir = tmp()
+    BinlogBinary.writeEvents(s"$dir/b", "bin.000001", Seq(
+      BinlogBinary.tableMapEvent("ta", colsA, tableId = 7L,
+        hints = hintsA),
+      BinlogBinary.rowsEvent(Row("I", 1L, t0, 1L, "silver",
+        java.sql.Date.valueOf("1995-03-14")), colsA, 7L, hintsA),
+      BinlogBinary.tableMapEvent("tb", colsB2, tableId = 9L,
+        hints = hintsB2),
+      BinlogBinary.rowsEvent(Row("I", 2L, t0, 5L, """{"k":7}"""),
+        colsB2, 9L, hintsB2)))
+    val multi = BinlogBinary.parseMulti(spark, s"$dir/b",
+      Map("ta" -> colsA, "tb" -> colsB2),
+      hintsByTable = Map("ta" -> hintsA, "tb" -> hintsB2))
+      .orderBy(col("seq")).collect()
+    assert(multi.length == 2)
+    assert(multi(0).getAs[String]("tier") == "silver" &&
+      multi(0).getAs[java.sql.Date]("d").toString == "1995-03-14")
+    assert(multi(1).getAs[String]("attrs") == """{"k":7}""")
+    // an ENUM table WITHOUT its hint refuses at the TABLE_MAP
+    val e = intercept[Throwable] {
+      BinlogBinary.parseMulti(spark, s"$dir/b",
+        Map("ta" -> colsA, "tb" -> colsB2),
+        hintsByTable = Map("tb" -> hintsB2)).collect()
+    }
+    assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      .contains("WireHint.Enum"))
+    // ── MINIMAL: a typed column rides the changed-only after image
+    val colsM: Seq[(String, DataType)] = Seq("okey" -> LongType,
+      "amount" -> DecimalType(10, 2), "tier" -> StringType)
+    val hintsM = Map[String, WireHint](
+      "tier" -> WireHint.Enum(Seq("gold", "silver")))
+    val schemaM = StructType(Seq(
+      StructField("op", StringType), StructField("seq", LongType),
+      StructField("ts", TimestampNTZType),
+      StructField("okey", LongType),
+      StructField("amount", DecimalType(10, 2)),
+      StructField("tier", StringType),
+      StructField("_changed", ArrayType(StringType))))
+    val envM = spark.createDataFrame(java.util.Arrays.asList(
+      Row("I", 1L, t0, 1L, new java.math.BigDecimal("12.34"), "gold",
+        null),
+      Row("U", 2L, t0, 1L, null, "silver", Seq("tier")),
+      Row("U", 3L, t0, 1L, new java.math.BigDecimal("99.99"), null,
+        Seq("amount"))), schemaM)
+    val dirM = tmp()
+    BinlogBinary.renderMinimal(envM, colsM, s"$dirM/b", files = 1,
+      hints = hintsM)
+    val gotM = BinlogBinary.parse(spark, s"$dirM/b", colsM,
+      changedCol = Some("_changed"), hints = hintsM)
+      .orderBy(col("seq")).collect().map(r =>
+        (r.getString(0), r.getAs[Any]("amount"),
+          r.getAs[Any]("tier"))).toSeq
+    assert(gotM == Seq(
+      ("I", new java.math.BigDecimal("12.34"), "gold"),
+      ("U", null, "silver"),
+      ("U", new java.math.BigDecimal("99.99"), null)), s"got: $gotM")
+    // ── compressed: typed rows inside genuine ZSTD payloads
+    val schemaC = StructType(schemaM.fields.dropRight(1))
+    val envC = spark.createDataFrame(java.util.Arrays.asList(
+      Row("I", 1L, t0, 1L, new java.math.BigDecimal("1.50"), "gold"),
+      Row("U", 2L, t0, 1L, new java.math.BigDecimal("2.50"), "silver")),
+      schemaC)
+    val dirC = tmp()
+    BinlogBinary.renderCompressed(envC, colsM, s"$dirC/b", files = 1,
+      rowsPerTxn = 1, hints = hintsM)
+    val gotC = BinlogBinary.parse(spark, s"$dirC/b", colsM,
+      hints = hintsM).orderBy(col("seq")).collect().map(r =>
+        (r.getString(0), r.getAs[java.math.BigDecimal]("amount"),
+          r.getString(r.fieldIndex("tier")))).toSeq
+    assert(gotC == Seq(
+      ("I", new java.math.BigDecimal("1.50"), "gold"),
+      ("U", new java.math.BigDecimal("2.50"), "silver")), s"got: $gotC")
+  }
+
   test("type-surface refusals: zero dates under DateType, stale ENUM " +
       "value lists, negative TIME, MEDIUMINT/BIT overflow, bad raw " +
       "date text — all by name") {
