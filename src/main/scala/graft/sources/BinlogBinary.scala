@@ -620,9 +620,9 @@ object BinlogBinary {
       require(it != TRANSACTION_PAYLOAD,
         s"$path: nested TRANSACTION_PAYLOAD at payload offset $io — " +
           "the format does not nest; corrupt")
-      refuseUndecodableEvent(it, path, io)
       if (it == WRITE_ROWS_V2 || it == UPDATE_ROWS_V2 ||
-        it == DELETE_ROWS_V2 || it == XID) {
+        it == DELETE_ROWS_V2 || it == PARTIAL_UPDATE_ROWS ||
+        it == XID) {
         require(ipos >= outerPos && ipos >= lastSeqPos,
           s"$path: inner event at payload offset $io carries position " +
             s"$ipos below its TRANSACTION_PAYLOAD wrapper's $outerPos " +
@@ -1036,6 +1036,133 @@ object BinlogBinary {
     sealEvent(tsSec, eventType, seq, b.toByteArray)
   }
 
+  /** One PARTIAL_UPDATE_ROWS event (type 39) — the
+    * `binlog_row_value_options=PARTIAL_JSON` update shape: FULL
+    * before image with the JSON column at its PRE-change document,
+    * then the after image opening with `value_options = 1` and the
+    * partial_bits bitmap, its JSON value a DIFF LIST (op, path,
+    * binary-JSON value) instead of a document. `diffs` entries are
+    * `(op, path, value-text-or-null)`; the fixture's decode applies
+    * them against the before document exactly as a real replica
+    * does. */
+  private[graft] def rowsEventPartialJson(r: Row,
+      cols: Seq[(String, DataType)], jsonIdx: Int, beforeDoc: String,
+      diffs: Seq[(Int, String, Option[String])],
+      hints: Map[String, WireHint],
+      tableId: Long = 108L): Array[Byte] = {
+    val seq = r.getLong(1)
+    val ldt = r.getAs[java.time.LocalDateTime](2)
+    require(ldt.getNano == 0,
+      s"binlog headers are second-granular; event at seq $seq carries " +
+        s"sub-second time ($ldt) the format would silently floor — " +
+        "refuse instead")
+    require(diffs.nonEmpty, "a partial JSON update needs diffs")
+    val tsSec = ldt.toEpochSecond(java.time.ZoneOffset.UTC)
+    val full = Array.fill(cols.length)(true)
+    // the before image: the row's values with the JSON column at its
+    // PRE-change document (other columns ride the after values — only
+    // the JSON before-document is consulted by the diff application)
+    val beforeRow = Row.fromSeq(r.toSeq.updated(3 + jsonIdx, beforeDoc))
+    val diffBytes = {
+      val d = new java.io.ByteArrayOutputStream()
+      diffs.foreach { case (op, p, value) =>
+        require(op >= 0 && op <= 2, s"bad JSON diff op $op")
+        require((op == 2) == value.isEmpty,
+          "REMOVE diffs carry no value; REPLACE/INSERT must")
+        d.write(op)
+        val pb = p.getBytes("UTF-8")
+        packed(d, pb.length.toLong); d.write(pb)
+        value.foreach { vt =>
+          val doc = MySqlJsonb.encode(vt, s"JSON diff value at $p")
+          packed(d, doc.length.toLong); d.write(doc)
+        }
+      }
+      val body = d.toByteArray
+      val out = new java.io.ByteArrayOutputStream()
+      u32(out, body.length.toLong) // the JSON meta's 4-byte length
+      out.write(body)
+      out.toByteArray
+    }
+    val b = new java.io.ByteArrayOutputStream()
+    var tid = tableId
+    (0 until 6).foreach { _ => b.write((tid & 0xff).toInt); tid >>= 8 }
+    u16(b, 1) // flags: STMT_END_F
+    u16(b, 2) // v2 extra-data length
+    packed(b, cols.length.toLong)
+    val present = bitmapBytes(full)
+    b.write(present)
+    b.write(present) // after-image bitmap
+    b.write(imageBytes(beforeRow, cols, full, hints))
+    packed(b, 1L) // value_options: PARTIAL_JSON
+    // partial_bits: one bit per JSON column present in the after image
+    b.write(bitmapBytes(Array(true)))
+    b.write(imageBytes(r, cols, full, hints,
+      overrides = Map(jsonIdx -> diffBytes)))
+    sealEvent(tsSec, PARTIAL_UPDATE_ROWS, seq, b.toByteArray)
+  }
+
+  /** [[render]] with `binlog_row_value_options=PARTIAL_JSON` framing:
+    * update rows whose `diffCol` is non-null render as type-39
+    * PARTIAL_UPDATE_ROWS events — FULL before image carrying
+    * `beforeCol`'s pre-change document, after image shipping the diff
+    * list — everything else renders as plain v2 events. Exactly ONE
+    * Json-hinted column is the diffable surface (the partial_bits
+    * bitmap is per JSON column; one keeps the fixture honest and the
+    * decode exercised). `diffCol` is `array<struct<op int, path
+    * string, value string>>` (value null for REMOVE). */
+  def renderPartialJson(df: DataFrame, cols: Seq[(String, DataType)],
+      outDir: String, files: Int = 4, table: String = "orders",
+      hints: Map[String, WireHint] = Map.empty,
+      beforeCol: String = "_jbefore",
+      diffCol: String = "_jdiff"): Unit = {
+    validateCols(cols, hints)
+    validateTableName(table)
+    require(files >= 1, "at least one binlog file")
+    val jsonCols = cols.zipWithIndex.collect {
+      case ((n, _), i) if hints.get(n).contains(WireHint.Json) => i }
+    require(jsonCols.length == 1,
+      s"renderPartialJson needs exactly one Json-hinted column, got " +
+        s"${jsonCols.length}")
+    val jsonIdx = jsonCols.head
+    clearDir(outDir)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(outDir))
+    val colsB = cols
+    val tableB = table
+    val hintsB = hints
+    val jsonIdxB = jsonIdx
+    val ordered = df.select(
+      (Seq(col("op"), col("seq"),
+        col("ts").cast(TimestampNTZType).as("ts")) ++
+        colsB.map { case (n, _) => col(n) } ++
+        Seq(col(beforeCol), col(diffCol))): _*)
+    ordered.repartition(files).foreachPartition {
+      (it: Iterator[Row]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val out = new java.io.ByteArrayOutputStream()
+        out.write(Magic)
+        out.write(fdeEvent())
+        out.write(tableMapEvent(tableB, colsB, hints = hintsB))
+        val w = 3 + colsB.length
+        it.foreach { r =>
+          val base = Row.fromSeq(r.toSeq.take(w))
+          if (r.getString(0) == "U" && !r.isNullAt(w + 1)) {
+            val diffs = r.getSeq[Row](w + 1).map { d =>
+              (d.getInt(0), d.getString(1),
+                Option(d.getString(2)))
+            }.toSeq
+            out.write(rowsEventPartialJson(base, colsB, jsonIdxB,
+              r.getString(w), diffs, hintsB))
+          } else out.write(rowsEvent(base, colsB, hints = hintsB))
+        }
+        out.write(rotateEvent(f"bin.${pid + 1}%06d"))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(outDir, f"bin.$pid%06d"),
+          out.toByteArray)
+        ()
+    }
+  }
+
   private def bitmapBytes(mask: Array[Boolean]): Array[Byte] = {
     val out = new Array[Byte]((mask.length + 7) / 8)
     mask.indices.foreach(i => if (mask(i))
@@ -1199,19 +1326,23 @@ object BinlogBinary {
     * the MINIMAL renderer masks to PK / changed positions. */
   private def imageBytes(r: Row, cols: Seq[(String, DataType)],
       mask: Array[Boolean],
-      hints: Map[String, WireHint] = Map.empty): Array[Byte] = {
+      hints: Map[String, WireHint] = Map.empty,
+      overrides: Map[Int, Array[Byte]] = Map.empty): Array[Byte] = {
     import WireHint._
     val b = new java.io.ByteArrayOutputStream()
     val presentIdx = cols.indices.filter(mask(_)).toArray
     val nulls = new Array[Byte]((presentIdx.length + 7) / 8)
     presentIdx.zipWithIndex.foreach { case (ci, pj) =>
-      if (r.isNullAt(ci + 3)) nulls(pj / 8) =
+      if (r.isNullAt(ci + 3) && !overrides.contains(ci)) nulls(pj / 8) =
         (nulls(pj / 8) | (1 << (pj % 8))).toByte
     }
     b.write(nulls)
     presentIdx.foreach { i =>
       val (n, t) = cols(i)
-      if (!r.isNullAt(i + 3)) (t, hints.get(n)) match {
+      // pre-encoded value bytes (the partial-JSON renderer's diff
+      // lists) bypass the per-type encoding
+      if (overrides.contains(i)) b.write(overrides(i))
+      else if (!r.isNullAt(i + 3)) (t, hints.get(n)) match {
         case (LongType, Some(SetBits(m))) =>
           val v = r.getLong(i + 3)
           require(v >= 0 && (m == 64 || v < (1L << m)),
@@ -1573,7 +1704,6 @@ object BinlogBinary {
       require(size >= HeaderLen && o + size <= bytes.length,
         s"$path: event at offset $o declares size $size beyond the " +
           s"file's ${bytes.length} bytes — truncated or corrupt")
-      refuseUndecodableEvent(eventType, path, o)
       // MariaDB binlog_encryption=ON announces itself mid-stream: a
       // START_ENCRYPTION event, after which every byte is ciphertext.
       // Skipping it (the unknown-type rule) would surface the
@@ -1626,21 +1756,11 @@ object BinlogBinary {
     lastType
   }
 
-  /** Event types that carry ROW DATA this decoder cannot yet
-    * represent — skipping them (the unknown-type rule for bookkeeping
-    * events) would silently lose changes, so they refuse by name with
-    * the server setting to flip. One rule for the outer walk and the
-    * payload-inner walk: a compressed transaction can carry the same
-    * events. */
-  private def refuseUndecodableEvent(eventType: Int, path: String,
-      off: Int): Unit =
-    require(eventType != PARTIAL_UPDATE_ROWS,
-      s"$path: PARTIAL_UPDATE_ROWS event at offset $off — " +
-        "binlog_row_value_options=PARTIAL_JSON ships JSON diffs, not " +
-        "full after-images, and applying a partial document as the " +
-        "full value silently diverges the replica; re-dump with " +
-        "binlog_row_value_options='' (empty) to carry full JSON " +
-        "images")
+  // (PARTIAL_UPDATE_ROWS — binlog_row_value_options=PARTIAL_JSON —
+  // decodes for real as of round 19: the event carries before+after
+  // image pairs, and the JSON diffs apply against the before image's
+  // own document at decode, exactly how mysqlbinlog resolves them.
+  // See the PARTIAL_UPDATE_ROWS branch of the routed decode.)
 
   /** Row-event decode over [[walkEvents]]. `emitMarkers` additionally
     * surfaces each Xid event as an `op = "C"` commit-marker row (seq =
@@ -1832,7 +1952,8 @@ object BinlogBinary {
               tableMaps += tid ->
                 Some((table, cols, WireCols(types, metas), hints))
           }
-        case WRITE_ROWS_V2 | UPDATE_ROWS_V2 | DELETE_ROWS_V2 =>
+        case WRITE_ROWS_V2 | UPDATE_ROWS_V2 | DELETE_ROWS_V2 |
+          PARTIAL_UPDATE_ROWS =>
           val c = new Cursor(src, o + HeaderLen, bodyEnd,
             s"$path row event at $o")
           c.need(6)
@@ -1846,6 +1967,8 @@ object BinlogBinary {
           routed match {
             case None => () // declared-skipped table; size-addressed jump
             case Some((table, cols, wire, hints)) =>
+              val isUpdate = eventType == UPDATE_ROWS_V2 ||
+                eventType == PARTIAL_UPDATE_ROWS
               c.skip(6); c.skip(2) // table_id, flags
               val extraLen = c.u16()
               require(extraLen >= 2,
@@ -1857,11 +1980,11 @@ object BinlogBinary {
                   s"${cols.length}")
               val present1 = readBitmap(c, n)
               val present2 =
-                if (eventType == UPDATE_ROWS_V2) readBitmap(c, n)
+                if (isUpdate) readBitmap(c, n)
                 else present1
               val op = eventType match {
                 case WRITE_ROWS_V2 => "I"
-                case UPDATE_ROWS_V2 => "U"
+                case UPDATE_ROWS_V2 | PARTIAL_UPDATE_ROWS => "U"
                 case _ => "D"
               }
               if (!minimal)
@@ -1908,9 +2031,32 @@ object BinlogBinary {
               while (c.o < c.end) {
                 val first = readImage(c, cols, wire, present1, hints)
                 val replicating =
-                  if (eventType != UPDATE_ROWS_V2) first
+                  if (!isUpdate) first
                   else {
-                    val second = readImage(c, cols, wire, present2, hints)
+                    // PARTIAL_UPDATE_ROWS (binlog_row_value_options=
+                    // PARTIAL_JSON): the after image opens with a
+                    // packed value_options field; when its
+                    // PARTIAL_JSON bit is set, a partial_bits bitmap
+                    // (one bit per JSON column present in the after
+                    // image, in column order) marks which JSON values
+                    // arrive as DIFF LISTS instead of documents —
+                    // applied here against the BEFORE image's own
+                    // document (the pair the event itself carries)
+                    val partialJson: Set[Int] =
+                      if (eventType != PARTIAL_UPDATE_ROWS) Set.empty
+                      else {
+                        val vo = c.packed()
+                        if ((vo & 1L) == 0) Set.empty
+                        else {
+                          val jsonCols = cols.indices.filter(i =>
+                            present2(i) && wire.types(i) == T_JSON)
+                          val bits = readBitmap(c, jsonCols.length)
+                          jsonCols.zipWithIndex.collect {
+                            case (ci, bi) if bits(bi) => ci }.toSet
+                        }
+                      }
+                    val second = readImage(c, cols, wire, present2,
+                      hints, partialJson, first, path)
                     if (!minimal) second // FULL: the after image wins
                     else
                       // MINIMAL update: the after image carries only
@@ -2346,7 +2492,9 @@ object BinlogBinary {
     * TABLE_MAP). */
   private def readImage(c: Cursor, cols: Seq[(String, DataType)],
       wire: WireCols, present: Array[Boolean],
-      hints: Map[String, WireHint]): Seq[Any] = {
+      hints: Map[String, WireHint],
+      partialJson: Set[Int] = Set.empty,
+      before: Seq[Any] = Nil, path: String = ""): Seq[Any] = {
     import WireHint._
     val presentIdx = present.zipWithIndex.filter(_._1).map(_._2)
     val nullBits = readBitmap(c, presentIdx.length)
@@ -2464,6 +2612,48 @@ object BinlogBinary {
             c.need(len)
             val v = java.util.Arrays.copyOfRange(c.b, c.o, c.o + len)
             c.o += len; v
+          case T_JSON if partialJson.contains(ci) =>
+            // a DIFF LIST, not a document: ops applied against the
+            // BEFORE image's own value — which must therefore BE a
+            // document (a MINIMAL before image without it has nothing
+            // to patch; refuse rather than fabricate)
+            val len = readLenByWidth(c, wire.metas(ci))
+            val end = c.o + len
+            c.need(len)
+            val diffs = Vector.newBuilder[(Int, String,
+              Option[Array[Byte]])]
+            while (c.o < end) {
+              val dop = c.u8()
+              val plen = c.packed().toInt
+              c.need(plen)
+              val p = new String(c.b, c.o, plen, "UTF-8")
+              c.o += plen
+              val value =
+                if (dop == 2) None // REMOVE carries no value
+                else {
+                  val vlen = c.packed().toInt
+                  c.need(vlen)
+                  val v = java.util.Arrays.copyOfRange(c.b, c.o,
+                    c.o + vlen)
+                  c.o += vlen
+                  Some(v)
+                }
+              diffs += ((dop, p, value))
+            }
+            require(c.o == end,
+              s"$path: JSON diff list for '$name' overruns its " +
+                "declared length — corrupt")
+            val base = before.lift(ci).orNull match {
+              case s: String => s
+              case _ => throw new IllegalArgumentException(
+                s"$path: partial JSON update for '$name' but the " +
+                  "before image carries no document to patch " +
+                  "(binlog_row_image=MINIMAL with PARTIAL_JSON is " +
+                  "undecodable without destination state) — dump " +
+                  "with binlog_row_image=FULL")
+            }
+            MySqlJsonb.applyDiffsToText(base, diffs.result(),
+              s"JSON column '$name'")
           case T_JSON =>
             val len = readLenByWidth(c, wire.metas(ci))
             c.need(len)

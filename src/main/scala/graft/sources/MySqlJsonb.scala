@@ -211,6 +211,185 @@ object MySqlJsonb {
     ()
   }
 
+  // ── JSON DIFF application (binlog_row_value_options=PARTIAL_JSON) ──
+  // A PARTIAL_UPDATE_ROWS event ships a JSON column's change as a
+  // diff list instead of the full after-document: operations REPLACE
+  // (0), INSERT (1), REMOVE (2), each with a JSON path into the
+  // BEFORE document and (for non-REMOVE) a binary JSON value. The
+  // server only emits diffs that are valid against the before image,
+  // so a path that does not resolve is corruption — refused by name,
+  // never skipped (a half-applied document is a silently diverged
+  // replica).
+
+  /** Apply a diff list to a document's TEXT form (the envelope's JSON
+    * surface): parse → navigate each path → mutate → re-serialize
+    * compact. `diffs` are `(op, path, value-doc-bytes)`; REPLACE
+    * requires the path to exist, INSERT requires the final member/
+    * element slot to be free (an array index equal to the length
+    * appends — MySQL's JSON_INSERT rule), REMOVE requires existence
+    * and refuses `$` (a whole-document change is a plain update, not
+    * a diff). */
+  def applyDiffsToText(baseText: String,
+      diffs: Seq[(Int, String, Option[Array[Byte]])],
+      what: String): String = {
+    var doc = {
+      val (v, rest) = parseValue(baseText, skipWs(baseText, 0), what)
+      require(skipWs(baseText, rest) == baseText.length,
+        s"$what: trailing garbage after the base JSON document")
+      v
+    }
+    diffs.foreach { case (op, path, valueBytes) =>
+      val segs = parsePath(path, what)
+      val value = valueBytes.map { b =>
+        require(b.nonEmpty, s"$what: empty diff value document")
+        readValue(b, 1, b.length, b(0) & 0xff, what)
+      }
+      op match {
+        case 0 => // REPLACE
+          doc = mutate(doc, segs, what) { existing =>
+            require(existing.isDefined,
+              s"$what: REPLACE diff path '$path' does not resolve in " +
+                "the before document — the diff does not match the " +
+                "image it claims to patch; the event is corrupt")
+            value
+          }
+        case 1 => // INSERT
+          doc = mutate(doc, segs, what) { existing =>
+            require(existing.isEmpty,
+              s"$what: INSERT diff path '$path' already exists in the " +
+                "before document — the diff does not match the image; " +
+                "corrupt")
+            value
+          }
+        case 2 => // REMOVE
+          require(valueBytes.isEmpty,
+            s"$what: REMOVE diff carries a value — corrupt")
+          doc = mutate(doc, segs, what) { existing =>
+            require(existing.isDefined,
+              s"$what: REMOVE diff path '$path' does not resolve in " +
+                "the before document — corrupt")
+            None
+          }
+        case other => throw new IllegalArgumentException(
+          s"$what: unknown JSON diff operation $other (0=REPLACE, " +
+            "1=INSERT, 2=REMOVE) — refuse rather than guess")
+      }
+    }
+    val sb = new StringBuilder
+    writeText(doc, sb)
+    sb.result()
+  }
+
+  /** A JSON path's segments: `$` then `.member` (bare or
+    * double-quoted) / `[index]` steps — the exact-location grammar
+    * the server's diff paths use (no wildcards). */
+  private sealed trait Seg
+  private final case class Member(name: String) extends Seg
+  private final case class Elem(i: Int) extends Seg
+
+  private def parsePath(path: String, what: String): List[Seg] = {
+    require(path.nonEmpty && path(0) == '$',
+      s"$what: JSON diff path '$path' does not start at '$$'")
+    var i = 1
+    val segs = List.newBuilder[Seg]
+    while (i < path.length) path(i) match {
+      case '.' =>
+        i += 1
+        if (i < path.length && path(i) == '"') {
+          val (name, i2) = parseString(path, i, what)
+          segs += Member(name)
+          i = i2
+        } else {
+          val start = i
+          while (i < path.length && path(i) != '.' && path(i) != '[')
+            i += 1
+          require(i > start,
+            s"$what: empty member name in JSON diff path '$path'")
+          segs += Member(path.substring(start, i))
+        }
+      case '[' =>
+        val end = path.indexOf(']', i)
+        require(end > i + 1,
+          s"$what: malformed array step in JSON diff path '$path'")
+        val idx = path.substring(i + 1, end).trim.toIntOption
+          .getOrElse(throw new IllegalArgumentException(
+            s"$what: non-numeric array index in JSON diff path '$path'"))
+        require(idx >= 0, s"$what: negative index in path '$path'")
+        segs += Elem(idx)
+        i = end + 1
+      case c => throw new IllegalArgumentException(
+        s"$what: unexpected '$c' in JSON diff path '$path'")
+    }
+    segs.result()
+  }
+
+  /** Navigate to `segs`' final slot and transform it: `f` receives
+    * the existing value (None if the slot is empty) and returns the
+    * new value (None = remove). INTERMEDIATE steps must resolve —
+    * the server never emits a diff into a non-existent container. */
+  private def mutate(doc: JVal, segs: List[Seg], what: String)(
+      f: Option[JVal] => Option[JVal]): JVal = segs match {
+    case Nil =>
+      f(Some(doc)).getOrElse(throw new IllegalArgumentException(
+        s"$what: a JSON diff cannot remove the whole document — a " +
+          "full-document change ships as a plain update"))
+    case Member(name) :: rest => doc match {
+      case JObj(fields) =>
+        val i = fields.indexWhere(_._1 == name)
+        if (rest.isEmpty) {
+          val existing = if (i >= 0) Some(fields(i)._2) else None
+          f(existing) match {
+            case Some(nv) =>
+              if (i >= 0) JObj(fields.updated(i, name -> nv))
+              // new members keep the canonical (length, bytes) order
+              else JObj((fields :+ (name -> nv)).sortBy { case (k, _) =>
+                (k.getBytes("UTF-8").length, k) })
+            case None =>
+              require(i >= 0, s"$what: unreachable")
+              JObj(fields.patch(i, Nil, 1))
+          }
+        } else {
+          require(i >= 0,
+            s"$what: JSON diff path steps through missing member " +
+              s"'$name' — the diff does not match the before document")
+          JObj(fields.updated(i, name -> mutate(fields(i)._2, rest,
+            what)(f)))
+        }
+      case _ => throw new IllegalArgumentException(
+        s"$what: JSON diff path steps into member '$name' of a " +
+          "non-object — the diff does not match the before document")
+    }
+    case Elem(idx) :: rest => doc match {
+      case JArr(items) =>
+        if (rest.isEmpty) {
+          val existing = if (idx < items.length) Some(items(idx)) else None
+          f(existing) match {
+            case Some(nv) =>
+              if (idx < items.length) JArr(items.updated(idx, nv))
+              else {
+                // INSERT past the end appends (MySQL's rule); a gap
+                // would fabricate elements the server never wrote
+                require(idx == items.length,
+                  s"$what: JSON diff inserts at index $idx of a " +
+                    s"${items.length}-element array — a gap; corrupt")
+                JArr(items :+ nv)
+              }
+            case None =>
+              require(idx < items.length, s"$what: unreachable")
+              JArr(items.patch(idx, Nil, 1))
+          }
+        } else {
+          require(idx < items.length,
+            s"$what: JSON diff path steps through missing element " +
+              s"[$idx] — the diff does not match the before document")
+          JArr(items.updated(idx, mutate(items(idx), rest, what)(f)))
+        }
+      case _ => throw new IllegalArgumentException(
+        s"$what: JSON diff path steps into element [$idx] of a " +
+          "non-array — the diff does not match the before document")
+    }
+  }
+
   // ── encode: text → binary document (the fixture renderer) ────────
 
   /** Encode JSON text as one binary document. Object keys re-sort by

@@ -4366,6 +4366,48 @@ object StreamingOps {
     // pipeline, one oracle, two transports: the envelope feed
     // (cdc_type_surface) and this wire decode must hash-match the
     // same SQL.
+    // S-BINLOG-PARTIAL-JSON: binlog_row_value_options=PARTIAL_JSON —
+    // MySQL 8 ships a JSON column's change as a DIFF LIST (REPLACE/
+    // INSERT/REMOVE ops with paths into the before document) inside
+    // PARTIAL_UPDATE_ROWS events instead of the full after-image.
+    // The fixture renders the typed log's update wave as genuine
+    // type-39 events (before image carrying the insert-wave document,
+    // after image carrying `REPLACE $.src "binlog"` as wire diffs);
+    // the decoder applies each diff against the before image's OWN
+    // document — the pair the event itself carries — so the decoded
+    // envelope is bit-identical to the full-image feeds and the SAME
+    // typeSurfaceSql oracle gates all three: envelope, full-image
+    // wire, partial-JSON wire.
+    "cdc_binlog_binary_partial_json" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{DecimalType, LongType}
+      import graft.sources.BinlogBinary.WireHint
+      val log = Tables.cdcLogTyped(s, dir)
+      val cols: BCols = Seq("okey" -> LongType, "price" -> DoubleType,
+        "status" -> StringType, "amount" -> DecimalType(12, 2),
+        "big_id" -> DecimalType(20, 0), "tier" -> StringType,
+        "attrs" -> StringType)
+      val hints = Map[String, WireHint](
+        "tier" -> WireHint.Enum(
+          Seq("gold", "silver", "bronze", "platinum")),
+        "attrs" -> WireHint.Json)
+      // update wave: before doc = the insert wave's attrs; the change
+      // ships as one REPLACE diff on $.src
+      val diffT = "array<struct<op:int,path:string,value:string>>"
+      val withDiffs = log
+        .withColumn("_jbefore", when(col("op") === "U",
+          concat(lit("{\"k\":"), (col("okey") % 10).cast(StringType),
+            lit(",\"src\":\"mysql\"}"))))
+        .withColumn("_jdiff", when(col("op") === "U",
+          array(struct(lit(0).as("op"), lit("$.src").as("path"),
+            lit("\"binlog\"").as("value")))).otherwise(
+          lit(null).cast(diffT)))
+      val tmp = tmpDir()
+      graft.sources.BinlogBinary.renderPartialJson(withDiffs, cols,
+        s"$tmp/binlog", files = 4, hints = hints)
+      typeSurfacePipeline(s, graft.sources.BinlogBinary.parse(
+        s, s"$tmp/binlog", cols, hints = hints))
+    }),
+
     "cdc_binlog_binary_types" -> ((s, dir) => {
       import org.apache.spark.sql.types.{DecimalType, LongType}
       import graft.sources.BinlogBinary.WireHint
@@ -6266,6 +6308,7 @@ object StreamingOps {
     // cast, the unsigned id as its full-precision digit string.
     "cdc_type_surface" -> typeSurfaceSql,
     "cdc_binlog_binary_types" -> typeSurfaceSql,
+    "cdc_binlog_binary_partial_json" -> typeSurfaceSql,
     "cdc_type_temporal" -> typeTemporalSql,
     "cdc_binlog_binary_temporal" -> typeTemporalSql,
     "cdc_type_exotic" -> typeExoticSql,

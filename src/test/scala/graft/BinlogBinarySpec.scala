@@ -1182,36 +1182,66 @@ class BinlogBinarySpec extends SparkTestBase {
       msg2.contains("binlog_encryption"), s"got: $msg2")
   }
 
-  test("PARTIAL_UPDATE_ROWS (binlog_row_value_options=PARTIAL_JSON) " +
-      "refuses by name — a JSON diff applied as a full value is a " +
-      "silently diverged replica — outside AND inside a compressed " +
-      "transaction") {
+  test("PARTIAL_JSON (binlog_row_value_options): type-39 updates " +
+      "apply REPLACE/INSERT/REMOVE diffs against the before image's " +
+      "own document; a diff that does not match the image refuses") {
+    import graft.sources.BinlogBinary.WireHint
+    val colsJ: Seq[(String, DataType)] = Seq("okey" -> LongType,
+      "attrs" -> StringType)
+    val hintsJ = Map[String, WireHint]("attrs" -> WireHint.Json)
+    val t0 = java.time.LocalDateTime.ofEpochSecond(
+      800000000L, 0, java.time.ZoneOffset.UTC)
+    def pj(seq: Long, before: String, after: String,
+        diffs: Seq[(Int, String, Option[String])]) =
+      BinlogBinary.rowsEventPartialJson(
+        Row("U", seq, t0, 1L, after), colsJ, jsonIdx = 1,
+        beforeDoc = before, diffs = diffs, hints = hintsJ)
     val dir = tmp()
     BinlogBinary.writeEvents(s"$dir/b", "bin.000001", Seq(
-      BinlogBinary.tableMapEvent("orders", cols),
-      BinlogBinary.sealEvent(800000000L, 39, 30L,
-        Array.fill[Byte](24)(1))))
-    val e = intercept[Throwable] {
-      BinlogBinary.parse(spark, s"$dir/b", cols).collect()
-    }
-    val msg = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
-      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
-    assert(msg.contains("PARTIAL_UPDATE_ROWS") &&
-      msg.contains("PARTIAL_JSON"), s"got: $msg")
-    // the same event INSIDE a TRANSACTION_PAYLOAD refuses identically
-    // (one rule, both walks)
+      BinlogBinary.tableMapEvent("t", colsJ, hints = hintsJ),
+      // REPLACE a member, nested path
+      pj(1L, """{"k":3,"src":"mysql","deep":{"f":1,"arr":[1,2]}}""",
+        "ignored",
+        Seq((0, "$.src", Some("\"binlog\"")),
+          (0, "$.deep.arr[1]", Some("9")))),
+      // INSERT a new member + REMOVE an element in one event
+      pj(2L, """{"k":3,"arr":[1,2,3]}""", "ignored",
+        Seq((1, "$.note", Some("\"n\"")), (2, "$.arr[0]", None)))))
+    val got = BinlogBinary.parse(spark, s"$dir/b", colsJ,
+      hints = hintsJ).orderBy(col("seq")).collect()
+      .map(_.getString(4)).toSeq
+    assert(got == Seq(
+      """{"k":3,"src":"binlog","deep":{"f":1,"arr":[1,9]}}""",
+      """{"k":3,"arr":[2,3],"note":"n"}"""), s"got: $got")
+    // a REPLACE whose path misses the before document refuses by name
     val dir2 = tmp()
     BinlogBinary.writeEvents(s"$dir2/b", "bin.000001", Seq(
-      BinlogBinary.payloadEvent(10L, 800000000L, Seq(
-        BinlogBinary.withoutCrc(BinlogBinary.tableMapEvent("t", cols)),
-        BinlogBinary.withoutCrc(BinlogBinary.sealEvent(
-          800000000L, 39, 30L, Array.fill[Byte](24)(1)))))))
+      BinlogBinary.tableMapEvent("t", colsJ, hints = hintsJ),
+      pj(1L, """{"k":3}""", "ignored",
+        Seq((0, "$.missing", Some("1"))))))
+    val e = intercept[Throwable] {
+      BinlogBinary.parse(spark, s"$dir2/b", colsJ, hints = hintsJ)
+        .collect()
+    }
+    assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      .contains("does not resolve"))
+    // a NULL before image (the MINIMAL + PARTIAL_JSON composition)
+    // has nothing to patch — refuse naming the row-image setting
+    val dir3 = tmp()
+    BinlogBinary.writeEvents(s"$dir3/b", "bin.000001", Seq(
+      BinlogBinary.tableMapEvent("t", colsJ, hints = hintsJ),
+      BinlogBinary.rowsEventPartialJson(
+        Row("U", 1L, t0, 1L, "ignored"), colsJ, jsonIdx = 1,
+        beforeDoc = null, diffs = Seq((0, "$.k", Some("1"))),
+        hints = hintsJ)))
     val e2 = intercept[Throwable] {
-      BinlogBinary.parse(spark, s"$dir2/b", cols).collect()
+      BinlogBinary.parse(spark, s"$dir3/b", colsJ, hints = hintsJ)
+        .collect()
     }
     assert(Iterator.iterate(e2)(_.getCause).takeWhile(_ != null)
       .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
-      .contains("PARTIAL_UPDATE_ROWS"))
+      .contains("no document to patch"))
   }
 
   test("verifyRotationChain ignores non-numeric suffixes: a stray " +
