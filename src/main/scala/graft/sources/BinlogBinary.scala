@@ -148,6 +148,15 @@ object BinlogBinary {
     /** A DATETIME(0) column decoding to its RAW TEXT form
       * (`yyyy-MM-dd HH:mm:ss`, zero as `0000-00-00 00:00:00`). */
     case object DateTimeText extends WireHint
+    /** An UNSIGNED MySQL integer column, declared as the NEXT-WIDER
+      * Spark type that can hold its range: `TINYINT UNSIGNED` →
+      * ShortType, `SMALLINT UNSIGNED` → IntegerType, `INT UNSIGNED`
+      * → LongType, `BIGINT UNSIGNED` → DecimalType(20, 0) (2^64−1
+      * does not fit a signed long — the parquet/Spark UINT64
+      * convention). The render side sets the TABLE_MAP's SIGNEDNESS
+      * optional-metadata bit; the decode side is metadata-driven and
+      * needs no hint. */
+    case object Unsigned extends WireHint
   }
 
   /** Decode a directory of raw binlog files into the envelope
@@ -527,6 +536,12 @@ object BinlogBinary {
             s"CHAR hint for '$n' must declare 1..255 bytes, got $l")
           true
         case (StringType, Some(DateText) | Some(DateTimeText)) => true
+        case (ShortType | IntegerType | LongType, Some(Unsigned)) => true
+        case (d: DecimalType, Some(Unsigned)) =>
+          require(d.precision == 20 && d.scale == 0,
+            s"BIGINT UNSIGNED '$n' must declare DecimalType(20, 0) — " +
+              "the UINT64 convention — not " + d.simpleString)
+          true
         case _ => false
       }
       require(ok,
@@ -986,6 +1001,7 @@ object BinlogBinary {
         case (TimestampNTZType, _) | (TimestampType, _) =>
           meta.write(6) // fsp: microseconds
         case (IntegerType, Some(TimeSeconds)) => meta.write(0) // fsp 0
+        case (_: DecimalType, Some(Unsigned)) => () // BIGINT UNSIGNED
         case (d: DecimalType, _) =>
           meta.write(d.precision); meta.write(d.scale)
         case _ => () // TINY/SHORT/INT24/LONG/LONGLONG/YEAR/DATE: none
@@ -996,8 +1012,52 @@ object BinlogBinary {
     b.write(mb)
     // null bits: every column nullable (the envelope's own posture)
     b.write(Array.fill[Byte]((cols.length + 7) / 8)(0xff.toByte))
+    // OPTIONAL METADATA (MySQL 8.0.1+, binlog_row_metadata): TLV
+    // fields after the null bits. Emitted here: SIGNEDNESS (every
+    // numeric column's bit, MSB-first — what makes UNSIGNED decode
+    // possible at all), COLUMN_NAME (per-column names, letting the
+    // decoder validate declarations by NAME, not just position), and
+    // ENUM_STR_VALUE for hinted ENUM columns (a self-describing dump
+    // needs no value-list hint at decode).
+    val wireTypes = cols.map { case (n, t) => wireType(t, hints.get(n)) }
+    val numericIdx = cols.indices.filter(i =>
+      NumericWireTypes.contains(wireTypes(i)))
+    if (numericIdx.nonEmpty) {
+      val bits = new Array[Byte]((numericIdx.length + 7) / 8)
+      numericIdx.zipWithIndex.foreach { case (ci, bi) =>
+        if (hints.get(cols(ci)._1).contains(WireHint.Unsigned))
+          bits(bi / 8) = (bits(bi / 8) | (0x80 >> (bi % 8))).toByte
+      }
+      b.write(1); packed(b, bits.length.toLong); b.write(bits)
+    }
+    val names = new java.io.ByteArrayOutputStream()
+    cols.foreach { case (n, _) =>
+      val nb = n.getBytes("UTF-8")
+      packed(names, nb.length.toLong); names.write(nb)
+    }
+    b.write(4); packed(b, names.size.toLong); b.write(names.toByteArray)
+    val enumCols = cols.collect {
+      case (n, _) if hints.get(n).exists(_.isInstanceOf[WireHint.Enum]) =>
+        hints(n).asInstanceOf[WireHint.Enum].values
+    }
+    if (enumCols.nonEmpty) {
+      val ev = new java.io.ByteArrayOutputStream()
+      enumCols.foreach { vs =>
+        packed(ev, vs.length.toLong)
+        vs.foreach { v =>
+          val vb = v.getBytes("UTF-8")
+          packed(ev, vb.length.toLong); ev.write(vb)
+        }
+      }
+      b.write(6); packed(b, ev.size.toLong); b.write(ev.toByteArray)
+    }
     sealEvent(tsSec, TABLE_MAP, 0L, b.toByteArray)
   }
+
+  /** Wire types that own a SIGNEDNESS bit in the optional metadata
+    * (the server's is_numeric_type set). */
+  private val NumericWireTypes = Set(T_TINY, T_SHORT, T_INT24, T_LONG,
+    T_LONGLONG, T_FLOAT, T_DOUBLE, T_NEWDECIMAL)
 
   /** One row event from one envelope row (op, seq, ts_us, values…).
     * Updates write (before == after) image pairs — FULL-image fixture
@@ -1355,9 +1415,22 @@ object BinlogBinary {
           require(v >= 0 && (bits == 64 || v < (1L << bits)),
             s"BIT value $v for '$n' overflows BIT($bits)")
           writeBe(b, v, (bits + 7) / 8)
+        case (LongType, Some(Unsigned)) =>
+          val v = r.getLong(i + 3)
+          require(v >= 0 && v <= 0xffffffffL,
+            s"value $v for '$n' overflows INT UNSIGNED — refuse " +
+              "instead of truncating")
+          var x = v
+          (0 until 4).foreach { _ => b.write((x & 0xff).toInt); x >>= 8 }
         case (LongType, _) =>
           var v = r.getLong(i + 3)
           (0 until 8).foreach { _ => b.write((v & 0xff).toInt); v >>= 8 }
+        case (IntegerType, Some(Unsigned)) =>
+          val v = r.getInt(i + 3)
+          require(v >= 0 && v <= 0xffff,
+            s"value $v for '$n' overflows SMALLINT UNSIGNED — refuse " +
+              "instead of truncating")
+          b.write(v & 0xff); b.write((v >> 8) & 0xff)
         case (IntegerType, Some(TimeSeconds)) =>
           val s = r.getInt(i + 3)
           // the TIME wire names at most 838:59:59; the Int32 mapping
@@ -1382,6 +1455,12 @@ object BinlogBinary {
           require(y == 0 || (y >= 1901 && y <= 2155),
             s"YEAR value $y for '$n' is outside 1901..2155 (or 0)")
           b.write(if (y == 0) 0 else y - 1900)
+        case (ShortType, Some(Unsigned)) =>
+          val v = r.getShort(i + 3).toInt
+          require(v >= 0 && v <= 0xff,
+            s"value $v for '$n' overflows TINYINT UNSIGNED — refuse " +
+              "instead of truncating")
+          b.write(v)
         case (ShortType, _) =>
           val v = r.getShort(i + 3).toInt
           b.write(v & 0xff); b.write((v >> 8) & 0xff)
@@ -1480,6 +1559,13 @@ object BinlogBinary {
               s"epoch seconds ($sec) — refuse instead of truncating")
           writeBe(b, sec, 4)
           writeFrac(b, micros, 6)
+        case (_: DecimalType, Some(Unsigned)) =>
+          val bi = r.getDecimal(i + 3).toBigInteger
+          require(bi.signum() >= 0 && bi.bitLength() <= 64,
+            s"value $bi for '$n' is outside BIGINT UNSIGNED's " +
+              "0..2^64-1 — refuse instead of truncating")
+          var v = bi.longValue() // the low 64 bits ARE the value
+          (0 until 8).foreach { _ => b.write((v & 0xff).toInt); v >>= 8 }
         case (d: DecimalType, _) =>
           b.write(encodeDecimal(r.getDecimal(i + 3), d.precision, d.scale))
         case (other, h) => throw new IllegalArgumentException(
@@ -1494,12 +1580,16 @@ object BinlogBinary {
     (t, hint) match {
       case (LongType, Some(SetBits(_))) => T_STRING // ENUM/SET carrier
       case (LongType, Some(Bit(_))) => T_BIT
+      case (LongType, Some(Unsigned)) => T_LONG // INT UNSIGNED
       case (LongType, _) => T_LONGLONG
       case (IntegerType, Some(TimeSeconds)) => T_TIME2
       case (IntegerType, Some(MediumInt)) => T_INT24
+      case (IntegerType, Some(Unsigned)) => T_SHORT // SMALLINT UNSIGNED
       case (IntegerType, _) => T_LONG
       case (ShortType, Some(Year)) => T_YEAR
+      case (ShortType, Some(Unsigned)) => T_TINY // TINYINT UNSIGNED
       case (ShortType, _) => T_SHORT
+      case (d: DecimalType, Some(Unsigned)) => T_LONGLONG // BIGINT UNSIGNED
       case (ByteType, _) => T_TINY
       case (FloatType, _) => T_FLOAT
       case (DoubleType, _) => T_DOUBLE
@@ -1648,8 +1738,16 @@ object BinlogBinary {
   }
 
   /** One declared table's wire decode plan, validated against the
-    * TABLE_MAP the file itself carries. */
-  private final case class WireCols(types: Array[Int], metas: Array[Int])
+    * TABLE_MAP the file itself carries. `unsigned` comes from the
+    * SIGNEDNESS optional metadata (all-signed when absent — the
+    * pre-8.0.1 shape); `enumVals` per column from the ENUM_STR_VALUE
+    * metadata or the caller's hint. */
+  private final case class WireCols(types: Array[Int], metas: Array[Int],
+      unsigned: Array[Boolean] = Array.empty,
+      enumVals: Map[Int, Seq[String]] = Map.empty) {
+    def isUnsigned(i: Int): Boolean =
+      unsigned.nonEmpty && unsigned(i)
+  }
 
   /** Unfold a STRING-slot column's 2-byte metadata: ENUM/SET ride the
     * STRING wire type with their REAL type in the first metadata byte
@@ -1894,18 +1992,117 @@ object BinlogBinary {
                 s"$path: TABLE_MAP metadata length $metaLen does not " +
                   "match its types — corrupt or an unsupported type's " +
                   "metadata")
+              // OPTIONAL METADATA (8.0.1+ TLV after the null bits):
+              // SIGNEDNESS drives the unsigned decode, COLUMN_NAME
+              // upgrades validation from positional to by-name,
+              // ENUM_STR_VALUE makes the dump self-describing (no
+              // value-list hint needed). Unknown fields length-skip —
+              // the format's own forward-compat rule.
+              c.skip((n + 7) / 8) // null bits (decode-irrelevant here)
+              var unsignedBits = Array.empty[Boolean]
+              var wireNames = Seq.empty[String]
+              var wireEnumLists = Vector.empty[Seq[String]]
+              while (c.o < c.end) {
+                val ft = c.u8()
+                val flen = c.packed().toInt
+                val fend = c.o + flen
+                c.need(flen)
+                ft match {
+                  case 1 => // SIGNEDNESS: MSB-first bit per numeric col
+                    val bytes = java.util.Arrays.copyOfRange(
+                      c.b, c.o, fend)
+                    val numCount = types.count(NumericWireTypes.contains)
+                    require(bytes.length == (numCount + 7) / 8,
+                      s"$path: SIGNEDNESS metadata carries " +
+                        s"${bytes.length} bytes for $numCount numeric " +
+                        "columns — corrupt")
+                    unsignedBits = Array.tabulate(numCount)(bi =>
+                      (bytes(bi / 8) & (0x80 >> (bi % 8))) != 0)
+                  case 4 => // COLUMN_NAME
+                    val names = Vector.newBuilder[String]
+                    while (c.o < fend) {
+                      val ln = c.packed().toInt
+                      c.need(ln)
+                      names += new String(c.b, c.o, ln, "UTF-8")
+                      c.o += ln
+                    }
+                    wireNames = names.result()
+                  case 6 => // ENUM_STR_VALUE: per ENUM column in order
+                    val lists = Vector.newBuilder[Seq[String]]
+                    while (c.o < fend) {
+                      val cnt = c.packed().toInt
+                      val vs = Vector.newBuilder[String]
+                      (0 until cnt).foreach { _ =>
+                        val ln = c.packed().toInt
+                        c.need(ln)
+                        vs += new String(c.b, c.o, ln, "UTF-8")
+                        c.o += ln
+                      }
+                      lists += vs.result()
+                    }
+                    wireEnumLists = lists.result()
+                  case _ => () // charset/PK/geometry/…: length-skipped
+                }
+                c.o = fend
+              }
+              // map the numeric-order signedness bits onto column order
+              val unsigned = {
+                val out = new Array[Boolean](n)
+                if (unsignedBits.nonEmpty) {
+                  var bi = 0
+                  (0 until n).foreach { i =>
+                    if (NumericWireTypes.contains(types(i))) {
+                      out(i) = unsignedBits(bi); bi += 1
+                    }
+                  }
+                }
+                out
+              }
+              if (wireNames.nonEmpty) {
+                require(wireNames.length == n,
+                  s"$path: COLUMN_NAME metadata names " +
+                    s"${wireNames.length} columns for an $n-column " +
+                    "table — corrupt")
+                cols.zipWithIndex.foreach { case ((name, _), i) =>
+                  require(wireNames(i) == name,
+                    s"$path: TABLE_MAP column @${i + 1} is named " +
+                      s"'${wireNames(i)}' on the wire but declared " +
+                      s"'$name'$tag — the declaration is stale " +
+                      "(renamed or reordered); refuse rather than " +
+                      "mis-decode by position")
+                }
+              }
+              val enumValsByCol = {
+                val enumIdx = (0 until n).filter(i =>
+                  types(i) == T_STRING &&
+                    stringMeta(metas(i))._1 == T_ENUM)
+                require(wireEnumLists.isEmpty ||
+                  wireEnumLists.length == enumIdx.length,
+                  s"$path: ENUM_STR_VALUE metadata carries " +
+                    s"${wireEnumLists.length} value lists for " +
+                    s"${enumIdx.length} ENUM columns — corrupt")
+                enumIdx.zipWithIndex.flatMap { case (ci, ei) =>
+                  wireEnumLists.lift(ei).map(ci -> _)
+                }.toMap
+              }
               // validate the wire plan against the declared Spark types
               // (+ hints where the wire underdetermines the decode —
-              // ENUM value lists live in DDL, raw-text temporal decode
-              // is a caller's choice)
+              // raw-text temporal decode is a caller's choice; ENUM
+              // value lists come from the hint OR the wire metadata)
               cols.zipWithIndex.foreach { case ((name, dt), i) =>
                 val hint = hints.get(name)
                 val ok = (types(i), dt) match {
-                  case (T_LONGLONG, LongType) => true
-                  case (T_LONG, IntegerType) => true
-                  case (T_INT24, IntegerType) => true
-                  case (T_TINY, ByteType) => true
-                  case (T_SHORT, ShortType) => true
+                  case (T_LONGLONG, LongType) => !unsigned(i)
+                  case (T_LONGLONG, d: DecimalType) =>
+                    // BIGINT UNSIGNED: the UINT64 convention
+                    unsigned(i) && d.precision == 20 && d.scale == 0
+                  case (T_LONG, IntegerType) => !unsigned(i)
+                  case (T_LONG, LongType) => unsigned(i)
+                  case (T_INT24, IntegerType) => true // both fit Int
+                  case (T_TINY, ByteType) => !unsigned(i)
+                  case (T_TINY, ShortType) => unsigned(i)
+                  case (T_SHORT, ShortType) => !unsigned(i)
+                  case (T_SHORT, IntegerType) => unsigned(i)
                   case (T_YEAR, ShortType) => true
                   case (T_FLOAT, FloatType) => metas(i) == 4
                   case (T_DOUBLE, DoubleType) => metas(i) == 8
@@ -1932,7 +2129,8 @@ object BinlogBinary {
                   case (T_STRING, _) => stringMeta(metas(i)) match {
                     case (T_ENUM, packLen) => dt == StringType &&
                       (packLen == 1 || packLen == 2) &&
-                      hint.exists(_.isInstanceOf[Enum])
+                      (hint.exists(_.isInstanceOf[Enum]) ||
+                        enumValsByCol.contains(i))
                     case (T_SET, packLen) => dt == LongType &&
                       packLen >= 1 && packLen <= 8
                     case (_, maxLen) => dt == StringType && maxLen <= 255
@@ -1941,16 +2139,19 @@ object BinlogBinary {
                 }
                 require(ok,
                   s"$path: TABLE_MAP column @${i + 1} is wire type " +
-                    s"${types(i)} (meta ${metas(i)}) but '$name' is " +
-                    s"declared ${dt.simpleString}" +
+                    s"${types(i)} (meta ${metas(i)}" +
+                    (if (unsigned(i)) ", UNSIGNED" else "") +
+                    s") but '$name' is declared ${dt.simpleString}" +
                     hint.fold("")(h => s" with hint $h") + tag +
-                    " — the declaration is stale (an ENUM additionally " +
-                    "needs its WireHint.Enum value list, a raw-text " +
+                    " — the declaration is stale (UNSIGNED integers " +
+                    "declare the next-wider type per WireHint.Unsigned; " +
+                    "an ENUM needs its value list from WireHint.Enum or " +
+                    "the dump's binlog_row_metadata=FULL; a raw-text " +
                     "DATE/DATETIME its DateText/DateTimeText hint); " +
                     "refuse rather than mis-decode")
               }
-              tableMaps += tid ->
-                Some((table, cols, WireCols(types, metas), hints))
+              tableMaps += tid -> Some((table, cols,
+                WireCols(types, metas, unsigned, enumValsByCol), hints))
           }
         case WRITE_ROWS_V2 | UPDATE_ROWS_V2 | DELETE_ROWS_V2 |
           PARTIAL_UPDATE_ROWS =>
@@ -2503,15 +2704,32 @@ object BinlogBinary {
       if (!nullBits(pj)) {
         val (name, dt) = cols(ci)
         vals(ci) = wire.types(ci) match {
+          case T_LONGLONG if wire.isUnsigned(ci) =>
+            // BIGINT UNSIGNED -> DecimalType(20, 0): the low 64 bits
+            // reinterpreted unsigned (the UINT64 convention)
+            c.need(8)
+            val v = rdI64(c.b, c.o); c.o += 8
+            val bi =
+              if (v >= 0) java.math.BigInteger.valueOf(v)
+              else java.math.BigInteger.valueOf(v).add(
+                java.math.BigInteger.ONE.shiftLeft(64))
+            new java.math.BigDecimal(bi)
           case T_LONGLONG => { c.need(8); val v = rdI64(c.b, c.o); c.o += 8; v }
+          case T_LONG if wire.isUnsigned(ci) =>
+            c.need(4); val v = rdU32(c.b, c.o); c.o += 4; v
           case T_LONG => { c.need(4); val v = rdI32(c.b, c.o); c.o += 4; v }
           case T_INT24 =>
             c.need(3)
             val raw = (c.b(c.o) & 0xff) | ((c.b(c.o + 1) & 0xff) << 8) |
               ((c.b(c.o + 2) & 0xff) << 16)
             c.o += 3
-            if ((raw & 0x800000) != 0) raw | 0xff000000 else raw
+            if (!wire.isUnsigned(ci) && (raw & 0x800000) != 0)
+              raw | 0xff000000
+            else raw
+          case T_TINY if wire.isUnsigned(ci) =>
+            (c.u8() & 0xff).toShort
           case T_TINY => { c.need(1); val v = c.b(c.o); c.o += 1; v }
+          case T_SHORT if wire.isUnsigned(ci) => c.u16()
           case T_SHORT =>
             c.need(2); val v = rdU16(c.b, c.o).toShort; c.o += 2; v
           case T_YEAR =>
@@ -2663,8 +2881,13 @@ object BinlogBinary {
           case T_STRING => stringMeta(wire.metas(ci)) match {
             case (T_ENUM, packLen) =>
               val idx = if (packLen == 1) c.u8() else c.u16()
-              val values = hints(name) match {
-                case Enum(vs) => vs
+              // the hint wins when given; otherwise the dump's own
+              // ENUM_STR_VALUE metadata (binlog_row_metadata=FULL)
+              val values = hints.get(name) match {
+                case Some(Enum(vs)) => vs
+                case None => wire.enumVals.getOrElse(ci,
+                  throw new IllegalArgumentException(
+                    s"'$name' decodes as ENUM with no value list"))
                 case other => throw new IllegalArgumentException(
                   s"'$name' decodes as ENUM but its hint is $other")
               }

@@ -4427,6 +4427,37 @@ object StreamingOps {
         s, s"$tmp/binlog", cols, hints = hints))
     }),
 
+    // S-BINLOG-BINARY-UNSIGNED: the SAME typed log with big_id riding
+    // the wire as a true BIGINT UNSIGNED (8 bytes, SIGNEDNESS
+    // optional-metadata bit) instead of the DECIMAL(20,0) NEWDECIMAL
+    // workaround — the shape a real `BIGINT UNSIGNED` column actually
+    // ships, with values at the 2^64−1 end no signed long can hold —
+    // and tier resolved from the dump's OWN ENUM_STR_VALUE metadata
+    // (binlog_row_metadata=FULL self-description: NO Enum hint on the
+    // parse side). Same pipeline, same typeSurfaceSql oracle.
+    "cdc_binlog_binary_unsigned" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{DecimalType, LongType}
+      import graft.sources.BinlogBinary.WireHint
+      val log = Tables.cdcLogTyped(s, dir)
+      val cols: BCols = Seq("okey" -> LongType, "price" -> DoubleType,
+        "status" -> StringType, "amount" -> DecimalType(12, 2),
+        "big_id" -> DecimalType(20, 0), "tier" -> StringType,
+        "attrs" -> StringType)
+      val renderHints = Map[String, WireHint](
+        "big_id" -> WireHint.Unsigned,
+        "tier" -> WireHint.Enum(
+          Seq("gold", "silver", "bronze", "platinum")),
+        "attrs" -> WireHint.Json)
+      val tmp = tmpDir()
+      graft.sources.BinlogBinary.render(log, cols, s"$tmp/binlog",
+        files = 4, hints = renderHints)
+      // parse side: NO Enum hint (the wire metadata carries the value
+      // list), NO Unsigned hint (SIGNEDNESS drives the decode)
+      typeSurfacePipeline(s, graft.sources.BinlogBinary.parse(
+        s, s"$tmp/binlog", cols,
+        hints = Map("attrs" -> WireHint.Json)))
+    }),
+
     // S-TYPE-TEMPORAL: the TEMPORAL/BINARY half of the MySQL type map
     // (S19 covers numeric/enum/JSON), through the whole pipeline: DATE,
     // DATETIME (wall-clock, TIMESTAMP_NTZ — a session-tz shift must
@@ -6309,6 +6340,7 @@ object StreamingOps {
     "cdc_type_surface" -> typeSurfaceSql,
     "cdc_binlog_binary_types" -> typeSurfaceSql,
     "cdc_binlog_binary_partial_json" -> typeSurfaceSql,
+    "cdc_binlog_binary_unsigned" -> typeSurfaceSql,
     "cdc_type_temporal" -> typeTemporalSql,
     "cdc_binlog_binary_temporal" -> typeTemporalSql,
     "cdc_type_exotic" -> typeExoticSql,

@@ -919,15 +919,15 @@ class BinlogBinarySpec extends SparkTestBase {
     assert(multi(0).getAs[String]("tier") == "silver" &&
       multi(0).getAs[java.sql.Date]("d").toString == "1995-03-14")
     assert(multi(1).getAs[String]("attrs") == """{"k":7}""")
-    // an ENUM table WITHOUT its hint refuses at the TABLE_MAP
-    val e = intercept[Throwable] {
-      BinlogBinary.parseMulti(spark, s"$dir/b",
-        Map("ta" -> colsA, "tb" -> colsB2),
-        hintsByTable = Map("tb" -> hintsB2)).collect()
-    }
-    assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
-      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
-      .contains("WireHint.Enum"))
+    // an ENUM table WITHOUT its hint still decodes: the rendered dump
+    // carries ENUM_STR_VALUE optional metadata (binlog_row_metadata=
+    // FULL self-description), so the wire's own value list resolves
+    // the index
+    val noHint = BinlogBinary.parseMulti(spark, s"$dir/b",
+      Map("ta" -> colsA, "tb" -> colsB2),
+      hintsByTable = Map("tb" -> hintsB2))
+      .orderBy(col("seq")).collect()
+    assert(noHint(0).getAs[String]("tier") == "silver")
     // ── MINIMAL: a typed column rides the changed-only after image
     val colsM: Seq[(String, DataType)] = Seq("okey" -> LongType,
       "amount" -> DecimalType(10, 2), "tier" -> StringType)
@@ -1049,15 +1049,90 @@ class BinlogBinarySpec extends SparkTestBase {
     assert(Iterator.iterate(e2)(_.getCause).takeWhile(_ != null)
       .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
       .contains("stale"))
-    // an ENUM column with NO hint refuses at the TABLE_MAP, naming
-    // the missing value list
+    // an ENUM column with NO hint decodes from the dump's own
+    // ENUM_STR_VALUE metadata — self-describing 8.0.1+ dumps need no
+    // value-list declaration
+    assert(BinlogBinary.parse(spark, s"$dir2/b", Seq("e" -> StringType))
+      .collect().head.getString(3) == "d")
+    // a COLUMN_NAME mismatch refuses by name, not by position: the
+    // dump says the column is 'e', the declaration says 'f'
     val e3 = intercept[Throwable] {
-      BinlogBinary.parse(spark, s"$dir2/b", Seq("e" -> StringType))
+      BinlogBinary.parse(spark, s"$dir2/b", Seq("f" -> StringType))
         .collect()
     }
     assert(Iterator.iterate(e3)(_.getCause).takeWhile(_ != null)
       .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
-      .contains("WireHint.Enum"))
+      .contains("named 'e' on the wire"))
+  }
+
+  test("UNSIGNED integers decode from the SIGNEDNESS metadata: " +
+      "TINY/SHORT/INT/BIGINT UNSIGNED ride the next-wider Spark " +
+      "type, BIGINT UNSIGNED lands on DecimalType(20,0) exactly") {
+    import graft.sources.BinlogBinary.WireHint
+    val colsU: Seq[(String, DataType)] = Seq(
+      "okey" -> LongType, "ut" -> ShortType, "us" -> IntegerType,
+      "ui" -> LongType, "ub" -> DecimalType(20, 0))
+    val hintsU = Map[String, WireHint](
+      "ut" -> WireHint.Unsigned, "us" -> WireHint.Unsigned,
+      "ui" -> WireHint.Unsigned, "ub" -> WireHint.Unsigned)
+    val schema = StructType(Seq(
+      StructField("op", StringType), StructField("seq", LongType),
+      StructField("tsSec", LongType), StructField("okey", LongType),
+      StructField("ut", ShortType), StructField("us", IntegerType),
+      StructField("ui", LongType),
+      StructField("ub", DecimalType(20, 0))))
+    val top = new java.math.BigDecimal("18446744073709551615") // 2^64-1
+    val rows = Seq(
+      Row("I", 1L, 800000000L, 1L, 255.toShort, 65535, 4294967295L,
+        top),
+      Row("I", 2L, 800000001L, 2L, 0.toShort, 0, 0L,
+        java.math.BigDecimal.ZERO),
+      Row("I", 3L, 800000002L, 3L, 128.toShort, 32768, 2147483648L,
+        new java.math.BigDecimal("9223372036854775808"))) // 2^63
+    val env = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+      .withColumn("ts", timestamp_seconds(col("tsSec"))
+        .cast(TimestampNTZType))
+      .select("op", "seq", "ts", "okey", "ut", "us", "ui", "ub")
+    val dir = tmp()
+    BinlogBinary.render(env, colsU, s"$dir/b", files = 1,
+      hints = hintsU)
+    val back = BinlogBinary.parse(spark, s"$dir/b", colsU,
+      hints = hintsU).orderBy(col("seq")).collect()
+    assert(back.map(r => (r.getShort(4), r.getInt(5), r.getLong(6),
+      r.getDecimal(7).toBigInteger.toString)).toSeq == Seq(
+      (255.toShort, 65535, 4294967295L, "18446744073709551615"),
+      (0.toShort, 0, 0L, "0"),
+      (128.toShort, 32768, 2147483648L, "9223372036854775808")))
+    // the decode is METADATA-driven: parsing with the hints omitted
+    // still decodes (signedness rides the dump), while declaring the
+    // SIGNED Spark type against an unsigned wire column refuses
+    val back2 = BinlogBinary.parse(spark, s"$dir/b", colsU)
+      .orderBy(col("seq")).collect()
+    assert(back2.head.getDecimal(7).toBigInteger.toString ==
+      "18446744073709551615")
+    val e = intercept[Throwable] {
+      BinlogBinary.parse(spark, s"$dir/b", Seq(
+        "okey" -> LongType, "ut" -> ShortType, "us" -> IntegerType,
+        "ui" -> LongType, "ub" -> LongType)).collect()
+    }
+    assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      .contains("UNSIGNED"))
+    // render refusals: out-of-range unsigned values never truncate
+    val eo = intercept[Throwable] {
+      val bad = spark.createDataFrame(java.util.Arrays.asList(
+        Row("I", 1L, 800000000L, 1L, 256.toShort, 0, 0L,
+          java.math.BigDecimal.ZERO)), schema)
+        .withColumn("ts", timestamp_seconds(col("tsSec"))
+          .cast(TimestampNTZType))
+        .select("op", "seq", "ts", "okey", "ut", "us", "ui", "ub")
+      BinlogBinary.render(bad, colsU, s"${tmp()}/b", files = 1,
+        hints = hintsU)
+    }
+    assert(Iterator.iterate(eo)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      .contains("TINYINT UNSIGNED"))
   }
 
   test("binary JSON documents: canonical key order, every scalar " +
