@@ -148,6 +148,16 @@ object BinlogBinary {
     /** A DATETIME(0) column decoding to its RAW TEXT form
       * (`yyyy-MM-dd HH:mm:ss`, zero as `0000-00-00 00:00:00`). */
     case object DateTimeText extends WireHint
+    /** A raw-bytes column (BinaryType) whose wire VARCHAR carries
+      * the given MySQL COLLATION id in the TABLE_MAP's charset
+      * metadata — the renderer's way to write a non-utf8 text column
+      * (latin1 = 8); a decoder declaring StringType then transcodes
+      * from the metadata with NO hint. */
+    final case class Charset(mysqlCollationId: Int) extends WireHint
+    /** A MySQL TEXT column (wire type BLOB with a charset) on a
+      * StringType column — length-prefixed bytes decoded through the
+      * column's charset metadata (UTF-8 when absent). */
+    case object Text extends WireHint
     /** An UNSIGNED MySQL integer column, declared as the NEXT-WIDER
       * Spark type that can hold its range: `TINYINT UNSIGNED` →
       * ShortType, `SMALLINT UNSIGNED` → IntegerType, `INT UNSIGNED`
@@ -536,6 +546,12 @@ object BinlogBinary {
             s"CHAR hint for '$n' must declare 1..255 bytes, got $l")
           true
         case (StringType, Some(DateText) | Some(DateTimeText)) => true
+        case (BinaryType, Some(Charset(id))) =>
+          require(MySqlCharsets.javaName(id).isDefined,
+            s"unknown MySQL collation id $id for '$n' — " +
+              "extend MySqlCharsets or use RawText")
+          true
+        case (StringType, Some(Text)) => true
         case (ShortType | IntegerType | LongType, Some(Unsigned)) => true
         case (d: DecimalType, Some(Unsigned)) =>
           require(d.precision == 20 && d.scale == 0,
@@ -995,7 +1011,9 @@ object BinlogBinary {
           meta.write(4) // length-prefix width
         case (StringType, Some(DateText)) => () // DATE: no metadata
         case (StringType, Some(DateTimeText)) => meta.write(0) // fsp 0
+        case (StringType, Some(Text)) => meta.write(2) // TEXT len-bytes
         case (BinaryType, Some(RawText)) => u16(meta, 65535)
+        case (BinaryType, Some(Charset(_))) => u16(meta, 65535)
         case (BinaryType, _) => meta.write(2) // BLOB length-prefix width
         case (StringType, _) => u16(meta, 65535) // VARCHAR max length, LE
         case (TimestampNTZType, _) | (TimestampType, _) =>
@@ -1036,6 +1054,40 @@ object BinlogBinary {
       packed(names, nb.length.toLong); names.write(nb)
     }
     b.write(4); packed(b, names.size.toLong); b.write(names.toByteArray)
+    // DEFAULT_CHARSET (field 2): packed default collation id, then
+    // (character-column ordinal, collation id) pairs for columns that
+    // differ — utf8mb4 (45) default, hinted Charset columns as the
+    // exceptions
+    locally {
+      val metaByCol = {
+        // rebuild each column's per-type metadata value to classify
+        // STRING slots (ENUM/SET vs CHAR)
+        cols.zipWithIndex.map { case ((n2, t2), i) =>
+          (t2, hints.get(n2)) match {
+            case (StringType, Some(Enum(vs))) =>
+              (T_ENUM << 8) | (if (vs.size <= 255) 1 else 2)
+            case (LongType, Some(SetBits(m))) =>
+              (T_SET << 8) | ((m + 7) / 8)
+            case (StringType, Some(Char(l))) => (T_STRING << 8) | l
+            case _ => 0
+          }
+        }
+      }
+      val charOrdinals = cols.indices.filter(i =>
+        isCharacterCol(wireTypes(i), metaByCol(i)))
+      if (charOrdinals.nonEmpty) {
+        val cs = new java.io.ByteArrayOutputStream()
+        packed(cs, 45L) // default: utf8mb4
+        charOrdinals.zipWithIndex.foreach { case (ci, ord) =>
+          hints.get(cols(ci)._1) match {
+            case Some(Charset(id)) =>
+              packed(cs, ord.toLong); packed(cs, id.toLong)
+            case _ => ()
+          }
+        }
+        b.write(2); packed(b, cs.size.toLong); b.write(cs.toByteArray)
+      }
+    }
     val enumCols = cols.collect {
       case (n, _) if hints.get(n).exists(_.isInstanceOf[WireHint.Enum]) =>
         hints(n).asInstanceOf[WireHint.Enum].values
@@ -1058,6 +1110,33 @@ object BinlogBinary {
     * (the server's is_numeric_type set). */
   private val NumericWireTypes = Set(T_TINY, T_SHORT, T_INT24, T_LONG,
     T_LONGLONG, T_FLOAT, T_DOUBLE, T_NEWDECIMAL)
+
+  /** Wire types that own a CHARSET in the optional metadata (the
+    * server's is_character_type set — VARCHAR/CHAR/TEXT; ENUM/SET
+    * ride their own metadata fields and BLOB proper is binary). A
+    * STRING slot counts only when its REAL type is CHAR. */
+  private def isCharacterCol(wireType: Int, meta: Int): Boolean =
+    wireType match {
+      case T_VARCHAR | T_VAR_STRING | T_BLOB => true
+      case T_STRING => stringMeta(meta)._1 == T_STRING
+      case _ => false
+    }
+
+  /** The MySQL collation id → Java charset map for the ids this
+    * decoder transcodes (the common deployment set); `binary` (63)
+    * maps to None — bytes with no text reading. Anything else refuses
+    * BY ID at decode when a text reading is requested. */
+  private[graft] object MySqlCharsets {
+    private val ById: Map[Int, Option[String]] = Map(
+      5 -> Some("ISO-8859-1"), 8 -> Some("ISO-8859-1"), // latin1_*
+      47 -> Some("ISO-8859-1"),
+      33 -> Some("UTF-8"), 83 -> Some("UTF-8"), // utf8mb3_*
+      192 -> Some("UTF-8"),
+      45 -> Some("UTF-8"), 46 -> Some("UTF-8"), // utf8mb4_*
+      224 -> Some("UTF-8"), 255 -> Some("UTF-8"),
+      63 -> None) // binary
+    def javaName(id: Int): Option[Option[String]] = ById.get(id)
+  }
 
   /** One row event from one envelope row (op, seq, ts_us, values…).
     * Updates write (before == after) image pairs — FULL-image fixture
@@ -1518,6 +1597,45 @@ object BinlogBinary {
               s"(${s.length} bytes) — refuse instead of truncating")
           u16(b, s.length)
           b.write(s)
+        case (StringType, Some(Text)) =>
+          val t2 = r.getString(i + 3).getBytes("UTF-8")
+          require(t2.length <= 65535,
+            s"TEXT value for '$n' exceeds this renderer's 2-byte " +
+              "length prefix")
+          u16(b, t2.length)
+          b.write(t2)
+        case (BinaryType, Some(Charset(_))) =>
+          val s2 = r.getAs[Array[Byte]](i + 3)
+          require(s2.length <= 65535,
+            s"text value for '$n' exceeds the VARCHAR wire limit")
+          u16(b, s2.length)
+          b.write(s2)
+        case (StringType, Some(Text)) =>
+          val t2 = r.getString(i + 3).getBytes("UTF-8")
+          require(t2.length <= 65535,
+            s"TEXT value for '$n' exceeds this renderer's 2-byte " +
+              "length prefix")
+          u16(b, t2.length)
+          b.write(t2)
+        case (BinaryType, Some(Charset(_))) =>
+          val s2 = r.getAs[Array[Byte]](i + 3)
+          require(s2.length <= 65535,
+            s"text value for '$n' exceeds the VARCHAR wire limit")
+          u16(b, s2.length)
+          b.write(s2)
+        case (StringType, Some(Text)) =>
+          val t2 = r.getString(i + 3).getBytes("UTF-8")
+          require(t2.length <= 65535,
+            s"TEXT value for '$n' exceeds this renderer's 2-byte " +
+              "length prefix")
+          u16(b, t2.length)
+          b.write(t2)
+        case (BinaryType, Some(Charset(_))) =>
+          val s2 = r.getAs[Array[Byte]](i + 3)
+          require(s2.length <= 65535,
+            s"text value for '$n' exceeds the VARCHAR wire limit")
+          u16(b, s2.length)
+          b.write(s2)
         case (BinaryType, Some(RawText)) =>
           val s = r.getAs[Array[Byte]](i + 3)
           require(s.length <= 65535,
@@ -1598,8 +1716,10 @@ object BinlogBinary {
       case (StringType, Some(Char(_))) => T_STRING
       case (StringType, Some(DateText)) => T_DATE
       case (StringType, Some(DateTimeText)) => T_DATETIME2
+      case (StringType, Some(Text)) => T_BLOB
       case (StringType, _) => T_VARCHAR
       case (BinaryType, Some(RawText)) => T_VARCHAR
+      case (BinaryType, Some(Charset(_))) => T_VARCHAR
       case (BinaryType, _) => T_BLOB
       case (DateType, _) => T_DATE
       case (TimestampNTZType, _) => T_DATETIME2
@@ -1744,9 +1864,23 @@ object BinlogBinary {
     * metadata or the caller's hint. */
   private final case class WireCols(types: Array[Int], metas: Array[Int],
       unsigned: Array[Boolean] = Array.empty,
-      enumVals: Map[Int, Seq[String]] = Map.empty) {
+      enumVals: Map[Int, Seq[String]] = Map.empty,
+      charsets: Map[Int, Int] = Map.empty) {
     def isUnsigned(i: Int): Boolean =
       unsigned.nonEmpty && unsigned(i)
+    /** A text column's Java charset per the TABLE_MAP metadata —
+      * UTF-8 when the dump carries none (the pre-8.0.1 posture).
+      * None = collation 63 (binary): no text reading exists. */
+    def textCharset(i: Int, name: String, path: String): Option[String] =
+      charsets.get(i) match {
+        case None => Some("UTF-8")
+        case Some(id) => MySqlCharsets.javaName(id).getOrElse(
+          throw new IllegalArgumentException(
+            s"$path: column '$name' carries MySQL collation id $id, " +
+              "which this decoder has no Java charset for — extend " +
+              "MySqlCharsets, or declare the column BinaryType and " +
+              "transcode downstream"))
+      }
   }
 
   /** Unfold a STRING-slot column's 2-byte metadata: ENUM/SET ride the
@@ -2002,12 +2136,25 @@ object BinlogBinary {
               var unsignedBits = Array.empty[Boolean]
               var wireNames = Seq.empty[String]
               var wireEnumLists = Vector.empty[Seq[String]]
+              var charsetDefault = -1L
+              var charsetPairs = Map.empty[Int, Int] // char ordinal -> id
+              var charsetPerCol = Vector.empty[Int] // COLUMN_CHARSET list
               while (c.o < c.end) {
                 val ft = c.u8()
                 val flen = c.packed().toInt
                 val fend = c.o + flen
                 c.need(flen)
                 ft match {
+                  case 2 => // DEFAULT_CHARSET + exception pairs
+                    charsetDefault = c.packed()
+                    while (c.o < fend) {
+                      val ord = c.packed().toInt
+                      charsetPairs += ord -> c.packed().toInt
+                    }
+                  case 3 => // COLUMN_CHARSET: one id per character col
+                    val ids = Vector.newBuilder[Int]
+                    while (c.o < fend) ids += c.packed().toInt
+                    charsetPerCol = ids.result()
                   case 1 => // SIGNEDNESS: MSB-first bit per numeric col
                     val bytes = java.util.Arrays.copyOfRange(
                       c.b, c.o, fend)
@@ -2057,6 +2204,23 @@ object BinlogBinary {
                   }
                 }
                 out
+              }
+              // per-COLUMN charset from the character-ordinal fields
+              val charsets: Map[Int, Int] = {
+                val charIdx = (0 until n).filter(i =>
+                  isCharacterCol(types(i), metas(i)))
+                if (charsetPerCol.nonEmpty) {
+                  require(charsetPerCol.length == charIdx.length,
+                    s"$path: COLUMN_CHARSET metadata carries " +
+                      s"${charsetPerCol.length} ids for " +
+                      s"${charIdx.length} character columns — corrupt")
+                  charIdx.zip(charsetPerCol).toMap
+                } else if (charsetDefault >= 0)
+                  charIdx.zipWithIndex.map { case (ci, ord) =>
+                    ci -> charsetPairs.getOrElse(ord,
+                      charsetDefault.toInt)
+                  }.toMap
+                else Map.empty
               }
               if (wireNames.nonEmpty) {
                 require(wireNames.length == n,
@@ -2124,6 +2288,9 @@ object BinlogBinary {
                     metas(i) >= 1 && metas(i) <= 64
                   case (T_BLOB, BinaryType) =>
                     metas(i) >= 1 && metas(i) <= 4
+                  // TEXT: a charset-bearing BLOB read as text
+                  case (T_BLOB, StringType) =>
+                    metas(i) >= 1 && metas(i) <= 4
                   case (T_JSON, StringType) =>
                     metas(i) >= 1 && metas(i) <= 4
                   case (T_STRING, _) => stringMeta(metas(i)) match {
@@ -2151,7 +2318,8 @@ object BinlogBinary {
                     "refuse rather than mis-decode")
               }
               tableMaps += tid -> Some((table, cols,
-                WireCols(types, metas, unsigned, enumValsByCol), hints))
+                WireCols(types, metas, unsigned, enumValsByCol,
+                  charsets), hints))
           }
         case WRITE_ROWS_V2 | UPDATE_ROWS_V2 | DELETE_ROWS_V2 |
           PARTIAL_UPDATE_ROWS =>
@@ -2230,7 +2398,8 @@ object BinlogBinary {
                 }
               // rows repeat until the body ends (multi-row statements)
               while (c.o < c.end) {
-                val first = readImage(c, cols, wire, present1, hints)
+                val first = readImage(c, cols, wire, present1, hints,
+                  path = path)
                 val replicating =
                   if (!isUpdate) first
                   else {
@@ -2749,7 +2918,8 @@ object BinlogBinary {
             val v: Any = dt match {
               case BinaryType =>
                 java.util.Arrays.copyOfRange(c.b, c.o, c.o + len)
-              case _ => new String(c.b, c.o, len, "UTF-8")
+              case _ => new String(c.b, c.o, len,
+                textCharsetOrRefuse(wire, ci, name, path))
             }
             c.o += len; v
           case T_NEWDECIMAL =>
@@ -2828,7 +2998,13 @@ object BinlogBinary {
           case T_BLOB =>
             val len = readLenByWidth(c, wire.metas(ci))
             c.need(len)
-            val v = java.util.Arrays.copyOfRange(c.b, c.o, c.o + len)
+            val v: Any = dt match {
+              case StringType => // TEXT: charset-decoded bytes
+                new String(c.b, c.o, len,
+                  textCharsetOrRefuse(wire, ci, name, path))
+              case _ =>
+                java.util.Arrays.copyOfRange(c.b, c.o, c.o + len)
+            }
             c.o += len; v
           case T_JSON if partialJson.contains(ci) =>
             // a DIFF LIST, not a document: ops applied against the
@@ -2909,7 +3085,8 @@ object BinlogBinary {
             case (_, maxLen) =>
               val len = if (maxLen < 256) c.u8() else c.u16()
               c.need(len)
-              val v = new String(c.b, c.o, len, "UTF-8")
+              val v = new String(c.b, c.o, len,
+                textCharsetOrRefuse(wire, ci, name, path))
               c.o += len; v
           }
           case other => throw new IllegalArgumentException(
@@ -2919,6 +3096,18 @@ object BinlogBinary {
     }
     vals.toSeq
   }
+
+  /** A text column's decode charset — refusing BY NAME when the
+    * metadata says the bytes are binary (collation 63): a StringType
+    * reading of binary bytes is mojibake by construction. */
+  private def textCharsetOrRefuse(wire: WireCols, ci: Int, name: String,
+      path: String): String =
+    wire.textCharset(ci, name, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path: column '$name' is declared StringType but the " +
+          "TABLE_MAP says its bytes are BINARY (collation 63 — " +
+          "VARBINARY/BLOB) — declare BinaryType; there is no text " +
+          "reading to serve"))
 
   /** A BLOB/JSON length prefix of `width` little-endian bytes. */
   private def readLenByWidth(c: Cursor, width: Int): Int = {

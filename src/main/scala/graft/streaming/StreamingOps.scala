@@ -873,11 +873,18 @@ object StreamingOps {
     * `(…, name_raw: binary)` — shared by the parquet feed and the
     * raw-wire decode; ONE latin1→UTF-8 transcode rule at apply. */
   private def typeCharsetPipeline(s: SparkSession,
-      raw: DataFrame): DataFrame = {
-    val log = raw
+      raw: DataFrame): DataFrame =
+    charsetPipelineTail(s, raw
       .withColumn("name",
         graft.sources.MySqlTypes.decodeText(col("name_raw"), "ISO-8859-1"))
-      .drop("name_raw")
+      .drop("name_raw"))
+
+  /** The S22 tail from an ALREADY-DECODED text column — shared by the
+    * explicit-transcode feeds and the metadata-driven wire decode
+    * (`cdc_binlog_binary_charset_meta`), whose transcode happened
+    * inside the wire read. */
+  private def charsetPipelineTail(s: SparkSession,
+      log: DataFrame): DataFrame = {
     val tmp = tmpDir()
     val in = s"$tmp/in"
     writeWaves(log, in, when(col("seq") <= 2, 0).otherwise(1), 2,
@@ -4594,6 +4601,33 @@ object StreamingOps {
         s, s"$tmp/binlog", cols, hints = hints))
     }),
 
+    // S-BINLOG-CHARSET-META: the charset landmine solved by the
+    // dump's OWN metadata — the render writes the latin1 column's raw
+    // bytes with its collation id (8) in the TABLE_MAP's
+    // DEFAULT_CHARSET field, and the parse declares plain StringType:
+    // the decoder transcodes from the metadata, NO hint and NO
+    // downstream decodeText anywhere. Same typeCharsetSql oracle as
+    // the explicit-transcode feeds — the hash meets iff the
+    // metadata-driven transcode lands the identical UTF-8 text.
+    "cdc_binlog_binary_charset_meta" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{BinaryType, LongType}
+      import graft.sources.BinlogBinary.WireHint
+      val raw = Tables.cdcLogCharset(s, dir)
+      val renderCols: BCols = Seq("okey" -> LongType,
+        "price" -> DoubleType, "status" -> StringType,
+        "name_raw" -> BinaryType)
+      val tmp = tmpDir()
+      graft.sources.BinlogBinary.render(raw, renderCols, s"$tmp/binlog",
+        files = 4,
+        hints = Map("name_raw" -> WireHint.Charset(8))) // latin1
+      val parseCols: BCols = Seq("okey" -> LongType,
+        "price" -> DoubleType, "status" -> StringType,
+        "name_raw" -> StringType)
+      charsetPipelineTail(s, graft.sources.BinlogBinary.parse(
+        s, s"$tmp/binlog", parseCols)
+        .withColumnRenamed("name_raw", "name"))
+    }),
+
     // S-BINLOG-BINARY-NUMERIC: the narrow-numeric head of the type
     // map from RAW WIRE BYTES — TINYINT (1 byte signed), SMALLINT
     // (2 LE), MEDIUMINT (the 3-byte type only MySQL has,
@@ -6347,6 +6381,7 @@ object StreamingOps {
     "cdc_binlog_binary_exotic" -> typeExoticSql,
     "cdc_type_charset" -> typeCharsetSql,
     "cdc_binlog_binary_charset" -> typeCharsetSql,
+    "cdc_binlog_binary_charset_meta" -> typeCharsetSql,
 
     // heartbeats are invisible to state: the served collapse is the
     // plain latest-wins over the real events alone

@@ -1065,6 +1065,65 @@ class BinlogBinarySpec extends SparkTestBase {
       .contains("named 'e' on the wire"))
   }
 
+  test("charset metadata drives the text decode: a latin1 column " +
+      "transcodes with NO hint, binary collation refuses a StringType " +
+      "reading, TEXT columns decode as charset-read bytes") {
+    import graft.sources.BinlogBinary.WireHint
+    val t0 = java.time.LocalDateTime.ofEpochSecond(
+      800000000L, 0, java.time.ZoneOffset.UTC)
+    // render a latin1 VARCHAR (raw bytes + collation 8 metadata) and a
+    // TEXT column
+    val renderCols: Seq[(String, DataType)] = Seq("okey" -> LongType,
+      "nm" -> BinaryType, "body" -> StringType)
+    val renderHints = Map[String, WireHint](
+      "nm" -> WireHint.Charset(8), "body" -> WireHint.Text)
+    val schema = StructType(Seq(
+      StructField("op", StringType), StructField("seq", LongType),
+      StructField("tsSec", LongType), StructField("okey", LongType),
+      StructField("nm", BinaryType), StructField("body", StringType)))
+    val env = spark.createDataFrame(java.util.Arrays.asList(
+      Row("I", 1L, 800000000L, 1L,
+        "Müller-Ångström".getBytes("ISO-8859-1"), "long text é")),
+      schema)
+      .withColumn("ts", timestamp_seconds(col("tsSec"))
+        .cast(TimestampNTZType))
+      .select("op", "seq", "ts", "okey", "nm", "body")
+    val dir = tmp()
+    BinlogBinary.render(env, renderCols, s"$dir/b", files = 1,
+      hints = renderHints)
+    // parse declaring plain StringType: the metadata transcodes
+    val got = BinlogBinary.parse(spark, s"$dir/b", Seq(
+      "okey" -> LongType, "nm" -> StringType, "body" -> StringType))
+      .collect().head
+    assert(got.getString(4) == "Müller-Ångström")
+    assert(got.getString(5) == "long text é")
+    // BinaryType still serves the raw latin1 bytes untranscoded
+    val raw = BinlogBinary.parse(spark, s"$dir/b", Seq(
+      "okey" -> LongType, "nm" -> BinaryType, "body" -> StringType))
+      .collect().head
+    assert(new String(raw.getAs[Array[Byte]](4), "ISO-8859-1") ==
+      "Müller-Ångström")
+    // a BINARY-collation column (VARBINARY) refuses a text reading
+    val dir2 = tmp()
+    BinlogBinary.render(env, renderCols, s"$dir2/b", files = 1,
+      hints = Map("nm" -> WireHint.Charset(63), // binary
+        "body" -> WireHint.Text))
+    val e = intercept[Throwable] {
+      BinlogBinary.parse(spark, s"$dir2/b", Seq(
+        "okey" -> LongType, "nm" -> StringType, "body" -> StringType))
+        .collect()
+    }
+    assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      .contains("no text reading"))
+    // an unknown collation id refuses by id at declaration time
+    val e2 = intercept[IllegalArgumentException] {
+      BinlogBinary.render(env, renderCols, s"${tmp()}/b", files = 1,
+        hints = Map("nm" -> WireHint.Charset(9999)))
+    }
+    assert(e2.getMessage.contains("9999"))
+  }
+
   test("UNSIGNED integers decode from the SIGNEDNESS metadata: " +
       "TINY/SHORT/INT/BIGINT UNSIGNED ride the next-wider Spark " +
       "type, BIGINT UNSIGNED lands on DecimalType(20,0) exactly") {
