@@ -542,8 +542,9 @@ object BinlogBinary {
         case (IntegerType, Some(MediumInt)) => true
         case (BinaryType, Some(RawText)) => true
         case (StringType, Some(Char(l))) =>
-          require(l >= 1 && l <= 255,
-            s"CHAR hint for '$n' must declare 1..255 bytes, got $l")
+          require(l >= 1 && l <= 1023,
+            s"CHAR hint for '$n' must declare 1..1023 bytes (CHAR(255)" +
+              " utf8mb4 = 1020), got $l")
           true
         case (StringType, Some(DateText) | Some(DateTimeText)) => true
         case (BinaryType, Some(Charset(id))) =>
@@ -1006,7 +1007,11 @@ object BinlogBinary {
         case (LongType, Some(Bit(bits))) =>
           meta.write(bits % 8); meta.write(bits / 8)
         case (StringType, Some(Char(l))) =>
-          meta.write(T_STRING); meta.write(l) // ≤ 255: the simple form
+          // the split-length encoding (the server XORs the length's
+          // high bits into the type byte); collapses to the simple
+          // form for l ≤ 255
+          meta.write(T_STRING ^ ((l & 0x300) >> 4))
+          meta.write(l & 0xff)
         case (StringType, Some(Json)) =>
           meta.write(4) // length-prefix width
         case (StringType, Some(DateText)) => () // DATE: no metadata
@@ -1068,7 +1073,8 @@ object BinlogBinary {
               (T_ENUM << 8) | (if (vs.size <= 255) 1 else 2)
             case (LongType, Some(SetBits(m))) =>
               (T_SET << 8) | ((m + 7) / 8)
-            case (StringType, Some(Char(l))) => (T_STRING << 8) | l
+            case (StringType, Some(Char(l))) =>
+              ((T_STRING ^ ((l & 0x300) >> 4)) << 8) | (l & 0xff)
             case _ => 0
           }
         }
@@ -1571,7 +1577,7 @@ object BinlogBinary {
           require(s.length <= l,
             s"CHAR value for '$n' exceeds its declared $l bytes " +
               s"(${s.length}) — refuse instead of truncating")
-          b.write(s.length)
+          if (l < 256) b.write(s.length) else u16(b, s.length)
           b.write(s)
         case (StringType, Some(DateText)) =>
           r.getString(i + 3) match {
@@ -2300,7 +2306,7 @@ object BinlogBinary {
                         enumValsByCol.contains(i))
                     case (T_SET, packLen) => dt == LongType &&
                       packLen >= 1 && packLen <= 8
-                    case (_, maxLen) => dt == StringType && maxLen <= 255
+                    case (_, maxLen) => dt == StringType && maxLen <= 1023
                   }
                   case _ => false
                 }

@@ -897,11 +897,27 @@ object BinlogText {
       s"0x00000000 \tGTID $domain-$server-$seqno trans"
   }
 
+  /** Render one MARIADB `Gtid list […]` rotation-head line — the
+    * executed state BEFORE a dump file, which the index extraction's
+    * continuity guard anchors on ([[parseGtidIndexMaria]]). */
+  def renderGtidListMaria(seq: Long, tsEpochSec: Long,
+      entries: Seq[(Long, Long, Long)]): String = {
+    val ldt = java.time.LocalDateTime.ofEpochSecond(
+      tsEpochSec, 0, java.time.ZoneOffset.UTC)
+    val hdr = headerDate(ldt, s"gtid list event at seq $seq")
+    s"# at $seq\n$hdr server id 1  end_log_pos $seq CRC32 0x00000000 " +
+      s"\tGtid list [${entries.map { case (d, s, n) => s"$d-$s-$n" }
+        .mkString(",")}]"
+  }
+
   /** The dump's MARIADB GTID index — one `(position, domain, server,
     * seqno)` per `GTID D-S-N` header line (the MariaDB dialect's
     * stamp; MySQL dumps carry `SET @@SESSION.GTID_NEXT` instead —
-    * [[parseGtidIndex]]). Distributed per file, metadata-scale rows
-    * to the driver, position order. */
+    * [[parseGtidIndex]]), validated against each file's `Gtid list`
+    * rotation-head state exactly like the binary transport's
+    * GTID_LIST event — a domain's first stamp past the listed
+    * watermark names the lost rotation's transactions. Distributed
+    * per file, metadata-scale rows to the driver, position order. */
   def parseGtidIndexMaria(spark: SparkSession,
       dir: String): Seq[(Long, Long, Long, Long)] = {
     import org.apache.spark.sql.Encoders
@@ -914,27 +930,63 @@ object BinlogText {
   }
 
   private val MariaGtidLine = """.*\tGTID (\d+)-(\d+)-(\d+)\b.*""".r
+  private val MariaGtidListLine = """.*\bGtid list \[([^\]]*)\].*""".r
 
   private def extractGtidMaria(
       text: String): Iterator[(Long, Long, Long, Long)] = {
     val out = Vector.newBuilder[(Long, Long, Long, Long)]
     var pos = Option.empty[Long]
+    // the rotation head's `Gtid list […]` names what was executed
+    // BEFORE this file — the same per-domain continuity anchor the
+    // binary transport's GTID_LIST event carries (one guard, both
+    // framings): a domain's first stamp must be exactly listed + 1
+    var floor = Map.empty[Long, Long]
+    var sawList = false
     for (line0 <- text.linesIterator; line = line0.trim if line.nonEmpty) {
       if (line.startsWith("# at "))
         pos = line.stripPrefix("# at ").trim.toLongOption
-      else if (line.startsWith("#") && !line.startsWith("###") &&
-        HeaderTs.matches(line)) line match {
-        case MariaGtidLine(d, s2, n) =>
-          val p = pos.getOrElse(throw new IllegalArgumentException(
-            s"MariaDB GTID header without a '# at' position: $line"))
-          val seqno = n.toLongOption.getOrElse(
-            throw new IllegalArgumentException(
-              s"MariaDB GTID seq overflows in: $line"))
-          require(seqno >= 1,
-            s"MariaDB GTID seq numbers start at 1: $line")
-          out += ((p, d.toLong, s2.toLong, seqno))
-        case _ => ()
-      }
+      else if (line.startsWith("#") && !line.startsWith("###"))
+        line match {
+          case MariaGtidListLine(entries) =>
+            entries.split(',').map(_.trim).filter(_.nonEmpty).foreach {
+              e => e.split('-') match {
+                case Array(d, _, n)
+                  if d.forall(_.isDigit) && n.forall(_.isDigit) =>
+                  floor += d.toLong -> n.toLong
+                case _ => throw new IllegalArgumentException(
+                  s"malformed Gtid list entry '$e' in: $line")
+              }
+            }
+            sawList = true
+          case MariaGtidLine(d, s2, n) if HeaderTs.matches(line) =>
+            val p = pos.getOrElse(throw new IllegalArgumentException(
+              s"MariaDB GTID header without a '# at' position: $line"))
+            val seqno = n.toLongOption.getOrElse(
+              throw new IllegalArgumentException(
+                s"MariaDB GTID seq overflows in: $line"))
+            require(seqno >= 1,
+              s"MariaDB GTID seq numbers start at 1: $line")
+            val domain = d.toLong
+            floor.get(domain).foreach { f =>
+              require(seqno == f + 1,
+                s"domain $domain stamps seq $seqno after $f — " +
+                  (if (seqno > f + 1)
+                    s"transactions ${f + 1}..${seqno - 1} are MISSING " +
+                      "(a lost rotation between the Gtid list state " +
+                      "and this stream); restore the gap or re-snapshot"
+                   else "the stream regresses against its own " +
+                     "executed state; the dump is corrupt"))
+            }
+            if (sawList && !floor.contains(domain))
+              require(seqno == 1,
+                s"domain $domain opens at seq $seqno but the file's " +
+                  "Gtid list head state does not name it — its " +
+                  "earlier transactions are missing; restore the gap " +
+                  "or re-snapshot")
+            floor += domain -> seqno
+            out += ((p, domain, s2.toLong, seqno))
+          case _ => ()
+        }
     }
     out.result().iterator
   }

@@ -154,6 +154,93 @@ class BinlogBinarySpec extends SparkTestBase {
     }
   }
 
+  test("PROPERTY: random TYPED envelopes round-trip the full wire " +
+      "map — temporal micros, enum indexes, set/bit masks, unsigned " +
+      "ranges, blobs, wide CHAR, JSON scalars") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import graft.sources.BinlogBinary.WireHint
+    val enumVals = Seq("alpha", "beta", "gamma", "delta")
+    val tcols: Seq[(String, DataType)] = Seq(
+      "okey" -> LongType, "tny" -> ByteType, "flt" -> FloatType,
+      "d" -> DateType, "dtl" -> TimestampNTZType,
+      "tsu" -> TimestampType, "tsec" -> IntegerType,
+      "tier" -> StringType, "flags" -> LongType, "bits" -> LongType,
+      "yr" -> ShortType, "blob" -> BinaryType, "code" -> StringType,
+      "ub" -> DecimalType(20, 0), "attrs" -> StringType)
+    val hints = Map[String, WireHint](
+      "tsec" -> WireHint.TimeSeconds,
+      "tier" -> WireHint.Enum(enumVals),
+      "flags" -> WireHint.SetBits(10), "bits" -> WireHint.Bit(33),
+      "yr" -> WireHint.Year, "code" -> WireHint.Char(300),
+      "ub" -> WireHint.Unsigned, "attrs" -> WireHint.Json)
+    def orNull[T](g: Gen[T]): Gen[Any] =
+      Gen.oneOf(Gen.const(null: Any), g.map(_.asInstanceOf[Any]))
+    val genRow = for {
+      seq <- Gen.chooseNum(0L, 0xffffffffL)
+      ts <- Gen.chooseNum(0L, 2000000000L)
+      okey <- Gen.chooseNum(-1000000L, 1000000L)
+      tny <- orNull(Gen.chooseNum(-128, 127).map(_.toByte))
+      flt <- orNull(Gen.chooseNum(-1e6f, 1e6f))
+      d <- orNull(Gen.chooseNum(0L, 20000L).map(ep =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(ep))))
+      dtl <- orNull(for {
+        sec <- Gen.chooseNum(0L, 2000000000L)
+        us <- Gen.chooseNum(0L, 999999L)
+      } yield java.time.LocalDateTime.ofEpochSecond(sec,
+        us.toInt * 1000, java.time.ZoneOffset.UTC))
+      tsu <- orNull(for {
+        sec <- Gen.chooseNum(1L, 4000000000L)
+        us <- Gen.chooseNum(0L, 999999L)
+      } yield {
+        val t = new java.sql.Timestamp(sec * 1000L)
+        t.setNanos(us.toInt * 1000); t
+      })
+      tsec <- orNull(Gen.chooseNum(0, 838 * 3600))
+      tier <- orNull(Gen.oneOf("" +: enumVals))
+      flags <- orNull(Gen.chooseNum(0L, (1L << 10) - 1))
+      bits <- orNull(Gen.chooseNum(0L, (1L << 33) - 1))
+      yr <- orNull(Gen.oneOf(Gen.const(0), Gen.chooseNum(1901, 2155))
+        .map(_.toShort))
+      blob <- orNull(Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte))
+        .map(_.take(200).toArray))
+      code <- orNull(Gen.asciiPrintableStr.map(_.take(280)))
+      ub <- orNull(Gen.chooseNum(0L, Long.MaxValue).map(v =>
+        new java.math.BigDecimal(java.math.BigInteger.valueOf(v)
+          .shiftLeft(1))))
+      attrs <- orNull(Gen.oneOf(
+        Gen.chooseNum(-1000000L, 1000000L).map(_.toString),
+        Gen.const("""{"a":1,"bb":[true,null,"x"]}"""),
+        Gen.const("\"just a string\"")))
+    } yield Row(Seq[Any]("I", seq, ts, okey, tny, flt, d, dtl, tsu,
+      tsec, tier, flags, bits, yr, blob, code, ub, attrs): _*)
+    val schema = StructType(
+      Seq(StructField("op", StringType), StructField("seq", LongType),
+        StructField("tsSec", LongType)) ++
+        tcols.map { case (n, t) => StructField(n, t) })
+    (0 until 3).foreach { i =>
+      val rows = Gen.listOfN(40, genRow)
+        .apply(Gen.Parameters.default, Seed(77L + i)).get
+      val env = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), schema)
+        .withColumn("ts", timestamp_seconds(col("tsSec"))
+          .cast(TimestampNTZType))
+        .select((Seq(col("op"), col("seq"), col("ts")) ++
+          tcols.map(c => col(c._1))): _*)
+      val dir = tmp()
+      BinlogBinary.render(env, tcols, s"$dir/b", files = 2,
+        hints = hints)
+      val back = BinlogBinary.parse(spark, s"$dir/b", tcols,
+        hints = hints)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.map {
+          case a: Array[Byte] => a.toSeq
+          case x => x
+        }.map(String.valueOf(_)).mkString("")).sorted.toSeq
+      assert(canon(back) == canon(env), s"typed sample $i diverged")
+    }
+  }
+
   test("refusals: truncation, checksum corruption, bad magic, missing " +
       "TABLE_MAP, and stale declarations all refuse loudly") {
     val env = envDf(Seq(

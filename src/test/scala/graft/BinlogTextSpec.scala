@@ -604,6 +604,53 @@ class BinlogTextSpec extends SparkTestBase {
     assert(short.getMessage.contains("missing history"), short.getMessage)
   }
 
+  test("MariaDB 'Gtid list' rotation heads gate seq continuity on " +
+      "the TEXT transport — the binary GTID_LIST guard, one rule, " +
+      "both framings") {
+    val dir = tmp()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/binlog"))
+    // head state: domain 0 executed through 2; the stream continues
+    // at 3 — intact
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/binlog/f2.txt"),
+      BinlogText.renderGtidListMaria(4L, 800000000L,
+        Seq((0L, 1L, 2L))) + "\n" +
+        BinlogText.renderGtidMaria(10L, 800000001L, 0L, 1L, 3L))
+    assert(BinlogText.parseGtidIndexMaria(spark, s"$dir/binlog") ==
+      Seq((10L, 0L, 1L, 3L)))
+    // a jump past the head state names the missing transactions
+    val dir2 = tmp()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir2/binlog"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir2/binlog/f2.txt"),
+      BinlogText.renderGtidListMaria(4L, 800000000L,
+        Seq((0L, 1L, 2L))) + "\n" +
+        BinlogText.renderGtidMaria(10L, 800000001L, 0L, 1L, 6L))
+    val e = intercept[Throwable] {
+      BinlogText.parseGtidIndexMaria(spark, s"$dir2/binlog")
+    }
+    val msg = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msg.contains("3..5") && msg.contains("MISSING"), s"got: $msg")
+    // a domain absent from the head state must open at 1
+    val dir3 = tmp()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir3/binlog"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir3/binlog/f2.txt"),
+      BinlogText.renderGtidListMaria(4L, 800000000L,
+        Seq((0L, 1L, 2L))) + "\n" +
+        BinlogText.renderGtidMaria(10L, 800000001L, 7L, 1L, 5L))
+    val e2 = intercept[Throwable] {
+      BinlogText.parseGtidIndexMaria(spark, s"$dir3/binlog")
+    }
+    assert(Iterator.iterate(e2)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      .contains("does not name it"))
+  }
+
   test("GTID resume boundary under the txn-scenario stamp geometry: " +
       "the executed set through txn 2 anchors one position below " +
       "txn 3's stamp") {
