@@ -544,7 +544,7 @@ object BinlogBinary {
         case (StringType, Some(Char(l))) =>
           require(l >= 1 && l <= 1023,
             s"CHAR hint for '$n' must declare 1..1023 bytes (CHAR(255)" +
-              " utf8mb4 = 1020), got $l")
+              s" utf8mb4 = 1020), got $l")
           true
         case (StringType, Some(DateText) | Some(DateTimeText)) => true
         case (BinaryType, Some(Charset(id))) =>
@@ -1596,6 +1596,19 @@ object BinlogBinary {
               s"raw DATETIME text '$other' for '$n' is not " +
                 "yyyy-MM-dd HH:mm:ss — refuse instead of storing garbage")
           }
+        case (StringType, Some(Text)) =>
+          // MUST precede (StringType, _): a TEXT column's TABLE_MAP
+          // metadata declares a 2-byte length prefix (meta.write(2))
+          // and this frame is its image-side twin — routing TEXT
+          // through the VARCHAR fallback is byte-identical only by
+          // coincidence today and would silently diverge if either
+          // frame changed
+          val t2 = r.getString(i + 3).getBytes("UTF-8")
+          require(t2.length <= 65535,
+            s"TEXT value for '$n' exceeds this renderer's 2-byte " +
+              "length prefix")
+          u16(b, t2.length)
+          b.write(t2)
         case (StringType, _) =>
           val s = r.getString(i + 3).getBytes("UTF-8")
           require(s.length <= 65535,
@@ -1603,39 +1616,6 @@ object BinlogBinary {
               s"(${s.length} bytes) — refuse instead of truncating")
           u16(b, s.length)
           b.write(s)
-        case (StringType, Some(Text)) =>
-          val t2 = r.getString(i + 3).getBytes("UTF-8")
-          require(t2.length <= 65535,
-            s"TEXT value for '$n' exceeds this renderer's 2-byte " +
-              "length prefix")
-          u16(b, t2.length)
-          b.write(t2)
-        case (BinaryType, Some(Charset(_))) =>
-          val s2 = r.getAs[Array[Byte]](i + 3)
-          require(s2.length <= 65535,
-            s"text value for '$n' exceeds the VARCHAR wire limit")
-          u16(b, s2.length)
-          b.write(s2)
-        case (StringType, Some(Text)) =>
-          val t2 = r.getString(i + 3).getBytes("UTF-8")
-          require(t2.length <= 65535,
-            s"TEXT value for '$n' exceeds this renderer's 2-byte " +
-              "length prefix")
-          u16(b, t2.length)
-          b.write(t2)
-        case (BinaryType, Some(Charset(_))) =>
-          val s2 = r.getAs[Array[Byte]](i + 3)
-          require(s2.length <= 65535,
-            s"text value for '$n' exceeds the VARCHAR wire limit")
-          u16(b, s2.length)
-          b.write(s2)
-        case (StringType, Some(Text)) =>
-          val t2 = r.getString(i + 3).getBytes("UTF-8")
-          require(t2.length <= 65535,
-            s"TEXT value for '$n' exceeds this renderer's 2-byte " +
-              "length prefix")
-          u16(b, t2.length)
-          b.write(t2)
         case (BinaryType, Some(Charset(_))) =>
           val s2 = r.getAs[Array[Byte]](i + 3)
           require(s2.length <= 65535,

@@ -116,6 +116,13 @@ object MySqlJsonb {
           o += 1
           require(shift <= 35, s"$what: JSON string varint runs away")
         }
+        // a 5-continuation-byte varint can carry up to 2^35-1: past
+        // Int.MaxValue the .toInt narrowing would go NEGATIVE, slip
+        // past need() (o + negative <= end holds), and surface as a
+        // bare StringIndexOutOfBounds instead of the named refusal
+        require(len <= Int.MaxValue,
+          s"$what: JSON string declares $len bytes — past the 2 GiB " +
+            "JVM bound; the document is corrupt")
         need(o, len.toInt)
         JStr(new String(b, o, len.toInt, "UTF-8"))
       case 0x00 | 0x01 | 0x02 | 0x03 =>
@@ -147,6 +154,10 @@ object MySqlJsonb {
           val fields = Vector.tabulate(count) { i =>
             val ko = keyEntries + i * (w + 2)
             val koff = rd(ko).toInt
+            // the key entry's 2-byte length sits past the offset rd()
+            // bounds-checked — a truncated document must hit the named
+            // refusal, not a bare ArrayIndexOutOfBounds
+            need(ko + w, 2)
             val klen = u16(b, ko + w)
             need(vo + koff, klen)
             val key = new String(b, vo + koff, klen, "UTF-8")
@@ -172,6 +183,17 @@ object MySqlJsonb {
     case JDouble(d) =>
       if (d.isNaN || d.isInfinite) throw new IllegalArgumentException(
         "non-finite double in a JSON document")
+      // negative zero FIRST: longValue() drops the sign bit, so the
+      // integral fast path below would render -0.0 as "0.0" — a real
+      // (if tiny) value corruption, since the stored document
+      // distinguishes them. (Large magnitudes keep Java's exponent
+      // rendering, e.g. "1.0E20" — a documented divergence from
+      // MySQL's own text form; revisit if server-text parity ever
+      // becomes an oracle.)
+      else if (d == 0.0 &&
+        java.lang.Double.doubleToRawLongBits(d) != 0L) {
+        sb.append("-0.0"); ()
+      }
       else if (d == d.longValue().toDouble &&
         math.abs(d) < 1e15) { sb.append(d.longValue()).append(".0"); () }
       else { sb.append(d.toString); () }

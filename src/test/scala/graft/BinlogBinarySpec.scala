@@ -1320,6 +1320,23 @@ class BinlogBinarySpec extends SparkTestBase {
     val e = intercept[IllegalArgumentException] {
       MySqlJsonb.decode(opaque, 0, opaque.length, "spec") }
     assert(e.getMessage.contains("opaque"))
+    // negative zero keeps its sign through the text round trip (the
+    // integral fast path's longValue() would drop it)
+    assert(rt("""{"d":-0.0}""") == """{"d":-0.0}""")
+    // a document truncated between an object key entry's offset and
+    // its length hits the NAMED truncation refusal, not a bare
+    // ArrayIndexOutOfBounds
+    val tornKey = Array[Byte](0x00, 1, 0, 7, 0, 0, 0, 0)
+    val ek = intercept[IllegalArgumentException] {
+      MySqlJsonb.decode(tornKey, 0, tornKey.length, "spec") }
+    assert(ek.getMessage.contains("truncated"))
+    // a string varint past Int.MaxValue refuses by name instead of
+    // narrowing negative and surfacing as a bare index error
+    val hugeStr = Array[Byte](0x0c, 0xff.toByte, 0xff.toByte,
+      0xff.toByte, 0xff.toByte, 0x7f)
+    val ev = intercept[IllegalArgumentException] {
+      MySqlJsonb.decode(hugeStr, 0, hugeStr.length, "spec") }
+    assert(ev.getMessage.contains("2 GiB"))
   }
 
   test("MariaDB GTID events on the wire: type-162 stamps index, the " +
