@@ -618,25 +618,48 @@ object BinlogBinary {
     * args: (eventType, tsSec, logPos, offset, end).
     *
     * `outerPos` is the wrapping TRANSACTION_PAYLOAD event's own header
-    * position, and it gates how much the inner headers' `log_pos`
-    * fields can be trusted: downstream the row/Xid positions become
-    * `seq` — the latest-wins collapse's ordering axis — but a real
-    * server writes inner events while they sit in the TRANSACTION
-    * CACHE, where end_log_pos is cache-relative (small, restarting
-    * per transaction), not file-global. Letting those through would
-    * collide and reorder the collapse — the silently-diverged-replica
-    * class. So every inner ROW/XID position must be at or past the
-    * wrapper's own (file-global) position and non-decreasing across
-    * the payload, or the walk refuses naming the real cause; streams
-    * whose inner positions were re-numbered to dump-global (this
-    * renderer's discipline, mysqlbinlog-recomputed output) pass.
-    * Non-row inner events (TABLE_MAP, GTID) never feed `seq`, so
-    * their positions stay unchecked. */
+    * position (its END position, per the format), `wrapperStart` its
+    * file offset — together they bound the file bytes the wrapper
+    * occupies, and they gate how the inner headers' `log_pos` fields
+    * feed `seq` (the latest-wins collapse's ordering axis). Two
+    * numbering dialects exist on real inputs:
+    *
+    *  - DUMP-GLOBAL (mysqlbinlog-recomputed output, this renderer's
+    *    fixtures): every inner ROW/XID position is at or past the
+    *    wrapper's own position and non-decreasing — passed through
+    *    verbatim, regression refuses as corruption;
+    *  - TRANSACTION-CACHE-RELATIVE (what a MySQL 8 server actually
+    *    writes with binlog_transaction_compression=ON: inner events
+    *    keep the end_log_pos they had in the transaction cache —
+    *    small, restarting per transaction). Passing those through
+    *    would collide and reorder the collapse, so they are
+    *    RENUMBERED deterministically: the k-th seq-bearing inner
+    *    event becomes `wrapperStart + k`. Every renumbered position
+    *    lands strictly INSIDE the wrapper's own byte footprint
+    *    `(wrapperStart, outerPos)`, so the total order against every
+    *    other position in the file — GTID stamps, plain row events,
+    *    other wrappers' renumbered rows — is preserved without any
+    *    cross-wrapper bookkeeping. A transaction carrying more
+    *    seq-bearing events than its wrapper's byte footprint can
+    *    number refuses by name (re-dump through mysqlbinlog), as does
+    *    a raw regression within the payload — fail-loud, never a
+    *    silent collision.
+    *
+    * The dialect is decided per WRAPPER by its first seq-bearing
+    * event (below the wrapper's position = cache-relative); a server
+    * never mixes dialects inside one wrapper, and a mixed wrapper
+    * trips the corresponding refusal. Non-row inner events
+    * (TABLE_MAP, GTID) never feed `seq`, so their positions stay
+    * unchecked and unrenumbered. */
   private def walkInnerEvents(inner: Array[Byte], path: String,
-      outerPos: Long)(
+      outerPos: Long, wrapperStart: Long)(
       handler: (Int, Long, Long, Int, Int) => Unit): Unit = {
     var io = 0
     var lastSeqPos = -1L
+    var lastRawPos = -1L
+    var seqCount = 0L
+    // decided on the first seq-bearing inner event; None until then
+    var cacheRelative: Option[Boolean] = None
     while (io < inner.length) {
       require(inner.length - io >= HeaderLen,
         s"$path: truncated inner event header at payload offset $io " +
@@ -644,7 +667,7 @@ object BinlogBinary {
       val its = rdU32(inner, io)
       val it = inner(io + 4) & 0xff
       val isz = rdU32(inner, io + 9).toInt
-      val ipos = rdU32(inner, io + 13)
+      val rawPos = rdU32(inner, io + 13)
       require(isz >= HeaderLen && io + isz <= inner.length,
         s"$path: inner event at payload offset $io declares size " +
           s"$isz beyond the payload's ${inner.length} bytes — " +
@@ -652,18 +675,41 @@ object BinlogBinary {
       require(it != TRANSACTION_PAYLOAD,
         s"$path: nested TRANSACTION_PAYLOAD at payload offset $io — " +
           "the format does not nest; corrupt")
-      if (it == WRITE_ROWS_V2 || it == UPDATE_ROWS_V2 ||
-        it == DELETE_ROWS_V2 || it == PARTIAL_UPDATE_ROWS ||
-        it == XID) {
-        require(ipos >= outerPos && ipos >= lastSeqPos,
-          s"$path: inner event at payload offset $io carries position " +
-            s"$ipos below its TRANSACTION_PAYLOAD wrapper's $outerPos " +
-            s"(or regressing from $lastSeqPos) — transaction-cache-" +
-            "relative positions, which cannot order the replica's " +
-            "collapse; re-number the stream through mysqlbinlog or " +
-            "dump with binlog_transaction_compression=OFF")
-        lastSeqPos = ipos
-      }
+      val ipos =
+        if (it == WRITE_ROWS_V2 || it == UPDATE_ROWS_V2 ||
+          it == DELETE_ROWS_V2 || it == PARTIAL_UPDATE_ROWS ||
+          it == XID) {
+          if (cacheRelative.isEmpty)
+            cacheRelative = Some(rawPos < outerPos)
+          if (cacheRelative.contains(true)) {
+            // authentic server numbering: renumber into the wrapper's
+            // own byte footprint (see the dialect rules above)
+            require(rawPos >= lastRawPos,
+              s"$path: inner event at payload offset $io regresses " +
+                s"from cache position $lastRawPos to $rawPos — the " +
+                "payload is corrupt")
+            lastRawPos = rawPos
+            seqCount += 1
+            val renumbered = wrapperStart + seqCount
+            require(renumbered < outerPos,
+              s"$path: TRANSACTION_PAYLOAD at position $outerPos " +
+                s"carries $seqCount+ row/commit events — more than " +
+                s"its ${outerPos - wrapperStart}-byte wrapper can " +
+                "renumber collision-free; re-number the stream " +
+                "through mysqlbinlog or dump with " +
+                "binlog_transaction_compression=OFF")
+            renumbered
+          } else {
+            require(rawPos >= outerPos && rawPos >= lastSeqPos,
+              s"$path: inner event at payload offset $io carries " +
+                s"position $rawPos below its TRANSACTION_PAYLOAD " +
+                s"wrapper's $outerPos (or regressing from " +
+                s"$lastSeqPos) after the wrapper opened dump-global — " +
+                "a mixed-numbering payload is corrupt")
+            lastSeqPos = rawPos
+            rawPos
+          }
+        } else rawPos
       handler(it, its, ipos, io, io + isz)
       io += isz
     }
@@ -799,9 +845,10 @@ object BinlogBinary {
     * rendered stream honors the inner-position discipline
     * [[walkInnerEvents]] enforces: each wrapper sits at its first
     * row's position and every inner row position is at or past it and
-    * non-decreasing — the dump-global numbering a decoder can trust
-    * (a real server's cache-relative inner positions cannot order the
-    * collapse and refuse at decode). */
+    * non-decreasing — the dump-global numbering a decoder passes
+    * through verbatim (a real server's cache-relative inner positions
+    * instead renumber deterministically into the wrapper's byte
+    * footprint at decode — see [[walkInnerEvents]]). */
   def renderCompressed(df: DataFrame, cols: Seq[(String, DataType)],
       outDir: String, files: Int = 4, table: String = "orders",
       rowsPerTxn: Int = 512,
@@ -2436,8 +2483,10 @@ object BinlogBinary {
             s"$path: nested TRANSACTION_PAYLOAD at offset $o — the " +
               "format does not nest; corrupt")
           val inner = inflatePayload(src, path, o + HeaderLen, bodyEnd)
-          walkInnerEvents(inner, path, logPos) { (it, its, ipos, io, iEnd) =>
-            handle(inner, it, its, ipos, io, iEnd, inPayload = true)
+          walkInnerEvents(inner, path, logPos,
+            wrapperStart = logPos - rdU32(src, o + 9)) {
+            (it, its, ipos, io, iEnd) =>
+              handle(inner, it, its, ipos, io, iEnd, inPayload = true)
           }
         case _ => () // Query/Xid/Gtid/Rotate/Stop/FDE: verified, skipped
     }
@@ -2723,8 +2772,10 @@ object BinlogBinary {
             else if (eventType == TRANSACTION_PAYLOAD) {
               val inner = inflatePayload(bytes, path,
                 o + HeaderLen, bodyEnd)
-              walkInnerEvents(inner, path, logPos) { (it, its, ipos, _, _) =>
-                if (it == XID) out += ((ipos, its))
+              walkInnerEvents(inner, path, logPos,
+                wrapperStart = logPos - rdU32(bytes, o + 9)) {
+                (it, its, ipos, _, _) =>
+                  if (it == XID) out += ((ipos, its))
               }
             }
         }

@@ -789,6 +789,91 @@ class BinlogBinarySpec extends SparkTestBase {
       ("I", 21L, s"$uuid:2")), s"got: $got")
   }
 
+  test("authentic server compression: transaction-cache-relative " +
+      "inner positions renumber into the wrapper's byte footprint; " +
+      "overfull wrappers, regressions, and mixed numbering refuse") {
+    val uuid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    val t0 = java.time.LocalDateTime.ofEpochSecond(
+      800000000L, 0, java.time.ZoneOffset.UTC)
+    // inner events carry the positions the transaction CACHE gave
+    // them — small, restarting near zero, BELOW the wrapper's own
+    // file-global position (what a real MySQL 8 server writes with
+    // binlog_transaction_compression=ON)
+    def cacheTxn(rows: Seq[(Long, Long, Double, String)],
+        xidCachePos: Option[Long]): Seq[Array[Byte]] =
+      (BinlogBinary.withoutCrc(BinlogBinary.tableMapEvent("t", cols)) +:
+        rows.map { case (cachePos, okey, price, status) =>
+          BinlogBinary.withoutCrc(BinlogBinary.rowsEvent(
+            Row("I", cachePos, t0, okey, price, status), cols))
+        }) ++ xidCachePos.map(p => BinlogBinary.withoutCrc(
+        BinlogBinary.xidEvent(p, 800000000L, 7L)))
+    val dir = tmp()
+    val outerPos = 2000L
+    BinlogBinary.writeEvents(s"$dir/b", "bin.000001", Seq(
+      BinlogBinary.gtidEvent(500L, 800000000L, uuid, 1L),
+      BinlogBinary.payloadEvent(outerPos, 800000000L,
+        cacheTxn(Seq((60L, 1L, 1.5, "a"), (120L, 2L, 2.5, "b")),
+          xidCachePos = Some(180L)))))
+    val back = BinlogBinary.parse(spark, s"$dir/b", cols)
+      .orderBy(col("seq")).collect()
+    assert(back.map(r => (r.getLong(3), r.getDouble(4))).toSeq ==
+      Seq((1L, 1.5), (2L, 2.5)))
+    // renumbered seqs: strictly increasing, inside the wrapper's own
+    // footprint (past the GTID stamp, before the wrapper's end
+    // position) — collision-free against every other file position
+    val seqs = back.map(_.getLong(1)).toSeq
+    assert(seqs == seqs.sorted && seqs.distinct == seqs, s"got: $seqs")
+    assert(seqs.forall(s2 => s2 > 500L && s2 < outerPos), s"got: $seqs")
+    // the inner Xid renumbers consistently (decode markers and the
+    // Xid scan share walkInnerEvents)
+    val xids = BinlogBinary.parseXids(spark, s"$dir/b")
+    assert(xids.length == 1 &&
+      xids.head._1 > seqs.max && xids.head._1 < outerPos,
+      s"got: $xids")
+    // the txn gate stamps renumbered rows + marker under the GTID
+    val txn = BinlogBinary.parseTxn(spark, s"$dir/b", cols)
+    val stamped = txn.orderBy(col("seq")).collect().map(r =>
+      (r.getString(0), r.getString(r.fieldIndex("txn")))).toSeq
+    assert(stamped == Seq(("I", s"$uuid:1"), ("I", s"$uuid:1"),
+      ("C", s"$uuid:1")), s"got: $stamped")
+    // a cache-position REGRESSION within the payload is corruption
+    val dir2 = tmp()
+    BinlogBinary.writeEvents(s"$dir2/b", "bin.000001", Seq(
+      BinlogBinary.payloadEvent(outerPos, 800000000L,
+        cacheTxn(Seq((120L, 1L, 1.5, "a"), (60L, 2L, 2.5, "b")),
+          xidCachePos = None))))
+    val er = intercept[Throwable] {
+      BinlogBinary.parse(spark, s"$dir2/b", cols).collect() }
+    val mr = Iterator.iterate(er)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(mr.contains("regresses"), s"got: $mr")
+    // MIXED numbering (dump-global first, cache-relative after)
+    // refuses — a server never writes it
+    val dir3 = tmp()
+    BinlogBinary.writeEvents(s"$dir3/b", "bin.000001", Seq(
+      BinlogBinary.payloadEvent(outerPos, 800000000L,
+        cacheTxn(Seq((2010L, 1L, 1.5, "a"), (60L, 2L, 2.5, "b")),
+          xidCachePos = None))))
+    val em = intercept[Throwable] {
+      BinlogBinary.parse(spark, s"$dir3/b", cols).collect() }
+    val mm = Iterator.iterate(em)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(mm.contains("mixed-numbering"), s"got: $mm")
+    // a transaction with more row events than its wrapper's byte
+    // footprint can number collision-free refuses by name (identical
+    // repeated rows compress far below their count)
+    val dir4 = tmp()
+    BinlogBinary.writeEvents(s"$dir4/b", "bin.000001", Seq(
+      BinlogBinary.payloadEvent(100000L, 800000000L,
+        cacheTxn(Seq.fill(4000)((60L, 1L, 1.5, "a")),
+          xidCachePos = None))))
+    val eo = intercept[Throwable] {
+      BinlogBinary.parse(spark, s"$dir4/b", cols).collect() }
+    val mo = Iterator.iterate(eo)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(mo.contains("renumber collision-free"), s"got: $mo")
+  }
+
   test("MINIMAL wire images decode under changedCol: updates merge " +
       "identity from the PK-only before image, the present bitmaps " +
       "surface as the changed list, deletes are PK-only") {
