@@ -502,7 +502,7 @@ object BinlogBinary {
       !table.exists(c => c.isWhitespace),
       s"bad table name '$table' for a TABLE_MAP event")
 
-  private def validateCols(cols: Seq[(String, DataType)],
+  private[sources] def validateCols(cols: Seq[(String, DataType)],
       hints: Map[String, WireHint] = Map.empty): Unit = {
     import WireHint._
     require(cols.nonEmpty, "empty TABLE_MAP column list")
@@ -2069,8 +2069,11 @@ object BinlogBinary {
     * to the raw-file path. */
   private[sources] def decodeEventStream(eventBytes: Array[Byte],
       path: String, cols: Seq[(String, DataType)],
-      changedCol: Option[String] = None): Iterator[Row] =
-    decodeFile(Magic ++ eventBytes, path, cols, changedCol = changedCol)
+      changedCol: Option[String] = None,
+      emitMarkers: Boolean = false,
+      hints: Map[String, WireHint] = Map.empty): Iterator[Row] =
+    decodeFile(Magic ++ eventBytes, path, cols, emitMarkers = emitMarkers,
+      changedCol = changedCol, hints = hints)
 
   /** How the routed decode treats one TABLE_MAP's table: decode its
     * row events against declared columns (`tag` flavors refusal

@@ -4049,6 +4049,33 @@ object StreamingOps {
       readLatestState(s, s"$tmp/state")
     }),
 
+    // S-BINLOG-SOCKET: ingest from CAPTURED REPLICATION-SOCKET bytes —
+    // what a live replica receives over COM_BINLOG_DUMP_GTID, one
+    // step closer to the wire than the raw files: every event arrives
+    // wrapped in MySQL packet framing (3-byte LE length + sequence
+    // id, 0x00 OK byte per event, >16 MiB events split across
+    // packets, EOF/ERR stream ends). BinlogSocket.depacketize strips
+    // the framing — sequence-id continuity checked, torn captures and
+    // server ERR packets refused by name — and hands the bare event
+    // bytes to the SAME BinlogBinary decoder as the file transports.
+    // The pass over this envelope must land on the same collapse:
+    // one oracle, SIX transports (parquet waves, verbose text, raw
+    // bytes, base64 text, compressed wrappers, socket packets).
+    "cdc_binlog_socket" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir)
+      val cols: Seq[(String, org.apache.spark.sql.types.DataType)] = Seq(
+        "okey" -> org.apache.spark.sql.types.LongType,
+        "price" -> DoubleType, "status" -> StringType)
+      val tmp = tmpDir()
+      graft.sources.BinlogSocket.renderPacketStream(log, cols,
+        s"$tmp/cap", files = 4)
+      val env = graft.sources.BinlogSocket.parse(s, s"$tmp/cap", cols)
+      val in = s"$tmp/in"
+      writeWave(env, in, 0)
+      runCdcPass(s, env.schema, in, s"$tmp/ckpt", s"$tmp/state")
+      readLatestState(s, s"$tmp/state")
+    }),
+
     // S-BINLOG-BASE64: ingest from a NON-VERBOSE text dump —
     // mysqlbinlog's DEFAULT output, where row events arrive only as
     // `BINLOG '…'` base64 statements (no ### pseudo-SQL anywhere).
@@ -6316,6 +6343,7 @@ object StreamingOps {
     // four transports (parquet waves, dump text, raw bytes, and the
     // non-verbose dump's base64 statements).
     "cdc_binlog_binary" -> latestStateSql,
+    "cdc_binlog_socket" -> latestStateSql,
     "cdc_binlog_base64" -> latestStateSql,
     "cdc_binlog_binary_compressed" -> latestStateSql,
 

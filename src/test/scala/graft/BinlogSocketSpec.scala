@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.{BinlogBinary, BinlogSocket}
+
+/** The replication-socket packet framing: frame-strip + reassembly
+  * round trips into the SAME binary decoder as the file transports,
+  * >16 MiB events reassemble across continuation packets, and the
+  * torn-capture / dropped-packet / server-ERR edges refuse by name.
+  * The end-to-end collapse equivalence is the declared
+  * `cdc_binlog_socket` query's oracle row — the same latest-wins
+  * oracle as every other binlog transport. */
+class BinlogSocketSpec extends SparkTestBase {
+
+  private val cols: Seq[(String, DataType)] = Seq(
+    "okey" -> LongType, "price" -> DoubleType, "status" -> StringType)
+
+  private def envDf(rows: Seq[(String, Long, Long, Any, Any, Any)]) = {
+    val schema = StructType(Seq(
+      StructField("op", StringType), StructField("seq", LongType),
+      StructField("tsSec", LongType), StructField("okey", LongType),
+      StructField("price", DoubleType), StructField("status", StringType)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r =>
+        Row(r._1, r._2, r._3, r._4, r._5, r._6)): _*), schema)
+      .withColumn("ts", timestamp_seconds(col("tsSec"))
+        .cast(TimestampNTZType))
+      .select("op", "seq", "ts", "okey", "price", "status")
+  }
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_sock").toString
+
+  private def write(dir: String, name: String,
+      bytes: Array[Byte]): Unit = {
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, name), bytes)
+    ()
+  }
+
+  private def causes(e: Throwable): String =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+
+  test("packet capture round-trips through the shared binary decoder: " +
+      "artificial ROTATE stripped, OK bytes removed, envelope " +
+      "identical to the raw-file transport") {
+    val env = envDf(Seq(
+      ("I", 1L, 800000000L, 1L, 10.5, "plain"),
+      ("I", 2L, 800000001L, 2L, null, null),
+      ("U", 3L, 800000002L, 1L, -7.25, "quote 'n' slash — ünïcodé"),
+      ("D", 4L, 900000000L, 2L, null, null)))
+    val dir = tmp()
+    BinlogSocket.renderPacketStream(env, cols, s"$dir/cap", files = 2)
+    val back = BinlogSocket.parse(spark, s"$dir/cap", cols)
+    // transport-agnostic: byte-identical schema to the file path
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/empty"))
+    assert(back.schema ==
+      BinlogBinary.parse(spark, s"$dir/empty", cols).schema)
+    assert(back.collect().map(_.toSeq).toSet ==
+      env.collect().map(_.toSeq).toSet)
+    // the captures are packet-framed, NOT binlog files: no magic, a
+    // 4-byte packet header first, and an artificial ROTATE inside
+    val capFiles = new java.io.File(s"$dir/cap").listFiles()
+      .filter(_.getName.endsWith(".cap")).toSeq
+    assert(capFiles.size == 2)
+    capFiles.foreach { f =>
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      assert(!bytes.take(4).sameElements(
+        Array(0xfe.toByte, 'b'.toByte, 'i'.toByte, 'n'.toByte)))
+      assert((bytes(3) & 0xff) == 1) // first packet sequence id
+      assert((bytes(4) & 0xff) == 0x00) // OK byte leads the payload
+      assert((bytes(4 + 1 + 4) & 0xff) == 4) // then the ROTATE event
+    }
+  }
+
+  test("a >16 MiB event reassembles across continuation packets " +
+      "byte-identically (and an exact-bound payload closes with an " +
+      "empty continuation)") {
+    val fde = BinlogBinary.fdeEvent()
+    // a fake jumbo event: valid 19-byte header shape is irrelevant to
+    // the packet layer — depacketize only strips framing
+    val jumbo = new Array[Byte](0xffffff + 1000)
+    new java.util.Random(7).nextBytes(jumbo)
+    jumbo(4) = 35 // any non-ROTATE type byte
+    val out = new java.io.ByteArrayOutputStream()
+    var seq = 1
+    seq = BinlogSocket.writePacket(out,
+      Array[Byte](0x00) ++ fde, seq)
+    seq = BinlogSocket.writePacket(out,
+      Array[Byte](0x00) ++ jumbo, seq)
+    // the jumbo payload spans 2 packets (FDE took id 1): next id is 4
+    assert(seq == 4)
+    BinlogSocket.writePacket(out,
+      Array[Byte](0xfe.toByte, 0, 0, 2, 0), seq)
+    val evs = BinlogSocket.depacketize(out.toByteArray, "spec")
+    assert(java.util.Arrays.equals(evs, fde ++ jumbo))
+    // exact 0xffffff payload: trailing empty continuation required
+    val exact = new Array[Byte](0xffffff)
+    exact(0) = 0x00
+    val out2 = new java.io.ByteArrayOutputStream()
+    val after = BinlogSocket.writePacket(out2, exact, 0)
+    assert(after == 2) // data packet + empty continuation
+    val bytes2 = out2.toByteArray
+    assert(bytes2.length == 4 + 0xffffff + 4) // second header, 0 payload
+  }
+
+  test("torn captures, dropped packets, trailing bytes, mid-stream " +
+      "slices, and unknown leaders refuse by name") {
+    val fde = BinlogBinary.fdeEvent()
+    def cap(withEof: Boolean, startSeq: Int = 1,
+        skipOne: Boolean = false): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var seq = startSeq
+      seq = BinlogSocket.writePacket(out, Array[Byte](0x00) ++ fde, seq)
+      if (skipOne) seq = (seq + 1) % 256 // a packet the wire lost
+      seq = BinlogSocket.writePacket(out,
+        Array[Byte](0x00) ++ BinlogBinary.rotateEvent("bin.000002"), seq)
+      if (withEof) BinlogSocket.writePacket(out,
+        Array[Byte](0xfe.toByte, 0, 0, 2, 0), seq)
+      out.toByteArray
+    }
+    // a clean capture decodes
+    assert(BinlogSocket.depacketize(cap(withEof = true), "spec")
+      .nonEmpty)
+    // no EOF: torn
+    val e1 = intercept[IllegalArgumentException] {
+      BinlogSocket.depacketize(cap(withEof = false), "spec") }
+    assert(e1.getMessage.contains("EOF or ERR"))
+    // a skipped sequence id: dropped packet
+    val e2 = intercept[IllegalArgumentException] {
+      BinlogSocket.depacketize(
+        cap(withEof = true, skipOne = true), "spec") }
+    assert(e2.getMessage.contains("dropped or reordered"))
+    // trailing bytes after the EOF
+    val e3 = intercept[IllegalArgumentException] {
+      BinlogSocket.depacketize(
+        cap(withEof = true) ++ Array[Byte](1, 2, 3), "spec") }
+    assert(e3.getMessage.contains("after the stream's EOF"))
+    // a capture that does not open with (rotate +) FDE is a
+    // mid-stream slice: no checksum discipline to decode under
+    val out4 = new java.io.ByteArrayOutputStream()
+    var s4 = 1
+    s4 = BinlogSocket.writePacket(out4,
+      Array[Byte](0x00) ++ BinlogBinary.rotateEvent("bin.000002"), s4)
+    BinlogSocket.writePacket(out4,
+      Array[Byte](0xfe.toByte, 0, 0, 2, 0), s4)
+    val e4 = intercept[IllegalArgumentException] {
+      BinlogSocket.depacketize(out4.toByteArray, "spec") }
+    assert(e4.getMessage.contains("FORMAT_DESCRIPTION"))
+    // an unknown packet leader refuses
+    val out5 = new java.io.ByteArrayOutputStream()
+    BinlogSocket.writePacket(out5, Array[Byte](0x7f, 1, 2), 1)
+    val e5 = intercept[IllegalArgumentException] {
+      BinlogSocket.depacketize(out5.toByteArray, "spec") }
+    assert(e5.getMessage.contains("unknown packet leader"))
+  }
+
+  test("a mid-stream ERR packet refuses quoting the server's own " +
+      "error text — through the full parse path") {
+    val env = envDf(Seq(("I", 1L, 800000000L, 1L, 1.5, "a")))
+    val dir = tmp()
+    BinlogSocket.renderPacketStream(env, cols, s"$dir/cap", files = 1)
+    val clean = java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$dir/cap").listFiles().head.toPath)
+    // swap the EOF tail (last 9 bytes: 4 header + 5 payload) for an
+    // ERR packet carrying the server's reason
+    val lastSeq = clean(clean.length - 9 + 3) & 0xff
+    val torn = clean.dropRight(9) ++ BinlogSocket.errPacket(1236,
+      "HY000", "Could not find first log file name in binary log " +
+        "index file", lastSeq)
+    val dir2 = tmp()
+    write(s"$dir2/cap", "sock.000000.cap", torn)
+    val e = intercept[Throwable] {
+      BinlogSocket.parse(spark, s"$dir2/cap", cols).collect() }
+    val msg = causes(e)
+    assert(msg.contains("ERR 1236"), s"got: $msg")
+    assert(msg.contains("HY000"), s"got: $msg")
+    assert(msg.contains("Could not find first log file name"),
+      s"got: $msg")
+  }
+}
