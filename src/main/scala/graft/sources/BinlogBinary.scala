@@ -421,7 +421,8 @@ object BinlogBinary {
   def render(df: DataFrame, cols: Seq[(String, DataType)],
       outDir: String, files: Int = 4, table: String = "orders",
       prefix: String = "bin", append: Boolean = false,
-      hints: Map[String, WireHint] = Map.empty): Unit = {
+      hints: Map[String, WireHint] = Map.empty,
+      pk: Seq[String] = Seq.empty): Unit = {
     validateCols(cols, hints)
     validateTableName(table)
     require(files >= 1, "at least one binlog file")
@@ -450,6 +451,7 @@ object BinlogBinary {
     val tableB = table
     val prefixB = prefix
     val hintsB = hints
+    val pkB = pk
     // ts rides RAW (TimestampNTZ → LocalDateTime task-side) and
     // converts to the header's epoch seconds via UTC — the exact
     // inverse of the parser's LocalDateTime.ofEpochSecond(…, UTC), so
@@ -466,7 +468,7 @@ object BinlogBinary {
         val out = new java.io.ByteArrayOutputStream()
         out.write(Magic)
         out.write(fdeEvent())
-        out.write(tableMapEvent(tableB, colsB, hints = hintsB))
+        out.write(tableMapEvent(tableB, colsB, hints = hintsB, pk = pkB))
         it.foreach { r =>
           out.write(rowsEvent(r, colsB, hints = hintsB))
         }
@@ -1022,11 +1024,17 @@ object BinlogBinary {
   }
 
   /** TABLE_MAP event: table id 108, the declared columns' wire types
-    * and metadata, all columns nullable. */
+    * and metadata, all columns nullable. `pk` (column names) emits the
+    * SIMPLE_PRIMARY_KEY optional-metadata field (TLV 8) — the
+    * `binlog_row_metadata=FULL` self-description [[parsePrimaryKey]]
+    * reads; `pkPrefixLens` emits PRIMARY_KEY_WITH_PREFIX (TLV 9,
+    * prefix-indexed key parts) for fixtures exercising its refusal. */
   private[graft] def tableMapEvent(table: String,
       cols: Seq[(String, DataType)], tableId: Long = 108L,
       tsSec: Long = 0L,
-      hints: Map[String, WireHint] = Map.empty): Array[Byte] = {
+      hints: Map[String, WireHint] = Map.empty,
+      pk: Seq[String] = Seq.empty,
+      pkPrefixLens: Seq[(String, Int)] = Seq.empty): Array[Byte] = {
     import WireHint._
     val b = new java.io.ByteArrayOutputStream()
     // post-header: table_id(6 LE) + flags(2)
@@ -1155,6 +1163,32 @@ object BinlogBinary {
         }
       }
       b.write(6); packed(b, ev.size.toLong); b.write(ev.toByteArray)
+    }
+    // SIMPLE_PRIMARY_KEY (field 8): packed column INDICES of the
+    // table's replication identity — what lets a dump self-describe
+    // the key a collapse must use
+    if (pk.nonEmpty) {
+      val pb = new java.io.ByteArrayOutputStream()
+      pk.foreach { n =>
+        val i = cols.indexWhere(_._1 == n)
+        require(i >= 0,
+          s"primary-key column '$n' is not in the TABLE_MAP columns")
+        packed(pb, i.toLong)
+      }
+      b.write(8); packed(b, pb.size.toLong); b.write(pb.toByteArray)
+    }
+    // PRIMARY_KEY_WITH_PREFIX (field 9): (index, prefix length)
+    // pairs — prefix-indexed key parts (PRIMARY KEY (blob_col(10)));
+    // emitted only for fixtures that exercise the decode-side refusal
+    if (pkPrefixLens.nonEmpty) {
+      val pb = new java.io.ByteArrayOutputStream()
+      pkPrefixLens.foreach { case (n, l) =>
+        val i = cols.indexWhere(_._1 == n)
+        require(i >= 0,
+          s"primary-key column '$n' is not in the TABLE_MAP columns")
+        packed(pb, i.toLong); packed(pb, l.toLong)
+      }
+      b.write(9); packed(b, pb.size.toLong); b.write(pb.toByteArray)
     }
     sealEvent(tsSec, TABLE_MAP, 0L, b.toByteArray)
   }
@@ -1916,6 +1950,23 @@ object BinlogBinary {
       }
   }
 
+  /** One column's TABLE_MAP metadata value — the per-type width/pack
+    * rules shared by the decode branch and the standalone metadata
+    * extractors (one stepping rule; a width added here gates both). */
+  private def readColMeta(c: Cursor, wireType: Int): Int =
+    wireType match {
+      case T_FLOAT | T_DOUBLE => c.u8()
+      case T_VARCHAR | T_VAR_STRING => c.u16()
+      case T_NEWDECIMAL => { val p = c.u8(); (p << 8) | c.u8() }
+      case T_TIME2 | T_DATETIME2 | T_TIMESTAMP2 => c.u8()
+      case T_BLOB | T_JSON => c.u8()
+      case T_BIT =>
+        // (bits % 8, whole bytes) → total bits
+        { val b0 = c.u8(); val b1 = c.u8(); b1 * 8 + b0 }
+      case T_STRING => { val m0 = c.u8(); (m0 << 8) | c.u8() }
+      case _ => 0 // fixed-width integer/temporal types
+    }
+
   /** Unfold a STRING-slot column's 2-byte metadata: ENUM/SET ride the
     * STRING wire type with their REAL type in the first metadata byte
     * and their pack length in the second; a true CHAR splits its
@@ -2144,20 +2195,7 @@ object BinlogBinary {
               val metaEnd = c.o + metaLen
               c.need(metaLen)
               val metas = new Array[Int](n)
-              (0 until n).foreach { i =>
-                metas(i) = types(i) match {
-                  case T_FLOAT | T_DOUBLE => c.u8()
-                  case T_VARCHAR | T_VAR_STRING => c.u16()
-                  case T_NEWDECIMAL => { val p = c.u8(); (p << 8) | c.u8() }
-                  case T_TIME2 | T_DATETIME2 | T_TIMESTAMP2 => c.u8()
-                  case T_BLOB | T_JSON => c.u8()
-                  case T_BIT =>
-                    // (bits % 8, whole bytes) → total bits
-                    { val b0 = c.u8(); val b1 = c.u8(); b1 * 8 + b0 }
-                  case T_STRING => { val m0 = c.u8(); (m0 << 8) | c.u8() }
-                  case _ => 0 // fixed-width integer/temporal types
-                }
-              }
+              (0 until n).foreach(i => metas(i) = readColMeta(c, types(i)))
               require(c.o == metaEnd,
                 s"$path: TABLE_MAP metadata length $metaLen does not " +
                   "match its types — corrupt or an unsupported type's " +
@@ -2504,6 +2542,145 @@ object BinlogBinary {
           s"type: $lastType) — an in-flight or torn rotation snapshot; " +
           "stage rotations atomically (write elsewhere, then rename " +
           "into the tailed dir) or disable requireRotate")
+    out.result().iterator
+  }
+
+  /** The table's PRIMARY KEY as the dump itself declares it — the
+    * SIMPLE_PRIMARY_KEY optional-metadata field (TLV 8, MySQL 8.0.1+
+    * `binlog_row_metadata=FULL`) resolved to column NAMES through the
+    * COLUMN_NAME field, from every TABLE_MAP in the dump. This closes
+    * the trust gap on the collapse's identity the way COLUMN_NAME
+    * closed it for column order: today every pass collapses by
+    * caller-declared `keyCols`; a FULL-metadata dump can VALIDATE that
+    * declaration ([[requirePrimaryKey]]) or replace it (pass this
+    * result as `keyCols`). Refusals, all by name: a dump without the
+    * PK metadata (re-dump with binlog_row_metadata=FULL), PK metadata
+    * without COLUMN_NAME (indices with no names to resolve through),
+    * a PRIMARY_KEY_WITH_PREFIX table (TLV 9 — a prefix-indexed key
+    * part identifies a row by a column FRAGMENT; no honest column
+    * list expresses that collapse), and TABLE_MAPs that disagree
+    * mid-dump (a PK redefinition inside the window — ambiguous
+    * identity; split the window at the DDL). Distributed per file;
+    * only (table, pk) tuples collect. */
+  def parsePrimaryKey(spark: SparkSession, dir: String): Seq[String] = {
+    import org.apache.spark.sql.Encoders
+    val maps = spark.read.format("binaryFile").load(dir)
+      .select(col("content"), col("path"))
+      .flatMap { r =>
+        extractTableMapPk(r.getAs[Array[Byte]](0), r.getString(1))
+          .map { case (t, pk) => (t, pk.mkString(" ")) }
+      }(Encoders.tuple(Encoders.STRING, Encoders.STRING))
+      .collect().toSeq.distinct
+    require(maps.nonEmpty,
+      s"dump at $dir carries no SIMPLE_PRIMARY_KEY metadata on any " +
+        "TABLE_MAP — the server did not self-describe its key; " +
+        "re-dump with binlog_row_metadata=FULL or declare keyCols " +
+        "explicitly")
+    require(maps.length == 1,
+      s"dump at $dir declares conflicting primary keys: " +
+        maps.map { case (t, pk) =>
+          s"'$t' -> (${pk.split(' ').mkString(", ")})"
+        }.mkString("; ") +
+        " — a PK redefinition (or a multi-table dump) inside this " +
+        "window makes the collapse identity ambiguous; split the " +
+        "window at the DDL (or use the multi-table surface)")
+    maps.head._2.split(' ').toSeq
+  }
+
+  /** Validate a pass's declared `keyCols` against the dump's OWN
+    * primary-key metadata — the wire says the identity is X, the pass
+    * collapses by Y = a silently diverged replica; refuse naming
+    * both. */
+  def requirePrimaryKey(spark: SparkSession, dir: String,
+      declared: Seq[String]): Unit = {
+    val wire = parsePrimaryKey(spark, dir)
+    require(wire == declared,
+      s"dump at $dir declares PRIMARY KEY (${wire.mkString(", ")}) " +
+        s"but the pass collapses by (${declared.mkString(", ")}) — " +
+        "a key mismatch diverges the replica silently; fix keyCols " +
+        "or re-dump the right table")
+  }
+
+  /** One file's TABLE_MAP primary-key declarations: `(table, pk
+    * names)` per map that carries SIMPLE_PRIMARY_KEY metadata. Walks
+    * the same event/metadata stepping as the decode (shared
+    * [[readColMeta]]); prefix keys and missing names refuse here. */
+  private def extractTableMapPk(bytes: Array[Byte],
+      path: String): Iterator[(String, Seq[String])] = {
+    val out = Vector.newBuilder[(String, Seq[String])]
+    walkEvents(bytes, path) { (eventType, _, _, o, bodyEnd) =>
+      if (eventType == TABLE_MAP) {
+        val c = new Cursor(bytes, o + HeaderLen, bodyEnd,
+          s"$path TABLE_MAP at $o")
+        c.skip(6); c.skip(2) // table_id, flags
+        val dbLen = c.u8(); c.skip(dbLen + 1)
+        val tbLen = c.u8()
+        c.need(tbLen)
+        val table = new String(c.b, c.o, tbLen, "UTF-8")
+        c.skip(tbLen + 1)
+        val n = c.packed().toInt
+        val types = new Array[Int](n)
+        (0 until n).foreach(i => types(i) = c.u8())
+        val metaLen = c.packed().toInt
+        val metaEnd = c.o + metaLen
+        c.need(metaLen)
+        (0 until n).foreach(i => readColMeta(c, types(i)))
+        require(c.o == metaEnd,
+          s"$path: TABLE_MAP metadata length $metaLen does not match " +
+            "its types — corrupt or an unsupported type's metadata")
+        c.skip((n + 7) / 8) // null bits
+        var names = Seq.empty[String]
+        var pkIdx = Seq.empty[Int]
+        var sawPk = false
+        while (c.o < c.end) {
+          val ft = c.u8()
+          val flen = c.packed().toInt
+          val fend = c.o + flen
+          c.need(flen)
+          ft match {
+            case 4 => // COLUMN_NAME
+              val nb = Vector.newBuilder[String]
+              while (c.o < fend) {
+                val ln = c.packed().toInt
+                c.need(ln)
+                nb += new String(c.b, c.o, ln, "UTF-8")
+                c.o += ln
+              }
+              names = nb.result()
+            case 8 => // SIMPLE_PRIMARY_KEY: packed column indices
+              val ib = Vector.newBuilder[Int]
+              while (c.o < fend) ib += c.packed().toInt
+              pkIdx = ib.result()
+              sawPk = true
+            case 9 => throw new IllegalArgumentException(
+              s"$path: table '$table' declares a " +
+                "PRIMARY_KEY_WITH_PREFIX (a prefix-indexed key part, " +
+                "e.g. PRIMARY KEY (col(10))) — a column-name list " +
+                "cannot express a fragment identity; collapse by an " +
+                "explicit keyCols declaration instead")
+            case _ => () // other fields: length-skipped here
+          }
+          c.o = fend
+        }
+        if (sawPk) {
+          require(names.nonEmpty,
+            s"$path: table '$table' carries SIMPLE_PRIMARY_KEY " +
+              "metadata but no COLUMN_NAME field — indices with no " +
+              "names to resolve through; re-dump with " +
+              "binlog_row_metadata=FULL")
+          val pk = pkIdx.map { i =>
+            require(i >= 0 && i < names.length,
+              s"$path: table '$table' primary-key index $i is past " +
+                s"its ${names.length} columns — corrupt metadata")
+            names(i)
+          }
+          require(pk.nonEmpty,
+            s"$path: table '$table' carries an EMPTY " +
+              "SIMPLE_PRIMARY_KEY field — corrupt metadata")
+          out += (table -> pk)
+        }
+      }
+    }
     out.result().iterator
   }
 

@@ -4049,6 +4049,34 @@ object StreamingOps {
       readLatestState(s, s"$tmp/state")
     }),
 
+    // S-BINLOG-WIRE-PK: the collapse key read from the DUMP ITSELF —
+    // a binlog_row_metadata=FULL TABLE_MAP carries SIMPLE_PRIMARY_KEY
+    // (TLV 8: packed column indices) + COLUMN_NAME, so the pass's
+    // keyCols come from BinlogBinary.parsePrimaryKey(wire metadata)
+    // with NO caller declaration — closing the identity trust gap the
+    // way COLUMN_NAME closed column order. A declared-vs-wire
+    // mismatch refuses naming both (requirePrimaryKey, spec-pinned);
+    // prefix-indexed keys (TLV 9) refuse by name. Same collapse, same
+    // oracle as every other transport.
+    "cdc_binlog_binary_wire_pk" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir)
+      val cols: Seq[(String, org.apache.spark.sql.types.DataType)] = Seq(
+        "okey" -> org.apache.spark.sql.types.LongType,
+        "price" -> DoubleType, "status" -> StringType)
+      val tmp = tmpDir()
+      graft.sources.BinlogBinary.render(log, cols, s"$tmp/binlog",
+        files = 4, pk = Seq("okey"))
+      // the key the wire itself declares drives the collapse
+      val wireKey = graft.sources.BinlogBinary.parsePrimaryKey(
+        s, s"$tmp/binlog")
+      val env = graft.sources.BinlogBinary.parse(s, s"$tmp/binlog", cols)
+      val in = s"$tmp/in"
+      writeWave(env, in, 0)
+      runCdcPass(s, env.schema, in, s"$tmp/ckpt", s"$tmp/state",
+        keyCols = wireKey)
+      readLatestState(s, s"$tmp/state")
+    }),
+
     // S-BINLOG-SOCKET: ingest from CAPTURED REPLICATION-SOCKET bytes —
     // what a live replica receives over COM_BINLOG_DUMP_GTID, one
     // step closer to the wire than the raw files: every event arrives
@@ -6344,6 +6372,7 @@ object StreamingOps {
     // non-verbose dump's base64 statements).
     "cdc_binlog_binary" -> latestStateSql,
     "cdc_binlog_socket" -> latestStateSql,
+    "cdc_binlog_binary_wire_pk" -> latestStateSql,
     "cdc_binlog_base64" -> latestStateSql,
     "cdc_binlog_binary_compressed" -> latestStateSql,
 

@@ -638,6 +638,58 @@ class BinlogBinarySpec extends SparkTestBase {
       .nonEmpty)
   }
 
+  test("SIMPLE_PRIMARY_KEY metadata: the dump self-describes its " +
+      "collapse key; declared mismatches, absent metadata, prefix " +
+      "keys, and mid-dump redefinitions refuse by name") {
+    val env = envDf(Seq(
+      ("I", 1L, 800000000L, 1L, 1.5, "a"),
+      ("I", 2L, 800000001L, 2L, 2.5, "b")))
+    val dir = tmp()
+    BinlogBinary.render(env, cols, s"$dir/pk", files = 2,
+      pk = Seq("okey"))
+    // the wire names the key; a matching declaration validates
+    assert(BinlogBinary.parsePrimaryKey(spark, s"$dir/pk") ==
+      Seq("okey"))
+    BinlogBinary.requirePrimaryKey(spark, s"$dir/pk", Seq("okey"))
+    // a composite wire key resolves in wire ORDER
+    BinlogBinary.render(env, cols, s"$dir/pk2", files = 1,
+      pk = Seq("status", "okey"))
+    assert(BinlogBinary.parsePrimaryKey(spark, s"$dir/pk2") ==
+      Seq("status", "okey"))
+    // declared-vs-wire mismatch refuses naming BOTH keys
+    val em = intercept[IllegalArgumentException] {
+      BinlogBinary.requirePrimaryKey(spark, s"$dir/pk", Seq("status")) }
+    assert(em.getMessage.contains("PRIMARY KEY (okey)") &&
+      em.getMessage.contains("collapses by (status)"), em.getMessage)
+    // a dump WITHOUT the metadata refuses naming the server setting
+    BinlogBinary.render(env, cols, s"$dir/nopk", files = 1)
+    val ea = intercept[Throwable] {
+      BinlogBinary.parsePrimaryKey(spark, s"$dir/nopk") }
+    assert(ea.getMessage.contains("binlog_row_metadata=FULL"),
+      ea.getMessage)
+    // a PREFIX-indexed key part refuses by name (no column list can
+    // express a fragment identity)
+    val t0 = java.time.LocalDateTime.ofEpochSecond(
+      800000000L, 0, java.time.ZoneOffset.UTC)
+    BinlogBinary.writeEvents(s"$dir/prefix", "bin.000001", Seq(
+      BinlogBinary.tableMapEvent("t", cols,
+        pkPrefixLens = Seq("status" -> 10)),
+      BinlogBinary.rowsEvent(Row("I", 5L, t0, 9L, 1.0, "x"), cols)))
+    val ep = intercept[Throwable] {
+      BinlogBinary.parsePrimaryKey(spark, s"$dir/prefix") }
+    val mp = Iterator.iterate(ep)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(mp.contains("PRIMARY_KEY_WITH_PREFIX"), s"got: $mp")
+    // TABLE_MAPs disagreeing mid-dump = ambiguous identity
+    BinlogBinary.writeEvents(s"$dir/conflict", "bin.000001", Seq(
+      BinlogBinary.tableMapEvent("t", cols, pk = Seq("okey")),
+      BinlogBinary.tableMapEvent("t", cols, pk = Seq("status"))))
+    val ec = intercept[Throwable] {
+      BinlogBinary.parsePrimaryKey(spark, s"$dir/conflict") }
+    assert(ec.getMessage.contains("conflicting primary keys"),
+      ec.getMessage)
+  }
+
   test("verifyRotationChain: ROTATE announcements must name the next " +
       "file present — a missing middle rotation refuses by name") {
     val dir = tmp()
