@@ -422,7 +422,8 @@ object BinlogBinary {
       outDir: String, files: Int = 4, table: String = "orders",
       prefix: String = "bin", append: Boolean = false,
       hints: Map[String, WireHint] = Map.empty,
-      pk: Seq[String] = Seq.empty): Unit = {
+      pk: Seq[String] = Seq.empty,
+      enumSetCharset: Option[Int] = None): Unit = {
     validateCols(cols, hints)
     validateTableName(table)
     require(files >= 1, "at least one binlog file")
@@ -452,6 +453,7 @@ object BinlogBinary {
     val prefixB = prefix
     val hintsB = hints
     val pkB = pk
+    val esCsB = enumSetCharset
     // ts rides RAW (TimestampNTZ → LocalDateTime task-side) and
     // converts to the header's epoch seconds via UTC — the exact
     // inverse of the parser's LocalDateTime.ofEpochSecond(…, UTC), so
@@ -468,7 +470,8 @@ object BinlogBinary {
         val out = new java.io.ByteArrayOutputStream()
         out.write(Magic)
         out.write(fdeEvent())
-        out.write(tableMapEvent(tableB, colsB, hints = hintsB, pk = pkB))
+        out.write(tableMapEvent(tableB, colsB, hints = hintsB, pk = pkB,
+          enumSetCharset = esCsB))
         it.foreach { r =>
           out.write(rowsEvent(r, colsB, hints = hintsB))
         }
@@ -1034,7 +1037,8 @@ object BinlogBinary {
       tsSec: Long = 0L,
       hints: Map[String, WireHint] = Map.empty,
       pk: Seq[String] = Seq.empty,
-      pkPrefixLens: Seq[(String, Int)] = Seq.empty): Array[Byte] = {
+      pkPrefixLens: Seq[(String, Int)] = Seq.empty,
+      enumSetCharset: Option[Int] = None): Array[Byte] = {
     import WireHint._
     val b = new java.io.ByteArrayOutputStream()
     // post-header: table_id(6 LE) + flags(2)
@@ -1154,15 +1158,36 @@ object BinlogBinary {
         hints(n).asInstanceOf[WireHint.Enum].values
     }
     if (enumCols.nonEmpty) {
+      // the value-list bytes ride in the table's ENUM/SET charset —
+      // utf8mb4 unless the fixture declares otherwise (then field 10
+      // names the collation, the self-description the decoder reads)
+      val listJavaCs = enumSetCharset match {
+        case None => "UTF-8"
+        case Some(id) => MySqlCharsets.javaName(id) match {
+          case Some(Some(cs)) => cs
+          case _ => throw new IllegalArgumentException(
+            s"enumSetCharset $id is unknown or binary — ENUM members " +
+              "are text; use a text collation id")
+        }
+      }
       val ev = new java.io.ByteArrayOutputStream()
       enumCols.foreach { vs =>
         packed(ev, vs.length.toLong)
         vs.foreach { v =>
-          val vb = v.getBytes("UTF-8")
+          val vb = v.getBytes(listJavaCs)
+          require(new String(vb, listJavaCs) == v,
+            s"ENUM member '$v' does not survive charset " +
+              s"$listJavaCs — the declared enumSetCharset cannot " +
+              "carry it; refuse instead of storing mojibake")
           packed(ev, vb.length.toLong); ev.write(vb)
         }
       }
       b.write(6); packed(b, ev.size.toLong); b.write(ev.toByteArray)
+      enumSetCharset.foreach { id =>
+        val cs = new java.io.ByteArrayOutputStream()
+        packed(cs, id.toLong)
+        b.write(10); packed(b, cs.size.toLong); b.write(cs.toByteArray)
+      }
     }
     // SIMPLE_PRIMARY_KEY (field 8): packed column INDICES of the
     // table's replication identity — what lets a dump self-describe
@@ -2209,10 +2234,17 @@ object BinlogBinary {
               c.skip((n + 7) / 8) // null bits (decode-irrelevant here)
               var unsignedBits = Array.empty[Boolean]
               var wireNames = Seq.empty[String]
-              var wireEnumLists = Vector.empty[Seq[String]]
+              // ENUM value lists arrive as BYTES in the value list's
+              // OWN charset (the table's enum/set charset, fields
+              // 10/11 — which the server writes AFTER field 6), so
+              // they hold raw here and decode after the TLV loop
+              var wireEnumRaw = Vector.empty[Seq[Array[Byte]]]
               var charsetDefault = -1L
               var charsetPairs = Map.empty[Int, Int] // char ordinal -> id
               var charsetPerCol = Vector.empty[Int] // COLUMN_CHARSET list
+              var esDefault = -1L // ENUM_AND_SET_DEFAULT_CHARSET
+              var esPairs = Map.empty[Int, Int] // enum/set ordinal -> id
+              var esPerCol = Vector.empty[Int] // ENUM_AND_SET_COLUMN_CHARSET
               while (c.o < c.end) {
                 val ft = c.u8()
                 val flen = c.packed().toInt
@@ -2249,20 +2281,31 @@ object BinlogBinary {
                     }
                     wireNames = names.result()
                   case 6 => // ENUM_STR_VALUE: per ENUM column in order
-                    val lists = Vector.newBuilder[Seq[String]]
+                    val lists = Vector.newBuilder[Seq[Array[Byte]]]
                     while (c.o < fend) {
                       val cnt = c.packed().toInt
-                      val vs = Vector.newBuilder[String]
+                      val vs = Vector.newBuilder[Array[Byte]]
                       (0 until cnt).foreach { _ =>
                         val ln = c.packed().toInt
                         c.need(ln)
-                        vs += new String(c.b, c.o, ln, "UTF-8")
+                        vs += java.util.Arrays.copyOfRange(c.b, c.o,
+                          c.o + ln)
                         c.o += ln
                       }
                       lists += vs.result()
                     }
-                    wireEnumLists = lists.result()
-                  case _ => () // charset/PK/geometry/…: length-skipped
+                    wireEnumRaw = lists.result()
+                  case 10 => // ENUM_AND_SET_DEFAULT_CHARSET + pairs
+                    esDefault = c.packed()
+                    while (c.o < fend) {
+                      val ord = c.packed().toInt
+                      esPairs += ord -> c.packed().toInt
+                    }
+                  case 11 => // ENUM_AND_SET_COLUMN_CHARSET
+                    val ids = Vector.newBuilder[Int]
+                    while (c.o < fend) ids += c.packed().toInt
+                    esPerCol = ids.result()
+                  case _ => () // PK/geometry/visibility/…: length-skipped
                 }
                 c.o = fend
               }
@@ -2314,13 +2357,60 @@ object BinlogBinary {
                 val enumIdx = (0 until n).filter(i =>
                   types(i) == T_STRING &&
                     stringMeta(metas(i))._1 == T_ENUM)
-                require(wireEnumLists.isEmpty ||
-                  wireEnumLists.length == enumIdx.length,
+                require(wireEnumRaw.isEmpty ||
+                  wireEnumRaw.length == enumIdx.length,
                   s"$path: ENUM_STR_VALUE metadata carries " +
-                    s"${wireEnumLists.length} value lists for " +
+                    s"${wireEnumRaw.length} value lists for " +
                     s"${enumIdx.length} ENUM columns — corrupt")
+                // the value-list bytes decode through the table's
+                // ENUM/SET charset metadata (fields 10/11, ordinals
+                // over the enum+set columns in column order) — the
+                // same mojibake class DEFAULT_CHARSET fixes for
+                // column text; UTF-8 when the dump carries none (the
+                // pre-8.0.1 posture)
+                val esIdx = (0 until n).filter { i =>
+                  types(i) == T_STRING && {
+                    val rt = stringMeta(metas(i))._1
+                    rt == T_ENUM || rt == T_SET
+                  }
+                }
+                require(esPerCol.isEmpty ||
+                  esPerCol.length == esIdx.length,
+                  s"$path: ENUM_AND_SET_COLUMN_CHARSET metadata " +
+                    s"carries ${esPerCol.length} ids for " +
+                    s"${esIdx.length} ENUM/SET columns — corrupt")
+                def listCharset(ci: Int): String = {
+                  val ord = esIdx.indexOf(ci)
+                  val id: Option[Int] =
+                    if (esPerCol.nonEmpty) Some(esPerCol(ord))
+                    else if (esDefault >= 0)
+                      Some(esPairs.getOrElse(ord, esDefault.toInt))
+                    else None
+                  id match {
+                    case None => "UTF-8"
+                    case Some(cid) =>
+                      MySqlCharsets.javaName(cid) match {
+                        case None => throw new IllegalArgumentException(
+                          s"$path: ENUM column @${ci + 1} declares " +
+                            s"value-list collation id $cid, which " +
+                            "this decoder has no Java charset for — " +
+                            "extend MySqlCharsets or hint the value " +
+                            "list explicitly")
+                        case Some(None) =>
+                          throw new IllegalArgumentException(
+                            s"$path: ENUM column @${ci + 1} declares " +
+                              "its value list BINARY (collation 63) " +
+                              "— an ENUM's members are text by " +
+                              "construction; the metadata is corrupt")
+                        case Some(Some(cs)) => cs
+                      }
+                  }
+                }
                 enumIdx.zipWithIndex.flatMap { case (ci, ei) =>
-                  wireEnumLists.lift(ei).map(ci -> _)
+                  wireEnumRaw.lift(ei).map { raw =>
+                    val cs = listCharset(ci)
+                    ci -> raw.map(b => new String(b, cs))
+                  }
                 }.toMap
               }
               // validate the wire plan against the declared Spark types

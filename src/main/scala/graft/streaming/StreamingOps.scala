@@ -4049,6 +4049,51 @@ object StreamingOps {
       readLatestState(s, s"$tmp/state")
     }),
 
+    // S-BINLOG-ENUM-CHARSET: the ENUM VALUE LIST in its own charset —
+    // a latin1 table's ENUM_STR_VALUE metadata arrives in the
+    // table's enum/set charset, named by TLV fields 10/11; decoding
+    // those bytes as UTF-8 (the pre-round-20 behavior) lands accented
+    // members as mojibake in the self-describing decode — exactly the
+    // bug class S45 fixed for column text. The render writes accented
+    // members ("doré"…) latin1-encoded with field 10 = collation 8;
+    // the parse carries NO enum hint, resolves the list from the wire
+    // through the metadata charset, and the query maps the members
+    // back to the canonical fixture values — so the SAME
+    // typeSurfaceSql oracle hash-meets iff the value-list transcode
+    // is byte-perfect (mojibake would miss the map and null out).
+    "cdc_binlog_binary_enum_charset" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{DecimalType, LongType}
+      import graft.sources.BinlogBinary.WireHint
+      val accented = Map("gold" -> "doré", "silver" -> "argenté",
+        "bronze" -> "bronzé", "platinum" -> "platiné")
+      val log = Tables.cdcLogTyped(s, dir)
+        .withColumn("tier",
+          when(col("tier").isNull, col("tier"))
+            .otherwise(element_at(
+              typedLit(accented), col("tier"))))
+      val cols: BCols = Seq("okey" -> LongType, "price" -> DoubleType,
+        "status" -> StringType, "amount" -> DecimalType(12, 2),
+        "big_id" -> DecimalType(20, 0), "tier" -> StringType,
+        "attrs" -> StringType)
+      val renderHints = Map[String, WireHint](
+        "big_id" -> WireHint.Unsigned,
+        "tier" -> WireHint.Enum(
+          Seq("doré", "argenté", "bronzé", "platiné")),
+        "attrs" -> WireHint.Json)
+      val tmp = tmpDir()
+      graft.sources.BinlogBinary.render(log, cols, s"$tmp/binlog",
+        files = 4, hints = renderHints,
+        enumSetCharset = Some(8)) // latin1_swedish_ci
+      val back = Map("doré" -> "gold", "argenté" -> "silver",
+        "bronzé" -> "bronze", "platiné" -> "platinum")
+      typeSurfacePipeline(s, graft.sources.BinlogBinary.parse(
+        s, s"$tmp/binlog", cols,
+        hints = Map("attrs" -> WireHint.Json))
+        .withColumn("tier",
+          when(col("tier").isNull, col("tier"))
+            .otherwise(element_at(typedLit(back), col("tier")))))
+    }),
+
     // S-BINLOG-WIRE-PK: the collapse key read from the DUMP ITSELF —
     // a binlog_row_metadata=FULL TABLE_MAP carries SIMPLE_PRIMARY_KEY
     // (TLV 8: packed column indices) + COLUMN_NAME, so the pass's
@@ -6432,6 +6477,7 @@ object StreamingOps {
     "cdc_binlog_binary_types" -> typeSurfaceSql,
     "cdc_binlog_binary_partial_json" -> typeSurfaceSql,
     "cdc_binlog_binary_unsigned" -> typeSurfaceSql,
+    "cdc_binlog_binary_enum_charset" -> typeSurfaceSql,
     "cdc_type_temporal" -> typeTemporalSql,
     "cdc_binlog_binary_temporal" -> typeTemporalSql,
     "cdc_type_exotic" -> typeExoticSql,

@@ -638,6 +638,93 @@ class BinlogBinarySpec extends SparkTestBase {
       .nonEmpty)
   }
 
+  test("ENUM value-list charsets (TLV 10): latin1 member bytes " +
+      "transcode through the wire's own metadata; unknown ids and " +
+      "uncarriable members refuse by name") {
+    val colsE: Seq[(String, DataType)] = Seq(
+      "okey" -> LongType, "price" -> DoubleType, "tier" -> StringType)
+    val members = Seq("doré", "argenté", "bronzé")
+    val schema = StructType(Seq(
+      StructField("op", StringType), StructField("seq", LongType),
+      StructField("tsSec", LongType), StructField("okey", LongType),
+      StructField("price", DoubleType), StructField("tier", StringType)))
+    val env = spark.createDataFrame(java.util.Arrays.asList(
+      Row("I", 1L, 800000000L, 1L, 1.5, "doré"),
+      Row("I", 2L, 800000001L, 2L, 2.5, "argenté")), schema)
+      .withColumn("ts", timestamp_seconds(col("tsSec"))
+        .cast(TimestampNTZType))
+      .select("op", "seq", "ts", "okey", "price", "tier")
+    val dir = tmp()
+    BinlogBinary.render(env, colsE, s"$dir/b", files = 1,
+      hints = Map("tier" -> BinlogBinary.WireHint.Enum(members)),
+      enumSetCharset = Some(8)) // latin1_swedish_ci
+    // the file really carries LATIN1 member bytes ("doré" = ...0xE9)
+    val raw = java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$dir/b").listFiles().head.toPath)
+    val latin1Dore = "doré".getBytes("ISO-8859-1")
+    assert(raw.sliding(latin1Dore.length).exists(
+      _.sameElements(latin1Dore)))
+    assert(!raw.sliding(4).exists(
+      _.sameElements("doré".getBytes("UTF-8").take(4))))
+    // hint-less parse: the list resolves from the wire, transcoded
+    // through the metadata's collation 8 → correct UTF-8 members
+    val back = BinlogBinary.parse(spark, s"$dir/b", colsE)
+      .orderBy(col("seq")).collect()
+    assert(back.map(_.getString(5)).toSeq == Seq("doré", "argenté"))
+    // an UNKNOWN value-list collation id refuses BY ID: patch the
+    // TABLE_MAP's field-10 id (packed 8) to 77 and re-seal the CRC
+    val patched = java.util.Arrays.copyOf(raw, raw.length)
+    var o = 4
+    var patchedCount = 0
+    while (o < patched.length) {
+      val et = patched(o + 4) & 0xff
+      val size = java.nio.ByteBuffer.wrap(patched, o + 9, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      if (et == 19) {
+        (o until (o + size - 3)).foreach { i =>
+          if ((patched(i) & 0xff) == 10 && patched(i + 1) == 1 &&
+            patched(i + 2) == 8) {
+            patched(i + 2) = 77
+            patchedCount += 1
+          }
+        }
+        val crc = new java.util.zip.CRC32()
+        crc.update(patched, o, size - 4)
+        var v = crc.getValue
+        (0 until 4).foreach { k =>
+          patched(o + size - 4 + k) = ((v >> (8 * k)) & 0xff).toByte }
+      }
+      o += size
+    }
+    assert(patchedCount == 1, s"patched $patchedCount field-10 ids")
+    val dir2 = tmp()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir2/b"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir2/b/bin.000000"), patched)
+    val eu = intercept[Throwable] {
+      BinlogBinary.parse(spark, s"$dir2/b", colsE).collect() }
+    val mu = Iterator.iterate(eu)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(mu.contains("value-list collation id 77"), s"got: $mu")
+    // render-side refusals: a member the declared charset cannot
+    // carry, and a binary/unknown enumSetCharset
+    val e1 = intercept[Exception] {
+      BinlogBinary.render(env, colsE, s"${tmp()}/b", files = 1,
+        hints = Map("tier" -> BinlogBinary.WireHint.Enum(
+          Seq("ok", "volt⚡"))), enumSetCharset = Some(8)) }
+    assert(Iterator.iterate[Throwable](e1)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+      .mkString(" | ").contains("does not survive charset"))
+    val e2 = intercept[Exception] {
+      BinlogBinary.render(env, colsE, s"${tmp()}/b", files = 1,
+        hints = Map("tier" -> BinlogBinary.WireHint.Enum(members)),
+        enumSetCharset = Some(63)) }
+    assert(Iterator.iterate[Throwable](e2)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+      .mkString(" | ").contains("unknown or binary"))
+  }
+
   test("SIMPLE_PRIMARY_KEY metadata: the dump self-describes its " +
       "collapse key; declared mismatches, absent metadata, prefix " +
       "keys, and mid-dump redefinitions refuse by name") {
