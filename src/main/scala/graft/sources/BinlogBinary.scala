@@ -98,6 +98,7 @@ object BinlogBinary {
   private val T_BLOB = 252 // length-prefixed raw bytes
   private val T_VAR_STRING = 253 // pre-5.0 alias; same wire shape
   private val T_STRING = 254 // CHAR; also the ENUM/SET carrier
+  private val T_GEOMETRY = 255 // length-prefixed SRID+WKB bytes
 
   /** Per-column WIRE HINTS — the declaration surface for MySQL types a
     * Spark `DataType` alone cannot imply. The DECODE side is wire-
@@ -167,6 +168,14 @@ object BinlogBinary {
       * optional-metadata bit; the decode side is metadata-driven and
       * needs no hint. */
     case object Unsigned extends WireHint
+    /** A MySQL GEOMETRY column (wire type 255) on a BinaryType
+      * column: the value is the 4-byte SRID + WKB bytes, passed
+      * through VERBATIM (decode-as-passthrough is the honest
+      * surface — spatial semantics live downstream; a StringType
+      * declaration refuses by name because WKB has no text
+      * reading). The render side is the inverse: raw SRID+WKB bytes
+      * under a 4-byte length prefix. */
+    case object Geometry extends WireHint
   }
 
   /** Decode a directory of raw binlog files into the envelope
@@ -546,6 +555,7 @@ object BinlogBinary {
         case (IntegerType, Some(TimeSeconds)) => true
         case (IntegerType, Some(MediumInt)) => true
         case (BinaryType, Some(RawText)) => true
+        case (BinaryType, Some(Geometry)) => true
         case (StringType, Some(Char(l))) =>
           require(l >= 1 && l <= 1023,
             s"CHAR hint for '$n' must declare 1..1023 bytes (CHAR(255)" +
@@ -1076,6 +1086,8 @@ object BinlogBinary {
         case (StringType, Some(DateText)) => () // DATE: no metadata
         case (StringType, Some(DateTimeText)) => meta.write(0) // fsp 0
         case (StringType, Some(Text)) => meta.write(2) // TEXT len-bytes
+        case (BinaryType, Some(Geometry)) =>
+          meta.write(4) // GEOMETRY length-prefix width
         case (BinaryType, Some(RawText)) => u16(meta, 65535)
         case (BinaryType, Some(Charset(_))) => u16(meta, 65535)
         case (BinaryType, _) => meta.write(2) // BLOB length-prefix width
@@ -1728,6 +1740,12 @@ object BinlogBinary {
             s"text value for '$n' exceeds the VARCHAR wire limit")
           u16(b, s2.length)
           b.write(s2)
+        case (BinaryType, Some(Geometry)) =>
+          // 4-byte length prefix (the TABLE_MAP's declared width),
+          // then the SRID+WKB bytes verbatim
+          val s = r.getAs[Array[Byte]](i + 3)
+          u32(b, s.length.toLong)
+          b.write(s)
         case (BinaryType, Some(RawText)) =>
           val s = r.getAs[Array[Byte]](i + 3)
           require(s.length <= 65535,
@@ -1810,6 +1828,7 @@ object BinlogBinary {
       case (StringType, Some(DateTimeText)) => T_DATETIME2
       case (StringType, Some(Text)) => T_BLOB
       case (StringType, _) => T_VARCHAR
+      case (BinaryType, Some(Geometry)) => T_GEOMETRY
       case (BinaryType, Some(RawText)) => T_VARCHAR
       case (BinaryType, Some(Charset(_))) => T_VARCHAR
       case (BinaryType, _) => T_BLOB
@@ -1984,7 +2003,7 @@ object BinlogBinary {
       case T_VARCHAR | T_VAR_STRING => c.u16()
       case T_NEWDECIMAL => { val p = c.u8(); (p << 8) | c.u8() }
       case T_TIME2 | T_DATETIME2 | T_TIMESTAMP2 => c.u8()
-      case T_BLOB | T_JSON => c.u8()
+      case T_BLOB | T_JSON | T_GEOMETRY => c.u8()
       case T_BIT =>
         // (bits % 8, whole bytes) → total bits
         { val b0 = c.u8(); val b1 = c.u8(); b1 * 8 + b0 }
@@ -2457,6 +2476,18 @@ object BinlogBinary {
                     metas(i) >= 1 && metas(i) <= 4
                   case (T_JSON, StringType) =>
                     metas(i) >= 1 && metas(i) <= 4
+                  case (T_GEOMETRY, BinaryType) =>
+                    metas(i) >= 1 && metas(i) <= 4
+                  case (T_GEOMETRY, other) =>
+                    // name the type: "wire type 255" reads as a stale
+                    // declaration, but the fix is a different one
+                    throw new IllegalArgumentException(
+                      s"$path: TABLE_MAP column @${i + 1} is a " +
+                        s"GEOMETRY column but '$name' is declared " +
+                        s"${other.simpleString}$tag — GEOMETRY " +
+                        "decodes as its SRID+WKB bytes VERBATIM; " +
+                        "declare BinaryType (there is no text " +
+                        "reading of WKB to serve)")
                   case (T_STRING, _) => stringMeta(metas(i)) match {
                     case (T_ENUM, packLen) => dt == StringType &&
                       (packLen == 1 || packLen == 2) &&
@@ -3360,6 +3391,13 @@ object BinlogBinary {
             c.need(len)
             val v = MySqlJsonb.decode(c.b, c.o, len,
               s"JSON column '$name'")
+            c.o += len; v
+          case T_GEOMETRY =>
+            // SRID + WKB bytes verbatim (BinaryType, validated at
+            // the TABLE_MAP) — spatial decode lives downstream
+            val len = readLenByWidth(c, wire.metas(ci))
+            c.need(len)
+            val v = java.util.Arrays.copyOfRange(c.b, c.o, c.o + len)
             c.o += len; v
           case T_STRING => stringMeta(wire.metas(ci)) match {
             case (T_ENUM, packLen) =>

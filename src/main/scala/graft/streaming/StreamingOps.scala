@@ -4049,6 +4049,40 @@ object StreamingOps {
       readLatestState(s, s"$tmp/state")
     }),
 
+    // S-BINLOG-GEOMETRY: GEOMETRY (wire type 255) as WKB PASSTHROUGH —
+    // the SRID+WKB bytes decode VERBATIM into a BinaryType column
+    // (spatial semantics live downstream; a StringType declaration
+    // refuses naming GEOMETRY — WKB has no text reading). The
+    // collapse carries the bytes and the query projects hex() on both
+    // engines (the driver comparator cannot hash raw bytes), so the
+    // hash meets iff the byte round trip through the wire is
+    // lossless.
+    "cdc_binlog_binary_geometry" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{BinaryType, LongType}
+      import graft.sources.BinlogBinary.WireHint
+      val log = Tables.cdcLog(s, dir).withColumn("geom",
+        when(col("op") === "D", lit(null).cast(BinaryType))
+          .otherwise(expr(
+            "cast(concat('G', cast(okey as string), ':', " +
+              "cast(seq as string)) as binary)")))
+      val cols: BCols = Seq("okey" -> LongType, "price" -> DoubleType,
+        "status" -> StringType, "geom" -> BinaryType)
+      val hints = Map[String, WireHint]("geom" -> WireHint.Geometry)
+      val tmp = tmpDir()
+      graft.sources.BinlogBinary.render(log, cols, s"$tmp/binlog",
+        files = 4, hints = hints)
+      // parse side: NO hint — the wire type drives the passthrough
+      val env = graft.sources.BinlogBinary.parse(s, s"$tmp/binlog",
+        cols)
+      val in = s"$tmp/in"
+      writeWave(env, in, 0)
+      runCdcPass(s, env.schema, in, s"$tmp/ckpt", s"$tmp/state")
+      readLatestState(s, s"$tmp/state")
+        .select(col("okey"), col("op"), col("price"), col("status"),
+          col("ts"), hex(col("geom")).as("geom_hex"))
+        .orderBy(col("okey"))
+    }),
+
     // S-BINLOG-ENUM-CHARSET: the ENUM VALUE LIST in its own charset —
     // a latin1 table's ENUM_STR_VALUE metadata arrives in the
     // table's enum/set charset, named by TLV fields 10/11; decoding
@@ -6478,6 +6512,21 @@ object StreamingOps {
     "cdc_binlog_binary_partial_json" -> typeSurfaceSql,
     "cdc_binlog_binary_unsigned" -> typeSurfaceSql,
     "cdc_binlog_binary_enum_charset" -> typeSurfaceSql,
+
+    // GEOMETRY passthrough: the latest-wins collapse with the WKB
+    // bytes compared as hex (raw bytes are driver-unhashable)
+    "cdc_binlog_binary_geometry" ->
+      s"""WITH base AS (${Tables.cdcLogSql}),
+            cdc_log AS (SELECT *,
+                          CASE WHEN op = 'D' THEN NULL
+                               ELSE 'G' || CAST(okey AS VARCHAR) || ':'
+                                 || CAST(seq AS VARCHAR) END AS geom
+                        FROM base),
+            ranked AS (SELECT *, row_number() OVER (
+                         PARTITION BY okey ORDER BY seq DESC) rn
+                       FROM cdc_log)
+         SELECT okey, op, price, status, ts, hex(geom) AS geom_hex
+         FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY okey""",
     "cdc_type_temporal" -> typeTemporalSql,
     "cdc_binlog_binary_temporal" -> typeTemporalSql,
     "cdc_type_exotic" -> typeExoticSql,

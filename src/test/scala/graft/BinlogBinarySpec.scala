@@ -725,6 +725,49 @@ class BinlogBinarySpec extends SparkTestBase {
       .mkString(" | ").contains("unknown or binary"))
   }
 
+  test("GEOMETRY (wire type 255): SRID+WKB bytes pass through " +
+      "verbatim under BinaryType; a StringType declaration refuses " +
+      "naming GEOMETRY") {
+    val colsG: Seq[(String, DataType)] = Seq(
+      "okey" -> LongType, "geom" -> BinaryType)
+    // a real WKB POINT(1 2) with SRID 4326, little-endian
+    val wkb = Array[Byte](
+      0xe6.toByte, 0x10, 0, 0, // SRID 4326 LE
+      1, // little-endian mark
+      1, 0, 0, 0) ++ // wkbType POINT
+      java.nio.ByteBuffer.allocate(16)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putDouble(1.0).putDouble(2.0).array()
+    val schema = StructType(Seq(
+      StructField("op", StringType), StructField("seq", LongType),
+      StructField("tsSec", LongType), StructField("okey", LongType),
+      StructField("geom", BinaryType)))
+    val env = spark.createDataFrame(java.util.Arrays.asList(
+      Row("I", 1L, 800000000L, 1L, wkb),
+      Row("I", 2L, 800000001L, 2L, null)), schema)
+      .withColumn("ts", timestamp_seconds(col("tsSec"))
+        .cast(TimestampNTZType))
+      .select("op", "seq", "ts", "okey", "geom")
+    val dir = tmp()
+    BinlogBinary.render(env, colsG, s"$dir/b", files = 1,
+      hints = Map("geom" -> BinlogBinary.WireHint.Geometry))
+    // hint-less parse: the wire type drives the passthrough
+    val back = BinlogBinary.parse(spark, s"$dir/b", colsG)
+      .orderBy(col("seq")).collect()
+    assert(java.util.Arrays.equals(
+      back(0).getAs[Array[Byte]](4), wkb))
+    assert(back(1).isNullAt(4))
+    // a StringType declaration refuses BY NAME, not as a stale
+    // generic type error
+    val es = intercept[Throwable] {
+      BinlogBinary.parse(spark, s"$dir/b",
+        Seq("okey" -> LongType, "geom" -> StringType)).collect() }
+    val ms = Iterator.iterate(es)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(ms.contains("GEOMETRY"), s"got: $ms")
+    assert(ms.contains("BinaryType"), s"got: $ms")
+  }
+
   test("SIMPLE_PRIMARY_KEY metadata: the dump self-describes its " +
       "collapse key; declared mismatches, absent metadata, prefix " +
       "keys, and mid-dump redefinitions refuse by name") {
