@@ -72,6 +72,9 @@ object BinlogBinary {
   private val PARTIAL_UPDATE_ROWS = 39 // binlog_row_value_options=PARTIAL_JSON
   private val TRANSACTION_PAYLOAD = 40 // binlog_transaction_compression
   private val GTID_MARIA = 162 // MariaDB per-transaction GTID stamp
+  private val WRITE_ROWS_COMPRESSED_MARIA = 166 // zlib per-event (10.2+)
+  private val UPDATE_ROWS_COMPRESSED_MARIA = 167
+  private val DELETE_ROWS_COMPRESSED_MARIA = 168
   private val GTID_LIST_MARIA = 163 // MariaDB rotation-head executed state
   private val START_ENCRYPTION_MARIA = 164 // MariaDB binlog_encryption=ON
 
@@ -809,6 +812,57 @@ object BinlogBinary {
     }
   }
 
+  /** Inflate a MariaDB compressed row event's ROW-IMAGE block —
+    * `log_bin_compress=ON` (10.2+) compresses each row event's images
+    * individually (types 166–168), unlike MySQL's type-40 whole-
+    * transaction wrapper. Public block format (the server's
+    * binlog_compress framing): one header byte `0x80 | (algorithm <<
+    * 4) | lenlen` (algorithm 0 = zlib — anything else refuses by
+    * value), then `lenlen` little-endian bytes of uncompressed
+    * length, then the deflate stream to the event end. The declared
+    * length is a contract: an inflate landing short or long is a
+    * truncated/corrupt event and refuses. */
+  private def inflateMariaRows(c: Cursor, path: String): Cursor = {
+    val h = c.u8()
+    require((h & 0x80) != 0,
+      s"${c.what}: MariaDB compressed row event's block header " +
+        f"0x$h%02x has no compression mark (bit 7) — corrupt")
+    val alg = (h >> 4) & 0x07
+    require(alg == 0,
+      s"${c.what}: unknown MariaDB row-compression algorithm $alg " +
+        "(0 = zlib) — refuse rather than guess")
+    val lenlen = h & 0x0f
+    require(lenlen >= 1 && lenlen <= 4,
+      s"${c.what}: MariaDB compressed block declares a $lenlen-byte " +
+        "length field (1..4) — corrupt")
+    c.need(lenlen)
+    var declared = 0L
+    (0 until lenlen).foreach(i =>
+      declared |= (c.b(c.o + i) & 0xffL) << (8 * i))
+    c.o += lenlen
+    require(declared <= (1L << 30),
+      s"${c.what}: MariaDB compressed block declares $declared " +
+        "uncompressed bytes — past the 1 GiB event bound; corrupt")
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(c.b, c.o, c.end - c.o)
+    val out = new Array[Byte](declared.toInt)
+    val got =
+      try inflater.inflate(out)
+      catch {
+        case e: java.util.zip.DataFormatException =>
+          throw new IllegalArgumentException(
+            s"${c.what}: MariaDB zlib row block failed to inflate " +
+              s"(${e.getMessage}) — the event is corrupt; refuse " +
+              "rather than decode garbage")
+      } finally inflater.end()
+    require(got == declared.toInt,
+      s"${c.what}: MariaDB zlib row block inflated to $got bytes " +
+        s"but declared $declared — a truncated compressed event; " +
+        "refuse rather than decode a partial row set")
+    c.o = c.end // the block consumes the event body
+    new Cursor(out, 0, out.length, s"${c.what} (inflated rows)")
+  }
+
   /** One TRANSACTION_PAYLOAD event wrapping `inner` event bytes —
     * the [[inflatePayload]] inverse for fixtures: inner events must
     * carry NO per-event CRC ([[withoutCrc]] strips one), the wrapper
@@ -1297,6 +1351,104 @@ object BinlogBinary {
     b.write(image)
     if (eventType == UPDATE_ROWS_V2) b.write(image) // before == after
     sealEvent(tsSec, eventType, seq, b.toByteArray)
+  }
+
+  /** One MariaDB COMPRESSED row event (types 166–168,
+    * `log_bin_compress=ON`): the V1-shaped row event whose row images
+    * ride one zlib block — post-header (table id, flags), packed
+    * column count, columns-present bitmap(s) clear; then the block
+    * header `0x80 | lenlen`, the little-endian uncompressed length,
+    * and the deflate stream ([[inflateMariaRows]]'s inverse). */
+  private[graft] def rowsEventCompressedMaria(r: Row,
+      cols: Seq[(String, DataType)], tableId: Long = 108L,
+      hints: Map[String, WireHint] = Map.empty): Array[Byte] = {
+    val op = r.getString(0)
+    val seq = r.getLong(1)
+    val ldt = r.getAs[java.time.LocalDateTime](2)
+    require(ldt.getNano == 0,
+      s"binlog headers are second-granular; event at seq $seq carries " +
+        s"sub-second time ($ldt) the format would silently floor — " +
+        "refuse instead")
+    val tsSec = ldt.toEpochSecond(java.time.ZoneOffset.UTC)
+    val eventType = op match {
+      case "I" => WRITE_ROWS_COMPRESSED_MARIA
+      case "U" => UPDATE_ROWS_COMPRESSED_MARIA
+      case "D" => DELETE_ROWS_COMPRESSED_MARIA
+      case other => throw new IllegalArgumentException(
+        s"cannot render op '$other' as a binlog row event")
+    }
+    val full = Array.fill(cols.length)(true)
+    val image = imageBytes(r, cols, full, hints)
+    val images =
+      if (eventType == UPDATE_ROWS_COMPRESSED_MARIA)
+        image ++ image // before == after, the FULL-image fixture shape
+      else image
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(images); deflater.finish()
+    val buf = new Array[Byte](images.length + images.length / 1000 + 64)
+    val clen = deflater.deflate(buf)
+    require(deflater.finished(),
+      "zlib deflate did not fit its bound — unreachable for a " +
+        "finished small block")
+    deflater.end()
+    val lenlen =
+      if (images.length < (1 << 8)) 1
+      else if (images.length < (1 << 16)) 2
+      else if (images.length < (1 << 24)) 3
+      else 4
+    val b = new java.io.ByteArrayOutputStream()
+    var tid = tableId
+    (0 until 6).foreach { _ => b.write((tid & 0xff).toInt); tid >>= 8 }
+    u16(b, 1) // flags: STMT_END_F (V1: no extra-data field follows)
+    packed(b, cols.length.toLong)
+    val present = bitmapBytes(full)
+    b.write(present)
+    if (eventType == UPDATE_ROWS_COMPRESSED_MARIA) b.write(present)
+    b.write(0x80 | lenlen) // block header: zlib (alg 0) + length width
+    var v = images.length.toLong
+    (0 until lenlen).foreach { _ => b.write((v & 0xff).toInt); v >>= 8 }
+    b.write(buf, 0, clen)
+    sealEvent(tsSec, eventType, seq, b.toByteArray)
+  }
+
+  /** [[render]] with `log_bin_compress=ON` framing — the MARIADB
+    * compression surface (per-EVENT zlib, types 166–168), the
+    * counterpart of [[renderCompressed]]'s MySQL type-40 whole-
+    * transaction wrapper. Same file shape otherwise: magic, FDE,
+    * clear TABLE_MAP, then compressed row events, ROTATE to close. */
+  def renderCompressedMaria(df: DataFrame,
+      cols: Seq[(String, DataType)], outDir: String, files: Int = 4,
+      table: String = "orders",
+      hints: Map[String, WireHint] = Map.empty): Unit = {
+    validateCols(cols, hints)
+    validateTableName(table)
+    require(files >= 1, "at least one binlog file")
+    clearDir(outDir)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(outDir))
+    val colsB = cols
+    val tableB = table
+    val hintsB = hints
+    val ordered = df.select(
+      (Seq(col("op"), col("seq"),
+        col("ts").cast(TimestampNTZType).as("ts")) ++
+        colsB.map { case (n, _) => col(n) }): _*)
+    ordered.repartition(files).foreachPartition {
+      (it: Iterator[Row]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val out = new java.io.ByteArrayOutputStream()
+        out.write(Magic)
+        out.write(fdeEvent())
+        out.write(tableMapEvent(tableB, colsB, hints = hintsB))
+        it.foreach { r =>
+          out.write(rowsEventCompressedMaria(r, colsB, hints = hintsB))
+        }
+        out.write(rotateEvent(f"bin.${pid + 1}%06d"))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(outDir, f"bin.$pid%06d"),
+          out.toByteArray)
+        ()
+    }
   }
 
   /** One PARTIAL_UPDATE_ROWS event (type 39) — the
@@ -2517,7 +2669,11 @@ object BinlogBinary {
                   charsets), hints))
           }
         case WRITE_ROWS_V2 | UPDATE_ROWS_V2 | DELETE_ROWS_V2 |
-          PARTIAL_UPDATE_ROWS =>
+          PARTIAL_UPDATE_ROWS | WRITE_ROWS_COMPRESSED_MARIA |
+          UPDATE_ROWS_COMPRESSED_MARIA | DELETE_ROWS_COMPRESSED_MARIA =>
+          val compressedMaria =
+            eventType >= WRITE_ROWS_COMPRESSED_MARIA &&
+              eventType <= DELETE_ROWS_COMPRESSED_MARIA
           val c = new Cursor(src, o + HeaderLen, bodyEnd,
             s"$path row event at $o")
           c.need(6)
@@ -2532,12 +2688,17 @@ object BinlogBinary {
             case None => () // declared-skipped table; size-addressed jump
             case Some((table, cols, wire, hints)) =>
               val isUpdate = eventType == UPDATE_ROWS_V2 ||
-                eventType == PARTIAL_UPDATE_ROWS
+                eventType == PARTIAL_UPDATE_ROWS ||
+                eventType == UPDATE_ROWS_COMPRESSED_MARIA
               c.skip(6); c.skip(2) // table_id, flags
-              val extraLen = c.u16()
-              require(extraLen >= 2,
-                s"$path: row event v2 extra-data length $extraLen < 2")
-              c.skip(extraLen - 2)
+              // MariaDB's compressed row events are V1-shaped: no v2
+              // extra-data field rides between flags and column count
+              if (!compressedMaria) {
+                val extraLen = c.u16()
+                require(extraLen >= 2,
+                  s"$path: row event v2 extra-data length $extraLen < 2")
+                c.skip(extraLen - 2)
+              }
               val n = c.packed().toInt
               require(n == cols.length,
                 s"$path: row event declares width $n, TABLE_MAP " +
@@ -2547,8 +2708,9 @@ object BinlogBinary {
                 if (isUpdate) readBitmap(c, n)
                 else present1
               val op = eventType match {
-                case WRITE_ROWS_V2 => "I"
-                case UPDATE_ROWS_V2 | PARTIAL_UPDATE_ROWS => "U"
+                case WRITE_ROWS_V2 | WRITE_ROWS_COMPRESSED_MARIA => "I"
+                case UPDATE_ROWS_V2 | PARTIAL_UPDATE_ROWS |
+                  UPDATE_ROWS_COMPRESSED_MARIA => "U"
                 case _ => "D"
               }
               if (!minimal)
@@ -2591,9 +2753,17 @@ object BinlogBinary {
                   case _ => cols.indices.collect {
                     case i if present2(i) => cols(i)._1 }
                 }
+              // MariaDB compression: header byte + declared length +
+              // one zlib stream replacing the ROW IMAGES (the
+              // post-header, column count, and bitmaps stay clear) —
+              // inflate and read the rows from the inflated cursor,
+              // one image grammar for both framings
+              val rc =
+                if (compressedMaria) inflateMariaRows(c, path)
+                else c
               // rows repeat until the body ends (multi-row statements)
-              while (c.o < c.end) {
-                val first = readImage(c, cols, wire, present1, hints,
+              while (rc.o < rc.end) {
+                val first = readImage(rc, cols, wire, present1, hints,
                   path = path)
                 val replicating =
                   if (!isUpdate) first
@@ -2610,17 +2780,17 @@ object BinlogBinary {
                     val partialJson: Set[Int] =
                       if (eventType != PARTIAL_UPDATE_ROWS) Set.empty
                       else {
-                        val vo = c.packed()
+                        val vo = rc.packed()
                         if ((vo & 1L) == 0) Set.empty
                         else {
                           val jsonCols = cols.indices.filter(i =>
                             present2(i) && wire.types(i) == T_JSON)
-                          val bits = readBitmap(c, jsonCols.length)
+                          val bits = readBitmap(rc, jsonCols.length)
                           jsonCols.zipWithIndex.collect {
                             case (ci, bi) if bits(bi) => ci }.toSet
                         }
                       }
-                    val second = readImage(c, cols, wire, present2,
+                    val second = readImage(rc, cols, wire, present2,
                       hints, partialJson, first, path)
                     if (!minimal) second // FULL: the after image wins
                     else

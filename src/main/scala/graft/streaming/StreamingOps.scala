@@ -4466,6 +4466,33 @@ object StreamingOps {
           s, out, txnScenarioCols,
           flavor = graft.Replication.MariaGtidFlavor))),
 
+    // S-BINLOG-MARIA-COMPRESSED: MariaDB's OWN compression surface —
+    // log_bin_compress=ON zlib-compresses each row event
+    // INDIVIDUALLY (types 166-168, V1-shaped: no extra-data field,
+    // images behind a 0x80|lenlen block header), unlike MySQL's
+    // type-40 whole-transaction wrapper (S35). Composed WITH the
+    // MariaDB GTID dialect: the same txn scenario as
+    // cdc_binlog_binary_txn_maria, rendered compressed — domain
+    // stamps, per-domain watermarks, and the commit gate must all
+    // work when every row event needs inflation first. Same
+    // binlogTxnSql oracle as every other txn transport.
+    "cdc_binlog_binary_maria_compressed" -> ((s, dir) =>
+      binlogTxnScenario(s, dir,
+        (df, cols, out) =>
+          graft.sources.BinlogBinary.renderCompressedMaria(
+            df, cols, out, files = 3),
+        (out, _) => graft.sources.BinlogBinary.writeEvents(
+          out, "bin.000099",
+          graft.sources.BinlogBinary.gtidListEventMaria(
+            1L, 800000000L, Nil) +:
+            ((1 to 3).map(n => graft.sources.BinlogBinary.gtidEventMaria(
+              n * 100000000L, 800000000L, 0L, 1L, n)) ++
+              (1 to 2).map(n => graft.sources.BinlogBinary.xidEvent(
+                (n + 1) * 100000000L - 1, 800000000L, n)))),
+        out => graft.sources.BinlogBinary.parseTxn(
+          s, out, txnScenarioCols,
+          flavor = graft.Replication.MariaGtidFlavor))),
+
     // ST-SOFT-DELETE: the tool class's "keep deleted rows" mode
     // (ReplacingMergeTree(ver, is_deleted)): the log ships binlog-true
     // DELETE events carrying the row's BEFORE IMAGE, and the destination
@@ -6477,6 +6504,7 @@ object StreamingOps {
     // two flavors, one oracle
     "cdc_binlog_text_txn_maria" -> binlogTxnSql,
     "cdc_binlog_binary_txn_maria" -> binlogTxnSql,
+    "cdc_binlog_binary_maria_compressed" -> binlogTxnSql,
 
     // soft delete: every key's latest event survives — tombstone winners
     // flagged `_deleted = 1` with the delete's before-image payload.

@@ -725,6 +725,106 @@ class BinlogBinarySpec extends SparkTestBase {
       .mkString(" | ").contains("unknown or binary"))
   }
 
+  test("MariaDB compressed row events (166-168): per-event zlib " +
+      "blocks inflate and decode like clear events; corrupt frames, " +
+      "short inflates, and unknown algorithms refuse by name") {
+    val env = envDf(Seq(
+      ("I", 1L, 800000000L, 1L, 10.5, "plain"),
+      ("I", 2L, 800000001L, 2L, null, null),
+      ("U", 3L, 800000002L, 1L, -7.25, "quote 'n' slash — ünïcodé"),
+      ("D", 4L, 900000000L, 2L, null, null)))
+    val dir = tmp()
+    BinlogBinary.renderCompressedMaria(env, cols, s"$dir/b", files = 2)
+    val back = BinlogBinary.parse(spark, s"$dir/b", cols)
+    assert(back.collect().map(_.toSeq).toSet ==
+      env.collect().map(_.toSeq).toSet)
+    // the files really carry types 166-168, no clear row events
+    val raw = java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$dir/b").listFiles()
+        .filter(_.getName.startsWith("bin.")).head.toPath)
+    def types(bytes: Array[Byte]): Seq[Int] = {
+      var o = 4
+      val out = Vector.newBuilder[Int]
+      while (o < bytes.length) {
+        out += (bytes(o + 4) & 0xff)
+        o += java.nio.ByteBuffer.wrap(bytes, o + 9, 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      }
+      out.result()
+    }
+    assert(types(raw).exists(t => t >= 166 && t <= 168))
+    assert(!types(raw).exists(t => t >= 30 && t <= 32),
+      "row images must ride compressed, not as clear v2 events")
+    // corrupt zlib bytes refuse naming the inflation (flip a byte
+    // inside the first compressed event's block)
+    val corrupt = java.util.Arrays.copyOf(raw, raw.length)
+    var o = 4
+    var done = false
+    while (!done && o < corrupt.length) {
+      val et = corrupt(o + 4) & 0xff
+      val size = java.nio.ByteBuffer.wrap(corrupt, o + 9, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      if (et >= 166 && et <= 168) {
+        val mid = o + size - 10 // inside the deflate stream
+        corrupt(mid) = (corrupt(mid) ^ 0x5a).toByte
+        val crc = new java.util.zip.CRC32()
+        crc.update(corrupt, o, size - 4)
+        var v = crc.getValue
+        (0 until 4).foreach { k =>
+          corrupt(o + size - 4 + k) = ((v >> (8 * k)) & 0xff).toByte }
+        done = true
+      }
+      o += size
+    }
+    assert(done)
+    val dir2 = tmp()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir2/b"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir2/b/bin.000000"), corrupt)
+    val e = intercept[Throwable] {
+      BinlogBinary.parse(spark, s"$dir2/b", cols).collect() }
+    val msg = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msg.contains("inflate") || msg.contains("declared") ||
+      msg.contains("corrupt"), s"got: $msg")
+    // an unknown algorithm nibble refuses by value: patch the block
+    // header byte (0x80|lenlen -> 0x80|alg1|lenlen) in a fresh copy
+    val badAlg = java.util.Arrays.copyOf(raw, raw.length)
+    o = 4; done = false
+    while (!done && o < badAlg.length) {
+      val et = badAlg(o + 4) & 0xff
+      val size = java.nio.ByteBuffer.wrap(badAlg, o + 9, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      if (et >= 166 && et <= 168) {
+        // block header = first byte with bit 7 set after the bitmaps;
+        // for this 3-column fixture it sits at post-header+2+1+1(+1)
+        var i = o + 19 + 8 + 1 + 1 // header+tid/flags+count+bitmap
+        if (et == 167) i += 1 // update: second bitmap
+        assert((badAlg(i) & 0x80) != 0, "block header not where expected")
+        badAlg(i) = (badAlg(i) | 0x10).toByte // algorithm 1
+        val crc = new java.util.zip.CRC32()
+        crc.update(badAlg, o, size - 4)
+        var v = crc.getValue
+        (0 until 4).foreach { k =>
+          badAlg(o + size - 4 + k) = ((v >> (8 * k)) & 0xff).toByte }
+        done = true
+      }
+      o += size
+    }
+    assert(done)
+    val dir3 = tmp()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir3/b"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir3/b/bin.000000"), badAlg)
+    val ea = intercept[Throwable] {
+      BinlogBinary.parse(spark, s"$dir3/b", cols).collect() }
+    val ma = Iterator.iterate(ea)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(ma.contains("algorithm 1"), s"got: $ma")
+  }
+
   test("GEOMETRY (wire type 255): SRID+WKB bytes pass through " +
       "verbatim under BinaryType; a StringType declaration refuses " +
       "naming GEOMETRY") {
