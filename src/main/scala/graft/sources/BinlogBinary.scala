@@ -69,6 +69,7 @@ object BinlogBinary {
   private val UPDATE_ROWS_V2 = 31
   private val DELETE_ROWS_V2 = 32
   private val GTID = 33
+  private val ROWS_QUERY = 29 // binlog_rows_query_log_events=ON audit SQL
   private val PARTIAL_UPDATE_ROWS = 39 // binlog_row_value_options=PARTIAL_JSON
   private val TRANSACTION_PAYLOAD = 40 // binlog_transaction_compression
   private val GTID_MARIA = 162 // MariaDB per-transaction GTID stamp
@@ -188,18 +189,32 @@ object BinlogBinary {
   def parse(spark: SparkSession, dir: String,
       cols: Seq[(String, DataType)],
       changedCol: Option[String] = None,
-      hints: Map[String, WireHint] = Map.empty): DataFrame = {
+      hints: Map[String, WireHint] = Map.empty,
+      rowsQueryCol: Option[String] = None): DataFrame = {
     validateCols(cols, hints)
-    val (schema, _) = BinlogText.singleEnvelope(cols, Nil, changedCol,
+    rowsQueryCol.foreach { rq =>
+      require(!cols.exists(_._1 == rq) &&
+        !Seq("op", "seq", "ts").contains(rq) &&
+        !changedCol.contains(rq),
+        s"rows-query column '$rq' collides with an envelope column")
+    }
+    val (base, _) = BinlogText.singleEnvelope(cols, Nil, changedCol,
       textTypes = false)
+    // the ROWS_QUERY audit surface (binlog_rows_query_log_events=ON):
+    // each row event's ORIGINAL statement text, NULL when the dump
+    // carries no type-29 events or between statements — declared
+    // opt-in like heartbeats, invisible to passes that don't ask
+    val schema = rowsQueryCol.fold(base)(rq => StructType(
+      base.fields :+ StructField(rq, StringType, nullable = true)))
     val colsB = cols
     val changedB = changedCol
     val hintsB = hints
+    val rqB = rowsQueryCol
     spark.read.format("binaryFile").load(dir)
       .select(col("content"), col("path"))
       .flatMap { r =>
         decodeFile(r.getAs[Array[Byte]](0), r.getString(1), colsB,
-          changedCol = changedB, hints = hintsB)
+          changedCol = changedB, hints = hintsB, rowsQueryCol = rqB)
       }(RowEncoder.encoderFor(schema))
       .toDF()
   }
@@ -394,7 +409,7 @@ object BinlogBinary {
             "decoding its positional values without a TABLE_MAP " +
             "declaration would be guessing; declare or exclude it")
       },
-      emit = (t, op, p, time, vals, changed) => {
+      emit = (t, op, p, time, vals, changed, _) => {
         val arr = new Array[Any](width)
         val slots = slotsByTable(t)
         vals.zipWithIndex.foreach { case (v, i) => arr(slots(i)) = v }
@@ -435,7 +450,8 @@ object BinlogBinary {
       prefix: String = "bin", append: Boolean = false,
       hints: Map[String, WireHint] = Map.empty,
       pk: Seq[String] = Seq.empty,
-      enumSetCharset: Option[Int] = None): Unit = {
+      enumSetCharset: Option[Int] = None,
+      rowsQuery: Boolean = false): Unit = {
     validateCols(cols, hints)
     validateTableName(table)
     require(files >= 1, "at least one binlog file")
@@ -466,6 +482,7 @@ object BinlogBinary {
     val hintsB = hints
     val pkB = pk
     val esCsB = enumSetCharset
+    val rqB = rowsQuery
     // ts rides RAW (TimestampNTZ → LocalDateTime task-side) and
     // converts to the header's epoch seconds via UTC — the exact
     // inverse of the parser's LocalDateTime.ofEpochSecond(…, UTC), so
@@ -485,6 +502,13 @@ object BinlogBinary {
         out.write(tableMapEvent(tableB, colsB, hints = hintsB, pk = pkB,
           enumSetCharset = esCsB))
         it.foreach { r =>
+          // binlog_rows_query_log_events=ON: each statement's
+          // original SQL rides a type-29 event ahead of its rows —
+          // deterministic text here (op+seq name the statement)
+          if (rqB) out.write(rowsQueryEvent(r.getLong(1),
+            r.getAs[java.time.LocalDateTime](2)
+              .toEpochSecond(java.time.ZoneOffset.UTC),
+            s"/* stmt */ ${r.getString(0)} seq=${r.getLong(1)}"))
           out.write(rowsEvent(r, colsB, hints = hintsB))
         }
         // a finished rotation ends with ROTATE — what the streaming
@@ -1036,6 +1060,20 @@ object BinlogBinary {
 
   /** One Xid event — the COMMIT marker (payload: `xid(8 LE)`; the
     * [[parseXids]] inverse). */
+  /** One ROWS_QUERY event (type 29, `binlog_rows_query_log_events=
+    * ON`): the statement's original SQL riding ahead of its row
+    * events — payload is the legacy 1-byte length (capped at 255;
+    * decoders read the text to the event end) + the UTF-8 text. */
+  def rowsQueryEvent(pos: Long, tsSec: Long,
+      sql: String): Array[Byte] = {
+    val tb = sql.getBytes("UTF-8")
+    require(tb.nonEmpty, "empty ROWS_QUERY text")
+    val b = new java.io.ByteArrayOutputStream()
+    b.write(math.min(255, tb.length))
+    b.write(tb)
+    sealEvent(tsSec, ROWS_QUERY, pos, b.toByteArray)
+  }
+
   def xidEvent(pos: Long, tsSec: Long, xid: Long): Array[Byte] = {
     val b = new java.io.ByteArrayOutputStream()
     var x = xid
@@ -2286,20 +2324,22 @@ object BinlogBinary {
       cols: Seq[(String, DataType)], emitMarkers: Boolean = false,
       requireRotate: Boolean = false,
       changedCol: Option[String] = None,
-      hints: Map[String, WireHint] = Map.empty): Iterator[Row] = {
+      hints: Map[String, WireHint] = Map.empty,
+      rowsQueryCol: Option[String] = None): Iterator[Row] = {
     val marker =
       if (emitMarkers)
         Some((p: Long, t: java.time.LocalDateTime) =>
           Row.fromSeq(Seq("C", p, t) ++ cols.map(_ => null) ++
-            changedCol.map(_ => null)))
+            changedCol.map(_ => null) ++ rowsQueryCol.map(_ => null)))
       else None
     decodeFileRouted(bytes, path,
       // the single-table decode accepts ANY table name (a single-table
       // dump's TABLE_MAPs all name the same table — the text path's
       // posture); arity/type validation still refuses a stale declaration
       route = _ => DecodeAs(cols, "", hints),
-      emit = (_, op, p, t, vals, changed) => Row.fromSeq(
-        Seq(op, p, t) ++ vals ++ changedCol.map(_ => changed)),
+      emit = (_, op, p, t, vals, changed, rq) => Row.fromSeq(
+        Seq(op, p, t) ++ vals ++ changedCol.map(_ => changed) ++
+          rowsQueryCol.map(_ => rq)),
       marker = marker,
       requireRotate = requireRotate,
       minimal = changedCol.isDefined)
@@ -2347,7 +2387,7 @@ object BinlogBinary {
   private def decodeFileRouted(bytes: Array[Byte], path: String,
       route: String => TableRoute,
       emit: (String, String, Long, java.time.LocalDateTime, Seq[Any],
-        Seq[String]) => Row,
+        Seq[String], String) => Row,
       marker: Option[(Long, java.time.LocalDateTime) => Row],
       requireRotate: Boolean,
       minimal: Boolean = false): Iterator[Row] = {
@@ -2355,6 +2395,12 @@ object BinlogBinary {
     // table id -> None (declared-skipped) | Some(table, cols, wire, hints)
     var tableMaps = Map.empty[Long, Option[(String,
       Seq[(String, DataType)], WireCols, Map[String, WireHint])]]
+    // the statement's original SQL (binlog_rows_query_log_events=ON):
+    // a ROWS_QUERY event precedes its statement's row events; the
+    // text rides them until the statement/transaction closes (the
+    // next ROWS_QUERY, Query statement boundary, or Xid) — null
+    // between statements, exactly what the audit column serves
+    var rowsQueryText: String = null
     // one handler for OUTER events and the events INSIDE a
     // TRANSACTION_PAYLOAD (binlog_transaction_compression=ON wraps a
     // whole transaction — TABLE_MAPs included — in one compressed
@@ -2803,13 +2849,26 @@ object BinlogBinary {
                         else if (present1(i)) first(i)
                         else null)
                   }
-                out += emit(table, op, logPos, time, replicating, changed)
+                out += emit(table, op, logPos, time, replicating,
+                  changed, rowsQueryText)
               }
           }
-        case XID if marker.isDefined =>
-          out += marker.get(logPos,
-            java.time.LocalDateTime.ofEpochSecond(tsSec, 0,
-              java.time.ZoneOffset.UTC))
+        case ROWS_QUERY =>
+          // payload: one legacy length byte (ignored — the text runs
+          // to the event end; the byte caps at 255 and real queries
+          // overrun it), then the statement's original SQL
+          require(bodyEnd - (o + HeaderLen) >= 1,
+            s"$path: empty ROWS_QUERY event at offset $o — corrupt")
+          rowsQueryText = new String(src, o + HeaderLen + 1,
+            bodyEnd - (o + HeaderLen + 1), "UTF-8")
+        case XID =>
+          rowsQueryText = null // transaction closed
+          if (marker.isDefined)
+            out += marker.get(logPos,
+              java.time.LocalDateTime.ofEpochSecond(tsSec, 0,
+                java.time.ZoneOffset.UTC))
+        case QUERY =>
+          rowsQueryText = null // statement boundary (BEGIN/COMMIT/DDL)
         case TRANSACTION_PAYLOAD =>
           require(!inPayload,
             s"$path: nested TRANSACTION_PAYLOAD at offset $o — the " +

@@ -4049,6 +4049,32 @@ object StreamingOps {
       readLatestState(s, s"$tmp/state")
     }),
 
+    // S-BINLOG-ROWS-QUERY: the ORIGINAL SQL as an audit column —
+    // binlog_rows_query_log_events=ON ships each statement's text in
+    // a type-29 ROWS_QUERY event ahead of its row events; opting in
+    // (rowsQueryCol) surfaces it on every row of the statement, NULL
+    // when absent — lineage for operators, hash-invisible to the
+    // collapse. The query KEEPS only rows whose audit text arrived
+    // (isNotNull) before dropping the column, so a decode that failed
+    // to attach the SQL would drop rows and miss the SAME
+    // latestStateSql oracle every transport shares.
+    "cdc_binlog_binary_rows_query" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir)
+      val cols: Seq[(String, org.apache.spark.sql.types.DataType)] = Seq(
+        "okey" -> org.apache.spark.sql.types.LongType,
+        "price" -> DoubleType, "status" -> StringType)
+      val tmp = tmpDir()
+      graft.sources.BinlogBinary.render(log, cols, s"$tmp/binlog",
+        files = 4, rowsQuery = true)
+      val env = graft.sources.BinlogBinary.parse(s, s"$tmp/binlog",
+        cols, rowsQueryCol = Some("_sql"))
+        .where(col("_sql").isNotNull).drop("_sql")
+      val in = s"$tmp/in"
+      writeWave(env, in, 0)
+      runCdcPass(s, env.schema, in, s"$tmp/ckpt", s"$tmp/state")
+      readLatestState(s, s"$tmp/state")
+    }),
+
     // S-BINLOG-GEOMETRY: GEOMETRY (wire type 255) as WKB PASSTHROUGH —
     // the SRID+WKB bytes decode VERBATIM into a BinaryType column
     // (spatial semantics live downstream; a StringType declaration
@@ -6479,6 +6505,7 @@ object StreamingOps {
     "cdc_binlog_binary" -> latestStateSql,
     "cdc_binlog_socket" -> latestStateSql,
     "cdc_binlog_binary_wire_pk" -> latestStateSql,
+    "cdc_binlog_binary_rows_query" -> latestStateSql,
     "cdc_binlog_base64" -> latestStateSql,
     "cdc_binlog_binary_compressed" -> latestStateSql,
 

@@ -825,6 +825,45 @@ class BinlogBinarySpec extends SparkTestBase {
     assert(ma.contains("algorithm 1"), s"got: $ma")
   }
 
+  test("ROWS_QUERY (type 29): the statement's original SQL rides its " +
+      "row events as the opt-in audit column, NULL when absent, " +
+      "cleared at statement/transaction ends") {
+    val t0 = java.time.LocalDateTime.ofEpochSecond(
+      800000000L, 0, java.time.ZoneOffset.UTC)
+    val dir = tmp()
+    BinlogBinary.writeEvents(s"$dir/b", "bin.000001", Seq(
+      // statement 1: ROWS_QUERY + two row events + Xid (clears)
+      BinlogBinary.rowsQueryEvent(9L, 800000000L,
+        "UPDATE orders SET price = price + 1 WHERE okey < 100"),
+      BinlogBinary.tableMapEvent("t", cols),
+      BinlogBinary.rowsEvent(Row("I", 10L, t0, 1L, 1.5, "a"), cols),
+      BinlogBinary.rowsEvent(Row("I", 11L, t0, 2L, 2.5, "b"), cols),
+      BinlogBinary.xidEvent(12L, 800000000L, 1L),
+      // statement 2: NO ROWS_QUERY — its rows serve NULL
+      BinlogBinary.rowsEvent(Row("I", 20L, t0, 3L, 3.5, "c"), cols)))
+    val got = BinlogBinary.parse(spark, s"$dir/b", cols,
+      rowsQueryCol = Some("_sql")).orderBy(col("seq")).collect()
+    assert(got.map(r => (r.getLong(1),
+      Option(r.getString(r.fieldIndex("_sql"))))).toSeq == Seq(
+      10L -> Some("UPDATE orders SET price = price + 1 WHERE okey < 100"),
+      11L -> Some("UPDATE orders SET price = price + 1 WHERE okey < 100"),
+      20L -> None))
+    // a dump with NO type-29 events serves NULL throughout, and the
+    // column is invisible unless opted in
+    val env = envDf(Seq(("I", 1L, 800000000L, 1L, 1.0, "x")))
+    val dir2 = tmp()
+    BinlogBinary.render(env, cols, s"$dir2/b", files = 1)
+    val plain = BinlogBinary.parse(spark, s"$dir2/b", cols,
+      rowsQueryCol = Some("_sql")).collect()
+    assert(plain.forall(_.isNullAt(plain.head.fieldIndex("_sql"))))
+    assert(!BinlogBinary.parse(spark, s"$dir2/b", cols).schema
+      .fieldNames.contains("_sql"))
+    // a colliding audit-column name refuses
+    intercept[IllegalArgumentException] {
+      BinlogBinary.parse(spark, s"$dir2/b", cols,
+        rowsQueryCol = Some("status")) }
+  }
+
   test("GEOMETRY (wire type 255): SRID+WKB bytes pass through " +
       "verbatim under BinaryType; a StringType declaration refuses " +
       "naming GEOMETRY") {
