@@ -110,9 +110,14 @@ object Bench {
     val passes = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_PASSES").flatMap(_.toIntOption)
         .getOrElse(2))
-    val results = (1 to passes).map(_ => onePass())
+    val passRuns = (1 to passes).map(_ => onePass())
+    val results = passRuns
       .reduce((a, b) => a.zip(b).map { case ((n, x), (_, y)) =>
         n -> math.min(x, y) })
+    // raw per-pass sums ride the artifact so a reader can SEE the
+    // noise the min rejected (a pass1 ≫ pass2 spread = loaded start)
+    val passTotals = passRuns.map(p =>
+      p.map(_._2).filterNot(_.isNaN).sum)
     // millisecond precision: the driver captures a bounded tail of this
     // output, and with ~100 queries full-precision doubles push the line
     // past the capture window (r4's BENCH json shows parsed:null from
@@ -417,10 +422,22 @@ object Bench {
     // Only an UNFILTERED run may overwrite the artifact: a local filtered
     // iteration (`sbt "runMain graft.Bench some_query"`) would otherwise
     // clobber the committed full map with a 3-entry one.
+    // the CALIBRATION-NORMALIZED total, recorded NEXT TO the raw one:
+    // total divided by min(pre, post) of the fixed CPU probe — a
+    // dimensionless figure a reader compares across rounds without
+    // load forensics (ambient load inflates numerator and denominator
+    // together; min(pre, post) is the least-loaded observation)
+    val calMin = math.min(calPre, calPost)
+    val totalNorm =
+      if (calMin.isNaN || calMin <= 0) Double.NaN else total / calMin
     try if (filt.isEmpty) {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_full.json"),
-        s"""{"total":${f3(total)},"sf":"$sfDir","passes":$passes,""" +
+        s"""{"total":${f3(total)},""" +
+          s""""total_cal_norm":${f3OrNull(totalNorm)},""" +
+          s""""pass_totals":${
+            passTotals.map(f3).mkString("[", ",", "]")},""" +
+          s""""sf":"$sfDir","passes":$passes,""" +
           s""""calibration":$calJson,""" +
           s""""failed":$fq,"state_reads":$srJson,""" +
           s""""state_reads_10x":$sr10Json,"index_reads":$irJson,""" +

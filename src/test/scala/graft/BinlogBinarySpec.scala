@@ -1263,36 +1263,29 @@ class BinlogBinarySpec extends SparkTestBase {
     assert(e2.getMessage.contains("not a directory"), e2.getMessage)
   }
 
-  test("payload-inner positions are trusted only when dump-global: " +
-      "cache-relative inner row/Xid positions (below the wrapper's " +
-      "own) refuse by name instead of corrupting the collapse order") {
+  test("payload-inner numbering dialects: cache-relative positions " +
+      "renumber into the wrapper's footprint (round 20 — previously " +
+      "refused); a dump-global wrapper still refuses a regression") {
     val t0 = java.time.LocalDateTime.ofEpochSecond(
       800000000L, 0, java.time.ZoneOffset.UTC)
-    // wrapper sealed at position 100; inner row event at position 5 —
+    // wrapper sealed at position 1000; inner row event at position 5 —
     // the shape a real server's transaction cache writes (end_log_pos
-    // restarts low per transaction)
+    // restarts low per transaction). As of round 20 this DECODES: the
+    // row renumbers to wrapperStart + 1, strictly inside the
+    // wrapper's byte footprint (the full behavior matrix is the
+    // "authentic server compression" case below).
     val dir = tmp()
     BinlogBinary.writeEvents(s"$dir/b", "bin.000001", Seq(
-      BinlogBinary.payloadEvent(100L, 800000000L, Seq(
+      BinlogBinary.payloadEvent(1000L, 800000000L, Seq(
         BinlogBinary.withoutCrc(BinlogBinary.tableMapEvent("t", cols)),
         BinlogBinary.withoutCrc(BinlogBinary.rowsEvent(
           Row("I", 5L, t0, 1L, 1.0, "a"), cols))))))
-    val e = intercept[Throwable] {
-      BinlogBinary.parse(spark, s"$dir/b", cols).collect()
-    }
-    val msg = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
-      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
-    assert(msg.contains("transaction-cache"), s"got: $msg")
-    // the same discipline guards the Xid scan — a commit position
-    // nobody can trust must not become a gate boundary
-    val e2 = intercept[Throwable] {
-      BinlogBinary.parseXids(spark, s"$dir/b")
-    }
-    assert(Iterator.iterate(e2)(_.getCause).takeWhile(_ != null)
-      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
-      .contains("transaction-cache"))
-    // a REGRESSING inner position (second row below the first) refuses
-    // too, even when both clear the wrapper
+    val got = BinlogBinary.parse(spark, s"$dir/b", cols).collect()
+    assert(got.length == 1 && got.head.getLong(3) == 1L)
+    assert(got.head.getLong(1) < 1000L && got.head.getLong(1) > 0L)
+    // a REGRESSING inner position in a DUMP-GLOBAL wrapper (second
+    // row below the first, both past the wrapper) refuses — mixed
+    // numbering is corruption, not a dialect
     val dir2 = tmp()
     BinlogBinary.writeEvents(s"$dir2/b", "bin.000001", Seq(
       BinlogBinary.payloadEvent(10L, 800000000L, Seq(
@@ -1306,7 +1299,7 @@ class BinlogBinarySpec extends SparkTestBase {
     }
     assert(Iterator.iterate(e3)(_.getCause).takeWhile(_ != null)
       .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
-      .contains("transaction-cache"))
+      .contains("mixed-numbering"))
   }
 
   test("the FULL MySQL type map round-trips the wire: small ints, " +
