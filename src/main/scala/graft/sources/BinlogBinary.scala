@@ -73,6 +73,7 @@ object BinlogBinary {
   private val PARTIAL_UPDATE_ROWS = 39 // binlog_row_value_options=PARTIAL_JSON
   private val TRANSACTION_PAYLOAD = 40 // binlog_transaction_compression
   private val GTID_MARIA = 162 // MariaDB per-transaction GTID stamp
+  private val QUERY_COMPRESSED_MARIA = 165 // zlib statement text (10.2+)
   private val WRITE_ROWS_COMPRESSED_MARIA = 166 // zlib per-event (10.2+)
   private val UPDATE_ROWS_COMPRESSED_MARIA = 167
   private val DELETE_ROWS_COMPRESSED_MARIA = 168
@@ -172,6 +173,13 @@ object BinlogBinary {
       * optional-metadata bit; the decode side is metadata-driven and
       * needs no hint. */
     case object Unsigned extends WireHint
+    /** MySQL SET with a DECLARED member list on a LongType render
+      * column: the renderer writes the bitmask AND the TABLE_MAP's
+      * SET_STR_VALUE optional metadata (TLV 5), making the dump
+      * self-describing — a decoder then declares the SAME column
+      * StringType with NO hint and reads MySQL's own comma-joined
+      * member text straight off the wire. */
+    final case class SetNamed(values: Seq[String]) extends WireHint
     /** A MySQL GEOMETRY column (wire type 255) on a BinaryType
       * column: the value is the 4-byte SRID + WKB bytes, passed
       * through VERBATIM (decode-as-passthrough is the honest
@@ -572,6 +580,13 @@ object BinlogBinary {
         case (LongType, Some(SetBits(m))) =>
           require(m >= 1 && m <= 64,
             s"MySQL SET carries 1..64 members, '$n' declares $m")
+          true
+        case (LongType, Some(SetNamed(vs))) =>
+          require(vs.nonEmpty && vs.size <= 64 &&
+            vs.distinct.size == vs.size &&
+            vs.forall(v => v.nonEmpty && !v.contains(",")),
+            s"bad SET member list for '$n' (1..64 distinct, " +
+              "non-empty, comma-free members)")
           true
         case (LongType, Some(Bit(b))) =>
           require(b >= 1 && b <= 64,
@@ -1005,6 +1020,47 @@ object BinlogBinary {
     sealEvent(tsSec, QUERY, pos, b.toByteArray)
   }
 
+  /** One MariaDB zlib block (`0x80|lenlen` + LE uncompressed length +
+    * deflate stream) — [[inflateMariaRows]]'s inverse, shared by the
+    * compressed row and Query builders. */
+  private def compressBlockMaria(
+      b: java.io.ByteArrayOutputStream, bytes: Array[Byte]): Unit = {
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(bytes); deflater.finish()
+    val buf = new Array[Byte](bytes.length + bytes.length / 1000 + 64)
+    val clen = deflater.deflate(buf)
+    require(deflater.finished(),
+      "zlib deflate did not fit its bound — unreachable for a " +
+        "finished small block")
+    deflater.end()
+    val lenlen =
+      if (bytes.length < (1 << 8)) 1
+      else if (bytes.length < (1 << 16)) 2
+      else if (bytes.length < (1 << 24)) 3
+      else 4
+    b.write(0x80 | lenlen)
+    var v = bytes.length.toLong
+    (0 until lenlen).foreach { _ => b.write((v & 0xff).toInt); v >>= 8 }
+    b.write(buf, 0, clen)
+  }
+
+  /** [[queryEvent]] in MariaDB's COMPRESSED framing (type 165,
+    * `log_bin_compress=ON`): same post-header/status/schema layout,
+    * the statement text zlib-blocked. */
+  def queryEventCompressedMaria(pos: Long, tsSec: Long, sql: String,
+      schema: String = "db"): Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    u32(b, 1L) // thread_id
+    u32(b, 0L) // exec_time
+    val sb = schema.getBytes("UTF-8")
+    b.write(sb.length)
+    u16(b, 0) // error_code
+    u16(b, 0) // status_vars_len (none)
+    b.write(sb); b.write(0)
+    compressBlockMaria(b, sql.getBytes("UTF-8"))
+    sealEvent(tsSec, QUERY_COMPRESSED_MARIA, pos, b.toByteArray)
+  }
+
   /** One GTID event — the transaction stamp a `gtid_mode=ON` server
     * writes before every transaction: `flags(1) sid(16) gno(8 LE)`
     * (the [[parseGtidIndex]] inverse). */
@@ -1165,6 +1221,8 @@ object BinlogBinary {
           meta.write(if (vs.size <= 255) 1 else 2)
         case (LongType, Some(SetBits(m))) =>
           meta.write(T_SET); meta.write((m + 7) / 8)
+        case (LongType, Some(SetNamed(vs))) =>
+          meta.write(T_SET); meta.write((vs.size + 7) / 8)
         case (LongType, Some(Bit(bits))) =>
           meta.write(bits % 8); meta.write(bits / 8)
         case (StringType, Some(Char(l))) =>
@@ -1236,6 +1294,8 @@ object BinlogBinary {
               (T_ENUM << 8) | (if (vs.size <= 255) 1 else 2)
             case (LongType, Some(SetBits(m))) =>
               (T_SET << 8) | ((m + 7) / 8)
+            case (LongType, Some(SetNamed(vs))) =>
+              (T_SET << 8) | ((vs.size + 7) / 8)
             case (StringType, Some(Char(l))) =>
               ((T_STRING ^ ((l & 0x300) >> 4)) << 8) | (l & 0xff)
             case _ => 0
@@ -1256,6 +1316,24 @@ object BinlogBinary {
         }
         b.write(2); packed(b, cs.size.toLong); b.write(cs.toByteArray)
       }
+    }
+    // SET_STR_VALUE (field 5): per SET column in order — the member
+    // list that makes a StringType declaration decodable with no hint
+    val setCols = cols.collect {
+      case (n, _)
+        if hints.get(n).exists(_.isInstanceOf[WireHint.SetNamed]) =>
+        hints(n).asInstanceOf[WireHint.SetNamed].values
+    }
+    if (setCols.nonEmpty) {
+      val sv = new java.io.ByteArrayOutputStream()
+      setCols.foreach { vs =>
+        packed(sv, vs.length.toLong)
+        vs.foreach { v =>
+          val vb = v.getBytes("UTF-8")
+          packed(sv, vb.length.toLong); sv.write(vb)
+        }
+      }
+      b.write(5); packed(b, sv.size.toLong); b.write(sv.toByteArray)
     }
     val enumCols = cols.collect {
       case (n, _) if hints.get(n).exists(_.isInstanceOf[WireHint.Enum]) =>
@@ -1421,19 +1499,6 @@ object BinlogBinary {
       if (eventType == UPDATE_ROWS_COMPRESSED_MARIA)
         image ++ image // before == after, the FULL-image fixture shape
       else image
-    val deflater = new java.util.zip.Deflater()
-    deflater.setInput(images); deflater.finish()
-    val buf = new Array[Byte](images.length + images.length / 1000 + 64)
-    val clen = deflater.deflate(buf)
-    require(deflater.finished(),
-      "zlib deflate did not fit its bound — unreachable for a " +
-        "finished small block")
-    deflater.end()
-    val lenlen =
-      if (images.length < (1 << 8)) 1
-      else if (images.length < (1 << 16)) 2
-      else if (images.length < (1 << 24)) 3
-      else 4
     val b = new java.io.ByteArrayOutputStream()
     var tid = tableId
     (0 until 6).foreach { _ => b.write((tid & 0xff).toInt); tid >>= 8 }
@@ -1442,10 +1507,7 @@ object BinlogBinary {
     val present = bitmapBytes(full)
     b.write(present)
     if (eventType == UPDATE_ROWS_COMPRESSED_MARIA) b.write(present)
-    b.write(0x80 | lenlen) // block header: zlib (alg 0) + length width
-    var v = images.length.toLong
-    (0 until lenlen).foreach { _ => b.write((v & 0xff).toInt); v >>= 8 }
-    b.write(buf, 0, clen)
+    compressBlockMaria(b, images)
     sealEvent(tsSec, eventType, seq, b.toByteArray)
   }
 
@@ -1803,6 +1865,22 @@ object BinlogBinary {
           var x = v
           (0 until (m + 7) / 8).foreach { _ =>
             b.write((x & 0xff).toInt); x >>= 8 }
+        case (LongType, Some(SetNamed(vs))) =>
+          val m = vs.size
+          val v = r.getLong(i + 3)
+          require(v >= 0 && (m == 64 || v < (1L << m)),
+            s"SET mask $v for '$n' overflows its $m members")
+          var x = v
+          (0 until (m + 7) / 8).foreach { _ =>
+            b.write((x & 0xff).toInt); x >>= 8 }
+        case (LongType, Some(SetNamed(vs))) =>
+          val m = vs.size
+          val v = r.getLong(i + 3)
+          require(v >= 0 && (m == 64 || v < (1L << m)),
+            s"SET mask $v for '$n' overflows its $m members")
+          var x = v
+          (0 until (m + 7) / 8).foreach { _ =>
+            b.write((x & 0xff).toInt); x >>= 8 }
         case (LongType, Some(Bit(bits))) =>
           val v = r.getLong(i + 3)
           require(v >= 0 && (bits == 64 || v < (1L << bits)),
@@ -1997,6 +2075,7 @@ object BinlogBinary {
     import WireHint._
     (t, hint) match {
       case (LongType, Some(SetBits(_))) => T_STRING // ENUM/SET carrier
+      case (LongType, Some(SetNamed(_))) => T_STRING
       case (LongType, Some(Bit(_))) => T_BIT
       case (LongType, Some(Unsigned)) => T_LONG // INT UNSIGNED
       case (LongType, _) => T_LONGLONG
@@ -2166,7 +2245,8 @@ object BinlogBinary {
   private final case class WireCols(types: Array[Int], metas: Array[Int],
       unsigned: Array[Boolean] = Array.empty,
       enumVals: Map[Int, Seq[String]] = Map.empty,
-      charsets: Map[Int, Int] = Map.empty) {
+      charsets: Map[Int, Int] = Map.empty,
+      setVals: Map[Int, Seq[String]] = Map.empty) {
     def isUnsigned(i: Int): Boolean =
       unsigned.nonEmpty && unsigned(i)
     /** A text column's Java charset per the TABLE_MAP metadata —
@@ -2456,6 +2536,7 @@ object BinlogBinary {
               // 10/11 — which the server writes AFTER field 6), so
               // they hold raw here and decode after the TLV loop
               var wireEnumRaw = Vector.empty[Seq[Array[Byte]]]
+              var wireSetRaw = Vector.empty[Seq[Array[Byte]]]
               var charsetDefault = -1L
               var charsetPairs = Map.empty[Int, Int] // char ordinal -> id
               var charsetPerCol = Vector.empty[Int] // COLUMN_CHARSET list
@@ -2497,6 +2578,21 @@ object BinlogBinary {
                       c.o += ln
                     }
                     wireNames = names.result()
+                  case 5 => // SET_STR_VALUE: per SET column in order
+                    val lists = Vector.newBuilder[Seq[Array[Byte]]]
+                    while (c.o < fend) {
+                      val cnt = c.packed().toInt
+                      val vs = Vector.newBuilder[Array[Byte]]
+                      (0 until cnt).foreach { _ =>
+                        val ln = c.packed().toInt
+                        c.need(ln)
+                        vs += java.util.Arrays.copyOfRange(c.b, c.o,
+                          c.o + ln)
+                        c.o += ln
+                      }
+                      lists += vs.result()
+                    }
+                    wireSetRaw = lists.result()
                   case 6 => // ENUM_STR_VALUE: per ENUM column in order
                     val lists = Vector.newBuilder[Seq[Array[Byte]]]
                     while (c.o < fend) {
@@ -2570,15 +2666,23 @@ object BinlogBinary {
                       "mis-decode by position")
                 }
               }
-              val enumValsByCol = {
+              val (enumValsByCol, setValsByCol) = {
                 val enumIdx = (0 until n).filter(i =>
                   types(i) == T_STRING &&
                     stringMeta(metas(i))._1 == T_ENUM)
+                val setIdx = (0 until n).filter(i =>
+                  types(i) == T_STRING &&
+                    stringMeta(metas(i))._1 == T_SET)
                 require(wireEnumRaw.isEmpty ||
                   wireEnumRaw.length == enumIdx.length,
                   s"$path: ENUM_STR_VALUE metadata carries " +
                     s"${wireEnumRaw.length} value lists for " +
                     s"${enumIdx.length} ENUM columns — corrupt")
+                require(wireSetRaw.isEmpty ||
+                  wireSetRaw.length == setIdx.length,
+                  s"$path: SET_STR_VALUE metadata carries " +
+                    s"${wireSetRaw.length} member lists for " +
+                    s"${setIdx.length} SET columns — corrupt")
                 // the value-list bytes decode through the table's
                 // ENUM/SET charset metadata (fields 10/11, ordinals
                 // over the enum+set columns in column order) — the
@@ -2623,12 +2727,26 @@ object BinlogBinary {
                       }
                   }
                 }
-                enumIdx.zipWithIndex.flatMap { case (ci, ei) =>
+                (enumIdx.zipWithIndex.flatMap { case (ci, ei) =>
                   wireEnumRaw.lift(ei).map { raw =>
                     val cs = listCharset(ci)
                     ci -> raw.map(b => new String(b, cs))
                   }
-                }.toMap
+                }.toMap,
+                  setIdx.zipWithIndex.flatMap { case (ci, si) =>
+                    wireSetRaw.lift(si).map { raw =>
+                      val cs = listCharset(ci)
+                      val members = raw.map(b => new String(b, cs))
+                      require(members.size >= 1 && members.size <= 64 &&
+                        (members.size + 7) / 8 ==
+                          stringMeta(metas(ci))._2,
+                        s"$path: SET column @${ci + 1} declares " +
+                          s"${members.size} members but its pack " +
+                          s"length is ${stringMeta(metas(ci))._2} " +
+                          "bytes — the metadata is stale or corrupt")
+                      ci -> members
+                    }
+                  }.toMap)
               }
               // validate the wire plan against the declared Spark types
               // (+ hints where the wire underdetermines the decode —
@@ -2691,8 +2809,14 @@ object BinlogBinary {
                       (packLen == 1 || packLen == 2) &&
                       (hint.exists(_.isInstanceOf[Enum]) ||
                         enumValsByCol.contains(i))
-                    case (T_SET, packLen) => dt == LongType &&
-                      packLen >= 1 && packLen <= 8
+                    case (T_SET, packLen) =>
+                      (packLen >= 1 && packLen <= 8) &&
+                        (dt == LongType ||
+                          // StringType: MySQL's comma-joined member
+                          // text, decodable only when the dump's
+                          // SET_STR_VALUE names the members
+                          (dt == StringType &&
+                            setValsByCol.contains(i)))
                     case (_, maxLen) => dt == StringType && maxLen <= 1023
                   }
                   case _ => false
@@ -2712,7 +2836,7 @@ object BinlogBinary {
               }
               tableMaps += tid -> Some((table, cols,
                 WireCols(types, metas, unsigned, enumValsByCol,
-                  charsets), hints))
+                  charsets, setValsByCol), hints))
           }
         case WRITE_ROWS_V2 | UPDATE_ROWS_V2 | DELETE_ROWS_V2 |
           PARTIAL_UPDATE_ROWS | WRITE_ROWS_COMPRESSED_MARIA |
@@ -2867,7 +2991,7 @@ object BinlogBinary {
             out += marker.get(logPos,
               java.time.LocalDateTime.ofEpochSecond(tsSec, 0,
                 java.time.ZoneOffset.UTC))
-        case QUERY =>
+        case QUERY | QUERY_COMPRESSED_MARIA =>
           rowsQueryText = null // statement boundary (BEGIN/COMMIT/DDL)
         case TRANSACTION_PAYLOAD =>
           require(!inPayload,
@@ -3060,7 +3184,7 @@ object BinlogBinary {
       path: String): Iterator[(Long, String)] = {
     val out = Vector.newBuilder[(Long, String)]
     walkEvents(bytes, path) { (eventType, _, logPos, o, bodyEnd) =>
-      if (eventType == QUERY) {
+      if (eventType == QUERY || eventType == QUERY_COMPRESSED_MARIA) {
         val c = new Cursor(bytes, o + HeaderLen, bodyEnd,
           s"$path QUERY event at $o")
         c.skip(4) // thread_id
@@ -3070,7 +3194,14 @@ object BinlogBinary {
         val statusLen = c.u16()
         c.skip(statusLen)
         c.skip(schemaLen + 1) // schema name + NUL
-        val stmt = new String(bytes, c.o, bodyEnd - c.o, "UTF-8").trim
+        // MariaDB QUERY_COMPRESSED (log_bin_compress=ON): the
+        // statement TEXT rides the same zlib block as compressed row
+        // events — skipping it as an unknown type silently LOSES the
+        // DDL stream on those servers
+        val stmt = (if (eventType == QUERY_COMPRESSED_MARIA) {
+          val rc = inflateMariaRows(c, path)
+          new String(rc.b, 0, rc.end, "UTF-8")
+        } else new String(bytes, c.o, bodyEnd - c.o, "UTF-8")).trim
         val head = stmt.takeWhile(!_.isWhitespace).toUpperCase
         val noise = Seq("BEGIN", "COMMIT", "ROLLBACK", "SET",
           "DELIMITER", "USE")
@@ -3655,7 +3786,24 @@ object BinlogBinary {
               (0 until packLen).foreach(i =>
                 v |= (c.b(c.o + i) & 0xffL) << (8 * i))
               c.o += packLen
-              v
+              dt match {
+                case StringType =>
+                  // the self-describing surface: MySQL's comma-joined
+                  // member text from the dump's own SET_STR_VALUE
+                  // list (validated present at the TABLE_MAP); a mask
+                  // bit past the list is a stale list and refuses
+                  val members = wire.setVals(ci)
+                  require(members.size == 64 ||
+                    (v & ~((1L << members.size) - 1)) == 0L,
+                    s"SET mask $v for '$name' sets bits past its " +
+                      s"${members.size} declared members — the " +
+                      "member list is stale; refuse rather than " +
+                      "serve a wrong membership")
+                  members.zipWithIndex.collect {
+                    case (m, i2) if (v & (1L << i2)) != 0L => m
+                  }.mkString(",")
+                case _ => v
+              }
             case (_, maxLen) =>
               val len = if (maxLen < 256) c.u8() else c.u16()
               c.need(len)

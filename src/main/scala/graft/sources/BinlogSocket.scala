@@ -184,6 +184,43 @@ object BinlogSocket {
       .toDF()
   }
 
+  /** [[parse]] as a STREAMING decode — the transport behind
+    * [[BinlogSocketCdcSource]]: tail `dir` and decode each captured
+    * dump stream as it lands, one capture per micro-batch. Each
+    * capture is already gated by [[depacketize]]'s OWN end-of-stream
+    * rule (EOF/ERR required), so no extra torn-file gate applies —
+    * an in-flight capture refuses at the frame layer. `maxFileAge`
+    * disabled for the same backfill reason as the file tails. */
+  private[sources] def streamDecode(spark: SparkSession, dir: String,
+      cols: Seq[(String, DataType)],
+      changedCol: Option[String] = None,
+      hints: Map[String, BinlogBinary.WireHint] = Map.empty)
+      : DataFrame = {
+    BinlogBinary.validateCols(cols, hints)
+    val (schema, _) = BinlogText.singleEnvelope(cols, Nil, changedCol,
+      textTypes = false)
+    val colsB = cols
+    val changedB = changedCol
+    val hintsB = hints
+    spark.readStream.format("binaryFile")
+      .schema(StructType(Seq(
+        StructField("path", StringType, nullable = false),
+        StructField("modificationTime", TimestampType, nullable = false),
+        StructField("length", LongType, nullable = false),
+        StructField("content", BinaryType, nullable = true))))
+      .option("maxFilesPerTrigger", "1")
+      .option("maxFileAge", "36500d")
+      .load(dir)
+      .select(col("content"), col("path"))
+      .flatMap { r =>
+        val path = r.getString(1)
+        BinlogBinary.decodeEventStream(
+          depacketize(r.getAs[Array[Byte]](0), path), path, colsB,
+          changedCol = changedB, hints = hintsB)
+      }(RowEncoder.encoderFor(schema))
+      .toDF()
+  }
+
   /** Write one packet (splitting at the 16 MiB − 1 continuation
     * bound) and return the next sequence id. An EXACT-0xffffff-byte
     * payload gets a trailing empty continuation packet — the

@@ -117,6 +117,26 @@ final case class BinlogBinaryCdcSource(dir: String,
       changedCol, hints)
 }
 
+/** [[BinlogBinaryCdcSource]] for CAPTURED REPLICATION-SOCKET bytes:
+  * each tailed file is one COM_BINLOG_DUMP capture —
+  * [[BinlogSocket.depacketize]] strips the packet framing (sequence
+  * continuity, >16 MiB reassembly, EOF/ERR gate — its own
+  * torn-capture rule, so no rotate gate applies) and the SAME binary
+  * decoder produces the envelope, one capture per micro-batch. */
+final case class BinlogSocketCdcSource(dir: String,
+    cols: Seq[(String, org.apache.spark.sql.types.DataType)],
+    /** MINIMAL surface — see [[BinlogBinaryCdcSource.changedCol]]. */
+    changedCol: Option[String] = None,
+    /** Per-column wire hints — see [[BinlogBinaryCdcSource.hints]]. */
+    hints: Map[String, BinlogBinary.WireHint] = Map.empty)
+    extends CdcSource {
+  override def schema: StructType =
+    BinlogText.singleEnvelope(cols, Nil, changedCol,
+      textTypes = false)._1
+  override def open(spark: SparkSession): DataFrame =
+    BinlogSocket.streamDecode(spark, dir, cols, changedCol, hints)
+}
+
 /** [[BinlogBinaryCdcSource]] for a MULTI-TABLE raw dump: one tailed
   * dir carries N tables' interleaved row events, each dispatching on
   * the table name its TABLE_MAP carries on the wire under

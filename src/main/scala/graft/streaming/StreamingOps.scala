@@ -838,15 +838,24 @@ object StreamingOps {
     * apply-time decodes (SET bitmask → member string, zero-date text
     * → NULL) are the SAME MySqlTypes rules for both. */
   private def typeExoticPipeline(s: SparkSession,
-      raw: DataFrame): DataFrame = {
-    val log = raw
+      raw: DataFrame): DataFrame =
+    typeExoticTail(s, raw
       .withColumn("flags", graft.sources.MySqlTypes.decodeSet(
         col("flags_bits"), Seq("a", "b", "c", "d")))
+      .drop("flags_bits"))
+
+  /** The S21 tail from a log whose SET column is ALREADY member text
+    * (`flags`) — shared by the bitmask feeds (decodeSet above) and
+    * the self-describing wire decode (`cdc_binlog_binary_set_names`),
+    * whose member join happened inside the wire read. */
+  private def typeExoticTail(s: SparkSession,
+      flagged: DataFrame): DataFrame = {
+    val log = flagged
       .withColumn("d_zero",
         graft.sources.MySqlTypes.zeroDateToNull(col("d_raw")))
       .withColumn("dt_zero",
         graft.sources.MySqlTypes.zeroDateTimeToNull(col("dt_raw")))
-      .drop("flags_bits", "d_raw", "dt_raw")
+      .drop("d_raw", "dt_raw")
     val tmp = tmpDir()
     val in = s"$tmp/in"
     writeWaves(log, in, when(col("seq") <= 2, 0).otherwise(1), 2,
@@ -4729,6 +4738,45 @@ object StreamingOps {
         s, s"$tmp/binlog", cols, hints = hints))
     }),
 
+    // S-BINLOG-SET-NAMES: the SET column decoded to MySQL's own
+    // comma-joined member text FROM THE WIRE — binlog_row_metadata=
+    // FULL ships the member list in SET_STR_VALUE (TLV 5), so a
+    // StringType declaration needs no hint and no downstream
+    // decodeSet: the member join happens inside the wire read,
+    // through the same enum/set charset metadata as ENUM lists. Same
+    // pipeline tail and typeExoticSql oracle as the bitmask feeds —
+    // one member-text rule, two decode sites, one hash.
+    "cdc_binlog_binary_set_names" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, ShortType}
+      import graft.sources.BinlogBinary.WireHint
+      val raw = Tables.cdcLogExotic(s, dir)
+      val renderCols: BCols = Seq("okey" -> LongType,
+        "price" -> DoubleType, "status" -> StringType,
+        "flags_bits" -> LongType, "yr" -> ShortType,
+        "bits" -> LongType, "d_raw" -> StringType,
+        "dt_raw" -> StringType)
+      val renderHints = Map[String, WireHint](
+        "flags_bits" -> WireHint.SetNamed(Seq("a", "b", "c", "d")),
+        "yr" -> WireHint.Year, "bits" -> WireHint.Bit(20),
+        "d_raw" -> WireHint.DateText, "dt_raw" -> WireHint.DateTimeText)
+      val tmp = tmpDir()
+      graft.sources.BinlogBinary.render(raw, renderCols, s"$tmp/binlog",
+        files = 4, hints = renderHints)
+      // parse side: StringType for the SET column, NO member hint —
+      // the wire's SET_STR_VALUE list drives the join
+      val parseCols: BCols = Seq("okey" -> LongType,
+        "price" -> DoubleType, "status" -> StringType,
+        "flags_bits" -> StringType, "yr" -> ShortType,
+        "bits" -> LongType, "d_raw" -> StringType,
+        "dt_raw" -> StringType)
+      typeExoticTail(s, graft.sources.BinlogBinary.parse(
+        s, s"$tmp/binlog", parseCols,
+        hints = Map("yr" -> WireHint.Year,
+          "bits" -> WireHint.Bit(20), "d_raw" -> WireHint.DateText,
+          "dt_raw" -> WireHint.DateTimeText))
+        .withColumnRenamed("flags_bits", "flags"))
+    }),
+
     // ST-HEARTBEAT: binlog KEEP-ALIVE events under the oracle gate —
     // the quiet-source shape: position-only `op = "H"` rows ride the
     // stream interleaved with DML and as a whole trailing batch. The
@@ -6586,6 +6634,7 @@ object StreamingOps {
     "cdc_binlog_binary_temporal" -> typeTemporalSql,
     "cdc_type_exotic" -> typeExoticSql,
     "cdc_binlog_binary_exotic" -> typeExoticSql,
+    "cdc_binlog_binary_set_names" -> typeExoticSql,
     "cdc_type_charset" -> typeCharsetSql,
     "cdc_binlog_binary_charset" -> typeCharsetSql,
     "cdc_binlog_binary_charset_meta" -> typeCharsetSql,

@@ -864,6 +864,70 @@ class BinlogBinarySpec extends SparkTestBase {
         rowsQueryCol = Some("status")) }
   }
 
+  test("SET_STR_VALUE (TLV 5): a StringType SET column decodes to " +
+      "MySQL's comma-joined member text from the wire's own list; " +
+      "stale masks and missing lists refuse by name") {
+    val renderCols: Seq[(String, DataType)] = Seq(
+      "okey" -> LongType, "tags" -> LongType)
+    val t0 = java.time.LocalDateTime.ofEpochSecond(
+      800000000L, 0, java.time.ZoneOffset.UTC)
+    val schema = StructType(Seq(
+      StructField("op", StringType), StructField("seq", LongType),
+      StructField("tsSec", LongType), StructField("okey", LongType),
+      StructField("tags", LongType)))
+    val env = spark.createDataFrame(java.util.Arrays.asList(
+      Row("I", 1L, 800000000L, 1L, 5L), // bits 0+2 = a,c
+      Row("I", 2L, 800000001L, 2L, 0L), // empty set
+      Row("I", 3L, 800000002L, 3L, null)), schema)
+      .withColumn("ts", timestamp_seconds(col("tsSec"))
+        .cast(TimestampNTZType))
+      .select("op", "seq", "ts", "okey", "tags")
+    val dir = tmp()
+    BinlogBinary.render(env, renderCols, s"$dir/b", files = 1,
+      hints = Map("tags" -> BinlogBinary.WireHint.SetNamed(
+        Seq("a", "b", "c", "d"))))
+    // StringType declaration, NO hint: the wire's member list joins
+    val got = BinlogBinary.parse(spark, s"$dir/b",
+      Seq("okey" -> LongType, "tags" -> StringType))
+      .orderBy(col("seq")).collect()
+    assert(got.map(r => Option(r.getString(4))).toSeq ==
+      Seq(Some("a,c"), Some(""), None))
+    // the LongType bitmask surface still works on the same dump
+    val gotL = BinlogBinary.parse(spark, s"$dir/b",
+      Seq("okey" -> LongType, "tags" -> LongType))
+      .orderBy(col("seq")).collect()
+    assert(gotL.map(r =>
+      if (r.isNullAt(4)) -1L else r.getLong(4)).toSeq ==
+      Seq(5L, 0L, -1L))
+    // a dump WITHOUT the member list refuses the StringType reading
+    val dir2 = tmp()
+    BinlogBinary.render(env, renderCols, s"$dir2/b", files = 1,
+      hints = Map("tags" -> BinlogBinary.WireHint.SetBits(4)))
+    val e = intercept[Throwable] {
+      BinlogBinary.parse(spark, s"$dir2/b",
+        Seq("okey" -> LongType, "tags" -> StringType)).collect() }
+    val m = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(m.contains("declaration is stale"), s"got: $m")
+  }
+
+  test("MariaDB QUERY_COMPRESSED (165): DDL statements inflate into " +
+      "the same parseDdl stream; noise punctuation still skips") {
+    val dir = tmp()
+    BinlogBinary.writeEvents(s"$dir/b", "bin.000001", Seq(
+      BinlogBinary.queryEventCompressedMaria(10L, 800000000L, "BEGIN"),
+      BinlogBinary.queryEventCompressedMaria(20L, 800000001L,
+        "ALTER TABLE orders ADD COLUMN note VARCHAR(16) DEFAULT 'none'"),
+      BinlogBinary.queryEvent(30L, 800000002L,
+        "ALTER TABLE orders RENAME COLUMN status TO chan")))
+    // compressed and clear Query events land in ONE position-ordered
+    // DDL stream; BEGIN noise skips in both framings
+    assert(BinlogBinary.parseDdl(spark, s"$dir/b") == Seq(
+      20L -> ("ALTER TABLE orders ADD COLUMN note VARCHAR(16) " +
+        "DEFAULT 'none'"),
+      30L -> "ALTER TABLE orders RENAME COLUMN status TO chan"))
+  }
+
   test("GEOMETRY (wire type 255): SRID+WKB bytes pass through " +
       "verbatim under BinaryType; a StringType declaration refuses " +
       "naming GEOMETRY") {

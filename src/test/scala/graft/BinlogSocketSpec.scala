@@ -161,6 +161,54 @@ class BinlogSocketSpec extends SparkTestBase {
     assert(e5.getMessage.contains("unknown packet leader"))
   }
 
+  test("BinlogSocketCdcSource: the pass TAILS captured dump streams, " +
+      "one capture per micro-batch; a torn capture refuses at the " +
+      "frame layer") {
+    import graft.streaming.StreamingOps
+    import graft.sources.BinlogSocketCdcSource
+    val base = tmp()
+    val caps = s"$base/caps"
+    BinlogSocket.renderPacketStream(envDf(Seq(
+      ("I", 1L, 800000000L, 1L, 10.0, "a"),
+      ("I", 2L, 800000000L, 2L, 20.0, "b"))), cols, caps, files = 1)
+    val src = BinlogSocketCdcSource(caps, cols)
+    assert(src.schema.fieldNames.toSeq ==
+      Seq("op", "seq", "ts", "okey", "price", "status"))
+    StreamingOps.runCdcPassSource(spark, src, s"$base/ckpt",
+      s"$base/state")
+    def served: Map[Long, Double] =
+      StreamingOps.readLatestState(spark, s"$base/state")
+        .select("okey", "price").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(served == Map(1L -> 10.0, 2L -> 20.0))
+    // a second capture lands; the RESUMED pass consumes only it
+    BinlogSocket.renderPacketStream(envDf(Seq(
+      ("D", 3L, 800000001L, 2L, null, null))), cols, s"$base/cap2",
+      files = 1)
+    val c2 = new java.io.File(s"$base/cap2").listFiles().head
+    java.nio.file.Files.copy(c2.toPath,
+      java.nio.file.Paths.get(s"$caps/sock.000001.cap"))
+    StreamingOps.runCdcPassSource(spark, src, s"$base/ckpt",
+      s"$base/state")
+    assert(served == Map(1L -> 10.0))
+    // a TORN capture (EOF packet cut off) refuses the batch
+    val base2 = tmp()
+    val caps2 = s"$base2/caps"
+    BinlogSocket.renderPacketStream(envDf(Seq(
+      ("I", 9L, 800000000L, 9L, 9.0, "x"))), cols, caps2, files = 1)
+    val f = new java.io.File(caps2).listFiles().head
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    java.nio.file.Files.write(f.toPath, bytes.dropRight(9))
+    val e = intercept[Throwable] {
+      StreamingOps.runCdcPassSource(spark,
+        BinlogSocketCdcSource(caps2, cols), s"$base2/ckpt",
+        s"$base2/state")
+    }
+    assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      .contains("EOF or ERR"))
+  }
+
   test("a mid-stream ERR packet refuses quoting the server's own " +
       "error text — through the full parse path") {
     val env = envDf(Seq(("I", 1L, 800000000L, 1L, 1.5, "a")))
