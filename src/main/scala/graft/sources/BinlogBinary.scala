@@ -72,6 +72,7 @@ object BinlogBinary {
   private val ROWS_QUERY = 29 // binlog_rows_query_log_events=ON audit SQL
   private val PARTIAL_UPDATE_ROWS = 39 // binlog_row_value_options=PARTIAL_JSON
   private val TRANSACTION_PAYLOAD = 40 // binlog_transaction_compression
+  private val ANNOTATE_ROWS_MARIA = 160 // statement text audit (Maria)
   private val GTID_MARIA = 162 // MariaDB per-transaction GTID stamp
   private val QUERY_COMPRESSED_MARIA = 165 // zlib statement text (10.2+)
   private val WRITE_ROWS_COMPRESSED_MARIA = 166 // zlib per-event (10.2+)
@@ -1128,6 +1129,16 @@ object BinlogBinary {
     b.write(math.min(255, tb.length))
     b.write(tb)
     sealEvent(tsSec, ROWS_QUERY, pos, b.toByteArray)
+  }
+
+  /** One MariaDB ANNOTATE_ROWS event (type 160,
+    * `binlog_annotate_row_events=ON`) — the statement text verbatim;
+    * the Maria dialect's [[rowsQueryEvent]]. */
+  def annotateRowsEventMaria(pos: Long, tsSec: Long,
+      sql: String): Array[Byte] = {
+    val tb = sql.getBytes("UTF-8")
+    require(tb.nonEmpty, "empty ANNOTATE_ROWS text")
+    sealEvent(tsSec, ANNOTATE_ROWS_MARIA, pos, tb)
   }
 
   def xidEvent(pos: Long, tsSec: Long, xid: Long): Array[Byte] = {
@@ -2977,6 +2988,14 @@ object BinlogBinary {
                   changed, rowsQueryText)
               }
           }
+        case ANNOTATE_ROWS_MARIA =>
+          // MariaDB's audit twin of ROWS_QUERY
+          // (binlog_annotate_row_events=ON): the body IS the
+          // statement text, no leading length byte
+          require(bodyEnd > o + HeaderLen,
+            s"$path: empty ANNOTATE_ROWS event at offset $o — corrupt")
+          rowsQueryText = new String(src, o + HeaderLen,
+            bodyEnd - (o + HeaderLen), "UTF-8")
         case ROWS_QUERY =>
           // payload: one legacy length byte (ignored — the text runs
           // to the event end; the byte caps at 255 and real queries

@@ -184,6 +184,63 @@ object BinlogSocket {
       .toDF()
   }
 
+  /** Decode a directory of captured MULTI-TABLE dump streams into the
+    * union envelope `(op, seq, ts, <tableCol>, <union cols…>)` — the
+    * socket framing stripped per capture, then
+    * [[BinlogBinary.parseMulti]]'s routing rules verbatim (wire
+    * table-name dispatch, declared exclusions, undeclared refusals).
+    * One transport layer, both topologies. */
+  def parseMulti(spark: SparkSession, dir: String,
+      colsByTable: Map[String, Seq[(String, DataType)]],
+      tableCol: String = "table",
+      ignoreTables: Set[String] = Set.empty): DataFrame = {
+    val (schema, _) = BinlogText.multiEnvelope(
+      colsByTable, tableCol, ignoreTables, None, textTypes = false)
+    val colsB = colsByTable
+    val ignoreB = ignoreTables
+    spark.read.format("binaryFile").load(dir)
+      .select(col("content"), col("path"))
+      .flatMap { r =>
+        val path = r.getString(1)
+        BinlogBinary.decodeMultiEventStream(
+          depacketize(r.getAs[Array[Byte]](0), path), path, schema,
+          colsB, ignoreB)
+      }(RowEncoder.encoderFor(schema))
+      .toDF()
+  }
+
+  /** Re-frame one raw binlog FILE as the packet capture a dump of it
+    * would deliver: artificial ROTATE naming the stream, each of the
+    * file's events as an OK packet (sizes read off the event headers
+    * — the file's own FDE leads, so the capture self-describes), EOF
+    * to close. The fixture bridge from the file renderers to the
+    * socket transport. */
+  private[graft] def packetizeDumpFile(bytes: Array[Byte],
+      streamName: String): Array[Byte] = {
+    require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xfe &&
+      bytes(1) == 'b' && bytes(2) == 'i' && bytes(3) == 'n',
+      s"not a binlog file (bad magic) — cannot packetize '$streamName'")
+    val out = new java.io.ByteArrayOutputStream()
+    var seq = 1
+    seq = writePacket(out,
+      Array[Byte](0x00) ++ artificialRotate(streamName), seq)
+    var o = 4
+    while (o < bytes.length) {
+      require(bytes.length - o >= HeaderLen,
+        s"truncated event header at offset $o of '$streamName'")
+      val size = (bytes(o + 9) & 0xff) | ((bytes(o + 10) & 0xff) << 8) |
+        ((bytes(o + 11) & 0xff) << 16) | ((bytes(o + 12) & 0xff) << 24)
+      require(size >= HeaderLen && o + size <= bytes.length,
+        s"event at offset $o of '$streamName' declares size $size " +
+          "beyond the file — truncated or corrupt")
+      seq = writePacket(out, Array[Byte](0x00) ++
+        java.util.Arrays.copyOfRange(bytes, o, o + size), seq)
+      o += size
+    }
+    writePacket(out, Array[Byte](0xfe.toByte, 0, 0, 2, 0), seq)
+    out.toByteArray
+  }
+
   /** [[parse]] as a STREAMING decode — the transport behind
     * [[BinlogSocketCdcSource]]: tail `dir` and decode each captured
     * dump stream as it lands, one capture per micro-batch. Each

@@ -4375,6 +4375,30 @@ object StreamingOps {
       (out, byTable, ignore) => graft.sources.BinlogBinary.parseMulti(
         s, out, byTable, ignoreTables = ignore))),
 
+    // S-SOCKET-MULTI: the multi-table topology over the SOCKET
+    // transport — each raw rotation re-framed as the packet capture a
+    // dump of it would deliver (packetizeDumpFile: artificial ROTATE,
+    // one OK packet per event, EOF), then depacketize + the SAME
+    // multi-table routing as cdc_binlog_binary_multi. One transport
+    // layer, both topologies; same binlogMultiSql oracle.
+    "cdc_binlog_socket_multi" -> ((s, dir) => binlogMultiScenario(s, dir,
+      (df, cols, out, table, files, append) =>
+        graft.sources.BinlogBinary.render(df, cols, out, files = files,
+          table = table, prefix = table, append = append),
+      (out, byTable, ignore) => {
+        val capDir = s"$out.cap"
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(capDir))
+        new java.io.File(out).listFiles().filter(_.isFile).foreach { f =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(capDir, f.getName + ".cap"),
+            graft.sources.BinlogSocket.packetizeDumpFile(
+              java.nio.file.Files.readAllBytes(f.toPath), f.getName))
+        }
+        graft.sources.BinlogSocket.parseMulti(
+          s, capDir, byTable, ignoreTables = ignore)
+      })),
+
     // S-BINLOG-BINARY-DDL: the FULL binlog loop from RAW WIRE BYTES —
     // row events AND DDL QueryEvents in one dump, no mysqlbinlog and
     // no hand-declared verb anywhere: rotation 1 carries the v1 rows,
@@ -6571,6 +6595,7 @@ object StreamingOps {
     // binlogMultiSql)
     "cdc_binlog_text_multi" -> binlogMultiSql,
     "cdc_binlog_binary_multi" -> binlogMultiSql,
+    "cdc_binlog_socket_multi" -> binlogMultiSql,
 
     // txn gate from dump text — one oracle, three transports (see
     // binlogTxnSql)

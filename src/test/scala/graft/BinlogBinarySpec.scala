@@ -848,6 +848,22 @@ class BinlogBinarySpec extends SparkTestBase {
       10L -> Some("UPDATE orders SET price = price + 1 WHERE okey < 100"),
       11L -> Some("UPDATE orders SET price = price + 1 WHERE okey < 100"),
       20L -> None))
+    // the MARIA dialect's twin (ANNOTATE_ROWS, type 160: bare text,
+    // no length byte) feeds the SAME audit column and clear rules
+    val dirA = tmp()
+    BinlogBinary.writeEvents(s"$dirA/b", "bin.000001", Seq(
+      BinlogBinary.annotateRowsEventMaria(9L, 800000000L,
+        "DELETE FROM orders WHERE okey = 7"),
+      BinlogBinary.tableMapEvent("t", cols),
+      BinlogBinary.rowsEvent(Row("D", 10L, t0, 7L, null, null), cols),
+      BinlogBinary.xidEvent(11L, 800000000L, 1L),
+      BinlogBinary.rowsEvent(Row("I", 20L, t0, 8L, 8.5, "h"), cols)))
+    val gotA = BinlogBinary.parse(spark, s"$dirA/b", cols,
+      rowsQueryCol = Some("_sql")).orderBy(col("seq")).collect()
+    assert(gotA.map(r => (r.getLong(1),
+      Option(r.getString(r.fieldIndex("_sql"))))).toSeq == Seq(
+      10L -> Some("DELETE FROM orders WHERE okey = 7"),
+      20L -> None))
     // a dump with NO type-29 events serves NULL throughout, and the
     // column is invisible unless opted in
     val env = envDf(Seq(("I", 1L, 800000000L, 1L, 1.0, "x")))

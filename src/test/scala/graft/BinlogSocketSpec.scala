@@ -209,6 +209,28 @@ class BinlogSocketSpec extends SparkTestBase {
       .contains("EOF or ERR"))
   }
 
+  test("packetizeDumpFile bridges a raw rotation into a capture: the " +
+      "depacketized stream decodes to the same envelope as the file") {
+    val env = envDf(Seq(
+      ("I", 1L, 800000000L, 1L, 10.5, "plain"),
+      ("U", 3L, 800000002L, 1L, -7.25, "ünïcodé"),
+      ("D", 4L, 900000000L, 1L, null, null)))
+    val dir = tmp()
+    BinlogBinary.render(env, cols, s"$dir/raw", files = 1)
+    val f = new java.io.File(s"$dir/raw").listFiles().head
+    val cap = BinlogSocket.packetizeDumpFile(
+      java.nio.file.Files.readAllBytes(f.toPath), f.getName)
+    write(s"$dir/cap", f.getName + ".cap", cap)
+    val viaSocket = BinlogSocket.parse(spark, s"$dir/cap", cols)
+      .collect().map(_.toSeq).toSet
+    val viaFile = BinlogBinary.parse(spark, s"$dir/raw", cols)
+      .collect().map(_.toSeq).toSet
+    assert(viaSocket == viaFile && viaSocket.size == 3)
+    // a non-binlog input refuses at the bridge
+    intercept[IllegalArgumentException] {
+      BinlogSocket.packetizeDumpFile(Array[Byte](1, 2, 3, 4, 5), "x") }
+  }
+
   test("a mid-stream ERR packet refuses quoting the server's own " +
       "error text — through the full parse path") {
     val env = envDf(Seq(("I", 1L, 800000000L, 1L, 1.5, "a")))
