@@ -3308,6 +3308,12 @@ object BinlogBinary {
     last
   }
 
+  /** [[extractGtids]] over a BARE event stream (no magic) — the
+    * socket transport's GTID-index plug. */
+  private[sources] def extractGtidsFromEvents(eventBytes: Array[Byte],
+      path: String): Iterator[(Long, String, Long)] =
+    extractGtids(Magic ++ eventBytes, path)
+
   private def extractGtids(bytes: Array[Byte],
       path: String): Iterator[(Long, String, Long)] = {
     val out = Vector.newBuilder[(Long, String, Long)]

@@ -209,6 +209,48 @@ object BinlogSocket {
       .toDF()
   }
 
+  /** The captured stream as a TXN-GATED envelope —
+    * [[BinlogBinary.parseTxn]] from socket bytes: rows stamped with
+    * their transaction's GTID through the SAME shared boundary core,
+    * one `op = "C"` commit marker per Xid, the framing stripped first.
+    * Same two-scan economy: one eager metadata pass for the GTID
+    * index (tiny rows to the driver for the broadcast), one lazy
+    * distributed decode for rows + markers. */
+  def parseTxn(spark: SparkSession, dir: String,
+      cols: Seq[(String, DataType)],
+      txnCol: String = "txn"): DataFrame = {
+    require(!cols.exists(_._1 == txnCol) &&
+      !Seq("op", "seq", "ts").contains(txnCol),
+      s"txn column '$txnCol' collides with an envelope column")
+    import org.apache.spark.sql.Encoders
+    val gtids = spark.read.format("binaryFile").load(dir)
+      .select(col("content"), col("path"))
+      .flatMap { r =>
+        val path = r.getString(1)
+        BinlogBinary.extractGtidsFromEvents(
+          depacketize(r.getAs[Array[Byte]](0), path), path)
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.STRING,
+        Encoders.scalaLong))
+      .collect().toSeq.sortBy(_._1)
+    require(gtids.nonEmpty,
+      s"captures at $dir carry no GTID events — transactions cannot " +
+        "be delimited; consume them as a plain stream instead")
+    val stamps = gtids.map { case (p, u, n) => (p, s"$u:$n") }
+    val (schema, _) = BinlogText.singleEnvelope(cols, Nil, None,
+      textTypes = false)
+    val colsB = cols
+    val frame = spark.read.format("binaryFile").load(dir)
+      .select(col("content"), col("path"))
+      .flatMap { r =>
+        val path = r.getString(1)
+        BinlogBinary.decodeEventStream(
+          depacketize(r.getAs[Array[Byte]](0), path), path, colsB,
+          emitMarkers = true)
+      }(RowEncoder.encoderFor(schema))
+      .toDF()
+    BinlogText.stampTxns(spark, frame, stamps, txnCol)
+  }
+
   /** Re-frame one raw binlog FILE as the packet capture a dump of it
     * would deliver: artificial ROTATE naming the stream, each of the
     * file's events as an OK packet (sizes read off the event headers

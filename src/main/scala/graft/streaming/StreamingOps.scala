@@ -4298,6 +4298,35 @@ object StreamingOps {
       out => graft.sources.BinlogBinary.parseTxn(
         s, out, txnScenarioCols))),
 
+    // S-SOCKET-TXN: the transaction gate over the SOCKET transport —
+    // the SAME txn scenario (GTID stamps, Xids closing only txns 1-2,
+    // the uncommitted tail held back) with every rotation re-framed
+    // as a packet capture; BinlogSocket.parseTxn strips the framing
+    // and stamps through the shared boundary core. One gate rule,
+    // every transport; same binlogTxnSql oracle.
+    "cdc_binlog_socket_txn" -> ((s, dir) => binlogTxnScenario(s, dir,
+      (df, cols, out) =>
+        graft.sources.BinlogBinary.render(df, cols, out, files = 3),
+      (out, uuid) => graft.sources.BinlogBinary.writeEvents(
+        out, "bin.000099",
+        (1 to 3).map(n => graft.sources.BinlogBinary.gtidEvent(
+          n * 100000000L, 800000000L, uuid, n)) ++
+          (1 to 2).map(n => graft.sources.BinlogBinary.xidEvent(
+            (n + 1) * 100000000L - 1, 800000000L, n))),
+      out => {
+        val capDir = s"$out.cap"
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(capDir))
+        new java.io.File(out).listFiles().filter(_.isFile).foreach { f =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(capDir, f.getName + ".cap"),
+            graft.sources.BinlogSocket.packetizeDumpFile(
+              java.nio.file.Files.readAllBytes(f.toPath), f.getName))
+        }
+        graft.sources.BinlogSocket.parseTxn(s, capDir,
+          txnScenarioCols)
+      })),
+
     // S-BINLOG-BINARY-MULTI: ONE RAW DUMP → N TABLES — the multi-table
     // topology decoded from wire bytes: TABLE_MAP events name their
     // tables natively (the binary format's own dispatch key — no verb
@@ -6583,6 +6612,7 @@ object StreamingOps {
 
     // txn gate — one oracle, three transports (see binlogTxnSql)
     "cdc_binlog_binary_txn" -> binlogTxnSql,
+    "cdc_binlog_socket_txn" -> binlogTxnSql,
     "cdc_binlog_base64_txn" -> binlogTxnSql,
     "cdc_binlog_base64_multi" -> binlogMultiSql,
 
