@@ -69,6 +69,7 @@ object BinlogBinary {
   private val UPDATE_ROWS_V2 = 31
   private val DELETE_ROWS_V2 = 32
   private val GTID = 33
+  private val HEARTBEAT = 27 // master keep-alive (socket streams only)
   private val ROWS_QUERY = 29 // binlog_rows_query_log_events=ON audit SQL
   private val PARTIAL_UPDATE_ROWS = 39 // binlog_row_value_options=PARTIAL_JSON
   private val TRANSACTION_PAYLOAD = 40 // binlog_transaction_compression
@@ -1141,6 +1142,14 @@ object BinlogBinary {
     sealEvent(tsSec, ANNOTATE_ROWS_MARIA, pos, tb)
   }
 
+  /** One HEARTBEAT event (type 27) — the keep-alive a master sends
+    * on an idle dump SOCKET (never written to binlog files): payload
+    * is the current binlog file name, header position the
+    * caught-up-through position. */
+  def heartbeatEvent(pos: Long, tsSec: Long,
+      logName: String = "bin.000001"): Array[Byte] =
+    sealEvent(tsSec, HEARTBEAT, pos, logName.getBytes("UTF-8"))
+
   def xidEvent(pos: Long, tsSec: Long, xid: Long): Array[Byte] = {
     val b = new java.io.ByteArrayOutputStream()
     var x = xid
@@ -1380,6 +1389,18 @@ object BinlogBinary {
         val cs = new java.io.ByteArrayOutputStream()
         packed(cs, id.toLong)
         b.write(10); packed(b, cs.size.toLong); b.write(cs.toByteArray)
+      }
+    }
+    // GEOMETRY_TYPE (field 7): one packed geometry type per GEOMETRY
+    // column — 0 = the untyped GEOMETRY supertype (this renderer's
+    // passthrough posture; the decode validates the count)
+    locally {
+      val geoCount = cols.count { case (n2, t2) =>
+        hints.get(n2).contains(WireHint.Geometry) }
+      if (geoCount > 0) {
+        val gt = new java.io.ByteArrayOutputStream()
+        (0 until geoCount).foreach(_ => packed(gt, 0L))
+        b.write(7); packed(b, gt.size.toLong); b.write(gt.toByteArray)
       }
     }
     // SIMPLE_PRIMARY_KEY (field 8): packed column INDICES of the
@@ -2416,11 +2437,18 @@ object BinlogBinary {
       requireRotate: Boolean = false,
       changedCol: Option[String] = None,
       hints: Map[String, WireHint] = Map.empty,
-      rowsQueryCol: Option[String] = None): Iterator[Row] = {
+      rowsQueryCol: Option[String] = None,
+      heartbeats: Boolean = false): Iterator[Row] = {
     val marker =
       if (emitMarkers)
         Some((p: Long, t: java.time.LocalDateTime) =>
           Row.fromSeq(Seq("C", p, t) ++ cols.map(_ => null) ++
+            changedCol.map(_ => null) ++ rowsQueryCol.map(_ => null)))
+      else None
+    val heartbeat =
+      if (heartbeats)
+        Some((p: Long, t: java.time.LocalDateTime) =>
+          Row.fromSeq(Seq("H", p, t) ++ cols.map(_ => null) ++
             changedCol.map(_ => null) ++ rowsQueryCol.map(_ => null)))
       else None
     decodeFileRouted(bytes, path,
@@ -2433,7 +2461,8 @@ object BinlogBinary {
           rowsQueryCol.map(_ => rq)),
       marker = marker,
       requireRotate = requireRotate,
-      minimal = changedCol.isDefined)
+      minimal = changedCol.isDefined,
+      heartbeat = heartbeat)
   }
 
   /** Decode a BARE event stream — event bytes with no leading 4-byte
@@ -2449,9 +2478,10 @@ object BinlogBinary {
       path: String, cols: Seq[(String, DataType)],
       changedCol: Option[String] = None,
       emitMarkers: Boolean = false,
-      hints: Map[String, WireHint] = Map.empty): Iterator[Row] =
+      hints: Map[String, WireHint] = Map.empty,
+      heartbeats: Boolean = false): Iterator[Row] =
     decodeFile(Magic ++ eventBytes, path, cols, emitMarkers = emitMarkers,
-      changedCol = changedCol, hints = hints)
+      changedCol = changedCol, hints = hints, heartbeats = heartbeats)
 
   /** How the routed decode treats one TABLE_MAP's table: decode its
     * row events against declared columns (`tag` flavors refusal
@@ -2481,7 +2511,9 @@ object BinlogBinary {
         Seq[String], String) => Row,
       marker: Option[(Long, java.time.LocalDateTime) => Row],
       requireRotate: Boolean,
-      minimal: Boolean = false): Iterator[Row] = {
+      minimal: Boolean = false,
+      heartbeat: Option[(Long, java.time.LocalDateTime) => Row] =
+        None): Iterator[Row] = {
     val out = Vector.newBuilder[Row]
     // table id -> None (declared-skipped) | Some(table, cols, wire, hints)
     var tableMaps = Map.empty[Long, Option[(String,
@@ -2629,7 +2661,27 @@ object BinlogBinary {
                     val ids = Vector.newBuilder[Int]
                     while (c.o < fend) ids += c.packed().toInt
                     esPerCol = ids.result()
-                  case _ => () // PK/geometry/visibility/…: length-skipped
+                  case 7 => // GEOMETRY_TYPE: one packed type per
+                    // GEOMETRY column — counted against the wire plan
+                    // (the decode is WKB passthrough either way, so
+                    // the type id itself rides uninterpreted)
+                    val ids = Vector.newBuilder[Int]
+                    while (c.o < fend) ids += c.packed().toInt
+                    val geoCount = types.count(_ == T_GEOMETRY)
+                    require(ids.result().length == geoCount,
+                      s"$path: GEOMETRY_TYPE metadata carries " +
+                        s"${ids.result().length} entries for " +
+                        s"$geoCount GEOMETRY columns — corrupt")
+                  case 12 => // COLUMN_VISIBILITY (8.0.23 invisible
+                    // columns): MSB-first bit per column; INVISIBLE
+                    // columns still ride row images, so the decode is
+                    // unchanged — the bitmap is validated, not acted on
+                    require(fend - c.o == (n + 7) / 8,
+                      s"$path: COLUMN_VISIBILITY metadata carries " +
+                        s"${fend - c.o} bytes for $n columns — corrupt")
+                  case _ => () // PK fields ride extractTableMapPk;
+                    // unknown/future fields length-skip (the format's
+                    // own forward-compat rule)
                 }
                 c.o = fend
               }
@@ -3012,6 +3064,15 @@ object BinlogBinary {
                 java.time.ZoneOffset.UTC))
         case QUERY | QUERY_COMPRESSED_MARIA =>
           rowsQueryText = null // statement boundary (BEGIN/COMMIT/DDL)
+        case HEARTBEAT if heartbeat.isDefined =>
+          // master keep-alive: a position-only pulse (socket streams
+          // only — servers never write type 27 to binlog FILES).
+          // Surfaced as the op = "H" envelope row the pass's
+          // heartbeats=true gate consumes; skipped unless opted in
+          // (the pre-round-20 posture)
+          out += heartbeat.get(logPos,
+            java.time.LocalDateTime.ofEpochSecond(tsSec, 0,
+              java.time.ZoneOffset.UTC))
         case TRANSACTION_PAYLOAD =>
           require(!inPayload,
             s"$path: nested TRANSACTION_PAYLOAD at offset $o — the " +

@@ -165,7 +165,13 @@ object BinlogSocket {
   def parse(spark: SparkSession, dir: String,
       cols: Seq[(String, DataType)],
       changedCol: Option[String] = None,
-      hints: Map[String, BinlogBinary.WireHint] = Map.empty)
+      hints: Map[String, BinlogBinary.WireHint] = Map.empty,
+      /** Surface the master's type-27 keep-alives as `op = "H"`
+        * position-only rows (the `runCdcPass(heartbeats = true)`
+        * feed) — heartbeats exist ONLY on the socket, which makes
+        * this transport their natural source; skipped (the file
+        * transports' posture) unless opted in. */
+      heartbeats: Boolean = false)
       : DataFrame = {
     BinlogBinary.validateCols(cols, hints)
     val (schema, _) = BinlogText.singleEnvelope(cols, Nil, changedCol,
@@ -173,13 +179,14 @@ object BinlogSocket {
     val colsB = cols
     val changedB = changedCol
     val hintsB = hints
+    val hbB = heartbeats
     spark.read.format("binaryFile").load(dir)
       .select(col("content"), col("path"))
       .flatMap { r =>
         val path = r.getString(1)
         BinlogBinary.decodeEventStream(
           depacketize(r.getAs[Array[Byte]](0), path), path, colsB,
-          changedCol = changedB, hints = hintsB)
+          changedCol = changedB, hints = hintsB, heartbeats = hbB)
       }(RowEncoder.encoderFor(schema))
       .toDF()
   }
@@ -406,7 +413,11 @@ object BinlogSocket {
   def renderPacketStream(df: DataFrame, cols: Seq[(String, DataType)],
       outDir: String, files: Int = 4, table: String = "orders",
       prefix: String = "sock",
-      hints: Map[String, BinlogBinary.WireHint] = Map.empty): Unit = {
+      hints: Map[String, BinlogBinary.WireHint] = Map.empty,
+      /** Interleave a type-27 keep-alive after every `n`-th row
+        * packet (plus one trailing pulse before EOF) — the idle-
+        * master shape only sockets carry. 0 = none. */
+      heartbeatEvery: Int = 0): Unit = {
     BinlogBinary.validateCols(cols, hints)
     require(files >= 1, "at least one capture file")
     val dirPath = java.nio.file.Paths.get(outDir)
@@ -422,6 +433,7 @@ object BinlogSocket {
     val tableB = table
     val prefixB = prefix
     val hintsB = hints
+    val hbEveryB = heartbeatEvery
     val ordered = df.select(
       (Seq(col("op"), col("seq"),
         col("ts").cast(TimestampNTZType).as("ts")) ++
@@ -436,10 +448,20 @@ object BinlogSocket {
         seq = writeEventPacket(out, BinlogBinary.fdeEvent(), seq)
         seq = writeEventPacket(out,
           BinlogBinary.tableMapEvent(tableB, colsB, hints = hintsB), seq)
+        var rowCount = 0
+        var lastPos = 4L
         it.foreach { r =>
           seq = writeEventPacket(out,
             BinlogBinary.rowsEvent(r, colsB, hints = hintsB), seq)
+          rowCount += 1
+          lastPos = math.max(lastPos, r.getLong(1))
+          if (hbEveryB > 0 && rowCount % hbEveryB == 0)
+            seq = writeEventPacket(out, BinlogBinary.heartbeatEvent(
+              lastPos, 800000000L, f"$prefixB.$pid%06d"), seq)
         }
+        if (hbEveryB > 0) // the idle-tail pulse
+          seq = writeEventPacket(out, BinlogBinary.heartbeatEvent(
+            lastPos + 1, 800000000L, f"$prefixB.$pid%06d"), seq)
         eofPacket(out, seq)
         java.nio.file.Files.write(
           java.nio.file.Paths.get(outDir, f"$prefixB.$pid%06d.cap"),

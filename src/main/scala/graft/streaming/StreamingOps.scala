@@ -4163,6 +4163,36 @@ object StreamingOps {
             .otherwise(element_at(typedLit(back), col("tier")))))
     }),
 
+    // S-SOCKET-HEARTBEAT: the master's type-27 keep-alives — which
+    // exist ONLY on the socket (servers never write them to binlog
+    // files) — decoded into the established op = "H" envelope rows
+    // and consumed by the SAME heartbeats=true pass gate as
+    // stream_cdc_heartbeat: position advances through every pulse,
+    // state stays the plain collapse over the real events. The query
+    // asserts the pulses actually ARRIVED (a decode that silently
+    // dropped them would still pass the state oracle), then
+    // hash-matches the same latestStateSql.
+    "cdc_binlog_socket_heartbeat" -> ((s, dir) => {
+      val log = Tables.cdcLog(s, dir)
+      val cols: Seq[(String, org.apache.spark.sql.types.DataType)] = Seq(
+        "okey" -> org.apache.spark.sql.types.LongType,
+        "price" -> DoubleType, "status" -> StringType)
+      val tmp = tmpDir()
+      graft.sources.BinlogSocket.renderPacketStream(log, cols,
+        s"$tmp/cap", files = 4, heartbeatEvery = 2)
+      val env = graft.sources.BinlogSocket.parse(s, s"$tmp/cap", cols,
+        heartbeats = true)
+      val pulses = env.where(col("op") === "H").count()
+      require(pulses > 0,
+        "the capture's keep-alives never reached the envelope — the " +
+          "heartbeat surface is broken")
+      val in = s"$tmp/in"
+      writeWave(env, in, 0)
+      runCdcPass(s, env.schema, in, s"$tmp/ckpt", s"$tmp/state",
+        heartbeats = true)
+      readLatestState(s, s"$tmp/state")
+    }),
+
     // S-BINLOG-WIRE-PK: the collapse key read from the DUMP ITSELF —
     // a binlog_row_metadata=FULL TABLE_MAP carries SIMPLE_PRIMARY_KEY
     // (TLV 8: packed column indices) + COLUMN_NAME, so the pass's
@@ -6605,6 +6635,7 @@ object StreamingOps {
     // non-verbose dump's base64 statements).
     "cdc_binlog_binary" -> latestStateSql,
     "cdc_binlog_socket" -> latestStateSql,
+    "cdc_binlog_socket_heartbeat" -> latestStateSql,
     "cdc_binlog_binary_wire_pk" -> latestStateSql,
     "cdc_binlog_binary_rows_query" -> latestStateSql,
     "cdc_binlog_base64" -> latestStateSql,

@@ -231,6 +231,30 @@ class BinlogSocketSpec extends SparkTestBase {
       BinlogSocket.packetizeDumpFile(Array[Byte](1, 2, 3, 4, 5), "x") }
   }
 
+  test("HEARTBEAT (type 27) keep-alives: surfaced as op = 'H' " +
+      "position-only rows when opted in, invisible otherwise") {
+    val env = envDf(Seq(
+      ("I", 10L, 800000000L, 1L, 1.5, "a"),
+      ("I", 20L, 800000001L, 2L, 2.5, "b"),
+      ("I", 30L, 800000002L, 3L, 3.5, "c")))
+    val dir = tmp()
+    BinlogSocket.renderPacketStream(env, cols, s"$dir/cap", files = 1,
+      heartbeatEvery = 2)
+    // opted in: pulses ride as op = "H", payload NULL, seq = the
+    // caught-up-through position
+    val got = BinlogSocket.parse(spark, s"$dir/cap", cols,
+      heartbeats = true).orderBy(col("seq"), col("op")).collect()
+    val hs = got.filter(_.getString(0) == "H")
+    assert(hs.nonEmpty && hs.forall(r => r.isNullAt(3) && r.isNullAt(4)))
+    assert(got.count(_.getString(0) == "I") == 3)
+    // the trailing idle pulse sits past the last row's position
+    assert(hs.map(_.getLong(1)).max > 30L)
+    // NOT opted in: the same capture serves only the real events —
+    // the pre-round-20 posture, heartbeats skip silently
+    val plain = BinlogSocket.parse(spark, s"$dir/cap", cols).collect()
+    assert(plain.length == 3 && plain.forall(_.getString(0) != "H"))
+  }
+
   test("a mid-stream ERR packet refuses quoting the server's own " +
       "error text — through the full parse path") {
     val env = envDf(Seq(("I", 1L, 800000000L, 1L, 1.5, "a")))
