@@ -255,6 +255,66 @@ class BinlogSocketSpec extends SparkTestBase {
     assert(plain.length == 3 && plain.forall(_.getString(0) != "H"))
   }
 
+  test("packet framing round-trip property: payload sizes across the " +
+      "16 MiB continuation boundary reassemble byte-identically with " +
+      "continuous sequence ids") {
+    val rnd = new java.util.Random(42)
+    val fde = BinlogBinary.fdeEvent()
+    // sizes hugging the boundary (the exact-0xffffff case needs the
+    // empty trailing continuation) plus a random small sample
+    val sizes = Seq(0xffffff - 2, 0xffffff - 1, 0xffffff, 0xffffff + 1,
+      0xffffff + 2) ++ (1 to 10).map(_ => 1 + rnd.nextInt(5000))
+    sizes.foreach { sz =>
+      // payload = OK byte + (sz - 1) event bytes
+      val ev = new Array[Byte](sz - 1)
+      rnd.nextBytes(ev)
+      if (ev.length > 4) ev(4) = 35 // not a ROTATE type byte
+      val out = new java.io.ByteArrayOutputStream()
+      var seq = 1
+      seq = BinlogSocket.writePacket(out, Array[Byte](0x00) ++ fde, seq)
+      seq = BinlogSocket.writePacket(out, Array[Byte](0x00) ++ ev, seq)
+      BinlogSocket.writePacket(out,
+        Array[Byte](0xfe.toByte, 0, 0, 2, 0), seq)
+      val back = BinlogSocket.depacketize(out.toByteArray, s"prop$sz")
+      assert(java.util.Arrays.equals(back, fde ++ ev),
+        s"size $sz did not round-trip")
+    }
+  }
+
+  test("parseTxn over captures: stamps and markers through the shared " +
+      "boundary core, ONE capture relation in the plan, the " +
+      "uncommitted tail marker-less") {
+    val uuid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    val t0 = java.time.LocalDateTime.ofEpochSecond(
+      800000000L, 0, java.time.ZoneOffset.UTC)
+    // raw file with GTID stamps + one committed txn + one open tail,
+    // bridged into a capture
+    val dir = tmp()
+    BinlogBinary.writeEvents(s"$dir/raw", "bin.000001", Seq(
+      BinlogBinary.gtidEvent(10L, 800000000L, uuid, 1L),
+      BinlogBinary.tableMapEvent("t", cols),
+      BinlogBinary.rowsEvent(Row("I", 11L, t0, 1L, 1.5, "a"), cols),
+      BinlogBinary.xidEvent(19L, 800000000L, 7L),
+      BinlogBinary.gtidEvent(20L, 800000060L, uuid, 2L),
+      BinlogBinary.rowsEvent(Row("I", 21L, t0, 3L, 3.5, "c"), cols)))
+    val f = new java.io.File(s"$dir/raw").listFiles().head
+    write(s"$dir/cap", "sock.000001.cap",
+      BinlogSocket.packetizeDumpFile(
+        java.nio.file.Files.readAllBytes(f.toPath), f.getName))
+    val txn = BinlogSocket.parseTxn(spark, s"$dir/cap", cols)
+    // rows + markers ride ONE distributed capture decode
+    val leaves = txn.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.size == 1,
+      s"expected ONE capture relation, got " +
+        leaves.map(_.getClass.getSimpleName))
+    val got = txn.orderBy(col("seq")).collect().map(r =>
+      (r.getString(0), r.getLong(1),
+        r.getString(r.fieldIndex("txn")))).toSeq
+    assert(got == Seq(
+      ("I", 11L, s"$uuid:1"), ("C", 19L, s"$uuid:1"),
+      ("I", 21L, s"$uuid:2")), s"got: $got")
+  }
+
   test("a mid-stream ERR packet refuses quoting the server's own " +
       "error text — through the full parse path") {
     val env = envDf(Seq(("I", 1L, 800000000L, 1L, 1.5, "a")))
