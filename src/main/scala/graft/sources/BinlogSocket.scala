@@ -62,7 +62,7 @@ object BinlogSocket {
     * drop. Returns the bare concatenated EVENT bytes (no magic) —
     * exactly what [[BinlogBinary.decodeEventStream]] consumes. */
   private[graft] def depacketize(bytes: Array[Byte],
-      path: String): Array[Byte] = {
+      path: String, semiSync: Boolean = false): Array[Byte] = {
     var o = 0
     var expectSeq = -1
     var ended = false
@@ -105,7 +105,32 @@ object BinlogSocket {
           require(payload.length > 1,
             s"$path: OK packet with no event bytes at offset $o — " +
               "corrupt")
-          events += java.util.Arrays.copyOfRange(payload, 1,
+          // SEMI-SYNC framing (rpl_semi_sync, declared by the caller
+          // — the mode is negotiated per connection, so a capture has
+          // it on every event or on none): two extra bytes ride
+          // between the OK byte and the event — the 0xef semi-sync
+          // magic and the ack-request flag (0/1). The magic is
+          // VERIFIED (a capture declared semi-sync whose events lack
+          // it is the wrong declaration); the flag is transport
+          // bookkeeping the decoder does not need.
+          val evStart =
+            if (!semiSync) 1
+            else {
+              require(payload.length > 3,
+                s"$path: semi-sync packet at offset $o too short " +
+                  "for the 0xef prefix + event bytes — corrupt")
+              require((payload(1) & 0xff) == 0xef,
+                s"$path: packet at offset $o declared semi-sync but " +
+                  "carries 0x" + f"${payload(1) & 0xff}%02x" +
+                  " where the 0xef magic belongs — the capture is " +
+                  "NOT a semi-sync stream; drop semiSync (or the " +
+                  "capture is corrupt)")
+              require(payload(2) == 0 || payload(2) == 1,
+                s"$path: semi-sync ack flag ${payload(2)} at offset " +
+                  s"$o is neither 0 nor 1 — corrupt")
+              3
+            }
+          events += java.util.Arrays.copyOfRange(payload, evStart,
             payload.length)
         case 0xfe if payload.length < 9 => // EOF: clean dump end
           ended = true
@@ -171,7 +196,11 @@ object BinlogSocket {
         * feed) — heartbeats exist ONLY on the socket, which makes
         * this transport their natural source; skipped (the file
         * transports' posture) unless opted in. */
-      heartbeats: Boolean = false)
+      heartbeats: Boolean = false,
+      /** The capture came from a `rpl_semi_sync`-enabled master:
+        * every event payload carries the 2-byte `0xef` + ack-flag
+        * prefix, stripped (and magic-verified) at the frame layer. */
+      semiSync: Boolean = false)
       : DataFrame = {
     BinlogBinary.validateCols(cols, hints)
     val (schema, _) = BinlogText.singleEnvelope(cols, Nil, changedCol,
@@ -180,12 +209,13 @@ object BinlogSocket {
     val changedB = changedCol
     val hintsB = hints
     val hbB = heartbeats
+    val ssB = semiSync
     spark.read.format("binaryFile").load(dir)
       .select(col("content"), col("path"))
       .flatMap { r =>
         val path = r.getString(1)
         BinlogBinary.decodeEventStream(
-          depacketize(r.getAs[Array[Byte]](0), path), path, colsB,
+          depacketize(r.getAs[Array[Byte]](0), path, ssB), path, colsB,
           changedCol = changedB, hints = hintsB, heartbeats = hbB)
       }(RowEncoder.encoderFor(schema))
       .toDF()
@@ -349,10 +379,14 @@ object BinlogSocket {
     seq
   }
 
-  /** One event as an OK-prefixed packet sequence. */
+  /** One event as an OK-prefixed packet sequence; `semiSync` adds
+    * the 0xef + ack-flag prefix a semi-sync master sends. */
   private def writeEventPacket(out: java.io.ByteArrayOutputStream,
-      event: Array[Byte], seq: Int): Int =
-    writePacket(out, Array[Byte](0x00) ++ event, seq)
+      event: Array[Byte], seq: Int,
+      semiSync: Boolean = false): Int =
+    writePacket(out,
+      (if (semiSync) Array[Byte](0x00, 0xef.toByte, 1)
+       else Array[Byte](0x00)) ++ event, seq)
 
   private def eofPacket(out: java.io.ByteArrayOutputStream,
       seq: Int): Int =
@@ -417,7 +451,10 @@ object BinlogSocket {
       /** Interleave a type-27 keep-alive after every `n`-th row
         * packet (plus one trailing pulse before EOF) — the idle-
         * master shape only sockets carry. 0 = none. */
-      heartbeatEvery: Int = 0): Unit = {
+      heartbeatEvery: Int = 0,
+      /** Frame every event with the semi-sync 0xef + ack-flag
+        * prefix (`rpl_semi_sync_master_enabled` captures). */
+      semiSync: Boolean = false): Unit = {
     BinlogBinary.validateCols(cols, hints)
     require(files >= 1, "at least one capture file")
     val dirPath = java.nio.file.Paths.get(outDir)
@@ -434,6 +471,7 @@ object BinlogSocket {
     val prefixB = prefix
     val hintsB = hints
     val hbEveryB = heartbeatEvery
+    val ssB = semiSync
     val ordered = df.select(
       (Seq(col("op"), col("seq"),
         col("ts").cast(TimestampNTZType).as("ts")) ++
@@ -444,24 +482,25 @@ object BinlogSocket {
         val out = new java.io.ByteArrayOutputStream()
         var seq = 1 // the server's first dump packet id
         seq = writeEventPacket(out,
-          artificialRotate(f"$prefixB.$pid%06d"), seq)
-        seq = writeEventPacket(out, BinlogBinary.fdeEvent(), seq)
+          artificialRotate(f"$prefixB.$pid%06d"), seq, ssB)
+        seq = writeEventPacket(out, BinlogBinary.fdeEvent(), seq, ssB)
         seq = writeEventPacket(out,
-          BinlogBinary.tableMapEvent(tableB, colsB, hints = hintsB), seq)
+          BinlogBinary.tableMapEvent(tableB, colsB, hints = hintsB),
+          seq, ssB)
         var rowCount = 0
         var lastPos = 4L
         it.foreach { r =>
           seq = writeEventPacket(out,
-            BinlogBinary.rowsEvent(r, colsB, hints = hintsB), seq)
+            BinlogBinary.rowsEvent(r, colsB, hints = hintsB), seq, ssB)
           rowCount += 1
           lastPos = math.max(lastPos, r.getLong(1))
           if (hbEveryB > 0 && rowCount % hbEveryB == 0)
             seq = writeEventPacket(out, BinlogBinary.heartbeatEvent(
-              lastPos, 800000000L, f"$prefixB.$pid%06d"), seq)
+              lastPos, 800000000L, f"$prefixB.$pid%06d"), seq, ssB)
         }
         if (hbEveryB > 0) // the idle-tail pulse
           seq = writeEventPacket(out, BinlogBinary.heartbeatEvent(
-            lastPos + 1, 800000000L, f"$prefixB.$pid%06d"), seq)
+            lastPos + 1, 800000000L, f"$prefixB.$pid%06d"), seq, ssB)
         eofPacket(out, seq)
         java.nio.file.Files.write(
           java.nio.file.Paths.get(outDir, f"$prefixB.$pid%06d.cap"),

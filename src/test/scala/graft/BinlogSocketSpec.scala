@@ -315,6 +315,38 @@ class BinlogSocketSpec extends SparkTestBase {
       ("I", 21L, s"$uuid:2")), s"got: $got")
   }
 
+  test("semi-sync framing: the 0xef + ack-flag prefix strips under " +
+      "the declared mode; declaration mismatches refuse by name in " +
+      "both directions") {
+    val env = envDf(Seq(
+      ("I", 1L, 800000000L, 1L, 1.5, "a"),
+      ("U", 2L, 800000001L, 1L, 2.5, "b")))
+    val dir = tmp()
+    BinlogSocket.renderPacketStream(env, cols, s"$dir/cap", files = 1,
+      semiSync = true)
+    // declared semi-sync: decodes to the same envelope
+    val got = BinlogSocket.parse(spark, s"$dir/cap", cols,
+      semiSync = true).collect().map(_.toSeq).toSet
+    assert(got == env.collect().map(_.toSeq).toSet)
+    // the prefix really rides the wire: a plain read refuses (the
+    // 0xef byte corrupts the event header — surfaced at the decoder)
+    val ePlain = intercept[Throwable] {
+      BinlogSocket.parse(spark, s"$dir/cap", cols).collect() }
+    assert(Iterator.iterate(ePlain)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      .nonEmpty)
+    // declaring semi-sync against a PLAIN capture refuses naming the
+    // missing magic
+    val dir2 = tmp()
+    BinlogSocket.renderPacketStream(env, cols, s"$dir2/cap", files = 1)
+    val eSs = intercept[Throwable] {
+      BinlogSocket.parse(spark, s"$dir2/cap", cols,
+        semiSync = true).collect() }
+    val m = Iterator.iterate(eSs)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(m.contains("0xef magic"), s"got: $m")
+  }
+
   test("a mid-stream ERR packet refuses quoting the server's own " +
       "error text — through the full parse path") {
     val env = envDf(Seq(("I", 1L, 800000000L, 1L, 1.5, "a")))
