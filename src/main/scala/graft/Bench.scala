@@ -164,10 +164,18 @@ object Bench {
       graft.streaming.StreamingOps.runCdcPass(spark, log.schema,
         s"$rtmp/in", s"$rtmp/ckpt", s"$rtmp/state")
       graft.streaming.StreamingOps.compactState(spark, s"$rtmp/state")
+      // MIN-OF-3 like the calibration probe and the index probes: these
+      // reads are pure (no index append), and a single-shot timing at
+      // the post-fork-fix magnitudes (~0.1-0.3 s) is mostly first-read
+      // noise — the flatness RATIO gate needs the probe's floor, not
+      // its first-touch cost (measurement fix, noted in
+      // OPTIMIZATION_r21.md).
       def t1(name: String)(body: => Unit): (String, Double) = {
-        val t0 = System.nanoTime()
-        body
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          body
+          (System.nanoTime() - t0) / 1e9
+        }.min
       }
       Seq(
         t1("latest") {
@@ -211,10 +219,18 @@ object Bench {
       graft.streaming.StreamingOps.runCdcPass(spark, log.schema,
         s"$rtmp/in", s"$rtmp/ckpt", s"$rtmp/state")
       graft.streaming.StreamingOps.compactState(spark, s"$rtmp/state")
+      // MIN-OF-3 like the calibration probe and the index probes: these
+      // reads are pure (no index append), and a single-shot timing at
+      // the post-fork-fix magnitudes (~0.1-0.3 s) is mostly first-read
+      // noise — the flatness RATIO gate needs the probe's floor, not
+      // its first-touch cost (measurement fix, noted in
+      // OPTIMIZATION_r21.md).
       def t1(name: String)(body: => Unit): (String, Double) = {
-        val t0 = System.nanoTime()
-        body
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          body
+          (System.nanoTime() - t0) / 1e9
+        }.min
       }
       Seq(
         t1("latest") {

@@ -1337,6 +1337,22 @@ object BinlogBinary {
         b.write(2); packed(b, cs.size.toLong); b.write(cs.toByteArray)
       }
     }
+    // the value-list bytes (ENUM and SET alike — the decoder applies
+    // the declared list charset to BOTH) ride in the table's ENUM/SET
+    // charset: utf8mb4 unless the fixture declares otherwise (then
+    // field 10 names the collation, the self-description the decoder
+    // reads). One charset for both families — writing SET members
+    // UTF-8 while field 10 declared another collation decoded SET
+    // text through the wrong charset (round-20 ADVICE, medium).
+    val listJavaCs = enumSetCharset match {
+      case None => "UTF-8"
+      case Some(id) => MySqlCharsets.javaName(id) match {
+        case Some(Some(cs)) => cs
+        case _ => throw new IllegalArgumentException(
+          s"enumSetCharset $id is unknown or binary — ENUM/SET members " +
+            "are text; use a text collation id")
+      }
+    }
     // SET_STR_VALUE (field 5): per SET column in order — the member
     // list that makes a StringType declaration decodable with no hint
     val setCols = cols.collect {
@@ -1349,7 +1365,11 @@ object BinlogBinary {
       setCols.foreach { vs =>
         packed(sv, vs.length.toLong)
         vs.foreach { v =>
-          val vb = v.getBytes("UTF-8")
+          val vb = v.getBytes(listJavaCs)
+          require(new String(vb, listJavaCs) == v,
+            s"SET member '$v' does not survive charset " +
+              s"$listJavaCs — the declared enumSetCharset cannot " +
+              "carry it; refuse instead of storing mojibake")
           packed(sv, vb.length.toLong); sv.write(vb)
         }
       }
@@ -1360,18 +1380,6 @@ object BinlogBinary {
         hints(n).asInstanceOf[WireHint.Enum].values
     }
     if (enumCols.nonEmpty) {
-      // the value-list bytes ride in the table's ENUM/SET charset —
-      // utf8mb4 unless the fixture declares otherwise (then field 10
-      // names the collation, the self-description the decoder reads)
-      val listJavaCs = enumSetCharset match {
-        case None => "UTF-8"
-        case Some(id) => MySqlCharsets.javaName(id) match {
-          case Some(Some(cs)) => cs
-          case _ => throw new IllegalArgumentException(
-            s"enumSetCharset $id is unknown or binary — ENUM members " +
-              "are text; use a text collation id")
-        }
-      }
       val ev = new java.io.ByteArrayOutputStream()
       enumCols.foreach { vs =>
         packed(ev, vs.length.toLong)
@@ -1385,6 +1393,12 @@ object BinlogBinary {
         }
       }
       b.write(6); packed(b, ev.size.toLong); b.write(ev.toByteArray)
+    }
+    // ENUM_AND_SET_DEFAULT_CHARSET (field 10): emitted whenever the
+    // fixture declares a list charset and ANY enum/set column exists —
+    // a SET-only table's declared charset was silently dropped before
+    // (round-20 ADVICE, medium)
+    if (enumCols.nonEmpty || setCols.nonEmpty) {
       enumSetCharset.foreach { id =>
         val cs = new java.io.ByteArrayOutputStream()
         packed(cs, id.toLong)
@@ -1891,14 +1905,6 @@ object BinlogBinary {
       if (overrides.contains(i)) b.write(overrides(i))
       else if (!r.isNullAt(i + 3)) (t, hints.get(n)) match {
         case (LongType, Some(SetBits(m))) =>
-          val v = r.getLong(i + 3)
-          require(v >= 0 && (m == 64 || v < (1L << m)),
-            s"SET mask $v for '$n' overflows its $m members")
-          var x = v
-          (0 until (m + 7) / 8).foreach { _ =>
-            b.write((x & 0xff).toInt); x >>= 8 }
-        case (LongType, Some(SetNamed(vs))) =>
-          val m = vs.size
           val v = r.getLong(i + 3)
           require(v >= 0 && (m == 64 || v < (1L << m)),
             s"SET mask $v for '$n' overflows its $m members")
@@ -3122,7 +3128,7 @@ object BinlogBinary {
       .select(col("content"), col("path"))
       .flatMap { r =>
         extractTableMapPk(r.getAs[Array[Byte]](0), r.getString(1))
-          .map { case (t, pk) => (t, pk.mkString(" ")) }
+          .map { case (t, pk) => (t, pk.mkString("\u0000")) }
       }(Encoders.tuple(Encoders.STRING, Encoders.STRING))
       .collect().toSeq.distinct
     require(maps.nonEmpty,
@@ -3133,12 +3139,12 @@ object BinlogBinary {
     require(maps.length == 1,
       s"dump at $dir declares conflicting primary keys: " +
         maps.map { case (t, pk) =>
-          s"'$t' -> (${pk.split(' ').mkString(", ")})"
+          s"'$t' -> (${pk.split('\u0000').mkString(", ")})"
         }.mkString("; ") +
         " — a PK redefinition (or a multi-table dump) inside this " +
         "window makes the collapse identity ambiguous; split the " +
         "window at the DDL (or use the multi-table surface)")
-    maps.head._2.split(' ').toSeq
+    maps.head._2.split('\u0000').toSeq
   }
 
   /** Validate a pass's declared `keyCols` against the dump's OWN

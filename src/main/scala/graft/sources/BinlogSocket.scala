@@ -230,17 +230,23 @@ object BinlogSocket {
   def parseMulti(spark: SparkSession, dir: String,
       colsByTable: Map[String, Seq[(String, DataType)]],
       tableCol: String = "table",
-      ignoreTables: Set[String] = Set.empty): DataFrame = {
+      ignoreTables: Set[String] = Set.empty,
+      /** See [[parse]] — the semi-sync 2-byte prefix is a property of
+        * the CONNECTION, so every socket entry point must accept the
+        * declaration (round-20 ADVICE: a semi-sync capture through
+        * this path failed with the misleading non-FDE refusal). */
+      semiSync: Boolean = false): DataFrame = {
     val (schema, _) = BinlogText.multiEnvelope(
       colsByTable, tableCol, ignoreTables, None, textTypes = false)
     val colsB = colsByTable
     val ignoreB = ignoreTables
+    val ssB = semiSync
     spark.read.format("binaryFile").load(dir)
       .select(col("content"), col("path"))
       .flatMap { r =>
         val path = r.getString(1)
         BinlogBinary.decodeMultiEventStream(
-          depacketize(r.getAs[Array[Byte]](0), path), path, schema,
+          depacketize(r.getAs[Array[Byte]](0), path, ssB), path, schema,
           colsB, ignoreB)
       }(RowEncoder.encoderFor(schema))
       .toDF()
@@ -255,7 +261,11 @@ object BinlogSocket {
     * distributed decode for rows + markers. */
   def parseTxn(spark: SparkSession, dir: String,
       cols: Seq[(String, DataType)],
-      txnCol: String = "txn"): DataFrame = {
+      txnCol: String = "txn",
+      /** See [[parseMulti]]'s note — connection property, every entry
+        * point accepts it. */
+      semiSync: Boolean = false): DataFrame = {
+    val ssB = semiSync
     require(!cols.exists(_._1 == txnCol) &&
       !Seq("op", "seq", "ts").contains(txnCol),
       s"txn column '$txnCol' collides with an envelope column")
@@ -265,7 +275,7 @@ object BinlogSocket {
       .flatMap { r =>
         val path = r.getString(1)
         BinlogBinary.extractGtidsFromEvents(
-          depacketize(r.getAs[Array[Byte]](0), path), path)
+          depacketize(r.getAs[Array[Byte]](0), path, ssB), path)
       }(Encoders.tuple(Encoders.scalaLong, Encoders.STRING,
         Encoders.scalaLong))
       .collect().toSeq.sortBy(_._1)
@@ -281,7 +291,7 @@ object BinlogSocket {
       .flatMap { r =>
         val path = r.getString(1)
         BinlogBinary.decodeEventStream(
-          depacketize(r.getAs[Array[Byte]](0), path), path, colsB,
+          depacketize(r.getAs[Array[Byte]](0), path, ssB), path, colsB,
           emitMarkers = true)
       }(RowEncoder.encoderFor(schema))
       .toDF()
@@ -330,7 +340,10 @@ object BinlogSocket {
   private[sources] def streamDecode(spark: SparkSession, dir: String,
       cols: Seq[(String, DataType)],
       changedCol: Option[String] = None,
-      hints: Map[String, BinlogBinary.WireHint] = Map.empty)
+      hints: Map[String, BinlogBinary.WireHint] = Map.empty,
+      /** See [[parseMulti]]'s note — connection property, every entry
+        * point accepts it. */
+      semiSync: Boolean = false)
       : DataFrame = {
     BinlogBinary.validateCols(cols, hints)
     val (schema, _) = BinlogText.singleEnvelope(cols, Nil, changedCol,
@@ -338,6 +351,7 @@ object BinlogSocket {
     val colsB = cols
     val changedB = changedCol
     val hintsB = hints
+    val ssB = semiSync
     spark.readStream.format("binaryFile")
       .schema(StructType(Seq(
         StructField("path", StringType, nullable = false),
@@ -351,7 +365,7 @@ object BinlogSocket {
       .flatMap { r =>
         val path = r.getString(1)
         BinlogBinary.decodeEventStream(
-          depacketize(r.getAs[Array[Byte]](0), path), path, colsB,
+          depacketize(r.getAs[Array[Byte]](0), path, ssB), path, colsB,
           changedCol = changedB, hints = hintsB)
       }(RowEncoder.encoderFor(schema))
       .toDF()

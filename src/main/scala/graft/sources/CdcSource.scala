@@ -128,13 +128,18 @@ final case class BinlogSocketCdcSource(dir: String,
     /** MINIMAL surface — see [[BinlogBinaryCdcSource.changedCol]]. */
     changedCol: Option[String] = None,
     /** Per-column wire hints — see [[BinlogBinaryCdcSource.hints]]. */
-    hints: Map[String, BinlogBinary.WireHint] = Map.empty)
+    hints: Map[String, BinlogBinary.WireHint] = Map.empty,
+    /** The captures come from a `rpl_semi_sync` connection — see
+      * [[BinlogSocket.parse]]; a connection property, so every socket
+      * entry point accepts the declaration (round-20 ADVICE). */
+    semiSync: Boolean = false)
     extends CdcSource {
   override def schema: StructType =
     BinlogText.singleEnvelope(cols, Nil, changedCol,
       textTypes = false)._1
   override def open(spark: SparkSession): DataFrame =
-    BinlogSocket.streamDecode(spark, dir, cols, changedCol, hints)
+    BinlogSocket.streamDecode(spark, dir, cols, changedCol, hints,
+      semiSync)
 }
 
 /** [[BinlogBinaryCdcSource]] for a MULTI-TABLE raw dump: one tailed

@@ -235,18 +235,40 @@ private[graft] object StateFs {
   }
 
   /** Atomically publish a small control file: write `<path>.tmp`, then
-    * `FileContext.rename(OVERWRITE)` it over the destination. */
+    * rename it over the destination — `Files.move(ATOMIC_MOVE)` on the
+    * local scheme (the POSIX rename(2), atomic-overwrite by definition,
+    * and fork-free: the FileContext route's `AbstractFileSystem.rename`
+    * probes the source's link status, which without a native Hadoop
+    * library shells out a `readlink` per call — a measured per-trigger
+    * fixed cost, see OPTIMIZATION_r21.md), `FileContext.rename(OVERWRITE)`
+    * everywhere else (atomic on HDFS; the object-store caveat in the
+    * header stands unchanged). */
   def writeAtomic(path: String, content: String): Unit = {
     val dst = new Path(path)
     val tmp = new Path(path + ".tmp")
     val f = fs(dst)
-    val out = f.create(tmp, true)
-    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    // resolve the FileContext through the FileSystem's URI (a schemeless
-    // local path has no URI authority of its own)
-    FileContext.getFileContext(f.getUri, conf(dst))
-      .rename(tmp, dst, Options.Rename.OVERWRITE)
+    val local = "file".equals(f.getUri.getScheme)
+    if (local) {
+      val dstNio = java.nio.file.Paths.get(dst.toUri.getPath)
+      val tmpNio = java.nio.file.Paths.get(tmp.toUri.getPath)
+      Option(dstNio.getParent)
+        .foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(tmpNio,
+        content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmpNio, dstNio,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    } else {
+      val out = f.create(tmp, true)
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      // resolve the FileContext through the FileSystem's URI (a schemeless
+      // local path has no URI authority of its own)
+      FileContext.getFileContext(f.getUri, conf(dst))
+        .rename(tmp, dst, Options.Rename.OVERWRITE)
+      ()
+    }
     // invalidate AFTER the file is visible (see gateGen): bumping first
     // would let a racing reader probe clean post-bump, pre-file, and
     // cache the stale verdict with no later invalidation to evict it

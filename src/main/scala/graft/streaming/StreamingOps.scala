@@ -1024,7 +1024,27 @@ object StreamingOps {
     // would cross the not-yet-stamped threshold and get re-stamped by the
     // next call, silently re-interleaving arrival order
     require(wave >= 0 && wave < 1440, s"wave index $wave out of stamp range")
-    df.coalesce(1).write.mode("append").parquet(in)
+    // repartition(1, <constant key>), NOT coalesce(1): coalesce fuses
+    // upstream into the single write task, serializing the whole
+    // producing pipeline (the distributed binlog decodes ran
+    // one-file-at-a-time through here — measured seconds per transport
+    // query at the bench). The shuffle moves only the wave's rows; the
+    // sort pins a deterministic row order inside the file, which
+    // coalesce got for free from task order (shuffle fetch order is not
+    // deterministic). Keyed (constant) partitioning, not round-robin
+    // repartition(1): the keyless form pays sortBeforeRepartition's
+    // full-row byte sort on the map side — measured +2-3 s on the
+    // payload-heavy envelopes (base64 text, partial JSON diffs) — while
+    // a constant key routes rows deterministically with no input sort.
+    // Non-orderable columns (maps) sit out of the explicit sort — every
+    // envelope here is uniquely ordered by its orderable (key, seq)
+    // columns already.
+    val orderCols = df.schema.fields.toSeq
+      .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(f.dataType))
+      .map(f => col(f.name))
+    df.repartition(1, lit(0)).sortWithinPartitions(orderCols: _*)
+      .write.mode("append").parquet(in)
     new java.io.File(in).listFiles()
       .filter(f => f.getName.endsWith(".parquet") &&
         f.lastModified() > WaveBase + 86400000L) // only files not yet stamped

@@ -725,6 +725,57 @@ class BinlogBinarySpec extends SparkTestBase {
       .mkString(" | ").contains("unknown or binary"))
   }
 
+  test("SET value-list charset (TLV 5 + 10, round-20 ADVICE): a " +
+      "SET-ONLY table's declared enumSetCharset is emitted and the " +
+      "member bytes ride that charset — not UTF-8 — so the hint-less " +
+      "decode transcodes them back intact") {
+    // render side declares the bitmask column (SetNamed hint); the
+    // parse side declares StringType with NO hint — the wire's own
+    // member list + charset drive the decode (the set_names posture)
+    val colsS: Seq[(String, DataType)] = Seq(
+      "okey" -> LongType, "price" -> DoubleType, "flags" -> LongType)
+    val colsParse: Seq[(String, DataType)] = Seq(
+      "okey" -> LongType, "price" -> DoubleType, "flags" -> StringType)
+    val members = Seq("doré", "argenté")
+    val schema = StructType(Seq(
+      StructField("op", StringType), StructField("seq", LongType),
+      StructField("tsSec", LongType), StructField("okey", LongType),
+      StructField("price", DoubleType), StructField("flags", LongType)))
+    val env = spark.createDataFrame(java.util.Arrays.asList(
+      Row("I", 1L, 800000000L, 1L, 1.5, 1L), // {doré}
+      Row("I", 2L, 800000001L, 2L, 2.5, 3L)), schema) // {doré,argenté}
+      .withColumn("ts", timestamp_seconds(col("tsSec"))
+        .cast(TimestampNTZType))
+      .select("op", "seq", "ts", "okey", "price", "flags")
+    val dir = tmp()
+    BinlogBinary.render(env, colsS, s"$dir/b", files = 1,
+      hints = Map("flags" -> BinlogBinary.WireHint.SetNamed(members)),
+      enumSetCharset = Some(8)) // latin1_swedish_ci
+    // the wire carries LATIN1 member bytes and the field-10 id — a
+    // SET-only table used to write UTF-8 members and silently drop
+    // the charset declaration (mojibake on decode)
+    val raw = java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$dir/b").listFiles().head.toPath)
+    val latin1Dore = "doré".getBytes("ISO-8859-1")
+    assert(raw.sliding(latin1Dore.length).exists(
+      _.sameElements(latin1Dore)))
+    assert(!raw.sliding(4).exists(
+      _.sameElements("doré".getBytes("UTF-8").take(4))))
+    val back = BinlogBinary.parse(spark, s"$dir/b", colsParse)
+      .orderBy(col("seq")).collect()
+    assert(back.map(_.getString(5)).toSeq ==
+      Seq("doré", "doré,argenté"))
+    // a member the declared charset cannot carry refuses by name on
+    // the SET side exactly like the ENUM side
+    val e1 = intercept[Exception] {
+      BinlogBinary.render(env, colsS, s"${tmp()}/b", files = 1,
+        hints = Map("flags" -> BinlogBinary.WireHint.SetNamed(
+          Seq("ok", "volt⚡"))), enumSetCharset = Some(8)) }
+    assert(Iterator.iterate[Throwable](e1)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+      .mkString(" | ").contains("does not survive charset"))
+  }
+
   test("MariaDB compressed row events (166-168): per-event zlib " +
       "blocks inflate and decode like clear events; corrupt frames, " +
       "short inflates, and unknown algorithms refuse by name") {
