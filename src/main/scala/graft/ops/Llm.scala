@@ -1087,7 +1087,8 @@ object Llm {
         arriving.filter(col("doc_id") % 2 === 0), s"$tmp/in", 0)
       graft.streaming.StreamingOps.writeWave(
         arriving.filter(col("doc_id") % 2 =!= 0), s"$tmp/in", 1)
-      val query = s.readStream.schema(arriving.schema)
+      val query = graft.streaming.StreamingOps.withNoIdleBatch(s) {
+        s.readStream.schema(arriving.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
         .writeStream.option("checkpointLocation", s"$tmp/ckpt")
         .foreachBatch { (batch: Dataset[Row], id: Long) =>
@@ -1099,6 +1100,7 @@ object Llm {
           if (id == 0) dedupIndexCompact(s, idx)
         }
         .start()
+      }
       query.processAllAvailable()
       query.stop()
       s.read.parquet(s"$tmp/out").orderBy(col("a_id"), col("b_id"))
@@ -1552,7 +1554,8 @@ object Llm {
         arriving.filter(col("vec_id") % 20 === 0), s"$tmp/in", 0)
       graft.streaming.StreamingOps.writeWave(
         arriving.filter(col("vec_id") % 20 =!= 0), s"$tmp/in", 1)
-      val query = s.readStream.schema(arriving.schema)
+      val query = graft.streaming.StreamingOps.withNoIdleBatch(s) {
+        s.readStream.schema(arriving.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
         .writeStream.option("checkpointLocation", s"$tmp/ckpt")
         .foreachBatch { (batch: Dataset[Row], _: Long) =>
@@ -1560,6 +1563,7 @@ object Llm {
             .write.mode("append").parquet(s"$tmp/out"); ()
         }
         .start()
+      }
       query.processAllAvailable()
       query.stop()
       s.read.parquet(s"$tmp/out").orderBy(col("q_id"), col("rk"))

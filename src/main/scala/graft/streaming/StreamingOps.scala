@@ -1199,15 +1199,30 @@ object StreamingOps {
         (f(0), f(1))
     }
 
+  /** Every pass here keeps its state in parquet dirs, not the engine's
+    * state store, so the trailing NO-DATA micro-batch Spark runs by
+    * default (to advance watermarks/timers for STATEFUL queries) is a
+    * pure extra trigger: one more full WAL round plus an empty epoch
+    * write, measured ~0.1-0.5 s per pass at the bench, multiplied by
+    * every CDC/MV/LLM streaming scenario. Disabled for these stateless
+    * foreachBatch passes only — the windowed/watermark/stateful queries
+    * (memory-sink path) keep it, their final emission depends on it.
+    * Captured by MicroBatchExecution at start, hence the scoped conf. */
+  private[graft] def withNoIdleBatch[T](s: SparkSession)(body: => T): T =
+    withConfs(s,
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")(body)
+
   private def runSourcePass(s: SparkSession, source: CdcSource, ckpt: String)(
       apply: (Dataset[Row], Long) => Unit): (Long, Long) = {
-    val query = source.open(s)
-      .writeStream
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
-        apply(batch, epochId)
-      }
-      .start()
+    val query = withNoIdleBatch(s) {
+      source.open(s)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
+          apply(batch, epochId)
+        }
+        .start()
+    }
     query.processAllAvailable()
     val rows = query.recentProgress.map(_.numInputRows).sum
     val epochs = query.recentProgress.count(_.numInputRows > 0).toLong
@@ -2586,18 +2601,20 @@ object StreamingOps {
   private[graft] def runIncrementalAggPass(s: SparkSession,
       schema: org.apache.spark.sql.types.StructType,
       in: String, ckpt: String, mv: String): Unit = {
-    val q = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(in)
-      .writeStream
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
-        batch.groupBy(col("event_type"), (col("user_id") % 10).as("user_bucket"))
-          .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).as("tot"),
-            min(col("value")).as("mn"), max(col("value")).as("mx"))
-          .write.mode("overwrite").parquet(s"$mv/epoch=$epochId")
-        ()
-      }
-      .start()
+    val q = withNoIdleBatch(s) {
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
+          batch.groupBy(col("event_type"), (col("user_id") % 10).as("user_bucket"))
+            .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).as("tot"),
+              min(col("value")).as("mn"), max(col("value")).as("mx"))
+            .write.mode("overwrite").parquet(s"$mv/epoch=$epochId")
+          ()
+        }
+        .start()
+    }
     q.processAllAvailable()
     q.stop()
   }
@@ -6451,11 +6468,13 @@ object StreamingOps {
       val ckpt = s"$tmp/ckpt"
       val sink = new EpochParquetSink(s"$tmp/out")
       def runOnce(): Unit = {
-        val q = s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
-          .parquet(in)
-          .writeStream.option("checkpointLocation", ckpt)
-          .foreachBatch((b: Dataset[Row], id: Long) => sink.write(b, id))
-          .start()
+        val q = withNoIdleBatch(s) {
+          s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
+            .parquet(in)
+            .writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch((b: Dataset[Row], id: Long) => sink.write(b, id))
+            .start()
+        }
         q.processAllAvailable()
         q.stop()
       }
