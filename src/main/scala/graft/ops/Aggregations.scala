@@ -142,12 +142,23 @@ object Aggregations {
         .withColumn("prev_price", lag(col("price"), 1).over(w))
         .withColumn("prev_status", lag(col("status"), 1).over(w))
         .withColumn("has_prev", lag(col("op"), 1).over(w).isNotNull)
-      val minus = log.filter(col("op").isin("U", "D") && col("has_prev"))
-        .select(col("okey"), col("prev_price").as("price"),
-          col("prev_status").as("status"), lit(-1L).as("sign"))
-      val plus = log.filter(col("op").isin("I", "U"))
-        .select(col("okey"), col("price"), col("status"), lit(1L).as("sign"))
-      plus.unionByName(minus)
+      // ONE windowed pass, both signs exploded from it (optimization
+      // round 21, guide §2.4): the original union of two filtered
+      // branches evaluated the whole scan + window shuffle + sort
+      // TWICE — Spark does not share a subtree across union arms. Each
+      // event emits its +1 row (I/U) and its −1 row for the image it
+      // displaces (U/D with a predecessor) from the same windowed row;
+      // identical multiset of (okey, price, status, sign), same oracle.
+      log.select(explode(array(
+          when(col("op").isin("I", "U"), struct(
+            col("okey"), col("price"), col("status"),
+            lit(1L).as("sign"))),
+          when(col("op").isin("U", "D") && col("has_prev"), struct(
+            col("okey"), col("prev_price").as("price"),
+            col("prev_status").as("status"),
+            lit(-1L).as("sign"))))).as("se"))
+        .filter(col("se").isNotNull)
+        .select(col("se.*"))
         .groupBy(col("okey"), col("price"), col("status"))
         .agg(sum(col("sign")).as("sign_sum"))
         .filter(col("sign_sum") =!= 0)
