@@ -466,10 +466,31 @@ object Bench {
         System.err.println(s"bench_full.json write failed: ${e.getMessage}")
     }
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$fq,"sf":"$sfDir"}""")
-    // The driver captures a bounded TAIL of stdout; with ~100 queries the
-    // full line's head (the total) can be cut off. A trailing short line
-    // always survives a tail capture, so the total stays machine-parseable.
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${timed.size},"nFailed":${failed.size},"sf":"$sfDir"}""")
+    // The driver captures a bounded TAIL of stdout (~2000 chars); with 231
+    // queries the full line above cannot fit in it, so the driver's
+    // per-query regression/scaling analysis saw an empty map for two
+    // rounds (PERF_r21.json per_query: {}). The trailing short line always
+    // survives the tail capture — since r22 it ALSO carries a compact
+    // `queries` map of the SLOWEST entries, as many as fit a fixed char
+    // budget (~30 of 231), so the driver has per-query data again for
+    // exactly the queries whose movement matters. bench_full.json (above)
+    // remains the canonical full map. Measurement visibility only: the
+    // timed methodology and the full line are unchanged.
+    val slowCompact = {
+      val budget = 1200 // chars of map body; total line stays ≪ the tail
+      val sb = new StringBuilder
+      var n = 0
+      val it = timed.sortBy(-_._2).iterator
+      var full = false
+      while (!full && it.hasNext) {
+        val (k, v) = it.next()
+        val entry = (if (n == 0) "" else ",") + "\"" + k + "\":" + f3(v)
+        if (sb.length + entry.length <= budget) { sb ++= entry; n += 1 }
+        else full = true
+      }
+      "{" + sb.result() + "}"
+    }
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${timed.size},"nFailed":${failed.size},"queries":$slowCompact,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

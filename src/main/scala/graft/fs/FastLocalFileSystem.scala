@@ -43,8 +43,15 @@ class FastRawLocalFileSystem extends RawLocalFileSystem {
       add(0x100, OWNER_READ); add(0x80, OWNER_WRITE); add(0x40, OWNER_EXECUTE)
       add(0x20, GROUP_READ); add(0x10, GROUP_WRITE); add(0x8, GROUP_EXECUTE)
       add(0x4, OTHERS_READ); add(0x2, OTHERS_WRITE); add(0x1, OTHERS_EXECUTE)
-      java.nio.file.Files.setPosixFilePermissions(pathToFile(p).toPath, perms)
-      ()
+      // non-POSIX filesystems (Windows, some mounts) don't support
+      // PosixFilePermission — fall back to the stock shell/native path
+      // there instead of failing the operation (r21 ADVICE)
+      try { java.nio.file.Files.setPosixFilePermissions(
+        pathToFile(p).toPath, perms); () }
+      catch {
+        case _: UnsupportedOperationException =>
+          super.setPermission(p, permission)
+      }
     }
   }
 

@@ -258,6 +258,14 @@ private[graft] object StateFs {
       java.nio.file.Files.move(tmpNio, dstNio,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // the nio move bypasses ChecksumFileSystem, but [[copyDir]]/
+      // [[moveDir]] route through the checksummed LocalFileSystem and
+      // leave a `.<name>.crc` sidecar per control file — overwriting the
+      // file while that sidecar survives makes the next fs.open throw
+      // ChecksumException (r21 ADVICE). Drop any stale sidecar with the
+      // publish.
+      java.nio.file.Files.deleteIfExists(dstNio.resolveSibling(
+        "." + dstNio.getFileName.toString + ".crc"))
       ()
     } else {
       val out = f.create(tmp, true)

@@ -1043,7 +1043,12 @@ object StreamingOps {
       .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
         .isOrderable(f.dataType))
       .map(f => col(f.name))
-    df.repartition(1, lit(0)).sortWithinPartitions(orderCols: _*)
+    // a frame with NO orderable column at all (all-map schema) would
+    // call sortWithinPartitions() with an empty list; skip the sort
+    // there — no such envelope exists today, and shuffle arrival order
+    // is the best available (r21 ADVICE guard)
+    val rep = df.repartition(1, lit(0))
+    (if (orderCols.isEmpty) rep else rep.sortWithinPartitions(orderCols: _*))
       .write.mode("append").parquet(in)
     new java.io.File(in).listFiles()
       .filter(f => f.getName.endsWith(".parquet") &&

@@ -74,6 +74,24 @@ class StateFsSpec extends SparkTestBase {
     assert(!StateFs.exists(s"$base/epoch=5"))
   }
 
+  test("writeAtomic over a checksum-sidecarred file drops the stale .crc") {
+    // copyDir routes through the checksummed LocalFileSystem, which
+    // writes a `.<name>.crc` sidecar per file; writeAtomic's local nio
+    // fast path bypasses ChecksumFileSystem, so without the sidecar
+    // cleanup the next fs.open (readSmall) would throw ChecksumException
+    // on the stale sidecar (r21 ADVICE).
+    val base = tmp()
+    StateFs.mkdirs(s"$base/src")
+    StateFs.writeAtomic(s"$base/src/_lag", "1\t2")
+    StateFs.copyDir(s"$base/src", s"$base/dst")
+    assert(new java.io.File(s"$base/dst/._lag.crc").exists,
+      "precondition: the checksummed copy must leave a .crc sidecar")
+    StateFs.writeAtomic(s"$base/dst/_lag", "3\t4") // same length: a stale
+    // sidecar would fail on CONTENT, not length, making the repro exact
+    assert(StateFs.readSmall(s"$base/dst/_lag").contains("3\t4"))
+    assert(!new java.io.File(s"$base/dst/._lag.crc").exists)
+  }
+
   test("deleteRecursive is idempotent and total") {
     val base = tmp()
     StateFs.mkdirs(s"$base/a/b/c")
