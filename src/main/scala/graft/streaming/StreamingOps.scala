@@ -1217,6 +1217,37 @@ object StreamingOps {
     withConfs(s,
       "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")(body)
 
+  /** Run a foreachBatch body with shuffle partitions DERIVED FROM THE
+    * BATCH'S INPUT SIZE (guide §2.2: size partitions from data, never
+    * inherit a constant): AQE cannot coalesce inside a streaming
+    * micro-batch plan, so every per-batch collapse/completion shuffle
+    * otherwise runs at the session's partition count — pure per-trigger
+    * fixed cost when a micro-batch is a few MB (one wave file here),
+    * and exactly as wrong at 100 TB in the other direction if someone
+    * hard-coded a small constant. Partitions = ceil(batch input bytes /
+    * 32 MB of parquet ≈ 100-150 MB of shuffled rows), capped at the
+    * session value (never raised — the session's number is the sized-
+    * for-the-cluster ceiling, the [[withMicroBatchShuffle]] policy) and
+    * floored at 1. Unknown input size (non-file sources: MemoryStream
+    * in specs, a socket transport) keeps the session value untouched.
+    * Results are partition-count-independent (groupBy/join semantics);
+    * only task count and epoch file count change. */
+  private def withBatchShuffle[T](s: SparkSession, batch: Dataset[Row])
+      (body: => T): T = {
+    val bytes =
+      try {
+        val files = batch.inputFiles
+        if (files.isEmpty ||
+          files.exists(f => new java.net.URI(f).getScheme != "file")) -1L
+        else files.map(f => new java.io.File(new java.net.URI(f)).length()).sum
+      } catch { case scala.util.control.NonFatal(_) => -1L }
+    if (bytes <= 0L) return body
+    val session = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val sized = math.max(1L, math.min(session.toLong,
+      (bytes + (32L << 20) - 1) / (32L << 20))).toString
+    withConfs(s, "spark.sql.shuffle.partitions" -> sized)(body)
+  }
+
   private def runSourcePass(s: SparkSession, source: CdcSource, ckpt: String)(
       apply: (Dataset[Row], Long) => Unit): (Long, Long) = {
     val query = withNoIdleBatch(s) {
@@ -1224,7 +1255,7 @@ object StreamingOps {
         .writeStream
         .option("checkpointLocation", ckpt)
         .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
-          apply(batch, epochId)
+          withBatchShuffle(s, batch) { apply(batch, epochId) }
         }
         .start()
     }
@@ -2612,10 +2643,12 @@ object StreamingOps {
         .writeStream
         .option("checkpointLocation", ckpt)
         .foreachBatch { (batch: Dataset[Row], epochId: Long) =>
-          batch.groupBy(col("event_type"), (col("user_id") % 10).as("user_bucket"))
-            .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).as("tot"),
-              min(col("value")).as("mn"), max(col("value")).as("mx"))
-            .write.mode("overwrite").parquet(s"$mv/epoch=$epochId")
+          withBatchShuffle(s, batch) {
+            batch.groupBy(col("event_type"), (col("user_id") % 10).as("user_bucket"))
+              .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).as("tot"),
+                min(col("value")).as("mn"), max(col("value")).as("mx"))
+              .write.mode("overwrite").parquet(s"$mv/epoch=$epochId")
+          }
           ()
         }
         .start()
