@@ -48,8 +48,64 @@ object BinlogText {
     * that is neither a position nor a dated header). */
   val DumpTerminator = "# End of log file"
 
-  private val HeaderTs =
-    """^#(\d{6}) +(\d{1,2}):(\d{2}):(\d{2}) server id .*""".r
+  // the dated-header grammar, as a regex for reference:
+  //   ^#(\d{6}) +(\d{1,2}):(\d{2}):(\d{2}) server id .*
+  // (implemented by the hand-rolled scanner below — the regex engine
+  // ran 2x per event header and dominated the line dispatch)
+
+  /** Hand-rolled dated-header recognizer — the hottest line-dispatch in
+    * the text decode (every event header ran the regex TWICE: `.matches`
+    * then the extractor match). Grammar is byte-identical to the regex:
+    * `#` + 6 digits + 1+ spaces + 1-2 digit hour + `:MM:SS` + literal
+    * " server id ". Returns the index where the hour's first digit
+    * sits, or -1 for a non-header line ([[isHeaderLine]] is the
+    * `.matches` replacement; [[headerTsOf]] additionally constructs the
+    * clock value, throwing on out-of-range dates exactly as
+    * [[parseHeaderTs]]'s extractor did). */
+  private def headerHourIdx(line: String): Int = {
+    val n = line.length
+    if (n < 25 || line.charAt(0) != '#') return -1
+    var i = 1
+    while (i <= 6) { // positions 1..6: the YYMMDD digits
+      if (!isDigit(line.charAt(i))) return -1
+      i += 1
+    }
+    if (line.charAt(i) != ' ') return -1
+    while (i < n && line.charAt(i) == ' ') i += 1
+    // 1-2 digit hour
+    if (i >= n || !isDigit(line.charAt(i))) return -1
+    val hourIdx = i
+    i += 1
+    if (i < n && isDigit(line.charAt(i))) i += 1
+    // :MM:SS
+    if (i + 5 >= n || line.charAt(i) != ':' ||
+      !isDigit(line.charAt(i + 1)) || !isDigit(line.charAt(i + 2)) ||
+      line.charAt(i + 3) != ':' ||
+      !isDigit(line.charAt(i + 4)) || !isDigit(line.charAt(i + 5))) return -1
+    if (!line.startsWith(" server id ", i + 6)) return -1
+    hourIdx
+  }
+
+  private def isHeaderLine(line: String): Boolean = headerHourIdx(line) >= 0
+
+  private def headerTsOf(line: String): java.time.LocalDateTime = {
+    val hi = headerHourIdx(line)
+    if (hi < 0) return null
+    var i = hi
+    var h = line.charAt(i) - '0'
+    i += 1
+    if (isDigit(line.charAt(i))) { h = h * 10 + (line.charAt(i) - '0'); i += 1 }
+    val mi = (line.charAt(i + 1) - '0') * 10 + (line.charAt(i + 2) - '0')
+    val se = (line.charAt(i + 4) - '0') * 10 + (line.charAt(i + 5) - '0')
+    val yy = (line.charAt(1) - '0') * 10 + (line.charAt(2) - '0')
+    // MySQL's TIMESTAMP two-digit-year pivot: 70..99 → 19xx
+    val year = if (yy < 70) 2000 + yy else 1900 + yy
+    val mo = (line.charAt(3) - '0') * 10 + (line.charAt(4) - '0')
+    val da = (line.charAt(5) - '0') * 10 + (line.charAt(6) - '0')
+    java.time.LocalDateTime.of(year, mo, da, h, mi, se)
+  }
+
+  private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'
 
   /** The two-digit-year header, refused outside the [[parseHeaderTs]]
     * pivot window [1970, 2069] — a year the format cannot name would
@@ -62,9 +118,22 @@ object BinlogText {
         s"($what) — the parse pivot maps 70..99 to 19xx and 00..69 to " +
         "20xx, so the round-trip would land a century off; refuse " +
         "instead")
-    f"#${ldt.getYear % 100}%02d${ldt.getMonthValue}%02d" +
-      f"${ldt.getDayOfMonth}%02d ${ldt.getHour}%2d:" +
-      f"${ldt.getMinute}%02d:${ldt.getSecond}%02d"
+    // hand-rolled (was f-interpolation = String.format, measured hot:
+    // one header per rendered event): #YYMMDD then space-padded
+    // width-2 hour, :MM:SS
+    val sb = new StringBuilder(16)
+    def p2(v: Int): Unit = {
+      sb.append(('0' + v / 10).toChar).append(('0' + v % 10).toChar); ()
+    }
+    sb.append('#')
+    p2(ldt.getYear % 100); p2(ldt.getMonthValue); p2(ldt.getDayOfMonth)
+    sb.append(' ')
+    val h = ldt.getHour
+    if (h < 10) sb.append(' ').append(('0' + h).toChar)
+    else p2(h)
+    sb.append(':'); p2(ldt.getMinute)
+    sb.append(':'); p2(ldt.getSecond)
+    sb.result()
   }
 
   /** Decode a directory of mysqlbinlog-style text files into the
@@ -669,22 +738,33 @@ object BinlogText {
     sb.result()
   }
 
-  private def renderValue(r: Row, i: Int, t: DataType): String =
-    if (r.isNullAt(i)) "NULL"
+  /** Append one `@i=` value's rendering — the render hot loop's inner
+    * body, writing into the caller's builder (the per-value
+    * intermediate strings measured as a top render allocation). */
+  private def renderValueTo(sb: StringBuilder, r: Row, i: Int,
+      t: DataType): Unit = {
+    if (r.isNullAt(i)) { sb ++= "NULL"; () }
     else t match {
-      case LongType => r.getLong(i).toString
-      case IntegerType => r.getInt(i).toString
+      case LongType => sb.append(r.getLong(i)); ()
+      case IntegerType => sb.append(r.getInt(i)); ()
       case DoubleType =>
         // shortest round-trip repr + the meta comment mysqlbinlog prints
-        s"${r.getDouble(i)} /* DOUBLE meta=8 nullable=1 is_null=0 */"
+        sb.append(r.getDouble(i))
+          .append(" /* DOUBLE meta=8 nullable=1 is_null=0 */")
+        ()
       case d: DecimalType =>
-        s"${r.getDecimal(i).toPlainString} /* DECIMAL(${d.precision}," +
-          s"${d.scale}) meta=${d.precision * 256 + d.scale} nullable=1 " +
-          "is_null=0 */"
-      case StringType => s"'${esc(r.getString(i))}'"
+        sb.append(r.getDecimal(i).toPlainString)
+          .append(" /* DECIMAL(").append(d.precision).append(',')
+          .append(d.scale).append(") meta=")
+          .append(d.precision * 256 + d.scale)
+          .append(" nullable=1 is_null=0 */")
+        ()
+      case StringType =>
+        sb.append('\'').append(esc(r.getString(i))).append('\''); ()
       case other => throw new IllegalArgumentException(
         s"unsupported render type $other") // validateCols precludes this
     }
+  }
 
   private def renderBlock(r: Row, cols: Seq[(String, DataType)],
       table: String): String = {
@@ -703,22 +783,41 @@ object BinlogText {
       case other => throw new IllegalArgumentException(
         s"cannot render op '$other' as a binlog row event")
     }
-    def image(pad: String): String = cols.zipWithIndex.map {
-      case ((_, t), i) => s"$pad@${i + 1}=${renderValue(r, i + 3, t)}"
-    }.mkString("\n")
-    val body = op match {
+    // one builder per block (was: an intermediate string per value plus
+    // per-section concats — the render side's top allocation site)
+    val sb = new StringBuilder(96 + 24 * cols.length)
+    def image(): Unit = {
+      var i = 0
+      while (i < cols.length) {
+        if (i > 0) sb.append('\n')
+        sb.append("###   @").append(i + 1).append('=')
+        renderValueTo(sb, r, i + 3, cols(i)._2)
+        i += 1
+      }
+    }
+    sb.append("# at ").append(seq).append('\n').append(hdr)
+      .append(" server id 1  end_log_pos ").append(seq)
+      .append(" CRC32 0x00000000 \t").append(verb)
+      .append(": table id 108 flags: STMT_END_F\n")
+    op match {
       case "I" =>
-        s"### INSERT INTO `db`.`$table`\n### SET\n${image("###   ")}"
+        sb.append("### INSERT INTO `db`.`").append(table)
+          .append("`\n### SET\n")
+        image()
       case "U" =>
         // WHERE carries the key column (binlog_row_image=MINIMAL shape);
         // SET carries the full after image — the side that replicates
-        s"### UPDATE `db`.`$table`\n### WHERE\n###   @1=" +
-          s"${renderValue(r, 3, cols.head._2)}\n### SET\n${image("###   ")}"
+        sb.append("### UPDATE `db`.`").append(table)
+          .append("`\n### WHERE\n###   @1=")
+        renderValueTo(sb, r, 3, cols.head._2)
+        sb.append("\n### SET\n")
+        image()
       case _ =>
-        s"### DELETE FROM `db`.`$table`\n### WHERE\n${image("###   ")}"
+        sb.append("### DELETE FROM `db`.`").append(table)
+          .append("`\n### WHERE\n")
+        image()
     }
-    s"# at $seq\n$hdr server id 1  end_log_pos $seq CRC32 0x00000000 " +
-      s"\t$verb: table id 108 flags: STMT_END_F\n$body"
+    sb.result()
   }
 
   /** Extract the dump's DDL QueryEvents as `(position, statement)` —
@@ -795,7 +894,7 @@ object BinlogText {
         seal()
         pos = line.stripPrefix("# at ").trim.toLongOption
       } else if (line.startsWith("#") && !line.startsWith("###")) {
-        if (HeaderTs.matches(line) && line.contains("Query"))
+        if (line.contains("Query") && isHeaderLine(line))
           inQuery = true
       } else if (!line.startsWith("###") && inQuery) {
         // statement text may span lines; keep them joined
@@ -958,7 +1057,7 @@ object BinlogText {
               }
             }
             sawList = true
-          case MariaGtidLine(d, s2, n) if HeaderTs.matches(line) =>
+          case MariaGtidLine(d, s2, n) if isHeaderLine(line) =>
             val p = pos.getOrElse(throw new IllegalArgumentException(
               s"MariaDB GTID header without a '# at' position: $line"))
             val seqno = n.toLongOption.getOrElse(
@@ -1049,7 +1148,7 @@ object BinlogText {
              line = line0.trim
              if line.startsWith("#") && !line.startsWith("###")) {
           val i = line.indexOf("Rotate to ")
-          if (HeaderTs.matches(line) && i >= 0) {
+          if (i >= 0 && isHeaderLine(line)) {
             target = line.substring(i + "Rotate to ".length)
               .takeWhile(!_.isWhitespace)
           }
@@ -1109,12 +1208,13 @@ object BinlogText {
       if (line.startsWith("# at "))
         pos = line.stripPrefix("# at ").trim.toLongOption
       else if (line.startsWith("#") && !line.startsWith("###") &&
-        HeaderTs.matches(line) && line.contains("Xid")) {
-        val p = pos.getOrElse(throw new IllegalArgumentException(
-          s"Xid event without a '# at' position: $line"))
-        val epochSec = parseHeaderTs(line)
-          .toEpochSecond(java.time.ZoneOffset.UTC)
-        out += ((p, epochSec))
+        line.contains("Xid")) {
+        val t = headerTsOf(line)
+        if (t != null) {
+          val p = pos.getOrElse(throw new IllegalArgumentException(
+            s"Xid event without a '# at' position: $line"))
+          out += ((p, t.toEpochSecond(java.time.ZoneOffset.UTC)))
+        }
       }
     }
     out.result().iterator
@@ -1450,17 +1550,12 @@ object BinlogText {
     throw new IllegalArgumentException(
       s"malformed binlog value for column '$name': $v")
 
-  private def parseHeaderTs(line: String): java.time.LocalDateTime =
-    line match {
-      case HeaderTs(ymd, h, m, s2) =>
-        val yy = ymd.substring(0, 2).toInt
-        // MySQL's TIMESTAMP two-digit-year pivot: 70..99 → 19xx
-        val year = if (yy < 70) 2000 + yy else 1900 + yy
-        java.time.LocalDateTime.of(year, ymd.substring(2, 4).toInt,
-          ymd.substring(4, 6).toInt, h.toInt, m.toInt, s2.toInt)
-      case _ => throw new IllegalArgumentException(
-        s"malformed binlog event header: $line")
-    }
+  private def parseHeaderTs(line: String): java.time.LocalDateTime = {
+    val t = headerTsOf(line)
+    if (t == null) throw new IllegalArgumentException(
+      s"malformed binlog event header: $line")
+    t
+  }
 
   /** One sealed row event, handed to the decode plug: the verb-line
     * TABLE NAME (db-qualifier stripped), op, position, header clock,
@@ -1633,8 +1728,9 @@ object BinlogText {
           throw new IllegalArgumentException(
             s"malformed binlog position line: $line")))
       } else if (line.startsWith("#") && !line.startsWith("###")) {
-        if (HeaderTs.matches(line)) {
-          ts = Some(parseHeaderTs(line))
+        val t = headerTsOf(line)
+        if (t != null) {
+          ts = Some(t)
           if (line.contains("Write_rows")) op = Some("I")
           else if (line.contains("Update_rows")) op = Some("U")
           else if (line.contains("Delete_rows")) op = Some("D")
