@@ -205,6 +205,42 @@ object StreamingOps {
   private def bucketOf(keyCols: Seq[String]): Column =
     pmod(xxhash64(keyCols.map(col): _*), lit(StateBuckets))
 
+  /** Injective per-table KEY ENCODE for heterogeneous-PK topologies:
+    * ONE struct over the union of the tables' key columns, each field
+    * nulled for rows whose table's key does not include it (one
+    * table's key column is another's ordinary payload — the padding
+    * keeps the two roles straight per row). Replaces the previous
+    * `to_json` CASE — Jackson serialization per row, measured as real
+    * CPU in the multi-PK collapse — with pure codegen'd struct
+    * construction. Grouping/join behavior is identical: rows group on
+    * (table, encoded key), and struct comparison treats the padded
+    * NULLs exactly as grouping treated the JSON encode. `schema`
+    * supplies the padded fields' types (both sides of a join must
+    * build the same struct type). */
+  private def tableKeyStruct(keyFor: Map[String, Seq[String]],
+      schema: org.apache.spark.sql.types.StructType): Column = {
+    val allKeys = keyFor.values.flatten.toSeq.distinct.sorted
+    struct(allKeys.map { c =>
+      val owners = keyFor.collect { case (t, ks) if ks.contains(c) => t }.toSeq
+      (if (owners.size == keyFor.size) col(c)
+       else when(col("table").isin(owners: _*), col(c))
+         .otherwise(lit(null).cast(schema(c).dataType))).as(c)
+    }: _*)
+  }
+
+  /** [[tableKeyStruct]] for a frame holding ONE table's rows (the
+    * per-table prior-image reads): same field set, same types, the
+    * non-key fields padded NULL unconditionally. */
+  private def tableKeyStructFor(keyFor: Map[String, Seq[String]],
+      t: String,
+      schema: org.apache.spark.sql.types.StructType): Column = {
+    val allKeys = keyFor.values.flatten.toSeq.distinct.sorted
+    struct(allKeys.map { c =>
+      (if (keyFor(t).contains(c)) col(c)
+       else lit(null).cast(schema(c).dataType)).as(c)
+    }: _*)
+  }
+
   /** Materialize the bucket column on a state epoch write. Deliberately
     * NO per-write sort: a per-trigger delta is a handful of small files
     * whose single row group spans the full bucket range either way (a
@@ -2027,15 +2063,13 @@ object StreamingOps {
           } else {
             // heterogeneous PKs: ONE job still — encode each row's key
             // tuple under ITS table's definition (scan-local codegen'd
-            // CASE of to_json structs), group on (table, encoded key),
-            // and carry the FULL envelope (key columns included — they
-            // differ per table) through the max_by struct
+            // null-padded struct, [[tableKeyStruct]]), group on (table,
+            // encoded key), and carry the FULL envelope (key columns
+            // included — they differ per table) through the max_by
+            // struct
             val fields = envelopeCols ++ extraCols(applied)
             val keyed = routed.withColumn("__key",
-              keyFor.foldLeft(lit(null).cast("string")) { case (acc, (t, ks)) =>
-                when(col("table") === t,
-                  to_json(struct(ks.map(col): _*))).otherwise(acc)
-              })
+              tableKeyStruct(keyFor, routed.schema))
             keyed.groupBy(col("table"), col("__key"))
               .agg(max_by(struct(fields.map(col): _*), col("seq")).as("l"))
               .select(col("table") +: fields.map(f => col("l." + f).as(f)): _*)
@@ -2901,11 +2935,6 @@ object StreamingOps {
     val t = batch.schema(checkCol).dataType
     val tables = stateDirs.keys.toSeq
     val b0 = batch.filter(col("table").isin(tables: _*))
-    def keyCase = keyFor.foldLeft(lit(null).cast("string")) {
-      case (acc, (tb, ks)) =>
-        when(col("table") === tb, to_json(struct(ks.map(col): _*)))
-          .otherwise(acc)
-    }
     def bucketCase = keyFor.foldLeft(
         lit(null).cast(org.apache.spark.sql.types.LongType)) {
       case (acc, (tb, ks)) =>
@@ -2924,10 +2953,10 @@ object StreamingOps {
           .select(keyFor(tb).map(col): _*).distinct()),
           keyFor(tb), "left_semi")
         .select(lit(tb).as("table"),
-          to_json(struct(keyFor(tb).map(col): _*)).as("_k"),
+          tableKeyStructFor(keyFor, tb, batch.schema).as("_k"),
           col("op"), col(checkCol), col("seq")))
     }
-    val keyed = b0.withColumn("_k", keyCase)
+    val keyed = b0.withColumn("_k", tableKeyStruct(keyFor, batch.schema))
     val withPrior = priors.reduceOption(_.unionByName(_)) match {
       case None =>
         keyed.withColumn("_cur_op", lit(null).cast("string"))
@@ -2964,11 +2993,6 @@ object StreamingOps {
     val b0 = batch.filter(col("table").isin(tables: _*))
     val cols = batch.columns.toSeq
       .filterNot(Seq("op", "seq", "ts", "table", changedCol).contains)
-    def keyCase = keyFor.foldLeft(lit(null).cast("string")) {
-      case (acc, (t, ks)) =>
-        when(col("table") === t, to_json(struct(ks.map(col): _*)))
-          .otherwise(acc)
-    }
     def bucketCase = keyFor.foldLeft(
         lit(null).cast(org.apache.spark.sql.types.LongType)) {
       case (acc, (t, ks)) =>
@@ -3014,7 +3038,8 @@ object StreamingOps {
         max_by(col(c), pSeq).as(s"_old_$c")) ++
         (if (someKey.contains(c)) Seq(max_by(col(c), bSeq).as(s"_win_$c"))
          else Nil) }
-    val agg = tagged.withColumn("__pk", keyCase)
+    val agg = tagged.withColumn("__pk",
+        tableKeyStruct(keyFor, batch.schema))
       .groupBy(col("table"), col("__pk"))
       .agg(aggs.head, aggs.tail: _*)
     agg.select((Seq(col("table"), col("_top.op").as("op"),
