@@ -1268,7 +1268,7 @@ object StreamingOps {
     * in specs, a socket transport) keeps the session value untouched.
     * Results are partition-count-independent (groupBy/join semantics);
     * only task count and epoch file count change. */
-  private def withBatchShuffle[T](s: SparkSession, batch: Dataset[Row])
+  private[graft] def withBatchShuffle[T](s: SparkSession, batch: Dataset[Row])
       (body: => T): T = {
     val bytes =
       try {
