@@ -613,27 +613,40 @@ object BinlogText {
     val colsB = colsByTable
     val ignoreB = ignoreTables
     val changedB = changedCol
-    val slotB = slot
     val width = unionCols.length
+    // per-table decode plan precomputed once: (name, type, union slot)
+    // — the per-event zipWithIndex + slot lookups were per-event
+    // allocation across the whole multi decode
+    val planB: Map[String, Array[(String, DataType, Int)]] =
+      colsByTable.map { case (t, cs) =>
+        t -> cs.map { case (n, dt) => (n, dt, slot(n)) }.toArray
+      }
+    val rowWidth = 4 + width + (if (changedCol.isDefined) 1 else 0)
     val decode: EventDecode = (t, o, p, time, where, set) =>
-      colsB.get(t) match {
+      planB.get(t) match {
         case None if ignoreB.contains(t) => None // declared exclusion
         case None => throw new IllegalArgumentException(
           s"binlog event at $p names table '$t', which is neither " +
             "declared (colsByTable) nor excluded (ignoreTables) — " +
             "decoding its positional values without a TABLE_MAP would " +
             "be guessing; declare or exclude it")
-        case Some(cols) =>
-          val effImg = replicatingImage(o, p, cols.length, where, set,
+        case Some(plan) =>
+          val effImg = replicatingImage(o, p, plan.length, where, set,
             minimal = changedB.isDefined, tableTag = s" table '$t'")
-          val vals = Array.fill[Any](width)(null)
-          cols.zipWithIndex.foreach { case ((n, dt), i) =>
-            effImg.get(i + 1).foreach(raw =>
-              vals(slotB(n)) = parseValue(raw, n, dt))
+          val vals = new Array[Any](rowWidth)
+          vals(0) = o; vals(1) = p; vals(2) = time; vals(3) = t
+          var i = 0
+          while (i < plan.length) {
+            val raw = effImg.getOrElse(i + 1, null)
+            if (raw != null) {
+              val (n, dt, sl) = plan(i)
+              vals(4 + sl) = parseValue(raw, n, dt)
+            }
+            i += 1
           }
-          val changed = changedB.map(_ =>
-            changedList(o, cols, where, set)).toSeq
-          Some(Row.fromSeq(Seq(o, p, time, t) ++ vals ++ changed))
+          if (changedB.isDefined)
+            vals(rowWidth - 1) = changedList(o, colsB(t), where, set)
+          Some(new org.apache.spark.sql.catalyst.expressions.GenericRow(vals))
       }
     (schema, decode)
   }
@@ -1570,7 +1583,8 @@ object BinlogText {
     * multi decode's undeclared-table allowance); the single decode
     * always emits. */
   private type EventDecode = (String, String, Long,
-    java.time.LocalDateTime, Map[Int, String], Map[Int, String])
+    java.time.LocalDateTime, scala.collection.Map[Int, String],
+    scala.collection.Map[Int, String])
     => Option[Row]
 
   /** The ONE image rule behind both decodes — which image replicates
@@ -1583,8 +1597,10 @@ object BinlogText {
     * already). Shared so the single and multi decodes can never
     * drift. */
   private def replicatingImage(o: String, p: Long, arity: Int,
-      where: Map[Int, String], set: Map[Int, String],
-      minimal: Boolean, tableTag: String): Map[Int, String] = {
+      where: scala.collection.Map[Int, String],
+      set: scala.collection.Map[Int, String],
+      minimal: Boolean, tableTag: String)
+      : scala.collection.Map[Int, String] = {
     val img = if (o == "D") where else set
     require(img.nonEmpty, s"binlog event at $p carries no row image")
     // BOTH images range-check unconditionally: for deletes img IS
@@ -1604,7 +1620,8 @@ object BinlogText {
     * PK-only — visibly partial to history consumers); updates list
     * their SET positions. */
   private def changedList(o: String, cols: Seq[(String, DataType)],
-      where: Map[Int, String], set: Map[Int, String]): Seq[String] =
+      where: scala.collection.Map[Int, String],
+      set: scala.collection.Map[Int, String]): Seq[String] =
     if (o == "I") null
     else if (o == "D") where.keys.toSeq.sorted.map(i => cols(i - 1)._1)
     else set.keys.toSeq.sorted.map(i => cols(i - 1)._1)
@@ -1616,28 +1633,47 @@ object BinlogText {
     * same table. */
   private def decodeSingle(cols: Seq[(String, DataType)],
       beforeCols: Seq[String],
-      changedCol: Option[String]): EventDecode =
+      changedCol: Option[String]): EventDecode = {
+    val colsArr = cols.toArray
+    val beforeIdx = beforeCols.map(b => cols.indexWhere(_._1 == b)).toArray
+    val width = 3 + colsArr.length + beforeIdx.length +
+      (if (changedCol.isDefined) 1 else 0)
     (_, o, p, time, where, set) => {
-      val effImg = replicatingImage(o, p, cols.length, where, set,
+      val effImg = replicatingImage(o, p, colsArr.length, where, set,
         minimal = changedCol.isDefined, tableTag = "")
-      val vals = cols.zipWithIndex.map { case ((n, t), i) =>
-        effImg.get(i + 1).map(parseValue(_, n, t)).orNull
+      // one pre-sized array per event (the Seq-concat build allocated
+      // several intermediates per event across the whole decode)
+      val vals = new Array[Any](width)
+      vals(0) = o; vals(1) = p; vals(2) = time
+      var i = 0
+      while (i < colsArr.length) {
+        val raw = effImg.getOrElse(i + 1, null)
+        if (raw != null)
+          vals(3 + i) = parseValue(raw, colsArr(i)._1, colsArr(i)._2)
+        i += 1
       }
       // the WHERE image IS the before image (FULL row images); an
       // insert has none by definition
-      val befores = beforeCols.map { b =>
-        val i = cols.indexWhere(_._1 == b)
-        if (o == "I") null
-        else where.get(i + 1).map(parseValue(_, b, cols(i)._2)).orNull
+      var j = 0
+      while (j < beforeIdx.length) {
+        val bi = beforeIdx(j)
+        if (o != "I") {
+          val raw = where.getOrElse(bi + 1, null)
+          if (raw != null)
+            vals(3 + colsArr.length + j) =
+              parseValue(raw, colsArr(bi)._1, colsArr(bi)._2)
+        }
+        j += 1
       }
       // MINIMAL row images: the changed-position list (see
       // [[changedList]] — the collapse is unaffected by a delete's
       // partial list, but history/audit consumers can tell a PK-only
       // tombstone image from a full one)
-      val changed = changedCol.map(_ => changedList(o, cols, where, set))
-        .toSeq
-      Some(Row.fromSeq(Seq(o, p, time) ++ vals ++ befores ++ changed))
+      if (changedCol.isDefined)
+        vals(width - 1) = changedList(o, cols, where, set)
+      Some(new org.apache.spark.sql.catalyst.expressions.GenericRow(vals))
     }
+  }
 
   /** Table name off a verb line's tail: the LAST backticked ident of
     * `INSERT INTO \`db\`.\`t\`` — MySQL doubles embedded backticks
@@ -1687,8 +1723,11 @@ object BinlogText {
     var op = Option.empty[String]
     var tbl = Option.empty[String]
     var section = "" // "", WHERE, SET
-    var where = Map.empty[Int, String]
-    var set = Map.empty[Int, String]
+    // mutable per-event image maps (fresh per event — the decode plug
+    // consumes them inside seal() before reset): the immutable `+=`
+    // tree churn was measurable across millions of value lines
+    var where = new scala.collection.mutable.HashMap[Int, String]
+    var set = new scala.collection.mutable.HashMap[Int, String]
     var sawBase64 = false // a `BINLOG '…'` base64 statement this event
 
     def seal(): Unit = {
@@ -1725,7 +1764,9 @@ object BinlogText {
       // reset UNCONDITIONALLY: a reset gated on `pos` would leak an
       // orphan block's op/images into the next positioned event
       pos = None; ts = None; op = None; tbl = None; section = ""
-      where = Map.empty; set = Map.empty; sawBase64 = false
+      where = new scala.collection.mutable.HashMap[Int, String]
+      set = new scala.collection.mutable.HashMap[Int, String]
+      sawBase64 = false
     }
 
     for (line0 <- text.linesIterator; line = line0.trim if line.nonEmpty) {
@@ -1770,8 +1811,9 @@ object BinlogText {
               s"malformed binlog value line: $line"))
           require(section == "WHERE" || section == "SET",
             s"binlog value line outside WHERE/SET: $line")
-          if (section == "WHERE") where += (idx -> b.substring(eq + 1))
-          else set += (idx -> b.substring(eq + 1))
+          if (section == "WHERE") where.put(idx, b.substring(eq + 1))
+          else set.put(idx, b.substring(eq + 1))
+          ()
         } else throw new IllegalArgumentException(
           s"unrecognized binlog pseudo-SQL line: $line")
       }
